@@ -1,0 +1,772 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators._
+
+/** The engine's operator surface wired to the driver's correctness harness:
+  * one query per SURVEY.md §2 operator, each paired (where SQL-expressible)
+  * with a DuckDB oracle over the same parquet tables.
+  *
+  * Oracle-exactness strategy: every floating-point expression is written so
+  * both engines execute the SAME IEEE-754 operation sequence on the SAME
+  * operands — money/values become integer cents before aggregation
+  * (`round(x*100)::BIGINT`), folds over arrays use sequential semantics on
+  * both sides (Spark `aggregate` HOF = DuckDB `list_reduce`), and
+  * round-half-even (`bround` = `round_even`) is used where the reference
+  * uses numpy rounding. Integer sums are exact in both engines, and double
+  * divisions of identical operands are correctly rounded identically, so
+  * result hashes match bit-for-bit.
+  */
+object Queries {
+
+  final case class Q(impl: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Integer cents: round(x*100) as long; exact in both engines. */
+  private def cents(c: Column): Column = bround(c * 100, 0).cast("long")
+
+  /** Per-user value series (cents, as doubles) ordered by (ts, event_id) —
+    * the clip-table "frame axis" built from the events table. */
+  private def userSeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        cents(col("value")).as("v")))).as("srt"))
+      .select(col("user_id"),
+        transform(col("srt"), x => x("v").cast("double")).as("series"))
+
+  private val seriesSqlCte =
+    """WITH s AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)""".stripMargin
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"""
+
+  /** DuckDB twin of graft.functions.md5_long. */
+  private def md5LongSql(arg: String): String =
+    s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
+
+  // =====================================================================
+  // Relational core (scan / filter / join / agg / set ops / sort-limit)
+  // =====================================================================
+
+  /** TPC-H Q1-flavored pricing summary — groupBy agg with filter pushdown
+    * (ref per-group aggregation family, SURVEY §2.4). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("sum_disc_price"),
+        avg(cents(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price,
+      |  avg(CAST(round(l_quantity*100) AS BIGINT)) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-way inner join (the engine's name-intersection join,
+    * `engine.py:108-109`) over the star schema; small dims broadcast. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  private val q02Sql =
+    """SELECT r_name,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Deterministic global sort + limit (ref sorted-clip ordering §2.6). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  private val q03Sql =
+    """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+      |FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Left-anti join — the memoization predicate (`base.py:135`, §2.2):
+    * customers with no URGENT order. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  private val q04Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Left-semi join — the input-existence check (`base.py:136`). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val open = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+    t(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  /** Set intersection — `set.intersection` over name sets (`engine.py:108`). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .intersect(t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey")))
+
+  private val q06Sql =
+    """SELECT c_custkey AS custkey FROM customer
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // =====================================================================
+  // Window / frame-axis analytics (§2.5)
+  // =====================================================================
+
+  /** Sliding min/max/avg over frames [i-2, i+2] — EmocaLikeBboxes's window
+    * shape (`bboxes.py:123-145`) on the events "frame axis". */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        min(cents(col("value"))).over(w).as("w_min"),
+        max(cents(col("value"))).over(w).as("w_max"),
+        avg(cents(col("value"))).over(w).as("w_avg"))
+  }
+
+  private val q07Sql =
+    """SELECT user_id, event_id,
+      |  min(CAST(round(value*100) AS BIGINT)) OVER w AS w_min,
+      |  max(CAST(round(value*100) AS BIGINT)) OVER w AS w_max,
+      |  avg(CAST(round(value*100) AS BIGINT)) OVER w AS w_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin
+
+  /** Per-group top-1 by score — best-face selection (`fa.py:17-24`, §2.2). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("v").desc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("user_id"), col("event_id"), col("v").as("best_cents"))
+  }
+
+  private val q08Sql =
+    """SELECT user_id, event_id, v AS best_cents FROM (
+      |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id ASC) AS rnk
+      |  FROM events) WHERE rnk = 1""".stripMargin
+
+  /** Exact interpolated quantile — the quantile box sizing
+    * (`bboxes.py:172-195`, §2.4). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(cents(col("l_quantity")), lit(0.25)), 6).as("p25"),
+        round(percentile(cents(col("l_quantity")), lit(0.5)), 6).as("p50"),
+        round(percentile(cents(col("l_quantity")), lit(0.75)), 6).as("p75"))
+
+  private val q09Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.25), 6) AS p25,
+      |  round(quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5), 6) AS p50,
+      |  round(quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // =====================================================================
+  // Custom array expressions on the per-user series (§2.4/2.5/2.8)
+  // =====================================================================
+
+  /** Audio-volume bucketing: mean |amplitude| per fixed hop
+    * (`wav2vec/inference.py:94-106`) via the BucketMeanAbs expression;
+    * oracle is the equivalent relational bucketing. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir)
+      .select(col("user_id"), posexplode(bucket_mean_abs(col("series"), 4)))
+      .select(col("user_id"), col("pos").cast("long").as("bucket"),
+        round(col("col"), 6).as("vol"))
+
+  private val q10Sql = seriesSqlCte +
+    """
+      |SELECT user_id, (rn-1) // 4 AS bucket, round(avg(abs(v)), 6) AS vol
+      |FROM s GROUP BY user_id, (rn-1) // 4""".stripMargin
+
+  /** Edge-replicated moving average (`as_windowed` + mean,
+    * `dpl/processor/utils.py:68-98`), window 5; the oracle replicates the
+    * index clamping with an offset join. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir)
+      .select(col("user_id"), posexplode(edge_moving_avg(col("series"), 5)))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("idx"),
+        round(col("col"), 6).as("ma"))
+
+  private val q11Sql = seriesSqlCte +
+    """
+      |SELECT a.user_id, a.rn AS idx, round(avg(b.v), 6) AS ma
+      |FROM s a
+      |CROSS JOIN range(-3, 2) o
+      |JOIN s b ON b.user_id = a.user_id
+      |        AND b.rn = greatest(1, least(a.n, a.rn + o.range))
+      |GROUP BY a.user_id, a.rn""".stripMargin
+
+  /** Savitzky–Golay smoothing (25,3) of the per-user series
+    * (`bboxes.py:159-162`) — not SQL-expressible; rows-only check. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir)
+      .where(size(col("series")) >= 25)
+      .select(col("user_id"), posexplode(savgol_smooth(col("series"), 25, 3)))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("idx"),
+        round(col("col"), 6).as("sval"))
+
+  /** Linear resample with half-sample phase offsets (`wav2vec/utils.py:5-21`)
+    * onto 30 "frames" at source fps 50 — the audio->video temporal
+    * alignment. The oracle replicates the exact linspace/segment/lerp
+    * arithmetic, so doubles match bit-for-bit. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir)
+      .where(size(col("series")) >= 2)
+      .select(col("user_id"),
+        posexplode(linear_resample(col("series"), lit(30), lit(50.0))))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("idx"),
+        round(col("col"), 6).as("rv"))
+
+  private val q13Sql = {
+    // x_k (0-based k, 1-based rn = k+1) = dx + k*step, last = L exactly;
+    // mirrors LinearResample.linspace. dx = 1/(2*50) = 0.01.
+    def xAt(k: String, n: String, L: String) =
+      s"(CASE WHEN $k = $n - 1 THEN $L ELSE 0.01 + $k * (($L - 0.01) / ($n - 1)) END)"
+    val num = 30
+    seriesSqlCte +
+      s"""
+         |, p AS (SELECT DISTINCT user_id, n, n / 50.0 AS L FROM s WHERE n >= 2),
+         |tgt AS (
+         |  SELECT user_id, n, L, j,
+         |    CASE WHEN j = $num - 1 THEN L
+         |         ELSE (1.0 / ((($num) / L) * 2)) + j * ((L - (1.0 / ((($num) / L) * 2))) / ($num - 1))
+         |    END AS tpos
+         |  FROM p CROSS JOIN range(0, $num) r(j)),
+         |seg AS (
+         |  SELECT tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L,
+         |    least(tgt.n - 2,
+         |          count(*) FILTER (WHERE ${xAt("(k.rn - 1)", "tgt.n", "tgt.L")} < tgt.tpos)) AS sg
+         |  FROM tgt JOIN s k ON k.user_id = tgt.user_id AND k.rn >= 2
+         |  GROUP BY tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L)
+         |SELECT g.user_id, g.j + 1 AS idx,
+         |  round(y0.v + ((g.tpos - ${xAt("g.sg", "g.n", "g.L")})
+         |        / (${xAt("(g.sg + 1)", "g.n", "g.L")} - ${xAt("g.sg", "g.n", "g.L")}))
+         |        * (y1.v - y0.v), 6) AS rv
+         |FROM seg g
+         |JOIN s y0 ON y0.user_id = g.user_id AND y0.rn = g.sg + 1
+         |JOIN s y1 ON y1.user_id = g.user_id AND y1.rn = g.sg + 2""".stripMargin
+  }
+
+  // =====================================================================
+  // Bbox geometry + landmark analytics (§2.8, §2.4)
+  // =====================================================================
+
+  /** The bbox transform chain to_square -> pad(frac) -> to_integer
+    * (`utils.py:7-50`, `bboxes.py:75-81`) on synthetic boxes built from
+    * lineitem columns; oracle replicates the identical IEEE sequence
+    * (bround = round_even). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val b = bbox(
+      col("l_quantity"),
+      col("l_discount") * 100,
+      col("l_quantity") + col("l_extendedprice") / 1000,
+      col("l_discount") * 100 + col("l_tax") * 100 + lit(5.0),
+      col("l_tax"))
+    l.select(col("l_orderkey"), col("l_linenumber"),
+        bbox_transform(b, 0.2).as("bb"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("bb.x1").as("x1"), col("bb.y1").as("y1"),
+        col("bb.x2").as("x2"), col("bb.y2").as("y2"),
+        col("bb.conf").as("conf"))
+  }
+
+  private val q14Sql =
+    """WITH raw AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS DOUBLE) AS x1,
+      |    l_discount * 100 AS y1,
+      |    l_quantity + l_extendedprice / 1000 AS x2,
+      |    l_discount * 100 + l_tax * 100 + 5.0 AS y2,
+      |    CAST(l_tax AS DOUBLE) AS conf
+      |  FROM lineitem),
+      |sq AS (
+      |  SELECT l_orderkey, l_linenumber, conf,
+      |    x1 - (greatest(x2 - x1, y2 - y1) - (x2 - x1)) / 2 AS x1,
+      |    y1 - (greatest(x2 - x1, y2 - y1) - (y2 - y1)) / 2 AS y1,
+      |    x2 + (greatest(x2 - x1, y2 - y1) - (x2 - x1)) / 2 AS x2,
+      |    y2 + (greatest(x2 - x1, y2 - y1) - (y2 - y1)) / 2 AS y2
+      |  FROM raw),
+      |pd AS (
+      |  SELECT l_orderkey, l_linenumber, conf,
+      |    x1 - round_even(greatest(x2 - x1, y2 - y1) * 0.2, 0) AS x1,
+      |    y1 - round_even(greatest(x2 - x1, y2 - y1) * 0.2, 0) AS y1,
+      |    x2 + round_even(greatest(x2 - x1, y2 - y1) * 0.2, 0) AS x2,
+      |    y2 + round_even(greatest(x2 - x1, y2 - y1) * 0.2, 0) AS y2
+      |  FROM sq)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(round_even(x1, 0) AS BIGINT) AS x1,
+      |  CAST(round_even(y1, 0) AS BIGINT) AS y1,
+      |  CAST(round_even(x1, 0) + round_even(x2 - x1, 0) AS BIGINT) AS x2,
+      |  CAST(round_even(y1, 0) + round_even(y2 - y1, 0) AS BIGINT) AS y2,
+      |  CAST(round_even(conf * 100, 0) AS BIGINT) AS conf
+      |FROM pd""".stripMargin
+
+  /** FixedBboxes head math (`bboxes.py:45-81`): global min/max per group,
+    * then the square-box arithmetic (truncating casts like Python int()). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("x"),
+        pmod(col("event_id"), lit(997L)).as("y"))
+    e.groupBy("user_id")
+      .agg(min("x").as("left"), max("x").as("right"),
+           min("y").as("top"), max("y").as("bottom"))
+      .select(col("user_id"),
+        fixed_bbox(col("left"), col("right"), col("top"), col("bottom"), 1.25).as("bb"))
+      .select(col("user_id"), col("bb.x1").as("x1"), col("bb.y1").as("y1"),
+        col("bb.x2").as("x2"), col("bb.y2").as("y2"))
+  }
+
+  private val q15Sql =
+    """WITH mm AS (
+      |  SELECT user_id,
+      |    min(CAST(round(value*100) AS BIGINT)) AS l,
+      |    max(CAST(round(value*100) AS BIGINT)) AS r,
+      |    min(event_id % 997) AS t, max(event_id % 997) AS b
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(trunc((r + l) / 2.0) AS BIGINT) - CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS x1,
+      |  CAST(trunc((b + t) / 2.0) AS BIGINT) - CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS y1,
+      |  CAST(trunc((r + l) / 2.0) AS BIGINT) + CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS x2,
+      |  CAST(trunc((b + t) / 2.0) AS BIGINT) + CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS y2
+      |FROM mm""".stripMargin
+
+  /** Blink features (EAR ratios, `utils.py:53-65`) on synthetic 68-point
+    * landmarks derived from lineitem columns. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val lm = transform(sequence(lit(0), lit(67)), i =>
+      struct((col("l_quantity") + i).cast("double").as("x"),
+             (col("l_discount") * 100 + pmod(i * 7, lit(13))).cast("double").as("y")))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), lm.as("lm")) // stage: 12 refs below
+      .select(col("l_orderkey"), col("l_linenumber"), blink_features(col("lm")).as("bf"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("bf.left_blink"), 6).as("left_blink"),
+        round(col("bf.right_blink"), 6).as("right_blink"),
+        round(col("bf.average_blink"), 6).as("average_blink"))
+  }
+
+  private val q16Sql = {
+    def px(i: Int) = s"(l_quantity + $i)"
+    def py(i: Int) = s"(l_discount * 100 + ${(i * 7) % 13})"
+    def d(a: Int, b: Int) =
+      s"sqrt(power(${px(a)} - ${px(b)}, 2) + power(${py(a)} - ${py(b)}, 2))"
+    val left = s"((${d(37, 41)} + ${d(38, 40)}) / (${d(36, 39)} * 2))"
+    val right = s"((${d(43, 47)} + ${d(44, 46)}) / (${d(42, 45)} * 2))"
+    s"""SELECT l_orderkey, l_linenumber,
+       |  round($left, 6) AS left_blink,
+       |  round($right, 6) AS right_blink,
+       |  round(($left + $right) / 2, 6) AS average_blink
+       |FROM lineitem""".stripMargin
+  }
+
+  // =====================================================================
+  // Dedup family (beyond-reference LLM-data ops)
+  // =====================================================================
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q17Sql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS cluster_size
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** MinHash signatures, exploded to (doc_id, perm, sig). */
+  private val MinhashPermCount = 16
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhash_signature(col("shingles"), MinhashPermCount)))
+      .select(col("doc_id"), col("pos").cast("long").as("perm"),
+        col("col").as("sig"))
+
+  private def shinglesSql: String =
+    s"""list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+       |               for i in range(1, len(tk) - 1)])""".stripMargin
+
+  private val q18Sql = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |perms(perm, pa, pb) AS (VALUES $perms)
+       |SELECT sh.doc_id, CAST(p.perm AS BIGINT) AS perm,
+       |  list_min(list_transform(sh.shingles,
+       |    x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |FROM sh CROSS JOIN perms p
+       |WHERE len(sh.shingles) > 0""".stripMargin
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  private val q19Sql = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |perms(perm, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT sh.doc_id, p.perm,
+       |    list_min(list_transform(sh.shingles,
+       |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |  FROM sh CROSS JOIN perms p
+       |  WHERE len(sh.shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, perm // 2 AS band,
+       |    string_agg(sig, ',' ORDER BY perm) AS band_sig
+       |  FROM sigs GROUP BY doc_id, perm // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.id_a
+       |JOIN sh sb ON sb.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5""".stripMargin
+  }
+
+  /** SimHash fingerprints (32-bit bit-vote over token hashes). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), simhash32(ws_tokens(col("text"))).as("simhash"))
+
+  private val q20Sql = {
+    val bits = (0 until 32).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0
+         |  THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_transform($toksSql, x -> ${md5LongSql("x")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hs""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard pairs within a language block. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "lang", shingleN = 3, threshold = 0.5)
+      .select(col("block"), col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  private val q21Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, $shinglesSql AS shingles FROM toks)
+       |SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""".stripMargin
+
+  /** Embedding-cosine near-duplicates within a label block; cosine as a
+    * sequential fold on both sides -> bit-identical doubles. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.3)
+      .select(col("block").cast("long").as("block"), col("id_a"), col("id_b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+
+  private val cosSqlAB =
+    """(list_reduce(list_transform(range(1, len(a.v) + 1),
+      |    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y)
+      | / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+      |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)), (x, y) -> x + y))
+      |  * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+      |      i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), (x, y) -> x + y))))"""
+      .stripMargin
+
+  private val q22Sql =
+    s"""WITH e AS (SELECT label, vec_id, embedding AS v FROM embeddings)
+       |SELECT CAST(a.label AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($cosSqlAB, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cosSqlAB >= 0.3""".stripMargin
+
+  // =====================================================================
+  // Similarity search
+  // =====================================================================
+
+  /** Brute-force cosine top-k: queries broadcast against the corpus. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q23Sql =
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim
+       |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+       |  WHERE a.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN top-k (recall < 1 by construction; rows-only check). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        numPlanes = 4, dim = 64)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // =====================================================================
+  // Text analysis
+  // =====================================================================
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+
+  private val q25Sql =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_tokens,
+       |  len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
+       |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_subwords
+       |FROM documents""".stripMargin
+
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q26Sql = {
+    val scores = TextAnalysis.LangProfiles.map { case (lang, sw) =>
+      val set = sw.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(tk, x -> list_contains($set, x)))"
+    }
+    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val cases = scores.map { case (lang, sc) => s"WHEN $sc = best THEN '$lang'" }
+      .mkString("\n  ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |wb AS (SELECT doc_id, tk, $best AS best FROM toks)
+       |SELECT doc_id, CASE $cases END AS lang_pred FROM wb""".stripMargin
+  }
+
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+
+  private val q27Sql = {
+    val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS DOUBLE) AS ntok,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE)
+       |      ELSE 0.0 END AS mean_tok_len,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |           / length(text)
+       |      ELSE 0.0 END AS alnum_ratio,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(len(list_filter(tk, x -> list_contains($allStops, x))) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE)
+       |      ELSE 0.0 END AS stopword_ratio
+       |  FROM toks)
+       |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(alnum_ratio, 6) AS alnum_ratio,
+       |  round(stopword_ratio, 6) AS stopword_ratio,
+       |  round((CASE WHEN ntok >= 20 AND ntok <= 400 THEN 1.0 ELSE 0.0 END
+       |       + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.0 END
+       |       + alnum_ratio
+       |       + least(stopword_ratio * 5, 1.0)) / 4, 6) AS quality_score
+       |FROM f""".stripMargin
+  }
+
+  /** Rolling-hash document fingerprints (UTF-16 code units; zh text is BMP
+    * so DuckDB codepoints agree). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q28Sql =
+    """SELECT doc_id,
+      |  CAST(coalesce(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // Multimodal + sessionization
+  // =====================================================================
+
+  /** Multimodal feature extraction: binary payload column through batched
+    * mapPartitions (stub codec, deterministic; see operators.Multimodal). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
+
+  private val q29Sql = {
+    // md5(VARCHAR) hashes the string's UTF-8 bytes — the same bytes Spark's
+    // cast-to-binary produces, so no blob cast is needed.
+    val h = md5LongSql("text")
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  $h AS media_hash,
+       |  $h % 1920 AS fake_width,
+       |  $h % 1080 AS fake_height
+       |FROM documents""".stripMargin
+  }
+
+  /** Gap-based sessionization (30 min) — the streaming-adjacent batch op. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // ts is nanos-since-epoch (nanosAsLong); integer div — a double
+    // division would lose precision above 2^53.
+    val us = expr("ts div 1000")
+    val prevUs = lag(us, 1).over(byTime)
+    t(s, dir, "events")
+      .withColumn("new_sess",
+        when(prevUs.isNull || us - prevUs > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"),
+        (max(us) - min(us)).as("duration_us"))
+  }
+
+  private val q30Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events, min(us) AS start_us,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> Q(q01, Some(q01Sql)),
+    "q02_region_revenue" -> Q(q02, Some(q02Sql)),
+    "q03_top_orders" -> Q(q03, Some(q03Sql)),
+    "q04_anti_join_memo" -> Q(q04, Some(q04Sql)),
+    "q05_semi_join_exists" -> Q(q05, Some(q05Sql)),
+    "q06_intersect_keys" -> Q(q06, Some(q06Sql)),
+    "q07_sliding_window_stats" -> Q(q07, Some(q07Sql)),
+    "q08_top1_per_group" -> Q(q08, Some(q08Sql)),
+    "q09_quantiles" -> Q(q09, Some(q09Sql)),
+    "q10_volume_buckets" -> Q(q10, Some(q10Sql)),
+    "q11_edge_moving_avg" -> Q(q11, Some(q11Sql)),
+    "q12_savgol_smooth" -> Q(q12, None),
+    "q13_linear_resample" -> Q(q13, Some(q13Sql)),
+    "q14_bbox_transform" -> Q(q14, Some(q14Sql)),
+    "q15_fixed_bbox" -> Q(q15, Some(q15Sql)),
+    "q16_blink_features" -> Q(q16, Some(q16Sql)),
+    "q17_dedup_exact" -> Q(q17, Some(q17Sql)),
+    "q18_minhash_signatures" -> Q(q18, Some(q18Sql)),
+    "q19_minhash_lsh_pairs" -> Q(q19, Some(q19Sql)),
+    "q20_simhash" -> Q(q20, Some(q20Sql)),
+    "q21_ngram_jaccard_pairs" -> Q(q21, Some(q21Sql)),
+    "q22_embedding_near_dups" -> Q(q22, Some(q22Sql)),
+    "q23_knn_brute_force" -> Q(q23, Some(q23Sql)),
+    "q24_knn_lsh" -> Q(q24, None),
+    "q25_token_counts" -> Q(q25, Some(q25Sql)),
+    "q26_lang_id" -> Q(q26, Some(q26Sql)),
+    "q27_quality_score" -> Q(q27, Some(q27Sql)),
+    "q28_fingerprint" -> Q(q28, Some(q28Sql)),
+    "q29_media_features" -> Q(q29, Some(q29Sql)),
+    "q30_sessionize" -> Q(q30, Some(q30Sql)))
+}

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the frame-axis analytics Spark lacks.
+  *
+  * These are the three "hard parts" from SURVEY.md §7: Savitzky–Golay
+  * smoothing (`dpl/processor/nodes/bboxes.py:159-162`), linear resampling
+  * with half-sample phase offsets (`dpl/wav2vec/utils.py:5-21`), and
+  * edge-replicated moving windows (`dpl/processor/utils.py:68-98`). Each
+  * operates on a whole per-clip series (an `array<double>` column), so one
+  * invocation amortizes over N frames; the per-element math is tight
+  * primitive loops (CodegenFallback at the array level, but the hot loops
+  * are JIT-compiled Scala — no per-element virtual calls).
+  */
+
+/** `savgol_filter(x, window, polyorder)` over an array<double> column,
+  * matching scipy's default mode="interp" boundary handling.
+  * Series shorter than `window` yield null (scipy raises; we route to the
+  * permissive error channel instead).
+  */
+case class SavitzkyGolay(child: Expression, window: Int, polyorder: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "savgol_filter"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"savgol_filter needs array<double>, got $t")
+  }
+  @transient private lazy val c = SavGol.coeffs(window, polyorder)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toDoubleArray()
+    if (xs.length < window) null
+    else {
+      c // force coefficient computation
+      new GenericArrayData(SavGol(xs, window, polyorder))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): SavitzkyGolay =
+    copy(child = newChild)
+}
+
+/** Linear-interpolation resample of a series from `len(y)` samples at
+  * `sourceFps` to `num` samples, with the reference's half-sample phase
+  * offsets and linear extrapolation (`dpl/wav2vec/utils.py:5-21`):
+  * x = linspace(1/(2*fps), L, len(y)), x_hat = linspace(1/(2*fps_hat), L, num).
+  * Identity when `len(y) == num`.
+  */
+case class LinearResample(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  def y: Expression = first; def num: Expression = second; def sourceFps: Expression = third
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "linear_resample"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType | LongType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"linear_resample needs (array<double>, int, double), got $t")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(yv: Any, numv: Any, fpsv: Any): Any = {
+    val xs = yv.asInstanceOf[ArrayData].toDoubleArray()
+    val num = numv match { case i: Int => i; case l: Long => l.toInt }
+    val fps = fpsv.asInstanceOf[Double]
+    new GenericArrayData(LinearResample.resample(xs, num, fps))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LinearResample = copy(f, s, t)
+}
+
+object LinearResample {
+  def resample(y: Array[Double], num: Int, sourceFps: Double): Array[Double] = {
+    val n = y.length
+    if (n == num) return y.clone()
+    val lengthSec = n / sourceFps
+    val targetFps = num / lengthSec
+    val dx = 1.0 / (sourceFps * 2)
+    val dxHat = 1.0 / (targetFps * 2)
+    // np.linspace(a, b, k): a + i*(b-a)/(k-1); k==1 -> [a]
+    val x = linspace(dx, lengthSec, n)
+    val xHat = linspace(dxHat, lengthSec, num)
+    val out = new Array[Double](num)
+    var j = 0
+    var seg = 0 // index such that x(seg) <= t < x(seg+1), clamped for extrapolation
+    while (j < num) {
+      val t = xHat(j)
+      if (n == 1) { out(j) = y(0) }
+      else {
+        while (seg < n - 2 && x(seg + 1) < t) seg += 1
+        // scipy interp1d with extrapolation: use end segments beyond range
+        val x0 = x(seg); val x1 = x(seg + 1)
+        val f = (t - x0) / (x1 - x0)
+        out(j) = y(seg) + f * (y(seg + 1) - y(seg))
+      }
+      j += 1
+    }
+    out
+  }
+  def linspace(a: Double, b: Double, k: Int): Array[Double] = {
+    if (k == 1) Array(a)
+    else {
+      val step = (b - a) / (k - 1)
+      Array.tabulate(k)(i => if (i == k - 1) b else a + i * step)
+    }
+  }
+}
+
+/** Edge-replicated sliding-window mean (`as_windowed(x, w, mode="edge")
+  * .mean(axis=1)`, `dpl/processor/utils.py:68-98` + `h5.py:235-237`):
+  * out[i] = mean of x[clamp(j, 0, n-1)] for j in [i-(w-w/2), i+w/2-1].
+  */
+case class EdgeMovingAvg(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "edge_moving_avg"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"edge_moving_avg needs array<double>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toDoubleArray()
+    new GenericArrayData(EdgeMovingAvg.apply(xs, window))
+  }
+  override protected def withNewChildInternal(newChild: Expression): EdgeMovingAvg =
+    copy(child = newChild)
+}
+
+object EdgeMovingAvg {
+  def apply(xs: Array[Double], w: Int): Array[Double] = {
+    val n = xs.length
+    if (n == 0) return Array.empty
+    val lo = w - w / 2 // left pad size
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var j = i - lo
+      val end = i + w / 2 - 1
+      while (j <= end) {
+        val k = if (j < 0) 0 else if (j >= n) n - 1 else j
+        s += xs(k)
+        j += 1
+      }
+      out(i) = s / w
+      i += 1
+    }
+    out
+  }
+}
+
+/** Per-bucket mean of |x| over fixed-size hops — the reference's audio
+  * volume (`dpl/wav2vec/inference.py:94-106`): bucket k = mean of
+  * abs(x[k*hop .. min((k+1)*hop, n)-1]); the last partial bucket counts.
+  */
+case class BucketMeanAbs(child: Expression, hop: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(hop > 0)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "bucket_mean_abs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bucket_mean_abs needs array<double>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toDoubleArray()
+    val n = xs.length
+    val nb = (n + hop - 1) / hop
+    val out = new Array[Double](nb)
+    var k = 0
+    while (k < nb) {
+      val start = k * hop
+      val end = math.min(start + hop, n)
+      var s = 0.0
+      var j = start
+      while (j < end) { s += math.abs(xs(j)); j += 1 }
+      out(k) = s / (end - start)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BucketMeanAbs =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash over a string's UTF-16 code units:
+  * h = (h * base + code) mod modulus — a deterministic document
+  * fingerprint cheap enough for the 100 TB text path. Both `base` and
+  * `modulus` small enough that the accumulator stays within Long.
+  */
+case class RollingHash(child: Expression, base: Long, modulus: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(modulus > 0 && base > 0 && modulus < (Long.MaxValue / (base + 1)),
+    "base*modulus must fit in Long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rolling_hash needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * base + s.charAt(i).toLong) % modulus
+      i += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}

@@ -1,0 +1,224 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text expressions for the LLM-data operators.
+  *
+  * Why custom expressions instead of `split`/`transform`/`aggregate`
+  * compositions: Catalyst's CollapseProject freely re-inlines aliased
+  * subexpressions into higher-order-function lambdas, where they are then
+  * re-evaluated once per array element (and `StringSplit` recompiles its
+  * regex on every call). A composed shingle+minhash pipeline degenerated to
+  * O(shingles x tokenize) per row. Each expression below evaluates its
+  * child exactly once per row and runs a tight primitive loop, so plan-level
+  * inlining cannot multiply work.
+  */
+
+private[functions] object TextKernels {
+  val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def tokenize(text: String): Array[String] =
+    ws.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
+
+  /** First 60 bits of MD5 as a non-negative long — identical to
+    * `conv(substring(md5(s),1,15),16,10)` and the DuckDB oracle's
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. */
+  def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
+/** Lower-cased whitespace tokens, empties dropped (precompiled pattern). */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"tokenize needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(toks.map(UTF8String.fromString(_): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+/** Word n-gram shingles joined with single spaces; `distinct` dedups while
+  * preserving first-occurrence order (matches `array_distinct`). */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles needs array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = Array.tabulate(m)(i => arr.getUTF8String(i).toString)
+    val count = m - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val sb = new java.lang.StringBuilder
+      val out = new Array[String](count)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      val res: Array[String] =
+        if (distinct) {
+          val seen = new java.util.LinkedHashSet[String]()
+          out.foreach(seen.add)
+          seen.toArray(new Array[String](seen.size))
+        } else out
+      new GenericArrayData(res.map(UTF8String.fromString(_): Any))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** md5-based 60-bit hash of a string (see TextKernels.md5Long). */
+case class Md5Long(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_long needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Long(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: one md5 per shingle, then for
+  * each permutation i the min of (a_i*h + b_i) mod p. h = md5Long mod p.
+  * Permutation constants must come from `graft.functions.minhashPerms`
+  * (fixed seed) so the SQL oracle can reproduce them. */
+case class MinHashSignature(child: Expression, perms: Seq[(Long, Long)], prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature needs array<string>, got $t")
+  }
+  @transient private lazy val pa = perms.map(_._1).toArray
+  @transient private lazy val pb = perms.map(_._2).toArray
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val k = pa.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = TextKernels.md5Long(arr.getUTF8String(i).toString) % prime
+      var p = 0
+      while (p < k) {
+        val v = (pa(p) * h + pb(p)) % prime
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over a token array (multiplicity counts): bit j of the
+  * result is set iff sum over tokens of (2*bit_j(md5Long(token)) - 1) > 0. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash32 needs array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < m) {
+      val h = TextKernels.md5Long(arr.getUTF8String(i).toString)
+      var j = 0
+      while (j < 32) {
+        votes(j) += ((h >> j) & 1L) * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Sequential-fold dot product of two numeric arrays in doubles — the same
+  * IEEE sequence as `aggregate(zip_with(a,b,*), 0.0, +)` and the DuckDB
+  * oracle's `list_reduce(list_transform(...), +)`, but one pass, no
+  * per-element allocation. Null if lengths differ. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"vec_dot needs two float/double arrays, got $t")
+  }
+  private def get(arr: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += get(a, left.dataType, i) * get(b, right.dataType, i); i += 1 }
+      s
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level function library: the reference's per-row / per-frame math
+  * re-expressed as codegen-friendly Spark column expressions (built-in
+  * `functions._` compositions wherever possible, custom Catalyst
+  * expressions from [[graft.functions.ArrayExprs]] where Spark lacks the
+  * semantics).
+  *
+  * Conventions shared with the reference (`dpl/processor/utils.py`):
+  *  - a bbox is `struct<x1,y1,x2,y2,conf: double>`;
+  *  - Python `round` / `np.rint` = round-half-to-even = Spark `bround`;
+  *  - Python `int()` = truncate toward zero = Spark `cast(long)` on double.
+  */
+package object functions {
+
+  private def col2expr(c: Column) = ExprBridge.expression(c)
+
+  // ---------------------------------------------------------------------
+  // Custom-expression wrappers (frame-axis series ops)
+  // ---------------------------------------------------------------------
+
+  /** scipy-compatible `savgol_filter(x, window, polyorder)` (mode="interp");
+    * ref `dpl/processor/nodes/bboxes.py:159-162`. */
+  def savgol_smooth(x: Column, window: Int, polyorder: Int): Column =
+    ExprBridge.column(SavitzkyGolay(col2expr(x), window, polyorder))
+
+  /** Linear resample with half-sample phase offsets; ref `dpl/wav2vec/utils.py:5-21`. */
+  def linear_resample(y: Column, num: Column, sourceFps: Column): Column =
+    ExprBridge.column(LinearResample(col2expr(y), col2expr(num), col2expr(sourceFps)))
+
+  /** Edge-replicated moving average; ref `dpl/processor/utils.py:68-98`. */
+  def edge_moving_avg(x: Column, window: Int): Column =
+    ExprBridge.column(EdgeMovingAvg(col2expr(x), window))
+
+  /** Audio volume: mean |amplitude| per `hop`-sample frame; ref
+    * `dpl/wav2vec/inference.py:94-106` (hop = floor(sample_rate / 50)). */
+  def bucket_mean_abs(x: Column, hop: Int): Column =
+    ExprBridge.column(BucketMeanAbs(col2expr(x), hop))
+
+  /** Polynomial rolling-hash document fingerprint (base 31, Mersenne-prime
+    * modulus keeps the accumulator in a Long). */
+  def rolling_hash(text: Column, base: Long = 31L, modulus: Long = 2147483647L): Column =
+    ExprBridge.column(RollingHash(col2expr(text), base, modulus))
+
+  // ---------------------------------------------------------------------
+  // Bbox geometry (ref dpl/processor/utils.py:7-50) — pure built-ins
+  // ---------------------------------------------------------------------
+
+  def bbox(x1: Column, y1: Column, x2: Column, y2: Column, conf: Column): Column =
+    struct(x1.cast("double").as("x1"), y1.cast("double").as("y1"),
+           x2.cast("double").as("x2"), y2.cast("double").as("y2"),
+           conf.cast("double").as("conf"))
+
+  /** Expand to square keeping the center; ref `utils.py:27-39`. */
+  def bbox_to_square(b: Column): Column = {
+    val width = b("x2") - b("x1")
+    val height = b("y2") - b("y1")
+    val size = greatest(width, height)
+    val dx = (size - width) / 2
+    val dy = (size - height) / 2
+    bbox(b("x1") - dx, b("y1") - dy, b("x2") + dx, b("y2") + dy, b("conf"))
+  }
+
+  /** Pad by a fraction of the max side (Python `round` = half-even); ref `utils.py:42-50`. */
+  def bbox_pad_frac(b: Column, frac: Double): Column = {
+    val size = greatest(b("x2") - b("x1"), b("y2") - b("y1"))
+    val pad = bround(size * lit(frac), 0)
+    bbox(b("x1") - pad, b("y1") - pad, b("x2") + pad, b("y2") + pad, b("conf"))
+  }
+
+  /** Pad by absolute pixels; ref `utils.py:42-50` (int branch). */
+  def bbox_pad_abs(b: Column, pad: Column): Column =
+    bbox(b("x1") - pad, b("y1") - pad, b("x2") + pad, b("y2") + pad, b("conf"))
+
+  /** Integerize preserving width/height; conf -> round(conf*100); ref `utils.py:7-24`.
+    * Returns struct<x1,y1,x2,y2,conf: long>. */
+  def bbox_to_integer(b: Column): Column = {
+    val width = bround(b("x2") - b("x1"), 0)
+    val height = bround(b("y2") - b("y1"), 0)
+    val xl = bround(b("x1"), 0)
+    val yt = bround(b("y1"), 0)
+    struct(
+      xl.cast("long").as("x1"), yt.cast("long").as("y1"),
+      (xl + width).cast("long").as("x2"), (yt + height).cast("long").as("y2"),
+      bround(b("conf") * 100, 0).cast("long").as("conf"))
+  }
+
+  /** The reference's standard bbox transform chain
+    * (`bboxes.py:75-81` TransformRawBboxesNode): to_square -> pad -> to_integer. */
+  def bbox_transform(b: Column, extendFactor: Double): Column =
+    bbox_to_integer(bbox_pad_frac(bbox_to_square(b), extendFactor))
+
+  /** Fixed-bbox head math (`bboxes.py:67-81`): given scalar min/max coords,
+    * emit the (xc-r, yc-r, xc+r, yc+r) square as struct<x1,y1,x2,y2: long>.
+    * Python `int()` truncation = cast to long. */
+  def fixed_bbox(left: Column, right: Column, top: Column, bottom: Column,
+                 scale: Double): Column = {
+    val size = (right - left + bottom - top) / 2 * 1.1
+    val radius = (lit(scale) * size / 2.0).cast("long")
+    val xc = ((right + left) / 2.0).cast("long")
+    val yc = ((bottom + top) / 2.0).cast("long")
+    struct((xc - radius).as("x1"), (yc - radius).as("y1"),
+           (xc + radius).as("x2"), (yc + radius).as("y2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Landmark analytics (ref dpl/processor/utils.py:53-65)
+  // ---------------------------------------------------------------------
+
+  /** L2 distance between two struct<x,y> points. */
+  def point_l2(a: Column, b: Column): Column =
+    sqrt(pow(a("x") - b("x"), 2) + pow(a("y") - b("y"), 2))
+
+  /** Blink features for one frame's 68-point landmarks
+    * (array<struct<x,y: double>>, iBUG indexing, 0-based indices as in
+    * `utils.py:57-65`); returns struct<left_blink,right_blink,average_blink>. */
+  def blink_features(frame: Column): Column = {
+    def p(i: Int): Column = element_at(frame, i + 1) // 0-based -> 1-based
+    val left = (point_l2(p(37), p(41)) + point_l2(p(38), p(40))) / (point_l2(p(36), p(39)) * 2)
+    val right = (point_l2(p(43), p(47)) + point_l2(p(44), p(46))) / (point_l2(p(42), p(45)) * 2)
+    struct(left.as("left_blink"), right.as("right_blink"),
+           ((left + right) / 2).as("average_blink"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Vector math over array<float|double> embedding columns
+  // ---------------------------------------------------------------------
+
+  /** Sequential-order dot product of two array columns (single-pass
+    * expression; same IEEE fold order as `aggregate(zip_with(...))`). */
+  def vec_dot(a: Column, b: Column): Column =
+    ExprBridge.column(VecDot(col2expr(a), col2expr(b)))
+
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Cosine similarity (dot / (|a| |b|)). */
+  def cosine_sim(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  // ---------------------------------------------------------------------
+  // Text analytics
+  // ---------------------------------------------------------------------
+
+  /** Lower-cased whitespace tokens, empties dropped (single-pass expr,
+    * precompiled pattern). */
+  def ws_tokens(text: Column): Column =
+    ExprBridge.column(Tokenize(col2expr(text)))
+
+  /** Word n-gram shingles joined with single spaces. */
+  def word_shingles(tokens: Column, n: Int, distinct: Boolean = false): Column =
+    ExprBridge.column(WordShingles(col2expr(tokens), n, distinct))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a long. The same
+    * value is computable in any engine with md5 (the DuckDB oracle uses
+    * `('0x' || substr(md5(s),1,15))::bigint`). */
+  def md5_long(s: Column): Column =
+    ExprBridge.column(Md5Long(col2expr(s)))
+
+  /** MinHash base hash: md5_long reduced mod the Mersenne prime 2^31-1. */
+  val MinhashPrime = 2147483647L
+  def minhash_base(s: Column): Column = pmod(md5_long(s), lit(MinhashPrime))
+
+  /** Deterministic permutation constants (a, b) for minhash; fixed seed so
+    * Spark and the SQL oracle agree. */
+  def minhashPerms(numPerms: Int): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(numPerms)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+                          rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature over a shingle array column: one pass, one md5 per
+    * shingle, `numPerms` permutation mins (single expression — immune to
+    * CollapseProject re-inlining). */
+  def minhash_signature(shingles: Column, numPerms: Int): Column =
+    ExprBridge.column(
+      MinHashSignature(col2expr(shingles), minhashPerms(numPerms).toSeq, MinhashPrime))
+
+  /** 32-bit SimHash over a token array column (multiplicity counts). */
+  def simhash32(tokens: Column): Column =
+    ExprBridge.column(SimHash32(col2expr(tokens)))
+
+  /** Hamming distance between two long bit-patterns. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

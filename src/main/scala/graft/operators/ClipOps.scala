@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Clip-table operators: the reference's per-clip nodes re-expressed as
+  * column transformations over the canonical clip schema (one row per clip,
+  * frame axis = array index; SURVEY.md §1.1). All of these run without a
+  * shuffle — per-clip series live in array columns, so a 100 TB corpus
+  * scales by partitioning clips, never by shuffling frames.
+  */
+object ClipOps {
+
+  /** FixedBboxesNode (`dpl/processor/nodes/bboxes.py:45-81`): one global
+    * square bbox from min/max over all frames' 68-point landmarks,
+    * broadcast to every frame. `lm`: array<array<struct<x,y: double>>>.
+    * Returns array<struct<x1,y1,x2,y2: long>> (same length as lm).
+    */
+  def fixedBboxes(lm: Column, scale: Double = 1.25): Column = {
+    val pts = flatten(lm)
+    val left = array_min(transform(pts, p => p("x")))
+    val right = array_max(transform(pts, p => p("x")))
+    val top = array_min(transform(pts, p => p("y")))
+    val bottom = array_max(transform(pts, p => p("y")))
+    val box = fixed_bbox(left, right, top, bottom, scale)
+    transform(lm, _ => box)
+  }
+
+  /** EmocaLikeBboxesNode.get_bboxes (`bboxes.py:123-145`): per-frame square
+    * bbox from a sliding min/max over frames [i-w/2, i+(w-w/2)) with clamping.
+    */
+  def emocaLikeBboxes(lm: Column, scale: Double = 1.25, window: Int = 5): Column = {
+    val offL = window / 2
+    val offR = window - offL
+    val n = size(lm)
+    transform(sequence(lit(0), n - 1), i => {
+      val start = greatest(i - offL, lit(0))
+      val end = least(i + offR, n) // exclusive
+      val pts = flatten(slice(lm, start + 1, end - start))
+      val left = array_min(transform(pts, p => p("x")))
+      val right = array_max(transform(pts, p => p("x")))
+      val top = array_min(transform(pts, p => p("y")))
+      val bottom = array_max(transform(pts, p => p("y")))
+      fixed_bbox(left, right, top, bottom, scale)
+    })
+  }
+
+  /** EmocaLikeBboxesNode.smooth_bboxes (`bboxes.py:147-170`): savgol(25,3)
+    * on box centers (rint to long), savgol(15,3) on radii (ceil to long).
+    * `b`: array<struct<x1,y1,x2,y2: long>> of equal-size square boxes.
+    */
+  def smoothBboxes(b: Column): Column = {
+    val radii = transform(b, x => (x("x2") - x("x1")).cast("double") / 2)
+    val xcs = zip_with(b, radii, (x, r) => x("x1") + r)
+    val ycs = zip_with(b, radii, (x, r) => x("y1") + r)
+    val sxc = transform(savgol_smooth(xcs, 25, 3), v => bround(v, 0).cast("long"))
+    val syc = transform(savgol_smooth(ycs, 25, 3), v => bround(v, 0).cast("long"))
+    val srad = transform(savgol_smooth(radii, 15, 3), v => ceil(v).cast("long"))
+    transform(sequence(lit(0), size(b) - 1), i => {
+      val xc = element_at(sxc, i + 1); val yc = element_at(syc, i + 1)
+      val r = element_at(srad, i + 1)
+      struct((xc - r).as("x1"), (yc - r).as("y1"), (xc + r).as("x2"), (yc + r).as("y2"))
+    })
+  }
+
+  /** EmocaLikeBboxesNode.make_equal_size (`bboxes.py:172-195`): rewrite all
+    * boxes to the q-quantile size (np.quantile linear interpolation,
+    * truncated to long, bumped to even); negative top-left coords clipped.
+    */
+  def makeEqualSize(b: Column, quantile: Double = 0.75): Column = {
+    val sizes = transform(b, x => x("x2") - x("x1"))
+    val sorted = array_sort(sizes)
+    val n = size(sorted)
+    val pos = (n - 1).cast("double") * quantile
+    val loIdx = floor(pos).cast("int")
+    val frac = pos - loIdx
+    val lo = element_at(sorted, loIdx + 1).cast("double")
+    val hi = element_at(sorted, least(loIdx + 2, n)).cast("double")
+    val qv = (lo + frac * (hi - lo)).cast("long") // .astype(int64) truncates
+    val sz = qv + pmod(qv, lit(2L)) // size += size % 2 (sizes are non-negative)
+    transform(b, x => {
+      val off = floor((x("x2") - x("x1") - sz).cast("double") / 2).cast("long")
+      val x1 = greatest(x("x1") + off, lit(0L))
+      val y1 = greatest(x("y1") + off, lit(0L))
+      struct(x1.as("x1"), y1.as("y1"), (x1 + sz).as("x2"), (y1 + sz).as("y2"))
+    })
+  }
+
+  /** Per-frame blink features over the whole clip
+    * (`dpl/processor/utils.py:57-65`); lm: array<array<struct<x,y>>>. */
+  def blinks(lm: Column): Column = transform(lm, f => blink_features(f))
+
+  /** Audio volume at 50 Hz from a 16 kHz waveform (`wav2vec/inference.py:94-106`). */
+  def volume(wav: Column, sampleRate: Int = 16000, fps: Int = 50): Column =
+    bucket_mean_abs(wav, sampleRate / fps)
+
+  /** The wav2vec "Some magic" length trim (`wav2vec/inference.py:52`):
+    * int(len(wf) * 50 / sr - 0.25). */
+  def wav2vecLen(wavSize: Column, sampleRate: Int = 16000, fps: Int = 50): Column =
+    (wavSize.cast("double") * fps / sampleRate - 0.25).cast("long")
+
+  /** Resample a 50 Hz feature series onto the clip's video frame count —
+    * the audio<->video temporal alignment join (`a2en.py:41-42`,
+    * `wav2vec/utils.py:5-21`). */
+  def alignToFrames(features: Column, numFrames: Column, featureFps: Double = 50.0): Column =
+    linear_resample(features, numFrames, lit(featureFps))
+
+  /** Best face per frame (`fa.py:17-24`): keep the bbox with max score from
+    * each frame's candidates; frames with no candidates yield a null.
+    * `raw`: array<array<struct<x1,y1,x2,y2,score: double>>>. */
+  def bestFacePerFrame(raw: Column): Column =
+    transform(raw, cands =>
+      element_at(array_sort(cands, (a, b) =>
+        when(a("score") > b("score"), -1).when(a("score") < b("score"), 1).otherwise(0)), 1))
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text analytics for training-data pipelines: token counting, language ID
+  * (stopword heuristic), quality scoring, and document fingerprinting. All
+  * pure column expressions — whole-stage-codegen friendly, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(ws_tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs + individual non-space
+    * symbol characters each count as one token. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Stopword profiles for the language-ID heuristic. Deterministic;
+    * priority order on ties is the declaration order below. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "qui"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Per-language stopword-hit count over the token multiset. */
+  def langScore(tokens: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens, t => array_contains(sw, t)))
+  }
+
+  /** Predicted language per row: argmax of stopword-hit scores,
+    * first-declared wins ties. Tokens and per-language scores are staged as
+    * real columns — a single-Column formulation would duplicate every score
+    * expression once per `when` branch (2^5 blowup). */
+  def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scoreCols = LangProfiles.map { case (lang, _) => s"score_$lang" }
+    val scored = LangProfiles.foldLeft(
+      df.select(col(idCol), ws_tokens(col(textCol)).as("toks"))) {
+      case (acc, (lang, sw)) => acc.withColumn(s"score_$lang", langScore(col("toks"), sw))
+    }.withColumn("best", greatest(scoreCols.map(col): _*))
+    val pred = LangProfiles.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, _)) =>
+        when(acc.isNull && (col(s"score_$lang") === col("best")), lit(lang)).otherwise(acc)
+    }
+    scored.select(col(idCol), pred.as("lang_pred"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * token count, mean token length, alnum ratio, stopword ratio. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
+    // Stage tokens and each feature as real columns: every feature is
+    // referenced several times downstream (score + output), and inlining
+    // would re-tokenize per reference.
+    val staged = df
+      .select(col(idCol), col(textCol).as("text"), ws_tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("double"))
+      .withColumn("mean_tok_len",
+        when(col("ntok") > 0,
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("alnum_ratio",
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("double")
+            / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("ntok") > 0,
+          size(filter(col("toks"), t => array_contains(allStops, t))).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+    // Composite: length band [20, 400] tokens, mean token length band [2, 12],
+    // alnum-heavy, some stopwords.
+    val lengthOk = when(col("ntok") >= 20 && col("ntok") <= 400, lit(1.0)).otherwise(lit(0.0))
+    val tokLenOk = when(col("mean_tok_len") >= 2 && col("mean_tok_len") <= 12, lit(1.0))
+      .otherwise(lit(0.0))
+    val score = (lengthOk + tokLenOk + col("alnum_ratio")
+      + least(col("stopword_ratio") * 5, lit(1.0))) / 4
+    staged.select(col(idCol), col("ntok").cast("long").as("n_tokens"),
+      round(col("mean_tok_len"), 6).as("mean_tok_len"),
+      round(col("alnum_ratio"), 6).as("alnum_ratio"),
+      round(col("stopword_ratio"), 6).as("stopword_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Rolling-hash fingerprint per document. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))
+}

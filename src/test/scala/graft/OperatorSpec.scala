@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators._
+
+/** Column-expression and operator tests on tiny in-memory frames. */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("savgol_smooth column matches the JVM kernel") {
+    val xs = Array(7.63, 77.99, 43.84, 72.35, 97.8, 53.85, 50.11, 7.21, 26.84, 49.99)
+    val df = Seq(Tuple1(xs.toSeq)).toDF("series")
+    val out = df.select(savgol_smooth(col("series"), 5, 2)).head.getSeq[Double](0)
+    val expected = graft.functions.SavGol(xs, 5, 2)
+    out.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("savgol_smooth yields null for series shorter than the window") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("series")
+    assert(df.select(savgol_smooth(col("series"), 5, 2)).head.isNullAt(0))
+  }
+
+  test("bbox geometry: to_square keeps center, pad then integerize") {
+    val df = Seq((10.0, 20.0, 30.0, 30.0, 0.875)).toDF("x1", "y1", "x2", "y2", "c")
+    val b = bbox(col("x1"), col("y1"), col("x2"), col("y2"), col("c"))
+    // width 20, height 10 -> square 20x20 centered: y1-5, y2+5
+    val sq = df.select(bbox_to_square(b).as("b")).select("b.x1", "b.y1", "b.x2", "b.y2").head
+    assert(sq == Row(10.0, 15.0, 30.0, 35.0))
+    // pad by round_even(20*0.1)=2
+    val pd = df.select(bbox_pad_frac(bbox_to_square(b), 0.1).as("b"))
+      .select("b.x1", "b.y1", "b.x2", "b.y2").head
+    assert(pd == Row(8.0, 13.0, 32.0, 37.0))
+    // integerize: conf -> round(0.875*100) = round_even(87.5) = 88
+    val it = df.select(bbox_to_integer(bbox_to_square(b)).as("b")).select("b.conf").head
+    assert(it == Row(88L))
+  }
+
+  test("blink features on a synthetic eye geometry") {
+    // p36=(0,0), p39=(4,0): horizontal 4; p37=(1,1), p41=(1,-1): vert 2; p38=(3,1), p40=(3,-1): vert 2
+    val pts = Array.tabulate(68)(i => i match {
+      case 36 => (0.0, 0.0); case 39 => (4.0, 0.0)
+      case 37 => (1.0, 1.0); case 41 => (1.0, -1.0)
+      case 38 => (3.0, 1.0); case 40 => (3.0, -1.0)
+      // right eye: wider open
+      case 42 => (10.0, 0.0); case 45 => (14.0, 0.0)
+      case 43 => (11.0, 2.0); case 47 => (11.0, -2.0)
+      case 44 => (13.0, 2.0); case 46 => (13.0, -2.0)
+      case _ => (0.0, 0.0)
+    })
+    val df = Seq(Tuple1(pts.toSeq)).toDF("raw")
+      .select(transform(col("raw"), p =>
+        struct(p("_1").as("x"), p("_2").as("y"))).as("lm"))
+    val r = df.select(blink_features(col("lm")).as("bf"))
+      .select("bf.left_blink", "bf.right_blink", "bf.average_blink").head
+    // left: (2+2)/(2*4) = 0.5 ; right: (4+4)/(2*4) = 1.0
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.75) < 1e-12)
+  }
+
+  test("exact dedup clusters duplicate texts") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique")).toDF("id", "text")
+    val out = Dedup.exactClusters(df, "id", "text")
+      .orderBy("canonical_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("canonical_id") == 1L)
+    assert(out(0).getAs[Long]("cluster_size") == 2L)
+  }
+
+  test("minhash LSH finds an exact duplicate pair with jaccard 1.0") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text), (3L, "completely different words entirely here now"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text", shingleN = 3,
+      bands = 8, rowsPerBand = 2, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 1L)
+    val top = Similarity.bruteForceTopK(corpus, q, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L, 2L, 4L))
+  }
+
+  test("multimodal stub features are deterministic and md5-consistent") {
+    val df = Seq((1L, "payload-a"), (2L, "payload-b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    // cross-check against the SQL md5_long on the same bytes
+    val viaSql = Seq((1L, "payload-a"), (2L, "payload-b")).toDF("doc_id", "text")
+      .select(col("doc_id"), md5_long(col("text")).as("h")).orderBy("doc_id").collect()
+    feats.zip(viaSql).foreach { case (f, s) =>
+      assert(f.getAs[Long]("media_hash") == s.getAs[Long]("h"))
+    }
+    assert(feats(0).getAs[Long]("n_bytes") == 9L)
+  }
+
+  test("sessionize-style window: edge moving avg column matches kernel") {
+    val xs = Array(5.0, 1.0, 4.0, 9.0, 2.0, 7.0, 3.0)
+    val df = Seq(Tuple1(xs.toSeq)).toDF("s")
+    val out = df.select(edge_moving_avg(col("s"), 4)).head.getSeq[Double](0)
+    out.zip(EdgeMovingAvg(xs, 4)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("ClipOps.fixedBboxes computes the reference square-box math") {
+    // one clip, 2 frames, 2 points each: xs in [0,10], ys in [0,4]
+    val df = Seq(Tuple1(Seq(
+      Seq((0.0, 0.0), (10.0, 2.0)),
+      Seq((2.0, 4.0), (8.0, 1.0))))).toDF("raw")
+      .select(transform(col("raw"), f =>
+        transform(f, p => struct(p("_1").as("x"), p("_2").as("y")))).as("lm"))
+    val out = df.select(ClipOps.fixedBboxes(col("lm"), 1.25).as("bb")).head.getSeq[Row](0)
+    // left=0,right=10,top=0,bottom=4: size=(10+4)/2*1.1=7.7; radius=int(1.25*7.7/2)=int(4.8125)=4
+    // xc=int(5)=5, yc=int(2)=2 -> (1,-2,9,6)
+    assert(out.length == 2)
+    assert(out.head == Row(1L, -2L, 9L, 6L))
+  }
+}

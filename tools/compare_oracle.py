@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sf_dir> <verify_out_dir>
+
+For each query result parquet under <verify_out_dir>, runs the matching
+oracle SQL from oracle_sql.json against DuckDB views over <sf_dir>'s
+tables, sorts columns by name and rows by all columns, and compares
+values exactly (NaN == NaN).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+results = {}
+for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
+    qname = os.path.basename(qdir)
+    try:
+        spark_df = con.sql(
+            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+    except Exception as e:
+        results[qname] = f"SPARK-READ-FAIL {e}"
+        continue
+    if qname not in oracle:
+        results[qname] = f"rows-only rows={len(spark_df)} " + \
+            ("OK" if len(spark_df) > 0 else "EMPTY!")
+        continue
+    try:
+        duck_df = con.sql(oracle[qname]).df()
+    except Exception as e:
+        results[qname] = f"ORACLE-SQL-FAIL {type(e).__name__}: {e}"
+        continue
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        results[qname] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        continue
+    if len(a) != len(b):
+        results[qname] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
+        continue
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    mismatch = None
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            bv = bv.astype(av.dtype)
+        except Exception:
+            pass
+        eq = (av == bv) | (av.isna() & bv.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            mismatch = f"VALUE-MISMATCH col={c} row={i} spark={av[i]!r} duck={bv[i]!r} ({int((~eq).sum())} cells)"
+            break
+    results[qname] = mismatch or f"MATCH rows={len(a)}"
+
+ok = sum(1 for v in results.values() if v.startswith("MATCH") or "OK" in v)
+for k, v in results.items():
+    flag = "  " if (v.startswith("MATCH") or "OK" in v) else "XX"
+    print(f"{flag} {k}: {v}")
+print(f"\n{ok}/{len(results)} pass")
