@@ -322,8 +322,14 @@ object Queries {
       col("l_quantity") + col("l_extendedprice") / 1000,
       col("l_discount") * 100 + col("l_tax") * 100 + lit(5.0),
       col("l_tax"))
-    l.select(col("l_orderkey"), col("l_linenumber"),
-        bbox_transform(b, 0.2).as("bb"))
+    // Stage each chain step as a column: inlining the nested struct
+    // expressions multiplies evaluation ~200x (every field reference
+    // re-evaluates the whole upstream struct).
+    l.select(col("l_orderkey"), col("l_linenumber"), bbox_to_square(b).as("sq"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bbox_pad_frac(col("sq"), 0.2).as("pd"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        bbox_to_integer(col("pd")).as("bb"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("bb.x1").as("x1"), col("bb.y1").as("y1"),
         col("bb.x2").as("x2"), col("bb.y2").as("y2"),
@@ -735,6 +741,103 @@ object Queries {
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   // =====================================================================
+  // Clip-table frame-axis operators (§2.4/2.5): EmocaLikeBboxes sliding
+  // min/max, quantile equal-size boxes, wav2vec length trim — on synthetic
+  // landmark/box clip tables derived from events.
+  // =====================================================================
+
+  /** EmocaLikeBboxesNode.get_bboxes (`bboxes.py:123-145`): per-frame square
+    * box from sliding min/max over frames [i-2, i+2] (clamped). Each frame
+    * holds two synthetic landmarks (v,y) and (v+10,y+5); the oracle is the
+    * equivalent relational sliding window. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      cents(col("value")).as("v"), pmod(col("event_id"), lit(997L)).as("y"))
+    val clips = e.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("v"), col("y")))).as("srt"))
+      .select(col("user_id"), transform(col("srt"), f => array(
+        struct(f("v").cast("double").as("x"), f("y").cast("double").as("y")),
+        struct((f("v") + 10).cast("double").as("x"),
+               (f("y") + 5).cast("double").as("y")))).as("landmarks"))
+    clips.select(col("user_id"),
+        posexplode(ClipOps.emocaLikeBboxes(col("landmarks"), 1.25, 5)))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
+        col("col.x1").as("x1"), col("col.y1").as("y1"),
+        col("col.x2").as("x2"), col("col.y2").as("y2"))
+  }
+
+  private val q31Sql =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS v, event_id % 997 AS y,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, rn,
+      |    min(v) OVER sw AS l, max(v + 10) OVER sw AS r,
+      |    min(y) OVER sw AS t, max(y + 5) OVER sw AS b
+      |  FROM s
+      |  WINDOW sw AS (PARTITION BY user_id ORDER BY rn
+      |                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+      |SELECT user_id, rn AS frame_idx,
+      |  CAST(trunc((r + l) / 2.0) AS BIGINT) - CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS x1,
+      |  CAST(trunc((b + t) / 2.0) AS BIGINT) - CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS y1,
+      |  CAST(trunc((r + l) / 2.0) AS BIGINT) + CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS x2,
+      |  CAST(trunc((b + t) / 2.0) AS BIGINT) + CAST(trunc((1.25 * ((r - l + b - t) / 2 * 1.1)) / 2.0) AS BIGINT) AS y2
+      |FROM w""".stripMargin
+
+  /** EmocaLikeBboxesNode.make_equal_size (`bboxes.py:172-195`): rewrite all
+    * of a clip's square boxes to the 0.75-quantile size (truncated, bumped
+    * to even), clipping negative top-left corners. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      cents(col("value")).as("v"), pmod(col("event_id"), lit(997L)).as("y"),
+      (pmod(col("event_id"), lit(50L)) + 10).as("sz"))
+    val clips = e.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("v"), col("y"), col("sz")))).as("srt"))
+      .select(col("user_id"), transform(col("srt"), f =>
+        struct(f("v").as("x1"), f("y").as("y1"),
+          (f("v") + f("sz")).as("x2"), (f("y") + f("sz")).as("y2"))).as("boxes"))
+    clips.select(col("user_id"),
+        posexplode(ClipOps.makeEqualSize(col("boxes"), 0.75)))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
+        col("col.x1").as("x1"), col("col.y1").as("y1"),
+        col("col.x2").as("x2"), col("col.y2").as("y2"))
+  }
+
+  private val q32Sql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+      |    event_id % 997 AS y, (event_id % 50) + 10 AS sz,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |q AS (
+      |  SELECT user_id,
+      |    CAST(trunc(quantile_cont(sz, 0.75)) AS BIGINT)
+      |      + CAST(trunc(quantile_cont(sz, 0.75)) AS BIGINT) % 2 AS sze
+      |  FROM s GROUP BY user_id)
+      |SELECT s.user_id, s.rn AS frame_idx,
+      |  greatest(s.v + CAST(floor((s.sz - q.sze) / 2.0) AS BIGINT), 0) AS x1,
+      |  greatest(s.y + CAST(floor((s.sz - q.sze) / 2.0) AS BIGINT), 0) AS y1,
+      |  greatest(s.v + CAST(floor((s.sz - q.sze) / 2.0) AS BIGINT), 0) + q.sze AS x2,
+      |  greatest(s.y + CAST(floor((s.sz - q.sze) / 2.0) AS BIGINT), 0) + q.sze AS y2
+      |FROM s JOIN q ON s.user_id = q.user_id""".stripMargin
+
+  /** The wav2vec "Some magic" length trim (`wav2vec/inference.py:52`):
+    * int(len * 50 / sr - 0.25), truncation toward zero. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir)
+      .select(col("user_id"),
+        ClipOps.wav2vecLen(size(col("series")), 16000, 50).as("trimmed_len"))
+
+  private val q33Sql =
+    """SELECT user_id,
+      |  CAST(trunc(CAST(count(*) AS DOUBLE) * 50 / 16000 - 0.25) AS BIGINT) AS trimmed_len
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -768,5 +871,8 @@ object Queries {
     "q27_quality_score" -> Q(q27, Some(q27Sql)),
     "q28_fingerprint" -> Q(q28, Some(q28Sql)),
     "q29_media_features" -> Q(q29, Some(q29Sql)),
-    "q30_sessionize" -> Q(q30, Some(q30Sql)))
+    "q30_sessionize" -> Q(q30, Some(q30Sql)),
+    "q31_emoca_sliding_bbox" -> Q(q31, Some(q31Sql)),
+    "q32_equal_size_boxes" -> Q(q32, Some(q32Sql)),
+    "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)))
 }

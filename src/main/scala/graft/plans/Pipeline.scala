@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.ClipOps
+
+/** The pipeline driver: a Spark-first re-expression of the reference's
+  * `Engine` (`dpl/processor/engine.py`) and node protocol
+  * (`dpl/processor/nodes/base.py`).
+  *
+  * Key translations (SURVEY.md §3-4):
+  *  - node list = ordered [[NodeSpec]]s; dataflow edges are implicit BY TYPE
+  *    KEY exactly as in the reference (`engine.py:37-53`): a node's input
+  *    type resolves to the user-supplied input or the output column of an
+  *    upstream node.
+  *  - bind-time validation (`base.py:167-188`): unknown op, missing input
+  *    type, duplicate output type -> error before any job runs.
+  *  - execution: each op is a `DataFrame => DataFrame` column transform;
+  *    the whole DAG becomes ONE Catalyst plan — the reference's
+  *    chunk-interleaved generators (`engine.py:64-73`) are subsumed by
+  *    per-partition pipelining, its joblib pools by partition parallelism.
+  *  - memoization (`base.py:135`): a left-anti join against the sink's
+  *    already-written `name`s skips completed clips unless `recompute`.
+  *  - row-level error capture (`base.py:137-142`): ops surface row failures
+  *    as nulls (NaN-guard semantics); failed rows are diverted to an error
+  *    side-output and reported, matching `NodeExecReport`.
+  *  - `test_run` probe (`base.py:106-112`): limit(1) dry pass.
+  */
+final case class NodeSpec(op: String, params: Map[String, String] = Map.empty)
+
+final case class PipelineReport(node: String, status: String, count: Long)
+
+/** One operator: consumes `inputTypes` columns, appends `outputTypes`
+  * columns. `failed` flags rows the op could not process (error channel). */
+trait ClipOp {
+  def inputTypes: Seq[String]
+  def outputTypes: Seq[String]
+  def apply(df: DataFrame, params: Map[String, String]): DataFrame
+  /** Predicate marking failed rows AFTER apply; default: any null output. */
+  def failed(df: DataFrame): Column =
+    outputTypes.map(t => col(t).isNull).reduce(_ || _)
+}
+
+/** Registry of built-in operators — the analogue of the reference's
+  * metaclass registry (`dpl/processor/nodes/registry.py:4-19`). */
+object OpRegistry {
+  private def p(params: Map[String, String], key: String, dflt: Double): Double =
+    params.get(key).map(_.toDouble).getOrElse(dflt)
+
+  val ops: Map[String, ClipOp] = Map(
+    // landmarks: array<array<struct<x,y>>> -> bboxes per frame
+    "fixed_bboxes" -> new ClipOp {
+      val inputTypes = Seq("landmarks"); val outputTypes = Seq("bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("bboxes",
+          ClipOps.fixedBboxes(col("landmarks"), p(params, "scale", 1.25)))
+    },
+    "emoca_like_bboxes" -> new ClipOp {
+      val inputTypes = Seq("landmarks"); val outputTypes = Seq("bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("bboxes", ClipOps.emocaLikeBboxes(col("landmarks"),
+          p(params, "scale", 1.25), p(params, "window", 5).toInt))
+    },
+    "smooth_bboxes" -> new ClipOp {
+      val inputTypes = Seq("bboxes"); val outputTypes = Seq("smooth_bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("smooth_bboxes", ClipOps.smoothBboxes(col("bboxes")))
+    },
+    "blinks" -> new ClipOp {
+      val inputTypes = Seq("landmarks"); val outputTypes = Seq("blinks")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("blinks", ClipOps.blinks(col("landmarks")))
+    },
+    // wav: array<double> @16kHz -> volume: array<double> @50Hz
+    "volume" -> new ClipOp {
+      val inputTypes = Seq("wav"); val outputTypes = Seq("volume")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("volume", ClipOps.volume(col("wav"),
+          p(params, "sample_rate", 16000).toInt, p(params, "fps", 50).toInt))
+    },
+    // series resample onto the clip's frame count (audio<->video alignment)
+    "align_to_frames" -> new ClipOp {
+      val inputTypes = Seq("volume", "num_frames"); val outputTypes = Seq("volume_at_fps")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("volume_at_fps", ClipOps.alignToFrames(
+          col("volume"), col("num_frames"), p(params, "feature_fps", 50.0)))
+    },
+    "savgol" -> new ClipOp {
+      val inputTypes = Seq("series"); val outputTypes = Seq("smoothed")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("smoothed", savgol_smooth(col("series"),
+          p(params, "window", 25).toInt, p(params, "polyorder", 3).toInt))
+    },
+    "best_face" -> new ClipOp {
+      val inputTypes = Seq("raw_bboxes"); val outputTypes = Seq("best_bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("best_bboxes", ClipOps.bestFacePerFrame(col("raw_bboxes")))
+    })
+}
+
+final class PipelineValidationError(msg: String) extends RuntimeException(msg)
+
+final case class Pipeline(nodes: Seq[NodeSpec], outputDir: String) {
+
+  /** Bind-time schema analysis (== `base.py:167-188` + `engine.py:37-53`):
+    * returns the full set of type keys available after the last node. */
+  def validate(inputTypes: Set[String]): Set[String] = {
+    var available = inputTypes
+    nodes.foreach { spec =>
+      val op = OpRegistry.ops.getOrElse(spec.op,
+        throw new PipelineValidationError(
+          s"unknown op '${spec.op}' (known: ${OpRegistry.ops.keys.toSeq.sorted.mkString(", ")})"))
+      val missing = op.inputTypes.filterNot(available.contains)
+      if (missing.nonEmpty)
+        throw new PipelineValidationError(
+          s"node '${spec.op}': missing input types ${missing.mkString(", ")}")
+      val dup = op.outputTypes.filter(available.contains)
+      if (dup.nonEmpty)
+        throw new PipelineValidationError(
+          s"node '${spec.op}': output types already bound: ${dup.mkString(", ")}")
+      available ++= op.outputTypes
+    }
+    available
+  }
+
+  /** Execute over a clip table (must have `name` + input type columns).
+    * Returns (outputs, report). With `testRun`, processes limit(1) first
+    * (probe) before the full pass — `base.py:106-112`. */
+  def execute(spark: SparkSession, clips: DataFrame,
+              recompute: Boolean = false,
+              testRun: Boolean = false): (DataFrame, Seq[PipelineReport]) = {
+    val inputTypes = clips.columns.toSet - "name"
+    validate(inputTypes)
+
+    if (testRun) runOnce(clips.limit(1))._1.count()
+
+    // Memoization: skip clips whose outputs already exist in the sink
+    // manifest (left-anti join on name), unless recompute.
+    val manifestPath = s"$outputDir/_manifest"
+    val todo =
+      if (recompute) clips
+      else scala.util.Try(spark.read.parquet(manifestPath)).toOption match {
+        case Some(manifest) =>
+          clips.join(manifest.select("name"), Seq("name"), "left_anti")
+        case None => clips
+      }
+
+    val (out, reports) = runOnce(todo)
+
+    // Split error channel: rows where any node failed.
+    val failCols = nodes.flatMap { spec =>
+      OpRegistry.ops(spec.op).outputTypes.map(t => col(t).isNull)
+    }
+    val anyFail = failCols.reduceOption(_ || _).getOrElse(lit(false))
+    val good = out.where(!anyFail)
+    val bad = out.where(anyFail)
+
+    good.write.mode("append").parquet(s"$outputDir/clips")
+    good.select("name").write.mode("append").parquet(manifestPath)
+
+    val processed = good.count()
+    val errors = bad.count()
+    val skipped = clips.count() - processed - errors
+    val report = reports :+
+      PipelineReport("_pipeline", "processed", processed) :+
+      PipelineReport("_pipeline", "errors", errors) :+
+      PipelineReport("_pipeline", "skipped_memoized", skipped)
+    (good, report)
+  }
+
+  private def runOnce(clips: DataFrame): (DataFrame, Seq[PipelineReport]) = {
+    val out = nodes.foldLeft(clips) { (df, spec) =>
+      OpRegistry.ops(spec.op).apply(df, spec.params)
+    }
+    (out, nodes.map(s => PipelineReport(s.op, "bound", 1L)))
+  }
+}
+
+object Pipeline {
+  /** Parse the reference's graph-JSON shape
+    * (`[{"name": <op>, "params": {...}}, ...]`, `README.md:79-101`)
+    * using Jackson (ships with Spark). */
+  def fromJson(json: String, outputDir: String): Pipeline = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, "graph JSON must be an array of node specs")
+    val nodes = root.elements().asScala.map { n =>
+      val op = n.get("name").asText()
+      val params = Option(n.get("params")).map { pn =>
+        pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      NodeSpec(op, params)
+    }.toSeq
+    Pipeline(nodes, outputDir)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clip-catalog construction: the reference's input scan + name derivation
+  * + intersection (`dpl/processor/engine.py:20-53, 97-109`) as Spark scans
+  * and a multi-way inner join.
+  *
+  * A "clip" is one source asset; its name is the path relative to the scan
+  * root with separators replaced by `_` and the extension stripped
+  * (`engine.py:97-98`). Every data type contributes one column; the clip
+  * table is the inner join of all per-type scans on `name` — the engine's
+  * only join-semantics choice (`engine.py:108-109`).
+  */
+object ClipCatalog {
+
+  /** Name derivation from a file path under `root`. */
+  def deriveName(path: Column, root: String): Column = {
+    val rootNorm = root.stripSuffix("/") + "/"
+    val rel = regexp_replace(path, "^" + java.util.regex.Pattern.quote(rootNorm), "")
+    regexp_replace(regexp_replace(rel, "\\.[^./]+$", ""), "/", "_")
+  }
+
+  /** Recursive binary scan of one data type rooted at `root`; yields
+    * (name, <typeKey>: binary). Mirrors `common.listdir` + binding
+    * (`dpl/common.py:13-27`): extension filter, recursive; the sort is
+    * unnecessary because the key is carried per row. */
+  def scanBinaryType(spark: SparkSession, root: String, ext: String,
+                     typeKey: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(deriveName(col("path"), root).as("name"),
+        col("content").as(typeKey))
+
+  /** A parquet-backed data type: any table with a `name` column; remaining
+    * columns become the type's payload columns. */
+  def scanParquetType(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Multi-way inner join on `name` over per-type frames — the reference's
+    * `set.intersection` over name sets. Raises if the intersection is empty
+    * (`engine.py:32-33`). Each input must expose a `name` column. */
+  def intersectOnName(inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.nonEmpty, "no input collections")
+    val joined = inputs.reduce((a, b) => a.join(b, Seq("name"), "inner"))
+    joined
+  }
+}

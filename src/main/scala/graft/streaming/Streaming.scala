@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
+  * re-runs (skip already-processed clips, `dpl/processor/nodes/base.py:135`).
+  * Here that becomes first-class: a file-source stream re-using the SAME
+  * operator graph (checkpointing subsumes the memoization manifest), plus
+  * event-time sessionization with watermarks for the events table.
+  */
+object Streaming {
+
+  /** Continuous ingest of new clip rows from a directory of parquet files;
+    * exactly-once per file via the checkpoint — the streaming form of the
+    * reference's skip-if-output-exists memoization. The returned frame can
+    * be passed through the same ClipOp transforms as batch. */
+  def clipFileStream(spark: SparkSession, root: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32)
+      .parquet(root)
+
+  /** Event-time sessionization with a gap timeout over a streaming events
+    * frame (ts: TimestampType). Uses the native session_window — state is
+    * managed by Spark's state store, scaling by user_id partitioning. */
+  def sessionized(events: DataFrame, gapMinutes: Int = 30,
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Windowed per-type event counts (tumbling) — the streaming analogue of
+    * the report side-channel. */
+  def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,
+                      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.util.Base64
+import org.apache.spark.sql.functions._
+import graft.plans.{NodeSpec, Pipeline, PipelineValidationError}
+import graft.sources.{ClipCatalog, Npy}
+
+/** Pipeline driver, clip catalog, and NPY codec tests. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def clipTable = {
+    // two clips with a 16kHz-ish wav (64 samples) and 68-pt landmarks x 3 frames
+    def lm(off: Double) = Seq.tabulate(3)(f =>
+      Seq.tabulate(68)(i => (off + i + f, off + (i * 3 % 7).toDouble)))
+    Seq(
+      ("clip_a", Seq.tabulate(64)(i => math.sin(i * 0.1)), lm(0.0)),
+      ("clip_b", Seq.tabulate(64)(i => math.cos(i * 0.2)), lm(5.0)))
+      .toDF("name", "wav", "raw_lm")
+      .select(col("name"), col("wav"),
+        transform(col("raw_lm"), f =>
+          transform(f, p => struct(p("_1").as("x"), p("_2").as("y")))).as("landmarks"))
+  }
+
+  test("pipeline validates type-key wiring at bind time") {
+    val ok = Pipeline(Seq(NodeSpec("volume"), NodeSpec("fixed_bboxes")), "/tmp/x")
+    assert(ok.validate(Set("wav", "landmarks")) == Set("wav", "landmarks", "volume", "bboxes"))
+    val badOp = Pipeline(Seq(NodeSpec("nope")), "/tmp/x")
+    intercept[PipelineValidationError](badOp.validate(Set("wav")))
+    val missingInput = Pipeline(Seq(NodeSpec("volume")), "/tmp/x")
+    intercept[PipelineValidationError](missingInput.validate(Set("landmarks")))
+    val dupOutput = Pipeline(Seq(NodeSpec("fixed_bboxes"), NodeSpec("emoca_like_bboxes")), "/tmp/x")
+    intercept[PipelineValidationError](dupOutput.validate(Set("landmarks")))
+  }
+
+  test("pipeline executes, memoizes, and recomputes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val pipe = Pipeline(Seq(NodeSpec("volume"), NodeSpec("blinks")), dir)
+    val (out1, rep1) = pipe.execute(spark, clipTable)
+    assert(out1.columns.contains("volume") && out1.columns.contains("blinks"))
+    assert(rep1.exists(r => r.node == "_pipeline" && r.status == "processed" && r.count == 2))
+    // second run: both clips memoized away
+    val (_, rep2) = pipe.execute(spark, clipTable)
+    assert(rep2.exists(r => r.status == "skipped_memoized" && r.count == 2))
+    assert(rep2.exists(r => r.status == "processed" && r.count == 0))
+    // recompute overrides the manifest
+    val (_, rep3) = pipe.execute(spark, clipTable, recompute = true)
+    assert(rep3.exists(r => r.status == "processed" && r.count == 2))
+    // written clips parquet is readable and has both rows (append x2)
+    val written = spark.read.parquet(s"$dir/clips")
+    assert(written.count() == 4)
+  }
+
+  test("pipeline graph JSON parses the reference shape") {
+    val json =
+      """[{"name": "volume", "params": {"sample_rate": "16000"}},
+        | {"name": "blinks"}]""".stripMargin
+    val pipe = Pipeline.fromJson(json, "/tmp/x")
+    assert(pipe.nodes == Seq(
+      NodeSpec("volume", Map("sample_rate" -> "16000")), NodeSpec("blinks")))
+  }
+
+  test("clip catalog derives names and intersects collections") {
+    val a = Seq(("x_1", 1), ("x_2", 2), ("only_a", 3)).toDF("name", "va")
+    val b = Seq(("x_1", 10), ("x_2", 20), ("only_b", 30)).toDF("name", "vb")
+    val cat = ClipCatalog.intersectOnName(Seq(a, b)).orderBy("name").collect()
+    assert(cat.map(_.getString(0)).toSeq == Seq("x_1", "x_2"))
+    val names = Seq(Tuple1("/root/data/actor1/take2/video.mp4"))
+      .toDF("path")
+      .select(ClipCatalog.deriveName(col("path"), "/root/data").as("n"))
+      .head.getString(0)
+    assert(names == "actor1_take2_video")
+  }
+
+  test("NPY codec reads numpy-written f8/f4/i8 and roundtrips f8") {
+    def b64(s: String) = Base64.getDecoder.decode(s)
+    val f8 = Npy.read(b64("k05VTVBZAQB2AHsnZGVzY3InOiAnPGY4JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBlJzogKDMsKSwgfSAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoAAAAAAAD4PwAAAAAAAALAAAAAsI7wG0I="))
+    assert(f8.shape.toSeq == Seq(3))
+    assert(f8.data.toSeq == Seq(1.5, -2.25, 3e10))
+    val f4 = Npy.read(b64("k05VTVBZAQB2AHsnZGVzY3InOiAnPGY0JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBlJzogKDIsIDIpLCB9ICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoAAMA/AAAgQAAAYEAAAJDA"))
+    assert(f4.shape.toSeq == Seq(2, 2))
+    assert(f4.data.toSeq == Seq(1.5, 2.5, 3.5, -4.5))
+    val i8 = Npy.read(b64("k05VTVBZAQB2AHsnZGVzY3InOiAnPGk4JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBlJzogKDMsKSwgfSAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoHAAAAAAAAAPf/////////FBqZvhwAAAA="))
+    assert(i8.data.toSeq == Seq(7.0, -9.0, 123456789012.0))
+    // roundtrip through our writer
+    val rt = Npy.read(Npy.writeF8(Array(2, 3), Array(1, 2, 3, 4, 5, 6).map(_.toDouble)))
+    assert(rt.shape.toSeq == Seq(2, 3) && rt.data.toSeq == Seq(1.0, 2, 3, 4, 5, 6))
+  }
+
+  test("NPY column expressions decode and encode") {
+    import graft.sources.NpyColumns._
+    val bytes = Npy.writeF8(Array(3), Array(1.0, 2.0, 3.0))
+    val df = Seq(Tuple1(bytes)).toDF("artifact")
+    val row = df.select(npy_decode(col("artifact")).as("d"))
+      .select("d.shape", "d.data").head
+    assert(row.getSeq[Int](0) == Seq(3) && row.getSeq[Double](1) == Seq(1.0, 2.0, 3.0))
+    // decode -> re-encode -> decode roundtrip at the column level
+    val data = npy_decode(col("artifact")).getField("data")
+    val rt = df.select(npy_decode(npy_encode(data)).getField("data").as("d"))
+    assert(rt.head.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+/** Structured Streaming sessionization/count tests via MemoryStream. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("streaming sessionization groups events by gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = Streaming.sessionized(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 90 min later
+      mem.addData((ts(0), 1L, 1.0), (ts(10), 1L, 2.0), (ts(100), 1L, 5.0),
+                  (ts(5), 2L, 7.0))
+      q.processAllAvailable()
+      val out = spark.table("sess").orderBy("user_id", "session_start").collect()
+      assert(out.length == 3)
+      val u1 = out.filter(_.getLong(0) == 1L)
+      assert(u1.length == 2)
+      assert(u1(0).getAs[Long]("n_events") == 2L)
+      assert(u1(0).getAs[Double]("total_value") == 3.0)
+      assert(u1(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming windowed event-type counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = Streaming.eventTypeCounts(events, windowMinutes = 10)
+      .writeStream.format("memory").queryName("etc").outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"), (ts(15), "click"))
+      q.processAllAvailable()
+      val out = spark.table("etc").collect()
+      assert(out.map(_.getAs[Long]("n")).sum == 4L)
+      assert(out.length == 3) // (w0,click)=2, (w0,view)=1, (w1,click)=1
+    } finally q.stop()
+  }
+}
