@@ -399,9 +399,12 @@ object Queries {
   /** Blink features (EAR ratios, `utils.py:53-65`) on synthetic 68-point
     * landmarks derived from lineitem columns. */
   private def q16(s: SparkSession, dir: String): DataFrame = {
-    val lm = transform(sequence(lit(0), lit(67)), i =>
+    // array() literal of 68 structs (codegen-friendly) rather than
+    // transform(sequence(...)) — HOFs stay interpreted and break
+    // whole-stage codegen for a pure-arithmetic constructor.
+    val lm = array((0 until 68).map(i =>
       struct((col("l_quantity") + i).cast("double").as("x"),
-             (col("l_discount") * 100 + pmod(i * 7, lit(13))).cast("double").as("y")))
+             (col("l_discount") * 100 + (i * 7) % 13).cast("double").as("y"))): _*)
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), lm.as("lm")) // stage: 12 refs below
       .select(col("l_orderkey"), col("l_linenumber"), blink_features(col("lm")).as("bf"))
@@ -486,6 +489,9 @@ object Queries {
        |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
        |  FROM sh CROSS JOIN perms p
        |  WHERE len(sh.shingles) > 0),
+       |hsets AS (
+       |  SELECT doc_id, list_transform(shingles, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
        |bands AS (
        |  SELECT doc_id, perm // 2 AS band,
        |    string_agg(sig, ',' ORDER BY perm) AS band_sig
@@ -495,13 +501,13 @@ object Queries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
        |SELECT c.id_a, c.id_b,
-       |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+       |  round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
        |FROM cand c
-       |JOIN sh sa ON sa.doc_id = c.id_a
-       |JOIN sh sb ON sb.doc_id = c.id_b
-       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5""".stripMargin
+       |JOIN hsets sa ON sa.doc_id = c.id_a
+       |JOIN hsets sb ON sb.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5""".stripMargin
   }
 
   /** SimHash fingerprints (32-bit bit-vote over token hashes). */
@@ -532,14 +538,16 @@ object Queries {
     s"""WITH toks AS (
        |  SELECT doc_id, lang, $toksSql AS tk FROM documents),
        |sh AS (
-       |  SELECT doc_id, lang, $shinglesSql AS shingles FROM toks)
+       |  SELECT doc_id, lang, $shinglesSql AS shingles FROM toks),
+       |h AS (
+       |  SELECT doc_id, lang, list_transform(shingles, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(shingles) > 0)
        |SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""".stripMargin
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+       |FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5""".stripMargin
 
   /** Embedding-cosine near-duplicates within a label block; cosine as a
     * sequential fold on both sides -> bit-identical doubles. */

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -186,6 +187,55 @@ case class BucketMeanAbs(child: Expression, hop: Int)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): BucketMeanAbs =
+    copy(child = newChild)
+}
+
+/** EmocaLikeBboxesNode.make_equal_size (`dpl/processor/nodes/bboxes.py:172-195`)
+  * as one pass: given a clip's square boxes `array<struct<x1,y1,x2,y2: long>>`,
+  * rewrite all to the q-quantile size (np.quantile linear interpolation,
+  * truncated to long, bumped to even), clipping negative top-left corners.
+  * A HOF composition re-sorted the size array once per output element after
+  * CollapseProject inlining; here the quantile is computed once.
+  */
+case class EqualSizeBoxes(child: Expression, quantile: Double)
+    extends UnaryExpression with CodegenFallback {
+  require(quantile >= 0 && quantile <= 1)
+  private val boxType = StructType(Seq(
+    StructField("x1", LongType), StructField("y1", LongType),
+    StructField("x2", LongType), StructField("y2", LongType)))
+  override def dataType: DataType = ArrayType(boxType, containsNull = false)
+  override def prettyName: String = "equal_size_boxes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+      if fields.length == 4 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"equal_size_boxes needs array<struct<x1,y1,x2,y2: long>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val boxes = Array.tabulate(n) { i =>
+      val r = arr.getStruct(i, 4)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val sizes = boxes.map(b => b._3 - b._1).sorted
+    // np.quantile linear interpolation, truncated (.astype(int64))
+    val pos = (n - 1).toDouble * quantile
+    val lo = sizes(math.floor(pos).toInt).toDouble
+    val hi = sizes(math.min(math.floor(pos).toInt + 1, n - 1)).toDouble
+    val qv = (lo + (pos - math.floor(pos)) * (hi - lo)).toLong
+    val sz = qv + (qv % 2 + 2) % 2 // bump to even (sizes non-negative)
+    val out: Array[Any] = boxes.map { case (x1, y1, x2, _) =>
+      val off = math.floor((x2 - x1 - sz) / 2.0).toLong
+      val nx1 = math.max(x1 + off, 0L)
+      val ny1 = math.max(y1 + off, 0L)
+      InternalRow(nx1, ny1, nx1 + sz, ny1 + sz): Any
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EqualSizeBoxes =
     copy(child = newChild)
 }
 

@@ -67,24 +67,13 @@ object ClipOps {
   /** EmocaLikeBboxesNode.make_equal_size (`bboxes.py:172-195`): rewrite all
     * boxes to the q-quantile size (np.quantile linear interpolation,
     * truncated to long, bumped to even); negative top-left coords clipped.
+    * Single-pass custom expression: the HOF formulation re-sorted the size
+    * array once per output element after CollapseProject inlining.
     */
   def makeEqualSize(b: Column, quantile: Double = 0.75): Column = {
-    val sizes = transform(b, x => x("x2") - x("x1"))
-    val sorted = array_sort(sizes)
-    val n = size(sorted)
-    val pos = (n - 1).cast("double") * quantile
-    val loIdx = floor(pos).cast("int")
-    val frac = pos - loIdx
-    val lo = element_at(sorted, loIdx + 1).cast("double")
-    val hi = element_at(sorted, least(loIdx + 2, n)).cast("double")
-    val qv = (lo + frac * (hi - lo)).cast("long") // .astype(int64) truncates
-    val sz = qv + pmod(qv, lit(2L)) // size += size % 2 (sizes are non-negative)
-    transform(b, x => {
-      val off = floor((x("x2") - x("x1") - sz).cast("double") / 2).cast("long")
-      val x1 = greatest(x("x1") + off, lit(0L))
-      val y1 = greatest(x("y1") + off, lit(0L))
-      struct(x1.as("x1"), y1.as("y1"), (x1 + sz).as("x2"), (y1 + sz).as("y2"))
-    })
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(
+      graft.functions.EqualSizeBoxes(ExprBridge.expression(b), quantile))
   }
 
   /** Per-frame blink features over the whole clip
