@@ -76,6 +76,58 @@ case class LinearResample(first: Expression, second: Expression, third: Expressi
       f: Expression, s: Expression, t: Expression): LinearResample = copy(f, s, t)
 }
 
+/** LinearResample for a VECTOR series (array<array<double>>, e.g. the
+  * wav2vec (T,256) feature matrix): the same segment/phase arithmetic,
+  * lerped element-wise per component (reference resamples the matrix along
+  * axis 0, `dpl/wav2vec/utils.py:5-21` with `axis=0` interp1d). */
+case class LinearResampleVec(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "linear_resample_vec"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), IntegerType | LongType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"linear_resample_vec needs (array<array<double>>, int, double), got $t")
+    }
+  override def nullable: Boolean = true
+  override def nullSafeEval(yv: Any, numv: Any, fpsv: Any): Any = {
+    val arr = yv.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rows = Array.tabulate(n)(i => arr.getArray(i).toDoubleArray())
+    val num = numv match { case i: Int => i; case l: Long => l.toInt }
+    val fps = fpsv.asInstanceOf[Double]
+    if (n == num) return new GenericArrayData(rows.map(new GenericArrayData(_): Any))
+    if (n < 2) return null
+    val lengthSec = n / fps
+    val targetFps = num / lengthSec
+    val x = LinearResample.linspace(1.0 / (fps * 2), lengthSec, n)
+    val xHat = LinearResample.linspace(1.0 / (targetFps * 2), lengthSec, num)
+    val dim = rows(0).length
+    val out = new Array[Any](num)
+    var seg = 0
+    var j = 0
+    while (j < num) {
+      val tpos = xHat(j)
+      while (seg < n - 2 && x(seg + 1) < tpos) seg += 1
+      val f = (tpos - x(seg)) / (x(seg + 1) - x(seg))
+      val v = new Array[Double](dim)
+      var c = 0
+      while (c < dim) {
+        v(c) = rows(seg)(c) + f * (rows(seg + 1)(c) - rows(seg)(c))
+        c += 1
+      }
+      out(j) = new GenericArrayData(v)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LinearResampleVec = copy(f, s, t)
+}
+
 object LinearResample {
   def resample(y: Array[Double], num: Int, sourceFps: Double): Array[Double] = {
     val n = y.length

@@ -33,6 +33,10 @@ package object functions {
   def linear_resample(y: Column, num: Column, sourceFps: Column): Column =
     ExprBridge.column(LinearResample(col2expr(y), col2expr(num), col2expr(sourceFps)))
 
+  /** Vector-series variant (array<array<double>>, lerped per component). */
+  def linear_resample_vec(y: Column, num: Column, sourceFps: Column): Column =
+    ExprBridge.column(LinearResampleVec(col2expr(y), col2expr(num), col2expr(sourceFps)))
+
   /** Edge-replicated moving average; ref `dpl/processor/utils.py:68-98`. */
   def edge_moving_avg(x: Column, window: Int): Column =
     ExprBridge.column(EdgeMovingAvg(col2expr(x), window))

@@ -178,6 +178,21 @@ final case class Pipeline(nodes: Seq[NodeSpec], outputDir: String) {
 }
 
 object Pipeline {
+  /** Serialize a run report as JSON (== the execution report sink,
+    * `run.py:35-38` / `NodeExecReport.to_dict`, `base.py:12-27`). */
+  def writeReport(reports: Seq[PipelineReport], path: String): Unit = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val root = mapper.createArrayNode()
+    reports.foreach { r =>
+      val n = mapper.createObjectNode()
+      n.put("node", r.node); n.put("status", r.status); n.put("count", r.count)
+      root.add(n)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
   /** Parse the reference's graph-JSON shape
     * (`[{"name": <op>, "params": {...}}, ...]`, `README.md:79-101`)
     * using Jackson (ships with Spark). */

@@ -1,0 +1,94 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{ImageOps, Sinks, Wav2vec}
+
+/** Real-image crop/resize, wav2vec chunking arithmetic, packed sinks. */
+class MediaOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def testJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.RED); g.fillRect(0, 0, w / 2, h)
+    g.setColor(java.awt.Color.BLUE); g.fillRect(w / 2, 0, w - w / 2, h)
+    g.dispose()
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  test("cropResizeBytes crops and resizes to the target square") {
+    val bytes = testJpeg(100, 60)
+    val out = ImageOps.cropResizeBytes(bytes, 10, 10, 50, 50, 224, 0.95f)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(decoded.getWidth == 224 && decoded.getHeight == 224)
+    // left half of the source is red; the [10,50) crop is fully red
+    val px = decoded.getRGB(112, 112)
+    val r = (px >> 16) & 0xff; val b = px & 0xff
+    assert(r > 180 && b < 80)
+    // deterministic: same input -> same bytes
+    assert(out.sameElements(ImageOps.cropResizeBytes(bytes, 10, 10, 50, 50, 224, 0.95f)))
+  }
+
+  test("cropFrames produces one row per frame and errors on cardinality mismatch") {
+    val jpeg = testJpeg(64, 64)
+    val df = Seq(
+      ("clip_ok", Seq(jpeg, jpeg), Seq((0L, 0L, 32L, 32L), (8L, 8L, 48L, 48L))),
+      ("clip_bad", Seq(jpeg), Seq((0L, 0L, 32L, 32L), (1L, 1L, 33L, 33L))))
+      .toDF("name", "frames", "raw_boxes")
+      .withColumn("bboxes", expr(
+        "transform(raw_boxes, b -> struct(b._1 as x1, b._2 as y1, b._3 as x2, b._4 as y2))"))
+    val out = ImageOps.cropFrames(df, "name", "frames", "bboxes", outSize = 32)
+      .collect().groupBy(_.getString(0))
+    assert(out("clip_ok").length == 2 && out("clip_ok").forall(_.isNullAt(3)))
+    assert(out("clip_bad").length == 1 && out("clip_bad")(0).getString(3).contains("cardinality"))
+  }
+
+  test("wav2vec chunking splits >10s audio and applies the length magic") {
+    val sr = 1000 // small "sample rate" for test speed; hop = 20
+    val wav = Array.tabulate(sr * 25)(i => math.sin(i * 0.01)) // 25 s
+    var chunksSeen = 0
+    val countingEncoder: Wav2vec.Encoder = (chunk, s) => {
+      chunksSeen += 1
+      Wav2vec.StubEncoder(chunk, s)
+    }
+    val feats = Wav2vec.encodeWaveform(wav, sr, countingEncoder)
+    assert(chunksSeen == 3) // 10s + 10s + 5s
+    val magic = (wav.length.toDouble * 50 / sr - 0.25).toInt
+    assert(feats.length == magic)
+    assert(feats.head.length == Wav2vec.FeatureDim)
+    val vol = Wav2vec.volume(wav, sr)
+    assert(vol.length == wav.length / (sr / 50))
+    assert(vol.forall(v => v >= 0))
+  }
+
+  test("wav2vec extract runs batched over a clip table") {
+    val df = Seq(
+      ("a", Seq.tabulate(16000)(i => math.sin(i * 0.001))),
+      ("b", Seq.tabulate(8000)(i => math.cos(i * 0.002)))).toDF("name", "wav")
+    val out = Wav2vec.extract(df, "name", "wav").orderBy("name").collect()
+    assert(out.length == 2)
+    // 1s @16k -> magic = int(50 - 0.25) = 49 frames
+    assert(out(0).getSeq[Seq[Double]](1).length == 49)
+    assert(out(1).getSeq[Seq[Double]](1).length == 24) // int(25 - 0.25)
+    assert(out(0).getSeq[Double](2).length == 50)      // volume: full buckets
+  }
+
+  test("a2en pack aligns audio features onto video frames") {
+    val df = Seq((
+      "clip", // 100 audio frames @50Hz, 2-dim wav2vec; 30 video frames
+      Seq.tabulate(100)(i => Seq(i.toDouble, i * 2.0)),
+      Seq.tabulate(100)(_.toDouble),
+      Seq(Seq(1.0, 2.0)), Seq(Seq(0.0, 0.0, 0.0, 0.5, 0.0, 0.0)),
+      Seq(Seq(Seq(1.0, 2.0, 3.0))), 30))
+      .toDF("name", "wav2vec", "volume", "exp", "pose", "landmarks3d", "num_frames")
+    val packed = Sinks.a2enPack(df).select("a2en.*").head
+    assert(packed.getSeq[Seq[Double]](0).length == 30) // audio_features resampled
+    assert(packed.getSeq[Double](1).length == 30)      // volume resampled
+    assert(packed.getSeq[Double](3) == Seq(0.5))       // jaw = pose[3]
+  }
+}
