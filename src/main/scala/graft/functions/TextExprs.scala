@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * inlining cannot multiply work.
   */
 
-private[functions] object TextKernels {
+object TextKernels {
   val ws = java.util.regex.Pattern.compile("\\s+")
 
   def tokenize(text: String): Array[String] =

