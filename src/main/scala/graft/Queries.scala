@@ -845,6 +845,47 @@ object Queries {
       |  CAST(trunc(CAST(count(*) AS DOUBLE) * 50 / 16000 - 0.25) AS BIGINT) AS trimmed_len
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** EmocaLikeBboxesNode.smooth_bboxes (`bboxes.py:147-170`): savgol(25,3)
+    * on box centers, savgol(15,3) on radii — not SQL-expressible
+    * (rows-only check); the savgol kernel itself is golden-tested. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      cents(col("value")).as("v"), pmod(col("event_id"), lit(997L)).as("y"),
+      (pmod(col("event_id"), lit(50L)) + 10).as("sz"))
+    val clips = e.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("v"), col("y"), col("sz")))).as("srt"))
+      .where(size(col("srt")) >= 25) // savgol(25,3) needs >= window rows
+      .select(col("user_id"), transform(col("srt"), f =>
+        struct(f("v").as("x1"), f("y").as("y1"),
+          (f("v") + f("sz")).as("x2"), (f("y") + f("sz")).as("y2"))).as("boxes"))
+    clips.select(col("user_id"),
+        posexplode(ClipOps.smoothBboxes(col("boxes"))))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
+        col("col.x1").as("x1"), col("col.y1").as("y1"),
+        col("col.x2").as("x2"), col("col.y2").as("y2"))
+  }
+
+  /** NaN row guards (`bboxes.py:26-29`, `crop.py:59-62`, §2.2): rows whose
+    * synthetic landmark array contains NaN are flagged for the error
+    * side-channel instead of failing the job. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    // inject NaN deterministically when discount > 0.05
+    val x1 = when(col("l_discount") > 0.05, lit(Double.NaN))
+      .otherwise(col("l_quantity").cast("double"))
+    val arr = array(x1, col("l_extendedprice").cast("double"))
+    l.select(col("l_orderkey"), col("l_linenumber"), arr.as("coords"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        exists(col("coords"), v => isnan(v)).as("is_error"))
+  }
+
+  private val q35Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  (isnan(CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE CAST(l_quantity AS DOUBLE) END)
+      |   OR isnan(CAST(l_extendedprice AS DOUBLE))) AS is_error
+      |FROM lineitem""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -882,5 +923,7 @@ object Queries {
     "q30_sessionize" -> Q(q30, Some(q30Sql)),
     "q31_emoca_sliding_bbox" -> Q(q31, Some(q31Sql)),
     "q32_equal_size_boxes" -> Q(q32, Some(q32Sql)),
-    "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)))
+    "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)),
+    "q34_smooth_bboxes" -> Q(q34, None),
+    "q35_nan_guard" -> Q(q35, Some(q35Sql)))
 }

@@ -291,6 +291,61 @@ case class EqualSizeBoxes(child: Expression, quantile: Double)
     copy(child = newChild)
 }
 
+/** EmocaLikeBboxesNode.smooth_bboxes (`dpl/processor/nodes/bboxes.py:147-170`)
+  * in one pass: savgol(25,3) on box centers (rint -> long), savgol(15,3)
+  * on radii (ceil -> long), boxes rebuilt as center +- radius. Input/output
+  * `array<struct<x1,y1,x2,y2: long>>` of square boxes. Null when the clip
+  * has fewer frames than the savgol window (scipy raises; we route to the
+  * permissive error channel).
+  */
+case class SmoothBoxes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val boxType = StructType(Seq(
+    StructField("x1", LongType), StructField("y1", LongType),
+    StructField("x2", LongType), StructField("y2", LongType)))
+  override def dataType: DataType = ArrayType(boxType, containsNull = false)
+  override def prettyName: String = "smooth_boxes"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+      if fields.length == 4 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"smooth_boxes needs array<struct<x1,y1,x2,y2: long>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 25) return null // centers window (25) is the binding constraint
+    val xcs = new Array[Double](n); val ycs = new Array[Double](n)
+    val radii = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 4)
+      val rad = (r.getLong(2) - r.getLong(0)).toDouble / 2
+      radii(i) = rad
+      xcs(i) = r.getLong(0) + rad
+      ycs(i) = r.getLong(1) + rad
+      i += 1
+    }
+    val sx = SavGol(xcs, 25, 3)
+    val sy = SavGol(ycs, 25, 3)
+    val sr = SavGol(radii, 15, 3)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val xc = math.rint(sx(i)).toLong
+      val yc = math.rint(sy(i)).toLong
+      val rad = math.ceil(sr(i)).toLong
+      out(i) = InternalRow(xc - rad, yc - rad, xc + rad, yc + rad)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SmoothBoxes =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash over a string's UTF-16 code units:
   * h = (h * base + code) mod modulus — a deterministic document
   * fingerprint cheap enough for the 100 TB text path. Both `base` and

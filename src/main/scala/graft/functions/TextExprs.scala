@@ -189,6 +189,39 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Jaccard similarity of two SORTED distinct long arrays via a single
+  * merge scan — |intersection| / |union| with no per-pair hash-set
+  * allocation (`array_intersect`/`array_union` build hash sets per pair;
+  * in a blocked self-join that is per-candidate-pair work). Inputs must be
+  * sorted ascending and distinct (stage `array_sort` once per document
+  * BEFORE the pair join). Returns the same value as the set formulation.
+  */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"jaccard_sorted needs two array<long>, got $t")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLongs =
+    copy(left = l, right = r)
+}
+
 /** Sequential-fold dot product of two numeric arrays in doubles — the same
   * IEEE sequence as `aggregate(zip_with(a,b,*), 0.0, +)` and the DuckDB
   * oracle's `list_reduce(list_transform(...), +)`, but one pass, no

@@ -187,6 +187,10 @@ package object functions {
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))
 
+  /** Jaccard of two SORTED distinct array<long> columns (merge scan). */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ExprBridge.column(JaccardSortedLongs(col2expr(a), col2expr(b)))
+
   /** Hamming distance between two long bit-patterns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -51,17 +51,10 @@ object ClipOps {
     * `b`: array<struct<x1,y1,x2,y2: long>> of equal-size square boxes.
     */
   def smoothBboxes(b: Column): Column = {
-    val radii = transform(b, x => (x("x2") - x("x1")).cast("double") / 2)
-    val xcs = zip_with(b, radii, (x, r) => x("x1") + r)
-    val ycs = zip_with(b, radii, (x, r) => x("y1") + r)
-    val sxc = transform(savgol_smooth(xcs, 25, 3), v => bround(v, 0).cast("long"))
-    val syc = transform(savgol_smooth(ycs, 25, 3), v => bround(v, 0).cast("long"))
-    val srad = transform(savgol_smooth(radii, 15, 3), v => ceil(v).cast("long"))
-    transform(sequence(lit(0), size(b) - 1), i => {
-      val xc = element_at(sxc, i + 1); val yc = element_at(syc, i + 1)
-      val r = element_at(srad, i + 1)
-      struct((xc - r).as("x1"), (yc - r).as("y1"), (xc + r).as("x2"), (yc + r).as("y2"))
-    })
+    // single-pass expression: a HOF composition here re-evaluated the
+    // savgol arrays once per output element after optimizer inlining
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(graft.functions.SmoothBoxes(ExprBridge.expression(b)))
   }
 
   /** EmocaLikeBboxesNode.make_equal_size (`bboxes.py:172-195`): rewrite all
