@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object ClipCatalog {
 
-  /** Name derivation from a file path under `root`. */
+  /** Name derivation from a file path under `root`. The binaryFile source
+    * reports URIs (`file:/...`, `s3a://...`); a scheme-less `root` matches
+    * with any scheme prefix stripped. */
   def deriveName(path: Column, root: String): Column = {
     val rootNorm = root.stripSuffix("/") + "/"
-    val rel = regexp_replace(path, "^" + java.util.regex.Pattern.quote(rootNorm), "")
+    val pattern =
+      if (rootNorm.contains("://")) "^" + java.util.regex.Pattern.quote(rootNorm)
+      else "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" +
+        java.util.regex.Pattern.quote(rootNorm.stripPrefix("/"))
+    val rel = regexp_replace(path, pattern, "")
     regexp_replace(regexp_replace(rel, "\\.[^./]+$", ""), "/", "_")
   }
 
