@@ -10,7 +10,8 @@ object ProfQ {
     val names =
       if (args(0) == "ALL") Queries.all.keys.toSeq.sorted else args.toSeq
     names.foreach { name =>
-      val df = Queries.all(name).impl(spark, "/root/testdata/sf0.01")
+      val df = Queries.all(name).impl(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
       val t1 = System.nanoTime()
       df.repartition(1).write.mode("overwrite").parquet(s"/tmp/profq_out/$name")
       println(f"[prof] $name repart-write ${(System.nanoTime()-t1)/1e9}%.1f s")

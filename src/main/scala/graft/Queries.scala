@@ -880,6 +880,27 @@ object Queries {
         exists(col("coords"), v => isnan(v)).as("is_error"))
   }
 
+  /** Vid2vidAudio conditioning features (`h5.py:163-237`): per-user volume
+    * series -> resample to 30 frames -> edge-windowed mean (16) -> concat
+    * with synthetic blink columns. Composes two custom expressions whose
+    * kernels are individually oracle-proven (q11, q13); rows-only here. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val lm = array((0 until 68).map(i =>
+      struct((col("name") + i).cast("double").as("x"),
+             lit((i * 7 % 13).toDouble).as("y"))): _*)
+    userSeries(s, dir)
+      .where(size(col("series")) >= 2)
+      .withColumnRenamed("user_id", "name")
+      .withColumn("num_frames", lit(30))
+      .withColumn("volume", col("series"))
+      .withColumn("landmarks", transform(sequence(lit(1), col("num_frames")), _ => lm))
+      .transform(df => operators.Sinks.vid2vidAudioFeatures(df))
+      .select(col("name").as("user_id"), posexplode(col("features")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
+        round(element_at(col("col"), 1), 6).as("vol_feat"),
+        round(element_at(col("col"), 4), 6).as("avg_blink"))
+  }
+
   private val q35Sql =
     """SELECT l_orderkey, l_linenumber,
       |  (isnan(CASE WHEN l_discount > 0.05 THEN 'NaN'::DOUBLE ELSE CAST(l_quantity AS DOUBLE) END)
@@ -925,5 +946,6 @@ object Queries {
     "q32_equal_size_boxes" -> Q(q32, Some(q32Sql)),
     "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)),
     "q34_smooth_bboxes" -> Q(q34, None),
-    "q35_nan_guard" -> Q(q35, Some(q35Sql)))
+    "q35_nan_guard" -> Q(q35, Some(q35Sql)),
+    "q36_vid2vid_audio_features" -> Q(q36, None))
 }

@@ -291,6 +291,80 @@ case class EqualSizeBoxes(child: Expression, quantile: Double)
     copy(child = newChild)
 }
 
+/** EmocaLikeBboxesNode.get_bboxes (`dpl/processor/nodes/bboxes.py:123-145`)
+  * in one pass: per frame i, a square box from min/max of the landmarks in
+  * frames [i - w/2, i + (w - w/2)) (clamped), with the FixedBboxes square
+  * math (`bboxes.py:67-81`: size=(w+h)/2*1.1, int-truncating casts).
+  * Input `array<array<struct<x,y: double>>>`; output
+  * `array<struct<x1,y1,x2,y2: long>>`. A Column composition re-evaluated
+  * the window scan ~24x per frame (once per struct-field reference).
+  */
+case class SlidingBoxes(child: Expression, scale: Double, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0)
+  private val boxType = StructType(Seq(
+    StructField("x1", LongType), StructField("y1", LongType),
+    StructField("x2", LongType), StructField("y2", LongType)))
+  override def dataType: DataType = ArrayType(boxType, containsNull = false)
+  override def prettyName: String = "sliding_boxes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ArrayType(StructType(f), _), _)
+      if f.length == 2 && f.forall(_.dataType == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sliding_boxes needs array<array<struct<x,y: double>>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // per-frame bounds once
+    val fxMin = new Array[Double](n); val fxMax = new Array[Double](n)
+    val fyMin = new Array[Double](n); val fyMax = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val frame = arr.getArray(i)
+      val m = frame.numElements()
+      var xmn = Double.PositiveInfinity; var xmx = Double.NegativeInfinity
+      var ymn = Double.PositiveInfinity; var ymx = Double.NegativeInfinity
+      var k = 0
+      while (k < m) {
+        val p = frame.getStruct(k, 2)
+        val x = p.getDouble(0); val y = p.getDouble(1)
+        if (x < xmn) xmn = x; if (x > xmx) xmx = x
+        if (y < ymn) ymn = y; if (y > ymx) ymx = y
+        k += 1
+      }
+      fxMin(i) = xmn; fxMax(i) = xmx; fyMin(i) = ymn; fyMax(i) = ymx
+      i += 1
+    }
+    val offL = window / 2
+    val offR = window - offL
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val s = math.max(i - offL, 0)
+      val e = math.min(i + offR, n) // exclusive
+      var l = Double.PositiveInfinity; var r = Double.NegativeInfinity
+      var t = Double.PositiveInfinity; var b = Double.NegativeInfinity
+      var j = s
+      while (j < e) {
+        if (fxMin(j) < l) l = fxMin(j); if (fxMax(j) > r) r = fxMax(j)
+        if (fyMin(j) < t) t = fyMin(j); if (fyMax(j) > b) b = fyMax(j)
+        j += 1
+      }
+      val size = (r - l + b - t) / 2 * 1.1
+      val radius = ((scale * size) / 2.0).toLong
+      val xc = ((r + l) / 2.0).toLong
+      val yc = ((b + t) / 2.0).toLong
+      out(i) = InternalRow(xc - radius, yc - radius, xc + radius, yc + radius)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SlidingBoxes =
+    copy(child = newChild)
+}
+
 /** EmocaLikeBboxesNode.smooth_bboxes (`dpl/processor/nodes/bboxes.py:147-170`)
   * in one pass: savgol(25,3) on box centers (rint -> long), savgol(15,3)
   * on radii (ceil -> long), boxes rebuilt as center +- radius. Input/output

@@ -31,19 +31,11 @@ object ClipOps {
     * bbox from a sliding min/max over frames [i-w/2, i+(w-w/2)) with clamping.
     */
   def emocaLikeBboxes(lm: Column, scale: Double = 1.25, window: Int = 5): Column = {
-    val offL = window / 2
-    val offR = window - offL
-    val n = size(lm)
-    transform(sequence(lit(0), n - 1), i => {
-      val start = greatest(i - offL, lit(0))
-      val end = least(i + offR, n) // exclusive
-      val pts = flatten(slice(lm, start + 1, end - start))
-      val left = array_min(transform(pts, p => p("x")))
-      val right = array_max(transform(pts, p => p("x")))
-      val top = array_min(transform(pts, p => p("y")))
-      val bottom = array_max(transform(pts, p => p("y")))
-      fixed_bbox(left, right, top, bottom, scale)
-    })
+    // single-pass expression: the HOF form re-scanned the window once per
+    // struct-field reference (~24x per frame) after optimizer inlining
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(
+      graft.functions.SlidingBoxes(ExprBridge.expression(lm), scale, window))
   }
 
   /** EmocaLikeBboxesNode.smooth_bboxes (`bboxes.py:147-170`): savgol(25,3)

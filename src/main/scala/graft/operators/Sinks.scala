@@ -52,6 +52,21 @@ object Sinks {
     df.select(col("name"), col("crops"), col("render_uv"), col("render_normal"))
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
 
+  /** Vid2vidAudio feature matrix (`h5.py:163-237`): audio features
+    * resampled onto the frame count, then window-averaged with edge
+    * replication (window 16, `h5.py:235-237` via `as_windowed`), blink
+    * features appended — the concat'd per-frame conditioning matrix. */
+  def vid2vidAudioFeatures(df: DataFrame, windowSize: Int = 16): DataFrame =
+    df.withColumn("vol_at_fps",
+        graft.functions.linear_resample(col("volume"), col("num_frames"), lit(50.0)))
+      .withColumn("vol_windowed",
+        graft.functions.edge_moving_avg(col("vol_at_fps"), windowSize))
+      .withColumn("blinks", ClipOps.blinks(col("landmarks")))
+      .withColumn("features",
+        zip_with(col("vol_windowed"), col("blinks"),
+          (v, b) => array(v, b("left_blink"), b("right_blink"), b("average_blink"))))
+      .select(col("name"), col("features"))
+
   /** src_seq pack: wide select + per-frame blink features from landmarks
     * (`h5.py:132-133`). */
   def srcSeqPack(df: DataFrame, typeCols: Seq[String]): DataFrame =
