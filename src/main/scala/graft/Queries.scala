@@ -907,6 +907,27 @@ object Queries {
       |   OR isnan(CAST(l_extendedprice AS DOUBLE))) AS is_error
       |FROM lineitem""".stripMargin
 
+  /** Brand/supplier pricing rollup — the remaining star-schema tables
+    * (part, supplier) through shuffle-or-broadcast joins chosen by stats. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand", "s_nationkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("gross_cents"),
+           count(lit(1)).as("n_items"),
+           countDistinct(col("s_suppkey")).as("n_suppliers"))
+
+  private val q37Sql =
+    """SELECT p_brand, s_nationkey,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS gross_cents,
+      |  count(*) AS n_items,
+      |  count(DISTINCT s_suppkey) AS n_suppliers
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand, s_nationkey""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -947,5 +968,6 @@ object Queries {
     "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)),
     "q34_smooth_bboxes" -> Q(q34, None),
     "q35_nan_guard" -> Q(q35, Some(q35Sql)),
-    "q36_vid2vid_audio_features" -> Q(q36, None))
+    "q36_vid2vid_audio_features" -> Q(q36, None),
+    "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)))
 }
