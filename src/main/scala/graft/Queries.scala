@@ -928,6 +928,27 @@ object Queries {
       |JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY p_brand, s_nationkey""".stripMargin
 
+  /** As-of join: every event annotated with the most recent click value
+    * at-or-before its timestamp (audio->frame alignment as a relational
+    * op, §2.3); DuckDB's native ASOF JOIN is the oracle. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val left = e.select(col("user_id"), col("ts"), col("event_id"))
+    val right = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(cents(col("value"))).as("click_cents"))
+    AsOf.asofJoin(left, right, "user_id", "ts")
+      .select(col("user_id"), col("event_id"), col("click_cents"))
+  }
+
+  private val q38Sql =
+    """WITH r AS (
+      |  SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) AS click_cents
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT e.user_id, e.event_id, r.click_cents
+      |FROM events e
+      |ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -969,5 +990,6 @@ object Queries {
     "q34_smooth_bboxes" -> Q(q34, None),
     "q35_nan_guard" -> Q(q35, Some(q35Sql)),
     "q36_vid2vid_audio_features" -> Q(q36, None),
-    "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)))
+    "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)),
+    "q38_asof_join" -> Q(q38, Some(q38Sql)))
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join — the relational form of the reference's
+  * audio->video temporal alignment (`dpl/processor/nodes/a2en.py:41-42`,
+  * SURVEY §2.3: "a range/as-of join of (t, feature) to frame timestamps").
+  *
+  * Spark has no as-of join operator; rather than a custom SparkPlan, this
+  * uses the classic union + running-last-value formulation, which Catalyst
+  * executes as ONE shuffle + sort per side (the same cost a dedicated
+  * merge-based as-of physical operator would pay):
+  *
+  *   1. tag right rows 0, left rows 1; union by name;
+  *   2. window per key ordered by (ts, tag): `last(value, ignoreNulls)`
+  *      over unbounded-preceding..current carries the most recent right
+  *      value forward (right sorts before left on ties, so equal
+  *      timestamps match — DuckDB ASOF `>=` semantics);
+  *   3. keep left rows; inner semantics drop rows with no prior right row.
+  *
+  * Right must be unique per (key, ts) — as-of is otherwise ambiguous in
+  * any engine; pre-aggregate duplicates.
+  */
+object AsOf {
+
+  /** @param left     any schema containing `key` and `ts`
+    * @param right    exactly (key, ts, value columns...); unique (key, ts)
+    * @param inner    drop left rows with no match (true) or keep with null
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               inner: Boolean = true): DataFrame = {
+    val valueCols = right.columns.filterNot(c => c == key || c == ts).toSeq
+    require(valueCols.nonEmpty, "right side needs at least one value column")
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left schema")
+
+    val taggedRight = right.withColumn("_side", lit(0))
+      .select((Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col)): _*)
+    val taggedLeft = left.withColumn("_side", lit(1))
+      .select((Seq(col(key), col(ts), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val result = filled.where(col("_side") === 1).drop("_side")
+    if (inner) result.where(valueCols.map(c => col(c).isNotNull).reduce(_ && _))
+    else result
+  }
+}
