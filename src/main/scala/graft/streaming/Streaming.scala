@@ -37,6 +37,32 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming first-occurrence dedup with custom state
+    * (`flatMapGroupsWithState`): keyed by a precomputed content hash, each
+    * key emits only its first row; subsequent duplicates are dropped by a
+    * per-key seen-flag in the state store. This is the streaming form of
+    * exact dedup (Dedup.exactClusters) for continuous corpus ingest —
+    * state is partitioned by hash, so it scales like any keyed stream.
+    * Input needs columns (doc_id: long, content_hash: string). */
+  def streamingDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("content_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence wins
+          }
+      }
+      .toDF("content_hash", "doc_id")
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

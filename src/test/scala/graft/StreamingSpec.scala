@@ -32,6 +32,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup emits only the first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDF().toDF("content_hash", "doc_id")
+    val q = Streaming.streamingDedup(docs)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(("h1", 1L), ("h2", 2L), ("h1", 3L))
+      q.processAllAvailable()
+      mem.addData(("h1", 4L), ("h3", 5L)) // h1 already seen in state
+      q.processAllAvailable()
+      val out = spark.table("dedup").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.keySet == Set("h1", "h2", "h3"))
+      assert(out("h1") != 4L) // the later duplicate never re-emits
+      assert(out("h2") == 2L && out("h3") == 5L)
+    } finally q.stop()
+  }
+
   test("streaming windowed event-type counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
