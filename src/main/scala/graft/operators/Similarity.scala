@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -48,6 +48,56 @@ object Similarity {
       when(vec_dot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) top-k: corpus vectors are assigned to their
+    * nearest centroid cell once; each query probes only its `nProbe`
+    * nearest cells. The scale path when LSH's recall/cost curve is too
+    * coarse — cells partition the corpus, and the candidate join is an
+    * equi-join on cell id.
+    *
+    * Centroids here are taken deterministically from the corpus (the
+    * `nCells` lowest-id vectors) standing in for a trained k-means
+    * codebook; plugging in trained centroids changes nothing structural.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[(Int, Array[Double])] =
+      corpus.orderBy("vec_id").limit(nCells)
+        .select(col("embedding")).collect()
+        .zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Float](0).map(_.toDouble).toArray
+        }
+    def cosTo(v: Column, c: Array[Double]): Column = {
+      val cCol = array(c.map(lit): _*)
+      vec_dot(v, cCol) / (vec_norm(v) * math.sqrt(c.map(x => x * x).sum))
+    }
+    // nearest cell per corpus vector (argmax cosine to centroid)
+    def cellAssign(v: Column): Column =
+      centroids.map { case (i, c) => struct(cosTo(v, c).as("s"), lit(i).as("i")) }
+        .reduce((a, b) => when(a("s") >= b("s"), a).otherwise(b))("i")
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v"))
+      .withColumn("cand_norm", vec_norm(col("cand_v")))
+      .withColumn("cell", cellAssign(col("cand_v")))
+    // queries probe their nProbe nearest cells
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_v"))
+      .withColumn("query_norm", vec_norm(col("query_v")))
+      .withColumn("cells",
+        slice(reverse(array_sort(array(centroids.map { case (i, cv) =>
+          struct(cosTo(col("query_v"), cv).as("s"), lit(i).as("i")) }: _*))), 1, nProbe))
+      .select(col("query_id"), col("query_v"), col("query_norm"),
+        explode(col("cells")("i")).as("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(vec_dot(col("query_v"), col("cand_v"))
+          / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign bucket.
