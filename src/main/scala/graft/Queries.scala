@@ -949,6 +949,16 @@ object Queries {
       |FROM events e
       |ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
+  /** IVF ANN top-k (inverted-file cells, nProbe=2) — recall < 1 by
+    * construction, rows-only check; exact ranking is q23's oracle. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        nCells = 8, nProbe = 2)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -991,5 +1001,6 @@ object Queries {
     "q35_nan_guard" -> Q(q35, Some(q35Sql)),
     "q36_vid2vid_audio_features" -> Q(q36, None),
     "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)),
-    "q38_asof_join" -> Q(q38, Some(q38Sql)))
+    "q38_asof_join" -> Q(q38, Some(q38Sql)),
+    "q39_knn_ivf" -> Q(q39, None))
 }
