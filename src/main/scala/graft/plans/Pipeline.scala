@@ -96,6 +96,55 @@ object OpRegistry {
       val inputTypes = Seq("raw_bboxes"); val outputTypes = Seq("best_bboxes")
       def apply(df: DataFrame, params: Map[String, String]): DataFrame =
         df.withColumn("best_bboxes", ClipOps.bestFacePerFrame(col("raw_bboxes")))
+    },
+    // ---- inference-backed nodes (mapPartitions ops joined back on name;
+    //      models are pluggable ModelResources, stubs by default) ----
+    "face_detection" -> new ClipOp {
+      val inputTypes = Seq("frames"); val outputTypes = Seq("raw_bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val det = graft.operators.Vision
+          .detectFaces(df, "name", "frames")
+          // (N,5) arrays -> candidate structs for the bbox ops
+          .withColumn("raw_bboxes", expr(
+            """transform(raw_bboxes, f -> transform(f, c ->
+              |  struct(c[0] as x1, c[1] as y1, c[2] as x2, c[3] as y2,
+              |         c[4] as score)))""".stripMargin))
+        df.join(det, Seq("name"))
+      }
+    },
+    "transform_bboxes" -> new ClipOp {
+      val inputTypes = Seq("best_bboxes"); val outputTypes = Seq("bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("bboxes", transform(col("best_bboxes"), b =>
+          bbox_transform(bbox(b("x1"), b("y1"), b("x2"), b("y2"), b("score")),
+            p(params, "extend_factor", 0.2))))
+    },
+    "crop" -> new ClipOp {
+      val inputTypes = Seq("frames", "bboxes"); val outputTypes = Seq("crops")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val size = p(params, "size", 224).toInt
+        val cropped = graft.operators.ImageOps
+          .cropFrames(df, "name", "frames",
+            "bboxes", size)
+          .where(col("crop").isNotNull)
+          .groupBy("name")
+          .agg(transform(array_sort(collect_list(
+            struct(col("frame_idx"), col("crop")))), x => x("crop")).as("crops"))
+        df.join(cropped, Seq("name"), "left")
+      }
+    },
+    "emoca" -> new ClipOp {
+      val inputTypes = Seq("crops")
+      val outputTypes = Seq("shape", "tex", "exp", "pose", "cam", "light")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Vision.emocaEncode(df, "name", "crops"),
+          Seq("name"))
+    },
+    "wav2vec" -> new ClipOp {
+      val inputTypes = Seq("wav"); val outputTypes = Seq("wav2vec", "volume")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Wav2vec.extract(df, "name", "wav",
+          p(params, "sample_rate", 16000).toInt), Seq("name"))
     })
 }
 

@@ -51,6 +51,41 @@ class PipelineSpec extends SparkTestBase {
     assert(written.count() == 4)
   }
 
+  test("the reference's full node graph runs end-to-end with stub models") {
+    // real JPEG frames so detection -> crop -> emoca exercises actual codecs
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(seed * 40 % 255, 100, 150))
+      g.fillRect(0, 0, 64, 64); g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val clips = Seq(
+      ("clip_a", Seq(jpeg(1), jpeg(2)), Seq.tabulate(16000)(i => math.sin(i * 0.001))),
+      ("clip_b", Seq(jpeg(3)), Seq.tabulate(8000)(i => math.cos(i * 0.002))))
+      .toDF("name", "frames", "wav")
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val pipe = Pipeline(Seq(
+      NodeSpec("face_detection"), NodeSpec("best_face"),
+      NodeSpec("transform_bboxes"), NodeSpec("crop"),
+      NodeSpec("emoca"), NodeSpec("wav2vec")), dir)
+    val (out, rep) = pipe.execute(spark, clips)
+    val cols = out.columns.toSet
+    assert(Set("raw_bboxes", "best_bboxes", "bboxes", "crops",
+      "shape", "exp", "pose", "wav2vec", "volume").subsetOf(cols))
+    val processed = rep.find(r => r.node == "_pipeline" && r.status == "processed").get.count
+    val errors = rep.find(r => r.node == "_pipeline" && r.status == "errors").get.count
+    assert(processed + errors == 2)
+    if (processed > 0) {
+      val row = spark.read.parquet(s"$dir/clips")
+        .select(size(col("crops")), size(col("shape")), size(col("wav2vec"))).head
+      assert(row.getInt(1) > 0 && row.getInt(2) > 0)
+    }
+  }
+
   test("pipeline graph JSON parses the reference shape") {
     val json =
       """[{"name": "volume", "params": {"sample_rate": "16000"}},
