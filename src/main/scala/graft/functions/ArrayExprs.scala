@@ -448,3 +448,39 @@ case class RollingHash(child: Expression, base: Long, modulus: Long)
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }
+
+/** `array_chunks(arr, k)`: split an array<long> into consecutive slices of
+  * length k (last chunk may be shorter). One pass, and — unlike
+  * `transform(sequence(...), b -> slice(sig, ...))` — the child is
+  * evaluated exactly once, so CollapseProject cannot re-inline an
+  * expensive child (e.g. a minhash signature) once per chunk.
+  */
+case class ArrayChunksLong(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "chunk size must be positive")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "array_chunks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"array_chunks needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any]((n + k - 1) / k)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val len = math.min(k, n - i)
+      val chunk = new Array[Long](len)
+      var j = 0
+      while (j < len) { chunk(j) = arr.getLong(i + j); j += 1 }
+      out(c) = new GenericArrayData(chunk)
+      c += 1; i += len
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ArrayChunksLong =
+    copy(child = newChild)
+}

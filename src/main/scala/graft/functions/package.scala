@@ -193,4 +193,9 @@ package object functions {
 
   /** Hamming distance between two long bit-patterns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Consecutive k-slices of an array<long> column (single-pass; child
+    * evaluated exactly once). */
+  def array_chunks(arr: Column, k: Int): Column =
+    ExprBridge.column(ArrayChunksLong(col2expr(arr), k))
 }

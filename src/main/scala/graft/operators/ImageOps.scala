@@ -50,9 +50,16 @@ object ImageOps {
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
-    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(baos))
-    try writer.write(null, new javax.imageio.IIOImage(out, null, null), params)
-    finally writer.dispose()
+    // MemoryCacheImageOutputStream only guarantees cached bytes reach the
+    // underlying stream on close — without it the JPEG can be truncated
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(out, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     baos.toByteArray
   }
 

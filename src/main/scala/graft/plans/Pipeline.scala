@@ -123,13 +123,22 @@ object OpRegistry {
       val inputTypes = Seq("frames", "bboxes"); val outputTypes = Seq("crops")
       def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
         val size = p(params, "size", 224).toInt
+        // Collect EVERY frame slot (failed frames as null crop inside the
+        // struct — collect_list only skips null elements, not structs with
+        // null fields) so the crops array stays index-aligned with frames;
+        // a clip with any failed frame gets crops=null and flows to the
+        // error side-output, matching the reference's fail-the-clip
+        // semantics instead of silently shifting the frame axis.
         val cropped = graft.operators.ImageOps
           .cropFrames(df, "name", "frames",
             "bboxes", size)
-          .where(col("crop").isNotNull)
           .groupBy("name")
           .agg(transform(array_sort(collect_list(
-            struct(col("frame_idx"), col("crop")))), x => x("crop")).as("crops"))
+                 struct(col("frame_idx"), col("crop")))), x => x("crop"))
+               .as("_crops_all"),
+               max(col("error").isNotNull.cast("int")).as("_any_err"))
+          .select(col("name"),
+            when(col("_any_err") === 0, col("_crops_all")).as("crops"))
         df.join(cropped, Seq("name"), "left")
       }
     },

@@ -13,11 +13,17 @@ object Wav {
   final case class Decoded(sampleRate: Int, samples: Array[Double])
 
   /** Decode PCM WAV bytes to mono doubles (channel-averaged, like
-    * librosa's mono=True). Supports 8/16/24/32-bit signed PCM. */
+    * librosa's mono=True). Supports 16/24/32-bit signed and 8-bit
+    * unsigned/signed PCM; other encodings (float, u-law, a-law) are
+    * rejected so callers route them to the error channel. */
   def decode(bytes: Array[Byte]): Decoded = {
     val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED || unsigned,
+        s"unsupported WAV encoding: $enc (only signed/unsigned PCM)")
       val frameSize = fmt.getFrameSize
       val channels = fmt.getChannels
       val bits = fmt.getSampleSizeInBits
@@ -40,9 +46,11 @@ object Wav {
             var k = bytesPerSample - 1
             while (k >= 0) { v = (v << 8) | (data(off + k) & 0xffL); k -= 1 }
           }
-          // sign-extend
-          val shift = 64 - bits
-          acc += (v << shift >> shift).toDouble / max
+          // 8-bit WAV PCM is unsigned (offset-128); wider widths are signed
+          val sample =
+            if (unsigned) v - (1L << (bits - 1))
+            else { val shift = 64 - bits; v << shift >> shift }
+          acc += sample.toDouble / max
           c += 1
         }
         out(f) = acc / channels

@@ -26,24 +26,25 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
         spark_df = con.sql(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
     except Exception as e:
-        results[qname] = f"SPARK-READ-FAIL {e}"
+        results[qname] = (False, f"SPARK-READ-FAIL {e}")
         continue
     if qname not in oracle:
-        results[qname] = f"rows-only rows={len(spark_df)} " + \
-            ("OK" if len(spark_df) > 0 else "EMPTY!")
+        results[qname] = (len(spark_df) > 0,
+                          f"rows-only rows={len(spark_df)}"
+                          + ("" if len(spark_df) > 0 else " EMPTY!"))
         continue
     try:
         duck_df = con.sql(oracle[qname]).df()
     except Exception as e:
-        results[qname] = f"ORACLE-SQL-FAIL {type(e).__name__}: {e}"
+        results[qname] = (False, f"ORACLE-SQL-FAIL {type(e).__name__}: {e}")
         continue
     a = spark_df.reindex(sorted(spark_df.columns), axis=1)
     b = duck_df.reindex(sorted(duck_df.columns), axis=1)
     if list(a.columns) != list(b.columns):
-        results[qname] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        results[qname] = (False, f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
         continue
     if len(a) != len(b):
-        results[qname] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
+        results[qname] = (False, f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}")
         continue
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
@@ -59,10 +60,11 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
             i = int((~eq).idxmax())
             mismatch = f"VALUE-MISMATCH col={c} row={i} spark={av[i]!r} duck={bv[i]!r} ({int((~eq).sum())} cells)"
             break
-    results[qname] = mismatch or f"MATCH rows={len(a)}"
+    results[qname] = ((mismatch is None),
+                      mismatch or f"MATCH rows={len(a)}")
 
-ok = sum(1 for v in results.values() if v.startswith("MATCH") or "OK" in v)
-for k, v in results.items():
-    flag = "  " if (v.startswith("MATCH") or "OK" in v) else "XX"
-    print(f"{flag} {k}: {v}")
+ok = sum(1 for passed, _ in results.values() if passed)
+for k, (passed, msg) in results.items():
+    flag = "  " if passed else "XX"
+    print(f"{flag} {k}: {msg}")
 print(f"\n{ok}/{len(results)} pass")
