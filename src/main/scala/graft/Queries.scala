@@ -895,7 +895,9 @@ object Queries {
       .withColumnRenamed("user_id", "name")
       .withColumn("num_frames", lit(30))
       .withColumn("volume", col("series"))
-      .withColumn("landmarks", transform(sequence(lit(1), col("num_frames")), _ => lm))
+      // array_repeat evaluates the 68-struct frame once per row; a
+      // transform(sequence(...)) lambda would rebuild it per frame
+      .withColumn("landmarks", array_repeat(lm, col("num_frames").cast("int")))
       .transform(df => operators.Sinks.vid2vidAudioFeatures(df))
       .select(col("name").as("user_id"), posexplode(col("features")))
       .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),

@@ -255,3 +255,45 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
+
+/** Threshold-pruned Jaccard over two SORTED distinct long arrays: merge
+  * scan with an exact upper-bound bail-out — J_max = (inter + min(rem)) /
+  * (n + m - inter - min(rem)) is monotone in the final intersection, so
+  * once it drops below the threshold no suffix can reach it. Returns null
+  * below the threshold (never a wrong value: the bound is exact), which
+  * makes the common non-duplicate pair O(gap) instead of O(n+m) in a
+  * blocked self-join.
+  */
+case class JaccardThresholdLongs(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_threshold"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"jaccard_threshold needs two array<long>, got $t")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return if (threshold <= 0.0) Double.box(0.0) else null
+    // size-ratio bound: J <= min/max
+    if (math.min(n, m).toDouble < threshold * math.max(n, m)) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val rem = math.min(n - i, m - j)
+        val maxInter = inter + rem
+        if (maxInter.toDouble < threshold * (n + m - maxInter)) return null
+      }
+    }
+    val jac = inter.toDouble / (n + m - inter)
+    if (jac >= threshold) Double.box(jac) else null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardThresholdLongs =
+    copy(left = l, right = r)
+}

@@ -191,6 +191,11 @@ package object functions {
   def jaccard_sorted(a: Column, b: Column): Column =
     ExprBridge.column(JaccardSortedLongs(col2expr(a), col2expr(b)))
 
+  /** Jaccard of two SORTED distinct array<long> columns, null below the
+    * threshold (exact upper-bound early exit — see JaccardThresholdLongs). */
+  def jaccard_threshold(a: Column, b: Column, t: Double): Column =
+    ExprBridge.column(JaccardThresholdLongs(col2expr(a), col2expr(b), t))
+
   /** Hamming distance between two long bit-patterns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
