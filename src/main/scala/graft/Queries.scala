@@ -934,14 +934,17 @@ object Queries {
 
   /** As-of join: every event annotated with the most recent click value
     * at-or-before its timestamp (audio->frame alignment as a relational
-    * op, §2.3); DuckDB's native ASOF JOIN is the oracle. */
+    * op, §2.3); DuckDB's native ASOF JOIN is the oracle. Runs through the
+    * engine's custom Catalyst operator (AsofJoinPlan -> merge-scan
+    * AsofJoinExec); the union+window formulation (AsOf.asofJoin) is
+    * equivalence-tested against it in AsOfSpec. */
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val left = e.select(col("user_id"), col("ts"), col("event_id"))
     val right = e.where(col("event_type") === "click")
       .groupBy("user_id", "ts")
       .agg(max(cents(col("value"))).as("click_cents"))
-    AsOf.asofJoin(left, right, "user_id", "ts")
+    AsOf.asofJoinMerge(left, right, "user_id", "ts")
       .select(col("user_id"), col("event_id"), col("click_cents"))
   }
 

@@ -28,6 +28,14 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale result from an earlier run: a leftover parquet
+        // would make the oracle compare grade old (possibly passing) data
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

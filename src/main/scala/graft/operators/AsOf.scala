@@ -56,4 +56,46 @@ object AsOf {
     if (inner) result.where(valueCols.map(c => col(c).isNotNull).reduce(_ && _))
     else result
   }
+
+  /** As-of join through the engine's custom Catalyst operator
+    * ([[graft.plans.AsofJoinPlan]] -> [[graft.plans.AsofJoinExec]]): one
+    * shuffle + sort per side and a merge scan, instead of the union +
+    * running-last-value window above (which sorts both sides together and
+    * carries null-padded union rows through the shuffle). Same semantics:
+    * latest right row with ts <= left ts per key, ties match.
+    *
+    * The planner strategy is registered idempotently on the live session;
+    * sessions built with `spark.sql.extensions=graft.plans.GraftExtensions`
+    * already have it.
+    */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, key: String, ts: String,
+                    inner: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val valueCols = right.columns.filterNot(c => c == key || c == ts).toSeq
+    require(valueCols.nonEmpty, "right side needs at least one value column")
+    require(!valueCols.exists(left.columns.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left schema")
+    val spark = left.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.AsofJoinStrategy)
+    val lPlan = PlanBridge.analyzed(left)
+    // Re-alias the right side with fresh exprIds: in a self-join both
+    // sides share attribute ids, and the analyzer's DeduplicateRelations
+    // cannot tell which of the node's stored references belong to which
+    // child. The alias layer gives the node's right-side references ids
+    // that exist only in the right subtree.
+    val rAliased = {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      val rPlan = PlanBridge.analyzed(right)
+      Project(rPlan.output.map(a => Alias(a, a.name)()), rPlan)
+    }
+    val rAttrs = rAliased.projectList.map(_.toAttribute)
+    def attr(as: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) = as.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not found in [${as.map(_.name).mkString(", ")}]"))
+    PlanBridge.ofRows(spark, graft.plans.AsofJoinPlan(
+      lPlan, rAliased, attr(lPlan.output, key), attr(rAttrs, key),
+      attr(lPlan.output, ts), attr(rAttrs, ts), inner))
+  }
 }

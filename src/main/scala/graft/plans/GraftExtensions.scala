@@ -18,11 +18,14 @@ import graft.functions._
   * `SELECT savgol_filter(series, 25, 3) FROM clips`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // whole-operator surface: the custom as-of join planner strategy
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -30,4 +30,38 @@ class AsOfSpec extends SparkTestBase {
     assert(out(0).isNullAt(3)) // (1,5): no prior right
     assert(out(3).isNullAt(3)) // (2,7): key absent on right
   }
+
+  test("custom-plan as-of join matches the hand-built expectations") {
+    val out = AsOf.asofJoinMerge(left, right, "k", "ts")
+      .orderBy("k", "ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "b" && out(0).getDouble(3) == 200.0)
+    assert(out(1).getString(2) == "c" && out(1).getDouble(3) == 300.0)
+  }
+
+  test("custom-plan as-of join equals the union+window formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    // ties, duplicate left timestamps, keys missing on either side
+    val l = Seq.fill(400)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      .toDF("k", "ts", "lid")
+    val r = Seq.fill(150)((rnd.nextInt(10).toLong, rnd.nextInt(50).toLong))
+      .distinct // as-of requires unique (key, ts) on the right
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toDouble) }
+      .toDF("k", "ts", "v")
+    for (inner <- Seq(true, false)) {
+      val a = AsOf.asofJoin(l, r, "k", "ts", inner)
+        .orderBy("k", "ts", "lid").collect().toSeq
+      val b = AsOf.asofJoinMerge(l, r, "k", "ts", inner)
+        .orderBy("k", "ts", "lid").collect().toSeq
+      assert(a == b, s"inner=$inner")
+    }
+  }
+
+  test("custom-plan as-of join plans as AsofJoinExec with one exchange per side") {
+    val df = AsOf.asofJoinMerge(left, right, "k", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
+  }
 }
