@@ -264,6 +264,37 @@ object Queries {
       .select(col("user_id"), (col("pos") + 1).cast("long").as("idx"),
         round(col("col"), 6).as("sval"))
 
+  /** Savgol coefficient matrices as DuckDB list literals, generated from
+    * the SAME SavGol.coeffs the Catalyst expression uses (%.17e round-trips
+    * doubles exactly, and the exponent form parses as DOUBLE, not DECIMAL).
+    * The filter is linear, so the oracle is pure dot products with the
+    * identical left-fold order as SavGol.dot (seed 0.0 + x == x). */
+  private def savgolMatricesSql(window: Int, poly: Int): (String, String, String) = {
+    val c = graft.functions.SavGol.coeffs(window, poly)
+    def d(x: Double) = f"$x%.17e"
+    def row(r: Array[Double]) = r.map(d).mkString("[", ", ", "]")
+    (row(c.center), c.head.map(row).mkString("[", ", ", "]"),
+      c.tail.map(row).mkString("[", ", ", "]"))
+  }
+
+  private val q12Sql = {
+    val (center, head, tail) = savgolMatricesSql(25, 3)
+    val w = 25; val h = 12 // h = window/2; head rows cover i <= h (1-based)
+    seriesSqlCte +
+      s"""
+         |, g AS (
+         |  SELECT user_id, list(CAST(v AS DOUBLE) ORDER BY rn) AS x, max(n) AS n
+         |  FROM s GROUP BY user_id HAVING max(n) >= $w),
+         |coef AS (SELECT $center AS c_center, $head AS c_head, $tail AS c_tail)
+         |SELECT g.user_id, CAST(t.i AS BIGINT) AS idx,
+         |  round(list_reduce(list_transform(range(1, ${w + 1}), j ->
+         |    CASE WHEN t.i <= $h THEN c_head[t.i][j] * x[j]
+         |         WHEN t.i > n - $h THEN c_tail[t.i - (n - $h)][j] * x[n - $w + j]
+         |         ELSE c_center[j] * x[t.i - ${h + 1} + j] END),
+         |    (a, b) -> a + b), 6) AS sval
+         |FROM g CROSS JOIN coef, unnest(range(1, n + 1)) AS t(i)""".stripMargin
+  }
+
   /** Linear resample with half-sample phase offsets (`wav2vec/utils.py:5-21`)
     * onto 30 "frames" at source fps 50 — the audio->video temporal
     * alignment. The oracle replicates the exact linspace/segment/lerp
@@ -982,7 +1013,7 @@ object Queries {
     "q09_quantiles" -> Q(q09, Some(q09Sql)),
     "q10_volume_buckets" -> Q(q10, Some(q10Sql)),
     "q11_edge_moving_avg" -> Q(q11, Some(q11Sql)),
-    "q12_savgol_smooth" -> Q(q12, None),
+    "q12_savgol_smooth" -> Q(q12, Some(q12Sql)),
     "q13_linear_resample" -> Q(q13, Some(q13Sql)),
     "q14_bbox_transform" -> Q(q14, Some(q14Sql)),
     "q15_fixed_bbox" -> Q(q15, Some(q15Sql)),
