@@ -277,21 +277,30 @@ object Queries {
       c.tail.map(row).mkString("[", ", ", "]"))
   }
 
+  /** One savgol output value in SQL: the window-`w` kernel applied to list
+    * column `x` (1-based) at output position `t.i` of `n` elements, matching
+    * SavGol.apply's head/center/tail branches and left-fold dot order
+    * (`h = w/2`; head rows cover 1-based i <= h). */
+  private def savgolApplySql(x: String, w: Int, cc: String, ch: String,
+                             ct: String): String = {
+    val h = w / 2
+    s"""list_reduce(list_transform(range(1, ${w + 1}), j ->
+       |    CASE WHEN t.i <= $h THEN $ch[t.i][j] * $x[j]
+       |         WHEN t.i > n - $h THEN $ct[t.i - (n - $h)][j] * $x[n - $w + j]
+       |         ELSE $cc[j] * $x[t.i - ${h + 1} + j] END),
+       |    (a, b) -> a + b)""".stripMargin
+  }
+
   private val q12Sql = {
     val (center, head, tail) = savgolMatricesSql(25, 3)
-    val w = 25; val h = 12 // h = window/2; head rows cover i <= h (1-based)
     seriesSqlCte +
       s"""
          |, g AS (
          |  SELECT user_id, list(CAST(v AS DOUBLE) ORDER BY rn) AS x, max(n) AS n
-         |  FROM s GROUP BY user_id HAVING max(n) >= $w),
+         |  FROM s GROUP BY user_id HAVING max(n) >= 25),
          |coef AS (SELECT $center AS c_center, $head AS c_head, $tail AS c_tail)
          |SELECT g.user_id, CAST(t.i AS BIGINT) AS idx,
-         |  round(list_reduce(list_transform(range(1, ${w + 1}), j ->
-         |    CASE WHEN t.i <= $h THEN c_head[t.i][j] * x[j]
-         |         WHEN t.i > n - $h THEN c_tail[t.i - (n - $h)][j] * x[n - $w + j]
-         |         ELSE c_center[j] * x[t.i - ${h + 1} + j] END),
-         |    (a, b) -> a + b), 6) AS sval
+         |  round(${savgolApplySql("x", 25, "c_center", "c_head", "c_tail")}, 6) AS sval
          |FROM g CROSS JOIN coef, unnest(range(1, n + 1)) AS t(i)""".stripMargin
   }
 
@@ -879,8 +888,9 @@ object Queries {
       |FROM events GROUP BY user_id""".stripMargin
 
   /** EmocaLikeBboxesNode.smooth_bboxes (`bboxes.py:147-170`): savgol(25,3)
-    * on box centers, savgol(15,3) on radii — not SQL-expressible
-    * (rows-only check); the savgol kernel itself is golden-tested. */
+    * on box centers, savgol(15,3) on radii, rint/ceil back to long corners.
+    * The oracle replays the identical IEEE sequence with the coefficient
+    * matrices inlined as literals (same technique as q12). */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
       cents(col("value")).as("v"), pmod(col("event_id"), lit(997L)).as("y"),
@@ -899,6 +909,37 @@ object Queries {
         col("col.x2").as("x2"), col("col.y2").as("y2"))
   }
 
+  private val q34Sql = {
+    val (cc25, ch25, ct25) = savgolMatricesSql(25, 3)
+    val (cc15, ch15, ct15) = savgolMatricesSql(15, 3)
+    // rad = sz/2 (DuckDB `/` on integers is float division, == sz.toDouble/2
+    // in SmoothBoxes); xc = x1 + rad, yc = y1 + rad; rint = round_even, and
+    // the BIGINT cast of the integral rint/ceil output is exact.
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+       |         event_id % 997 AS y, event_id % 50 + 10 AS sz,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, max(n) AS n,
+       |    list(v + sz / 2 ORDER BY rn) AS xc,
+       |    list(y + sz / 2 ORDER BY rn) AS yc,
+       |    list(sz / 2 ORDER BY rn) AS rad
+       |  FROM e GROUP BY user_id HAVING max(n) >= 25),
+       |coef AS (SELECT $cc25 AS cc25, $ch25 AS ch25, $ct25 AS ct25,
+       |                $cc15 AS cc15, $ch15 AS ch15, $ct15 AS ct15),
+       |sm AS (
+       |  SELECT g.user_id, CAST(t.i AS BIGINT) AS frame_idx,
+       |    CAST(round_even(${savgolApplySql("xc", 25, "cc25", "ch25", "ct25")}, 0) AS BIGINT) AS xcr,
+       |    CAST(round_even(${savgolApplySql("yc", 25, "cc25", "ch25", "ct25")}, 0) AS BIGINT) AS ycr,
+       |    CAST(ceil(${savgolApplySql("rad", 15, "cc15", "ch15", "ct15")}) AS BIGINT) AS radr
+       |  FROM g CROSS JOIN coef, unnest(range(1, n + 1)) AS t(i))
+       |SELECT user_id, frame_idx, xcr - radr AS x1, ycr - radr AS y1,
+       |       xcr + radr AS x2, ycr + radr AS y2
+       |FROM sm""".stripMargin
+  }
+
   /** NaN row guards (`bboxes.py:26-29`, `crop.py:59-62`, §2.2): rows whose
     * synthetic landmark array contains NaN are flagged for the error
     * side-channel instead of failing the job. */
@@ -915,8 +956,10 @@ object Queries {
 
   /** Vid2vidAudio conditioning features (`h5.py:163-237`): per-user volume
     * series -> resample to 30 frames -> edge-windowed mean (16) -> concat
-    * with synthetic blink columns. Composes two custom expressions whose
-    * kernels are individually oracle-proven (q11, q13); rows-only here. */
+    * with blink columns. The oracle chains q13's resample lerp (unrounded),
+    * an explicit clamped-window left-fold mean, and the blink constant (the
+    * synthetic landmarks' x-differences cancel the per-user offset, so the
+    * EAR ratios are the same double for every user and frame). */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val lm = array((0 until 68).map(i =>
       struct((col("name") + i).cast("double").as("x"),
@@ -934,6 +977,51 @@ object Queries {
       .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
         round(element_at(col("col"), 1), 6).as("vol_feat"),
         round(element_at(col("col"), 4), 6).as("avg_blink"))
+  }
+
+  private val q36Sql = {
+    // Mirrors LinearResample.linspace / q13Sql: x_k = dx + k*step, last = L.
+    def xAt(k: String, n: String, L: String) =
+      s"(CASE WHEN $k = $n - 1 THEN $L ELSE 0.01 + $k * (($L - 0.01) / ($n - 1)) END)"
+    val num = 30
+    // The EAR blink ratio over the synthetic landmarks (x_i = name + i,
+    // y_i = (i*7) mod 13) is user-independent: replicate blink_features'
+    // exact double sequence here and inline the result (%.17e round-trips).
+    def dist(a: Int, b: Int): Double =
+      math.sqrt(math.pow((a - b).toDouble, 2) +
+        math.pow((a * 7 % 13 - b * 7 % 13).toDouble, 2))
+    val left = (dist(37, 41) + dist(38, 40)) / (dist(36, 39) * 2)
+    val right = (dist(43, 47) + dist(44, 46)) / (dist(42, 45) * 2)
+    val avgBlink = f"${(left + right) / 2}%.17e"
+    seriesSqlCte +
+      s"""
+         |, p AS (SELECT DISTINCT user_id, n, n / 50.0 AS L FROM s WHERE n >= 2),
+         |tgt AS (
+         |  SELECT user_id, n, L, j,
+         |    CASE WHEN j = $num - 1 THEN L
+         |         ELSE (1.0 / ((($num) / L) * 2)) + j * ((L - (1.0 / ((($num) / L) * 2))) / ($num - 1))
+         |    END AS tpos
+         |  FROM p CROSS JOIN range(0, $num) r(j)),
+         |seg AS (
+         |  SELECT tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L,
+         |    least(tgt.n - 2,
+         |          count(*) FILTER (WHERE ${xAt("(k.rn - 1)", "tgt.n", "tgt.L")} < tgt.tpos)) AS sg
+         |  FROM tgt JOIN s k ON k.user_id = tgt.user_id AND k.rn >= 2
+         |  GROUP BY tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L),
+         |rs AS (
+         |  SELECT g.user_id, g.j,
+         |    y0.v + ((g.tpos - ${xAt("g.sg", "g.n", "g.L")})
+         |          / (${xAt("(g.sg + 1)", "g.n", "g.L")} - ${xAt("g.sg", "g.n", "g.L")}))
+         |          * (y1.v - y0.v) AS rv
+         |  FROM seg g
+         |  JOIN s y0 ON y0.user_id = g.user_id AND y0.rn = g.sg + 1
+         |  JOIN s y1 ON y1.user_id = g.user_id AND y1.rn = g.sg + 2),
+         |rl AS (SELECT user_id, list(rv ORDER BY j) AS vr FROM rs GROUP BY user_id)
+         |SELECT rl.user_id, CAST(t.i AS BIGINT) AS frame_idx,
+         |  round(list_reduce(list_transform(range(t.i - 8, t.i + 8),
+         |      jj -> vr[least(greatest(jj, 1), $num)]), (a, b) -> a + b) / 16, 6) AS vol_feat,
+         |  round($avgBlink, 6) AS avg_blink
+         |FROM rl, unnest(range(1, ${num + 1})) AS t(i)""".stripMargin
   }
 
   private val q35Sql =
@@ -1035,9 +1123,9 @@ object Queries {
     "q31_emoca_sliding_bbox" -> Q(q31, Some(q31Sql)),
     "q32_equal_size_boxes" -> Q(q32, Some(q32Sql)),
     "q33_wav2vec_trim" -> Q(q33, Some(q33Sql)),
-    "q34_smooth_bboxes" -> Q(q34, None),
+    "q34_smooth_bboxes" -> Q(q34, Some(q34Sql)),
     "q35_nan_guard" -> Q(q35, Some(q35Sql)),
-    "q36_vid2vid_audio_features" -> Q(q36, None),
+    "q36_vid2vid_audio_features" -> Q(q36, Some(q36Sql)),
     "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)),
     "q38_asof_join" -> Q(q38, Some(q38Sql)),
     "q39_knn_ivf" -> Q(q39, None))
