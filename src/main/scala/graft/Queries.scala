@@ -650,6 +650,40 @@ object Queries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** The LSH ANN path is deterministic (fixed-seed hyperplanes), so it has
+    * an exact oracle: the planes are inlined as literals and the bucket is
+    * recomputed with the same sign-bit sum; candidate scoring and ranking
+    * then mirror q23's proven cosine SQL. */
+  private val q24Sql = {
+    val planes = operators.Similarity.hyperplanes(4, 64)
+    val planesLit = planes
+      .map(_.map(x => f"$x%.17e").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def planeDot(pi: Int) =
+      s"""list_reduce(list_transform(range(1, len(v) + 1),
+         |      i -> CAST(v[i] AS DOUBLE) * p[$pi][i]), (x, y) -> x + y)""".stripMargin
+    val bucket = (0 until 4)
+      .map(pi => s"(CASE WHEN ${planeDot(pi + 1)} > 0 THEN ${1L << pi} ELSE 0 END)")
+      .mkString("\n     + ")
+    s"""WITH pl AS (SELECT $planesLit AS p),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id, v,
+       |    $bucket AS bucket
+       |  FROM e CROSS JOIN pl),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim
+       |  FROM bk a JOIN bk b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+       |  WHERE a.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // =====================================================================
   // Text analysis
   // =====================================================================
@@ -1113,7 +1147,7 @@ object Queries {
     "q21_ngram_jaccard_pairs" -> Q(q21, Some(q21Sql)),
     "q22_embedding_near_dups" -> Q(q22, Some(q22Sql)),
     "q23_knn_brute_force" -> Q(q23, Some(q23Sql)),
-    "q24_knn_lsh" -> Q(q24, None),
+    "q24_knn_lsh" -> Q(q24, Some(q24Sql)),
     "q25_token_counts" -> Q(q25, Some(q25Sql)),
     "q26_lang_id" -> Q(q26, Some(q26Sql)),
     "q27_quality_score" -> Q(q27, Some(q27Sql)),
