@@ -517,10 +517,13 @@ object Queries {
         shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
-  private val q19Sql = {
+  /** The q19 minhash-LSH pair derivation as reusable WITH-clause innards:
+    * `pairs(id_a, id_b, jaccard)` holds the threshold-verified candidate
+    * pairs. q19 projects it directly; q40 closes it transitively. */
+  private val minhashPairsCtes = {
     val perms = minhashPerms(MinhashPermCount).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $toksSql AS tk FROM documents),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
@@ -541,16 +544,21 @@ object Queries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
-       |SELECT c.id_a, c.id_b,
-       |  round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
-       |FROM cand c
-       |JOIN hsets sa ON sa.doc_id = c.id_a
-       |JOIN hsets sb ON sb.doc_id = c.id_b
-       |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5""".stripMargin
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+       |  FROM cand c
+       |  JOIN hsets sa ON sa.doc_id = c.id_a
+       |  JOIN hsets sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5)""".stripMargin
   }
+
+  private val q19Sql =
+    s"""WITH $minhashPairsCtes
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs""".stripMargin
 
   /** SimHash fingerprints (32-bit bit-vote over token hashes). */
   private def q20(s: SparkSession, dir: String): DataFrame =
@@ -1119,6 +1127,60 @@ object Queries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the q19
+    * near-dup pair graph (iterative min-label propagation, one shuffle per
+    * round) — every document labelled with its cluster's canonical
+    * (minimum) doc_id. The oracle replays the proven pair derivation and
+    * closes it transitively with a recursive CTE. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  private val q40Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Promo-window attribution: count the events inside each click's
+    * 5-minute window — a range join executed as a binned equi-join
+    * (RangeJoin.binnedRangeJoin) instead of a θ-join; the oracle is the
+    * plain interval-predicate join. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val win = 300000000000L // 5 min in nanos (ts is nanos-since-epoch)
+    val probe = e.select(col("user_id"), col("ts"), col("event_id"))
+    val windows = e.where(col("event_type") === "click")
+      .select(col("user_id").as("w_user"), col("event_id").as("window_id"),
+        col("ts").as("start_ts"), (col("ts") + win).as("end_ts"))
+    RangeJoin.binnedRangeJoin(probe, "user_id", "ts",
+        windows, "w_user", "start_ts", "end_ts", binSize = win)
+      .groupBy(col("user_id"), col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  private val q41Sql =
+    """WITH w AS (
+      |  SELECT user_id, event_id AS window_id, epoch_ns(ts) AS start_ns,
+      |         epoch_ns(ts) + 300000000000 AS end_ns
+      |  FROM events WHERE event_type = 'click')
+      |SELECT w.user_id, w.window_id, count(*) AS n_events
+      |FROM w JOIN events e
+      |  ON e.user_id = w.user_id
+      | AND epoch_ns(e.ts) >= w.start_ns AND epoch_ns(e.ts) < w.end_ns
+      |GROUP BY w.user_id, w.window_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1162,5 +1224,7 @@ object Queries {
     "q36_vid2vid_audio_features" -> Q(q36, Some(q36Sql)),
     "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)),
     "q38_asof_join" -> Q(q38, Some(q38Sql)),
-    "q39_knn_ivf" -> Q(q39, None))
+    "q39_knn_ivf" -> Q(q39, None),
+    "q40_dedup_clusters" -> Q(q40, Some(q40Sql)),
+    "q41_range_join" -> Q(q41, Some(q41Sql)))
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Dedup, RangeJoin}
+
+/** Connected-components clustering and the binned range join. */
+class GraphRangeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connected components labels every node with the min reachable id") {
+    // components: {1,2,3,4} via chain, {5,6}, singleton {7}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components converges on a path graph longer than one hop") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L) && out.length == n)
+  }
+
+  test("binned range join matches the interval predicate exactly") {
+    val probe = Seq((1L, 5L, "p1"), (1L, 10L, "p2"), (1L, 19L, "p3"),
+      (1L, 20L, "p4"), (2L, 10L, "p5")).toDF("k", "ts", "tag")
+    val windows = Seq((1L, 10L, 20L, "w1"), (2L, 0L, 11L, "w2"),
+      (3L, 0L, 100L, "w3")).toDF("wk", "start_ts", "end_ts", "wtag")
+    val out = RangeJoin.binnedRangeJoin(probe, "k", "ts",
+        windows, "wk", "start_ts", "end_ts", binSize = 7L)
+      .select("tag", "wtag").as[(String, String)].collect().toSet
+    // half-open [start, end): p2 and p3 in w1 (p4 at ts=20 excluded), p5 in w2
+    assert(out == Set("p2" -> "w1", "p3" -> "w1", "p5" -> "w2"))
+  }
+
+  test("binned range join handles windows spanning many bins") {
+    val probe = Seq((1L, 0L, "a"), (1L, 99L, "b"), (1L, 100L, "c")).toDF("k", "ts", "tag")
+    val windows = Seq((1L, 0L, 100L, "big")).toDF("wk", "start_ts", "end_ts", "wtag")
+    val out = RangeJoin.binnedRangeJoin(probe, "k", "ts",
+        windows, "wk", "start_ts", "end_ts", binSize = 3L)
+      .select("tag").as[String].collect().toSet
+    assert(out == Set("a", "b"))
+  }
+}
