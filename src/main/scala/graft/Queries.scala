@@ -1181,6 +1181,67 @@ object Queries {
       | AND epoch_ns(e.ts) >= w.start_ns AND epoch_ns(e.ts) < w.end_ns
       |GROUP BY w.user_id, w.window_id""".stripMargin
 
+  /** Within-document repetition (Gopher-style quality filter): duplicate
+    * token and token-trigram fractions. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q42Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tr AS (
+       |  SELECT doc_id, toks, len(toks) AS ntok,
+       |    CASE WHEN len(toks) >= 3
+       |         THEN list_transform(range(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       |         ELSE [] END AS tris
+       |  FROM tk)
+       |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(CASE WHEN ntok > 0
+       |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / ntok
+       |    ELSE 0.0 END, 6) AS dup_token_frac,
+       |  round(CASE WHEN len(tris) > 0
+       |    THEN 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
+       |    ELSE 0.0 END, 6) AS dup_trigram_frac
+       |FROM tr""".stripMargin
+
+  /** Corpus vocabulary top-100 — global token counts with map-side partial
+    * aggregation; the sort runs over the small distinct-token table. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", 100)
+      .select(col("token"), col("cnt"), col("rank").cast("long").as("rank"))
+
+  private val q43Sql =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |r AS (SELECT token, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+       |      FROM c)
+       |SELECT token, cnt, rank FROM r WHERE rank <= 100""".stripMargin
+
+  /** PII scrub: deterministic synthetic emails / long numbers appended per
+    * doc, then counted and redacted (the standard pre-training scrub). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 55512"), col("doc_id").cast("string")).as("text"))
+    TextAnalysis.redactPii(withPii, "doc_id", "text")
+  }
+
+  private val q44Sql = {
+    val email = TextAnalysis.EmailRe // single backslash survives into the SQL literal
+    val num = TextAnalysis.LongNumRe
+    s"""WITH d AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id ||
+       |         '@example.com or call 55512' || doc_id AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_long_numbers,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                 '$num', '<NUM>', 'g') AS redacted
+       |FROM d""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1226,5 +1287,8 @@ object Queries {
     "q38_asof_join" -> Q(q38, Some(q38Sql)),
     "q39_knn_ivf" -> Q(q39, None),
     "q40_dedup_clusters" -> Q(q40, Some(q40Sql)),
-    "q41_range_join" -> Q(q41, Some(q41Sql)))
+    "q41_range_join" -> Q(q41, Some(q41Sql)),
+    "q42_repetition" -> Q(q42, Some(q42Sql)),
+    "q43_vocab_topk" -> Q(q43, Some(q43Sql)),
+    "q44_pii_redact" -> Q(q44, Some(q44Sql)))
 }

@@ -90,4 +90,52 @@ object TextAnalysis {
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))
+
+  /** Gopher-style within-document repetition: the fraction of duplicate
+    * tokens and duplicate token-trigrams — high values flag boilerplate /
+    * degenerate documents for corpus filtering. */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), ws_tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .withColumn("tris",
+        when(col("ntok") >= 3,
+          transform(sequence(lit(0), col("ntok") - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .otherwise(array().cast("array<string>")))
+    staged.select(col(idCol), col("ntok").cast("long").as("n_tokens"),
+      round(when(col("ntok") > 0,
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("ntok"))
+        .otherwise(lit(0.0)), 6).as("dup_token_frac"),
+      round(when(size(col("tris")) > 0,
+        lit(1.0) - size(array_distinct(col("tris"))).cast("double") / size(col("tris")))
+        .otherwise(lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: count and redact email addresses and long digit runs
+    * (phone-ish). Pure regexp expressions — codegen'd, embarrassingly
+    * parallel, the standard pre-training scrub pass. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumRe), lit(0)))
+        .cast("long").as("n_long_numbers"),
+      regexp_replace(regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
+        lit(LongNumRe), lit("<NUM>")).as("redacted"))
+
+  /** Corpus vocabulary: global token counts, top-k by (count desc, token).
+    * One shuffle with map-side partial aggregation; the global sort runs
+    * over the (small) distinct-token table, not the corpus. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    df.select(explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }
