@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan hygiene: predicates and projections must reach the parquet scan —
+  * a scan that reads every column for a two-column projection, or filters
+  * after the scan, multiplies IO 100x at the 100 TB target. */
+class PlanAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = java.nio.file.Files
+    .createTempDirectory("planaudit").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    (1L to 1000L).map(i => (i, s"n$i", i % 7, i * 1.5))
+      .toDF("k", "name", "grp", "v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val q = spark.read.parquet(s"$dir/t").where(col("grp") === 3).select("k", "grp")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"),
+      s"filter not pushed:\n$scan")
+  }
+
+  test("column pruning reaches the scan's ReadSchema") {
+    val q = spark.read.parquet(s"$dir/t").groupBy("grp").agg(sum("v"))
+    val scan = q.queryExecution.executedPlan.toString
+    // only the 2 referenced columns of 4 are read
+    assert(scan.contains("ReadSchema: struct<grp:bigint,v:double>"),
+      s"projection not pruned:\n$scan")
+  }
+
+  test("small dimension side broadcasts in a star join") {
+    val fact = (1L to 10000L).map(i => (i % 100, i)).toDF("dk", "fval")
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "dname")
+    val plan = fact.join(broadcast(dim), "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join must not SMJ:\n$plan")
+  }
+
+  test("text feature queries stay inside whole-stage codegen") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // a literal table at plan time and leave nothing to codegen
+    val docs = spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit("a b c the of "), col("id").cast("string")).as("text"))
+    val plan = graft.operators.TextAnalysis
+      .qualityFeatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // executedPlan.toString marks whole-stage-codegen stages "*(n) "; the
+    // HOF-lambda projections in the middle are CodegenFallback by design
+    assert(plan.contains("*(1) ") && plan.contains("*(3) "),
+      s"expected codegen spans around the HOF stage:\n$plan")
+  }
+}
