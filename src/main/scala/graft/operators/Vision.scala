@@ -134,4 +134,87 @@ object Vision {
           codes.map(_.light.map(_.toSeq).toSeq).toSeq)
       }
     }
+
+  /** Tiny deterministic FLAME-shaped asset set (3 verts, 2 joints, one
+    * face) standing in for the published FLAME pickle (`flame.py:43-312`):
+    * any consistent basis exercises the LBS math and the pipeline
+    * plumbing; a real asset-backed model plugs in via the same
+    * ModelResource without operator changes. Accepts the EMOCA stub's
+    * 100-dim shape / 50-dim exp codes. */
+  def stubFlameModel(): Flame.FlameModel = Flame.FlameModel(
+    template = Array(0, 0, 0, 1, 0, 0, 0, 1, 0),
+    shapedirs = Array.tabulate(100)(k => Array.fill(9)(if (k == 0) 0.1 else 0.0)),
+    expdirs = Array.tabulate(50)(k => Array.fill(9)(if (k == 0) 0.05 else 0.0)),
+    posedirs = Array.empty,
+    jRegressor = Array(Array(1.0, 0, 0), Array(0, 1.0, 0)),
+    parents = Array(-1, 0),
+    lbsWeights = Array(Array(1.0, 0), Array(0, 1.0), Array(0.5, 0.5)),
+    lmkFaces = Array(Array(0, 1, 2)),
+    lmkBary = Array(Array(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+
+  val flameSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("verts", ArrayType(ArrayType(DoubleType, false), false)),
+    StructField("landmarks3d", ArrayType(ArrayType(DoubleType, false), false))))
+
+  /** `FlameNode` (`flame.py:47-108`): per-frame (shape, exp, pose) codes ->
+    * flat vertex and 3-D landmark arrays via the pure-Scala LBS forward
+    * pass. Batch default 64 = the reference's FLAME batch (BASELINE.md). */
+  def flameForward(df: DataFrame, nameCol: String, shapeCol: String,
+                   expCol: String, poseCol: String, batchSize: Int = 64,
+                   model: Flame.FlameModel = stubFlameModel(),
+                   modelId: String = "stub"): DataFrame =
+    ModelOp.mapBatches(
+      df.selectExpr(s"$nameCol as name", s"$shapeCol as shape",
+        s"$expCol as exp", s"$poseCol as pose"),
+      flameSchema, batchSize, Res("flame", modelId, model)) { (m, batch) =>
+      batch.iterator.map { r =>
+        val shapes = r.getSeq[scala.collection.Seq[Double]](1)
+        val exps = r.getSeq[scala.collection.Seq[Double]](2)
+        val poses = r.getSeq[scala.collection.Seq[Double]](3)
+        val out = shapes.indices.map { i =>
+          Flame.forward(m, shapes(i).toArray, exps(i).toArray,
+            poses(i).toArray.take(6))
+        }
+        Row(r.getString(0), out.map(_._1.toSeq), out.map(_._2.toSeq))
+      }
+    }
+
+  val renderSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("render_mask", ArrayType(BinaryType, false)),
+    StructField("render_normal", ArrayType(BinaryType, false)),
+    StructField("render_uv", ArrayType(BinaryType, false))))
+
+  private case class RenderAssets(faces: Array[Array[Int]], uvs: Array[Double])
+
+  /** `RenderingNode` (`rendering.py:53-143`): per-frame (verts, cam) ->
+    * mask / normal / uv rasters via the software rasterizer (orthographic
+    * cam = (scale, tx, ty) like `batch_orth_proj`). Mesh topology comes
+    * from the model resource; frames stay opaque bytes in the relational
+    * layer. */
+  def renderFrames(df: DataFrame, nameCol: String, vertsCol: String,
+                   camCol: String, size: Int = 64, batchSize: Int = 64,
+                   assetsId: String = "stub"): DataFrame = {
+    val assets = RenderAssets(Array(Array(0, 1, 2)),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 1.0))
+    ModelOp.mapBatches(
+      df.selectExpr(s"$nameCol as name", s"$vertsCol as verts",
+        s"$camCol as cam"),
+      renderSchema, batchSize, Res("render", assetsId, assets)) { (a, batch) =>
+      batch.iterator.map { r =>
+        val verts = r.getSeq[scala.collection.Seq[Double]](1)
+        val cams = r.getSeq[scala.collection.Seq[Double]](2)
+        val rendered = verts.indices.map { i =>
+          val c = cams(i)
+          // EMOCA cam codes are centred near 0; offset to a usable ortho
+          // scale exactly like the vid2vid conditioning path
+          Renderer.render(verts(i).toArray, a.faces, a.uvs,
+            (1.0 + c(0), c(1), c(2)), size)
+        }
+        Row(r.getString(0), rendered.map(_.mask), rendered.map(_.normal),
+          rendered.map(_.uv))
+      }
+    }
+  }
 }

@@ -154,6 +154,22 @@ object OpRegistry {
       def apply(df: DataFrame, params: Map[String, String]): DataFrame =
         df.join(graft.operators.Wav2vec.extract(df, "name", "wav",
           p(params, "sample_rate", 16000).toInt), Seq("name"))
+    },
+    "flame" -> new ClipOp {
+      val inputTypes = Seq("shape", "exp", "pose")
+      val outputTypes = Seq("verts", "landmarks3d")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Vision.flameForward(df, "name",
+          "shape", "exp", "pose",
+          batchSize = p(params, "batch_size", 64).toInt), Seq("name"))
+    },
+    "render" -> new ClipOp {
+      val inputTypes = Seq("verts", "cam")
+      val outputTypes = Seq("render_mask", "render_normal", "render_uv")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Vision.renderFrames(df, "name",
+          "verts", "cam", size = p(params, "size", 64).toInt,
+          batchSize = p(params, "batch_size", 64).toInt), Seq("name"))
     })
 }
 

@@ -71,11 +71,14 @@ class PipelineSpec extends SparkTestBase {
     val pipe = Pipeline(Seq(
       NodeSpec("face_detection"), NodeSpec("best_face"),
       NodeSpec("transform_bboxes"), NodeSpec("crop"),
-      NodeSpec("emoca"), NodeSpec("wav2vec")), dir)
+      NodeSpec("emoca"), NodeSpec("wav2vec"),
+      NodeSpec("flame"), NodeSpec("render", Map("size" -> "32"))), dir)
     val (out, rep) = pipe.execute(spark, clips)
     val cols = out.columns.toSet
     assert(Set("raw_bboxes", "best_bboxes", "bboxes", "crops",
-      "shape", "exp", "pose", "wav2vec", "volume").subsetOf(cols))
+      "shape", "exp", "pose", "wav2vec", "volume",
+      "verts", "landmarks3d", "render_mask", "render_normal",
+      "render_uv").subsetOf(cols))
     val processed = rep.find(r => r.node == "_pipeline" && r.status == "processed").get.count
     val errors = rep.find(r => r.node == "_pipeline" && r.status == "errors").get.count
     assert(processed + errors == 2)
