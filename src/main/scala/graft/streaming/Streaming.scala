@@ -72,4 +72,27 @@ object Streaming {
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked stream-stream interval join: each click matched to the
+    * same user's views in the `rangeMinutes` before it. Both sides carry
+    * watermarks, so the join state Spark keeps per side is bounded by
+    * watermark + range and expires as event time advances — the streaming
+    * form of the batch binned range join (RangeJoin.binnedRangeJoin).
+    * Inputs need (user_id, ts: timestamp, event_id). */
+  def clickViewJoin(views: DataFrame, clicks: DataFrame,
+                    rangeMinutes: Int = 10,
+                    watermark: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    c.join(v, expr(
+      s"""c_user = v_user AND
+         |view_ts BETWEEN click_ts - INTERVAL $rangeMinutes MINUTES
+         |            AND click_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
 }

@@ -65,4 +65,47 @@ class StreamingSpec extends SparkTestBase {
       assert(out.length == 3) // (w0,click)=2, (w0,view)=1, (w1,click)=1
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches views in the click's range") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val views = vMem.toDF().toDF("user_id", "ts", "event_id")
+    val clicks = cMem.toDF().toDF("user_id", "ts", "event_id")
+    val q = Streaming.clickViewJoin(views, clicks, rangeMinutes = 10)
+      .writeStream.format("memory").queryName("cvj").outputMode("append").start()
+    try {
+      vMem.addData((1L, ts(0), 100L), (1L, ts(8), 101L), (1L, ts(30), 102L),
+                   (2L, ts(9), 200L))
+      cMem.addData((1L, ts(10), 900L)) // range [minute 0, minute 10]
+      q.processAllAvailable()
+      val matched = spark.table("cvj").collect()
+        .map(r => r.getAs[Long]("view_id")).toSet
+      // view 102 is after the click, view 200 is another user
+      assert(matched == Set(100L, 101L))
+    } finally q.stop()
+  }
+
+  test("watermark drops late events from append-mode windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = Streaming.eventTypeCounts(events, windowMinutes = 10, watermark = "20 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      mem.addData((ts(1), "click"), (ts(2), "click"))
+      q.processAllAvailable()
+      // advance the watermark far past window [0,10): its count finalizes
+      mem.addData((ts(120), "view"))
+      q.processAllAvailable()
+      // a straggler inside the finalized window: dropped, not recounted
+      mem.addData((ts(3), "click"))
+      q.processAllAvailable()
+      // windows align to epoch multiples of 10 min, so assert by type: the
+      // click window finalized with 2 — the straggler was dropped
+      val clicksOut = spark.table("late").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+      assert(clicksOut.length == 1 && clicksOut(0).getAs[Long]("n") == 2L)
+    } finally q.stop()
+  }
 }
