@@ -17,8 +17,8 @@ object SparkEntry {
     Queries.all.map { case (name, q) => name -> q.impl }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (savgol smoothing, LSH ANN) -> rows-only check. */
+    * the same parquet tables. Omitted only for q39 IVF ANN (data-dependent
+    * k-means centroids are not SQL-expressible) -> rows-only check. */
   def oracleSql: Map[String, String] =
     Queries.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
 }
