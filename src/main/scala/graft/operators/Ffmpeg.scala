@@ -72,6 +72,47 @@ object Ffmpeg {
         }
       }(RowEncoder.encoderFor(transcodeSchema))
 
+  val framesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("frames", ArrayType(BinaryType, containsNull = false), nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** video bytes -> ordered jpeg frame bytes (`VideoToImagesNode`,
+    * `dpl/processor/nodes/ffmpeg.py:114-130`: `-qscale:v 3` + `%06d.jpg`
+    * naming; frame order = the zero-padded name order). */
+  def videoToFrames(df: DataFrame, nameCol: String, videoCol: String): DataFrame =
+    df.selectExpr(s"$nameCol as name", s"$videoCol as payload")
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val name = r.getString(0)
+          if (!available) Row(name, null, "ffmpeg unavailable in environment")
+          else {
+            val dir = Files.createTempDirectory("graft-ffmpeg")
+            try {
+              val in = dir.resolve("in.mp4")
+              Files.write(in, r.getAs[Array[Byte]](1))
+              val p = new ProcessBuilder("ffmpeg", "-y", "-i", in.toString,
+                  "-qscale:v", "3", dir.resolve("%06d.jpg").toString)
+                .redirectErrorStream(true).start()
+              p.getInputStream.readAllBytes()
+              val code = p.waitFor()
+              if (code != 0) Row(name, null, s"ffmpeg exit $code")
+              else {
+                val frames = dir.toFile.listFiles()
+                  .filter(_.getName.endsWith(".jpg")).sortBy(_.getName)
+                  .map(f => Files.readAllBytes(f.toPath))
+                if (frames.isEmpty) Row(name, null, "no frames decoded")
+                else Row(name, frames.toSeq, null)
+              }
+            } catch {
+              case e: Exception => Row(name, null, e.getMessage)
+            } finally {
+              dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+            }
+          }
+        }
+      }(RowEncoder.encoderFor(framesSchema))
+
   val fpsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("fps", DoubleType, nullable = true)))

@@ -90,10 +90,15 @@ object Vision {
       }
     }
 
+  private val pointStruct = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+
   val landmarksSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
-    StructField("landmarks", ArrayType(ArrayType(ArrayType(DoubleType, false), false), false))))
+    StructField("landmarks", ArrayType(ArrayType(pointStruct, false), false))))
 
+  /** Landmarks come out as struct<x,y> points (the clip table's landmark
+    * column form, §1.3) so bbox/blink ops consume them directly. */
   def alignFaces(df: DataFrame, nameCol: String, framesCol: String,
                  batchSize: Int = 8,
                  model: LandmarkModel = StubLandmarks,
@@ -103,7 +108,8 @@ object Vision {
       landmarksSchema, batchSize, Res("align", modelId, model)) { (lm, batch) =>
       batch.iterator.map { r =>
         val frames = r.getSeq[Array[Byte]](1)
-        Row(r.getString(0), frames.map(f => lm(f).map(_.toSeq).toSeq).toSeq)
+        Row(r.getString(0),
+          frames.map(f => lm(f).map(p => Row(p(0), p(1))).toSeq).toSeq)
       }
     }
 

@@ -170,7 +170,118 @@ object OpRegistry {
         df.join(graft.operators.Vision.renderFrames(df, "name",
           "verts", "cam", size = p(params, "size", 64).toInt,
           batchSize = p(params, "batch_size", 64).toInt), Seq("name"))
+    },
+    "face_alignment" -> new ClipOp {
+      val inputTypes = Seq("frames")
+      val outputTypes = Seq("landmarks", "raw_bboxes")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val det = graft.operators.Vision.detectFaces(df, "name", "frames")
+          .withColumn("raw_bboxes", expr(
+            """transform(raw_bboxes, f -> transform(f, c ->
+              |  struct(c[0] as x1, c[1] as y1, c[2] as x2, c[3] as y2,
+              |         c[4] as score)))""".stripMargin))
+        df.join(graft.operators.Vision.alignFaces(df, "name", "frames"), Seq("name"))
+          .join(det, Seq("name"))
+      }
+    },
+    "face_landmarks" -> new ClipOp {
+      val inputTypes = Seq("frames", "raw_bboxes")
+      val outputTypes = Seq("landmarks")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Vision.alignFaces(df, "name", "frames"), Seq("name"))
+    },
+    // ---- ffmpeg transcodes (shell-outs; rows degrade to the error channel
+    //      when the binary is absent) ----
+    "video_to_frames" -> new ClipOp {
+      val inputTypes = Seq("video"); val outputTypes = Seq("frames")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Ffmpeg.videoToFrames(df, "name", "video")
+          .select("name", "frames"), Seq("name"), "left")
+    },
+    "video_to_wav" -> new ClipOp {
+      val inputTypes = Seq("video"); val outputTypes = Seq("wav")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val sr = p(params, "sample_rate", 16000).toInt
+        val decode = udf((b: Array[Byte]) =>
+          if (b == null) null else graft.sources.Wav.decodeTo(b, sr))
+        df.join(graft.operators.Ffmpeg.videoToWav(df, "name", "video")
+          .select(col("name"), decode(col("payload")).as("wav")),
+          Seq("name"), "left")
+      }
+    },
+    "aac_to_wav" -> new ClipOp {
+      val inputTypes = Seq("aac"); val outputTypes = Seq("wav")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val sr = p(params, "sample_rate", 16000).toInt
+        val decode = udf((b: Array[Byte]) =>
+          if (b == null) null else graft.sources.Wav.decodeTo(b, sr))
+        df.join(graft.operators.Ffmpeg.aacToWav(df, "name", "aac")
+          .select(col("name"), decode(col("payload")).as("wav")),
+          Seq("name"), "left")
+      }
+    },
+    "probe_fps" -> new ClipOp {
+      val inputTypes = Seq("video"); val outputTypes = Seq("fps")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Ffmpeg.probeFps(df, "name", "video"),
+          Seq("name"), "left")
+    },
+    // ---- packed dataset sinks (`a2en.py:13-45`, `h5.py:95-237`) ----
+    "a2en" -> new ClipOp {
+      val inputTypes = Seq("frames", "wav2vec", "volume", "exp", "pose", "landmarks3d")
+      val outputTypes = Seq("a2en")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Sinks.a2enPack(
+          df.withColumn("num_frames", size(col("frames")))), Seq("name"))
+    },
+    "vid2vid" -> new ClipOp {
+      val inputTypes = Seq("crops", "render_uv", "render_normal")
+      val outputTypes = Seq("vid2vid")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("vid2vid",
+          struct(col("crops"), col("render_uv"), col("render_normal")))
+    },
+    "src_seq" -> new ClipOp {
+      val inputTypes = Seq("crops", "landmarks")
+      val outputTypes = Seq("src_seq")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("src_seq", struct(col("crops"),
+          ClipOps.blinks(col("landmarks")).as("blinks")))
+    },
+    "vid2vid_audio" -> new ClipOp {
+      val inputTypes = Seq("frames", "volume", "landmarks")
+      val outputTypes = Seq("features")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.join(graft.operators.Sinks.vid2vidAudioFeatures(
+          df.withColumn("num_frames", size(col("frames"))),
+          p(params, "window_size", 16).toInt), Seq("name"))
     })
+
+  /** The reference registers nodes under their Python class names
+    * (`registry.py:4-19`; the configs' graph JSON uses them) — accept
+    * those as aliases so reference graph JSON runs unchanged. */
+  val aliases: Map[String, String] = Map(
+    "VideoToImagesNode" -> "video_to_frames",
+    "VideoToWavNode" -> "video_to_wav",
+    "AacToWavNode" -> "aac_to_wav",
+    "Wav2vecNode" -> "wav2vec",
+    "FaceDetectionNode" -> "face_detection",
+    "FaceAlignmentNode" -> "face_alignment",
+    "FaceLandmarksNode" -> "face_landmarks",
+    "TransformRawBboxesNode" -> "transform_bboxes",
+    "FixedBboxesNode" -> "fixed_bboxes",
+    "EmocaLikeBboxesNode" -> "emoca_like_bboxes",
+    "CropNode" -> "crop",
+    "EmocaNode" -> "emoca",
+    "EmocaFromImagesNode" -> "emoca",
+    "FlameNode" -> "flame",
+    "RenderingNode" -> "render",
+    "A2enDatasetNode" -> "a2en",
+    "Vid2vidDatasetNode" -> "vid2vid",
+    "SourceSequenceNode" -> "src_seq",
+    "Vid2vidAudioNode" -> "vid2vid_audio")
+
+  def resolve(name: String): Option[ClipOp] = ops.get(aliases.getOrElse(name, name))
 }
 
 final class PipelineValidationError(msg: String) extends RuntimeException(msg)
@@ -182,7 +293,7 @@ final case class Pipeline(nodes: Seq[NodeSpec], outputDir: String) {
   def validate(inputTypes: Set[String]): Set[String] = {
     var available = inputTypes
     nodes.foreach { spec =>
-      val op = OpRegistry.ops.getOrElse(spec.op,
+      val op = OpRegistry.resolve(spec.op).getOrElse(
         throw new PipelineValidationError(
           s"unknown op '${spec.op}' (known: ${OpRegistry.ops.keys.toSeq.sorted.mkString(", ")})"))
       val missing = op.inputTypes.filterNot(available.contains)
@@ -224,7 +335,7 @@ final case class Pipeline(nodes: Seq[NodeSpec], outputDir: String) {
 
     // Split error channel: rows where any node failed.
     val failCols = nodes.flatMap { spec =>
-      OpRegistry.ops(spec.op).outputTypes.map(t => col(t).isNull)
+      OpRegistry.resolve(spec.op).get.outputTypes.map(t => col(t).isNull)
     }
     val anyFail = failCols.reduceOption(_ || _).getOrElse(lit(false))
     val good = out.where(!anyFail)
@@ -245,7 +356,7 @@ final case class Pipeline(nodes: Seq[NodeSpec], outputDir: String) {
 
   private def runOnce(clips: DataFrame): (DataFrame, Seq[PipelineReport]) = {
     val out = nodes.foldLeft(clips) { (df, spec) =>
-      OpRegistry.ops(spec.op).apply(df, spec.params)
+      OpRegistry.resolve(spec.op).get.apply(df, spec.params)
     }
     (out, nodes.map(s => PipelineReport(s.op, "bound", 1L)))
   }

@@ -89,6 +89,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("the reference's a2en+vid2vid config graph binds under class-name aliases") {
+    // node roster of configs/mead_a2en_vid2vid.json, verbatim class names
+    val graph = Seq("VideoToImagesNode", "VideoToWavNode", "Wav2vecNode",
+      "FaceAlignmentNode", "FixedBboxesNode", "CropNode", "EmocaNode",
+      "FlameNode", "RenderingNode", "A2enDatasetNode", "Vid2vidDatasetNode")
+    val pipe = Pipeline(graph.map(NodeSpec(_)), "/tmp/x")
+    val out = pipe.validate(Set("video"))
+    assert(Set("frames", "wav", "wav2vec", "volume", "landmarks", "raw_bboxes",
+      "bboxes", "crops", "shape", "exp", "pose", "cam", "verts", "landmarks3d",
+      "render_uv", "render_normal", "a2en", "vid2vid").subsetOf(out))
+  }
+
+  test("alignment-driven branch: face_alignment -> fixed_bboxes -> crop -> src_seq") {
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(seed * 30 % 255, 80, 120))
+      g.fillRect(0, 0, 64, 64); g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val clips = Seq(("clip_c", Seq(jpeg(5), jpeg(6)))).toDF("name", "frames")
+    val dir = java.nio.file.Files.createTempDirectory("graft-align").toString
+    val pipe = Pipeline(Seq(
+      NodeSpec("face_alignment"), NodeSpec("fixed_bboxes"),
+      NodeSpec("crop"), NodeSpec("src_seq")), dir)
+    val (out, rep) = pipe.execute(spark, clips)
+    assert(Set("landmarks", "bboxes", "crops", "src_seq")
+      .subsetOf(out.columns.toSet))
+    val processed = rep.find(r => r.node == "_pipeline" && r.status == "processed").get.count
+    assert(processed == 1)
+    val row = spark.read.parquet(s"$dir/clips")
+      .selectExpr("size(src_seq.blinks)").head
+    assert(row.getInt(0) == 2) // one blink struct per frame
+  }
+
   test("pipeline graph JSON parses the reference shape") {
     val json =
       """[{"name": "volume", "params": {"sample_rate": "16000"}},

@@ -33,10 +33,10 @@ class VisionSpec extends SparkTestBase {
     }
   }
 
-  test("alignFaces emits 68x2 landmarks per frame; emoca emits §1.3 shapes") {
+  test("alignFaces emits 68 struct<x,y> landmarks per frame; emoca emits §1.3 shapes") {
     val df = frames.toDF("name", "frames")
     val lm = Vision.alignFaces(df, "name", "frames").orderBy("name").head
-    val perFrame = lm.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+    val perFrame = lm.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
     assert(perFrame.head.length == 68 && perFrame.head.forall(_.length == 2))
     val codes = Vision.emocaEncode(df, "name", "frames").orderBy("name").head
     assert(codes.getSeq[scala.collection.Seq[Double]](1).head.length == 100) // shape
