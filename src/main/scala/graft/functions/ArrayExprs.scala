@@ -426,7 +426,7 @@ case class SmoothBoxes(child: Expression)
   * `modulus` small enough that the accumulator stays within Long.
   */
 case class RollingHash(child: Expression, base: Long, modulus: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(modulus > 0 && base > 0 && modulus < (Long.MaxValue / (base + 1)),
     "base*modulus must fit in Long")
   override def dataType: DataType = LongType
@@ -445,6 +445,23 @@ case class RollingHash(child: Expression, base: Long, modulus: Long)
     }
     h
   }
+  // Real codegen: the per-document fingerprint stays inside whole-stage
+  // codegen instead of falling back to interpreted evaluation per row.
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |final java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * ${base}L + (long) $s.charAt($i)) % ${modulus}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }

@@ -227,7 +227,7 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
   * oracle's `list_reduce(list_transform(...), +)`, but one pass, no
   * per-element allocation. Null if lengths differ. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
   override def nullable: Boolean = true
@@ -252,6 +252,32 @@ case class VecDot(left: Expression, right: Expression)
       s
     }
   }
+  // Real codegen (not CodegenFallback): the dot product is the innermost
+  // loop of every cosine pair join, and staying inside whole-stage codegen
+  // avoids a boxed InternalRow round-trip per row.
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      def elem(v: String, dt: DataType) = dt match {
+        case ArrayType(FloatType, _) => s"(double) $v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
+      }
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${elem(a, left.dataType)} * ${elem(b, right.dataType)};
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
