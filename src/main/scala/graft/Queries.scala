@@ -1242,6 +1242,27 @@ object Queries {
        |FROM d""".stripMargin
   }
 
+  /** Deterministic stratified subsample: the first ceil(10%) of each
+    * language stratum by doc_id — corpus downsampling with exact per-group
+    * quotas (window rank, no shuffle beyond the one partitionBy). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        row_number().over(byLang.orderBy("doc_id")).as("rn"),
+        count(lit(1)).over(byLang).as("n"))
+      .where(col("rn") <= ceil(col("n") * 0.1))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  private val q45Sql =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |WHERE rn <= ceil(n * 0.1)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1290,5 +1311,6 @@ object Queries {
     "q41_range_join" -> Q(q41, Some(q41Sql)),
     "q42_repetition" -> Q(q42, Some(q42Sql)),
     "q43_vocab_topk" -> Q(q43, Some(q43Sql)),
-    "q44_pii_redact" -> Q(q44, Some(q44Sql)))
+    "q44_pii_redact" -> Q(q44, Some(q44Sql)),
+    "q45_stratified_sample" -> Q(q45, Some(q45Sql)))
 }

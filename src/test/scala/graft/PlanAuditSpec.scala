@@ -33,6 +33,16 @@ class PlanAuditSpec extends SparkTestBase {
       s"projection not pruned:\n$scan")
   }
 
+  test("partition pruning skips non-matching partitions at the scan") {
+    (1L to 100L).map(i => (i, s"t$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/p")
+    val q = spark.read.parquet(s"$dir/p").where(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang") && scan.contains("= en)"),
+      s"partition filter not applied:\n$scan")
+  }
+
   test("small dimension side broadcasts in a star join") {
     val fact = (1L to 10000L).map(i => (i % 100, i)).toDF("dk", "fval")
     val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("dk", "dname")
