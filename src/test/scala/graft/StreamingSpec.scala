@@ -66,6 +66,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream runs batch ClipOps over incrementally arriving clips") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-clipstream").toString
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("wav", ArrayType(DoubleType))))
+    Seq(("c1", Seq(0.1, -0.2, 0.3, -0.4))).toDF("name", "wav")
+      .write.mode("append").parquet(dir)
+    val stream = Streaming.clipFileStream(spark, dir, schema)
+    // the SAME registered op graph as batch (sr=4, fps=2 -> hop 2)
+    val out = graft.plans.OpRegistry.resolve("volume").get
+      .apply(stream, Map("sample_rate" -> "4", "fps" -> "2"))
+    val q = out.writeStream.format("memory").queryName("clipstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("clipstream").count() == 1)
+      // a clip file arriving later is picked up incrementally (the
+      // streaming form of the memoization manifest: no reprocessing of c1)
+      Seq(("c2", Seq(1.0, 1.0))).toDF("name", "wav")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("clipstream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+      assert(rows.keySet == Set("c1", "c2"))
+      assert(rows("c1") == Seq(0.15000000000000002, 0.35)) // mean |x| per hop
+      assert(rows("c2") == Seq(1.0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches views in the click's range") {
     implicit val sqlCtx = spark.sqlContext
     val vMem = MemoryStream[(Long, Timestamp, Long)]
