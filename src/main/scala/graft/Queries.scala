@@ -1242,6 +1242,29 @@ object Queries {
        |FROM d""".stripMargin
   }
 
+  /** Forward as-of join: every event annotated with the NEXT click value
+    * at-or-after its timestamp — the same custom merge exec as q38 run on
+    * the negated time axis; the oracle negates epoch nanos so DuckDB's
+    * backward-only ASOF JOIN expresses the forward direction. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val left = e.select(col("user_id"), col("ts"), col("event_id"))
+    val right = e.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(cents(col("value"))).as("next_click_cents"))
+    AsOf.asofJoinForward(left, right, "user_id", "ts")
+      .select(col("user_id"), col("event_id"), col("next_click_cents"))
+  }
+
+  private val q46Sql =
+    """WITH r AS (
+      |  SELECT user_id, -epoch_ns(ts) AS neg,
+      |         max(CAST(round(value*100) AS BIGINT)) AS next_click_cents
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT e.user_id, e.event_id, r.next_click_cents
+      |FROM (SELECT user_id, event_id, -epoch_ns(ts) AS neg FROM events) e
+      |ASOF JOIN r ON e.user_id = r.user_id AND e.neg >= r.neg""".stripMargin
+
   /** Deterministic stratified subsample: the first ceil(10%) of each
     * language stratum by doc_id — corpus downsampling with exact per-group
     * quotas (window rank, no shuffle beyond the one partitionBy). */
@@ -1312,5 +1335,6 @@ object Queries {
     "q42_repetition" -> Q(q42, Some(q42Sql)),
     "q43_vocab_topk" -> Q(q43, Some(q43Sql)),
     "q44_pii_redact" -> Q(q44, Some(q44Sql)),
-    "q45_stratified_sample" -> Q(q45, Some(q45Sql)))
+    "q45_stratified_sample" -> Q(q45, Some(q45Sql)),
+    "q46_asof_forward" -> Q(q46, Some(q46Sql)))
 }

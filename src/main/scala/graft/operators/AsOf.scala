@@ -98,4 +98,17 @@ object AsOf {
       lPlan, rAliased, attr(lPlan.output, key), attr(rAttrs, key),
       attr(lPlan.output, ts), attr(rAttrs, ts), inner))
   }
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left ts —
+    * backward as-of on the negated time axis, reusing the same merge exec
+    * (min ts_r with ts_r >= ts_e == max -ts_r with -ts_e >= -ts_r).
+    * `ts` must be numeric (epoch nanos/micros), not a timestamp type. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, inner: Boolean = true): DataFrame = {
+    val neg = "__asof_neg_ts"
+    val l = left.withColumn(neg, -col(ts))
+    // drop the right's original ts so it isn't treated as a value column
+    val r = right.withColumn(neg, -col(ts)).drop(ts)
+    asofJoinMerge(l, r, key, neg, inner).drop(neg)
+  }
 }

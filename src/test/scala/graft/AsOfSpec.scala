@@ -39,6 +39,16 @@ class AsOfSpec extends SparkTestBase {
     assert(out(1).getString(2) == "c" && out(1).getDouble(3) == 300.0)
   }
 
+  test("forward as-of join picks the earliest right row at-or-after each left ts") {
+    val out = AsOf.asofJoinForward(left, right, "k", "ts")
+      .orderBy("k", "ts").collect()
+    // (1,5)->ts6 100.0; (1,10)->ts10 200.0 (equal ts matches);
+    // (1,20): no later right row -> dropped; (2,7): key absent -> dropped
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "a" && out(0).getDouble(3) == 100.0)
+    assert(out(1).getString(2) == "b" && out(1).getDouble(3) == 200.0)
+  }
+
   test("custom-plan as-of join equals the union+window formulation on random data") {
     val rnd = new scala.util.Random(7)
     // ties, duplicate left timestamps, keys missing on either side
