@@ -226,6 +226,16 @@ object OpRegistry {
         df.join(graft.operators.Ffmpeg.probeFps(df, "name", "video"),
           Seq("name"), "left")
     },
+    // every-nth frame subsampling (temporal downsampling before the
+    // expensive per-frame inference ops)
+    "frame_sample" -> new ClipOp {
+      val inputTypes = Seq("frames"); val outputTypes = Seq("sampled_frames")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val step = p(params, "step", 2).toInt
+        df.withColumn("sampled_frames",
+          filter(col("frames"), (_, i) => i % step === 0))
+      }
+    },
     // ---- packed dataset sinks (`a2en.py:13-45`, `h5.py:95-237`) ----
     "a2en" -> new ClipOp {
       val inputTypes = Seq("frames", "wav2vec", "volume", "exp", "pose", "landmarks3d")
