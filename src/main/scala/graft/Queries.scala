@@ -1117,14 +1117,58 @@ object Queries {
       |FROM events e
       |ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin
 
-  /** IVF ANN top-k (inverted-file cells, nProbe=2) — recall < 1 by
-    * construction, rows-only check; exact ranking is q23's oracle. */
+  /** IVF ANN top-k (inverted-file cells, nProbe=2). The coarse quantizer
+    * is deterministic (first nCells corpus vectors as centroids), so the
+    * whole path has an exact oracle: cell assignment keeps the EARLIEST
+    * centroid index on cosine ties (the when-fold), while probe ranking
+    * keeps the HIGHEST (reverse of ascending struct sort) — the SQL
+    * mirrors both tie-breaks. */
   private def q39(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
         nCells = 8, nProbe = 2)
       .select(col("query_id"), col("cand_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  private val q39Sql = {
+    // sequential-fold dot products (same IEEE order as VecDot / the Scala
+    // driver-side centroid norm)
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |vc AS (
+       |  SELECT e.vec_id, cent.i,
+       |    ${dot("e.v", "cent.cv")}
+       |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("cent.cv", "cent.cv")})) AS s
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+       |    FROM vc WHERE vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN e a ON a.vec_id = p.query_id
+       |  JOIN assign g ON g.cell = p.cell
+       |  JOIN e b ON b.vec_id = g.vec_id AND b.vec_id != p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   /** Duplicate-cluster assignment: connected components over the q19
@@ -1329,7 +1373,7 @@ object Queries {
     "q36_vid2vid_audio_features" -> Q(q36, Some(q36Sql)),
     "q37_brand_supplier_rollup" -> Q(q37, Some(q37Sql)),
     "q38_asof_join" -> Q(q38, Some(q38Sql)),
-    "q39_knn_ivf" -> Q(q39, None),
+    "q39_knn_ivf" -> Q(q39, Some(q39Sql)),
     "q40_dedup_clusters" -> Q(q40, Some(q40Sql)),
     "q41_range_join" -> Q(q41, Some(q41Sql)),
     "q42_repetition" -> Q(q42, Some(q42Sql)),
