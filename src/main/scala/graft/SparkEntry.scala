@@ -17,8 +17,7 @@ object SparkEntry {
     Queries.all.map { case (name, q) => name -> q.impl }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for q39 IVF ANN (data-dependent
-    * k-means centroids are not SQL-expressible) -> rows-only check. */
+    * the same parquet tables — every query has one (no rows-only checks). */
   def oracleSql: Map[String, String] =
     Queries.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
 }
