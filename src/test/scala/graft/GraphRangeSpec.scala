@@ -37,6 +37,56 @@ class GraphRangeSpec extends SparkTestBase {
     assert(out == Set("p2" -> "w1", "p3" -> "w1", "p5" -> "w2"))
   }
 
+  test("connected components equals union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { _ =>
+      val n = 8 + rnd.nextInt(23)
+      val edgeList = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      // brute-force union-find reference
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map { i =>
+        // canonical = min node of the component
+        val root = find(i)
+        val minMember = (1 to n).filter(j => find(j) == root).min
+        i.toLong -> minMember.toLong
+      }.toMap
+      val out = Dedup.connectedComponents(
+          edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected, s"n=$n edges=$edgeList")
+    }
+  }
+
+  test("binned range join equals the naive interval predicate on random data") {
+    val rnd = new scala.util.Random(4815162342L)
+    (1 to 5).foreach { _ =>
+      val probes = Seq.fill(30)((rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val windows = Seq.fill(10) {
+        val s = rnd.nextInt(1000).toLong
+        (rnd.nextInt(3).toLong, s, s + 1 + rnd.nextInt(120).toLong)
+      }.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      val expected = (for {
+        (pk, ts, pid) <- probes
+        (wk, s, e, wid) <- windows
+        if pk == wk && ts >= s && ts < e
+      } yield (pid, wid)).toSet
+      val out = RangeJoin.binnedRangeJoin(
+          probes.toDF("k", "ts", "pid"),
+          "k", "ts",
+          windows.toDF("wk", "start_ts", "end_ts", "wid"),
+          "wk", "start_ts", "end_ts", binSize = 1 + rnd.nextInt(200).toLong)
+        .select("pid", "wid").as[(Long, Long)].collect().toSet
+      assert(out == expected)
+    }
+  }
+
   test("binned range join handles windows spanning many bins") {
     val probe = Seq((1L, 0L, "a"), (1L, 99L, "b"), (1L, 100L, "c")).toDF("k", "ts", "tag")
     val windows = Seq((1L, 0L, 100L, "big")).toDF("wk", "start_ts", "end_ts", "wtag")
