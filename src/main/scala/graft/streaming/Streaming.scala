@@ -73,6 +73,35 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming near-duplicate candidate detection — the batch LSH bucket
+    * join (Dedup.minhashLshPairs' candidate step) as continuous ingest.
+    * Input rows are banded minhash signatures (doc_id, band, band_sig)
+    * from `Dedup.bandedSignatures`, which is stateless and runs on a
+    * streaming frame unchanged. Each (band, band_sig) bucket keeps its
+    * first-seen anchor doc_id in the state store; every later arrival
+    * emits an (anchor, doc_id) candidate pair. Exact-Jaccard verification
+    * stays a batch join against the corpus. State partitions by bucket
+    * key, so it scales like any keyed stream. */
+  def streamingLshCandidates(banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .select(col("band"), concat_ws(",", col("band_sig")).as("sig"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._3).toSeq.sorted
+          val (anchor, rest) =
+            if (state.exists) (state.get, ids) else (ids.head, ids.tail)
+          state.update(anchor)
+          rest.iterator.filter(_ != anchor).map(d => (anchor, d))
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's views in the `rangeMinutes` before it. Both sides carry
     * watermarks, so the join state Spark keeps per side is bounded by

@@ -96,6 +96,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LSH emits candidate pairs against the bucket anchor") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val banded = graft.operators.Dedup.bandedSignatures(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = Streaming.streamingLshCandidates(banded)
+      .writeStream.format("memory").queryName("lshcand").outputMode("append").start()
+    try {
+      mem.addData((1L, text), (2L, text), (7L, "completely different words here"))
+      q.processAllAvailable()
+      val first = spark.table("lshcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(first == Set((1L, 2L))) // identical docs collide; 7 is alone
+      // a later arrival pairs with the bucket's ANCHOR (1), not with 2
+      mem.addData((3L, text))
+      q.processAllAvailable()
+      val all = spark.table("lshcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all == Set((1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches views in the click's range") {
     implicit val sqlCtx = spark.sqlContext
     val vMem = MemoryStream[(Long, Timestamp, Long)]
