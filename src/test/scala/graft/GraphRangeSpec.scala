@@ -60,7 +60,22 @@ class GraphRangeSpec extends SparkTestBase {
           edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"))
         .as[(Long, Long)].collect().toMap
       assert(out == expected, s"n=$n edges=$edgeList")
+      // the O(log n) star-contraction variant agrees on the same graphs
+      val star = Dedup.connectedComponentsStar(
+          edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(star == expected, s"star variant: n=$n edges=$edgeList")
     }
+  }
+
+  test("star contraction converges on a deep path graph in few rounds") {
+    val n = 40
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    // maxIter 8 << diameter 39: only the O(log n) contraction can finish
+    val out = Dedup.connectedComponentsStar(edges, nodes, maxIter = 8)
+      .as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 1L))
   }
 
   test("binned range join equals the naive interval predicate on random data") {
