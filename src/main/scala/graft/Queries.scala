@@ -1330,6 +1330,35 @@ object Queries {
       |  FROM documents)
       |WHERE rn <= ceil(n * 0.1)""".stripMargin
 
+  /** Cross-source contamination scan (train/test decontamination): the
+    * rolling-hash fingerprint of each document's 8-token prefix, grouped;
+    * prefixes seen in 2+ distinct sources are contamination candidates
+    * (the standard coarse decontamination key — exact-text matching finds
+    * nothing at small scales). One hash-groupBy with map-side partial
+    * aggregation; only fingerprint counts cross the shuffle. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        rolling_hash(concat_ws(" ",
+          slice(ws_tokens(col("text")), 1, 8))).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_sources") >= 2)
+
+  private val q47Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(coalesce(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(split(array_to_string($toksSql[1:8], ' '), ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) AS fp
+       |  FROM documents)
+       |SELECT fp, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+       |       min(doc_id) AS first_doc
+       |FROM f GROUP BY fp HAVING count(DISTINCT source) >= 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1380,5 +1409,6 @@ object Queries {
     "q43_vocab_topk" -> Q(q43, Some(q43Sql)),
     "q44_pii_redact" -> Q(q44, Some(q44Sql)),
     "q45_stratified_sample" -> Q(q45, Some(q45Sql)),
-    "q46_asof_forward" -> Q(q46, Some(q46Sql)))
+    "q46_asof_forward" -> Q(q46, Some(q46Sql)),
+    "q47_contamination" -> Q(q47, Some(q47Sql)))
 }
