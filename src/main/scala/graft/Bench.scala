@@ -18,23 +18,31 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2 trials: first-run JIT/IO noise showed ~30% run-to-run
-      // variance; min approximates steady-state throughput. Failed trials
-      // record no time — a query with zero successful trials reports -1 so
-      // breakage is visible in the JSON instead of masquerading as speed.
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every column (count() would
-        // let Spark prune the scan down to row counts).
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $name: $e"); None
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // 3 trials, interleaved round-robin across queries (sweep 1 of all
+    // queries, then sweep 2, then sweep 3) rather than back-to-back per
+    // query: a transient machine stall then lands inside ONE sweep and
+    // inflates at most one trial of each query, which the per-query min
+    // discards — back-to-back trials let the same stall capture every
+    // trial of whichever queries it overlaps (observed: a ~140 s stall
+    // inflating one alphabetical window 5-30x in a prior gate run).
+    // Failed trials record no time — a query with zero successful trials
+    // reports -1 so breakage is visible instead of masquerading as speed.
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to 3; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      // noop sink forces full evaluation of every column (count() would
+      // let Spark prune the scan down to row counts).
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: $e")
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    }
+    val results = named.map { case (name, _) =>
+      name -> (if (times(name).isEmpty) -1.0 else times(name).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

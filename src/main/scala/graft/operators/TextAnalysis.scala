@@ -128,14 +128,27 @@ object TextAnalysis {
         lit(LongNumRe), lit("<NUM>")).as("redacted"))
 
   /** Corpus vocabulary: global token counts, top-k by (count desc, token).
-    * One shuffle with map-side partial aggregation; the global sort runs
-    * over the (small) distinct-token table, not the corpus. */
+    * One shuffle with map-side partial aggregation; the top-k itself is
+    * `orderBy(...).limit(k)` which compiles to TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver — so the distinct-
+    * token table is never globally sorted or moved to one partition (an
+    * unpartitioned row_number window would do exactly that). Rank is then
+    * assigned over the k surviving rows by folding them into one sorted
+    * array and positionally exploding — no WindowExec anywhere in the
+    * plan. */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token").asc)
-    df.select(explode(ws_tokens(col(textCol))).as("token"))
+    val topk = df.select(explode(ws_tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+    // Struct field order (negated count, token) makes the ascending
+    // array_sort reproduce the (cnt desc, token asc) ranking; tokens are
+    // distinct after the groupBy, so the order is total.
+    topk
+      .agg(array_sort(collect_list(struct((-col("cnt")).as("neg_cnt"),
+        col("token").as("token"), col("cnt").as("cnt")))).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.token").as("token"), col("col.cnt").as("cnt"),
+        (col("pos") + 1).as("rank"))
   }
 }

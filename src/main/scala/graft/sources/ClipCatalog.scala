@@ -52,6 +52,13 @@ object ClipCatalog {
   def intersectOnName(inputs: Seq[DataFrame]): DataFrame = {
     require(inputs.nonEmpty, "no input collections")
     val joined = inputs.reduce((a, b) => a.join(b, Seq("name"), "inner"))
+    // Mirrors engine.py:32-33: an empty name intersection is a
+    // configuration error surfaced eagerly at build time. The limit(1)
+    // probe early-exits on the first surviving row, so the check costs one
+    // short job in the common (non-empty) case, not a full evaluation.
+    if (joined.select(lit(1)).limit(1).isEmpty)
+      throw new IllegalArgumentException(
+        "empty name intersection across input collections")
     joined
   }
 }

@@ -52,6 +52,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"dim join must not SMJ:\n$plan")
   }
 
+  test("vocab top-k compiles to TakeOrderedAndProject, never a global window") {
+    // An unpartitioned row_number window would move the entire distinct-
+    // token table to one partition; the top-k must instead run as
+    // per-partition bounded heaps (TakeOrderedAndProject).
+    val docs = spark.range(500)
+      .select(col("id").as("doc_id"),
+        concat(lit("the quick fox t"), (col("id") % 37).cast("string")).as("text"))
+    val plan = graft.operators.TextAnalysis.vocabTopK(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec allowed in the top-k plan:\n$plan")
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen
