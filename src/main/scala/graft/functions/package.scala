@@ -145,6 +145,16 @@ package object functions {
   /** Cosine similarity (dot / (|a| |b|)). */
   def cosine_sim(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
+  /** Nearest-centroid cell id for an IVF index (earliest index on cosine
+    * ties); the centroid matrix is a plan-time literal scanned in one
+    * primitive loop per row. */
+  def ivf_assign(v: Column, centroids: Array[Array[Double]]): Column =
+    ExprBridge.column(IvfAssign(col2expr(v), centroids.map(_.toSeq).toSeq))
+
+  /** The `nProbe` nearest centroid cell ids, (cosine desc, index desc). */
+  def ivf_probes(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    ExprBridge.column(IvfProbes(col2expr(v), centroids.map(_.toSeq).toSeq, nProbe))
+
   // ---------------------------------------------------------------------
   // Text analytics
   // ---------------------------------------------------------------------

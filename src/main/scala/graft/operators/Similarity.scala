@@ -50,45 +50,77 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic seed centroids: the `nCells` lowest-id corpus vectors.
+    * A bounded driver-side collect (nCells rows), standing in for — or
+    * seeding — a trained k-means codebook. */
+  def seedCentroids(corpus: DataFrame, nCells: Int): Array[Array[Double]] =
+    corpus.orderBy("vec_id").limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Lloyd's k-means training of the IVF coarse quantizer, DataFrame-
+    * iterative: each round assigns every vector to its nearest centroid
+    * (`ivf_assign`, one primitive scan per row), then recomputes per-cell
+    * per-dimension means through a (cell, dim) partial aggregation — the
+    * shuffle carries only nCells x dim partially-combined rows per
+    * partition, and the driver collects the bounded (cell, dim) sum table
+    * to rebuild the codebook.
+    *
+    * Means are computed over 1e-6-quantized coordinates with INTEGER
+    * summation, so the trained centroids are bit-identical regardless of
+    * partition count or aggregation order — floating-point summation
+    * would make the codebook depend on the physical plan. Empty cells
+    * keep their previous centroid. Train on a bounded sample at corpus
+    * scale (`corpus.sample(...)` upstream); the iteration cost is one
+    * corpus scan per round.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var centroids = seedCentroids(corpus, nCells)
+    for (_ <- 1 to iters) {
+      val sums = corpus
+        .select(ivf_assign(col(vecCol), centroids).as("cell"),
+          col(vecCol).as("v"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) = r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) top-k: corpus vectors are assigned to their
     * nearest centroid cell once; each query probes only its `nProbe`
     * nearest cells. The scale path when LSH's recall/cost curve is too
     * coarse — cells partition the corpus, and the candidate join is an
     * equi-join on cell id.
     *
-    * Centroids here are taken deterministically from the corpus (the
-    * `nCells` lowest-id vectors) standing in for a trained k-means
-    * codebook; plugging in trained centroids changes nothing structural.
+    * `centroids` defaults to the deterministic first-`nCells` seed (the
+    * exact-oracle configuration); pass `kmeansCentroids(...)` for a
+    * trained codebook — nothing structural changes. Cell assignment and
+    * probe selection are single-pass expressions over a literal centroid
+    * matrix; norms are staged once per row before the candidate join.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Array[(Int, Array[Double])] =
-      corpus.orderBy("vec_id").limit(nCells)
-        .select(col("embedding")).collect()
-        .zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Float](0).map(_.toDouble).toArray
-        }
-    def cosTo(v: Column, c: Array[Double]): Column = {
-      val cCol = array(c.map(lit): _*)
-      vec_dot(v, cCol) / (vec_norm(v) * math.sqrt(c.map(x => x * x).sum))
-    }
-    // nearest cell per corpus vector (argmax cosine to centroid)
-    def cellAssign(v: Column): Column =
-      centroids.map { case (i, c) => struct(cosTo(v, c).as("s"), lit(i).as("i")) }
-        .reduce((a, b) => when(a("s") >= b("s"), a).otherwise(b))("i")
+              nCells: Int = 8, nProbe: Int = 2,
+              centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids else seedCentroids(corpus, nCells)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v"))
       .withColumn("cand_norm", vec_norm(col("cand_v")))
-      .withColumn("cell", cellAssign(col("cand_v")))
+      .withColumn("cell", ivf_assign(col("cand_v"), cents))
     // queries probe their nProbe nearest cells
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_v"))
       .withColumn("query_norm", vec_norm(col("query_v")))
-      .withColumn("cells",
-        slice(reverse(array_sort(array(centroids.map { case (i, cv) =>
-          struct(cosTo(col("query_v"), cv).as("s"), lit(i).as("i")) }: _*))), 1, nProbe))
       .select(col("query_id"), col("query_v"), col("query_norm"),
-        explode(col("cells")("i")).as("cell"))
+        explode(ivf_probes(col("query_v"), cents, nProbe)).as("cell"))
     val scored = c.join(broadcast(probes), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),

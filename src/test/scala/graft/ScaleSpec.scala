@@ -30,6 +30,74 @@ class ScaleSpec extends SparkTestBase {
     assert(top(0).getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("ivf_assign/ivf_probes match a driver-side argmax-cosine reference") {
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    val cents = Array.fill(5, dim)(rnd.nextDouble() * 2 - 1)
+    // include exact copies of centroids (score ties with themselves at 1.0
+    // up to rounding) and scaled copies (exact cosine ties between two
+    // different cells' scores are exercised by duplicated centroids below)
+    val dupCents = cents.updated(4, cents(0).map(_ * 2.0)) // cell 4 ∥ cell 0
+    val vecs = (0 until 50).map { i =>
+      val v = if (i < 5) dupCents(i % 5).map(_.toFloat)
+      else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    def scoresOf(v: Array[Float]): Array[Double] = {
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      dupCents.map { c =>
+        var s = 0.0; var k = 0
+        while (k < dim) { s += v(k).toDouble * c(k); k += 1 }
+        s / (nv * math.sqrt(c.map(x => x * x).sum))
+      }
+    }
+    def cmp(x: Double, y: Double) = if (x == y) 0 else java.lang.Double.compare(x, y)
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.ivf_assign(col("embedding"), dupCents).as("cell"),
+        graft.functions.ivf_probes(col("embedding"), dupCents, 3).as("probes"))
+      .orderBy("vec_id").collect()
+    vecs.zip(df).foreach { case ((id, v), row) =>
+      val s = scoresOf(v.toArray)
+      // earliest index on ties (parallel centroids 0 and 4 give equal cosine)
+      val expectAssign = s.indices.reduceLeft((a, b) => if (cmp(s(a), s(b)) >= 0) a else b)
+      assert(row.getInt(1) == expectAssign, s"assign mismatch at vec $id")
+      val expectProbes = s.indices.sortWith { (a, b) =>
+        val c = cmp(s(a), s(b)); if (c != 0) c > 0 else a > b
+      }.take(3)
+      assert(row.getSeq[Int](2) == expectProbes, s"probes mismatch at vec $id")
+    }
+  }
+
+  test("trained k-means recovers well-separated cluster means and full-probe IVF is exact") {
+    val rnd = new scala.util.Random(5)
+    val dim = 4
+    // 3 tight clusters on orthogonal axes
+    val vecs = (0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d == axis) 1.0 else 0.0) + rnd.nextDouble() * 0.01).map(_.toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, nCells = 3, iters = 5)
+    // every trained centroid is dominated by exactly one axis, each axis taken once
+    val axes = cents.map(c => c.indexOf(c.max)).sorted
+    assert(axes.toSeq == Seq(0, 1, 2), s"centroids did not separate: ${cents.map(_.toSeq).toSeq}")
+    // determinism: same codebook regardless of partitioning (integer-sum means)
+    val cents2 = Similarity.kmeansCentroids(vecs.repartition(7), nCells = 3, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    // probing every cell makes IVF exhaustive == brute force
+    val queries = vecs.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 4, nCells = 3, nProbe = 3,
+        centroids = cents)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 4)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf == bf)
+  }
+
   test("bucketed tables join without an exchange") {
     // default warehouse (spark-warehouse/ under the test cwd, gitignored);
     // the in-memory catalog forgets tables between JVMs, so stale
