@@ -1359,6 +1359,89 @@ object Queries {
        |       min(doc_id) AS first_doc
        |FROM f GROUP BY fp HAVING count(DISTINCT source) >= 2""".stripMargin
 
+  /** Trained-codebook IVF top-k: two Lloyd's iterations over the
+    * embeddings table (seeded with the 8 lowest-id vectors), then the q39
+    * probe/rank path over the trained centroids. The codebook means are
+    * integer-quantized (1e-6) with long summation, so training is
+    * bit-identical under any partitioning — which is what makes an exact
+    * oracle possible: the SQL unrolls both Lloyd's iterations. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 2)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5,
+        nCells = 8, nProbe = 2, centroids = cents)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q48Sql = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    // One Lloyd's round: score every vector against the previous codebook
+    // (earliest cell index on cosine ties), then per-(cell, dim)
+    // integer-quantized means; empty cells keep their previous centroid.
+    def iter(prev: Int, cur: Int) =
+      s"""vc_$cur AS (
+         |  SELECT e.vec_id, c.i,
+         |    ${dot("e.v", "c.cv")}
+         |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS s
+         |  FROM e CROSS JOIN c_$prev c),
+         |a_$cur AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT vec_id, i,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+         |    FROM vc_$cur) WHERE rn = 1),
+         |m_$cur AS (
+         |  SELECT a.cell, r.d,
+         |    CAST(sum(CAST(round(CAST(e.v[r.d] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+         |    count(*) AS n
+         |  FROM a_$cur a JOIN e USING (vec_id), range(1, 65) r(d)
+         |  GROUP BY a.cell, r.d),
+         |l_$cur AS (
+         |  SELECT cell,
+         |    list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv
+         |  FROM m_$cur GROUP BY cell),
+         |c_$cur AS (
+         |  SELECT c.i, coalesce(l.cv, c.cv) AS cv
+         |  FROM c_$prev c LEFT JOIN l_$cur l ON l.cell = c.i)"""
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c_0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |${iter(0, 1)},
+       |${iter(1, 2)},
+       |vc_3 AS (
+       |  SELECT e.vec_id, c.i,
+       |    ${dot("e.v", "c.cv")}
+       |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS s
+       |  FROM e CROSS JOIN c_2 c),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc_3) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+       |    FROM vc_3 WHERE vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN e a ON a.vec_id = p.query_id
+       |  JOIN assign g ON g.cell = p.cell
+       |  JOIN e b ON b.vec_id = g.vec_id AND b.vec_id != p.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1410,5 +1493,6 @@ object Queries {
     "q44_pii_redact" -> Q(q44, Some(q44Sql)),
     "q45_stratified_sample" -> Q(q45, Some(q45Sql)),
     "q46_asof_forward" -> Q(q46, Some(q46Sql)),
-    "q47_contamination" -> Q(q47, Some(q47Sql)))
+    "q47_contamination" -> Q(q47, Some(q47Sql)),
+    "q48_kmeans_ivf" -> Q(q48, Some(q48Sql)))
 }
