@@ -43,21 +43,44 @@ object Streaming {
     * per-key seen-flag in the state store. This is the streaming form of
     * exact dedup (Dedup.exactClusters) for continuous corpus ingest —
     * state is partitioned by hash, so it scales like any keyed stream.
-    * Input needs columns (doc_id: long, content_hash: string). */
-  def streamingDedup(docs: DataFrame): DataFrame = {
+    *
+    * State is BOUNDED by an event-time TTL: a key silent for `ttlMs` of
+    * event time past the watermark is dropped from the store and
+    * re-admits (the standard TTL'd re-admission trade — an unbounded
+    * seen-set would grow one entry per distinct hash ever ingested, which
+    * a continuous 100 TB corpus cannot afford). Every arrival re-arms its
+    * key's timer, so a hash that keeps recurring keeps deduplicating.
+    * Input needs columns (doc_id: long, content_hash: string,
+    * ts: timestamp); `ttlMs` must be >= the watermark delay.
+    */
+  def streamingDedup(docs: DataFrame, watermarkDelay: String = "10 minutes",
+                     ttlMs: Long = 24L * 3600 * 1000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("content_hash"), col("doc_id"))
-      .as[(String, Long)]
+    docs.withWatermark("ts", watermarkDelay)
+      .select(col("content_hash"), col("doc_id"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (String, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(true)
-            rows.take(1) // first occurrence wins
+            val batch = rows.toVector
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                state.update(true)
+                batch.iterator.take(1).map(r => (r._1, r._2)) // first occurrence wins
+              }
+            // re-arm: expire once the key has been silent for ttlMs of
+            // event time (never at-or-before the current watermark, which
+            // the state store rejects)
+            state.setTimeoutTimestamp(math.max(
+              batch.map(_._3.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out
           }
       }
       .toDF("content_hash", "doc_id")
@@ -81,23 +104,41 @@ object Streaming {
     * first-seen anchor doc_id in the state store; every later arrival
     * emits an (anchor, doc_id) candidate pair. Exact-Jaccard verification
     * stays a batch join against the corpus. State partitions by bucket
-    * key, so it scales like any keyed stream. */
-  def streamingLshCandidates(banded: DataFrame): DataFrame = {
+    * key, so it scales like any keyed stream.
+    *
+    * Each bucket's anchor expires after `ttlMs` of event-time silence
+    * past the watermark (same TTL'd re-admission contract as
+    * [[streamingDedup]]): a bucket nothing has hashed into for a day
+    * stops occupying the store, and its next arrival becomes the new
+    * anchor. Input needs (doc_id, band, band_sig, ts) — pass `ts`
+    * through `Dedup.bandedSignatures(..., extraCols = Seq("ts"))`. */
+  def streamingLshCandidates(banded: DataFrame,
+                             watermarkDelay: String = "10 minutes",
+                             ttlMs: Long = 24L * 3600 * 1000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = banded.sparkSession
     import spark.implicits._
     banded
-      .select(col("band"), concat_ws(",", col("band_sig")).as("sig"), col("doc_id"))
-      .as[(Int, String, Long)]
+      .withWatermark("ts", watermarkDelay)
+      .select(col("band"), concat_ws(",", col("band_sig")).as("sig"),
+        col("doc_id"), col("ts"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state: GroupState[Long]) =>
-          val ids = rows.map(_._3).toSeq.sorted
-          val (anchor, rest) =
-            if (state.exists) (state.get, ids) else (ids.head, ids.tail)
-          state.update(anchor)
-          rest.iterator.filter(_ != anchor).map(d => (anchor, d))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector
+            val ids = batch.map(_._3).sorted
+            val (anchor, rest) =
+              if (state.exists) (state.get, ids) else (ids.head, ids.tail)
+            state.update(anchor)
+            state.setTimeoutTimestamp(math.max(
+              batch.map(_._4.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            rest.iterator.filter(_ != anchor).map(d => (anchor, d))
+          }
       }
       .toDF("id_a", "id_b")
   }

@@ -34,20 +34,44 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(String, Long)]
-    val docs = mem.toDF().toDF("content_hash", "doc_id")
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val docs = mem.toDF().toDF("content_hash", "doc_id", "ts")
     val q = Streaming.streamingDedup(docs)
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
     try {
-      mem.addData(("h1", 1L), ("h2", 2L), ("h1", 3L))
+      mem.addData(("h1", 1L, ts(0)), ("h2", 2L, ts(0)), ("h1", 3L, ts(1)))
       q.processAllAvailable()
-      mem.addData(("h1", 4L), ("h3", 5L)) // h1 already seen in state
+      mem.addData(("h1", 4L, ts(2)), ("h3", 5L, ts(2))) // h1 already seen in state
       q.processAllAvailable()
       val out = spark.table("dedup").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(out.keySet == Set("h1", "h2", "h3"))
       assert(out("h1") != 4L) // the later duplicate never re-emits
       assert(out("h2") == 2L && out("h3") == 5L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup state expires after the event-time TTL and re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val docs = mem.toDF().toDF("content_hash", "doc_id", "ts")
+    // 1-minute TTL, no watermark lag: silence past a minute drops the key
+    val q = Streaming.streamingDedup(docs, watermarkDelay = "0 seconds",
+        ttlMs = 60000L)
+      .writeStream.format("memory").queryName("dedup_ttl").outputMode("append").start()
+    try {
+      mem.addData(("h1", 1L, ts(0)))
+      q.processAllAvailable()
+      // advance the watermark far past h1's timer (minute 1)
+      mem.addData(("hx", 9L, ts(100)))
+      q.processAllAvailable()
+      mem.addData(("hy", 10L, ts(101))) // a batch with no h1 rows: timer fires
+      q.processAllAvailable()
+      mem.addData(("h1", 4L, ts(102))) // expired key re-admits
+      q.processAllAvailable()
+      val h1 = spark.table("dedup_ttl").collect()
+        .filter(_.getString(0) == "h1").map(_.getLong(1)).toSet
+      assert(h1 == Set(1L, 4L), s"expected re-admission after TTL, got $h1")
     } finally q.stop()
   }
 
@@ -98,24 +122,53 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming LSH emits candidate pairs against the bucket anchor") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, String)]
+    val mem = MemoryStream[(Long, String, Timestamp)]
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val banded = graft.operators.Dedup.bandedSignatures(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      extraCols = Seq("ts"))
     val q = Streaming.streamingLshCandidates(banded)
       .writeStream.format("memory").queryName("lshcand").outputMode("append").start()
     try {
-      mem.addData((1L, text), (2L, text), (7L, "completely different words here"))
+      mem.addData((1L, text, ts(0)), (2L, text, ts(0)),
+        (7L, "completely different words here", ts(0)))
       q.processAllAvailable()
       val first = spark.table("lshcand").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(first == Set((1L, 2L))) // identical docs collide; 7 is alone
       // a later arrival pairs with the bucket's ANCHOR (1), not with 2
-      mem.addData((3L, text))
+      mem.addData((3L, text, ts(1)))
       q.processAllAvailable()
       val all = spark.table("lshcand").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(all == Set((1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH bucket anchors expire after the TTL and re-admit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val banded = graft.operators.Dedup.bandedSignatures(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      extraCols = Seq("ts"))
+    val q = Streaming.streamingLshCandidates(banded,
+        watermarkDelay = "0 seconds", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("lshcand_ttl")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, text, ts(0)), (2L, text, ts(0)))
+      q.processAllAvailable()
+      mem.addData((7L, "completely different words here", ts(100)))
+      q.processAllAvailable()
+      mem.addData((8L, "other unrelated phrasing entirely", ts(101)))
+      q.processAllAvailable() // anchor-1 timers fire in a batch without its rows
+      mem.addData((3L, text, ts(102)), (4L, text, ts(102)))
+      q.processAllAvailable()
+      val all = spark.table("lshcand_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // after expiry doc 3 (not 1) anchors the bucket: re-admission
+      assert(all == Set((1L, 2L), (3L, 4L)), s"expected fresh anchor, got $all")
     } finally q.stop()
   }
 
