@@ -15,16 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object ClipCatalog {
 
-  /** Name derivation from a file path under `root`. The binaryFile source
-    * reports URIs (`file:/...`, `s3a://...`); a scheme-less `root` matches
-    * with any scheme prefix stripped. */
-  def deriveName(path: Column, root: String): Column = {
+  /** Anchored regex matching `root` (with any URI scheme prefix) at the
+    * start of a scanned path — the binaryFile source reports URIs
+    * (`file:/...`, `s3a://...`) while callers hand in plain paths. */
+  private def rootPattern(root: String): String = {
     val rootNorm = root.stripSuffix("/") + "/"
-    val pattern =
-      if (rootNorm.contains("://")) "^" + java.util.regex.Pattern.quote(rootNorm)
-      else "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" +
-        java.util.regex.Pattern.quote(rootNorm.stripPrefix("/"))
-    val rel = regexp_replace(path, pattern, "")
+    if (rootNorm.contains("://")) "^" + java.util.regex.Pattern.quote(rootNorm)
+    else "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" +
+      java.util.regex.Pattern.quote(rootNorm.stripPrefix("/"))
+  }
+
+  /** Name derivation from a file path under `root`. */
+  def deriveName(path: Column, root: String): Column = {
+    val rel = regexp_replace(path, rootPattern(root), "")
     regexp_replace(regexp_replace(rel, "\\.[^./]+$", ""), "/", "_")
   }
 
@@ -40,6 +43,41 @@ object ClipCatalog {
       .load(root)
       .select(deriveName(col("path"), root).as("name"),
         col("content").as(typeKey))
+
+  /** Sequential frame-dir ingestion — the reference's `FolderType`
+    * (`dpl/processor/datatype.py:42-57`, `dpl/common.py:13-27`): each clip
+    * is a directory of `%06d.<ext>`-numbered frames under `root` (the
+    * ffmpeg image2 layout). Yields `(name, <frameCol>: array<binary>)`
+    * with one row per clip and frames ordered by their numeric index —
+    * the same clip-table shape `Ffmpeg.videoToFrames` produces, so every
+    * downstream frame op (crop, pack, ...) runs on scanned trees
+    * unchanged.
+    *
+    * The binary scan parallelizes per file; the one shuffle regroups
+    * frames into clip rows, and `array_sort` on an (idx, bytes) struct
+    * restores the sequence without relying on scan order. Non-numeric
+    * file stems (covers, sidecars) are ignored. */
+  def scanFrameDirs(spark: SparkSession, root: String, ext: String = "jpg",
+                    frameCol: String = "frames"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        // clip name = the frame's DIRECTORY relative to root, flattened
+        // (no extension stripping: directories keep their dots)
+        regexp_replace(regexp_replace(
+          regexp_replace(col("path"), rootPattern(root), ""),
+          "/[^/]+$", ""), "/", "_").as("name"),
+        // nullif: a non-numeric stem extracts to "", which ANSI cast rejects
+        nullif(regexp_extract(col("path"), "/0*([0-9]+)\\.[^./]+$", 1), lit(""))
+          .cast("long").as("frame_idx"),
+        col("content"))
+      .where(col("frame_idx").isNotNull && col("name") =!= "")
+      .groupBy("name")
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("content")))),
+        f => f("content")).as(frameCol))
 
   /** A parquet-backed data type: any table with a `name` column; remaining
     * columns become the type's payload columns. */

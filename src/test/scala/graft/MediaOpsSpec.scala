@@ -34,6 +34,39 @@ class MediaOpsSpec extends SparkTestBase {
     assert(out.sameElements(ImageOps.cropResizeBytes(bytes, 10, 10, 50, 50, 224, 0.95f)))
   }
 
+  test("scanFrameDirs reassembles %06d frame dirs into ordered clip rows") {
+    import graft.sources.ClipCatalog
+    val root = java.nio.file.Files.createTempDirectory("framedirs")
+    // the ffmpeg image2 layout (`-qscale:v 3 %06d.jpg`): one dir per clip,
+    // zero-padded numeric stems; a nested clip dir and a flat one, plus a
+    // non-numeric sidecar that must be ignored
+    def write(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    val jpeg = testJpeg(64, 64)
+    // tag each frame with a trailing byte (decoders ignore bytes past EOI)
+    // so the assembled order is observable; write frames OUT of order
+    (Seq(3, 1, 12, 2) ++ (4 to 11)).foreach { i =>
+      write(f"a/images/$i%06d.jpg", jpeg :+ i.toByte)
+    }
+    (1 to 3).foreach(i => write(f"b/$i%06d.jpg", jpeg :+ (100 + i).toByte))
+    write("a/images/cover.jpg", jpeg)
+    val scanned = ClipCatalog.scanFrameDirs(spark, root.toString, "jpg")
+    val rows = scanned.collect().map(r => r.getString(0) -> r.getSeq[Array[Byte]](1)).toMap
+    assert(rows.keySet == Set("a_images", "b"))
+    assert(rows("a_images").map(_.last.toInt) == (1 to 12))
+    assert(rows("b").map(_.last.toInt) == Seq(101, 102, 103))
+    // the scanned table IS a clip table: frame ops run on it unchanged
+    val withBoxes = scanned.where(col("name") === "b")
+      .withColumn("bboxes", expr(
+        "transform(frames, f -> struct(0L as x1, 0L as y1, 32L as x2, 32L as y2))"))
+    val cropped = ImageOps.cropFrames(withBoxes, "name", "frames", "bboxes", outSize = 16)
+      .collect()
+    assert(cropped.length == 3 && cropped.forall(_.isNullAt(3)))
+  }
+
   test("cropFrames produces one row per frame and errors on cardinality mismatch") {
     val jpeg = testJpeg(64, 64)
     val df = Seq(
