@@ -1011,14 +1011,20 @@ object Queries {
       .withColumnRenamed("user_id", "name")
       .withColumn("num_frames", lit(30))
       .withColumn("volume", col("series"))
+      // a tiny synthetic wav2vec matrix (2 dims derived from the series)
+      // drives the resample+window+concat path; the gated columns stay
+      // the windowed volume and the blink constant
+      .withColumn("wav2vec", transform(col("series"), v => array(v, -v)))
       // array_repeat evaluates the 68-struct frame once per row; a
       // transform(sequence(...)) lambda would rebuild it per frame
       .withColumn("landmarks", array_repeat(lm, col("num_frames").cast("int")))
       .transform(df => operators.Sinks.vid2vidAudioFeatures(df))
-      .select(col("name").as("user_id"), posexplode(col("features")))
+      .select(col("name").as("user_id"), col("average_blink"),
+        posexplode(col("volume")))
       .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
-        round(element_at(col("col"), 1), 6).as("vol_feat"),
-        round(element_at(col("col"), 4), 6).as("avg_blink"))
+        round(col("col"), 6).as("vol_feat"),
+        round(element_at(col("average_blink"), (col("pos") + 1).cast("int")), 6)
+          .as("avg_blink"))
   }
 
   private val q36Sql = {

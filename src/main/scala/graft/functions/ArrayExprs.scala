@@ -185,6 +185,51 @@ case class EdgeMovingAvg(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** Per-dimension edge-replicated sliding-window mean over a (T, dim)
+  * matrix column — `average_features` applied to the wav2vec matrix
+  * (`dpl/processor/nodes/h5.py:235-237`): column d of the output is
+  * EdgeMovingAvg of column d of the input, with the same clamped window
+  * and per-dimension accumulation order as the scalar expression. */
+case class EdgeMovingAvgVec(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "edge_moving_avg_vec"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ArrayType(DoubleType, _), _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"edge_moving_avg_vec needs array<array<double>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val rows = Array.tabulate(n)(i => arr.getArray(i).toDoubleArray())
+    val dim = rows(0).length
+    val lo = window - window / 2
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = new Array[Double](dim)
+      var j = i - lo
+      val end = i + window / 2 - 1
+      while (j <= end) {
+        val k = if (j < 0) 0 else if (j >= n) n - 1 else j
+        var d = 0
+        while (d < dim) { v(d) += rows(k)(d); d += 1 }
+        j += 1
+      }
+      var d = 0
+      while (d < dim) { v(d) /= window; d += 1 }
+      out(i) = new GenericArrayData(v)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EdgeMovingAvgVec =
+    copy(child = newChild)
+}
+
 object EdgeMovingAvg {
   def apply(xs: Array[Double], w: Int): Array[Double] = {
     val n = xs.length

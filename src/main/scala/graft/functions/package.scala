@@ -41,6 +41,11 @@ package object functions {
   def edge_moving_avg(x: Column, window: Int): Column =
     ExprBridge.column(EdgeMovingAvg(col2expr(x), window))
 
+  /** Per-dimension edge-replicated moving average over a (T, dim) matrix;
+    * ref `dpl/processor/nodes/h5.py:235-237` (`average_features`). */
+  def edge_moving_avg_vec(x: Column, window: Int): Column =
+    ExprBridge.column(EdgeMovingAvgVec(col2expr(x), window))
+
   /** Audio volume: mean |amplitude| per `hop`-sample frame; ref
     * `dpl/wav2vec/inference.py:94-106` (hop = floor(sample_rate / 50)). */
   def bucket_mean_abs(x: Column, hop: Int): Column =
@@ -127,6 +132,25 @@ package object functions {
     def p(i: Int): Column = element_at(frame, i + 1) // 0-based -> 1-based
     val left = (point_l2(p(37), p(41)) + point_l2(p(38), p(40))) / (point_l2(p(36), p(39)) * 2)
     val right = (point_l2(p(43), p(47)) + point_l2(p(44), p(46))) / (point_l2(p(42), p(45)) * 2)
+    struct(left.as("left_blink"), right.as("right_blink"),
+           ((left + right) / 2).as("average_blink"))
+  }
+
+  /** Blink features for one frame's 68x3 landmark matrix — the npy shape
+    * `landmarks3d[frame]` as `array<array<double>>` — with full 3-D point
+    * distances, matching `np.linalg.norm(points[:, a] - points[:, b],
+    * axis=1)` over 3-vectors (`utils.py:51-65` on landmarks3d,
+    * `a2en.py:33-34`). */
+  def blink_features_xyz(frame: Column): Column = {
+    def p(i: Int): Column = element_at(frame, i + 1) // 0-based -> 1-based
+    def d(a: Int, b: Int): Column = {
+      val (pa, pb) = (p(a), p(b))
+      sqrt(pow(element_at(pa, 1) - element_at(pb, 1), 2)
+        + pow(element_at(pa, 2) - element_at(pb, 2), 2)
+        + pow(element_at(pa, 3) - element_at(pb, 3), 2))
+    }
+    val left = (d(37, 41) + d(38, 40)) / (d(36, 39) * 2)
+    val right = (d(43, 47) + d(44, 46)) / (d(42, 45) * 2)
     struct(left.as("left_blink"), right.as("right_blink"),
            ((left + right) / 2).as("average_blink"))
   }

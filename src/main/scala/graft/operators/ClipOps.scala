@@ -65,6 +65,11 @@ object ClipOps {
     * (`dpl/processor/utils.py:57-65`); lm: array<array<struct<x,y>>>. */
   def blinks(lm: Column): Column = transform(lm, f => blink_features(f))
 
+  /** Per-frame blink features from 3-D landmarks (the npy (T, 68, 3)
+    * shape as array<array<array<double>>>) — the a2en variant
+    * (`a2en.py:33-34`). */
+  def blinks3d(lm: Column): Column = transform(lm, f => blink_features_xyz(f))
+
   /** Audio volume at 50 Hz from a 16 kHz waveform (`wav2vec/inference.py:94-106`). */
   def volume(wav: Column, sampleRate: Int = 16000, fps: Int = 50): Column =
     bucket_mean_abs(wav, sampleRate / fps)

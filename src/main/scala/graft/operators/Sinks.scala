@@ -25,23 +25,39 @@ object Sinks {
 
   /** Build the a2en pack from a clip table with columns
     * (name, wav2vec, volume, exp, pose, landmarks3d, num_frames).
-    * Fails rows with empty audio features (`a2en.py:38-39`) by nulling. */
-  def a2enPack(df: DataFrame): DataFrame = {
+    * Mirrors `a2en.py:24-45`: wav2vec/volume are resampled onto the video
+    * frame count with `fpsCol` — the PROBED per-clip video fps the
+    * reference hands to `resample` (`a2en.py:38-44`) — jaw = pose[:, 3],
+    * and the landmarks3d blink features are packed alongside
+    * (`a2en.py:32-34`). Rows with empty audio features null out
+    * (`a2en.py:38-39` raises; here the error channel catches). */
+  def a2enPack(df: DataFrame, fpsCol: Column): DataFrame = {
     val aligned = df
       .withColumn("wav2vec_at_fps",
         when(size(col("wav2vec")) > 0,
-          graft.functions.linear_resample_vec(col("wav2vec"), col("num_frames"), lit(50.0))))
+          graft.functions.linear_resample_vec(col("wav2vec"), col("num_frames"),
+            fpsCol.cast("double"))))
       .withColumn("volume_at_fps",
         when(size(col("volume")) > 0,
-          graft.functions.linear_resample(col("volume"), col("num_frames"), lit(50.0))))
+          graft.functions.linear_resample(col("volume"), col("num_frames"),
+            fpsCol.cast("double"))))
+      .withColumn("blinks3d", ClipOps.blinks3d(col("landmarks3d")))
     aligned.select(col("name"),
       struct(
         col("wav2vec_at_fps").as("audio_features"),
         col("volume_at_fps").as("volume"),
         col("exp").as("exp"),
         jaw(col("pose")).as("jaw_pose"),
-        col("landmarks3d").as("landmarks3d")).as("a2en"))
+        col("landmarks3d").as("landmarks3d"),
+        transform(col("blinks3d"), b => b("left_blink")).as("left_blink"),
+        transform(col("blinks3d"), b => b("right_blink")).as("right_blink"),
+        transform(col("blinks3d"), b => b("average_blink")).as("average_blink"))
+        .as("a2en"))
   }
+
+  /** 50 Hz default: the wav2vec feature rate, for clips with no probed
+    * fps column. */
+  def a2enPack(df: DataFrame): DataFrame = a2enPack(df, lit(50.0))
 
   def writeA2en(df: DataFrame, path: String): Unit =
     a2enPack(df).write.mode("overwrite")
@@ -52,28 +68,58 @@ object Sinks {
     df.select(col("name"), col("crops"), col("render_uv"), col("render_normal"))
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
 
-  /** Vid2vidAudio feature matrix (`h5.py:163-237`): audio features
-    * resampled onto the frame count, then window-averaged with edge
-    * replication (window 16, `h5.py:235-237` via `as_windowed`), blink
-    * features appended — the concat'd per-frame conditioning matrix. */
-  def vid2vidAudioFeatures(df: DataFrame, windowSize: Int = 16): DataFrame =
+  /** Vid2vidAudio features (`h5.py:163-237`): wav2vec and volume are
+    * resampled onto the frame count (source rate = the node's `fps`
+    * constructor param, `h5.py:175-183`), window-averaged with edge
+    * replication (`average_features`, `h5.py:235-237`), then concatenated
+    * with the blink features into the per-frame conditioning matrix
+    * `[wav2vec | volume | left_blink | right_blink]` (`h5.py:205-214`).
+    * The windowed wav2vec/volume and average_blink stay their own columns
+    * exactly as the reference stores separate datasets (`h5.py:216-226`).
+    * Needs (name, wav2vec, volume, landmarks, num_frames). */
+  def vid2vidAudioFeatures(df: DataFrame, windowSize: Int = 16,
+                           fpsCol: Column = lit(50.0)): DataFrame =
     df.withColumn("vol_at_fps",
-        graft.functions.linear_resample(col("volume"), col("num_frames"), lit(50.0)))
+        graft.functions.linear_resample(col("volume"), col("num_frames"),
+          fpsCol.cast("double")))
       .withColumn("vol_windowed",
         graft.functions.edge_moving_avg(col("vol_at_fps"), windowSize))
+      .withColumn("w2v_at_fps",
+        graft.functions.linear_resample_vec(col("wav2vec"), col("num_frames"),
+          fpsCol.cast("double")))
+      .withColumn("w2v_windowed",
+        graft.functions.edge_moving_avg_vec(col("w2v_at_fps"), windowSize))
       .withColumn("blinks", ClipOps.blinks(col("landmarks")))
-      .withColumn("features",
-        zip_with(col("vol_windowed"), col("blinks"),
-          (v, b) => array(v, b("left_blink"), b("right_blink"), b("average_blink"))))
-      .select(col("name"), col("features"))
+      .withColumn("audio_blink_feature",
+        zip_with(
+          zip_with(col("w2v_windowed"), col("vol_windowed"),
+            (w, v) => concat(w, array(v))),
+          col("blinks"),
+          (wv, b) => concat(wv, array(b("left_blink"), b("right_blink")))))
+      .select(col("name"), col("w2v_windowed").as("wav2vec"),
+        col("vol_windowed").as("volume"),
+        transform(col("blinks"), b => b("average_blink")).as("average_blink"),
+        col("audio_blink_feature"))
+
+  /** The reference's src_seq type roster (`h5.py:107-120`,
+    * SourceSequenceNode.input_types; IMAGES = the frames column). */
+  val SrcSeqTypes: Seq[String] = Seq("frames", "bboxes", "crops", "shape",
+    "exp", "pose", "cam", "light", "landmarks", "landmarks3d",
+    "render_uv", "render_normal")
+
+  /** ...WithAlpha adds the alpha mattes after the images
+    * (`h5.py:144-159`). */
+  val SrcSeqWithAlphaTypes: Seq[String] =
+    SrcSeqTypes.head +: "alpha" +: SrcSeqTypes.tail
 
   /** src_seq pack: wide select + per-frame blink features from landmarks
-    * (`h5.py:132-133`). */
-  def srcSeqPack(df: DataFrame, typeCols: Seq[String]): DataFrame =
+    * (`h5.py:132-139`); `typeCols` defaults to the full reference roster. */
+  def srcSeqPack(df: DataFrame, typeCols: Seq[String] = SrcSeqTypes): DataFrame =
     df.select((col("name") +: typeCols.map(col) :+
       ClipOps.blinks(col("landmarks")).as("blinks")): _*)
 
-  def writeSrcSeq(df: DataFrame, typeCols: Seq[String], path: String): Unit =
+  def writeSrcSeq(df: DataFrame, path: String,
+                  typeCols: Seq[String] = SrcSeqTypes): Unit =
     srcSeqPack(df, typeCols).write.mode("overwrite")
       .option("compression", "zstd").parquet(path)
 }

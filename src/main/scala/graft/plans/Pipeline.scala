@@ -240,9 +240,15 @@ object OpRegistry {
     "a2en" -> new ClipOp {
       val inputTypes = Seq("frames", "wav2vec", "volume", "exp", "pose", "landmarks3d")
       val outputTypes = Seq("a2en")
-      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        // the reference probes the video fps per clip (`a2en.py:38`): use
+        // the probe_fps column when the graph produced it, else the param
+        val fps =
+          if (df.columns.contains("fps")) col("fps")
+          else lit(p(params, "fps", 50.0))
         df.join(graft.operators.Sinks.a2enPack(
-          df.withColumn("num_frames", size(col("frames")))), Seq("name"))
+          df.withColumn("num_frames", size(col("frames"))), fps), Seq("name"))
+      }
     },
     "vid2vid" -> new ClipOp {
       val inputTypes = Seq("crops", "render_uv", "render_normal")
@@ -252,19 +258,37 @@ object OpRegistry {
           struct(col("crops"), col("render_uv"), col("render_normal")))
     },
     "src_seq" -> new ClipOp {
-      val inputTypes = Seq("crops", "landmarks")
+      val inputTypes = graft.operators.Sinks.SrcSeqTypes
       val outputTypes = Seq("src_seq")
       def apply(df: DataFrame, params: Map[String, String]): DataFrame =
-        df.withColumn("src_seq", struct(col("crops"),
-          ClipOps.blinks(col("landmarks")).as("blinks")))
+        df.withColumn("src_seq", struct(
+          graft.operators.Sinks.SrcSeqTypes.map(col) :+
+            ClipOps.blinks(col("landmarks")).as("blinks"): _*))
+    },
+    "src_seq_alpha" -> new ClipOp {
+      val inputTypes = graft.operators.Sinks.SrcSeqWithAlphaTypes
+      val outputTypes = Seq("src_seq")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
+        df.withColumn("src_seq", struct(
+          graft.operators.Sinks.SrcSeqWithAlphaTypes.map(col) :+
+            ClipOps.blinks(col("landmarks")).as("blinks"): _*))
     },
     "vid2vid_audio" -> new ClipOp {
-      val inputTypes = Seq("frames", "volume", "landmarks")
-      val outputTypes = Seq("features")
-      def apply(df: DataFrame, params: Map[String, String]): DataFrame =
-        df.join(graft.operators.Sinks.vid2vidAudioFeatures(
-          df.withColumn("num_frames", size(col("frames"))),
-          p(params, "window_size", 16).toInt), Seq("name"))
+      // reference roster (`h5.py:163-171`); num = the crops count
+      // (`h5.py:178`), fps + window_size = constructor params
+      // (`h5.py:173-183`)
+      val inputTypes = Seq("crops", "render_uv", "render_normal",
+        "wav2vec", "volume", "landmarks")
+      val outputTypes = Seq("vid2vid_audio")
+      def apply(df: DataFrame, params: Map[String, String]): DataFrame = {
+        val packed = graft.operators.Sinks.vid2vidAudioFeatures(
+          df.withColumn("num_frames", size(col("crops"))),
+          p(params, "window_size", 16).toInt,
+          lit(p(params, "fps", 50.0)))
+        df.join(packed.select(col("name"),
+          struct(col("wav2vec"), col("volume"), col("average_blink"),
+            col("audio_blink_feature")).as("vid2vid_audio")), Seq("name"))
+      }
     })
 
   /** The reference registers nodes under their Python class names
@@ -289,6 +313,7 @@ object OpRegistry {
     "A2enDatasetNode" -> "a2en",
     "Vid2vidDatasetNode" -> "vid2vid",
     "SourceSequenceNode" -> "src_seq",
+    "SourceSequenceWithAlphaNode" -> "src_seq_alpha",
     "Vid2vidAudioNode" -> "vid2vid_audio")
 
   def resolve(name: String): Option[ClipOp] = ops.get(aliases.getOrElse(name, name))

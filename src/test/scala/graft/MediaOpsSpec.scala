@@ -112,16 +112,60 @@ class MediaOpsSpec extends SparkTestBase {
   }
 
   test("a2en pack aligns audio features onto video frames") {
+    // one frame of 68-point 3-D landmarks (the npy (T, 68, 3) shape)
+    val lm3d = Seq.tabulate(68)(i =>
+      Seq(i.toDouble, (i * 3 % 7).toDouble, (i * 5 % 11).toDouble))
     val df = Seq((
       "clip", // 100 audio frames @50Hz, 2-dim wav2vec; 30 video frames
       Seq.tabulate(100)(i => Seq(i.toDouble, i * 2.0)),
       Seq.tabulate(100)(_.toDouble),
       Seq(Seq(1.0, 2.0)), Seq(Seq(0.0, 0.0, 0.0, 0.5, 0.0, 0.0)),
-      Seq(Seq(Seq(1.0, 2.0, 3.0))), 30))
+      Seq(lm3d), 30))
       .toDF("name", "wav2vec", "volume", "exp", "pose", "landmarks3d", "num_frames")
     val packed = Sinks.a2enPack(df).select("a2en.*").head
     assert(packed.getSeq[Seq[Double]](0).length == 30) // audio_features resampled
     assert(packed.getSeq[Double](1).length == 30)      // volume resampled
     assert(packed.getSeq[Double](3) == Seq(0.5))       // jaw = pose[3]
+    // blink features packed from landmarks3d with full 3-D distances
+    def d(a: Int, b: Int): Double =
+      math.sqrt(Seq(0, 1, 2).map(k => math.pow(lm3d(a)(k) - lm3d(b)(k), 2)).sum)
+    val left = (d(37, 41) + d(38, 40)) / (d(36, 39) * 2)
+    val right = (d(43, 47) + d(44, 46)) / (d(42, 45) * 2)
+    assert(packed.getSeq[Double](5) == Seq(left))
+    assert(packed.getSeq[Double](6) == Seq(right))
+    assert(packed.getSeq[Double](7) == Seq((left + right) / 2))
+    // the probed-fps column is plumbed through; note the reference's
+    // resample is fps-INVARIANT (length_sec and both sample grids scale
+    // by 1/fps together, so the interpolation weights cancel) — passing
+    // the probed fps is parity, not a numeric change
+    val at25 = Sinks.a2enPack(df, lit(25.0)).select("a2en.*").head
+    assert(at25.getSeq[Double](1) == packed.getSeq[Double](1))
+  }
+
+  test("vid2vid_audio concats [wav2vec | volume | blinks] per frame") {
+    val n = 10
+    val df = Seq(("c",
+      Seq.tabulate(20)(i => Seq(i.toDouble, -i.toDouble)), // wav2vec (20 x 2)
+      Seq.tabulate(20)(i => i.toDouble),                   // volume (20)
+      n))
+      .toDF("name", "wav2vec", "volume", "num_frames")
+      .withColumn("landmarks", expr(s"array_repeat(transform(sequence(0, 67)," +
+        s" i -> struct(CAST(i AS DOUBLE) as x, CAST(i * 7 % 13 AS DOUBLE) as y)), $n)"))
+    val out = Sinks.vid2vidAudioFeatures(df, windowSize = 4).head
+    val w2v = out.getSeq[collection.Seq[Double]](1)
+    val vol = out.getSeq[Double](2)
+    val avg = out.getSeq[Double](3)
+    val feat = out.getSeq[collection.Seq[Double]](4)
+    assert(w2v.length == n && vol.length == n && avg.length == n && feat.length == n)
+    (0 until n).foreach { t =>
+      // layout: [wav2vec dims (2) | volume | left_blink | right_blink]
+      assert(feat(t).length == 5)
+      assert(feat(t)(0) == w2v(t)(0) && feat(t)(1) == w2v(t)(1))
+      assert(feat(t)(2) == vol(t))
+      // wav2vec dim 0 IS the volume series, dim 1 its negation: the
+      // per-dimension resample+window path must agree bit-for-bit with
+      // the scalar path
+      assert(w2v(t)(0) == vol(t) && w2v(t)(1) == -vol(t))
+    }
   }
 }

@@ -114,12 +114,16 @@ class PipelineSpec extends SparkTestBase {
     }
     val clips = Seq(("clip_c", Seq(jpeg(5), jpeg(6)))).toDF("name", "frames")
     val dir = java.nio.file.Files.createTempDirectory("graft-align").toString
+    // src_seq requires the reference's full 12-type roster (`h5.py:107-120`),
+    // so the branch runs the whole stack: emoca codes, FLAME geometry and
+    // the renders all feed the pack
     val pipe = Pipeline(Seq(
-      NodeSpec("face_alignment"), NodeSpec("fixed_bboxes"),
-      NodeSpec("crop"), NodeSpec("src_seq")), dir)
+      NodeSpec("face_alignment"), NodeSpec("fixed_bboxes"), NodeSpec("crop"),
+      NodeSpec("emoca"), NodeSpec("flame"), NodeSpec("render"),
+      NodeSpec("src_seq")), dir)
     val (out, rep) = pipe.execute(spark, clips)
-    assert(Set("landmarks", "bboxes", "crops", "src_seq")
-      .subsetOf(out.columns.toSet))
+    assert(Set("landmarks", "bboxes", "crops", "shape", "landmarks3d",
+      "render_uv", "src_seq").subsetOf(out.columns.toSet))
     val processed = rep.find(r => r.node == "_pipeline" && r.status == "processed").get.count
     assert(processed == 1)
     val row = spark.read.parquet(s"$dir/clips")
