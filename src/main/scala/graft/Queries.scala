@@ -1448,6 +1448,68 @@ object Queries {
        |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** BPE-training pair statistics: adjacent character-pair frequencies
+    * weighted by token frequency — the counting step of byte-pair-encoding
+    * tokenizer training, over the distinct-token table. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", 50)
+      .select(col("pair"), col("cnt"), col("rank").cast("long").as("rank"))
+
+  private val q49Sql =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+       |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, len(token)),
+       |           i -> token[i:i] || token[i+1:i+1])) AS pair, freq
+       |  FROM f WHERE len(token) >= 2),
+       |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair),
+       |r AS (SELECT pair, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+       |      FROM c)
+       |SELECT pair, cnt, rank FROM r WHERE rank <= 50""".stripMargin
+
+  /** Per-document TF-IDF top terms (tf = count/ntok, idf = ln(N/df)):
+    * the classic relevance-weighting rollup — three partial-aggregated
+    * shuffles and a per-doc window. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+
+  private val q50Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |nt AS (SELECT doc_id, count(*) AS ntok FROM toks GROUP BY doc_id),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    round((CAST(tf.tf AS DOUBLE) / CAST(nt.ntok AS DOUBLE))
+       |      * ln(n.n / CAST(dfq.df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN nt USING (doc_id) JOIN dfq USING (token) CROSS JOIN n),
+       |r AS (SELECT doc_id, token, tfidf,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY tfidf DESC, token ASC) AS rank
+       |      FROM scored)
+       |SELECT doc_id, token, tfidf, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** Deterministic hash-bucketed train/validation/test split — the q47
+    * rolling hash over the doc id string, modulo 100 buckets. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id")
+
+  private val q51Sql =
+    """SELECT doc_id, b AS bucket,
+      |  CASE WHEN b < 80 THEN 'train'
+      |       WHEN b < 90 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(split(CAST(doc_id AS VARCHAR), ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100 AS b
+      |  FROM documents)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1500,5 +1562,8 @@ object Queries {
     "q45_stratified_sample" -> Q(q45, Some(q45Sql)),
     "q46_asof_forward" -> Q(q46, Some(q46Sql)),
     "q47_contamination" -> Q(q47, Some(q47Sql)),
-    "q48_kmeans_ivf" -> Q(q48, Some(q48Sql)))
+    "q48_kmeans_ivf" -> Q(q48, Some(q48Sql)),
+    "q49_bpe_pairs" -> Q(q49, Some(q49Sql)),
+    "q50_tfidf" -> Q(q50, Some(q50Sql)),
+    "q51_hash_split" -> Q(q51, Some(q51Sql)))
 }

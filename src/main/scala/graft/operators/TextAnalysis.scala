@@ -127,6 +127,71 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
         lit(LongNumRe), lit("<NUM>")).as("redacted"))
 
+  /** BPE-training pair statistics: the frequency of each adjacent
+    * character pair across the corpus, weighted by token frequency — the
+    * inner counting step of byte-pair-encoding tokenizer training. The
+    * corpus collapses to the distinct-token table FIRST (one shuffle with
+    * map-side combine); pair explosion runs over distinct tokens only, so
+    * the quadratic-ish character work never touches corpus-sized data.
+    * Top-k via the same TakeOrderedAndProject + array-fold rank as
+    * [[vocabTopK]]. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tokenFreq = df.select(explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val pairs = tokenFreq
+      .where(length(col("token")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("token")) - 1),
+        i => concat(col("token").substr(i, lit(1)),
+          col("token").substr(i + 1, lit(1))))).as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+    pairs.orderBy(col("cnt").desc, col("pair").asc).limit(k)
+      .agg(array_sort(collect_list(struct((-col("cnt")).as("neg_cnt"),
+        col("pair").as("pair"), col("cnt").as("cnt")))).as("arr"))
+      .select(posexplode(col("arr")))
+      .select(col("col.pair").as("pair"), col("col.cnt").as("cnt"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Per-document TF-IDF top terms: tf = in-doc count / doc length,
+    * idf = ln(N / docfreq), top-k terms per document. Three partial-
+    * aggregated shuffles (doc-term counts, doc lengths, doc frequencies)
+    * and one per-doc window — the document-frequency side is the small
+    * distinct-token table and broadcasts when it fits. `n` is the corpus
+    * size (one bounded count action). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(ws_tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(ntok, "doc_id").join(dfreq, "token")
+      .select(col("doc_id"), col("token"),
+        round((col("tf").cast("double") / col("ntok").cast("double"))
+          * log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"),
+        col("rk").cast("long").as("rank"))
+  }
+
+  /** Deterministic train/validation/test assignment: a content-
+    * independent rolling hash of the document id modulo 100 buckets —
+    * the standard reproducible corpus split (stable across runs,
+    * partitionings and engines, unlike rand()-based splits). Zero
+    * shuffle, codegen'd hash. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    df.select(col(idCol),
+        (rolling_hash(col(idCol).cast("string")) % 100).as("bucket"))
+      .select(col(idCol), col("bucket"),
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + validPct, lit("validation"))
+          .otherwise(lit("test")).as("split"))
+
   /** Corpus vocabulary: global token counts, top-k by (count desc, token).
     * One shuffle with map-side partial aggregation; the top-k itself is
     * `orderBy(...).limit(k)` which compiles to TakeOrderedAndProject —
