@@ -179,6 +179,13 @@ package object functions {
   def ivf_probes(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ExprBridge.column(IvfProbes(col2expr(v), centroids.map(_.toSeq).toSeq, nProbe))
 
+  /** Deterministic HyperLogLog distinct-count aggregate (2^p registers,
+    * md5-based, partial-aggregating; see [[HllDistinct]]). The estimate
+    * is identical under any partitioning and exactly reproducible by a
+    * SQL oracle. */
+  def hll_distinct(c: Column, p: Int = 10): Column =
+    ExprBridge.column(HllDistinct(col2expr(c), p).toAggregateExpression())
+
   // ---------------------------------------------------------------------
   // Text analytics
   // ---------------------------------------------------------------------
