@@ -1510,6 +1510,71 @@ object Queries {
       |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100 AS b
       |  FROM documents)""".stripMargin
 
+  /** DuckDB replay of [[graft.functions.HllDistinct]] at precision `p`:
+    * same md5 top-60-bit hash, same register/rho split, byte-max register
+    * merge via `max(rho)`, the estimator folded in ascending register order
+    * (each term an exact power of two, so the floating sum is order-pinned),
+    * and the same linear-counting small-range branch. `src` must expose
+    * columns `(g, v)`. */
+  private def hllSql(src: String, p: Int): String = {
+    val m = 1 << p
+    val tb = 60 - p
+    val mask = (1L << tb) - 1
+    s"""WITH vals AS (SELECT g, v FROM $src),
+       |h AS (SELECT g, ${md5LongSql("v")} AS h FROM vals),
+       |rr AS (
+       |  SELECT g, h >> $tb AS reg,
+       |    CASE WHEN (h & $mask) = 0 THEN ${tb + 1}
+       |         ELSE $tb - length(bin(h & $mask)) + 1 END AS rho
+       |  FROM h),
+       |mx AS (SELECT g, reg, max(rho) AS mr FROM rr GROUP BY g, reg),
+       |allr AS (
+       |  SELECT gs.g, r.i, coalesce(mx.mr, 0) AS r
+       |  FROM (SELECT DISTINCT g FROM vals) gs
+       |  CROSS JOIN range(0, $m) r(i)
+       |  LEFT JOIN mx ON mx.g = gs.g AND mx.reg = r.i),
+       |agg AS (
+       |  SELECT g,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(1.0 / CAST(1::BIGINT << r AS DOUBLE) ORDER BY i)),
+       |      (a, x) -> a + x) AS s,
+       |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+       |  FROM allr GROUP BY g),
+       |est AS (
+       |  SELECT g, (0.7213 / (1 + 1.079 / $m)) * $m * $m / s AS raw, zeros
+       |  FROM agg)
+       |SELECT g, round(CASE WHEN raw <= 2.5 * $m AND zeros > 0
+       |          THEN $m * ln(CAST($m AS DOUBLE) / zeros) ELSE raw END, 6) AS est
+       |FROM est""".stripMargin
+  }
+
+  /** HyperLogLog distinct-count sketches per language: estimated vocabulary
+    * size (p=10, lands in the linear-counting branch at these vocab sizes)
+    * and estimated document count (p=4, lands in the raw-estimator branch)
+    * — one scan per measure, a 2^p-byte buffer per group across the
+    * shuffle instead of a distinct-shuffle of every value. The oracle
+    * replays the sketch bit-for-bit (md5 hash, register max-merge,
+    * order-pinned estimator fold); round(_, 6) guards the one libm call
+    * (`ln`) in the linear-counting branch, as in q50. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = docs.select(col("lang"), explode(ws_tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(round(hll_distinct(col("tok"), 10), 6).as("est_vocab"))
+    val ndocs = docs.groupBy("lang")
+      .agg(round(hll_distinct(col("doc_id").cast("string"), 4), 6).as("est_docs"))
+    vocab.join(ndocs, "lang")
+  }
+
+  private val q52Sql = {
+    val vocabSrc =
+      s"(SELECT lang AS g, unnest($toksSql) AS v FROM documents)"
+    val docSrc =
+      "(SELECT lang AS g, CAST(doc_id AS VARCHAR) AS v FROM documents)"
+    s"""SELECT v.g AS lang, v.est AS est_vocab, d.est AS est_docs
+       |FROM (${hllSql(vocabSrc, 10)}) v
+       |JOIN (${hllSql(docSrc, 4)}) d ON v.g = d.g""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1565,5 +1630,6 @@ object Queries {
     "q48_kmeans_ivf" -> Q(q48, Some(q48Sql)),
     "q49_bpe_pairs" -> Q(q49, Some(q49Sql)),
     "q50_tfidf" -> Q(q50, Some(q50Sql)),
-    "q51_hash_split" -> Q(q51, Some(q51Sql)))
+    "q51_hash_split" -> Q(q51, Some(q51Sql)),
+    "q52_hll_distinct" -> Q(q52, Some(q52Sql)))
 }

@@ -98,6 +98,34 @@ class ScaleSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("hll_distinct partial-aggregates: registers, not values, cross the shuffle") {
+    val df = (0L until 2000L).map(i => (s"g${i % 3}", s"v${i % 701}"))
+      .toDF("g", "v").repartition(7)
+    val agg = df.groupBy("g").agg(graft.functions.hll_distinct(col("v"), 10).as("est"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate partial/final:
+    // the map side folds values into the 2^p-byte register buffer and only
+    // that buffer crosses the exchange — the 100 TB distinct-count shape.
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate, got:\n$plan")
+    val rows = agg.orderBy("g").collect()
+    assert(rows.length == 3)
+    // estimates track the exact per-group distincts (linear counting is
+    // near-exact at ~667/1024 fill), and must be identical to a single
+    // partition run (reproducibility under partitioning)
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .orderBy("g").collect().map(_.getLong(1))
+    val single = df.coalesce(1).groupBy("g")
+      .agg(graft.functions.hll_distinct(col("v"), 10).as("est"))
+      .orderBy("g").collect()
+    rows.zip(single).zip(exact).foreach { case ((a, b), n) =>
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(1)))
+      assert(math.abs(a.getDouble(1) - n) / n < 0.05,
+        s"est=${a.getDouble(1)} exact=$n")
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     // default warehouse (spark-warehouse/ under the test cwd, gitignored);
     // the in-memory catalog forgets tables between JVMs, so stale

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Coverage for the [[HllDistinct]] sketch aggregate: accuracy envelope
+  * against exact distinct counts, bit-identical results under any
+  * partitioning (the reproducibility contract the oracle relies on),
+  * null handling, and the linear-counting small-range branch.
+  */
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def estimate(values: Seq[String], p: Int, parts: Int = 2): Double =
+    values.toDF("v").repartition(parts)
+      .agg(hll_distinct(col("v"), p).as("est"))
+      .head().getDouble(0)
+
+  test("estimate stays inside the ~1.04/sqrt(m) HLL error envelope") {
+    // duplicated values: 5000 distinct, each appearing 1-3 times
+    val vals = (0 until 5000).flatMap(i => Seq.fill(1 + i % 3)(s"value-$i"))
+    for (p <- Seq(8, 10, 12)) {
+      val m = 1 << p
+      val est = estimate(vals, p)
+      val stdErr = 1.04 / math.sqrt(m.toDouble)
+      // 4 sigma: deterministic (no flake — the hash is fixed), generous
+      // enough that a correct estimator always lands inside
+      assert(math.abs(est - 5000.0) / 5000.0 <= 4 * stdErr,
+        s"p=$p est=$est exact=5000 envelope=${4 * stdErr}")
+    }
+  }
+
+  test("estimate is bit-identical under repartition(1/7/32)") {
+    val vals = (0 until 3000).map(i => s"doc-${i % 1700}")
+    val ref = estimate(vals, 10, parts = 1)
+    for (parts <- Seq(7, 32)) {
+      val est = estimate(vals, 10, parts)
+      assert(java.lang.Double.doubleToLongBits(est) ==
+        java.lang.Double.doubleToLongBits(ref),
+        s"parts=$parts est=$est ref=$ref not bit-identical")
+    }
+  }
+
+  test("grouped estimates ignore nulls and empty groups never appear") {
+    val df = Seq(
+      ("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1")
+    ).toDF("g", "v")
+      .union(Seq(("a", null.asInstanceOf[String])).toDF("g", "v"))
+    val out = df.groupBy("g").agg(hll_distinct(col("v"), 10).as("est"))
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    // small-range linear counting is near-exact at these cardinalities
+    assert(math.abs(out(0).getDouble(1) - 2.0) < 0.01) // a: {x1, x2}, null dropped
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 0.01) // b: {y1}
+  }
+
+  test("linear-counting branch is near-exact for small cardinalities") {
+    for (n <- Seq(10, 100, 1000)) {
+      val est = estimate((0 until n).map(i => s"tok-$i"), 12)
+      assert(math.abs(est - n) / n < 0.05, s"n=$n est=$est")
+    }
+  }
+
+  test("precision bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      HllDistinct(org.apache.spark.sql.catalyst.expressions.Literal("x"), p = 3)
+    }
+    intercept[IllegalArgumentException] {
+      HllDistinct(org.apache.spark.sql.catalyst.expressions.Literal("x"), p = 17)
+    }
+  }
+}
