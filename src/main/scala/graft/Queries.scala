@@ -1399,11 +1399,13 @@ object Queries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
          |    FROM vc_$cur) WHERE rn = 1),
          |m_$cur AS (
-         |  SELECT a.cell, r.d,
-         |    CAST(sum(CAST(round(CAST(e.v[r.d] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+         |  SELECT a.cell, u.d AS d,
+         |    CAST(sum(CAST(round(u.x * 1000000) AS BIGINT)) AS BIGINT) AS sm,
          |    count(*) AS n
-         |  FROM a_$cur a JOIN e USING (vec_id), range(1, 65) r(d)
-         |  GROUP BY a.cell, r.d),
+         |  FROM a_$cur a JOIN e USING (vec_id),
+         |    unnest(list_transform(range(1, len(e.v) + 1),
+         |      i -> struct_pack(d := i, x := CAST(e.v[i] AS DOUBLE)))) AS t(u)
+         |  GROUP BY a.cell, u.d),
          |l_$cur AS (
          |  SELECT cell,
          |    list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY d) AS cv

@@ -200,12 +200,20 @@ case class EdgeMovingAvgVec(child: Expression, window: Int)
     case t => TypeCheckResult.TypeCheckFailure(
       s"edge_moving_avg_vec needs array<array<double>>, got $t")
   }
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // null or ragged inner rows null the ROW instead of throwing mid-task
+    // (one malformed clip must not kill the job) — the same convention as
+    // IvfScores' dim-mismatch -> null
+    var i0 = 0
+    while (i0 < n) { if (arr.isNullAt(i0)) return null; i0 += 1 }
     val rows = Array.tabulate(n)(i => arr.getArray(i).toDoubleArray())
     val dim = rows(0).length
+    i0 = 1
+    while (i0 < n) { if (rows(i0).length != dim) return null; i0 += 1 }
     val lo = window - window / 2
     val out = new Array[Any](n)
     var i = 0

@@ -86,15 +86,28 @@ object ClipCatalog {
 
   /** Multi-way inner join on `name` over per-type frames — the reference's
     * `set.intersection` over name sets. Raises if the intersection is empty
-    * (`engine.py:32-33`). Each input must expose a `name` column. */
-  def intersectOnName(inputs: Seq[DataFrame]): DataFrame = {
+    * (`engine.py:32-33`). Each input must expose a `name` column.
+    *
+    * Emptiness is probed in two tiers: each INPUT is always probed with a
+    * limit(1) scan (a scan-only job — a misconfigured catalog with an
+    * empty collection errors without evaluating the join), while the
+    * full-intersection probe is gated by `probeIntersection` because
+    * proving a multi-way join empty requires evaluating it; on a 100 TB
+    * catalog callers can opt out and rely on the per-input tier. */
+  def intersectOnName(inputs: Seq[DataFrame],
+                      probeIntersection: Boolean = true): DataFrame = {
     require(inputs.nonEmpty, "no input collections")
+    inputs.zipWithIndex.foreach { case (in, i) =>
+      if (in.select(lit(1)).limit(1).isEmpty)
+        throw new IllegalArgumentException(s"input collection $i is empty")
+    }
     val joined = inputs.reduce((a, b) => a.join(b, Seq("name"), "inner"))
     // Mirrors engine.py:32-33: an empty name intersection is a
     // configuration error surfaced eagerly at build time. The limit(1)
-    // probe early-exits on the first surviving row, so the check costs one
-    // short job in the common (non-empty) case, not a full evaluation.
-    if (joined.select(lit(1)).limit(1).isEmpty)
+    // probe early-exits on the first surviving row in the common
+    // (non-empty) case; only a genuinely-empty intersection pays the full
+    // join evaluation before erroring.
+    if (probeIntersection && joined.select(lit(1)).limit(1).isEmpty)
       throw new IllegalArgumentException(
         "empty name intersection across input collections")
     joined

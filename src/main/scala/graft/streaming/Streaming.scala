@@ -59,6 +59,9 @@ object Streaming {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.withWatermark("ts", watermarkDelay)
+      // a null event time would NPE below (withWatermark does not drop
+      // null-ts rows) and can never be deduplicated meaningfully
+      .where(col("ts").isNotNull)
       .select(col("content_hash"), col("doc_id"), col("ts"))
       .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -67,19 +70,23 @@ object Streaming {
         case (_, rows, state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toVector
+            // one pass, nothing buffered: track the first row (emitted iff
+            // the key is new) and the max event time (re-arms the TTL)
+            var first: (String, Long) = null
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (first == null) first = (r._1, r._2) // first occurrence wins
+              val t = r._3.getTime
+              if (t > maxTs) maxTs = t
+            }
             val out =
               if (state.exists) Iterator.empty
-              else {
-                state.update(true)
-                batch.iterator.take(1).map(r => (r._1, r._2)) // first occurrence wins
-              }
+              else { state.update(true); Iterator.single(first) }
             // re-arm: expire once the key has been silent for ttlMs of
             // event time (never at-or-before the current watermark, which
             // the state store rejects)
             state.setTimeoutTimestamp(math.max(
-              batch.map(_._3.getTime).max + ttlMs,
-              state.getCurrentWatermarkMs() + 1))
+              maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out
           }
       }
@@ -120,6 +127,7 @@ object Streaming {
     import spark.implicits._
     banded
       .withWatermark("ts", watermarkDelay)
+      .where(col("ts").isNotNull) // null event time would NPE the TTL below
       .select(col("band"), concat_ws(",", col("band_sig")).as("sig"),
         col("doc_id"), col("ts"))
       .as[(Int, String, Long, java.sql.Timestamp)]
@@ -129,14 +137,22 @@ object Streaming {
         case (_, rows, state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toVector
-            val ids = batch.map(_._3).sorted
+            // single pass: only the doc ids are kept (needed for the
+            // deterministic sorted emission order), timestamps are folded
+            // into a running max instead of buffering the tuples
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              ids += r._3
+              val t = r._4.getTime
+              if (t > maxTs) maxTs = t
+            }
+            val sorted = ids.sorted
             val (anchor, rest) =
-              if (state.exists) (state.get, ids) else (ids.head, ids.tail)
+              if (state.exists) (state.get, sorted) else (sorted.head, sorted.tail)
             state.update(anchor)
             state.setTimeoutTimestamp(math.max(
-              batch.map(_._4.getTime).max + ttlMs,
-              state.getCurrentWatermarkMs() + 1))
+              maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             rest.iterator.filter(_ != anchor).map(d => (anchor, d))
           }
       }

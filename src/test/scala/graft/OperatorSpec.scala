@@ -22,6 +22,26 @@ class OperatorSpec extends SparkTestBase {
     assert(df.select(savgol_smooth(col("series"), 5, 2)).head.isNullAt(0))
   }
 
+  test("edge_moving_avg_vec nulls malformed rows instead of throwing") {
+    // ragged inner row (shorter than rows(0))
+    val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0), Seq(3.0)))).toDF("m")
+    assert(ragged.select(edge_moving_avg_vec(col("m"), 4)).head.isNullAt(0))
+    // null inner row
+    val withNull = Seq(Tuple1(Seq(Seq(1.0, 2.0), null.asInstanceOf[Seq[Double]])))
+      .toDF("m")
+    assert(withNull.select(edge_moving_avg_vec(col("m"), 4)).head.isNullAt(0))
+    // well-formed input is unaffected: matches the scalar kernel per column
+    val rows = Array(Array(1.0, 10.0), Array(2.0, 20.0), Array(3.0, 30.0))
+    val ok = Seq(Tuple1(rows.map(_.toSeq).toSeq)).toDF("m")
+      .select(edge_moving_avg_vec(col("m"), 2)).head
+      .getSeq[scala.collection.Seq[Double]](0)
+    val c0 = graft.functions.EdgeMovingAvg(rows.map(_(0)), 2)
+    val c1 = graft.functions.EdgeMovingAvg(rows.map(_(1)), 2)
+    ok.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r(0) - c0(i)) < 1e-12 && math.abs(r(1) - c1(i)) < 1e-12)
+    }
+  }
+
   test("bbox geometry: to_square keeps center, pad then integerize") {
     val df = Seq((10.0, 20.0, 30.0, 30.0, 0.875)).toDF("x1", "y1", "x2", "y2", "c")
     val b = bbox(col("x1"), col("y1"), col("x2"), col("y2"), col("c"))

@@ -152,6 +152,23 @@ class PipelineSpec extends SparkTestBase {
     assert(names == "actor1_take2_video")
   }
 
+  test("intersectOnName raises on an empty input and on an empty intersection") {
+    val a = Seq(("x_1", 1)).toDF("name", "va")
+    val empty = Seq.empty[(String, Int)].toDF("name", "vb")
+    val eIn = intercept[IllegalArgumentException] {
+      ClipCatalog.intersectOnName(Seq(a, empty))
+    }
+    assert(eIn.getMessage.contains("input collection 1 is empty"))
+    val disjoint = Seq(("y_1", 9)).toDF("name", "vb")
+    val eJoin = intercept[IllegalArgumentException] {
+      ClipCatalog.intersectOnName(Seq(a, disjoint))
+    }
+    assert(eJoin.getMessage.contains("empty name intersection"))
+    // opting out of the intersection probe defers emptiness to evaluation
+    assert(ClipCatalog.intersectOnName(Seq(a, disjoint),
+      probeIntersection = false).count() == 0L)
+  }
+
   test("NPY codec reads numpy-written f8/f4/i8 and roundtrips f8") {
     def b64(s: String) = Base64.getDecoder.decode(s)
     val f8 = Npy.read(b64("k05VTVBZAQB2AHsnZGVzY3InOiAnPGY4JywgJ2ZvcnRyYW5fb3JkZXInOiBGYWxzZSwgJ3NoYXBlJzogKDMsKSwgfSAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgICAgIAoAAAAAAAD4PwAAAAAAAALAAAAAsI7wG0I="))
