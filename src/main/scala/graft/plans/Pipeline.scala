@@ -246,8 +246,11 @@ object OpRegistry {
         val fps =
           if (df.columns.contains("fps")) col("fps")
           else lit(p(params, "fps", 50.0))
+        // resample target = the EMOCA code count (`a2en.py:37`:
+        // num = len(data["exp"])) — NOT the video frame count; they
+        // diverge exactly when upstream EMOCA dropped frames
         df.join(graft.operators.Sinks.a2enPack(
-          df.withColumn("num_frames", size(col("frames"))), fps), Seq("name"))
+          df.withColumn("num_frames", size(col("exp"))), fps), Seq("name"))
       }
     },
     "vid2vid" -> new ClipOp {

@@ -89,6 +89,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("a2en op resamples onto the EMOCA code count, not the frame count") {
+    // 5 video frames but only 3 EMOCA codes (upstream dropped 2 frames):
+    // the reference targets num = len(data["exp"]) (`a2en.py:37`)
+    val lm3d = Seq.tabulate(68)(i =>
+      Seq(i.toDouble, (i * 3 % 7).toDouble, (i * 5 % 11).toDouble))
+    val df = Seq((
+      "clip",
+      Seq.fill(5)(Array[Byte](1, 2)),                      // frames: 5
+      Seq.tabulate(100)(i => Seq(i.toDouble, i * 2.0)),    // wav2vec @50Hz
+      Seq.tabulate(100)(_.toDouble),                       // volume
+      Seq.fill(3)(Seq(1.0, 2.0)),                          // exp: 3 codes
+      Seq.fill(3)(Seq(0.0, 0.0, 0.0, 0.5, 0.0, 0.0)),      // pose
+      Seq.fill(3)(lm3d)))                                  // landmarks3d
+      .toDF("name", "frames", "wav2vec", "volume", "exp", "pose", "landmarks3d")
+    val out = graft.plans.OpRegistry.ops("a2en")(df, Map.empty).select("a2en.*").head
+    assert(out.getSeq[Seq[Double]](0).length == 3) // audio_features -> |exp|
+    assert(out.getSeq[Double](1).length == 3)      // volume -> |exp|, not 5
+  }
+
   test("the reference's a2en+vid2vid config graph binds under class-name aliases") {
     // node roster of configs/mead_a2en_vid2vid.json, verbatim class names
     val graph = Seq("VideoToImagesNode", "VideoToWavNode", "Wav2vecNode",
