@@ -1481,7 +1481,7 @@ object Queries {
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
        |nt AS (SELECT doc_id, count(*) AS ntok FROM toks GROUP BY doc_id),
        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nt),
        |scored AS (
        |  SELECT tf.doc_id, tf.token,
        |    round((CAST(tf.tf AS DOUBLE) / CAST(nt.ntok AS DOUBLE))

@@ -157,20 +157,25 @@ object TextAnalysis {
     * idf = ln(N / docfreq), top-k terms per document. Three partial-
     * aggregated shuffles (doc-term counts, doc lengths, doc frequencies)
     * and one per-doc window — the document-frequency side is the small
-    * distinct-token table and broadcasts when it fits. `n` is the corpus
-    * size (one bounded count action). */
+    * distinct-token table and broadcasts when it fits. The corpus size N
+    * comes out of the doc-length aggregate (a count over `ntok`) and
+    * broadcasts as a single-row cross join — no separate driver action,
+    * and no second scan of a derived/filtered input. Documents with no
+    * tokens contribute no rows to `toks` and therefore drop out of N,
+    * exactly as they did for idf purposes before (they hold no terms). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val n = df.count()
     val toks = df.select(col(idCol).as("doc_id"),
       explode(ws_tokens(col(textCol))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(ntok, "doc_id").join(dfreq, "token")
+    val n = ntok.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(ntok, "doc_id")
+      .join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
+      .join(broadcast(n))
       .select(col("doc_id"), col("token"),
         round((col("tf").cast("double") / col("ntok").cast("double"))
-          * log(lit(n.toDouble) / col("df").cast("double")), 6).as("tfidf"))
+          * log(col("n") / col("df").cast("double")), 6).as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)

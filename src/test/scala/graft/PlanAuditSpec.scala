@@ -65,6 +65,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no WindowExec allowed in the top-k plan:\n$plan")
   }
 
+  test("tfidf runs as one action: N comes from the aggregation tree") {
+    // the corpus size must NOT be a separate df.count() action (an extra
+    // full scan when the input is filtered/derived); materializing the
+    // result is the only job group that touches the input
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta t"), (col("id") % 13).cast("string")).as("text"))
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = counter.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.operators.TextAnalysis
+        .tfidfTopTerms(docs, "doc_id", "text", 2).collect()
+      // listener events are posted asynchronously; wait for them to drain
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline && counter.get() < 1) Thread.sleep(200)
+      Thread.sleep(500) // settle: a straggling second action would arrive here
+      assert(out.nonEmpty)
+      // exactly ONE SQL execution — the old count()-based version ran two
+      // (the count action, then the collect)
+      assert(counter.get() == 1, s"expected 1 action, saw ${counter.get()}")
+      // every doc has 3 tokens; idf of the shared tokens uses N=200
+      val shared = out.filter(_.getString(1) == "alpha")
+      assert(shared.forall(_.getDouble(2) == 0.0)) // ln(200/200)=0
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen
