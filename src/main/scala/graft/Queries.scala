@@ -1512,6 +1512,100 @@ object Queries {
       |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100 AS b
       |  FROM documents)""".stripMargin
 
+  /** The a2en pack end-to-end (`a2en.py:24-45`): wav2vec resampled
+    * per-dimension onto the EMOCA code count (linear_resample_vec), volume
+    * resampled likewise, jaw = pose[:, 3], and the 3-D blink ratios from
+    * 68x3 landmarks — the remaining tests-only sink surface, oracle-gated
+    * in the q36 style. The synthetic wav2vec matrix is [v, -v] per sample:
+    * IEEE negation is exact and distributes over the lerp, so dim 1 must
+    * equal -dim 0 bit-for-bit, which the oracle exploits. The landmark
+    * geometry (x = name + i, y = 7i mod 13, z = 5i mod 11) makes the blink
+    * ratio user-independent; the oracle inlines the exact double
+    * (%.17e round-trips). Per-user event counts are 45-99 at every SF, so
+    * the kernel's n == num identity short-circuit never fires for num=24. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val num = 24
+    val lm3d = array((0 until 68).map(i =>
+      array((col("name") + i).cast("double"),
+        lit((i * 7 % 13).toDouble), lit((i * 5 % 11).toDouble))): _*)
+    userSeries(s, dir)
+      .where(size(col("series")) >= 2)
+      .withColumnRenamed("user_id", "name")
+      .withColumn("volume", col("series"))
+      .withColumn("wav2vec", transform(col("series"), v => array(v, -v)))
+      .withColumn("exp",
+        transform(sequence(lit(1), lit(num)), j => array(j.cast("double"))))
+      .withColumn("pose", transform(sequence(lit(0), lit(num - 1)),
+        j => array(lit(0.0), lit(0.0), lit(0.0),
+          (col("name") + j).cast("double"), lit(0.0), lit(0.0))))
+      // array_repeat evaluates the 68-point frame once per row (see q36)
+      .withColumn("landmarks3d", array_repeat(lm3d, lit(num)))
+      // parity: the resample target is the EMOCA code count (`a2en.py:37`)
+      .withColumn("num_frames", size(col("exp")))
+      .transform(df => operators.Sinks.a2enPack(df))
+      .select(col("name").as("user_id"),
+        col("a2en.audio_features").as("af"), col("a2en.jaw_pose").as("jaw"),
+        col("a2en.left_blink").as("lb"), col("a2en.average_blink").as("ab"),
+        posexplode(col("a2en.volume")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("frame_idx"),
+        round(col("col"), 6).as("vol_feat"),
+        round(element_at(element_at(col("af"), (col("pos") + 1).cast("int")), 1), 6)
+          .as("w2v_d0"),
+        round(element_at(element_at(col("af"), (col("pos") + 1).cast("int")), 2), 6)
+          .as("w2v_d1"),
+        round(element_at(col("jaw"), (col("pos") + 1).cast("int")), 6).as("jaw"),
+        round(element_at(col("lb"), (col("pos") + 1).cast("int")), 6).as("left_blink"),
+        round(element_at(col("ab"), (col("pos") + 1).cast("int")), 6).as("avg_blink"))
+  }
+
+  private val q53Sql = {
+    val num = 24
+    def xAt(k: String, n: String, L: String) =
+      s"(CASE WHEN $k = $n - 1 THEN $L ELSE 0.01 + $k * (($L - 0.01) / ($n - 1)) END)"
+    // Exact doubles of blink_features_xyz over the synthetic landmarks
+    // (same op order: sqrt(pow(dx,2) + pow(dy,2) + pow(dz,2)))
+    def dist3(a: Int, b: Int): Double =
+      math.sqrt(math.pow((a - b).toDouble, 2)
+        + math.pow((a * 7 % 13 - b * 7 % 13).toDouble, 2)
+        + math.pow((a * 5 % 11 - b * 5 % 11).toDouble, 2))
+    val left = (dist3(37, 41) + dist3(38, 40)) / (dist3(36, 39) * 2)
+    val right = (dist3(43, 47) + dist3(44, 46)) / (dist3(42, 45) * 2)
+    val leftS = f"$left%.17e"
+    val avgS = f"${(left + right) / 2}%.17e"
+    seriesSqlCte +
+      s"""
+         |, p AS (SELECT DISTINCT user_id, n, n / 50.0 AS L FROM s WHERE n >= 2),
+         |tgt AS (
+         |  SELECT user_id, n, L, j,
+         |    CASE WHEN j = $num - 1 THEN L
+         |         ELSE (1.0 / ((($num) / L) * 2)) + j * ((L - (1.0 / ((($num) / L) * 2))) / ($num - 1))
+         |    END AS tpos
+         |  FROM p CROSS JOIN range(0, $num) r(j)),
+         |seg AS (
+         |  SELECT tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L,
+         |    least(tgt.n - 2,
+         |          count(*) FILTER (WHERE ${xAt("(k.rn - 1)", "tgt.n", "tgt.L")} < tgt.tpos)) AS sg
+         |  FROM tgt JOIN s k ON k.user_id = tgt.user_id AND k.rn >= 2
+         |  GROUP BY tgt.user_id, tgt.j, tgt.tpos, tgt.n, tgt.L),
+         |rs AS (
+         |  SELECT g.user_id, g.j,
+         |    y0.v + ((g.tpos - ${xAt("g.sg", "g.n", "g.L")})
+         |          / (${xAt("(g.sg + 1)", "g.n", "g.L")} - ${xAt("g.sg", "g.n", "g.L")}))
+         |          * (y1.v - y0.v) AS rv
+         |  FROM seg g
+         |  JOIN s y0 ON y0.user_id = g.user_id AND y0.rn = g.sg + 1
+         |  JOIN s y1 ON y1.user_id = g.user_id AND y1.rn = g.sg + 2),
+         |rl AS (SELECT user_id, list(rv ORDER BY j) AS vr FROM rs GROUP BY user_id)
+         |SELECT rl.user_id, CAST(t.i AS BIGINT) AS frame_idx,
+         |  round(vr[t.i], 6) AS vol_feat,
+         |  round(vr[t.i], 6) AS w2v_d0,
+         |  round(-vr[t.i], 6) AS w2v_d1,
+         |  round(CAST(rl.user_id + t.i - 1 AS DOUBLE), 6) AS jaw,
+         |  round($leftS, 6) AS left_blink,
+         |  round($avgS, 6) AS avg_blink
+         |FROM rl, unnest(range(1, ${num + 1})) AS t(i)""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.functions.HllDistinct]] at precision `p`:
     * same md5 top-60-bit hash, same register/rho split, byte-max register
     * merge via `max(rho)`, the estimator folded in ascending register order
@@ -1633,5 +1727,6 @@ object Queries {
     "q49_bpe_pairs" -> Q(q49, Some(q49Sql)),
     "q50_tfidf" -> Q(q50, Some(q50Sql)),
     "q51_hash_split" -> Q(q51, Some(q51Sql)),
-    "q52_hll_distinct" -> Q(q52, Some(q52Sql)))
+    "q52_hll_distinct" -> Q(q52, Some(q52Sql)),
+    "q53_a2en_pack" -> Q(q53, Some(q53Sql)))
 }
