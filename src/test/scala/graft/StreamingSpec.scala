@@ -172,6 +172,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LSH replay is candidate-parity with the batch LSH step") {
+    // The streaming op emits a STAR around each bucket's anchor where the
+    // batch candidate step emits the bucket CLIQUE, so parity modulo
+    // anchor choice means: (1) every streaming edge is a batch candidate
+    // edge, and (2) both edge sets induce the same connected components —
+    // the invariant that matters for dedup clustering.
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "the quick brown fox jumps over the lazy dog again and again",
+      4L -> "pack my box with five dozen liquor jugs every single day now",
+      5L -> "pack my box with five dozen liquor jugs every single day now",
+      6L -> "completely different words that match nothing else in this corpus",
+      7L -> "one more unrelated document with its own vocabulary entirely")
+    // batch candidate step: bucket clique on (band, band_sig)
+    val banded = graft.operators.Dedup.bandedSignatures(
+      texts.toDF("doc_id", "text"), "doc_id", "text")
+    val batchCand = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("band_sig"), col("doc_id").as("id_b")),
+        Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streaming replay of the same corpus across two micro-batches
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val sBanded = graft.operators.Dedup.bandedSignatures(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      extraCols = Seq("ts"))
+    val q = Streaming.streamingLshCandidates(sBanded)
+      .writeStream.format("memory").queryName("lshparity")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts.take(4).map { case (id, t) => (id, t, ts(0)) }: _*)
+      q.processAllAvailable()
+      mem.addData(texts.drop(4).map { case (id, t) => (id, t, ts(1)) }: _*)
+      q.processAllAvailable()
+      val streamCand = spark.table("lshparity").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                   math.max(r.getLong(0), r.getLong(1)))).toSet
+      assert(streamCand.subsetOf(batchCand),
+        s"streaming emitted non-candidates: ${streamCand -- batchCand}")
+      // identical connected components over the full vertex set
+      def components(edges: Set[(Long, Long)]): Set[Set[Long]] = {
+        val parent = scala.collection.mutable.Map(texts.map(_._1).map(k => k -> k): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        texts.map(_._1).groupBy(find).values.map(_.toSet).toSet
+      }
+      assert(components(streamCand) == components(batchCand),
+        s"stream=${components(streamCand)} batch=${components(batchCand)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches views in the click's range") {
     implicit val sqlCtx = spark.sqlContext
     val vMem = MemoryStream[(Long, Timestamp, Long)]
