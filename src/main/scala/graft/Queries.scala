@@ -1380,7 +1380,11 @@ object Queries {
         col("rank").cast("long").as("rank"))
   }
 
-  private val q48Sql = {
+  /** Shared DuckDB replay of 2-iteration Lloyd's k-means + final cell
+    * assignment (used by q48 and q59): leaves CTEs `e` (vec_id, v),
+    * `c_2` (trained codebook), `vc_3` (vector x centroid cosines) and
+    * `assign` (vec_id -> cell) in scope. */
+  private val kmeansAssignSqlCtes = {
     def dot(x: String, y: String) =
       s"""list_reduce(list_transform(range(1, len($x) + 1),
          |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
@@ -1429,7 +1433,11 @@ object Queries {
        |  SELECT vec_id, i AS cell FROM (
        |    SELECT vec_id, i,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
-       |    FROM vc_3) WHERE rn = 1),
+       |    FROM vc_3) WHERE rn = 1)""".stripMargin
+  }
+
+  private val q48Sql =
+    s"""$kmeansAssignSqlCtes,
        |probe AS (
        |  SELECT vec_id AS query_id, i AS cell FROM (
        |    SELECT vec_id, i,
@@ -1448,7 +1456,6 @@ object Queries {
        |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
        |  FROM scored)
        |SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
-  }
 
   /** BPE-training pair statistics: adjacent character-pair frequencies
     * weighted by token frequency — the counting step of byte-pair-encoding
@@ -1671,6 +1678,232 @@ object Queries {
        |JOIN (${hllSql(docSrc, 4)}) d ON v.g = d.g""".stripMargin
   }
 
+  /** Bloom-filter semi-join pruning (the runtime-filter shape): the
+    * high-value order custkeys aggregate to ONE 128-byte filter row,
+    * broadcast onto the customer scan, which is pruned map-side before
+    * the exact join. Output: every bloom-positive customer flagged with
+    * exact membership — the false positives are md5-deterministic, so the
+    * oracle replays them bit-for-bit (m=1024, k=4 over ~160 keys at
+    * sf0.01 -> a few percent FP rate, visible in the gate). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "orders").where(col("o_totalprice") > 494000)
+      .select(col("o_custkey")).distinct()
+    val pruned = Sketches.bloomSemiJoinPrune(
+      hi, col("o_custkey").cast("string"),
+      t(s, dir, "customer"), col("c_custkey").cast("string"), 1024, 4)
+    pruned.join(hi, pruned("c_custkey") === hi("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_custkey").isNotNull.as("exact_match"))
+  }
+
+  private val q54Sql = {
+    val m = 1024
+    val k = 4
+    def pos(h: String, i: String) =
+      s"($h % $m + $i * (1 + ($h // $m) % ${m - 1})) % $m"
+    s"""WITH keys AS (
+       |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 494000),
+       |bits AS (
+       |  SELECT DISTINCT ${pos("kh.h", "t.i")} AS b
+       |  FROM (SELECT ${md5LongSql("CAST(o_custkey AS VARCHAR)")} AS h FROM keys) kh
+       |  CROSS JOIN range(0, $k) t(i)),
+       |cand AS (
+       |  SELECT c_custkey, ${md5LongSql("CAST(c_custkey AS VARCHAR)")} AS h
+       |  FROM customer),
+       |hit AS (
+       |  SELECT c_custkey FROM cand
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM range(0, $k) t(i)
+       |    WHERE ${pos("cand.h", "t.i")} NOT IN (SELECT b FROM bits)))
+       |SELECT h.c_custkey, k2.o_custkey IS NOT NULL AS exact_match
+       |FROM hit h LEFT JOIN keys k2 ON k2.o_custkey = h.c_custkey""".stripMargin
+  }
+
+  /** Line-level exact dedup (CCNet/Dolma paragraph dedup): keep only the
+    * globally first occurrence of every distinct line, reassemble docs.
+    * Gate fixture: "lines" are 12-token chunks (the synthetic texts are
+    * single-line), built via explode+groupBy so tokenization runs once
+    * per document rather than once per chunk under CollapseProject. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lines = docs
+      .select(col("doc_id"), posexplode(ws_tokens(col("text"))).as(Seq("p", "tok")))
+      .groupBy(col("doc_id"), floor(col("p") / 12).as("lp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x("tok")), " ").as("line"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("lp"), col("line")))),
+        x => x("line")).as("lines"))
+    TextAnalysis.dedupLines(lines, "doc_id", "lines")
+  }
+
+  private val q55Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |lines AS (
+       |  SELECT doc_id, u.p AS pos, u.line FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)),
+       |        i -> struct_pack(p := i,
+       |               line := array_to_string(toks[(i * 12 + 1):(i * 12 + 12)], ' '))) AS ls
+       |    FROM tk), unnest(ls) AS t(u)),
+       |h AS (SELECT doc_id, pos, line, ${md5LongSql("line")} AS h FROM lines),
+       |kept AS (
+       |  SELECT doc_id, pos, line FROM (
+       |    SELECT doc_id, pos, line,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM h) WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+       |  coalesce(a.dedup_text, '') AS dedup_text
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
+  /** Count-min sketch frequency probes: ONE scan of the token stream
+    * builds a single 4x32 counter row (partial-aggregated, no token
+    * shuffle), broadcast to the 20 highest-frequency tokens; estimates
+    * are min-over-rows with over-count-only error. The width is sized
+    * BELOW the 31-word synthetic vocabulary on purpose, so the gate
+    * exercises real collisions (5 of the 20 probes over-count) rather
+    * than only the collision-free identity path. Counters are exact
+    * integers on md5 positions, so the oracle replays every cell. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(explode(ws_tokens(col("text"))).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+    Sketches.cmsFrequencies(toks, col("tok"), top, col("tok"), 4, 32)
+      .select(col("tok").as("token"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  private val q56Sql = {
+    val d = 4
+    val w = 32
+    def pos(h: String, j: String) =
+      s"($h % $w + $j * (1 + ($h // $w) % ${w - 1})) % $w"
+    s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |th AS (SELECT tok, ${md5LongSql("tok")} AS h FROM tok),
+       |cells AS (
+       |  SELECT j.i AS row_j, ${pos("th.h", "j.i")} AS pos, count(*) AS cnt
+       |  FROM th CROSS JOIN range(0, $d) j(i)
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+       |top AS (SELECT tok, exact_cnt, ${md5LongSql("tok")} AS h
+       |        FROM exact ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+       |est AS (
+       |  SELECT t.tok, t.exact_cnt, min(c.cnt) AS est_cnt
+       |  FROM top t
+       |  CROSS JOIN range(0, $d) j(i)
+       |  JOIN cells c ON c.row_j = j.i AND c.pos = ${pos("t.h", "j.i")}
+       |  GROUP BY t.tok, t.exact_cnt)
+       |SELECT tok AS token, exact_cnt, est_cnt FROM est""".stripMargin
+  }
+
+  /** Bottom-k (KMV) consistent sampling per language: the k=8 documents
+    * with the smallest md5 hash form a deterministic, engine- and
+    * run-stable sample (the same doc always represents the corpus slice),
+    * and the k-th smallest hash yields the KMV distinct estimate
+    * (k-1)/U_k. Hash order is content-independent, so two corpora sampled
+    * this way can be overlap-compared directly. The window is partitioned
+    * by lang — never global. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val h = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        md5_long(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val totals = h.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    h.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .groupBy("lang")
+      .agg(sort_array(collect_list(col("doc_id"))).as("sample_ids"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .join(totals, "lang")
+      .select(col("lang"), col("sample_ids"),
+        round(when(col("hk").isNull, col("n_total").cast("double"))
+          .otherwise(lit(7.0) * lit(1152921504606846976.0) / col("hk")), 6)
+          .as("est_distinct"))
+  }
+
+  private val q57Sql =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, ${md5LongSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM h),
+       |t AS (SELECT lang, count(*) AS n_total FROM h GROUP BY lang),
+       |s AS (
+       |  SELECT lang, list(doc_id ORDER BY doc_id) AS sample_ids,
+       |    max(CASE WHEN rn = 8 THEN h END) AS hk
+       |  FROM r WHERE rn <= 8 GROUP BY lang)
+       |SELECT s.lang, s.sample_ids,
+       |  round(CASE WHEN s.hk IS NULL THEN CAST(t.n_total AS DOUBLE)
+       |        ELSE 7.0 * 1152921504606846976.0 / s.hk END, 6) AS est_distinct
+       |FROM s JOIN t ON t.lang = s.lang""".stripMargin
+
+  /** Unigram language-model quality scoring (the CCNet LM-filter shape
+    * with a corpus-trained unigram model): token log-probabilities from
+    * the global frequency table, mean log-prob per document. Per-token
+    * log-probs are 1e-6-integer-quantized before the per-doc sum, so the
+    * aggregation is exact integer math — partition-order-independent and
+    * oracle-replayable; the token->logprob join is an equi-join against
+    * an aggregated (vocab-sized) side. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(ws_tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("N"))
+    val lp = freq.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("N")) * lit(1000000.0), 0)
+          .cast("long").as("lp_q"))
+    toks.join(lp, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_q")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slp").cast("double") / (col("n_tokens") * lit(1000000.0)), 6)
+          .as("lm_score"))
+  }
+
+  private val q58Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS N FROM f),
+       |lp AS (
+       |  SELECT tok,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / N) * 1000000.0) AS BIGINT) AS lp_q
+       |  FROM f, tot),
+       |sc AS (
+       |  SELECT doc_id, count(*) AS n_tokens, sum(lp_q) AS slp
+       |  FROM tk JOIN lp USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(slp AS DOUBLE) / (n_tokens * 1000000.0), 6) AS lm_score
+       |FROM sc""".stripMargin
+
+  /** SemDeDup-style semantic dedup: embeddings clustered by the trained
+    * k-means codebook (the q48 quantizer), within-cluster cosine pairs
+    * above the threshold drop the higher id. The oracle replays the full
+    * Lloyd training in SQL and the identical pair predicate — the same
+    * IEEE operation sequence on the same operands on both sides. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, 8, 2)
+    Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+      .select(col("id").as("vec_id"), col("cell"), col("keep"))
+  }
+
+  private val q59Sql =
+    s"""$kmeansAssignSqlCtes,
+       |dropped AS (
+       |  SELECT DISTINCT gb.vec_id AS id
+       |  FROM assign ga
+       |  JOIN assign gb ON ga.cell = gb.cell AND ga.vec_id < gb.vec_id
+       |  JOIN e a ON a.vec_id = ga.vec_id
+       |  JOIN e b ON b.vec_id = gb.vec_id
+       |  WHERE $cosSqlAB >= 0.35)
+       |SELECT g.vec_id, g.cell, d.id IS NULL AS keep
+       |FROM assign g LEFT JOIN dropped d ON d.id = g.vec_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1728,5 +1961,11 @@ object Queries {
     "q50_tfidf" -> Q(q50, Some(q50Sql)),
     "q51_hash_split" -> Q(q51, Some(q51Sql)),
     "q52_hll_distinct" -> Q(q52, Some(q52Sql)),
-    "q53_a2en_pack" -> Q(q53, Some(q53Sql)))
+    "q53_a2en_pack" -> Q(q53, Some(q53Sql)),
+    "q54_bloom_prune" -> Q(q54, Some(q54Sql)),
+    "q55_line_dedup" -> Q(q55, Some(q55Sql)),
+    "q56_cms_freq" -> Q(q56, Some(q56Sql)),
+    "q57_bottomk_sample" -> Q(q57, Some(q57Sql)),
+    "q58_unigram_lm" -> Q(q58, Some(q58Sql)),
+    "q59_semantic_dedup" -> Q(q59, Some(q59Sql)))
 }

@@ -4,7 +4,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -96,4 +98,210 @@ case class HllDistinct(
     copy(inputAggBufferOffset = off)
   override protected def withNewChildInternal(newChild: Expression): HllDistinct =
     copy(child = newChild)
+}
+
+/** Shared deterministic double-hashing scheme for the bit/counter sketches
+  * (Kirsch-Mitzenmacher): from one 60-bit md5 hash `h`, probe `i` lands at
+  * `(h mod m + i * (1 + (h div m) mod (m-1))) mod m`. Every term stays
+  * well inside a non-negative Long (h < 2^60, m <= 2^30, i < 64), so a SQL
+  * oracle replays the positions with plain integer arithmetic. */
+object SketchHash {
+  def positions(h: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = (h % m).toInt
+    val h2 = (1L + (h / m) % (m - 1)).toInt
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) { out(i) = ((h1 + i.toLong * h2) % m).toInt; i += 1 }
+    out
+  }
+}
+
+/** Deterministic Bloom filter build aggregate: `numBits` bits (rounded up
+  * to whole bytes), `numHashes` double-hashed probes per value, byte-OR
+  * partial merge. The 100 TB use is semi-join pruning: aggregate the SMALL
+  * side's join keys to one `m/8`-byte row, broadcast it, and drop most of
+  * the big probe scan with [[BloomContains]] before the exact join — the
+  * classic runtime-filter shape, but as a first-class reusable column.
+  * Bit positions are md5-derived, so membership (including the false
+  * positives) is identical under any partitioning and replayable by the
+  * DuckDB oracle. */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(numBits >= 8 && numBits <= (1 << 30), s"bloom bits out of range: $numBits")
+  require(numHashes >= 1 && numHashes <= 64, s"bloom hashes out of range: $numHashes")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bloom_agg needs string, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte]((numBits + 7) / 8)
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val ps = SketchHash.positions(
+        TextKernels.md5Long(v.asInstanceOf[UTF8String].toString), numBits, numHashes)
+      var i = 0
+      while (i < ps.length) {
+        buf(ps(i) >>> 3) = (buf(ps(i) >>> 3) | (1 << (ps(i) & 7))).toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(off: Int): BloomAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BloomAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** Membership probe against a [[BloomAgg]] filter: true iff all `numHashes`
+  * double-hashed bits are set. Null-safe (null filter or value -> null);
+  * a filter of the wrong byte length -> null rather than a crash, matching
+  * the malformed-input convention of the array kernels. */
+case class BloomContains(left: Expression, right: Expression, numBits: Int, numHashes: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"bloom_contains needs (binary, string), got ($l, $r)")
+  }
+  override def nullSafeEval(filter: Any, value: Any): Any = {
+    val buf = filter.asInstanceOf[Array[Byte]]
+    if (buf.length != (numBits + 7) / 8) null
+    else {
+      val ps = SketchHash.positions(
+        TextKernels.md5Long(value.asInstanceOf[UTF8String].toString), numBits, numHashes)
+      var i = 0
+      while (i < ps.length) {
+        if ((buf(ps(i) >>> 3) & (1 << (ps(i) & 7))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
+/** Deterministic count-min sketch build aggregate: a `depth x width` Long
+  * counter matrix (flattened row-major), one double-hashed column per row
+  * per value, elementwise-sum partial merge. At 100 TB this turns "how
+  * often does each of these probe keys appear in the corpus" into ONE scan
+  * producing a `depth*width*8`-byte row — no token-level shuffle at all —
+  * at the cost of a one-sided (over-count only) error bounded by
+  * ~2N/width per row. Counters are exact integers and positions are
+  * md5-derived, so the sketch (and every estimate read from it) is
+  * bit-identical under any partitioning and replayable in SQL. */
+case class CmsAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+  require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_agg"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cms_agg needs string, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val ps = SketchHash.positions(
+        TextKernels.md5Long(v.asInstanceOf[UTF8String].toString), width, depth)
+      var j = 0
+      while (j < depth) { buf(j * width + ps(j)) += 1L; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): CmsAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): CmsAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): CmsAgg =
+    copy(child = newChild)
+}
+
+/** Point-frequency estimate from a [[CmsAgg]] sketch: min over the `depth`
+  * row counters addressed by the value's double-hashed positions. Null-safe;
+  * a sketch of the wrong length -> null. */
+case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_query"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"cms_query needs (array<long>, string), got ($l, $r)")
+  }
+  override def nullSafeEval(sketch: Any, value: Any): Any = {
+    val arr = sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != depth * width) null
+    else {
+      val ps = SketchHash.positions(
+        TextKernels.md5Long(value.asInstanceOf[UTF8String].toString), width, depth)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < depth) {
+        val c = arr.getLong(j * width + ps(j))
+        if (c < best) best = c
+        j += 1
+      }
+      best
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
+    copy(left = l, right = r)
 }

@@ -186,6 +186,26 @@ package object functions {
   def hll_distinct(c: Column, p: Int = 10): Column =
     ExprBridge.column(HllDistinct(col2expr(c), p).toAggregateExpression())
 
+  /** Deterministic Bloom filter build over a string key column — the
+    * broadcastable semi-join-pruning sketch (see [[BloomAgg]]). */
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
+    ExprBridge.column(BloomAgg(col2expr(c), numBits, numHashes).toAggregateExpression())
+
+  /** Membership probe against a `bloom_agg` filter (no false negatives;
+    * deterministic, oracle-replayable false positives). */
+  def bloom_contains(filter: Column, c: Column, numBits: Int, numHashes: Int): Column =
+    ExprBridge.column(BloomContains(col2expr(filter), col2expr(c), numBits, numHashes))
+
+  /** Deterministic count-min sketch build over a string column
+    * (`depth x width` exact counters; see [[CmsAgg]]). */
+  def cms_agg(c: Column, depth: Int, width: Int): Column =
+    ExprBridge.column(CmsAgg(col2expr(c), depth, width).toAggregateExpression())
+
+  /** Point-frequency estimate from a `cms_agg` sketch (min over rows;
+    * over-count-only error). */
+  def cms_query(sketch: Column, c: Column, depth: Int, width: Int): Column =
+    ExprBridge.column(CmsQuery(col2expr(sketch), col2expr(c), depth, width))
+
   // ---------------------------------------------------------------------
   // Text analytics
   // ---------------------------------------------------------------------

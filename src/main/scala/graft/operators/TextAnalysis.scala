@@ -183,6 +183,36 @@ object TextAnalysis {
         col("rk").cast("long").as("rank"))
   }
 
+  /** Line-level exact deduplication (the CCNet / Dolma paragraph-dedup
+    * shape): across the whole corpus, keep only the globally FIRST
+    * occurrence of each distinct line — earliest (doc id, position) —
+    * and reassemble every document from its surviving lines in order.
+    * Input is (id, array-of-lines); output is (id, n_kept, dedup_text)
+    * with lines rejoined by newline, one row per input document (a doc
+    * whose every line was seen earlier survives with empty text).
+    *
+    * Scale posture: the only corpus-sized shuffles are equi-shuffles on
+    * the 60-bit line hash (first-occurrence argmin, partial-aggregated)
+    * and on doc id (reassembly); the full line text never keys a
+    * shuffle. min(struct(doc, pos)) decomposes, so the argmin combines
+    * map-side. */
+  def dedupLines(df: DataFrame, idCol: String, linesCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("h", md5_long(col("line")))
+    val first = lines.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = lines.join(first, "h")
+      .where(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+    val packed = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_kept"),
+        array_join(transform(col("ls"), x => x("line")), "\n").as("dedup_text"))
+    df.select(col(idCol).as("doc_id")).join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Deterministic train/validation/test assignment: a content-
     * independent rolling hash of the document id modulo 100 buckets —
     * the standard reproducible corpus split (stable across runs,

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Coverage for the [[BloomAgg]]/[[BloomContains]] and [[CmsAgg]]/
+  * [[CmsQuery]] sketches: exact agreement with a driver-side reference
+  * model (the reproducibility contract the oracle relies on), no false
+  * negatives / over-count-only guarantees, bit-identical buffers under any
+  * partitioning, malformed-input null conventions, and parameter bounds.
+  */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Driver-side reference models sharing only md5Long with the SUT.
+  private def refPositions(h: Long, m: Int, k: Int): Seq[Int] = {
+    val h1 = h % m
+    val h2 = 1L + (h / m) % (m - 1)
+    (0 until k).map(i => ((h1 + i.toLong * h2) % m).toInt)
+  }
+
+  private def refBloom(keys: Seq[String], m: Int, k: Int): Array[Byte] = {
+    val buf = new Array[Byte]((m + 7) / 8)
+    for (key <- keys; p <- refPositions(TextKernels.md5Long(key), m, k))
+      buf(p >>> 3) = (buf(p >>> 3) | (1 << (p & 7))).toByte
+    buf
+  }
+
+  private def refCms(vals: Seq[String], d: Int, w: Int): Array[Long] = {
+    val buf = new Array[Long](d * w)
+    for (v <- vals) {
+      val ps = refPositions(TextKernels.md5Long(v), w, d)
+      for (j <- 0 until d) buf(j * w + ps(j)) += 1L
+    }
+    buf
+  }
+
+  test("bloom filter bytes equal the reference model under any partitioning") {
+    val keys = (0 until 300).map(i => s"key-$i")
+    val expected = refBloom(keys, 1024, 4)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = keys.toDF("k").repartition(parts)
+        .agg(bloom_agg(col("k"), 1024, 4).as("f"))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(got, expected), s"parts=$parts")
+    }
+  }
+
+  test("bloom has no false negatives and a plausible false-positive rate") {
+    val members = (0 until 200).map(i => s"member-$i")
+    val f = members.toDF("k").agg(bloom_agg(col("k"), 4096, 4).as("f"))
+    val probes = (members ++ (0 until 2000).map(i => s"other-$i")).toDF("k")
+    val hits = probes.crossJoin(f)
+      .select(col("k"), bloom_contains(col("f"), col("k"), 4096, 4).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(hits(_)), "false negative")
+    val fp = (0 until 2000).count(i => hits(s"other-$i"))
+    // n=200, m=4096, k=4 -> theoretical fp ~ (1-e^{-800/4096})^4 ~ 0.1%
+    assert(fp <= 20, s"false-positive count $fp implausibly high")
+  }
+
+  test("bloom_contains nulls out on a wrong-length filter and null inputs") {
+    val out = Seq(("x", Array[Byte](1, 2, 3))).toDF("k", "f")
+      .select(
+        bloom_contains(col("f"), col("k"), 1024, 4).as("bad_len"),
+        bloom_contains(lit(null).cast("binary"), col("k"), 1024, 4).as("null_f"),
+        bloom_contains(col("f"), lit(null).cast("string"), 24, 2).as("null_k"))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+
+  test("cms counters equal the reference model under any partitioning") {
+    val vals = (0 until 5000).map(i => s"tok-${i % 700}")
+    val expected = refCms(vals, 4, 512)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(cms_agg(col("v"), 4, 512).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]](0)
+      assert(got.toArray.sameElements(expected), s"parts=$parts")
+    }
+  }
+
+  test("cms estimates never undercount and are exact without collisions") {
+    val vals = (0 until 400).flatMap(i => Seq.fill(1 + i % 5)(s"w$i"))
+    val exact = vals.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    val sk = vals.toDF("v").agg(cms_agg(col("v"), 4, 2048).as("sk"))
+    val est = exact.keys.toSeq.toDF("v").crossJoin(sk)
+      .select(col("v"), cms_query(col("sk"), col("v"), 4, 2048).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) => assert(est(v) >= n, s"undercount for $v") }
+    // min-over-4-rows at width 2048 with 400 keys: collisions in all 4 rows
+    // are vanishingly rare, so most estimates are exact
+    val exactCount = exact.count { case (v, n) => est(v) == n }
+    assert(exactCount >= 390, s"only $exactCount/400 exact")
+  }
+
+  test("cms_query nulls out on a wrong-length sketch") {
+    val out = Seq(("x", Seq(1L, 2L, 3L))).toDF("v", "sk")
+      .select(cms_query(col("sk"), col("v"), 4, 512).as("bad")).head()
+    assert(out.isNullAt(0))
+  }
+
+  test("sketch parameter bounds are enforced") {
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 4, numHashes = 4) }
+    intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 1024, numHashes = 0) }
+    intercept[IllegalArgumentException] { CmsAgg(lit, depth = 0, width = 512) }
+    intercept[IllegalArgumentException] { CmsAgg(lit, depth = 4, width = 4) }
+  }
+}

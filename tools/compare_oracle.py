@@ -38,8 +38,19 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
     except Exception as e:
         results[qname] = (False, f"ORACLE-SQL-FAIL {type(e).__name__}: {e}")
         continue
-    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
-    b = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    # list/array cells (e.g. minhash signatures, bottom-k samples) are
+    # unhashable/unsortable in pandas — freeze them to tuples first;
+    # tuple equality stays exact elementwise
+    def freeze(df):
+        import numpy as np
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        return df
+    a = freeze(spark_df).reindex(sorted(spark_df.columns), axis=1)
+    b = freeze(duck_df).reindex(sorted(duck_df.columns), axis=1)
     if list(a.columns) != list(b.columns):
         results[qname] = (False, f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
         continue
