@@ -712,30 +712,36 @@ object Queries {
   private def q26(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdTable(t(s, dir, "documents"), "doc_id", "text")
 
-  private val q26Sql = {
+  /** Shared DuckDB fragments for the language-ID argmax (q26, q60):
+    * per-language stopword-hit scores over a `tk` token list, the `best`
+    * greatest-of expression, and the first-declared-wins CASE over a
+    * `best` column. */
+  private val (langBestSql, langCasesSql) = {
     val scores = TextAnalysis.LangProfiles.map { case (lang, sw) =>
       val set = sw.map(w => s"'$w'").mkString("[", ", ", "]")
       lang -> s"len(list_filter(tk, x -> list_contains($set, x)))"
     }
-    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
-    val cases = scores.map { case (lang, sc) => s"WHEN $sc = best THEN '$lang'" }
-      .mkString("\n  ")
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-       |wb AS (SELECT doc_id, tk, $best AS best FROM toks)
-       |SELECT doc_id, CASE $cases END AS lang_pred FROM wb""".stripMargin
+    (scores.map(_._2).reduce((a, b) => s"greatest($a, $b)"),
+      scores.map { case (lang, sc) => s"WHEN $sc = best THEN '$lang'" }
+        .mkString("\n  "))
   }
+
+  private val q26Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |wb AS (SELECT doc_id, tk, $langBestSql AS best FROM toks)
+       |SELECT doc_id, CASE $langCasesSql END AS lang_pred FROM wb""".stripMargin
 
   private def q27(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")
       .withColumn("n_tokens", col("n_tokens").cast("long"))
 
-  private val q27Sql = {
+  /** Shared DuckDB fragments for the quality features (q27, q60): the
+    * feature-CTE column list (expects `text`, `tk` in scope) and the
+    * composite-score expression (expects the feature columns in scope). */
+  private val qualityFeatSql = {
     val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
-       |f AS (
-       |  SELECT doc_id,
-       |    CAST(len(tk) AS DOUBLE) AS ntok,
+    s"""CAST(len(tk) AS DOUBLE) AS ntok,
        |    CASE WHEN len(tk) > 0
        |      THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
        |           / CAST(len(tk) AS DOUBLE)
@@ -747,18 +753,27 @@ object Queries {
        |    CASE WHEN len(tk) > 0
        |      THEN CAST(len(list_filter(tk, x -> list_contains($allStops, x))) AS DOUBLE)
        |           / CAST(len(tk) AS DOUBLE)
-       |      ELSE 0.0 END AS stopword_ratio
+       |      ELSE 0.0 END AS stopword_ratio""".stripMargin
+  }
+
+  private val qualityScoreSql =
+    """round((CASE WHEN ntok >= 20 AND ntok <= 400 THEN 1.0 ELSE 0.0 END
+      |       + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.0 END
+      |       + alnum_ratio
+      |       + least(stopword_ratio * 5, 1.0)) / 4, 6)""".stripMargin
+
+  private val q27Sql =
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
        |  FROM toks)
        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
        |  round(mean_tok_len, 6) AS mean_tok_len,
        |  round(alnum_ratio, 6) AS alnum_ratio,
        |  round(stopword_ratio, 6) AS stopword_ratio,
-       |  round((CASE WHEN ntok >= 20 AND ntok <= 400 THEN 1.0 ELSE 0.0 END
-       |       + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 1.0 ELSE 0.0 END
-       |       + alnum_ratio
-       |       + least(stopword_ratio * 5, 1.0)) / 4, 6) AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM f""".stripMargin
-  }
 
   /** Rolling-hash document fingerprints (UTF-16 code units; zh text is BMP
     * so DuckDB codepoints agree). */
@@ -1505,19 +1520,24 @@ object Queries {
   private def q51(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id")
 
-  private val q51Sql =
-    """SELECT doc_id, b AS bucket,
-      |  CASE WHEN b < 80 THEN 'train'
-      |       WHEN b < 90 THEN 'validation'
-      |       ELSE 'test' END AS split
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST(coalesce(list_reduce(
+  /** Shared DuckDB fragment (q51, q60): rolling-hash split bucket of the
+    * stringified doc id. */
+  private val idBucketSql =
+    """CAST(coalesce(list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
       |        list_transform(split(CAST(doc_id AS VARCHAR), ''),
       |          c -> CAST(unicode(c) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100 AS b
-      |  FROM documents)""".stripMargin
+      |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100""".stripMargin
+
+  private val q51Sql =
+    s"""SELECT doc_id, b AS bucket,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    $idBucketSql AS b
+       |  FROM documents)""".stripMargin
 
   /** The a2en pack end-to-end (`a2en.py:24-45`): wav2vec resampled
     * per-dimension onto the EMOCA code count (linear_resample_vec), volume
@@ -1904,6 +1924,40 @@ object Queries {
        |SELECT g.vec_id, g.cell, d.id IS NULL AS keep
        |FROM assign g LEFT JOIN dropped d ON d.id = g.vec_id""".stripMargin
 
+  /** The full curation pipeline as one gate (TextAnalysis.curate):
+    * quality >= 0.8 + canonical copy per distinct text + language ID +
+    * deterministic split, fused over a single tokenization pass with the
+    * exact-dedup argmin as the only aggregation. The oracle composes the
+    * SAME shared SQL fragments as q26/q27/q51 (langBestSql/langCasesSql,
+    * qualityFeatSql/qualityScoreSql, idBucketSql), so the composed
+    * pipeline and its pieces can never drift apart. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curate(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q60Sql =
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id, tk,
+       |    $qualityFeatSql
+       |  FROM toks),
+       |q AS (
+       |  SELECT doc_id, tk, CAST(ntok AS BIGINT) AS n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM f),
+       |wb AS (SELECT doc_id, tk, $langBestSql AS best FROM toks),
+       |lang AS (SELECT doc_id, CASE $langCasesSql END AS lang_pred FROM wb),
+       |sp AS (SELECT doc_id, $idBucketSql AS b FROM documents),
+       |canon AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+       |SELECT q.doc_id, lang.lang_pred, q.n_tokens, q.quality_score,
+       |  CASE WHEN sp.b < 80 THEN 'train'
+       |       WHEN sp.b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM q
+       |JOIN lang ON lang.doc_id = q.doc_id
+       |JOIN sp ON sp.doc_id = q.doc_id
+       |JOIN canon c ON c.keep_id = q.doc_id
+       |WHERE q.quality_score >= 0.8""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1967,5 +2021,6 @@ object Queries {
     "q56_cms_freq" -> Q(q56, Some(q56Sql)),
     "q57_bottomk_sample" -> Q(q57, Some(q57Sql)),
     "q58_unigram_lm" -> Q(q58, Some(q58Sql)),
-    "q59_semantic_dedup" -> Q(q59, Some(q59Sql)))
+    "q59_semantic_dedup" -> Q(q59, Some(q59Sql)),
+    "q60_curation_pipeline" -> Q(q60, Some(q60Sql)))
 }

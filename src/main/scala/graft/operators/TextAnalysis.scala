@@ -34,32 +34,35 @@ object TextAnalysis {
     size(filter(tokens, t => array_contains(sw, t)))
   }
 
-  /** Predicted language per row: argmax of stopword-hit scores,
-    * first-declared wins ties. Tokens and per-language scores are staged as
-    * real columns — a single-Column formulation would duplicate every score
-    * expression once per `when` branch (2^5 blowup). */
-  def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Adds per-language score columns, `best` and `lang_pred` to a frame
+    * that already has a staged `toks` column. Scores are real columns —
+    * a single-Column formulation would duplicate every score expression
+    * once per `when` branch (2^5 blowup). */
+  private def langScored(dfWithToks: DataFrame): DataFrame = {
     val scoreCols = LangProfiles.map { case (lang, _) => s"score_$lang" }
-    val scored = LangProfiles.foldLeft(
-      df.select(col(idCol), ws_tokens(col(textCol)).as("toks"))) {
+    val scored = LangProfiles.foldLeft(dfWithToks) {
       case (acc, (lang, sw)) => acc.withColumn(s"score_$lang", langScore(col("toks"), sw))
     }.withColumn("best", greatest(scoreCols.map(col): _*))
     val pred = LangProfiles.foldLeft(lit(null).cast("string")) {
       case (acc, (lang, _)) =>
         when(acc.isNull && (col(s"score_$lang") === col("best")), lit(lang)).otherwise(acc)
     }
-    scored.select(col(idCol), pred.as("lang_pred"))
+    scored.withColumn("lang_pred", pred)
   }
 
-  /** Quality features + a composite score in [0,1]:
-    * token count, mean token length, alnum ratio, stopword ratio. */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Predicted language per row: argmax of stopword-hit scores,
+    * first-declared wins ties. */
+  def langIdTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    langScored(df.select(col(idCol), ws_tokens(col(textCol)).as("toks")))
+      .select(col(idCol), col("lang_pred"))
+
+  /** Stages tokens and the four quality features as real columns on top
+    * of (idCol, text): every feature is referenced several times
+    * downstream (score + output), and inlining would re-tokenize per
+    * reference. */
+  private def qualityStaged(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
-    // Stage tokens and each feature as real columns: every feature is
-    // referenced several times downstream (score + output), and inlining
-    // would re-tokenize per reference.
-    val staged = df
-      .select(col(idCol), col(textCol).as("text"), ws_tokens(col(textCol)).as("toks"))
+    df.select(col(idCol), col(textCol).as("text"), ws_tokens(col(textCol)).as("toks"))
       .withColumn("ntok", size(col("toks")).cast("double"))
       .withColumn("mean_tok_len",
         when(col("ntok") > 0,
@@ -73,19 +76,28 @@ object TextAnalysis {
         when(col("ntok") > 0,
           size(filter(col("toks"), t => array_contains(allStops, t))).cast("double")
             / col("ntok")).otherwise(lit(0.0)))
-    // Composite: length band [20, 400] tokens, mean token length band [2, 12],
-    // alnum-heavy, some stopwords.
+  }
+
+  /** Composite quality score in [0,1] over the staged feature columns:
+    * length band [20, 400] tokens, mean token length band [2, 12],
+    * alnum-heavy, some stopwords. */
+  private def qualityScoreCol: Column = {
     val lengthOk = when(col("ntok") >= 20 && col("ntok") <= 400, lit(1.0)).otherwise(lit(0.0))
     val tokLenOk = when(col("mean_tok_len") >= 2 && col("mean_tok_len") <= 12, lit(1.0))
       .otherwise(lit(0.0))
-    val score = (lengthOk + tokLenOk + col("alnum_ratio")
-      + least(col("stopword_ratio") * 5, lit(1.0))) / 4
-    staged.select(col(idCol), col("ntok").cast("long").as("n_tokens"),
-      round(col("mean_tok_len"), 6).as("mean_tok_len"),
-      round(col("alnum_ratio"), 6).as("alnum_ratio"),
-      round(col("stopword_ratio"), 6).as("stopword_ratio"),
-      round(score, 6).as("quality_score"))
+    round((lengthOk + tokLenOk + col("alnum_ratio")
+      + least(col("stopword_ratio") * 5, lit(1.0))) / 4, 6)
   }
+
+  /** Quality features + a composite score in [0,1]:
+    * token count, mean token length, alnum ratio, stopword ratio. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityStaged(df, idCol, textCol)
+      .select(col(idCol), col("ntok").cast("long").as("n_tokens"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("alnum_ratio"), 6).as("alnum_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        qualityScoreCol.as("quality_score"))
 
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -218,14 +230,85 @@ object TextAnalysis {
     * the standard reproducible corpus split (stable across runs,
     * partitionings and engines, unlike rand()-based splits). Zero
     * shuffle, codegen'd hash. */
+  private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + validPct, lit("validation"))
+      .otherwise(lit("test"))
+
   def hashSplit(df: DataFrame, idCol: String,
                 trainPct: Int = 80, validPct: Int = 10): DataFrame =
     df.select(col(idCol),
         (rolling_hash(col(idCol).cast("string")) % 100).as("bucket"))
       .select(col(idCol), col("bucket"),
-        when(col("bucket") < trainPct, lit("train"))
-          .when(col("bucket") < trainPct + validPct, lit("validation"))
-          .otherwise(lit("test")).as("split"))
+        splitCol(col("bucket"), trainPct, validPct).as("split"))
+
+  /** End-to-end corpus curation — the DataComp/Dolma pipeline shape:
+    * quality gate + language ID + deterministic split + exact-dedup
+    * canonicalization in one operator. The token statistics (count, total
+    * length, stopword hits, per-language hits) come from a SINGLE
+    * tokenize-explode-aggregate — one pass over every token, partial-
+    * aggregated per doc before the exchange. Composing the per-row
+    * builders instead would let CollapseProject re-inline the tokenizer
+    * into every one of the ~15 downstream references, exploding the
+    * expression tree (measured 7x the runtime of the pieces); here every
+    * expression stays small and the tokenizer runs exactly once.
+    * Output: one row per surviving document with
+    * (id, lang_pred, n_tokens, quality_score, split). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.8,
+             trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
+    val hits = LangProfiles.map { case (lang, sw) =>
+      val swArr = array(sw.map(lit): _*)
+      sum(when(array_contains(swArr, col("__t")), 1L).otherwise(0L)).as(s"score_$lang")
+    }
+    val scoreCols = LangProfiles.map { case (lang, _) => s"score_$lang" }
+    val aggs = df
+      .select(col(idCol), explode(ws_tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ntokl"),
+        (sum(length(col("__t"))).as("__sumlen") ::
+          sum(when(array_contains(allStops, col("__t")), 1L).otherwise(0L)).as("__stop") ::
+          hits.toList): _*)
+    val pred = LangProfiles.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, _)) =>
+        when(acc.isNull && (col(s"score_$lang") === col("best")), lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol), col(textCol).as("text"))
+      .join(aggs, Seq(idCol), "left")
+      // token-free docs have no aggregate row: zero the counts so the
+      // features and the argmax match the per-row builders' semantics
+      .withColumns(scoreCols.map(c => c -> coalesce(col(c), lit(0L))).toMap)
+      .withColumn("ntok", coalesce(col("__ntokl"), lit(0L)).cast("double"))
+      .withColumn("mean_tok_len",
+        when(col("ntok") > 0,
+          col("__sumlen").cast("double") / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("alnum_ratio",
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("double")
+            / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("ntok") > 0,
+          col("__stop").cast("double") / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("best", greatest(scoreCols.map(c => coalesce(col(c), lit(0L))): _*))
+      .withColumn("lang_pred", pred)
+      .withColumn("quality_score", qualityScoreCol)
+      .withColumn("split",
+        splitCol(rolling_hash(col(idCol).cast("string")) % 100, trainPct, validPct))
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .transform { staged =>
+        // the canonical-id aggregate reads only (hash, id) — it must not
+        // recompute the feature projection
+        val canon = df
+          .select(md5(col(textCol).cast("binary")).as("text_hash"), col(idCol).as("__cid"))
+          .groupBy("text_hash").agg(min(col("__cid")).as("keep_id"))
+        staged.where(col("quality_score") >= minQuality)
+          .join(canon, Seq("text_hash"))
+          .where(col(idCol) === col("keep_id"))
+      }
+      .select(col(idCol), col("lang_pred"), col("ntok").cast("long").as("n_tokens"),
+        col("quality_score"), col("split"))
+  }
 
   /** Corpus vocabulary: global token counts, top-k by (count desc, token).
     * One shuffle with map-side partial aggregation; the top-k itself is

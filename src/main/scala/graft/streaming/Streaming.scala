@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.functions.hll_distinct
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -102,6 +103,24 @@ object Streaming {
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Windowed approximate distinct counts via the [[graft.functions.HllDistinct]]
+    * sketch aggregate — distinct users per event type per tumbling window
+    * in one pass with 2^p BYTES of state per group. This is the streaming
+    * cardinality shape: an exact distinct would hold every id in the
+    * state store (unbounded per-group state), while the sketch buffer is
+    * fixed-size and merges by byte-max, so partial aggregation and state
+    * compaction stay cheap. The estimate is identical to the batch
+    * `hll_distinct` over the same rows — the sketch is deterministic and
+    * partitioning-independent. */
+  def windowedDistinctUsers(events: DataFrame, windowMinutes: Int = 10,
+                            watermark: String = "1 hour", p: Int = 10): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(hll_distinct(col("user_id").cast("string"), p).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"))
 
   /** Streaming near-duplicate candidate detection — the batch LSH bucket
     * join (Dedup.minhashLshPairs' candidate step) as continuous ingest.

@@ -133,6 +133,82 @@ class OperatorSpec extends SparkTestBase {
     out.zip(EdgeMovingAvg(xs, 4)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
   }
 
+  test("dedupLines keeps only the globally first occurrence of each line") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "alpha")),     // in-doc repeat of alpha
+      (2L, Seq("beta", "gamma")),              // beta seen in doc 1
+      (3L, Seq("alpha", "beta"))               // everything seen earlier
+    ).toDF("doc_id", "lines")
+    val out = TextAnalysis.dedupLines(df, "doc_id", "lines")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq == Seq(
+      (1L, 2L, "alpha\nbeta"),
+      (2L, 1L, "gamma"),
+      (3L, 0L, "")))   // fully-deduped doc survives with empty text
+  }
+
+  test("dedupLines first-occurrence choice is partition-independent") {
+    val df = (1L to 40L).map(i => (i, Seq(s"common-${i % 3}", s"only-$i"))).toDF("doc_id", "lines")
+    val a = TextAnalysis.dedupLines(df.repartition(1), "doc_id", "lines")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.dedupLines(df.repartition(13), "doc_id", "lines")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // the three common lines survive only in docs 1, 2, 3
+    assert(a.take(3).forall(_.getLong(1) == 2L) && a.drop(3).forall(_.getLong(1) == 1L))
+  }
+
+  test("semanticDedup drops the higher id of a within-cell near-dup pair") {
+    // two tight clusters; ids 11/12 nearly identical, 21/22 nearly identical
+    val vecs = Seq(
+      (11L, Seq(1.0f, 0.0f)), (12L, Seq(0.999f, 0.001f)),
+      (21L, Seq(0.0f, 1.0f)), (22L, Seq(0.001f, 0.999f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents, 0.99)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((11L, 0L, true), (12L, 0L, false),
+                      (21L, 1L, true), (22L, 1L, false)))
+  }
+
+  test("bloomSemiJoinPrune never drops a true member") {
+    val build = (1L to 50L).map(i => Tuple1(i * 3)).toDF("k")
+    val probe = (1L to 300L).map(Tuple1(_)).toDF("p")
+    val kept = Sketches.bloomSemiJoinPrune(
+      build, col("k").cast("string"), probe, col("p").cast("string"), 2048, 4)
+      .select("p").as[Long].collect().toSet
+    assert((1L to 50L).map(_ * 3).forall(kept.contains))
+  }
+
+  test("cmsFrequencies estimates match exact counts for distinct-cell keys") {
+    val values = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val out = Sketches.cmsFrequencies(
+      values.map(Tuple1(_)).toDF("v"), col("v"),
+      Seq("a", "b", "c", "zzz").map(Tuple1(_)).toDF("q"), col("q"), 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 keys in a 4x1024 sketch: no colliding cells (deterministic), so
+    // the estimates are exact and the absent key reads zero
+    assert(out == Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "zzz" -> 0L))
+  }
+
+  test("curate composes quality gate, canonical dedup, lang id and split") {
+    val good = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq(
+      (1L, good),   // en, passes every quality band
+      (2L, good),   // exact duplicate -> only the min id survives
+      (3L, "zz")    // 1 alnum token: fails length + stopword bands -> 0.5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curate(docs, "doc_id", "text", minQuality = 0.6).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getString(1) == "en")
+    assert(r.getLong(2) == 27L)
+    assert(r.getDouble(3) == 1.0)
+    assert(Set("train", "validation", "test").contains(r.getString(4)))
+  }
+
   test("ClipOps.fixedBboxes computes the reference square-box math") {
     // one clip, 2 frames, 2 points each: xs in [0,10], ys in [0,4]
     val df = Seq(Tuple1(Seq(

@@ -99,6 +99,45 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("bloom pruning broadcasts the one-row filter, never shuffles the probe") {
+    // the probe side must stay a map-only scan: the filter is one
+    // aggregated row behind a BroadcastNestedLoopJoin, and no Exchange
+    // other than the build side's aggregation may appear upstream of it
+    val build = spark.range(100).select(col("id").cast("string").as("k"))
+    val probe = spark.range(100000).select(col("id").cast("string").as("p"))
+    val plan = graft.operators.Sketches
+      .bloomSemiJoinPrune(build, col("k"), probe, col("p"), 1024, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"filter not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe side must not shuffle-join:\n$plan")
+  }
+
+  test("line dedup argmin decomposes map-side (partial aggregation)") {
+    // the first-occurrence choice must be a min(struct) hash aggregate
+    // with a partial_min before the exchange — NOT a row_number window,
+    // which would sort every line group
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      array(concat(lit("line"), (col("id") % 50).cast("string")),
+        concat(lit("uniq"), col("id").cast("string"))).as("lines"))
+    val plan = graft.operators.TextAnalysis.dedupLines(docs, "doc_id", "lines")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"argmin must partially aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec in line dedup:\n$plan")
+  }
+
+  test("unigram LM scoring broadcasts the corpus total, no global window") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("a b c t"), (col("id") % 11).cast("string")).as("text"))
+    val q = Queries.all("q58_unigram_lm")
+    // plan shape via the registered query builder on a parquet table
+    val tmp = java.nio.file.Files.createTempDirectory("q58audit").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val plan = q.impl(spark, tmp).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"total not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window in LM scoring:\n$plan")
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen

@@ -90,6 +90,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL distinct equals the batch sketch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id")
+    val q = Streaming.windowedDistinctUsers(events, windowMinutes = 10, p = 12)
+      .writeStream.format("memory").queryName("wdu").outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts(1), "click", 1L), (ts(2), "click", 2L), (ts(3), "click", 1L),
+        (ts(4), "view", 7L), (ts(15), "click", 1L), (ts(16), "click", 3L))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wdu").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      // batch replay of the identical aggregation — the sketch contract
+      // says the estimate is bit-identical regardless of execution mode
+      import spark.implicits._
+      val batch = rows.toDF("ts", "event_type", "user_id")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(graft.functions.hll_distinct(col("user_id").cast("string"), 12).as("n"))
+        .select(col("window.start"), col("event_type"), col("n")).collect()
+        .map(r => (r.getAs[Timestamp](0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(streamed == batch)
+      // p=12 linear counting is near-exact at these cardinalities
+      assert(math.abs(streamed.values.sum - (2 + 1 + 2)) < 0.01)
+    } finally q.stop()
+  }
+
   test("file-source stream runs batch ClipOps over incrementally arriving clips") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-clipstream").toString
