@@ -1823,24 +1823,25 @@ object Queries {
     * run-stable sample (the same doc always represents the corpus slice),
     * and the k-th smallest hash yields the KMV distinct estimate
     * (k-1)/U_k. Hash order is content-independent, so two corpora sampled
-    * this way can be overlap-compared directly. The window is partitioned
-    * by lang — never global. */
+    * this way can be overlap-compared directly. Built on the `bottom_k`
+    * AGGREGATE, not a window: with a handful of language groups a
+    * partitioned row_number would drag each group's whole corpus slice
+    * onto one partition, while the aggregate partial-combines (<= k pairs
+    * per group per partition into the shuffle). */
   private def q57(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val h = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
         md5_long(col("doc_id").cast("string")).as("h"))
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     val totals = h.groupBy("lang").agg(count(lit(1)).as("n_total"))
-    h.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .groupBy("lang")
-      .agg(sort_array(collect_list(col("doc_id"))).as("sample_ids"),
-        max(when(col("rn") === k, col("h"))).as("hk"))
+    h.groupBy("lang")
+      .agg(bottom_k(struct(col("h"), col("doc_id").as("id")), k).as("bk"))
       .join(totals, "lang")
-      .select(col("lang"), col("sample_ids"),
-        round(when(col("hk").isNull, col("n_total").cast("double"))
-          .otherwise(lit(7.0) * lit(1152921504606846976.0) / col("hk")), 6)
-          .as("est_distinct"))
+      .select(col("lang"),
+        sort_array(transform(col("bk"), x => x("id"))).as("sample_ids"),
+        round(when(size(col("bk")) < k, col("n_total").cast("double"))
+          .otherwise(lit(7.0) * lit(1152921504606846976.0)
+            / element_at(col("bk"), k)("h")), 6).as("est_distinct"))
   }
 
   private val q57Sql =
@@ -1958,6 +1959,26 @@ object Queries {
        |JOIN canon c ON c.keep_id = q.doc_id
        |WHERE q.quality_score >= 0.8""".stripMargin
 
+  /** Mergeable-sketch rollup: per-(lang, source) HLL vocabulary sketches
+    * merged up to per-lang estimates — the persist-then-roll-up pattern
+    * (sketch each fine grain once, combine any coarser grain WITHOUT
+    * rescanning the corpus). The oracle computes the per-lang estimate
+    * DIRECTLY from the raw tokens (q52's replay): because register
+    * byte-max is associative/commutative/idempotent, the two-level
+    * merge must equal the single-level sketch bit-for-bit — the gate
+    * proves mergeability itself, not just the estimator. */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"), explode(ws_tokens(col("text"))).as("tok"))
+      .groupBy("lang", "source").agg(hll_sketch(col("tok"), 10).as("sk"))
+      .groupBy("lang").agg(hll_merge(col("sk"), 10).as("sk"))
+      .select(col("lang"), round(hll_estimate(col("sk")), 6).as("est_vocab"))
+
+  private val q61Sql = {
+    val vocabSrc = s"(SELECT lang AS g, unnest($toksSql) AS v FROM documents)"
+    s"SELECT g AS lang, est AS est_vocab FROM (${hllSql(vocabSrc, 10)})"
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2022,5 +2043,6 @@ object Queries {
     "q57_bottomk_sample" -> Q(q57, Some(q57Sql)),
     "q58_unigram_lm" -> Q(q58, Some(q58Sql)),
     "q59_semantic_dedup" -> Q(q59, Some(q59Sql)),
-    "q60_curation_pipeline" -> Q(q60, Some(q60Sql)))
+    "q60_curation_pipeline" -> Q(q60, Some(q60Sql)),
+    "q61_hll_rollup" -> Q(q61, Some(q61Sql)))
 }

@@ -32,49 +32,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * the large-range correction (E > 2^32/30) is out of scope for 60-bit
   * hashes at corpus scales.
   */
-case class HllDistinct(
-    child: Expression,
-    p: Int = 10,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
-  require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
-
-  private val m = 1 << p
-  private val tailBits = 60 - p // md5Long yields 60-bit hashes
-  private val tailMask = (1L << tailBits) - 1
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
-  override def prettyName: String = "hll_distinct"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"hll_distinct needs string, got $t")
+object Hll {
+  /** Update one value into a 2^p-register buffer (shared by the
+    * one-shot and mergeable aggregates). */
+  def update(buf: Array[Byte], value: String, p: Int): Unit = {
+    val tailBits = 60 - p
+    val tailMask = (1L << tailBits) - 1
+    val h = TextKernels.md5Long(value)
+    val reg = (h >>> tailBits).toInt
+    val tail = h & tailMask
+    val rho =
+      if (tail == 0L) tailBits + 1
+      else tailBits - (64 - java.lang.Long.numberOfLeadingZeros(tail)) + 1
+    if (rho > buf(reg)) buf(reg) = rho.toByte
   }
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
-
-  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
-    val v = child.eval(row)
-    if (v != null) {
-      val h = TextKernels.md5Long(v.asInstanceOf[UTF8String].toString)
-      val reg = (h >>> tailBits).toInt
-      val tail = h & tailMask
-      val rho =
-        if (tail == 0L) tailBits + 1
-        else tailBits - (64 - java.lang.Long.numberOfLeadingZeros(tail)) + 1
-      if (rho > buf(reg)) buf(reg) = rho.toByte
-    }
-    buf
-  }
-
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
-
-  override def eval(buf: Array[Byte]): Any = {
+  /** The order-pinned estimator (ascending registers, exact power-of-two
+    * terms) with the linear-counting small-range branch — replayable
+    * bit-for-bit by the SQL oracle. */
+  def estimate(buf: Array[Byte]): Double = {
+    val m = buf.length
     var s = 0.0
     var zeros = 0
     var i = 0
@@ -88,6 +65,41 @@ case class HllDistinct(
     val est = alpha * m * m / s
     if (est <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else est
   }
+}
+
+case class HllDistinct(
+    child: Expression,
+    p: Int = 10,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+
+  private val m = 1 << p
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hll_distinct needs string, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].toString, p)
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -97,6 +109,216 @@ case class HllDistinct(
   override def withNewInputAggBufferOffset(off: Int): HllDistinct =
     copy(inputAggBufferOffset = off)
   override protected def withNewChildInternal(newChild: Expression): HllDistinct =
+    copy(child = newChild)
+}
+
+/** Mergeable-sketch variant of [[HllDistinct]]: emits the raw 2^p-byte
+  * register buffer instead of the estimate. The DataSketches-style
+  * pre-aggregation pattern for 100 TB rollups: sketch once per fine
+  * grain (partition / day / source), persist the bytes, then combine
+  * any coarser grain with [[HllMergeAgg]] + [[HllEstimate]] WITHOUT
+  * rescanning the raw data. Register byte-max is associative,
+  * commutative and idempotent, so a merge of merges equals the sketch
+  * of the union — bit-for-bit. */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int = 10,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hll_sketch needs string, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].toString, p)
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(off: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Combines [[HllSketchAgg]] buffers by register byte-max. Inputs whose
+  * length is not 2^p are skipped (the malformed-input convention — one
+  * corrupt persisted sketch must not kill a rollup). */
+case class HllMergeAgg(
+    child: Expression,
+    p: Int = 10,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hll_merge needs binary, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val in = v.asInstanceOf[Array[Byte]]
+      if (in.length == buf.length) {
+        var i = 0
+        while (i < buf.length) { if (in(i) > buf(i)) buf(i) = in(i); i += 1 }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(off: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
+}
+
+/** Bottom-k (KMV) aggregate over (hash, id) pairs: keeps the k smallest
+  * pairs ordered by (hash, id). The scale-correct shape for per-group
+  * consistent sampling: a `row_number` window with few groups would drag
+  * every group's full corpus slice onto one partition, while this
+  * aggregate partial-combines — the shuffle carries at most k pairs per
+  * group per partition regardless of corpus size. Deterministic: the
+  * result is a pure function of the input SET (no order dependence), so
+  * it matches the window formulation row-for-row.
+  *
+  * Input: a struct<h: long, id: long> child. Output: array of
+  * struct<h, id> ascending by (h, id), length <= k. */
+case class BottomKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+  with UnaryLike[Expression] {
+  require(k >= 1 && k <= 4096, s"bottom-k size out of range: $k")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b)) if a.dataType == LongType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bottom_k needs struct<long, long>, got $t")
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  // The buffer stays sorted ascending and capped at k; insertion keeps
+  // it exact (k is small — this is a per-group sample, not a heap race).
+  private def insert(buf: Buf, pair: (Long, Long)): Unit = {
+    val pos = buf.indexWhere(p => p._1 > pair._1 || (p._1 == pair._1 && p._2 >= pair._2))
+    if (pos == -1) { if (buf.length < k) buf += pair }
+    else if (buf(pos) != pair) {
+      buf.insert(pos, pair)
+      if (buf.length > k) buf.remove(k)
+    }
+  }
+
+  override def update(buf: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) {
+      val s = v.asInstanceOf[InternalRow]
+      insert(buf, (s.getLong(0), s.getLong(1)))
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.map { case (h, id) =>
+      InternalRow(h, id): Any
+    }.toArray)
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 16)
+    bb.putInt(buf.length)
+    buf.foreach { case (h, id) => bb.putLong(h); bb.putLong(id) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf()
+    (0 until n).foreach(_ => buf += ((bb.getLong, bb.getLong)))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): BottomKAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BottomKAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): BottomKAgg =
+    copy(child = newChild)
+}
+
+/** Reads the estimate out of a sketch buffer (scalar). Wrong-length
+  * input -> null. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hll_estimate"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hll_estimate needs binary, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val buf = input.asInstanceOf[Array[Byte]]
+    // power-of-two length in the supported precision range
+    if (buf.length < 16 || buf.length > 65536 ||
+        (buf.length & (buf.length - 1)) != 0) null
+    else Hll.estimate(buf)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
 }
 

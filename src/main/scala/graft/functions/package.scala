@@ -186,6 +186,28 @@ package object functions {
   def hll_distinct(c: Column, p: Int = 10): Column =
     ExprBridge.column(HllDistinct(col2expr(c), p).toAggregateExpression())
 
+  /** Mergeable HLL: emit the raw register buffer (pre-aggregate per fine
+    * grain, persist, roll up later without rescanning; see
+    * [[HllSketchAgg]]). */
+  def hll_sketch(c: Column, p: Int = 10): Column =
+    ExprBridge.column(HllSketchAgg(col2expr(c), p).toAggregateExpression())
+
+  /** Combine `hll_sketch` buffers by register byte-max — a merge of
+    * merges equals the sketch of the union, bit-for-bit. */
+  def hll_merge(c: Column, p: Int = 10): Column =
+    ExprBridge.column(HllMergeAgg(col2expr(c), p).toAggregateExpression())
+
+  /** Read the distinct-count estimate out of a sketch buffer. */
+  def hll_estimate(c: Column): Column =
+    ExprBridge.column(HllEstimate(col2expr(c)))
+
+  /** Bottom-k (KMV) aggregate over a struct<h: long, id: long> column:
+    * the k smallest DISTINCT pairs by (h, id), ascending — the
+    * partial-combining form of per-group consistent sampling (see
+    * [[BottomKAgg]]). */
+  def bottom_k(pair: Column, k: Int): Column =
+    ExprBridge.column(BottomKAgg(col2expr(pair), k).toAggregateExpression())
+
   /** Deterministic Bloom filter build over a string key column — the
     * broadcastable semi-join-pruning sketch (see [[BloomAgg]]). */
   def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =

@@ -138,6 +138,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no window in LM scoring:\n$plan")
   }
 
+  test("bottom-k sampling is a partial-combining aggregate, not a window") {
+    // with a handful of groups, a partitioned row_number would collapse
+    // each group's whole slice onto one partition; the bottom_k aggregate
+    // must partial-combine instead
+    val tmp = java.nio.file.Files.createTempDirectory("q57audit").toString
+    spark.range(300).select(col("id").as("doc_id"),
+        concat(lit("l"), (col("id") % 3).cast("string")).as("lang"),
+        lit("x").as("text"), lit("s").as("source"), lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val plan = Queries.all("q57_bottomk_sample").impl(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottom_k"), s"bottom_k must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec in bottom-k sampling:\n$plan")
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen

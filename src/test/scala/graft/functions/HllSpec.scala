@@ -61,6 +61,41 @@ class HllSpec extends SparkTestBase {
     }
   }
 
+  test("merged per-group sketches equal the one-shot sketch of the union") {
+    val df = (0 until 4000).map(i => (s"src-${i % 5}", s"tok-${i % 1300}"))
+      .toDF("source", "v")
+    val twoLevel = df.groupBy("source").agg(hll_sketch(col("v"), 10).as("sk"))
+      .agg(hll_merge(col("sk"), 10).as("sk"))
+      .select(hll_estimate(col("sk"))).head().getDouble(0)
+    val oneShot = df.agg(hll_distinct(col("v"), 10)).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(twoLevel) ==
+      java.lang.Double.doubleToLongBits(oneShot),
+      s"two-level $twoLevel != one-shot $oneShot")
+  }
+
+  test("merge of merges equals merge of the flat set (associativity)") {
+    val df = (0 until 900).map(i => (i % 6, s"g${i % 2}", s"val-$i")).toDF("fine", "coarse", "v")
+    val fine = df.groupBy("fine", "coarse").agg(hll_sketch(col("v"), 8).as("sk"))
+    val viaCoarse = fine.groupBy("coarse").agg(hll_merge(col("sk"), 8).as("sk"))
+      .agg(hll_merge(col("sk"), 8).as("sk"))
+      .select(hll_estimate(col("sk"))).head().getDouble(0)
+    val flat = fine.agg(hll_merge(col("sk"), 8).as("sk"))
+      .select(hll_estimate(col("sk"))).head().getDouble(0)
+    assert(viaCoarse == flat)
+  }
+
+  test("hll_estimate nulls out on a malformed buffer; merge skips it") {
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sk")
+    assert(bad.select(hll_estimate(col("sk"))).head().isNullAt(0))
+    // a corrupt sketch row must not poison a rollup: merging {bad, good}
+    // yields the good sketch's estimate
+    val good = Seq("a", "b", "c").toDF("v").agg(hll_sketch(col("v"), 8).as("sk"))
+    val mixed = bad.union(good).agg(hll_merge(col("sk"), 8).as("sk"))
+      .select(hll_estimate(col("sk"))).head().getDouble(0)
+    val alone = good.select(hll_estimate(col("sk"))).head().getDouble(0)
+    assert(mixed == alone)
+  }
+
   test("precision bounds are enforced") {
     intercept[IllegalArgumentException] {
       HllDistinct(org.apache.spark.sql.catalyst.expressions.Literal("x"), p = 3)

@@ -100,6 +100,32 @@ class SketchSpec extends SparkTestBase {
     assert(out.isNullAt(0))
   }
 
+  test("bottom_k equals sort-and-take under any partitioning") {
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 3}", TextKernels.md5Long(s"item-$i"), i.toLong)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(5)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "h", "id").repartition(parts)
+        .groupBy("g").agg(bottom_k(struct(col("h"), col("id")), 5).as("bk"))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getLong(0), s.getLong(1)))
+        }.toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("bottom_k dedups identical pairs and handles groups smaller than k") {
+    val df = Seq(("a", 5L, 1L), ("a", 5L, 1L), ("a", 3L, 2L)).toDF("g", "h", "id")
+    val out = df.groupBy("g").agg(bottom_k(struct(col("h"), col("id")), 8).as("bk"))
+      .head().getSeq[org.apache.spark.sql.Row](1)
+      .map(s => (s.getLong(0), s.getLong(1)))
+    assert(out == Seq((3L, 2L), (5L, 1L)))
+  }
+
   test("sketch parameter bounds are enforced") {
     val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
     intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 4, numHashes = 4) }
