@@ -1979,6 +1979,25 @@ object Queries {
     s"SELECT g AS lang, est AS est_vocab FROM (${hllSql(vocabSrc, 10)})"
   }
 
+  /** Mergeable count-min rollup: per-source token sketches combined by
+    * elementwise sum, probed with the top-20 tokens. Counter sums are
+    * exact and associative, so the merged sketch must equal q56's
+    * one-shot sketch cell-for-cell — the oracle IS q56's direct replay,
+    * making the gate a proof of merge associativity (the persist-per-
+    * source, roll-up-later pattern) rather than a second estimator
+    * test. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(ws_tokens(col("text"))).as("tok"))
+    val merged = toks.groupBy("source").agg(cms_agg(col("tok"), 4, 32).as("sk"))
+      .agg(cms_merge(col("sk"), 4, 32).as("sk"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+    top.crossJoin(broadcast(merged))
+      .select(col("tok").as("token"), col("exact_cnt"),
+        cms_query(col("sk"), col("tok"), 4, 32).as("est_cnt"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2044,5 +2063,6 @@ object Queries {
     "q58_unigram_lm" -> Q(q58, Some(q58Sql)),
     "q59_semantic_dedup" -> Q(q59, Some(q59Sql)),
     "q60_curation_pipeline" -> Q(q60, Some(q60Sql)),
-    "q61_hll_rollup" -> Q(q61, Some(q61Sql)))
+    "q61_hll_rollup" -> Q(q61, Some(q61Sql)),
+    "q62_cms_rollup" -> Q(q62, Some(q56Sql)))
 }

@@ -497,6 +497,71 @@ case class CmsAgg(
     copy(child = newChild)
 }
 
+/** Combines [[CmsAgg]] counter matrices by elementwise sum — counters are
+  * exact integers, and sum is associative/commutative, so a merge of
+  * merges equals the sketch of the concatenated inputs exactly. The same
+  * persist-then-roll-up pattern as [[HllMergeAgg]]: sketch each fine
+  * grain once, combine any coarser grain without rescanning. Inputs of
+  * the wrong length are skipped (malformed-input convention). */
+case class CmsMergeAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
+  require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cms_merge needs array<long>, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (in.numElements() == buf.length) {
+        var i = 0
+        while (i < buf.length) { buf(i) += in.getLong(i); i += 1 }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
 /** Point-frequency estimate from a [[CmsAgg]] sketch: min over the `depth`
   * row counters addressed by the value's double-hashed positions. Null-safe;
   * a sketch of the wrong length -> null. */

@@ -228,6 +228,11 @@ package object functions {
   def cms_query(sketch: Column, c: Column, depth: Int, width: Int): Column =
     ExprBridge.column(CmsQuery(col2expr(sketch), col2expr(c), depth, width))
 
+  /** Combine `cms_agg` counter matrices by elementwise sum — a merge of
+    * merges equals the sketch of the union, exactly (see [[CmsMergeAgg]]). */
+  def cms_merge(sketch: Column, depth: Int, width: Int): Column =
+    ExprBridge.column(CmsMergeAgg(col2expr(sketch), depth, width).toAggregateExpression())
+
   // ---------------------------------------------------------------------
   // Text analytics
   // ---------------------------------------------------------------------

@@ -100,6 +100,17 @@ class SketchSpec extends SparkTestBase {
     assert(out.isNullAt(0))
   }
 
+  test("merged per-group cms sketches equal the one-shot sketch") {
+    val vals = (0 until 3000).map(i => (s"src-${i % 4}", s"tok-${i % 450}"))
+    val df = vals.toDF("source", "v")
+    val merged = df.groupBy("source").agg(cms_agg(col("v"), 4, 256).as("sk"))
+      .agg(cms_merge(col("sk"), 4, 256).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    val oneShot = df.agg(cms_agg(col("v"), 4, 256).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(merged == oneShot)
+  }
+
   test("bottom_k equals sort-and-take under any partitioning") {
     val rows = (0 until 500).map { i =>
       (s"g${i % 3}", TextKernels.md5Long(s"item-$i"), i.toLong)
