@@ -54,6 +54,13 @@ object Queries {
   private def md5LongSql(arg: String): String =
     s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
 
+  /** DuckDB twin of graft.functions.SketchHash.positions: probe `i` of
+    * the Kirsch-Mitzenmacher double-hash over `m` slots for 60-bit hash
+    * `h` — ONE definition shared by every sketch oracle so the replay
+    * can never drift from the kernel for one sketch but not another. */
+  private def sketchPosSql(h: String, i: String, m: Int): String =
+    s"($h % $m + $i * (1 + ($h // $m) % ${m - 1})) % $m"
+
   // =====================================================================
   // Relational core (scan / filter / join / agg / set ops / sort-limit)
   // =====================================================================
@@ -1503,7 +1510,7 @@ object Queries {
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
        |nt AS (SELECT doc_id, count(*) AS ntok FROM toks GROUP BY doc_id),
        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nt),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
        |scored AS (
        |  SELECT tf.doc_id, tf.token,
        |    round((CAST(tf.tf AS DOUBLE) / CAST(nt.ntok AS DOUBLE))
@@ -1718,8 +1725,7 @@ object Queries {
   private val q54Sql = {
     val m = 1024
     val k = 4
-    def pos(h: String, i: String) =
-      s"($h % $m + $i * (1 + ($h // $m) % ${m - 1})) % $m"
+    def pos(h: String, i: String) = sketchPosSql(h, i, m)
     s"""WITH keys AS (
        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 494000),
        |bits AS (
@@ -1745,7 +1751,7 @@ object Queries {
     * per document rather than once per chunk under CollapseProject. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val lines = docs
+    val chunked = docs
       .select(col("doc_id"), posexplode(ws_tokens(col("text"))).as(Seq("p", "tok")))
       .groupBy(col("doc_id"), floor(col("p") / 12).as("lp"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
@@ -1753,6 +1759,12 @@ object Queries {
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("lp"), col("line")))),
         x => x("line")).as("lines"))
+    // re-join every doc id: a token-free document has no exploded rows,
+    // but the oracle (and dedupLines' contract) emit one row per input
+    // document — it must enter the dedup with an empty lines array
+    val lines = docs.select(col("doc_id")).join(chunked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lines"), array().cast("array<string>")).as("lines"))
     TextAnalysis.dedupLines(lines, "doc_id", "lines")
   }
 
@@ -1798,8 +1810,7 @@ object Queries {
   private val q56Sql = {
     val d = 4
     val w = 32
-    def pos(h: String, j: String) =
-      s"($h % $w + $j * (1 + ($h // $w) % ${w - 1})) % $w"
+    def pos(h: String, j: String) = sketchPosSql(h, j, w)
     s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
        |th AS (SELECT tok, ${md5LongSql("tok")} AS h FROM tok),
        |cells AS (

@@ -10,28 +10,43 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deterministic HyperLogLog distinct-count sketch as a real Catalyst
-  * `TypedImperativeAggregate`: per-partition register buffers, byte-max
-  * partial merge — the shape that makes a 100 TB distinct-count one scan
-  * with a 2^p-byte shuffle per group instead of a distinct-shuffle of
-  * every value.
-  *
-  * Everything is pinned so the estimate is REPRODUCIBLE — identical
-  * under any partitioning, task order, or engine:
-  *  - hash = md5 of the UTF-8 string, top 60 bits (TextKernels.md5Long,
-  *    the corpus's standard hash);
-  *  - register = top p hash bits, rho = position of the first set bit in
-  *    the remaining 60-p (zero tail -> 60-p+1);
-  *  - byte-max register merge is commutative/associative/idempotent, so
-  *    partial aggregation order cannot change the buffer;
-  *  - the estimator folds registers in ASCENDING index order with exact
-  *    power-of-two terms (1.0 / (1L << rho)), so even the floating sum
-  *    is order-pinned and a SQL oracle can replay it bit-for-bit.
-  * Estimator: alpha_m m^2 / sum(2^-rho_j) with the standard linear-
-  * counting small-range correction (E <= 2.5m and empty registers);
-  * the large-range correction (E > 2^32/30) is out of scope for 60-bit
-  * hashes at corpus scales.
-  */
+/** Byte-buffer partial-aggregation mechanics shared by the register
+  * sketches (HLL family): byte-max merge — commutative, associative,
+  * idempotent — and identity serde. One definition so a guard or fix
+  * lands everywhere at once. */
+sealed trait ByteMaxBufferAgg { self: TypedImperativeAggregate[Array[Byte]] =>
+  protected final def byteMax(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = byteMax(a, b)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+}
+
+/** Long-matrix partial-aggregation mechanics shared by the counter
+  * sketches (CMS family): exact elementwise-sum merge and packed
+  * fixed-width serde. */
+sealed trait LongSumBufferAgg { self: TypedImperativeAggregate[Array[Long]] =>
+  protected final def addInto(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = addInto(a, b)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+}
+
 object Hll {
   /** Update one value into a 2^p-register buffer (shared by the
     * one-shot and mergeable aggregates). */
@@ -67,12 +82,35 @@ object Hll {
   }
 }
 
+/** Deterministic HyperLogLog distinct-count sketch as a real Catalyst
+  * `TypedImperativeAggregate`: per-partition register buffers, byte-max
+  * partial merge — the shape that makes a 100 TB distinct-count one scan
+  * with a 2^p-byte shuffle per group instead of a distinct-shuffle of
+  * every value.
+  *
+  * Everything is pinned so the estimate is REPRODUCIBLE — identical
+  * under any partitioning, task order, or engine:
+  *  - hash = md5 of the UTF-8 string, top 60 bits (TextKernels.md5Long,
+  *    the corpus's standard hash);
+  *  - register = top p hash bits, rho = position of the first set bit in
+  *    the remaining 60-p (zero tail -> 60-p+1);
+  *  - byte-max register merge is commutative/associative/idempotent, so
+  *    partial aggregation order cannot change the buffer;
+  *  - the estimator folds registers in ASCENDING index order with exact
+  *    power-of-two terms (1.0 / (1L << rho)), so even the floating sum
+  *    is order-pinned and a SQL oracle can replay it bit-for-bit.
+  * Estimator: alpha_m m^2 / sum(2^-rho_j) with the standard linear-
+  * counting small-range correction (E <= 2.5m and empty registers);
+  * the large-range correction (E > 2^32/30) is out of scope for 60-bit
+  * hashes at corpus scales.
+  */
 case class HllDistinct(
     child: Expression,
     p: Int = 10,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Byte]] with ByteMaxBufferAgg
+  with UnaryLike[Expression] {
   require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
 
   private val m = 1 << p
@@ -93,16 +131,7 @@ case class HllDistinct(
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(off: Int): HllDistinct =
     copy(mutableAggBufferOffset = off)
@@ -125,7 +154,8 @@ case class HllSketchAgg(
     p: Int = 10,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Byte]] with ByteMaxBufferAgg
+  with UnaryLike[Expression] {
   require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
 
   override def dataType: DataType = BinaryType
@@ -144,15 +174,7 @@ case class HllSketchAgg(
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Byte]): Any = buf
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(off: Int): HllSketchAgg =
     copy(mutableAggBufferOffset = off)
@@ -170,7 +192,8 @@ case class HllMergeAgg(
     p: Int = 10,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Byte]] with ByteMaxBufferAgg
+  with UnaryLike[Expression] {
   require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
 
   override def dataType: DataType = BinaryType
@@ -187,23 +210,12 @@ case class HllMergeAgg(
     val v = child.eval(row)
     if (v != null) {
       val in = v.asInstanceOf[Array[Byte]]
-      if (in.length == buf.length) {
-        var i = 0
-        while (i < buf.length) { if (in(i) > buf(i)) buf(i) = in(i); i += 1 }
-      }
+      if (in.length == buf.length) byteMax(buf, in)
     }
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Byte]): Any = buf
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
   override def withNewMutableAggBufferOffset(off: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = off)
@@ -407,6 +419,10 @@ case class BloomAgg(
 case class BloomContains(left: Expression, right: Expression, numBits: Int, numHashes: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
+  // a wrong-length filter yields null even when both children are
+  // non-nullable — without this override the default child-derived
+  // nullability would let codegen unbox that null into an NPE
+  override def nullable: Boolean = true
   override def prettyName: String = "bloom_contains"
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
@@ -445,7 +461,8 @@ case class CmsAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
+  with UnaryLike[Expression] {
   require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
   require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
 
@@ -470,24 +487,7 @@ case class CmsAgg(
     buf
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
 
   override def withNewMutableAggBufferOffset(off: Int): CmsAgg =
     copy(mutableAggBufferOffset = off)
@@ -509,7 +509,8 @@ case class CmsMergeAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
+  with UnaryLike[Expression] {
   require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
   require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
 
@@ -535,24 +536,7 @@ case class CmsMergeAgg(
     buf
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
-  }
-
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
 
   override def withNewMutableAggBufferOffset(off: Int): CmsMergeAgg =
     copy(mutableAggBufferOffset = off)
@@ -568,6 +552,8 @@ case class CmsMergeAgg(
 case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // same nullability contract as BloomContains: wrong-length sketch -> null
+  override def nullable: Boolean = true
   override def prettyName: String = "cms_query"
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), StringType) => TypeCheckResult.TypeCheckSuccess

@@ -181,7 +181,12 @@ object TextAnalysis {
       explode(ws_tokens(col(textCol))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val ntok = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
-    val n = ntok.agg(count(lit(1)).cast("double").as("n"))
+    // N = |corpus| (the standard idf denominator base, INCLUDING
+    // token-free documents) as an aggregation branch of the same plan —
+    // one action, no separate df.count() job; deriving N from the ntok
+    // aggregate instead would silently shrink idf for corpora with
+    // empty documents
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
     val scored = tf.join(ntok, "doc_id")
       .join(tf.groupBy("token").agg(count(lit(1)).as("df")), "token")
       .join(broadcast(n))

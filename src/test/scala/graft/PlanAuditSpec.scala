@@ -76,7 +76,12 @@ class PlanAuditSpec extends SparkTestBase {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = counter.incrementAndGet()
+          durationNs: Long): Unit =
+        // the listener bus is shared across the suite and posts async —
+        // count only executions of THIS query (its output schema carries
+        // the tfidf column), or a straggling event from a prior test
+        // could bump the counter
+        if (qe.analyzed.schema.fieldNames.contains("tfidf")) counter.incrementAndGet()
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()

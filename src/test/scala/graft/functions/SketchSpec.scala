@@ -100,6 +100,17 @@ class SketchSpec extends SparkTestBase {
     assert(out.isNullAt(0))
   }
 
+  test("mismatched-parameter probes null out even with non-nullable inputs") {
+    // bloom_agg/cms_agg outputs are nullable=false and the probe key is a
+    // literal: without the explicit nullable=true overrides on
+    // BloomContains/CmsQuery, the wrong-length null would unbox to an NPE
+    // in the non-nullable codegen path
+    val f = Seq("k1", "k2").toDF("k").agg(bloom_agg(col("k"), 1024, 4).as("f"))
+    assert(f.select(bloom_contains(col("f"), lit("k1"), 2048, 4)).head().isNullAt(0))
+    val sk = Seq("a").toDF("v").agg(cms_agg(col("v"), 4, 512).as("sk"))
+    assert(sk.select(cms_query(col("sk"), lit("a"), 4, 256)).head().isNullAt(0))
+  }
+
   test("merged per-group cms sketches equal the one-shot sketch") {
     val vals = (0 until 3000).map(i => (s"src-${i % 4}", s"tok-${i % 450}"))
     val df = vals.toDF("source", "v")
