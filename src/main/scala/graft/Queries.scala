@@ -2009,6 +2009,46 @@ object Queries {
         cms_query(col("sk"), col("tok"), 4, 32).as("est_cnt"))
   }
 
+  /** Sharded inverted index over the corpus: token -> sorted posting
+    * list + document frequency, postings split across 4 doc-id-hash
+    * shards so no row can hold more than ~1/4 of the corpus (a
+    * stopword's postings would otherwise be one corpus-sized row). */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", nShards = 4)
+
+  private val q63Sql =
+    s"""WITH tk AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest($toksSql) AS token FROM documents)),
+       |sh AS (
+       |  SELECT token, ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard, doc_id
+       |  FROM tk)
+       |SELECT token, shard, list(doc_id ORDER BY doc_id) AS postings,
+       |  count(*) AS df
+       |FROM sh GROUP BY token, shard""".stripMargin
+
+  /** Z-order clustering keys for the lineitem table: 16 bits each of
+    * orderkey and partkey interleaved into one sortable long. Sorting by
+    * this key before a columnar write co-locates rows close in BOTH
+    * dimensions, so per-file min/max statistics prune scans filtered on
+    * EITHER column — the multi-dim data-skipping layout, emitted here as
+    * a deterministic bit-exact expression the oracle replays with plain
+    * integer arithmetic. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      zorder_key(16,
+        pmod(col("l_orderkey"), lit(65536L)),
+        pmod(col("l_partkey"), lit(65536L))).as("zkey"))
+
+  private val q64Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  CAST(list_sum(list_transform(range(0, 16), i ->
+      |    (((l_orderkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+      |    + (((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+      |  )) AS BIGINT) AS zkey
+      |FROM lineitem""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2075,5 +2115,7 @@ object Queries {
     "q59_semantic_dedup" -> Q(q59, Some(q59Sql)),
     "q60_curation_pipeline" -> Q(q60, Some(q60Sql)),
     "q61_hll_rollup" -> Q(q61, Some(q61Sql)),
-    "q62_cms_rollup" -> Q(q62, Some(q56Sql)))
+    "q62_cms_rollup" -> Q(q62, Some(q56Sql)),
+    "q63_inverted_index" -> Q(q63, Some(q63Sql)),
+    "q64_zorder_key" -> Q(q64, Some(q64Sql)))
 }

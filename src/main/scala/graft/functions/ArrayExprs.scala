@@ -554,3 +554,48 @@ case class ArrayChunksLong(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): ArrayChunksLong =
     copy(child = newChild)
 }
+
+/** Z-order (Morton) interleaving of N long key columns into one sortable
+  * long: bit `i` of column `c` lands at output bit `i * N + c`. Sorting
+  * or range-partitioning by the z-key before a columnar write co-locates
+  * rows that are close in EVERY key dimension, so per-file min/max
+  * statistics prune scans on any of the interleaved columns — the
+  * multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+  * ZORDER) as a plain deterministic expression. Inputs are taken modulo
+  * 2^bitsPer by masking; null in -> null out. */
+case class ZOrderKey(children: Seq[Expression], bitsPer: Int)
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty, "zorder_key needs at least one column")
+  require(bitsPer >= 1 && bitsPer * children.size <= 63,
+    s"zorder_key bits out of range: $bitsPer x ${children.size} columns")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder_key"
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder_key needs long columns, got ${children.map(_.dataType).mkString(", ")}")
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    var out = 0L
+    var c = 0
+    while (c < n) {
+      val v = children(c).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < bitsPer) {
+        out |= ((x >>> i) & 1L) << (i * n + c)
+        i += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKey = copy(children = newChildren)
+}

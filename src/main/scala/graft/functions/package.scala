@@ -291,4 +291,10 @@ package object functions {
     * evaluated exactly once). */
   def array_chunks(arr: Column, k: Int): Column =
     ExprBridge.column(ArrayChunksLong(col2expr(arr), k))
+
+  /** Z-order (Morton) key over N long columns, `bitsPer` bits each —
+    * sort/partition by it before a write for multi-dimensional data
+    * skipping (see [[ZOrderKey]]). */
+  def zorder_key(bitsPer: Int, cols: Column*): Column =
+    ExprBridge.column(ZOrderKey(cols.map(col2expr), bitsPer))
 }

@@ -235,6 +235,23 @@ object TextAnalysis {
     * the standard reproducible corpus split (stable across runs,
     * partitionings and engines, unlike rand()-based splits). Zero
     * shuffle, codegen'd hash. */
+  /** Sharded inverted index: token -> sorted posting list of the doc ids
+    * containing it, plus the document frequency. `nShards` splits each
+    * token's postings by doc-id hash, so no single output row can exceed
+    * ~|corpus|/nShards ids — without it a stopword's posting list IS the
+    * whole corpus in one row (the bounded-row discipline real posting
+    * systems use; lookups read all nShards rows of a token, an equi-join
+    * on the token key). One distinct + one groupBy, both partial-
+    * aggregated; the doc-id hash is the engine-stable md5. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int = 1): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(ws_tokens(col(textCol))).as("token"))
+      .distinct()
+      .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .groupBy("token", "shard")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + validPct, lit("validation"))

@@ -209,6 +209,36 @@ class OperatorSpec extends SparkTestBase {
     assert(Set("train", "validation", "test").contains(r.getString(4)))
   }
 
+  test("zorder_key interleaves bits, masks to bitsPer, propagates nulls") {
+    val out = Seq((5L, 0L), (0L, 5L), (3L, 3L), (65536L + 1L, 0L))
+      .toDF("a", "b")
+      .select(zorder_key(16, col("a"), col("b")).as("z")).as[Long].collect().toSeq
+    // 5=101b interleaved into even bits -> 10001b; odd bits for col 2;
+    // 65537 masked to 16 bits -> 1
+    assert(out == Seq(17L, 34L, 15L, 1L))
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(zorder_key(16, col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      ZOrderKey(Seq.fill(4)(org.apache.spark.sql.catalyst.expressions.Literal(1L)), 16)
+    }
+  }
+
+  test("invertedIndex shards postings by doc hash with exact df counts") {
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "a b a")).toDF("doc_id", "text")
+    val rows = TextAnalysis.invertedIndex(docs, "doc_id", "text", nShards = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2), r.getLong(3)))
+    // per token: shard postings are disjoint, sorted, and union to the
+    // containing docs; df matches the posting length (multiplicity gone)
+    val byTok = rows.groupBy(_._1)
+    assert(byTok("a").flatMap(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(byTok("b").flatMap(_._3).sorted.toSeq == Seq(1L, 3L))
+    rows.foreach { case (_, _, postings, df) =>
+      assert(postings == postings.sorted && df == postings.length.toLong)
+    }
+  }
+
   test("ClipOps.fixedBboxes computes the reference square-box math") {
     // one clip, 2 frames, 2 points each: xs in [0,10], ys in [0,4]
     val df = Seq(Tuple1(Seq(
