@@ -2024,7 +2024,7 @@ object Queries {
        |  SELECT token, ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard, doc_id
        |  FROM tk)
        |SELECT token, shard, list(doc_id ORDER BY doc_id) AS postings,
-       |  count(*) AS df
+       |  count(*) AS df_shard
        |FROM sh GROUP BY token, shard""".stripMargin
 
   /** Z-order clustering keys for the lineitem table: 16 bits each of
@@ -2037,9 +2037,7 @@ object Queries {
   private def q64(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-      zorder_key(16,
-        pmod(col("l_orderkey"), lit(65536L)),
-        pmod(col("l_partkey"), lit(65536L))).as("zkey"))
+      zorder_key(16, col("l_orderkey"), col("l_partkey")).as("zkey"))
 
   private val q64Sql =
     """SELECT l_orderkey, l_linenumber, l_partkey,

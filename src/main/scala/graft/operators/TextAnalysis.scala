@@ -170,11 +170,11 @@ object TextAnalysis {
     * aggregated shuffles (doc-term counts, doc lengths, doc frequencies)
     * and one per-doc window — the document-frequency side is the small
     * distinct-token table and broadcasts when it fits. The corpus size N
-    * comes out of the doc-length aggregate (a count over `ntok`) and
-    * broadcasts as a single-row cross join — no separate driver action,
-    * and no second scan of a derived/filtered input. Documents with no
-    * tokens contribute no rows to `toks` and therefore drop out of N,
-    * exactly as they did for idf purposes before (they hold no terms). */
+    * is the standard |corpus| INCLUDING token-free documents, computed
+    * as an aggregation branch over the input and broadcast as a
+    * single-row cross join: one action, no separate driver-side
+    * `df.count()` job (the branch does re-read a derived input's
+    * lineage, the price of the standard idf base). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -230,33 +230,37 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
-  /** Deterministic train/validation/test assignment: a content-
-    * independent rolling hash of the document id modulo 100 buckets —
-    * the standard reproducible corpus split (stable across runs,
-    * partitionings and engines, unlike rand()-based splits). Zero
-    * shuffle, codegen'd hash. */
   /** Sharded inverted index: token -> sorted posting list of the doc ids
-    * containing it, plus the document frequency. `nShards` splits each
-    * token's postings by doc-id hash, so no single output row can exceed
-    * ~|corpus|/nShards ids — without it a stopword's posting list IS the
-    * whole corpus in one row (the bounded-row discipline real posting
-    * systems use; lookups read all nShards rows of a token, an equi-join
-    * on the token key). One distinct + one groupBy, both partial-
-    * aggregated; the doc-id hash is the engine-stable md5. */
+    * containing it. `nShards` splits each token's postings by doc-id
+    * hash, so no single output row can exceed ~|corpus|/nShards ids —
+    * without it a stopword's posting list IS the whole corpus in one row
+    * (the bounded-row discipline real posting systems use; lookups read
+    * all nShards rows of a token, an equi-join on the token key).
+    * `df_shard` counts THIS shard's postings only — the token's total
+    * document frequency is the sum of `df_shard` over its shards. One
+    * distinct + one groupBy, both partial-aggregated; the doc-id hash
+    * is the engine-stable md5. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    nShards: Int = 1): DataFrame =
+                    nShards: Int = 1): DataFrame = {
+    require(nShards >= 1, s"invertedIndex needs nShards >= 1, got $nShards")
     df.select(col(idCol).as("doc_id"), explode(ws_tokens(col(textCol))).as("token"))
       .distinct()
       .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
       .groupBy("token", "shard")
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
-        count(lit(1)).as("df"))
+        count(lit(1)).as("df_shard"))
+  }
 
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + validPct, lit("validation"))
       .otherwise(lit("test"))
 
+  /** Deterministic train/validation/test assignment: a content-
+    * independent rolling hash of the document id modulo 100 buckets —
+    * the standard reproducible corpus split (stable across runs,
+    * partitionings and engines, unlike rand()-based splits). Zero
+    * shuffle, codegen'd hash. */
   def hashSplit(df: DataFrame, idCol: String,
                 trainPct: Int = 80, validPct: Int = 10): DataFrame =
     df.select(col(idCol),

@@ -226,6 +226,9 @@ class OperatorSpec extends SparkTestBase {
 
   test("invertedIndex shards postings by doc hash with exact df counts") {
     val docs = Seq((1L, "a b"), (2L, "a"), (3L, "a b a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", nShards = 0)
+    }
     val rows = TextAnalysis.invertedIndex(docs, "doc_id", "text", nShards = 2)
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getSeq[Long](2), r.getLong(3)))
