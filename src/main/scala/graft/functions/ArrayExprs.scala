@@ -96,7 +96,13 @@ case class LinearResampleVec(first: Expression, second: Expression, third: Expre
   override def nullSafeEval(yv: Any, numv: Any, fpsv: Any): Any = {
     val arr = yv.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // null or ragged inner rows null the ROW instead of throwing mid-task
+    // (same malformed-clip convention as EdgeMovingAvgVec)
+    var i0 = 0
+    while (i0 < n) { if (arr.isNullAt(i0)) return null; i0 += 1 }
     val rows = Array.tabulate(n)(i => arr.getArray(i).toDoubleArray())
+    i0 = 1
+    while (i0 < n) { if (rows(i0).length != rows(0).length) return null; i0 += 1 }
     val num = numv match { case i: Int => i; case l: Long => l.toInt }
     val fps = fpsv.asInstanceOf[Double]
     if (n == num) return new GenericArrayData(rows.map(new GenericArrayData(_): Any))
@@ -359,6 +365,9 @@ case class SlidingBoxes(child: Expression, scale: Double, window: Int)
     StructField("x1", LongType), StructField("y1", LongType),
     StructField("x2", LongType), StructField("y2", LongType)))
   override def dataType: DataType = ArrayType(boxType, containsNull = false)
+  // malformed rows (null frames/points) yield null regardless of child
+  // nullability — see the guard in nullSafeEval
+  override def nullable: Boolean = true
   override def prettyName: String = "sliding_boxes"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ArrayType(StructType(f), _), _)
@@ -370,17 +379,20 @@ case class SlidingBoxes(child: Expression, scale: Double, window: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // per-frame bounds once
+    // null frames or null points null the ROW instead of throwing
+    // mid-task (same malformed-clip convention as EdgeMovingAvgVec)
     val fxMin = new Array[Double](n); val fxMax = new Array[Double](n)
     val fyMin = new Array[Double](n); val fyMax = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val frame = arr.getArray(i)
       val m = frame.numElements()
       var xmn = Double.PositiveInfinity; var xmx = Double.NegativeInfinity
       var ymn = Double.PositiveInfinity; var ymx = Double.NegativeInfinity
       var k = 0
       while (k < m) {
+        if (frame.isNullAt(k)) return null
         val p = frame.getStruct(k, 2)
         val x = p.getDouble(0); val y = p.getDouble(1)
         if (x < xmn) xmn = x; if (x > xmx) xmx = x

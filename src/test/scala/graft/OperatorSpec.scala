@@ -22,6 +22,24 @@ class OperatorSpec extends SparkTestBase {
     assert(df.select(savgol_smooth(col("series"), 5, 2)).head.isNullAt(0))
   }
 
+  test("linear_resample_vec and sliding boxes null malformed matrices") {
+    // ragged inner row -> null row, not ArrayIndexOutOfBounds
+    val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0), Seq(3.0)))).toDF("m")
+    assert(ragged.select(linear_resample_vec(col("m"), lit(5), lit(25.0)))
+      .head().isNullAt(0))
+    // null inner row -> null row, not NPE
+    val nullRow = Seq(Tuple1(Seq(Seq(1.0, 2.0), null.asInstanceOf[Seq[Double]])))
+      .toDF("m")
+    assert(nullRow.select(linear_resample_vec(col("m"), lit(5), lit(25.0)))
+      .head().isNullAt(0))
+    // null frame in the landmark matrix -> null row
+    val lm = spark.sql(
+      """SELECT array(array(named_struct('x', 1.0d, 'y', 2.0d)),
+        |  CAST(NULL AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)) AS lm""".stripMargin)
+    assert(lm.select(ClipOps.emocaLikeBboxes(col("lm"), 1.25, 5).as("b"))
+      .head().isNullAt(0))
+  }
+
   test("edge_moving_avg_vec nulls malformed rows instead of throwing") {
     // ragged inner row (shorter than rows(0))
     val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0), Seq(3.0)))).toDF("m")
