@@ -115,6 +115,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hll sketch of a union equals the byte-max merge of the part sketches") {
+    import graft.functions.Hll
+    trials(30) {
+      val p = 4 + rnd.nextInt(8)
+      val a = Seq.fill(50 + rnd.nextInt(400))(s"a-${rnd.nextInt(300)}")
+      val b = Seq.fill(50 + rnd.nextInt(400))(s"b-${rnd.nextInt(300)}")
+      def sketch(vs: Seq[String]) = {
+        val buf = new Array[Byte](1 << p); vs.foreach(Hll.update(buf, _, p)); buf
+      }
+      val merged = sketch(a).zip(sketch(b)).map { case (x, y) => if (y > x) y else x }
+      assert(java.util.Arrays.equals(merged, sketch(a ++ b)))
+      // and the estimate only depends on the buffer (order-free)
+      assert(Hll.estimate(merged) == Hll.estimate(sketch(rnd.shuffle(a ++ b))))
+    }
+  }
+
+  test("sketch double-hash positions are in range and match the SQL arithmetic") {
+    import graft.functions.{SketchHash, TextKernels}
+    trials(100) {
+      val m = 8 << rnd.nextInt(10)
+      val k = 1 + rnd.nextInt(16)
+      val h = TextKernels.md5Long(rnd.alphanumeric.take(12).mkString)
+      val ps = SketchHash.positions(h, m, k)
+      assert(ps.length == k && ps.forall(p => p >= 0 && p < m))
+      // the oracle's integer replay: (h % m + i * (1 + (h // m) % (m-1))) % m
+      ps.zipWithIndex.foreach { case (p, i) =>
+        assert(p == ((h % m + i * (1 + (h / m) % (m - 1))) % m).toInt)
+      }
+    }
+  }
+
+  test("zorder key de-interleaves back to the masked inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    trials(100) {
+      val bits = 1 + rnd.nextInt(16)
+      val nCols = 1 + rnd.nextInt(63 / bits).min(4)
+      val vals = Seq.fill(nCols)(rnd.nextLong().abs)
+      val z = graft.functions.ZOrderKey(vals.map(Literal(_)), bits)
+        .eval(null).asInstanceOf[Long]
+      val mask = (1L << bits) - 1
+      vals.zipWithIndex.foreach { case (v, c) =>
+        var back = 0L
+        (0 until bits).foreach(i => back |= ((z >>> (i * nCols + c)) & 1L) << i)
+        assert(back == (v & mask), s"col $c of $nCols, bits=$bits")
+      }
+    }
+  }
+
   test("bbox to_square is idempotent (squares stay fixed)") {
     // to_square of an already-square box is the identity (utils.py:27-39)
     trials(50) {

@@ -126,6 +126,25 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("curation pipeline output is identical under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 300L).map { i =>
+      // mix of languages, duplicated texts every 7th doc, one empty doc
+      val text =
+        if (i == 7L) ""
+        else if (i % 7 == 0) "the quick brown fox the of and to in " * 4
+        else s"der und die das ist word-$i payload " * 5
+      (i, text)
+    }.toDF("doc_id", "text")
+    def run(parts: Int) =
+      operators.TextAnalysis.curate(docs.repartition(parts), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    val ref = run(1)
+    assert(ref.nonEmpty)
+    assert(run(13) == ref && run(32) == ref)
+  }
+
   test("bucketed tables join without an exchange") {
     // default warehouse (spark-warehouse/ under the test cwd, gitignored);
     // the in-memory catalog forgets tables between JVMs, so stale
