@@ -2047,6 +2047,99 @@ object Queries {
       |  )) AS BIGINT) AS zkey
       |FROM lineitem""".stripMargin
 
+  /** Per-region top-3 orders by price via the partial-combining
+    * `top_k_by` aggregate — NOT a region-partitioned row_number window,
+    * which with 5 regions would drag a fifth of the orders table onto
+    * each of 5 partitions and sort it; the aggregate ships at most 3
+    * rows per region per partition. Price is integer cents in the sort
+    * key AND the output so ordering ties are engine-exact; the orderkey
+    * rides negated so its tiebreak runs ascending under the descending
+    * struct order. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("region"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderkey"))
+    joined.groupBy("region")
+      .agg(top_k_by(struct(col("price_cents"), (-col("o_orderkey")).as("neg_okey")), 3)
+        .as("top"))
+      .select(col("region"), posexplode(col("top")))
+      .select(col("region"), (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.neg_okey")).as("o_orderkey"), col("col.price_cents"))
+  }
+
+  private val q65Sql =
+    """WITH j AS (
+      |  SELECT r.r_name AS region,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+      |    o.o_orderkey
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |rk AS (
+      |  SELECT region, price_cents, o_orderkey,
+      |    row_number() OVER (PARTITION BY region
+      |      ORDER BY price_cents DESC, o_orderkey ASC) AS rank
+      |  FROM j)
+      |SELECT region, rank, o_orderkey, price_cents FROM rk WHERE rank <= 3""".stripMargin
+
+  /** Approximate per-flag price quantiles from the mergeable equi-width
+    * histogram sketch (hist_agg + hist_quantile): one scan, 256 exact
+    * Long counters per group across the shuffle instead of every price
+    * value (q09's exact percentile is the oracle-exact form; THIS is the
+    * 100 TB form — mergeable, bounded state, bin-width-bounded error).
+    * The sketch is a pure function of the input multiset, so the oracle
+    * replays bins, cumulative walk and within-bin interpolation term for
+    * term. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi, b) = (0.0, 110000.0, 256)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(hist_agg(col("l_extendedprice"), lo, hi, b).as("h"))
+      .select(col("flag"),
+        round(hist_quantile(col("h"), 0.5, lo, hi, b), 6).as("p50"),
+        round(hist_quantile(col("h"), 0.9, lo, hi, b), 6).as("p90"),
+        round(hist_quantile(col("h"), 0.99, lo, hi, b), 6).as("p99"))
+  }
+
+  private val q66Sql =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    LEAST(GREATEST(CAST(floor((l_extendedprice - 0.0)
+      |      / (110000.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+      |  FROM lineitem),
+      |c AS (SELECT flag, bin, count(*) AS cnt FROM b GROUP BY flag, bin),
+      |n AS (SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n FROM c GROUP BY flag),
+      |cum AS (
+      |  SELECT flag, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum
+      |  FROM c),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q
+      |       FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+      |sel AS (
+      |  SELECT cum.flag, qs.q, min(cum.bin) AS bin
+      |  FROM cum JOIN n ON n.flag = cum.flag CROSS JOIN qs
+      |  WHERE CAST(cum.cum AS DOUBLE) >= qs.q * n.n
+      |  GROUP BY cum.flag, qs.q),
+      |est AS (
+      |  SELECT s.flag, s.q,
+      |    0.0 + (s.bin + (s.q * n.n - CAST(c2.cum - c2.cnt AS DOUBLE))
+      |      / CAST(c2.cnt AS DOUBLE)) * ((110000.0 - 0.0) / 256) AS v
+      |  FROM sel s
+      |  JOIN n ON n.flag = s.flag
+      |  JOIN cum c2 ON c2.flag = s.flag AND c2.bin = s.bin)
+      |SELECT flag,
+      |  round(MAX(CASE WHEN q = 0.5 THEN v END), 6) AS p50,
+      |  round(MAX(CASE WHEN q = 0.9 THEN v END), 6) AS p90,
+      |  round(MAX(CASE WHEN q = 0.99 THEN v END), 6) AS p99
+      |FROM est GROUP BY flag""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2115,5 +2208,7 @@ object Queries {
     "q61_hll_rollup" -> Q(q61, Some(q61Sql)),
     "q62_cms_rollup" -> Q(q62, Some(q56Sql)),
     "q63_inverted_index" -> Q(q63, Some(q63Sql)),
-    "q64_zorder_key" -> Q(q64, Some(q64Sql)))
+    "q64_zorder_key" -> Q(q64, Some(q64Sql)),
+    "q65_topk_per_group" -> Q(q65, Some(q65Sql)),
+    "q66_hist_quantiles" -> Q(q66, Some(q66Sql)))
 }

@@ -312,6 +312,201 @@ case class BottomKAgg(
     copy(child = newChild)
 }
 
+/** Equi-width histogram aggregate over a double column: `nBins` exact
+  * Long counters covering [lo, hi) (out-of-range values clamp into the
+  * edge bins), elementwise-sum merge via [[LongSumBufferAgg]] — fully
+  * mergeable and deterministic, the distributed/streaming quantile shape
+  * when an exact `percentile` would shuffle every value: the shuffle
+  * carries nBins*8 bytes per group, quantiles read off the cumulative
+  * counts with [[HistQuantile]], and error is bounded by the bin width.
+  * Unlike randomized t-digest/KLL compaction, the sketch is a pure
+  * function of the input multiset, so a SQL oracle replays it exactly. */
+case class HistAgg(
+    child: Expression,
+    lo: Double,
+    hi: Double,
+    nBins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
+  with UnaryLike[Expression] {
+  require(nBins >= 2 && nBins <= (1 << 20), s"hist bins out of range: $nBins")
+  require(lo < hi, s"hist needs lo < hi, got [$lo, $hi)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hist_agg"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hist_agg needs double, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBins)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (!x.isNaN) {
+        var bin = math.floor((x - lo) / (hi - lo) * nBins).toInt
+        if (bin < 0) bin = 0
+        if (bin >= nBins) bin = nBins - 1
+        buf(bin) += 1L
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def withNewMutableAggBufferOffset(off: Int): HistAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): HistAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): HistAgg =
+    copy(child = newChild)
+}
+
+/** Quantile estimate from a [[HistAgg]] bin-count array: continuous rank
+  * t = q*N lands in the first bin whose cumulative count reaches it, and
+  * the value interpolates linearly within that bin:
+  * lo + (bin + (t - cumBefore)/cnt) * binWidth. Pure deterministic
+  * arithmetic — the oracle replays it term for term. Empty sketch or
+  * wrong length -> null. */
+case class HistQuantile(child: Expression, q: Double, lo: Double, hi: Double, nBins: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+  require(nBins >= 2 && lo < hi, s"bad hist params: [$lo, $hi) x $nBins")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_quantile"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hist_quantile needs array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != nBins) return null
+    var n = 0L
+    var i = 0
+    while (i < nBins) { n += arr.getLong(i); i += 1 }
+    if (n == 0L) return null
+    val t = q * n.toDouble
+    val w = (hi - lo) / nBins
+    var cum = 0L
+    i = 0
+    while (i < nBins) {
+      val cnt = arr.getLong(i)
+      if (cnt > 0 && (cum + cnt).toDouble >= t) {
+        val frac = (t - cum.toDouble) / cnt.toDouble
+        return lo + (i + frac) * w
+      }
+      cum += cnt
+      i += 1
+    }
+    hi // t == N beyond the last counted bin (q = 1 with rounding)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HistQuantile =
+    copy(child = newChild)
+}
+
+/** Generic partial-combining per-group top-k aggregate: keeps the k
+  * LARGEST input structs under the struct type's natural (field-wise)
+  * ordering — put the primary sort key first and negate any field whose
+  * tiebreak should run ascending. Multiset semantics (duplicates
+  * retained), so the result is a pure function of the input multiset and
+  * identical under any partitioning.
+  *
+  * This is the scale-correct replacement for `row_number().over(Window
+  * .partitionBy(g).orderBy(...)) <= k` when groups are few or skewed: the
+  * window drags every group's full slice onto one partition and sorts it,
+  * while this aggregate partial-combines — at most k rows per group per
+  * partition cross the shuffle, and nothing is ever globally sorted.
+  * Output: array<struct>, descending. */
+case class TopKByAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[InternalRow]]
+  with UnaryLike[Expression] {
+  require(k >= 1 && k <= 4096, s"top-k size out of range: $k")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[InternalRow]
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType
+      if s.fields.nonEmpty && s.fields.forall(f => RowOrdering.isOrderable(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"top_k_by needs an orderable struct, got $t")
+  }
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    RowOrdering.createNaturalAscendingOrdering(structType.fields.map(_.dataType).toSeq)
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(structType)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  // buffer kept sorted DESCENDING, capped at k; rows are unsafe copies
+  // (the source row is reused by the iterator)
+  private def insert(buf: Buf, row: InternalRow): Unit = {
+    if (buf.length == k && ordering.compare(row, buf.last) <= 0) return
+    var pos = 0
+    while (pos < buf.length && ordering.compare(buf(pos), row) >= 0) pos += 1
+    buf.insert(pos, toUnsafe(row).copy())
+    if (buf.length > k) buf.remove(k)
+  }
+
+  override def update(buf: Buf, row: InternalRow): Buf = {
+    val v = child.eval(row)
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow])
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: Buf): Any = new GenericArrayData(buf.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val rows = buf.map(r => toUnsafe(r).copy().getBytes)
+    val bb = java.nio.ByteBuffer.allocate(4 + rows.map(_.length + 4).sum)
+    bb.putInt(rows.length)
+    rows.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf()
+    (0 until n).foreach { _ =>
+      val len = bb.getInt
+      val rowBytes = new Array[Byte](len)
+      bb.get(rowBytes)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(structType.length)
+      row.pointTo(rowBytes, len)
+      buf += row
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): TopKByAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): TopKByAgg =
+    copy(child = newChild)
+}
+
 /** Reads the estimate out of a sketch buffer (scalar). Wrong-length
   * input -> null. */
 case class HllEstimate(child: Expression)

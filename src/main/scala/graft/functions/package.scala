@@ -201,6 +201,29 @@ package object functions {
   def hll_estimate(c: Column): Column =
     ExprBridge.column(HllEstimate(col2expr(c)))
 
+  /** Mergeable equi-width histogram over a double column: nBins exact
+    * counters covering [lo, hi), the distributed/streaming quantile
+    * sketch (see [[HistAgg]]). */
+  def hist_agg(c: Column, lo: Double, hi: Double, nBins: Int): Column =
+    ExprBridge.column(HistAgg(col2expr(c), lo, hi, nBins).toAggregateExpression())
+
+  /** Merge `hist_agg` bin-count arrays by elementwise sum (exact). */
+  def hist_merge(c: Column, nBins: Int): Column =
+    ExprBridge.column(CmsMergeAgg(col2expr(c), 1, nBins).toAggregateExpression())
+
+  /** Quantile estimate from a `hist_agg` array (within-bin linear
+    * interpolation; error bounded by the bin width). */
+  def hist_quantile(bins: Column, q: Double, lo: Double, hi: Double, nBins: Int): Column =
+    ExprBridge.column(HistQuantile(col2expr(bins), q, lo, hi, nBins))
+
+  /** Partial-combining per-group top-k: the k largest structs under the
+    * struct's field-wise order, descending — the aggregate form of
+    * `row_number over (partition by g order by ...) <= k` (see
+    * [[TopKByAgg]]; put the primary key first, negate fields whose
+    * tiebreak runs ascending). */
+  def top_k_by(s: Column, k: Int): Column =
+    ExprBridge.column(TopKByAgg(col2expr(s), k).toAggregateExpression())
+
   /** Bottom-k (KMV) aggregate over a struct<h: long, id: long> column:
     * the k smallest DISTINCT pairs by (h, id), ascending — the
     * partial-combining form of per-group consistent sampling (see

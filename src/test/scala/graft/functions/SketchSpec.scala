@@ -148,6 +148,72 @@ class SketchSpec extends SparkTestBase {
     assert(out == Seq((3L, 2L), (5L, 1L)))
   }
 
+  test("hist quantiles land within one bin width of the exact percentile") {
+    val vals = (0 until 5000).map(i => ((i * 7919) % 10000).toDouble)
+    val df = vals.toDF("v")
+    val binW = 10000.0 / 128
+    val sk = df.agg(hist_agg(col("v"), 0.0, 10000.0, 128).as("h"))
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = sk.select(hist_quantile(col("h"), q, 0.0, 10000.0, 128))
+        .head().getDouble(0)
+      val exact = vals.sorted.apply((q * (vals.length - 1)).toInt)
+      assert(math.abs(est - exact) <= binW + 1e-9, s"q=$q est=$est exact=$exact")
+    }
+  }
+
+  test("hist merge of per-group sketches equals the one-shot histogram") {
+    val df = (0 until 4000).map(i => (s"p${i % 5}", (i % 997).toDouble)).toDF("p", "v")
+    val merged = df.groupBy("p").agg(hist_agg(col("v"), 0.0, 1000.0, 64).as("h"))
+      .agg(hist_merge(col("h"), 64).as("h"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    val oneShot = df.agg(hist_agg(col("v"), 0.0, 1000.0, 64).as("h"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(merged == oneShot)
+  }
+
+  test("hist clamps outliers to edge bins and nulls bad sketches") {
+    val df = Seq(-50.0, 5.0, 150.0).toDF("v")
+    val bins = df.agg(hist_agg(col("v"), 0.0, 100.0, 10).as("h"))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(bins.head == 2L && bins.last == 1L) // -50 clamps low, 150 clamps high
+    val bad = Seq(Tuple1(Seq(1L, 2L))).toDF("h")
+      .select(hist_quantile(col("h"), 0.5, 0.0, 100.0, 10))
+    assert(bad.head().isNullAt(0))
+    val empty = Seq(Tuple1(Seq.fill(10)(0L))).toDF("h")
+      .select(hist_quantile(col("h"), 0.5, 0.0, 100.0, 10))
+    assert(empty.head().isNullAt(0))
+  }
+
+  test("top_k_by equals the window formulation under any partitioning") {
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 3}", (i * 37) % 100L, i.toLong)
+    }
+    // expected: per group, top-5 by (score desc, id desc) — the struct's
+    // natural descending order with id second
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted(
+        Ordering[(Long, Long)].reverse).take(5)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy("g").agg(top_k_by(struct(col("score"), col("id")), 5).as("tk"))
+        .collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getLong(0), s.getLong(1)))
+        }.toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("top_k_by keeps duplicates (multiset) and handles small groups") {
+    val df = Seq(("a", 9L), ("a", 9L), ("a", 1L), ("b", 5L)).toDF("g", "v")
+    val out = df.groupBy("g").agg(top_k_by(struct(col("v")), 2).as("tk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toMap
+    assert(out("a") == Seq(9L, 9L)) // the duplicate survives, 1 is cut
+    assert(out("b") == Seq(5L))     // group smaller than k
+  }
+
   test("sketch parameter bounds are enforced") {
     val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
     intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 4, numHashes = 4) }
