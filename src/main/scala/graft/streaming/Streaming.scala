@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.hll_distinct
+import graft.functions.{hist_agg, hist_quantile, hll_distinct}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -121,6 +121,25 @@ object Streaming {
       .agg(hll_distinct(col("user_id").cast("string"), p).as("approx_users"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
+
+  /** Windowed approximate value quantiles via the mergeable histogram
+    * sketch ([[graft.functions.HistAgg]]): p50/p90/p99 of `value` per
+    * event type per tumbling window with nBins*8 BYTES of state per
+    * group — an exact windowed percentile would buffer every value in
+    * the state store. Deterministic: identical to the batch histogram
+    * over the same rows. */
+  def windowedValueQuantiles(events: DataFrame, windowMinutes: Int = 10,
+                             watermark: String = "1 hour",
+                             lo: Double = 0.0, hi: Double = 1000.0,
+                             nBins: Int = 128): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(hist_agg(col("value"), lo, hi, nBins).as("h"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        hist_quantile(col("h"), 0.5, lo, hi, nBins).as("p50"),
+        hist_quantile(col("h"), 0.9, lo, hi, nBins).as("p90"),
+        hist_quantile(col("h"), 0.99, lo, hi, nBins).as("p99"))
 
   /** Streaming near-duplicate candidate detection — the batch LSH bucket
     * join (Dedup.minhashLshPairs' candidate step) as continuous ingest.

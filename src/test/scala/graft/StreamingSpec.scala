@@ -119,6 +119,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed histogram quantiles equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedValueQuantiles(events, windowMinutes = 10,
+        lo = 0.0, hi = 100.0, nBins = 50)
+      .writeStream.format("memory").queryName("wvq").outputMode("complete").start()
+    try {
+      val rows = (1 to 40).map(i => (ts(i % 9), "click", (i * 7 % 100).toDouble))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wvq").collect()
+        .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      import spark.implicits._
+      val batch = rows.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(graft.functions.hist_agg(col("value"), 0.0, 100.0, 50).as("h"))
+        .select(col("event_type"),
+          graft.functions.hist_quantile(col("h"), 0.5, 0.0, 100.0, 50),
+          graft.functions.hist_quantile(col("h"), 0.9, 0.0, 100.0, 50),
+          graft.functions.hist_quantile(col("h"), 0.99, 0.0, 100.0, 50))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      assert(streamed.toSet == batch.toSet)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file-source stream runs batch ClipOps over incrementally arriving clips") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-clipstream").toString
