@@ -454,31 +454,34 @@ case class TopKByAgg(
 
   override def createAggregationBuffer(): Buf = new Buf()
 
-  // buffer kept sorted DESCENDING, capped at k; rows are unsafe copies
-  // (the source row is reused by the iterator)
-  private def insert(buf: Buf, row: InternalRow): Unit = {
+  // buffer kept sorted DESCENDING, capped at k; `own` materializes the
+  // row into the buffer (a defensive unsafe copy on the update path; the
+  // merge path's rows are already owned copies and pass through as-is)
+  private def insert(buf: Buf, row: InternalRow, own: InternalRow => InternalRow): Unit = {
     if (buf.length == k && ordering.compare(row, buf.last) <= 0) return
     var pos = 0
     while (pos < buf.length && ordering.compare(buf(pos), row) >= 0) pos += 1
-    buf.insert(pos, toUnsafe(row).copy())
+    buf.insert(pos, own(row))
     if (buf.length > k) buf.remove(k)
   }
 
   override def update(buf: Buf, row: InternalRow): Buf = {
     val v = child.eval(row)
-    if (v != null) insert(buf, v.asInstanceOf[InternalRow])
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow], r => toUnsafe(r).copy())
     buf
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
-    b.foreach(insert(a, _))
+    b.foreach(insert(a, _, identity))
     a
   }
 
   override def eval(buf: Buf): Any = new GenericArrayData(buf.toArray[Any])
 
   override def serialize(buf: Buf): Array[Byte] = {
-    val rows = buf.map(r => toUnsafe(r).copy().getBytes)
+    // every buffer entry is an owned UnsafeRow (insert copies on update,
+    // deserialize materializes) — its bytes serialize directly
+    val rows = buf.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow].getBytes)
     val bb = java.nio.ByteBuffer.allocate(4 + rows.map(_.length + 4).sum)
     bb.putInt(rows.length)
     rows.foreach { b => bb.putInt(b.length); bb.put(b) }
@@ -659,7 +662,7 @@ case class CmsAgg(
   extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
   with UnaryLike[Expression] {
   require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
-  require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
+  require(width >= 2 && width <= (1 << 24), s"cms width out of range: $width")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -707,7 +710,7 @@ case class CmsMergeAgg(
   extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
   with UnaryLike[Expression] {
   require(depth >= 1 && depth <= 16, s"cms depth out of range: $depth")
-  require(width >= 8 && width <= (1 << 24), s"cms width out of range: $width")
+  require(width >= 2 && width <= (1 << 24), s"cms width out of range: $width")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

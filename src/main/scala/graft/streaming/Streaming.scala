@@ -135,7 +135,7 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
-      .agg(hist_agg(col("value"), lo, hi, nBins).as("h"))
+      .agg(hist_agg(col("value").cast("double"), lo, hi, nBins).as("h"))
       .select(col("window.start").as("window_start"), col("event_type"),
         hist_quantile(col("h"), 0.5, lo, hi, nBins).as("p50"),
         hist_quantile(col("h"), 0.9, lo, hi, nBins).as("p90"),

@@ -219,6 +219,6 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 4, numHashes = 4) }
     intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 1024, numHashes = 0) }
     intercept[IllegalArgumentException] { CmsAgg(lit, depth = 0, width = 512) }
-    intercept[IllegalArgumentException] { CmsAgg(lit, depth = 4, width = 4) }
+    intercept[IllegalArgumentException] { CmsAgg(lit, depth = 4, width = 1) }
   }
 }
