@@ -2140,6 +2140,55 @@ object Queries {
       |  round(MAX(CASE WHEN q = 0.99 THEN v END), 6) AS p99
       |FROM est GROUP BY flag""".stripMargin
 
+  /** Quality-proportional deterministic sampling (the data-mixing /
+    * upsampling primitive): keep a doc iff md5(id)/2^60 < 0.6 * quality.
+    * Reproducible across runs/engines/partitionings and NESTED (a higher
+    * rate strictly contains a lower-rate sample), unlike rand(); the
+    * oracle replays the exact keep decision including the boundary
+    * arithmetic. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    TextAnalysis.weightedSample(
+        docs.select(col("doc_id"), col("lang")).join(q, "doc_id"),
+        "doc_id", col("quality_score") * lit(0.6))
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+  }
+
+  private val q67Sql =
+    s"""WITH toks AS (SELECT doc_id, lang, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    $qualityFeatSql
+       |  FROM toks),
+       |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM f)
+       |SELECT doc_id, lang, quality_score FROM q
+       |WHERE CAST(${md5LongSql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+       |  < quality_score * 0.6 * 1152921504606846976.0""".stripMargin
+
+  /** Sequence-packing offsets: 8 id-hash buckets, 512-token training
+    * blocks — each doc's start offset and block span under the
+    * concat-then-chunk layout (TextAnalysis.packingOffsets). The window
+    * is bucket-partitioned; the oracle replays the identical prefix-sum
+    * and floor-division arithmetic. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packingOffsets(t(s, dir, "documents"), "doc_id", "text", 512, 8)
+
+  private val q68Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ntok,
+       |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, bucket, ntok,
+       |    sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id) - ntok AS start_tok
+       |  FROM d)
+       |SELECT doc_id, bucket, ntok, start_tok,
+       |  start_tok // 512 AS start_block,
+       |  (start_tok + GREATEST(ntok - 1, 0)) // 512 AS end_block
+       |FROM o""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2210,5 +2259,7 @@ object Queries {
     "q63_inverted_index" -> Q(q63, Some(q63Sql)),
     "q64_zorder_key" -> Q(q64, Some(q64Sql)),
     "q65_topk_per_group" -> Q(q65, Some(q65Sql)),
-    "q66_hist_quantiles" -> Q(q66, Some(q66Sql)))
+    "q66_hist_quantiles" -> Q(q66, Some(q66Sql)),
+    "q67_weighted_sample" -> Q(q67, Some(q67Sql)),
+    "q68_packing_offsets" -> Q(q68, Some(q68Sql)))
 }

@@ -251,6 +251,43 @@ object TextAnalysis {
         count(lit(1)).as("df_shard"))
   }
 
+  /** Deterministic weighted (Bernoulli) sampling: keep a row iff
+    * md5(id)/2^60 < probability, where the probability is any per-row
+    * column (e.g. quality-score-proportional — the data-mixing /
+    * upsampling primitive). Unlike rand()-based sampling the decision is
+    * a pure function of the row id, so the sample is reproducible across
+    * runs, engines and partitionings, and a re-run with a higher rate is
+    * a SUPERSET of the lower-rate sample (nested samples — the property
+    * that makes mixing-ratio sweeps comparable). Zero shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, probability: Column): DataFrame =
+    df.where(
+      md5_long(col(idCol).cast("string")).cast("double")
+        < probability * lit(1152921504606846976.0)) // 2^60
+
+  /** Sequence-packing offsets (the GPT-style concat-then-chunk layout):
+    * within each of `nBuckets` id-hash shards, documents concatenate in
+    * id order and the token stream is cut into fixed `blockTokens`
+    * training blocks; each document gets its bucket, its token start
+    * offset, and the block range it spans. The prefix sum runs per
+    * bucket — a bucket-partitioned window, never global — so at corpus
+    * scale the bucket count IS the packing parallelism, and the layout
+    * is deterministic (hash buckets + id order), reproducible across
+    * runs and engines. */
+  def packingOffsets(df: DataFrame, idCol: String, textCol: String,
+                     blockTokens: Int, nBuckets: Int): DataFrame = {
+    require(blockTokens >= 1 && nBuckets >= 1,
+      s"packingOffsets needs positive sizes, got $blockTokens/$nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col(idCol))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("ntok"),
+        (md5_long(col(idCol).cast("string")) % nBuckets).as("bucket"))
+      .withColumn("start_tok", sum(col("ntok")).over(w) - col("ntok"))
+      .select(col(idCol), col("bucket"), col("ntok"), col("start_tok"),
+        (col("start_tok") / blockTokens).cast("long").as("start_block"),
+        ((col("start_tok") + greatest(col("ntok") - 1, lit(0L))) / blockTokens)
+          .cast("long").as("end_block"))
+  }
+
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + validPct, lit("validation"))

@@ -260,6 +260,36 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSample is partition-stable and nested across rates") {
+    val docs = (1L to 500L).map(i => (i, "x")).toDF("doc_id", "text")
+    def ids(rate: Double, parts: Int = 4) =
+      TextAnalysis.weightedSample(docs.repartition(parts), "doc_id", lit(rate))
+        .select("doc_id").as[Long].collect().toSet
+    val lo = ids(0.3)
+    val hi = ids(0.7)
+    assert(lo.subsetOf(hi), "higher rate must contain the lower-rate sample")
+    assert(ids(0.3, parts = 17) == lo, "sample must not depend on partitioning")
+    // md5 is uniform: keep counts land near rate * n
+    assert(math.abs(lo.size - 150) < 60 && math.abs(hi.size - 350) < 60)
+  }
+
+  test("packingOffsets tiles each bucket's token stream contiguously") {
+    val docs = (1L to 100L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packingOffsets(docs, "doc_id", "text", 10, 4).collect()
+    assert(out.length == 100)
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_tok") == cum, "stream must be contiguous")
+        val (st, nt) = (r.getAs[Long]("start_tok"), r.getAs[Long]("ntok"))
+        assert(r.getAs[Long]("start_block") == st / 10)
+        assert(r.getAs[Long]("end_block") == (st + math.max(nt - 1, 0)) / 10)
+        cum += nt
+      }
+    }
+  }
+
   test("ClipOps.fixedBboxes computes the reference square-box math") {
     // one clip, 2 frames, 2 points each: xs in [0,10], ys in [0,4]
     val df = Seq(Tuple1(Seq(
