@@ -158,6 +158,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no WindowExec in bottom-k sampling:\n$plan")
   }
 
+  test("top-k-per-group and histogram quantiles partial-aggregate, no windows") {
+    val docs = spark.range(2000).select(col("id"),
+      (col("id") % 5).cast("string").as("g"),
+      (col("id") * 37 % 1000).as("score"),
+      (col("id") % 997).cast("double").as("v"))
+    val topPlan = docs.groupBy("g")
+      .agg(graft.functions.top_k_by(struct(col("score"), col("id")), 3))
+      .queryExecution.executedPlan.toString
+    assert(topPlan.contains("partial_top_k_by"), s"top_k_by must partial-aggregate:\n$topPlan")
+    assert(!topPlan.contains("Window"), s"no WindowExec in top-k:\n$topPlan")
+    val histPlan = docs.groupBy("g")
+      .agg(graft.functions.hist_agg(col("v"), 0.0, 1000.0, 64))
+      .queryExecution.executedPlan.toString
+    assert(histPlan.contains("partial_hist_agg"), s"hist_agg must partial-aggregate:\n$histPlan")
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen
