@@ -2147,12 +2147,11 @@ object Queries {
     * oracle replays the exact keep decision including the boundary
     * arithmetic. */
   private def q67(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val q = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
-      .select(col("doc_id"), col("quality_score"))
-    TextAnalysis.weightedSample(
-        docs.select(col("doc_id"), col("lang")).join(q, "doc_id"),
-        "doc_id", col("quality_score") * lit(0.6))
+    // lang rides through the quality projection — ONE corpus scan, zero
+    // shuffle (a join to reattach it would rescan the table)
+    val q = TextAnalysis.qualityFeatures(
+      t(s, dir, "documents"), "doc_id", "text", passthrough = Seq("lang"))
+    TextAnalysis.weightedSample(q, "doc_id", col("quality_score") * lit(0.6))
       .select(col("doc_id"), col("lang"), col("quality_score"))
   }
 

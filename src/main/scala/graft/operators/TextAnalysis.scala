@@ -60,9 +60,11 @@ object TextAnalysis {
     * of (idCol, text): every feature is referenced several times
     * downstream (score + output), and inlining would re-tokenize per
     * reference. */
-  private def qualityStaged(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def qualityStaged(df: DataFrame, idCol: String, textCol: String,
+                            passthrough: Seq[String] = Nil): DataFrame = {
     val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
-    df.select(col(idCol), col(textCol).as("text"), ws_tokens(col(textCol)).as("toks"))
+    df.select(col(idCol) +: passthrough.map(col) :+ col(textCol).as("text")
+        :+ ws_tokens(col(textCol)).as("toks"): _*)
       .withColumn("ntok", size(col("toks")).cast("double"))
       .withColumn("mean_tok_len",
         when(col("ntok") > 0,
@@ -89,15 +91,20 @@ object TextAnalysis {
       + least(col("stopword_ratio") * 5, lit(1.0))) / 4, 6)
   }
 
-  /** Quality features + a composite score in [0,1]:
-    * token count, mean token length, alnum ratio, stopword ratio. */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    qualityStaged(df, idCol, textCol)
-      .select(col(idCol), col("ntok").cast("long").as("n_tokens"),
-        round(col("mean_tok_len"), 6).as("mean_tok_len"),
-        round(col("alnum_ratio"), 6).as("alnum_ratio"),
-        round(col("stopword_ratio"), 6).as("stopword_ratio"),
-        qualityScoreCol.as("quality_score"))
+  /** Quality features + a composite score in [0,1]: token count, mean
+    * token length, alnum ratio, stopword ratio. `passthrough` columns of
+    * the input ride along in the output, so callers needing extra
+    * attributes (q67's lang) don't pay a second scan + self-join to
+    * reattach them. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+                      passthrough: Seq[String] = Nil): DataFrame =
+    qualityStaged(df, idCol, textCol, passthrough)
+      .select(col(idCol) +: passthrough.map(col)
+        :+ col("ntok").cast("long").as("n_tokens")
+        :+ round(col("mean_tok_len"), 6).as("mean_tok_len")
+        :+ round(col("alnum_ratio"), 6).as("alnum_ratio")
+        :+ round(col("stopword_ratio"), 6).as("stopword_ratio")
+        :+ qualityScoreCol.as("quality_score"): _*)
 
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -282,10 +289,11 @@ object TextAnalysis {
     df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("ntok"),
         (md5_long(col(idCol).cast("string")) % nBuckets).as("bucket"))
       .withColumn("start_tok", sum(col("ntok")).over(w) - col("ntok"))
+      // integral `div`, not `/`: double division loses exactness past
+      // 2^53 cumulative tokens, where the floor can land one block off
       .select(col(idCol), col("bucket"), col("ntok"), col("start_tok"),
-        (col("start_tok") / blockTokens).cast("long").as("start_block"),
-        ((col("start_tok") + greatest(col("ntok") - 1, lit(0L))) / blockTokens)
-          .cast("long").as("end_block"))
+        expr(s"start_tok div $blockTokens").as("start_block"),
+        expr(s"(start_tok + greatest(ntok - 1, 0)) div $blockTokens").as("end_block"))
   }
 
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
