@@ -2188,6 +2188,62 @@ object Queries {
        |  (start_tok + GREATEST(ntok - 1, 0)) // 512 AS end_block
        |FROM o""".stripMargin
 
+  /** N-gram Bloom decontamination (the Lee et al. / Dolma eval-overlap
+    * scan): the held-out set's distinct 3-gram shingles aggregate to ONE
+    * 512-byte Bloom row, broadcast onto the training scan; every training
+    * doc reports how many of its shingles test positive. At 100 TB the
+    * training side stays a map-only pass — no shingle-keyed shuffle, no
+    * join against a giant eval-shingle table (q47's prefix fingerprints
+    * catch verbatim inclusions; this catches partial n-gram overlap).
+    * False positives are md5-deterministic, so the oracle replays every
+    * per-shingle membership decision. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      word_shingles(ws_tokens(col("text")), 3, distinct = true).as("shingles"))
+    val bloomF = sh.where(col("source") === "src0")
+      .select(explode(col("shingles")).as("sg"))
+      .agg(bloom_agg(col("sg"), 4096, 4).as("f"))
+    sh.where(col("source") =!= "src0")
+      .crossJoin(broadcast(bloomF))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(filter(col("shingles"), x => bloom_contains(col("f"), x, 4096, 4)))
+          .cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  private val q69Sql = {
+    val m = 4096
+    val k = 4
+    def pos(h: String, i: String) = sketchPosSql(h, i, m)
+    s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM tk),
+       |bits AS (
+       |  SELECT DISTINCT ${pos("eh.h", "t.i")} AS b
+       |  FROM (SELECT ${md5LongSql("u.s")} AS h
+       |        FROM (SELECT unnest(shingles) AS s FROM sh WHERE source = 'src0') u) eh
+       |  CROSS JOIN range(0, $k) t(i)),
+       |tr AS (
+       |  SELECT doc_id, u.i AS si, u.s AS sg FROM (
+       |    SELECT doc_id, list_transform(range(1, len(shingles) + 1),
+       |      i -> struct_pack(i := i, s := shingles[i])) AS ls
+       |    FROM sh WHERE source != 'src0'), unnest(ls) AS t(u)),
+       |hp AS (
+       |  SELECT doc_id, si, ${pos(md5LongSql("sg"), "j.i")} AS b
+       |  FROM tr CROSS JOIN range(0, $k) j(i)),
+       |hit AS (
+       |  SELECT hp.doc_id, hp.si
+       |  FROM hp JOIN bits ON bits.b = hp.b
+       |  GROUP BY hp.doc_id, hp.si HAVING count(*) = $k),
+       |agg AS (
+       |  SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+       |    CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
+       |  FROM (SELECT doc_id, shingles FROM sh WHERE source != 'src0') s
+       |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM hit GROUP BY doc_id) h
+       |    ON h.doc_id = s.doc_id)
+       |SELECT doc_id, n_shingles, n_hits, n_hits > 0 AS contaminated FROM agg""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2260,5 +2316,6 @@ object Queries {
     "q65_topk_per_group" -> Q(q65, Some(q65Sql)),
     "q66_hist_quantiles" -> Q(q66, Some(q66Sql)),
     "q67_weighted_sample" -> Q(q67, Some(q67Sql)),
-    "q68_packing_offsets" -> Q(q68, Some(q68Sql)))
+    "q68_packing_offsets" -> Q(q68, Some(q68Sql)),
+    "q69_ngram_decontam" -> Q(q69, Some(q69Sql)))
 }
