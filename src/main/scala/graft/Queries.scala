@@ -2190,30 +2190,37 @@ object Queries {
 
   /** N-gram Bloom decontamination (the Lee et al. / Dolma eval-overlap
     * scan): the held-out set's distinct 3-gram shingles aggregate to ONE
-    * 512-byte Bloom row, broadcast onto the training scan; every training
-    * doc reports how many of its shingles test positive. At 100 TB the
+    * 2 KB Bloom row (~10 bits per shingle, ~1% FP), broadcast onto the
+    * training scan; every training doc reports how many shingles test
+    * positive. At 100 TB the
     * training side stays a map-only pass — no shingle-keyed shuffle, no
     * join against a giant eval-shingle table (q47's prefix fingerprints
     * catch verbatim inclusions; this catches partial n-gram overlap).
     * False positives are md5-deterministic, so the oracle replays every
     * per-shingle membership decision. */
   private def q69(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      word_shingles(ws_tokens(col("text")), 3, distinct = true).as("shingles"))
+    val m = 16384 // ~10 bits per held-out shingle -> ~1% FP, discriminating
+    val k = 4
+    val sh = Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3,
+        extraCols = Seq("source"))
+      // a NULL text yields NULL shingles; treat as an empty, clean doc
+      // (size/filter over NULL would emit -1/NULL and diverge from the
+      // oracle's coalesce)
+      .withColumn("shingles", coalesce(col("shingles"), array().cast("array<string>")))
     val bloomF = sh.where(col("source") === "src0")
       .select(explode(col("shingles")).as("sg"))
-      .agg(bloom_agg(col("sg"), 4096, 4).as("f"))
+      .agg(bloom_agg(col("sg"), m, k).as("f"))
     sh.where(col("source") =!= "src0")
       .crossJoin(broadcast(bloomF))
       .select(col("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),
-        size(filter(col("shingles"), x => bloom_contains(col("f"), x, 4096, 4)))
+        size(filter(col("shingles"), x => bloom_contains(col("f"), x, m, k)))
           .cast("long").as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
   private val q69Sql = {
-    val m = 4096
+    val m = 16384
     val k = 4
     def pos(h: String, i: String) = sketchPosSql(h, i, m)
     s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
@@ -2236,7 +2243,7 @@ object Queries {
        |  FROM hp JOIN bits ON bits.b = hp.b
        |  GROUP BY hp.doc_id, hp.si HAVING count(*) = $k),
        |agg AS (
-       |  SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+       |  SELECT s.doc_id, CAST(coalesce(len(s.shingles), 0) AS BIGINT) AS n_shingles,
        |    CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
        |  FROM (SELECT doc_id, shingles FROM sh WHERE source != 'src0') s
        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM hit GROUP BY doc_id) h
