@@ -122,4 +122,19 @@ object Sinks {
                   typeCols: Seq[String] = SrcSeqTypes): Unit =
     srcSeqPack(df, typeCols).write.mode("overwrite")
       .option("compression", "zstd").parquet(path)
+
+  /** Z-order-clustered parquet write (the OPTIMIZE ZORDER layout): rows
+    * are range-partitioned and sorted by the Morton key of `keys`, so
+    * every output file covers a small hyper-rectangle of the key space —
+    * per-file min/max statistics then prune scans filtered on ANY of the
+    * interleaved columns, not just a lexicographic prefix. `nFiles`
+    * bounds file count; the key column itself is not persisted. */
+  def writeZOrdered(df: DataFrame, path: String, bitsPer: Int,
+                    keys: Seq[Column], nFiles: Int = 16): Unit =
+    df.withColumn("__z", graft.functions.zorder_key(bitsPer, keys: _*))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }
+

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.{hist_agg, hist_quantile, hll_distinct}
+import graft.functions.{hist_agg, hist_quantile, hll_distinct, top_k_by}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -140,6 +140,26 @@ object Streaming {
         hist_quantile(col("h"), 0.5, lo, hi, nBins).as("p50"),
         hist_quantile(col("h"), 0.9, lo, hi, nBins).as("p90"),
         hist_quantile(col("h"), 0.99, lo, hi, nBins).as("p99"))
+
+  /** Top-k largest events per tumbling window via the partial-combining
+    * [[graft.functions.TopKByAgg]] — the streaming anomaly/outlier
+    * monitor: state per group is k rows, not the window's full event
+    * set, and no sort ever runs. Value is integer cents in the sort key
+    * so ordering is exact; event_id rides negated for an ascending
+    * tiebreak. */
+  def windowedTopEvents(events: DataFrame, k: Int = 3, windowMinutes: Int = 10,
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(top_k_by(struct(
+        bround(col("value") * 100, 0).cast("long").as("value_cents"),
+        (-col("event_id")).as("neg_id")), k).as("top"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("event_type"),
+        (col("pos") + 1).as("rank"),
+        (-col("col.neg_id")).as("event_id"), col("col.value_cents"))
 
   /** Streaming near-duplicate candidate detection — the batch LSH bucket
     * join (Dedup.minhashLshPairs' candidate step) as continuous ingest.

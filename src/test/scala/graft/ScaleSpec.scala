@@ -145,6 +145,30 @@ class ScaleSpec extends SparkTestBase {
     assert(run(13) == ref && run(32) == ref)
   }
 
+  test("z-ordered write bounds per-file ranges in BOTH key dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64x64 uniform grid; a lexicographic sort on `a` would give every
+    // file the FULL range of `b`, so min/max stats could never prune
+    // b-filters — the z-order layout must bound both
+    val grid = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    operators.Sinks.writeZOrdered(grid, s"$dir/t", bitsPer = 6,
+      keys = Seq(col("a"), col("b")), nFiles = 16)
+    val spans = spark.read.parquet(s"$dir/t")
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("a")) - min(col("a"))).as("ra"),
+        (max(col("b")) - min(col("b"))).as("rb"))
+      .collect()
+    assert(spans.length > 8, s"expected ~16 files, got ${spans.length}")
+    val (avgA, avgB) = (spans.map(_.getLong(1)).sum.toDouble / spans.length,
+      spans.map(_.getLong(2)).sum.toDouble / spans.length)
+    // 4096 cells / 16 files = 256-cell z-blocks = ~16x16 tiles: each
+    // file must span far less than the full 0..63 range in BOTH dims
+    assert(avgA < 24 && avgB < 24, s"per-file spans too wide: a=$avgA b=$avgB")
+  }
+
   test("bucketed tables join without an exchange") {
     // default warehouse (spark-warehouse/ under the test cwd, gitignored);
     // the in-memory catalog forgets tables between JVMs, so stale

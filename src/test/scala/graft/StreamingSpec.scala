@@ -146,6 +146,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k events match a batch sort per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "event_id", "value")
+    val q = Streaming.windowedTopEvents(events, k = 2, windowMinutes = 10)
+      .writeStream.format("memory").queryName("wte").outputMode("complete").start()
+    try {
+      val rows = (1L to 30L).map(i => (ts((i % 9).toInt), "click", i, (i * 13 % 97).toDouble))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wte").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getInt(2), r.getLong(3)))
+        .toSet
+      // batch expectation: per window, 2 largest by (cents desc, id asc)
+      val expected = rows.groupBy { case (t, _, _, _) =>
+        new Timestamp(t.getTime / 600000 * 600000)
+      }.flatMap { case (w, rs) =>
+        rs.map(r => (math.rint(r._4 * 100).toLong, r._3))
+          .sortBy { case (c, id) => (-c, id) }.take(2).zipWithIndex
+          .map { case ((_, id), i) => (w, i + 1, id) }
+      }.toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("file-source stream runs batch ClipOps over incrementally arriving clips") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-clipstream").toString
