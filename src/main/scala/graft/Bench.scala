@@ -44,12 +44,22 @@ object Bench {
     val results = named.map { case (name, _) =>
       name -> (if (times(name).isEmpty) -1.0 else times(name).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding: full-precision doubles made the r4 JSON line
+    // ~2.5 KB and it overflowed the driver's output-tail capture window
+    // (BENCH_r04 "parsed": null). 1 ms granularity is plenty at sf0.1.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // print LAST, after stop(): shutdown log lines after the JSON would
+    // push it out of the driver's tail capture
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -1838,7 +1838,8 @@ object Queries {
     * AGGREGATE, not a window: with a handful of language groups a
     * partitioned row_number would drag each group's whole corpus slice
     * onto one partition, while the aggregate partial-combines (<= k pairs
-    * per group per partition into the shuffle). */
+    * per group per partition into the shuffle). The gate posexplodes the
+    * sample to one (lang, rank, doc_id) row each — scalar cells only. */
   private def q57(s: SparkSession, dir: String): DataFrame = {
     val k = 8
     val h = t(s, dir, "documents")
@@ -1849,10 +1850,12 @@ object Queries {
       .agg(bottom_k(struct(col("h"), col("doc_id").as("id")), k).as("bk"))
       .join(totals, "lang")
       .select(col("lang"),
-        sort_array(transform(col("bk"), x => x("id"))).as("sample_ids"),
         round(when(size(col("bk")) < k, col("n_total").cast("double"))
           .otherwise(lit(7.0) * lit(1152921504606846976.0)
-            / element_at(col("bk"), k)("h")), 6).as("est_distinct"))
+            / element_at(col("bk"), k)("h")), 6).as("est_distinct"),
+        posexplode(sort_array(transform(col("bk"), x => x("id")))))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("doc_id"), col("est_distinct"))
   }
 
   private val q57Sql =
@@ -1865,13 +1868,16 @@ object Queries {
        |  FROM h),
        |t AS (SELECT lang, count(*) AS n_total FROM h GROUP BY lang),
        |s AS (
-       |  SELECT lang, list(doc_id ORDER BY doc_id) AS sample_ids,
-       |    max(CASE WHEN rn = 8 THEN h END) AS hk
-       |  FROM r WHERE rn <= 8 GROUP BY lang)
-       |SELECT s.lang, s.sample_ids,
+       |  SELECT lang, max(CASE WHEN rn = 8 THEN h END) AS hk
+       |  FROM r WHERE rn <= 8 GROUP BY lang),
+       |sm AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rank
+       |  FROM r WHERE rn <= 8)
+       |SELECT sm.lang, sm.rank, sm.doc_id,
        |  round(CASE WHEN s.hk IS NULL THEN CAST(t.n_total AS DOUBLE)
        |        ELSE 7.0 * 1152921504606846976.0 / s.hk END, 6) AS est_distinct
-       |FROM s JOIN t ON t.lang = s.lang""".stripMargin
+       |FROM sm JOIN s ON s.lang = sm.lang JOIN t ON t.lang = sm.lang""".stripMargin
 
   /** Unigram language-model quality scoring (the CCNet LM-filter shape
     * with a corpus-trained unigram model): token log-probabilities from
@@ -2012,9 +2018,16 @@ object Queries {
   /** Sharded inverted index over the corpus: token -> sorted posting
     * list + document frequency, postings split across 4 doc-id-hash
     * shards so no row can hold more than ~1/4 of the corpus (a
-    * stopword's postings would otherwise be one corpus-sized row). */
+    * stopword's postings would otherwise be one corpus-sized row). The
+    * operator API stays list-valued; the GATE posexplodes the postings
+    * to one (token, shard, rank, doc_id) row each — scalar cells only. */
   private def q63(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", nShards = 4)
+      .select(col("token"), col("shard"), col("df_shard"),
+        posexplode(col("postings")))
+      .select(col("token"), col("shard"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("doc_id"), col("df_shard"))
 
   private val q63Sql =
     s"""WITH tk AS (
@@ -2023,9 +2036,12 @@ object Queries {
        |sh AS (
        |  SELECT token, ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 4 AS shard, doc_id
        |  FROM tk)
-       |SELECT token, shard, list(doc_id ORDER BY doc_id) AS postings,
-       |  count(*) AS df_shard
-       |FROM sh GROUP BY token, shard""".stripMargin
+       |SELECT token, shard,
+       |  CAST(row_number() OVER (PARTITION BY token, shard ORDER BY doc_id)
+       |    AS BIGINT) AS rank,
+       |  doc_id,
+       |  CAST(count(*) OVER (PARTITION BY token, shard) AS BIGINT) AS df_shard
+       |FROM sh""".stripMargin
 
   /** Z-order clustering keys for the lineitem table: 16 bits each of
     * orderkey and partkey interleaved into one sortable long. Sorting by
@@ -2180,12 +2196,15 @@ object Queries {
        |    ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket
        |  FROM documents),
        |o AS (
+       |  -- DuckDB windowed sum(BIGINT) yields HUGEINT -> pandas float64;
+       |  -- cast back so the driver sees int64 like the Spark side
        |  SELECT doc_id, bucket, ntok,
-       |    sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id) - ntok AS start_tok
+       |    CAST(sum(ntok) OVER (PARTITION BY bucket ORDER BY doc_id) - ntok
+       |      AS BIGINT) AS start_tok
        |  FROM d)
        |SELECT doc_id, bucket, ntok, start_tok,
-       |  start_tok // 512 AS start_block,
-       |  (start_tok + GREATEST(ntok - 1, 0)) // 512 AS end_block
+       |  CAST(start_tok // 512 AS BIGINT) AS start_block,
+       |  CAST((start_tok + GREATEST(ntok - 1, 0)) // 512 AS BIGINT) AS end_block
        |FROM o""".stripMargin
 
   /** N-gram Bloom decontamination (the Lee et al. / Dolma eval-overlap

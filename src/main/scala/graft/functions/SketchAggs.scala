@@ -391,7 +391,11 @@ case class HistQuantile(child: Expression, q: Double, lo: Double, hi: Double, nB
     if (arr.numElements() != nBins) return null
     var n = 0L
     var i = 0
-    while (i < nBins) { n += arr.getLong(i); i += 1 }
+    // null elements are malformed input -> null, same as wrong length
+    while (i < nBins) {
+      if (arr.isNullAt(i)) return null
+      n += arr.getLong(i); i += 1
+    }
     if (n == 0L) return null
     val t = q * n.toDouble
     val w = (hi - lo) / nBins
@@ -727,8 +731,15 @@ case class CmsMergeAgg(
     if (v != null) {
       val in = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       if (in.numElements() == buf.length) {
+        // pre-scan for null elements (malformed -> skip whole input, never
+        // a partial add that would corrupt the buffer)
+        var ok = true
         var i = 0
-        while (i < buf.length) { buf(i) += in.getLong(i); i += 1 }
+        while (ok && i < buf.length) { ok = !in.isNullAt(i); i += 1 }
+        if (ok) {
+          i = 0
+          while (i < buf.length) { buf(i) += in.getLong(i); i += 1 }
+        }
       }
     }
     buf
@@ -766,7 +777,9 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
       var best = Long.MaxValue
       var j = 0
       while (j < depth) {
-        val c = arr.getLong(j * width + ps(j))
+        val idx = j * width + ps(j)
+        if (arr.isNullAt(idx)) return null // malformed element -> null
+        val c = arr.getLong(idx)
         if (c < best) best = c
         j += 1
       }
@@ -775,4 +788,76 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
     copy(left = l, right = r)
+}
+
+/** Quantized elementwise vector-sum aggregate over fixed-`dim`
+  * float/double arrays: each component is 1e-6-integer-quantized
+  * (`floor(x * 1e6)` — floor, NOT round: a float like 2^-7 lands on an
+  * exact 7812.5 where half-even and half-away engines disagree, while
+  * floor of the IEEE-identical product is unambiguous) and summed as an
+  * exact Long, so the aggregate is a pure function of the input
+  * multiset — partition-order-independent and replayable
+  * term-for-term by a SQL oracle. This is the
+  * 100 TB-correct way to compute per-group embedding centroids: the
+  * shuffle carries ONE dim-length Long row per group per partition,
+  * where a posexplode + groupBy(group, dim) would shuffle n*dim rows.
+  * Inputs of the wrong length, with null elements, or containing NaN
+  * are skipped whole (malformed-input convention — never a partial add). */
+case class VecSumQAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with LongSumBufferAgg
+  with UnaryLike[Expression] {
+  require(dim >= 1 && dim <= (1 << 16), s"vec_sum_q dim out of range: $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum_q"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"vec_sum_q needs array<float|double>, got $t")
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (arr.numElements() == dim) {
+        var ok = true
+        var i = 0
+        while (ok && i < dim) {
+          ok = !arr.isNullAt(i) &&
+            !(if (isFloat) arr.getFloat(i).isNaN else arr.getDouble(i).isNaN)
+          i += 1
+        }
+        if (ok) {
+          i = 0
+          while (i < dim) {
+            val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+            buf(i) += math.floor(x * 1000000.0).toLong
+            i += 1
+          }
+        }
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def withNewMutableAggBufferOffset(off: Int): VecSumQAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): VecSumQAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): VecSumQAgg =
+    copy(child = newChild)
 }

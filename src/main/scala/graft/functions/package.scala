@@ -231,6 +231,14 @@ package object functions {
   def bottom_k(pair: Column, k: Int): Column =
     ExprBridge.column(BottomKAgg(col2expr(pair), k).toAggregateExpression())
 
+  /** Quantized elementwise vector sum over fixed-`dim` float/double
+    * arrays: exact Long sums of `floor(x*1e6)` per component — the
+    * partial-combining per-group embedding-centroid aggregate (see
+    * [[VecSumQAgg]]; one dim-length row per group per partition crosses
+    * the shuffle, vs n*dim rows for posexplode+groupBy). */
+  def vec_sum_q(c: Column, dim: Int): Column =
+    ExprBridge.column(VecSumQAgg(col2expr(c), dim).toAggregateExpression())
+
   /** Deterministic Bloom filter build over a string key column — the
     * broadcastable semi-join-pruning sketch (see [[BloomAgg]]). */
   def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =

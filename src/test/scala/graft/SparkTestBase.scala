@@ -15,6 +15,9 @@ object SparkTestBase {
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")
+      // the driver's events.parquet stores nanos timestamps; Verify/Bench
+      // set this too (HarnessContractSpec plans every gate query)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -7,8 +7,19 @@ For each query result parquet under <verify_out_dir>, runs the matching
 oracle SQL from oracle_sql.json against DuckDB views over <sf_dir>'s
 tables, sorts columns by name and rows by all columns, and compares
 values exactly (NaN == NaN).
+
+DRIVER-FAITHFUL STRICTNESS (the round-4 lesson): the real driver does
+NOT tolerate list-valued result cells (its pandas sort throws
+`unhashable numpy.ndarray`) and does NOT coerce dtypes before hashing
+(DuckDB HUGEINT -> pandas float64 vs Spark int64 hash-mismatches even
+when values are equal). So this tool HARD-FAILS on:
+  * any list/array-valued column on either side (LIST-CELL), and
+  * any spark-vs-oracle dtype difference (DTYPE-MISMATCH),
+with no freeze() and no astype coercion. A local pass here is meant to
+predict the driver verdict; do not weaken these checks.
 """
 import json, sys, glob, os
+import numpy as np
 import duckdb
 import pandas as pd
 
@@ -38,21 +49,30 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
     except Exception as e:
         results[qname] = (False, f"ORACLE-SQL-FAIL {type(e).__name__}: {e}")
         continue
-    # list/array cells (e.g. minhash signatures, bottom-k samples) are
-    # unhashable/unsortable in pandas — freeze them to tuples first;
-    # tuple equality stays exact elementwise
-    def freeze(df):
-        import numpy as np
-        for c in df.columns:
-            if df[c].dtype == object and df[c].map(
-                    lambda v: isinstance(v, (list, np.ndarray))).any():
-                df[c] = df[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-        return df
-    a = freeze(spark_df).reindex(sorted(spark_df.columns), axis=1)
-    b = freeze(duck_df).reindex(sorted(duck_df.columns), axis=1)
+
+    def list_cols(df):
+        return [c for c in df.columns
+                if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any()]
+
+    bad = sorted(set(list_cols(spark_df)) | set(list_cols(duck_df)))
+    if bad:
+        results[qname] = (False,
+            f"LIST-CELL cols={bad} — the driver's pandas sort dies on these; "
+            "posexplode to scalar rows or array_join in the gate query")
+        continue
+    a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    b = duck_df.reindex(sorted(duck_df.columns), axis=1)
     if list(a.columns) != list(b.columns):
         results[qname] = (False, f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+        continue
+    dt = [(c, str(a[c].dtype), str(b[c].dtype))
+          for c in a.columns if a[c].dtype != b[c].dtype]
+    if dt:
+        results[qname] = (False,
+            "DTYPE-MISMATCH " + ", ".join(
+                f"{c}: spark={x} duck={y}" for c, x, y in dt)
+            + " — CAST the oracle (DuckDB sums/windows return HUGEINT)")
         continue
     if len(a) != len(b):
         results[qname] = (False, f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}")
@@ -62,10 +82,6 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
     mismatch = None
     for c in a.columns:
         av, bv = a[c], b[c]
-        try:
-            bv = bv.astype(av.dtype)
-        except Exception:
-            pass
         eq = (av == bv) | (av.isna() & bv.isna())
         if not eq.all():
             i = int((~eq).idxmax())
