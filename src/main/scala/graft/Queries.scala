@@ -2270,6 +2270,242 @@ object Queries {
        |SELECT doc_id, n_shingles, n_hits, n_hits > 0 AS contaminated FROM agg""".stripMargin
   }
 
+  /** Gopher-style composite rule filter (TextAnalysis.gopherRules): six
+    * public quality rules, one fail-bit each, keep iff none fail — the
+    * standard pre-training rule-filter pass as one zero-shuffle
+    * projection. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q70Sql = {
+    val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH st AS (
+       |  SELECT doc_id, text, $toksSql AS tk, split(text, chr(10)) AS ln
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len(tk) AS ntok, len(ln) AS nline,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |           / len(tk) ELSE 0.0 END AS mean_tok_len,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+       |           / len(tk) ELSE 0.0 END AS alpha_word_frac,
+       |    CASE WHEN len(ln) > 0
+       |      THEN CAST(len(list_filter(ln, x ->
+       |             starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*'))) AS DOUBLE)
+       |           / len(ln) ELSE 0.0 END AS bullet_line_frac,
+       |    CASE WHEN len(ln) > 0
+       |      THEN CAST(len(list_filter(ln, x -> ends_with(rtrim(x), '...'))) AS DOUBLE)
+       |           / len(ln) ELSE 0.0 END AS ellipsis_line_frac,
+       |    len(list_distinct(list_filter(tk, x -> list_contains($allStops, x))))
+       |      AS n_stop_distinct
+       |  FROM st),
+       |m AS (
+       |  SELECT *,
+       |    (CASE WHEN ntok >= 30 AND ntok <= 100000 THEN 0 ELSE 1 END
+       |     + CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0 ELSE 2 END
+       |     + CASE WHEN alpha_word_frac >= 0.6 THEN 0 ELSE 4 END
+       |     + CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 8 END
+       |     + CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 16 END
+       |     + CASE WHEN n_stop_distinct >= 2 THEN 0 ELSE 32 END) AS fail_mask
+       |  FROM f)
+       |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(alpha_word_frac, 6) AS alpha_word_frac,
+       |  round(bullet_line_frac, 6) AS bullet_line_frac,
+       |  round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       |  CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+       |  CAST(fail_mask AS BIGINT) AS fail_mask,
+       |  CAST(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m""".stripMargin
+  }
+
+  /** Per-label embedding centroids via the partial-combining `vec_sum_q`
+    * aggregate: ONE dim-length quantized-Long row per label per
+    * partition crosses the shuffle (a posexplode+groupBy(label, dim)
+    * formulation would shuffle n*dim scalar rows — 64x more here). The
+    * gate posexplodes the summed vector to scalar (label, dim,
+    * centroid_micro) cells. The mean stays in exact integer micro-units
+    * (floor(sum_q / n)) — a round-to-6 double here lands on exact
+    * decimal halves (sum/(n*1e6) quotients terminate) where Spark's
+    * BigDecimal HALF_UP and DuckDB's binary rounding disagree; floor of
+    * the shared IEEE quotient is unambiguous (1/n granularity dwarfs
+    * one ulp). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(vec_sum_q(col("embedding"), dim).as("sq"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"), posexplode(col("sq")))
+      .select(col("label"), col("n_vecs"),
+        (col("pos") + 1).cast("long").as("dim"),
+        floor(col("col").cast("double") / col("n_vecs")).cast("long")
+          .as("centroid_micro"))
+  }
+
+  private val q71Sql =
+    """WITH e AS (
+      |  SELECT label, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+      |    count(*) AS n_vecs
+      |  FROM e GROUP BY 1, 2)
+      |SELECT label, n_vecs, dim,
+      |  CAST(floor(CAST(sq AS DOUBLE) / n_vecs) AS BIGINT) AS centroid_micro
+      |FROM s""".stripMargin
+
+  /** Session funnel features on top of gap-sessionization (q30's
+    * assignment): per-session event count, distinct types, entry/exit
+    * event type (min_by/max_by on the unique (us, event_id) order key —
+    * an aggregate, not a second window pass), total value in integer
+    * cents, and duration. Sessions are bounded groups, so the exact
+    * count-distinct and the argmin/argmax stay cheap at any corpus
+    * size; the user_id-partitioned window is the only shuffle. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = expr("ts div 1000")
+    val prevUs = lag(us, 1).over(byTime)
+    t(s, dir, "events")
+      .withColumn("us", us)
+      .withColumn("new_sess",
+        when(prevUs.isNull || col("us") - prevUs > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min_by(col("event_type"), struct(col("us"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"), struct(col("us"), col("event_id"))).as("last_type"),
+        sum(cents(col("value"))).as("value_cents"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+
+  private val q72Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY us, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY us DESC, event_id DESC) AS rl
+      |  FROM sess)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+      |  max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      |FROM rk GROUP BY user_id, session_id""".stripMargin
+
+  /** Source mixing weights (the data-mixing primitive): per-source token
+    * totals T_s and alpha-smoothed sampling weights T_s^0.3 / sum —
+    * upweights small high-value sources the way multilingual and
+    * multi-corpus training mixes do. One partial-aggregated groupBy
+    * plus a one-row broadcast total; pow() is floor-quantized to 1e-6
+    * integers so the normalization is exact integer division both
+    * engines replay. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("w_q",
+        floor(pow(col("n_tokens").cast("double"), 0.3) * 1000000.0).cast("long"))
+      // materialize the source-count-sized aggregate once: the total
+      // branch would otherwise re-run the whole corpus scan (the two
+      // branches prune different columns, so ReuseExchange can't merge
+      // them)
+      .localCheckpoint()
+    val tot = w.agg(sum(col("w_q")).as("tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_q").cast("double") / col("tot"), 6).as("mix_weight"))
+  }
+
+  private val q73Sql =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_docs
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1000000)
+       |    AS BIGINT) AS w_q
+       |  FROM s),
+       |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS tot FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(w_q AS DOUBLE) / tot, 6) AS mix_weight
+       |FROM w, t""".stripMargin
+
+  /** Near-dup cluster representative selection (keep-best dedup): LSH
+    * pairs -> connected components (q40's clusters), then ONE survivor
+    * per cluster — the highest-quality doc, doc_id-ascending tiebreak —
+    * via the max_by aggregate (never a cluster-partitioned row_number
+    * window). The output is the dedup decision a corpus build actually
+    * applies: cluster, size, kept doc, its quality. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(qual, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("nid")))
+          .as("keep_doc_id"),
+        max(col("quality_score")).as("best_quality"))
+  }
+
+  private val q74Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |tq AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
+       |  FROM tq),
+       |q AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM f),
+       |j AS (
+       |  SELECT cl.cluster_id, cl.doc_id, q.quality_score
+       |  FROM cl JOIN q ON q.doc_id = cl.doc_id),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS csize,
+       |    max(quality_score) OVER (PARTITION BY cluster_id) AS bq
+       |  FROM j)
+       |SELECT cluster_id, CAST(csize AS BIGINT) AS cluster_size,
+       |  doc_id AS keep_doc_id, round(bq, 6) AS best_quality
+       |FROM rk WHERE rn = 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2343,5 +2579,10 @@ object Queries {
     "q66_hist_quantiles" -> Q(q66, Some(q66Sql)),
     "q67_weighted_sample" -> Q(q67, Some(q67Sql)),
     "q68_packing_offsets" -> Q(q68, Some(q68Sql)),
-    "q69_ngram_decontam" -> Q(q69, Some(q69Sql)))
+    "q69_ngram_decontam" -> Q(q69, Some(q69Sql)),
+    "q70_gopher_rules" -> Q(q70, Some(q70Sql)),
+    "q71_embed_centroids" -> Q(q71, Some(q71Sql)),
+    "q72_session_funnel" -> Q(q72, Some(q72Sql)),
+    "q73_mixing_weights" -> Q(q73, Some(q73Sql)),
+    "q74_dedup_keep_best" -> Q(q74, Some(q74Sql)))
 }

@@ -131,6 +131,65 @@ object TextAnalysis {
         .otherwise(lit(0.0)), 6).as("dup_trigram_frac"))
   }
 
+  /** Gopher-style composite document-quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1, thresholds adapted to this corpus):
+    * token-count band, mean-token-length band, minimum fraction of
+    * tokens containing a letter, maximum fraction of bullet-point /
+    * ellipsis lines, and a minimum count of distinct stopwords. Each
+    * failed rule sets one bit of `fail_mask` (bit 0 = token count,
+    * 1 = mean length, 2 = alpha words, 3 = bullets, 4 = ellipses,
+    * 5 = stopwords); `keep = 1` iff no rule failed. One projection of
+    * pure column expressions over the staged token/line arrays — zero
+    * shuffle, embarrassingly parallel, the standard pre-training
+    * rule-filter pass. NULL text fails the NULL-comparing rules (the
+    * CASE/otherwise branch), identically in Spark and the SQL oracle. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 30, maxTokens: Int = 100000): DataFrame = {
+    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
+    val staged = df
+      .select(col(idCol), col(textCol).as("text"),
+        ws_tokens(col(textCol)).as("toks"),
+        split(col(textCol), "\n").as("lines"))
+      .withColumn("ntok", size(col("toks")))
+      .withColumn("nline", size(col("lines")))
+      .withColumn("mean_tok_len",
+        when(col("ntok") > 0,
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("alpha_word_frac",
+        when(col("ntok") > 0,
+          size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("bullet_line_frac",
+        when(col("nline") > 0,
+          size(filter(col("lines"), l =>
+            ltrim(l).startsWith("-") || ltrim(l).startsWith("*")))
+            .cast("double") / col("nline")).otherwise(lit(0.0)))
+      .withColumn("ellipsis_line_frac",
+        when(col("nline") > 0,
+          size(filter(col("lines"), l => rtrim(l).endsWith("...")))
+            .cast("double") / col("nline")).otherwise(lit(0.0)))
+      .withColumn("n_stop_distinct",
+        size(array_distinct(filter(col("toks"), t => array_contains(allStops, t)))))
+    val mask =
+      when(col("ntok") >= minTokens && col("ntok") <= maxTokens, lit(0L)).otherwise(lit(1L)) +
+        when(col("mean_tok_len") >= 2 && col("mean_tok_len") <= 12, lit(0L)).otherwise(lit(2L)) +
+        when(col("alpha_word_frac") >= 0.6, lit(0L)).otherwise(lit(4L)) +
+        when(col("bullet_line_frac") <= 0.9, lit(0L)).otherwise(lit(8L)) +
+        when(col("ellipsis_line_frac") <= 0.3, lit(0L)).otherwise(lit(16L)) +
+        when(col("n_stop_distinct") >= 2, lit(0L)).otherwise(lit(32L))
+    staged.withColumn("fail_mask", mask)
+      .select(col(idCol),
+        col("ntok").cast("long").as("n_tokens"),
+        round(col("mean_tok_len"), 6).as("mean_tok_len"),
+        round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+        round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+        round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+        col("n_stop_distinct").cast("long").as("n_stop_distinct"),
+        col("fail_mask"),
+        when(col("fail_mask") === 0, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumRe = "[0-9]{7,}"
 

@@ -303,4 +303,28 @@ class OperatorSpec extends SparkTestBase {
     assert(out.length == 2)
     assert(out.head == Row(1L, -2L, 9L, 6L))
   }
+
+  test("gopherRules sets one fail bit per violated rule") {
+    val good = ("good", (("the a of and that is " * 8) + "words more here").trim)
+    val tiny = ("tiny", "the of a")                   // too few tokens -> bit 0
+    val bullets = ("bul", (1 to 40).map(i => s"- the item of $i and thing").mkString("\n"))
+    val noStops = ("nostop", ("zzz qqq www " * 20).trim) // no stopwords -> bit 5
+    val out = TextAnalysis.gopherRules(
+      Seq(good, tiny, bullets, noStops).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("fail_mask"), r.getAs[Long]("keep"))).toMap
+    assert(out("good") == (0L, 1L))
+    assert((out("tiny")._1 & 1L) == 1L && out("tiny")._2 == 0L)
+    assert((out("bul")._1 & 8L) == 8L, s"bullet bit missing: ${out("bul")}")
+    assert((out("nostop")._1 & 32L) == 32L && out("nostop")._2 == 0L)
+  }
+
+  test("gopherRules keeps row parity and fails NULL text") {
+    val df = Seq(("a", "the a of and that is fine " * 5), ("b", null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text").collect()
+    assert(out.length == 2, "NULL-text row must not vanish")
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.getAs[Long]("keep") == 0L, "NULL text cannot pass the rules")
+  }
 }

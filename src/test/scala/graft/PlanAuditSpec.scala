@@ -174,6 +174,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(histPlan.contains("partial_hist_agg"), s"hist_agg must partial-aggregate:\n$histPlan")
   }
 
+  test("embedding centroids partial-aggregate one vector row per group") {
+    // vec_sum_q must show a partial phase before the exchange: the
+    // shuffle carries dim-length Long rows per (group, partition), never
+    // the n*dim scalar rows a posexplode+groupBy(label, dim) would
+    val vecs = spark.range(500).select((col("id") % 5).as("label"),
+      array((0 until 8).map(d => (col("id") + d).cast("float")): _*).as("v"))
+    val plan = vecs.groupBy("label")
+      .agg(graft.functions.vec_sum_q(col("v"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vec_sum_q"), s"vec_sum_q must partial-aggregate:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode before the aggregate:\n$plan")
+  }
+
+  test("keep-best cluster representative is an aggregate, not a window") {
+    // q74's survivor choice must be max_by over (quality, -id) — a
+    // cluster-partitioned row_number would drag each cluster's rows onto
+    // one partition and sort them
+    val df = spark.range(1000).select((col("id") % 100).as("cluster_id"),
+      col("id").as("doc_id"), (col("id") % 7).cast("double").as("quality_score"))
+    val plan = df.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("n"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"), s"max_by must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec in keep-best:\n$plan")
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen

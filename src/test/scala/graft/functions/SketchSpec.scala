@@ -220,5 +220,39 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { BloomAgg(lit, numBits = 1024, numHashes = 0) }
     intercept[IllegalArgumentException] { CmsAgg(lit, depth = 0, width = 512) }
     intercept[IllegalArgumentException] { CmsAgg(lit, depth = 4, width = 1) }
+    intercept[IllegalArgumentException] { VecSumQAgg(lit, dim = 0) }
+  }
+
+  test("vec_sum_q equals the floor-quantized reference under any partitioning") {
+    val vecs = (0 until 120).map { i =>
+      (i % 3, Array.tabulate(4)(d => (math.sin(i * 4 + d) * 1.5).toFloat))
+    }
+    val expected = vecs.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(_._2).foldLeft(new Array[Long](4)) { (acc, v) =>
+        for (d <- 0 until 4)
+          acc(d) += math.floor(v(d).toDouble * 1000000.0).toLong
+        acc
+      }.toSeq
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vecs.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(vec_sum_q(col("v"), 4).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("vec_sum_q skips malformed vectors whole (wrong length, null, NaN)") {
+    val rows = Seq(
+      ("a", Array(1.0f, 2.0f)),       // good
+      ("a", Array(3.0f)),             // wrong length -> skipped
+      ("a", null.asInstanceOf[Array[Float]]), // null vector -> skipped
+      ("a", Array(Float.NaN, 1.0f)),  // NaN component -> whole vector skipped
+      ("a", Array(0.5f, -0.5f)))      // good
+    val got = rows.toDF("g", "v")
+      .groupBy("g").agg(vec_sum_q(col("v"), 2).as("s"))
+      .head().getSeq[Long](1)
+    // floor(1e6*1)+floor(1e6*0.5) = 1500000; floor(2e6)+floor(-0.5e6) = 1500000
+    assert(got == Seq(1500000L, 1500000L))
   }
 }
