@@ -44,12 +44,15 @@ object Bench {
     val results = named.map { case (name, _) =>
       name -> (if (times(name).isEmpty) -1.0 else times(name).min)
     }
-    // 3-decimal rounding: full-precision doubles made the r4 JSON line
-    // ~2.5 KB and it overflowed the driver's output-tail capture window
-    // (BENCH_r04 "parsed": null). 1 ms granularity is plenty at sf0.1.
+    // The driver captures the LAST 2000 chars of output, and sbt's
+    // trailing "[success] ..." line eats ~80 of them — the r4 line
+    // (full names, full-precision doubles, ~2.5 KB) overflowed and
+    // "parsed" came back null. Emit qNN keys (the names every report
+    // uses anyway) and 3-decimal times: ~1.1 KB for 74 queries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
