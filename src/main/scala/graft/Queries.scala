@@ -2506,6 +2506,66 @@ object Queries {
        |  doc_id AS keep_doc_id, round(bq, 6) AS best_quality
        |FROM rk WHERE rn = 1""".stripMargin
 
+  /** Duplicate-n-gram fraction via a corpus count-min sketch (the
+    * Lee et al. "Deduplicating Training Data..." memorization-risk
+    * signal, sketch-shaped): the corpus's per-doc-distinct 3-gram
+    * shingles build ONE depth*width CMS row (each shingle counted once
+    * per containing doc, so a counter estimates document frequency);
+    * broadcast back, every doc reports what fraction of its shingles
+    * the sketch says appear in >= 2 docs. At 100 TB both passes are
+    * map-only corpus scans with a 2 MB broadcast between them — no
+    * shingle-keyed shuffle, no self-join (q47/q69 catch cross-corpus
+    * overlap; this scores WITHIN-corpus duplication per doc). CMS error
+    * is over-count-only, so dup_frac is an upper bound; counters and
+    * hash positions are md5-deterministic, replayed cell by cell by the
+    * oracle. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 65536)
+    val sh = Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
+      // NULL text -> empty, clean doc (q69's convention)
+      .withColumn("shingles", coalesce(col("shingles"), array().cast("array<string>")))
+    val sk = sh.select(explode(col("shingles")).as("sg"))
+      .agg(cms_agg(col("sg"), d, w).as("sk"))
+    sh.crossJoin(broadcast(sk))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(filter(col("shingles"), x => cms_query(col("sk"), x, d, w) >= 2))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_frac", round(when(col("n_shingles") > 0,
+        col("n_dup").cast("double") / col("n_shingles")).otherwise(lit(0.0)), 6))
+  }
+
+  private val q75Sql = {
+    val d = 4
+    val w = 65536
+    def pos(h: String, j: String) = sketchPosSql(h, j, w)
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, coalesce($shinglesSql, []) AS shingles FROM tk),
+       |occ AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+       |oh AS (SELECT sg, ${md5LongSql("sg")} AS h FROM occ),
+       |cells AS (
+       |  SELECT j.i AS row_j, ${pos("oh.h", "j.i")} AS pos, count(*) AS cnt
+       |  FROM oh CROSS JOIN range(0, $d) j(i)
+       |  GROUP BY 1, 2),
+       |ph AS (SELECT DISTINCT sg, ${md5LongSql("sg")} AS h FROM occ),
+       |est AS (
+       |  SELECT p.sg, min(c.cnt) AS est
+       |  FROM ph p CROSS JOIN range(0, $d) j(i)
+       |  JOIN cells c ON c.row_j = j.i AND c.pos = ${pos("p.h", "j.i")}
+       |  GROUP BY p.sg),
+       |agg AS (
+       |  SELECT o.doc_id, count(*) AS n_dup
+       |  FROM occ o JOIN est e ON e.sg = o.sg
+       |  WHERE e.est >= 2 GROUP BY o.doc_id)
+       |SELECT s.doc_id,
+       |  CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+       |  round(CASE WHEN len(s.shingles) > 0
+       |    THEN CAST(coalesce(a.n_dup, 0) AS DOUBLE) / len(s.shingles)
+       |    ELSE 0.0 END, 6) AS dup_frac
+       |FROM sh s LEFT JOIN agg a ON a.doc_id = s.doc_id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2584,5 +2644,6 @@ object Queries {
     "q71_embed_centroids" -> Q(q71, Some(q71Sql)),
     "q72_session_funnel" -> Q(q72, Some(q72Sql)),
     "q73_mixing_weights" -> Q(q73, Some(q73Sql)),
-    "q74_dedup_keep_best" -> Q(q74, Some(q74Sql)))
+    "q74_dedup_keep_best" -> Q(q74, Some(q74Sql)),
+    "q75_ngram_dup_frac" -> Q(q75, Some(q75Sql)))
 }

@@ -38,6 +38,30 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming form of the q72 session-funnel features: per session,
+    * event count, distinct event types, entry/exit event type and total
+    * value. Needs (ts: timestamp, user_id, event_id, event_type, value).
+    * Same state posture as [[sessionized]] — session_window state is
+    * watermark-bounded. Entry/exit use `min_by`/`max_by` on the unique
+    * (ts, event_id) key; distinct types via `collect_set` (bounded by
+    * the type alphabet per session — streaming forbids exact
+    * count-distinct, and sessions are small groups anyway). */
+  def sessionFunnel(events: DataFrame, gapMinutes: Int = 30,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"), col("first_type"), col("last_type"),
+        col("total_value"))
+
   /** Streaming first-occurrence dedup with custom state
     * (`flatMapGroupsWithState`): keyed by a precomputed content hash, each
     * key emits only its first row; subsequent duplicates are dropped by a

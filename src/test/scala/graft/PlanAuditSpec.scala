@@ -174,6 +174,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(histPlan.contains("partial_hist_agg"), s"hist_agg must partial-aggregate:\n$histPlan")
   }
 
+  test("dup-ngram scoring probes a broadcast sketch, never shuffles docs") {
+    // q75: the corpus CMS collapses to one row broadcast back onto the
+    // doc scan — the probe side must not join or shuffle on shingles
+    val tmp = java.nio.file.Files.createTempDirectory("q75audit").toString
+    spark.range(200).select(col("id").as("doc_id"),
+        concat(lit("a b c d e f g h w"), (col("id") % 9).cast("string")).as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val plan = Queries.all("q75_ngram_dup_frac").impl(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"sketch not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe side must stay map-only:\n$plan")
+  }
+
   test("embedding centroids partial-aggregate one vector row per group") {
     // vec_sum_q must show a partial phase before the exchange: the
     // shuffle carries dim-length Long rows per (group, partition), never

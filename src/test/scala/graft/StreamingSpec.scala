@@ -32,6 +32,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session funnel reports entry/exit types and distinct counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = Streaming.sessionFunnel(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("funnel").outputMode("complete").start()
+    try {
+      // user 1, one session: view -> click -> view -> buy (10 min apart);
+      // same-ts tie inside (ts(20)): event_id orders click(4) before view(5)
+      mem.addData(
+        (ts(0), 1L, 1L, "view", 1.0), (ts(10), 1L, 2L, "click", 2.0),
+        (ts(20), 1L, 4L, "click", 0.5), (ts(20), 1L, 5L, "view", 0.5),
+        (ts(30), 1L, 6L, "buy", 9.0),
+        (ts(0), 2L, 3L, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel").orderBy("user_id").collect()
+      assert(out.length == 2)
+      val u1 = out.head
+      assert(u1.getAs[Long]("n_events") == 5L)
+      assert(u1.getAs[Long]("n_types") == 3L)
+      assert(u1.getAs[String]("first_type") == "view")
+      assert(u1.getAs[String]("last_type") == "buy")
+      assert(u1.getAs[Double]("total_value") == 13.0)
+      assert(out(1).getAs[String]("first_type") == "view"
+        && out(1).getAs[String]("last_type") == "view")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp)]
