@@ -2566,6 +2566,102 @@ object Queries {
        |FROM sh s LEFT JOIN agg a ON a.doc_id = s.doc_id""".stripMargin
   }
 
+  /** Sliding token-window chunking (TextAnalysis.chunkOffsets, the RAG /
+    * long-context chunker): 64-token windows, 16-token overlap, per-chunk
+    * token span + 60-bit chunk-text hash. Zero shuffle — one projection
+    * and a posexplode; the oracle replays the start arithmetic and the
+    * joined-slice hash token for token. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkOffsets(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+
+  private val q76Sql = {
+    val (c, o, stride) = (64, 16, 48)
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |d AS (SELECT doc_id, tk, len(tk) AS ntok FROM tk WHERE len(tk) > 0),
+       |st AS (
+       |  SELECT doc_id, tk, ntok,
+       |    list_filter(range(0, ntok, $stride),
+       |      s -> s = 0 OR s < ntok - $o) AS starts
+       |  FROM d),
+       |e AS (
+       |  SELECT doc_id, tk, ntok, u.i AS chunk_idx, u.s AS start_tok FROM (
+       |    SELECT doc_id, tk, ntok,
+       |      list_transform(range(1, len(starts) + 1),
+       |        i -> struct_pack(i := i, s := starts[i])) AS ls
+       |    FROM st), unnest(ls) AS t(u))
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least(start_tok + $c, ntok) AS BIGINT) AS end_tok,
+       |  ${md5LongSql(
+            s"array_to_string(tk[start_tok + 1 : least(start_tok + $c, ntok)], ' ')")}
+       |    AS chunk_hash
+       |FROM e""".stripMargin
+  }
+
+  /** BM25 relevance scoring of the corpus against a fixed term set — the
+    * classic IR ranking function (Robertson-Sparck Jones; k1=1.2,
+    * b=0.75) as two corpus passes: one aggregated stats row (N, total
+    * length, per-term document frequencies) broadcast onto a zero-shuffle
+    * scoring scan. Scores stay exact across engines by quantizing the
+    * only libm call (ln -> floor(x*1e6) micro-idf) and flooring each
+    * term's contribution to integer micro-units before the fixed-width
+    * sum — Long addition commutes, so partitioning cannot change the
+    * score. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val terms = Bm25Terms
+    val toks = ws_tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id") +:
+        coalesce(size(toks), lit(0)).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          coalesce(size(filter(toks, x => x === lit(term))), lit(0))
+            .cast("long").as(s"tf_$i")
+        }: _*)
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +: terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val contribs = terms.indices.map { i =>
+      val idfQ = floor(log((col("n") - col(s"df_$i") + lit(0.5))
+        / (col(s"df_$i") + lit(0.5)) + lit(1)) * lit(1000000.0)).cast("long")
+      floor(idfQ * (col(s"tf_$i") * lit(2.2)
+        / (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))))
+        .cast("long")
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        contribs.reduce(_ + _).as("score_micro"))
+  }
+
+  private val Bm25Terms = Seq("the", "data", "of", "and", "in")
+
+  private val q77Sql = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"coalesce(len(list_filter(tk, x -> x = '$term')), 0) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n    ")
+    val contribs = Bm25Terms.indices.map { i =>
+      s"""floor(CAST(floor(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1) * 1000000.0) AS BIGINT)
+         |    * (tf_$i * 2.2 / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))"""
+        .stripMargin
+    }.mkString("\n    + ")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(coalesce(len(tk), 0) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM tk),
+       |st AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |    $dfs
+       |  FROM base)
+       |SELECT doc_id, dl,
+       |  CAST($contribs AS BIGINT) AS score_micro
+       |FROM base, st""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2645,5 +2741,7 @@ object Queries {
     "q72_session_funnel" -> Q(q72, Some(q72Sql)),
     "q73_mixing_weights" -> Q(q73, Some(q73Sql)),
     "q74_dedup_keep_best" -> Q(q74, Some(q74Sql)),
-    "q75_ngram_dup_frac" -> Q(q75, Some(q75Sql)))
+    "q75_ngram_dup_frac" -> Q(q75, Some(q75Sql)),
+    "q76_token_chunks" -> Q(q76, Some(q76Sql)),
+    "q77_bm25" -> Q(q77, Some(q77Sql)))
 }

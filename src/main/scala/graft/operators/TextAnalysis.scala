@@ -355,6 +355,38 @@ object TextAnalysis {
         expr(s"(start_tok + greatest(ntok - 1, 0)) div $blockTokens").as("end_block"))
   }
 
+  /** Sliding token-window chunking (the RAG / long-context training
+    * chunker): each document's token stream is cut into windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlap`, the last
+    * window truncated at the document end; a trailing start that would
+    * only re-cover the previous window's overlap region (start >=
+    * ntok - overlap) is dropped. Emits one scalar row per chunk with
+    * the token span and a 60-bit hash of the joined chunk text (chunk
+    * identity for downstream dedup). Pure per-row expressions + one
+    * posexplode — zero shuffle, embarrassingly parallel; empty/NULL
+    * documents produce no chunks. */
+  def chunkOffsets(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"chunkOffsets needs 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), ws_tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .where(col("ntok") > 0)
+      .withColumn("starts",
+        filter(sequence(lit(0), col("ntok") - 1, lit(stride)),
+          s => (s === 0) || (s < col("ntok") - overlap)))
+      .select(col(idCol), col("ntok"), col("toks"), posexplode(col("starts")))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        least(col("col") + chunkTokens, col("ntok")).cast("long").as("end_tok"),
+        md5_long(array_join(
+          slice(col("toks"), col("col") + 1,
+            least(lit(chunkTokens), col("ntok") - col("col"))), " "))
+          .as("chunk_hash"))
+  }
+
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + validPct, lit("validation"))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.{hist_agg, hist_quantile, hll_distinct, top_k_by}
+import graft.functions.{bloom_contains, hist_agg, hist_quantile, hll_distinct, top_k_by, word_shingles, ws_tokens}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -240,6 +240,30 @@ object Streaming {
       }
       .toDF("id_a", "id_b")
   }
+
+  /** Stream-static n-gram Bloom decontamination — the q69 batch shape on
+    * continuous corpus ingest: the held-out set's shingles collapse to
+    * ONE static Bloom row (built once with `bloom_agg`), cross-joined
+    * onto the document stream; each arriving doc reports how many of its
+    * 3-gram shingles test positive. Stateless and map-only per
+    * micro-batch (no streaming state at all — the filter is a broadcast
+    * constant), so the ingest path scales exactly like the batch scan.
+    * `bloom` must be a one-row static frame with a binary `f` column
+    * built with the same (numBits, numHashes). */
+  def streamingDecontaminate(docs: DataFrame, bloom: DataFrame,
+                             numBits: Int, numHashes: Int,
+                             shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("shingles", coalesce(
+        word_shingles(ws_tokens(col("text")), shingleN, distinct = true),
+        array().cast("array<string>")))
+      .crossJoin(broadcast(bloom))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(filter(col("shingles"),
+          x => bloom_contains(col("f"), x, numBits, numHashes)))
+          .cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
 
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's views in the `rangeMinutes` before it. Both sides carry

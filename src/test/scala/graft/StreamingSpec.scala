@@ -60,6 +60,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Bloom decontamination matches the batch probe on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val (m, k) = (2048, 4)
+    // held-out set: two eval docs; training doc 11 shares a 3-gram with doc 1
+    val heldOut = Seq("alpha beta gamma delta", "one two three four five")
+      .toDF("text")
+    val bloom = heldOut
+      .select(explode(word_shingles(ws_tokens(col("text")), 3, distinct = true)).as("sg"))
+      .agg(bloom_agg(col("sg"), m, k).as("f"))
+    val train = Seq(
+      (11L, "alpha beta gamma zeta eta"), // overlaps "alpha beta gamma"
+      (12L, "totally unrelated text here now"),
+      (13L, null.asInstanceOf[String]))   // NULL text -> clean empty doc
+    val batch = Streaming.streamingDecontaminate(
+      train.toDF("doc_id", "text"), bloom, m, k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), bloom, m, k)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      mem.addData(train: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed(11L)._2 >= 1L, "shared shingle must hit")
+      assert(streamed(13L) == (0L, 0L), "NULL text must be a clean empty doc")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp)]
