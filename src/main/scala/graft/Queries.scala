@@ -2226,16 +2226,25 @@ object Queries {
       // (size/filter over NULL would emit -1/NULL and diverge from the
       // oracle's coalesce)
       .withColumn("shingles", coalesce(col("shingles"), array().cast("array<string>")))
-    val bloomF = sh.where(col("source") === "src0")
+    // the held-out Bloom becomes a PLAN-TIME LITERAL via one bounded
+    // m/8-byte driver collect, and the training side explodes ONCE into
+    // a per-doc partial-combined aggregate: the previous staged-array
+    // form let CollapseProject re-inline the tokenizer into every
+    // column that referenced the shingles (4x in the plan), and a
+    // crossJoin column would copy the filter bytes into every row
+    val bloomBytes = sh.where(col("source") === "src0")
       .select(explode(col("shingles")).as("sg"))
       .agg(bloom_agg(col("sg"), m, k).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val fLit = lit(bloomBytes)
     sh.where(col("source") =!= "src0")
-      .crossJoin(broadcast(bloomF))
-      .select(col("doc_id"),
-        size(col("shingles")).cast("long").as("n_shingles"),
-        size(filter(col("shingles"), x => bloom_contains(col("f"), x, m, k)))
-          .cast("long").as("n_hits"))
-      .withColumn("contaminated", col("n_hits") > 0)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
+      .groupBy("doc_id")
+      .agg(count(col("sg")).as("n_shingles"),
+        sum(when(bloom_contains(fLit, col("sg"), m, k), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits") > 0).as("contaminated"))
   }
 
   private val q69Sql = {
@@ -2524,15 +2533,29 @@ object Queries {
     val sh = Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
       // NULL text -> empty, clean doc (q69's convention)
       .withColumn("shingles", coalesce(col("shingles"), array().cast("array<string>")))
-    val sk = sh.select(explode(col("shingles")).as("sg"))
+    // explode ONCE and aggregate per doc: referencing the staged shingle
+    // array from several output columns lets CollapseProject re-inline
+    // the tokenizer into every reference (measured: tokenize appeared 4x
+    // in the plan and the probe cost ~3x the build). The aggregate's
+    // outputs are real attributes, so dup_frac cannot re-trigger it; the
+    // doc-keyed exchange carries two longs per doc, map-side combined.
+    val occ = sh.select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
+    // the sketch becomes a PLAN-TIME LITERAL via one bounded d*w-long
+    // driver collect (the q48 trained-codebook pattern) — a crossJoin
+    // column instead would make the join copy the 2 MB array into EVERY
+    // per-shingle row (measured: 40x slower than the whole build)
+    val sk = occ.where(col("sg").isNotNull)
       .agg(cms_agg(col("sg"), d, w).as("sk"))
-    sh.crossJoin(broadcast(sk))
-      .select(col("doc_id"),
-        size(col("shingles")).cast("long").as("n_shingles"),
-        size(filter(col("shingles"), x => cms_query(col("sk"), x, d, w) >= 2))
-          .cast("long").as("n_dup"))
-      .withColumn("dup_frac", round(when(col("n_shingles") > 0,
-        col("n_dup").cast("double") / col("n_shingles")).otherwise(lit(0.0)), 6))
+      .head().getSeq[Long](0)
+    val skLit = typedLit(sk)
+    occ.groupBy("doc_id")
+      .agg(count(col("sg")).as("n_shingles"),
+        sum(when(cms_query(skLit, col("sg"), d, w) >= 2, 1L).otherwise(0L))
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles")).otherwise(lit(0.0)), 6)
+          .as("dup_frac"))
   }
 
   private val q75Sql = {
@@ -2662,6 +2685,81 @@ object Queries {
        |FROM base, st""".stripMargin
   }
 
+  /** Trailing-window anomaly scoring of hourly event-type counts: each
+    * (type, hour) bucket's count is z-scored against the previous 24
+    * buckets' mean/std. The corpus-sized work is the bucketing groupBy
+    * (map-side combined); the window then runs over the tiny
+    * (types x hours) table, partitioned by type. All window sums are
+    * exact integers, the divisions and the IEEE-correctly-rounded sqrt
+    * replay identically in SQL, and the trailing means terminate well
+    * inside 6 decimals (n_prev's prime factors are only 2 and 5), so
+    * round(6) has no half-way ties. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000").as("us"))
+      .withColumn("bucket", expr("us div 3600000000"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    val mean = col("s1").cast("double") / col("n_prev")
+    val variance = col("s2").cast("double") / col("n_prev") - mean * mean
+    b.withColumn("n_prev", count(col("cnt")).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prev") >= 6)
+      .select(col("event_type"), col("bucket"), col("cnt"),
+        round(mean, 6).as("trail_mean"),
+        when(variance > 0,
+          round((col("cnt") - mean) / sqrt(variance), 6)).as("z_score"))
+  }
+
+  private val q78Sql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, bucket, cnt,
+      |    count(cnt) OVER fr AS n_prev,
+      |    CAST(sum(cnt) OVER fr AS BIGINT) AS s1,
+      |    CAST(sum(cnt * cnt) OVER fr AS BIGINT) AS s2
+      |  FROM b
+      |  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, cnt,
+      |  round(CAST(s1 AS DOUBLE) / n_prev, 6) AS trail_mean,
+      |  CASE WHEN (CAST(s2 AS DOUBLE) / n_prev
+      |             - (CAST(s1 AS DOUBLE) / n_prev) * (CAST(s1 AS DOUBLE) / n_prev)) > 0
+      |    THEN round((cnt - CAST(s1 AS DOUBLE) / n_prev)
+      |      / sqrt(CAST(s2 AS DOUBLE) / n_prev
+      |             - (CAST(s1 AS DOUBLE) / n_prev) * (CAST(s1 AS DOUBLE) / n_prev)), 6)
+      |    ELSE NULL END AS z_score
+      |FROM w WHERE n_prev >= 6""".stripMargin
+
+  /** Skew-salted join (SkewJoin.saltedJoin): lineitem x part revenue per
+    * brand with each part key's lineitem rows spread across 16 salt
+    * sub-partitions. The salt is a row-id hash (NOT the key — that would
+    * re-concentrate hot keys), the part side replicates 16x (still tiny
+    * or broadcastable), and the result multiset is salt-invariant — the
+    * oracle proves it by replaying the PLAIN join. This is the manual
+    * skew-split for plans AQE can't rewrite. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    SkewJoin.saltedJoin(li, p, col("l_partkey"), col("p_partkey"),
+        md5_long(concat_ws(",", col("l_orderkey"), col("l_linenumber"))), 16)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+  }
+
+  private val q79Sql =
+    """SELECT p.p_brand,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2743,5 +2841,7 @@ object Queries {
     "q74_dedup_keep_best" -> Q(q74, Some(q74Sql)),
     "q75_ngram_dup_frac" -> Q(q75, Some(q75Sql)),
     "q76_token_chunks" -> Q(q76, Some(q76Sql)),
-    "q77_bm25" -> Q(q77, Some(q77Sql)))
+    "q77_bm25" -> Q(q77, Some(q77Sql)),
+    "q78_event_anomaly" -> Q(q78, Some(q78Sql)),
+    "q79_salted_join" -> Q(q79, Some(q79Sql)))
 }

@@ -50,7 +50,12 @@ sealed trait LongSumBufferAgg { self: TypedImperativeAggregate[Array[Long]] =>
 object Hll {
   /** Update one value into a 2^p-register buffer (shared by the
     * one-shot and mergeable aggregates). */
-  def update(buf: Array[Byte], value: String, p: Int): Unit = {
+  def update(buf: Array[Byte], value: String, p: Int): Unit =
+    update(buf, value.getBytes(java.nio.charset.StandardCharsets.UTF_8), p)
+
+  /** Raw-UTF-8-bytes variant — the aggregate-side entry point (skips the
+    * UTF8String decode+re-encode round trip). */
+  def update(buf: Array[Byte], value: Array[Byte], p: Int): Unit = {
     val tailBits = 60 - p
     val tailMask = (1L << tailBits) - 1
     val h = TextKernels.md5Long(value)
@@ -127,7 +132,7 @@ case class HllDistinct(
 
   override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
-    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].toString, p)
+    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].getBytes, p)
     buf
   }
 
@@ -170,7 +175,7 @@ case class HllSketchAgg(
 
   override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
-    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].toString, p)
+    if (v != null) Hll.update(buf, v.asInstanceOf[UTF8String].getBytes, p)
     buf
   }
 
@@ -585,7 +590,7 @@ case class BloomAgg(
     val v = child.eval(row)
     if (v != null) {
       val ps = SketchHash.positions(
-        TextKernels.md5Long(v.asInstanceOf[UTF8String].toString), numBits, numHashes)
+        TextKernels.md5Long(v.asInstanceOf[UTF8String].getBytes), numBits, numHashes)
       var i = 0
       while (i < ps.length) {
         buf(ps(i) >>> 3) = (buf(ps(i) >>> 3) | (1 << (ps(i) & 7))).toByte
@@ -635,7 +640,7 @@ case class BloomContains(left: Expression, right: Expression, numBits: Int, numH
     if (buf.length != (numBits + 7) / 8) null
     else {
       val ps = SketchHash.positions(
-        TextKernels.md5Long(value.asInstanceOf[UTF8String].toString), numBits, numHashes)
+        TextKernels.md5Long(value.asInstanceOf[UTF8String].getBytes), numBits, numHashes)
       var i = 0
       while (i < ps.length) {
         if ((buf(ps(i) >>> 3) & (1 << (ps(i) & 7))) == 0) return false
@@ -682,7 +687,7 @@ case class CmsAgg(
     val v = child.eval(row)
     if (v != null) {
       val ps = SketchHash.positions(
-        TextKernels.md5Long(v.asInstanceOf[UTF8String].toString), width, depth)
+        TextKernels.md5Long(v.asInstanceOf[UTF8String].getBytes), width, depth)
       var j = 0
       while (j < depth) { buf(j * width + ps(j)) += 1L; j += 1 }
     }
@@ -773,7 +778,7 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
     if (arr.numElements() != depth * width) null
     else {
       val ps = SketchHash.positions(
-        TextKernels.md5Long(value.asInstanceOf[UTF8String].toString), width, depth)
+        TextKernels.md5Long(value.asInstanceOf[UTF8String].getBytes), width, depth)
       var best = Long.MaxValue
       var j = 0
       while (j < depth) {

@@ -27,12 +27,27 @@ object TextKernels {
   def tokenize(text: String): Array[String] =
     ws.split(text.toLowerCase(Locale.ROOT)).filter(_.nonEmpty)
 
+  // MessageDigest.getInstance does a provider lookup + allocation on
+  // EVERY call (~µs) — measured as the top cost of the md5-bound
+  // operators (sketch builds/probes hash hundreds of thousands of
+  // shingles per scan). One digest per task thread; digest() leaves the
+  // instance reset for the next call.
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 60 bits of MD5 as a non-negative long — identical to
     * `conv(substring(md5(s),1,15),16,10)` and the DuckDB oracle's
     * `('0x' || substr(md5(s),1,15))::BIGINT`. */
-  def md5Long(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5Long(s: String): Long =
+    md5Long(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Same hash over raw UTF-8 bytes — the expression-side entry point:
+    * `UTF8String.getBytes` hands these over without the decode+re-encode
+    * round trip of `.toString.getBytes`. */
+  def md5Long(bytes: Array[Byte]): Long = {
+    val d = mdPool.get().digest(bytes)
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -112,7 +127,7 @@ case class Md5Long(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"md5_long needs string, got $t")
   }
   override def nullSafeEval(input: Any): Any =
-    TextKernels.md5Long(input.asInstanceOf[UTF8String].toString)
+    TextKernels.md5Long(input.asInstanceOf[UTF8String].getBytes)
   override protected def withNewChildInternal(newChild: Expression): Md5Long =
     copy(child = newChild)
 }
@@ -138,7 +153,7 @@ case class MinHashSignature(child: Expression, perms: Seq[(Long, Long)], prime: 
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h = TextKernels.md5Long(arr.getUTF8String(i).toString) % prime
+      val h = TextKernels.md5Long(arr.getUTF8String(i).getBytes) % prime
       var p = 0
       while (p < k) {
         val v = (pa(p) * h + pb(p)) % prime
@@ -169,7 +184,7 @@ case class SimHash32(child: Expression)
     val votes = new Array[Long](32)
     var i = 0
     while (i < m) {
-      val h = TextKernels.md5Long(arr.getUTF8String(i).toString)
+      val h = TextKernels.md5Long(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < 32) {
         votes(j) += ((h >> j) & 1L) * 2 - 1

@@ -304,6 +304,30 @@ class OperatorSpec extends SparkTestBase {
     assert(out.head == Row(1L, -2L, 9L, 6L))
   }
 
+  test("saltedJoin equals the plain join on heavily skewed keys") {
+    // 90% of the big side hits ONE key — the salted result multiset must
+    // still equal the plain join under any salt width
+    val big = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, 1L).otherwise(col("id") % 7).as("k"),
+      col("id").as("v"))
+    val small = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, "d"), (5L, "e"), (6L, "f")).toDF("sk", "name")
+    val plain = big.join(small, col("k") === col("sk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (nSalts <- Seq(1, 4, 32)) {
+      val salted = SkewJoin.saltedJoin(big, small, col("k"), col("sk"),
+          hash(col("v")), nSalts)
+        .groupBy("name").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted == plain, s"nSalts=$nSalts")
+    }
+    // the small side must actually replicate (a Generate/explode node)
+    val plan = SkewJoin.saltedJoin(big, small, col("k"), col("sk"), hash(col("v")), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"small side must explode per salt:\n$plan")
+  }
+
   test("gopherRules sets one fail bit per violated rule") {
     val good = ("good", (("the a of and that is " * 8) + "words more here").trim)
     val tiny = ("tiny", "the of a")                   // too few tokens -> bit 0
