@@ -2163,9 +2163,12 @@ object Queries {
     * oracle replays the exact keep decision including the boundary
     * arithmetic. */
   private def q67(s: SparkSession, dir: String): DataFrame = {
-    // lang rides through the quality projection — ONE corpus scan, zero
-    // shuffle (a join to reattach it would rescan the table)
-    val q = TextAnalysis.qualityFeatures(
+    // the AGGREGATED quality variant: the sampling predicate references
+    // the score, and with per-row staged arrays predicate pushdown
+    // inlined the whole feature projection into the filter — 13
+    // tokenizer runs per row (measured); aggregate outputs are real
+    // attributes, so the filter reads the score without recompute
+    val q = TextAnalysis.qualityFeaturesAgg(
       t(s, dir, "documents"), "doc_id", "text", passthrough = Seq("lang"))
     TextAnalysis.weightedSample(q, "doc_id", col("quality_score") * lit(0.6))
       .select(col("doc_id"), col("lang"), col("quality_score"))
@@ -2633,13 +2636,17 @@ object Queries {
     * score. */
   private def q77(s: SparkSession, dir: String): DataFrame = {
     val terms = Bm25Terms
-    val toks = ws_tokens(col("text"))
-    val base = t(s, dir, "documents")
-      .select(col("doc_id") +:
-        coalesce(size(toks), lit(0)).cast("long").as("dl") +:
+    // ONE tokenize -> explode -> per-doc aggregate per pass (the stats
+    // and scoring passes are two scans by design): the previous wide
+    // per-row form referenced the token array from dl and every tf
+    // column, and CollapseProject re-inlined the tokenizer into each —
+    // 12 runs in the plan (measured)
+    val tk = t(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(ws_tokens(col("text"))).as("tok"))
+    val base = tk.groupBy("doc_id")
+      .agg(count(col("tok")).as("dl"),
         terms.zipWithIndex.map { case (term, i) =>
-          coalesce(size(filter(toks, x => x === lit(term))), lit(0))
-            .cast("long").as(s"tf_$i")
+          sum(when(col("tok") === term, 1L).otherwise(0L)).as(s"tf_$i")
         }: _*)
     val stats = base.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("sumdl") +: terms.indices.map(i =>

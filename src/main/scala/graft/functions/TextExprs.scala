@@ -338,3 +338,57 @@ case class JaccardThresholdLongs(left: Expression, right: Expression, threshold:
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardThresholdLongs =
     copy(left = l, right = r)
 }
+
+/** Sliding token-window chunk spans in ONE pass over the token array:
+  * windows of `chunkTokens` advancing by `chunkTokens - overlap`, the
+  * last truncated at the document end, trailing starts that would only
+  * re-cover the previous window's overlap region dropped. Emits one
+  * struct<start, end, hash> per chunk (hash = md5Long of the
+  * space-joined window — identical to `md5_long(array_join(slice(...),
+  * ' '))`). A composed sequence/filter/slice formulation references the
+  * token array from several columns, and CollapseProject re-inlines the
+  * tokenizer into each (measured 8x in the q76 plan); here the child is
+  * evaluated exactly once. */
+case class ChunkSpans(child: Expression, chunkTokens: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+    s"chunk_spans needs 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+  private val stride = chunkTokens - overlap
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "chunk_spans"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"chunk_spans needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = Array.tabulate(n)(i => arr.getUTF8String(i).toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var s0 = 0
+    while (s0 < n && (s0 == 0 || s0 < n - overlap)) {
+      val e = math.min(s0 + chunkTokens, n)
+      sb.setLength(0)
+      var j = s0
+      while (j < e) {
+        if (j > s0) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val h = TextKernels.md5Long(sb.toString)
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s0.toLong, e.toLong, h))
+      s0 += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ChunkSpans =
+    copy(child = newChild)
+}

@@ -277,6 +277,11 @@ package object functions {
   def word_shingles(tokens: Column, n: Int, distinct: Boolean = false): Column =
     ExprBridge.column(WordShingles(col2expr(tokens), n, distinct))
 
+  /** Sliding token-window chunk spans (start, end, hash) in one pass
+    * over the token array (see [[ChunkSpans]]). */
+  def chunk_spans(tokens: Column, chunkTokens: Int, overlap: Int): Column =
+    ExprBridge.column(ChunkSpans(col2expr(tokens), chunkTokens, overlap))
+
   /** Portable 60-bit hash: first 15 hex chars of md5 as a long. The same
     * value is computable in any engine with md5 (the DuckDB oracle uses
     * `('0x' || substr(md5(s),1,15))::bigint`). */

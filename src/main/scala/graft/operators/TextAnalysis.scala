@@ -106,6 +106,49 @@ object TextAnalysis {
         :+ round(col("stopword_ratio"), 6).as("stopword_ratio")
         :+ qualityScoreCol.as("quality_score"): _*)
 
+  /** The same quality features computed through ONE tokenize -> explode
+    * -> groupBy(doc) aggregation instead of per-row array expressions —
+    * bit-identical output (integer token-length/stopword sums divided by
+    * integer counts, same IEEE order), different plan shape. Use this
+    * variant when the caller references the score/features several times
+    * (a filter predicate, a sampling probability): per-row staged arrays
+    * get re-inlined by CollapseProject into EVERY reference, re-running
+    * the tokenizer each time (q67's sampling predicate measured 13
+    * tokenizer runs per row), while aggregate outputs are real
+    * attributes that cannot be inlined. Costs one doc-keyed join. */
+  def qualityFeaturesAgg(df: DataFrame, idCol: String, textCol: String,
+                         passthrough: Seq[String] = Nil): DataFrame = {
+    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
+    val aggs = df
+      .select(col(idCol), explode(ws_tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ntokl"),
+        sum(length(col("__t"))).as("__sumlen"),
+        sum(when(array_contains(allStops, col("__t")), 1L).otherwise(0L)).as("__stop"))
+    df.select(col(idCol) +: passthrough.map(col) :+ col(textCol).as("text"): _*)
+      .join(aggs, Seq(idCol), "left")
+      .withColumn("ntok", coalesce(col("__ntokl"), lit(0L)).cast("double"))
+      .withColumn("mean_tok_len",
+        when(col("ntok") > 0,
+          col("__sumlen").cast("double") / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("alnum_ratio",
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("double")
+            / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("ntok") > 0,
+          col("__stop").cast("double") / col("ntok")).otherwise(lit(0.0)))
+      .select(col(idCol) +: passthrough.map(col)
+        // NULL text: the per-row variant reports n_tokens NULL (size of a
+        // NULL array); mirror that here despite the coalesce-to-0 above
+        :+ when(col("text").isNotNull, coalesce(col("__ntokl"), lit(0L)))
+          .as("n_tokens")
+        :+ round(col("mean_tok_len"), 6).as("mean_tok_len")
+        :+ round(col("alnum_ratio"), 6).as("alnum_ratio")
+        :+ round(col("stopword_ratio"), 6).as("stopword_ratio")
+        :+ qualityScoreCol.as("quality_score"): _*)
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))
@@ -369,22 +412,17 @@ object TextAnalysis {
                    chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
       s"chunkOffsets needs 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
-    val stride = chunkTokens - overlap
-    df.select(col(idCol), ws_tokens(col(textCol)).as("toks"))
-      .withColumn("ntok", size(col("toks")))
-      .where(col("ntok") > 0)
-      .withColumn("starts",
-        filter(sequence(lit(0), col("ntok") - 1, lit(stride)),
-          s => (s === 0) || (s < col("ntok") - overlap)))
-      .select(col(idCol), col("ntok"), col("toks"), posexplode(col("starts")))
+    // chunk_spans walks the token array ONCE: the earlier composed
+    // sequence/filter/slice form referenced the staged tokens from four
+    // columns and CollapseProject re-ran the tokenizer for each
+    // (measured 8x in the plan)
+    df.select(col(idCol),
+        posexplode(chunk_spans(ws_tokens(col(textCol)), chunkTokens, overlap)))
       .select(col(idCol),
         (col("pos") + 1).cast("long").as("chunk_idx"),
-        col("col").cast("long").as("start_tok"),
-        least(col("col") + chunkTokens, col("ntok")).cast("long").as("end_tok"),
-        md5_long(array_join(
-          slice(col("toks"), col("col") + 1,
-            least(lit(chunkTokens), col("ntok") - col("col"))), " "))
-          .as("chunk_hash"))
+        col("col.start").as("start_tok"),
+        col("col.end").as("end_tok"),
+        col("col.hash").as("chunk_hash"))
   }
 
   private def splitCol(bucket: Column, trainPct: Int, validPct: Int): Column =

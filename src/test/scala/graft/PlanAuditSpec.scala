@@ -174,6 +174,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(histPlan.contains("partial_hist_agg"), s"hist_agg must partial-aggregate:\n$histPlan")
   }
 
+  test("tokenizer appears at most a bounded number of times per gate plan") {
+    // CollapseProject re-inlines staged token/shingle arrays into every
+    // referencing column — q67's sampling predicate once ran the
+    // tokenizer 13x per row, q77 12x, q76 8x (all measured, all fixed by
+    // explode-aggregate shapes or single-pass expressions). This pins
+    // the fixed counts so a refactor cannot silently reintroduce the
+    // blowup: the bound is the number of INTENDED passes per query.
+    val tmp = java.nio.file.Files.createTempDirectory("tokaudit").toString
+    spark.range(100).select(col("id").as("doc_id"),
+        concat(lit("the a of and data in w"), (col("id") % 9).cast("string")).as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val bounds = Seq("q67_weighted_sample" -> 2, "q76_token_chunks" -> 1,
+      "q77_bm25" -> 2, "q19_minhash_lsh_pairs" -> 4)
+    for ((q, bound) <- bounds) {
+      val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
+      val n = "tokenize\\(".r.findAllIn(plan).length
+      assert(n <= bound, s"$q: tokenizer appears $n times (bound $bound):\n$plan")
+    }
+  }
+
   test("dup-ngram scoring probes a plan-literal sketch with no join at all") {
     // q75: the corpus CMS collapses to a plan-time literal (bounded d*w
     // driver collect, the q48 codebook pattern) — a broadcast-column
