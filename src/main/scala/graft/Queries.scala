@@ -2767,6 +2767,57 @@ object Queries {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY p.p_brand""".stripMargin
 
+  /** Per-source quality-percentile normalization via the mergeable
+    * histogram sketch: per-source score histograms (one aggregation
+    * pass, 64 exact counters each) collapse to a plan-time Map literal
+    * (bounded sources x nBins driver collect, the q48/q75 pattern), and
+    * a second map-only pass scores every doc's percentile with
+    * [[graft.functions.HistCdf]] — the sketch-based replacement for a
+    * source-partitioned percent_rank window, which would sort every
+    * source's full corpus slice. Scores come from the AGGREGATED quality
+    * variant (real attributes — no tokenizer re-inlining), and the
+    * percentile is floored to integer milli-units (no round-half
+    * ambiguity). Bin-width-bounded error, exact within a bin's linear
+    * interpolation; the oracle replays bin, cumulative count and
+    * interpolation term for term. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi, nb) = (0.0, 1.0, 64)
+    val scored = TextAnalysis.qualityFeaturesAgg(
+      t(s, dir, "documents"), "doc_id", "text", passthrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val hists = scored.groupBy("source")
+      .agg(hist_agg(col("quality_score"), lo, hi, nb).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val histLit = typedLit(hists)
+    scored.select(col("doc_id"), col("source"), col("quality_score"),
+      floor(hist_cdf(element_at(histLit, col("source")), col("quality_score"),
+        lo, hi, nb) * 1000).cast("long").as("pct_milli"))
+  }
+
+  private val q80Sql =
+    s"""WITH tq AS (SELECT doc_id, source, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    $qualityFeatSql
+       |  FROM tq),
+       |q AS (SELECT doc_id, source, $qualityScoreSql AS quality_score FROM f),
+       |b AS (
+       |  SELECT doc_id, source, quality_score,
+       |    CAST(least(floor(quality_score * 64), 63) AS INT) AS bin
+       |  FROM q),
+       |c AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+       |w AS (
+       |  SELECT source, bin, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM c)
+       |SELECT b.doc_id, b.source, b.quality_score,
+       |  CAST(floor((CAST(w.cum AS DOUBLE)
+       |    + least(greatest(b.quality_score * 64 - b.bin, 0), 1) * w.cnt)
+       |    / w.n * 1000) AS BIGINT) AS pct_milli
+       |FROM b JOIN w ON w.source = b.source AND w.bin = b.bin""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2850,5 +2901,6 @@ object Queries {
     "q76_token_chunks" -> Q(q76, Some(q76Sql)),
     "q77_bm25" -> Q(q77, Some(q77Sql)),
     "q78_event_anomaly" -> Q(q78, Some(q78Sql)),
-    "q79_salted_join" -> Q(q79, Some(q79Sql)))
+    "q79_salted_join" -> Q(q79, Some(q79Sql)),
+    "q80_quality_percentile" -> Q(q80, Some(q80Sql)))
 }

@@ -866,3 +866,53 @@ case class VecSumQAgg(
   override protected def withNewChildInternal(newChild: Expression): VecSumQAgg =
     copy(child = newChild)
 }
+
+/** Percentile (CDF value) of a point under a [[HistAgg]] bin-count
+  * array — the inverse of [[HistQuantile]]: cdf(x) = (count below x's
+  * bin + linear within-bin fraction of its own bin) / N. The
+  * sketch-based normalization primitive: build per-group histograms
+  * once (mergeable, bounded state), then score every row map-only
+  * against the broadcast/literal bins — no per-group sort or window
+  * over raw values, which is the non-scalable alternative. Pure
+  * deterministic arithmetic, replayable term-for-term in SQL. Empty or
+  * malformed sketches -> null. */
+case class HistCdf(left: Expression, right: Expression,
+                   lo: Double, hi: Double, nBins: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(nBins >= 2 && lo < hi, s"bad hist params: [$lo, $hi) x $nBins")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_cdf"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"hist_cdf needs (array<long>, double), got ($l, $r)")
+  }
+
+  override def nullSafeEval(bins: Any, value: Any): Any = {
+    val arr = bins.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() != nBins) return null
+    val x = value.asInstanceOf[Double]
+    if (x.isNaN) return null
+    var n = 0L
+    var i = 0
+    while (i < nBins) {
+      if (arr.isNullAt(i)) return null
+      n += arr.getLong(i); i += 1
+    }
+    if (n == 0L) return null
+    val w = (hi - lo) / nBins
+    var bin = math.floor((x - lo) / (hi - lo) * nBins).toInt
+    if (bin < 0) bin = 0
+    if (bin >= nBins) bin = nBins - 1
+    var cum = 0L
+    i = 0
+    while (i < bin) { cum += arr.getLong(i); i += 1 }
+    var frac = (x - lo) / w - bin
+    if (frac < 0.0) frac = 0.0
+    if (frac > 1.0) frac = 1.0
+    (cum.toDouble + frac * arr.getLong(bin)) / n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HistCdf =
+    copy(left = l, right = r)
+}

@@ -216,6 +216,12 @@ package object functions {
   def hist_quantile(bins: Column, q: Double, lo: Double, hi: Double, nBins: Int): Column =
     ExprBridge.column(HistQuantile(col2expr(bins), q, lo, hi, nBins))
 
+  /** Percentile (CDF) of a point under a `hist_agg` array — the inverse
+    * of `hist_quantile`; the sketch-based per-group normalization
+    * primitive (see [[HistCdf]]). */
+  def hist_cdf(bins: Column, x: Column, lo: Double, hi: Double, nBins: Int): Column =
+    ExprBridge.column(HistCdf(col2expr(bins), col2expr(x), lo, hi, nBins))
+
   /** Partial-combining per-group top-k: the k largest structs under the
     * struct's field-wise order, descending — the aggregate form of
     * `row_number over (partition by g order by ...) <= k` (see

@@ -223,6 +223,35 @@ class SketchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { VecSumQAgg(lit, dim = 0) }
   }
 
+  test("hist_cdf is the inverse of hist_quantile and tracks the exact rank") {
+    val vals = (0 until 1000).map(i => (i * 37 % 1000).toDouble)
+    val df = vals.toDF("v").agg(hist_agg(col("v"), 0.0, 1000.0, 100).as("h"))
+    // cdf of the exact p-quantile value must come back ~p
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val Seq(q, cdf) = df.select(
+        hist_quantile(col("h"), p, 0.0, 1000.0, 100).as("q"),
+        hist_cdf(col("h"), hist_quantile(col("h"), p, 0.0, 1000.0, 100),
+          0.0, 1000.0, 100).as("c"))
+        .head().toSeq.map(_.asInstanceOf[Double])
+      assert(math.abs(cdf - p) < 0.02, s"p=$p q=$q cdf=$cdf")
+    }
+    // exact rank agreement: values are uniform on [0,1000), so
+    // cdf(x) ~ x/1000 within one bin width
+    val c250 = df.select(hist_cdf(col("h"), lit(250.0), 0.0, 1000.0, 100))
+      .head().getDouble(0)
+    assert(math.abs(c250 - 0.25) < 0.011, s"cdf(250)=$c250")
+  }
+
+  test("hist_cdf nulls out on malformed sketches and NaN probes") {
+    val df = Seq(1.0).toDF("v").agg(hist_agg(col("v"), 0.0, 10.0, 16).as("h"))
+    assert(df.select(hist_cdf(col("h"), lit(Double.NaN), 0.0, 10.0, 16))
+      .head().isNullAt(0))
+    // wrong length -> null
+    val bad = Seq(Tuple1(Seq(1L, 2L))).toDF("h")
+    assert(bad.select(hist_cdf(col("h"), lit(1.0), 0.0, 10.0, 16))
+      .head().isNullAt(0))
+  }
+
   test("vec_sum_q equals the floor-quantized reference under any partitioning") {
     val vecs = (0 until 120).map { i =>
       (i % 3, Array.tabulate(4)(d => (math.sin(i * 4 + d) * 1.5).toFloat))
