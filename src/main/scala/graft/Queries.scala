@@ -493,9 +493,13 @@ object Queries {
   private val MinhashPermCount = 16
   private def q18(s: SparkSession, dir: String): DataFrame =
     Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3)
-      .where(size(col("shingles")) > 0)
       .select(col("doc_id"),
         posexplode(minhash_signature(col("shingles"), MinhashPermCount)))
+      // a shingle-less doc minhashes every permutation to Long.MaxValue
+      // (real sigs are < 2^31): filtering the generator OUTPUT excludes
+      // it like the former `size(shingles) > 0` without a second
+      // `shingles` reference re-running the tokenizer
+      .where(col("col") =!= Long.MaxValue)
       .select(col("doc_id"), col("pos").cast("long").as("perm"),
         col("col").as("sig"))
 

@@ -187,7 +187,8 @@ class PlanAuditSpec extends SparkTestBase {
         lit("en").as("lang"), lit("s").as("source"), lit(1L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val bounds = Seq("q67_weighted_sample" -> 2, "q76_token_chunks" -> 1,
-      "q77_bm25" -> 2, "q19_minhash_lsh_pairs" -> 4)
+      "q77_bm25" -> 2, "q19_minhash_lsh_pairs" -> 4,
+      "q18_minhash_signatures" -> 1, "q21_ngram_jaccard_pairs" -> 2)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
