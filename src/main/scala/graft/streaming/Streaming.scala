@@ -241,6 +241,54 @@ object Streaming {
       .toDF("id_a", "id_b")
   }
 
+  /** Streaming form of the q78 trailing-window anomaly scorer: a stream
+    * of per-(event_type, bucket) counts is z-scored against the previous
+    * `window` buckets of the same type, kept as BOUNDED per-key state
+    * (at most `window` (bucket, cnt) pairs — the state size is
+    * types x window regardless of stream length). Exactly q78's math:
+    * integer trailing sums, population variance, z only when the
+    * variance is positive and at least `minPrev` buckets precede.
+    * Feed it finalized bucket counts (e.g. append-mode windowed counts
+    * after the watermark) so buckets arrive per key in event-time order;
+    * within a micro-batch rows are sorted by bucket. */
+  def streamingAnomaly(counts: DataFrame, window: Int = 24,
+                       minPrev: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(window >= 1 && minPrev >= 1 && minPrev <= window,
+      s"streamingAnomaly needs 1 <= minPrev <= window, got $minPrev/$window")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.select(col("event_type"), col("bucket").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)],
+        (String, Long, Long, Option[Double], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[List[(Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Nil) // newest bucket first
+          val out = rows.toSeq.sortBy(_._2).map { case (_, bucket, cnt) =>
+            val prev = hist.filter(_._1 < bucket).take(window)
+            val n = prev.size
+            val stats =
+              if (n >= minPrev) {
+                val s1 = prev.iterator.map(_._2).sum
+                val s2 = prev.iterator.map(c => c._2 * c._2).sum
+                val mean = s1.toDouble / n
+                val variance = s2.toDouble / n - mean * mean
+                val z = if (variance > 0) Some((cnt - mean) / math.sqrt(variance)) else None
+                Some((mean, z))
+              } else None
+            hist = ((bucket, cnt) :: hist.filter(_._1 != bucket))
+              .sortBy(-_._1).take(window)
+            (key, bucket, cnt, stats.map(_._1), stats.flatMap(_._2))
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF("event_type", "bucket", "cnt", "trail_mean", "z_score")
+  }
+
   /** Stream-static n-gram Bloom decontamination — the q69 batch shape on
     * continuous corpus ingest: the held-out set's shingles collapse to
     * ONE static Bloom row (built once with `bloom_agg`), cross-joined

@@ -60,6 +60,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores match the batch trailing-window math") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val counts = mem.toDF().toDF("event_type", "bucket", "cnt")
+    val q = Streaming.streamingAnomaly(counts, window = 4, minPrev = 2)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // two micro-batches: state must carry the trailing window across
+      mem.addData(("a", 0L, 10L), ("a", 1L, 12L), ("a", 2L, 11L))
+      q.processAllAvailable()
+      mem.addData(("a", 3L, 30L), ("b", 0L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("anom").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Double]),
+           Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+      assert(out(("a", 0L)) == (None, None), "no trailing buckets yet")
+      assert(out(("a", 1L)) == (None, None), "below minPrev")
+      // bucket 2: prev = {10, 12}: mean 11, var 1 -> z = (11-11)/1 = 0
+      assert(out(("a", 2L)) == (Some(11.0), Some(0.0)))
+      // bucket 3 (second batch, state carried): prev = {10, 12, 11}:
+      // mean 11, var = (100+144+121)/3 - 121 = 2/3
+      val (m3, z3) = out(("a", 3L))
+      assert(m3.contains(11.0))
+      assert(math.abs(z3.get - (30.0 - 11.0) / math.sqrt(2.0 / 3)) < 1e-12)
+      assert(out(("b", 0L)) == (None, None), "keys are independent")
+    } finally q.stop()
+  }
+
   test("streaming Bloom decontamination matches the batch probe on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
