@@ -2822,6 +2822,35 @@ object Queries {
        |    / w.n * 1000) AS BIGINT) AS pct_milli
        |FROM b JOIN w ON w.source = b.source AND w.bin = b.bin""".stripMargin
 
+  /** Normalization-aware exact dedup (TextAnalysis.normalizedDedup):
+    * ASCII case-fold + punctuation strip + whitespace collapse (all
+    * codegen'd built-ins — translate instead of lower() because engines
+    * disagree on Unicode edge-case lowering), then canonical id = the
+    * smallest doc id per normalized-text hash. Catches the trivially
+    * different copies plain exact dedup misses. One hash-keyed
+    * partial-aggregated groupBy; NULL text hashes like empty text on
+    * both engines (md5 of '' via coalesce). */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizedDedup(
+      t(s, dir, "documents").withColumn("text", coalesce(col("text"), lit(""))),
+      "doc_id", "text")
+
+  private val q81Sql = {
+    val norm =
+      """trim(regexp_replace(regexp_replace(
+        |    translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |      'abcdefghijklmnopqrstuvwxyz'),
+        |    '[^\pL\pN ]', '', 'g'), '\s+', ' ', 'g'))""".stripMargin
+    s"""WITH n AS (
+       |  SELECT doc_id, ${md5LongSql(norm)} AS norm_hash,
+       |    CAST(length($norm) AS BIGINT) AS norm_len
+       |  FROM documents),
+       |c AS (SELECT norm_hash, min(doc_id) AS canon_id FROM n GROUP BY norm_hash)
+       |SELECT n.doc_id, n.norm_hash, n.norm_len, c.canon_id,
+       |  n.doc_id = c.canon_id AS is_canonical
+       |FROM n JOIN c ON c.norm_hash = n.norm_hash""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2906,5 +2935,6 @@ object Queries {
     "q77_bm25" -> Q(q77, Some(q77Sql)),
     "q78_event_anomaly" -> Q(q78, Some(q78Sql)),
     "q79_salted_join" -> Q(q79, Some(q79Sql)),
-    "q80_quality_percentile" -> Q(q80, Some(q80Sql)))
+    "q80_quality_percentile" -> Q(q80, Some(q80Sql)),
+    "q81_normalized_dedup" -> Q(q81, Some(q81Sql)))
 }

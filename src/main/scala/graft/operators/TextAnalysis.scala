@@ -149,6 +149,35 @@ object TextAnalysis {
         :+ qualityScoreCol.as("quality_score"): _*)
   }
 
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
+  /** CCNet-style text canonicalization as pure codegen'd built-ins:
+    * ASCII case-fold (translate, not lower() — engines disagree on
+    * Unicode edge-case lowering, translate is deterministic by
+    * construction), strip everything but letters/digits/spaces
+    * (Unicode classes), collapse whitespace runs, trim. The standard
+    * pre-dedup normalization: trivially different copies ("The  cat." /
+    * "the cat") canonicalize to the same string. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      translate(text, AsciiUpper, AsciiLower),
+      "[^\\p{L}\\p{N} ]", ""), "\\s+", " "))
+
+  /** Normalization-aware exact dedup: canonical id = the smallest doc id
+    * sharing the same normalized-text hash. Zero-shuffle normalization +
+    * one hash-keyed partial-aggregated groupBy (only (hash, min_id)
+    * pairs cross the shuffle) joined back by hash. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normed = df.select(col(idCol),
+      md5_long(normalizeText(col(textCol))).as("norm_hash"),
+      length(normalizeText(col(textCol))).cast("long").as("norm_len"))
+    val canon = normed.groupBy("norm_hash").agg(min(col(idCol)).as("canon_id"))
+    normed.join(canon, Seq("norm_hash"))
+      .select(col(idCol), col("norm_hash"), col("norm_len"), col("canon_id"),
+        (col(idCol) === col("canon_id")).as("is_canonical"))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))

@@ -328,6 +328,22 @@ class OperatorSpec extends SparkTestBase {
     assert(plan.contains("Generate"), s"small side must explode per salt:\n$plan")
   }
 
+  test("normalizedDedup canonicalizes case/punctuation/whitespace variants") {
+    val docs = Seq(
+      (1L, "The  cat, sat!"), (2L, "the cat sat"), (3L, "THE CAT   SAT."),
+      (4L, "a different document"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("text", coalesce(col("text"), lit("")))
+    val out = TextAnalysis.normalizedDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("canon_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false), "variant must map to the smallest id")
+    assert(out(3L) == (1L, false))
+    assert(out(4L)._2, "unique doc is its own canonical")
+    assert(out(5L)._2, "empty/NULL text forms its own group")
+  }
+
   test("gopherRules sets one fail bit per violated rule") {
     val good = ("good", (("the a of and that is " * 8) + "words more here").trim)
     val tiny = ("tiny", "the of a")                   // too few tokens -> bit 0
