@@ -70,6 +70,11 @@ object GraftExtensions {
     register("equal_size_boxes", args =>
       EqualSizeBoxes(args(0), doubleArg(args(1), "quantile")))
     register("smooth_boxes", args => SmoothBoxes(args(0)))
+    register("chunk_spans", args =>
+      ChunkSpans(args(0), intArg(args(1), "chunkTokens"), intArg(args(2), "overlap")))
+    register("hist_cdf", args =>
+      HistCdf(args(0), args(1), doubleArg(args(2), "lo"), doubleArg(args(3), "hi"),
+        intArg(args(4), "nBins")))
     buf.toSeq
   }
 

@@ -29,4 +29,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(4) - 0.5) < 1e-12)
     assert(row.getLong(5) >= 0)
   }
+
+  test("chunk_spans and hist_cdf are SQL-callable") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        |  chunk_spans(tokenize('a b c d e'), 3, 1) AS ch,
+        |  hist_cdf(array(1L, 1L, 1L, 1L), 0.5d, 0.0d, 1.0d, 4) AS cdf
+        |""".stripMargin).head
+    val spans = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(spans.map(r => (r.getLong(0), r.getLong(1))) == Seq((0L, 3L), (2L, 5L)))
+    assert(row.getDouble(1) == 0.5) // uniform bins: cdf(midpoint) = 0.5
+  }
 }
