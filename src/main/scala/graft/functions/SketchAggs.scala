@@ -806,8 +806,9 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int, width: Int)
   * 100 TB-correct way to compute per-group embedding centroids: the
   * shuffle carries ONE dim-length Long row per group per partition,
   * where a posexplode + groupBy(group, dim) would shuffle n*dim rows.
-  * Inputs of the wrong length, with null elements, or containing NaN
-  * are skipped whole (malformed-input convention — never a partial add). */
+  * Inputs of the wrong length, with null elements, or containing any
+  * non-finite component (NaN/Infinity would saturate the Long) are
+  * skipped whole (malformed-input convention — never a partial add). */
 case class VecSumQAgg(
     child: Expression,
     dim: Int,
@@ -840,8 +841,8 @@ case class VecSumQAgg(
         var ok = true
         var i = 0
         while (ok && i < dim) {
-          ok = !arr.isNullAt(i) &&
-            !(if (isFloat) arr.getFloat(i).isNaN else arr.getDouble(i).isNaN)
+          ok = !arr.isNullAt(i) && java.lang.Double.isFinite(
+            if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
           i += 1
         }
         if (ok) {

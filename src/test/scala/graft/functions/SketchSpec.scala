@@ -271,12 +271,13 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
-  test("vec_sum_q skips malformed vectors whole (wrong length, null, NaN)") {
+  test("vec_sum_q skips malformed vectors whole (wrong length, null, NaN, Inf)") {
     val rows = Seq(
       ("a", Array(1.0f, 2.0f)),       // good
       ("a", Array(3.0f)),             // wrong length -> skipped
       ("a", null.asInstanceOf[Array[Float]]), // null vector -> skipped
       ("a", Array(Float.NaN, 1.0f)),  // NaN component -> whole vector skipped
+      ("a", Array(Float.PositiveInfinity, 1.0f)), // Inf would saturate -> skipped
       ("a", Array(0.5f, -0.5f)))      // good
     val got = rows.toDF("g", "v")
       .groupBy("g").agg(vec_sum_q(col("v"), 2).as("s"))
