@@ -2851,6 +2851,18 @@ object Queries {
        |FROM n JOIN c ON c.norm_hash = n.norm_hash""".stripMargin
   }
 
+  /** Hashing-trick document vectors (TextAnalysis.hashingVectorizer):
+    * 64-bucket term-count features with no vocabulary pass — sparse
+    * (doc_id, dim, cnt) rows from one explode + one partial-aggregated
+    * groupBy. The model-free featurization that feeds the ANN stack. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashingVectorizer(t(s, dir, "documents"), "doc_id", "text", 64)
+
+  private val q82Sql =
+    s"""SELECT doc_id, ${md5LongSql("tok")} % 64 AS dim, count(*) AS cnt
+       |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2936,5 +2948,6 @@ object Queries {
     "q78_event_anomaly" -> Q(q78, Some(q78Sql)),
     "q79_salted_join" -> Q(q79, Some(q79Sql)),
     "q80_quality_percentile" -> Q(q80, Some(q80Sql)),
-    "q81_normalized_dedup" -> Q(q81, Some(q81Sql)))
+    "q81_normalized_dedup" -> Q(q81, Some(q81Sql)),
+    "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)))
 }

@@ -178,6 +178,22 @@ object TextAnalysis {
         (col(idCol) === col("canon_id")).as("is_canonical"))
   }
 
+  /** Hashing-trick document vectorizer (the model-free featurization
+    * primitive): each token hashes into one of `dim` buckets, per-doc
+    * bucket counts form a sparse term-count vector — no vocabulary to
+    * build or broadcast, deterministic across engines/runs, and the
+    * output feeds the LSH/IVF ANN stack without any trained embedding.
+    * Emitted sparse ((id, dim, cnt) rows, zero-count buckets absent);
+    * one explode + one partial-aggregated groupBy. */
+  def hashingVectorizer(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 24), s"hashingVectorizer dim out of range: $dim")
+    df.select(col(idCol), explode(ws_tokens(col(textCol))).as("__t"))
+      .select(col(idCol), pmod(md5_long(col("__t")), lit(dim.toLong)).as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))
