@@ -2863,6 +2863,45 @@ object Queries {
        |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Sketch-based corpus-overlap estimation: |A ∩ B| ≈ |A| + |B| - |A ∪ B|
+    * from three HLL sketches built in ONE scan (each doc's text feeds its
+    * own source's sketch AND the union sketch via a 2-element explode).
+    * At 100 TB this answers "how much do two corpora share" with zero
+    * joins — three 2^p-byte buffers cross the shuffle, nothing else. The
+    * sketches are bit-reproducible (q52's machinery), so even the
+    * estimator's inclusion-exclusion arithmetic replays exactly; the
+    * overlap is emitted UNROUNDED because its inputs are already
+    * identical doubles on both engines. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val tagged = t(s, dir, "documents")
+      .where(col("source").isin("src0", "src1") && col("text").isNotNull)
+      .select(explode(
+        when(col("source") === "src0", array(lit("a"), lit("u")))
+          .otherwise(array(lit("b"), lit("u")))).as("g"),
+        col("text"))
+    tagged.groupBy("g")
+      .agg(round(hll_distinct(col("text"), 10), 6).as("est"))
+      .agg(max(when(col("g") === "a", col("est"))).as("est_a"),
+        max(when(col("g") === "b", col("est"))).as("est_b"),
+        max(when(col("g") === "u", col("est"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+  }
+
+  private val q83Sql = {
+    val src =
+      """(SELECT t.g AS g, text AS v FROM documents,
+        |  unnest(CASE WHEN source = 'src0' THEN ['a', 'u'] ELSE ['b', 'u'] END) AS t(g)
+        |  WHERE source IN ('src0', 'src1') AND text IS NOT NULL)""".stripMargin
+    s"""SELECT
+       |  max(CASE WHEN g = 'a' THEN est END) AS est_a,
+       |  max(CASE WHEN g = 'b' THEN est END) AS est_b,
+       |  max(CASE WHEN g = 'u' THEN est END) AS est_union,
+       |  max(CASE WHEN g = 'a' THEN est END) + max(CASE WHEN g = 'b' THEN est END)
+       |    - max(CASE WHEN g = 'u' THEN est END) AS est_overlap
+       |FROM (${hllSql(src, 10)})""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2949,5 +2988,6 @@ object Queries {
     "q79_salted_join" -> Q(q79, Some(q79Sql)),
     "q80_quality_percentile" -> Q(q80, Some(q80Sql)),
     "q81_normalized_dedup" -> Q(q81, Some(q81Sql)),
-    "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)))
+    "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)),
+    "q83_corpus_overlap" -> Q(q83, Some(q83Sql)))
 }
