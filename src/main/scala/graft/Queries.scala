@@ -2902,6 +2902,48 @@ object Queries {
        |FROM (${hllSql(src, 10)})""".stripMargin
   }
 
+  /** One-scan table profiling with sketches (the dataset-card / data-
+    * quality primitive): per profiled column, null count, total length
+    * and an HLL distinct estimate — ALL columns in ONE aggregation pass,
+    * each distinct count a 1 KB mergeable buffer instead of a
+    * per-column distinct shuffle. At 100 TB profiling costs exactly one
+    * scan regardless of how many columns ride along. Long-format output
+    * via a post-aggregate explode (aggregate outputs are attributes —
+    * nothing recomputes). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("text", "lang", "source")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      round(hll_distinct(col(c), 10), 6).as(s"nd_$c"),
+      sum(coalesce(length(col(c)).cast("long"), lit(0L))).as(s"len_$c")))
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("est_distinct"), col(s"len_$c").as("total_len"))): _*))
+        .as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+        col("p.est_distinct"), col("p.total_len"))
+  }
+
+  private val q84Sql = {
+    val cols = Seq("text", "lang", "source")
+    val prof = cols.map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(coalesce(length($c), 0)) AS BIGINT) AS total_len
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+    val hllSrc = cols.map(c =>
+      s"SELECT '$c' AS g, $c AS v FROM documents WHERE $c IS NOT NULL")
+      .mkString("(", " UNION ALL ", ")")
+    s"""WITH prof AS (
+       |$prof),
+       |e AS (${hllSql(hllSrc, 10)})
+       |SELECT p.column_name, p.n_rows, p.n_null, e.est AS est_distinct,
+       |  p.total_len
+       |FROM prof p JOIN e ON e.g = p.column_name""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2989,5 +3031,6 @@ object Queries {
     "q80_quality_percentile" -> Q(q80, Some(q80Sql)),
     "q81_normalized_dedup" -> Q(q81, Some(q81Sql)),
     "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)),
-    "q83_corpus_overlap" -> Q(q83, Some(q83Sql)))
+    "q83_corpus_overlap" -> Q(q83, Some(q83Sql)),
+    "q84_table_profile" -> Q(q84, Some(q84Sql)))
 }
