@@ -30,13 +30,19 @@ object Bench {
     // reports -1 so breakage is visible instead of masquerading as speed.
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to 3; (name, fn) <- named) {
+    // per-sweep totals ride along in the artifact so a machine stall
+    // (one sweep far above the others) is distinguishable from a plan
+    // regression (all sweeps up together) without any local rerun
+    val sweepTotals = Array.fill(3)(0.0)
+    for (sweep <- 0 until 3; (name, fn) <- named) {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every column (count() would
       // let Spark prune the scan down to row counts).
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt :: times(name)
+        sweepTotals(sweep) += dt
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name: $e")
       }
@@ -50,14 +56,19 @@ object Bench {
     // "parsed" came back null. Emit qNN keys (the names every report
     // uses anyway) and 3-decimal times: ~1.1 KB for 74 queries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // two query names sharing a qNN prefix would silently emit duplicate
+    // JSON keys and lose a timing — fail loudly instead
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "duplicate qNN bench key prefix")
     val qs = results.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sweepsJson = sweepTotals.map(r3).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sweeps":$sweepsJson,"sf":"$sfDir"}"""
     // print LAST, after stop(): shutdown log lines after the JSON would
     // push it out of the driver's tail capture
     spark.sparkContext.setLogLevel("ERROR")

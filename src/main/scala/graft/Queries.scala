@@ -2350,10 +2350,17 @@ object Queries {
     * one ulp). */
   private def q71(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
+    // n_vecs counts exactly the rows vec_sum_q accepted (non-null,
+    // dim-length, all-finite) so the mean's numerator and denominator
+    // can never diverge if malformed vectors appear
+    val accepted = col("embedding").isNotNull &&
+      size(col("embedding")) === dim &&
+      forall(col("embedding"), x =>
+        x.isNotNull && !isnan(x) && abs(x) < lit(Float.PositiveInfinity))
     t(s, dir, "embeddings")
       .groupBy(col("label").cast("long").as("label"))
       .agg(vec_sum_q(col("embedding"), dim).as("sq"),
-        count(lit(1)).as("n_vecs"))
+        sum(when(accepted, 1L).otherwise(0L)).as("n_vecs"))
       .select(col("label"), col("n_vecs"), posexplode(col("sq")))
       .select(col("label"), col("n_vecs"),
         (col("pos") + 1).cast("long").as("dim"),

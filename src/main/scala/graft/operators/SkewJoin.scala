@@ -31,7 +31,10 @@ object SkewJoin {
                  bigKey: Column, smallKey: Column,
                  salt: Column, nSalts: Int): DataFrame = {
     require(nSalts >= 1 && nSalts <= (1 << 16), s"nSalts out of range: $nSalts")
-    val b = big.withColumn("__salt", pmod(salt, lit(nSalts.toLong)).cast("int"))
+    // a NULL salt must still route the row somewhere (bucket 0), not
+    // silently fail the __salt equi-conjunct and drop a matching row
+    val b = big.withColumn("__salt",
+      coalesce(pmod(salt, lit(nSalts.toLong)), lit(0L)).cast("int"))
     val sm = small.withColumn("__salt_s",
       explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(sm, bigKey === smallKey && col("__salt") === col("__salt_s"))

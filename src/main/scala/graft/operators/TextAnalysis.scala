@@ -229,8 +229,11 @@ object TextAnalysis {
     * 5 = stopwords); `keep = 1` iff no rule failed. One projection of
     * pure column expressions over the staged token/line arrays — zero
     * shuffle, embarrassingly parallel, the standard pre-training
-    * rule-filter pass. NULL text fails the NULL-comparing rules (the
-    * CASE/otherwise branch), identically in Spark and the SQL oracle. */
+    * rule-filter pass. NULL text: the count features (n_tokens, nline,
+    * n_stop_distinct) are NULL (matching SQL `len(NULL)`, not Spark's
+    * legacy `size(NULL) = -1`), the ratio features fall to their 0.0
+    * default, and every NULL-comparing rule fails — identically in
+    * Spark and the SQL oracle. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Int = 30, maxTokens: Int = 100000): DataFrame = {
     val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
@@ -238,8 +241,8 @@ object TextAnalysis {
       .select(col(idCol), col(textCol).as("text"),
         ws_tokens(col(textCol)).as("toks"),
         split(col(textCol), "\n").as("lines"))
-      .withColumn("ntok", size(col("toks")))
-      .withColumn("nline", size(col("lines")))
+      .withColumn("ntok", when(col("text").isNotNull, size(col("toks"))))
+      .withColumn("nline", when(col("text").isNotNull, size(col("lines"))))
       .withColumn("mean_tok_len",
         when(col("ntok") > 0,
           aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double")
@@ -258,7 +261,8 @@ object TextAnalysis {
           size(filter(col("lines"), l => rtrim(l).endsWith("...")))
             .cast("double") / col("nline")).otherwise(lit(0.0)))
       .withColumn("n_stop_distinct",
-        size(array_distinct(filter(col("toks"), t => array_contains(allStops, t)))))
+        when(col("text").isNotNull,
+          size(array_distinct(filter(col("toks"), t => array_contains(allStops, t))))))
     val mask =
       when(col("ntok") >= minTokens && col("ntok") <= maxTokens, lit(0L)).otherwise(lit(1L)) +
         when(col("mean_tok_len") >= 2 && col("mean_tok_len") <= 12, lit(0L)).otherwise(lit(2L)) +
