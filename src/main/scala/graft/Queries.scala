@@ -2951,6 +2951,115 @@ object Queries {
        |FROM prof p JOIN e ON e.g = p.column_name""".stripMargin
   }
 
+  /** Content-based image near-dup dedup via dHash perceptual fingerprints
+    * (Dedup.dhashPairs + connectedComponents): the multimodal analogue of
+    * q19/q20 — recompressed/re-noised frame copies land within a few
+    * fingerprint bits while their byte hashes differ. Fixture: 16x18
+    * integer gray matrices derived deterministically from the part table,
+    * four images per base scene plus per-image +/-1 pixel noise, so true
+    * near-dup groups exist with known structure. Candidate pairs come
+    * from the banded-Hamming equi-join (never all-pairs) with 16-bit
+    * bands — the at-scale configuration: 8-bit buckets measured 36 s at
+    * 20k images (quadratic bucket blowup, ~6M random-collision pairs)
+    * where 16-bit buckets keep collisions proportional; the +/-1 noise
+    * keeps true pairs within the 4-band guaranteed-recall radius.
+    * Survivors are labelled by connected components. The oracle replays
+    * pixel generation, 2x2 block means (integer-valued pixels ->
+    * order-exact double sums), the byte-band folds, the 16-bit band
+    * packing, bit_count(xor) Hamming, and the transitive closure, cell
+    * by cell. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val (h, w) = (16, 18)
+    // spread rows BEFORE the per-row matrix synthesis: the part scan is
+    // one tiny parquet split, and without the exchange all the pixel
+    // hashing runs on one core (measured: flat 17 s at 4 and at 32
+    // cores). Explicit numPartitions so AQE doesn't coalesce the small
+    // shuffle back to one partition — the compute after it is heavy
+    // even though the bytes are tiny (the image-decode stage shape).
+    val imgs = t(s, dir, "part").select(col("p_partkey").as("img_id"),
+      (col("p_partkey") - pmod(col("p_partkey"), lit(4L))).as("base"))
+      .repartition(64, col("img_id"))
+    val mat = transform(sequence(lit(0), lit(h - 1)), i =>
+      transform(sequence(lit(0), lit(w - 1)), j =>
+        (pmod(md5_long(concat(lit("px"), col("base").cast("string"), lit("_"),
+          i.cast("string"), lit("_"), j.cast("string"))), lit(256L)) +
+          pmod(md5_long(concat(lit("nz"), col("img_id").cast("string"), lit("_"),
+            i.cast("string"), lit("_"), j.cast("string"))), lit(3L)) - lit(1L)
+          ).cast("double")))
+    val withMat = imgs.withColumn("matrix", mat)
+    val pairs = Dedup.dhashPairs(withMat, "img_id", "matrix", maxHamming = 6,
+      bandBytes = 2)
+      .localCheckpoint() // three consumers below; derive the pairs once
+    val nb = pairs.select(col("id_a").as("img_id"), col("hamming"))
+      .union(pairs.select(col("id_b").as("img_id"), col("hamming")))
+      .groupBy("img_id")
+      .agg(count(lit(1)).as("n_dup_neighbors"), min("hamming").as("min_hamming"))
+    Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        imgs.select(col("img_id")))
+      .select(col("id").as("img_id"), col("cluster_id"))
+      .join(nb, Seq("img_id"), "left")
+      .select(col("img_id"), col("cluster_id"),
+        (col("img_id") === col("cluster_id")).as("is_canonical"),
+        coalesce(col("n_dup_neighbors"), lit(0L)).as("n_dup_neighbors"),
+        col("min_hamming"))
+  }
+
+  private val q85Sql = {
+    val pxBase = md5LongSql("'px' || base || '_' || i || '_' || j")
+    val pxNoise = md5LongSql("'nz' || img || '_' || i || '_' || j")
+    s"""WITH RECURSIVE imgs AS (
+       |  SELECT p_partkey AS img, p_partkey - p_partkey % 4 AS base FROM part),
+       |px AS (
+       |  SELECT img, i, j, $pxBase % 256 + $pxNoise % 3 - 1 AS p
+       |  FROM imgs, range(16) t(i), range(18) u(j)),
+       |bm AS (
+       |  SELECT img, (i * 8) // 16 AS r, (j * 9) // 18 AS c,
+       |    CAST(sum(p) AS DOUBLE) / count(*) AS m
+       |  FROM px GROUP BY 1, 2, 3),
+       |bands AS (
+       |  SELECT a.img, a.r AS band,
+       |    CAST(sum(CASE WHEN a.m > b.m THEN 1 << CAST(7 - a.c AS INT)
+       |             ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM bm a JOIN bm b ON b.img = a.img AND b.r = a.r AND b.c = a.c + 1
+       |  GROUP BY 1, 2),
+       |b16 AS (
+       |  SELECT img, band // 2 AS band,
+       |    CAST(sum(CASE WHEN band % 2 = 0 THEN band_val * 256
+       |             ELSE band_val END) AS BIGINT) AS band_val
+       |  FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.img AS id_a, r.img AS id_b
+       |  FROM b16 l JOIN b16 r
+       |    ON r.band = l.band AND r.band_val = l.band_val AND l.img < r.img),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+       |    FROM cand c
+       |    JOIN bands a ON a.img = c.id_a
+       |    JOIN bands b ON b.img = c.id_b AND b.band = a.band
+       |    GROUP BY 1, 2)
+       |  WHERE hamming <= 6),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT img AS id, img AS lbl FROM imgs
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |nb AS (
+       |  SELECT img_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+       |    min(hamming) AS min_hamming
+       |  FROM (SELECT id_a AS img_id, hamming FROM pairs
+       |        UNION ALL SELECT id_b, hamming FROM pairs)
+       |  GROUP BY 1)
+       |SELECT cc.id AS img_id, cc.cluster_id, cc.id = cc.cluster_id AS is_canonical,
+       |  CAST(coalesce(nb.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
+       |  nb.min_hamming
+       |FROM cc LEFT JOIN nb ON nb.img_id = cc.id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3039,5 +3148,6 @@ object Queries {
     "q81_normalized_dedup" -> Q(q81, Some(q81Sql)),
     "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)),
     "q83_corpus_overlap" -> Q(q83, Some(q83Sql)),
-    "q84_table_profile" -> Q(q84, Some(q84Sql)))
+    "q84_table_profile" -> Q(q84, Some(q84Sql)),
+    "q85_phash_dedup" -> Q(q85, Some(q85Sql)))
 }

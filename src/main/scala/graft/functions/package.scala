@@ -294,6 +294,11 @@ package object functions {
   def md5_long(s: Column): Column =
     ExprBridge.column(Md5Long(col2expr(s)))
 
+  /** dHash perceptual fingerprint of a gray matrix as eight byte-band
+    * values, ready for the banded-Hamming LSH join (see [[DHashBands]]). */
+  def dhash_bands(matrix: Column): Column =
+    ExprBridge.column(DHashBands(col2expr(matrix)))
+
   /** MinHash base hash: md5_long reduced mod the Mersenne prime 2^31-1. */
   val MinhashPrime = 2147483647L
   def minhash_base(s: Column): Column = pmod(md5_long(s), lit(MinhashPrime))

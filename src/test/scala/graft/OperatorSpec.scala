@@ -118,6 +118,34 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("dhashPairs links a noised image copy but not an unrelated image") {
+    // integer-valued 16x18 gray matrices: a base scene, a +/-1-noised
+    // copy (perceptually identical), and an unrelated scene
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    val base = Seq.tabulate(16, 18)((i, j) => px(1, i, j))
+    val noised = Seq.tabulate(16, 18)((i, j) => px(1, i, j) + (i + j) % 3 - 1)
+    val other = Seq.tabulate(16, 18)((i, j) => px(9, i, j))
+    val df = Seq((1L, base), (2L, noised), (3L, other)).toDF("id", "matrix")
+    val pairs = Dedup.dhashPairs(df, "id", "matrix", maxHamming = 6).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("id_a") == 1L && pairs(0).getAs[Long]("id_b") == 2L)
+    assert(pairs(0).getAs[Long]("hamming") <= 6L)
+  }
+
+  test("dhash_bands nulls malformed matrices and is shape-generic") {
+    val ok = Seq.tabulate(32, 36)((i, j) => (i * 7 + j * 13) % 256.0) // 2x scale
+    val ragged = Seq(Seq.fill(18)(1.0), Seq.fill(17)(1.0)) ++
+      Seq.fill(14)(Seq.fill(18)(2.0))
+    val tooSmall = Seq.fill(4)(Seq.fill(18)(1.0))
+    val df = Seq((1L, ok), (2L, ragged), (3L, tooSmall)).toDF("id", "matrix")
+    val out = df.select(col("id"), dhash_bands(col("matrix")).as("b"))
+      .orderBy("id").collect()
+    val bands = out(0).getSeq[Long](1)
+    assert(bands.length == 8 && bands.forall(v => v >= 0 && v <= 255))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("brute-force top-k ranks an identical vector first") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
