@@ -3060,6 +3060,50 @@ object Queries {
        |FROM cc LEFT JOIN nb ON nb.img_id = cc.id""".stripMargin
   }
 
+  /** Exact-substring (position-level) dedup signal
+    * (TextAnalysis.substringDedupSpans): sliding 16-token windows at
+    * stride 8, fingerprinted in one chunk_spans pass; the globally first
+    * (doc_id, start) occurrence owns each fingerprint and later
+    * occurrences count as duplicated spans — dedup BELOW the line
+    * granularity of q55. The oracle replays the window schedule
+    * (including the truncated last window and the dropped trailing
+    * overlap-only starts), the md5 fingerprints, and the
+    * row_number-over-(doc,start) ownership. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substringDedupSpans(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 16, overlap = 8)
+
+  private val q86Sql = {
+    val h = md5LongSql("array_to_string(toks[i * 8 + 1 : i * 8 + 16], ' ')")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+       |spans AS (
+       |  SELECT doc_id, u.start AS start, u.e AS e, u.h AS h FROM (
+       |    SELECT doc_id, n,
+       |      list_transform(
+       |        range(0, CAST(ceil(CAST(coalesce(n, 0) AS DOUBLE) / 8) AS BIGINT)),
+       |        i -> struct_pack(start := i * 8, e := least(i * 8 + 16, n),
+       |               h := $h)) AS ls
+       |    FROM nn), unnest(ls) AS t(u)
+       |  WHERE u.start < n AND (u.start = 0 OR u.start < n - 8)),
+       |marked AS (
+       |  SELECT doc_id, start, e,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+       |  FROM spans),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |    CAST(sum(CASE WHEN rn > 1 THEN e - start ELSE 0 END) AS BIGINT)
+       |      AS dup_span_tokens,
+       |    min(CASE WHEN rn > 1 THEN start END) AS first_dup_start
+       |  FROM marked GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+       |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(a.dup_span_tokens, 0) AS dup_span_tokens,
+       |  a.first_dup_start
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3149,5 +3193,6 @@ object Queries {
     "q82_hashing_vectorizer" -> Q(q82, Some(q82Sql)),
     "q83_corpus_overlap" -> Q(q83, Some(q83Sql)),
     "q84_table_profile" -> Q(q84, Some(q84Sql)),
-    "q85_phash_dedup" -> Q(q85, Some(q85Sql)))
+    "q85_phash_dedup" -> Q(q85, Some(q85Sql)),
+    "q86_substring_dedup" -> Q(q86, Some(q86Sql)))
 }

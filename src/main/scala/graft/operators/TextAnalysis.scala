@@ -388,6 +388,47 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Exact-substring (position-level) dedup signal — the Spark-shaped
+    * approximation of Lee et al. 2022's suffix-array exact-substring
+    * dedup ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1), which removes repeated spans BELOW document
+    * and line granularity. Every sliding `windowTokens`-token window
+    * (stride = windowTokens - overlap) is fingerprinted in ONE pass over
+    * the token array (chunk_spans — a composed slice/hash formulation
+    * would re-run the tokenizer per window under CollapseProject); the
+    * globally first occurrence (minimum (doc_id, start), a decomposable
+    * map-side argmin exactly like [[dedupLines]]) owns each fingerprint,
+    * and every later occurrence marks its span as duplicated text.
+    *
+    * Output per document: `n_spans`, `n_dup_spans`, `dup_span_tokens`
+    * (token positions inside duplicated spans, counted per span — an
+    * upper bound on duplicated text since adjacent windows overlap), and
+    * `first_dup_start` (earliest duplicated token offset, NULL when the
+    * document is clean — where a position-level trimmer would cut).
+    *
+    * Scale posture: the only corpus-sized shuffles key on the 60-bit
+    * span hash (partial-aggregated argmin) and on doc_id (the stats
+    * roll-up); window text never crosses a shuffle. */
+  def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 16, overlap: Int = 8): DataFrame = {
+    val flat = df.select(col(idCol).as("doc_id"),
+        posexplode_outer(chunk_spans(ws_tokens(col(textCol)), windowTokens, overlap))
+          .as(Seq("k", "sp")))
+      .select(col("doc_id"), col("sp.start").as("start"),
+        col("sp.end").as("end"), col("sp.hash").as("h"))
+    val first = flat.where(col("h").isNotNull)
+      .groupBy("h").agg(min(struct(col("doc_id"), col("start"))).as("first"))
+    flat.join(first, Seq("h"), "left")
+      .withColumn("is_dup", col("h").isNotNull &&
+        !(col("doc_id") === col("first.doc_id") && col("start") === col("first.start")))
+      .groupBy("doc_id")
+      .agg(count(col("h")).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("is_dup"), col("end") - col("start")).otherwise(0L))
+          .as("dup_span_tokens"),
+        min(when(col("is_dup"), col("start"))).as("first_dup_start"))
+  }
+
   /** Sharded inverted index: token -> sorted posting list of the doc ids
     * containing it. `nShards` splits each token's postings by doc-id
     * hash, so no single output row can exceed ~|corpus|/nShards ids —

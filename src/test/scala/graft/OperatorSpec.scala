@@ -118,6 +118,26 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("substringDedupSpans charges later occurrences, keeps the first") {
+    // doc 1 owns the repeated 16-token run; doc 2 repeats it verbatim at
+    // offset 0; doc 3 shares no window
+    val run = (1 to 16).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, run + " " + (1 to 8).map(i => s"t$i").mkString(" ")),
+      (2L, run),
+      (3L, (1 to 24).map(i => s"u$i").mkString(" ")),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedupSpans(df, "doc_id", "text", 16, 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_dup_spans") == 0L) // doc 1 is first everywhere
+    assert(out(1).getAs[Long]("n_dup_spans") == 1L) // doc 2's window 0 is owned by doc 1
+    assert(out(1).getAs[Long]("first_dup_start") == 0L)
+    assert(out(1).getAs[Long]("dup_span_tokens") == 16L)
+    assert(out(2).getAs[Long]("n_spans") > 0 && out(2).getAs[Long]("n_dup_spans") == 0L)
+    assert(out(3).getAs[Long]("n_spans") == 0L && out(3).isNullAt(
+      out(3).fieldIndex("first_dup_start")))
+  }
+
   test("dhashPairs links a noised image copy but not an unrelated image") {
     // integer-valued 16x18 gray matrices: a base scene, a +/-1-noised
     // copy (perceptually identical), and an unrelated scene
