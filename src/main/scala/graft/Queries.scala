@@ -3104,6 +3104,83 @@ object Queries {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
   }
 
+  /** URL canonicalization + domain curation (TextAnalysis.urlCurate):
+    * deterministic messy fixture URLs (mixed-case scheme/host, optional
+    * www., default port, tracking params, fragments, trailing slashes)
+    * synthesized from doc_id/source; the canonicalizer must collapse the
+    * cosmetic variation so URL-level dedup groups form and the domain
+    * blocklist fires. Both engines run the same regex/string op
+    * sequence, so every canonical URL, domain, and keep bit replays. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val m = (k: Int) => pmod(col("doc_id"), lit(k))
+    val url = concat(
+      element_at(array(lit("http://"), lit("https://"), lit("HTTPS://")),
+        (m(3) + 1).cast("int")),
+      when(m(2) === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example"), m(5).cast("string"), lit(".COM"),
+      when(m(5) === 0, lit(":443")).otherwise(lit("")),
+      lit("/Articles/"), m(5).cast("string"),
+      when(m(4) === 0, lit("/")).otherwise(lit("")),
+      when(m(3) === 0, concat(lit("?utm_source=feed&id="), m(5).cast("string")))
+        .when(m(3) === 1, concat(lit("?id="), m(5).cast("string")))
+        .otherwise(lit("")),
+      when(m(6) === 0, lit("#s2")).otherwise(lit("")))
+    val withUrl = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("url", url)
+    TextAnalysis.urlCurate(withUrl, "doc_id", "url",
+      Seq("example0.com", "example3.com"))
+  }
+
+  private val q87Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'
+      |      ELSE 'HTTPS://' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+      |    || source || '.Example' || (doc_id % 5) || '.COM'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/Articles/' || (doc_id % 5)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE doc_id % 3
+      |        WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 5)
+      |        WHEN 1 THEN '?id=' || (doc_id % 5) ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#s2' ELSE '' END) AS url
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '(?i)^https?://', ''), '#.*$', '') AS u
+      |  FROM d),
+      |s2 AS (SELECT doc_id, u, lower(regexp_extract(u, '^[^/?]*')) AS hostport FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, substr(u, length(hostport) + 1) AS rest,
+      |    regexp_replace(regexp_replace(hostport, '^www\.', ''), ':(80|443)$', '') AS host
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT doc_id, host,
+      |    regexp_replace(split_part(rest, '?', 1), '/+$', '') AS path,
+      |    CASE WHEN strpos(rest, '?') > 0 THEN substr(rest, strpos(rest, '?') + 1)
+      |         ELSE '' END AS q
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT doc_id, host, path,
+      |    array_to_string(list_filter(string_split(q, '&'),
+      |      p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')),
+      |      '&') AS cleanq
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT doc_id,
+      |    host || path
+      |      || (CASE WHEN cleanq != '' THEN '?' || cleanq ELSE '' END) AS canon_url,
+      |    regexp_extract(host, '[^.]+\.[^.]+$') AS domain
+      |  FROM s5),
+      |c AS (SELECT canon_url, min(doc_id) AS canon_doc FROM s6 GROUP BY canon_url)
+      |SELECT s6.doc_id, s6.canon_url, s6.domain,
+      |  s6.doc_id = c.canon_doc AS is_canonical,
+      |  s6.domain IN ('example0.com', 'example3.com') AS blocked,
+      |  s6.doc_id = c.canon_doc
+      |    AND s6.domain NOT IN ('example0.com', 'example3.com') AS kept
+      |FROM s6 JOIN c ON c.canon_url = s6.canon_url""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3194,5 +3271,6 @@ object Queries {
     "q83_corpus_overlap" -> Q(q83, Some(q83Sql)),
     "q84_table_profile" -> Q(q84, Some(q84Sql)),
     "q85_phash_dedup" -> Q(q85, Some(q85Sql)),
-    "q86_substring_dedup" -> Q(q86, Some(q86Sql)))
+    "q86_substring_dedup" -> Q(q86, Some(q86Sql)),
+    "q87_url_curation" -> Q(q87, Some(q87Sql)))
 }

@@ -388,6 +388,54 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** URL canonicalization + domain-level curation — the C4/RefinedWeb
+    * front-door pass (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.1):
+    * web-crawl corpora dedup and filter BY URL before any text is
+    * touched. Canonicalization: strip scheme and fragment, lowercase the
+    * host, drop a leading `www.` and a default `:80`/`:443` port, drop
+    * tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`), trim
+    * trailing slashes. The registrable domain (last two host labels —
+    * a public-suffix-list lookup in production) drives blocklist
+    * filtering; the canonical URL drives exact URL dedup (first doc_id
+    * per canonical URL survives, q81's groupBy-min shape).
+    *
+    * Everything is codegen'd string built-ins over one projection —
+    * zero shuffle except the canon_url groupBy. `blockedDomains` is an
+    * IN-list here; a production-sized blocklist becomes a broadcast
+    * semi-join or the q54 Bloom probe.
+    *
+    * Output: (doc_id, canon_url, domain, is_canonical, blocked,
+    * kept = is_canonical AND NOT blocked). */
+  def urlCurate(df: DataFrame, idCol: String, urlCol: String,
+                blockedDomains: Seq[String]): DataFrame = {
+    val staged = df
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(regexp_replace(col(urlCol), "(?i)^https?://", ""),
+          "#.*$", "").as("u"))
+      .withColumn("hostport", lower(regexp_extract(col("u"), "^[^/?]*", 0)))
+      .withColumn("rest", expr("substring(u, length(hostport) + 1)"))
+      .withColumn("host", regexp_replace(
+        regexp_replace(col("hostport"), "^www\\.", ""), ":(80|443)$", ""))
+      .withColumn("path",
+        regexp_replace(substring_index(col("rest"), "?", 1), "/+$", ""))
+      .withColumn("q", when(instr(col("rest"), "?") > 0,
+        expr("substring(rest, instr(rest, '?') + 1)")).otherwise(lit("")))
+      .withColumn("cleanq", array_join(filter(split(col("q"), "&"),
+        p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")), "&"))
+      .withColumn("canon_url", concat(col("host"), col("path"),
+        when(col("cleanq") =!= "", concat(lit("?"), col("cleanq")))
+          .otherwise(lit(""))))
+      .withColumn("domain", regexp_extract(col("host"), "[^.]+\\.[^.]+$", 0))
+    val canon = staged.groupBy("canon_url")
+      .agg(min(col("doc_id")).as("canon_doc"))
+    staged.join(canon, Seq("canon_url"))
+      .withColumn("is_canonical", col("doc_id") === col("canon_doc"))
+      .withColumn("blocked", col("domain").isin(blockedDomains: _*))
+      .select(col("doc_id"), col("canon_url"), col("domain"),
+        col("is_canonical"), col("blocked"),
+        (col("is_canonical") && !col("blocked")).as("kept"))
+  }
+
   /** Exact-substring (position-level) dedup signal — the Spark-shaped
     * approximation of Lee et al. 2022's suffix-array exact-substring
     * dedup ("Deduplicating Training Data Makes Language Models Better",

@@ -118,6 +118,24 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
+    val df = Seq(
+      (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),
+      (2L, "http://news.example.com/a/b?id=7&fbclid=zzz"),
+      (3L, "https://news.example.com/a/b?id=8"),
+      (4L, "http://Evil.Bad.org/x")).toDF("id", "url")
+    val out = TextAnalysis.urlCurate(df, "id", "url", Seq("bad.org"))
+      .orderBy("doc_id").collect()
+    // 1 and 2 canonicalize identically; 1 wins as the lower id
+    assert(out(0).getAs[String]("canon_url") == "news.example.com/a/b?id=7")
+    assert(out(0).getAs[String]("canon_url") == out(1).getAs[String]("canon_url"))
+    assert(out(0).getAs[Boolean]("is_canonical") && !out(1).getAs[Boolean]("is_canonical"))
+    assert(out(2).getAs[Boolean]("kept")) // different query -> different URL
+    assert(out(0).getAs[String]("domain") == "example.com")
+    assert(out(3).getAs[Boolean]("blocked") && !out(3).getAs[Boolean]("kept"))
+    assert(out(3).getAs[String]("domain") == "bad.org")
+  }
+
   test("substringDedupSpans charges later occurrences, keeps the first") {
     // doc 1 owns the repeated 16-token run; doc 2 repeats it verbatim at
     // offset 0; doc 3 shares no window
