@@ -3181,6 +3181,65 @@ object Queries {
       |    AND s6.domain NOT IN ('example0.com', 'example3.com') AS kept
       |FROM s6 JOIN c ON c.canon_url = s6.canon_url""".stripMargin
 
+  /** Multi-eval-set decontamination (Sketches.multiBloomDecontaminate):
+    * q69 generalized from one held-out set to three, with ONE training
+    * scan probing three plan-literal Blooms — per-doc per-set overlap
+    * counts, the eval-hygiene pass of a real pretraining build. The
+    * oracle is literally three q69 replays (one Bloom bit-set per eval
+    * source, shared training shingle-position CTE) UNION ALLed — proving
+    * the one-scan form equals K separate runs, false positives
+    * included. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val (m, k) = (16384, 4)
+    val sets = Seq("src0", "src1", "src2")
+    val sh = Dedup.shingleSets(t(s, dir, "documents"), "doc_id", "text", 3,
+        extraCols = Seq("source"))
+      .withColumn("shingles", coalesce(col("shingles"), array().cast("array<string>")))
+    val heldOut = sh.where(col("source").isin(sets: _*))
+      .select(col("source").as("set_name"), col("shingles"))
+    val train = sh.where(!col("source").isin(sets: _*))
+      .select(col("doc_id"), col("shingles"))
+    Sketches.multiBloomDecontaminate(heldOut, train, m, k)
+  }
+
+  private val q88Sql = {
+    val (m, k) = (16384, 4)
+    val sets = Seq("src0", "src1", "src2")
+    def pos(h: String, i: String) = sketchPosSql(h, i, m)
+    val setsList = sets.map(s => s"'$s'").mkString(", ")
+    val bitsCtes = sets.map(s =>
+      s"""bits_$s AS (
+         |  SELECT DISTINCT ${pos("eh.h", "t.i")} AS b
+         |  FROM (SELECT ${md5LongSql("u.s")} AS h
+         |        FROM (SELECT unnest(shingles) AS s FROM sh WHERE source = '$s') u) eh
+         |  CROSS JOIN range(0, $k) t(i))""".stripMargin).mkString(",\n")
+    val perSet = sets.map(s =>
+      s"""SELECT t.doc_id, '$s' AS eval_set,
+         |  CAST(coalesce(len(t.shingles), 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id, shingles FROM sh WHERE source NOT IN ($setsList)) t
+         |LEFT JOIN (
+         |  SELECT g.doc_id, count(*) AS n FROM (
+         |    SELECT hp.doc_id, hp.si
+         |    FROM hp JOIN bits_$s ON bits_$s.b = hp.b
+         |    GROUP BY hp.doc_id, hp.si HAVING count(*) = $k) g
+         |  GROUP BY g.doc_id) h ON h.doc_id = t.doc_id""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM tk),
+       |tr AS (
+       |  SELECT doc_id, u.i AS si, u.s AS sg FROM (
+       |    SELECT doc_id, list_transform(range(1, len(shingles) + 1),
+       |      i -> struct_pack(i := i, s := shingles[i])) AS ls
+       |    FROM sh WHERE source NOT IN ($setsList)), unnest(ls) AS t(u)),
+       |hp AS (
+       |  SELECT doc_id, si, ${pos(md5LongSql("sg"), "j.i")} AS b
+       |  FROM tr CROSS JOIN range(0, $k) j(i)),
+       |$bitsCtes
+       |$perSet""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3272,5 +3331,6 @@ object Queries {
     "q84_table_profile" -> Q(q84, Some(q84Sql)),
     "q85_phash_dedup" -> Q(q85, Some(q85Sql)),
     "q86_substring_dedup" -> Q(q86, Some(q86Sql)),
-    "q87_url_curation" -> Q(q87, Some(q87Sql)))
+    "q87_url_curation" -> Q(q87, Some(q87Sql)),
+    "q88_multiset_decontam" -> Q(q88, Some(q88Sql)))
 }

@@ -36,6 +36,53 @@ object Sketches {
       .drop("__bloom")
   }
 
+  /** Multi-eval-set decontamination in ONE training scan — the
+    * eval-hygiene pass a real pretraining build runs (GPT-3 paper
+    * appendix C; Dolma's decontamination stage): every training document
+    * is checked for n-gram overlap against EVERY held-out benchmark at
+    * once, instead of K separate corpus scans.
+    *
+    * `heldOut`: (set_name, shingles array<string>) — one row per
+    * held-out document; `train`: (doc_id, shingles). One grouped scan of
+    * the held-out side builds K Bloom filters; a bounded driver collect
+    * (K x numBits/8 bytes) turns them into PLAN-TIME LITERALS — the q75
+    * lesson: a crossJoin column would copy every filter's bytes into
+    * every probe row, while a literal rides inside the codegen'd
+    * predicate. The training side then explodes ONCE into a per-doc
+    * aggregate with one conditional-sum column per set, so K
+    * memberships cost one pass over the shingle stream; a final
+    * post-aggregate explode reshapes wide -> long (aggregate outputs
+    * are real attributes — nothing recomputes).
+    *
+    * Output: (doc_id, eval_set, n_shingles, n_hits, contaminated),
+    * |train| x K rows — identical, set for set, to running the
+    * single-set decontaminator K times (the oracle proves exactly
+    * that). */
+  def multiBloomDecontaminate(heldOut: DataFrame, train: DataFrame,
+                              numBits: Int, numHashes: Int): DataFrame = {
+    val blooms = heldOut
+      .select(col("set_name"), explode(col("shingles")).as("sg"))
+      .groupBy("set_name")
+      .agg(bloom_agg(col("sg"), numBits, numHashes).as("f"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .sortBy(_._1)
+    require(blooms.nonEmpty, "multiBloomDecontaminate needs >= 1 held-out set")
+    val hitCols = blooms.map { case (name, bytes) =>
+      sum(when(bloom_contains(lit(bytes), col("sg"), numBits, numHashes), 1L)
+        .otherwise(0L)).as(s"__h_$name")
+    }
+    train.select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
+      .groupBy("doc_id")
+      .agg(count(col("sg")).as("n_shingles"), hitCols.toSeq: _*)
+      .select(col("doc_id"), col("n_shingles"),
+        explode(array(blooms.map { case (name, _) =>
+          struct(lit(name).as("eval_set"), col(s"__h_$name").as("n_hits"))
+        }.toSeq: _*)).as("e"))
+      .select(col("doc_id"), col("e.eval_set").as("eval_set"),
+        col("n_shingles"), col("e.n_hits").as("n_hits"),
+        (col("e.n_hits") > 0).as("contaminated"))
+  }
+
   /** Count-min frequency estimates for `probes` (a one-column DataFrame of
     * string keys) against the value distribution of `values`: one scan of
     * `values` building a single depth x width counter row, broadcast to

@@ -118,6 +118,31 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("multiBloomDecontaminate matches per-set single-run decontamination") {
+    val heldOut = Seq(
+      ("evalA", Seq("alpha beta gamma", "beta gamma delta")),
+      ("evalB", Seq("omega psi chi"))).toDF("set_name", "shingles")
+    val train = Seq(
+      (1L, Seq("alpha beta gamma", "unrelated one two")), // hits A only
+      (2L, Seq("omega psi chi")),                         // hits B only
+      (3L, Seq("nothing shared here")),
+      (4L, Seq.empty[String])).toDF("doc_id", "shingles")
+    val out = Sketches.multiBloomDecontaminate(heldOut, train, 16384, 4)
+      .orderBy("doc_id", "eval_set").collect()
+    assert(out.length == 8)
+    def row(d: Long, s: String) = out.find(r =>
+      r.getAs[Long]("doc_id") == d && r.getAs[String]("eval_set") == s).get
+    assert(row(1L, "evalA").getAs[Long]("n_hits") == 1L &&
+      row(1L, "evalA").getAs[Boolean]("contaminated"))
+    assert(row(1L, "evalB").getAs[Long]("n_hits") == 0L)
+    assert(row(2L, "evalB").getAs[Boolean]("contaminated") &&
+      row(2L, "evalA").getAs[Long]("n_hits") == 0L)
+    assert(!row(3L, "evalA").getAs[Boolean]("contaminated") &&
+      !row(3L, "evalB").getAs[Boolean]("contaminated"))
+    assert(row(4L, "evalA").getAs[Long]("n_shingles") == 0L &&
+      row(4L, "evalA").getAs[Long]("n_hits") == 0L)
+  }
+
   test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
     val df = Seq(
       (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),
