@@ -3240,6 +3240,56 @@ object Queries {
        |$perSet""".stripMargin
   }
 
+  /** Dolma-style cross-document paragraph dedup
+    * (TextAnalysis.dropCrossDocParagraphs): paragraphs (10-token chunks
+    * of the single-line synthetic texts) seen in two or more distinct
+    * docs are dropped from every doc — boilerplate removal, vs q55's
+    * keep-first line dedup. The min!=max cross-doc test, the semi-join
+    * mark and the in-order reassembly all replay in the oracle. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunked = docs
+      .select(col("doc_id"), posexplode(ws_tokens(col("text"))).as(Seq("p", "tok")))
+      .groupBy(col("doc_id"), floor(col("p") / 10).as("lp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x("tok")), " ").as("para"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("lp"), col("para")))),
+        x => x("para")).as("paras"))
+    val withParas = docs.select(col("doc_id")).join(chunked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("paras"), array().cast("array<string>")).as("paras"))
+    TextAnalysis.dropCrossDocParagraphs(withParas, "doc_id", "paras")
+  }
+
+  private val q89Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |paras AS (
+       |  SELECT doc_id, u.p AS pos, u.para FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+       |        i -> struct_pack(p := i,
+       |               para := array_to_string(toks[(i * 10 + 1):(i * 10 + 10)], ' '))) AS ls
+       |    FROM tk), unnest(ls) AS t(u)),
+       |ph AS (SELECT doc_id, pos, para, ${md5LongSql("para")} AS h FROM paras),
+       |dup AS (
+       |  SELECT h FROM (
+       |    SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM ph GROUP BY h)
+       |  WHERE mn != mx),
+       |m AS (
+       |  SELECT ph.doc_id, ph.pos, ph.para, d.h IS NOT NULL AS isdup
+       |  FROM ph LEFT JOIN dup d ON d.h = ph.h),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       |    CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |    string_agg(CASE WHEN NOT isdup THEN para END, chr(10) ORDER BY pos)
+       |      AS kept_text
+       |  FROM m GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_paras, 0) AS n_paras,
+       |  coalesce(a.n_dropped, 0) AS n_dropped,
+       |  coalesce(a.kept_text, '') AS kept_text
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3332,5 +3382,6 @@ object Queries {
     "q85_phash_dedup" -> Q(q85, Some(q85Sql)),
     "q86_substring_dedup" -> Q(q86, Some(q86Sql)),
     "q87_url_curation" -> Q(q87, Some(q87Sql)),
-    "q88_multiset_decontam" -> Q(q88, Some(q88Sql)))
+    "q88_multiset_decontam" -> Q(q88, Some(q88Sql)),
+    "q89_paragraph_dedup" -> Q(q89, Some(q89Sql)))
 }

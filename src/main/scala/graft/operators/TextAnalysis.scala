@@ -436,6 +436,46 @@ object TextAnalysis {
         (col("is_canonical") && !col("blocked")).as("kept"))
   }
 
+  /** Cross-document paragraph dedup (the Dolma rule — Soldaini et al.
+    * 2024, arXiv:2402.00159 §4.1.2: a paragraph that appears in more
+    * than one document is boilerplate and is dropped from EVERY
+    * document, unlike [[dedupLines]] which keeps the first occurrence).
+    *
+    * "Seen in >= 2 distinct docs" needs no distinct-count: per paragraph
+    * hash, min(doc_id) != max(doc_id) — two fully decomposable
+    * aggregates, so the build pass is ONE partial-combined shuffle on
+    * the 60-bit hash (no count-distinct expand), and the filter pass is
+    * a hash semi-join back onto the exploded paragraphs (Dolma itself
+    * uses a Bloom filter here; the q54/q69 machinery swaps in when the
+    * dup-hash set outgrows a join side). Within-doc repeats of a
+    * paragraph survive — only cross-doc boilerplate dies.
+    *
+    * Input: (id, array-of-paragraphs); output one row per input doc:
+    * (doc_id, n_paras, n_dropped, kept_text) with survivors rejoined by
+    * newline in original order. */
+  def dropCrossDocParagraphs(df: DataFrame, idCol: String,
+                             parasCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("doc_id"),
+        posexplode(col(parasCol)).as(Seq("pos", "para")))
+      .withColumn("h", md5_long(col("para")))
+    val dup = paras.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("h"), lit(true).as("__dup"))
+    val packed = paras.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__dup").isNull, struct(col("pos"), col("para"))))),
+          x => x("para")), "\n").as("kept_text"))
+    df.select(col(idCol).as("doc_id")).join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Exact-substring (position-level) dedup signal — the Spark-shaped
     * approximation of Lee et al. 2022's suffix-array exact-substring
     * dedup ("Deduplicating Training Data Makes Language Models Better",

@@ -118,6 +118,24 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
+    val df = Seq(
+      (1L, Seq("shared footer", "unique a")),
+      (2L, Seq("unique b", "shared footer")),
+      (3L, Seq("solo", "solo")), // within-doc repeat: NOT cross-doc, survives
+      (4L, Seq.empty[String])).toDF("id", "paras")
+    val out = TextAnalysis.dropCrossDocParagraphs(df, "id", "paras")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_dropped") == 1L &&
+      out(0).getAs[String]("kept_text") == "unique a")
+    assert(out(1).getAs[Long]("n_dropped") == 1L &&
+      out(1).getAs[String]("kept_text") == "unique b")
+    assert(out(2).getAs[Long]("n_dropped") == 0L &&
+      out(2).getAs[String]("kept_text") == "solo\nsolo")
+    assert(out(3).getAs[Long]("n_paras") == 0L &&
+      out(3).getAs[String]("kept_text") == "")
+  }
+
   test("multiBloomDecontaminate matches per-set single-run decontamination") {
     val heldOut = Seq(
       ("evalA", Seq("alpha beta gamma", "beta gamma delta")),
