@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.{bloom_contains, hist_agg, hist_quantile, hll_distinct, top_k_by, word_shingles, ws_tokens}
+import graft.functions.{bloom_contains, hist_agg, hist_quantile, hll_distinct, md5_long, top_k_by, word_shingles, ws_tokens}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -312,6 +312,37 @@ object Streaming {
           x => bloom_contains(col("f"), x, numBits, numHashes)))
           .cast("long").as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
+
+  /** Continuous-ingest chunking: TextAnalysis.chunkOffsets is a pure
+    * projection + generator (chunk_spans walks each token array once,
+    * posexplode emits the windows), so the SAME operator runs unchanged
+    * on a document stream — no state, no watermark, one chunk-table row
+    * per window per arriving doc. Continuous ingest therefore produces
+    * the exact rows the batch chunker (q76) produces on the same docs. */
+  def streamingChunks(docs: DataFrame, chunkTokens: Int = 16,
+                      overlap: Int = 8): DataFrame =
+    graft.operators.TextAnalysis.chunkOffsets(
+      docs, "doc_id", "text", chunkTokens, overlap)
+
+  /** Continuous-ingest hashing-trick vectorizer. The batch form's
+    * (doc, dim) groupBy would become a STATEFUL streaming aggregate —
+    * unbounded state for a computation that is complete the moment the
+    * document arrives — so here the bucket histogram is computed inside
+    * the row (distinct dims of the token array, each counted within the
+    * array) and exploded: stateless, append-mode, emitting exactly
+    * TextAnalysis.hashingVectorizer's (doc_id, dim, cnt) rows. The token
+    * array is referenced twice inside the single expression tree (2x
+    * tokenize per doc — the price of statelessness, cheap next to any
+    * state store); zero-count buckets stay absent. */
+  def streamingVectorize(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 24), s"streamingVectorize dim out of range: $dim")
+    def dims = transform(ws_tokens(col("text")),
+      t => pmod(md5_long(t), lit(dim.toLong)))
+    docs.select(col("doc_id"), explode(transform(array_distinct(dims),
+        d => struct(d.as("dim"),
+          size(filter(dims, x => x === d)).cast("long").as("cnt")))).as("e"))
+      .select(col("doc_id"), col("e.dim").as("dim"), col("e.cnt").as("cnt"))
+  }
 
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's views in the `rangeMinutes` before it. Both sides carry

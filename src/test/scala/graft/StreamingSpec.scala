@@ -122,6 +122,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming chunker emits exactly the batch chunk table") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 3 windows at 16/8
+      (2L, "short doc"),
+      (3L, null.asInstanceOf[String]))                // no chunks
+    val batch = graft.operators.TextAnalysis.chunkOffsets(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 16, 8)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingChunks(mem.toDF().toDF("doc_id", "text"), 16, 8)
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunks").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.count(_.head == 1L) == 4) // doc 1: starts 0, 8, 16, 24
+    } finally q.stop()
+  }
+
+  test("streaming vectorizer emits exactly the batch hashing-trick rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma alpha"),
+      (2L, "one two three"),
+      (3L, null.asInstanceOf[String]))
+    val batch = graft.operators.TextAnalysis.hashingVectorizer(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 64)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingVectorize(mem.toDF().toDF("doc_id", "text"), 64)
+      .writeStream.format("memory").queryName("vecz").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("vecz").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // per-doc counts must sum to the doc's token count (collision-proof;
+      // toSeq first — summing over the Set would collapse equal counts)
+      assert(streamed.toSeq.filter(_.head == 1L).map(_(2).asInstanceOf[Long]).sum == 5L)
+      assert(streamed.toSeq.filter(_.head == 2L).map(_(2).asInstanceOf[Long]).sum == 3L)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp)]
