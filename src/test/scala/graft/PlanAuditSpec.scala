@@ -182,13 +182,21 @@ class PlanAuditSpec extends SparkTestBase {
     // the fixed counts so a refactor cannot silently reintroduce the
     // blowup: the bound is the number of INTENDED passes per query.
     val tmp = java.nio.file.Files.createTempDirectory("tokaudit").toString
+    // sources rotate src0..src3 so q88's held-out Bloom build (src0-2)
+    // has data; the bounds are plan-shape facts, independent of values
     spark.range(100).select(col("id").as("doc_id"),
         concat(lit("the a of and data in w"), (col("id") % 9).cast("string")).as("text"),
-        lit("en").as("lang"), lit("s").as("source"), lit(1L).as("n_chars"))
+        lit("en").as("lang"),
+        concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+        lit(1L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val bounds = Seq("q67_weighted_sample" -> 2, "q76_token_chunks" -> 1,
       "q77_bm25" -> 2, "q19_minhash_lsh_pairs" -> 4,
-      "q18_minhash_signatures" -> 1, "q21_ngram_jaccard_pairs" -> 2)
+      "q18_minhash_signatures" -> 1, "q21_ngram_jaccard_pairs" -> 2,
+      // q86/q89: tokenize sits under the two consumers of the exploded
+      // frame (argmin build + mark join); q88: the one training scan
+      "q86_substring_dedup" -> 2, "q88_multiset_decontam" -> 1,
+      "q89_paragraph_dedup" -> 2)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
