@@ -3290,6 +3290,91 @@ object Queries {
        |  coalesce(a.kept_text, '') AS kept_text
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
+  /** Classifier-based quality filter (TextAnalysis.classifierQualityFilter):
+    * a linear scorer over exact-ratio features thresholded at zero — the
+    * DCLM / FineWeb-Edu model-based gate with fixture weights (real
+    * serving path, offline training, the §2.9 stub-weights stance). No
+    * libm in the score: features are IEEE-exact ratios, the score is a
+    * left-associated multiply-add floored to micro-units, replayed
+    * operation for operation by the oracle. */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierQualityFilter(t(s, dir, "documents"), "doc_id", "text",
+      bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+
+  private val q90Sql = {
+    val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH st AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+       |           / len(tk) ELSE 0.0 END AS mean_tok_len,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+       |           / len(tk) ELSE 0.0 END AS alpha_frac,
+       |    CASE WHEN len(tk) > 0
+       |      THEN CAST(len(list_filter(tk, x -> list_contains($allStops, x))) AS DOUBLE)
+       |           / len(tk) ELSE 0.0 END AS stop_frac,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(text)
+       |             - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text) ELSE 0.0 END AS digit_frac
+       |  FROM st),
+       |z AS (
+       |  SELECT doc_id, mean_tok_len, alpha_frac, stop_frac, digit_frac,
+       |    (((((-0.7) + (0.05) * mean_tok_len) + (0.4) * alpha_frac)
+       |      + (1.0) * stop_frac) + (-3.0) * digit_frac) AS z
+       |  FROM f)
+       |SELECT doc_id, round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(alpha_frac, 6) AS alpha_frac, round(stop_frac, 6) AS stop_frac,
+       |  round(digit_frac, 6) AS digit_frac,
+       |  CAST(floor(z * 1000000.0) AS BIGINT) AS score_micro,
+       |  floor(z * 1000000.0) >= 0 AS keep
+       |FROM z""".stripMargin
+  }
+
+  /** DSIR importance sampling (TextAnalysis.dsirSample): per-token
+    * quantized log-likelihood ratio of the src0-target unigram LM vs the
+    * corpus LM (add-one smoothing, q58's integer micro-unit pattern),
+    * per-doc SUMMED ratio (the paper's log importance weight), and an
+    * exp-free log-space Bernoulli — keep iff ln(u)·1e6 < summed ratio
+    * with u the deterministic md5 uniform. The oracle replays the
+    * smoothing, the quantized logs, and the sampling inequality. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirSample(t(s, dir, "documents"), "doc_id", "text",
+      col("source") === "src0")
+
+  private val q91Sql = {
+    val lnu = s"""CAST(round(ln(CAST(${md5LongSql("CAST(doc_id AS VARCHAR)")}
+                 | + 1 AS DOUBLE) / 1152921504606846976.0) * 1000000.0) AS BIGINT)"""
+      .stripMargin.replace("\n", "")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source = 'src0' AS is_t, unnest($toksSql) AS tok
+       |  FROM documents),
+       |f AS (
+       |  SELECT tok, count(*) AS c_all,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+       |  FROM tk GROUP BY tok),
+       |tot AS (SELECT count(*) AS V, sum(c_all) AS N, sum(c_t) AS Nt FROM f),
+       |lr AS (
+       |  SELECT tok,
+       |    CAST(round(ln(CAST(c_t + 1 AS DOUBLE) / (Nt + V)) * 1000000.0) AS BIGINT)
+       |    - CAST(round(ln(CAST(c_all + 1 AS DOUBLE) / (N + V)) * 1000000.0) AS BIGINT)
+       |      AS lr_q
+       |  FROM f, tot),
+       |sc AS (
+       |  SELECT doc_id, count(*) AS n_tokens, sum(lr_q) AS slr
+       |  FROM tk JOIN lr USING (tok) GROUP BY doc_id),
+       |base AS (
+       |  SELECT d.doc_id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(sc.slr, 0) AS BIGINT) AS log_importance_micro
+       |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+       |SELECT doc_id, n_tokens, log_importance_micro,
+       |  $lnu < log_importance_micro AS sampled
+       |FROM base""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3383,5 +3468,7 @@ object Queries {
     "q86_substring_dedup" -> Q(q86, Some(q86Sql)),
     "q87_url_curation" -> Q(q87, Some(q87Sql)),
     "q88_multiset_decontam" -> Q(q88, Some(q88Sql)),
-    "q89_paragraph_dedup" -> Q(q89, Some(q89Sql)))
+    "q89_paragraph_dedup" -> Q(q89, Some(q89Sql)),
+    "q90_quality_classifier" -> Q(q90, Some(q90Sql)),
+    "q91_dsir_sample" -> Q(q91, Some(q91Sql)))
 }

@@ -45,6 +45,29 @@ object ImageKernels {
     * rounded division each) are bit-identical across engines — the
     * DuckDB oracle replays this with a plain GROUP BY sum.
     */
+  /** Full kernel on plain arrays (downsample + band fold) — the JVM twin
+    * of [[DHashBands]].nullSafeEval for property tests and non-Spark use;
+    * assumes a rectangular H x W matrix, H >= GridRows, W >= GridCols. */
+  def dhashOf(matrix: Array[Array[Double]]): Array[Long] = {
+    val h = matrix.length
+    val w = matrix(0).length
+    val sums = Array.ofDim[Double](GridRows, GridCols)
+    val cnts = Array.ofDim[Int](GridRows, GridCols)
+    var i = 0
+    while (i < h) {
+      val r = i * GridRows / h
+      var j = 0
+      while (j < w) {
+        val c = j * GridCols / w
+        sums(r)(c) += matrix(i)(j)
+        cnts(r)(c) += 1
+        j += 1
+      }
+      i += 1
+    }
+    dhashBands(Array.tabulate(GridRows, GridCols)((r, c) => sums(r)(c) / cnts(r)(c)))
+  }
+
   def dhashBands(means: Array[Array[Double]]): Array[Long] = {
     val bands = new Array[Long](GridRows)
     var r = 0

@@ -436,6 +436,103 @@ object TextAnalysis {
         (col("is_canonical") && !col("blocked")).as("kept"))
   }
 
+  /** Classifier-based quality filtering — the model-based gate that
+    * replaced pure rule filters in recent corpus builds (DCLM, Li et al.
+    * 2024, arXiv:2406.11794; FineWeb-Edu, Penedo et al. 2024): a linear
+    * scorer over cheap per-doc features, thresholded at zero. Weights
+    * are supplied by the caller (in production: logistic-regression /
+    * fastText-distilled weights; the math here is the full serving path,
+    * the training loop is offline — the same stub-weights stance as the
+    * §2.9 model operators).
+    *
+    * Features (all exact IEEE ratios of integer counts, so any engine
+    * replays them bit-for-bit): mean token length, alpha-word fraction,
+    * stopword fraction, digit-character fraction. The score is a
+    * left-associated multiply-add of literal weights — no libm anywhere
+    * — floored to integer micro-units; keep = score_micro >= 0. One
+    * zero-shuffle projection, embarrassingly parallel. */
+  def classifierQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                              bias: Double, wMeanLen: Double, wAlpha: Double,
+                              wStop: Double, wDigit: Double): DataFrame = {
+    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
+    val staged = df
+      .select(col(idCol), col(textCol).as("text"),
+        ws_tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", when(col("text").isNotNull, size(col("toks"))))
+      .withColumn("nchar", when(col("text").isNotNull, length(col("text"))))
+      .withColumn("mean_tok_len",
+        when(col("ntok") > 0,
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(col("ntok") > 0,
+          size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("stop_frac",
+        when(col("ntok") > 0,
+          size(filter(col("toks"), t => array_contains(allStops, t))).cast("double")
+            / col("ntok")).otherwise(lit(0.0)))
+      .withColumn("digit_frac",
+        when(col("nchar") > 0,
+          (col("nchar") - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / col("nchar")).otherwise(lit(0.0)))
+    // left-associated multiply-add, mirrored exactly in the SQL oracle
+    val z = lit(bias) + lit(wMeanLen) * col("mean_tok_len") +
+      lit(wAlpha) * col("alpha_frac") + lit(wStop) * col("stop_frac") +
+      lit(wDigit) * col("digit_frac")
+    staged.select(col(idCol),
+      round(col("mean_tok_len"), 6).as("mean_tok_len"),
+      round(col("alpha_frac"), 6).as("alpha_frac"),
+      round(col("stop_frac"), 6).as("stop_frac"),
+      round(col("digit_frac"), 6).as("digit_frac"),
+      floor(z * 1e6).cast("long").as("score_micro"),
+      (floor(z * 1e6) >= 0).as("keep"))
+  }
+
+  /** DSIR-style importance sampling (Xie et al. 2023, arXiv:2302.03169):
+    * select pretraining data that resembles a target domain by the
+    * log-likelihood ratio of two add-one-smoothed unigram LMs (target
+    * vs whole corpus), then Bernoulli-sample each doc with
+    * p = exp(doc-level log importance) — the SUM of per-token ratios,
+    * as in the paper (a per-token mean washes the signal out to p ~ 1;
+    * measured 98% acceptance before this fix).
+    *
+    * Everything stays engine-exact: per-token log-probs quantize to
+    * integer micro-units at the vocabulary table (q58's pattern — ln of
+    * a double ratio, rounded once, summed as integers), and the
+    * exp-free sampling trick runs in LOG space — keep iff
+    * ln(u) * 1e6 < mean log-ratio, with u = (md5(id)+1)/2^60 the
+    * deterministic per-doc uniform (reproducible across runs, engines
+    * and partitionings, q67's discipline; +1 keeps u in (0,1] so ln is
+    * finite). Two corpus-wide shuffles (vocab build, doc roll-up), the
+    * LM totals ride as one broadcast row. */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      explode(ws_tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val tot = freq.agg(count(lit(1)).as("V"), sum(col("c_all")).as("N"),
+      sum(col("c_t")).as("Nt"))
+    val ratio = freq.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (round(log((col("c_t") + 1).cast("double") / (col("Nt") + col("V")))
+          * 1e6, 0).cast("long") -
+          round(log((col("c_all") + 1).cast("double") / (col("N") + col("V")))
+            * 1e6, 0).cast("long")).as("lr_q"))
+    val scored = toks.join(ratio, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_q")).as("slr"))
+    val lnuQ = round(
+      log((md5_long(col("doc_id").cast("string")) + 1).cast("double")
+        / lit(1152921504606846976.0)) * 1e6, 0).cast("long")
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("slr"), lit(0L)).as("log_importance_micro"),
+        (lnuQ < coalesce(col("slr"), lit(0L))).as("sampled"))
+  }
+
   /** Cross-document paragraph dedup (the Dolma rule — Soldaini et al.
     * 2024, arXiv:2402.00159 §4.1.2: a paragraph that appears in more
     * than one document is boilerplate and is dropped from EVERY

@@ -163,6 +163,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dhash is invariant to brightness shift, contrast scale and 2x upscale") {
+    // the perceptual contract: gradient SIGNS survive the global
+    // photometric edits that break exact byte hashes
+    import graft.functions.ImageKernels
+    trials(30) {
+      val h = 8 + rnd.nextInt(17)
+      val w = 9 + rnd.nextInt(19)
+      val m = Array.fill(h, w)((rnd.nextInt(256)).toDouble)
+      val base = ImageKernels.dhashOf(m).toSeq
+      assert(base.forall(b => b >= 0 && b <= 255))
+      val brighter = m.map(_.map(_ + 37.0))
+      assert(ImageKernels.dhashOf(brighter).toSeq == base, "brightness shift")
+      val contrast = m.map(_.map(_ * 2.0))
+      assert(ImageKernels.dhashOf(contrast).toSeq == base, "contrast scale")
+      // 2x nearest-neighbor upscale: every block mean is unchanged only
+      // when the grid divides evenly, so test on an exact-multiple base
+      val m2 = Array.tabulate(16, 18)((i, j) => m(i % 8 + 0)(j % 9))
+      val up = Array.tabulate(32, 36)((i, j) => m2(i / 2)(j / 2))
+      assert(ImageKernels.dhashOf(up).toSeq == ImageKernels.dhashOf(m2).toSeq,
+        "2x upscale")
+    }
+  }
+
   test("bbox to_square is idempotent (squares stay fixed)") {
     // to_square of an already-square box is the identity (utils.py:27-39)
     trials(50) {
