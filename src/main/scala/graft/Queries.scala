@@ -3375,6 +3375,111 @@ object Queries {
        |FROM base""".stripMargin
   }
 
+  /** Audio perceptual-fingerprint near-dup dedup
+    * (Multimodal.audioEnergyMatrix + Dedup.dhashPairs +
+    * connectedComponents): the audio analogue of q85 — re-gained /
+    * re-noised clip copies land within a few fingerprint bits while
+    * their byte hashes differ. Fixture: 288-sample integer waveforms
+    * derived deterministically from the customer table, four clips per
+    * base recording plus per-clip +/-1 sample noise, so true near-dup
+    * groups exist with known structure. The 8x9 energy grid IS the
+    * dHash grid (downsampling is the identity), candidate pairs come
+    * from the 16-bit banded-Hamming equi-join (never all-pairs, q85's
+    * at-scale band width), survivors are labelled by connected
+    * components. The oracle replays sample generation, per-segment
+    * energies (integer sums surfaced as doubles), the band folds,
+    * bit_count(xor) Hamming, and the transitive closure. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val (frames, segs, segLen) = (8, 9, 4)
+    val n = frames * segs * segLen
+    // spread rows BEFORE the per-row waveform synthesis (q85's lesson:
+    // a tiny parquet table is one input split)
+    val auds = t(s, dir, "customer").select(col("c_custkey").as("aud_id"),
+        (col("c_custkey") - pmod(col("c_custkey"), lit(4L))).as("base"))
+      .repartition(64, col("aud_id"))
+    val sampleExpr = transform(sequence(lit(0), lit(n - 1)), tt =>
+      pmod(md5_long(concat(lit("au"), col("base").cast("string"), lit("_"),
+        tt.cast("string"))), lit(256L)) - 128L +
+        pmod(md5_long(concat(lit("nz"), col("aud_id").cast("string"), lit("_"),
+          tt.cast("string"))), lit(3L)) - 1L)
+    // localCheckpoint materializes the waveform attribute: the energy
+    // matrix reads it 288 times via element_at, and a staged expression
+    // would be re-inlined (and re-hashed) once per access
+    val wave = auds.withColumn("samples", sampleExpr).localCheckpoint()
+    val withMat = wave.withColumn("matrix",
+      Multimodal.audioEnergyMatrix(col("samples"), frames, segs, segLen))
+    val pairs = Dedup.dhashPairs(withMat, "aud_id", "matrix", maxHamming = 6,
+      bandBytes = 2).localCheckpoint() // three consumers below
+    val nb = pairs.select(col("id_a").as("aud_id"), col("hamming"))
+      .union(pairs.select(col("id_b").as("aud_id"), col("hamming")))
+      .groupBy("aud_id")
+      .agg(count(lit(1)).as("n_dup_neighbors"), min("hamming").as("min_hamming"))
+    Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")),
+        wave.select(col("aud_id")))
+      .select(col("id").as("aud_id"), col("cluster_id"))
+      .join(nb, Seq("aud_id"), "left")
+      .select(col("aud_id"), col("cluster_id"),
+        (col("aud_id") === col("cluster_id")).as("is_canonical"),
+        coalesce(col("n_dup_neighbors"), lit(0L)).as("n_dup_neighbors"),
+        col("min_hamming"))
+  }
+
+  private val q92Sql = {
+    val sBase = md5LongSql("'au' || base || '_' || t")
+    val sNoise = md5LongSql("'nz' || aud || '_' || t")
+    s"""WITH RECURSIVE auds AS (
+       |  SELECT c_custkey AS aud, c_custkey - c_custkey % 4 AS base FROM customer),
+       |sm AS (
+       |  SELECT aud, t, $sBase % 256 - 128 + $sNoise % 3 - 1 AS v
+       |  FROM auds, range(288) rng(t)),
+       |en AS (
+       |  SELECT aud, t // 36 AS r, (t % 36) // 4 AS c,
+       |    CAST(sum(v * v) AS DOUBLE) AS m
+       |  FROM sm GROUP BY 1, 2, 3),
+       |bands AS (
+       |  SELECT a.aud, a.r AS band,
+       |    CAST(sum(CASE WHEN a.m > b.m THEN 1 << CAST(7 - a.c AS INT)
+       |             ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM en a JOIN en b ON b.aud = a.aud AND b.r = a.r AND b.c = a.c + 1
+       |  GROUP BY 1, 2),
+       |b16 AS (
+       |  SELECT aud, band // 2 AS band,
+       |    CAST(sum(CASE WHEN band % 2 = 0 THEN band_val * 256
+       |             ELSE band_val END) AS BIGINT) AS band_val
+       |  FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.aud AS id_a, r.aud AS id_b
+       |  FROM b16 l JOIN b16 r
+       |    ON r.band = l.band AND r.band_val = l.band_val AND l.aud < r.aud),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+       |    FROM cand c
+       |    JOIN bands a ON a.aud = c.id_a
+       |    JOIN bands b ON b.aud = c.id_b AND b.band = a.band
+       |    GROUP BY 1, 2)
+       |  WHERE hamming <= 6),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT aud AS id, aud AS lbl FROM auds
+       |  UNION
+       |  SELECT e.b AS id, r2.lbl FROM reach r2 JOIN edges e ON e.a = r2.id),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |nb AS (
+       |  SELECT aud_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+       |    min(hamming) AS min_hamming
+       |  FROM (SELECT id_a AS aud_id, hamming FROM pairs
+       |        UNION ALL SELECT id_b, hamming FROM pairs)
+       |  GROUP BY 1)
+       |SELECT cc.id AS aud_id, cc.cluster_id, cc.id = cc.cluster_id AS is_canonical,
+       |  CAST(coalesce(nb.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
+       |  nb.min_hamming
+       |FROM cc LEFT JOIN nb ON nb.aud_id = cc.id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3470,5 +3575,6 @@ object Queries {
     "q88_multiset_decontam" -> Q(q88, Some(q88Sql)),
     "q89_paragraph_dedup" -> Q(q89, Some(q89Sql)),
     "q90_quality_classifier" -> Q(q90, Some(q90Sql)),
-    "q91_dsir_sample" -> Q(q91, Some(q91Sql)))
+    "q91_dsir_sample" -> Q(q91, Some(q91Sql)),
+    "q92_audio_fingerprint_dedup" -> Q(q92, Some(q92Sql)))
 }

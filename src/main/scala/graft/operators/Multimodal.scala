@@ -64,4 +64,39 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(featureSchema))
   }
+
+  /** Time-domain energy-contour matrix for audio fingerprinting: splits
+    * a waveform (array of integral samples) into `frames` x `segs`
+    * contiguous segments of `segLen` samples each and emits the per-cell
+    * energy (sum of squared samples — exact integer arithmetic surfaced
+    * as double) as `array<array<double>>`, ready for
+    * [[Dedup.dhashPairs]]. That pairing makes it the audio analogue of
+    * the image dHash: the fingerprint bits are the SIGNS of
+    * adjacent-segment energy differences, so the fingerprint is
+    * invariant to uniform gain (all energies scale by c^2; signs
+    * survive) and stable under small per-sample noise — the
+    * constellation idea behind audio fingerprinters (Wang 2003 / Haitsma
+    * & Kalker 2002) reduced to deterministic, SQL-replayable arithmetic.
+    * A real mel/FFT filterbank would drop into the same (frames x bands)
+    * grid per-executor — the §2.9 stub-weights stance for the DSP step,
+    * with the Spark-side shape real.
+    *
+    * Samples beyond `frames*segs*segLen` are ignored (`element_at` past
+    * the end would NULL the cell and [[functions.dhash_bands]] nulls the
+    * fingerprint — shorter clips drop out of the dedup join). The
+    * samples column should be a materialized attribute (post-exchange /
+    * checkpoint), not a staged expression: CollapseProject would
+    * otherwise re-inline its construction into every one of the
+    * `frames*segs*segLen` element accesses. */
+  def audioEnergyMatrix(samples: org.apache.spark.sql.Column,
+                        frames: Int, segs: Int, segLen: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    transform(sequence(lit(0), lit(frames - 1)), i =>
+      transform(sequence(lit(0), lit(segs - 1)), j =>
+        aggregate(sequence(lit(0), lit(segLen - 1)), lit(0L), (acc, k) => {
+          val v = element_at(samples,
+            i * lit(segs * segLen) + j * lit(segLen) + k + lit(1)).cast("long")
+          acc + v * v
+        }).cast("double")))
+  }
 }

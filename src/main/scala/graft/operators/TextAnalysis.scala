@@ -501,7 +501,7 @@ object TextAnalysis {
     * integer micro-units at the vocabulary table (q58's pattern — ln of
     * a double ratio, rounded once, summed as integers), and the
     * exp-free sampling trick runs in LOG space — keep iff
-    * ln(u) * 1e6 < mean log-ratio, with u = (md5(id)+1)/2^60 the
+    * ln(u) * 1e6 < summed log-ratio, with u = (md5(id)+1)/2^60 the
     * deterministic per-doc uniform (reproducible across runs, engines
     * and partitionings, q67's discipline; +1 keeps u in (0,1] so ln is
     * finite). Two corpus-wide shuffles (vocab build, doc roll-up), the

@@ -324,6 +324,19 @@ object Streaming {
     graft.operators.TextAnalysis.chunkOffsets(
       docs, "doc_id", "text", chunkTokens, overlap)
 
+  /** Continuous-ingest quality gate: the classifier filter
+    * (TextAnalysis.classifierQualityFilter) is one stateless projection
+    * — per-doc features and a linear score — so the SAME operator runs
+    * unchanged on a document stream, scoring each doc the moment it
+    * arrives with exactly the batch (q90) rows. This is the shape a
+    * live ingest filter runs in production: score-at-ingest, route by
+    * `keep`. */
+  def streamingQualityGate(docs: DataFrame,
+                           bias: Double, wMeanLen: Double, wAlpha: Double,
+                           wStop: Double, wDigit: Double): DataFrame =
+    graft.operators.TextAnalysis.classifierQualityFilter(
+      docs, "doc_id", "text", bias, wMeanLen, wAlpha, wStop, wDigit)
+
   /** Continuous-ingest hashing-trick vectorizer. The batch form's
     * (doc, dim) groupBy would become a STATEFUL streaming aggregate —
     * unbounded state for a computation that is complete the moment the

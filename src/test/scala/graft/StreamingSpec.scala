@@ -143,6 +143,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quality gate scores exactly like the batch classifier") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "000 111 222 333 444 555"), // digit-heavy: should fail the gate
+      (3L, null.asInstanceOf[String]))
+    val batch = graft.operators.TextAnalysis.classifierQualityFilter(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingQualityGate(mem.toDF().toDF("doc_id", "text"),
+        bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qgate").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // the digit-heavy doc is rejected in both engines
+      assert(streamed.toSeq.filter(_.head == 2L).forall(_.last == false))
+      assert(streamed.toSeq.filter(_.head == 1L).forall(_.last == true))
+    } finally q.stop()
+  }
+
   test("streaming vectorizer emits exactly the batch hashing-trick rows") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
