@@ -3480,6 +3480,62 @@ object Queries {
        |FROM cc LEFT JOIN nb ON nb.aud_id = cc.id""".stripMargin
   }
 
+  /** Product-quantization ANN top-k (Similarity.pqTopK): the corpus
+    * compressed to M=4 codes per vector against deterministic per-
+    * subspace codebooks (subvectors of the 8 lowest-id vectors, the q39
+    * stance), queries scored by asymmetric distance computation — M
+    * table lookups per candidate. Per-subspace squared-L2 distances are
+    * sequential folds floor-quantized to micro-units before the M-way
+    * sum, so the oracle replays encode (argmin, earliest index on
+    * ties), the lookup join, and the integer sum exactly. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), k = 5, m = 4, ks = 8)
+      .select(col("query_id"), col("cand_id"), col("adc_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q93Sql = {
+    // squared-L2 of subvector `sub` of x to centroid list c, sequential
+    // left fold in dimension order (0.0 + t1 == t1: seedless list_reduce
+    // matches Spark's 0.0-seeded fold)
+    def subL2(x: String, c: String, sub: String) =
+      s"""list_reduce(list_transform(range(1, 17),
+         |      i -> (CAST($x[$sub*16 + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+         |         * (CAST($x[$sub*16 + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
+         |      (p, q) -> p + q)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS sv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |cb AS (
+       |  SELECT s.sub, seed.j,
+       |    seed.sv[(s.sub*16 + 1):(s.sub*16 + 16)] AS cv
+       |  FROM seed, range(4) s(sub)),
+       |vd AS (
+       |  SELECT e.vec_id, cb.sub, cb.j,
+       |    ${subL2("e.v", "cb.cv", "cb.sub")} AS d
+       |  FROM e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, j AS code FROM (
+       |    SELECT vec_id, sub, j,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, j ASC) AS rn
+       |    FROM vd) WHERE rn = 1),
+       |qd AS (SELECT vec_id AS query_id, sub, j, d FROM vd WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    CAST(sum(CAST(floor(q.d * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_micro
+       |  FROM codes c
+       |  JOIN qd q ON q.sub = c.sub AND q.j = c.code AND q.query_id != c.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, cand_id, adc_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro ASC, cand_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, adc_micro, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3576,5 +3632,6 @@ object Queries {
     "q89_paragraph_dedup" -> Q(q89, Some(q89Sql)),
     "q90_quality_classifier" -> Q(q90, Some(q90Sql)),
     "q91_dsir_sample" -> Q(q91, Some(q91Sql)),
-    "q92_audio_fingerprint_dedup" -> Q(q92, Some(q92Sql)))
+    "q92_audio_fingerprint_dedup" -> Q(q92, Some(q92Sql)),
+    "q93_pq_ann_topk" -> Q(q93, Some(q93Sql)))
 }

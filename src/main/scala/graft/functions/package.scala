@@ -179,6 +179,16 @@ package object functions {
   def ivf_probes(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ExprBridge.column(IvfProbes(col2expr(v), centroids.map(_.toSeq).toSeq, nProbe))
 
+  /** Product-quantization code of a vector: the M nearest-centroid
+    * indices, one per subspace (see [[PqEncode]]). */
+  def pq_encode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExprBridge.column(PqEncode(col2expr(v), codebooks))
+
+  /** A query's M x ks squared-L2 lookup table against the PQ codebooks
+    * (see [[PqDistTable]]). */
+  def pq_dist_table(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ExprBridge.column(PqDistTable(col2expr(v), codebooks))
+
   /** Deterministic HyperLogLog distinct-count aggregate (2^p registers,
     * md5-based, partial-aggregating; see [[HllDistinct]]). The estimate
     * is identical under any partitioning and exactly reproducible by a

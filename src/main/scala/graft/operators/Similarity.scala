@@ -154,4 +154,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** PQ codebooks from the `ks` lowest-id corpus vectors, each split
+    * into `m` contiguous subvectors — deterministic (the seedCentroids
+    * stance; per-subspace kmeansCentroids-style training drops into the
+    * same shape). Bounded driver collect: ks x dim doubles. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    val seeds = seedCentroids(corpus, ks)
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(mi =>
+      seeds.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq))
+  }
+
+  /** Product-quantization ANN top-k by asymmetric distance computation
+    * (Jegou et al. 2011): the corpus is encoded ONCE into M small codes
+    * per vector (`pq_encode` — the localCheckpoint stands in for the
+    * persisted index table a real deployment maintains), each query
+    * precomputes its M x ks squared-L2 lookup table (`pq_dist_table`,
+    * broadcast with the query row), and scoring a candidate is M integer
+    * table lookups instead of a dim-length float fold — dim/M times less
+    * per-candidate work than bruteForceTopK, on a code table ~dim/M
+    * times smaller than the raw vectors. Per-subspace distances are
+    * floor-quantized to integer micro-units BEFORE the M-way sum, so the
+    * total is order-free and bit-stable across engines and partitionings.
+    * This is the flat-scan ADC kernel; at corpus scale it composes with
+    * the IVF cell restriction (ivfTopK's probe join) to scan only probed
+    * cells — IVFADC. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ks: Int = 8): DataFrame = {
+    val cb = pqCodebooks(corpus, m, ks)
+    // materialized attribute: the ADC lambda below reads `codes` per
+    // subspace, and a staged pq_encode expression would be re-inlined
+    // (and re-run) once per lookup by CollapseProject
+    val codes = corpus.select(col("vec_id").as("cand_id"),
+      pq_encode(col("embedding"), cb).as("codes")).localCheckpoint()
+    val qt = queries.select(col("vec_id").as("query_id"),
+      pq_dist_table(col("embedding"), cb).as("dtable"))
+    val scored = codes.join(broadcast(qt), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+          acc + floor(element_at(element_at(col("dtable"), mi + 1),
+            element_at(col("codes"), mi + 1) + 1) * 1e6)).as("adc_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -69,6 +69,52 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("pq_encode/pqTopK: codes match a driver-side argmin and exact dups rank first") {
+    val rnd = new scala.util.Random(13)
+    val dim = 12
+    val m = 3
+    val sub = dim / m
+    val vecs = (0L until 40L).map { i =>
+      // vectors 20..23 are exact copies of 0..3 → PQ codes identical,
+      // ADC distance to the twin == ADC distance to self's cell == min
+      val v = if (i >= 20 && i < 24) null
+      else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i, v)
+    }
+    val filled = vecs.map { case (i, v) =>
+      (i, Option(v).getOrElse(vecs((i - 20).toInt)._2).toSeq)
+    }
+    val df = filled.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, m, ks = 8)
+    assert(cb.length == m && cb.head.length == 8 && cb.head.head.length == sub)
+    // driver-side reference encode: per-subspace argmin, earliest wins
+    def encodeRef(v: Seq[Float]): Seq[Int] =
+      (0 until m).map { mi =>
+        val d = cb(mi).map { c =>
+          var s = 0.0; var k = 0
+          while (k < sub) {
+            val t = v(mi * sub + k).toDouble - c(k); s += t * t; k += 1
+          }
+          s
+        }
+        d.indices.reduceLeft((a, b) => if (d(b) < d(a)) b else a)
+      }
+    val got = df.select(col("vec_id"),
+        graft.functions.pq_encode(col("embedding"), cb).as("codes"))
+      .orderBy("vec_id").collect()
+    filled.zip(got).foreach { case ((id, v), row) =>
+      assert(row.getSeq[Int](1) == encodeRef(v), s"encode mismatch at vec $id")
+    }
+    // the exact twin is among the zero-extra-distance front: ADC distance
+    // query→twin equals the query's own code distance (same codes)
+    val top = Similarity.pqTopK(df, df.where(col("vec_id") === 20L), k = 3,
+        m = m, ks = 8).orderBy("rank").collect()
+    assert(top.nonEmpty)
+    val twinDist = top.find(_.getAs[Long]("cand_id") == 0L).map(_.getAs[Long]("adc_micro"))
+    assert(twinDist.contains(top(0).getAs[Long]("adc_micro")),
+      s"exact twin not at the minimum ADC distance: ${top.toSeq}")
+  }
+
   test("trained k-means recovers well-separated cluster means and full-probe IVF is exact") {
     val rnd = new scala.util.Random(5)
     val dim = 4
