@@ -3536,6 +3536,96 @@ object Queries {
        |SELECT query_id, cand_id, adc_micro, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** MinHash-LSH fuzzy decontamination (Dedup.fuzzyDecontaminate):
+    * training docs (source != src0) near-duplicating any eval doc
+    * (source = src0) at Jaccard >= 0.5 — the paraphrase-tolerant
+    * complement of q69/q88's exact n-gram decontamination. The oracle
+    * reuses the q19 pair replay verbatim and orients the surviving
+    * pairs train→eval. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyDecontaminate(t(s, dir, "documents"), "doc_id", "text",
+      col("source") === "src0")
+
+  private val q94Sql =
+    s"""WITH $minhashPairsCtes,
+       |oriented AS (
+       |  SELECT id_a AS t_id, id_b AS e_id, jaccard FROM pairs
+       |  UNION ALL SELECT id_b, id_a, jaccard FROM pairs),
+       |crossed AS (
+       |  SELECT o.t_id, count(*) AS n_eval_matches, max(o.jaccard) AS mj
+       |  FROM oriented o
+       |  JOIN documents dt ON dt.doc_id = o.t_id AND dt.source != 'src0'
+       |  JOIN documents de ON de.doc_id = o.e_id AND de.source = 'src0'
+       |  GROUP BY o.t_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(c.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       |  round(coalesce(c.mj, 0.0), 6) AS max_jaccard,
+       |  coalesce(c.n_eval_matches, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN crossed c ON c.t_id = d.doc_id
+       |WHERE d.source != 'src0'""".stripMargin
+
+  /** Corpus snapshot delta (Snapshot.delta): classify every doc across
+    * two corpus versions as added / removed / changed / unchanged via
+    * one (id, content-hash) full-outer join. Fixture: prev = docs with
+    * id % 7 != 0, cur = docs with id % 5 != 0 where every 11th doc's
+    * text gained a suffix — so all four statuses occur. The oracle
+    * replays the hash (md5-60bit twin) and the null-safe compare. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prev = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+    val cur = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    Snapshot.delta(prev, cur, "doc_id", "text")
+  }
+
+  private val q95Sql =
+    s"""WITH p AS (
+       |  SELECT doc_id AS id, ${md5LongSql("text")} AS h_prev, true AS in_prev
+       |  FROM documents WHERE doc_id % 7 != 0),
+       |c0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 != 0),
+       |c AS (SELECT doc_id AS id, ${md5LongSql("text")} AS h_cur, true AS in_cur
+       |      FROM c0)
+       |SELECT coalesce(p.id, c.id) AS doc_id,
+       |  CASE WHEN p.in_prev IS NULL THEN 'added'
+       |       WHEN c.in_cur IS NULL THEN 'removed'
+       |       WHEN p.h_prev IS NOT DISTINCT FROM c.h_cur THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM p FULL OUTER JOIN c ON c.id = p.id""".stripMargin
+
+  /** Unicode-script profile (TextAnalysis.scriptProfile): per-doc
+    * Latin/Cyrillic/Han/digit character counts, integral-div Latin
+    * micro-fraction, and dominant script with a fixed tie order. */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q96Sql =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_han, n_digit,
+      |  CAST(CASE WHEN n_chars > 0 THEN (n_latin * 1000000) // n_chars
+      |            ELSE 0 END AS BIGINT) AS latin_micro,
+      |  CASE WHEN n_chars IS NULL THEN NULL
+      |       WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+      |            AND n_latin >= n_digit THEN 'latin'
+      |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_digit THEN 'cyrillic'
+      |       WHEN n_han >= n_digit THEN 'han'
+      |       ELSE 'digit' END AS dominant
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3633,5 +3723,8 @@ object Queries {
     "q90_quality_classifier" -> Q(q90, Some(q90Sql)),
     "q91_dsir_sample" -> Q(q91, Some(q91Sql)),
     "q92_audio_fingerprint_dedup" -> Q(q92, Some(q92Sql)),
-    "q93_pq_ann_topk" -> Q(q93, Some(q93Sql)))
+    "q93_pq_ann_topk" -> Q(q93, Some(q93Sql)),
+    "q94_fuzzy_decontam" -> Q(q94, Some(q94Sql)),
+    "q95_snapshot_delta" -> Q(q95, Some(q95Sql)),
+    "q96_script_profile" -> Q(q96, Some(q96Sql)))
 }

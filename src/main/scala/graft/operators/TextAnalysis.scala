@@ -510,8 +510,12 @@ object TextAnalysis {
                  isTarget: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
       explode(ws_tokens(col(textCol))).as("tok"))
+    // the vocab table feeds BOTH the LM totals and the per-token ratios;
+    // without materialization each consumer re-derives it from a full
+    // tokenized corpus scan (the q73 double-scan trap — plan-audited)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c_all"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
     val tot = freq.agg(count(lit(1)).as("V"), sum(col("c_all")).as("N"),
       sum(col("c_t")).as("Nt"))
     val ratio = freq.crossJoin(broadcast(tot))
@@ -531,6 +535,48 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("slr"), lit(0L)).as("log_importance_micro"),
         (lnuQ < coalesce(col("slr"), lit(0L))).as("sampled"))
+  }
+
+  /** Unicode-script profiling: per-document counts of Latin / Cyrillic /
+    * Han / digit characters, an integer-micro Latin fraction, and the
+    * dominant script — the multilingual-curation complement of langId
+    * (script detection catches mixed-script spam and routes docs to
+    * script-specific pipelines before any language model runs). Four
+    * codegen'd single-pass regex counts; the counts struct goes through
+    * a Generate (explode of a one-element array) so it materializes ONCE
+    * per row — the dominant-script chain below references each count
+    * several times, and staged projection columns would be re-inlined
+    * (and the regexes re-run) per reference. The Latin fraction uses
+    * integral `div`, never a rounded ratio (a count ratio can terminate
+    * at 7 decimals ending in 5, where Spark and SQL round differently).
+    * NULL text: counts and dominant are NULL, latin_micro is 0 —
+    * identically in both engines. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), cls, "")))
+        .cast("long")
+    val feats = struct(
+      length(col(textCol)).cast("long").as("n_chars"),
+      cnt("\\p{IsLatin}").as("n_latin"),
+      cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+      cnt("\\p{IsHan}").as("n_han"),
+      cnt("[0-9]").as("n_digit"))
+    df.select(col(idCol), explode(array(feats)).as("f"))
+      .select(col(idCol), col("f.n_chars").as("n_chars"),
+        col("f.n_latin").as("n_latin"), col("f.n_cyrillic").as("n_cyrillic"),
+        col("f.n_han").as("n_han"), col("f.n_digit").as("n_digit"))
+      .select(col(idCol), col("n_chars"), col("n_latin"), col("n_cyrillic"),
+        col("n_han"), col("n_digit"),
+        when(col("n_chars") > 0, expr("(n_latin * 1000000) div n_chars"))
+          .otherwise(lit(0L)).as("latin_micro"),
+        when(col("n_chars").isNull, lit(null).cast("string"))
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_han") &&
+            col("n_latin") >= col("n_digit"), lit("latin"))
+          .when(col("n_cyrillic") >= col("n_han") &&
+            col("n_cyrillic") >= col("n_digit"), lit("cyrillic"))
+          .when(col("n_han") >= col("n_digit"), lit("han"))
+          .otherwise(lit("digit")).as("dominant"))
   }
 
   /** Cross-document paragraph dedup (the Dolma rule — Soldaini et al.

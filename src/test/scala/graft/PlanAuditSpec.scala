@@ -196,12 +196,24 @@ class PlanAuditSpec extends SparkTestBase {
       // q86/q89: tokenize sits under the two consumers of the exploded
       // frame (argmin build + mark join); q88: the one training scan
       "q86_substring_dedup" -> 2, "q88_multiset_decontam" -> 1,
-      "q89_paragraph_dedup" -> 2)
+      "q89_paragraph_dedup" -> 2,
+      // q90: the four ratio features each reference the staged token
+      // array; q91: vocab-build scan + doc roll-up scan; q94: the q19
+      // four-scan pair machinery
+      "q90_quality_classifier" -> 4, "q91_dsir_sample" -> 2,
+      "q94_fuzzy_decontam" -> 4)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
       assert(n <= bound, s"$q: tokenizer appears $n times (bound $bound):\n$plan")
     }
+    // q96: the counts struct goes through a Generate, so each script
+    // class is ONE regexp_replace — re-inlining into the dominant chain
+    // would multiply these
+    val p96 = Queries.all("q96_script_profile").impl(spark, tmp)
+      .queryExecution.executedPlan.toString
+    val nRe = "regexp_replace\\(".r.findAllIn(p96).length
+    assert(nRe <= 4, s"q96: regexp_replace appears $nRe times (bound 4):\n$p96")
   }
 
   test("dup-ngram scoring probes a plan-literal sketch with no join at all") {
