@@ -81,9 +81,15 @@ object Multimodal {
     * grid per-executor — the §2.9 stub-weights stance for the DSP step,
     * with the Spark-side shape real.
     *
-    * Samples beyond `frames*segs*segLen` are ignored (`element_at` past
-    * the end would NULL the cell and [[functions.dhash_bands]] nulls the
-    * fingerprint — shorter clips drop out of the dedup join). The
+    * Samples beyond `frames*segs*segLen` are ignored. Clips SHORTER than
+    * `frames*segs*segLen` samples degrade to a NULL matrix (and
+    * [[functions.dhash_bands]] nulls the fingerprint — short clips drop
+    * out of the dedup join rather than failing the job). The guard is an
+    * explicit `when(size(samples) >= needed, ...)`: under Spark 4's
+    * default ANSI mode an out-of-bounds `element_at` THROWS
+    * (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) instead of returning NULL, so
+    * relying on past-the-end access would fail the whole job on one
+    * short clip. The
     * samples column should be a materialized attribute (post-exchange /
     * checkpoint), not a staged expression: CollapseProject would
     * otherwise re-inline its construction into every one of the
@@ -91,12 +97,13 @@ object Multimodal {
   def audioEnergyMatrix(samples: org.apache.spark.sql.Column,
                         frames: Int, segs: Int, segLen: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    transform(sequence(lit(0), lit(frames - 1)), i =>
-      transform(sequence(lit(0), lit(segs - 1)), j =>
-        aggregate(sequence(lit(0), lit(segLen - 1)), lit(0L), (acc, k) => {
-          val v = element_at(samples,
-            i * lit(segs * segLen) + j * lit(segLen) + k + lit(1)).cast("long")
-          acc + v * v
-        }).cast("double")))
+    when(size(samples) >= lit(frames * segs * segLen),
+      transform(sequence(lit(0), lit(frames - 1)), i =>
+        transform(sequence(lit(0), lit(segs - 1)), j =>
+          aggregate(sequence(lit(0), lit(segLen - 1)), lit(0L), (acc, k) => {
+            val v = element_at(samples,
+              i * lit(segs * segLen) + j * lit(segLen) + k + lit(1)).cast("long")
+            acc + v * v
+          }).cast("double"))))
   }
 }

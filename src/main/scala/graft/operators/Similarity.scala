@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -14,6 +13,24 @@ import graft.functions._
   * an equi-join on bucket id instead of a full scan.
   */
 object Similarity {
+
+  /** Rank `(query_id, cand_id, cos_sim)` candidate rows to per-query top-k
+    * (cos_sim desc, cand_id asc tiebreak) via the partial-combining
+    * `top_k_by` aggregate — NOT a `row_number().over(partitionBy(query_id))`
+    * window, which would drag every candidate row of a query onto one
+    * partition and SORT it. The aggregate partial-combines: at most k rows
+    * per query per partition cross the shuffle and nothing is globally
+    * sorted — at corpus scale that is the difference between a sort and a
+    * map-side combine. cand_id rides negated so its tiebreak runs
+    * ascending under the descending struct order (the q65 pattern).
+    * Output matches the window form: (query_id, cand_id, cos_sim, rank). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(top_k_by(struct(col("cos_sim"), (-col("cand_id")).as("neg_cand")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (-col("col.neg_cand")).as("cand_id"),
+        col("col.cos_sim").as("cos_sim"), (col("pos") + 1).as("rank"))
 
   /** Exact top-k by cosine: every query row against the whole corpus.
     * Similarities are rounded to 6 dp before ranking (with id tiebreak) so
@@ -29,10 +46,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(vec_dot(col("query_v"), col("cand_v"))
           / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (numPlanes x dim), fixed seed. */
@@ -126,10 +140,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(vec_dot(col("query_v"), col("cand_v"))
           / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign bucket.
@@ -149,10 +160,7 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(vec_dot(col("query_v"), col("cand_v"))
           / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** PQ codebooks from the `ks` lowest-id corpus vectors, each split
@@ -197,9 +205,19 @@ object Similarity {
         aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
           acc + floor(element_at(element_at(col("dtable"), mi + 1),
             element_at(col("codes"), mi + 1) + 1) * 1e6)).as("adc_micro"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_micro").asc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Malformed vectors (length != dim) NULL their pq_encode /
+    // pq_dist_table, so adc_micro is NULL — drop them BEFORE ranking, or
+    // ascending NULLS-FIRST order would seat every malformed corpus row
+    // at rank 1 of every query instead of degrading it out of the join
+    // (the DHashBands posture).
+    val valid = scored.where(col("adc_micro").isNotNull)
+    // top_k_by keeps the LARGEST structs: adc_micro rides negated for the
+    // ascending distance order, cand_id negated for its asc tiebreak.
+    valid.groupBy("query_id")
+      .agg(top_k_by(struct((-col("adc_micro")).as("neg_adc"),
+        (-col("cand_id")).as("neg_cand")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (-col("col.neg_cand")).as("cand_id"),
+        (-col("col.neg_adc")).as("adc_micro"), (col("pos") + 1).as("rank"))
   }
 }

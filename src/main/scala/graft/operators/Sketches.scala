@@ -60,23 +60,35 @@ object Sketches {
     * that). */
   def multiBloomDecontaminate(heldOut: DataFrame, train: DataFrame,
                               numBits: Int, numHashes: Int): DataFrame = {
-    val blooms = heldOut
+    // The set roster comes from a DISTINCT over set_name, not from the
+    // grouped Bloom build: a held-out set whose documents all have empty
+    // (or NULL) shingle arrays vanishes at the explode, and dropping it
+    // from the roster would silently break the |train| x K row contract.
+    // Such a set gets the all-zero filter (correct: zero shingles = zero
+    // possible hits), so it still emits its |train| rows with n_hits = 0.
+    val setNames = heldOut.select(col("set_name")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(setNames.nonEmpty, "multiBloomDecontaminate needs >= 1 held-out set")
+    val built = heldOut
       .select(col("set_name"), explode(col("shingles")).as("sg"))
       .groupBy("set_name")
       .agg(bloom_agg(col("sg"), numBits, numHashes).as("f"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-      .sortBy(_._1)
-    require(blooms.nonEmpty, "multiBloomDecontaminate needs >= 1 held-out set")
-    val hitCols = blooms.map { case (name, bytes) =>
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val blooms = setNames.map(n =>
+      n -> built.getOrElse(n, new Array[Byte]((numBits + 7) / 8)))
+    // Hit columns are aliased by ROSTER INDEX, never by raw set name —
+    // an exotic set name (dots, backticks, duplicates after case folding)
+    // must not be able to collide with or break column resolution.
+    val hitCols = blooms.zipWithIndex.map { case ((_, bytes), i) =>
       sum(when(bloom_contains(lit(bytes), col("sg"), numBits, numHashes), 1L)
-        .otherwise(0L)).as(s"__h_$name")
+        .otherwise(0L)).as(s"__h_$i")
     }
     train.select(col("doc_id"), explode_outer(col("shingles")).as("sg"))
       .groupBy("doc_id")
       .agg(count(col("sg")).as("n_shingles"), hitCols.toSeq: _*)
       .select(col("doc_id"), col("n_shingles"),
-        explode(array(blooms.map { case (name, _) =>
-          struct(lit(name).as("eval_set"), col(s"__h_$name").as("n_hits"))
+        explode(array(blooms.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("eval_set"), col(s"__h_$i").as("n_hits"))
         }.toSeq: _*)).as("e"))
       .select(col("doc_id"), col("e.eval_set").as("eval_set"),
         col("n_shingles"), col("e.n_hits").as("n_hits"),

@@ -161,6 +161,48 @@ class OperatorSpec extends SparkTestBase {
       row(4L, "evalA").getAs[Long]("n_hits") == 0L)
   }
 
+  test("multiBloomDecontaminate: an all-empty-shingle set still emits its rows") {
+    // evalEmpty's documents have no shingles, so it builds no Bloom at the
+    // explode — the roster must still carry it (all-zero filter) or the
+    // |train| x K row contract silently breaks
+    val heldOut = Seq(
+      ("evalA", Seq("alpha beta gamma")),
+      ("evalEmpty", Seq.empty[String])).toDF("set_name", "shingles")
+    val train = Seq(
+      (1L, Seq("alpha beta gamma")),
+      (2L, Seq("other"))).toDF("doc_id", "shingles")
+    val out = Sketches.multiBloomDecontaminate(heldOut, train, 16384, 4)
+      .orderBy("doc_id", "eval_set").collect()
+    assert(out.length == 4) // 2 docs x 2 sets, empty set included
+    val empties = out.filter(_.getAs[String]("eval_set") == "evalEmpty")
+    assert(empties.length == 2)
+    assert(empties.forall(r => r.getAs[Long]("n_hits") == 0L &&
+      !r.getAs[Boolean]("contaminated")))
+    assert(out.exists(r => r.getAs[String]("eval_set") == "evalA" &&
+      r.getAs[Boolean]("contaminated")))
+  }
+
+  test("audioEnergyMatrix: short clips degrade to a NULL matrix, not an ANSI error") {
+    // 2 frames x 2 segs x 4 samples = 16 needed; the 10-sample clip must
+    // NULL out (and drop from the dedup join), not throw
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode
+    val df = Seq(
+      (1L, (1 to 16).map(_.toLong)),
+      (2L, (1 to 10).map(_.toLong)),
+      (3L, Seq.empty[Long])).toDF("clip_id", "samples")
+    val out = df.select(col("clip_id"),
+        Multimodal.audioEnergyMatrix(col("samples"), 2, 2, 4).as("m"))
+      .orderBy("clip_id").collect()
+    val full = out(0).getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("m")
+    assert(full.length == 2 && full(0).length == 2)
+    assert(full(0)(0) == (1 to 4).map(x => x.toLong * x).sum.toDouble)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // and the fingerprint side nulls with it
+    val fp = df.select(col("clip_id"), dhash_bands(
+      Multimodal.audioEnergyMatrix(col("samples"), 2, 2, 4)).as("b"))
+    assert(fp.count() == 3) // evaluates without throwing
+  }
+
   test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
     val df = Seq(
       (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),

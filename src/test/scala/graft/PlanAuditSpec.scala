@@ -260,6 +260,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no WindowExec in keep-best:\n$plan")
   }
 
+  test("similarity top-k ranks via partial-combining aggregate, no windows") {
+    // brute-force / LSH / IVF / PQ ranking must run through top_k_by —
+    // a query_id-partitioned row_number window would drag every candidate
+    // row of a query onto one partition and SORT it; the aggregate ships
+    // at most k rows per query per partition across the shuffle
+    import graft.operators.Similarity
+    val vecs = spark.range(30).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => ((col("id") % 5 + i).cast("float"))).as("embedding"))
+    val queries = vecs.where(col("vec_id") < 3)
+    val plans = Seq(
+      "bruteForce" -> Similarity.bruteForceTopK(vecs, queries, 2),
+      "lsh" -> Similarity.lshTopK(vecs, queries, 2, numPlanes = 4, dim = 8),
+      "ivf" -> Similarity.ivfTopK(vecs, queries, 2, nCells = 4, nProbe = 2),
+      "pq" -> Similarity.pqTopK(vecs, queries, 2, m = 2, ks = 4))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"no WindowExec in $name top-k:\n$plan")
+      assert(plan.contains("partial_top_k_by"),
+        s"$name top-k must partial-aggregate:\n$plan")
+    }
+  }
+
   test("text feature queries stay inside whole-stage codegen") {
     // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
     // a literal table at plan time and leave nothing to codegen
