@@ -392,3 +392,103 @@ case class ChunkSpans(child: Expression, chunkTokens: Int, overlap: Int)
   override protected def withNewChildInternal(newChild: Expression): ChunkSpans =
     copy(child = newChild)
 }
+
+/** MinHash signature from a PRE-HASHED shingle set (raw 60-bit md5Long
+  * values, as built for the Jaccard verification sets): h mod p, then for
+  * each permutation i the min of (a_i*h + b_i) mod p — bit-identical to
+  * [[MinHashSignature]] over the shingle strings the hashes came from.
+  * Exists so one corpus scan can feed BOTH sides of the LSH pipeline
+  * (signatures for banding, sorted hash sets for verification) instead of
+  * re-tokenizing per consumer; cf. reference dpl/processor/nodes (each
+  * node re-reads its inputs — here one materialized scan serves all). */
+case class MinHashSignatureFromHashes(child: Expression, perms: Seq[(Long, Long)],
+                                      prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_from_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig_from_hashes needs array<long>, got $t")
+  }
+  @transient private lazy val pa = perms.map(_._1).toArray
+  @transient private lazy val pb = perms.map(_._2).toArray
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val k = pa.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = arr.getLong(i) % prime
+      var p = 0
+      while (p < k) {
+        val v = (pa(p) * h + pb(p)) % prime
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureFromHashes =
+    copy(child = newChild)
+}
+
+/** All token-derived quality-classifier features in ONE pass over the
+  * document: tokenize once, then count tokens / token code points /
+  * letter-bearing tokens / stopword tokens in a single loop, plus a
+  * char-level digit count over the ORIGINAL (un-lowercased) text — the
+  * feature set of the classifier gate (DCLM, FineWeb-Edu). A composed
+  * `size(filter(toks, ...))` formulation references the staged token
+  * array from four feature columns and CollapseProject re-inlines the
+  * tokenizer into each (plan-audited 4x per doc before this expression).
+  * Field semantics are pinned to the built-ins they replace:
+  * `sum_tok_len` = sum of `length(tok)` (code points), `n_alpha` =
+  * tokens where `rlike('\p{L}')` finds a letter, `n_stop` = tokens in
+  * the stopword set (exact equality), `n_chars` = `length(text)`,
+  * `n_digit` = `length(text) - length(regexp_replace(text,'[0-9]',''))`
+  * (ASCII digits are single code points, so a char scan is identical).
+  * NULL text nulls the whole struct. */
+case class QualityFeatures(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("sum_tok_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false)))
+  override def prettyName: String = "quality_features"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_features needs string, got $t")
+  }
+  @transient private lazy val stopSet: Set[String] = stopwords.toSet
+  @transient private lazy val alphaPattern =
+    java.util.regex.Pattern.compile("\\p{L}")
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = TextKernels.tokenize(text)
+    var sumLen = 0L; var nAlpha = 0L; var nStop = 0L
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      sumLen += tok.codePointCount(0, tok.length)
+      if (alphaPattern.matcher(tok).find()) nAlpha += 1
+      if (stopSet.contains(tok)) nStop += 1
+      t += 1
+    }
+    var nDigit = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') nDigit += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      toks.length.toLong, sumLen, nAlpha, nStop,
+      text.codePointCount(0, text.length).toLong, nDigit))
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityFeatures =
+    copy(child = newChild)
+}

@@ -328,6 +328,19 @@ package object functions {
     ExprBridge.column(
       MinHashSignature(col2expr(shingles), minhashPerms(numPerms).toSeq, MinhashPrime))
 
+  /** MinHash signature from pre-hashed shingles (raw md5Long values) —
+    * bit-identical to [[minhash_signature]] over the strings the hashes
+    * came from; lets one scan feed both banding and verification. */
+  def minhash_sig_from_hashes(hashes: Column, numPerms: Int): Column =
+    ExprBridge.column(
+      MinHashSignatureFromHashes(col2expr(hashes), minhashPerms(numPerms).toSeq,
+        MinhashPrime))
+
+  /** All token-derived quality-classifier features in one pass (see
+    * [[QualityFeatures]]). */
+  def quality_features(text: Column, stopwords: Seq[String]): Column =
+    ExprBridge.column(QualityFeatures(col2expr(text), stopwords))
+
   /** 32-bit SimHash over a token array column (multiplicity counts). */
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))

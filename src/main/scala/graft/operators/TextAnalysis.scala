@@ -450,32 +450,37 @@ object TextAnalysis {
     * stopword fraction, digit-character fraction. The score is a
     * left-associated multiply-add of literal weights — no libm anywhere
     * — floored to integer micro-units; keep = score_micro >= 0. One
-    * zero-shuffle projection, embarrassingly parallel. */
+    * zero-shuffle projection, embarrassingly parallel.
+    *
+    * All token-derived counts come from ONE [[graft.functions.QualityFeatures]]
+    * pass routed through a Generate (explode of a one-element array, the
+    * scriptProfile idiom): the four ratio features each reference the
+    * counts struct, and a staged token array would be re-inlined — and
+    * the tokenizer re-run — per reference by CollapseProject (plan-audited
+    * 4x per doc before this shape; PlanAuditSpec now pins tokenize = 0 and
+    * quality_features = 1 in the q90 plan). NULL text explodes as a NULL
+    * struct (array(null) still has one element), keeping row parity: every
+    * feature is 0.0 and the score is exactly the bias, as before. */
   def classifierQualityFilter(df: DataFrame, idCol: String, textCol: String,
                               bias: Double, wMeanLen: Double, wAlpha: Double,
                               wStop: Double, wDigit: Double): DataFrame = {
-    val allStops = array(LangProfiles.flatMap(_._2).map(lit): _*)
     val staged = df
-      .select(col(idCol), col(textCol).as("text"),
-        ws_tokens(col(textCol)).as("toks"))
-      .withColumn("ntok", when(col("text").isNotNull, size(col("toks"))))
-      .withColumn("nchar", when(col("text").isNotNull, length(col("text"))))
-      .withColumn("mean_tok_len",
-        when(col("ntok") > 0,
-          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
-            / col("ntok")).otherwise(lit(0.0)))
-      .withColumn("alpha_frac",
-        when(col("ntok") > 0,
-          size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double")
-            / col("ntok")).otherwise(lit(0.0)))
-      .withColumn("stop_frac",
-        when(col("ntok") > 0,
-          size(filter(col("toks"), t => array_contains(allStops, t))).cast("double")
-            / col("ntok")).otherwise(lit(0.0)))
-      .withColumn("digit_frac",
-        when(col("nchar") > 0,
-          (col("nchar") - length(regexp_replace(col("text"), "[0-9]", "")))
-            .cast("double") / col("nchar")).otherwise(lit(0.0)))
+      .select(col(idCol),
+        explode(array(quality_features(col(textCol),
+          LangProfiles.flatMap(_._2)))).as("f"))
+      .select(col(idCol),
+        when(col("f.n_tok") > 0,
+          col("f.sum_tok_len").cast("double") / col("f.n_tok"))
+          .otherwise(lit(0.0)).as("mean_tok_len"),
+        when(col("f.n_tok") > 0,
+          col("f.n_alpha").cast("double") / col("f.n_tok"))
+          .otherwise(lit(0.0)).as("alpha_frac"),
+        when(col("f.n_tok") > 0,
+          col("f.n_stop").cast("double") / col("f.n_tok"))
+          .otherwise(lit(0.0)).as("stop_frac"),
+        when(col("f.n_chars") > 0,
+          col("f.n_digit").cast("double") / col("f.n_chars"))
+          .otherwise(lit(0.0)).as("digit_frac"))
     // left-associated multiply-add, mirrored exactly in the SQL oracle
     val z = lit(bias) + lit(wMeanLen) * col("mean_tok_len") +
       lit(wAlpha) * col("alpha_frac") + lit(wStop) * col("stop_frac") +

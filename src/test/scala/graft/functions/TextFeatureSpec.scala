@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Parity pins for the single-pass replacements of composed built-in
+  * shapes: [[QualityFeatures]] must reproduce the `size(filter(...))` /
+  * `aggregate(...)` feature formulas it replaced field for field, and
+  * [[MinHashSignatureFromHashes]] must be bit-identical to
+  * [[MinHashSignature]] over the strings the hashes came from — the
+  * whole point of both is that swapping them in cannot move a value,
+  * only the evaluation count. */
+class TextFeatureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val stops = Seq("the", "a", "of")
+
+  test("quality_features matches the composed built-in formulas field by field") {
+    val df = Seq(
+      (1L, "The quick brown fox 123 jumps over the lazy dog 45"),
+      (2L, "of OF Of oF"),            // case folding before stopword match
+      (3L, "1 22 333 4444"),          // no alpha, all digits
+      (4L, ""),                       // empty: zero tokens, zero chars
+      (5L, "  \t \n "),               // whitespace only
+      (6L, "naïve café £5 €10 → ok"), // multi-byte code points
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val allStops = array(stops.map(lit): _*)
+    val composed = df.select(col("id"),
+        ws_tokens(col("text")).as("toks"), col("text"))
+      .select(col("id"),
+        when(col("text").isNotNull, size(col("toks"))).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_tok_len"),
+        size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
+        size(filter(col("toks"), t => array_contains(allStops, t))).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"))
+      .orderBy("id").collect()
+    val single = df.select(col("id"), quality_features(col("text"), stops).as("f"))
+      .select(col("id"), col("f.n_tok"), col("f.sum_tok_len"), col("f.n_alpha"),
+        col("f.n_stop"), col("f.n_chars"), col("f.n_digit"))
+      .orderBy("id").collect()
+    for ((c, s) <- composed.zip(single)) {
+      assert(c.getLong(0) == s.getLong(0))
+      for (i <- 1 to 6)
+        assert((c.isNullAt(i) && s.isNullAt(i)) ||
+          (!c.isNullAt(i) && !s.isNullAt(i) && c.getLong(i) == s.getLong(i)),
+          s"id=${c.getLong(0)} field $i: composed=$c single=$s")
+    }
+    // NULL text nulls the whole struct (row 7 survives with a NULL f)
+    val nulls = df.select(col("id"), quality_features(col("text"), stops).as("f"))
+      .where(col("f").isNull).collect()
+    assert(nulls.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("minhash_sig_from_hashes is bit-identical to minhash_signature") {
+    val df = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")),
+      (2L, Seq("one two three")),
+      (3L, Seq.empty[String]) // empty set: every permutation Long.MaxValue
+    ).toDF("id", "shingles")
+    val both = df.select(col("id"),
+        minhash_signature(col("shingles"), 16).as("direct"),
+        minhash_sig_from_hashes(
+          transform(col("shingles"), s => md5_long(s)), 16).as("via_hashes"))
+      .collect()
+    for (r <- both)
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    assert(both.find(_.getLong(0) == 3L).get
+      .getSeq[Long](1).forall(_ == Long.MaxValue))
+  }
+}
