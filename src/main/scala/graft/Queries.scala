@@ -3626,6 +3626,26 @@ object Queries {
       |       ELSE 'digit' END AS dominant
       |FROM f""".stripMargin
 
+  /** IVFADC through the persisted PQ index (Similarity.buildPqIndex →
+    * loadPqIndex → ivfPqTopK) at FULL probe (nProbe = nCells): the index
+    * stores plain-vector PQ codes partitioned by coarse cell, so probing
+    * every cell must reproduce the flat-scan ADC result EXACTLY — the
+    * oracle is q93's, verbatim (single-sourced so the two can never
+    * drift). The restricted-probe path (partition pruning at the scan)
+    * is pinned by ScaleSpec. The index builds into a fresh temp dir per
+    * run — the build-once/query-many round trip (write, load, serve) is
+    * part of what this gate exercises. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pqindex")
+      .toString
+    Similarity.buildPqIndex(emb, idxDir, m = 4, ks = 8, nCells = 8)
+    val idx = Similarity.loadPqIndex(s, idxDir)
+    Similarity.ivfPqTopK(idx, emb.where(col("vec_id") < 10), k = 5, nProbe = 8)
+      .select(col("query_id"), col("cand_id"), col("adc_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3726,5 +3746,7 @@ object Queries {
     "q93_pq_ann_topk" -> Q(q93, Some(q93Sql)),
     "q94_fuzzy_decontam" -> Q(q94, Some(q94Sql)),
     "q95_snapshot_delta" -> Q(q95, Some(q95Sql)),
-    "q96_script_profile" -> Q(q96, Some(q96Sql)))
+    "q96_script_profile" -> Q(q96, Some(q96Sql)),
+    // full-probe IVFADC == flat ADC: q97 shares q93's oracle verbatim
+    "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -176,19 +176,44 @@ object Similarity {
       seeds.toSeq.map(v => v.slice(mi * sub, (mi + 1) * sub).toSeq))
   }
 
+  /** ADC score of a candidate against a query's distance table: M
+    * integer table lookups, each per-subspace squared-L2 floor-quantized
+    * to micro-units BEFORE the M-way sum, so the total is order-free and
+    * bit-stable across engines and partitionings. */
+  private def adcMicro(dtable: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
+      acc + floor(element_at(element_at(dtable, mi + 1),
+        element_at(codes, mi + 1) + 1) * 1e6))
+
+  /** Rank `(query_id, cand_id, adc_micro)` rows to per-query top-k by
+    * ascending distance — the ADC twin of [[rankTopK]]. Malformed
+    * vectors (length != dim) NULL their pq_encode / pq_dist_table, so
+    * adc_micro is NULL — dropped BEFORE ranking, or ascending
+    * NULLS-FIRST order would seat every malformed corpus row at rank 1
+    * of every query instead of degrading it out of the join (the
+    * DHashBands posture). top_k_by keeps the LARGEST structs: adc_micro
+    * rides negated for the ascending distance order, cand_id negated for
+    * its asc tiebreak. */
+  private def rankAdcTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.where(col("adc_micro").isNotNull)
+      .groupBy("query_id")
+      .agg(top_k_by(struct((-col("adc_micro")).as("neg_adc"),
+        (-col("cand_id")).as("neg_cand")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (-col("col.neg_cand")).as("cand_id"),
+        (-col("col.neg_adc")).as("adc_micro"), (col("pos") + 1).as("rank"))
+
   /** Product-quantization ANN top-k by asymmetric distance computation
     * (Jegou et al. 2011): the corpus is encoded ONCE into M small codes
     * per vector (`pq_encode` — the localCheckpoint stands in for the
-    * persisted index table a real deployment maintains), each query
-    * precomputes its M x ks squared-L2 lookup table (`pq_dist_table`,
-    * broadcast with the query row), and scoring a candidate is M integer
-    * table lookups instead of a dim-length float fold — dim/M times less
-    * per-candidate work than bruteForceTopK, on a code table ~dim/M
-    * times smaller than the raw vectors. Per-subspace distances are
-    * floor-quantized to integer micro-units BEFORE the M-way sum, so the
-    * total is order-free and bit-stable across engines and partitionings.
-    * This is the flat-scan ADC kernel; at corpus scale it composes with
-    * the IVF cell restriction (ivfTopK's probe join) to scan only probed
+    * persisted index [[buildPqIndex]] maintains; use [[ivfPqTopK]] for
+    * the build-once/query-many serving shape), each query precomputes
+    * its M x ks squared-L2 lookup table (`pq_dist_table`, broadcast with
+    * the query row), and scoring a candidate is M integer table lookups
+    * instead of a dim-length float fold — dim/M times less per-candidate
+    * work than bruteForceTopK, on a code table ~dim/M times smaller than
+    * the raw vectors. This is the flat-scan ADC kernel; [[ivfPqTopK]]
+    * composes it with the IVF cell restriction to scan only probed
     * cells — IVFADC. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ks: Int = 8): DataFrame = {
@@ -202,22 +227,94 @@ object Similarity {
       pq_dist_table(col("embedding"), cb).as("dtable"))
     val scored = codes.join(broadcast(qt), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, mi) =>
-          acc + floor(element_at(element_at(col("dtable"), mi + 1),
-            element_at(col("codes"), mi + 1) + 1) * 1e6)).as("adc_micro"))
-    // Malformed vectors (length != dim) NULL their pq_encode /
-    // pq_dist_table, so adc_micro is NULL — drop them BEFORE ranking, or
-    // ascending NULLS-FIRST order would seat every malformed corpus row
-    // at rank 1 of every query instead of degrading it out of the join
-    // (the DHashBands posture).
-    val valid = scored.where(col("adc_micro").isNotNull)
-    // top_k_by keeps the LARGEST structs: adc_micro rides negated for the
-    // ascending distance order, cand_id negated for its asc tiebreak.
-    valid.groupBy("query_id")
-      .agg(top_k_by(struct((-col("adc_micro")).as("neg_adc"),
-        (-col("cand_id")).as("neg_cand")), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (-col("col.neg_cand")).as("cand_id"),
-        (-col("col.neg_adc")).as("adc_micro"), (col("pos") + 1).as("rank"))
+        adcMicro(col("dtable"), col("codes"), m).as("adc_micro"))
+    rankAdcTopK(scored, k)
+  }
+
+  /** A persisted IVF-PQ index loaded for serving: the parquet-backed
+    * code table (one row per corpus vector: id, coarse cell, M PQ codes)
+    * plus the bounded coarse-quantizer centroids and per-subspace
+    * codebooks collected to the driver (nCells x dim + M x ks x dim/M
+    * doubles — plan-literal size, the q48 codebook stance). */
+  case class PqIndex(codes: DataFrame, centroids: Array[Array[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Build the persisted IVF-PQ index — the build-once/query-many half
+    * of the IVFADC serving shape (Jegou et al. 2011 §V: inverted file +
+    * asymmetric distance). One corpus scan encodes every vector to its
+    * coarse cell (`ivf_assign`) and M PQ codes (`pq_encode`); the code
+    * table lands in parquet PARTITIONED BY cell, so a query probing
+    * nProbe cells prunes every other cell's files at the scan (static
+    * partition pruning — the on-disk analogue of the inverted lists).
+    * Codes are plain-vector PQ (not residual-to-centroid): the index
+    * then serves flat ADC and IVFADC interchangeably and full-probe
+    * IVFADC is EXACTLY flat ADC (the q97 oracle gate); residual
+    * encoding drops in by swapping the pq_encode input. Centroids and
+    * codebooks persist alongside as two tiny parquet tables.
+    *
+    * `centroids` defaults to the deterministic first-`nCells` seed (the
+    * exact-oracle configuration); pass [[kmeansCentroids]] for a trained
+    * coarse quantizer — nothing structural changes. */
+  def buildPqIndex(corpus: DataFrame, dir: String, m: Int = 4, ks: Int = 8,
+                   nCells: Int = 8,
+                   centroids: Array[Array[Double]] = null): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = if (centroids != null) centroids else seedCentroids(corpus, nCells)
+    val cb = pqCodebooks(corpus, m, ks)
+    corpus.select(col("vec_id"),
+        ivf_assign(col("embedding"), cents).as("cell"),
+        pq_encode(col("embedding"), cb).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.zipWithIndex.flatMap { case (codebook, sub) =>
+      codebook.zipWithIndex.map { case (cv, j) => (sub, j, cv) } }
+      .toDF("sub", "code", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a [[buildPqIndex]] directory for serving. The code table stays
+    * a lazy parquet frame (partition-prunable); centroids and codebooks
+    * are bounded driver collects. */
+  def loadPqIndex(spark: SparkSession, dir: String): PqIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val cb = (0 until m).map(sub => cbRows.filter(_.getInt(0) == sub)
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2)).toSeq)
+    PqIndex(spark.read.parquet(s"$dir/codes"), cents, cb)
+  }
+
+  /** IVFADC top-k over a persisted index (Jegou et al. 2011 §V): each
+    * query probes its `nProbe` nearest coarse cells and ADC-scores ONLY
+    * the code-table rows in those cells — the actual 100 TB ANN serving
+    * shape ([[pqTopK]] is the flat-scan kernel; [[ivfTopK]] the
+    * uncompressed cell restriction).
+    *
+    * Probe restriction happens TWICE, deliberately: the distinct probed
+    * cells (a bounded driver collect — at most nCells values) become a
+    * LITERAL `isin` predicate on the code table's partition column, so
+    * the parquet scan statically prunes every unprobed cell's files
+    * (PartitionFilters at the scan, pinned by ScaleSpec); the per-query
+    * assignment then rides the broadcast equi-join on cell id. With
+    * nProbe = nCells the result is EXACTLY [[pqTopK]]'s flat ADC — the
+    * q97 oracle gate. */
+  def ivfPqTopK(index: PqIndex, queries: DataFrame, k: Int,
+                nProbe: Int = 2): DataFrame = {
+    val m = index.codebooks.length
+    val probes = queries.select(col("vec_id").as("query_id"),
+      pq_dist_table(col("embedding"), index.codebooks).as("dtable"),
+      explode(ivf_probes(col("embedding"), index.centroids, nProbe)).as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0): Any)
+    val codes = index.codes.where(col("cell").isin(probedCells: _*))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        adcMicro(col("dtable"), col("codes"), m).as("adc_micro"))
+    rankAdcTopK(scored, k)
   }
 }

@@ -115,6 +115,43 @@ class ScaleSpec extends SparkTestBase {
       s"exact twin not at the minimum ADC distance: ${top.toSeq}")
   }
 
+  test("persisted IVFADC: full probe == flat ADC, restricted probe prunes cell partitions") {
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    val df = (0L until 60L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.buildPqIndex(df, dir, m = 4, ks = 8, nCells = 4)
+    val idx = Similarity.loadPqIndex(spark, dir)
+    assert(idx.centroids.length == 4 && idx.codebooks.length == 4 &&
+      idx.codebooks.head.length == 8 && idx.codebooks.head.head.length == 2)
+    // probing every cell through the persisted index reproduces the
+    // flat-scan ADC exactly (the q97 oracle gate's claim, spark-side)
+    val queries = df.where(col("vec_id") < 3)
+    val full = Similarity.ivfPqTopK(idx, queries, k = 4, nProbe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val flat = Similarity.pqTopK(df, queries, k = 4, m = 4, ks = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == flat)
+    // restricted probe: the probed-cell set becomes a LITERAL partition
+    // filter, so the parquet scan prunes every other cell's files —
+    // PartitionFilters must be non-empty at the scan node
+    val q0 = df.where(col("vec_id") === 0L)
+    val restricted = Similarity.ivfPqTopK(idx, q0, k = 4, nProbe = 1)
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe restriction did not reach the scan as a partition filter:\n$plan")
+    // and every returned candidate really lives in the probed cell
+    val probed = q0.select(explode(
+        graft.functions.ivf_probes(col("embedding"), idx.centroids, 1)))
+      .collect().map(_.getInt(0)).toSet
+    val cellOf = idx.codes.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cands = restricted.select("cand_id").collect().map(_.getLong(0))
+    assert(cands.nonEmpty && cands.forall(c => probed.contains(cellOf(c))))
+  }
+
   test("trained k-means recovers well-separated cluster means and full-probe IVF is exact") {
     val rnd = new scala.util.Random(5)
     val dim = 4
