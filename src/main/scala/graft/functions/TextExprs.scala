@@ -492,3 +492,49 @@ case class QualityFeatures(child: Expression, stopwords: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): QualityFeatures =
     copy(child = newChild)
 }
+
+/** Hashing-trick bucket histogram of a document in ONE pass: tokenize,
+  * hash each token (md5Long mod `dim` — identical to
+  * `pmod(md5_long(tok), dim)` over `ws_tokens`), and count per bucket in
+  * a single LinkedHashMap walk, emitting array<struct<dim, cnt>> in
+  * first-occurrence bucket order (what `array_distinct` over the hashed
+  * token array produced). Replaces the composed
+  * `transform(array_distinct(dims), d -> size(filter(dims, _ == d)))`
+  * shape, which tokenized twice and paid O(tokens x distinct buckets)
+  * per document — quadratic for long documents; this is O(tokens).
+  * Zero-count buckets stay absent; NULL text nulls the array (and an
+  * explode drops the row, as before). */
+case class HashBucketCounts(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 2 && dim <= (1 << 24), s"hash_bucket_counts dim out of range: $dim")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dim", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hash_bucket_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hash_bucket_counts needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
+    val counts = new java.util.LinkedHashMap[Long, Long]()
+    var i = 0
+    while (i < toks.length) {
+      val b = TextKernels.md5Long(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)) % dim
+      counts.put(b, counts.getOrDefault(b, 0L) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashBucketCounts =
+    copy(child = newChild)
+}

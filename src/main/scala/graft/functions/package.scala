@@ -341,6 +341,11 @@ package object functions {
   def quality_features(text: Column, stopwords: Seq[String]): Column =
     ExprBridge.column(QualityFeatures(col2expr(text), stopwords))
 
+  /** Hashing-trick bucket histogram of a document in one pass (see
+    * [[HashBucketCounts]]). */
+  def hash_bucket_counts(text: Column, dim: Int): Column =
+    ExprBridge.column(HashBucketCounts(col2expr(text), dim))
+
   /** 32-bit SimHash over a token array column (multiplicity counts). */
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.functions.{bloom_contains, hist_agg, hist_quantile, hll_distinct, md5_long, top_k_by, word_shingles, ws_tokens}
+import graft.functions.{bloom_contains, hash_bucket_counts, hist_agg, hist_quantile, hll_distinct, md5_long, top_k_by, word_shingles, ws_tokens}
 
 /** Structured Streaming surface. The reference is strictly batch
   * (SURVEY.md §2.10); its one streaming-adjacent behavior is incremental
@@ -340,20 +340,19 @@ object Streaming {
   /** Continuous-ingest hashing-trick vectorizer. The batch form's
     * (doc, dim) groupBy would become a STATEFUL streaming aggregate —
     * unbounded state for a computation that is complete the moment the
-    * document arrives — so here the bucket histogram is computed inside
-    * the row (distinct dims of the token array, each counted within the
-    * array) and exploded: stateless, append-mode, emitting exactly
-    * TextAnalysis.hashingVectorizer's (doc_id, dim, cnt) rows. The token
-    * array is referenced twice inside the single expression tree (2x
-    * tokenize per doc — the price of statelessness, cheap next to any
-    * state store); zero-count buckets stay absent. */
+    * document arrives — so the bucket histogram is computed inside the
+    * row by the single-pass [[graft.functions.hash_bucket_counts]]
+    * expression (tokenize once, one O(tokens) map walk) and exploded:
+    * stateless, append-mode, emitting exactly
+    * TextAnalysis.hashingVectorizer's (doc_id, dim, cnt) rows. The
+    * previous composed form — `size(filter(dims, _ == d))` per distinct
+    * bucket — tokenized twice and paid O(tokens x distinct buckets) per
+    * document, quadratic on long documents; zero-count buckets stay
+    * absent either way. */
   def streamingVectorize(docs: DataFrame, dim: Int): DataFrame = {
     require(dim >= 2 && dim <= (1 << 24), s"streamingVectorize dim out of range: $dim")
-    def dims = transform(ws_tokens(col("text")),
-      t => pmod(md5_long(t), lit(dim.toLong)))
-    docs.select(col("doc_id"), explode(transform(array_distinct(dims),
-        d => struct(d.as("dim"),
-          size(filter(dims, x => x === d)).cast("long").as("cnt")))).as("e"))
+    docs.select(col("doc_id"),
+        explode(hash_bucket_counts(col("text"), dim)).as("e"))
       .select(col("doc_id"), col("e.dim").as("dim"), col("e.cnt").as("cnt"))
   }
 

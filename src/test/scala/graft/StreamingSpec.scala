@@ -192,6 +192,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming vectorizer matches batch on a long skewed document") {
+    // 20k tokens over ~1.5k distinct words into 256 buckets — the shape
+    // where the old per-distinct-bucket rescan went quadratic; the
+    // single-pass histogram must still match the batch groupBy exactly
+    implicit val sqlCtx = spark.sqlContext
+    val words = (0 until 20000).map(i => s"w${i % 1499}")
+    val doc = (7L, words.mkString(" "))
+    val batch = graft.operators.TextAnalysis.hashingVectorizer(
+        Seq(doc).toDF("doc_id", "text"), "doc_id", "text", 256)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingVectorize(mem.toDF().toDF("doc_id", "text"), 256)
+      .writeStream.format("memory").queryName("veczlong").outputMode("append").start()
+    try {
+      mem.addData(doc)
+      q.processAllAvailable()
+      val streamed = spark.table("veczlong").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.toSeq.map(_(2).asInstanceOf[Long]).sum == 20000L)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp)]
