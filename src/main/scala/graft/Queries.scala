@@ -3646,6 +3646,54 @@ object Queries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Incremental MinHash index maintenance (Snapshot.updateSignatureIndex)
+    * on the q95 snapshot fixture: the previous snapshot's banded
+    * signature index, updated through Snapshot.delta — re-fingerprinting
+    * ONLY added/changed docs, retiring removed ones, keeping unchanged
+    * rows untouched — must equal the FULL REBUILD on the current
+    * snapshot, because signatures are deterministic. The oracle IS that
+    * full rebuild, replayed in SQL over the current fixture (the q18
+    * signature replay, banded and string-joined); band signatures ride
+    * as comma-joined strings (scalar cells — the driver comparator
+    * rejects list cells). */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prev = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+    val cur = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    val prevIdx = Dedup.bandedSignatures(prev, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2)
+    val d = Snapshot.delta(prev, cur, "doc_id", "text")
+    Snapshot.updateSignatureIndex(prevIdx, d, cur, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2)
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        array_join(transform(col("band_sig"), x => x.cast("string")), ",")
+          .as("band_sig"))
+  }
+
+  private val q98Sql = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH c0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 != 0),
+       |toks AS (SELECT doc_id, $toksSql AS tk FROM c0),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |perms(perm, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT sh.doc_id, p.perm,
+       |    list_min(list_transform(sh.shingles,
+       |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |  FROM sh CROSS JOIN perms p
+       |  WHERE len(sh.shingles) > 0)
+       |SELECT doc_id, CAST(perm // 2 AS BIGINT) AS band,
+       |  string_agg(sig, ',' ORDER BY perm) AS band_sig
+       |FROM sigs GROUP BY doc_id, perm // 2""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3748,5 +3796,6 @@ object Queries {
     "q95_snapshot_delta" -> Q(q95, Some(q95Sql)),
     "q96_script_profile" -> Q(q96, Some(q96Sql)),
     // full-probe IVFADC == flat ADC: q97 shares q93's oracle verbatim
-    "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)))
+    "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)),
+    "q98_incremental_index" -> Q(q98, Some(q98Sql)))
 }

@@ -32,4 +32,38 @@ object Snapshot {
           .when(col("h_prev") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Incremental maintenance of the banded MinHash signature index
+    * ([[Dedup.bandedSignatures]]' (doc_id, band, band_sig) table — the
+    * LSH bucket keys candidate generation joins on): given the previous
+    * index and a [[delta]] classification, re-fingerprint ONLY
+    * `added`/`changed` docs and retire `removed` ones — `unchanged`
+    * docs (the overwhelming bulk of a re-crawl) keep their previous
+    * signature rows untouched, so the per-release fingerprint cost is
+    * O(|delta|), not O(|corpus|).
+    *
+    * Two joins, both keyed on doc_id: the previous index anti-joins the
+    * retire list (`removed` + `changed` — `added` ids are absent from it
+    * by definition), and the current corpus semi-joins the refresh list
+    * (`added` + `changed`) before fingerprinting, so the tokenizer never
+    * touches an unchanged document. No broadcast hint on either list: a
+    * steady-state delta broadcasts via AQE's size estimate; a
+    * full-churn re-crawl degrades to a shuffled anti-join instead of
+    * OOMing the driver. Deterministic signatures make the result
+    * EXACTLY the full rebuild on the current snapshot — the q98 oracle
+    * gate replays that equality in SQL. */
+  def updateSignatureIndex(prevIndex: DataFrame, delta: DataFrame,
+                           cur: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 2): DataFrame = {
+    val retire = delta.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val refresh = delta.where(col("status").isin("added", "changed"))
+      .select(col("doc_id").as(idCol))
+    val kept = prevIndex.join(retire, Seq("doc_id"), "left_anti")
+    val fresh = Dedup.bandedSignatures(
+      cur.join(refresh, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN, bands, rowsPerBand)
+    kept.unionByName(fresh)
+  }
 }

@@ -203,6 +203,36 @@ class OperatorSpec extends SparkTestBase {
     assert(fp.count() == 3) // evaluates without throwing
   }
 
+  test("updateSignatureIndex touches only added/changed docs and retires removed") {
+    import graft.operators.Snapshot
+    val prev = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"),
+      (3L, "doomed text gets removed now")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha beta gamma delta"),        // unchanged
+      (2L, "one two three four CHANGED"),    // changed
+      (5L, "brand new arrival text here")).toDF("doc_id", "text") // added
+    val d = Snapshot.delta(prev, cur, "doc_id", "text")
+    // TAMPER doc 1's previous signatures: if the incremental path
+    // recomputed unchanged docs, the tampered rows could not survive
+    val tampered = Dedup.bandedSignatures(prev, "doc_id", "text", 3, 8, 2)
+      .withColumn("band_sig", when(col("doc_id") === 1L,
+        typedLit(Seq(-9L, -9L))).otherwise(col("band_sig")))
+    val out = Snapshot.updateSignatureIndex(tampered, d, cur, "doc_id", "text",
+      3, 8, 2).collect()
+    assert(out.filter(_.getLong(0) == 1L)
+      .forall(_.getSeq[Long](2) == Seq(-9L, -9L)), "unchanged doc was recomputed")
+    assert(!out.exists(_.getLong(0) == 3L), "removed doc not retired")
+    // changed + added docs carry fresh signatures == the full rebuild's
+    val rebuilt = Dedup.bandedSignatures(cur, "doc_id", "text", 3, 8, 2)
+      .where(col("doc_id").isin(2L, 5L))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    val freshened = out.filter(r => r.getLong(0) == 2L || r.getLong(0) == 5L)
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    assert(freshened == rebuilt)
+  }
+
   test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
     val df = Seq(
       (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),
