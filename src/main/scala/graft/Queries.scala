@@ -3694,6 +3694,48 @@ object Queries {
        |FROM sigs GROUP BY doc_id, perm // 2""".stripMargin
   }
 
+  /** Bigram-LM perplexity filter (TextAnalysis.ccnetPerplexityFilter):
+    * the CCNet gate with a corpus-trained add-one bigram LM. Per-bigram
+    * negative log-probs quantize to integer micro-nats at the
+    * vocabulary table (ln once per distinct bigram — the q58/q91
+    * discipline), doc scores are integer sums, the mean is an integral
+    * division; the oracle replays the count tables, the single rounded
+    * ln, and the threshold compare. Threshold 3.39 nats/bigram sits at
+    * the fixture's median, so keeps and drops both occur. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ccnetPerplexityFilter(t(s, dir, "documents"), "doc_id", "text",
+      thresholdMicro = 3390000L)
+
+  private val q99Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |bgx AS (
+       |  SELECT doc_id, unnest([concat_ws(' ', tk[i], tk[i+1])
+       |                         for i in range(1, len(tk))]) AS bg
+       |  FROM toks),
+       |c12 AS (SELECT bg, count(*) AS c12 FROM bgx GROUP BY bg),
+       |pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+       |        FROM c12 GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS V FROM c12),
+       |nll AS (
+       |  SELECT c12.bg,
+       |    -CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (pre.c1 + vv.V))
+       |                * 1000000.0) AS BIGINT) AS nll_micro
+       |  FROM c12 JOIN pre ON split_part(c12.bg, ' ', 1) = pre.w1
+       |  CROSS JOIN vv),
+       |sc AS (
+       |  SELECT b.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(n.nll_micro) AS BIGINT) AS nll_sum
+       |  FROM bgx b JOIN nll n ON n.bg = b.bg GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(sc.nll_sum, 0) AS BIGINT) AS nll_sum_micro,
+       |  CAST(CASE WHEN sc.n_bigrams > 0 THEN sc.nll_sum // sc.n_bigrams
+       |            ELSE 0 END AS BIGINT) AS nll_avg_micro,
+       |  coalesce(sc.n_bigrams, 0) > 0 AND
+       |    (CASE WHEN sc.n_bigrams > 0 THEN sc.nll_sum // sc.n_bigrams
+       |          ELSE 0 END) <= 3390000 AS keep
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3797,5 +3839,6 @@ object Queries {
     "q96_script_profile" -> Q(q96, Some(q96Sql)),
     // full-probe IVFADC == flat ADC: q97 shares q93's oracle verbatim
     "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)),
-    "q98_incremental_index" -> Q(q98, Some(q98Sql)))
+    "q98_incremental_index" -> Q(q98, Some(q98Sql)),
+    "q99_perplexity_filter" -> Q(q99, Some(q99Sql)))
 }

@@ -542,6 +542,57 @@ object TextAnalysis {
         (lnuQ < coalesce(col("slr"), lit(0L))).as("sampled"))
   }
 
+  /** Bigram-LM perplexity quality filter — the CCNet shape (Wenzek et
+    * al. 2020, arXiv:1911.00359 §3.3: score every document by a language
+    * model's perplexity and gate on a threshold; CCNet uses a 5-gram
+    * KenLM, here the LM is an add-one-smoothed conditional bigram model
+    * trained on the corpus itself — the serving path is identical and a
+    * higher-order/externally-trained table drops into the same join).
+    *
+    * ONE corpus scan builds the bigram count table (the only
+    * token-level shuffle); prefix totals c(w1·) = Σ_w2 c(w1 w2) and the
+    * suffix vocabulary size V both derive from that AGGREGATED table,
+    * not from extra corpus scans, and the per-bigram negative log-prob
+    * -ln((c12+1)/(c1+V)) is quantized to integer micro-nats AT THE
+    * VOCABULARY TABLE (q58/q91's discipline: ln once per distinct
+    * bigram, rounded once, summed as integers — order-free and
+    * engine-exact). A second scan joins documents' bigrams against the
+    * table and sums. Per-doc mean NLL uses integral division
+    * (micro-nat sum // n_bigrams — a terminating ratio must never meet
+    * round-half, q71's lesson). Docs with fewer than two tokens have no
+    * bigrams: they keep row parity with n_bigrams = 0 and keep = false
+    * (the CCNet head/tail buckets drop degenerate docs too). */
+  def ccnetPerplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                            thresholdMicro: Long): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(word_shingles(ws_tokens(col(textCol)), 2)).as("bg"))
+    // vocab-sized; feeds prefix totals, V, and the nll table — without
+    // materialization each consumer re-derives it from a full tokenized
+    // corpus scan (the q73/q91 double-scan trap)
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12")).localCheckpoint()
+    val pre = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = c12.agg(
+      countDistinct(substring_index(col("bg"), " ", -1)).as("V"))
+    val nll = c12.join(pre, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        (-round(log((col("c12") + 1).cast("double") / (col("c1") + col("V")))
+          * 1e6, 0).cast("long")).as("nll_micro"))
+    val scored = bg.join(nll, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_sum"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_sum_micro"),
+        when(col("n_bigrams") > 0, expr("nll_sum div n_bigrams"))
+          .otherwise(lit(0L)).as("nll_avg_micro"),
+        (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+          when(col("n_bigrams") > 0, expr("nll_sum div n_bigrams"))
+            .otherwise(lit(0L)) <= thresholdMicro).as("keep"))
+  }
+
   /** Unicode-script profiling: per-document counts of Latin / Cyrillic /
     * Han / digit characters, an integer-micro Latin fraction, and the
     * dominant script — the multilingual-curation complement of langId

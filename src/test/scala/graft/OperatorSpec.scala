@@ -233,6 +233,31 @@ class OperatorSpec extends SparkTestBase {
     assert(freshened == rebuilt)
   }
 
+  test("ccnetPerplexityFilter scores predictable text lower and drops degenerate docs") {
+    import graft.operators.TextAnalysis
+    // docs 1-3 repeat the same bigrams (a predictable sub-language);
+    // doc 4 is one-of-a-kind bigrams; docs 5/6 have no bigrams at all
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "zq wv xj kp qr bn"),
+      (5L, "single"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.ccnetPerplexityFilter(docs, "doc_id", "text",
+      thresholdMicro = Long.MaxValue).orderBy("doc_id").collect()
+    assert(out.length == 6) // row parity incl. degenerate docs
+    val avg = out.map(r => r.getLong(0) -> r.getAs[Long]("nll_avg_micro")).toMap
+    assert(avg(1L) == avg(2L)) // identical docs, identical score
+    assert(avg(1L) < avg(4L), s"repeated bigrams must be cheaper: $avg")
+    // no-bigram docs: zero counts, keep = false even at +inf threshold
+    for (id <- Seq(5L, 6L)) {
+      val r = out.find(_.getLong(0) == id).get
+      assert(r.getAs[Long]("n_bigrams") == 0L && !r.getAs[Boolean]("keep"))
+    }
+    assert(out.filter(r => r.getLong(0) <= 4L).forall(_.getAs[Boolean]("keep")))
+  }
+
   test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
     val df = Seq(
       (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),

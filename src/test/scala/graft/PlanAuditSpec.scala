@@ -206,7 +206,10 @@ class PlanAuditSpec extends SparkTestBase {
       // quality_features expression (no tokenize in the plan at all);
       // q91: vocab-build scan + doc roll-up scan
       "q90_quality_classifier" -> 0, "q91_dsir_sample" -> 2,
-      "q94_fuzzy_decontam" -> 0)
+      "q94_fuzzy_decontam" -> 0,
+      // q99: LM-build scan + scoring scan (prefix totals and V derive
+      // from the aggregated bigram table, not extra corpus scans)
+      "q99_perplexity_filter" -> 2)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
