@@ -3736,6 +3736,84 @@ object Queries {
        |          ELSE 0 END) <= 3390000 AS keep
        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
 
+  /** Incremental PQ-index maintenance (Similarity.updatePqIndex) on an
+    * embedding-snapshot delta: prev = vectors with id % 7 != 0 (the
+    * index is built from these — its centroids and codebooks stay
+    * FIXED through the delta), cur = vectors with id % 5 != 0 where
+    * every 11th vector shifted by +0.25 per coordinate. The update
+    * re-encodes only added/changed vectors (delta via the quantized
+    * vector fingerprint), retires removed ones, keeps unchanged rows;
+    * the oracle is the FULL re-encode of cur against prev's seeds —
+    * coarse argmax-cosine assign (q39's replay) + per-subspace argmin
+    * codes (q93's replay) — which deterministic encoding makes
+    * identical. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val prev = emb.where(pmod(col("vec_id"), lit(7L)) =!= 0)
+    val cur = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
+      .select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(11L)) === 0,
+          transform(col("embedding"), x => x + lit(0.25f)))
+          .otherwise(col("embedding")).as("embedding"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pqdelta")
+      .toString
+    Similarity.buildPqIndex(prev, idxDir, m = 4, ks = 8, nCells = 8)
+    val idx = Similarity.loadPqIndex(s, idxDir)
+    val d = Snapshot.delta(prev, cur, "vec_id",
+      Snapshot.vecFingerprint(col("embedding")))
+    Similarity.updatePqIndex(idx, d, cur)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        array_join(transform(col("codes"), x => x.cast("string")), ",")
+          .as("codes"))
+  }
+
+  private val q100Sql = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    def subL2(x: String, c: String, sub: String) =
+      s"""list_reduce(list_transform(range(1, 17),
+         |      i -> (CAST($x[$sub*16 + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+         |         * (CAST($x[$sub*16 + i] AS DOUBLE) - CAST($c[i] AS DOUBLE))),
+         |      (p, q) -> p + q)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 11 = 0
+       |    THEN list_transform(embedding, x -> x + CAST(0.25 AS FLOAT))
+       |    ELSE embedding END AS v
+       |  FROM embeddings WHERE vec_id % 5 != 0),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, embedding AS sv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 7 != 0 ORDER BY vec_id LIMIT 8)),
+       |vc AS (
+       |  SELECT c0.vec_id, seed.i,
+       |    ${dot("c0.v", "seed.sv")}
+       |      / (sqrt(${dot("c0.v", "c0.v")}) * sqrt(${dot("seed.sv", "seed.sv")})) AS s
+       |  FROM c0 CROSS JOIN seed),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |cb AS (
+       |  SELECT s.sub, seed.i AS j,
+       |    seed.sv[(s.sub*16 + 1):(s.sub*16 + 16)] AS cv
+       |  FROM seed, range(4) s(sub)),
+       |vd AS (
+       |  SELECT c0.vec_id, cb.sub, cb.j,
+       |    ${subL2("c0.v", "cb.cv", "cb.sub")} AS d
+       |  FROM c0 CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, j AS code FROM (
+       |    SELECT vec_id, sub, j,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, j ASC) AS rn
+       |    FROM vd) WHERE rn = 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  string_agg(c.code, ',' ORDER BY c.sub) AS codes
+       |FROM assign a JOIN codes c ON c.vec_id = a.vec_id
+       |GROUP BY a.vec_id, a.cell""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3840,5 +3918,6 @@ object Queries {
     // full-probe IVFADC == flat ADC: q97 shares q93's oracle verbatim
     "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)),
     "q98_incremental_index" -> Q(q98, Some(q98Sql)),
-    "q99_perplexity_filter" -> Q(q99, Some(q99Sql)))
+    "q99_perplexity_filter" -> Q(q99, Some(q99Sql)),
+    "q100_incremental_pq" -> Q(q100, Some(q100Sql)))
 }

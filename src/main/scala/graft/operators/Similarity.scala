@@ -302,6 +302,34 @@ object Similarity {
     * assignment then rides the broadcast equi-join on cell id. With
     * nProbe = nCells the result is EXACTLY [[pqTopK]]'s flat ADC — the
     * q97 oracle gate. */
+  /** Incremental maintenance of a persisted PQ code table (the q98
+    * discipline applied to the ANN index): given the previous index and
+    * a [[Snapshot.delta]] classification over the embedding corpus
+    * (fingerprint via [[Snapshot.vecFingerprint]]), re-encode ONLY
+    * `added`/`changed` vectors — against the index's EXISTING centroids
+    * and codebooks, which a delta never retrains — and retire `removed`
+    * ones; `unchanged` rows keep their code-table rows untouched, so the
+    * per-re-embed cost is O(|delta|) encodes, not O(|corpus|).
+    * Deterministic encoding makes the result exactly the full re-encode
+    * of the current snapshot with the same codebooks (the q100 oracle
+    * gate). Returns the updated (vec_id, cell, codes) table; land it
+    * with a cell-partitioned write (dynamic partition overwrite touches
+    * only the cells the delta reached). */
+  def updatePqIndex(index: PqIndex, delta: DataFrame, cur: DataFrame,
+                    idCol: String = "vec_id"): DataFrame = {
+    val retire = delta.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id").as("vec_id"))
+    val refresh = delta.where(col("status").isin("added", "changed"))
+      .select(col("doc_id").as(idCol))
+    val kept = index.codes.join(retire, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val fresh = cur.join(refresh, Seq(idCol), "left_semi")
+      .select(col(idCol).as("vec_id"),
+        ivf_assign(col("embedding"), index.centroids).as("cell"),
+        pq_encode(col("embedding"), index.codebooks).as("codes"))
+    kept.unionByName(fresh)
+  }
+
   def ivfPqTopK(index: PqIndex, queries: DataFrame, k: Int,
                 nProbe: Int = 2): DataFrame = {
     val m = index.codebooks.length

@@ -20,10 +20,17 @@ import graft.functions._
 object Snapshot {
 
   def delta(prev: DataFrame, cur: DataFrame,
-            idCol: String, textCol: String): DataFrame = {
-    val p = prev.select(col(idCol).as("id"), md5_long(col(textCol)).as("h_prev"),
+            idCol: String, textCol: String): DataFrame =
+    delta(prev, cur, idCol, md5_long(col(textCol)))
+
+  /** [[delta]] with a caller-supplied content fingerprint expression —
+    * any deterministic Column over each side's rows (e.g.
+    * [[vecFingerprint]] for embedding snapshots). */
+  def delta(prev: DataFrame, cur: DataFrame,
+            idCol: String, fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    val p = prev.select(col(idCol).as("id"), fingerprint.as("h_prev"),
       lit(true).as("in_prev"))
-    val c = cur.select(col(idCol).as("id"), md5_long(col(textCol)).as("h_cur"),
+    val c = cur.select(col(idCol).as("id"), fingerprint.as("h_cur"),
       lit(true).as("in_cur"))
     p.join(c, Seq("id"), "full_outer")
       .select(col("id").as("doc_id"),
@@ -32,6 +39,16 @@ object Snapshot {
           .when(col("h_prev") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** 60-bit content fingerprint of a float-vector column, for
+    * embedding-snapshot [[delta]]s: coordinates quantize to micro-unit
+    * integers BEFORE the string join (integer decimal formatting is
+    * identical in every engine; float formatting is not), then hash.
+    * Two longs per vector cross the delta join, never the vector. */
+  def vecFingerprint(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5_long(array_join(
+      transform(v, x => floor(x.cast("double") * 1e6).cast("long").cast("string")),
+      ","))
 
   /** Incremental maintenance of the banded MinHash signature index
     * ([[Dedup.bandedSignatures]]' (doc_id, band, band_sig) table — the

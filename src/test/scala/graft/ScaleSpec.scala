@@ -152,6 +152,44 @@ class ScaleSpec extends SparkTestBase {
     assert(cands.nonEmpty && cands.forall(c => probed.contains(cellOf(c))))
   }
 
+  test("updatePqIndex re-encodes only added/changed vectors against fixed codebooks") {
+    import graft.operators.Snapshot
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    def vec() = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val prevRows = (0L until 40L).map(i => (i, vec()))
+    val prev = prevRows.toDF("vec_id", "embedding")
+    // cur: vec 5 changed, vec 7 removed, vec 50 added
+    val curRows = prevRows.filterNot(_._1 == 7L).map {
+      case (5L, v) => (5L, v.map(x => x + 0.5f))
+      case r => r
+    } :+ (50L, vec())
+    val cur = curRows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqdelta").toString
+    Similarity.buildPqIndex(prev, dir, m = 4, ks = 8, nCells = 4)
+    val idx = Similarity.loadPqIndex(spark, dir)
+    val d = Snapshot.delta(prev, cur, "vec_id",
+      Snapshot.vecFingerprint(col("embedding")))
+    // TAMPER vec 0's stored codes: unchanged rows must survive verbatim
+    val tampered = idx.copy(codes = idx.codes.withColumn("codes",
+      when(col("vec_id") === 0L, typedLit(Seq(-1, -1, -1, -1)))
+        .otherwise(col("codes"))))
+    val out = Similarity.updatePqIndex(tampered, d, cur).collect()
+    assert(out.find(_.getLong(0) == 0L).get.getSeq[Int](2) == Seq(-1, -1, -1, -1),
+      "unchanged vector was re-encoded")
+    assert(!out.exists(_.getLong(0) == 7L), "removed vector not retired")
+    // changed + added rows equal a fresh encode with the SAME index
+    // codebooks (never retrained by a delta)
+    val expect = cur.where(col("vec_id").isin(5L, 50L))
+      .select(col("vec_id"),
+        graft.functions.ivf_assign(col("embedding"), idx.centroids).as("cell"),
+        graft.functions.pq_encode(col("embedding"), idx.codebooks).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val got = out.filter(r => r.getLong(0) == 5L || r.getLong(0) == 50L)
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(got == expect)
+  }
+
   test("trained k-means recovers well-separated cluster means and full-probe IVF is exact") {
     val rnd = new scala.util.Random(5)
     val dim = 4
