@@ -3814,6 +3814,47 @@ object Queries {
        |GROUP BY a.vec_id, a.cell""".stripMargin
   }
 
+  /** Cluster-balanced sampling (Similarity.clusterBalancedSample):
+    * at most 30 vectors per coarse cell, selected by deterministic
+    * md5-of-id order — hot cells trim to the quota, cold cells survive
+    * whole. The oracle replays the q39 cell assignment and ranks by the
+    * same hash (row_number per cell, hash asc, id tiebreak). */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(t(s, dir, "embeddings"), quota = 30,
+        nCells = 8)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"))
+
+  private val q101Sql = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |vc AS (
+       |  SELECT e.vec_id, cent.i,
+       |    ${dot("e.v", "cent.cv")}
+       |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("cent.cv", "cent.cv")})) AS s
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |h AS (
+       |  SELECT vec_id, cell,
+       |    ${md5LongSql("CAST(vec_id AS VARCHAR)")} AS hh
+       |  FROM assign),
+       |r AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY hh ASC, vec_id ASC) AS rank
+       |  FROM h)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 30""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3919,5 +3960,6 @@ object Queries {
     "q97_ivfpq_index_topk" -> Q(q97, Some(q93Sql)),
     "q98_incremental_index" -> Q(q98, Some(q98Sql)),
     "q99_perplexity_filter" -> Q(q99, Some(q99Sql)),
-    "q100_incremental_pq" -> Q(q100, Some(q100Sql)))
+    "q100_incremental_pq" -> Q(q100, Some(q100Sql)),
+    "q101_cluster_balanced_sample" -> Q(q101, Some(q101Sql)))
 }

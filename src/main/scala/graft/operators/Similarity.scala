@@ -288,6 +288,36 @@ object Similarity {
     PqIndex(spark.read.parquet(s"$dir/codes"), cents, cb)
   }
 
+  /** Cluster-balanced deterministic sampling — the embedding-space
+    * curation move of DataComp/MetaCLIP-style corpus balancing: assign
+    * every vector to its nearest centroid cell, then keep at most
+    * `quota` vectors per cell, chosen by a deterministic per-id hash
+    * order (md5 — reproducible across runs, engines and partitionings,
+    * the q67 discipline). Hot clusters (duplicated web boilerplate,
+    * over-represented topics) are trimmed to the quota; rare clusters
+    * survive whole — flattening the cluster histogram without a global
+    * sort. Selection runs through the partial-combining `top_k_by`
+    * aggregate: at most `quota` rows per cell per partition cross the
+    * shuffle (hash and id ride negated so the keep-largest aggregate
+    * selects the SMALLEST hashes, rank ascending).
+    *
+    * `centroids` defaults to the deterministic first-`nCells` seed (the
+    * exact-oracle configuration); pass [[kmeansCentroids]] for trained
+    * cells. Output: one row per KEPT vector — (vec_id, cell, rank). */
+  def clusterBalancedSample(corpus: DataFrame, quota: Int, nCells: Int = 8,
+                            centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids else seedCentroids(corpus, nCells)
+    corpus.select(col("vec_id"),
+        ivf_assign(col("embedding"), cents).as("cell"),
+        md5_long(col("vec_id").cast("string")).as("h"))
+      .groupBy("cell")
+      .agg(top_k_by(struct((-col("h")).as("neg_h"),
+        (-col("vec_id")).as("neg_id")), quota).as("top"))
+      .select(col("cell"), posexplode(col("top")))
+      .select((-col("col.neg_id")).as("vec_id"), col("cell"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** IVFADC top-k over a persisted index (Jegou et al. 2011 §V): each
     * query probes its `nProbe` nearest coarse cells and ADC-scores ONLY
     * the code-table rows in those cells — the actual 100 TB ANN serving

@@ -562,9 +562,18 @@ object TextAnalysis {
     * round-half, q71's lesson). Docs with fewer than two tokens have no
     * bigrams: they keep row parity with n_bigrams = 0 and keep = false
     * (the CCNet head/tail buckets drop degenerate docs too). */
-  def ccnetPerplexityFilter(docs: DataFrame, idCol: String, textCol: String,
-                            thresholdMicro: Long): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc_id"),
+  /** The trained LM artifact behind [[ccnetPerplexityFilter]]: one row
+    * per distinct corpus bigram with its add-one-smoothed negative
+    * log-prob in integer micro-nats. ONE corpus scan builds the bigram
+    * count table (the only token-level shuffle); prefix totals
+    * c(w1·) = Σ_w2 c(w1 w2) and the suffix vocabulary size V both
+    * derive from that AGGREGATED table, not from extra corpus scans,
+    * and ln runs once per distinct bigram, rounded once (q58/q91's
+    * discipline: quantize at the vocabulary table, sum as integers —
+    * order-free and engine-exact). Persist it and serve it to the batch
+    * filter or the streaming gate ([[graft.streaming.Streaming]]). */
+  def bigramNllTable(docs: DataFrame, textCol: String): DataFrame = {
+    val bg = docs.select(
       explode(word_shingles(ws_tokens(col(textCol)), 2)).as("bg"))
     // vocab-sized; feeds prefix totals, V, and the nll table — without
     // materialization each consumer re-derives it from a full tokenized
@@ -574,12 +583,18 @@ object TextAnalysis {
       .agg(sum(col("c12")).as("c1"))
     val vocab = c12.agg(
       countDistinct(substring_index(col("bg"), " ", -1)).as("V"))
-    val nll = c12.join(pre, substring_index(col("bg"), " ", 1) === col("w1"))
+    c12.join(pre, substring_index(col("bg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("bg"),
         (-round(log((col("c12") + 1).cast("double") / (col("c1") + col("V")))
           * 1e6, 0).cast("long")).as("nll_micro"))
-    val scored = bg.join(nll, "bg")
+  }
+
+  def ccnetPerplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                            thresholdMicro: Long): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(word_shingles(ws_tokens(col(textCol)), 2)).as("bg"))
+    val scored = bg.join(bigramNllTable(docs, textCol), "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_sum"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")

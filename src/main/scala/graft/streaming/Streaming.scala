@@ -356,6 +356,39 @@ object Streaming {
       .select(col("doc_id"), col("e.dim").as("dim"), col("e.cnt").as("cnt"))
   }
 
+  /** Continuous-ingest perplexity gate: score each arriving document
+    * against a TRAINED bigram-NLL table
+    * (TextAnalysis.bigramNllTable, collected to a plan-literal map —
+    * the broadcast-LM stance of CCNet's memory-mapped KenLM; swap for a
+    * stream-static join + stateful sum if the LM outgrows a literal).
+    * Scoring is ONE in-row fold over the bigram array — a (count, sum)
+    * struct accumulator, so the shingle expression is referenced
+    * exactly once — then routed through a Generate (the q90 idiom) so
+    * the four output columns cannot re-inline it. Stateless,
+    * append-mode; emits the batch filter's exact columns, with unseen
+    * bigrams (impossible in batch, which trains on its own corpus)
+    * charged `unseenNllMicro`. */
+  def streamingPerplexityGate(docs: DataFrame, nll: Map[String, Long],
+                              thresholdMicro: Long,
+                              unseenNllMicro: Long): DataFrame = {
+    val m = typedLit(nll)
+    val scored = aggregate(
+      word_shingles(ws_tokens(col("text")), 2),
+      struct(lit(0L).as("n"), lit(0L).as("s")),
+      (acc, x) => struct((acc.getField("n") + 1).as("n"),
+        (acc.getField("s") + coalesce(element_at(m, x), lit(unseenNllMicro)))
+          .as("s")))
+    docs.select(col("doc_id"), explode(array(scored)).as("f"))
+      .select(col("doc_id"),
+        coalesce(col("f.n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("f.s"), lit(0L)).as("nll_sum_micro"),
+        when(col("f.n") > 0, expr("f.s div f.n")).otherwise(lit(0L))
+          .as("nll_avg_micro"),
+        (coalesce(col("f.n"), lit(0L)) > 0 &&
+          when(col("f.n") > 0, expr("f.s div f.n")).otherwise(lit(0L))
+            <= thresholdMicro).as("keep"))
+  }
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's views in the `rangeMinutes` before it. Both sides carry
     * watermarks, so the join state Spark keeps per side is bounded by

@@ -214,6 +214,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming perplexity gate matches the batch filter on the same LM") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "zq wv xj kp qr bn"),
+      (5L, "single"),
+      (6L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val threshold = 3500000L
+    val batch = graft.operators.TextAnalysis
+      .ccnetPerplexityFilter(df, "doc_id", "text", threshold)
+      .collect().map(_.toSeq).toSet
+    // serve the SAME trained table to the stream as a literal map
+    val nllMap = graft.operators.TextAnalysis.bigramNllTable(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.streamingPerplexityGate(
+        mem.toDF().toDF("doc_id", "text"), nllMap, threshold,
+        unseenNllMicro = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("pplgate").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pplgate").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // both keeps and drops occur at this threshold
+      assert(streamed.exists(_.last == true) && streamed.exists(_.last == false))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits only the first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp)]
