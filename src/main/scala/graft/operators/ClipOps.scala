@@ -87,9 +87,14 @@ object ClipOps {
 
   /** Best face per frame (`fa.py:17-24`): keep the bbox with max score from
     * each frame's candidates; frames with no candidates yield a null.
-    * `raw`: array<array<struct<x1,y1,x2,y2,score: double>>>. */
+    * `raw`: array<array<struct<x1,y1,x2,y2,score: double>>>.
+    * try_element_at, not element_at: under Spark 4's default ANSI mode
+    * indexing an EMPTY candidate array throws
+    * (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — the documented null degrade
+    * for face-less frames needs the try_ form. */
   def bestFacePerFrame(raw: Column): Column =
     transform(raw, cands =>
-      element_at(array_sort(cands, (a, b) =>
-        when(a("score") > b("score"), -1).when(a("score") < b("score"), 1).otherwise(0)), 1))
+      try_element_at(array_sort(cands, (a, b) =>
+        when(a("score") > b("score"), -1).when(a("score") < b("score"), 1).otherwise(0)),
+        lit(1)))
 }

@@ -375,8 +375,12 @@ object Streaming {
     val scored = aggregate(
       word_shingles(ws_tokens(col("text")), 2),
       struct(lit(0L).as("n"), lit(0L).as("s")),
+      // try_element_at, not element_at: under Spark 4's default ANSI
+      // mode a missing MAP key THROWS (MAP_KEY_DOES_NOT_EXIST), so a
+      // plain lookup would fail the stream on the first unseen bigram
+      // instead of charging the penalty
       (acc, x) => struct((acc.getField("n") + 1).as("n"),
-        (acc.getField("s") + coalesce(element_at(m, x), lit(unseenNllMicro)))
+        (acc.getField("s") + coalesce(try_element_at(m, x), lit(unseenNllMicro)))
           .as("s")))
     docs.select(col("doc_id"), explode(array(scored)).as("f"))
       .select(col("doc_id"),

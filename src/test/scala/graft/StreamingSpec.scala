@@ -243,6 +243,15 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch, s"stream $streamed != batch $batch")
       // both keeps and drops occur at this threshold
       assert(streamed.exists(_.last == true) && streamed.exists(_.last == false))
+      // a doc whose bigrams the LM has never seen must DEGRADE (charged
+      // the unseen penalty, keep=false), not throw MAP_KEY_DOES_NOT_EXIST
+      // under Spark 4 default ANSI
+      mem.addData((7L, "completely novel never trained phrasing"))
+      q.processAllAvailable()
+      val unseen = spark.table("pplgate").collect()
+        .find(_.getLong(0) == 7L).get
+      assert(unseen.getAs[Long]("n_bigrams") == 4L &&
+        !unseen.getAs[Boolean]("keep"))
     } finally q.stop()
   }
 

@@ -33,6 +33,23 @@ class VisionSpec extends SparkTestBase {
     }
   }
 
+  test("bestFacePerFrame: a face-less frame degrades to null, not an ANSI error") {
+    // frame 1 has two candidates (max score wins), frame 2 has NONE —
+    // indexing the empty sorted array must yield the documented null,
+    // not INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4 default ANSI
+    val df = spark.range(1).select(expr(
+      """array(
+        |  array(struct(0.1d as x1, 0.2d as y1, 0.5d as x2, 0.6d as y2, 0.9d as score),
+        |        struct(0.0d as x1, 0.0d as y1, 1.0d as x2, 1.0d as y2, 0.4d as score)),
+        |  cast(array() as array<struct<x1:double,y1:double,x2:double,y2:double,score:double>>)
+        |) as cand""".stripMargin))
+    val best = df.select(ClipOps.bestFacePerFrame(col("cand")).as("best")).head
+    val frames = best.getSeq[org.apache.spark.sql.Row](0)
+    assert(frames.length == 2)
+    assert(frames(0).getDouble(4) == 0.9)
+    assert(frames(1) == null)
+  }
+
   test("alignFaces emits 68 struct<x,y> landmarks per frame; emoca emits §1.3 shapes") {
     val df = frames.toDF("name", "frames")
     val lm = Vision.alignFaces(df, "name", "frames").orderBy("name").head
