@@ -54,6 +54,54 @@ class TextFeatureSpec extends SparkTestBase {
     assert(nulls.map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("quality_features parity holds on randomized unicode text") {
+    // alphabet chosen to poke every semantic seam: supplementary-plane
+    // emoji (surrogate pairs — code-point vs UTF-16 length), combining
+    // marks (\p{M}, not \p{L}), non-Latin scripts, digits, mixed
+    // whitespace, and stopwords that only match after case folding
+    val alphabet = Array("a", "B", "ß", "É", "ж", "漢", "7", "0", "😀",
+      "é", " ", "\t", "\n", ".", "-", "the", "OF", "a")
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 200L).map { i =>
+      (i, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    }.toDF("id", "text")
+    val allStops = array(stops.map(lit): _*)
+    val composed = docs.select(col("id"),
+        ws_tokens(col("text")).as("toks"), col("text"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_tok_len"),
+        size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("long").as("n_alpha"),
+        size(filter(col("toks"), t => array_contains(allStops, t))).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"))
+      .orderBy("id").collect().map(_.toSeq)
+    val single = docs.select(col("id"), quality_features(col("text"), stops).as("f"))
+      .select(col("id"), col("f.n_tok"), col("f.sum_tok_len"), col("f.n_alpha"),
+        col("f.n_stop"), col("f.n_chars"), col("f.n_digit"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(composed.toSeq == single.toSeq)
+  }
+
+  test("hash_bucket_counts matches the explode-groupBy vectorizer on random docs") {
+    val words = Array("alpha", "beta", "Gamma", "δ", "漢字", "x1", "", "the")
+    val rnd = new scala.util.Random(37)
+    val docs = (1L to 100L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = graft.operators.TextAnalysis
+      .hashingVectorizer(docs, "doc_id", "text", 32)
+      .collect().map(_.toSeq).toSet
+    val single = docs.select(col("doc_id"),
+        explode(hash_bucket_counts(col("text"), 32)).as("e"))
+      .select(col("doc_id"), col("e.dim"), col("e.cnt"))
+      .collect().map(_.toSeq).toSet
+    assert(single == batch)
+  }
+
   test("minhash_sig_from_hashes is bit-identical to minhash_signature") {
     val df = Seq(
       (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")),
