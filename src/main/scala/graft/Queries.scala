@@ -3073,9 +3073,14 @@ object Queries {
     TextAnalysis.substringDedupSpans(t(s, dir, "documents"), "doc_id", "text",
       windowTokens = 16, overlap = 8)
 
-  private val q86Sql = {
+  /** The q86 span-flagging replay as reusable WITH-clause innards:
+    * `marked(doc_id, start, e, rn)` — rn = 1 is the globally-first
+    * occurrence of each window fingerprint. q86 aggregates the flags;
+    * q102 cuts the flagged spans. Single-sourced so the two oracles can
+    * never drift. Also exposes `nn(doc_id, toks, n)`. */
+  private val substringSpanCtes = {
     val h = md5LongSql("array_to_string(toks[i * 8 + 1 : i * 8 + 16], ' ')")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
        |spans AS (
        |  SELECT doc_id, u.start AS start, u.e AS e, u.h AS h FROM (
@@ -3089,7 +3094,11 @@ object Queries {
        |marked AS (
        |  SELECT doc_id, start, e,
        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
-       |  FROM spans),
+       |  FROM spans)""".stripMargin
+  }
+
+  private val q86Sql =
+    s"""WITH $substringSpanCtes,
        |agg AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
@@ -3102,7 +3111,6 @@ object Queries {
        |  coalesce(a.dup_span_tokens, 0) AS dup_span_tokens,
        |  a.first_dup_start
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
-  }
 
   /** URL canonicalization + domain curation (TextAnalysis.urlCurate):
     * deterministic messy fixture URLs (mixed-case scheme/host, optional
@@ -3855,6 +3863,37 @@ object Queries {
        |FROM r WHERE rank <= 30""".stripMargin
   }
 
+  /** Exact-substring span REMOVAL (TextAnalysis.substringDedupRemove):
+    * the Lee et al. cut pass over the q86 flags — every token inside a
+    * later-occurrence window span is dropped, survivors rejoin in
+    * order. The oracle reuses q86's span-flagging CTEs verbatim
+    * (single-sourced) and cuts relationally: token positions anti-joined
+    * against the duplicated span ranges, then string_agg in position
+    * order. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substringDedupRemove(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 16, overlap = 8)
+
+  private val q102Sql =
+    s"""WITH $substringSpanCtes,
+       |dup AS (SELECT doc_id, start, e FROM marked WHERE rn > 1),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, coalesce(n, 0))) AS i, toks
+       |  FROM nn),
+       |ptok AS (SELECT doc_id, i, toks[i] AS tok FROM pos),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.tok FROM ptok p
+       |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+       |    WHERE d.doc_id = p.doc_id AND p.i - 1 >= d.start AND p.i - 1 < d.e)),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY i) AS kept_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_kept_tokens, 0) AS n_kept_tokens,
+       |  coalesce(a.kept_text, '') AS kept_text
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3961,5 +4000,6 @@ object Queries {
     "q98_incremental_index" -> Q(q98, Some(q98Sql)),
     "q99_perplexity_filter" -> Q(q99, Some(q99Sql)),
     "q100_incremental_pq" -> Q(q100, Some(q100Sql)),
-    "q101_cluster_balanced_sample" -> Q(q101, Some(q101Sql)))
+    "q101_cluster_balanced_sample" -> Q(q101, Some(q101Sql)),
+    "q102_substring_dedup_removed" -> Q(q102, Some(q102Sql)))
 }

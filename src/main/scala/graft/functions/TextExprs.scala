@@ -538,3 +538,52 @@ case class HashBucketCounts(child: Expression, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): HashBucketCounts =
     copy(child = newChild)
 }
+
+/** Remove the tokens covered by any [start, end) span in ONE walk:
+  * spans are sorted by start internally (collect_list order is
+  * partition-dependent — the expression must not be), then a single
+  * merged sweep keeps every token outside the span union —
+  * O(tokens + spans log spans), where a per-token `exists(spans, ...)`
+  * HOF would be O(tokens x spans) (the streamingVectorize lesson). NULL
+  * token array nulls the result; a NULL span array (a doc with no
+  * duplicate spans, via left join) keeps every token. */
+case class RemoveTokenSpans(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "remove_token_spans"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StructType(fs), _))
+      if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"remove_token_spans needs (array<string>, array<struct<long,long>>), got $t")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val toksV = left.eval(input)
+    if (toksV == null) return null
+    val toks = toksV.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val spansV = right.eval(input)
+    if (spansV == null) return toks.copy()
+    val spans = spansV.asInstanceOf[ArrayData]
+    val m = spans.numElements()
+    val se = Array.tabulate(m) { i =>
+      val r = spans.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0L; var s = 0
+    var coveredUntil = Long.MinValue
+    while (i < n) {
+      while (s < m && se(s)._1 <= i) {
+        if (se(s)._2 > coveredUntil) coveredUntil = se(s)._2
+        s += 1
+      }
+      if (i >= coveredUntil) out += toks.getUTF8String(i.toInt)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenSpans =
+    copy(left = l, right = r)
+}

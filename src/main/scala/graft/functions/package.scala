@@ -346,6 +346,11 @@ package object functions {
   def hash_bucket_counts(text: Column, dim: Int): Column =
     ExprBridge.column(HashBucketCounts(col2expr(text), dim))
 
+  /** Drop the tokens covered by any [start, end) span in one sorted
+    * sweep (see [[RemoveTokenSpans]]). */
+  def remove_token_spans(tokens: Column, spans: Column): Column =
+    ExprBridge.column(RemoveTokenSpans(col2expr(tokens), col2expr(spans)))
+
   /** 32-bit SimHash over a token array column (multiplicity counts). */
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))

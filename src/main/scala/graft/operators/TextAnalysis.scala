@@ -711,8 +711,12 @@ object TextAnalysis {
     * Scale posture: the only corpus-sized shuffles key on the 60-bit
     * span hash (partial-aggregated argmin) and on doc_id (the stats
     * roll-up); window text never crosses a shuffle. */
-  def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
-                          windowTokens: Int = 16, overlap: Int = 8): DataFrame = {
+  /** Shared span-flagging pass of [[substringDedupSpans]] /
+    * [[substringDedupRemove]]: every sliding window span, marked
+    * `is_dup` unless it is the globally first (minimum (doc_id, start))
+    * occurrence of its fingerprint. */
+  private def flaggedSpans(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int, overlap: Int): DataFrame = {
     val flat = df.select(col(idCol).as("doc_id"),
         posexplode_outer(chunk_spans(ws_tokens(col(textCol)), windowTokens, overlap))
           .as(Seq("k", "sp")))
@@ -723,12 +727,47 @@ object TextAnalysis {
     flat.join(first, Seq("h"), "left")
       .withColumn("is_dup", col("h").isNotNull &&
         !(col("doc_id") === col("first.doc_id") && col("start") === col("first.start")))
+  }
+
+  def substringDedupSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 16, overlap: Int = 8): DataFrame = {
+    flaggedSpans(df, idCol, textCol, windowTokens, overlap)
       .groupBy("doc_id")
       .agg(count(col("h")).as("n_spans"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
         sum(when(col("is_dup"), col("end") - col("start")).otherwise(0L))
           .as("dup_span_tokens"),
         min(when(col("is_dup"), col("start"))).as("first_dup_start"))
+  }
+
+  /** The REMOVAL pass Lee et al. 2022 run after flagging (§4.1: "we
+    * remove the duplicated substring, keeping one occurrence"): every
+    * token inside any duplicated span is cut, the globally-first
+    * occurrence of each fingerprint survives, and the remaining tokens
+    * rejoin in order. Span flagging is [[substringDedupSpans]]'s
+    * derivation verbatim (shared code); each doc's duplicate spans
+    * collect to ONE row (collect_list is partition-order-dependent, so
+    * the single-pass [[graft.functions.remove_token_spans]] kernel
+    * sorts spans internally — the output is partitioning-independent),
+    * and the cut is a sorted sweep, O(tokens + spans), never the
+    * per-token exists() HOF that would go quadratic. The kept array is
+    * routed through a Generate so the two output projections cannot
+    * re-inline the kernel. Docs without duplicate spans (NULL spans
+    * after the left join) keep every token; NULL-text docs emit
+    * n_kept_tokens = 0, kept_text = ''. */
+  def substringDedupRemove(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 16, overlap: Int = 8): DataFrame = {
+    val dupSpans = flaggedSpans(df, idCol, textCol, windowTokens, overlap)
+      .where(col("is_dup"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+    df.select(col(idCol).as("doc_id"), ws_tokens(col(textCol)).as("toks"))
+      .join(dupSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        explode(array(remove_token_spans(col("toks"), col("spans")))).as("kept"))
+      .select(col("doc_id"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_kept_tokens"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("kept_text"))
   }
 
   /** Sharded inverted index: token -> sorted posting list of the doc ids

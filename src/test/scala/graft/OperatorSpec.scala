@@ -258,6 +258,37 @@ class OperatorSpec extends SparkTestBase {
     assert(out.filter(r => r.getLong(0) <= 4L).forall(_.getAs[Boolean]("keep")))
   }
 
+  test("substringDedupRemove cuts later-occurrence spans, keeps the first") {
+    import graft.operators.TextAnalysis
+    // doc 1 owns the 16-token window; doc 2 repeats it verbatim at a
+    // STRIDE-ALIGNED offset (8 unique prefix tokens — the chunker
+    // windows start at multiples of the stride, the documented
+    // approximation of the suffix-array method) — the repeated window
+    // must vanish from doc 2 only; doc 3 is clean; doc 4 NULL
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 8).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, s"$prefix $shared tail2 unique9"),
+      (3L, "completely separate clean text"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedupRemove(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_kept_tokens"), r.getAs[String]("kept_text"))).toMap
+    assert(byId(1L)._2 == shared.toLowerCase) // first occurrence intact
+    assert(byId(3L) == (4L, "completely separate clean text"))
+    assert(byId(4L) == (0L, ""))
+    // doc 2 lost the shared window's tokens; its unique tokens survive
+    assert(!byId(2L)._2.contains("w8") && byId(2L)._2.contains("u2")
+      && byId(2L)._2.contains("unique9"))
+    assert(byId(2L)._1 < 20L)
+    // partitioning independence (collect_list order must not matter)
+    val repart = TextAnalysis.substringDedupRemove(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(repart == out.map(_.toSeq).toSeq)
+  }
+
   test("urlCurate collapses cosmetic URL variants and fires the blocklist") {
     val df = Seq(
       (1L, "https://WWW.News.Example.COM:443/a/b/?utm_source=x&id=7#frag"),

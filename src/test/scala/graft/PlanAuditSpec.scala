@@ -209,7 +209,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q94_fuzzy_decontam" -> 0,
       // q99: LM-build scan + scoring scan (prefix totals and V derive
       // from the aggregated bigram table, not extra corpus scans)
-      "q99_perplexity_filter" -> 2)
+      "q99_perplexity_filter" -> 2,
+      // q102: the q86 two-scan flagging (flat spans feed the argmin AND
+      // the join back) + one token-cut scan
+      "q102_substring_dedup_removed" -> 3)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
