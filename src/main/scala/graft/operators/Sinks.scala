@@ -136,5 +136,19 @@ object Sinks {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Range-sharded sorted writer: one range shuffle
+    * (`repartitionByRange` — a sampled range partitioner, so shards are
+    * load-balanced without a global sort) plus a within-shard sort, so
+    * the output files hold NON-OVERLAPPING key ranges in key order —
+    * parquet footer min/max then prune point/range predicates on the
+    * sort key to ONE file (the sorted-run layout a 100 TB corpus wants
+    * for id-keyed serving; the z-order writer above is the
+    * multi-dimensional sibling). */
+  def writeRangeSorted(df: DataFrame, path: String,
+                       keys: Seq[Column], nFiles: Int = 16): Unit =
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
 }
 

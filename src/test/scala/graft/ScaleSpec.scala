@@ -290,6 +290,31 @@ class ScaleSpec extends SparkTestBase {
     assert(avgA < 24 && avgB < 24, s"per-file spans too wide: a=$avgA b=$avgB")
   }
 
+  test("range-sorted write produces non-overlapping in-order shards") {
+    import org.apache.spark.sql.functions._
+    // shuffled input: the writer must both balance and order it
+    val rows = scala.util.Random.javaRandomToRandom(new java.util.Random(41))
+      .shuffle((0L until 4096L).toList).toDF("k")
+      .withColumn("payload", col("k") * 7)
+    val dir = java.nio.file.Files.createTempDirectory("rangesorted").toString
+    operators.Sinks.writeRangeSorted(rows, s"$dir/t", Seq(col("k")), nFiles = 16)
+    val spans = spark.read.parquet(s"$dir/t")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans.length > 8, s"expected ~16 shards, got ${spans.length}")
+    // non-overlapping, in order, covering all rows
+    for (Seq((_, hi1, _), (lo2, _, _)) <- spans.toSeq.sliding(2))
+      assert(hi1 < lo2, s"overlapping shards: $spans")
+    assert(spans.map(_._3).sum == 4096L)
+    // a point predicate prunes to one file via footer min/max
+    val hit = spark.read.parquet(s"$dir/t").where(col("k") === 2048L)
+      .select(input_file_name()).distinct().collect()
+    assert(hit.length == 1)
+  }
+
   test("bucketed tables join without an exchange") {
     // default warehouse (spark-warehouse/ under the test cwd, gitignored);
     // the in-memory catalog forgets tables between JVMs, so stale
