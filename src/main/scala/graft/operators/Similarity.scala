@@ -313,6 +313,12 @@ object Similarity {
       .groupBy("cell")
       .agg(top_k_by(struct((-col("h")).as("neg_h"),
         (-col("vec_id")).as("neg_id")), quota).as("top"))
+      // malformed vectors (length != dim) NULL their cell assignment and
+      // collect into a NULL-cell group — drop it HERE, on the aggregate
+      // output attribute (a pre-aggregation filter on the projected cell
+      // would re-inline ivf_assign into the predicate and score every
+      // row against the centroids twice)
+      .where(col("cell").isNotNull)
       .select(col("cell"), posexplode(col("top")))
       .select((-col("col.neg_id")).as("vec_id"), col("cell"),
         (col("pos") + 1).as("rank"))

@@ -44,10 +44,23 @@ object Snapshot {
     * embedding-snapshot [[delta]]s: coordinates quantize to micro-unit
     * integers BEFORE the string join (integer decimal formatting is
     * identical in every engine; float formatting is not), then hash.
-    * Two longs per vector cross the delta join, never the vector. */
+    * Two longs per vector cross the delta join, never the vector.
+    * NaN / infinite / out-of-quantization-range coordinates map to
+    * deterministic sentinel strings instead of reaching the long cast —
+    * under Spark 4's default ANSI mode casting a non-finite or
+    * overflowing double to long THROWS, and a fingerprint must never
+    * fail the job on a degenerate vector (coordinates beyond ±9e12
+    * collapse to a signed sentinel: still deterministic, still
+    * change-detecting for the finite range embeddings live in). */
   def vecFingerprint(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5_long(array_join(
-      transform(v, x => floor(x.cast("double") * 1e6).cast("long").cast("string")),
+      transform(v, x => {
+        val d = x.cast("double")
+        when(isnan(d), lit("nan"))
+          .when(d > lit(9e12), lit("big"))
+          .when(d < lit(-9e12), lit("-big"))
+          .otherwise(floor(d * 1e6).cast("long").cast("string"))
+      }),
       ","))
 
   /** Incremental maintenance of the banded MinHash signature index

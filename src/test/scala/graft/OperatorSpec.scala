@@ -233,6 +233,23 @@ class OperatorSpec extends SparkTestBase {
     assert(freshened == rebuilt)
   }
 
+  test("vecFingerprint is ANSI-safe on degenerate vectors and change-detecting") {
+    import graft.operators.Snapshot
+    val df = Seq(
+      (1L, Seq(0.25f, -0.5f)),
+      (2L, Seq(0.25f, -0.5f)),                       // identical to 1
+      (3L, Seq(0.25f, -0.5000005f)),                 // differs past 1e-6
+      (4L, Seq(Float.NaN, 1.0f)),                    // must not throw (ANSI)
+      (5L, Seq(Float.PositiveInfinity, Float.MinValue))
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Snapshot.vecFingerprint(col("embedding")).as("h"))
+      .orderBy("vec_id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))       // identical vectors, identical prints
+    assert(out(0) != out(2))       // sub-micro change detected
+    assert(out.distinct.length >= 4) // degenerate rows hash deterministically
+  }
+
   test("ccnetPerplexityFilter scores predictable text lower and drops degenerate docs") {
     import graft.operators.TextAnalysis
     // docs 1-3 repeat the same bigrams (a predictable sub-language);
