@@ -717,11 +717,18 @@ object TextAnalysis {
     * occurrence of its fingerprint. */
   private def flaggedSpans(df: DataFrame, idCol: String, textCol: String,
                            windowTokens: Int, overlap: Int): DataFrame = {
+    // the span table feeds BOTH the global argmin and the join back —
+    // without materialization each consumer re-runs the tokenize+hash
+    // scan (the q19 staging discipline). At ~32 bytes per
+    // windowTokens-token span (~4 bytes/token at the default stride)
+    // the materialized table is an order of magnitude smaller than the
+    // text it summarizes.
     val flat = df.select(col(idCol).as("doc_id"),
         posexplode_outer(chunk_spans(ws_tokens(col(textCol)), windowTokens, overlap))
           .as(Seq("k", "sp")))
       .select(col("doc_id"), col("sp.start").as("start"),
         col("sp.end").as("end"), col("sp.hash").as("h"))
+      .localCheckpoint()
     val first = flat.where(col("h").isNotNull)
       .groupBy("h").agg(min(struct(col("doc_id"), col("start"))).as("first"))
     flat.join(first, Seq("h"), "left")

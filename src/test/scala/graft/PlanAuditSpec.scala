@@ -198,9 +198,11 @@ class PlanAuditSpec extends SparkTestBase {
       // materialized hash sets)
       "q19_minhash_lsh_pairs" -> 0,
       "q18_minhash_signatures" -> 1, "q21_ngram_jaccard_pairs" -> 2,
-      // q86/q89: tokenize sits under the two consumers of the exploded
-      // frame (argmin build + mark join); q88: the one training scan
-      "q86_substring_dedup" -> 2, "q88_multiset_decontam" -> 1,
+      // q86: the span table is localCheckpointed (one tokenize scan at
+      // build; the plan reads the materialized spans); q89: tokenize
+      // sits under the two consumers of the exploded frame (argmin
+      // build + mark join); q88: the one training scan
+      "q86_substring_dedup" -> 0, "q88_multiset_decontam" -> 1,
       "q89_paragraph_dedup" -> 2,
       // q90: all token-derived features come from the single-pass
       // quality_features expression (no tokenize in the plan at all);
@@ -210,9 +212,8 @@ class PlanAuditSpec extends SparkTestBase {
       // q99: LM-build scan + scoring scan (prefix totals and V derive
       // from the aggregated bigram table, not extra corpus scans)
       "q99_perplexity_filter" -> 2,
-      // q102: the q86 two-scan flagging (flat spans feed the argmin AND
-      // the join back) + one token-cut scan
-      "q102_substring_dedup_removed" -> 3)
+      // q102: checkpointed flagging + ONE token-cut scan in the plan
+      "q102_substring_dedup_removed" -> 1)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
