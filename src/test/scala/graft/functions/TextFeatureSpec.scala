@@ -102,6 +102,33 @@ class TextFeatureSpec extends SparkTestBase {
     assert(single == batch)
   }
 
+  test("remove_token_spans equals brute-force span-union filtering on random input") {
+    val rnd = new scala.util.Random(43)
+    val cases = (1 to 120).map { i =>
+      val n = rnd.nextInt(30)
+      val toks = (0 until n).map(j => s"t$j")
+      val spans = (0 until rnd.nextInt(5)).map { _ =>
+        val s = rnd.nextInt(n + 3) - 1            // may start before 0
+        (s.toLong, (s + 1 + rnd.nextInt(6)).toLong) // may end past n
+      }
+      (i.toLong, toks, spans.map { case (s, e) => (s, e) })
+    }
+    val df = cases.toDF("id", "toks", "raw")
+      .select(col("id"), col("toks"),
+        transform(col("raw"), r =>
+          struct(r.getField("_1").as("start"), r.getField("_2").as("end")))
+          .as("spans"))
+    val got = df.select(col("id"),
+        remove_token_spans(col("toks"), col("spans")).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, toks, spans) <- cases) {
+      val expect = toks.zipWithIndex.collect {
+        case (t, j) if !spans.exists { case (s, e) => j >= s && j < e } => t
+      }
+      assert(got(id) == expect, s"case $id: spans=$spans")
+    }
+  }
+
   test("minhash_sig_from_hashes is bit-identical to minhash_signature") {
     val df = Seq(
       (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")),
