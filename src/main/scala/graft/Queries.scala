@@ -2662,14 +2662,10 @@ object Queries {
     val stats = base.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("sumdl") +: terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
-    val avgdl = col("sumdl").cast("double") / col("n")
-    val contribs = terms.indices.map { i =>
-      val idfQ = floor(log((col("n") - col(s"df_$i") + lit(0.5))
-        / (col(s"df_$i") + lit(0.5)) + lit(1)) * lit(1000000.0)).cast("long")
-      floor(idfQ * (col(s"tf_$i") * lit(2.2)
-        / (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))))
-        .cast("long")
-    }
+    // contribution math single-sourced with the index server (q103)
+    val contribs = terms.indices.map(i =>
+      TextAnalysis.bm25ContribMicro(col(s"tf_$i"), col(s"df_$i"),
+        col("n"), col("dl"), col("sumdl")))
     base.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         contribs.reduce(_ + _).as("score_micro"))
@@ -2677,19 +2673,18 @@ object Queries {
 
   private val Bm25Terms = Seq("the", "data", "of", "and", "in")
 
-  private val q77Sql = {
+  /** The q77 BM25 replay as reusable WITH-clause innards
+    * (`base(doc_id, dl, tf_i)` + `st(n, sumdl, df_i)`) and the
+    * contribution-sum expression — single-sourced so the corpus scorer
+    * (q77) and the index server (q103) replay the identical math. */
+  private val bm25Ctes = {
     val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"coalesce(len(list_filter(tk, x -> x = '$term')), 0) AS tf_$i"
     }.mkString(",\n    ")
     val dfs = Bm25Terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
       .mkString(",\n    ")
-    val contribs = Bm25Terms.indices.map { i =>
-      s"""floor(CAST(floor(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1) * 1000000.0) AS BIGINT)
-         |    * (tf_$i * 2.2 / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))"""
-        .stripMargin
-    }.mkString("\n    + ")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |base AS (
        |  SELECT doc_id, CAST(coalesce(len(tk), 0) AS BIGINT) AS dl,
        |    $tfs
@@ -2697,11 +2692,20 @@ object Queries {
        |st AS (
        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
        |    $dfs
-       |  FROM base)
-       |SELECT doc_id, dl,
-       |  CAST($contribs AS BIGINT) AS score_micro
-       |FROM base, st""".stripMargin
+       |  FROM base)""".stripMargin
   }
+
+  private val bm25ContribsSql = Bm25Terms.indices.map { i =>
+    s"""floor(CAST(floor(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1) * 1000000.0) AS BIGINT)
+       |    * (tf_$i * 2.2 / (tf_$i + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))"""
+      .stripMargin
+  }.mkString("\n    + ")
+
+  private val q77Sql =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, dl,
+       |  CAST($bm25ContribsSql AS BIGINT) AS score_micro
+       |FROM base, st""".stripMargin
 
   /** Trailing-window anomaly scoring of hourly event-type counts: each
     * (type, hour) bucket's count is z-scored against the previous 24
@@ -3894,6 +3898,39 @@ object Queries {
        |  coalesce(a.kept_text, '') AS kept_text
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
+  /** Full-text BM25 top-k through the persisted search index
+    * (TextAnalysis.buildSearchIndex → searchTopK): postings probed by a
+    * literal isin on the token key, per-term document frequencies
+    * summed from the probed shards, corpus stats from the docmeta
+    * aggregate, global top-k via the partial-combining top_k_by — no
+    * corpus rescan at query time. Retrievable set = docs containing at
+    * least one query term; the oracle reuses q77's BM25 CTEs verbatim
+    * (single-sourced), restricts to that candidate set, and ranks
+    * (score desc, doc_id asc). */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildSearchIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    TextAnalysis.searchTopK(idx, Bm25Terms, k = 25)
+      .select(col("doc_id"), col("dl"), col("score_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q103Sql = {
+    val anyTf = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH $bm25Ctes,
+       |scored AS (
+       |  SELECT doc_id, dl,
+       |    CAST($bm25ContribsSql AS BIGINT) AS score_micro
+       |  FROM base, st
+       |  WHERE $anyTf),
+       |ranked AS (
+       |  SELECT doc_id, dl, score_micro,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, dl, score_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 25""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4001,5 +4038,6 @@ object Queries {
     "q99_perplexity_filter" -> Q(q99, Some(q99Sql)),
     "q100_incremental_pq" -> Q(q100, Some(q100Sql)),
     "q101_cluster_balanced_sample" -> Q(q101, Some(q101Sql)),
-    "q102_substring_dedup_removed" -> Q(q102, Some(q102Sql)))
+    "q102_substring_dedup_removed" -> Q(q102, Some(q102Sql)),
+    "q103_search_topk" -> Q(q103, Some(q103Sql)))
 }

@@ -194,6 +194,103 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** One BM25 term contribution in integer micro-units (k1=1.2,
+    * b=0.75) — the EXACT op sequence shared by the corpus scorer (q77)
+    * and the index server ([[searchTopK]]), so the two can never drift:
+    * the only libm call (ln) floors to micro-idf once, and the
+    * contribution floors to integer micro-units before any summing
+    * (Long addition commutes — partitioning cannot change a score). */
+  def bm25ContribMicro(tf: Column, df: Column, n: Column,
+                       dl: Column, sumdl: Column): Column = {
+    val avgdl = sumdl.cast("double") / n
+    val idfQ = floor(log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1))
+      * lit(1000000.0)).cast("long")
+    floor(idfQ * (tf * lit(2.2)
+      / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl)))).cast("long")
+  }
+
+  /** The persisted full-text serving artifact: term-sharded postings
+    * WITH per-posting term frequencies, plus the per-doc length table —
+    * everything query-time BM25 needs, so serving touches NO corpus
+    * text at all (cf. [[Similarity.buildPqIndex]], the ANN sibling).
+    * Persist `postings` with `Sinks.writeRangeSorted` on `token` and a
+    * query's `isin` probe prunes to the terms' files. */
+  case class SearchIndex(postings: DataFrame, docmeta: DataFrame)
+
+  /** Build the [[SearchIndex]]: one tokenize scan for the (doc, token,
+    * tf) counts (partial-aggregated), sharded into bounded posting rows
+    * exactly like [[invertedIndex]]; a second scan for doc lengths.
+    * Both tables are materialized (localCheckpoint — standing in for
+    * the parquet write a deployment lands them with): an index is built
+    * once and probed many times, and [[searchTopK]] alone consumes each
+    * table twice (tf pivot + df row; scoring join + stats). */
+  def buildSearchIndex(docs: DataFrame, idCol: String, textCol: String,
+                       nShards: Int = 1): SearchIndex = {
+    require(nShards >= 1, s"buildSearchIndex needs nShards >= 1, got $nShards")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val postings = tf
+      .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .groupBy("token", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"),
+        count(lit(1)).as("df_shard"))
+      .localCheckpoint()
+    val docmeta = docs.select(col(idCol).as("doc_id"),
+      coalesce(size(ws_tokens(col(textCol))), lit(0)).cast("long").as("dl"))
+      .localCheckpoint()
+    SearchIndex(postings, docmeta)
+  }
+
+  /** Query-time BM25 top-k over a [[SearchIndex]] — the end-to-end
+    * search serving shape: the postings probe is a literal `isin` on
+    * the token key (file-skipping against a token-range-sorted layout),
+    * per-term document frequencies derive from the probed rows
+    * themselves (`isin` selects every shard of each term, and df =
+    * Σ df_shard), corpus stats are a two-long aggregate of the docmeta
+    * table, and ranking is the partial-combining global `top_k_by` —
+    * at most k rows per partition cross the final shuffle and NOTHING
+    * rescans or re-tokenizes the corpus. Retrievable set = documents
+    * containing at least one query term (standard IR: only posted docs
+    * rank; note a stopword-heavy doc can score NEGATIVE micro-units —
+    * idf goes negative past df > n/2 — and still outrank nothing
+    * outside the posting lists by construction). Ties break by doc_id
+    * ascending. Output: (doc_id, dl, score_micro, rank). */
+  def searchTopK(index: SearchIndex, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchTopK needs at least one term")
+    val probed = index.postings.where(col("token").isin(terms: _*))
+    val cand = probed.select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val tfPivot = cand.groupBy("doc_id")
+      .agg(sum(when(col("token") === terms.head, col("tf")).otherwise(0L))
+          .as("tf_0"),
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          sum(when(col("token") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+    val dfRow = probed.agg(
+      sum(when(col("token") === terms.head, col("df_shard")).otherwise(0L))
+        .as("df_0"),
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("token") === t, col("df_shard")).otherwise(0L)).as(s"df_$i")
+      }: _*)
+    val stats = index.docmeta.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl"))
+    val scored = tfPivot.join(index.docmeta, Seq("doc_id"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
+      .select(col("doc_id"), col("dl"),
+        terms.indices.map(i => bm25ContribMicro(col(s"tf_$i"), col(s"df_$i"),
+          col("n"), col("dl"), col("sumdl"))).reduce(_ + _).as("score_micro"))
+    // global top-k: doc_id rides negated so its tiebreak runs ascending
+    // under the keep-largest struct order; dl rides third (never
+    // consulted — (score, doc_id) is already unique)
+    scored.agg(top_k_by(struct(col("score_micro"),
+        (-col("doc_id")).as("neg_id"), col("dl")), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((-col("col.neg_id")).as("doc_id"), col("col.dl").as("dl"),
+        col("col.score_micro").as("score_micro"), (col("pos") + 1).as("rank"))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))

@@ -290,6 +290,30 @@ class ScaleSpec extends SparkTestBase {
     assert(avgA < 24 && avgB < 24, s"per-file spans too wide: a=$avgA b=$avgB")
   }
 
+  test("search serving: persisted index answers BM25 top-k with zero corpus rescan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 60L).map(i =>
+      (i, s"the data point $i " + ("data " * (i % 4).toInt))).toDF("doc_id", "text")
+    val idx = TextAnalysis.buildSearchIndex(docs, "doc_id", "text", nShards = 2)
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    idx.postings.write.parquet(s"$dir/postings")
+    idx.docmeta.write.parquet(s"$dir/docmeta")
+    val served = TextAnalysis.SearchIndex(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/docmeta"))
+    val top = TextAnalysis.searchTopK(served, Seq("data", "point"), k = 5)
+    val plan = top.queryExecution.executedPlan.toString
+    // query time never tokenizes and the term probe reaches the scan
+    assert(!plan.contains("tokenize("), s"query-time tokenize:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"), s"term probe not pushed:\n$plan")
+    val rows = top.orderBy("rank").collect()
+    assert(rows.length == 5 && rows.head.getAs[Int]("rank") == 1)
+    // result parity with the direct (index-built-inline) path
+    val direct = TextAnalysis.searchTopK(idx, Seq("data", "point"), k = 5)
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == direct)
+  }
+
   test("range-sorted write produces non-overlapping in-order shards") {
     import org.apache.spark.sql.functions._
     // shuffled input: the writer must both balance and order it
