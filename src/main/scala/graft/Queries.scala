@@ -24,8 +24,23 @@ object Queries {
 
   final case class Q(impl: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // The driver's events.ts has shipped as both TIMESTAMP(NANOS) (which
+    // Spark reads as nanos-since-epoch longs under the nanosAsLong flag
+    // set by Verify/Bench) and timestamp[us] (which loads as a timestamp
+    // type). Normalize the timestamp vintage to the SAME nanos longs at
+    // the one load boundary, so every ts consumer — session gaps, range
+    // joins, as-of joins — sees one type regardless of testdata vintage.
+    // (Session tz is UTC in every entry point, so the NTZ cast is exact;
+    // the DuckDB oracles read the same file and already convert with
+    // epoch_us/epoch_ns, which are vintage-independent by instant.)
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType.typeName.startsWith("timestamp") =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
+  }
 
   /** Integer cents: round(x*100) as long; exact in both engines. */
   private def cents(c: Column): Column = bround(c * 100, 0).cast("long")
@@ -825,8 +840,9 @@ object Queries {
   /** Gap-based sessionization (30 min) — the streaming-adjacent batch op. */
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    // ts is nanos-since-epoch (nanosAsLong); integer div — a double
-    // division would lose precision above 2^53.
+    // ts is nanos-since-epoch (normalized by t() across testdata
+    // vintages); integer div — a double division would lose precision
+    // above 2^53.
     val us = expr("ts div 1000")
     val prevUs = lag(us, 1).over(byTime)
     t(s, dir, "events")
@@ -2676,15 +2692,18 @@ object Queries {
   /** The q77 BM25 replay as reusable WITH-clause innards
     * (`base(doc_id, dl, tf_i)` + `st(n, sumdl, df_i)`) and the
     * contribution-sum expression — single-sourced so the corpus scorer
-    * (q77) and the index server (q103) replay the identical math. */
-  private val bm25Ctes = {
+    * (q77), the index server (q103), the segmented server (q105) and
+    * the hybrid fuser (q104) replay the identical math. `src` is the
+    * corpus relation the tokenize CTE reads (a snapshot-fixture CTE for
+    * the incremental gates). */
+  private def bm25CtesFrom(src: String): String = {
     val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
       s"coalesce(len(list_filter(tk, x -> x = '$term')), 0) AS tf_$i"
     }.mkString(",\n    ")
     val dfs = Bm25Terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
       .mkString(",\n    ")
-    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM $src),
        |base AS (
        |  SELECT doc_id, CAST(coalesce(len(tk), 0) AS BIGINT) AS dl,
        |    $tfs
@@ -2694,6 +2713,8 @@ object Queries {
        |    $dfs
        |  FROM base)""".stripMargin
   }
+
+  private val bm25Ctes = bm25CtesFrom("documents")
 
   private val bm25ContribsSql = Bm25Terms.indices.map { i =>
     s"""floor(CAST(floor(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1) * 1000000.0) AS BIGINT)
@@ -3931,6 +3952,115 @@ object Queries {
        |FROM ranked WHERE rank <= 25""".stripMargin
   }
 
+  /** Hybrid retrieval (TextAnalysis.rrfFuse): reciprocal-rank fusion of
+    * the sparse BM25 list (q103's persisted-index server, k=25) and the
+    * dense cosine list (q23's exact baseline, query vector 0, k=25) —
+    * the fixture treats vec_id as doc_id (both tables enumerate the
+    * same 0..N-1 corpus: one corpus, two retrievers). Each list
+    * contributes floor(1e6/(60+rank)) integer micro-units; fused
+    * scores are Long sums through one partial-aggregated groupBy over
+    * the two k-row lists, ranked by the partial-combining top_k_by —
+    * no window, no corpus work beyond the two retrievers. The oracle
+    * replays each ranker with its own proven SQL (q103's BM25 CTEs,
+    * q23's cosine) and fuses with integer division. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildSearchIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    val sparse = TextAnalysis.searchTopK(idx, Bm25Terms, k = 25)
+      .select(col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") === 0), k = 25)
+      .select(col("cand_id").as("doc_id"), col("rank"))
+    TextAnalysis.rrfFuse(Seq(sparse, dense), k = 20)
+      .select(col("doc_id"), col("rrf_micro"), col("n_systems"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q104Sql = {
+    val anyTf = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH $bm25Ctes,
+       |s_scored AS (
+       |  SELECT doc_id, CAST($bm25ContribsSql AS BIGINT) AS score_micro
+       |  FROM base, st
+       |  WHERE $anyTf),
+       |s_rank AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM s_scored),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |d_scored AS (
+       |  SELECT b.vec_id AS doc_id, round($cosSqlAB, 6) AS cos_sim
+       |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+       |  WHERE a.vec_id = 0),
+       |d_rank AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+       |  FROM d_scored),
+       |fused AS (
+       |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |    coalesce(1000000 // (60 + s.rank), 0)
+       |      + coalesce(1000000 // (60 + d.rank), 0) AS rrf_micro,
+       |    (CASE WHEN s.rank IS NOT NULL THEN 1 ELSE 0 END)
+       |      + (CASE WHEN d.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_systems
+       |  FROM (SELECT * FROM s_rank WHERE rank <= 25) s
+       |  FULL OUTER JOIN (SELECT * FROM d_rank WHERE rank <= 25) d
+       |    ON d.doc_id = s.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, rrf_micro, n_systems,
+       |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+       |  FROM fused)
+       |SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  CAST(n_systems AS BIGINT) AS n_systems, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 20""".stripMargin
+  }
+
+  /** Incremental search-index maintenance served through the segment
+    * model (TextAnalysis.searchIndexDelta → searchSegmentsTopK) on the
+    * q98 snapshot fixture: base index over prev (id%7!=0), delta
+    * segment + tombstones from the Snapshot.delta diff to cur
+    * (id%5!=0, every 11th text edited) — only added/changed docs are
+    * re-tokenized, and the query-time merge drops tombstoned base
+    * entries and recounts per-term df from the merged candidates. Must
+    * equal the FULL REBUILD of cur, because scoring is deterministic;
+    * the oracle IS that rebuild — q103's ranking SQL over the cur
+    * fixture CTE. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prev = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+    val cur = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    val base = TextAnalysis.buildSearchIndex(prev, "doc_id", "text",
+      nShards = 4)
+    val delta = TextAnalysis.searchIndexDelta(prev, cur, "doc_id", "text",
+      nShards = 4)
+    TextAnalysis.searchSegmentsTopK(base, delta, Bm25Terms, k = 25)
+      .select(col("doc_id"), col("dl"), col("score_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  private val q105Sql = {
+    val anyTf = Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH c0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 != 0),
+       |${bm25CtesFrom("c0")},
+       |scored AS (
+       |  SELECT doc_id, dl,
+       |    CAST($bm25ContribsSql AS BIGINT) AS score_micro
+       |  FROM base, st
+       |  WHERE $anyTf),
+       |ranked AS (
+       |  SELECT doc_id, dl, score_micro,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, dl, score_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 25""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4039,5 +4169,7 @@ object Queries {
     "q100_incremental_pq" -> Q(q100, Some(q100Sql)),
     "q101_cluster_balanced_sample" -> Q(q101, Some(q101Sql)),
     "q102_substring_dedup_removed" -> Q(q102, Some(q102Sql)),
-    "q103_search_topk" -> Q(q103, Some(q103Sql)))
+    "q103_search_topk" -> Q(q103, Some(q103Sql)),
+    "q104_hybrid_search_rrf" -> Q(q104, Some(q104Sql)),
+    "q105_incremental_search_index" -> Q(q105, Some(q105Sql)))
 }

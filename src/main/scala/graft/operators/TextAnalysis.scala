@@ -262,21 +262,34 @@ object TextAnalysis {
     val probed = index.postings.where(col("token").isin(terms: _*))
     val cand = probed.select(col("token"), explode(col("postings")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-    val tfPivot = cand.groupBy("doc_id")
-      .agg(sum(when(col("token") === terms.head, col("tf")).otherwise(0L))
-          .as("tf_0"),
-        terms.zipWithIndex.tail.map { case (t, i) =>
-          sum(when(col("token") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
-        }: _*)
     val dfRow = probed.agg(
       sum(when(col("token") === terms.head, col("df_shard")).otherwise(0L))
         .as("df_0"),
       terms.zipWithIndex.tail.map { case (t, i) =>
         sum(when(col("token") === t, col("df_shard")).otherwise(0L)).as(s"df_$i")
       }: _*)
-    val stats = index.docmeta.agg(count(lit(1)).as("n"),
+    bm25TopK(cand, dfRow, index.docmeta, terms, k)
+  }
+
+  /** The shared query-time BM25 scoring core: (token, doc_id, tf)
+    * candidate rows, one broadcast per-term document-frequency row
+    * (df_0..df_n), and the doc-length table. Pivot tf per doc, attach
+    * the two-long corpus stats, sum the micro-unit contributions
+    * ([[bm25ContribMicro]]), rank with the partial-combining global
+    * `top_k_by`. Both the single-index server ([[searchTopK]]) and the
+    * segmented server ([[searchSegmentsTopK]]) end here, so base and
+    * incremental serving can never drift. */
+  private def bm25TopK(cand: DataFrame, dfRow: DataFrame, docmeta: DataFrame,
+                       terms: Seq[String], k: Int): DataFrame = {
+    val tfPivot = cand.groupBy("doc_id")
+      .agg(sum(when(col("token") === terms.head, col("tf")).otherwise(0L))
+          .as("tf_0"),
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          sum(when(col("token") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+    val stats = docmeta.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("sumdl"))
-    val scored = tfPivot.join(index.docmeta, Seq("doc_id"))
+    val scored = tfPivot.join(docmeta, Seq("doc_id"))
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
       .select(col("doc_id"), col("dl"),
         terms.indices.map(i => bm25ContribMicro(col(s"tf_$i"), col(s"df_$i"),
@@ -289,6 +302,138 @@ object TextAnalysis {
       .select(posexplode(col("top")))
       .select((-col("col.neg_id")).as("doc_id"), col("col.dl").as("dl"),
         col("col.score_micro").as("score_micro"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Probe an index's postings for the query terms and explode to
+    * (token, doc_id, tf) candidate rows — the literal `isin` reaches
+    * the scan (file skipping on a token-range-sorted layout). */
+  private def probeCand(postings: DataFrame, terms: Seq[String]): DataFrame =
+    postings.where(col("token").isin(terms: _*))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+
+  /** The incremental-maintenance unit of the search index: a delta
+    * SEGMENT (a complete [[SearchIndex]] over only the re-crawled
+    * added/changed docs) plus the tombstone list of doc ids whose BASE
+    * entries are dead (removed docs, and the OLD versions of changed
+    * docs — their fresh postings live in the segment). This is the
+    * LSM / Lucene-segment model Spark-shaped: a re-crawl costs
+    * O(|delta|) tokenize + index work, never O(|corpus|); the base
+    * index's files are never rewritten. Serve with
+    * [[searchSegmentsTopK]]; fold segments back into one index with
+    * [[compactSearchIndex]] when they accumulate. */
+  case class SearchDelta(segment: SearchIndex, tombstones: DataFrame)
+
+  /** Diff two corpus snapshots ([[Snapshot.delta]] — two longs per doc
+    * cross the join, never the text) and build the [[SearchDelta]]:
+    * only `added`/`changed` docs are tokenized (semi-join before the
+    * tokenizer), `removed`+`changed` ids become tombstones. The
+    * tombstone table is materialized: it is broadcast-probed by every
+    * query and compaction. */
+  def searchIndexDelta(prev: DataFrame, cur: DataFrame, idCol: String,
+                       textCol: String, nShards: Int = 1): SearchDelta = {
+    val d = Snapshot.delta(prev, cur, idCol, textCol)
+    val refresh = d.where(col("status").isin("added", "changed"))
+      .select(col("doc_id").as(idCol))
+    val segment = buildSearchIndex(
+      cur.join(refresh, Seq(idCol), "left_semi"), idCol, textCol, nShards)
+    val tombstones = d.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id")).localCheckpoint()
+    SearchDelta(segment, tombstones)
+  }
+
+  /** BM25 top-k over base index + delta segment — the query-time merge
+    * of the segment model: base candidates drop tombstoned docs (a
+    * broadcast anti-join against the small tombstone list — the base
+    * postings scan stays map-only), segment candidates union in, and
+    * per-term document frequencies are recounted from the MERGED
+    * candidate rows instead of the now-stale base `df_shard` sums (the
+    * probe retrieves every posting of each query term, so the recount
+    * is exact and stays bounded by the probed postings — no corpus
+    * work). A doc appears on exactly one side (changed docs are
+    * tombstoned in base and re-indexed in the segment), so (token,
+    * doc_id) stays unique after the union. Doc lengths and corpus
+    * stats merge the same way. Must equal [[searchTopK]] over a full
+    * rebuild of the current snapshot — deterministic scoring makes the
+    * equality exact (the q105 gate). */
+  def searchSegmentsTopK(base: SearchIndex, delta: SearchDelta,
+                         terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchSegmentsTopK needs at least one term")
+    val cand = probeCand(base.postings, terms)
+      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(probeCand(delta.segment.postings, terms))
+    val dfRow = cand.agg(
+      sum(when(col("token") === terms.head, 1L).otherwise(0L)).as("df_0"),
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"df_$i")
+      }: _*)
+    val docmeta = base.docmeta
+      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(delta.segment.docmeta)
+    bm25TopK(cand, dfRow, docmeta, terms, k)
+  }
+
+  /** Fold a [[SearchDelta]] back into a single [[SearchIndex]] (the
+    * Lucene segment merge): every base posting entry of a live doc plus
+    * every segment entry, re-grouped into (token, shard) rows with
+    * fresh df_shard counts; doc lengths merge the same way. The
+    * postings arrays re-sort, so the result is BIT-IDENTICAL to a full
+    * rebuild of the current snapshot (pinned by ScaleSpec) — run it
+    * when accumulated segments start to dominate query-time merge
+    * cost. One shuffle over the index tables; the corpus text is never
+    * touched. */
+  def compactSearchIndex(base: SearchIndex, delta: SearchDelta,
+                         nShards: Int = 1): SearchIndex = {
+    require(nShards >= 1, s"compactSearchIndex needs nShards >= 1, got $nShards")
+    def entries(postings: DataFrame): DataFrame = postings
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val tf = entries(base.postings)
+      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(entries(delta.segment.postings))
+    val postings = tf
+      .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .groupBy("token", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"),
+        count(lit(1)).as("df_shard"))
+      .localCheckpoint()
+    val docmeta = base.docmeta
+      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
+      .unionByName(delta.segment.docmeta)
+      .localCheckpoint()
+    SearchIndex(postings, docmeta)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    * ranked retrieval lists — the standard hybrid-search combiner for a
+    * sparse (BM25) and a dense (embedding ANN) ranker over the same
+    * corpus. Each list contributes floor(1e6 / (rrfK + rank)) integer
+    * micro-units per doc (rank-only: raw scores from different systems
+    * are not comparable, ranks always are); per-doc contributions SUM
+    * (Long addition commutes — partitioning cannot change a fused
+    * score) through one partial-aggregated groupBy over the unioned
+    * lists, and the global top-k is the partial-combining `top_k_by`.
+    * Input lists carry (doc_id, rank); sizes are top-k lists, so the
+    * whole fusion is bounded by Σ|lists| — no corpus work. Ties break
+    * by doc_id ascending. Output: (doc_id, rrf_micro, n_systems,
+    * rank). */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(rrfK >= 0, s"rrfFuse needs rrfK >= 0, got $rrfK")
+    val contribs = ranked.map(df => df.select(col("doc_id"),
+      (lit(1000000L) / (lit(rrfK.toLong) + col("rank").cast("long")))
+        .cast("long").as("rrf_micro")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(sum(col("rrf_micro")).as("rrf_micro"),
+        count(lit(1)).as("n_systems"))
+    fused.agg(top_k_by(struct(col("rrf_micro"),
+        (-col("doc_id")).as("neg_id"), col("n_systems")), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((-col("col.neg_id")).as("doc_id"),
+        col("col.rrf_micro").as("rrf_micro"),
+        col("col.n_systems").as("n_systems"), (col("pos") + 1).as("rank"))
   }
 
   /** Rolling-hash fingerprint per document. */

@@ -393,6 +393,61 @@ object Streaming {
             <= thresholdMicro).as("keep"))
   }
 
+  /** Continuous search-index maintenance over a stream of (id, text)
+    * UPSERTS — the streaming form of the q105 LSM-segment model
+    * (TextAnalysis.searchIndexDelta / compactSearchIndex). Driver-held
+    * state is the corpus FINGERPRINT table (two longs per doc — the
+    * Snapshot.delta fingerprint-not-payload discipline; the corpus text
+    * is never retained) plus the served index. Each micro-batch
+    * classifies its rows against the fingerprints (added / changed /
+    * unchanged — an upsert stream has no removes), tokenizes ONLY
+    * added+changed rows into a delta segment, tombstones the changed
+    * ids, and folds the segment into the served index. Folding per
+    * batch keeps serving single-index; when batches are small and
+    * frequent, accumulate `SearchDelta`s and compact periodically
+    * instead (compaction regroups the whole postings table). An
+    * unchanged re-send is a no-op: no tombstone, no segment row.
+    * Batch-parity with a full rebuild is pinned by StreamingSpec. */
+  final class SearchIndexMaintainer(initialCorpus: DataFrame, idCol: String,
+                                    textCol: String, nShards: Int = 1) {
+    import graft.operators.TextAnalysis
+    @volatile private var fps: DataFrame = initialCorpus
+      .select(col(idCol).as("doc_id"), md5_long(col(textCol)).as("fp"))
+      .localCheckpoint()
+    @volatile private var served: TextAnalysis.SearchIndex =
+      TextAnalysis.buildSearchIndex(initialCorpus, idCol, textCol, nShards)
+
+    /** The latest served index (postings + docmeta, both materialized). */
+    def index: TextAnalysis.SearchIndex = served
+
+    /** Apply one micro-batch of upserts (ids unique within a batch). */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        md5_long(col(textCol)).as("fp")).localCheckpoint()
+      val classified = b.join(fps.withColumnRenamed("fp", "fp_prev"),
+        Seq("doc_id"), "left_outer")
+      // null-safe: a NULL-text doc fingerprints to NULL, and a NULL -> NULL
+      // re-send must stay "unchanged"
+      val refresh = classified
+        .where(!(col("fp") <=> col("fp_prev")))
+      val segment = TextAnalysis.buildSearchIndex(
+        refresh.select(col("doc_id"), col("__text")), "doc_id", "__text",
+        nShards)
+      val tombstones = refresh.where(col("fp_prev").isNotNull)
+        .select(col("doc_id")).localCheckpoint()
+      served = TextAnalysis.compactSearchIndex(served,
+        TextAnalysis.SearchDelta(segment, tombstones), nShards)
+      fps = fps.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(b.select(col("doc_id"), col("fp"))).localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(upserts: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      upserts.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+  }
+
   /** Watermarked stream-stream interval join: each click matched to the
     * same user's views in the `rangeMinutes` before it. Both sides carry
     * watermarks, so the join state Spark keeps per side is bounded by

@@ -621,4 +621,29 @@ class OperatorSpec extends SparkTestBase {
     val b = out.find(_.getString(0) == "b").get
     assert(b.getAs[Long]("keep") == 0L, "NULL text cannot pass the rules")
   }
+
+  test("rrfFuse sums integer reciprocal-rank contributions across lists") {
+    // hand-computed: 1e6/(60+rank) integer-floored per list, summed
+    val sparse = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(sparse, dense), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("n_systems"), r.getAs[Int]("rank"))).toSeq
+    val c = (r: Int) => 1000000L / (60L + r)
+    // doc 20: both lists (rank2 sparse + rank1 dense) -> top fused score
+    assert(out == Seq(
+      (20L, c(2) + c(1), 2L, 1),
+      (10L, c(1), 1L, 2),
+      (40L, c(2), 1L, 3),
+      (30L, c(3), 1L, 4)))
+  }
+
+  test("rrfFuse breaks fused-score ties by doc_id ascending") {
+    // two docs with identical single-list rank -> identical rrf_micro
+    val a = Seq((7L, 1)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq
+    assert(out == Seq((3L, 1), (7L, 2)))
+  }
 }

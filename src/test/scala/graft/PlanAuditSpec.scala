@@ -190,6 +190,12 @@ class PlanAuditSpec extends SparkTestBase {
         concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
         lit(1L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // q104's dense retriever reads embeddings (vec_id aligned with doc_id)
+    spark.range(100).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)),
+          i => (col("id") % 5 + i).cast("float")).as("embedding"),
+        (col("id") % 3).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val bounds = Seq("q67_weighted_sample" -> 2, "q76_token_chunks" -> 1,
       "q77_bm25" -> 2,
       // q19/q94: minhashLshPairs stages its ONE tokenize+hash scan behind
@@ -217,7 +223,15 @@ class PlanAuditSpec extends SparkTestBase {
       // q103: the index tables are materialized at build (the persisted
       // artifact stand-in); the serve plan reads them — zero tokenize
       // (ScaleSpec additionally pins it against a parquet round trip)
-      "q103_search_topk" -> 0)
+      "q103_search_topk" -> 0,
+      // q104: both retrievers serve from materialized artifacts (the
+      // search index; the embedding table) — fusion never tokenizes;
+      // q105: the base index, delta segment and tombstones all
+      // materialize at maintenance time (Snapshot.delta fingerprints
+      // with md5, not the tokenizer) — the segmented serve plan reads
+      // only index tables
+      "q104_hybrid_search_rrf" -> 0,
+      "q105_incremental_search_index" -> 0)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
@@ -305,6 +319,37 @@ class PlanAuditSpec extends SparkTestBase {
       assert(plan.contains("partial_top_k_by"),
         s"$name top-k must partial-aggregate:\n$plan")
     }
+  }
+
+  test("search fusion and segment serving rank via top_k_by, no windows") {
+    // rrfFuse and the segmented BM25 server must rank through the
+    // partial-combining aggregate — a global row_number window would
+    // drag every fused/scored row onto one partition and sort it
+    import graft.operators.TextAnalysis
+    val docs = spark.range(1, 80).select(col("id").as("doc_id"),
+      concat(lit("the data point "), col("id").cast("string")).as("text"))
+    val prev = docs.where(col("doc_id") % 7 =!= 0)
+    val base = TextAnalysis.buildSearchIndex(prev, "doc_id", "text", nShards = 2)
+    val delta = TextAnalysis.searchIndexDelta(prev, docs, "doc_id", "text",
+      nShards = 2)
+    val seg = TextAnalysis.searchSegmentsTopK(base, delta,
+      Seq("data", "point"), k = 5)
+    val ranked = Seq(
+      spark.range(1, 30).select(col("id").as("doc_id"), col("id").cast("int").as("rank")),
+      spark.range(5, 20).select(col("id").as("doc_id"), col("id").cast("int").as("rank")))
+    val fused = TextAnalysis.rrfFuse(ranked, k = 10)
+    for ((name, df) <- Seq("searchSegmentsTopK" -> seg, "rrfFuse" -> fused)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"no WindowExec in $name:\n$plan")
+      assert(plan.contains("partial_top_k_by"),
+        s"$name must partial-aggregate its top-k:\n$plan")
+    }
+    // the base-side tombstone drop must broadcast (the scan stays
+    // map-only), never shuffle the postings
+    val segPlan = seg.queryExecution.executedPlan.toString
+    assert(segPlan.contains("BroadcastHashJoin") &&
+      segPlan.contains("LeftAnti"), s"tombstone drop must be a broadcast " +
+      s"anti-join:\n$segPlan")
   }
 
   test("text feature queries stay inside whole-stage codegen") {

@@ -370,4 +370,42 @@ class ScaleSpec extends SparkTestBase {
       assert(joined.count() == 5000L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("segmented search serving equals a full rebuild of the current snapshot") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // prev -> cur exercises every delta class: docs 3,6 removed; 61..65
+    // added; every 7th text edited (changed); the rest unchanged. Terms
+    // chosen so removed/added/changed docs all cross posting lists.
+    val prev = (1L to 60L).map(i =>
+      (i, s"the data point $i " + ("data " * (i % 4).toInt))).toDF("doc_id", "text")
+    val cur = (1L to 65L).filter(i => i != 3 && i != 6).map { i =>
+      val base = s"the data point $i " + ("data " * (i % 4).toInt)
+      (i, if (i % 7 == 0) base + " edited data" else base)
+    }.toDF("doc_id", "text")
+    val base = TextAnalysis.buildSearchIndex(prev, "doc_id", "text", nShards = 2)
+    val delta = TextAnalysis.searchIndexDelta(prev, cur, "doc_id", "text",
+      nShards = 2)
+    val rebuilt = TextAnalysis.buildSearchIndex(cur, "doc_id", "text", nShards = 2)
+    val terms = Seq("data", "point", "edited")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.searchSegmentsTopK(base, delta, terms, k = 12))
+      == rows(TextAnalysis.searchTopK(rebuilt, terms, k = 12)))
+    // the tombstone list is exactly removed + changed ids
+    val tombs = delta.tombstones.collect().map(_.getLong(0)).sorted.toSeq
+    assert(tombs == (Seq(3L, 6L) ++ (1L to 60L).filter(_ % 7 == 0)).sorted)
+    // compaction folds the segment back into ONE index bit-identical to
+    // the rebuild (same grouping keys, same sorted posting arrays)
+    val compacted = TextAnalysis.compactSearchIndex(base, delta, nShards = 2)
+    def postings(idx: TextAnalysis.SearchIndex) =
+      idx.postings.collect().map(_.toSeq).toSet
+    def docmeta(idx: TextAnalysis.SearchIndex) =
+      idx.docmeta.collect().map(_.toSeq).toSet
+    assert(postings(compacted) == postings(rebuilt))
+    assert(docmeta(compacted) == docmeta(rebuilt))
+    // serving through the compacted index matches too
+    assert(rows(TextAnalysis.searchTopK(compacted, terms, k = 12))
+      == rows(TextAnalysis.searchTopK(rebuilt, terms, k = 12)))
+  }
 }

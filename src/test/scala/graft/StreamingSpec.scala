@@ -573,4 +573,39 @@ class StreamingSpec extends SparkTestBase {
       assert(clicksOut.length == 1 && clicksOut(0).getAs[Long]("n") == 2L)
     } finally q.stop()
   }
+
+  test("streaming upserts maintain the search index to batch-rebuild parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val v0 = Seq((1L, "the data point one"), (2L, "the data two"),
+      (3L, "point three data"))
+    // batch 1: change doc 2, add doc 4; batch 2: change doc 1 (drops
+    // "data"/"point" entirely), add doc 5, re-send doc 3 UNCHANGED
+    val b1 = Seq((2L, "the data two edited point"), (4L, "fresh data point four"))
+    val b2 = Seq((1L, "the one rewritten"), (5L, "five data"),
+      (3L, "point three data"))
+    val m = new Streaming.SearchIndexMaintainer(
+      v0.toDF("doc_id", "text"), "doc_id", "text", nShards = 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = m.attach(mem.toDF().toDF("doc_id", "text"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val finalCorpus = (v0.toMap ++ b1.toMap ++ b2.toMap).toSeq
+      .toDF("doc_id", "text")
+    val rebuilt = TextAnalysis.buildSearchIndex(finalCorpus, "doc_id", "text",
+      nShards = 2)
+    // the maintained index TABLES are bit-identical to the rebuild
+    // (not just the served top-k): same grouping keys, sorted postings
+    assert(m.index.postings.collect().map(_.toSeq).toSet ==
+      rebuilt.postings.collect().map(_.toSeq).toSet)
+    assert(m.index.docmeta.collect().map(_.toSeq).toSet ==
+      rebuilt.docmeta.collect().map(_.toSeq).toSet)
+    val terms = Seq("data", "point")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.searchTopK(m.index, terms, k = 4)) ==
+      rows(TextAnalysis.searchTopK(rebuilt, terms, k = 4)))
+  }
 }
