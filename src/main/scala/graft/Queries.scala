@@ -4061,6 +4061,50 @@ object Queries {
        |FROM ranked WHERE rank <= 25""".stripMargin
   }
 
+  /** Search-result snippets (TextAnalysis.searchSnippets): per doc, the
+    * 12-token window anchored at a query-term hit covering the most
+    * hits (earliest on ties), plus the joined snippet text. One staged
+    * tokenize; the window search is the O(hits) best_token_window
+    * two-pointer kernel. The oracle replays hit positions with a
+    * 1-based->0-based indexed list_transform, counts every anchor's
+    * window (the O(hits^2) spelling of the same argmax), and slices the
+    * same 12 tokens. Hitless docs keep row parity with (0, NULL, 0,
+    * NULL). */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.searchSnippets(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, width = 12)
+
+  private val q106Sql = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id, tk,
+       |    list_filter(list_transform(tk,
+       |      (x, i) -> CASE WHEN x IN ($inList)
+       |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+       |      p -> p >= 0) AS hits
+       |  FROM tk),
+       |cnts AS (
+       |  SELECT doc_id, u.s AS start,
+       |    len(list_filter(h.hits, p -> p >= u.s AND p < u.s + 12)) AS cnt
+       |  FROM h, unnest(h.hits) AS u(s)),
+       |best AS (
+       |  SELECT doc_id, start, cnt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, start ASC) AS rn
+       |  FROM cnts)
+       |SELECT h.doc_id,
+       |  CAST(coalesce(len(h.hits), 0) AS BIGINT) AS n_hits,
+       |  b.start AS best_start,
+       |  CAST(coalesce(b.cnt, 0) AS BIGINT) AS best_cnt,
+       |  CASE WHEN b.start IS NOT NULL
+       |       THEN array_to_string(h.tk[CAST(b.start + 1 AS INT)
+       |                               : CAST(b.start + 12 AS INT)], ' ')
+       |       END AS snippet
+       |FROM h LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+      .stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4171,5 +4215,6 @@ object Queries {
     "q102_substring_dedup_removed" -> Q(q102, Some(q102Sql)),
     "q103_search_topk" -> Q(q103, Some(q103Sql)),
     "q104_hybrid_search_rrf" -> Q(q104, Some(q104Sql)),
-    "q105_incremental_search_index" -> Q(q105, Some(q105Sql)))
+    "q105_incremental_search_index" -> Q(q105, Some(q105Sql)),
+    "q106_search_snippets" -> Q(q106, Some(q106Sql)))
 }

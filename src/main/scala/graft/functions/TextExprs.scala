@@ -587,3 +587,55 @@ case class RemoveTokenSpans(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenSpans =
     copy(left = l, right = r)
 }
+
+/** Best fixed-width token window by hit count: given the token positions
+  * of query-term hits and a window width, return (start, cnt) for the
+  * width-token window anchored at a hit position that covers the most
+  * hits; ties break to the SMALLEST start. One two-pointer sweep over
+  * the sorted positions — O(hits), where the HOF count-per-anchor form
+  * is O(hits^2) and a term-spammy document (thousands of hits) would go
+  * quadratic inside a lambda. NULL or empty hits (and non-positive
+  * width) -> NULL: a document with no hits has no window, and NULL
+  * degrades out of downstream snippet assembly (the repo's
+  * malformed-rows-drop posture). */
+case class BestTokenWindow(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "best_token_window"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType | IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"best_token_window needs (array<long>, int/long width), got $t")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val hv = left.eval(input)
+    if (hv == null) return null
+    val wv = right.eval(input)
+    if (wv == null) return null
+    val w = wv match { case i: java.lang.Integer => i.toLong
+                       case l: java.lang.Long => l.longValue() }
+    if (w <= 0) return null
+    val arr = hv.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val hb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var x = 0
+    while (x < m) { if (!arr.isNullAt(x)) hb += arr.getLong(x); x += 1 }
+    if (hb.isEmpty) return null
+    val h = hb.toArray.sorted
+    var bestI = 0; var bestCnt = 0
+    var i = 0; var j = 0
+    while (i < h.length) {
+      if (j < i) j = i
+      while (j < h.length && h(j) < h(i) + w) j += 1
+      if (j - i > bestCnt) { bestCnt = j - i; bestI = i }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](h(bestI), bestCnt.toLong))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BestTokenWindow =
+    copy(left = l, right = r)
+}

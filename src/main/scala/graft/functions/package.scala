@@ -351,6 +351,13 @@ package object functions {
   def remove_token_spans(tokens: Column, spans: Column): Column =
     ExprBridge.column(RemoveTokenSpans(col2expr(tokens), col2expr(spans)))
 
+  /** Best fixed-width token window by hit count: (start, cnt) of the
+    * hit-anchored window covering the most hit positions, smallest
+    * start on ties — one O(hits) two-pointer sweep (see
+    * [[BestTokenWindow]]). */
+  def best_token_window(hits: Column, width: Column): Column =
+    ExprBridge.column(BestTokenWindow(col2expr(hits), col2expr(width)))
+
   /** 32-bit SimHash over a token array column (multiplicity counts). */
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))

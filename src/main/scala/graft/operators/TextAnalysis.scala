@@ -436,6 +436,47 @@ object TextAnalysis {
         col("col.n_systems").as("n_systems"), (col("pos") + 1).as("rank"))
   }
 
+  /** Search-result snippet extraction — the serving step after
+    * retrieval: for each document, the `width`-token window (anchored
+    * at a query-term hit) covering the most query-term hits, emitted as
+    * (n_hits, best_start, best_cnt, snippet text). ONE tokenize per doc,
+    * staged through a Generate (the q90 idiom) so the hit scan and the
+    * snippet slice cannot re-inline it; the window search is the O(hits)
+    * `best_token_window` two-pointer kernel (a term-spammy doc would go
+    * quadratic in the HOF count-per-anchor form). Zero shuffle —
+    * embarrassingly parallel; at scale run it on the retrieved top-k ids
+    * (semi-join first), never the whole corpus. Hitless docs keep row
+    * parity with (0, NULL, 0, NULL); ties break to the earliest
+    * window. */
+  def searchSnippets(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], width: Int): DataFrame = {
+    require(terms.nonEmpty, "searchSnippets needs at least one term")
+    require(width > 0, s"searchSnippets needs width > 0, got $width")
+    // three Generate stages (the q90 idiom): toks, the O(tokens) hit
+    // scan, and the kernel output each materialize ONCE — as plain
+    // projection columns, CollapseProject would re-inline the hit scan
+    // into every downstream reference (n_hits + the kernel + the slice
+    // guard: 3-5 evaluations per row, the exact blowup PlanAuditSpec
+    // pins against)
+    val staged = docs.select(col(idCol),
+        explode(array(struct(ws_tokens(col(textCol)).as("toks")))).as("g"))
+      .select(col(idCol), col("g.toks").as("toks"))
+    val withHits = staged.select(col(idCol), col("toks"),
+        explode(array(filter(
+          transform(col("toks"), (x, i) =>
+            when(x.isin(terms: _*), i.cast("long")).otherwise(lit(-1L))),
+          h => h >= 0))).as("hits"))
+    val withBest = withHits.select(col(idCol), col("toks"), col("hits"),
+      explode(array(best_token_window(col("hits"), lit(width)))).as("bw"))
+    withBest.select(col(idCol),
+      coalesce(size(col("hits")), lit(0)).cast("long").as("n_hits"),
+      col("bw.start").as("best_start"),
+      coalesce(col("bw.cnt"), lit(0L)).as("best_cnt"),
+      when(col("bw").isNotNull, array_join(
+        slice(col("toks"), (col("bw.start") + 1).cast("int"), lit(width)), " "))
+        .as("snippet"))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))

@@ -231,7 +231,9 @@ class PlanAuditSpec extends SparkTestBase {
       // with md5, not the tokenizer) — the segmented serve plan reads
       // only index tables
       "q104_hybrid_search_rrf" -> 0,
-      "q105_incremental_search_index" -> 0)
+      "q105_incremental_search_index" -> 0,
+      // q106: snippets tokenize once behind the first Generate
+      "q106_search_snippets" -> 1)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
@@ -252,6 +254,17 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     val nRe = "regexp_replace\\(".r.findAllIn(p96).length
     assert(nRe <= 4, s"q96: regexp_replace appears $nRe times (bound 4):\n$p96")
+    // q106: the O(tokens) hit scan and the window kernel each ride a
+    // Generate — exactly one evaluation apiece (n_hits + kernel + the
+    // snippet-slice guard would otherwise re-inline the hit scan 3-5x)
+    val p106 = Queries.all("q106_search_snippets").impl(spark, tmp)
+      .queryExecution.executedPlan.toString
+    val nBw = "best_token_window\\(".r.findAllIn(p106).length
+    assert(nBw == 1, s"q106: best_token_window appears $nBw times (want 1):\n$p106")
+    val nHitScan = "lambdafunction\\(".r.findAllIn(p106).length
+    assert(nHitScan <= 3,
+      s"q106: hit-scan lambdas appear $nHitScan times (bound 3 — one " +
+        s"transform + one filter + slack):\n$p106")
   }
 
   test("dup-ngram scoring probes a plan-literal sketch with no join at all") {

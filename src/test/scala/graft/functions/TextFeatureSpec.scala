@@ -129,6 +129,39 @@ class TextFeatureSpec extends SparkTestBase {
     }
   }
 
+  test("best_token_window equals brute-force anchor counting on random hits") {
+    val rnd = new scala.util.Random(51)
+    val cases = (1 to 150).map { i =>
+      val m = rnd.nextInt(25)
+      // unsorted with duplicates: the kernel must sort internally
+      val hits = (0 until m).map(_ => rnd.nextInt(60).toLong)
+      (i.toLong, hits, 1 + rnd.nextInt(12))
+    }
+    val df = cases.toDF("id", "hits", "w")
+    val got = df.select(col("id"),
+        best_token_window(col("hits"), col("w").cast("long")).as("bw"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))))).toMap
+    for ((id, hits, w) <- cases) {
+      val expect =
+        if (hits.isEmpty) None
+        else {
+          val anchors = hits.sorted.map(s =>
+            (s, hits.count(p => p >= s && p < s + w).toLong))
+          // max count, smallest start on ties
+          Some(anchors.maxBy { case (s, c) => (c, -s) })
+        }
+      assert(got(id) == expect, s"case $id: hits=$hits w=$w")
+    }
+    // degenerate inputs degrade to NULL, never throw
+    val edge = Seq((1L, Seq.empty[Long], 5L), (2L, Seq(3L), 0L))
+      .toDF("id", "hits", "w")
+      .select(best_token_window(col("hits"), col("w")))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("minhash_sig_from_hashes is bit-identical to minhash_signature") {
     val df = Seq(
       (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")),
