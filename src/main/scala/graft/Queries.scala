@@ -4132,6 +4132,42 @@ object Queries {
       .stripMargin
   }
 
+  /** Proximity search (TextAnalysis.proximityFilter): keep documents
+    * where a "the" occurrence sits within 3 tokens of a "data"
+    * occurrence. Hit positions from one staged tokenize; the gap is
+    * the O(m+n) min_pos_gap merge kernel, which the oracle replays as
+    * the O(m*n) pairwise list minimum. Docs missing either term emit
+    * NULL min_gap / keep=false with row parity. */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.proximityFilter(t(s, dir, "documents"), "doc_id", "text",
+      termsA = Seq("the"), termsB = Seq("data"), maxGap = 3L)
+
+  private val q107Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql("the")} AS ha,
+       |    ${hitsSql("data")} AS hb
+       |  FROM tk),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(len(ha), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(len(hb), 0) AS BIGINT) AS n_b,
+       |    CASE WHEN coalesce(len(ha), 0) > 0 AND coalesce(len(hb), 0) > 0
+       |         THEN list_min(flatten(list_transform(ha,
+       |                a -> list_transform(hb, b -> abs(a - b)))))
+       |    END AS min_gap
+       |  FROM h)
+       |SELECT doc_id, n_a, n_b, min_gap,
+       |  coalesce(min_gap <= 3, false) AS keep
+       |FROM g""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4243,5 +4279,6 @@ object Queries {
     "q103_search_topk" -> Q(q103, Some(q103Sql)),
     "q104_hybrid_search_rrf" -> Q(q104, Some(q104Sql)),
     "q105_incremental_search_index" -> Q(q105, Some(q105Sql)),
-    "q106_search_snippets" -> Q(q106, Some(q106Sql)))
+    "q106_search_snippets" -> Q(q106, Some(q106Sql)),
+    "q107_proximity_filter" -> Q(q107, Some(q107Sql)))
 }

@@ -639,3 +639,58 @@ case class BestTokenWindow(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BestTokenWindow =
     copy(left = l, right = r)
 }
+
+/** Minimum token gap between two hit-position lists — the proximity /
+  * phrase predicate of a search stack: unordered (`ordered = false`)
+  * min |a - b|, or ordered (`ordered = true`) min (b - a) over pairs
+  * with b strictly after a. One merge sweep over the two sorted lists —
+  * O(m + n), where the pairwise HOF spelling is O(m*n) and two common
+  * terms in a long document make that quadratic. NULL or empty either
+  * side -> NULL (no pair, degrades out of a keep-filter). */
+case class MinPosGap(left: Expression, right: Expression, ordered: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_pos_gap"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_pos_gap needs (array<long>, array<long>), got $t")
+  }
+  private def sortedLongs(v: Any): Array[Long] = {
+    val arr = v.asInstanceOf[ArrayData]
+    val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) b += arr.getLong(i); i += 1
+    }
+    b.toArray.sorted
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val av = left.eval(input); if (av == null) return null
+    val bv = right.eval(input); if (bv == null) return null
+    val a = sortedLongs(av); val b = sortedLongs(bv)
+    if (a.isEmpty || b.isEmpty) return null
+    var best = Long.MaxValue
+    var i = 0; var j = 0
+    if (ordered) {
+      // for each b(j), the largest a(i) strictly below it
+      while (j < b.length) {
+        while (i < a.length && a(i) < b(j)) i += 1
+        if (i > 0 && b(j) - a(i - 1) < best) best = b(j) - a(i - 1)
+        j += 1
+      }
+      if (best == Long.MaxValue) return null // every b at or before every a
+    } else {
+      while (i < a.length && j < b.length) {
+        val d = math.abs(a(i) - b(j))
+        if (d < best) best = d
+        if (a(i) < b(j)) i += 1 else j += 1
+      }
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinPosGap =
+    copy(left = l, right = r)
+}

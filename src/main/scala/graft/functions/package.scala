@@ -358,6 +358,12 @@ package object functions {
   def best_token_window(hits: Column, width: Column): Column =
     ExprBridge.column(BestTokenWindow(col2expr(hits), col2expr(width)))
 
+  /** Minimum token gap between two hit-position lists (unordered
+    * |a-b|, or ordered b-after-a) in one O(m+n) merge sweep (see
+    * [[MinPosGap]]). */
+  def min_pos_gap(a: Column, b: Column, ordered: Boolean = false): Column =
+    ExprBridge.column(MinPosGap(col2expr(a), col2expr(b), ordered))
+
   /** 32-bit SimHash over a token array column (multiplicity counts). */
   def simhash32(tokens: Column): Column =
     ExprBridge.column(SimHash32(col2expr(tokens)))

@@ -477,6 +477,39 @@ object TextAnalysis {
         .as("snippet"))
   }
 
+  /** Proximity / phrase filtering — the positional predicate of a
+    * search stack: per document, the minimum token gap between any
+    * occurrence of an A-term and any occurrence of a B-term (unordered
+    * |a-b|, or ordered A-then-B for phrase-like queries), kept when
+    * min_gap <= maxGap. ONE staged tokenize; both hit scans ride a
+    * Generate so their O(tokens) transforms evaluate once; the gap is
+    * the O(m+n) `min_pos_gap` merge kernel (the pairwise HOF form is
+    * O(m*n) — quadratic on a doc dense in both terms). Docs missing
+    * either term emit NULL min_gap and keep = false — row parity
+    * kept. */
+  def proximityFilter(docs: DataFrame, idCol: String, textCol: String,
+                      termsA: Seq[String], termsB: Seq[String],
+                      maxGap: Long, ordered: Boolean = false): DataFrame = {
+    require(termsA.nonEmpty && termsB.nonEmpty,
+      "proximityFilter needs terms on both sides")
+    require(maxGap >= 0, s"proximityFilter needs maxGap >= 0, got $maxGap")
+    def hitsOf(terms: Seq[String]) = filter(
+      transform(col("toks"), (x, i) =>
+        when(x.isin(terms: _*), i.cast("long")).otherwise(lit(-1L))),
+      h => h >= 0)
+    val staged = docs.select(col(idCol),
+        explode(array(struct(ws_tokens(col(textCol)).as("toks")))).as("g"))
+      .select(col(idCol), col("g.toks").as("toks"))
+    val withHits = staged.select(col(idCol),
+      explode(array(struct(hitsOf(termsA).as("ha"),
+        hitsOf(termsB).as("hb")))).as("h"))
+    withHits.select(col(idCol),
+      coalesce(size(col("h.ha")), lit(0)).cast("long").as("n_a"),
+      coalesce(size(col("h.hb")), lit(0)).cast("long").as("n_b"),
+      min_pos_gap(col("h.ha"), col("h.hb"), ordered).as("min_gap"))
+      .withColumn("keep", coalesce(col("min_gap") <= maxGap, lit(false)))
+  }
+
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rolling_hash(col(textCol)).as("fingerprint"))

@@ -233,7 +233,9 @@ class PlanAuditSpec extends SparkTestBase {
       "q104_hybrid_search_rrf" -> 0,
       "q105_incremental_search_index" -> 0,
       // q106: snippets tokenize once behind the first Generate
-      "q106_search_snippets" -> 1)
+      "q106_search_snippets" -> 1,
+      // q107: proximity hit scans share the one staged tokenize
+      "q107_proximity_filter" -> 1)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length

@@ -162,6 +162,30 @@ class TextFeatureSpec extends SparkTestBase {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("min_pos_gap equals brute-force pairwise minimum on random hits") {
+    val rnd = new scala.util.Random(67)
+    val cases = (1 to 150).map { i =>
+      val (m, n) = (rnd.nextInt(15), rnd.nextInt(15))
+      ((i.toLong, (0 until m).map(_ => rnd.nextInt(50).toLong),
+        (0 until n).map(_ => rnd.nextInt(50).toLong)))
+    }
+    val df = cases.toDF("id", "ha", "hb")
+    for (ordered <- Seq(false, true)) {
+      val got = df.select(col("id"),
+          min_pos_gap(col("ha"), col("hb"), ordered).as("gap"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      for ((id, ha, hb) <- cases) {
+        val pairs =
+          if (ordered) for (a <- ha; b <- hb if b > a) yield b - a
+          else for (a <- ha; b <- hb) yield math.abs(a - b)
+        val expect = if (pairs.isEmpty) None else Some(pairs.min)
+        assert(got(id) == expect,
+          s"case $id ordered=$ordered: ha=$ha hb=$hb")
+      }
+    }
+  }
+
   test("minhash_sig_from_hashes is bit-identical to minhash_signature") {
     val df = Seq(
       (1L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps")),
