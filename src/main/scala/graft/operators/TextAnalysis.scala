@@ -217,21 +217,47 @@ object TextAnalysis {
     * query's `isin` probe prunes to the terms' files. */
   case class SearchIndex(postings: DataFrame, docmeta: DataFrame)
 
+  /** Sentinel for `nShards`: derive the shard count from the corpus
+    * size at build time (ceil(nDocs / maxDocsPerShard)), so the unsafe
+    * configuration — a stopword's postings row holding the ENTIRE
+    * corpus in one array — cannot be reached by forgetting the dial.
+    * A shard holds at most ~maxDocsPerShard docs in expectation, so
+    * the worst-case postings row (a token in every doc) is bounded by
+    * the shard's doc count, not the corpus. */
+  val AutoShards: Int = 0
+
+  private def resolveShards(nShards: Int, nDocs: => Long,
+                            maxDocsPerShard: Int): Int = {
+    require(nShards >= 0,
+      s"nShards must be >= 1 or AutoShards (0), got $nShards")
+    require(maxDocsPerShard >= 1,
+      s"maxDocsPerShard must be >= 1, got $maxDocsPerShard")
+    if (nShards > 0) nShards
+    else math.max(1L, (nDocs + maxDocsPerShard - 1) / maxDocsPerShard).toInt
+  }
+
   /** Build the [[SearchIndex]]: one tokenize scan for the (doc, token,
     * tf) counts (partial-aggregated), sharded into bounded posting rows
     * exactly like [[invertedIndex]]; a second scan for doc lengths.
     * Both tables are materialized (localCheckpoint — standing in for
     * the parquet write a deployment lands them with): an index is built
     * once and probed many times, and [[searchTopK]] alone consumes each
-    * table twice (tf pivot + df row; scoring join + stats). */
+    * table twice (tf pivot + df row; scoring join + stats). The default
+    * shard count is [[AutoShards]]: one count-only scan sizes the
+    * corpus and shards derive as ceil(nDocs / maxDocsPerShard) — an
+    * index build is a once-per-corpus job, and the count is the price
+    * of never shipping an unsharded 100 TB stopword row. Query results
+    * are shard-count-invariant (df sums over shards; tf rides per
+    * doc). */
   def buildSearchIndex(docs: DataFrame, idCol: String, textCol: String,
-                       nShards: Int = 1): SearchIndex = {
-    require(nShards >= 1, s"buildSearchIndex needs nShards >= 1, got $nShards")
+                       nShards: Int = AutoShards,
+                       maxDocsPerShard: Int = 65536): SearchIndex = {
+    val shards = resolveShards(nShards, docs.count(), maxDocsPerShard)
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(ws_tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val postings = tf
-      .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .withColumn("shard", md5_long(col("doc_id").cast("string")) % shards)
       .groupBy("token", "shard")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
         .as("postings"),
@@ -331,7 +357,8 @@ object TextAnalysis {
     * tombstone table is materialized: it is broadcast-probed by every
     * query and compaction. */
   def searchIndexDelta(prev: DataFrame, cur: DataFrame, idCol: String,
-                       textCol: String, nShards: Int = 1): SearchDelta = {
+                       textCol: String,
+                       nShards: Int = AutoShards): SearchDelta = {
     val d = Snapshot.delta(prev, cur, idCol, textCol)
     val refresh = d.where(col("status").isin("added", "changed"))
       .select(col("doc_id").as(idCol))
@@ -357,19 +384,52 @@ object TextAnalysis {
     * rebuild of the current snapshot — deterministic scoring makes the
     * equality exact (the q105 gate). */
   def searchSegmentsTopK(base: SearchIndex, delta: SearchDelta,
+                         terms: Seq[String], k: Int): DataFrame =
+    searchSegmentsTopK(base, Seq(delta), terms, k)
+
+  /** Drop a level's rows for docs superseded by NEWER deltas: a delta's
+    * tombstones name docs whose entries in every OLDER level (base and
+    * earlier segments) are dead — a changed doc's fresh postings live
+    * in that delta's own segment, which its own tombstone must not
+    * touch. Tombstone lists are small (delta-sized) and materialized,
+    * so the union broadcasts and each level's scan stays map-only. */
+  private def dropSuperseded(level: DataFrame,
+                             newer: Seq[DataFrame]): DataFrame =
+    if (newer.isEmpty) level
+    else level.join(broadcast(newer.reduce(_ unionByName _)),
+      Seq("doc_id"), "left_anti")
+
+  /** BM25 top-k over base index + N accumulated delta segments (oldest
+    * first) — the general LSM read path: each level's candidates drop
+    * docs tombstoned by any STRICTLY NEWER delta (base drops all
+    * tombstones; segment i drops deltas i+1..N's — its own delta
+    * tombstoned the older copies, not the fresh rows it carries), so
+    * every live doc surfaces from exactly one level and (token, doc_id)
+    * stays unique after the union. Per-term document frequencies are
+    * recounted from the merged candidates (exact: the probe retrieves
+    * every posting of each query term), doc lengths merge level-wise
+    * the same way, and scoring is the shared [[bm25TopK]] core — so an
+    * N-segment serve must equal [[searchTopK]] over a full rebuild of
+    * the current snapshot (the q108 gate). Query cost is bounded by the
+    * probed postings of base + segments; the base postings are never
+    * regrouped (no compaction work hides in the read path — pinned by
+    * ScaleSpec). */
+  def searchSegmentsTopK(base: SearchIndex, deltas: Seq[SearchDelta],
                          terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "searchSegmentsTopK needs at least one term")
-    val cand = probeCand(base.postings, terms)
-      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
-      .unionByName(probeCand(delta.segment.postings, terms))
+    val levels = base +: deltas.map(_.segment)
+    val cand = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(probeCand(idx.postings, terms),
+        deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
     val dfRow = cand.agg(
       sum(when(col("token") === terms.head, 1L).otherwise(0L)).as("df_0"),
       terms.zipWithIndex.tail.map { case (t, i) =>
         sum(when(col("token") === t, 1L).otherwise(0L)).as(s"df_$i")
       }: _*)
-    val docmeta = base.docmeta
-      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
-      .unionByName(delta.segment.docmeta)
+    val docmeta = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(idx.docmeta, deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
     bm25TopK(cand, dfRow, docmeta, terms, k)
   }
 
@@ -383,24 +443,46 @@ object TextAnalysis {
     * cost. One shuffle over the index tables; the corpus text is never
     * touched. */
   def compactSearchIndex(base: SearchIndex, delta: SearchDelta,
-                         nShards: Int = 1): SearchIndex = {
-    require(nShards >= 1, s"compactSearchIndex needs nShards >= 1, got $nShards")
+                         nShards: Int): SearchIndex =
+    compactSearchIndex(base, Seq(delta), nShards)
+
+  /** Fold N accumulated [[SearchDelta]]s (oldest first) back into a
+    * single [[SearchIndex]] (the Lucene multi-segment merge): every
+    * level's posting entries survive unless a strictly newer delta
+    * tombstoned the doc ([[dropSuperseded]] — the same level rule the
+    * segmented read path uses, so compaction can never disagree with
+    * serving), then one regroup into (token, shard) rows with fresh
+    * df_shard counts. The postings arrays re-sort, so the result is
+    * BIT-IDENTICAL to a full rebuild of the current snapshot (pinned by
+    * ScaleSpec) — run it every K batches / when accumulated segments
+    * start to dominate query-time merge cost, NOT per delta: the
+    * regroup is O(live postings), and amortizing it over K deltas is
+    * what makes frequent small re-crawls affordable. One shuffle over
+    * the index tables; the corpus text is never touched. [[AutoShards]]
+    * re-derives the shard count from the merged doc count (the docmeta
+    * table is materialized first, so the count is a cheap local
+    * scan). */
+  def compactSearchIndex(base: SearchIndex, deltas: Seq[SearchDelta],
+                         nShards: Int = AutoShards,
+                         maxDocsPerShard: Int = 65536): SearchIndex = {
+    val levels = base +: deltas.map(_.segment)
+    val docmeta = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(idx.docmeta, deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
+      .localCheckpoint()
+    val shards = resolveShards(nShards, docmeta.count(), maxDocsPerShard)
     def entries(postings: DataFrame): DataFrame = postings
       .select(col("token"), explode(col("postings")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-    val tf = entries(base.postings)
-      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
-      .unionByName(entries(delta.segment.postings))
+    val tf = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(entries(idx.postings), deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
     val postings = tf
-      .withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .withColumn("shard", md5_long(col("doc_id").cast("string")) % shards)
       .groupBy("token", "shard")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
         .as("postings"),
         count(lit(1)).as("df_shard"))
-      .localCheckpoint()
-    val docmeta = base.docmeta
-      .join(broadcast(delta.tombstones), Seq("doc_id"), "left_anti")
-      .unionByName(delta.segment.docmeta)
       .localCheckpoint()
     SearchIndex(postings, docmeta)
   }
@@ -421,9 +503,13 @@ object TextAnalysis {
   def rrfFuse(ranked: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
     require(rrfK >= 0, s"rrfFuse needs rrfK >= 0, got $rrfK")
+    // integral `div`, not double `/`+cast: keeps the impl/oracle op
+    // sequences identical (the repo's integral-division discipline —
+    // q30 / packingOffsets) even though both round the same way for
+    // every reachable positive rank
     val contribs = ranked.map(df => df.select(col("doc_id"),
-      (lit(1000000L) / (lit(rrfK.toLong) + col("rank").cast("long")))
-        .cast("long").as("rrf_micro")))
+      expr(s"1000000L div (${rrfK}L + cast(rank as bigint))")
+        .as("rrf_micro")))
     val fused = contribs.reduce(_ unionByName _)
       .groupBy("doc_id")
       .agg(sum(col("rrf_micro")).as("rrf_micro"),

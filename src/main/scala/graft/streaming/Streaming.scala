@@ -394,51 +394,100 @@ object Streaming {
   }
 
   /** Continuous search-index maintenance over a stream of (id, text)
-    * UPSERTS — the streaming form of the q105 LSM-segment model
-    * (TextAnalysis.searchIndexDelta / compactSearchIndex). Driver-held
-    * state is the corpus FINGERPRINT table (two longs per doc — the
-    * Snapshot.delta fingerprint-not-payload discipline; the corpus text
-    * is never retained) plus the served index. Each micro-batch
-    * classifies its rows against the fingerprints (added / changed /
-    * unchanged — an upsert stream has no removes), tokenizes ONLY
-    * added+changed rows into a delta segment, tombstones the changed
-    * ids, and folds the segment into the served index. Folding per
-    * batch keeps serving single-index; when batches are small and
-    * frequent, accumulate `SearchDelta`s and compact periodically
-    * instead (compaction regroups the whole postings table). An
-    * unchanged re-send is a no-op: no tombstone, no segment row.
-    * Batch-parity with a full rebuild is pinned by StreamingSpec. */
+    * upserts and (optionally) deletes — the streaming form of the
+    * q105/q108 LSM-segment model (TextAnalysis.searchIndexDelta /
+    * searchSegmentsTopK / compactSearchIndex). Driver-held state is the
+    * corpus FINGERPRINT table (two longs per doc — the Snapshot.delta
+    * fingerprint-not-payload discipline; the corpus text is never
+    * retained), the compacted BASE index, and the accumulated pending
+    * [[TextAnalysis.SearchDelta]] segments. Each micro-batch classifies
+    * its rows against the fingerprints (presence-based: a first-seen id
+    * is `added` even when its text — and so its fingerprint — is NULL,
+    * matching searchIndexDelta and a full rebuild, which both carry a
+    * dl=0 docmeta row for it), tokenizes ONLY added+changed rows into a
+    * delta segment, tombstones changed+deleted ids, and APPENDS the
+    * segment: compaction (the O(live postings) regroup) runs only once
+    * every `compactEvery` batches, so minute-level micro-batches cost
+    * O(|batch|) each and the regroup amortizes — serving reads base +
+    * pending segments through [[topK]] in the meantime. An unchanged
+    * re-send is a no-op (no tombstone, no segment row); a delete of an
+    * absent id is a no-op. With `deleteCol` set, batch rows with that
+    * boolean column true are deletes (their text is ignored) — the
+    * streamed entry point for the batch path's tombstone semantics.
+    * Parity with a full rebuild of the surviving corpus is pinned by
+    * StreamingSpec, with compaction counted, not just claimed. */
   final class SearchIndexMaintainer(initialCorpus: DataFrame, idCol: String,
-                                    textCol: String, nShards: Int = 1) {
+                                    textCol: String,
+                                    nShards: Int = graft.operators.TextAnalysis.AutoShards,
+                                    compactEvery: Int = 8,
+                                    deleteCol: Option[String] = None) {
     import graft.operators.TextAnalysis
-    @volatile private var fps: DataFrame = initialCorpus
+    require(compactEvery >= 1,
+      s"SearchIndexMaintainer needs compactEvery >= 1, got $compactEvery")
+    private var fps: DataFrame = initialCorpus
       .select(col(idCol).as("doc_id"), md5_long(col(textCol)).as("fp"))
       .localCheckpoint()
-    @volatile private var served: TextAnalysis.SearchIndex =
+    private var base: TextAnalysis.SearchIndex =
       TextAnalysis.buildSearchIndex(initialCorpus, idCol, textCol, nShards)
+    private var pending: Vector[TextAnalysis.SearchDelta] = Vector.empty
+    private var nCompactions: Long = 0L
 
-    /** The latest served index (postings + docmeta, both materialized). */
-    def index: TextAnalysis.SearchIndex = served
+    /** The served single-index view: folds any pending segments into
+      * the base first (an explicit compaction point — callers that can
+      * serve multi-segment should prefer [[topK]]). */
+    def index: TextAnalysis.SearchIndex = synchronized {
+      if (pending.nonEmpty) {
+        base = TextAnalysis.compactSearchIndex(base, pending, nShards)
+        pending = Vector.empty
+        nCompactions += 1
+      }
+      base
+    }
 
-    /** Apply one micro-batch of upserts (ids unique within a batch). */
+    /** BM25 top-k over base + pending segments — the serving path that
+      * needs NO compaction work. */
+    def topK(terms: Seq[String], k: Int): DataFrame = synchronized {
+      TextAnalysis.searchSegmentsTopK(base, pending, terms, k)
+    }
+
+    /** Pending (not yet compacted) segment count / compactions run. */
+    def segmentCount: Int = synchronized(pending.length)
+    def compactionCount: Long = synchronized(nCompactions)
+
+    /** Apply one micro-batch of upserts/deletes (ids unique within a
+      * batch). */
     def applyBatch(batch: DataFrame): Unit = synchronized {
+      val isDel = deleteCol.filter(batch.columns.contains)
+        .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
       val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        md5_long(col(textCol)).as("fp")).localCheckpoint()
-      val classified = b.join(fps.withColumnRenamed("fp", "fp_prev"),
+        md5_long(col(textCol)).as("fp"), isDel.as("__del")).localCheckpoint()
+      val classified = b.join(
+        fps.select(col("doc_id"), col("fp").as("fp_prev"),
+          lit(true).as("in_prev")),
         Seq("doc_id"), "left_outer")
-      // null-safe: a NULL-text doc fingerprints to NULL, and a NULL -> NULL
-      // re-send must stay "unchanged"
-      val refresh = classified
-        .where(!(col("fp") <=> col("fp_prev")))
+      val present = coalesce(col("in_prev"), lit(false))
+      // presence-based `added` (NOT fingerprint equality alone: an added
+      // doc with NULL text has fp <=> fp_prev — both NULL — yet must
+      // enter docmeta); null-safe `changed` so a NULL -> NULL re-send
+      // stays unchanged
+      val refresh = classified.where(!col("__del") &&
+        (!present || !(col("fp") <=> col("fp_prev"))))
       val segment = TextAnalysis.buildSearchIndex(
         refresh.select(col("doc_id"), col("__text")), "doc_id", "__text",
         nShards)
-      val tombstones = refresh.where(col("fp_prev").isNotNull)
+      val tombstones = classified
+        .where(present && (col("__del") || !(col("fp") <=> col("fp_prev"))))
         .select(col("doc_id")).localCheckpoint()
-      served = TextAnalysis.compactSearchIndex(served,
-        TextAnalysis.SearchDelta(segment, tombstones), nShards)
+      pending :+= TextAnalysis.SearchDelta(segment, tombstones)
+      if (pending.length >= compactEvery) {
+        base = TextAnalysis.compactSearchIndex(base, pending, nShards)
+        pending = Vector.empty
+        nCompactions += 1
+      }
       fps = fps.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(b.select(col("doc_id"), col("fp"))).localCheckpoint()
+        .unionByName(b.where(!col("__del")).select(col("doc_id"), col("fp")))
+        .localCheckpoint()
     }
 
     /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */

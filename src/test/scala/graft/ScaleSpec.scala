@@ -408,4 +408,70 @@ class ScaleSpec extends SparkTestBase {
     assert(rows(TextAnalysis.searchTopK(compacted, terms, k = 12))
       == rows(TextAnalysis.searchTopK(rebuilt, terms, k = 12)))
   }
+
+  test("multi-segment serving equals a rebuild and never regroups the base postings") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // three snapshot generations: removals, additions, and docs changed
+    // in BOTH deltas (i%6==0: delta 2's tombstone must kill segment 1's
+    // copy, not only base's)
+    val v0 = (1L to 50L).map(i =>
+      (i, s"the data point $i " + ("data " * (i % 4).toInt))).toDF("doc_id", "text")
+    val v1 = (1L to 55L).filter(_ != 3).map { i =>
+      val base = s"the data point $i " + ("data " * (i % 4).toInt)
+      (i, if (i % 6 == 0) base + " edited" else base)
+    }.toDF("doc_id", "text")
+    val v2 = (1L to 58L).filter(i => i != 3 && i != 10).map { i =>
+      val base = s"the data point $i " + ("data " * (i % 4).toInt)
+      (i, if (i % 6 == 0) base + " edited twice" else base)
+    }.toDF("doc_id", "text")
+    val base = TextAnalysis.buildSearchIndex(v0, "doc_id", "text", nShards = 2)
+    val d1 = TextAnalysis.searchIndexDelta(v0, v1, "doc_id", "text", nShards = 2)
+    val d2 = TextAnalysis.searchIndexDelta(v1, v2, "doc_id", "text", nShards = 2)
+    val rebuilt = TextAnalysis.buildSearchIndex(v2, "doc_id", "text", nShards = 2)
+    val terms = Seq("data", "point", "edited", "twice")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    val served = TextAnalysis.searchSegmentsTopK(base, Seq(d1, d2), terms, k = 15)
+    assert(rows(served) == rows(TextAnalysis.searchTopK(rebuilt, terms, k = 15)))
+    // the read path does NO compaction work: no postings regroup
+    // (collect_list/sort_array is the compaction signature) anywhere in
+    // the serving plan, and the tombstone drops are broadcast anti-joins
+    // so every level's postings scan stays map-only
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"serving plan regroups postings:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone drop is not a broadcast anti-join:\n$plan")
+    // multi-segment compaction folds BOTH segments into one index
+    // bit-identical to the rebuild
+    val compacted = TextAnalysis.compactSearchIndex(base, Seq(d1, d2), nShards = 2)
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(tbl(compacted.postings) == tbl(rebuilt.postings))
+    assert(tbl(compacted.docmeta) == tbl(rebuilt.docmeta))
+  }
+
+  test("AutoShards derives the shard count and bounds the worst postings row") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // every doc contains the stopword "the": with nShards=1 its postings
+    // row would be the ENTIRE corpus in one array — the exact row
+    // explosion the auto default exists to prevent
+    val docs = (1L to 100L).map(i => (i, s"the data $i")).toDF("doc_id", "text")
+    val idx = TextAnalysis.buildSearchIndex(docs, "doc_id", "text",
+      nShards = TextAnalysis.AutoShards, maxDocsPerShard = 20)
+    // ceil(100/20) = 5 shards actually materialize
+    val shards = idx.postings.select("shard").distinct().count()
+    assert(shards == 5L, s"expected 5 shards, got $shards")
+    // the stopword's worst row is bounded by its shard's doc count (md5
+    // sharding is uniform; 50 is a >6-sigma bound on a Binomial(100,1/5))
+    val maxRow = idx.postings.agg(max(size(col("postings")))).head.getInt(0)
+    assert(maxRow <= 50, s"postings row too large: $maxRow")
+    // and results are shard-count-invariant: same top-k as nShards=1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    val one = TextAnalysis.buildSearchIndex(docs, "doc_id", "text", nShards = 1)
+    assert(rows(TextAnalysis.searchTopK(idx, Seq("the", "data"), k = 7))
+      == rows(TextAnalysis.searchTopK(one, Seq("the", "data"), k = 7)))
+  }
 }

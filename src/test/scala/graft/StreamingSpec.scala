@@ -608,4 +608,55 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(TextAnalysis.searchTopK(m.index, terms, k = 4)) ==
       rows(TextAnalysis.searchTopK(rebuilt, terms, k = 4)))
   }
+
+  test("streamed upserts+deletes with periodic compaction equal a rebuild of the surviving corpus") {
+    import graft.operators.TextAnalysis
+    val v0 = Seq((1L, "the data point one"), (2L, "the data two"),
+      (3L, "point three data"), (4L, "four data point"))
+    val m = new Streaming.SearchIndexMaintainer(
+      v0.toDF("doc_id", "text"), "doc_id", "text", nShards = 2,
+      compactEvery = 2, deleteCol = Some("del"))
+    def batch(rows: Seq[(Long, String, Boolean)]): Unit =
+      m.applyBatch(rows.toDF("doc_id", "text", "del"))
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    // b1: edit 2, delete 3 -> one pending segment, NO compaction
+    batch(Seq((2L, "the data two edited point", false), (3L, null, true)))
+    assert(m.segmentCount == 1 && m.compactionCount == 0L)
+    // b2: add 5 with NULL text (presence-based add — fingerprint
+    // equality alone would see fp <=> fp_prev, both NULL, and drop it
+    // from docmeta, drifting the corpus stats), edit 1 -> 2nd segment
+    // triggers the periodic compaction
+    batch(Seq((5L, null, false), (1L, "the one rewritten data", false)))
+    assert(m.segmentCount == 0 && m.compactionCount == 1L)
+    val midRebuilt = TextAnalysis.buildSearchIndex(
+      Seq[(Long, String)]((1L, "the one rewritten data"),
+        (2L, "the data two edited point"), (4L, "four data point"),
+        (5L, null)).toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 2)
+    assert(tbl(m.index.docmeta) == tbl(midRebuilt.docmeta),
+      "NULL-text add must carry a dl=0 docmeta row")
+    assert(tbl(m.index.postings) == tbl(midRebuilt.postings))
+    // b3: delete the NULL-text doc, re-add a deleted id, delete an
+    // absent id (no-op)
+    batch(Seq((5L, null, true), (3L, "point three returns data", false),
+      (99L, null, true)))
+    assert(m.segmentCount == 1 && m.compactionCount == 1L)
+    val rebuilt = TextAnalysis.buildSearchIndex(
+      Seq((1L, "the one rewritten data"), (2L, "the data two edited point"),
+        (3L, "point three returns data"), (4L, "four data point"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 2)
+    val terms = Seq("data", "point")
+    // the multi-segment serve path answers without compaction work
+    assert(rows(m.topK(terms, k = 4)) ==
+      rows(TextAnalysis.searchTopK(rebuilt, terms, k = 4)))
+    assert(m.segmentCount == 1, "topK must not trigger compaction")
+    // the single-index accessor folds the pending segment: bit-identical
+    val idx = m.index
+    assert(m.compactionCount == 2L && m.segmentCount == 0)
+    assert(tbl(idx.postings) == tbl(rebuilt.postings))
+    assert(tbl(idx.docmeta) == tbl(rebuilt.docmeta))
+  }
 }
