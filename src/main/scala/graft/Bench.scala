@@ -18,7 +18,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // optional comma-separated name filter: bench a subset in the exact
+    // harness shape (same session, noop sink, 3 interleaved sweeps) —
+    // for isolating whether a query's full-run time carries JVM-ambient
+    // drag from the other gates' checkpointed state
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     // 3 trials, interleaved round-robin across queries (sweep 1 of all
     // queries, then sweep 2, then sweep 3) rather than back-to-back per
     // query: a transient machine stall then lands inside ONE sweep and

@@ -4259,6 +4259,44 @@ object Queries {
        |FROM ranked WHERE rank <= 25""".stripMargin
   }
 
+  /** Phrase search served from the positional index
+    * (TextAnalysis.buildPositionalIndex → phraseSearch): the q107
+    * predicate moved INTO the serving artifact — postings carry each
+    * doc's sorted token positions, the phrase's terms probe by literal
+    * isin, and occurrences are the intersection of offset-shifted
+    * position sets (a surviving p means tokens p, p+1 spell the
+    * phrase) — zero corpus rescan at query time. The oracle replays
+    * per-term hit positions from the corpus (q107's indexed-lambda
+    * spelling) and intersects the shifted lists (set semantics match:
+    * positions are distinct by construction), keeping docs with at
+    * least one occurrence. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildPositionalIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    TextAnalysis.phraseSearch(idx, Seq("the", "data"))
+  }
+
+  private val q109Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql("the")} AS p0,
+       |    ${hitsSql("data")} AS p1
+       |  FROM tk),
+       |m AS (
+       |  SELECT doc_id,
+       |    list_intersect(p0, list_transform(p1, p -> p - 1)) AS starts
+       |  FROM h)
+       |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_phrase,
+       |  CAST(list_min(starts) AS BIGINT) AS first_pos
+       |FROM m WHERE len(starts) > 0""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4372,5 +4410,6 @@ object Queries {
     "q105_incremental_search_index" -> Q(q105, Some(q105Sql)),
     "q106_search_snippets" -> Q(q106, Some(q106Sql)),
     "q107_proximity_filter" -> Q(q107, Some(q107Sql)),
-    "q108_multisegment_search" -> Q(q108, Some(q108Sql)))
+    "q108_multisegment_search" -> Q(q108, Some(q108Sql)),
+    "q109_phrase_search" -> Q(q109, Some(q109Sql)))
 }

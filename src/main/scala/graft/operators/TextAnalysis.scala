@@ -487,6 +487,74 @@ object TextAnalysis {
     SearchIndex(postings, docmeta)
   }
 
+  /** Build the POSITIONAL index: term-sharded postings where each
+    * (doc, token) entry carries the token's sorted occurrence
+    * positions — the artifact that serves phrase (and proximity)
+    * predicates with ZERO corpus rescan, where [[proximityFilter]] /
+    * [[searchSnippets]] re-scan the corpus per query. Same build shape
+    * as [[buildSearchIndex]] (one tokenize scan, partial-aggregated
+    * per-(doc, token) rows, [[AutoShards]]-bounded posting arrays,
+    * range-sort on `token` for file-skipping probes); positions add
+    * one long per token occurrence — the standard Lucene-style space
+    * trade for positional queries. Returns the postings table:
+    * (token, shard, postings: array of (doc_id, positions),
+    * df_shard). */
+  def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+                           nShards: Int = AutoShards,
+                           maxDocsPerShard: Int = 65536): DataFrame = {
+    val shards = resolveShards(nShards, docs.count(), maxDocsPerShard)
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(ws_tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+    occ.withColumn("shard", md5_long(col("doc_id").cast("string")) % shards)
+      .groupBy("token", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+        .as("postings"),
+        count(lit(1)).as("df_shard"))
+      .localCheckpoint()
+  }
+
+  /** Exact phrase search served from a [[buildPositionalIndex]] table —
+    * the query-time form of a phrase predicate: probe the phrase's
+    * distinct terms (a literal `isin` that reaches the scan), pivot
+    * each doc's per-term position arrays, and intersect the
+    * position sets shifted by each term's phrase offset
+    * (`array_intersect`, hash-based O(total positions)): a surviving
+    * value p means tokens p, p+1, …, p+len-1 spell the phrase.
+    * Candidates are bounded by the probed postings — docs missing any
+    * phrase term never pivot a full row and NULL-propagate out; the
+    * corpus text is never touched (pinned by ScaleSpec, the q103
+    * discipline). Output: (doc_id, n_phrase, first_pos) for docs with
+    * at least one occurrence. A repeated term ("the data the") probes
+    * once and reuses its positions at both offsets. */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val terms = phrase.distinct
+    val probed = postings.where(col("token").isin(terms: _*))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        col("p.positions").as("positions"))
+    // one row per (doc, term) — max() just selects the single value
+    val piv = probed.groupBy("doc_id").agg(
+      max(when(col("token") === terms.head, col("positions"))).as("tp_0"),
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        max(when(col("token") === t, col("positions"))).as(s"tp_$i")
+      }: _*)
+    val starts = phrase.zipWithIndex.map { case (t, j) =>
+      val tp = col(s"tp_${terms.indexOf(t)}")
+      if (j == 0) tp else transform(tp, p => p - j)
+    }.reduce(array_intersect)
+    // stage the intersection through a Generate so the filter and both
+    // output columns read ONE evaluation (the q90 idiom); a doc
+    // missing a term has a NULL side and NULL-propagates
+    piv.select(col("doc_id"), explode(array(starts)).as("starts"))
+      .where(col("starts").isNotNull && size(col("starts")) > 0)
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_phrase"),
+        array_min(col("starts")).as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
     * ranked retrieval lists — the standard hybrid-search combiner for a
     * sparse (BM25) and a dense (embedding ANN) ranker over the same

@@ -451,6 +451,34 @@ class ScaleSpec extends SparkTestBase {
     assert(tbl(compacted.docmeta) == tbl(rebuilt.docmeta))
   }
 
+  test("positional index serves phrase queries with zero corpus rescan") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // docs with known phrase structure: "data point" occurs i%3 times in
+    // doc i plus decoys where the words appear NON-adjacent
+    val docs = (1L to 40L).map { i =>
+      val phrase = "data point " * (i % 3).toInt
+      (i, s"the $phrase data x point tail $i")
+    }.toDF("doc_id", "text")
+    val idx = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text",
+      nShards = 2)
+    // persist + reload: the probe must prune via pushed token filters
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    idx.write.parquet(s"$dir/postings")
+    val served = TextAnalysis.phraseSearch(
+      spark.read.parquet(s"$dir/postings"), Seq("data", "point"))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("tokenize("), s"query-time tokenize:\n$plan")
+    assert(plan.contains("PushedFilters: [In(token"), s"probe not pushed:\n$plan")
+    val got = served.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    // doc i: i%3 phrase hits; i%3==0 docs have only the non-adjacent
+    // decoy ("data x point") and must NOT match
+    val want = (1L to 40L).filter(_ % 3 != 0)
+      .map(i => i -> ((i % 3, 1L))).toMap
+    assert(got == want, s"phrase results wrong: $got")
+  }
+
   test("AutoShards derives the shard count and bounds the worst postings row") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
