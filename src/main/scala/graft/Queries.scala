@@ -4297,6 +4297,103 @@ object Queries {
        |FROM m WHERE len(starts) > 0""".stripMargin
   }
 
+  /** Proximity predicate served from the positional index
+    * (TextAnalysis.proximitySearch): q107's min-token-gap semantics
+    * with zero corpus rescan — both sides' terms probe the postings,
+    * each side's per-term position arrays merge (sorted concat, here
+    * exercising a TWO-term A side), and the O(m+n) min_pos_gap kernel
+    * runs per candidate doc. Retrievable set = docs posting at least
+    * one term on EACH side. The oracle replays hit positions from the
+    * corpus (q107's spelling), merges the A side with
+    * list_sort(list_concat(...)), and takes the pairwise min gap. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildPositionalIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    TextAnalysis.proximitySearch(idx, Seq("the", "of"), Seq("data"),
+      maxGap = 3L)
+  }
+
+  private val q110Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_sort(list_concat(${hitsSql("the")}, ${hitsSql("of")})) AS ha,
+       |    ${hitsSql("data")} AS hb
+       |  FROM tk),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(len(ha), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(len(hb), 0) AS BIGINT) AS n_b,
+       |    CASE WHEN coalesce(len(ha), 0) > 0 AND coalesce(len(hb), 0) > 0
+       |         THEN list_min(flatten(list_transform(ha,
+       |                a -> list_transform(hb, b -> abs(a - b)))))
+       |    END AS min_gap
+       |  FROM h)
+       |SELECT doc_id, n_a, n_b, min_gap,
+       |  coalesce(min_gap <= 3, false) AS keep
+       |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin
+  }
+
+  /** Multi-segment POSITIONAL serving (TextAnalysis.positionalIndexDelta
+    * → phraseSearchSegments): q108's two-re-crawl fixture served as
+    * phrase search — base positional index over v0, two uncompacted
+    * delta segments to v1 and v2, level-aware tombstones. Must equal
+    * phraseSearch over a full rebuild of v2; the oracle is that
+    * rebuild (q109's intersection SQL over the v2 fixture CTE). */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v0 = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+    val v1 = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    val v2 = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13L)) === 0,
+          concat(col("text"), lit(" v3")))
+          .when(pmod(col("doc_id"), lit(11L)) === 0,
+            concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val base = TextAnalysis.buildPositionalIndex(v0, "doc_id", "text",
+      nShards = 4)
+    val d1 = TextAnalysis.positionalIndexDelta(v0, v1, "doc_id", "text",
+      nShards = 4)
+    val d2 = TextAnalysis.positionalIndexDelta(v1, v2, "doc_id", "text",
+      nShards = 4)
+    TextAnalysis.phraseSearchSegments(base, Seq(d1, d2), Seq("the", "data"))
+  }
+
+  private val q111Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v3'
+       |                      WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |tk AS (SELECT doc_id, $toksSql AS tk FROM c0),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql("the")} AS p0,
+       |    ${hitsSql("data")} AS p1
+       |  FROM tk),
+       |m AS (
+       |  SELECT doc_id,
+       |    list_intersect(p0, list_transform(p1, p -> p - 1)) AS starts
+       |  FROM h)
+       |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_phrase,
+       |  CAST(list_min(starts) AS BIGINT) AS first_pos
+       |FROM m WHERE len(starts) > 0""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4411,5 +4508,7 @@ object Queries {
     "q106_search_snippets" -> Q(q106, Some(q106Sql)),
     "q107_proximity_filter" -> Q(q107, Some(q107Sql)),
     "q108_multisegment_search" -> Q(q108, Some(q108Sql)),
-    "q109_phrase_search" -> Q(q109, Some(q109Sql)))
+    "q109_phrase_search" -> Q(q109, Some(q109Sql)),
+    "q110_proximity_search" -> Q(q110, Some(q110Sql)),
+    "q111_positional_segments" -> Q(q111, Some(q111Sql)))
 }

@@ -530,17 +530,38 @@ object TextAnalysis {
     * once and reuses its positions at both offsets. */
   def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs at least one term")
-    val terms = phrase.distinct
-    val probed = postings.where(col("token").isin(terms: _*))
+    phraseFromOccurrences(
+      probePositions(postings, phrase.distinct), phrase)
+  }
+
+  /** Probe a positional postings table for `terms` and explode to
+    * (token, doc_id, positions) occurrence rows — the literal `isin`
+    * reaches the scan, same as [[probeCand]]. */
+  private def probePositions(postings: DataFrame,
+                             terms: Seq[String]): DataFrame =
+    postings.where(col("token").isin(terms: _*))
       .select(col("token"), explode(col("postings")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"),
         col("p.positions").as("positions"))
-    // one row per (doc, term) — max() just selects the single value
-    val piv = probed.groupBy("doc_id").agg(
+
+  /** Pivot occurrence rows to one row per doc with each distinct
+    * term's position array in column tp_i — one row per (doc, term)
+    * exists, so max() just selects the single value. */
+  private def pivotPositions(occ: DataFrame, terms: Seq[String]): DataFrame =
+    occ.groupBy("doc_id").agg(
       max(when(col("token") === terms.head, col("positions"))).as("tp_0"),
       terms.zipWithIndex.tail.map { case (t, i) =>
         max(when(col("token") === t, col("positions"))).as(s"tp_$i")
       }: _*)
+
+  /** The shared phrase-match core over (token, doc_id, positions)
+    * occurrence rows: pivot per doc, intersect offset-shifted position
+    * sets. Both the single-index ([[phraseSearch]]) and the segmented
+    * ([[phraseSearchSegments]]) server end here. */
+  private def phraseFromOccurrences(occ: DataFrame,
+                                    phrase: Seq[String]): DataFrame = {
+    val terms = phrase.distinct
+    val piv = pivotPositions(occ, terms)
     val starts = phrase.zipWithIndex.map { case (t, j) =>
       val tp = col(s"tp_${terms.indexOf(t)}")
       if (j == 0) tp else transform(tp, p => p - j)
@@ -553,6 +574,106 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(col("starts")).cast("long").as("n_phrase"),
         array_min(col("starts")).as("first_pos"))
+  }
+
+  /** Proximity predicate served from a [[buildPositionalIndex]] table —
+    * [[proximityFilter]]'s semantics (min token gap between an A-term
+    * and a B-term occurrence, unordered |a-b| or ordered A-then-B)
+    * without touching the corpus: probe both sides' terms, merge each
+    * side's per-term position arrays (tiny sorted concat per doc), and
+    * run the O(m+n) `min_pos_gap` kernel. Retrievable set = docs
+    * posting at least one term on EACH side (a one-sided doc cannot
+    * satisfy any gap — the q103 retrievable-set stance); an ordered
+    * query where every B precedes every A keeps the doc with NULL
+    * min_gap and keep = false. Output: (doc_id, n_a, n_b, min_gap,
+    * keep). */
+  def proximitySearch(postings: DataFrame, termsA: Seq[String],
+                      termsB: Seq[String], maxGap: Long,
+                      ordered: Boolean = false): DataFrame = {
+    require(termsA.nonEmpty && termsB.nonEmpty,
+      "proximitySearch needs terms on both sides")
+    require(maxGap >= 0, s"proximitySearch needs maxGap >= 0, got $maxGap")
+    val terms = (termsA ++ termsB).distinct
+    val piv = pivotPositions(probePositions(postings, terms), terms)
+    def side(ts: Seq[String]) = sort_array(ts.map(t =>
+      coalesce(col(s"tp_${terms.indexOf(t)}"), array().cast("array<long>")))
+      .reduce(concat(_, _)))
+    // stage both side unions once (Generate) — n_a/n_b/kernel would
+    // otherwise re-run the concat+sort per reference
+    val staged = piv.select(col("doc_id"),
+        explode(array(struct(side(termsA).as("pa"), side(termsB).as("pb"))))
+          .as("s"))
+      .select(col("doc_id"), col("s.pa").as("pa"), col("s.pb").as("pb"))
+    staged.select(col("doc_id"),
+        size(col("pa")).cast("long").as("n_a"),
+        size(col("pb")).cast("long").as("n_b"),
+        min_pos_gap(col("pa"), col("pb"), ordered).as("min_gap"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("keep", coalesce(col("min_gap") <= maxGap, lit(false)))
+  }
+
+  /** The positional index's delta unit — same LSM model as
+    * [[SearchDelta]]: a segment postings table over only the
+    * added/changed docs plus the tombstone list. */
+  case class PositionalDelta(segment: DataFrame, tombstones: DataFrame)
+
+  /** Diff two corpus snapshots and build the [[PositionalDelta]]:
+    * O(|delta|) tokenize, base files never rewritten (the
+    * [[searchIndexDelta]] discipline, positions included). */
+  def positionalIndexDelta(prev: DataFrame, cur: DataFrame, idCol: String,
+                           textCol: String,
+                           nShards: Int = AutoShards): PositionalDelta = {
+    val d = Snapshot.delta(prev, cur, idCol, textCol)
+    val refresh = d.where(col("status").isin("added", "changed"))
+      .select(col("doc_id").as(idCol))
+    val segment = buildPositionalIndex(
+      cur.join(refresh, Seq(idCol), "left_semi"), idCol, textCol, nShards)
+    val tombstones = d.where(col("status").isin("removed", "changed"))
+      .select(col("doc_id")).localCheckpoint()
+    PositionalDelta(segment, tombstones)
+  }
+
+  /** Phrase search over base positional index + N accumulated delta
+    * segments (oldest first): the [[searchSegmentsTopK]] level rule —
+    * each level drops docs tombstoned by any strictly newer delta, so
+    * every live doc's positions surface from exactly one level — then
+    * the shared phrase core. No regroup in the read path; must equal
+    * [[phraseSearch]] over a full rebuild (the q111 gate). */
+  def phraseSearchSegments(base: DataFrame, deltas: Seq[PositionalDelta],
+                           phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchSegments needs at least one term")
+    val terms = phrase.distinct
+    val levels = base +: deltas.map(_.segment)
+    val occ = levels.zipWithIndex.map { case (p, lvl) =>
+      dropSuperseded(probePositions(p, terms),
+        deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
+    phraseFromOccurrences(occ, phrase)
+  }
+
+  /** Fold N positional deltas into one postings table, bit-identical
+    * to a full rebuild (the [[compactSearchIndex]] merge with
+    * positions). `nShards` is explicit: the positional index carries
+    * no docmeta table to derive [[AutoShards]] from — pass the
+    * builder's resolved count. */
+  def compactPositionalIndex(base: DataFrame, deltas: Seq[PositionalDelta],
+                             nShards: Int): DataFrame = {
+    require(nShards >= 1,
+      s"compactPositionalIndex needs nShards >= 1, got $nShards")
+    def entries(postings: DataFrame): DataFrame = postings
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        col("p.positions").as("positions"))
+    val levels = base +: deltas.map(_.segment)
+    val occ = levels.zipWithIndex.map { case (p, lvl) =>
+      dropSuperseded(entries(p), deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
+    occ.withColumn("shard", md5_long(col("doc_id").cast("string")) % nShards)
+      .groupBy("token", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+        .as("postings"),
+        count(lit(1)).as("df_shard"))
+      .localCheckpoint()
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N

@@ -477,6 +477,55 @@ class ScaleSpec extends SparkTestBase {
     val want = (1L to 40L).filter(_ % 3 != 0)
       .map(i => i -> ((i % 3, 1L))).toMap
     assert(got == want, s"phrase results wrong: $got")
+    // proximity served from the same index: "x" sits 1 before "point"
+    // in every doc's decoy tail, so every doc keeps at gap <= 1
+    val prox = TextAnalysis.proximitySearch(idx, Seq("x"), Seq("point"),
+      maxGap = 1L).collect()
+    assert(prox.length == 40 && prox.forall(_.getAs[Boolean]("keep")))
+    assert(prox.forall(_.getAs[Long]("min_gap") == 1L))
+  }
+
+  test("positional segments serve phrases equal to a rebuild and compact bit-identically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val v0 = (1L to 50L).map(i =>
+      (i, s"the data point $i " + ("data point " * (i % 3).toInt)))
+      .toDF("doc_id", "text")
+    val v1 = (1L to 55L).filter(_ != 3).map { i =>
+      val base = s"the data point $i " + ("data point " * (i % 3).toInt)
+      (i, if (i % 6 == 0) s"moved front $base" else base) // positions SHIFT
+    }.toDF("doc_id", "text")
+    val v2 = (1L to 58L).filter(i => i != 3 && i != 10).map { i =>
+      val base = s"the data point $i " + ("data point " * (i % 3).toInt)
+      (i, if (i % 6 == 0) s"moved twice front $base" else base)
+    }.toDF("doc_id", "text")
+    val base = TextAnalysis.buildPositionalIndex(v0, "doc_id", "text",
+      nShards = 2)
+    val d1 = TextAnalysis.positionalIndexDelta(v0, v1, "doc_id", "text",
+      nShards = 2)
+    val d2 = TextAnalysis.positionalIndexDelta(v1, v2, "doc_id", "text",
+      nShards = 2)
+    val rebuilt = TextAnalysis.buildPositionalIndex(v2, "doc_id", "text",
+      nShards = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = TextAnalysis.phraseSearchSegments(base, Seq(d1, d2),
+      Seq("data", "point"))
+    assert(rows(served) == rows(TextAnalysis.phraseSearch(rebuilt,
+      Seq("data", "point"))))
+    // a twice-edited doc's POSITIONS come from the newest segment only
+    // (the "moved twice front" shift): spot-check doc 6
+    val d6 = served.where(col("doc_id") === 6L).collect()
+    assert(d6.length == 1 && d6(0).getAs[Long]("first_pos") == 4L,
+      s"doc 6 positions not from newest segment: ${d6.toSeq}")
+    // no regroup in the serving plan; tombstone drops broadcast
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"serving plan regroups:\n$plan")
+    // compaction folds both segments bit-identically to the rebuild
+    val compacted = TextAnalysis.compactPositionalIndex(base, Seq(d1, d2),
+      nShards = 2)
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(tbl(compacted) == tbl(rebuilt))
   }
 
   test("AutoShards derives the shard count and bounds the worst postings row") {
