@@ -4394,6 +4394,85 @@ object Queries {
        |FROM m WHERE len(starts) > 0""".stripMargin
   }
 
+  /** Scene-cut detection + keyframe sampling (Multimodal.cutPositions /
+    * shotsFromCuts): the clip-series fixture as a per-frame feature
+    * channel — a cut where the frame-to-frame delta exceeds 5000
+    * integer cents, shots exploded to one row each with a mid-shot
+    * keyframe (start + n div 2). The cut list is staged through a
+    * Generate (the q90 idiom: starts/ends/size would re-run the O(n)
+    * scan per reference). Zero shuffle beyond the series build. The
+    * oracle replays lag-deltas, running-sum shot ids, and grouped
+    * bounds per (user, shot). */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val staged = userSeries(s, dir).select(col("user_id"),
+        explode(array(struct(col("series").as("series"),
+          Multimodal.cutPositions(col("series"), lit(5000.0)).as("cuts"))))
+          .as("g"))
+      .select(col("user_id"), col("g.series").as("series"),
+        col("g.cuts").as("cuts"))
+    staged.select(col("user_id"),
+        posexplode(Multimodal.shotsFromCuts(col("cuts"), size(col("series"))))
+          .as(Seq("pos", "shot")))
+      .select(col("user_id"), col("shot.shot_idx").as("shot_idx"),
+        col("shot.start_frame").as("start_frame"),
+        col("shot.n_frames").as("n_frames"),
+        col("shot.keyframe").as("keyframe"))
+  }
+
+  private val q112Sql = seriesSqlCte +
+    """,
+      |d AS (
+      |  SELECT user_id, rn, v,
+      |    lag(v) OVER (PARTITION BY user_id ORDER BY rn) AS pv
+      |  FROM s),
+      |f AS (
+      |  SELECT user_id, rn,
+      |    CASE WHEN pv IS NOT NULL AND abs(v - pv) > 5000 THEN 1 ELSE 0 END AS cut
+      |  FROM d),
+      |sh AS (
+      |  SELECT user_id, rn,
+      |    sum(cut) OVER (PARTITION BY user_id ORDER BY rn) AS shot
+      |  FROM f)
+      |SELECT user_id, CAST(shot AS BIGINT) AS shot_idx,
+      |  CAST(min(rn) - 1 AS BIGINT) AS start_frame,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(min(rn) - 1 + count(*) // 2 AS BIGINT) AS keyframe
+      |FROM sh GROUP BY user_id, shot""".stripMargin
+
+  /** Silence / VAD run extraction (Multimodal.silenceRuns): frames with
+    * |level| < 800 cents are silent, maximal runs of >= 2 consecutive
+    * silent frames emit one (start_frame, n_frames) removal-span row
+    * each — the list an audio trimmer consumes. Built from the scene
+    * kernels over position space (run boundary = position gap > 1).
+    * The oracle is the gaps-and-islands replay: rn - row_number() over
+    * silent frames groups runs. Span index orders by start within a
+    * clip; clips with no qualifying run contribute no rows. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir).select(col("user_id"),
+        posexplode(Multimodal.silenceRuns(col("series"), lit(800.0), minRun = 2))
+          .as(Seq("pos", "run")))
+      .select(col("user_id"), col("pos").cast("long").as("span_idx"),
+        col("run.start_frame").as("start_frame"),
+        col("run.n_frames").as("n_frames"))
+
+  private val q113Sql = seriesSqlCte +
+    """,
+      |sil AS (SELECT user_id, rn FROM s WHERE abs(v) < 800),
+      |g AS (
+      |  SELECT user_id, rn,
+      |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM sil),
+      |runs AS (
+      |  SELECT user_id, min(rn) - 1 AS start_frame, count(*) AS n_frames
+      |  FROM g GROUP BY user_id, grp
+      |  HAVING count(*) >= 2)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_frame) - 1
+      |    AS BIGINT) AS span_idx,
+      |  CAST(start_frame AS BIGINT) AS start_frame,
+      |  CAST(n_frames AS BIGINT) AS n_frames
+      |FROM runs""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4510,5 +4589,7 @@ object Queries {
     "q108_multisegment_search" -> Q(q108, Some(q108Sql)),
     "q109_phrase_search" -> Q(q109, Some(q109Sql)),
     "q110_proximity_search" -> Q(q110, Some(q110Sql)),
-    "q111_positional_segments" -> Q(q111, Some(q111Sql)))
+    "q111_positional_segments" -> Q(q111, Some(q111Sql)),
+    "q112_scene_cuts" -> Q(q112, Some(q112Sql)),
+    "q113_silence_runs" -> Q(q113, Some(q113Sql)))
 }

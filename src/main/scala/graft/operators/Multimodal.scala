@@ -94,6 +94,79 @@ object Multimodal {
     * checkpoint), not a staged expression: CollapseProject would
     * otherwise re-inline its construction into every one of the
     * `frames*segs*segLen` element accesses. */
+  /** Scene-cut boundaries of a per-frame feature series (PySceneDetect's
+    * content-detector shape collapsed to one feature channel): frame i
+    * (1-based boundary, 0-based frames) is a cut when the absolute
+    * frame-to-frame delta exceeds `threshold`. Pure array math per clip
+    * — zero shuffle, embarrassingly parallel; the series rides a staged
+    * column (the q90 Generate idiom) at call sites so this O(n) scan
+    * evaluates once. Also reused for silence-run grouping: positions
+    * cast to doubles with threshold 1 mark the starts of non-consecutive
+    * runs. Guarded for n < 2 (Spark's sequence(1, 0) DESCENDS — an
+    * unguarded short clip would fabricate boundaries). */
+  def cutPositions(series: org.apache.spark.sql.Column,
+                   threshold: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = size(series)
+    when(n >= 2,
+      filter(transform(sequence(lit(1), n - 1), i =>
+        when(abs(element_at(series, i + 1) - element_at(series, i)) > threshold,
+          i.cast("long")).otherwise(lit(-1L))),
+        c => c >= 0))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Expand cut boundaries into shot segments: cuts `c` over `nFrames`
+    * frames yield |c|+1 shots [(0, c0), (c0, c1), …, (c_last, n)], each
+    * a (shot_idx, start_frame, n_frames, keyframe) struct with the
+    * keyframe sampled mid-shot (start + n div 2 — shiftright, not
+    * double division). Call sites posexplode to scalar rows (the
+    * driver's compare cannot hash list cells). */
+  def shotsFromCuts(cuts: org.apache.spark.sql.Column,
+                    nFrames: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val starts = concat(array(lit(0L)), cuts)
+    val ends = concat(cuts, array(nFrames.cast("long")))
+    transform(sequence(lit(0), size(cuts).cast("int")), j => {
+      val s = element_at(starts, j + 1)
+      val len = element_at(ends, j + 1) - s
+      struct(j.cast("long").as("shot_idx"), s.as("start_frame"),
+        len.as("n_frames"), (s + shiftright(len, 1)).as("keyframe"))
+    })
+  }
+
+  /** Silence (VAD-style) run extraction over a per-frame level series:
+    * frames with |level| < `threshold` are silent, and maximal runs of
+    * at least `minRun` consecutive silent frames are emitted as
+    * (start_frame, n_frames) structs — the removal list an audio
+    * trimmer consumes. Built from the same two kernels as scene
+    * segmentation: silent positions -> run boundaries where the
+    * position gap exceeds 1 ([[cutPositions]] on the position array)
+    * -> segments ([[shotsFromCuts]] over position-index space), mapped
+    * back through the position array and length-filtered. One O(n)
+    * pass, zero shuffle. */
+  def silenceRuns(series: org.apache.spark.sql.Column,
+                  threshold: org.apache.spark.sql.Column,
+                  minRun: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = size(series)
+    val sil = when(n >= 1,
+      filter(transform(sequence(lit(0), n - 1), i =>
+        when(abs(element_at(series, i + 1)) < threshold, i.cast("long"))
+          .otherwise(lit(-1L))),
+        p => p >= 0))
+      .otherwise(array().cast("array<long>"))
+    val runs = when(size(sil) >= 1,
+      filter(transform(shotsFromCuts(cutPositions(
+          transform(sil, _.cast("double")), lit(1.0)), size(sil)), seg =>
+        struct(element_at(sil, (seg.getField("start_frame") + 1).cast("int"))
+            .as("start_frame"),
+          seg.getField("n_frames").as("n_frames"))),
+        r => r.getField("n_frames") >= minRun))
+      .otherwise(array().cast("array<struct<start_frame:bigint,n_frames:bigint>>"))
+    runs
+  }
+
   def audioEnergyMatrix(samples: org.apache.spark.sql.Column,
                         frames: Int, segs: Int, segLen: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

@@ -168,4 +168,38 @@ class MediaOpsSpec extends SparkTestBase {
       assert(w2v(t)(0) == vol(t) && w2v(t)(1) == -vol(t))
     }
   }
+
+  test("scene shots and silence runs handle degenerate clips") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val df = Seq(
+      (1L, Seq(0.0, 600.0, 0.0, 0.0, 900.0, 0.0)), // cuts at 1,2,4,5
+      (2L, Seq(5.0)),                              // single frame: 1 shot, no run (minRun 2)
+      (3L, Seq(0.0, 0.0, 0.0)),                    // all silent: one run of 3
+      (4L, Seq(900.0, 901.0, 902.0))               // no silence, no cuts: 1 shot
+    ).toDF("clip_id", "series")
+    val shots = df.select(col("clip_id"),
+        posexplode(Multimodal.shotsFromCuts(
+          Multimodal.cutPositions(col("series"), lit(500.0)),
+          size(col("series")))).as(Seq("p", "s")))
+      .select(col("clip_id"), col("s.shot_idx"), col("s.start_frame"),
+        col("s.n_frames"), col("s.keyframe"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(shots == Set(
+      (1L, 0L, 0L, 1L, 0L), (1L, 1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L, 3L),
+      (1L, 3L, 4L, 1L, 4L), (1L, 4L, 5L, 1L, 5L),
+      (2L, 0L, 0L, 1L, 0L),
+      (3L, 0L, 0L, 3L, 1L),
+      (4L, 0L, 0L, 3L, 1L)), s"shots wrong: $shots")
+    val runs = df.select(col("clip_id"),
+        posexplode(Multimodal.silenceRuns(col("series"), lit(500.0), minRun = 2))
+          .as(Seq("p", "r")))
+      .select(col("clip_id"), col("p"), col("r.start_frame"), col("r.n_frames"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // clip 1: silent at 0, 2, 3, 5 -> runs [0], [2,3], [5]; only [2,3]
+    // survives minRun 2. clip 3: [0,1,2]. clips 2 and 4: none.
+    assert(runs == Set((1L, 0, 2L, 2L), (3L, 0, 0L, 3L)), s"runs wrong: $runs")
+  }
 }
