@@ -4473,6 +4473,44 @@ object Queries {
       |  CAST(n_frames AS BIGINT) AS n_frames
       |FROM runs""".stripMargin
 
+  /** Interval-overlap join (RangeJoin.intervalOverlapJoin): each user's
+    * click intervals [ts, ts+1h] × view intervals [ts, ts+1h],
+    * emitted once per overlapping pair with the overlap length — the
+    * two-sided range join (sessions×promos, speech×video segments)
+    * executed as a binned equi-join with the responsibility-bin dedup
+    * rule (no distinct pass). The oracle is the plain θ-join on the
+    * closed-interval predicate. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val win = 3600000000000L // 1 h in nanos
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_start"), (col("ts") + win).as("c_end"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_start"), (col("ts") + win).as("v_end"))
+    RangeJoin.intervalOverlapJoin(
+        clicks, "c_user", "c_start", "c_end",
+        views, "v_user", "v_start", "v_end", binSize = win)
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (least(col("c_end"), col("v_end"))
+          - greatest(col("c_start"), col("v_start"))).as("overlap_ns"))
+  }
+
+  private val q114Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_ns(ts) AS s,
+      |         epoch_ns(ts) + 3600000000000 AS e
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_ns(ts) AS s,
+      |         epoch_ns(ts) + 3600000000000 AS e
+      |  FROM events WHERE event_type = 'view')
+      |SELECT c.user_id, c.click_id, v.view_id,
+      |  least(c.e, v.e) - greatest(c.s, v.s) AS overlap_ns
+      |FROM c JOIN v ON v.user_id = c.user_id
+      | AND c.s <= v.e AND v.s <= c.e""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4591,5 +4629,6 @@ object Queries {
     "q110_proximity_search" -> Q(q110, Some(q110Sql)),
     "q111_positional_segments" -> Q(q111, Some(q111Sql)),
     "q112_scene_cuts" -> Q(q112, Some(q112Sql)),
-    "q113_silence_runs" -> Q(q113, Some(q113Sql)))
+    "q113_silence_runs" -> Q(q113, Some(q113Sql)),
+    "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)))
 }

@@ -39,4 +39,38 @@ object RangeJoin {
           pb(tsCol) >= wb(startCol) && pb(tsCol) < wb(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval overlap join — the two-sided generalization of
+    * [[binnedRangeJoin]]: emit (left, right) when the CLOSED intervals
+    * [startL, endL] and [startR, endR] share a point and the keys
+    * match. Both sides replicate to every bin their interval touches
+    * (bounded by ceil(len/bin)+1 rows when binSize >= typical interval
+    * length), and the θ-condition runs as a shuffled equi-join on
+    * (key, bin) plus the residual overlap filter. An overlapping pair
+    * co-occurs in EVERY bin their intervals share, so each pair is
+    * emitted exactly once by the responsibility rule — only the FIRST
+    * shared bin (the later of the two start bins) produces the row —
+    * instead of a distinct pass over the join output (a second full
+    * shuffle at scale). Column names must not collide across sides
+    * (rename before calling, as with any self-join). */
+  def intervalOverlapJoin(left: DataFrame, leftKey: String,
+                          startL: String, endL: String,
+                          right: DataFrame, rightKey: String,
+                          startR: String, endR: String,
+                          binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val lb = left
+      .withColumn("__sbin_l", expr(s"$startL div ${binSize}L"))
+      .withColumn("__bin",
+        explode(sequence(col("__sbin_l"), expr(s"$endL div ${binSize}L"))))
+    val rb = right
+      .withColumn("__sbin_r", expr(s"$startR div ${binSize}L"))
+      .withColumn("__bin",
+        explode(sequence(col("__sbin_r"), expr(s"$endR div ${binSize}L"))))
+    lb.join(rb,
+        lb(leftKey) === rb(rightKey) && lb("__bin") === rb("__bin") &&
+          lb(startL) <= rb(endR) && rb(startR) <= lb(endL) &&
+          lb("__bin") === greatest(lb("__sbin_l"), rb("__sbin_r")))
+      .drop("__bin", "__sbin_l", "__sbin_r")
+  }
 }

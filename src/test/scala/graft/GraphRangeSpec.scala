@@ -110,4 +110,27 @@ class GraphRangeSpec extends SparkTestBase {
       .select("tag").as[String].collect().toSet
     assert(out == Set("a", "b"))
   }
+
+  test("interval overlap join equals the theta-join and emits each pair once") {
+    import org.apache.spark.sql.functions._
+    // random intervals spanning MANY bins (len up to 40, binSize 5): a
+    // pair sharing k bins must still surface exactly once via the
+    // responsibility rule, with no distinct pass in the operator
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 120L).map { i =>
+      val s = rnd.nextInt(200).toLong; (i % 5, i, s, s + rnd.nextInt(40))
+    }.toDF("k", "lid", "ls", "le")
+    val right = (1L to 120L).map { i =>
+      val s = rnd.nextInt(200).toLong; (i % 5, i, s, s + rnd.nextInt(40))
+    }.toDF("k2", "rid", "rs", "re")
+    val got = operators.RangeJoin.intervalOverlapJoin(
+        left, "k", "ls", "le", right, "k2", "rs", "re", binSize = 5L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.toSet.size, "pair emitted more than once")
+    val want = left.join(right,
+        col("k") === col("k2") && col("ls") <= col("re")
+          && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want, s"missing/extra pairs: ${got.toSet.size} vs ${want.size}")
+  }
 }
