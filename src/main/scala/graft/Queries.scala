@@ -4511,6 +4511,43 @@ object Queries {
       |FROM c JOIN v ON v.user_id = c.user_id
       | AND c.s <= v.e AND v.s <= c.e""".stripMargin
 
+  /** Fuzzy entity-resolution join (Dedup.editBlockedJoin): a "dirty"
+    * catalog — every part's display name ("p_name #key") with its 6th
+    * character dropped — linked back to the reference catalog by
+    * Levenshtein distance <= 1 inside 4-char-prefix blocks (the
+    * perturbation sits past the prefix, so blocking keeps recall;
+    * candidates stay block-bounded, never all-pairs). The key suffix
+    * makes names near-unique, so each dirty row links to its source
+    * plus the occasional one-digit neighbour — character-level linkage
+    * the token-set dedup families cannot express. The oracle replays
+    * the block equi-join and the edit-distance predicate. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .select(col("p_partkey").as("ref_id"),
+        concat(col("p_name"), lit(" #"), col("p_partkey")).as("ref_name"))
+    val probe = parts.select(col("ref_id").as("dirty_id"),
+      concat(substring(col("ref_name"), 1, 5),
+        substring(col("ref_name"), 7, 1000000)).as("dirty_name"))
+    Dedup.editBlockedJoin(probe, "dirty_id", "dirty_name",
+        parts, "ref_id", "ref_name", blockPrefix = 4, maxEdit = 1)
+      .select(col("probe_id").as("dirty_id"), col("ref_id"),
+        col("edit_dist"))
+  }
+
+  private val q115Sql =
+    """WITH rf AS (
+      |  SELECT p_partkey AS ref_id, p_name || ' #' || p_partkey AS ref_name
+      |  FROM part),
+      |pr AS (
+      |  SELECT ref_id AS dirty_id,
+      |         substr(ref_name, 1, 5) || substr(ref_name, 7) AS dirty_name
+      |  FROM rf)
+      |SELECT pr.dirty_id, rf.ref_id,
+      |  CAST(levenshtein(pr.dirty_name, rf.ref_name) AS BIGINT) AS edit_dist
+      |FROM pr JOIN rf
+      |  ON lower(substr(pr.dirty_name, 1, 4)) = lower(substr(rf.ref_name, 1, 4))
+      |WHERE levenshtein(pr.dirty_name, rf.ref_name) <= 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4630,5 +4667,6 @@ object Queries {
     "q111_positional_segments" -> Q(q111, Some(q111Sql)),
     "q112_scene_cuts" -> Q(q112, Some(q112Sql)),
     "q113_silence_runs" -> Q(q113, Some(q113Sql)),
-    "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)))
+    "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)),
+    "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)))
 }
