@@ -137,34 +137,50 @@ object Multimodal {
 
   /** Silence (VAD-style) run extraction over a per-frame level series:
     * frames with |level| < `threshold` are silent, and maximal runs of
-    * at least `minRun` consecutive silent frames are emitted as
-    * (start_frame, n_frames) structs — the removal list an audio
-    * trimmer consumes. Built from the same two kernels as scene
-    * segmentation: silent positions -> run boundaries where the
-    * position gap exceeds 1 ([[cutPositions]] on the position array)
-    * -> segments ([[shotsFromCuts]] over position-index space), mapped
-    * back through the position array and length-filtered. One O(n)
-    * pass, zero shuffle. */
-  def silenceRuns(series: org.apache.spark.sql.Column,
-                  threshold: org.apache.spark.sql.Column,
-                  minRun: Int): org.apache.spark.sql.Column = {
+    * at least `minRun` consecutive silent frames are emitted one ROW
+    * each — (id, span_idx, start_frame, n_frames), the removal list an
+    * audio trimmer consumes; clips with no qualifying run contribute
+    * no rows. Built from the scene kernels over position space (run
+    * boundary = position gap > 1) with every intermediate staged
+    * through a Generate: the silent-position scan, the boundary list,
+    * and the segment list each evaluate ONCE per clip. The first,
+    * Column-composed version of this operator inlined the O(n) silent
+    * scan into every downstream reference (the boundary scan, the
+    * per-segment element_at, both guards) and measured 13.7 s on the
+    * sf0.1 gate vs well under a second staged — the q90 CollapseProject
+    * lesson applied to numeric kernels. One O(n) pass per clip, zero
+    * shuffle. */
+  def silenceRunRows(df: DataFrame, idCol: String, seriesCol: String,
+                     threshold: Double, minRun: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val n = size(series)
-    val sil = when(n >= 1,
-      filter(transform(sequence(lit(0), n - 1), i =>
-        when(abs(element_at(series, i + 1)) < threshold, i.cast("long"))
-          .otherwise(lit(-1L))),
+    require(minRun >= 1, s"silenceRunRows needs minRun >= 1, got $minRun")
+    val silExpr = when(size(col(seriesCol)) >= 1,
+      filter(transform(sequence(lit(0), size(col(seriesCol)) - 1), i =>
+        when(abs(element_at(col(seriesCol), i + 1)) < threshold,
+          i.cast("long")).otherwise(lit(-1L))),
         p => p >= 0))
       .otherwise(array().cast("array<long>"))
-    val runs = when(size(sil) >= 1,
-      filter(transform(shotsFromCuts(cutPositions(
-          transform(sil, _.cast("double")), lit(1.0)), size(sil)), seg =>
-        struct(element_at(sil, (seg.getField("start_frame") + 1).cast("int"))
-            .as("start_frame"),
-          seg.getField("n_frames").as("n_frames"))),
-        r => r.getField("n_frames") >= minRun))
-      .otherwise(array().cast("array<struct<start_frame:bigint,n_frames:bigint>>"))
-    runs
+    val staged = df.select(col(idCol), explode(array(silExpr)).as("sil"))
+      .select(col(idCol), col("sil"),
+        explode(array(cutPositions(transform(col("sil"), _.cast("double")),
+          lit(1.0)))).as("bounds"))
+      .select(col(idCol), col("sil"),
+        explode(array(shotsFromCuts(col("bounds"), size(col("sil")))))
+          .as("segs"))
+    // the n_frames guard inside the transform runs BEFORE the length
+    // filter: an all-loud clip has sil = [] and one zero-length segment,
+    // whose element_at(sil, 1) would THROW under ANSI if evaluated
+    staged
+      .select(col(idCol), posexplode(filter(transform(col("segs"), seg =>
+          struct(when(seg.getField("n_frames") >= 1, element_at(col("sil"),
+              (seg.getField("start_frame") + 1).cast("int")))
+              .otherwise(lit(0L)).as("start_frame"),
+            seg.getField("n_frames").as("n_frames"))),
+          r => r.getField("n_frames") >= minRun))
+        .as(Seq("span_idx", "run")))
+      .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
+        col("run.start_frame").as("start_frame"),
+        col("run.n_frames").as("n_frames"))
   }
 
   def audioEnergyMatrix(samples: org.apache.spark.sql.Column,

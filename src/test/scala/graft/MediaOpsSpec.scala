@@ -192,11 +192,9 @@ class MediaOpsSpec extends SparkTestBase {
       (2L, 0L, 0L, 1L, 0L),
       (3L, 0L, 0L, 3L, 1L),
       (4L, 0L, 0L, 3L, 1L)), s"shots wrong: $shots")
-    val runs = df.select(col("clip_id"),
-        posexplode(Multimodal.silenceRuns(col("series"), lit(500.0), minRun = 2))
-          .as(Seq("p", "r")))
-      .select(col("clip_id"), col("p"), col("r.start_frame"), col("r.n_frames"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+    val runs = Multimodal.silenceRunRows(df, "clip_id", "series",
+        threshold = 500.0, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2),
         r.getLong(3))).toSet
     // clip 1: silent at 0, 2, 3, 5 -> runs [0], [2,3], [5]; only [2,3]
     // survives minRun 2. clip 3: [0,1,2]. clips 2 and 4: none.
