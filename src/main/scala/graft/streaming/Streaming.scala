@@ -420,7 +420,8 @@ object Streaming {
                                     textCol: String,
                                     nShards: Int = graft.operators.TextAnalysis.AutoShards,
                                     compactEvery: Int = 8,
-                                    deleteCol: Option[String] = None) {
+                                    deleteCol: Option[String] = None,
+                                    maintainPositions: Boolean = false) {
     import graft.operators.TextAnalysis
     require(compactEvery >= 1,
       s"SearchIndexMaintainer needs compactEvery >= 1, got $compactEvery")
@@ -431,16 +432,38 @@ object Streaming {
       TextAnalysis.buildSearchIndex(initialCorpus, idCol, textCol, nShards)
     private var pending: Vector[TextAnalysis.SearchDelta] = Vector.empty
     private var nCompactions: Long = 0L
+    // the positional postings share the SEGMENT LIFECYCLE (same refresh
+    // rows, same tombstones, same compaction cadence) — the Lucene
+    // stance, where positions live inside the same segment as the
+    // postings; they are a separate TABLE only for the space trade
+    private var posBase: Option[DataFrame] =
+      if (maintainPositions)
+        Some(TextAnalysis.buildPositionalIndex(initialCorpus, idCol, textCol,
+          nShards))
+      else None
+    private var posPending: Vector[TextAnalysis.PositionalDelta] = Vector.empty
+
+    // compactPositionalIndex needs an explicit shard count (no docmeta
+    // table to derive AutoShards from): resolve from the fingerprint
+    // table, which tracks the full corpus and is materialized
+    private def posShards: Int =
+      if (nShards > 0) nShards
+      else math.max(1L, (fps.count() + 65535L) / 65536L).toInt
+
+    private def compactNow(): Unit = {
+      base = TextAnalysis.compactSearchIndex(base, pending, nShards)
+      posBase = posBase.map(p =>
+        TextAnalysis.compactPositionalIndex(p, posPending, posShards))
+      pending = Vector.empty
+      posPending = Vector.empty
+      nCompactions += 1
+    }
 
     /** The served single-index view: folds any pending segments into
       * the base first (an explicit compaction point — callers that can
       * serve multi-segment should prefer [[topK]]). */
     def index: TextAnalysis.SearchIndex = synchronized {
-      if (pending.nonEmpty) {
-        base = TextAnalysis.compactSearchIndex(base, pending, nShards)
-        pending = Vector.empty
-        nCompactions += 1
-      }
+      if (pending.nonEmpty) compactNow()
       base
     }
 
@@ -449,6 +472,23 @@ object Streaming {
     def topK(terms: Seq[String], k: Int): DataFrame = synchronized {
       TextAnalysis.searchSegmentsTopK(base, pending, terms, k)
     }
+
+    /** Phrase search over the co-maintained positional levels — only
+      * with `maintainPositions = true`. */
+    def phrase(terms: Seq[String]): DataFrame = synchronized {
+      TextAnalysis.phraseSearchSegments(posIndexOrFail, posPending, terms)
+    }
+
+    /** The maintained positional postings as one table (compacts
+      * first, like [[index]]). */
+    def positionalIndex: DataFrame = synchronized {
+      if (pending.nonEmpty) compactNow()
+      posIndexOrFail
+    }
+
+    private def posIndexOrFail: DataFrame = posBase.getOrElse(
+      throw new IllegalStateException(
+        "positional serving needs maintainPositions = true"))
 
     /** Pending (not yet compacted) segment count / compactions run. */
     def segmentCount: Int = synchronized(pending.length)
@@ -473,18 +513,20 @@ object Streaming {
       // stays unchanged
       val refresh = classified.where(!col("__del") &&
         (!present || !(col("fp") <=> col("fp_prev"))))
-      val segment = TextAnalysis.buildSearchIndex(
-        refresh.select(col("doc_id"), col("__text")), "doc_id", "__text",
-        nShards)
+      val refreshRows = refresh.select(col("doc_id"), col("__text"))
+        .localCheckpoint() // consumed by both segment builds
+      val segment = TextAnalysis.buildSearchIndex(refreshRows, "doc_id",
+        "__text", nShards)
       val tombstones = classified
         .where(present && (col("__del") || !(col("fp") <=> col("fp_prev"))))
         .select(col("doc_id")).localCheckpoint()
       pending :+= TextAnalysis.SearchDelta(segment, tombstones)
-      if (pending.length >= compactEvery) {
-        base = TextAnalysis.compactSearchIndex(base, pending, nShards)
-        pending = Vector.empty
-        nCompactions += 1
+      if (maintainPositions) {
+        posPending :+= TextAnalysis.PositionalDelta(
+          TextAnalysis.buildPositionalIndex(refreshRows, "doc_id", "__text",
+            nShards), tombstones)
       }
+      if (pending.length >= compactEvery) compactNow()
       fps = fps.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(b.where(!col("__del")).select(col("doc_id"), col("fp")))
         .localCheckpoint()

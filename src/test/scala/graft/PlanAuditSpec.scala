@@ -235,7 +235,12 @@ class PlanAuditSpec extends SparkTestBase {
       // q106: snippets tokenize once behind the first Generate
       "q106_search_snippets" -> 1,
       // q107: proximity hit scans share the one staged tokenize
-      "q107_proximity_filter" -> 1)
+      "q107_proximity_filter" -> 1,
+      // q108-q111: every index level (base, delta segments, positional)
+      // materializes at build — the segmented/positional serve plans
+      // read only index tables, zero tokenize
+      "q108_multisegment_search" -> 0, "q109_phrase_search" -> 0,
+      "q110_proximity_search" -> 0, "q111_positional_segments" -> 0)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length
@@ -267,6 +272,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nHitScan <= 3,
       s"q106: hit-scan lambdas appear $nHitScan times (bound 3 — one " +
         s"transform + one filter + slack):\n$p106")
+    // q112/q113: the scene/silence array stages each ride a Generate —
+    // the Column-composed q113 re-inlined the O(n) silent scan into
+    // every reference and measured 13.7 s (27x) on the sf0.1 gate.
+    // `sequence(` counts the O(n) index scans: one per intended stage.
+    spark.range(60).select((col("id") % 7).as("user_id"),
+        (col("id") * 1000000000L).as("ts"), col("id").as("event_id"),
+        (col("id") % 90).cast("double").as("value"),
+        lit("view").as("event_type"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    for ((q, bound) <- Seq("q112_scene_cuts" -> 3, "q113_silence_runs" -> 4)) {
+      val p = Queries.all(q).impl(spark, tmp)
+        .queryExecution.executedPlan.toString
+      val n = "sequence\\(".r.findAllIn(p).length
+      assert(n <= bound, s"$q: sequence scans appear $n times (bound $bound):\n$p")
+    }
+    // q115: the Levenshtein DP rides a Generate — as a projection column
+    // the length filter would re-inline it and run the O(len²) DP twice
+    spark.range(80).select(col("id").as("p_partkey"),
+        concat(lit("name"), (col("id") % 9).cast("string")).as("p_name"),
+        lit("b").as("p_brand"))
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val p115 = Queries.all("q115_fuzzy_entity_link").impl(spark, tmp)
+      .queryExecution.executedPlan.toString
+    val nLev = "levenshtein\\(".r.findAllIn(p115).length
+    assert(nLev == 1, s"q115: levenshtein appears $nLev times (want 1):\n$p115")
   }
 
   test("dup-ngram scoring probes a plan-literal sketch with no join at all") {

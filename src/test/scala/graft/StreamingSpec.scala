@@ -615,7 +615,7 @@ class StreamingSpec extends SparkTestBase {
       (3L, "point three data"), (4L, "four data point"))
     val m = new Streaming.SearchIndexMaintainer(
       v0.toDF("doc_id", "text"), "doc_id", "text", nShards = 2,
-      compactEvery = 2, deleteCol = Some("del"))
+      compactEvery = 2, deleteCol = Some("del"), maintainPositions = true)
     def batch(rows: Seq[(Long, String, Boolean)]): Unit =
       m.applyBatch(rows.toDF("doc_id", "text", "del"))
     def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
@@ -653,10 +653,23 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(m.topK(terms, k = 4)) ==
       rows(TextAnalysis.searchTopK(rebuilt, terms, k = 4)))
     assert(m.segmentCount == 1, "topK must not trigger compaction")
-    // the single-index accessor folds the pending segment: bit-identical
+    // the co-maintained positional levels serve phrase queries equal to
+    // a positional rebuild — from the same uncompacted segments
+    val posRebuilt = TextAnalysis.buildPositionalIndex(
+      Seq((1L, "the one rewritten data"), (2L, "the data two edited point"),
+        (3L, "point three returns data"), (4L, "four data point"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 2)
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(prows(m.phrase(Seq("data", "point"))) ==
+      prows(TextAnalysis.phraseSearch(posRebuilt, Seq("data", "point"))))
+    // the single-index accessor folds the pending segments of BOTH
+    // artifacts: bit-identical tables
     val idx = m.index
     assert(m.compactionCount == 2L && m.segmentCount == 0)
     assert(tbl(idx.postings) == tbl(rebuilt.postings))
     assert(tbl(idx.docmeta) == tbl(rebuilt.docmeta))
+    assert(tbl(m.positionalIndex) == tbl(posRebuilt))
   }
 }
