@@ -526,10 +526,12 @@ object Streaming {
           TextAnalysis.buildPositionalIndex(refreshRows, "doc_id", "__text",
             nShards), tombstones)
       }
-      if (pending.length >= compactEvery) compactNow()
+      // fps updates BEFORE any compaction so posShards sizes from the
+      // post-batch corpus, not the previous one
       fps = fps.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(b.where(!col("__del")).select(col("doc_id"), col("fp")))
         .localCheckpoint()
+      if (pending.length >= compactEvery) compactNow()
     }
 
     /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */

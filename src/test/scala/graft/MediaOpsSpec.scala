@@ -200,4 +200,30 @@ class MediaOpsSpec extends SparkTestBase {
     // survives minRun 2. clip 3: [0,1,2]. clips 2 and 4: none.
     assert(runs == Set((1L, 0, 2L, 2L), (3L, 0, 0L, 3L)), s"runs wrong: $runs")
   }
+
+  test("silence runs match a brute-force run-length reference on random series") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(9)
+    val clips = (1L to 80L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))((rnd.nextInt(200) - 100).toDouble))
+    }
+    val got = Multimodal.silenceRunRows(clips.toDF("clip_id", "series"),
+        "clip_id", "series", threshold = 30.0, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val exp = clips.flatMap { case (id, s) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var j = 0
+      while (j < s.length) {
+        if (math.abs(s(j)) < 30) {
+          var k = j
+          while (k < s.length && math.abs(s(k)) < 30) k += 1
+          runs += ((j.toLong, (k - j).toLong)); j = k
+        } else j += 1
+      }
+      runs.filter(_._2 >= 2).zipWithIndex
+        .map { case ((st, n), ix) => (id, ix.toLong, st, n) }
+    }.toSet
+    assert(got == exp)
+  }
 }

@@ -528,6 +528,49 @@ class ScaleSpec extends SparkTestBase {
     assert(tbl(compacted) == tbl(rebuilt))
   }
 
+  test("phrase and proximity serving match brute-force references on random corpora") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 120L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val idx = TextAnalysis.buildPositionalIndex(docs.toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 3)
+    def tokens(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    // phrase "a b" — the dense vocab makes every structural case appear
+    val expect = docs.flatMap { case (id, t) =>
+      val tk = tokens(t)
+      val starts = tk.indices.dropRight(1)
+        .filter(j => tk(j) == "a" && tk(j + 1) == "b")
+      if (starts.nonEmpty) Some((id, starts.size.toLong, starts.min.toLong))
+      else None
+    }.toSet
+    val got = TextAnalysis.phraseSearch(idx, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // proximity A={a,c}, B={b}, maxGap 2, both directions
+    for (ordered <- Seq(false, true)) {
+      val gotP = TextAnalysis.proximitySearch(idx, Seq("a", "c"), Seq("b"),
+          maxGap = 2L, ordered).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+      val expP = docs.flatMap { case (id, t) =>
+        val tk = tokens(t)
+        val pa = tk.indices.filter(j => tk(j) == "a" || tk(j) == "c").map(_.toLong)
+        val pb = tk.indices.filter(j => tk(j) == "b").map(_.toLong)
+        if (pa.nonEmpty && pb.nonEmpty) {
+          val gaps = for { a <- pa; b <- pb; if !ordered || b > a }
+            yield if (ordered) b - a else math.abs(a - b)
+          val mg = gaps.reduceOption(_ min _)
+          Some((id, pa.size.toLong, pb.size.toLong, mg, mg.exists(_ <= 2L)))
+        } else None
+      }.toSet
+      assert(gotP == expP, s"ordered=$ordered")
+    }
+  }
+
   test("AutoShards derives the shard count and bounds the worst postings row") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
