@@ -4551,6 +4551,60 @@ object Queries {
       |  ON lower(substr(pr.dirty_name, -6, 6)) = lower(substr(rf.ref_name, -6, 6))
       |WHERE levenshtein(pr.dirty_name, rf.ref_name) <= 1""".stripMargin
 
+  /** Temperature-based mixture RESAMPLING — q73's weights applied: each
+    * source's doc count raises to tau=0.3 (integer-quantized micro-units,
+    * the q73 discipline), a 400-doc budget splits into per-source quotas
+    * by integral division, and each source keeps its quota's docs by
+    * deterministic md5 order (the multilingual upsampling step of
+    * mT5/XLM-R-style training mixes: small sources keep everything, big
+    * sources trim). Selection is the q101 shape generalized to
+    * PER-GROUP quotas: one partial-combining `top_k_by` with k = the
+    * TOTAL budget bounds what crosses the shuffle (<= budget rows per
+    * source, per-partition heaps), then the broadcast quota table
+    * filters each source's rank — no window, no per-source scan. A
+    * quota above a source's size keeps the whole source (rank filter is
+    * vacuous), matching the oracle's row_number replay. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q",
+        floor(pow(col("n_docs").cast("double"), 0.3) * 1000000.0).cast("long"))
+      .localCheckpoint() // source-count-sized; feeds quota AND total
+    val tot = w.agg(sum(col("w_q")).as("tot"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(col("source"), expr("400L * w_q div tot").as("quota"))
+    val ranked = docs.select(col("source"), col("doc_id"),
+        md5_long(concat(lit("mix"), col("doc_id").cast("string"))).as("rk"))
+      .groupBy("source")
+      .agg(top_k_by(struct((-col("rk")).as("neg_rk"),
+        (-col("doc_id")).as("neg_id")), 400).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (-col("col.neg_id")).as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .where(col("rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rank"), col("quota"))
+  }
+
+  private val q116Sql = {
+    val rkSql = md5LongSql("'mix' || doc_id")
+    s"""WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT *, CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.3) * 1000000)
+       |    AS BIGINT) AS w_q
+       |  FROM s),
+       |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS tot FROM w),
+       |q AS (SELECT source, 400 * w_q // tot AS quota FROM w, t),
+       |r AS (
+       |  SELECT d.source, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY $rkSql, d.doc_id) AS rnk
+       |  FROM documents d)
+       |SELECT r.source, r.doc_id, CAST(rnk AS BIGINT) AS rank,
+       |  CAST(q.quota AS BIGINT) AS quota
+       |FROM r JOIN q USING (source) WHERE rnk <= quota""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4671,5 +4725,6 @@ object Queries {
     "q112_scene_cuts" -> Q(q112, Some(q112Sql)),
     "q113_silence_runs" -> Q(q113, Some(q113Sql)),
     "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)),
-    "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)))
+    "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)),
+    "q116_temperature_resample" -> Q(q116, Some(q116Sql)))
 }
