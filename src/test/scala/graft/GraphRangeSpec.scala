@@ -56,15 +56,22 @@ class GraphRangeSpec extends SparkTestBase {
         val minMember = (1 to n).filter(j => find(j) == root).min
         i.toLong -> minMember.toLong
       }.toMap
+      // default path (small edge set -> driver union-find) vs union-find oracle
       val out = Dedup.connectedComponents(
           edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"))
         .as[(Long, Long)].collect().toMap
       assert(out == expected, s"n=$n edges=$edgeList")
-      // the O(log n) star-contraction variant agrees on the same graphs
-      val star = Dedup.connectedComponentsStar(
+      // distributed star-contraction path, forced via driverEdgeLimit=0
+      val star = Dedup.connectedComponents(
+          edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"),
+          driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(star == expected, s"star path: n=$n edges=$edgeList")
+      // independently-derived min-label propagation agrees too
+      val minLabel = Dedup.connectedComponentsMinLabel(
           edgeList.toDF("a", "b"), (1 to n).map(_.toLong).toDF("id"))
         .as[(Long, Long)].collect().toMap
-      assert(star == expected, s"star variant: n=$n edges=$edgeList")
+      assert(minLabel == expected, s"min-label variant: n=$n edges=$edgeList")
     }
   }
 
