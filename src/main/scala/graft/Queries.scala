@@ -52,6 +52,17 @@ object Queries {
   private val stagedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // per-JVM staging root: the PID keeps two concurrent JVMs (Verify and
+  // Bench) from overwriting/reading the same staged parquet mid-write,
+  // and the sanitized sf-dir name (not its hashCode) keeps two distinct
+  // dirs from ever aliasing to one path within a JVM
+  private val stageRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
+      s"pid${ProcessHandle.current().pid()}"
+
+  private def stagePath(key: String, dir: String): String =
+    s"$stageRoot/${key}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
   /** Stage a deterministic synthesized fixture to parquet ONCE per JVM
     * (keyed by fixture name + sf dir) and read it back: the gate then
     * measures its operator over a real columnar scan — the production
@@ -63,8 +74,7 @@ object Queries {
   private def stageFixture(s: SparkSession, key: String, dir: String)
                           (make: => DataFrame): DataFrame = {
     val path = stagedFixtures.computeIfAbsent(s"$key|$dir", _ => {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stage/" +
-        s"${key}_${Integer.toHexString(dir.hashCode)}"
+      val p = stagePath(key, dir)
       make.write.mode("overwrite").parquet(p)
       p
     })
@@ -4216,8 +4226,15 @@ object Queries {
     * candidates, so the serve must equal a FULL REBUILD of v2 — the
     * oracle is that rebuild: q103's ranking SQL over the v2 fixture
     * CTE. */
-  private def q108(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** The two-re-crawl corpus fixture every multi-segment serving gate
+    * (q108, q111, q117) builds its LSM story on — ONE definition so the
+    * gates can never silently test different corpora: v0 drops id%7==0,
+    * v1 drops id%5==0 and edits every 11th doc (" v2" appended), v2
+    * drops id%3==0 and edits every 13th (" v3") on top. Ids on both
+    * cycles (%143) change TWICE — the newest delta's tombstone must
+    * kill the middle segment's copy, not just base's. The oracle side
+    * replays only v2 (the serve must equal a full rebuild). */
+  private def recrawlFixture(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val v0 = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
     val v1 = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
       .select(col("doc_id"),
@@ -4230,6 +4247,11 @@ object Queries {
           .when(pmod(col("doc_id"), lit(11L)) === 0,
             concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
+    (v0, v1, v2)
+  }
+
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val (v0, v1, v2) = recrawlFixture(t(s, dir, "documents"))
     val base = TextAnalysis.buildSearchIndex(v0, "doc_id", "text", nShards = 4)
     val d1 = TextAnalysis.searchIndexDelta(v0, v1, "doc_id", "text", nShards = 4)
     val d2 = TextAnalysis.searchIndexDelta(v1, v2, "doc_id", "text", nShards = 4)
@@ -4270,10 +4292,26 @@ object Queries {
     * spelling) and intersects the shifted lists (set semantics match:
     * positions are distinct by construction), keeping docs with at
     * least one occurrence. */
+  /** The gate drives the FULL deployment cycle: build → persist
+    * (token-range-sorted parquet) → load → serve, so the on-disk form —
+    * not just the in-memory frame — is what must answer correctly, and
+    * the load path's pushed token probe stays exercised by the oracle
+    * (ScaleSpec additionally pins the file-prune on the plan). The
+    * persisted index is staged once per JVM like any fixture; the serve
+    * is the measured operator. */
+  private def posIndexOnDisk(s: SparkSession, dir: String): String = {
+    stagedFixtures.computeIfAbsent(s"posidx|$dir", _ => {
+      val p = stagePath("posidx", dir)
+      val idx = TextAnalysis.buildPositionalIndex(t(s, dir, "documents"),
+        "doc_id", "text", nShards = 4)
+      TextAnalysis.savePositionalIndex(idx, p, nShards = 4)
+      p
+    })
+  }
+
   private def q109(s: SparkSession, dir: String): DataFrame = {
-    val idx = TextAnalysis.buildPositionalIndex(t(s, dir, "documents"),
-      "doc_id", "text", nShards = 4)
-    TextAnalysis.phraseSearch(idx, Seq("the", "data"))
+    val idx = TextAnalysis.loadPositionalIndex(s, posIndexOnDisk(s, dir))
+    TextAnalysis.phraseSearch(idx.postings, Seq("the", "data"))
   }
 
   private val q109Sql = {
@@ -4307,9 +4345,8 @@ object Queries {
     * corpus (q107's spelling), merges the A side with
     * list_sort(list_concat(...)), and takes the pairwise min gap. */
   private def q110(s: SparkSession, dir: String): DataFrame = {
-    val idx = TextAnalysis.buildPositionalIndex(t(s, dir, "documents"),
-      "doc_id", "text", nShards = 4)
-    TextAnalysis.proximitySearch(idx, Seq("the", "of"), Seq("data"),
+    val idx = TextAnalysis.loadPositionalIndex(s, posIndexOnDisk(s, dir))
+    TextAnalysis.proximitySearch(idx.postings, Seq("the", "of"), Seq("data"),
       maxGap = 3L)
   }
 
@@ -4346,19 +4383,7 @@ object Queries {
     * phraseSearch over a full rebuild of v2; the oracle is that
     * rebuild (q109's intersection SQL over the v2 fixture CTE). */
   private def q111(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val v0 = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0)
-    val v1 = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
-      .select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(11L)) === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
-    val v2 = docs.where(pmod(col("doc_id"), lit(3L)) =!= 0)
-      .select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(13L)) === 0,
-          concat(col("text"), lit(" v3")))
-          .when(pmod(col("doc_id"), lit(11L)) === 0,
-            concat(col("text"), lit(" v2")))
-          .otherwise(col("text")).as("text"))
+    val (v0, v1, v2) = recrawlFixture(t(s, dir, "documents"))
     val base = TextAnalysis.buildPositionalIndex(v0, "doc_id", "text",
       nShards = 4)
     val d1 = TextAnalysis.positionalIndexDelta(v0, v1, "doc_id", "text",
@@ -4605,6 +4630,58 @@ object Queries {
        |FROM r JOIN q USING (source) WHERE rnk <= quota""".stripMargin
   }
 
+  /** Multi-segment PROXIMITY serving (TextAnalysis.proximitySearchSegments):
+    * the last gap in the LSM serving story — q110's min-token-gap
+    * predicate answered from base positional index + two uncompacted
+    * delta segments over the shared two-re-crawl fixture, so a
+    * re-crawled corpus serves proximity incrementally instead of fully
+    * rebuilding (phrase already could: q111). The level-aware occurrence
+    * merge is literally q111's ([[TextAnalysis.segmentOccurrences]] is
+    * shared code); the oracle is the full-rebuild replay: q110's
+    * pairwise-min-gap SQL over the v2 fixture CTE. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val (v0, v1, v2) = recrawlFixture(t(s, dir, "documents"))
+    val base = TextAnalysis.buildPositionalIndex(v0, "doc_id", "text",
+      nShards = 4)
+    val d1 = TextAnalysis.positionalIndexDelta(v0, v1, "doc_id", "text",
+      nShards = 4)
+    val d2 = TextAnalysis.positionalIndexDelta(v1, v2, "doc_id", "text",
+      nShards = 4)
+    TextAnalysis.proximitySearchSegments(base, Seq(d1, d2),
+      Seq("the", "of"), Seq("data"), maxGap = 3L)
+  }
+
+  private val q117Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v3'
+       |                      WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 3 != 0),
+       |tk AS (SELECT doc_id, $toksSql AS tk FROM c0),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_sort(list_concat(${hitsSql("the")}, ${hitsSql("of")})) AS ha,
+       |    ${hitsSql("data")} AS hb
+       |  FROM tk),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(len(ha), 0) AS BIGINT) AS n_a,
+       |    CAST(coalesce(len(hb), 0) AS BIGINT) AS n_b,
+       |    CASE WHEN coalesce(len(ha), 0) > 0 AND coalesce(len(hb), 0) > 0
+       |         THEN list_min(flatten(list_transform(ha,
+       |                a -> list_transform(hb, b -> abs(a - b)))))
+       |    END AS min_gap
+       |  FROM h)
+       |SELECT doc_id, n_a, n_b, min_gap,
+       |  coalesce(min_gap <= 3, false) AS keep
+       |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4726,5 +4803,6 @@ object Queries {
     "q113_silence_runs" -> Q(q113, Some(q113Sql)),
     "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)),
     "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)),
-    "q116_temperature_resample" -> Q(q116, Some(q116Sql)))
+    "q116_temperature_resample" -> Q(q116, Some(q116Sql)),
+    "q117_proximity_segments" -> Q(q117, Some(q117Sql)))
 }

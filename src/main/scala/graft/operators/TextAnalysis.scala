@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -226,6 +226,11 @@ object TextAnalysis {
     * the shard's doc count, not the corpus. */
   val AutoShards: Int = 0
 
+  /** The one [[AutoShards]] denominator — shared with the streaming
+    * maintainer so the batch builder and the incremental path can never
+    * disagree on how a corpus size maps to a shard count. */
+  val DefaultMaxDocsPerShard: Int = 65536
+
   private def resolveShards(nShards: Int, nDocs: => Long,
                             maxDocsPerShard: Int): Int = {
     require(nShards >= 0,
@@ -251,8 +256,13 @@ object TextAnalysis {
     * doc). */
   def buildSearchIndex(docs: DataFrame, idCol: String, textCol: String,
                        nShards: Int = AutoShards,
-                       maxDocsPerShard: Int = 65536): SearchIndex = {
-    val shards = resolveShards(nShards, docs.count(), maxDocsPerShard)
+                       maxDocsPerShard: Int = DefaultMaxDocsPerShard,
+                       knownDocs: Long = -1L): SearchIndex = {
+    // a caller that already counted the corpus (or builds several indexes
+    // over the same snapshot) passes knownDocs so AutoShards doesn't pay
+    // a count-only scan per build
+    val shards = resolveShards(nShards,
+      if (knownDocs >= 0) knownDocs else docs.count(), maxDocsPerShard)
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(ws_tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -464,7 +474,7 @@ object TextAnalysis {
     * scan). */
   def compactSearchIndex(base: SearchIndex, deltas: Seq[SearchDelta],
                          nShards: Int = AutoShards,
-                         maxDocsPerShard: Int = 65536): SearchIndex = {
+                         maxDocsPerShard: Int = DefaultMaxDocsPerShard): SearchIndex = {
     val levels = base +: deltas.map(_.segment)
     val docmeta = levels.zipWithIndex.map { case (idx, lvl) =>
       dropSuperseded(idx.docmeta, deltas.drop(lvl).map(_.tombstones))
@@ -501,8 +511,10 @@ object TextAnalysis {
     * df_shard). */
   def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
                            nShards: Int = AutoShards,
-                           maxDocsPerShard: Int = 65536): DataFrame = {
-    val shards = resolveShards(nShards, docs.count(), maxDocsPerShard)
+                           maxDocsPerShard: Int = DefaultMaxDocsPerShard,
+                           knownDocs: Long = -1L): DataFrame = {
+    val shards = resolveShards(nShards,
+      if (knownDocs >= 0) knownDocs else docs.count(), maxDocsPerShard)
     val occ = docs.select(col(idCol).as("doc_id"),
         posexplode(ws_tokens(col(textCol))).as(Seq("pos", "token")))
       .groupBy("doc_id", "token")
@@ -594,7 +606,20 @@ object TextAnalysis {
       "proximitySearch needs terms on both sides")
     require(maxGap >= 0, s"proximitySearch needs maxGap >= 0, got $maxGap")
     val terms = (termsA ++ termsB).distinct
-    val piv = pivotPositions(probePositions(postings, terms), terms)
+    proximityFromOccurrences(probePositions(postings, terms),
+      termsA, termsB, maxGap, ordered)
+  }
+
+  /** The shared proximity core over (token, doc_id, positions)
+    * occurrence rows: pivot per doc, union each side's position arrays,
+    * run the O(m+n) `min_pos_gap` kernel. Both the single-index
+    * ([[proximitySearch]]) and the segmented
+    * ([[proximitySearchSegments]]) server end here. */
+  private def proximityFromOccurrences(occ: DataFrame, termsA: Seq[String],
+                                       termsB: Seq[String], maxGap: Long,
+                                       ordered: Boolean): DataFrame = {
+    val terms = (termsA ++ termsB).distinct
+    val piv = pivotPositions(occ, terms)
     def side(ts: Seq[String]) = sort_array(ts.map(t =>
       coalesce(col(s"tp_${terms.indexOf(t)}"), array().cast("array<long>")))
       .reduce(concat(_, _)))
@@ -642,13 +667,45 @@ object TextAnalysis {
   def phraseSearchSegments(base: DataFrame, deltas: Seq[PositionalDelta],
                            phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearchSegments needs at least one term")
-    val terms = phrase.distinct
+    phraseFromOccurrences(segmentOccurrences(base, deltas, phrase.distinct),
+      phrase)
+  }
+
+  /** The level-aware occurrence merge every segmented positional server
+    * runs: probe each level (base, then deltas oldest-first) for the
+    * query terms, drop rows tombstoned by any strictly NEWER delta, and
+    * union — each live doc's positions surface from exactly one level.
+    * No regroup, no corpus touch; candidates stay bounded by the probed
+    * postings. */
+  private def segmentOccurrences(base: DataFrame,
+                                 deltas: Seq[PositionalDelta],
+                                 terms: Seq[String]): DataFrame = {
     val levels = base +: deltas.map(_.segment)
-    val occ = levels.zipWithIndex.map { case (p, lvl) =>
+    levels.zipWithIndex.map { case (p, lvl) =>
       dropSuperseded(probePositions(p, terms),
         deltas.drop(lvl).map(_.tombstones))
     }.reduce(_ unionByName _)
-    phraseFromOccurrences(occ, phrase)
+  }
+
+  /** Proximity predicate served from base positional index + N
+    * accumulated delta segments (oldest first) — [[proximitySearch]]'s
+    * semantics over the [[phraseSearchSegments]] level rule, so a
+    * re-crawled corpus serves proximity incrementally instead of
+    * rebuilding: the level-aware occurrence merge is shared
+    * ([[segmentOccurrences]]), the gap kernel is the single-index one,
+    * and the result must equal [[proximitySearch]] over a full rebuild
+    * (the q117 gate). */
+  def proximitySearchSegments(base: DataFrame, deltas: Seq[PositionalDelta],
+                              termsA: Seq[String], termsB: Seq[String],
+                              maxGap: Long,
+                              ordered: Boolean = false): DataFrame = {
+    require(termsA.nonEmpty && termsB.nonEmpty,
+      "proximitySearchSegments needs terms on both sides")
+    require(maxGap >= 0,
+      s"proximitySearchSegments needs maxGap >= 0, got $maxGap")
+    val terms = (termsA ++ termsB).distinct
+    proximityFromOccurrences(segmentOccurrences(base, deltas, terms),
+      termsA, termsB, maxGap, ordered)
   }
 
   /** Fold N positional deltas into one postings table, bit-identical
@@ -675,6 +732,45 @@ object TextAnalysis {
         count(lit(1)).as("df_shard"))
       .localCheckpoint()
   }
+
+  /** A loaded on-disk positional index: the lazy postings frame plus the
+    * shard count it was built with ([[compactPositionalIndex]] needs the
+    * count explicitly — the on-disk form carries no docmeta to re-derive
+    * [[AutoShards]] from). */
+  case class PositionalIndex(postings: DataFrame, nShards: Int)
+
+  /** Persist a [[buildPositionalIndex]] table first-class, mirroring the
+    * PQ index's directory shape ([[Similarity.buildPqIndex]]): the
+    * postings land under `dir/postings` RANGE-SORTED on `token`
+    * ([[Sinks.writeRangeSorted]] — non-overlapping token ranges per
+    * file, so a query's literal `isin` probe prunes to the terms' files
+    * via parquet footer min/max instead of scanning the index), and a
+    * one-row `dir/meta` table records the shard count so a later
+    * compaction reproduces the builder's layout bit-identically.
+    * `nShards` defaults to [[AutoShards]] = derive from the table itself
+    * (max shard id + 1 — one bounded aggregate over the index, not the
+    * corpus). */
+  def savePositionalIndex(postings: DataFrame, dir: String,
+                          nShards: Int = AutoShards): Unit = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val resolved =
+      if (nShards > 0) nShards
+      else postings.agg(coalesce(max("shard"), lit(0L)))
+        .head().getLong(0).toInt + 1
+    Sinks.writeRangeSorted(postings, s"$dir/postings", Seq(col("token")))
+    Seq(resolved).toDF("n_shards")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[savePositionalIndex]] directory for serving. The postings
+    * stay a lazy parquet frame — [[phraseSearch]] / [[proximitySearch]]
+    * probes reach the scan as pushed token filters and prune to the
+    * probed terms' files (asserted in ScaleSpec); only the one-row meta
+    * is read eagerly. */
+  def loadPositionalIndex(spark: SparkSession, dir: String): PositionalIndex =
+    PositionalIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
     * ranked retrieval lists — the standard hybrid-search combiner for a

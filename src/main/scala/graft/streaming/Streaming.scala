@@ -421,7 +421,9 @@ object Streaming {
                                     nShards: Int = graft.operators.TextAnalysis.AutoShards,
                                     compactEvery: Int = 8,
                                     deleteCol: Option[String] = None,
-                                    maintainPositions: Boolean = false) {
+                                    maintainPositions: Boolean = false,
+                                    maxDocsPerShard: Int =
+                                      graft.operators.TextAnalysis.DefaultMaxDocsPerShard) {
     import graft.operators.TextAnalysis
     require(compactEvery >= 1,
       s"SearchIndexMaintainer needs compactEvery >= 1, got $compactEvery")
@@ -429,7 +431,8 @@ object Streaming {
       .select(col(idCol).as("doc_id"), md5_long(col(textCol)).as("fp"))
       .localCheckpoint()
     private var base: TextAnalysis.SearchIndex =
-      TextAnalysis.buildSearchIndex(initialCorpus, idCol, textCol, nShards)
+      TextAnalysis.buildSearchIndex(initialCorpus, idCol, textCol, nShards,
+        maxDocsPerShard)
     private var pending: Vector[TextAnalysis.SearchDelta] = Vector.empty
     private var nCompactions: Long = 0L
     // the positional postings share the SEGMENT LIFECYCLE (same refresh
@@ -439,16 +442,18 @@ object Streaming {
     private var posBase: Option[DataFrame] =
       if (maintainPositions)
         Some(TextAnalysis.buildPositionalIndex(initialCorpus, idCol, textCol,
-          nShards))
+          nShards, maxDocsPerShard))
       else None
     private var posPending: Vector[TextAnalysis.PositionalDelta] = Vector.empty
 
     // compactPositionalIndex needs an explicit shard count (no docmeta
     // table to derive AutoShards from): resolve from the fingerprint
-    // table, which tracks the full corpus and is materialized
+    // table, which tracks the full corpus and is materialized — the SAME
+    // maxDocsPerShard the builders above used, so the two cannot drift
     private def posShards: Int =
       if (nShards > 0) nShards
-      else math.max(1L, (fps.count() + 65535L) / 65536L).toInt
+      else math.max(1L,
+        (fps.count() + maxDocsPerShard - 1) / maxDocsPerShard).toInt
 
     private def compactNow(): Unit = {
       base = TextAnalysis.compactSearchIndex(base, pending, nShards)

@@ -240,7 +240,8 @@ class PlanAuditSpec extends SparkTestBase {
       // materializes at build — the segmented/positional serve plans
       // read only index tables, zero tokenize
       "q108_multisegment_search" -> 0, "q109_phrase_search" -> 0,
-      "q110_proximity_search" -> 0, "q111_positional_segments" -> 0)
+      "q110_proximity_search" -> 0, "q111_positional_segments" -> 0,
+      "q117_proximity_segments" -> 0)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length

@@ -462,14 +462,24 @@ class ScaleSpec extends SparkTestBase {
     }.toDF("doc_id", "text")
     val idx = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text",
       nShards = 2)
-    // persist + reload: the probe must prune via pushed token filters
+    // first-class persistence: save/load must round-trip the shard count
+    // and keep the probe pruning on the ON-DISK form
     val dir = java.nio.file.Files.createTempDirectory("posidx").toString
-    idx.write.parquet(s"$dir/postings")
-    val served = TextAnalysis.phraseSearch(
-      spark.read.parquet(s"$dir/postings"), Seq("data", "point"))
+    TextAnalysis.savePositionalIndex(idx, dir, nShards = 2)
+    val loaded = TextAnalysis.loadPositionalIndex(spark, dir)
+    assert(loaded.nShards == 2)
+    val served = TextAnalysis.phraseSearch(loaded.postings, Seq("data", "point"))
     val plan = served.queryExecution.executedPlan.toString
     assert(!plan.contains("tokenize("), s"query-time tokenize:\n$plan")
     assert(plan.contains("PushedFilters: [In(token"), s"probe not pushed:\n$plan")
+    // the saved layout is token-range-sorted, so a single-token point
+    // probe reads FEWER files than the index holds (footer min/max
+    // skipping — the on-disk analogue of the literal isin prune)
+    val allFiles = loaded.postings.select(input_file_name()).distinct().count()
+    val hitFiles = loaded.postings.where(col("token") === "tail")
+      .select(input_file_name()).distinct().count()
+    assert(allFiles > 1 && hitFiles == 1,
+      s"point probe read $hitFiles of $allFiles files")
     val got = served.collect().map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2))).toMap
     // doc i: i%3 phrase hits; i%3==0 docs have only the non-adjacent
@@ -521,6 +531,12 @@ class ScaleSpec extends SparkTestBase {
     // no regroup in the serving plan; tombstone drops broadcast
     val plan = served.queryExecution.executedPlan.toString
     assert(!plan.contains("collect_list"), s"serving plan regroups:\n$plan")
+    // proximity serves from the SAME segments (shared occurrence merge):
+    // must equal the single-index server over the rebuild, q117's claim
+    val proxSeg = TextAnalysis.proximitySearchSegments(base, Seq(d1, d2),
+      Seq("moved"), Seq("front"), maxGap = 2L)
+    assert(rows(proxSeg) == rows(TextAnalysis.proximitySearch(rebuilt,
+      Seq("moved"), Seq("front"), maxGap = 2L)))
     // compaction folds both segments bit-identically to the rebuild
     val compacted = TextAnalysis.compactPositionalIndex(base, Seq(d1, d2),
       nShards = 2)
