@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // caller column names ride into expr() strings: backtick-quote them
+  // (with the standard doubled-backtick escape) so names carrying dots,
+  // spaces or hyphens parse as one identifier instead of failing or
+  // resolving a different column
+  private def bq(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Join probe rows (keyed, instant `tsCol`, in the same units as the
     * window bounds) to windows (keyed, [startCol, endCol) half-open) whose
     * interval contains the instant. All columns of both inputs survive. */
@@ -31,12 +38,14 @@ object RangeJoin {
     // integer `div`, not floating `/`: nanosecond epochs (~1.7e18) lose
     // precision in double arithmetic
     val wb = windows.withColumn("__bin",
-      explode(sequence(expr(s"$startCol div ${binSize}L"),
-        expr(s"($endCol - 1) div ${binSize}L"))))
-    val pb = probe.withColumn("__bin", expr(s"$tsCol div ${binSize}L"))
+      explode(sequence(expr(s"${bq(startCol)} div ${binSize}L"),
+        expr(s"(${bq(endCol)} - 1) div ${binSize}L"))))
+    val pb = probe.withColumn("__bin", expr(s"${bq(tsCol)} div ${binSize}L"))
+    // bq inside Dataset.apply too: an unquoted dotted name parses as a
+    // nested-field path there, not a column
     pb.join(wb,
-        pb(probeKey) === wb(winKey) && pb("__bin") === wb("__bin") &&
-          pb(tsCol) >= wb(startCol) && pb(tsCol) < wb(endCol))
+        pb(bq(probeKey)) === wb(bq(winKey)) && pb("__bin") === wb("__bin") &&
+          pb(bq(tsCol)) >= wb(bq(startCol)) && pb(bq(tsCol)) < wb(bq(endCol)))
       .drop("__bin")
   }
 
@@ -60,16 +69,16 @@ object RangeJoin {
                           binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     val lb = left
-      .withColumn("__sbin_l", expr(s"$startL div ${binSize}L"))
+      .withColumn("__sbin_l", expr(s"${bq(startL)} div ${binSize}L"))
       .withColumn("__bin",
-        explode(sequence(col("__sbin_l"), expr(s"$endL div ${binSize}L"))))
+        explode(sequence(col("__sbin_l"), expr(s"${bq(endL)} div ${binSize}L"))))
     val rb = right
-      .withColumn("__sbin_r", expr(s"$startR div ${binSize}L"))
+      .withColumn("__sbin_r", expr(s"${bq(startR)} div ${binSize}L"))
       .withColumn("__bin",
-        explode(sequence(col("__sbin_r"), expr(s"$endR div ${binSize}L"))))
+        explode(sequence(col("__sbin_r"), expr(s"${bq(endR)} div ${binSize}L"))))
     lb.join(rb,
-        lb(leftKey) === rb(rightKey) && lb("__bin") === rb("__bin") &&
-          lb(startL) <= rb(endR) && rb(startR) <= lb(endL) &&
+        lb(bq(leftKey)) === rb(bq(rightKey)) && lb("__bin") === rb("__bin") &&
+          lb(bq(startL)) <= rb(bq(endR)) && rb(bq(startR)) <= lb(bq(endL)) &&
           lb("__bin") === greatest(lb("__sbin_l"), rb("__sbin_r")))
       .drop("__bin", "__sbin_l", "__sbin_r")
   }

@@ -109,6 +109,24 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("range joins accept column names needing backtick quoting") {
+    import org.apache.spark.sql.functions.col
+    // dots, spaces and hyphens in bound columns must parse as one
+    // identifier inside the binning expressions
+    val probe = Seq((1L, 5L, "p1"), (1L, 15L, "p2")).toDF("k", "event.ts", "tag")
+    val windows = Seq((1L, 10L, 20L, "w1")).toDF("wk", "start ts", "end-ts", "wtag")
+    val out = RangeJoin.binnedRangeJoin(probe, "k", "event.ts",
+        windows, "wk", "start ts", "end-ts", binSize = 7L)
+      .select("tag").as[String].collect().toSet
+    assert(out == Set("p2"))
+    val left = Seq((1L, 1L, 0L, 10L)).toDF("k", "lid", "s.l", "e.l")
+    val right = Seq((1L, 2L, 5L, 25L)).toDF("k2", "rid", "s r", "e-r")
+    val pairs = operators.RangeJoin.intervalOverlapJoin(
+        left, "k", "s.l", "e.l", right, "k2", "s r", "e-r", binSize = 5L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set(1L -> 2L))
+  }
+
   test("binned range join handles windows spanning many bins") {
     val probe = Seq((1L, 0L, "a"), (1L, 99L, "b"), (1L, 100L, "c")).toDF("k", "ts", "tag")
     val windows = Seq((1L, 0L, 100L, "big")).toDF("wk", "start_ts", "end_ts", "wtag")
