@@ -58,7 +58,7 @@ object Similarity {
   /** Sign-bucket id: bit p set iff dot(v, plane_p) > 0. */
   def lshBucket(v: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(vec_dot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -373,7 +373,7 @@ object Similarity {
       pq_dist_table(col("embedding"), index.codebooks).as("dtable"),
       explode(ivf_probes(col("embedding"), index.centroids, nProbe)).as("cell"))
     val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0): Any)
+      .collect().toIndexedSeq.map(_.getInt(0): Any)
     val codes = index.codes.where(col("cell").isin(probedCells: _*))
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))

@@ -279,6 +279,28 @@ object TextAnalysis {
     SearchIndex(postings, docmeta)
   }
 
+  /** Persist a [[SearchIndex]] first-class — the same directory shape as
+    * [[savePositionalIndex]]: `dir/postings` token-range-sorted (a
+    * query's literal `isin` probe prunes to the terms' files via parquet
+    * footer min/max), `dir/docmeta` range-sorted on doc_id (point
+    * lookups prune; the serving stats aggregate reads it whole either
+    * way). No meta table: [[compactSearchIndex]] re-derives
+    * [[AutoShards]] from the docmeta count it materializes anyway. */
+  def saveSearchIndex(index: SearchIndex, dir: String): Unit = {
+    Sinks.writeRangeSorted(index.postings, s"$dir/postings",
+      Seq(col("token")))
+    Sinks.writeRangeSorted(index.docmeta, s"$dir/docmeta",
+      Seq(col("doc_id")))
+  }
+
+  /** Load a [[saveSearchIndex]] directory for serving: both tables stay
+    * lazy parquet frames — [[searchTopK]]'s probe reaches the postings
+    * scan as a pushed token filter (pinned in ScaleSpec on the loaded
+    * form). */
+  def loadSearchIndex(spark: SparkSession, dir: String): SearchIndex =
+    SearchIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/docmeta"))
+
   /** Query-time BM25 top-k over a [[SearchIndex]] — the end-to-end
     * search serving shape: the postings probe is a literal `isin` on
     * the token key (file-skipping against a token-range-sorted layout),

@@ -297,10 +297,10 @@ class ScaleSpec extends SparkTestBase {
       (i, s"the data point $i " + ("data " * (i % 4).toInt))).toDF("doc_id", "text")
     val idx = TextAnalysis.buildSearchIndex(docs, "doc_id", "text", nShards = 2)
     val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
-    idx.postings.write.parquet(s"$dir/postings")
-    idx.docmeta.write.parquet(s"$dir/docmeta")
-    val served = TextAnalysis.SearchIndex(
-      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/docmeta"))
+    // first-class persistence (token-range-sorted postings, doc-sorted
+    // docmeta) — the layout a deployment would otherwise hand-roll
+    TextAnalysis.saveSearchIndex(idx, dir)
+    val served = TextAnalysis.loadSearchIndex(spark, dir)
     val top = TextAnalysis.searchTopK(served, Seq("data", "point"), k = 5)
     val plan = top.queryExecution.executedPlan.toString
     // query time never tokenizes and the term probe reaches the scan
@@ -584,6 +584,57 @@ class ScaleSpec extends SparkTestBase {
         } else None
       }.toSet
       assert(gotP == expP, s"ordered=$ordered")
+    }
+  }
+
+  test("segmented phrase/proximity serving equals a rebuild on random re-crawl histories") {
+    import graft.operators.TextAnalysis
+    // randomized LSM histories: random base corpus, then two re-crawls
+    // each applying random deletes, edits (position-shifting prepends
+    // included) and adds — the structural cases (delete-then-readd,
+    // edit-twice, add-then-delete) all occur across trials
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("a", "b", "c", "d")
+    def text() = Seq.fill(1 + rnd.nextInt(20))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      var nextId = 61L
+      val v0 = (1L to 60L).map(i => (i, text()))
+      def recrawl(prev: Seq[(Long, String)]): Seq[(Long, String)] = {
+        val survived = prev.filter(_ => rnd.nextInt(5) != 0)
+        val edited = survived.map { case (id, t) =>
+          if (rnd.nextInt(4) == 0) (id, s"${vocab(rnd.nextInt(vocab.size))} $t")
+          else (id, t)
+        }
+        val added = (1 to 8).map { _ => val id = nextId; nextId += 1; (id, text()) }
+        edited ++ added
+      }
+      val v1 = recrawl(v0); val v2 = recrawl(v1)
+      val base = TextAnalysis.buildPositionalIndex(v0.toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 2)
+      val d1 = TextAnalysis.positionalIndexDelta(v0.toDF("doc_id", "text"),
+        v1.toDF("doc_id", "text"), "doc_id", "text", nShards = 2)
+      val d2 = TextAnalysis.positionalIndexDelta(v1.toDF("doc_id", "text"),
+        v2.toDF("doc_id", "text"), "doc_id", "text", nShards = 2)
+      val rebuilt = TextAnalysis.buildPositionalIndex(v2.toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(rows(TextAnalysis.phraseSearchSegments(base, Seq(d1, d2),
+          Seq("a", "b")))
+        == rows(TextAnalysis.phraseSearch(rebuilt, Seq("a", "b"))),
+        s"trial $trial: segmented phrase != rebuild")
+      for (ordered <- Seq(false, true))
+        assert(rows(TextAnalysis.proximitySearchSegments(base, Seq(d1, d2),
+            Seq("a", "c"), Seq("b"), maxGap = 2L, ordered))
+          == rows(TextAnalysis.proximitySearch(rebuilt, Seq("a", "c"),
+            Seq("b"), maxGap = 2L, ordered)),
+          s"trial $trial ordered=$ordered: segmented proximity != rebuild")
+      // compaction of the random history is bit-identical to the rebuild
+      assert(TextAnalysis.compactPositionalIndex(base, Seq(d1, d2), nShards = 2)
+          .collect().map(_.toSeq).toSet
+        == rebuilt.collect().map(_.toSeq).toSet,
+        s"trial $trial: compaction != rebuild")
     }
   }
 
