@@ -1583,14 +1583,16 @@ object Queries {
   private def q51(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashSplit(t(s, dir, "documents"), "doc_id")
 
-  /** Shared DuckDB fragment (q51, q60): rolling-hash split bucket of the
-    * stringified doc id. */
-  private val idBucketSql =
-    """CAST(coalesce(list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(split(CAST(doc_id AS VARCHAR), ''),
-      |          c -> CAST(unicode(c) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100""".stripMargin
+  /** Shared DuckDB fragment (q51, q60, q118): rolling-hash split bucket
+    * of a stringified id expression. */
+  private def bucketSqlOf(idExpr: String): String =
+    s"""CAST(coalesce(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(split(CAST($idExpr AS VARCHAR), ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT) % 100""".stripMargin
+
+  private val idBucketSql = bucketSqlOf("doc_id")
 
   private val q51Sql =
     s"""SELECT doc_id, b AS bucket,
@@ -4682,6 +4684,44 @@ object Queries {
        |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin
   }
 
+  /** Leakage-safe (dedup-aware) train/validation/test split
+    * (TextAnalysis.clusterSafeSplit): q51's deterministic rolling-hash
+    * bucketing applied at q40's near-dup CLUSTER granularity — every doc
+    * buckets by its cluster's canonical (min) id, so transitive near-dups
+    * can never straddle train and eval (the contamination a doc-level
+    * split bakes in). Singleton clusters bucket by their own id, so the
+    * operator degrades exactly to q51 on a dup-free corpus. The oracle
+    * composes the two proven replays: q40's recursive-CTE transitive
+    * closure over the LSH pair derivation, then q51's rolling-hash
+    * bucket over the cluster id. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    TextAnalysis.clusterSafeSplit(docs, "doc_id",
+      pairs.select(col("id_a"), col("id_b")))
+  }
+
+  private val q118Sql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, b AS bucket,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, cluster_id,
+       |    ${bucketSqlOf("cluster_id")} AS b
+       |  FROM cl)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4804,5 +4844,6 @@ object Queries {
     "q114_interval_overlap_join" -> Q(q114, Some(q114Sql)),
     "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)),
     "q116_temperature_resample" -> Q(q116, Some(q116Sql)),
-    "q117_proximity_segments" -> Q(q117, Some(q117Sql)))
+    "q117_proximity_segments" -> Q(q117, Some(q117Sql)),
+    "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)))
 }

@@ -1589,6 +1589,29 @@ object TextAnalysis {
       .select(col(idCol), col("bucket"),
         splitCol(col("bucket"), trainPct, validPct).as("split"))
 
+  /** Leakage-safe (dedup-aware) corpus split: [[hashSplit]]'s
+    * deterministic bucketing applied at near-dup CLUSTER granularity —
+    * every doc buckets by the rolling hash of its cluster's canonical
+    * (minimum) id, so transitively-near-duplicate documents always land
+    * in the SAME split and the eval split can never hold a near-copy of
+    * a training document (the contamination a doc-level split bakes in:
+    * with an 80/10/10 doc split, a pair of near-dups straddles
+    * train/eval with ~34% probability). `edges` is any near-dup pair
+    * table (MinHash-LSH, SimHash, dHash — two id columns); clustering is
+    * [[Dedup.connectedComponents]], so singletons bucket by their own
+    * id, which makes the operator degrade EXACTLY to [[hashSplit]] on a
+    * dup-free corpus. Deterministic across runs, engines and
+    * partitionings; one broadcast label join + a zero-shuffle hash
+    * beyond the clustering itself.
+    * Output: (id, cluster_id, bucket, split). */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    Dedup.connectedComponents(edges, docs.select(col(idCol)))
+      .select(col("id").as(idCol), col("cluster_id"),
+        (rolling_hash(col("cluster_id").cast("string")) % 100).as("bucket"))
+      .select(col(idCol), col("cluster_id"), col("bucket"),
+        splitCol(col("bucket"), trainPct, validPct).as("split"))
+
   /** End-to-end corpus curation — the DataComp/Dolma pipeline shape:
     * quality gate + language ID + deterministic split + exact-dedup
     * canonicalization in one operator. The token statistics (count, total

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, RangeJoin}
+import graft.operators.{Dedup, RangeJoin, TextAnalysis}
 
 /** Connected-components clustering and the binned range join. */
 class GraphRangeSpec extends SparkTestBase {
@@ -107,6 +107,29 @@ class GraphRangeSpec extends SparkTestBase {
         .select("pid", "wid").as[(Long, Long)].collect().toSet
       assert(out == expected)
     }
+  }
+
+  test("cluster-safe split is cluster-atomic and degrades to hashSplit without dups") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).toDF("doc_id")
+    // chain {1,2,3}, pair {10,11}, pair {150,151}, rest singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (150L, 151L)).toDF("a", "b")
+    val out = TextAnalysis.clusterSafeSplit(docs, "doc_id", edges)
+    // no cluster straddles splits — the whole point of the operator
+    val worst = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n")).agg(max("n")).head.getLong(0)
+    assert(worst == 1L, "a near-dup cluster straddles splits")
+    // the chain's members all carry cluster 1's bucket
+    val chain = out.where(col("doc_id").isin(1L, 2L, 3L))
+      .select("split").distinct().collect()
+    assert(chain.length == 1)
+    // dup-free corpus: exactly hashSplit (singletons bucket by own id)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val safe = TextAnalysis.clusterSafeSplit(docs, "doc_id", noEdges)
+      .select("doc_id", "bucket", "split").collect().map(_.toSeq).toSet
+    val plain = TextAnalysis.hashSplit(docs, "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(safe == plain)
   }
 
   test("range joins accept column names needing backtick quoting") {
