@@ -484,6 +484,14 @@ object Streaming {
       TextAnalysis.phraseSearchSegments(posIndexOrFail, posPending, terms)
     }
 
+    /** Proximity predicate over the same co-maintained positional
+      * levels (the [[phrase]] sibling — no compaction work either). */
+    def proximity(termsA: Seq[String], termsB: Seq[String], maxGap: Long,
+                  ordered: Boolean = false): DataFrame = synchronized {
+      TextAnalysis.proximitySearchSegments(posIndexOrFail, posPending,
+        termsA, termsB, maxGap, ordered)
+    }
+
     /** The maintained positional postings as one table (compacts
       * first, like [[index]]). */
     def positionalIndex: DataFrame = synchronized {

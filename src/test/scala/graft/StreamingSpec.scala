@@ -664,6 +664,14 @@ class StreamingSpec extends SparkTestBase {
       df.orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(prows(m.phrase(Seq("data", "point"))) ==
       prows(TextAnalysis.phraseSearch(posRebuilt, Seq("data", "point"))))
+    // ...and proximity from the same uncompacted segments (both forms)
+    for (ordered <- Seq(false, true))
+      assert(prows(m.proximity(Seq("the", "point"), Seq("data"),
+          maxGap = 2L, ordered)) ==
+        prows(TextAnalysis.proximitySearch(posRebuilt, Seq("the", "point"),
+          Seq("data"), maxGap = 2L, ordered)),
+        s"streamed proximity (ordered=$ordered) != rebuild")
+    assert(m.segmentCount == 1, "proximity must not trigger compaction")
     // the single-index accessor folds the pending segments of BOTH
     // artifacts: bit-identical tables
     val idx = m.index
