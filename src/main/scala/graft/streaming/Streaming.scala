@@ -552,6 +552,92 @@ object Streaming {
       upserts.writeStream
         .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
         .start()
+
+    /** Persist the COMPLETE maintenance state — fingerprints, compacted
+      * base (first-class [[TextAnalysis.saveSearchIndex]] layout),
+      * every pending segment with its tombstones, the co-maintained
+      * positional twins, and a one-row meta table — so a restarted
+      * driver resumes via [[SearchIndexMaintainer.restore]] WITHOUT the
+      * original corpus (which, mid-stream, no longer exists anywhere
+      * else: the maintainer deliberately retains fingerprints, not
+      * text). Stale `seg-*` directories from an earlier, longer
+      * checkpoint are ignored at restore (meta's pending count bounds
+      * the reads). Call between batches (synchronized like every other
+      * entry point). */
+    def checkpoint(dir: String): Unit = synchronized {
+      val spark = fps.sparkSession
+      import spark.implicits._
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      TextAnalysis.saveSearchIndex(base, s"$dir/base")
+      pending.zipWithIndex.foreach { case (d, i) =>
+        TextAnalysis.saveSearchIndex(d.segment, f"$dir/seg-$i%03d")
+        d.tombstones.write.mode("overwrite")
+          .parquet(f"$dir/seg-$i%03d/tombstones")
+      }
+      posBase.foreach(p =>
+        TextAnalysis.savePositionalIndex(p, s"$dir/posbase"))
+      posPending.zipWithIndex.foreach { case (d, i) =>
+        d.segment.write.mode("overwrite").parquet(f"$dir/posseg-$i%03d/segment")
+        d.tombstones.write.mode("overwrite")
+          .parquet(f"$dir/posseg-$i%03d/tombstones")
+      }
+      Seq((pending.length, nCompactions, posBase.isDefined))
+        .toDF("n_pending", "n_compactions", "maintain_positions")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object SearchIndexMaintainer {
+    /** Resume a [[SearchIndexMaintainer.checkpoint]]: loads the
+      * fingerprint table, base index, pending segments and positional
+      * twins, and returns a maintainer ready for the next
+      * [[SearchIndexMaintainer.applyBatch]]. Serving configuration
+      * (idCol/textCol names, nShards, compactEvery, deleteCol,
+      * maxDocsPerShard) is not state — pass the SAME values the original
+      * maintainer ran with, or future segments will shard differently
+      * than compaction expects. `maintainPositions` IS state (the
+      * positional artifacts either exist on disk or don't) and comes
+      * from the checkpoint meta. */
+    def restore(spark: SparkSession, dir: String,
+                idCol: String = "doc_id", textCol: String = "text",
+                nShards: Int = graft.operators.TextAnalysis.AutoShards,
+                compactEvery: Int = 8, deleteCol: Option[String] = None,
+                maxDocsPerShard: Int =
+                  graft.operators.TextAnalysis.DefaultMaxDocsPerShard): SearchIndexMaintainer = {
+      import graft.operators.TextAnalysis
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val nPending = meta.getAs[Int]("n_pending")
+      val maintainPositions = meta.getAs[Boolean]("maintain_positions")
+      val fps = spark.read.parquet(s"$dir/fps")
+      // an empty corpus with the checkpoint's id type seeds the
+      // constructor cheaply; every state field is then overwritten
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            fps.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField(textCol,
+            org.apache.spark.sql.types.StringType))))
+      val m = new SearchIndexMaintainer(emptyDocs, idCol, textCol, nShards,
+        compactEvery, deleteCol, maintainPositions, maxDocsPerShard)
+      m.fps = fps.localCheckpoint()
+      m.base = TextAnalysis.loadSearchIndex(spark, s"$dir/base")
+      m.pending = (0 until nPending).toVector.map { i =>
+        TextAnalysis.SearchDelta(
+          TextAnalysis.loadSearchIndex(spark, f"$dir/seg-$i%03d"),
+          spark.read.parquet(f"$dir/seg-$i%03d/tombstones"))
+      }
+      m.nCompactions = meta.getAs[Long]("n_compactions")
+      if (maintainPositions) {
+        m.posBase = Some(spark.read.parquet(s"$dir/posbase/postings"))
+        m.posPending = (0 until nPending).toVector.map { i =>
+          TextAnalysis.PositionalDelta(
+            spark.read.parquet(f"$dir/posseg-$i%03d/segment"),
+            spark.read.parquet(f"$dir/posseg-$i%03d/tombstones"))
+        }
+      }
+      m
+    }
   }
 
   /** Watermarked stream-stream interval join: each click matched to the

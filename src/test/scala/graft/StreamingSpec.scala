@@ -680,4 +680,59 @@ class StreamingSpec extends SparkTestBase {
     assert(tbl(idx.docmeta) == tbl(rebuilt.docmeta))
     assert(tbl(m.positionalIndex) == tbl(posRebuilt))
   }
+
+  test("maintainer checkpoint/restore resumes mid-stream without the corpus") {
+    import graft.operators.TextAnalysis
+    val v0 = Seq((1L, "the data point one"), (2L, "the data two"),
+      (3L, "point three data"), (4L, "four data point"))
+    def mk() = new Streaming.SearchIndexMaintainer(
+      v0.toDF("doc_id", "text"), "doc_id", "text", nShards = 2,
+      compactEvery = 3, deleteCol = Some("del"), maintainPositions = true)
+    val live = mk()
+    def batch(m: Streaming.SearchIndexMaintainer,
+              rows: Seq[(Long, String, Boolean)]): Unit =
+      m.applyBatch(rows.toDF("doc_id", "text", "del"))
+    val b1 = Seq((2L, "the data two edited point", false), (3L, null, true))
+    val b2 = Seq((5L, "five fresh data point", false),
+      (1L, "the one rewritten data", false))
+    // live maintainer sees b1, checkpoints WITH a pending segment, then b2
+    batch(live, b1)
+    assert(live.segmentCount == 1, "checkpoint must capture pending state")
+    val dir = java.nio.file.Files.createTempDirectory("maintckpt").toString
+    live.checkpoint(dir)
+    batch(live, b2)
+    // restored maintainer resumes from disk alone and sees the same b2
+    val restored = Streaming.SearchIndexMaintainer.restore(spark, dir,
+      nShards = 2, compactEvery = 3, deleteCol = Some("del"))
+    assert(restored.segmentCount == 1 && restored.compactionCount == 0L)
+    batch(restored, b2)
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    // serves agree with the live run BEFORE any compaction...
+    assert(rows(restored.topK(Seq("data", "point"), k = 5)) ==
+      rows(live.topK(Seq("data", "point"), k = 5)))
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(prows(restored.phrase(Seq("data", "point"))) ==
+      prows(live.phrase(Seq("data", "point"))))
+    assert(prows(restored.proximity(Seq("the"), Seq("data"), maxGap = 3L)) ==
+      prows(live.proximity(Seq("the"), Seq("data"), maxGap = 3L)))
+    // ...and the fully-compacted artifacts are bit-identical to a rebuild
+    // of the surviving corpus. The third batch is an unchanged re-send:
+    // it must trigger the every-3rd-batch compaction on cadence, and if
+    // the fingerprint table had NOT survived the round trip it would be
+    // classified `added`, duplicate doc 5's postings, and break the
+    // bit-identity below
+    batch(restored, Seq((5L, "five fresh data point", false)))
+    assert(restored.segmentCount == 0 && restored.compactionCount == 1L,
+      "compaction cadence drifted after restore")
+    val rebuilt = TextAnalysis.buildSearchIndex(
+      Seq((1L, "the one rewritten data"), (2L, "the data two edited point"),
+        (4L, "four data point"), (5L, "five fresh data point"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 2)
+    assert(tbl(restored.index.postings) == tbl(rebuilt.postings))
+    assert(tbl(restored.index.docmeta) == tbl(rebuilt.docmeta))
+  }
 }
