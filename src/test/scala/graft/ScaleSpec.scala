@@ -635,6 +635,30 @@ class ScaleSpec extends SparkTestBase {
           .collect().map(_.toSeq).toSet
         == rebuilt.collect().map(_.toSeq).toSet,
         s"trial $trial: compaction != rebuild")
+      // the BM25 LSM twin over the same random history: segmented top-k
+      // and compaction must also equal a rebuild (deterministic integer
+      // scoring makes the equality exact)
+      val sBase = TextAnalysis.buildSearchIndex(v0.toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 2)
+      val sd1 = TextAnalysis.searchIndexDelta(v0.toDF("doc_id", "text"),
+        v1.toDF("doc_id", "text"), "doc_id", "text", nShards = 2)
+      val sd2 = TextAnalysis.searchIndexDelta(v1.toDF("doc_id", "text"),
+        v2.toDF("doc_id", "text"), "doc_id", "text", nShards = 2)
+      val sRebuilt = TextAnalysis.buildSearchIndex(v2.toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 2)
+      def rrows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(rrows(TextAnalysis.searchSegmentsTopK(sBase, Seq(sd1, sd2),
+          Seq("a", "b"), k = 10))
+        == rrows(TextAnalysis.searchTopK(sRebuilt, Seq("a", "b"), k = 10)),
+        s"trial $trial: segmented BM25 != rebuild")
+      val sComp = TextAnalysis.compactSearchIndex(sBase, Seq(sd1, sd2),
+        nShards = 2)
+      assert(sComp.postings.collect().map(_.toSeq).toSet
+          == sRebuilt.postings.collect().map(_.toSeq).toSet
+        && sComp.docmeta.collect().map(_.toSeq).toSet
+          == sRebuilt.docmeta.collect().map(_.toSeq).toSet,
+        s"trial $trial: BM25 compaction != rebuild")
     }
   }
 
