@@ -4722,6 +4722,27 @@ object Queries {
        |    ${bucketSqlOf("cluster_id")} AS b
        |  FROM cl)""".stripMargin
 
+  /** Inclusion/exclusion term filter served from the search index
+    * (TextAnalysis.termFilter): the corpus-selection predicate — every
+    * doc mentioning ALL of {the, data} and NONE of {of} — answered
+    * entirely from the q103 index artifact: one literal probe for both
+    * term sets, per-doc candidate counts, exclusion as a predicate on
+    * the same aggregate; zero corpus rescan, no anti-join. The oracle
+    * replays the predicate over the tokenized corpus with
+    * list_has_all / list_contains. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildSearchIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    TextAnalysis.termFilter(idx, Seq("the", "data"), Seq("of"))
+  }
+
+  private val q119Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl
+       |FROM tk
+       |WHERE list_has_all(tk, ['the', 'data'])
+       |  AND NOT list_contains(tk, 'of')""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4845,5 +4866,6 @@ object Queries {
     "q115_fuzzy_entity_link" -> Q(q115, Some(q115Sql)),
     "q116_temperature_resample" -> Q(q116, Some(q116Sql)),
     "q117_proximity_segments" -> Q(q117, Some(q117Sql)),
-    "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)))
+    "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)),
+    "q119_term_filter" -> Q(q119, Some(q119Sql)))
 }

@@ -449,20 +449,77 @@ object TextAnalysis {
   def searchSegmentsTopK(base: SearchIndex, deltas: Seq[SearchDelta],
                          terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "searchSegmentsTopK needs at least one term")
-    val levels = base +: deltas.map(_.segment)
-    val cand = levels.zipWithIndex.map { case (idx, lvl) =>
-      dropSuperseded(probeCand(idx.postings, terms),
-        deltas.drop(lvl).map(_.tombstones))
-    }.reduce(_ unionByName _)
+    val (cand, docmeta) = segmentCandidates(base, deltas, terms)
     val dfRow = cand.agg(
       sum(when(col("token") === terms.head, 1L).otherwise(0L)).as("df_0"),
       terms.zipWithIndex.tail.map { case (t, i) =>
         sum(when(col("token") === t, 1L).otherwise(0L)).as(s"df_$i")
       }: _*)
+    bm25TopK(cand, dfRow, docmeta, terms, k)
+  }
+
+  /** The LSM candidate merge every segmented BM25-side server runs:
+    * probe each level for `terms`, drop rows tombstoned by any strictly
+    * newer delta, union — (token, doc_id) stays unique because each
+    * live doc surfaces from exactly one level. Docmeta merges
+    * level-wise by the same rule. */
+  private def segmentCandidates(base: SearchIndex, deltas: Seq[SearchDelta],
+                                terms: Seq[String]): (DataFrame, DataFrame) = {
+    val levels = base +: deltas.map(_.segment)
+    val cand = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(probeCand(idx.postings, terms),
+        deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
     val docmeta = levels.zipWithIndex.map { case (idx, lvl) =>
       dropSuperseded(idx.docmeta, deltas.drop(lvl).map(_.tombstones))
     }.reduce(_ unionByName _)
-    bm25TopK(cand, dfRow, docmeta, terms, k)
+    (cand, docmeta)
+  }
+
+  /** Inclusion/exclusion term filter served from a [[SearchIndex]] —
+    * the corpus-SELECTION predicate ("every doc mentioning ALL of
+    * `mustHave` and NONE of `mustNot`", the topic-subsetting /
+    * blocklist move a training-data build runs before scoring) answered
+    * entirely from the index: one literal probe for both term sets, a
+    * per-doc candidate count (each (token, doc) pairs once across
+    * shards, so count == distinct required terms), and the exclusion as
+    * a predicate on the SAME aggregate — no second scan, no anti-join,
+    * zero corpus rescan or tokenize. Candidates are bounded by the
+    * probed postings: docs posting none of the terms never enter.
+    * Output: (doc_id, dl) for selected docs. */
+  def termFilter(index: SearchIndex, mustHave: Seq[String],
+                 mustNot: Seq[String] = Nil): DataFrame =
+    termFilterFrom(
+      probeCand(index.postings, (mustHave ++ mustNot).distinct),
+      index.docmeta, mustHave, mustNot)
+
+  /** [[termFilter]] over base + N delta segments — the same level-aware
+    * candidate merge as [[searchSegmentsTopK]], so a re-crawled corpus
+    * serves selection predicates incrementally; must equal
+    * [[termFilter]] over a full rebuild (ScaleSpec random histories). */
+  def termFilterSegments(base: SearchIndex, deltas: Seq[SearchDelta],
+                         mustHave: Seq[String],
+                         mustNot: Seq[String] = Nil): DataFrame = {
+    val (cand, docmeta) =
+      segmentCandidates(base, deltas, (mustHave ++ mustNot).distinct)
+    termFilterFrom(cand, docmeta, mustHave, mustNot)
+  }
+
+  private def termFilterFrom(cand: DataFrame, docmeta: DataFrame,
+                             mustHave: Seq[String],
+                             mustNot: Seq[String]): DataFrame = {
+    require(mustHave.nonEmpty, "termFilter needs at least one required term")
+    val have = mustHave.distinct
+    val nots = mustNot.distinct
+    val notPred =
+      if (nots.isEmpty) lit(false) else col("token").isin(nots: _*)
+    cand.groupBy("doc_id")
+      .agg(sum(when(col("token").isin(have: _*), 1L).otherwise(0L))
+          .as("n_have"),
+        sum(when(notPred, 1L).otherwise(0L)).as("n_not"))
+      .where(col("n_have") === have.size && col("n_not") === 0L)
+      .join(docmeta, Seq("doc_id"))
+      .select(col("doc_id"), col("dl"))
   }
 
   /** Fold a [[SearchDelta]] back into a single [[SearchIndex]] (the

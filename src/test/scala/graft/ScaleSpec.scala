@@ -652,6 +652,13 @@ class ScaleSpec extends SparkTestBase {
           Seq("a", "b"), k = 10))
         == rrows(TextAnalysis.searchTopK(sRebuilt, Seq("a", "b"), k = 10)),
         s"trial $trial: segmented BM25 != rebuild")
+      // segmented inclusion/exclusion selection == rebuild too
+      def drows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(drows(TextAnalysis.termFilterSegments(sBase, Seq(sd1, sd2),
+          Seq("a"), Seq("d")))
+        == drows(TextAnalysis.termFilter(sRebuilt, Seq("a"), Seq("d"))),
+        s"trial $trial: segmented term filter != rebuild")
       val sComp = TextAnalysis.compactSearchIndex(sBase, Seq(sd1, sd2),
         nShards = 2)
       assert(sComp.postings.collect().map(_.toSeq).toSet
