@@ -4743,6 +4743,51 @@ object Queries {
        |WHERE list_has_all(tk, ['the', 'data'])
        |  AND NOT list_contains(tk, 'of')""".stripMargin
 
+  /** Audio↔video sync-drift estimation (Multimodal.bestLagCorrelation):
+    * per clip, the lag maximizing the integer cross-correlation of two
+    * per-frame channels — channel A is the clip series, channel B is A
+    * with a PLANTED per-user shift (user_id mod 5 frames dropped from
+    * the front), the controlled misalignment a sync-QA pass hunts. All
+    * integer math (cents), so the argmax is engine-exact; both channels
+    * and the kernel result ride Generates (the q90 idiom — the kernel
+    * reads each element O(maxLag) times and must see ATTRIBUTES, not
+    * staged expressions). The oracle replays the lag sweep as an
+    * explicit (i, j) self-join with row_number argmax (corr DESC, lag
+    * ASC — the kernel's tie rule). */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val withAb = userSeries(s, dir).select(col("user_id"),
+        transform(col("series"), v => v.cast("long")).as("a"),
+        pmod(col("user_id"), lit(5L)).cast("int").as("sh"))
+      .select(col("user_id"), col("a"),
+        expr("slice(a, sh + 1, size(a) - sh)").as("b"))
+    val staged = withAb.select(col("user_id"),
+        explode(array(struct(col("a"), col("b")))).as("g"))
+      .select(col("user_id"), col("g.a").as("a"), col("g.b").as("b"))
+    staged.select(col("user_id"),
+        explode(array(Multimodal.bestLagCorrelation(col("a"), col("b"),
+          maxLag = 3))).as("r"))
+      .select(col("user_id"), col("r.best_lag").as("best_lag"),
+        col("r.best_corr").as("best_corr"))
+  }
+
+  private val q120Sql = seriesSqlCte +
+    """,
+      |c AS (
+      |  SELECT x.user_id, l.j, CAST(sum(x.v * y.v) AS BIGINT) AS corr
+      |  FROM s x
+      |  CROSS JOIN range(-3, 4) l(j)
+      |  JOIN s y ON y.user_id = x.user_id
+      |          AND y.rn = x.rn + l.j + x.user_id % 5
+      |  WHERE x.rn + l.j >= 1 AND x.rn + l.j <= x.n - x.user_id % 5
+      |  GROUP BY x.user_id, l.j),
+      |r AS (
+      |  SELECT user_id, j, corr,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY corr DESC, j ASC) AS rk
+      |  FROM c)
+      |SELECT user_id, CAST(j AS BIGINT) AS best_lag, corr AS best_corr
+      |FROM r WHERE rk = 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4867,5 +4912,6 @@ object Queries {
     "q116_temperature_resample" -> Q(q116, Some(q116Sql)),
     "q117_proximity_segments" -> Q(q117, Some(q117Sql)),
     "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)),
-    "q119_term_filter" -> Q(q119, Some(q119Sql)))
+    "q119_term_filter" -> Q(q119, Some(q119Sql)),
+    "q120_av_sync_lag" -> Q(q120, Some(q120Sql)))
 }

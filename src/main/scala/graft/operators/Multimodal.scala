@@ -183,6 +183,42 @@ object Multimodal {
         col("run.n_frames").as("n_frames"))
   }
 
+  /** Best-lag integer cross-correlation of two per-frame series — the
+    * audio↔video SYNC-DRIFT estimator (find the frame offset aligning
+    * an audio energy channel with a visual motion channel): for every
+    * lag j in [-maxLag, maxLag], the dot product Σ a(i)·b(i+j) over the
+    * valid overlap, then argmax by correlation with the SMALLEST lag on
+    * ties (struct max over (corr, -lag)). Series are integer-valued
+    * longs (cents), so sums are exact in any engine and any evaluation
+    * order. O(n · maxLag) per clip, zero shuffle. A lag with EMPTY
+    * overlap scores Long.MinValue and can never win; both input columns
+    * must be staged attributes (post-Generate/exchange) — the kernel
+    * references each element O(maxLag) times, and CollapseProject would
+    * re-inline a staged expression into every access. Returns
+    * struct(best_lag, best_corr). */
+  def bestLagCorrelation(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column,
+                         maxLag: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(maxLag >= 0, s"bestLagCorrelation needs maxLag >= 0, got $maxLag")
+    val na = size(a).cast("long")
+    val nb = size(b).cast("long")
+    val cands = transform(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)), j => {
+      val iLo = greatest(lit(1L), lit(1L) - j)
+      val iHi = least(na, nb - j)
+      struct(
+        when(iHi >= iLo,
+          aggregate(sequence(iLo, iHi), lit(0L), (acc, i) =>
+            acc + element_at(a, i.cast("int")).cast("long") *
+              element_at(b, (i + j).cast("int")).cast("long")))
+          .otherwise(lit(Long.MinValue)).as("corr"),
+        (-j).as("neg_lag"))
+    })
+    val best = array_max(cands)
+    struct((-best.getField("neg_lag")).as("best_lag"),
+      best.getField("corr").as("best_corr"))
+  }
+
   def audioEnergyMatrix(samples: org.apache.spark.sql.Column,
                         frames: Int, segs: Int, segLen: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

@@ -226,4 +226,37 @@ class MediaOpsSpec extends SparkTestBase {
     }.toSet
     assert(got == exp)
   }
+
+  test("best-lag correlation matches a brute-force sweep, recovers planted shifts, ties to smallest lag") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(31)
+    val maxLag = 4
+    // random pairs incl. unequal lengths and planted-shift copies
+    val clips = (1L to 60L).map { i =>
+      val a = Seq.fill(6 + rnd.nextInt(30))((rnd.nextInt(400) - 200).toLong)
+      val b =
+        if (i % 3 == 0) a.drop((i % 4).toInt) // planted shift (ties possible)
+        else Seq.fill(6 + rnd.nextInt(30))((rnd.nextInt(400) - 200).toLong)
+      (i, a, b)
+    }
+    val staged = clips.toDF("id", "a", "b")
+      .select(col("id"), explode(array(struct(col("a"), col("b")))).as("g"))
+      .select(col("id"), col("g.a").as("a"), col("g.b").as("b"))
+    val got = staged.select(col("id"),
+        explode(array(Multimodal.bestLagCorrelation(col("a"), col("b"), maxLag)))
+          .as("r"))
+      .select(col("id"), col("r.best_lag"), col("r.best_corr"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    clips.foreach { case (id, a, b) =>
+      val sweep = (-maxLag to maxLag).map { j =>
+        val is = (0 until a.length).filter(i => i + j >= 0 && i + j < b.length)
+        val corr = if (is.isEmpty) Long.MinValue
+        else is.map(i => a(i) * b(i + j)).sum
+        (j.toLong, corr)
+      }
+      val expect = sweep.maxBy { case (j, c) => (c, -j) }
+      assert(got(id) == ((expect._1, expect._2)), s"clip $id: ${got(id)} vs $expect")
+    }
+  }
 }
