@@ -4788,6 +4788,77 @@ object Queries {
       |SELECT user_id, CAST(j AS BIGINT) AS best_lag, corr AS best_corr
       |FROM r WHERE rk = 1""".stripMargin
 
+  /** Voiced-shot extraction — the multimodal composition a talking-head
+    * corpus build runs end-to-end: scene shots (q112's cut kernel) ×
+    * silence runs (q113's VAD kernel) through the interval-overlap join
+    * (q114's operator, responsibility-bin dedup — no distinct pass),
+    * flagging every shot by how many silence spans intersect its frame
+    * range (a fully-voiced shot is the trainable unit). Shots with zero
+    * overlaps keep row parity through a left join. Three already-proven
+    * operators composed; the oracle composes their three replays with a
+    * plain θ-join. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val shots = q112(s, dir).select(col("user_id").as("sh_user"),
+        col("shot_idx"), col("start_frame").as("sh_start"),
+        col("n_frames").as("sh_n"),
+        (col("start_frame") + col("n_frames") - 1).as("sh_end"))
+      .localCheckpoint() // consumed by the overlap join AND the parity join
+    val runs = q113(s, dir).select(col("user_id").as("r_user"),
+      col("start_frame").as("r_start"),
+      (col("start_frame") + col("n_frames") - 1).as("r_end"))
+    val hits = RangeJoin.intervalOverlapJoin(
+        shots, "sh_user", "sh_start", "sh_end",
+        runs, "r_user", "r_start", "r_end", binSize = 16L)
+      .groupBy(col("sh_user"), col("shot_idx"))
+      .agg(count(lit(1)).as("n_sil"))
+    shots.join(hits, Seq("sh_user", "shot_idx"), "left")
+      .select(col("sh_user").as("user_id"), col("shot_idx"),
+        col("sh_start").as("start_frame"), col("sh_n").as("n_frames"),
+        coalesce(col("n_sil"), lit(0L)).as("n_silence_overlaps"),
+        (coalesce(col("n_sil"), lit(0L)) === 0L).as("voiced"))
+  }
+
+  private val q121Sql = seriesSqlCte +
+    """,
+      |d AS (
+      |  SELECT user_id, rn, v,
+      |    lag(v) OVER (PARTITION BY user_id ORDER BY rn) AS pv
+      |  FROM s),
+      |f AS (
+      |  SELECT user_id, rn,
+      |    CASE WHEN pv IS NOT NULL AND abs(v - pv) > 5000 THEN 1 ELSE 0 END AS cut
+      |  FROM d),
+      |shraw AS (
+      |  SELECT user_id, rn,
+      |    sum(cut) OVER (PARTITION BY user_id ORDER BY rn) AS shot
+      |  FROM f),
+      |shots AS (
+      |  SELECT user_id, CAST(shot AS BIGINT) AS shot_idx,
+      |    CAST(min(rn) - 1 AS BIGINT) AS start_frame,
+      |    CAST(count(*) AS BIGINT) AS n_frames
+      |  FROM shraw GROUP BY user_id, shot),
+      |sil AS (SELECT user_id, rn FROM s WHERE abs(v) < 800),
+      |g AS (
+      |  SELECT user_id, rn,
+      |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM sil),
+      |runs AS (
+      |  SELECT user_id, min(rn) - 1 AS start_frame, count(*) AS n_frames
+      |  FROM g GROUP BY user_id, grp
+      |  HAVING count(*) >= 2),
+      |hits AS (
+      |  SELECT sh.user_id, sh.shot_idx, count(*) AS n_sil
+      |  FROM shots sh JOIN runs r
+      |    ON r.user_id = sh.user_id
+      |   AND sh.start_frame <= r.start_frame + r.n_frames - 1
+      |   AND r.start_frame <= sh.start_frame + sh.n_frames - 1
+      |  GROUP BY sh.user_id, sh.shot_idx)
+      |SELECT sh.user_id, sh.shot_idx, sh.start_frame, sh.n_frames,
+      |  CAST(coalesce(h.n_sil, 0) AS BIGINT) AS n_silence_overlaps,
+      |  coalesce(h.n_sil, 0) = 0 AS voiced
+      |FROM shots sh LEFT JOIN hits h
+      |  ON h.user_id = sh.user_id AND h.shot_idx = sh.shot_idx""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4913,5 +4984,6 @@ object Queries {
     "q117_proximity_segments" -> Q(q117, Some(q117Sql)),
     "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)),
     "q119_term_filter" -> Q(q119, Some(q119Sql)),
-    "q120_av_sync_lag" -> Q(q120, Some(q120Sql)))
+    "q120_av_sync_lag" -> Q(q120, Some(q120Sql)),
+    "q121_voiced_shots" -> Q(q121, Some(q121Sql)))
 }
