@@ -492,6 +492,14 @@ object Streaming {
         termsA, termsB, maxGap, ordered)
     }
 
+    /** Inclusion/exclusion selection over base + pending segments —
+      * the corpus-subsetting predicate served live, no compaction
+      * work. */
+    def termFilter(mustHave: Seq[String],
+                   mustNot: Seq[String] = Nil): DataFrame = synchronized {
+      TextAnalysis.termFilterSegments(base, pending, mustHave, mustNot)
+    }
+
     /** The maintained positional postings as one table (compacts
       * first, like [[index]]). */
     def positionalIndex: DataFrame = synchronized {

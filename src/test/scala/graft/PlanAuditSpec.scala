@@ -244,7 +244,10 @@ class PlanAuditSpec extends SparkTestBase {
       "q117_proximity_segments" -> 0,
       // q118: the pair derivation is q19's (materialized at the CC
       // checkpoint); the split itself never touches text
-      "q118_cluster_safe_split" -> 0)
+      "q118_cluster_safe_split" -> 0,
+      // q119: the index materializes at build; the selection plan reads
+      // only index tables — zero tokenize, like every serving gate
+      "q119_term_filter" -> 0)
     for ((q, bound) <- bounds) {
       val plan = Queries.all(q).impl(spark, tmp).queryExecution.executedPlan.toString
       val n = "tokenize\\(".r.findAllIn(plan).length

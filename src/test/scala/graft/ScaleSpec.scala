@@ -669,6 +669,29 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("term filter matches a brute-force predicate on random corpora") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 150L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val idx = TextAnalysis.buildSearchIndex(docs.toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 3)
+    for ((have, not) <- Seq(Seq("a") -> Nil, Seq("a", "b") -> Seq("e"),
+        Seq("a", "b", "c") -> Seq("d", "e"))) {
+      val got = TextAnalysis.termFilter(idx, have, not)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ").toSet
+        if (have.forall(tk) && !not.exists(tk)) Some(id -> t.split(" ").length.toLong)
+        else None
+      }.toMap
+      assert(got == exp, s"have=$have not=$not")
+    }
+  }
+
   test("AutoShards derives the shard count and bounds the worst postings row") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis

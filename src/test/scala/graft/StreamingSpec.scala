@@ -653,6 +653,12 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(m.topK(terms, k = 4)) ==
       rows(TextAnalysis.searchTopK(rebuilt, terms, k = 4)))
     assert(m.segmentCount == 1, "topK must not trigger compaction")
+    // inclusion/exclusion selection serves from the same segments
+    def frows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(frows(m.termFilter(Seq("data"), Seq("point"))) ==
+      frows(TextAnalysis.termFilter(rebuilt, Seq("data"), Seq("point"))))
+    assert(m.segmentCount == 1, "termFilter must not trigger compaction")
     // the co-maintained positional levels serve phrase queries equal to
     // a positional rebuild — from the same uncompacted segments
     val posRebuilt = TextAnalysis.buildPositionalIndex(
