@@ -4859,6 +4859,52 @@ object Queries {
       |FROM shots sh LEFT JOIN hits h
       |  ON h.user_id = sh.user_id AND h.shot_idx = sh.shot_idx""".stripMargin
 
+  /** Distributed BPE tokenizer training (TextAnalysis.bpeTrain): the
+    * full Sennrich et al. iterative loop — q49 scores ONE round; this
+    * gate runs five, each over the distinct-word frequency table only
+    * (one corpus tokenize total), with the winning pair a bounded
+    * one-row driver collect and the merge applied by the single-pass
+    * `merge_adjacent_pair` kernel (greedy left-to-right, subword-nmt
+    * semantics). The oracle unrolls the same five rounds in SQL: pair
+    * counts from an indexed-lambda explode, argmax by (cnt DESC, a, b)
+    * — both engines compare UTF-8 bytes — and the merge replayed as a
+    * list_reduce fold over singleton lists, which equals the greedy
+    * scan because a merged symbol (a+b, both non-empty) can never equal
+    * the pair's left symbol. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 5)
+
+  private val q122Sql = {
+    def round(i: Int) = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)),
+         |        i -> [syms[i], syms[i + 1]])) AS pr
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT freq,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[len(acc)] = b$i.a AND x[1] = b$i.b
+         |        THEN list_append(acc[1:len(acc) - 1], b$i.a || b$i.b)
+         |        ELSE list_concat(acc, x) END) AS syms
+         |  FROM $prev, b$i)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+       |wf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+       |       FROM tok GROUP BY token),
+       |w0 AS (SELECT split(token, '') AS syms, freq FROM wf),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |${(1 to 5).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_cnt FROM b$i")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4985,5 +5031,6 @@ object Queries {
     "q118_cluster_safe_split" -> Q(q118, Some(q118Sql)),
     "q119_term_filter" -> Q(q119, Some(q119Sql)),
     "q120_av_sync_lag" -> Q(q120, Some(q120Sql)),
-    "q121_voiced_shots" -> Q(q121, Some(q121Sql)))
+    "q121_voiced_shots" -> Q(q121, Some(q121Sql)),
+    "q122_bpe_train" -> Q(q122, Some(q122Sql)))
 }

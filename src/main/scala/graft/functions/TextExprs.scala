@@ -117,6 +117,46 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** One BPE merge application: greedy left-to-right single pass over a
+  * symbol array replacing every adjacent (a, b) occurrence with the
+  * concatenation a+b; after a merge the scan resumes PAST the merged
+  * pair (subword-nmt semantics — the merged symbol is not re-considered
+  * as a left side within the same pass). O(n) per word, plan-literal
+  * pair so the comparison is two pointer-equality-fast UTF8 compares. */
+case class MergeAdjacentPair(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+  private val ua = UTF8String.fromString(a)
+  private val ub = UTF8String.fromString(b)
+  private val merged = UTF8String.fromString(a + b)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "merge_adjacent_pair"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"merge_adjacent_pair needs array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[Any](m)
+    var i = 0
+    while (i < m) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < m && cur == ua && arr.getUTF8String(i + 1) == ub) {
+        out.add(merged)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacentPair =
+    copy(child = newChild)
+}
+
 /** md5-based 60-bit hash of a string (see TextKernels.md5Long). */
 case class Md5Long(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -298,6 +298,12 @@ package object functions {
   def chunk_spans(tokens: Column, chunkTokens: Int, overlap: Int): Column =
     ExprBridge.column(ChunkSpans(col2expr(tokens), chunkTokens, overlap))
 
+  /** One BPE merge application over a symbol array: every adjacent
+    * (a, b) becomes a+b in one greedy left-to-right pass (see
+    * [[MergeAdjacentPair]]). */
+  def merge_adjacent_pair(syms: Column, a: String, b: String): Column =
+    ExprBridge.column(MergeAdjacentPair(col2expr(syms), a, b))
+
   /** Portable 60-bit hash: first 15 hex chars of md5 as a long. The same
     * value is computable in any engine with md5 (the DuckDB oracle uses
     * `('0x' || substr(md5(s),1,15))::bigint`). */

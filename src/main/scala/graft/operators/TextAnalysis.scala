@@ -1089,6 +1089,61 @@ object TextAnalysis {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016 — the
+    * full iterative loop, where [[bpePairStats]] is one round's scoring
+    * step): ONE corpus scan builds the distinct-word frequency table,
+    * words become character-symbol arrays, and every merge round runs
+    * over that word table only — pair counts are a freq-weighted
+    * explode+groupBy (partial-aggregated), the winning pair is a
+    * bounded ONE-ROW driver collect (TakeOrdered, never a full sort),
+    * and the merge applies as the single-pass `merge_adjacent_pair`
+    * kernel with the pair as plan literals, re-checkpointed per round.
+    * This is the textbook scale shape: a 100 TB corpus pays one
+    * tokenize scan; the loop's working set is the vocabulary (millions
+    * of rows, not billions), exactly like subword-nmt's dictionary-
+    * based trainer. Ties break (count DESC, left ASC, right ASC) —
+    * deterministic across engines (both compare UTF-8 bytes). Stops
+    * early when no pair remains. Returns the merge table:
+    * (merge_rank, lhs, rhs, pair_cnt). */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"bpeTrain needs nMerges >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      // drop the zero-width trailing empty Spark's limit=-1 regex split
+      // can emit (DuckDB's string_split never does)
+      .select(filter(split(col("token"), ""), s => s =!= "").as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = Vector.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= nMerges && !dry) {
+      val best = words.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, a, b, cnt))
+        words = words
+          .select(merge_adjacent_pair(col("syms"), a, b).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
   /** Per-document TF-IDF top terms: tf = in-doc count / doc length,
     * idf = ln(N / docfreq), top-k terms per document. Three partial-
     * aggregated shuffles (doc-term counts, doc lengths, doc frequencies)

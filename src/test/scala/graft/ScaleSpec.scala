@@ -692,6 +692,53 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("BPE training matches a brute-force reference trainer on random corpora") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(12)
+    val alphabet = "abcd"
+    for (trial <- 1 to 3) {
+      val docs = (1L to 40L).map { i =>
+        val words = Seq.fill(2 + rnd.nextInt(6))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString)
+        (i, words.mkString(" "))
+      }
+      val got = TextAnalysis.bpeTrain(docs.toDF("doc_id", "text"), "text", 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // brute-force reference: word-freq dict of symbol vectors
+      var dict = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+      val expect = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= 6 && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          expect += ((r.toLong, a, b, c))
+          dict = dict.toSeq.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          r += 1
+        }
+      }
+      assert(got.toSeq == expect.toSeq, s"trial $trial")
+    }
+  }
+
   test("AutoShards derives the shard count and bounds the worst postings row") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
