@@ -4905,6 +4905,61 @@ object Queries {
          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Exact subword token counts under a TRAINED tokenizer — the data-
+    * budgeting question ("how many tokens is this corpus under my BPE
+    * vocab") answered exactly: train five merges (q122's loop), collect
+    * the merge table (five rows — bounded driver stats), segment the
+    * VOCABULARY once (TextAnalysis.bpeVocab — merges staged in rank
+    * order reproduce the trainer's own word evolution on its corpus),
+    * and join the tiny vocab back to the token stream — the corpus is
+    * never re-segmented per occurrence. The oracle threads the word
+    * table through the same five unrolled rounds and joins w5 back to
+    * the exploded corpus. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextAnalysis.bpeVocab(docs, "text", merges)
+      .select(col("token"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(ws_tokens(col("text"))).as("token"))
+      .join(vocab, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  private val q123Sql = {
+    def round(i: Int) = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)),
+         |        i -> [syms[i], syms[i + 1]])) AS pr
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT token, freq,
+         |    list_reduce(list_transform(syms, s -> [s]),
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[len(acc)] = b$i.a AND x[1] = b$i.b
+         |        THEN list_append(acc[1:len(acc) - 1], b$i.a || b$i.b)
+         |        ELSE list_concat(acc, x) END) AS syms
+         |  FROM $prev, b$i)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |wf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+       |       FROM tok GROUP BY token),
+       |w0 AS (SELECT token, split(token, '') AS syms, freq FROM wf),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(w5.syms)) AS BIGINT) AS n_subwords
+       |FROM tok t JOIN w5 ON w5.token = t.token
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5032,5 +5087,6 @@ object Queries {
     "q119_term_filter" -> Q(q119, Some(q119Sql)),
     "q120_av_sync_lag" -> Q(q120, Some(q120Sql)),
     "q121_voiced_shots" -> Q(q121, Some(q121Sql)),
-    "q122_bpe_train" -> Q(q122, Some(q122Sql)))
+    "q122_bpe_train" -> Q(q122, Some(q122Sql)),
+    "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)))
 }

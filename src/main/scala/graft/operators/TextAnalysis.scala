@@ -1144,6 +1144,24 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_cnt")
   }
 
+  /** Apply a trained BPE merge sequence to the corpus VOCABULARY — the
+    * encoding half of [[bpeTrain]], in the efficient shape: segment
+    * each distinct word once (merges staged in rank order, each a
+    * single [[graft.functions.merge_adjacent_pair]] pass — on the
+    * training corpus this reproduces the trainer's own word evolution
+    * exactly), then let callers join the tiny vocab table back to the
+    * corpus instead of re-segmenting every occurrence. Returns
+    * (token, syms). */
+  def bpeVocab(df: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val syms0 = filter(split(col("token"), ""), s => s =!= "")
+    val enc = merges.foldLeft(syms0) { case (c, (a, b)) =>
+      merge_adjacent_pair(c, a, b)
+    }
+    df.select(explode(ws_tokens(col(textCol))).as("token")).distinct()
+      .select(col("token"), enc.as("syms"))
+  }
+
   /** Per-document TF-IDF top terms: tf = in-doc count / doc length,
     * idf = ln(N / docfreq), top-k terms per document. Three partial-
     * aggregated shuffles (doc-term counts, doc lengths, doc frequencies)
