@@ -4960,6 +4960,78 @@ object Queries {
        |GROUP BY t.doc_id""".stripMargin
   }
 
+  /** Per-group robust outlier flagging (Sketches.robustOutliers):
+    * median/MAD from the q66 histogram sketch — the heavy-tail-safe
+    * form of q78's z-score, where mean/stddev would let a web corpus's
+    * own outliers inflate the threshold meant to catch them. Two
+    * sketch passes (nBins Long counters per group cross each shuffle,
+    * never the values), stats broadcast back, map-only flag pass. The
+    * oracle replays BOTH interpolations with q66's bin/cumulative/
+    * interpolation SQL and the same |x−med| > 3·MAD boundary on
+    * identical doubles. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    Sketches.robustOutliers(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", lo = 0.0, hi = 110000.0, nBins = 256, k = 3.0)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("is_outlier"))
+
+  private val q124Sql =
+    """WITH b1 AS (
+      |  SELECT l_returnflag AS flag,
+      |    LEAST(GREATEST(CAST(floor((l_extendedprice - 0.0)
+      |      / (110000.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+      |  FROM lineitem),
+      |c1 AS (SELECT flag, bin, count(*) AS cnt FROM b1 GROUP BY flag, bin),
+      |n1 AS (SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n FROM c1 GROUP BY flag),
+      |cum1 AS (
+      |  SELECT flag, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum
+      |  FROM c1),
+      |sel1 AS (
+      |  SELECT cum1.flag, min(cum1.bin) AS bin
+      |  FROM cum1 JOIN n1 ON n1.flag = cum1.flag
+      |  WHERE CAST(cum1.cum AS DOUBLE) >= 0.5 * n1.n
+      |  GROUP BY cum1.flag),
+      |med AS (
+      |  SELECT s.flag,
+      |    0.0 + (s.bin + (0.5 * n1.n - CAST(c2.cum - c2.cnt AS DOUBLE))
+      |      / CAST(c2.cnt AS DOUBLE)) * ((110000.0 - 0.0) / 256) AS med
+      |  FROM sel1 s
+      |  JOIN n1 ON n1.flag = s.flag
+      |  JOIN cum1 c2 ON c2.flag = s.flag AND c2.bin = s.bin),
+      |b2 AS (
+      |  SELECT l.l_returnflag AS flag,
+      |    LEAST(GREATEST(CAST(floor((abs(l.l_extendedprice - m.med) - 0.0)
+      |      / (110000.0 - 0.0) * 256) AS BIGINT), 0), 255) AS bin
+      |  FROM lineitem l JOIN med m ON m.flag = l.l_returnflag),
+      |c2b AS (SELECT flag, bin, count(*) AS cnt FROM b2 GROUP BY flag, bin),
+      |n2 AS (SELECT flag, CAST(sum(cnt) AS DOUBLE) AS n FROM c2b GROUP BY flag),
+      |cum2 AS (
+      |  SELECT flag, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum
+      |  FROM c2b),
+      |sel2 AS (
+      |  SELECT cum2.flag, min(cum2.bin) AS bin
+      |  FROM cum2 JOIN n2 ON n2.flag = cum2.flag
+      |  WHERE CAST(cum2.cum AS DOUBLE) >= 0.5 * n2.n
+      |  GROUP BY cum2.flag),
+      |mad AS (
+      |  SELECT s.flag,
+      |    0.0 + (s.bin + (0.5 * n2.n - CAST(c3.cum - c3.cnt AS DOUBLE))
+      |      / CAST(c3.cnt AS DOUBLE)) * ((110000.0 - 0.0) / 256) AS mad
+      |  FROM sel2 s
+      |  JOIN n2 ON n2.flag = s.flag
+      |  JOIN cum2 c3 ON c3.flag = s.flag AND c3.bin = s.bin)
+      |SELECT l.l_returnflag AS flag, l.l_orderkey,
+      |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+      |  round(m.med, 6) AS med, round(d.mad, 6) AS mad,
+      |  abs(l.l_extendedprice - m.med) > 3.0 * d.mad AS is_outlier
+      |FROM lineitem l
+      |JOIN med m ON m.flag = l.l_returnflag
+      |JOIN mad d ON d.flag = l.l_returnflag""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5088,5 +5160,6 @@ object Queries {
     "q120_av_sync_lag" -> Q(q120, Some(q120Sql)),
     "q121_voiced_shots" -> Q(q121, Some(q121Sql)),
     "q122_bpe_train" -> Q(q122, Some(q122Sql)),
-    "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)))
+    "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)),
+    "q124_robust_outliers" -> Q(q124, Some(q124Sql)))
 }

@@ -111,4 +111,36 @@ object Sketches {
       .withColumn("est_cnt", cms_query(col("__cms"), probeKey, depth, width))
       .drop("__cms")
   }
+
+  /** Per-group ROBUST outlier flagging — median/MAD instead of
+    * mean/stddev, so a heavy-tailed quality or length distribution (the
+    * norm in web corpora) doesn't let its own outliers inflate the
+    * threshold that should catch them. Both statistics come from the
+    * mergeable equi-width histogram sketch: pass 1 sketches each group
+    * (nBins Long counters cross the shuffle, never the values) and
+    * interpolates the median; pass 2 sketches |x − median| per group
+    * the same way for the MAD. Group stats stay group-count-sized and
+    * broadcast back; the flag pass is map-only. Deterministic: the
+    * sketch is a pure function of the input multiset and the
+    * interpolation replays exactly (the q66 discipline), so the
+    * boundary comparison |x − med| > k·MAD is engine-stable.
+    * Output: every input row + (med, mad, is_outlier). */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     lo: Double, hi: Double, nBins: Int,
+                     k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(hist_agg(col(valueCol), lo, hi, nBins).as("__h"))
+      .select(col(groupCol),
+        hist_quantile(col("__h"), 0.5, lo, hi, nBins).as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    // the deviation range is [0, hi - lo] by construction
+    val mad = dev.groupBy(col(groupCol), col("med"))
+      .agg(hist_agg(col("__absdev"), 0.0, hi - lo, nBins).as("__h2"))
+      .select(col(groupCol), col("med"),
+        hist_quantile(col("__h2"), 0.5, 0.0, hi - lo, nBins).as("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
 }
