@@ -5032,6 +5032,28 @@ object Queries {
       |JOIN med m ON m.flag = l.l_returnflag
       |JOIN mad d ON d.flag = l.l_returnflag""".stripMargin
 
+  /** Prefix (wildcard) search served from the index
+    * (TextAnalysis.prefixSearch): `dat*` answered as a startsWith RANGE
+    * predicate on the token key — on the token-range-sorted layout it
+    * prunes to the prefix's contiguous file run just like a literal
+    * probe — returning each doc's distinct matching terms and total
+    * occurrences with zero corpus rescan. The oracle filters the
+    * tokenized corpus with starts_with. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.buildSearchIndex(t(s, dir, "documents"),
+      "doc_id", "text", nShards = 4)
+    TextAnalysis.prefixSearch(idx, "dat")
+  }
+
+  private val q125Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_filter(tk, t -> starts_with(t, 'dat')) AS hits
+       |  FROM tk)
+       |SELECT doc_id, CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+       |  CAST(len(hits) AS BIGINT) AS n_hits
+       |FROM h WHERE len(hits) > 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5161,5 +5183,6 @@ object Queries {
     "q121_voiced_shots" -> Q(q121, Some(q121Sql)),
     "q122_bpe_train" -> Q(q122, Some(q122Sql)),
     "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)),
-    "q124_robust_outliers" -> Q(q124, Some(q124Sql)))
+    "q124_robust_outliers" -> Q(q124, Some(q124Sql)),
+    "q125_prefix_search" -> Q(q125, Some(q125Sql)))
 }

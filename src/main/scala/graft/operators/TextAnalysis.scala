@@ -505,6 +505,24 @@ object TextAnalysis {
     termFilterFrom(cand, docmeta, mustHave, mustNot)
   }
 
+  /** Prefix (wildcard `pre*`) search served from a [[SearchIndex]]:
+    * the probe is a `startsWith` RANGE predicate on the token key — on
+    * the token-range-sorted on-disk layout it prunes to the prefix's
+    * contiguous file run exactly like a literal probe (StringStartsWith
+    * pushes to the parquet scan), and candidates stay bounded by the
+    * matching postings. Returns per doc the distinct matching terms and
+    * total occurrences: (doc_id, n_terms, n_hits) — the morphological /
+    * vocabulary-family selection (`data*` covering data, dataset,
+    * datasets…) a corpus query layer needs beyond exact terms. */
+  def prefixSearch(index: SearchIndex, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
+    index.postings.where(col("token").startsWith(prefix))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"))
+  }
+
   private def termFilterFrom(cand: DataFrame, docmeta: DataFrame,
                              mustHave: Seq[String],
                              mustNot: Seq[String]): DataFrame = {

@@ -312,6 +312,14 @@ class ScaleSpec extends SparkTestBase {
     val direct = TextAnalysis.searchTopK(idx, Seq("data", "point"), k = 5)
       .orderBy("rank").collect().map(_.toSeq).toSeq
     assert(rows.map(_.toSeq).toSeq == direct)
+    // prefix search rides a startsWith RANGE predicate that also reaches
+    // the on-disk scan (contiguous on the token-range-sorted layout)
+    val pre = TextAnalysis.prefixSearch(served, "poi")
+    val pplan = pre.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*StringStartsWith\\(token".r
+        .findFirstIn(pplan).isDefined,
+      s"prefix probe not pushed:\n$pplan")
+    assert(pre.count() == 60L) // every doc contains "point"
   }
 
   test("range-sorted write produces non-overlapping in-order shards") {
