@@ -5054,6 +5054,38 @@ object Queries {
        |  CAST(len(hits) AS BIGINT) AS n_hits
        |FROM h WHERE len(hits) > 0""".stripMargin
 
+  /** EWMA smoothing of the per-clip series (functions.ewma_smooth):
+    * the standard low-pass smoother (pandas ewm(adjust=False)) joining
+    * the savgol / edge-moving-avg frame-axis family — s(0)=x(0),
+    * s(i)=α·x(i)+(1−α)·s(i−1) as a SEQUENTIAL fold, so the IEEE op
+    * sequence replays exactly as DuckDB's list_reduce. α=0.25 keeps
+    * both coefficients exactly representable, making the gate
+    * bit-exact without rounding games; the smoothed series rides a
+    * Generate and posexplodes to scalar rows. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    userSeries(s, dir).select(col("user_id"),
+        posexplode(ewma_smooth(col("series"), alpha = 0.25)))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
+        round(col("col"), 6).as("ewma"))
+
+  private val q126Sql = seriesSqlCte +
+    """,
+      |arr AS (
+      |  SELECT user_id,
+      |    list(CAST(v AS DOUBLE) ORDER BY rn) AS series
+      |  FROM s GROUP BY user_id),
+      |e AS (
+      |  SELECT user_id,
+      |    list_reduce(list_transform(series, v -> [v]),
+      |      (acc, x) -> list_append(acc,
+      |        CAST(0.25 AS DOUBLE) * x[1]
+      |          + CAST(0.75 AS DOUBLE) * acc[len(acc)])) AS ew
+      |  FROM arr)
+      |SELECT user_id,
+      |  CAST(unnest(range(1, len(ew) + 1)) AS BIGINT) AS rn,
+      |  round(unnest(ew), 6) AS ewma
+      |FROM e""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5184,5 +5216,6 @@ object Queries {
     "q122_bpe_train" -> Q(q122, Some(q122Sql)),
     "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)),
     "q124_robust_outliers" -> Q(q124, Some(q124Sql)),
-    "q125_prefix_search" -> Q(q125, Some(q125Sql)))
+    "q125_prefix_search" -> Q(q125, Some(q125Sql)),
+    "q126_ewma_smooth" -> Q(q126, Some(q126Sql)))
 }

@@ -41,6 +41,22 @@ package object functions {
   def edge_moving_avg(x: Column, window: Int): Column =
     ExprBridge.column(EdgeMovingAvg(col2expr(x), window))
 
+  /** Exponentially-weighted moving average of a double series:
+    * s(0) = x(0), s(i) = alpha·x(i) + (1−alpha)·s(i−1) — the standard
+    * low-pass smoother (pandas `ewm(adjust=False)`) alongside
+    * [[savgol_smooth]] and [[edge_moving_avg]]. A SEQUENTIAL fold
+    * (`aggregate` HOF), so the IEEE op sequence is deterministic and
+    * replays exactly as DuckDB's `list_reduce` (the Queries-header
+    * discipline). The array-append accumulation is O(n²) per clip,
+    * bounded by frames-per-clip like every frame-axis kernel. */
+  def ewma_smooth(series: Column, alpha: Double): Column = {
+    require(alpha > 0 && alpha <= 1, s"ewma alpha must be in (0, 1], got $alpha")
+    aggregate(series, array().cast("array<double>"),
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, x)
+          .otherwise(lit(alpha) * x + lit(1 - alpha) * element_at(acc, -1)))))
+  }
+
   /** Per-dimension edge-replicated moving average over a (T, dim) matrix;
     * ref `dpl/processor/nodes/h5.py:235-237` (`average_features`). */
   def edge_moving_avg_vec(x: Column, window: Int): Column =
