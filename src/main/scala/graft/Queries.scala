@@ -5086,6 +5086,98 @@ object Queries {
       |  round(unnest(ew), 6) AS ewma
       |FROM e""".stripMargin
 
+  /** Time-grid LOCF resampling (AsOf.gridResample): snap the irregular
+    * events stream onto a fixed 6-hour grid, each (user, grid point)
+    * carrying the latest observation at-or-before it. Observations are
+    * pre-aggregated per (user, ts) with the q38 max-cents rule so the
+    * as-of input is unique; inner semantics drop grid points before a
+    * user's first event. The oracle builds the same grid from a
+    * constant-range index filtered by the stream bounds (DuckDB's
+    * generate_series takes only constants) and fills with native
+    * ASOF JOIN. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(cents(col("value"))).as("v_cents"))
+    AsOf.gridResample(obs, "user_id", "ts", stepNs = 21600L * 1000000000L)
+  }
+
+  private val q127Sql =
+    """WITH r AS (
+      |  SELECT user_id, epoch_ns(ts) AS ets,
+      |         max(CAST(round(value*100) AS BIGINT)) AS v_cents
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT ((min(ets) + 21599999999999) // 21600000000000)
+      |               * 21600000000000 AS f,
+      |             (max(ets) // 21600000000000) * 21600000000000 AS l
+      |      FROM r),
+      |i AS (SELECT b.f + t.i * 21600000000000 AS ts
+      |      FROM generate_series(0, 99999) t(i) CROSS JOIN b
+      |      WHERE b.f + t.i * 21600000000000 <= b.l),
+      |g AS (SELECT u.user_id, i.ts
+      |      FROM (SELECT DISTINCT user_id FROM r) u CROSS JOIN i)
+      |SELECT g.user_id, g.ts, r.v_cents
+      |FROM g ASOF JOIN r ON g.user_id = r.user_id AND g.ts >= r.ets"""
+      .stripMargin
+
+  /** Gazetteer tagging via ONE Aho–Corasick pass per document
+    * (TextAnalysis.dictTag): non-overlapping substring occurrence counts
+    * of a top-100 data-derived dictionary. The oracle pays the naive
+    * docs x dictionary nested loop of replace() scans — the exact count
+    * the automaton's greedy left-to-right rule reproduces for any term
+    * (see DictMatchCounts) — so the gate pins the single-pass plan to
+    * the quadratic definition. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dict = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 100, minLen = 4)
+    TextAnalysis.dictTag(docs, "doc_id", "text", dict)
+  }
+
+  private val q128Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+       |dfq AS (SELECT tk AS term, count(DISTINCT doc_id) AS df
+       |        FROM tok WHERE length(tk) >= 4 GROUP BY 1),
+       |dict AS (SELECT term FROM dfq ORDER BY df DESC, term ASC LIMIT 100),
+       |m AS (SELECT d.doc_id, t.term,
+       |        CAST((length(lower(d.text))
+       |              - length(replace(lower(d.text), t.term, '')))
+       |             // length(t.term) AS BIGINT) AS cnt
+       |      FROM documents d CROSS JOIN dict t)
+       |SELECT doc_id, term, cnt FROM m WHERE cnt > 0""".stripMargin
+
+  /** PMI collocation mining (TextAnalysis.collocations): document
+    * co-occurrence counts and lift N*df(a,b)/(df(a)*df(b)) for pairs of
+    * a top-40 df-pruned vocabulary co-occurring in >= 5 docs. Lift is
+    * one int64 multiply per side cast to double and one divide, so the
+    * double is engine-exact with no rounding. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+      minPairDocs = 5)
+  }
+
+  private val q129Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+       |dfq AS (SELECT tk AS term, count(DISTINCT doc_id) AS df
+       |        FROM tok WHERE length(tk) >= 4 GROUP BY 1),
+       |dict AS (SELECT term FROM dfq ORDER BY df DESC, term ASC LIMIT 40),
+       |p AS (SELECT DISTINCT t.doc_id, t.tk
+       |      FROM tok t JOIN dict d ON t.tk = d.term),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |na AS (SELECT tk, count(*) AS df FROM p GROUP BY 1),
+       |pairs AS (SELECT a.tk AS term_a, b.tk AS term_b,
+       |                 count(*) AS n_ab
+       |          FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tk < b.tk
+       |          GROUP BY 1, 2)
+       |SELECT term_a, term_b, n_ab,
+       |  CAST(n_ab * n.n AS DOUBLE) / CAST(x.df * y.df AS DOUBLE) AS lift
+       |FROM pairs CROSS JOIN n
+       |JOIN na x ON term_a = x.tk JOIN na y ON term_b = y.tk
+       |WHERE n_ab >= 5""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5217,5 +5309,8 @@ object Queries {
     "q123_bpe_token_counts" -> Q(q123, Some(q123Sql)),
     "q124_robust_outliers" -> Q(q124, Some(q124Sql)),
     "q125_prefix_search" -> Q(q125, Some(q125Sql)),
-    "q126_ewma_smooth" -> Q(q126, Some(q126Sql)))
+    "q126_ewma_smooth" -> Q(q126, Some(q126Sql)),
+    "q127_locf_grid" -> Q(q127, Some(q127Sql)),
+    "q128_dict_tagging" -> Q(q128, Some(q128Sql)),
+    "q129_pmi_collocations" -> Q(q129, Some(q129Sql)))
 }

@@ -734,3 +734,142 @@ case class MinPosGap(left: Expression, right: Expression, ordered: Boolean)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinPosGap =
     copy(left = l, right = r)
 }
+
+/** Aho–Corasick multi-pattern automaton with `replace()`-equivalent
+  * per-term counting: ONE pass over the text finds every dictionary
+  * term, regardless of dictionary size.
+  *
+  * Counting rule: for each term independently, occurrences are accepted
+  * greedily left-to-right and may not overlap a previously accepted
+  * occurrence of the SAME term — exactly the occurrences SQL
+  * `replace(text, term, '')` removes, so
+  * `(len(text) - len(replace(text, term, ''))) / len(term)` is an exact
+  * oracle for any term (even self-overlapping ones like "aaa").
+  * Occurrences of DIFFERENT terms count independently (a position can
+  * contribute to many terms).
+  *
+  * Scale shape: the naive plan is a docs × dictionary nested-loop
+  * (one `contains` scan per term per doc — what the oracle does); this
+  * automaton is O(text + matches) per doc with the dictionary folded
+  * into a trie, so a 1M-term gazetteer costs the same scan as a 10-term
+  * one. The trie is built lazily once per expression instance
+  * (per task after deserialization), never per row.
+  */
+final class AhoCorasick(val terms: Array[String]) extends Serializable {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty),
+    "AhoCorasick needs non-empty terms")
+  require(terms.distinct.length == terms.length,
+    "AhoCorasick terms must be distinct")
+  private val termLen: Array[Int] = terms.map(_.length)
+
+  // trie: children maps + the (unique) term id ending at each node
+  private val children =
+    scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+  private val endsTerm = scala.collection.mutable.ArrayBuffer(-1)
+  terms.zipWithIndex.foreach { case (t, id) =>
+    var s = 0
+    var i = 0
+    while (i < t.length) {
+      val m = children(s)
+      val nxt = m.get(Character.valueOf(t.charAt(i)))
+      if (nxt == null) {
+        children += new java.util.HashMap[Character, Integer]()
+        endsTerm += -1
+        m.put(Character.valueOf(t.charAt(i)), Integer.valueOf(children.size - 1))
+        s = children.size - 1
+      } else s = nxt.intValue()
+      i += 1
+    }
+    endsTerm(s) = id
+  }
+
+  private val nNodes = children.size
+  private val fail = new Array[Int](nNodes)
+  // nearest proper-suffix node that ends a term: walking this chain from
+  // a state enumerates every term ending at the current position
+  private val outLink = Array.fill(nNodes)(-1)
+  locally { // BFS over the trie sets fail + outLink level by level
+    val queue = new java.util.ArrayDeque[Integer]()
+    children(0).forEach { (_, v) => fail(v.intValue()) = 0; queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      outLink(u) =
+        if (endsTerm(fail(u)) >= 0) fail(u) else outLink(fail(u))
+      children(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).containsKey(c)) f = fail(f)
+        val fc = children(f).get(c)
+        fail(v.intValue()) = if (fc != null && fc.intValue() != v.intValue())
+          fc.intValue() else 0
+        queue.add(v)
+      }
+    }
+  }
+
+  /** Per-term non-overlapping occurrence counts (index-aligned with
+    * `terms`); one left-to-right scan. */
+  def countsNonOverlapping(text: String): Array[Long] = {
+    val cnt = new Array[Long](terms.length)
+    val lastEnd = new Array[Int](terms.length) // exclusive end of last hit
+    var s = 0
+    var pos = 0
+    while (pos < text.length) {
+      val c = Character.valueOf(text.charAt(pos))
+      while (s != 0 && !children(s).containsKey(c)) s = fail(s)
+      val nxt = children(s).get(c)
+      s = if (nxt == null) 0 else nxt.intValue()
+      var m = if (endsTerm(s) >= 0) s else outLink(s)
+      while (m >= 0) {
+        val id = endsTerm(m)
+        val end = pos + 1
+        if (end - termLen(id) >= lastEnd(id)) { // greedy non-overlap
+          cnt(id) += 1L
+          lastEnd(id) = end
+        }
+        m = outLink(m)
+      }
+      pos += 1
+    }
+    cnt
+  }
+}
+
+/** Dictionary tagging: per-term non-overlapping occurrence counts of a
+  * plan-literal term list in one [[AhoCorasick]] pass over the text.
+  * Returns `array<struct<term, cnt>>` for terms with cnt > 0, in
+  * dictionary order. The term list is a bounded, plan-literal roster
+  * (the Bloom/centroid pattern) — typically a collected top-k
+  * vocabulary or a curated gazetteer, never data-sized. */
+case class DictMatchCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(terms.nonEmpty, "dict_match_counts needs at least one term")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "dict_match_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dict_match_counts needs string, got $t")
+  }
+
+  @transient private lazy val ac = new AhoCorasick(terms.toArray)
+  @transient private lazy val termUtf8 =
+    terms.map(t => UTF8String.fromString(t)).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val cnt = ac.countsNonOverlapping(input.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < cnt.length) {
+      if (cnt(i) > 0L)
+        out += new GenericInternalRow(Array[Any](termUtf8(i), cnt(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DictMatchCounts =
+    copy(child = newChild)
+}

@@ -305,6 +305,11 @@ package object functions {
   def ws_tokens(text: Column): Column =
     ExprBridge.column(Tokenize(col2expr(text)))
 
+  /** Per-term non-overlapping dictionary match counts in one
+    * Aho–Corasick pass over the text (see [[DictMatchCounts]]). */
+  def dict_match_counts(text: Column, terms: Seq[String]): Column =
+    ExprBridge.column(DictMatchCounts(col2expr(text), terms))
+
   /** Word n-gram shingles joined with single spaces. */
   def word_shingles(tokens: Column, n: Int, distinct: Boolean = false): Column =
     ExprBridge.column(WordShingles(col2expr(tokens), n, distinct))

@@ -111,4 +111,50 @@ object AsOf {
     val r = right.withColumn(neg, -col(ts)).drop(ts)
     asofJoinMerge(l, r, key, neg, inner).drop(neg)
   }
+
+  /** Resample an irregular observation stream onto a fixed time grid with
+    * last-observation-carried-forward semantics — the event-stream →
+    * feature-grid operator every training pipeline needs before windowed
+    * models can consume sensor/telemetry data (the batch analogue of the
+    * reference's audio→frame-grid alignment, `dpl/processor/nodes/
+    * a2en.py:41-42`, which snaps a continuous signal onto the video's
+    * frame clock).
+    *
+    * Grid points are the multiples of `stepNs` inside the stream's global
+    * [min ts, max ts]; each (key, grid point) carries the latest
+    * observation at-or-before it (inner semantics drop points before a
+    * key's first observation). `obs` must be unique per (key, ts) —
+    * pre-aggregate duplicates, as for any as-of join.
+    *
+    * Scale shape: the bounds are ONE aggregation collapsing to two plan
+    * literals (never data-sized); the grid is built distributively — each
+    * key row explodes its own `sequence(first, last, step)`, so grid
+    * construction parallelizes over keys with no driver loop; the fill is
+    * the merge as-of exec (one shuffle + sort per side). Output is
+    * keys × span/step rows — the caller picks `stepNs` to size it.
+    */
+  def gridResample(obs: DataFrame, key: String, ts: String,
+                   stepNs: Long, inner: Boolean = true): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive, got $stepNs")
+    val bounds = obs.agg(min(col(ts)).cast("long"), max(col(ts)).cast("long"))
+      .head()
+    val keys = obs.select(col(key)).distinct()
+    val grid =
+      if (bounds.isNullAt(0)) // empty stream -> empty grid, same schema
+        keys.select(col(key), lit(0L).as(ts)).where(lit(false))
+      else {
+        val tmin = bounds.getLong(0)
+        val tmax = bounds.getLong(1)
+        // first grid point at-or-after tmin, last at-or-before tmax
+        // (floorDiv: exact for negative epochs too)
+        val first = Math.floorDiv(tmin + stepNs - 1, stepNs) * stepNs
+        val last = Math.floorDiv(tmax, stepNs) * stepNs
+        if (first > last) // span shorter than one step -> no grid points
+          keys.select(col(key), lit(0L).as(ts)).where(lit(false))
+        else
+          keys.select(col(key),
+            explode(sequence(lit(first), lit(last), lit(stepNs))).as(ts))
+      }
+    asofJoinMerge(grid, obs, key, ts, inner)
+  }
 }

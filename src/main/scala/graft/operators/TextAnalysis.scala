@@ -1852,4 +1852,80 @@ object TextAnalysis {
       .select(col("col.token").as("token"), col("col.cnt").as("cnt"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** Data-derived gazetteer: the top-k tokens of length >= minLen by
+    * DOCUMENT frequency (count of distinct docs containing the token),
+    * ranked (df desc, token asc) — a deterministic stand-in for a curated
+    * dictionary in the tagging/collocation operators below. Returns the
+    * ranked term list as a driver-side Seq: the dictionary is bounded by
+    * k (the Bloom-roster/centroid pattern), never data-sized.
+    *
+    * Scale shape: one tokenize scan -> per-doc distinct -> token groupBy
+    * (both map-side combining), then TakeOrderedAndProject for the top-k
+    * (per-partition heaps, no global sort). */
+  def buildDictionary(df: DataFrame, idCol: String, textCol: String,
+                      topK: Int, minLen: Int): Seq[String] =
+    df.select(col(idCol), explode(ws_tokens(col(textCol))).as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("__t").asc)
+      .limit(topK)
+      .select(col("__t"))
+      .collect().map(_.getString(0)).toSeq
+
+  /** Gazetteer tagging: for every (doc, dictionary term) with at least
+    * one hit, the number of non-overlapping occurrences of the term as a
+    * SUBSTRING of the lower-cased text — entity/keyword annotation over
+    * a corpus. ONE Aho–Corasick pass per document regardless of
+    * dictionary size (see [[graft.functions.DictMatchCounts]]), where
+    * the naive plan — and the DuckDB oracle — pays a docs x dictionary
+    * nested loop of `replace` scans. Map-only: no shuffle, no join; the
+    * dictionary rides the plan as a literal. */
+  def dictTag(df: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        explode(dict_match_counts(lower(col(textCol)), terms)).as("m"))
+      .select(col(idCol), col("m.term").as("term"), col("m.cnt").as("cnt"))
+
+  /** Collocation mining over a bounded vocabulary: for every unordered
+    * vocab-term pair co-occurring in at least `minPairDocs` documents,
+    * the document co-occurrence count and the PMI-style lift
+    * N * df(a,b) / (df(a) * df(b)) (> 1 = the pair co-occurs more than
+    * independence predicts). All counts are exact longs; the lift is ONE
+    * int64 multiply per side cast to double and ONE divide, so the
+    * floating-point value is engine-exact.
+    *
+    * Scale shape: the vocabulary bounds everything — presence rows are
+    * docs x |vocab| at most (literal `isin` filter pushed into the
+    * tokenize scan's output before the distinct), the self-join is
+    * co-partitioned on doc_id (one shuffle feeds both sides), and the
+    * pair space is |vocab|^2/2 regardless of corpus size. Per-term
+    * document frequencies are a vocab-sized broadcast; N is one
+    * count scan collapsing to a plan literal. Never all-pairs over
+    * documents, never a global window. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   vocab: Seq[String], minPairDocs: Int): DataFrame = {
+    val presence = df.select(col(idCol),
+        explode(ws_tokens(col(textCol))).as("__t"))
+      .where(col("__t").isin(vocab: _*))
+      .distinct()
+      .localCheckpoint() // one tokenize scan feeds both join sides + df
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val termDf = presence.groupBy(col("__t")).agg(count(lit(1)).as("df"))
+    val pairs = presence.as("a")
+      .join(presence.as("b"), Seq(idCol))
+      .where(col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("term_a"), col("b.__t").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairDocs)
+    pairs
+      .join(broadcast(termDf.select(col("__t").as("term_a"),
+        col("df").as("__dfa"))), "term_a")
+      .join(broadcast(termDf.select(col("__t").as("term_b"),
+        col("df").as("__dfb"))), "term_b")
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        ((col("n_ab") * lit(nDocs)).cast("double") /
+          (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
+  }
 }

@@ -74,4 +74,52 @@ class AsOfSpec extends SparkTestBase {
     assert(plan.contains("AsofJoin"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2, plan)
   }
+
+  test("gridResample snaps observations onto the step grid with LOCF") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, 3L, 10.0), (1L, 17L, 20.0), // key 1: grid 10 <- ts3, 20 <- ts17
+      (2L, 25L, 30.0))                 // key 2: first obs after last grid pt
+      .toDF("k", "ts", "v")
+    val out = AsOf.gridResample(obs, "k", "ts", stepNs = 10L)
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bounds [3, 25] -> grid {10, 20}; key 2 has no obs at-or-before
+    // either point (inner drops), key 1 carries 10.0 then 20.0 forward
+    assert(out == Seq((1L, 10L, 10.0), (1L, 20L, 20.0)))
+  }
+
+  test("gridResample degrades to empty on empty or sub-step streams") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "ts", "v")
+    assert(AsOf.gridResample(empty, "k", "ts", 10L).count() == 0)
+    // span [12, 17] contains no multiple of 10 -> no grid points
+    val narrow = Seq((1L, 12L, 1.0), (1L, 17L, 2.0)).toDF("k", "ts", "v")
+    val out = AsOf.gridResample(narrow, "k", "ts", 10L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "ts", "v"))
+  }
+
+  test("gridResample matches a brute-force LOCF oracle on random streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rnd.nextInt(6).toLong, rnd.nextInt(97).toLong))
+      .distinct.map { case (k, ts) => (k, ts, rnd.nextInt(1000).toDouble) }
+    val obs = rows.toDF("k", "ts", "v")
+    val step = 7L
+    val got = AsOf.gridResample(obs, "k", "ts", step)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tmin = rows.map(_._2).min
+    val tmax = rows.map(_._2).max
+    val first = ((tmin + step - 1) / step) * step
+    val grid = (first to tmax by step)
+    val byKey = rows.groupBy(_._1)
+    val want = (for {
+      (k, krows) <- byKey.toSeq
+      g <- grid
+      latest = krows.filter(_._2 <= g).sortBy(_._2).lastOption
+      if latest.isDefined
+    } yield (k, g, latest.get._3)).toSet
+    assert(got == want)
+  }
 }

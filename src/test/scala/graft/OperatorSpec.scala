@@ -646,4 +646,47 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toSeq
     assert(out == Seq((3L, 1), (7L, 2)))
   }
+
+  test("buildDictionary ranks by doc frequency with lexicographic ties") {
+    val docs = Seq(
+      (1L, "wolf wolf bear lynx"), // wolf df=3 despite repeats per doc
+      (2L, "wolf bear hare"),
+      (3L, "wolf bear xray"),
+      (4L, "ant")).toDF("doc_id", "text") // len<4 filtered out
+    val dict = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 3, minLen = 4)
+    // df: wolf=3, bear=3, hare=lynx=xray=1 -> ties broken token asc
+    assert(dict == Seq("bear", "wolf", "hare"))
+  }
+
+  test("dictTag counts substring hits per dictionary term") {
+    val docs = Seq(
+      (1L, "Interesting Notes: note the note"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.dictTag(docs, "doc_id", "text",
+      Seq("note", "interesting"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // lower-cased match: doc1 "notes"+2x"note" -> 3 hits of "note";
+    // doc2 "nothing" contains "not" but not "note"
+    assert(out == Set((1L, "note", 3L), (1L, "interesting", 1L)))
+  }
+
+  test("collocations computes exact lift over a hand-built corpus") {
+    // vocab = {aaaa, bbbb, cccc}; aaaa+bbbb co-occur in 2 of 4 docs
+    val docs = Seq(
+      (1L, "aaaa bbbb"),
+      (2L, "aaaa bbbb cccc"),
+      (3L, "aaaa cccc"),
+      (4L, "dddd")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "doc_id", "text",
+      Seq("aaaa", "bbbb", "cccc"), minPairDocs = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // N=4; df: aaaa=3, bbbb=2, cccc=2
+    assert(out == Set(
+      ("aaaa", "bbbb", 2L, 2L * 4 / (3.0 * 2)),
+      ("aaaa", "cccc", 2L, 2L * 4 / (3.0 * 2))))
+  }
 }

@@ -202,4 +202,40 @@ class TextFeatureSpec extends SparkTestBase {
     assert(both.find(_.getLong(0) == 3L).get
       .getSeq[Long](1).forall(_ == Long.MaxValue))
   }
+
+  test("aho-corasick counts equal String.replace counts on random text") {
+    // String.replace removes non-overlapping occurrences greedily left to
+    // right — the exact semantics DictMatchCounts claims, including for
+    // self-overlapping terms like "aa" and nested dictionaries where one
+    // term is a substring (or suffix) of another.
+    val rnd = new scala.util.Random(7)
+    val dict = Array("a", "aa", "ab", "aba", "bab", "bb", "abab", "caca")
+    val ac = new AhoCorasick(dict)
+    (1 to 300).foreach { _ =>
+      val text = Array.fill(rnd.nextInt(40))(
+        "abc".charAt(rnd.nextInt(3))).mkString
+      val got = ac.countsNonOverlapping(text)
+      dict.zipWithIndex.foreach { case (term, i) =>
+        val expect =
+          (text.length - text.replace(term, "").length) / term.length
+        assert(got(i) == expect.toLong,
+          s"term=$term text=$text got=${got(i)} want=$expect")
+      }
+    }
+  }
+
+  test("dict_match_counts tags docs with per-term non-overlap counts") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "aaaa"), // "aa" twice non-overlapping, "aaa" once
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        explode(graft.functions.dict_match_counts(col("text"),
+          Seq("the", "cat", "aa", "aaa", "zz"))).as("m"))
+      .select(col("id"), col("m.term"), col("m.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set((1L, "the", 2L), (1L, "cat", 1L),
+      (2L, "aa", 2L), (2L, "aaa", 1L)))
+  }
 }
