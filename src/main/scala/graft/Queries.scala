@@ -3391,7 +3391,10 @@ object Queries {
     TextAnalysis.classifierQualityFilter(t(s, dir, "documents"), "doc_id", "text",
       bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
 
-  private val q90Sql = {
+  /** Shared CTE chain computing the q90 classifier's per-doc features
+    * and raw score `z` — consumed by q90 (scores + keep flags) and q130
+    * (AUC of the same scores). */
+  private val classifierCtes = {
     val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
       .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH st AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
@@ -3415,14 +3418,17 @@ object Queries {
        |  SELECT doc_id, mean_tok_len, alpha_frac, stop_frac, digit_frac,
        |    (((((-0.7) + (0.05) * mean_tok_len) + (0.4) * alpha_frac)
        |      + (1.0) * stop_frac) + (-3.0) * digit_frac) AS z
-       |  FROM f)
-       |SELECT doc_id, round(mean_tok_len, 6) AS mean_tok_len,
-       |  round(alpha_frac, 6) AS alpha_frac, round(stop_frac, 6) AS stop_frac,
-       |  round(digit_frac, 6) AS digit_frac,
-       |  CAST(floor(z * 1000000.0) AS BIGINT) AS score_micro,
-       |  floor(z * 1000000.0) >= 0 AS keep
-       |FROM z""".stripMargin
+       |  FROM f)""".stripMargin
   }
+
+  private val q90Sql = classifierCtes +
+    """
+      |SELECT doc_id, round(mean_tok_len, 6) AS mean_tok_len,
+      |  round(alpha_frac, 6) AS alpha_frac, round(stop_frac, 6) AS stop_frac,
+      |  round(digit_frac, 6) AS digit_frac,
+      |  CAST(floor(z * 1000000.0) AS BIGINT) AS score_micro,
+      |  floor(z * 1000000.0) >= 0 AS keep
+      |FROM z""".stripMargin
 
   /** DSIR importance sampling (TextAnalysis.dsirSample): per-token
     * quantized log-likelihood ratio of the src0-target unigram LM vs the
@@ -5178,6 +5184,74 @@ object Queries {
        |JOIN na x ON term_a = x.tk JOIN na y ON term_b = y.tk
        |WHERE n_ab >= 5""".stripMargin
 
+  /** Exact ROC-AUC of the q90 quality classifier against a language
+    * label (Stats.rankAuc): Mann–Whitney U with midrank ties, computed
+    * from the SCORE HISTOGRAM — rows collapse to per-score (nPos, nNeg)
+    * pairs bounded by score resolution, U2 stays an exact long (the 2·
+    * keeps the tie term integral), and the single final division is the
+    * only floating-point op, so the AUC double is engine-exact. The
+    * oracle replays the histogram + running-sum-below definition. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierQualityFilter(docs, "doc_id", "text",
+      bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+      .select(col("doc_id"), col("score_micro"))
+    val labeled = scored.join(
+      docs.select(col("doc_id"), (col("lang") === "en").as("label")),
+      "doc_id")
+    Stats.rankAuc(labeled, "score_micro", "label")
+  }
+
+  private val q130Sql = classifierCtes +
+    """,
+      |sc AS (SELECT z.doc_id, CAST(floor(z.z * 1000000.0) AS BIGINT) AS s,
+      |              d.lang = 'en' AS label
+      |       FROM z JOIN documents d ON z.doc_id = d.doc_id),
+      |h AS (SELECT s,
+      |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |      FROM sc GROUP BY 1),
+      |c AS (SELECT np, nn,
+      |        CAST(coalesce(sum(nn) OVER (ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS below
+      |      FROM h)
+      |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |  CAST(sum(nn) AS BIGINT) AS n_neg,
+      |  CAST(sum(np * (2*below + nn)) AS BIGINT) AS u2,
+      |  CAST(sum(np * (2*below + nn)) AS DOUBLE)
+      |    / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+      |FROM c""".stripMargin
+
+  /** Per-user OLS spend trend (Stats.groupOls): slope/intercept of
+    * cents-vs-hour-index from ONE aggregation of integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx² as exact longs — five longs per
+    * user cross the shuffle regardless of history length). Slope and
+    * intercept are each one division over int64-exact operands, shapes
+    * mirrored in the SQL, so the doubles are engine-exact with no
+    * rounding. Hour index keeps every product within int64. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 3600000000000").as("x"), cents(col("value")).as("y"))
+    Stats.groupOls(ev, "user_id", "x", "y")
+  }
+
+  private val q131Sql =
+    """WITH o AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS x,
+      |                  CAST(round(value*100) AS BIGINT) AS y FROM events),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x*y) AS BIGINT) AS sxy,
+      |             CAST(sum(x*x) AS BIGINT) AS sxx
+      |      FROM o GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |     - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM a WHERE n*sxx - sx*sx != 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5312,5 +5386,7 @@ object Queries {
     "q126_ewma_smooth" -> Q(q126, Some(q126Sql)),
     "q127_locf_grid" -> Q(q127, Some(q127Sql)),
     "q128_dict_tagging" -> Q(q128, Some(q128Sql)),
-    "q129_pmi_collocations" -> Q(q129, Some(q129Sql)))
+    "q129_pmi_collocations" -> Q(q129, Some(q129Sql)),
+    "q130_classifier_auc" -> Q(q130, Some(q130Sql)),
+    "q131_group_ols_trend" -> Q(q131, Some(q131Sql)))
 }

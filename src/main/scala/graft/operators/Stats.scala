@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale evaluation / statistics operators.
+  *
+  * Both operators reduce data-sized inputs to EXACT integer sufficient
+  * statistics before any floating-point math, so results are engine-exact
+  * (one or two IEEE ops over int64 values at the very end) and the
+  * shuffled volume is bounded by group/score cardinality, never row
+  * count.
+  */
+object Stats {
+
+  /** ROC-AUC of an integer score column against a boolean label, computed
+    * exactly from the SCORE HISTOGRAM — the Mann–Whitney U statistic with
+    * midrank tie handling, kept integral by doubling:
+    *
+    *   U2  = Σ_s  nPos(s) · (2·cumNegBelow(s) + nNeg(s))
+    *   AUC = U2 / (2 · nPos · nNeg)
+    *
+    * (each positive beats every lower-scored negative once and splits
+    * ties in half — the 2· keeps the tie term integral, so U2 is an
+    * exact long and the single final division is the only floating-point
+    * op).
+    *
+    * This is how classifier evaluation survives corpus scale: the rows
+    * collapse to one map-side-combining groupBy(score) — the shuffle
+    * carries per-score (nPos, nNeg) pairs, bounded by SCORE RESOLUTION
+    * (micro-quantized scores: at most ~1e6 distinct values, typically far
+    * fewer), never corpus size. The cumulative pass runs on that bounded
+    * histogram (an unpartitioned running-sum window — single partition by
+    * design, sized by score cardinality, the sources×bins collect
+    * discipline), and a global sort of raw scores never happens.
+    *
+    * Output: one row (n_pos, n_neg, u2, auc). AUC follows the usual
+    * convention: 1.0 = scores perfectly rank positives above negatives,
+    * 0.5 = no signal.
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val hist = df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("below", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  /** Per-group ordinary-least-squares trend (y = slope·x + intercept)
+    * from integer sufficient statistics: ONE map-side-combining
+    * aggregation collects (n, Σx, Σy, Σxy, Σx²) as exact longs per
+    * group, then
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    *   intercept = (Σy − slope·Σx) / n
+    *
+    * with numerator and denominator formed in int64 (exact — the caller
+    * keeps x and y in units where the products fit, e.g. hour indexes ×
+    * integer cents) and ONE division each; the intercept reuses the
+    * already-divided slope (mirrorable op order, engine-exact on
+    * identical doubles). Groups with zero x-variance (all observations
+    * at one x) have no defined slope and are dropped.
+    *
+    * The classic decomposable-aggregation shape: five longs per group
+    * cross the shuffle regardless of group size — per-entity drift/trend
+    * extraction (sensor drift, user spend trajectory, QPS growth) at any
+    * scale.
+    */
+  def groupOls(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den.cast("double")
+    agg
+      .where(den =!= 0L)
+      .withColumn("slope", slope)
+      .select(col(keyCol), col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+  }
+}

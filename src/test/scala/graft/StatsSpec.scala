@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Stats
+
+/** Exactness pins for the sufficient-statistics operators: rankAuc must
+  * equal the O(n²) pairwise Mann–Whitney definition (ties = half a win)
+  * on random data, and groupOls must reproduce the closed-form least
+  * squares fit. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rankAuc equals the brute-force pairwise definition with ties") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val rows = Seq.fill(120)((rnd.nextInt(12).toLong, rnd.nextBoolean()))
+      val df = rows.toDF("score", "label")
+      val out = Stats.rankAuc(df, "score", "label").collect().head
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      // pairwise: each (pos, neg) pair contributes 2 if pos > neg, 1 on
+      // a tie — the doubled U statistic rankAuc computes via the histogram
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(out.getLong(0) == pos.length && out.getLong(1) == neg.length)
+      assert(out.getLong(2) == u2, s"trial=$trial")
+      assert(out.getDouble(3) ==
+        u2.toDouble / (2L * pos.length * neg.length).toDouble)
+    }
+  }
+
+  test("rankAuc is 1.0 for perfect separation and 0.5 for all-tied") {
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    assert(Stats.rankAuc(perfect, "score", "label")
+      .collect().head.getDouble(3) == 1.0)
+    val tied = Seq((5L, true), (5L, true), (5L, false)).toDF("score", "label")
+    assert(Stats.rankAuc(tied, "score", "label")
+      .collect().head.getDouble(3) == 0.5)
+  }
+
+  test("groupOls recovers an exact linear relation") {
+    // y = 3x + 7 for key 1; key 2 has zero x-variance -> dropped
+    val df = Seq((1L, 0L, 7L), (1L, 1L, 10L), (1L, 2L, 13L), (1L, 5L, 22L),
+      (2L, 4L, 9L), (2L, 4L, 11L)).toDF("k", "x", "y")
+    val out = Stats.groupOls(df, "k", "x", "y").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 7.0)
+  }
+
+  test("groupOls matches the closed-form fit on random integer data") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(200)((rnd.nextInt(5).toLong,
+      rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "x", "y")
+    val got = Stats.groupOls(df, "k", "x", "y").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.length.toLong
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val den = n * sxx - sx * sx
+      if (den == 0L) assert(!got.contains(k))
+      else {
+        val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+        val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+        val (gn, gs, gi) = got(k)
+        assert(gn == n && gs == slope && gi == intercept, s"k=$k")
+      }
+    }
+  }
+}
