@@ -5252,6 +5252,43 @@ object Queries {
       |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
       |FROM a WHERE n*sxx - sx*sx != 0""".stripMargin
 
+  /** Hilbert-curve layout key (functions.hilbert_key), q64's stronger
+    * locality cousin: consecutive keys are ALWAYS adjacent cells, so a
+    * Hilbert-sorted columnar layout gives tighter per-file min/max
+    * bounding boxes than Morton order (no diagonal jumps at quadrant
+    * boundaries). The oracle replays the same quadrant-fold as a
+    * per-row recursive CTE over the 8 bit levels — both sides are
+    * integer-exact, and HilbertSpec proves bijection + unit-step
+    * adjacency exhaustively. */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      hilbert_key(8, col("l_orderkey"), col("l_partkey")).as("hkey"))
+
+  private val q132Sql =
+    """WITH RECURSIVE pts AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |         l_orderkey % 256 AS x0, l_partkey % 256 AS y0
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, x0 AS x, y0 AS y,
+      |         CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+      |  FROM pts
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CASE WHEN (y & s) = 0 THEN
+      |      CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END
+      |    ELSE x END AS x,
+      |    CASE WHEN (y & s) = 0 THEN
+      |      CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END
+      |    ELSE y END AS y,
+      |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+      |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+      |    s // 2 AS s
+      |  FROM h WHERE s > 0)
+      |SELECT l_orderkey, l_linenumber, l_partkey, d AS hkey
+      |FROM h WHERE s = 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5388,5 +5425,6 @@ object Queries {
     "q128_dict_tagging" -> Q(q128, Some(q128Sql)),
     "q129_pmi_collocations" -> Q(q129, Some(q129Sql)),
     "q130_classifier_auc" -> Q(q130, Some(q130Sql)),
-    "q131_group_ols_trend" -> Q(q131, Some(q131Sql)))
+    "q131_group_ols_trend" -> Q(q131, Some(q131Sql)),
+    "q132_hilbert_key" -> Q(q132, Some(q132Sql)))
 }

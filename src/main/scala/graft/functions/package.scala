@@ -417,4 +417,9 @@ package object functions {
     * skipping (see [[ZOrderKey]]). */
   def zorder_key(bitsPer: Int, cols: Column*): Column =
     ExprBridge.column(ZOrderKey(cols.map(col2expr), bitsPer))
+
+  /** Hilbert-curve key over two long columns, `bits` bits each — the
+    * stronger-locality layout key (see [[HilbertKey]]). */
+  def hilbert_key(bits: Int, x: Column, y: Column): Column =
+    ExprBridge.column(HilbertKey(col2expr(x), col2expr(y), bits))
 }
