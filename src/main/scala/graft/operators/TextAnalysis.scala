@@ -516,11 +516,35 @@ object TextAnalysis {
     * datasets…) a corpus query layer needs beyond exact terms. */
   def prefixSearch(index: SearchIndex, prefix: String): DataFrame = {
     require(prefix.nonEmpty, "prefixSearch needs a non-empty prefix")
-    index.postings.where(col("token").startsWith(prefix))
+    prefixAgg(prefixCand(index.postings, prefix))
+  }
+
+  /** One level's prefix-probe candidates: (token, doc_id, tf) rows for
+    * tokens matching the range predicate. */
+  private def prefixCand(postings: DataFrame, prefix: String): DataFrame =
+    postings.where(col("token").startsWith(prefix))
       .select(col("token"), explode(col("postings")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-      .groupBy("doc_id")
+
+  private def prefixAgg(cand: DataFrame): DataFrame =
+    cand.groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"))
+
+  /** [[prefixSearch]] over base + N delta segments — the same
+    * level-aware candidate merge as [[searchSegmentsTopK]] (each
+    * level's range probe drops docs tombstoned by any strictly newer
+    * delta, so (token, doc_id) stays unique after the union and the
+    * per-doc aggregate needs no dedup); a re-crawled corpus serves
+    * wildcard selection incrementally, equal to a full rebuild. */
+  def prefixSearchSegments(base: SearchIndex, deltas: Seq[SearchDelta],
+                           prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "prefixSearchSegments needs a non-empty prefix")
+    val levels = base +: deltas.map(_.segment)
+    val cand = levels.zipWithIndex.map { case (idx, lvl) =>
+      dropSuperseded(prefixCand(idx.postings, prefix),
+        deltas.drop(lvl).map(_.tombstones))
+    }.reduce(_ unionByName _)
+    prefixAgg(cand)
   }
 
   private def termFilterFrom(cand: DataFrame, docmeta: DataFrame,

@@ -500,6 +500,12 @@ object Streaming {
       TextAnalysis.termFilterSegments(base, pending, mustHave, mustNot)
     }
 
+    /** Wildcard (`pre*`) selection over base + pending segments — the
+      * range-probe sibling of [[termFilter]], no compaction work. */
+    def prefix(p: String): DataFrame = synchronized {
+      TextAnalysis.prefixSearchSegments(base, pending, p)
+    }
+
     /** The maintained positional postings as one table (compacts
       * first, like [[index]]). */
     def positionalIndex: DataFrame = synchronized {

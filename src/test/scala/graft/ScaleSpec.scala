@@ -602,7 +602,9 @@ class ScaleSpec extends SparkTestBase {
     // included) and adds — the structural cases (delete-then-readd,
     // edit-twice, add-then-delete) all occur across trials
     val rnd = new scala.util.Random(20260814L)
-    val vocab = Vector("a", "b", "c", "d")
+    // "ax"/"ay" share a prefix with "a" so the wildcard probe below
+    // spans a real token family, not a single exact term
+    val vocab = Vector("a", "b", "c", "d", "ax", "ay")
     def text() = Seq.fill(1 + rnd.nextInt(20))(
       vocab(rnd.nextInt(vocab.size))).mkString(" ")
     for (trial <- 1 to 3) {
@@ -667,6 +669,11 @@ class ScaleSpec extends SparkTestBase {
           Seq("a"), Seq("d")))
         == drows(TextAnalysis.termFilter(sRebuilt, Seq("a"), Seq("d"))),
         s"trial $trial: segmented term filter != rebuild")
+      // segmented wildcard (a* spans a/ax/ay) == rebuild
+      assert(drows(TextAnalysis.prefixSearchSegments(sBase, Seq(sd1, sd2),
+          "a"))
+        == drows(TextAnalysis.prefixSearch(sRebuilt, "a")),
+        s"trial $trial: segmented prefix != rebuild")
       val sComp = TextAnalysis.compactSearchIndex(sBase, Seq(sd1, sd2),
         nShards = 2)
       assert(sComp.postings.collect().map(_.toSeq).toSet

@@ -678,6 +678,11 @@ class StreamingSpec extends SparkTestBase {
           Seq("data"), maxGap = 2L, ordered)),
         s"streamed proximity (ordered=$ordered) != rebuild")
     assert(m.segmentCount == 1, "proximity must not trigger compaction")
+    // wildcard selection serves from the same segments ("dat*" spans
+    // base docs and both pending-edited docs)
+    assert(frows(m.prefix("dat")) ==
+      frows(TextAnalysis.prefixSearch(rebuilt, "dat")))
+    assert(m.segmentCount == 1, "prefix must not trigger compaction")
     // the single-index accessor folds the pending segments of BOTH
     // artifacts: bit-identical tables
     val idx = m.index
