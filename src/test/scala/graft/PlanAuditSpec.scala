@@ -418,4 +418,60 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("*(1) ") && plan.contains("*(3) "),
       s"expected codegen spans around the HOF stage:\n$plan")
   }
+
+  test("dictionary tagging is map-only: no shuffle, no join in the plan") {
+    // the whole point of the Aho–Corasick expression: a 1M-term
+    // gazetteer must not turn into a docs x dict join or any shuffle
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma "), col("id").cast("string")).as("text"))
+    val plan = graft.operators.TextAnalysis
+      .dictTag(docs, "doc_id", "text", Seq("alpha", "beta", "gam"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"dictTag must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"dictTag must not join:\n$plan")
+  }
+
+  test("grid resample plans as the merge as-of exec, never a window") {
+    val obs = spark.range(1000).select((col("id") % 7).as("k"),
+      (col("id") * 1000L).as("ts"), (col("id") % 13).as("v"))
+    val plan = graft.operators.AsOf.gridResample(obs, "k", "ts", 5000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec in LOCF fill:\n$plan")
+  }
+
+  test("rankAuc shuffles the score histogram, not the rows") {
+    // the only exchanges allowed: the groupBy(score) partial/final pair
+    // and the single-partition pass over the BOUNDED histogram — no
+    // sort or window over the raw rows
+    val df = spark.range(100000)
+      .select((col("id") % 997).as("score"), (col("id") % 3 === 0).as("label"))
+    val q = graft.operators.Stats.rankAuc(df, "score", "label")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"histogram must partial-aggregate:\n$plan")
+    // the Window runs AFTER the histogram aggregate (bounded input):
+    // its child subtree must contain the score groupBy, so no window
+    // touches raw rows. Cheap structural proxy: exactly one
+    // single-partition exchange, fed by the aggregated histogram.
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 2,
+      s"unexpected extra single-partition moves:\n$plan")
+  }
+
+  test("collocations tokenizes once and broadcasts the term-df sides") {
+    val docs = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma delta "),
+          col("id").cast("string")).as("text"))
+    val q = graft.operators.TextAnalysis.collocations(docs, "doc_id", "text",
+      Seq("alpha", "beta", "gamma", "delta"), minPairDocs = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    // presence is localCheckpointed: the self-join + df sides read the
+    // checkpoint, so the tokenizer never appears in the serving plan
+    assert(!plan.contains("tokenize"),
+      s"collocations must not re-tokenize per consumer:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"term-df sides must broadcast:\n$plan")
+  }
 }
