@@ -5289,6 +5289,54 @@ object Queries {
       |SELECT l_orderkey, l_linenumber, l_partkey, d AS hkey
       |FROM h WHERE s = 0""".stripMargin
 
+  /** Session-scoped Markov transition matrix (Stats.markovTransitions):
+    * src→dst event-type step counts and exact conditional probabilities,
+    * with steps confined to q30's 30-minute sessions (a step never
+    * crosses a session boundary). The lead() window partitions by
+    * (user, session) — bounded by one user's session, never global —
+    * and the probability is one divide over exact longs. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val us = expr("ts div 1000")
+    val prevUs = lag(us, 1).over(byTime)
+    val sess = t(s, dir, "events")
+      .withColumn("new_sess",
+        when(prevUs.isNull || us - prevUs > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess"))
+          .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    Stats.markovTransitions(sess, Seq("user_id", "session_id"),
+      Seq(col("ts"), col("event_id")), "event_type")
+  }
+
+  private val q133Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |p AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id, session_id
+      |      ORDER BY us, event_id) AS dst
+      |  FROM sess),
+      |c AS (SELECT src, dst, count(*) AS cnt
+      |      FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total
+      |        FROM c GROUP BY 1)
+      |SELECT c.src, c.dst, c.cnt,
+      |  CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS prob
+      |FROM c JOIN tot ON c.src = tot.src""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5426,5 +5474,6 @@ object Queries {
     "q129_pmi_collocations" -> Q(q129, Some(q129Sql)),
     "q130_classifier_auc" -> Q(q130, Some(q130Sql)),
     "q131_group_ols_trend" -> Q(q131, Some(q131Sql)),
-    "q132_hilbert_key" -> Q(q132, Some(q132Sql)))
+    "q132_hilbert_key" -> Q(q132, Some(q132Sql)),
+    "q133_markov_transitions" -> Q(q133, Some(q133Sql)))
 }

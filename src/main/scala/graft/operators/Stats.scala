@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Corpus-scale evaluation / statistics operators.
   *
-  * Both operators reduce data-sized inputs to EXACT integer sufficient
-  * statistics before any floating-point math, so results are engine-exact
-  * (one or two IEEE ops over int64 values at the very end) and the
-  * shuffled volume is bounded by group/score cardinality, never row
-  * count.
+  * Every operator here reduces data-sized inputs to EXACT integer
+  * sufficient statistics before any floating-point math, so results are
+  * engine-exact (one or two IEEE ops over int64 values at the very end)
+  * and the shuffled volume is bounded by group/score/state cardinality,
+  * never row count.
   */
 object Stats {
 
@@ -91,5 +91,38 @@ object Stats {
       .select(col(keyCol), col("n"), col("slope"),
         ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
           / col("n").cast("double")).as("intercept"))
+  }
+
+  /** First-order Markov transition matrix of a state sequence: counts
+    * and exact conditional probabilities of src→dst steps, where a step
+    * is two CONSECUTIVE rows inside one group (a session, a clip, a
+    * device trace) — next-action prediction features, UX path analysis,
+    * corpus curriculum statistics.
+    *
+    * The lead() window partitions by the GROUP columns, so window state
+    * is bounded by the longest single group (the q30 sessionize
+    * discipline — never an unpartitioned window); transition pairs then
+    * collapse through one map-side-combining groupBy(src, dst), and the
+    * per-src totals table (state-cardinality sized) broadcasts back.
+    * The probability is one long→double cast per operand and one
+    * divide — engine-exact.
+    *
+    * `orderCols` must totally order rows within each group or the lead
+    * is nondeterministic (pass a tie-breaking id).
+    */
+  def markovTransitions(df: DataFrame, groupCols: Seq[String],
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        stateCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "markovTransitions needs group columns")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    val pairs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("src")).agg(sum(col("cnt")).as("total"))
+    pairs.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("prob"))
   }
 }

@@ -72,4 +72,41 @@ class StatsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("markovTransitions counts steps within groups only") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), // a->b, b->a
+      (2L, 1L, "b"), (2L, 2L, "b"),                // b->b
+      (3L, 1L, "c")                                // singleton: no step
+    ).toDF("g", "o", "s")
+    val out = Stats.markovTransitions(df, Seq("g"),
+      Seq(org.apache.spark.sql.functions.col("o")), "s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(
+      ("a", "b", 1L, 1.0),
+      ("b", "a", 1L, 0.5), ("b", "b", 1L, 0.5)))
+  }
+
+  test("markovTransitions matches a brute-force count on random traces") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 400).map(i =>
+      (rnd.nextInt(10).toLong, i.toLong, s"s${rnd.nextInt(4)}"))
+    val df = rows.toDF("g", "o", "s")
+    val got = Stats.markovTransitions(df, Seq("g"),
+      Seq(org.apache.spark.sql.functions.col("o")), "s")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val steps = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(_._2).map(_._3).sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }
+    val cnt = steps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = steps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == cnt.keySet)
+    cnt.foreach { case (k, c) =>
+      assert(got(k) == ((c, c.toDouble / totals(k._1).toDouble)), s"$k")
+    }
+  }
 }
