@@ -5165,24 +5165,30 @@ object Queries {
       minPairDocs = 5)
   }
 
-  private val q129Sql =
+  /** Shared CTE chain building the top-40 vocabulary, per-doc presence
+    * and co-occurrence pair counts — consumed by q129 (lift scores) and
+    * q134 (PageRank over the co-occurrence graph). */
+  private val collocCtes =
     s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
        |dfq AS (SELECT tk AS term, count(DISTINCT doc_id) AS df
        |        FROM tok WHERE length(tk) >= 4 GROUP BY 1),
        |dict AS (SELECT term FROM dfq ORDER BY df DESC, term ASC LIMIT 40),
        |p AS (SELECT DISTINCT t.doc_id, t.tk
        |      FROM tok t JOIN dict d ON t.tk = d.term),
-       |n AS (SELECT count(*) AS n FROM documents),
-       |na AS (SELECT tk, count(*) AS df FROM p GROUP BY 1),
        |pairs AS (SELECT a.tk AS term_a, b.tk AS term_b,
        |                 count(*) AS n_ab
        |          FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tk < b.tk
-       |          GROUP BY 1, 2)
-       |SELECT term_a, term_b, n_ab,
-       |  CAST(n_ab * n.n AS DOUBLE) / CAST(x.df * y.df AS DOUBLE) AS lift
-       |FROM pairs CROSS JOIN n
-       |JOIN na x ON term_a = x.tk JOIN na y ON term_b = y.tk
-       |WHERE n_ab >= 5""".stripMargin
+       |          GROUP BY 1, 2)""".stripMargin
+
+  private val q129Sql = collocCtes +
+    """,
+      |n AS (SELECT count(*) AS n FROM documents),
+      |na AS (SELECT tk, count(*) AS df FROM p GROUP BY 1)
+      |SELECT term_a, term_b, n_ab,
+      |  CAST(n_ab * n.n AS DOUBLE) / CAST(x.df * y.df AS DOUBLE) AS lift
+      |FROM pairs CROSS JOIN n
+      |JOIN na x ON term_a = x.tk JOIN na y ON term_b = y.tk
+      |WHERE n_ab >= 5""".stripMargin
 
   /** Exact ROC-AUC of the q90 quality classifier against a language
     * label (Stats.rankAuc): Mann–Whitney U with midrank ties, computed
@@ -5337,6 +5343,80 @@ object Queries {
       |  CAST(c.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS prob
       |FROM c JOIN tot ON c.src = tot.src""".stripMargin
 
+  /** Integer-exact PageRank over the q129 co-occurrence graph
+    * (Graph.pageRankInt): vocab terms as nodes, >=5-doc collocation
+    * pairs as symmetric edges, 5 fixed iterations — damping and
+    * per-neighbor contributions run entirely as long floor-divisions,
+    * so every per-node sum is order-independent and the ranks match
+    * DuckDB bit-for-bit with NO floating point anywhere. The oracle
+    * unrolls the five rounds as chained CTEs over the shared
+    * collocation CTE chain. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a"), col("term_b"))
+    val edges = pairs
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+      .unionByName(pairs.select(col("term_b").as("src"),
+        col("term_a").as("dst")))
+    Graph.pageRankInt(edges, iterations = 5)
+  }
+
+  private val q134Sql = collocCtes +
+    s""",
+      |e AS (SELECT term_a AS src, term_b AS dst FROM pairs WHERE n_ab >= 5
+      |      UNION ALL
+      |      SELECT term_b, term_a FROM pairs WHERE n_ab >= 5),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node,
+      |         1000000000000 // (SELECT count(*) FROM nodes) AS rank
+      |       FROM nodes),
+      |r1 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node, CAST(sum(r0.rank // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r2 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node, CAST(sum(r1.rank // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r3 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node, CAST(sum(r2.rank // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r4 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node, CAST(sum(r3.rank // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r3 ON e.src = r3.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r5 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node, CAST(sum(r4.rank // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r4 ON e.src = r4.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node)
+      |SELECT node, rank FROM r5""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5475,5 +5555,6 @@ object Queries {
     "q130_classifier_auc" -> Q(q130, Some(q130Sql)),
     "q131_group_ols_trend" -> Q(q131, Some(q131Sql)),
     "q132_hilbert_key" -> Q(q132, Some(q132Sql)),
-    "q133_markov_transitions" -> Q(q133, Some(q133Sql)))
+    "q133_markov_transitions" -> Q(q133, Some(q133Sql)),
+    "q134_pagerank_collocations" -> Q(q134, Some(q134Sql)))
 }

@@ -181,4 +181,46 @@ class GraphRangeSpec extends SparkTestBase {
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(got.toSet == want, s"missing/extra pairs: ${got.toSet.size} vs ${want.size}")
   }
+
+  test("integer pagerank matches a driver-side reference on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("src", "dst")
+      val scale = 1000000000000L
+      val iters = 4
+      val got = Graph.pageRankInt(df, iters, scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: same integer recurrence, sequential driver loop
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = (15L * scale) / (100L * n)
+      var rank = nodes.map(_ -> scale / n).toMap
+      (1 to iters).foreach { _ =>
+        val sums = edges.groupBy(_._2).view.mapValues(
+          _.map(e => rank(e._1) / deg(e._1)).sum).toMap
+        rank = nodes.map(v =>
+          v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      assert(got == rank, s"trial $trial")
+      // the distributed rounds are value-identical to the driver loop
+      val dist = Graph.pageRankInt(df, iters, scale, driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == rank, s"trial $trial: distributed != driver")
+    }
+  }
+
+  test("integer pagerank favors the hub of a star graph") {
+    import graft.operators.Graph
+    // star: spokes 1..5 all point at hub 0 (and back, undirected)
+    val pairs = (1L to 5L).map(i => (0L, i))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(i => ranks(0L) > ranks(i)))
+    assert((1L to 5L).map(ranks).distinct.size == 1, "spokes tie exactly")
+  }
 }
