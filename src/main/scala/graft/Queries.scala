@@ -5417,6 +5417,105 @@ object Queries {
       |    GROUP BY 1) s ON nodes.node = s.node)
       |SELECT node, rank FROM r5""".stripMargin
 
+  /** Per-node triangle counts over the collocation graph
+    * (Graph.triangleCounts): degree-ordered orientation builds wedges
+    * only at each triangle's unique minimum apex — the O(m^1.5) plan
+    * that never fans out a hub's full neighborhood square — closed by
+    * one equi-join; exact integer counts so parity is free. The oracle
+    * counts canonical (u<v<w) triples with a 3-way self-join. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+    Graph.triangleCounts(pairs)
+  }
+
+  private val q135Sql = collocCtes +
+    """,
+      |ce AS (SELECT term_a AS u, term_b AS v FROM pairs WHERE n_ab >= 5),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM ce e1 JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT u AS node FROM ce UNION SELECT v FROM ce),
+      |tcnt AS (SELECT node, count(*) AS c FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT nodes.node, CAST(coalesce(tcnt.c, 0) AS BIGINT) AS n_triangles
+      |FROM nodes LEFT JOIN tcnt ON nodes.node = tcnt.node""".stripMargin
+
+  /** OLAP cube rollup: every grouping-set combination of
+    * (returnflag, linestatus) in ONE pass — Spark's `cube` expands the
+    * sets inside a single shuffle with map-side partial aggregation
+    * (never one job per grouping set), `grouping_id` disambiguates the
+    * null-as-subtotal rows exactly as SQL-standard GROUPING does. All
+    * integer measures (count + cents). */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n_rows"), col("sum_qty_cents"))
+
+  private val q136Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Per-user time-weighted average spend (Stats.timeWeightedAvg): each
+    * event's cents value holds until the next event; numerator
+    * Σ v·Δt(micros) and span accumulate as exact longs, one final
+    * divide — the honest mean of an irregular series (plain AVG
+    * over-weights bursts). */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_id"),
+      cents(col("value")).as("v"))
+    Stats.timeWeightedAvg(ev, "user_id", "us", "event_id", "v")
+  }
+
+  private val q137Sql =
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |st AS (SELECT user_id, us, v,
+      |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |           AS nt
+      |       FROM o),
+      |a AS (SELECT user_id, CAST(sum(v * (nt - us)) AS BIGINT) AS wv,
+      |             CAST(max(nt) - min(us) AS BIGINT) AS span
+      |      FROM st WHERE nt IS NOT NULL GROUP BY 1)
+      |SELECT user_id, span, CAST(wv AS DOUBLE) / CAST(span AS DOUBLE) AS twap
+      |FROM a WHERE span > 0""".stripMargin
+
+  /** Retention cohort triangle (Stats.retentionCohorts): users keyed by
+    * first-activity day, distinct-counted at each later day offset —
+    * the product-analytics standard and a crawl-freshness diagnostic.
+    * Two map-side-combining aggregations, cohort table broadcast, all
+    * integer counts. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.retentionCohorts(ev, "user_id", "day")
+  }
+
+  private val q138Sql =
+    """WITH d AS (SELECT user_id,
+      |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      |r AS (SELECT DISTINCT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |             d.user_id
+      |      FROM d JOIN c ON d.user_id = c.user_id)
+      |SELECT cohort_day, day_offset, count(*) AS n_users
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5556,5 +5655,9 @@ object Queries {
     "q131_group_ols_trend" -> Q(q131, Some(q131Sql)),
     "q132_hilbert_key" -> Q(q132, Some(q132Sql)),
     "q133_markov_transitions" -> Q(q133, Some(q133Sql)),
-    "q134_pagerank_collocations" -> Q(q134, Some(q134Sql)))
+    "q134_pagerank_collocations" -> Q(q134, Some(q134Sql)),
+    "q135_triangle_counts" -> Q(q135, Some(q135Sql)),
+    "q136_cube_rollup" -> Q(q136, Some(q136Sql)),
+    "q137_twap" -> Q(q137, Some(q137Sql)),
+    "q138_retention_cohorts" -> Q(q138, Some(q138Sql)))
 }

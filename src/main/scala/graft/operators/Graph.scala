@@ -112,4 +112,55 @@ object Graph {
     }
     rank
   }
+
+  /** Per-node triangle counts of an undirected graph — the local-density
+    * signal behind clustering coefficients, community seeds and spam
+    * rings. Exact integer counts, so engine-parity is free.
+    *
+    * The scalable shape is DEGREE-ORDERED ORIENTATION (the classic
+    * MapReduce triangle trick): canonicalize + dedup edges, orient every
+    * edge from its lower-(degree, id) endpoint to the higher, build
+    * wedges only at each triangle's unique MINIMUM apex, and close them
+    * with one more equi-join. A node of degree d seeds at most
+    * C(min-degree-side) wedges — on skewed graphs the hub never fans out
+    * its full d² wedge set (it sits on the receiving side of its
+    * edges), which is the difference between O(m^{3/2}) and a hub-square
+    * blowup at 100 TB-scale graphs. Nodes in no triangle come out 0 via
+    * the left join.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val ce = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = ce.select(col("u").as("node"))
+      .unionByName(ce.select(col("v").as("node"))).distinct()
+    val deg = ce.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = ce
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val fromU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge (s -> d) with d's (deg, id) carried for the wedge order
+    val oriented = withDeg.select(
+      when(fromU, col("u")).otherwise(col("v")).as("s"),
+      when(fromU, col("v")).otherwise(col("u")).as("d"),
+      when(fromU, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("s"), col("d").as("b"), col("dd").as("db"))
+    val e2 = oriented.select(col("s"), col("d").as("c"), col("dd").as("dc"))
+    val wedges = e1.join(e2, "s")
+      .where(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("s").as("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oriented.select(col("s").as("b"), col("d").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -125,4 +125,67 @@ object Stats {
       .select(col("src"), col("dst"), col("cnt"),
         (col("cnt").cast("double") / col("total").cast("double")).as("prob"))
   }
+
+  /** Time-weighted average of a piecewise-constant integer signal per
+    * key (TWAP): each observation's value holds until the NEXT
+    * observation, so
+    *
+    *   twap = Σ_i v_i · (t_{i+1} − t_i)  /  (t_last − t_first)
+    *
+    * — the honest mean of an irregular series (a plain AVG over-weights
+    * bursts of closely-spaced points; TWAP weights by how long each
+    * value was actually in force). The financial/telemetry standard.
+    *
+    * Numerator and denominator accumulate as exact longs (caller keeps
+    * value·gap inside int64 — e.g. integer cents × micros over a
+    * bounded horizon); the single division is the only float op, so the
+    * result is engine-exact. The lead() window partitions by key
+    * (bounded by one key's history, the sessionize discipline); the
+    * roll-up is one map-side-combining aggregation. Keys with a single
+    * observation span zero time and are dropped.
+    *
+    * `tsCol` must be an integer time axis (epoch micros) and `orderCol`
+    * a tie-breaking id for simultaneous observations (dt = 0 rows are
+    * harmless but the lead must be deterministic).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      orderCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val stepped = df
+      .withColumn("__nt", lead(col(tsCol), 1).over(w))
+      .where(col("__nt").isNotNull)
+    stepped
+      .groupBy(col(keyCol))
+      .agg(sum(col(valueCol) * (col("__nt") - col(tsCol))).as("wv"),
+        (max(col("__nt")) - min(col(tsCol))).as("span"))
+      .where(col("span") > 0L)
+      .select(col(keyCol), col("span"),
+        (col("wv").cast("double") / col("span").cast("double")).as("twap"))
+  }
+
+  /** Retention cohort table: users grouped by their FIRST-activity day
+    * (the cohort), counted on each later day they return —
+    * `(cohort_day, day_offset) -> distinct users` — the standard
+    * product-analytics retention triangle, and the data-freshness
+    * diagnostic of a crawl (how much of day-0's source set still
+    * appears k days later).
+    *
+    * Two map-side-combining aggregations: per-user first day (one long
+    * per user crosses the shuffle), then distinct (cohort, offset,
+    * user) roll-up; the cohort table broadcasts back onto events. All
+    * integer counts — engine-exact.
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String,
+                       dayCol: String): DataFrame = {
+    val cohorts = df.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    df.select(col(keyCol), col(dayCol))
+      .join(broadcast(cohorts), keyCol)
+      .select(col("cohort_day"),
+        (col(dayCol) - col("cohort_day")).as("day_offset"), col(keyCol))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -213,6 +213,42 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("triangle counts match brute force on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      val df = edges.toDF("src", "dst")
+      val got = Graph.triangleCounts(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force over the canonical simple graph
+      val ce = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val adj = (ce ++ ce.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val want = nodes.map { v =>
+        val nb = adj(v).toSeq
+        v -> (for {
+          i <- nb.indices; j <- (i + 1) until nb.length
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("triangle counts: a clique of 4 has 3 per node, a path has none") {
+    import graft.operators.Graph
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graph.triangleCounts(k4).collect()
+      .forall(r => r.getLong(1) == 3L))
+    val path3 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path3).collect()
+      .forall(r => r.getLong(1) == 0L))
+  }
+
   test("integer pagerank favors the hub of a star graph") {
     import graft.operators.Graph
     // star: spokes 1..5 all point at hub 0 (and back, undirected)

@@ -109,4 +109,46 @@ class StatsSpec extends SparkTestBase {
       assert(got(k) == ((c, c.toDouble / totals(k._1).toDouble)), s"$k")
     }
   }
+
+  test("timeWeightedAvg weights each value by how long it held") {
+    // key 1: 10 cents for 3 ticks, then 40 for 1 tick -> (30+40)/4 = 17.5
+    val df = Seq((1L, 0L, 1L, 10L), (1L, 3L, 2L, 40L), (1L, 4L, 3L, 7L),
+      (2L, 5L, 4L, 99L)) // single observation: zero span, dropped
+      .toDF("k", "ts", "id", "v")
+    val out = Stats.timeWeightedAvg(df, "k", "ts", "id", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 4L &&
+      out.head.getDouble(2) == 17.5)
+  }
+
+  test("timeWeightedAvg matches brute force on random series") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(i => (rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, i.toLong, rnd.nextInt(500).toLong))
+    val got = Stats.timeWeightedAvg(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val s = g.sortBy(r => (r._2, r._3))
+      val span = s.last._2 - s.head._2
+      if (span == 0L) assert(!got.contains(k))
+      else {
+        val wv = s.zip(s.tail).map { case (a, b) => a._4 * (b._2 - a._2) }.sum
+        assert(got(k) == ((span, wv.toDouble / span.toDouble)), s"k=$k")
+      }
+    }
+  }
+
+  test("retentionCohorts counts distinct returning users per offset") {
+    val df = Seq(
+      (1L, 10L), (1L, 10L), (1L, 12L), // cohort 10: day 0 and offset 2
+      (2L, 10L), (2L, 11L),            // cohort 10: day 0 and offset 1
+      (3L, 11L))                       // cohort 11: day 0 only
+      .toDF("u", "day")
+    val out = Stats.retentionCohorts(df, "u", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L),
+      (11L, 0L, 1L)))
+  }
 }
