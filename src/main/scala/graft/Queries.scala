@@ -5516,6 +5516,115 @@ object Queries {
       |SELECT cohort_day, day_offset, count(*) AS n_users
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** BM25-RANKED phrase search (TextAnalysis.phraseRankedTopK): the
+    * phrase "the data" scored as one virtual term — tf = per-doc phrase
+    * occurrences from the positional probe (q109's matcher), df = docs
+    * containing the phrase, dl/avgdl from the BM25 docmeta — Lucene's
+    * PhraseQuery shape with zero corpus rescan; integer-micro scoring,
+    * one-row broadcast stats, partial-combining top-k. The oracle
+    * composes q109's phrase replay with q77's BM25 formula for the
+    * single virtual term. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pos = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text",
+      nShards = 4)
+    val idx = TextAnalysis.buildSearchIndex(docs, "doc_id", "text",
+      nShards = 4)
+    TextAnalysis.phraseRankedTopK(pos, idx.docmeta, Seq("the", "data"),
+      k = 15)
+  }
+
+  private val q139Sql = {
+    def hitsSql(term: String) =
+      s"""list_filter(list_transform(tk,
+         |      (x, i) -> CASE WHEN x = '$term'
+         |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+         |      p -> p >= 0)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql("the")} AS p0,
+       |    ${hitsSql("data")} AS p1
+       |  FROM tk),
+       |pm AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_intersect(p0, list_transform(p1, p -> p - 1)))
+       |      AS BIGINT) AS n_phrase
+       |  FROM h
+       |  WHERE len(list_intersect(p0, list_transform(p1, p -> p - 1))) > 0),
+       |meta AS (SELECT doc_id, CAST(coalesce(len(tk), 0) AS BIGINT) AS dl
+       |         FROM tk),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+       |       FROM meta),
+       |dfp AS (SELECT CAST(count(*) AS BIGINT) AS dfp FROM pm),
+       |scored AS (
+       |  SELECT pm.doc_id, pm.n_phrase, meta.dl,
+       |    CAST(floor(
+       |      CAST(floor(ln((n - dfp + 0.5) / (dfp + 0.5) + 1) * 1000000.0)
+       |        AS BIGINT)
+       |      * (n_phrase * 2.2 / (n_phrase + 1.2
+       |          * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))
+       |      AS BIGINT) AS score_micro
+       |  FROM pm JOIN meta ON pm.doc_id = meta.doc_id
+       |  CROSS JOIN st CROSS JOIN dfp),
+       |ranked AS (
+       |  SELECT doc_id, n_phrase, dl, score_micro,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, n_phrase, dl, score_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 15""".stripMargin
+  }
+
+  /** Pivot report: per-user event-type counts as wide columns. The
+    * values list is passed EXPLICITLY, so Spark compiles one
+    * aggregation with pivot-CASE expressions — the implicit-values form
+    * would first run a distinct scan to discover them (an extra job the
+    * oracle's conditional aggregation never pays). Absent cells
+    * coalesce to 0 so the wide schema is dense. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+  }
+
+  private val q140Sql = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map(tp =>
+      s"CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS n_$tp")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** Per-clip loudness statistics (Multimodal.loudnessStats): sample
+    * count, absolute peak and RMS over the integer cents series — peak
+    * and Σv² exact longs, the single sqrt (correctly-rounded IEEE) the
+    * only float op. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        cents(col("value")).as("v")))).as("srt"))
+      .select(col("user_id"), transform(col("srt"), x => x("v")).as("series"))
+    Multimodal.loudnessStats(series, "user_id", "series")
+  }
+
+  private val q141Sql =
+    """WITH s AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |arr AS (
+      |  SELECT user_id, list(v) AS series, count(*) AS n
+      |  FROM s GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(list_max(list_transform(series, x -> abs(x))) AS BIGINT) AS peak,
+      |  sqrt(CAST(list_sum(list_transform(series, x -> x * x)) AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) AS rms
+      |FROM arr WHERE n > 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5659,5 +5768,8 @@ object Queries {
     "q135_triangle_counts" -> Q(q135, Some(q135Sql)),
     "q136_cube_rollup" -> Q(q136, Some(q136Sql)),
     "q137_twap" -> Q(q137, Some(q137Sql)),
-    "q138_retention_cohorts" -> Q(q138, Some(q138Sql)))
+    "q138_retention_cohorts" -> Q(q138, Some(q138Sql)),
+    "q139_phrase_ranked" -> Q(q139, Some(q139Sql)),
+    "q140_pivot_counts" -> Q(q140, Some(q140Sql)),
+    "q141_loudness_stats" -> Q(q141, Some(q141Sql)))
 }

@@ -231,4 +231,25 @@ object Multimodal {
             acc + v * v
           }).cast("double"))))
   }
+  /** Per-clip loudness statistics from an integer amplitude series:
+    * sample count, absolute peak, and RMS — the normalization /
+    * clipping-detection pass an audio pipeline runs before gain
+    * staging. Peak and the sum of squares accumulate as exact longs
+    * (amplitude² × clip length stays far inside int64 for integer-cent
+    * channels), so the single `sqrt` is the only floating-point op and
+    * the result is engine-exact (sqrt is correctly rounded IEEE,
+    * unlike ln). Map-only over the series column; empty clips drop.
+    */
+  def loudnessStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    seriesCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol),
+        size(col(seriesCol)).cast("long").as("n"),
+        array_max(transform(col(seriesCol), v => abs(v))).as("peak"),
+        aggregate(col(seriesCol), lit(0L),
+          (acc, x) => acc + x * x).as("ss"))
+      .where(col("n") > 0)
+      .select(col(idCol), col("n"), col("peak"),
+        sqrt(col("ss").cast("double") / col("n").cast("double")).as("rms"))
+  }
 }

@@ -709,6 +709,37 @@ object TextAnalysis {
         array_min(col("starts")).as("first_pos"))
   }
 
+  /** RANKED phrase search: the phrase scored as one virtual BM25 term —
+    * tf = per-doc phrase occurrences (from the positional probe), df =
+    * docs containing the phrase, dl/avgdl from the BM25 index's
+    * docmeta — so multi-word queries rank like Lucene's PhraseQuery
+    * instead of returning an unscored match set. Reuses
+    * [[phraseSearch]] (zero corpus rescan; candidates bounded by the
+    * probed postings) and [[bm25ContribMicro]]'s integer-micro scoring;
+    * corpus stats and the phrase df are one-row broadcasts; ranking is
+    * the partial-combining `top_k_by` (per-partition heaps, no
+    * window). */
+  def phraseRankedTopK(postings: DataFrame, docmeta: DataFrame,
+                       phrase: Seq[String], k: Int): DataFrame = {
+    val matches = phraseSearch(postings, phrase)
+    val corpus = docmeta.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl"))
+    val dfp = matches.agg(count(lit(1)).as("dfp"))
+    val scored = matches.join(docmeta, "doc_id")
+      .crossJoin(broadcast(corpus)).crossJoin(broadcast(dfp))
+      .select(col("doc_id"), col("n_phrase"), col("dl"),
+        bm25ContribMicro(col("n_phrase"), col("dfp"), col("n"),
+          col("dl"), col("sumdl")).as("score_micro"))
+    scored
+      .agg(top_k_by(struct(col("score_micro"), (-col("doc_id")).as("neg_id"),
+        col("n_phrase"), col("dl")), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((-col("col.neg_id")).as("doc_id"),
+        col("col.n_phrase").as("n_phrase"), col("col.dl").as("dl"),
+        col("col.score_micro").as("score_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Proximity predicate served from a [[buildPositionalIndex]] table —
     * [[proximityFilter]]'s semantics (min token gap between an A-term
     * and a B-term occurrence, unordered |a-b| or ordered A-then-B)

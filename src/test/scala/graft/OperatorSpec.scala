@@ -689,4 +689,36 @@ class OperatorSpec extends SparkTestBase {
       ("aaaa", "bbbb", 2L, 2L * 4 / (3.0 * 2)),
       ("aaaa", "cccc", 2L, 2L * 4 / (3.0 * 2))))
   }
+
+  test("phraseRankedTopK ranks phrase matches by BM25 of the phrase tf") {
+    val docs = Seq(
+      (1L, "big data big data big data"), // tf 3, dl 6
+      (2L, "big data and more words here"), // tf 1, dl 6
+      (3L, "data big"), // reversed: no phrase
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val pos = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text",
+      nShards = 2)
+    val idx = TextAnalysis.buildSearchIndex(docs, "doc_id", "text",
+      nShards = 2)
+    val out = TextAnalysis.phraseRankedTopK(pos, idx.docmeta,
+        Seq("big", "data"), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_phrase"),
+        r.getAs[Long]("rank"))).toSeq
+    // same dl, same df -> higher tf ranks first; doc 3/4 never match
+    assert(out == Seq((1L, 3L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("loudnessStats computes exact peak and RMS over cents series") {
+    import graft.operators.Multimodal
+    val df = Seq(
+      (1L, Seq(3L, -4L, 0L)), // peak 4, rms sqrt(25/3)
+      (2L, Seq.empty[Long])   // empty clip drops
+    ).toDF("id", "series")
+    val out = Multimodal.loudnessStats(df, "id", "series").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == math.sqrt(25.0 / 3.0))
+  }
 }
