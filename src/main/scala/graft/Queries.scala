@@ -5625,6 +5625,68 @@ object Queries {
       |    / CAST(n AS DOUBLE)) AS rms
       |FROM arr WHERE n > 0""".stripMargin
 
+  /** Staleness-bounded as-of join (AsOf.asofJoinTolerance): q38's
+    * latest-click-at-or-before match, but a click older than one hour
+    * is no context at all — pandas merge_asof's `tolerance` on the
+    * merge exec, applied as one post-filter (exact, because the as-of
+    * match is unique per row: a too-stale match means no in-tolerance
+    * match exists). The oracle is native ASOF JOIN + the same bound. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(cents(col("value"))).as("click_cents"))
+    AsOf.asofJoinTolerance(ev, clicks, "user_id", "ts",
+        tolerance = 3600L * 1000000000L)
+      .select(col("user_id"), col("event_id"), col("click_cents"),
+        (col("ts") - col("match_ts")).as("age_ns"))
+  }
+
+  private val q142Sql =
+    """WITH r AS (
+      |  SELECT user_id, epoch_ns(ts) AS rts,
+      |         max(CAST(round(value*100) AS BIGINT)) AS click_cents
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT e.user_id, e.event_id, r.click_cents,
+      |  epoch_ns(e.ts) - r.rts AS age_ns
+      |FROM events e
+      |ASOF JOIN r ON e.user_id = r.user_id AND epoch_ns(e.ts) >= r.rts
+      |WHERE epoch_ns(e.ts) - r.rts <= 3600000000000""".stripMargin
+
+  /** Per-user distribution moments (Stats.groupMoments): mean, exact
+    * population variance/std and skewness from integer power sums in
+    * deci-cents (keeps (Σx)³ inside int64) — four longs per group
+    * cross the shuffle; the float tail is a fixed cast/product/sqrt
+    * shape mirrored in the SQL, so every double is engine-exact. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("v"))
+      .select(col("user_id"), expr("v div 10").as("x"))
+    Stats.groupMoments(ev, "user_id", "x")
+  }
+
+  private val q143Sql =
+    """WITH o AS (SELECT user_id,
+      |             CAST(round(value*100) AS BIGINT) // 10 AS x FROM events),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS s1,
+      |             CAST(sum(x*x) AS BIGINT) AS s2,
+      |             CAST(sum((x*x)*x) AS BIGINT) AS s3
+      |      FROM o GROUP BY 1),
+      |b AS (SELECT user_id, n, s1, s2, s3,
+      |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |        CAST(n*s2 - s1*s1 AS DOUBLE)
+      |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance
+      |      FROM a),
+      |c AS (SELECT user_id, n, s1, s2, s3, mean, variance,
+      |        sqrt(variance) AS std FROM b)
+      |SELECT user_id, n, mean, variance, std,
+      |  CASE WHEN std = 0 THEN CAST('NaN' AS DOUBLE)
+      |       ELSE CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |            * std * std * std) END AS skew
+      |FROM c""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5771,5 +5833,7 @@ object Queries {
     "q138_retention_cohorts" -> Q(q138, Some(q138Sql)),
     "q139_phrase_ranked" -> Q(q139, Some(q139Sql)),
     "q140_pivot_counts" -> Q(q140, Some(q140Sql)),
-    "q141_loudness_stats" -> Q(q141, Some(q141Sql)))
+    "q141_loudness_stats" -> Q(q141, Some(q141Sql)),
+    "q142_asof_tolerance" -> Q(q142, Some(q142Sql)),
+    "q143_group_moments" -> Q(q143, Some(q143Sql)))
 }

@@ -157,4 +157,36 @@ object AsOf {
       }
     asofJoinMerge(grid, obs, key, ts, inner)
   }
+
+  /** As-of join with a STALENESS BOUND (pandas `merge_asof(...,
+    * tolerance=...)`): the latest right row at-or-before each left ts,
+    * but only if it is at most `tolerance` old — a quote matched to a
+    * trade from last week is not a fill, a sensor reading hours stale
+    * is not a feature. Rides the same merge exec; the right's timestamp
+    * is carried through as `matchTsCol` and the bound applied as ONE
+    * post-filter — equivalent to filtering inside the merge, because
+    * the as-of match is unique per left row (too-stale match ⇒ no
+    * in-tolerance match exists at all). Inner semantics drop unmatched
+    * AND too-stale rows; outer keeps them with nulls (staleness
+    * violations null out their value columns).
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, tolerance: Long,
+                        matchTsCol: String = "match_ts",
+                        inner: Boolean = true): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val valueCols = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val r = right.withColumn(matchTsCol, col(ts))
+    val joined = asofJoinMerge(left, r, key, ts, inner = false)
+    val stale = col(matchTsCol).isNotNull &&
+      col(ts) - col(matchTsCol) > tolerance
+    if (inner) joined.where(col(matchTsCol).isNotNull && !stale)
+    else {
+      // outer: null out the value columns of too-stale matches
+      val cleared = (valueCols :+ matchTsCol).foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+      }
+      cleared
+    }
+  }
 }

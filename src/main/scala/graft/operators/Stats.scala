@@ -188,4 +188,43 @@ object Stats {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-group distribution moments (mean, population variance/stddev,
+    * population skewness g1) from EXACT integer power sums: one
+    * map-side-combining aggregation collects (n, Σx, Σx², Σx³) as
+    * longs, then
+    *
+    *   var  = (n·Σx² − Σx²₁) / n²            (Σx²₁ = (Σx)²)
+    *   skew = (n²Σx³ − 3nΣxΣx² + 2(Σx)³) / (n³·σ³)
+    *
+    * — four longs per group cross the shuffle regardless of group
+    * size, numerators form in int64 (the caller scales x so x³·n and
+    * (Σx)³ fit — e.g. deci-cents), and the float tail is a fixed
+    * shape of casts, products and one sqrt, so values are
+    * engine-exact. Zero-variance groups yield NaN skew (0/0) in every
+    * engine. The distribution-drift profiling pass (is this source's
+    * quality-score distribution shifting/asymmetric?) at any scale.
+    */
+  def groupMoments(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum((x * x) * x).as("s3"))
+    val nD = col("n").cast("double")
+    agg
+      .withColumn("mean", col("s1").cast("double") / nD)
+      .withColumn("variance",
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (nD * nD))
+      .withColumn("std", sqrt(col("variance")))
+      .select(col(keyCol), col("n"), col("mean"), col("variance"), col("std"),
+        // zero variance -> no shape: explicit NaN (ANSI Spark raises on
+        // the 0/0 double division DuckDB would fold to NaN)
+        when(col("std") === 0.0, lit(Double.NaN)).otherwise(
+          (col("n") * col("n") * col("s3")
+            - lit(3L) * col("n") * col("s1") * col("s2")
+            + lit(2L) * col("s1") * col("s1") * col("s1")).cast("double")
+            / (nD * nD * nD * col("std") * col("std") * col("std")))
+          .as("skew"))
+  }
 }

@@ -100,6 +100,27 @@ class AsOfSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("k", "ts", "v"))
   }
 
+  test("asofJoinTolerance drops or nulls too-stale matches") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 50L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 8L, 7.0), (2L, 1L, 9.0)).toDF("k", "ts", "v")
+    // tolerance 10: (1,10) matches ts=8 age 2; (1,50)'s only match is 42
+    // stale; (2,5) matches ts=1 age 4
+    val inner = AsOf.asofJoinTolerance(l, r, "k", "ts", tolerance = 10L)
+      .orderBy("k", "ts")
+      .collect().map(x => (x.getAs[Long]("k"), x.getAs[Long]("ts"),
+        x.getAs[Double]("v"), x.getAs[Long]("match_ts"))).toSeq
+    assert(inner == Seq((1L, 10L, 7.0, 8L), (2L, 5L, 9.0, 1L)))
+    val outer = AsOf.asofJoinTolerance(l, r, "k", "ts", tolerance = 10L,
+        inner = false)
+      .orderBy("k", "ts").collect()
+    assert(outer.length == 3)
+    val staleRow = outer.find(_.getAs[Long]("ts") == 50L).get
+    assert(staleRow.isNullAt(staleRow.fieldIndex("v")) &&
+      staleRow.isNullAt(staleRow.fieldIndex("match_ts")))
+  }
+
   test("gridResample matches a brute-force LOCF oracle on random streams") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -110,6 +110,24 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("groupMoments reproduces closed-form moments") {
+    // key 1: {1, 2, 3, 6}: mean 3, var (n*s2-s1^2)/n^2 = (4*50-144)/16 = 3.5
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 6L),
+      (2L, 5L), (2L, 5L)) // zero variance -> NaN skew
+      .toDF("k", "x")
+    val out = Stats.groupMoments(df, "k", "x")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L && r1.getDouble(2) == 3.0 &&
+      r1.getDouble(3) == 3.5 && r1.getDouble(4) == math.sqrt(3.5))
+    // s3 = 1+8+27+216 = 252; num = 16*252 - 3*4*12*50 + 2*1728 = 288
+    val skewNum = (4L*4*252 - 3L*4*12*50 + 2L*12*12*12).toDouble
+    assert(r1.getDouble(5) ==
+      skewNum / (4.0*4*4*r1.getDouble(4)*r1.getDouble(4)*r1.getDouble(4)))
+    val r2 = out(2L)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(5).isNaN)
+  }
+
   test("timeWeightedAvg weights each value by how long it held") {
     // key 1: 10 cents for 3 ticks, then 40 for 1 tick -> (30+40)/4 = 17.5
     val df = Seq((1L, 0L, 1L, 10L), (1L, 3L, 2L, 40L), (1L, 4L, 3L, 7L),
