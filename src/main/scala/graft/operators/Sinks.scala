@@ -150,5 +150,24 @@ object Sinks {
     df.repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Persist a table BUCKETED + sorted by a join key (Hive-style layout
+    * via `bucketBy`/`sortBy` + `saveAsTable` — bucket metadata only
+    * exists through the catalog). Two tables bucketed the same way
+    * equi-join WITHOUT ANY EXCHANGE: each task merge-joins bucket i of
+    * both sides directly off disk — at 100 TB this converts the
+    * fact⋈fact join from the cluster-wide shuffle that dominates the
+    * job into pure co-located reads, the single biggest plan lever for
+    * repeated joins on a stable key (ScaleSpec proves the exchange-free
+    * plan). Spark buckets rows by `hash(key) % nBuckets`, so both
+    * sides MUST use the same nBuckets (or a multiple, with
+    * `spark.sql.bucketing.coalesceBucketsInJoin.enabled`). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int = 16): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
 

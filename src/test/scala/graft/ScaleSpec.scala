@@ -777,4 +777,45 @@ class ScaleSpec extends SparkTestBase {
     assert(rows(TextAnalysis.searchTopK(idx, Seq("the", "data"), k = 7))
       == rows(TextAnalysis.searchTopK(one, Seq("the", "data"), k = 7)))
   }
+  test("bucketed tables equi-join with zero exchanges") {
+    import graft.operators.Sinks
+    import org.apache.spark.sql.functions._
+    // two fact tables persisted bucketed+sorted on the join key: the
+    // join must read co-located buckets directly — no Exchange on
+    // either side (at 100 TB this is the difference between a
+    // cluster-wide shuffle and pure local reads)
+    val a = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 97).as("va"))
+    val b = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 89).as("vb"))
+    Sinks.writeBucketed(a, "graft_bucket_a", "k", nBuckets = 4)
+    Sinks.writeBucketed(b, "graft_bucket_b", "k", nBuckets = 4)
+    // force the shuffle-join path: with broadcast allowed the planner
+    // would BHJ the small fixture and skip bucketed reads entirely (at
+    // fact-scale neither side broadcasts, which is the case bucketing
+    // exists for)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() == 10000L)
+      // control: the same data as plain (unbucketed) frames DOES shuffle
+      val pa = spark.range(10000).select(col("id").as("k"),
+        (col("id") % 97).as("va"))
+      val pb = spark.range(10000).select(col("id").as("k"),
+        (col("id") % 89).as("vb"))
+      val control = pa.join(pb, "k").queryExecution.executedPlan.toString
+      assert(control.contains("Exchange"),
+        s"control join unexpectedly exchange-free:\n$control")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
 }
