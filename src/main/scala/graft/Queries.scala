@@ -894,7 +894,7 @@ object Queries {
 
   private val q30Sql =
     """WITH flagged AS (
-      |  SELECT user_id, epoch_us(ts) AS us,
+      |  SELECT user_id, epoch_ns(ts) AS us,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
       |         THEN 1 ELSE 0 END AS new_sess
@@ -5687,6 +5687,80 @@ object Queries {
       |            * std * std * std) END AS skew
       |FROM c""".stripMargin
 
+  /** Token-bucket rate-limit replay (functions.token_bucket): per user,
+    * the deterministic integer simulation of "capacity 3 tokens, refill
+    * 1 token / 10 min, cost 1/request" over the sorted event times —
+    * which requests would policy X have granted? All milli-token long
+    * arithmetic in one O(n) kernel pass per user; the oracle replays
+    * the identical fold with list_reduce over a 3-long state list. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"))))
+        .as("srt"))
+      .select(col("user_id"),
+        transform(col("srt"), x => x("ts")).as("ns"))
+    series.select(col("user_id"),
+        explode(array(token_bucket(col("ns"), capacityMilli = 3000L,
+          refillMilliPerSec = 5L, costMilli = 1000L,
+          ticksPerSecond = 1000000000L))).as("r"))
+      .select(col("user_id"), col("r.granted").as("granted"),
+        col("r.denied").as("denied"),
+        col("r.tokens_milli").as("tokens_milli"))
+  }
+
+  private val q144Sql =
+    """WITH s AS (
+      |  SELECT user_id, epoch_ns(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |arr AS (SELECT user_id, list(us ORDER BY rn) AS us FROM s GROUP BY 1),
+      |f AS (
+      |  SELECT user_id,
+      |    list_reduce(
+      |      list_prepend([CAST(-1 AS BIGINT), 3000, 0, 0],
+      |        list_transform(us, u -> [u, 0, 0, 0])),
+      |      (acc, x) -> CASE
+      |        WHEN least(CAST(3000 AS BIGINT), CASE WHEN acc[1] >= 0
+      |               THEN acc[2] + (x[1] - acc[1]) * 5 // 1000000000
+      |               ELSE acc[2] END) >= 1000
+      |        THEN [x[1],
+      |              least(CAST(3000 AS BIGINT), CASE WHEN acc[1] >= 0
+      |                THEN acc[2] + (x[1] - acc[1]) * 5 // 1000000000
+      |                ELSE acc[2] END) - 1000,
+      |              acc[3] + 1, acc[4]]
+      |        ELSE [x[1],
+      |              least(CAST(3000 AS BIGINT), CASE WHEN acc[1] >= 0
+      |                THEN acc[2] + (x[1] - acc[1]) * 5 // 1000000000
+      |                ELSE acc[2] END),
+      |              acc[3], acc[4] + 1] END) AS st
+      |  FROM arr)
+      |SELECT user_id, st[3] AS granted, st[4] AS denied,
+      |  st[2] AS tokens_milli
+      |FROM f""".stripMargin
+
+  /** Trailing-7-day active users (Stats.trailingActives): exact DAU/WAU
+    * per day via the bounded ×7 replication of the DISTINCT (user, day)
+    * activity table — never a sliding set-state pass over raw events.
+    * The oracle replays the same replication with generate_series. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.trailingActives(ev, "user_id", "day", windowDays = 7)
+  }
+
+  private val q145Sql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |b AS (SELECT max(day) AS maxd FROM d),
+      |e AS (SELECT DISTINCT user_id,
+      |        unnest(generate_series(day,
+      |          least(day + 6, (SELECT maxd FROM b)))) AS day
+      |      FROM d)
+      |SELECT day, count(*) AS n_active
+      |FROM e GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5835,5 +5909,7 @@ object Queries {
     "q140_pivot_counts" -> Q(q140, Some(q140Sql)),
     "q141_loudness_stats" -> Q(q141, Some(q141Sql)),
     "q142_asof_tolerance" -> Q(q142, Some(q142Sql)),
-    "q143_group_moments" -> Q(q143, Some(q143Sql)))
+    "q143_group_moments" -> Q(q143, Some(q143Sql)),
+    "q144_token_bucket" -> Q(q144, Some(q144Sql)),
+    "q145_trailing_actives" -> Q(q145, Some(q145Sql)))
 }

@@ -422,4 +422,11 @@ package object functions {
     * stronger-locality layout key (see [[HilbertKey]]). */
   def hilbert_key(bits: Int, x: Column, y: Column): Column =
     ExprBridge.column(HilbertKey(col2expr(x), col2expr(y), bits))
+
+  /** Token-bucket rate-limit replay over a sorted epoch-micros array
+    * (see [[TokenBucket]]). */
+  def token_bucket(ts: Column, capacityMilli: Long, refillMilliPerSec: Long,
+                   costMilli: Long, ticksPerSecond: Long = 1000000L): Column =
+    ExprBridge.column(TokenBucket(col2expr(ts), capacityMilli,
+      refillMilliPerSec, costMilli, ticksPerSecond))
 }

@@ -227,4 +227,29 @@ object Stats {
             / (nD * nD * nD * col("std") * col("std") * col("std")))
           .as("skew"))
   }
+
+  /** Trailing-window active entities (the DAU/WAU/MAU family): for each
+    * day, the count of distinct keys seen in the trailing `windowDays`
+    * days (inclusive). Exact — no sketch — via the replication trick:
+    * each distinct (key, day) contributes itself to days
+    * d..d+windowDays−1, so the count is a plain groupBy after a BOUNDED
+    * ×windowDays explode of the distinct-activity table (already
+    * collapsed to one row per key-day, NOT per event). Never a sliding
+    * window over raw events, never per-day set state. Days beyond the
+    * stream's last day are clipped; days with no active key in the
+    * window don't appear (inner semantics). */
+  def trailingActives(df: DataFrame, keyCol: String, dayCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val activity = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
+      .distinct()
+    val maxDay = activity.agg(max(col("__d"))).head().getLong(0)
+    activity
+      .select(col(keyCol),
+        explode(sequence(col("__d"),
+          least(col("__d") + lit(windowDays - 1L), lit(maxDay)))).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

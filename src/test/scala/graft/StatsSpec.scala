@@ -169,4 +169,38 @@ class StatsSpec extends SparkTestBase {
     assert(out == Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L),
       (11L, 0L, 1L)))
   }
+
+  test("trailingActives equals a brute-force window count") {
+    val rnd = new scala.util.Random(37)
+    val rows = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+    val got = Stats.trailingActives(rows.toDF("u", "day"), "u", "day", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxDay = rows.map(_._2).max
+    val want = (0L to maxDay).flatMap { d =>
+      val active = rows.filter(r => r._2 <= d && r._2 >= d - 6)
+        .map(_._1).distinct.size
+      if (active > 0) Some(d -> active.toLong) else None
+    }.toMap
+    // operator emits only days at/after some activity start; brute force
+    // over [0, maxDay] matches exactly on the emitted keys
+    assert(got == want.filter(_._2 > 0))
+  }
+
+  test("token_bucket replays the integer rate-limit policy") {
+    import graft.functions.token_bucket
+    import org.apache.spark.sql.functions.{col, explode, array}
+    // cap 2 tokens (2000 milli), refill 1 token/sec, cost 1 token
+    // events at t=0, 0.1s, 0.2s, 1.3s, 1.35s (micros)
+    val df = Seq((1L, Seq(0L, 100000L, 200000L, 1300000L, 1350000L)))
+      .toDF("id", "us")
+    val out = df.select(col("id"),
+        explode(array(token_bucket(col("us"), 2000L, 1000L, 1000L))).as("r"))
+      .select(col("r.granted"), col("r.denied"), col("r.tokens_milli"))
+      .collect().head
+    // t0: full 2000 -> grant (1000); t1: +100 -> 1100 grant (100);
+    // t2: +100 -> 200 deny; t3: +1100 -> 1300 grant (300); t4: +50 ->
+    // 350 deny
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L &&
+      out.getLong(2) == 350L)
+  }
 }
