@@ -5761,6 +5761,55 @@ object Queries {
       |SELECT day, count(*) AS n_active
       |FROM e GROUP BY 1""".stripMargin
 
+  /** SCD Type-2 dimension history (Snapshot.scdInit/scdApply): the
+    * re-crawl fixture's three corpus versions folded into a validity
+    * timeline — unchanged rows pass through, removals/edits close at
+    * the observing version, adds/edits open new rows; only OPEN rows
+    * and (id, fingerprint) pairs ever join. The oracle reconstructs
+    * the same timeline declaratively: runs of identical content over
+    * consecutive PRESENT versions, closed at last-run-version + 1. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val (v0, v1, v2) = recrawlFixture(t(s, dir, "documents"))
+    val h0 = Snapshot.scdInit(v0, "doc_id", "text", version = 0L)
+    val h1 = Snapshot.scdApply(h0, v1, "doc_id", "text", version = 1L)
+    Snapshot.scdApply(h1, v2, "doc_id", "text", version = 2L)
+  }
+
+  private val q146Sql =
+    s"""WITH v0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+       |v1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                           ELSE text END AS text
+       |       FROM documents WHERE doc_id % 5 != 0),
+       |v2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v3'
+       |                           WHEN doc_id % 11 = 0 THEN text || ' v2'
+       |                           ELSE text END AS text
+       |       FROM documents WHERE doc_id % 3 != 0),
+       |snaps AS (
+       |  SELECT CAST(0 AS BIGINT) AS ver, doc_id, ${md5LongSql("text")} AS h
+       |  FROM v0
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), doc_id, ${md5LongSql("text")} FROM v1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), doc_id, ${md5LongSql("text")} FROM v2),
+       |o AS (
+       |  SELECT ver, doc_id, h,
+       |    CASE WHEN lag(ver) OVER w IS NULL OR lag(ver) OVER w != ver - 1
+       |           OR lag(h) OVER w != h THEN 1 ELSE 0 END AS nr
+       |  FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY ver)),
+       |r AS (
+       |  SELECT doc_id, h, ver,
+       |    sum(nr) OVER (PARTITION BY doc_id ORDER BY ver
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM o),
+       |runs AS (
+       |  SELECT doc_id, min(h) AS h, min(ver) AS valid_from,
+       |         max(ver) AS mx
+       |  FROM r GROUP BY doc_id, run)
+       |SELECT doc_id, h, CAST(valid_from AS BIGINT) AS valid_from,
+       |  CASE WHEN mx = 2 THEN NULL
+       |       ELSE CAST(mx + 1 AS BIGINT) END AS valid_to
+       |FROM runs""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5911,5 +5960,6 @@ object Queries {
     "q142_asof_tolerance" -> Q(q142, Some(q142Sql)),
     "q143_group_moments" -> Q(q143, Some(q143Sql)),
     "q144_token_bucket" -> Q(q144, Some(q144Sql)),
-    "q145_trailing_actives" -> Q(q145, Some(q145Sql)))
+    "q145_trailing_actives" -> Q(q145, Some(q145Sql)),
+    "q146_scd2_history" -> Q(q146, Some(q146Sql)))
 }

@@ -96,4 +96,55 @@ object Snapshot {
       idCol, textCol, shingleN, bands, rowsPerBand)
     kept.unionByName(fresh)
   }
+  /** Start an SCD Type-2 dimension history from a first snapshot: one
+    * OPEN row per key (valid_from = version, valid_to = null), content
+    * summarized by the 60-bit md5 fingerprint. */
+  def scdInit(cur: DataFrame, idCol: String, textCol: String,
+              version: Long): DataFrame =
+    cur.select(col(idCol).as("doc_id"), md5_long(col(textCol)).as("h"),
+      lit(version).as("valid_from"), lit(null).cast("long").as("valid_to"))
+
+  /** SCD Type-2 history maintenance (the warehouse dimension-versioning
+    * standard): fold the next snapshot into the history — open rows
+    * whose key disappeared or changed CLOSE at `version`, added/changed
+    * keys OPEN a new row, unchanged rows pass through untouched. Every
+    * doc's full validity timeline is reconstructable; as-of queries
+    * (`valid_from <= v < coalesce(valid_to, inf)`) read any historical
+    * version without storing the corpus per release.
+    *
+    * Scale shape: the [[delta]] discipline — only OPEN rows join the
+    * snapshot, both sides reduced to (id, fingerprint) before the
+    * shuffle (two longs per doc regardless of document size); the
+    * CLOSED partition of the history is never read or rewritten (in a
+    * deployment it lives in partitioned storage and this function's
+    * output appends/replaces only the open partition + this version's
+    * closures). */
+  def scdApply(history: DataFrame, cur: DataFrame, idCol: String,
+               textCol: String, version: Long): DataFrame = {
+    val open = history.where(col("valid_to").isNull)
+      .select(col("doc_id"), col("h"), col("valid_from"),
+        lit(true).as("in_open"))
+    val closed = history.where(col("valid_to").isNotNull)
+    val c = cur.select(col(idCol).as("doc_id"),
+      md5_long(col(textCol)).as("h_cur"), lit(true).as("in_cur"))
+    val j = open.join(c, Seq("doc_id"), "full_outer")
+    val kept = j
+      .where(col("in_open").isNotNull && col("in_cur").isNotNull &&
+        col("h") === col("h_cur"))
+      .select(col("doc_id"), col("h"), col("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    val closedNow = j
+      .where(col("in_open").isNotNull &&
+        (col("in_cur").isNull || col("h") =!= col("h_cur")))
+      .select(col("doc_id"), col("h"), col("valid_from"),
+        lit(version).as("valid_to"))
+    val opened = j
+      .where(col("in_cur").isNotNull &&
+        (col("in_open").isNull || col("h") =!= col("h_cur")))
+      .select(col("doc_id"), col("h_cur").as("h"),
+        lit(version).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    closed.select(col("doc_id"), col("h"), col("valid_from"), col("valid_to"))
+      .unionByName(kept).unionByName(closedNow).unionByName(opened)
+  }
 }

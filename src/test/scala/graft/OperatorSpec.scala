@@ -709,6 +709,32 @@ class OperatorSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 1L), (2L, 1L, 2L)))
   }
 
+  test("scd2 history reconstructs a full validity timeline") {
+    import graft.operators.Snapshot
+    // doc 1: unchanged across all 3; doc 2: edited at v1; doc 3:
+    // removed at v1, re-added at v2 with old content; doc 4: added v1
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v1 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val h = Snapshot.scdApply(
+      Snapshot.scdApply(Snapshot.scdInit(v0, "doc_id", "text", 0L),
+        v1, "doc_id", "text", 1L),
+      v2, "doc_id", "text", 2L)
+    val rows = h.collect().map(r => (r.getLong(0),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 0L, -1L),          // open since v0
+      (2L, 0L, 1L), (2L, 1L, -1L), // closed at edit, reopened
+      (3L, 0L, 1L), (3L, 2L, -1L), // closed at removal, re-added at v2
+      (4L, 1L, -1L)))         // added at v1, still open
+    // as-of v0 returns exactly v0's keys
+    val asOf0 = h.where(col("valid_from") <= 0 &&
+      (col("valid_to").isNull || col("valid_to") > 0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(asOf0 == Set(1L, 2L, 3L))
+  }
+
   test("loudnessStats computes exact peak and RMS over cents series") {
     import graft.operators.Multimodal
     val df = Seq(
