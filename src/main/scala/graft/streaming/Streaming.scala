@@ -118,6 +118,53 @@ object Streaming {
       .toDF("content_hash", "doc_id")
   }
 
+  /** Streaming LOCF grid fill — the streaming twin of
+    * [[graft.operators.AsOf.gridResample]]: per key, every step-multiple
+    * grid point g with last_obs_ts <= g < next_obs_ts emits carrying the
+    * last observation's value, as soon as the next observation proves no
+    * later observation can claim g (an observation exactly AT a grid
+    * point wins it, matching the batch at-or-before rule). Points at or
+    * after a key's latest observation stay unemitted until a newer
+    * observation closes them — the streaming-honest prefix of the batch
+    * result (StreamingSpec proves the emitted prefix equals the batch
+    * per-key fill below each key's last observation).
+    *
+    * State is TWO LONGS per key (last ts + value) — keys are
+    * entity-bounded (users/sensors), unlike the content-hash space of
+    * streamingDedup, so no TTL is armed; rows within a batch sort by
+    * (ts, v) and batches are assumed per-key in order (late data past an
+    * already-consumed timestamp would need watermarked reprocessing
+    * upstream). Input columns: (k, ts, v) as longs. */
+  def streamingLocf(obs: DataFrame, stepNs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stepNs > 0, s"stepNs must be positive, got $stepNs")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("ts").cast("long"),
+        col("v").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long)]
+          var st = state.getOption.orNull
+          sorted.foreach { case (_, t, v) =>
+            if (st != null && t > st._1) {
+              val (t0, v0) = st
+              var g = Math.floorDiv(t0 + stepNs - 1, stepNs) * stepNs
+              while (g < t) { out += ((k, g, v0)); g += stepNs }
+            }
+            if (st == null || t >= st._1) st = (t, v)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF("k", "ts", "v")
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

@@ -746,4 +746,38 @@ class StreamingSpec extends SparkTestBase {
     assert(tbl(restored.index.postings) == tbl(rebuilt.postings))
     assert(tbl(restored.index.docmeta) == tbl(rebuilt.docmeta))
   }
+  test("streaming LOCF emits the batch grid prefix below each key's last obs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.streamingLocf(mem.toDF().toDF("k", "ts", "v"),
+        stepNs = 10L)
+      .writeStream.format("memory").queryName("locf").outputMode("append")
+      .start()
+    try {
+      // key 1: obs at 3 (v=5), 27 (v=8) -> grids 10, 20 carry 5
+      // key 2: obs at 12 (v=1) -> nothing emitted yet
+      mem.addData((1L, 3L, 5L), (1L, 27L, 8L), (2L, 12L, 1L))
+      q.processAllAvailable()
+      // next batch: key 1 obs at 41 -> grids 30, 40 carry 8;
+      // key 2 obs at 40 -> grids 20, 30 carry 1 (obs AT 40 claims 40
+      // itself only once a later obs arrives)
+      mem.addData((1L, 41L, 9L), (2L, 40L, 2L))
+      q.processAllAvailable()
+      val out = spark.table("locf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 10L, 5L), (1L, 20L, 5L), (1L, 30L, 8L), (1L, 40L, 8L),
+        (2L, 20L, 1L), (2L, 30L, 1L)))
+      // parity: the emitted set equals the batch per-key LOCF fill
+      // restricted to grid points strictly below each key's last obs
+      val all = Seq((1L, 3L, 5L), (1L, 27L, 8L), (1L, 41L, 9L),
+        (2L, 12L, 1L), (2L, 40L, 2L))
+      val lastTs = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = graft.operators.AsOf.gridResample(
+          all.toDF("k", "ts", "v"), "k", "ts", stepNs = 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(r => r._2 < lastTs(r._1)).toSet
+      assert(out == batch)
+    } finally q.stop()
+  }
 }
