@@ -5810,6 +5810,119 @@ object Queries {
        |       ELSE CAST(mx + 1 AS BIGINT) END AS valid_to
        |FROM runs""".stripMargin
 
+  /** Weighted integer PageRank (Graph.pageRankIntWeighted) over the
+    * collocation graph with co-occurrence counts as edge weights:
+    * contributions split proportionally (rank·w div Σw), so strong
+    * collocations pull more rank than incidental ones; same
+    * integer-exact adaptive machinery as q134. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a"), col("term_b"), col("n_ab"))
+    val edges = pairs
+      .select(col("term_a").as("src"), col("term_b").as("dst"),
+        col("n_ab").as("w"))
+      .unionByName(pairs.select(col("term_b").as("src"),
+        col("term_a").as("dst"), col("n_ab").as("w")))
+    Graph.pageRankIntWeighted(edges, iterations = 5)
+  }
+
+  private val q147Sql = collocCtes +
+    s""",
+      |e AS (SELECT term_a AS src, term_b AS dst, n_ab AS w
+      |      FROM pairs WHERE n_ab >= 5
+      |      UNION ALL
+      |      SELECT term_b, term_a, n_ab FROM pairs WHERE n_ab >= 5),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node,
+      |         1000000000000 // (SELECT count(*) FROM nodes) AS rank
+      |       FROM nodes),
+      |r1 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      CAST(sum(r0.rank * e.w // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r2 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      CAST(sum(r1.rank * e.w // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r3 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      CAST(sum(r2.rank * e.w // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r4 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      CAST(sum(r3.rank * e.w // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r3 ON e.src = r3.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node),
+      |r5 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+      |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |      CAST(sum(r4.rank * e.w // deg.deg) AS BIGINT) AS s
+      |    FROM e JOIN r4 ON e.src = r4.node JOIN deg ON e.src = deg.src
+      |    GROUP BY 1) s ON nodes.node = s.node)
+      |SELECT node, rank FROM r5""".stripMargin
+
+  /** Local clustering coefficients (Graph.clusteringCoefficients):
+    * 2·triangles/(deg·(deg−1)) per node over the collocation graph —
+    * integer numerator/denominator, one double division, degree-<2
+    * nodes report 0.0. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+    Graph.clusteringCoefficients(pairs)
+  }
+
+  private val q148Sql = collocCtes +
+    """,
+      |ce AS (SELECT term_a AS u, term_b AS v FROM pairs WHERE n_ab >= 5),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM ce e1 JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT u AS node FROM ce UNION SELECT v FROM ce),
+      |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM ce UNION ALL SELECT v FROM ce)
+      |  GROUP BY 1),
+      |tcnt AS (SELECT node, count(*) AS c FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+      |SELECT nodes.node, dg.deg,
+      |  CAST(coalesce(tcnt.c, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN dg.deg < 2 THEN 0.0
+      |       ELSE CAST(2 * coalesce(tcnt.c, 0) AS DOUBLE)
+      |         / CAST(dg.deg * (dg.deg - 1) AS BIGINT) END AS coeff
+      |FROM nodes JOIN dg ON nodes.node = dg.node
+      |LEFT JOIN tcnt ON nodes.node = tcnt.node""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5961,5 +6074,7 @@ object Queries {
     "q143_group_moments" -> Q(q143, Some(q143Sql)),
     "q144_token_bucket" -> Q(q144, Some(q144Sql)),
     "q145_trailing_actives" -> Q(q145, Some(q145Sql)),
-    "q146_scd2_history" -> Q(q146, Some(q146Sql)))
+    "q146_scd2_history" -> Q(q146, Some(q146Sql)),
+    "q147_weighted_pagerank" -> Q(q147, Some(q147Sql)),
+    "q148_clustering_coeff" -> Q(q148, Some(q148Sql)))
 }

@@ -34,9 +34,22 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, iterations: Int,
                   scale: Long = 1000000000000L,
-                  driverEdgeLimit: Long = 1L << 20): DataFrame = {
+                  driverEdgeLimit: Long = 1L << 20): DataFrame =
+    pageRankIntWeighted(edges.toDF("src", "dst").withColumn("w", lit(1L)),
+      iterations, scale, driverEdgeLimit)
+
+  /** [[pageRankInt]] with per-edge long weights (column `w` > 0):
+    * contributions split proportionally — contrib(u→v) = rank(u)·w_uv
+    * div Σ_x w_ux — so a collocation/citation graph's strong ties pull
+    * more rank than incidental ones. Same integer-exact/adaptive
+    * machinery; rank·w must fit int64 (w up to ~9e6 at the default
+    * scale). */
+  def pageRankIntWeighted(edges: DataFrame, iterations: Int,
+                          scale: Long = 1000000000000L,
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, "pageRankInt needs at least one iteration")
-    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    val e0 = edges.toDF("src", "dst", "w")
+      .withColumn("w", col("w").cast("long")).localCheckpoint()
     val nEdges = e0.count()
     require(nEdges > 0, "pageRankInt needs a non-empty graph")
     if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)
@@ -60,7 +73,7 @@ object Graph {
       .flatMap(r => Iterator(r.get(0), r.get(1))).toArray.distinct
     val n = nodes.length.toLong
     val deg = new java.util.HashMap[Any, Long]()
-    pairs.foreach(r => deg.merge(r.get(0), 1L, _ + _))
+    pairs.foreach(r => deg.merge(r.get(0), r.getLong(2), _ + _))
     val base = (15L * scale) / (100L * n)
     var rank = new java.util.HashMap[Any, Long]()
     nodes.foreach(v => rank.put(v, scale / n))
@@ -69,7 +82,7 @@ object Graph {
       val r = rank
       pairs.foreach { p =>
         val u = p.get(0)
-        sums.merge(p.get(1), r.get(u) / deg.get(u), _ + _)
+        sums.merge(p.get(1), r.get(u) * p.getLong(2) / deg.get(u), _ + _)
       }
       val next = new java.util.HashMap[Any, Long]()
       nodes.foreach(v =>
@@ -95,7 +108,7 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = e0.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val e = e0.join(deg, "src").localCheckpoint()
     val base = (15L * scale) / (100L * n)
     var rank = nodes.select(col("node"), lit(scale / n).as("rank"))
@@ -103,7 +116,7 @@ object Graph {
     (1 to iterations).foreach { _ =>
       val sums = e
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .select(col("dst").as("node"), expr("(rank * w) div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       rank = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
@@ -162,5 +175,29 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
     nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node: 2·triangles(v) /
+    * (deg(v)·(deg(v)−1)) — how close each node's neighborhood is to a
+    * clique (the community-density / spam-ring signal on top of
+    * [[triangleCounts]]). Integer numerator and denominator, ONE double
+    * division (engine-exact); degree-<2 nodes have no possible wedge
+    * and report 0.0. One extra degree aggregation + broadcast-sized
+    * join over the triangle table. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val ce = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ce.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    triangleCounts(ce.select(col("u").as("src"), col("v").as("dst")))
+      .join(deg, "node")
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") < 2L, lit(0.0)).otherwise(
+          (lit(2L) * col("n_triangles")).cast("double")
+            / (col("deg") * (col("deg") - lit(1L))).cast("double"))
+          .as("coeff"))
   }
 }

@@ -213,6 +213,57 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("weighted pagerank: driver, distributed and reference agree") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(50)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong,
+        1L + rnd.nextInt(9)))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // unique (src,dst)
+    val df = edges.toDF("src", "dst", "w")
+    val scale = 1000000000000L
+    val got = Graph.pageRankIntWeighted(df, 4, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.pageRankIntWeighted(df, 4, scale, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val base = (15L * scale) / (100L * n)
+    var rank = nodes.map(_ -> scale / n).toMap
+    (1 to 4).foreach { _ =>
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map(e => rank(e._1) * e._3 / wdeg(e._1)).sum).toMap
+      rank = nodes.map(v =>
+        v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got == rank && dist == rank)
+  }
+
+  test("clustering coefficient matches brute force on random graphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(70)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val got = Graph.clusteringCoefficients(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ce = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (ce ++ ce.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    adj.foreach { case (v, nb) =>
+      val ns = nb.toSeq
+      val tri = (for {
+        i <- ns.indices; j <- (i + 1) until ns.length
+        if adj(ns(i)).contains(ns(j))
+      } yield 1).size.toLong
+      val deg = nb.size.toLong
+      val coeff = if (deg < 2) 0.0
+        else (2L * tri).toDouble / (deg * (deg - 1)).toDouble
+      assert(got(v) == ((deg, tri, coeff)), s"node $v")
+    }
+  }
+
   test("triangle counts match brute force on random graphs") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(29)
