@@ -5923,6 +5923,64 @@ object Queries {
       |FROM nodes JOIN dg ON nodes.node = dg.node
       |LEFT JOIN tcnt ON nodes.node = tcnt.node""".stripMargin
 
+  /** Declarative data-quality validation (Validate.validate): an
+    * expectations suite over lineitem — five row-predicate checks fold
+    * into ONE aggregation pass (conditional sums), uniqueness adds one
+    * groupBy, referential integrity one anti-join against orders — and
+    * the report is a uniform (check, violations, passed) table a
+    * pipeline gate alerts on. The contract-enforcement front door of an
+    * ingest; the oracle replays each check as its own aggregate. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import Validate._
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    Validate.validate(li, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1, 50),
+      InRange("l_discount", 0, 0.1),
+      Accepted("l_returnflag", Seq("A", "N", "R")),
+      Predicate("tax_bounded", col("l_tax") >= 0 && col("l_tax") <= 0.08),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("l_orderkey", orders, "o_orderkey")))
+  }
+
+  private val q149Sql =
+    """WITH p AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1
+      |                   AND l_quantity <= 50 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0
+      |                   AND l_discount <= 0.1 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1
+      |             END) AS BIGINT) AS c3,
+      |    CAST(sum(CASE WHEN coalesce(l_tax >= 0 AND l_tax <= 0.08, false)
+      |                  THEN 0 ELSE 1 END) AS BIGINT) AS c4
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v FROM (
+      |    SELECT count(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber)),
+      |r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v
+      |  FROM lineitem l
+      |  WHERE l.l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_orderkey = l.l_orderkey)),
+      |rep AS (
+      |  SELECT 'not_null:l_orderkey' AS check, c0 AS violations FROM p
+      |  UNION ALL SELECT 'in_range:l_quantity', c1 FROM p
+      |  UNION ALL SELECT 'in_range:l_discount', c2 FROM p
+      |  UNION ALL SELECT 'accepted:l_returnflag', c3 FROM p
+      |  UNION ALL SELECT 'predicate:tax_bounded', c4 FROM p
+      |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v FROM u
+      |  UNION ALL SELECT 'ref:l_orderkey', v FROM r)
+      |SELECT "check", violations, violations = 0 AS passed FROM rep"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6076,5 +6134,6 @@ object Queries {
     "q145_trailing_actives" -> Q(q145, Some(q145Sql)),
     "q146_scd2_history" -> Q(q146, Some(q146Sql)),
     "q147_weighted_pagerank" -> Q(q147, Some(q147Sql)),
-    "q148_clustering_coeff" -> Q(q148, Some(q148Sql)))
+    "q148_clustering_coeff" -> Q(q148, Some(q148Sql)),
+    "q149_validation_report" -> Q(q149, Some(q149Sql)))
 }

@@ -709,6 +709,43 @@ class OperatorSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 1L), (2L, 1L, 2L)))
   }
 
+  test("validate reports exact violation counts per check") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val dirty = Seq(
+      (Some(1L), 5.0, "A"), (Some(1L), 200.0, "X"), // dup key, range, accept
+      (None, 3.0, "N")) // null key
+      .toDF("k", "q", "flag")
+    val dim = Seq(1L).toDF("pk")
+    val out = Validate.validate(dirty, Seq(
+        NotNull("k"), InRange("q", 0, 100), Accepted("flag", Seq("A", "N")),
+        Predicate("q_pos", col("q") > 0), Unique(Seq("k")),
+        RefIntegrity("k", dim, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("not_null:k") == ((1L, false)))
+    assert(out("in_range:q") == ((1L, false)))
+    assert(out("accepted:flag") == ((1L, false)))
+    assert(out("predicate:q_pos") == ((0L, true)))
+    // keys: 1 appears twice (1 extra row), null key groups on its own
+    assert(out("unique:k") == ((1L, false)))
+    assert(out("ref:k") == ((0L, true)))
+  }
+
+  test("validate folds all row-predicate checks into one aggregation") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    val df = spark.range(1000).select(col("id").as("a"),
+      (col("id") % 7).as("b"))
+    val plan = Validate.validate(df, Seq(
+        NotNull("a"), InRange("b", 0, 6), Predicate("p", col("a") >= 0)))
+      .queryExecution.executedPlan.toString
+    // one scan, one partial/final aggregate pair, no join, no extra scan
+    assert("Range \\(0, 1000".r.findAllIn(plan).length == 1,
+      s"predicate checks must share one scan:\n$plan")
+    assert(!plan.contains("Join"), s"no join for predicate checks:\n$plan")
+  }
+
   test("scd2 history reconstructs a full validity timeline") {
     import graft.operators.Snapshot
     // doc 1: unchanged across all 3; doc 2: edited at v1; doc 3:
