@@ -5981,6 +5981,33 @@ object Queries {
       |SELECT "check", violations, violations = 0 AS passed FROM rep"""
       .stripMargin
 
+  /** Conversion-lag histogram: per user, time from FIRST view to FIRST
+    * purchase (converters only, purchase at-or-after view), bucketed to
+    * hours — the activation-funnel timing report. Two conditional mins
+    * in one map-side-combining aggregation, integer bucket division,
+    * exact counts. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+    firsts
+      .where(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+      .select(expr("(p - v) div 3600000000000").as("lag_hours"))
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q150Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p
+      |  FROM events GROUP BY 1)
+      |SELECT (p - v) // 3600000000000 AS lag_hours,
+      |  count(*) AS n_users
+      |FROM f
+      |WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+      |GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6135,5 +6162,6 @@ object Queries {
     "q146_scd2_history" -> Q(q146, Some(q146Sql)),
     "q147_weighted_pagerank" -> Q(q147, Some(q147Sql)),
     "q148_clustering_coeff" -> Q(q148, Some(q148Sql)),
-    "q149_validation_report" -> Q(q149, Some(q149Sql)))
+    "q149_validation_report" -> Q(q149, Some(q149Sql)),
+    "q150_conversion_lag" -> Q(q150, Some(q150Sql)))
 }
