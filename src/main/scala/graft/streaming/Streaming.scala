@@ -165,6 +165,46 @@ object Streaming {
       .toDF("k", "ts", "v")
   }
 
+  /** Streaming token-bucket admission audit — the live twin of the
+    * batch [[graft.functions.TokenBucket]] replay kernel: per key, each
+    * arriving event is granted or denied by the SAME milli-token
+    * integer recurrence, with (last ts, tokens) as the only state (two
+    * longs per key, entity-bounded like [[streamingLocf]] — no TTL).
+    * Emits (k, ts, granted) per event; StreamingSpec proves the
+    * streamed decisions and final counts equal the batch kernel over
+    * the full history. Batch rows sort by ts; per-key order across
+    * batches is assumed monotone (the kernel's own discipline). */
+  def streamingTokenBucket(obs: DataFrame, capacityMilli: Long,
+                           refillMilliPerSec: Long, costMilli: Long,
+                           ticksPerSecond: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(capacityMilli > 0 && costMilli > 0 && ticksPerSecond > 0 &&
+      refillMilliPerSec >= 0, "bad token bucket parameters")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("ts").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var (prev, tokens) = state.getOption.getOrElse((-1L, capacityMilli))
+          val out = sorted.map { case (_, t) =>
+            if (prev >= 0L)
+              tokens = math.min(capacityMilli,
+                tokens + (t - prev) * refillMilliPerSec / ticksPerSecond)
+            val granted = tokens >= costMilli
+            if (granted) tokens -= costMilli
+            prev = t
+            (k, t, granted)
+          }
+          state.update((prev, tokens))
+          out.iterator
+      }
+      .toDF("k", "ts", "granted")
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

@@ -780,4 +780,37 @@ class StreamingSpec extends SparkTestBase {
       assert(out == batch)
     } finally q.stop()
   }
+  test("streaming token bucket equals the batch kernel over the history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.streamingTokenBucket(mem.toDF().toDF("k", "ts"),
+        capacityMilli = 2000L, refillMilliPerSec = 1000L, costMilli = 1000L,
+        ticksPerSecond = 1000000L)
+      .writeStream.format("memory").queryName("tb").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, 0L), (1L, 100000L), (1L, 200000L))
+      q.processAllAvailable()
+      mem.addData((1L, 1300000L), (1L, 1350000L), (2L, 0L))
+      q.processAllAvailable()
+      val out = spark.table("tb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      // key 1 replays the StatsSpec example: grant, grant, deny, grant,
+      // deny; key 2's first request drains the fresh bucket
+      assert(out == Set((1L, 0L, true), (1L, 100000L, true),
+        (1L, 200000L, false), (1L, 1300000L, true), (1L, 1350000L, false),
+        (2L, 0L, true)))
+      // aggregate parity with the batch kernel over the full history
+      val batch = Seq((1L, Seq(0L, 100000L, 200000L, 1300000L, 1350000L)),
+          (2L, Seq(0L)))
+        .toDF("k", "us")
+        .select(col("k"), graft.functions.token_bucket(col("us"),
+          2000L, 1000L, 1000L).as("r"))
+        .select(col("k"), col("r.granted"), col("r.denied")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val streamed = out.groupBy(_._1).view.mapValues(rs =>
+        (rs.count(_._3).toLong, rs.count(!_._3).toLong)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
