@@ -6008,6 +6008,46 @@ object Queries {
       |WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
       |GROUP BY 1""".stripMargin
 
+  /** EXACT per-user median spend, doubled (Stats.exactGroupMedianX2):
+    * lo+hi middle order statistics picked from the per-group value
+    * histogram with a bounded cumulative window — 2·median stays an
+    * integer so the gate needs NO floating point at all; the exact
+    * twin of the q66 sketch quantiles. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("v"))
+    Stats.exactGroupMedianX2(ev, "user_id", "v")
+  }
+
+  private val q151Sql =
+    """WITH o AS (SELECT user_id,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(2 * median(v) AS BIGINT) AS median_x2
+      |FROM o GROUP BY 1""".stripMargin
+
+  /** Per-user modal spend (Stats.groupMode): histogram + the
+    * partial-combining top_k_by argmax (ties to the smallest value) —
+    * never a per-group sort; the profiling "most typical value"
+    * column. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("v"))
+    Stats.groupMode(ev, "user_id", "v")
+  }
+
+  private val q152Sql =
+    """WITH o AS (SELECT user_id,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |h AS (SELECT user_id, v, CAST(count(*) AS BIGINT) AS c FROM o
+      |      GROUP BY 1, 2),
+      |r AS (SELECT user_id, v, c,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY c DESC, v ASC) AS rn
+      |      FROM h)
+      |SELECT user_id, v AS mode, c AS n_mode FROM r WHERE rn = 1"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6163,5 +6203,7 @@ object Queries {
     "q147_weighted_pagerank" -> Q(q147, Some(q147Sql)),
     "q148_clustering_coeff" -> Q(q148, Some(q148Sql)),
     "q149_validation_report" -> Q(q149, Some(q149Sql)),
-    "q150_conversion_lag" -> Q(q150, Some(q150Sql)))
+    "q150_conversion_lag" -> Q(q150, Some(q150Sql)),
+    "q151_exact_median" -> Q(q151, Some(q151Sql)),
+    "q152_group_mode" -> Q(q152, Some(q152Sql)))
 }

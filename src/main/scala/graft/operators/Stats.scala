@@ -252,4 +252,57 @@ object Stats {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** EXACT per-group median of an integer column, reported DOUBLED
+    * (lower middle + upper middle) so the even-count midpoint stays an
+    * integer — no floating point anywhere, engine-exact by
+    * construction (2·median is lo+hi in every engine's interpolating
+    * definition).
+    *
+    * Shape: rows collapse to a per-group VALUE HISTOGRAM (one
+    * map-side-combining groupBy — the shuffle carries (group, value,
+    * count) rows bounded by value cardinality, never row count), a
+    * cumulative window runs per group over that bounded histogram, and
+    * the two middle order statistics are picked with conditional sums.
+    * The exact-median twin of the q66 sketch quantiles: use this when
+    * values are discrete (cents, token counts) and exactness matters;
+    * the sketch when they're continuous. */
+  def exactGroupMedianX2(df: DataFrame, keyCol: String,
+                         xCol: String): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol))))
+    // 1-based middle ranks (integer division — `/` on longs is double)
+    val k1 = expr("(__n + 1) div 2")
+    val k2 = expr("(__n + 2) div 2")
+    cum
+      .groupBy(col(keyCol))
+      .agg(first(col("__n")).as("n"),
+        sum(when(col("__cum") - col("__c") < k1 && k1 <= col("__cum"),
+          col("__v")).otherwise(0L)).as("__lo"),
+        sum(when(col("__cum") - col("__c") < k2 && k2 <= col("__cum"),
+          col("__v")).otherwise(0L)).as("__hi"))
+      .select(col(keyCol), col("n"),
+        (col("__lo") + col("__hi")).as("median_x2"))
+  }
+
+  /** Per-group MODE (most frequent value; ties break to the smallest
+    * value): histogram groupBy + the partial-combining `top_k_by`
+    * argmax — never a per-group sort or window over raw rows. Exact
+    * integer counts. */
+  def groupMode(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
+    import graft.functions.top_k_by
+    df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(top_k_by(struct(col("__c"), (-col("__v")).as("__negv")), 1)
+        .as("top"))
+      .select(col(keyCol), (-col("top")(0)("__negv")).as("mode"),
+        col("top")(0)("__c").as("n_mode"))
+  }
 }

@@ -203,4 +203,27 @@ class StatsSpec extends SparkTestBase {
     assert(out.getLong(0) == 3L && out.getLong(1) == 2L &&
       out.getLong(2) == 350L)
   }
+  test("exactGroupMedianX2 matches a sort-based median on random data") {
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.fill(500)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+    val got = Stats.exactGroupMedianX2(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val s = g.map(_._2).sorted
+      val n = s.length
+      val x2 = s((n - 1) / 2) + s(n / 2) // lo middle + hi middle
+      assert(got(k) == ((n.toLong, x2)), s"k=$k")
+    }
+  }
+
+  test("groupMode picks the most frequent value, smallest on ties") {
+    val df = Seq((1L, 5L), (1L, 5L), (1L, 9L),
+      (2L, 7L), (2L, 3L)) // tie -> smallest value wins
+      .toDF("k", "v")
+    val out = Stats.groupMode(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((5L, 2L)), 2L -> ((3L, 1L))))
+  }
 }
