@@ -892,9 +892,13 @@ object Queries {
         (max(us) - min(us)).as("duration_us"))
   }
 
+  // the session cumsum tie-breaks on event_id: with same-microsecond
+  // events an us-only ORDER BY would leave the engine free to place the
+  // new_sess=1 row after its tied sibling, flipping that sibling's
+  // session assignment (the Spark side always ordered by (ts, event_id))
   private val q30Sql =
     """WITH flagged AS (
-      |  SELECT user_id, epoch_ns(ts) AS us,
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
       |         THEN 1 ELSE 0 END AS new_sess
@@ -902,7 +906,7 @@ object Queries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, us,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
