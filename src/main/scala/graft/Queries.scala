@@ -6052,6 +6052,38 @@ object Queries {
       |SELECT user_id, v AS mode, c AS n_mode FROM r WHERE rn = 1"""
       .stripMargin
 
+  /** Per-user active-time coverage (RangeJoin.intervalCoverage): each
+    * event opens a 5-minute [ts, ts+5m) activity window; the union's
+    * total length and merged-segment count per user de-overlap the
+    * naive sum — the utilization/speech-coverage denominator. Sweep as
+    * relational ops: per-key running-max window + two map-side
+    * aggregations, all integer nanos. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(col("user_id"),
+      col("ts").as("s"), (col("ts") + lit(300000000000L)).as("e"))
+    RangeJoin.intervalCoverage(iv, "user_id", "s", "e")
+  }
+
+  private val q153Sql =
+    """WITH iv AS (SELECT user_id, epoch_ns(ts) AS s,
+      |                   epoch_ns(ts) + 300000000000 AS e FROM events),
+      |m AS (SELECT user_id, s, e,
+      |        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM iv),
+      |f AS (SELECT user_id, s, e,
+      |        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+      |      FROM m),
+      |g AS (SELECT user_id, s, e,
+      |        sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      |      FROM f),
+      |h AS (SELECT user_id, seg, min(s) AS ss, max(e) AS ee
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(ee - ss) AS BIGINT) AS covered,
+      |  count(*) AS n_segments
+      |FROM h GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6209,5 +6241,6 @@ object Queries {
     "q149_validation_report" -> Q(q149, Some(q149Sql)),
     "q150_conversion_lag" -> Q(q150, Some(q150Sql)),
     "q151_exact_median" -> Q(q151, Some(q151Sql)),
-    "q152_group_mode" -> Q(q152, Some(q152Sql)))
+    "q152_group_mode" -> Q(q152, Some(q152Sql)),
+    "q153_interval_coverage" -> Q(q153, Some(q153Sql)))
 }

@@ -51,8 +51,9 @@ object Graph {
     val e0 = edges.toDF("src", "dst", "w")
       .withColumn("w", col("w").cast("long")).localCheckpoint()
     val nEdges = e0.count()
-    require(nEdges > 0, "pageRankInt needs a non-empty graph")
-    if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)
+    if (nEdges == 0) // empty graph -> empty ranking, schema preserved
+      e0.select(col("src").as("node"), col("w").as("rank"))
+    else if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)
     else pageRankDistributed(e0, iterations, scale)
   }
 

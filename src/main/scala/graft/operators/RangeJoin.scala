@@ -82,4 +82,37 @@ object RangeJoin {
           lb("__bin") === greatest(lb("__sbin_l"), rb("__sbin_r")))
       .drop("__bin", "__sbin_l", "__sbin_r")
   }
+  /** Per-key UNION-OF-INTERVALS coverage: total covered length and
+    * merged-segment count of a set of [start, end) intervals — "how much
+    * wall-clock was this user/sensor/speaker actually active", the
+    * de-overlapped denominator every utilization or speech-coverage
+    * metric needs (a plain sum(end-start) double-counts overlaps).
+    * Touching intervals (start == previous end) merge.
+    *
+    * The classic sweep as relational ops: per key, a running max of
+    * previous ends marks segment starts (`start > max(prev ends)`), a
+    * running sum numbers segments, two map-side-combining groupBys
+    * collapse to per-segment extents then per-key totals. The windows
+    * partition by key (bounded by one key's intervals — the sessionize
+    * discipline); all integer arithmetic, engine-exact. Segment
+    * structure is invariant to tie order among equal starts (a tied
+    * row's predecessor has end > start, so the later tie can never open
+    * a segment), so the per-key result is deterministic. */
+  def intervalCoverage(df: DataFrame, keyCol: String, startCol: String,
+                       endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__seg"))
+      .agg(min(col(startCol)).as("__s"), max(col(endCol)).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__e") - col("__s")).as("covered"),
+        count(lit(1)).as("n_segments"))
+  }
 }

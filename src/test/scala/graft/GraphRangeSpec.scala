@@ -310,4 +310,33 @@ class GraphRangeSpec extends SparkTestBase {
     assert((1L to 5L).forall(i => ranks(0L) > ranks(i)))
     assert((1L to 5L).map(ranks).distinct.size == 1, "spokes tie exactly")
   }
+  test("interval coverage matches a brute-force union on random intervals") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.fill(300) {
+      val s = rnd.nextInt(200).toLong
+      (rnd.nextInt(5).toLong, s, s + 1 + rnd.nextInt(30))
+    }
+    val got = RangeJoin.intervalCoverage(rows.toDF("k", "s", "e"),
+        "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      // brute force: mark covered integer points, count maximal runs
+      val pts = g.flatMap(iv => iv._2 until iv._3).toSet
+      val covered = pts.size.toLong
+      val segs = pts.toSeq.sorted.foldLeft((0L, Long.MinValue)) {
+        case ((n, prev), p) => (if (p == prev + 1) n else n + 1, p)
+      }._1
+      assert(got(k) == ((covered, segs)), s"k=$k")
+    }
+  }
+
+  test("interval coverage merges touching intervals") {
+    import graft.operators.RangeJoin
+    val df = Seq((1L, 0L, 10L), (1L, 10L, 20L), (1L, 25L, 30L))
+      .toDF("k", "s", "e")
+    val out = RangeJoin.intervalCoverage(df, "k", "s", "e").collect().head
+    assert(out.getLong(1) == 25L && out.getLong(2) == 2L)
+  }
 }
