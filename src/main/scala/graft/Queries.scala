@@ -6084,6 +6084,49 @@ object Queries {
       |  count(*) AS n_segments
       |FROM h GROUP BY 1""".stripMargin
 
+  /** Trajectory similarity search (Similarity.trajectoryTopK): top-5
+    * nearest users to each of 10 query users by exact discrete
+    * symmetric Hausdorff over their cents trajectories (L1 on
+    * (position, value), posWeight 3) — the REPOSE/trajectory-search
+    * family with an all-long kernel so ranks are engine-exact. The
+    * oracle replays both directed distances as point-level
+    * join+min+max pyramids. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        cents(col("value")).as("v")))).as("srt"))
+      .select(col("user_id"), transform(col("srt"), x => x("v")).as("series"))
+    Similarity.trajectoryTopK(series, series.where(col("user_id") < 10),
+      k = 5, posWeight = 3L)
+  }
+
+  private val q154Sql = seriesSqlCte +
+    """,
+      |p AS (SELECT user_id, rn - 1 AS i, v FROM s),
+      |d1 AS (SELECT q.user_id AS query_id, c.user_id AS cand_id, q.i,
+      |         min(3 * abs(q.i - c.i) + abs(q.v - c.v)) AS md
+      |       FROM p q JOIN p c
+      |         ON q.user_id < 10 AND c.user_id != q.user_id
+      |       GROUP BY 1, 2, 3),
+      |h1 AS (SELECT query_id, cand_id, max(md) AS h FROM d1 GROUP BY 1, 2),
+      |d2 AS (SELECT q.user_id AS query_id, c.user_id AS cand_id, c.i,
+      |         min(3 * abs(q.i - c.i) + abs(q.v - c.v)) AS md
+      |       FROM p q JOIN p c
+      |         ON q.user_id < 10 AND c.user_id != q.user_id
+      |       GROUP BY 1, 2, 3),
+      |h2 AS (SELECT query_id, cand_id, max(md) AS h FROM d2 GROUP BY 1, 2),
+      |hd AS (SELECT h1.query_id, h1.cand_id,
+      |         CAST(greatest(h1.h, h2.h) AS BIGINT) AS hd
+      |       FROM h1 JOIN h2 ON h1.query_id = h2.query_id
+      |         AND h1.cand_id = h2.cand_id),
+      |r AS (SELECT query_id, cand_id, hd,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY hd ASC, cand_id ASC) AS rank
+      |      FROM hd)
+      |SELECT query_id, cand_id, hd, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6242,5 +6285,6 @@ object Queries {
     "q150_conversion_lag" -> Q(q150, Some(q150Sql)),
     "q151_exact_median" -> Q(q151, Some(q151Sql)),
     "q152_group_mode" -> Q(q152, Some(q152Sql)),
-    "q153_interval_coverage" -> Q(q153, Some(q153Sql)))
+    "q153_interval_coverage" -> Q(q153, Some(q153Sql)),
+    "q154_trajectory_topk" -> Q(q154, Some(q154Sql)))
 }

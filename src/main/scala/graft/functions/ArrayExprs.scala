@@ -662,3 +662,76 @@ case class HilbertKey(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): HilbertKey = copy(left = l, right = r)
 }
+/** Discrete symmetric Hausdorff distance between two integer
+  * trajectories under the L1 metric on (position, value) points:
+  *
+  *   h(A→B) = max_i min_j ( posWeight·|i−j| + |a_i − b_j| )
+  *   HD     = max( h(A→B), h(B→A) )
+  *
+  * — the classic "how far apart can these two traces get" similarity
+  * for per-entity time series (REPOSE/trajectory-search family), exact
+  * in long arithmetic so cross-engine parity is free. O(n·m) per pair
+  * with an early-exit inner scan (the running min can stop once the
+  * positional term alone exceeds it, because |i−j| grows monotonically
+  * away from j = i); pair generation is the caller's job — block or
+  * bound the candidate set, never all-pairs at scale. Null in -> null
+  * out; an empty side -> null (no defined distance). */
+case class HausdorffL1(left: Expression, right: Expression, posWeight: Long)
+    extends BinaryExpression with CodegenFallback {
+  require(posWeight >= 0, s"posWeight must be >= 0, got $posWeight")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hausdorff_l1"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hausdorff_l1 needs two array<long>, got $l, $r")
+    }
+
+  private def directed(a: Array[Long], b: Array[Long]): Long = {
+    var worst = 0L
+    var i = 0
+    while (i < a.length) {
+      // scan outward from j = i: once posWeight*|i-j| alone reaches the
+      // running min, no farther j can improve it
+      var best = Long.MaxValue
+      var d = 0
+      var continueScan = true
+      while (continueScan) {
+        val posTerm = posWeight * d
+        if (posTerm >= best) continueScan = false
+        else {
+          var seen = false
+          val jl = i - d
+          val jr = i + d
+          if (jl >= 0 && jl < b.length) {
+            seen = true
+            val c = posTerm + math.abs(a(i) - b(jl))
+            if (c < best) best = c
+          }
+          if (d > 0 && jr >= 0 && jr < b.length) {
+            seen = true
+            val c = posTerm + math.abs(a(i) - b(jr))
+            if (c < best) best = c
+          }
+          if (!seen && (jl < 0 && jr >= b.length)) continueScan = false
+          d += 1
+        }
+      }
+      if (best > worst) worst = best
+      i += 1
+    }
+    worst
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData].toLongArray()
+    val ra = r.asInstanceOf[ArrayData].toLongArray()
+    if (la.isEmpty || ra.isEmpty) null
+    else math.max(directed(la, ra), directed(ra, la))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HausdorffL1 =
+    copy(left = l, right = r)
+}

@@ -423,6 +423,11 @@ package object functions {
   def hilbert_key(bits: Int, x: Column, y: Column): Column =
     ExprBridge.column(HilbertKey(col2expr(x), col2expr(y), bits))
 
+  /** Discrete symmetric Hausdorff distance between two integer
+    * trajectories, L1 on (position, value) (see [[HausdorffL1]]). */
+  def hausdorff_l1(a: Column, b: Column, posWeight: Long): Column =
+    ExprBridge.column(HausdorffL1(col2expr(a), col2expr(b), posWeight))
+
   /** Token-bucket rate-limit replay over a sorted epoch-micros array
     * (see [[TokenBucket]]). */
   def token_bucket(ts: Column, capacityMilli: Long, refillMilliPerSec: Long,

@@ -49,6 +49,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Trajectory similarity search (the REPOSE/trajectory-search family,
+    * ICDE'21 shape): exact top-k nearest entities to each query entity
+    * by the discrete symmetric Hausdorff distance over integer
+    * time-series trajectories (L1 on (position, value) — see
+    * [[graft.functions.HausdorffL1]]).
+    *
+    * The distance kernel runs once per (query, candidate) pair with an
+    * early-exit expanding-ring inner scan; the pair set is queries ×
+    * corpus with the BOUNDED query side broadcast (the bruteForceTopK
+    * stance: exact baseline for a bounded query set — at corpus×corpus
+    * scale, block candidates first by length bucket / coarse trajectory
+    * signature, the banded-dedup discipline). Ranking is the
+    * partial-combining `top_k_by` ascending on (distance, cand_id) — no
+    * window. All-long arithmetic: rank boundaries are engine-exact. */
+  def trajectoryTopK(series: DataFrame, queries: DataFrame, k: Int,
+                     posWeight: Long): DataFrame = {
+    val c = series.select(col("user_id").as("cand_id"),
+      col("series").as("cand_t"))
+    val q = queries.select(col("user_id").as("query_id"),
+      col("series").as("query_t"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        hausdorff_l1(col("query_t"), col("cand_t"), posWeight).as("hd"))
+      .where(col("hd").isNotNull)
+    scored.groupBy("query_id")
+      .agg(top_k_by(struct((-col("hd")).as("neg_hd"),
+        (-col("cand_id")).as("neg_cand")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (-col("col.neg_cand")).as("cand_id"),
+        (-col("col.neg_hd")).as("hd"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic random hyperplanes (numPlanes x dim), fixed seed. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

@@ -104,4 +104,24 @@ class NumericSpec extends AnyFunSuite {
     val xs = Array.fill(10)(4.2)
     assertClose(EdgeMovingAvg(xs, 16), xs, 1e-12)
   }
+  test("hausdorff_l1 equals the O(nm) brute force on random trajectories") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def brute(a: Seq[Long], b: Seq[Long], w: Long): Long = {
+      def dir(x: Seq[Long], y: Seq[Long]) = x.indices.map { i =>
+        y.indices.map(j => w * math.abs(i - j) + math.abs(x(i) - y(j))).min
+      }.max
+      math.max(dir(a, b), dir(b, a))
+    }
+    def kernel(a: Seq[Long], b: Seq[Long], w: Long): Any =
+      HausdorffL1(Literal.create(null), Literal.create(null), w)
+        .nullSafeEval(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray))
+    val rnd = new scala.util.Random(59)
+    for (w <- Seq(0L, 1L, 3L); _ <- 1 to 40) {
+      val a = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(100).toLong)
+      val b = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(100).toLong)
+      assert(kernel(a, b, w) == brute(a, b, w), s"w=$w a=$a b=$b")
+    }
+  }
 }
