@@ -6127,6 +6127,30 @@ object Queries {
       |SELECT query_id, cand_id, hd, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 5""".stripMargin
 
+  /** EXACT robust location+scale per user (Stats.exactGroupMadX4):
+    * median×2 and MAD×4 both integral — |2x − median_x2| is twice the
+    * absolute deviation, its doubled median is 4·MAD — so the whole
+    * robust pair computes with NO floating point; the exact twin of
+    * q124's sketch-based robust z-score for discrete columns. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("v"))
+    Stats.exactGroupMadX4(ev, "user_id", "v")
+  }
+
+  private val q155Sql =
+    """WITH o AS (SELECT user_id,
+      |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |m AS (SELECT user_id, CAST(2 * median(v) AS BIGINT) AS median_x2
+      |      FROM o GROUP BY 1),
+      |d AS (SELECT o.user_id, abs(2 * o.v - m.median_x2) AS dev
+      |      FROM o JOIN m ON o.user_id = m.user_id)
+      |SELECT d.user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(m.median_x2) AS BIGINT) AS median_x2,
+      |  CAST(2 * median(d.dev) AS BIGINT) AS mad_x4
+      |FROM d JOIN m ON d.user_id = m.user_id
+      |GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6286,5 +6310,6 @@ object Queries {
     "q151_exact_median" -> Q(q151, Some(q151Sql)),
     "q152_group_mode" -> Q(q152, Some(q152Sql)),
     "q153_interval_coverage" -> Q(q153, Some(q153Sql)),
-    "q154_trajectory_topk" -> Q(q154, Some(q154Sql)))
+    "q154_trajectory_topk" -> Q(q154, Some(q154Sql)),
+    "q155_exact_mad" -> Q(q155, Some(q155Sql)))
 }

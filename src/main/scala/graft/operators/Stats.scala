@@ -291,6 +291,28 @@ object Stats {
         (col("__lo") + col("__hi")).as("median_x2"))
   }
 
+  /** EXACT per-group median absolute deviation, ×4 to stay integral:
+    * dev_i = |2·x_i − median_x2| is twice the absolute deviation (an
+    * integer), and its doubled median is 4·MAD — so the whole robust
+    * location+scale pair (median, MAD) computes with NO floating point
+    * at all. Two [[exactGroupMedianX2]] passes; the per-group median
+    * table joins back co-partitioned on the key (NOT broadcast —
+    * group cardinality is unbounded at scale). The exact twin of the
+    * q124 sketch-based robust outlier machinery for discrete columns.
+    * Output: (key, n, median_x2, mad_x4). */
+  def exactGroupMadX4(df: DataFrame, keyCol: String,
+                      xCol: String): DataFrame = {
+    val med = exactGroupMedianX2(df, keyCol, xCol)
+      .select(col(keyCol), col("median_x2"))
+    val dev = df.join(med, keyCol)
+      .select(col(keyCol), col("median_x2"),
+        abs(lit(2L) * col(xCol).cast("long") - col("median_x2")).as("__dev"))
+    exactGroupMedianX2(dev, keyCol, "__dev")
+      .withColumnRenamed("median_x2", "mad_x4")
+      .join(med, keyCol)
+      .select(col(keyCol), col("n"), col("median_x2"), col("mad_x4"))
+  }
+
   /** Per-group MODE (most frequent value; ties break to the smallest
     * value): histogram groupBy + the partial-combining `top_k_by`
     * argmax — never a per-group sort or window over raw rows. Exact

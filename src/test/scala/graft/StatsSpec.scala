@@ -226,4 +226,19 @@ class StatsSpec extends SparkTestBase {
       .toMap
     assert(out == Map(1L -> ((5L, 2L)), 2L -> ((3L, 1L))))
   }
+  test("exactGroupMadX4 matches a sort-based MAD on random data") {
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(400)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+    val got = Stats.exactGroupMadX4(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val s = g.map(_._2).sorted
+      val n = s.length
+      val m2 = s((n - 1) / 2) + s(n / 2)
+      val dev = g.map(r => math.abs(2 * r._2 - m2)).sorted
+      val mad4 = dev((n - 1) / 2) + dev(n / 2)
+      assert(got(k) == ((n.toLong, m2, mad4)), s"k=$k")
+    }
+  }
 }
