@@ -6151,6 +6151,33 @@ object Queries {
       |FROM d JOIN m ON d.user_id = m.user_id
       |GROUP BY 1""".stripMargin
 
+  /** EXACT set-similarity join with prefix filtering (Dedup.ppJoin,
+    * the AllPairs/PPJoin family): every doc pair with token-set
+    * Jaccard >= 0.5, no false negatives, no blocking column — each doc
+    * exposes only its rarest-token prefix and pairs must share a
+    * prefix token (candidates bounded by low-df posting products,
+    * never |docs|²). The oracle IS the brute-force all-pairs join, so
+    * a hash match certifies exact recall on this corpus. */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    Dedup.ppJoin(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  private val q156Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS ts FROM toks),
+       |h AS (
+       |  SELECT doc_id, list_transform(ts, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(ts) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6311,5 +6338,6 @@ object Queries {
     "q152_group_mode" -> Q(q152, Some(q152Sql)),
     "q153_interval_coverage" -> Q(q153, Some(q153Sql)),
     "q154_trajectory_topk" -> Q(q154, Some(q154Sql)),
-    "q155_exact_mad" -> Q(q155, Some(q155Sql)))
+    "q155_exact_mad" -> Q(q155, Some(q155Sql)),
+    "q156_ppjoin_exact" -> Q(q156, Some(q156Sql)))
 }

@@ -746,6 +746,32 @@ class OperatorSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"no join for predicate checks:\n$plan")
   }
 
+  test("ppJoin recall equals brute force on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    for (trial <- 1 to 3; t <- Seq(0.4, 0.6)) {
+      val docs = (1L to 40L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.ppJoin(docs.toDF("doc_id", "text"), "doc_id", "text",
+          t, shingleN = 1) // token sets: matches the brute oracle below
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, s) =>
+        id -> s.split(" ").toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == want, s"trial=$trial t=$t")
+    }
+  }
+
   test("scd2 history reconstructs a full validity timeline") {
     import graft.operators.Snapshot
     // doc 1: unchanged across all 3; doc 2: edited at v1; doc 3:
