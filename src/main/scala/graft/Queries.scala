@@ -6178,6 +6178,51 @@ object Queries {
        |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5"""
       .stripMargin
 
+  /** Incremental set-similarity maintenance (Dedup.ppJoinDelta): after
+    * a re-crawl, only pairs touching an added/changed doc recompute —
+    * survivors (both endpoints unchanged) carry their v0 Jaccard
+    * forward untouched, and the union must equal a full PPJoin rebuild
+    * of v1 (the oracle IS that brute-force rebuild). O(delta × matched
+    * postings) maintenance instead of a full re-join — the q95/q105
+    * delta discipline applied to pairwise similarity state. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val (v0, v1, _) = recrawlFixture(t(s, dir, "documents"))
+    val prevPairs = Dedup.ppJoin(v0, "doc_id", "text", threshold = 0.5)
+    val unchanged = Snapshot.delta(v0, v1, "doc_id", "text")
+      .where(col("status") === "unchanged").select(col("doc_id"))
+    val survivors = prevPairs
+      .join(unchanged.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(unchanged.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+    val deltaPairs = Dedup.ppJoinDelta(v0, v1, "doc_id", "text",
+      threshold = 0.5)
+    survivors.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionByName(deltaPairs.select(col("id_a"), col("id_b"),
+        col("jaccard")))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val q157Sql =
+    s"""WITH v1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+       |                                THEN text || ' v2' ELSE text END
+       |                   AS text
+       |            FROM documents WHERE doc_id % 5 != 0),
+       |toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM v1),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS ts FROM toks),
+       |h AS (
+       |  SELECT doc_id, list_transform(ts, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(ts) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6339,5 +6384,6 @@ object Queries {
     "q153_interval_coverage" -> Q(q153, Some(q153Sql)),
     "q154_trajectory_topk" -> Q(q154, Some(q154Sql)),
     "q155_exact_mad" -> Q(q155, Some(q155Sql)),
-    "q156_ppjoin_exact" -> Q(q156, Some(q156Sql)))
+    "q156_ppjoin_exact" -> Q(q156, Some(q156Sql)),
+    "q157_ppjoin_incremental" -> Q(q157, Some(q157Sql)))
 }

@@ -772,6 +772,44 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("ppJoinDelta maintains full-rebuild parity on random re-crawls") {
+    import graft.operators.{Dedup, Snapshot}
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def text() = Seq.fill(4 + rnd.nextInt(6))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 2) {
+      val v0 = (1L to 30L).map(i => (i, text()))
+      val v1 = v0.filter(_ => rnd.nextInt(5) != 0)
+        .map { case (id, t) =>
+          if (rnd.nextInt(3) == 0) (id, text()) else (id, t) } ++
+        (31L to 36L).map(i => (i, text()))
+      val t = 0.5
+      val full = Dedup.ppJoin(v1.toDF("doc_id", "text"), "doc_id", "text",
+          t, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val prev = Dedup.ppJoin(v0.toDF("doc_id", "text"), "doc_id", "text",
+        t, shingleN = 2)
+      val unchanged = Snapshot.delta(v0.toDF("doc_id", "text"),
+          v1.toDF("doc_id", "text"), "doc_id", "text")
+        .where(col("status") === "unchanged").select(col("doc_id"))
+      val survivors = prev
+        .join(unchanged.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(unchanged.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_semi")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val delta = Dedup.ppJoinDelta(v0.toDF("doc_id", "text"),
+          v1.toDF("doc_id", "text"), "doc_id", "text", t, shingleN = 2)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val got = survivors.unionByName(delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == full, s"trial $trial")
+    }
+  }
+
   test("scd2 history reconstructs a full validity timeline") {
     import graft.operators.Snapshot
     // doc 1: unchanged across all 3; doc 2: edited at v1; doc 3:
