@@ -881,11 +881,16 @@ object Queries {
     // above 2^53.
     val us = expr("ts div 1000")
     val prevUs = lag(us, 1).over(byTime)
+    // the cumsum window sorts by the SAME (us, event_id) key the oracle's
+    // sess CTE uses: sorting by full-resolution ts here could place a
+    // new_sess=1 row on the other side of a same-microsecond sibling
+    // whose sub-microsecond ts order opposes event_id order
+    val byUs = Window.partitionBy("user_id").orderBy(us, col("event_id"))
     t(s, dir, "events")
       .withColumn("new_sess",
         when(prevUs.isNull || us - prevUs > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id",
-        sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("new_sess")).over(byUs.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min(us).as("start_us"),
@@ -895,7 +900,7 @@ object Queries {
   // the session cumsum tie-breaks on event_id: with same-microsecond
   // events an us-only ORDER BY would leave the engine free to place the
   // new_sess=1 row after its tied sibling, flipping that sibling's
-  // session assignment (the Spark side always ordered by (ts, event_id))
+  // session assignment; BOTH engines key the cumsum by (us, event_id)
   private val q30Sql =
     """WITH flagged AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -5310,15 +5315,19 @@ object Queries {
       .orderBy(col("ts"), col("event_id"))
     val us = expr("ts div 1000")
     val prevUs = lag(us, 1).over(byTime)
+    // cumsum AND the markov lead both key on (us, event_id) — the exact
+    // sort key of the oracle's sess/p CTEs (the q30 tie discipline:
+    // full-resolution ts could order same-microsecond rows differently)
+    val byUs = Window.partitionBy("user_id").orderBy(us, col("event_id"))
     val sess = t(s, dir, "events")
       .withColumn("new_sess",
         when(prevUs.isNull || us - prevUs > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess"))
-          .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .over(byUs.rowsBetween(Window.unboundedPreceding, 0)))
     Stats.markovTransitions(sess, Seq("user_id", "session_id"),
-      Seq(col("ts"), col("event_id")), "event_type")
+      Seq(expr("ts div 1000"), col("event_id")), "event_type")
   }
 
   private val q133Sql =
@@ -6223,6 +6232,183 @@ object Queries {
        |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5"""
       .stripMargin
 
+  /** Video-level near-duplicate clip dedup (Dedup.videoNearDupClips):
+    * the q121 composition pattern applied to the dedup family — scene
+    * cuts → mid-shot keyframes → keyframe images by equi-join →
+    * per-keyframe dHash banded-Hamming pairs → clip-pair VOTE (>= 2
+    * matching keyframe pairs) → connected components. Fixture: clips in
+    * groups of four temporal-shift variants (cut boundaries shifted
+    * 0-3 frames per variant), sharing per-scene pixel content with
+    * per-clip-frame ±1 noise — so variants match scene-by-scene via
+    * fingerprints while byte hashes (and keyframe INDEXES) differ; a
+    * per-clip decoy frame row proves the keyframe join prunes the frame
+    * store. The oracle replays everything: the planted series, lag-delta
+    * cut detection, shot grouping, mid-shot keyframes, the frame-table
+    * rows, pixel synthesis, dHash band folds, banded candidates, Hamming
+    * verify, the vote, and the recursive-CTE transitive closure. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val clipsBase = t(s, dir, "part")
+      .where(pmod(col("p_partkey"), lit(16L)) < 4)
+      .select(col("p_partkey").as("clip_id"),
+        (col("p_partkey") - pmod(col("p_partkey"), lit(4L))).as("base"),
+        pmod(col("p_partkey"), lit(4L)).as("v"))
+    // planted shot structure: 48 frames, scene boundaries at 12j + v
+    // (variant v shifts every cut by v frames); series value jumps
+    // 10000 per scene so detection at threshold 5000 recovers exactly
+    // the planted cuts
+    val clipSeries = clipsBase.select(col("clip_id"),
+      transform(sequence(lit(0), lit(47)), f =>
+        ((f >= lit(12) + col("v")).cast("long") +
+          (f >= lit(24) + col("v")).cast("long") +
+          (f >= lit(36) + col("v")).cast("long")).cast("double") * 10000.0)
+        .as("series"))
+    // frames table staged to parquet (the q85 discipline — the gate
+    // measures the dedup chain over a columnar frame scan, not md5
+    // synthesis): per clip the four keyframe rows (content keyed on
+    // (base, scene) + per-(clip, frame) noise) and one DECOY frame at
+    // index 1, content keyed on the clip itself — if the keyframe join
+    // failed to prune it, its fingerprint would perturb the pair set
+    // and break parity
+    val frames = stageFixture(s, "q158_frames", dir) {
+      def kfAt(j: Int): Column = {
+        val start = if (j == 0) lit(0L) else lit(12L * j) + col("v")
+        val end = if (j == 3) lit(48L) else lit(12L * (j + 1)) + col("v")
+        start + shiftright(end - start, 1)
+      }
+      val rows = clipsBase.repartition(64, col("clip_id"))
+        .select(col("clip_id"), col("base"), col("v"),
+          explode(array((0 until 4).map(j =>
+            struct(kfAt(j).as("frame_idx"), lit(j.toLong).as("scene"))) :+
+            struct(lit(1L).as("frame_idx"), lit(99L).as("scene")): _*))
+            .as("fr"))
+        .select(col("clip_id"), col("fr.frame_idx").as("frame_idx"),
+          col("fr.scene").as("scene"),
+          when(col("fr.scene") === 99L, col("clip_id")).otherwise(col("base"))
+            .as("pxid"))
+      // 8x9 gray pixels at 6 bytes per md5 (2 hash groups x 6 shift
+      // lanes, plan-time unrolled, lanes past column 8 sliced off) —
+      // the q85 synthesis shape at the minimum dHash grid size
+      def hashRows(tag: String, idc: Column, sc: Column) =
+        transform(sequence(lit(0), lit(7)), r =>
+          transform(sequence(lit(0), lit(1)), g =>
+            md5_long(concat(lit(tag), idc.cast("string"), lit("_"),
+              sc.cast("string"), lit("_"), r.cast("string"), lit("_"),
+              g.cast("string")))))
+      val mat = zip_with(
+        hashRows("vpx", col("pxid"), col("scene")),
+        hashRows("vnz", col("clip_id"), col("frame_idx")),
+        (prow, nrow) => slice(flatten(zip_with(prow, nrow, (hp, hn) =>
+          array((0 until 6).map { k =>
+            (pmod(shiftright(hp, 8 * k), lit(256L)) +
+              pmod(shiftright(hn, 8 * k), lit(3L)) - lit(1L)).cast("double")
+          }: _*))), 1, 9))
+      rows.withColumn("matrix", mat)
+        .select(col("clip_id"), col("frame_idx"), col("matrix"))
+    }.repartition(64, col("clip_id")) // 64 tiny files read as 1 split
+    Dedup.videoNearDupClips(clipSeries, frames, "clip_id", "series",
+      "frame_idx", "matrix", cutThreshold = 5000.0, maxHamming = 6,
+      minVotes = 2, bandBytes = 2)
+  }
+
+  private val q158Sql = {
+    val hp = md5LongSql("'vpx' || pxid || '_' || scene || '_' || i || '_' || g")
+    val hn = md5LongSql("'vnz' || clip || '_' || kf || '_' || i || '_' || g")
+    s"""WITH RECURSIVE clips AS (
+       |  SELECT p_partkey AS clip, p_partkey - p_partkey % 4 AS base,
+       |    p_partkey % 4 AS v
+       |  FROM part WHERE p_partkey % 16 < 4),
+       |sf AS (
+       |  SELECT clip, f,
+       |    10000 * (CASE WHEN f >= 12 + v THEN 1 ELSE 0 END
+       |           + CASE WHEN f >= 24 + v THEN 1 ELSE 0 END
+       |           + CASE WHEN f >= 36 + v THEN 1 ELSE 0 END) AS val
+       |  FROM clips, range(48) t(f)),
+       |dl AS (
+       |  SELECT clip, f, val,
+       |    lag(val) OVER (PARTITION BY clip ORDER BY f) AS pv
+       |  FROM sf),
+       |sh AS (
+       |  SELECT clip, f,
+       |    sum(CASE WHEN pv IS NOT NULL AND abs(val - pv) > 5000
+       |        THEN 1 ELSE 0 END) OVER (PARTITION BY clip ORDER BY f) AS shot
+       |  FROM dl),
+       |kfs AS (
+       |  SELECT clip, CAST(min(f) + count(*) // 2 AS BIGINT) AS kf
+       |  FROM sh GROUP BY clip, shot),
+       |fr AS (
+       |  SELECT clip, frame_idx, scene,
+       |    CASE WHEN scene = 99 THEN clip ELSE base END AS pxid
+       |  FROM (
+       |    SELECT clip, base, v, j AS scene,
+       |      CASE WHEN j = 0 THEN (12 + v) // 2
+       |           WHEN j = 3 THEN 36 + v + (12 - v) // 2
+       |           ELSE 12 * j + v + 6 END AS frame_idx
+       |    FROM clips, range(4) t(j)
+       |    UNION ALL
+       |    SELECT clip, base, v, 99 AS scene, 1 AS frame_idx FROM clips)),
+       |ki AS (
+       |  SELECT f.clip, f.frame_idx AS kf, f.pxid, f.scene
+       |  FROM kfs k JOIN fr f ON f.clip = k.clip AND f.frame_idx = k.kf),
+       |hx AS (
+       |  SELECT clip, kf, i, g, $hp AS hp, $hn AS hn
+       |  FROM ki, range(8) t(i), range(2) u(g)),
+       |px AS (
+       |  SELECT clip, kf, i, g * 6 + k AS j,
+       |    (hp >> (8 * k)) % 256 + (hn >> (8 * k)) % 3 - 1 AS p
+       |  FROM hx, range(6) w(k)
+       |  WHERE g * 6 + k <= 8),
+       |bands AS (
+       |  SELECT a.clip, a.kf, a.i AS band,
+       |    CAST(sum(CASE WHEN a.p > b.p THEN 1 << CAST(7 - a.j AS INT)
+       |             ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM px a JOIN px b ON b.clip = a.clip AND b.kf = a.kf
+       |    AND b.i = a.i AND b.j = a.j + 1
+       |  GROUP BY 1, 2, 3),
+       |b16 AS (
+       |  SELECT clip, kf, band // 2 AS band,
+       |    CAST(sum(CASE WHEN band % 2 = 0 THEN band_val * 256
+       |             ELSE band_val END) AS BIGINT) AS band_val
+       |  FROM bands GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT l.clip AS ca, l.kf AS ka, r.clip AS cb, r.kf AS kb
+       |  FROM b16 l JOIN b16 r
+       |    ON r.band = l.band AND r.band_val = l.band_val
+       |    AND (l.clip < r.clip OR (l.clip = r.clip AND l.kf < r.kf))),
+       |kfp AS (
+       |  SELECT * FROM (
+       |    SELECT c.ca, c.ka, c.cb, c.kb,
+       |      CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS BIGINT)
+       |        AS hamming
+       |    FROM cand c
+       |    JOIN bands a ON a.clip = c.ca AND a.kf = c.ka
+       |    JOIN bands b ON b.clip = c.cb AND b.kf = c.kb AND b.band = a.band
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE hamming <= 6),
+       |votes AS (
+       |  SELECT least(ca, cb) AS clip_a, greatest(ca, cb) AS clip_b,
+       |    CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM kfp WHERE ca != cb GROUP BY 1, 2),
+       |edges0 AS (SELECT * FROM votes WHERE n_votes >= 2),
+       |nb AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+       |    max(n_votes) AS max_votes
+       |  FROM (SELECT clip_a AS cid, n_votes FROM edges0
+       |        UNION ALL SELECT clip_b, n_votes FROM edges0)
+       |  GROUP BY 1),
+       |eds AS (SELECT clip_a AS a, clip_b AS b FROM edges0
+       |        UNION ALL SELECT clip_b, clip_a FROM edges0),
+       |reach AS (
+       |  SELECT clip AS id, clip AS lbl FROM clips
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN eds e ON e.a = r.id),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cc.id AS clip_id, cc.cluster_id,
+       |  cc.id = cc.cluster_id AS is_canonical,
+       |  CAST(coalesce(nb.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
+       |  nb.max_votes
+       |FROM cc LEFT JOIN nb ON nb.cid = cc.id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6385,5 +6571,6 @@ object Queries {
     "q154_trajectory_topk" -> Q(q154, Some(q154Sql)),
     "q155_exact_mad" -> Q(q155, Some(q155Sql)),
     "q156_ppjoin_exact" -> Q(q156, Some(q156Sql)),
-    "q157_ppjoin_incremental" -> Q(q157, Some(q157Sql)))
+    "q157_ppjoin_incremental" -> Q(q157, Some(q157Sql)),
+    "q158_video_neardup" -> Q(q158, Some(q158Sql)))
 }

@@ -50,7 +50,17 @@ object Graph {
     require(iterations >= 1, "pageRankInt needs at least one iteration")
     val e0 = edges.toDF("src", "dst", "w")
       .withColumn("w", col("w").cast("long")).localCheckpoint()
-    val nEdges = e0.count()
+    // enforce the documented w > 0 contract in the SAME action that
+    // sizes the graph: a node whose out-weights sum to 0 would divide
+    // by zero — ArithmeticException on the driver path but an ANSI
+    // runtime error (or silent null) on the distributed one; checking
+    // here makes both paths reject bad input identically, for free
+    val sized = e0.agg(count(lit(1)).as("n"),
+      sum(when(col("w") <= 0L, 1L).otherwise(0L)).as("bad")).head()
+    val nEdges = sized.getLong(0)
+    val nBad = if (sized.isNullAt(1)) 0L else sized.getLong(1)
+    require(nBad == 0L,
+      s"pageRankIntWeighted requires every edge weight > 0; found $nBad violating edges")
     if (nEdges == 0) // empty graph -> empty ranking, schema preserved
       e0.select(col("src").as("node"), col("w").as("rank"))
     else if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)

@@ -243,11 +243,15 @@ object Multimodal {
   def loudnessStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                     seriesCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // widen BEFORE multiplying/negating: for an array<int> series x*x is
+    // 32-bit (silent wrap, or ANSI overflow) and abs(Int.MinValue) wraps —
+    // the long accumulator only protects the SUM, not the products
     df.select(col(idCol),
         size(col(seriesCol)).cast("long").as("n"),
-        array_max(transform(col(seriesCol), v => abs(v))).as("peak"),
+        array_max(transform(col(seriesCol),
+          v => abs(v.cast("long")))).as("peak"),
         aggregate(col(seriesCol), lit(0L),
-          (acc, x) => acc + x * x).as("ss"))
+          (acc, x) => acc + x.cast("long") * x.cast("long")).as("ss"))
       .where(col("n") > 0)
       .select(col(idCol), col("n"), col("peak"),
         sqrt(col("ss").cast("double") / col("n").cast("double")).as("rms"))

@@ -38,12 +38,25 @@ object Stats {
     * Output: one row (n_pos, n_neg, u2, auc). AUC follows the usual
     * convention: 1.0 = scores perfectly rank positives above negatives,
     * 0.5 = no signal.
+    *
+    * The bounded-score contract is CHECKED, not just documented (the
+    * `connectedComponents` discipline): the histogram is materialized
+    * and counted BEFORE the single-partition cumulative window can run,
+    * so a continuous score column (histogram ≈ row count — the window
+    * degenerates into a global sort) fails loudly at plan-build time
+    * with a pointer to the sketch-quantile path instead of melting an
+    * executor. Raise `maxDistinctScores` only with a deliberate
+    * quantization argument.
     */
-  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val hist = df
-      .groupBy(col(scoreCol).as("__s"))
-      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
+              maxDistinctScores: Long = 2000000L): DataFrame = {
+    val hist = scoreHist(df, scoreCol, labelCol).localCheckpoint()
+    val nScores = hist.count()
+    require(nScores <= maxDistinctScores,
+      s"rankAuc: $nScores distinct scores exceeds the bounded-histogram " +
+        s"contract (maxDistinctScores=$maxDistinctScores). Quantize the " +
+        "score column (e.g. micro-units) or use the sketch quantiles " +
+        "(Sketches, q66 path) for continuous scores.")
     val below = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -54,6 +67,16 @@ object Stats {
         (col("u2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** The lazy per-score (nPos, nNeg) histogram behind [[rankAuc]] — kept
+    * separate so PlanAuditSpec can still pin its map-side-combining
+    * shape (the checked guard in rankAuc materializes it, which hides
+    * the aggregation from the serving plan). */
+  private[graft] def scoreHist(df: DataFrame, scoreCol: String,
+                               labelCol: String): DataFrame =
+    df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
 
   /** Per-group ordinary-least-squares trend (y = slope·x + intercept)
     * from integer sufficient statistics: ONE map-side-combining
@@ -180,8 +203,12 @@ object Stats {
                        dayCol: String): DataFrame = {
     val cohorts = df.groupBy(col(keyCol))
       .agg(min(col(dayCol)).as("cohort_day"))
+    // plain co-partitioned join on the key (the exactGroupMadX4
+    // discipline): the cohort table is ONE ROW PER DISTINCT USER —
+    // row-count-sized, not cardinality-bounded — so forcing a broadcast
+    // would OOM at scale; AQE still broadcasts when it actually fits
     df.select(col(keyCol), col(dayCol))
-      .join(broadcast(cohorts), keyCol)
+      .join(cohorts, keyCol)
       .select(col("cohort_day"),
         (col(dayCol) - col("cohort_day")).as("day_offset"), col(keyCol))
       .distinct()
@@ -243,11 +270,15 @@ object Stats {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val activity = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
       .distinct()
-    val maxDay = activity.agg(max(col("__d"))).head().getLong(0)
-    activity
+    // the clip bound joins in as a ONE-ROW aggregate (broadcast nested
+    // loop) instead of an eager .head(): the whole operator stays lazy,
+    // one fewer job per call, and an EMPTY input falls out naturally as
+    // an empty cross join — no null-cell NPE branch needed
+    val bound = activity.agg(max(col("__d")).as("__maxd"))
+    activity.crossJoin(bound)
       .select(col(keyCol),
         explode(sequence(col("__d"),
-          least(col("__d") + lit(windowDays - 1L), lit(maxDay)))).as("day"))
+          least(col("__d") + lit(windowDays - 1L), col("__maxd")))).as("day"))
       .distinct()
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active"))
@@ -266,11 +297,15 @@ object Stats {
     * the two middle order statistics are picked with conditional sums.
     * The exact-median twin of the q66 sketch quantiles: use this when
     * values are discrete (cents, token counts) and exactness matters;
-    * the sketch when they're continuous. */
-  def exactGroupMedianX2(df: DataFrame, keyCol: String,
-                         xCol: String): DataFrame = {
+    * the sketch when they're continuous. The discreteness assumption is
+    * CHECKED (per-key distinct-value bound, fails loudly), not just
+    * documented. */
+  def exactGroupMedianX2(df: DataFrame, keyCol: String, xCol: String,
+                         maxDistinctPerKey: Long = 2000000L): DataFrame = {
     val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "exactGroupMedianX2")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist
@@ -300,14 +335,14 @@ object Stats {
     * group cardinality is unbounded at scale). The exact twin of the
     * q124 sketch-based robust outlier machinery for discrete columns.
     * Output: (key, n, median_x2, mad_x4). */
-  def exactGroupMadX4(df: DataFrame, keyCol: String,
-                      xCol: String): DataFrame = {
-    val med = exactGroupMedianX2(df, keyCol, xCol)
+  def exactGroupMadX4(df: DataFrame, keyCol: String, xCol: String,
+                      maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val med = exactGroupMedianX2(df, keyCol, xCol, maxDistinctPerKey)
       .select(col(keyCol), col("median_x2"))
     val dev = df.join(med, keyCol)
       .select(col(keyCol), col("median_x2"),
         abs(lit(2L) * col(xCol).cast("long") - col("median_x2")).as("__dev"))
-    exactGroupMedianX2(dev, keyCol, "__dev")
+    exactGroupMedianX2(dev, keyCol, "__dev", maxDistinctPerKey)
       .withColumnRenamed("median_x2", "mad_x4")
       .join(med, keyCol)
       .select(col(keyCol), col("n"), col("median_x2"), col("mad_x4"))
@@ -317,14 +352,39 @@ object Stats {
     * value): histogram groupBy + the partial-combining `top_k_by`
     * argmax — never a per-group sort or window over raw rows. Exact
     * integer counts. */
-  def groupMode(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
+  def groupMode(df: DataFrame, keyCol: String, xCol: String,
+                maxDistinctPerKey: Long = 2000000L): DataFrame = {
     import graft.functions.top_k_by
-    df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "groupMode")
+    hist
       .groupBy(col(keyCol))
       .agg(top_k_by(struct(col("__c"), (-col("__v")).as("__negv")), 1)
         .as("top"))
       .select(col(keyCol), (-col("top")(0)("__negv")).as("mode"),
         col("top")(0)("__c").as("n_mode"))
+  }
+
+  /** CHECKS the per-key bounded-histogram contract the exact
+    * median/MAD/mode family depends on (the `connectedComponents`
+    * discipline: verify the assumption, don't just document it). The
+    * histogram arrives already localCheckpoint'ed, so the guard
+    * aggregation reuses the materialized rows and the main plan pays
+    * nothing extra. On a continuous column the per-key histogram
+    * degenerates to the key's row count — the cumulative window then
+    * sorts data-sized partitions — so we fail loudly with a pointer to
+    * the sketch-quantile / robust-outlier path (q66 / q124) instead. */
+  private def requireBoundedPerKey(hist: DataFrame, keyCol: String,
+                                   limit: Long, op: String): Unit = {
+    val worst = hist.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k"))).head()
+    val m = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(m <= limit,
+      s"$op: a key holds $m distinct values, exceeding the " +
+        s"bounded-histogram contract (maxDistinctPerKey=$limit). " +
+        "Quantize the column to discrete units, or use the sketch " +
+        "quantiles / robust outliers (Sketches, q66/q124 paths) for " +
+        "continuous values.")
   }
 }

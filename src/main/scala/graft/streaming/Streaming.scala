@@ -688,6 +688,134 @@ object Streaming {
     }
   }
 
+  /** Continuous EXACT set-similarity maintenance — the streamed twin of
+    * the q156/q157 PPJoin pair, keeping "all pairs with Jaccard >=
+    * threshold" LIVE over a stream of (id, text) upserts and deletes
+    * the way [[SearchIndexMaintainer]] keeps its indexes live.
+    *
+    * Driver-held state (references to checkpointed frames — no text is
+    * ever retained, the fingerprint-not-payload discipline):
+    *   - `fps`   — (doc_id, fp) corpus fingerprints for batch
+    *     classification (two longs per doc);
+    *   - `sets`  — (doc_id, ts) the per-doc shingle sets of the LIVE
+    *     corpus: everything the PPJoin math needs (df order, prefixes,
+    *     verification hashes) derives from this table, so maintenance
+    *     never needs the original text back;
+    *   - `pairs` — (id_a, id_b, jaccard) the maintained answer.
+    *
+    * Per batch, the q157 invariant applied literally:
+    *   pairs' = pairs − {p : p touches a changed/deleted id}
+    *            ∪ ppJoinDelta-form(sets', fresh = added ∪ changed)
+    * which equals ppJoin(surviving corpus) — survivors' endpoints both
+    * kept their shingle sets (Jaccard untouched); every other pair is
+    * re-derived against the POST-batch df order. O(delta × matched
+    * postings) per batch, never a corpus re-join; StreamingSpec pins
+    * streamed == batch rebuild over random upsert/delete histories,
+    * checkpoint/restore included. */
+  final class SimilarityMaintainer(initialCorpus: DataFrame, idCol: String,
+                                   textCol: String, threshold: Double,
+                                   shingleN: Int = 3,
+                                   deleteCol: Option[String] = None) {
+    import graft.operators.Dedup
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"SimilarityMaintainer needs threshold in (0, 1], got $threshold")
+    private var fps: DataFrame = initialCorpus
+      .select(col(idCol).as("doc_id"), md5_long(col(textCol)).as("fp"))
+      .localCheckpoint()
+    private var sets: DataFrame =
+      Dedup.ppSets(initialCorpus, idCol, textCol, shingleN)
+    private var livePairs: DataFrame =
+      Dedup.ppJoinFrom(sets, threshold, None).localCheckpoint()
+
+    /** The maintained pair set (id_a, id_b, jaccard). */
+    def pairs: DataFrame = synchronized(livePairs)
+
+    /** Apply one micro-batch of upserts/deletes (ids unique within a
+      * batch) — classification discipline identical to
+      * [[SearchIndexMaintainer.applyBatch]]. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val isDel = deleteCol.filter(batch.columns.contains)
+        .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+      val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        md5_long(col(textCol)).as("fp"), isDel.as("__del")).localCheckpoint()
+      val classified = b.join(
+        fps.select(col("doc_id"), col("fp").as("fp_prev"),
+          lit(true).as("in_prev")),
+        Seq("doc_id"), "left_outer")
+      val present = coalesce(col("in_prev"), lit(false))
+      // ids whose OLD state dies: deletes and changed re-sends — their
+      // sets leave the corpus and every pair touching them is re-derived
+      // (changed) or gone (deleted)
+      val gone = classified
+        .where(present && (col("__del") || !(col("fp") <=> col("fp_prev"))))
+        .select(col("doc_id")).localCheckpoint()
+      // ids whose NEW state enters: added + changed (presence-based —
+      // the SearchIndexMaintainer NULL-text discipline)
+      val refresh = classified.where(!col("__del") &&
+        (!present || !(col("fp") <=> col("fp_prev"))))
+      val refreshRows = refresh.select(col("doc_id"), col("__text"))
+      val freshIds = refreshRows.select(col("doc_id")).localCheckpoint()
+      sets = sets.join(gone, Seq("doc_id"), "left_anti")
+        .unionByName(Dedup.ppSets(refreshRows, "doc_id", "__text", shingleN))
+        .localCheckpoint()
+      val survivors = livePairs
+        .join(gone.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_anti")
+        .join(gone.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_anti")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      livePairs = survivors
+        .unionByName(Dedup.ppJoinFrom(sets, threshold, Some(freshIds))
+          .select(col("id_a"), col("id_b"), col("jaccard")))
+        .localCheckpoint()
+      fps = fps.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(b.where(!col("__del")).select(col("doc_id"), col("fp")))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(upserts: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      upserts.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the COMPLETE maintenance state (fingerprints, live
+      * shingle sets, pair set) for [[SimilarityMaintainer.restore]] —
+      * the original corpus text is NOT needed to resume. */
+    def checkpoint(dir: String): Unit = synchronized {
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+      livePairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+  }
+
+  object SimilarityMaintainer {
+    /** Resume a [[SimilarityMaintainer.checkpoint]]. Configuration
+      * (idCol/textCol/threshold/shingleN/deleteCol) is not state — pass
+      * the SAME values the original maintainer ran with (the
+      * [[SearchIndexMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, threshold: Double,
+                idCol: String = "doc_id", textCol: String = "text",
+                shingleN: Int = 3,
+                deleteCol: Option[String] = None): SimilarityMaintainer = {
+      val fps = spark.read.parquet(s"$dir/fps")
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            fps.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField(textCol,
+            org.apache.spark.sql.types.StringType))))
+      val m = new SimilarityMaintainer(emptyDocs, idCol, textCol, threshold,
+        shingleN, deleteCol)
+      m.fps = fps.localCheckpoint()
+      m.sets = spark.read.parquet(s"$dir/sets").localCheckpoint()
+      m.livePairs = spark.read.parquet(s"$dir/pairs").localCheckpoint()
+      m
+    }
+  }
+
   object SearchIndexMaintainer {
     /** Resume a [[SearchIndexMaintainer.checkpoint]]: loads the
       * fingerprint table, base index, pending segments and positional

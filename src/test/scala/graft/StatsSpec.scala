@@ -38,6 +38,59 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getDouble(3) == 0.5)
   }
 
+  test("bounded-histogram guards fire on high-cardinality input") {
+    // a continuous-ish column: every row a distinct value — exactly the
+    // degenerate case where the histogram equals the row count and the
+    // single-partition / per-key cumulative window becomes a global sort.
+    // The contract must be CHECKED (fail loudly), not just documented.
+    val wide = spark.range(5000).select(
+      org.apache.spark.sql.functions.lit(1L).as("k"),
+      $"id".as("v"),
+      ($"id" % 2 === 0).as("label"))
+    val aucErr = intercept[IllegalArgumentException] {
+      Stats.rankAuc(wide, "v", "label", maxDistinctScores = 1000L)
+    }
+    assert(aucErr.getMessage.contains("bounded-histogram"))
+    val medErr = intercept[IllegalArgumentException] {
+      Stats.exactGroupMedianX2(wide, "k", "v", maxDistinctPerKey = 1000L)
+    }
+    assert(medErr.getMessage.contains("bounded-histogram"))
+    val madErr = intercept[IllegalArgumentException] {
+      Stats.exactGroupMadX4(wide, "k", "v", maxDistinctPerKey = 1000L)
+    }
+    assert(madErr.getMessage.contains("bounded-histogram"))
+    val modeErr = intercept[IllegalArgumentException] {
+      Stats.groupMode(wide, "k", "v", maxDistinctPerKey = 1000L)
+    }
+    assert(modeErr.getMessage.contains("bounded-histogram"))
+    // and the guard does NOT fire when the histogram is genuinely
+    // bounded — same shape, quantized values
+    val narrow = wide.withColumn("v",
+      org.apache.spark.sql.functions.pmod($"v", org.apache.spark.sql.functions.lit(50L)))
+    assert(Stats.exactGroupMedianX2(narrow, "k", "v",
+      maxDistinctPerKey = 1000L).count() == 1L)
+  }
+
+  test("trailingActives is lazy-safe on empty input (no NPE)") {
+    val empty = spark.range(0).select($"id".as("u"), $"id".as("d"))
+    assert(Stats.trailingActives(empty, "u", "d", 7).count() == 0L)
+  }
+
+  test("pageRankIntWeighted rejects non-positive weights on both paths") {
+    import graft.operators.Graph
+    val bad = Seq((1L, 2L, 0L), (2L, 3L, 4L)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankIntWeighted(bad, iterations = 2)
+    }
+    assert(e.getMessage.contains("weight > 0"))
+    // the same rejection fires when the graph would take the
+    // distributed path (driverEdgeLimit forced to 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.pageRankIntWeighted(bad, iterations = 2, driverEdgeLimit = 0L)
+    }
+    assert(e2.getMessage.contains("weight > 0"))
+  }
+
   test("groupOls recovers an exact linear relation") {
     // y = 3x + 7 for key 1; key 2 has zero x-variance -> dropped
     val df = Seq((1L, 0L, 7L), (1L, 1L, 10L), (1L, 2L, 13L), (1L, 5L, 22L),

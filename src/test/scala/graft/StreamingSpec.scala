@@ -746,6 +746,98 @@ class StreamingSpec extends SparkTestBase {
     assert(tbl(restored.index.postings) == tbl(rebuilt.postings))
     assert(tbl(restored.index.docmeta) == tbl(rebuilt.docmeta))
   }
+  test("similarity maintainer keeps the PPJoin pair set live to batch parity") {
+    import graft.operators.Dedup
+    def prs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "unrelated words entirely different here"),
+      (4L, "alpha beta gamma delta epsilon"))
+    val m = new Streaming.SimilarityMaintainer(v0.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2,
+      deleteCol = Some("del"))
+    var corpus: Map[Long, String] = v0.toMap
+    def expect() = prs(Dedup.ppJoin(corpus.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2))
+    assert(prs(m.pairs) == expect(), "initial pair set != batch ppJoin")
+    def batch(rows: Seq[(Long, String, Boolean)], label: String): Unit = {
+      m.applyBatch(rows.toDF("doc_id", "text", "del"))
+      rows.foreach { case (id, txt, del) =>
+        if (del) corpus -= id else corpus += id -> txt }
+      assert(prs(m.pairs) == expect(),
+        s"streamed pairs != batch ppJoin of the surviving corpus after $label")
+    }
+    // edit toward the cluster + delete an unrelated doc
+    batch(Seq((2L, "alpha beta gamma delta epsilon", false), (3L, null, true)),
+      "edit+delete")
+    // add a partial overlap + edit a cluster member AWAY (its old pairs
+    // must die with it)
+    batch(Seq((5L, "alpha beta gamma other words", false),
+      (4L, "now completely changed text", false)), "add+edit-away")
+    // unchanged re-send (no-op: survivors keep their carried jaccard)
+    // + delete of an absent id (no-op)
+    batch(Seq((2L, "alpha beta gamma delta epsilon", false),
+      (99L, null, true)), "no-op batch")
+    // delete a cluster member + re-add an id that matches the cluster
+    batch(Seq((1L, null, true),
+      (6L, "alpha beta gamma delta zeta", false)), "delete+re-add")
+    // seeded random history: the invariant must hold on arbitrary
+    // upsert/delete interleavings, not just the scripted edges
+    val rnd = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    (1 to 3).foreach { i =>
+      val rows = (1 to 4).map { _ =>
+        val id = 1L + rnd.nextInt(10)
+        if (rnd.nextInt(4) == 0) (id, null: String, true)
+        else (id, Seq.fill(5)(words(rnd.nextInt(words.size))).mkString(" "),
+          false)
+      }.groupBy(_._1).map(_._2.head).toSeq // ids unique within a batch
+      batch(rows, s"random batch $i")
+    }
+  }
+
+  test("similarity maintainer checkpoint/restore resumes without the corpus") {
+    import graft.operators.Dedup
+    def prs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "unrelated words entirely different here"))
+    val live = new Streaming.SimilarityMaintainer(v0.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2,
+      deleteCol = Some("del"))
+    def batch(mm: Streaming.SimilarityMaintainer,
+              rows: Seq[(Long, String, Boolean)]): Unit =
+      mm.applyBatch(rows.toDF("doc_id", "text", "del"))
+    val b1 = Seq((4L, "alpha beta gamma delta epsilon", false),
+      (3L, null, true))
+    val b2 = Seq((2L, "now entirely rewritten words", false),
+      (5L, "alpha beta gamma delta other", false))
+    batch(live, b1)
+    val dir = java.nio.file.Files.createTempDirectory("simckpt").toString
+    live.checkpoint(dir)
+    batch(live, b2)
+    // the restored maintainer resumes from disk alone — no corpus text
+    // anywhere — and must track the live one through the same b2
+    val restored = Streaming.SimilarityMaintainer.restore(spark, dir,
+      threshold = 0.5, shingleN = 2, deleteCol = Some("del"))
+    batch(restored, b2)
+    assert(prs(restored.pairs) == prs(live.pairs),
+      "restored pair set diverged from the live maintainer")
+    val surviving = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "now entirely rewritten words"),
+      (4L, "alpha beta gamma delta epsilon"),
+      (5L, "alpha beta gamma delta other"))
+    assert(prs(restored.pairs) == prs(Dedup.ppJoin(
+      surviving.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleN = 2)),
+      "restored pair set != batch ppJoin of the surviving corpus")
+  }
+
   test("streaming LOCF emits the batch grid prefix below each key's last obs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
