@@ -6409,6 +6409,78 @@ object Queries {
        |FROM cc LEFT JOIN nb ON nb.cid = cc.id""".stripMargin
   }
 
+  /** Exponentially-decayed event popularity per type
+    * (Stats.decayedCounts): power-of-two decay keeps the whole
+    * freshness-weighted score EXACT in int64 (2^(30−age) per event, 0
+    * past the horizon), order-independent, with one lossless final
+    * division by 2^30 — the trending/recency-quota ranking that a
+    * multiplicative 0.97^age decay can never sum engine-exactly. The
+    * newest-day bound rides a one-row cross join, lazily. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.decayedCounts(ev, "event_type", "day", horizonDays = 30)
+  }
+
+  private val q159Sql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d FROM events),
+      |m AS (SELECT max(d) AS maxd FROM e),
+      |w AS (
+      |  SELECT event_type,
+      |    CASE WHEN maxd - d <= 30
+      |         THEN CAST(1 AS BIGINT) << CAST(30 - (maxd - d) AS INT)
+      |         ELSE 0 END AS wt
+      |  FROM e, m)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(wt) AS BIGINT) AS decayed,
+      |  CAST(sum(wt) AS DOUBLE) / 1073741824.0 AS score
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** Directed containment dedup signal (Dedup.containmentJoin): every
+    * ordered (a, b) with |Sₐ∩S_b|/|Sₐ| >= 0.9 over 3-gram shingles —
+    * the boilerplate-wrapped-copy detector symmetric Jaccard misses.
+    * Fixture plants a syndication-wrapper copy of every 13th doc
+    * (original text + appended footer), so each original is fully
+    * contained in its wrapper while their Jaccard shrinks with the
+    * wrapper; candidates pair only the contained side's rarest-shingle
+    * prefix against the posting lists (no false negatives — the
+    * asymmetric prefix-filter bound), the oracle is the brute-force
+    * all-ordered-pairs join, so the hash match certifies exact
+    * recall. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val wrapped = docs.where(pmod(col("doc_id"), lit(13L)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" standard footer boilerplate appended by syndication wrapper"))
+          .as("text"))
+    Dedup.containmentJoin(docs.unionByName(wrapped), "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  private val q160Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    text || ' standard footer boilerplate appended by syndication wrapper'
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+       |sh AS (SELECT doc_id, $shinglesSql AS ts FROM toks),
+       |h AS (
+       |  SELECT doc_id, list_transform(ts, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(ts) > 0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b,
+       |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / len(a.hs), 6) AS containment
+       |FROM h a JOIN h b ON a.doc_id != b.doc_id
+       |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / len(a.hs) >= 0.9""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6572,5 +6644,7 @@ object Queries {
     "q155_exact_mad" -> Q(q155, Some(q155Sql)),
     "q156_ppjoin_exact" -> Q(q156, Some(q156Sql)),
     "q157_ppjoin_incremental" -> Q(q157, Some(q157Sql)),
-    "q158_video_neardup" -> Q(q158, Some(q158Sql)))
+    "q158_video_neardup" -> Q(q158, Some(q158Sql)),
+    "q159_decayed_popularity" -> Q(q159, Some(q159Sql)),
+    "q160_containment_join" -> Q(q160, Some(q160Sql)))
 }

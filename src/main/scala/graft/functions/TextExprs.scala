@@ -379,6 +379,50 @@ case class JaccardThresholdLongs(left: Expression, right: Expression, threshold:
     copy(left = l, right = r)
 }
 
+/** Threshold-pruned CONTAINMENT of the left sorted distinct long array
+  * in the right one: C(A→B) = |A∩B| / |A| — the asymmetric sibling of
+  * [[JaccardThresholdLongs]], the signal for "this doc is a
+  * boilerplate-wrapped copy of that one", which symmetric Jaccard
+  * misses when the wrapper dwarfs the payload. Same merge-scan with an
+  * exact upper-bound bail-out (inter + min remaining < t·|A| ⇒ no
+  * suffix can reach the threshold); returns null below the threshold,
+  * never a wrong value. Empty A (or B) is null — containment of
+  * nothing is undefined, and callers' shingle scans drop empties.
+  */
+case class ContainmentThresholdLongs(left: Expression, right: Expression,
+                                     threshold: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "containment_threshold"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"containment_threshold needs two array<long>, got $t")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return null
+    // the intersection can never exceed |B|
+    if (m.toDouble < threshold * n) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val maxInter = inter + math.min(n - i, m - j)
+        if (maxInter.toDouble < threshold * n) return null
+      }
+    }
+    val c = inter.toDouble / n
+    if (c >= threshold) Double.box(c) else null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentThresholdLongs =
+    copy(left = l, right = r)
+}
+
 /** Sliding token-window chunk spans in ONE pass over the token array:
   * windows of `chunkTokens` advancing by `chunkTokens - overlap`, the
   * last truncated at the document end, trailing starts that would only

@@ -404,6 +404,12 @@ package object functions {
   def jaccard_threshold(a: Column, b: Column, t: Double): Column =
     ExprBridge.column(JaccardThresholdLongs(col2expr(a), col2expr(b), t))
 
+  /** Containment |a∩b|/|a| of sorted distinct long array `a` in `b`,
+    * null below the threshold (exact early exit — see
+    * ContainmentThresholdLongs). */
+  def containment_threshold(a: Column, b: Column, t: Double): Column =
+    ExprBridge.column(ContainmentThresholdLongs(col2expr(a), col2expr(b), t))
+
   /** Hamming distance between two long bit-patterns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -284,6 +284,44 @@ object Stats {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** EXACT exponentially-decayed popularity per key: each event aged
+    * `age` days (relative to the stream's newest day) weighs
+    * 2^(horizon − age), events older than `horizon` days weigh 0, and
+    *
+    *   score = Σ weights / 2^horizon   ∈ (0, n]
+    *
+    * — the freshness-weighted ranking (trending sources, recency-biased
+    * sampling quotas) with NO floating-point accumulation: powers of
+    * two make the decay EXACT in int64 (a multiplicative 0.97^age decay
+    * cannot be summed exactly in any order-independent way), the sum is
+    * an order-independent long total, and the single final division by
+    * a power of two is lossless in IEEE — engine-exact by construction.
+    * Per-day halving; choose coarser decay by bucketing dayCol first.
+    *
+    * Scale: the newest-day bound rides a one-row cross join (lazy — the
+    * [[trailingActives]] discipline), weights are computed row-local
+    * (variable shiftleft), and ONE map-side-combining groupBy(key)
+    * carries two longs per key. `horizon` ≤ 62 keeps 2^horizon in
+    * int64; Σ 2^horizon · rows must fit int64 (horizon 30 leaves room
+    * for 8 billion same-day events per key). */
+  def decayedCounts(df: DataFrame, keyCol: String, dayCol: String,
+                    horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0 && horizonDays <= 62,
+      s"horizonDays must be in [0, 62], got $horizonDays")
+    val ev = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
+    val bound = ev.agg(max(col("__d")).as("__maxd"))
+    ev.crossJoin(bound)
+      .withColumn("__age", col("__maxd") - col("__d"))
+      .withColumn("__w",
+        when(col("__age") <= horizonDays,
+          expr(s"shiftleft(1L, cast(${horizonDays}L - __age as int))"))
+          .otherwise(lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("decayed"))
+      .withColumn("score",
+        col("decayed").cast("double") / lit(math.pow(2.0, horizonDays)))
+  }
+
   /** EXACT per-group median of an integer column, reported DOUBLED
     * (lower middle + upper middle) so the even-count midpoint stays an
     * integer — no floating point anywhere, engine-exact by

@@ -359,6 +359,45 @@ class OperatorSpec extends SparkTestBase {
     assert(pairs(0).getAs[Long]("hamming") <= 6L)
   }
 
+  test("videoNearDupClips merges shifted variants, prunes non-keyframes, enforces the vote") {
+    // two clip groups, two temporal-shift variants each: 8 frames, two
+    // scenes, the cut at frame 4 (clips 1, 3) or 5 (clips 2, 4) — all
+    // four land keyframes at 2 and 6 for v=0 / 2 and 6 for v=1 (5>>1=2,
+    // 5+(3>>1)=6), so the matching below is content-based regardless
+    def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
+    val clips = Seq((1L, series(0)), (2L, series(1)),
+      (3L, series(0)), (4L, series(1))).toDF("clip_id", "series")
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    // scene 0 content is SHARED across the two groups -> exactly one
+    // matching keyframe pair between cross-group clips, which must stay
+    // below minVotes = 2; scene 1 content is per-group
+    def mat(group: Int, scene: Int) =
+      Seq.tabulate(8, 9)((i, j) => px(if (scene == 0) 7 else group, i, j))
+    // POISON non-keyframe frames: identical flat content on every clip —
+    // if the keyframe join failed to prune the frame store, these would
+    // pair every clip with every other and merge everything into one
+    // cluster
+    val flat = Seq.fill(8)(Seq.fill(9)(128.0))
+    val frames = (for {
+      c <- 1L to 4L
+      group = if (c <= 2) 1 else 2
+      (idx, m) <- Seq((2L, mat(group, 0)), (6L, mat(group, 1)),
+        (0L, flat), (3L, flat), (7L, flat))
+    } yield (c, idx, m)).toDF("clip_id", "frame_idx", "matrix")
+    val out = Dedup.videoNearDupClips(clips, frames, "clip_id", "series",
+        "frame_idx", "matrix", cutThreshold = 5000.0, maxHamming = 6,
+        minVotes = 2)
+      .orderBy("clip_id").collect()
+    assert(out.map(_.getAs[Long]("cluster_id")).toSeq == Seq(1L, 1L, 3L, 3L),
+      "expected the two shift-variant groups, unmerged across groups")
+    assert(out.map(_.getAs[Boolean]("is_canonical")).toSeq ==
+      Seq(true, false, true, false))
+    assert(out.forall(_.getAs[Long]("n_dup_neighbors") == 1L))
+    assert(out.forall(_.getAs[Long]("max_votes") == 2L),
+      "both scenes must vote for the in-group pair")
+  }
+
   test("dhash_bands nulls malformed matrices and is shape-generic") {
     val ok = Seq.tabulate(32, 36)((i, j) => (i * 7 + j * 13) % 256.0) // 2x scale
     val ragged = Seq(Seq.fill(18)(1.0), Seq.fill(17)(1.0)) ++
@@ -770,6 +809,50 @@ class OperatorSpec extends SparkTestBase {
       } yield (a, b)).toSet
       assert(got == want, s"trial=$trial t=$t")
     }
+  }
+
+  test("containmentJoin recall equals the brute-force directed join") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    for (trial <- 1 to 3; t <- Seq(0.5, 0.8)) {
+      val docs = (1L to 40L).map { id =>
+        (id, Seq.fill(2 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.containmentJoin(docs.toDF("doc_id", "text"),
+          "doc_id", "text", t, shingleN = 1) // token sets match the oracle
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }.toMap
+      // DIRECTED pairs: a's coverage by b — both orders can qualify
+      val want = (for {
+        a <- sets.keys; b <- sets.keys; if a != b
+        c = sets(a).intersect(sets(b)).size.toDouble / sets(a).size
+        if c >= t
+      } yield (a, b)).toSet
+      assert(got == want, s"trial=$trial t=$t")
+    }
+  }
+
+  test("decayedCounts weighs events by exact powers of two inside the horizon") {
+    import graft.operators.Stats
+    // key A: events at ages 0, 1, 3 (relative to global max day 10) ->
+    // 2^4 + 2^3 + 2^1; key B: one event past the 4-day horizon -> 0
+    // weight but still counted
+    val df = Seq(("a", 10L), ("a", 9L), ("a", 7L), ("b", 2L))
+      .toDF("k", "day")
+    val out = Stats.decayedCounts(df, "k", "day", horizonDays = 4)
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("n_events") == 3L)
+    assert(out(0).getAs[Long]("decayed") == 16L + 8L + 2L)
+    assert(out(0).getAs[Double]("score") == 26.0 / 16.0)
+    assert(out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Long]("decayed") == 0L &&
+      out(1).getAs[Double]("score") == 0.0)
+    // empty input: lazy-safe, no rows (the trailingActives discipline)
+    val empty = spark.range(0).select(col("id").as("k"), col("id").as("day"))
+    assert(Stats.decayedCounts(empty, "k", "day", 7).count() == 0L)
   }
 
   test("ppJoinDelta maintains full-rebuild parity on random re-crawls") {
