@@ -6481,6 +6481,95 @@ object Queries {
        |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |      / len(a.hs) >= 0.9""".stripMargin
 
+  /** Linear-interpolation grid resample (AsOf.gridResampleLinear): each
+    * user's irregular cents series snapped to a 6-hour micro-second
+    * grid, every grid point interpolated between its bracketing
+    * observations with EXACT integer floor arithmetic
+    * (v0·(t1−g)+v1·(g−t0) floor-div (t1−t0), spelled pmod-subtract so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree on
+    * negative numerators); the LOCF tail past each user's last
+    * observation carries v0, points before the first drop. The
+    * continuous-signal sibling of q127's LOCF grid; two merge as-of
+    * passes (backward + forward on the negated axis), never a window
+    * over raw rows. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        cents(col("value")).as("v"))
+      .groupBy("user_id", "us").agg(max(col("v")).as("v"))
+    AsOf.gridResampleLinear(obs, "user_id", "us", "v",
+      stepNs = 21600000000L)
+  }
+
+  private val q161Sql =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         max(CAST(round(value*100) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT CAST(min(us) AS BIGINT) AS tmin,
+      |             CAST(max(us) AS BIGINT) AS tmax FROM o),
+      |gs AS (
+      |  SELECT unnest(range(
+      |    (tmin + 21600000000 - 1) // 21600000000 * 21600000000,
+      |    tmax // 21600000000 * 21600000000 + 1,
+      |    21600000000)) AS g
+      |  FROM b),
+      |grid AS (
+      |  SELECT k.user_id, gs.g
+      |  FROM (SELECT DISTINCT user_id FROM o) k, gs),
+      |bk AS (
+      |  SELECT g.user_id, g.g, o.us AS t0, o.v AS v0
+      |  FROM grid g
+      |  ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.g >= o.us),
+      |fw AS (
+      |  SELECT bk.user_id, bk.g, bk.t0, bk.v0, o2.us AS t1, o2.v AS v1
+      |  FROM bk
+      |  ASOF LEFT JOIN o o2 ON bk.user_id = o2.user_id AND bk.g <= o2.us),
+      |iv AS (
+      |  SELECT user_id, g, t0, v0, t1, v1,
+      |    v0 * (t1 - g) + v1 * (g - t0) AS num, t1 - t0 AS den
+      |  FROM fw WHERE t0 IS NOT NULL)
+      |SELECT user_id, CAST(g AS BIGINT) AS us,
+      |  CAST(CASE WHEN t1 IS NULL OR den = 0 THEN v0
+      |       ELSE (num - ((num % den) + den) % den) // den END AS BIGINT) AS v
+      |FROM iv""".stripMargin
+
+  /** Integer EWMA baseline per user (functions.ewma_shift): alpha = 1/8
+    * as pure floor arithmetic — s' = s + ((x−s) >> 3) — so the trailing
+    * anomaly/drift baseline is EXACT and order-stable where an IEEE
+    * 0.875·s + 0.125·x recurrence drifts in the last ulp across
+    * engines. One O(n) kernel pass per user over the sorted cents
+    * series (the q144 token-bucket discipline); the oracle replays the
+    * recurrence with a recursive CTE using the sign-safe floor spelling
+    * (d − ((d%8+8)%8)) // 8, which `>>` equals for all signs. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        cents(col("value")).as("v")))).as("srt"))
+      .select(col("user_id"), transform(col("srt"), x => x("v")).as("xs"))
+    series
+      .select(col("user_id"), col("xs"),
+        posexplode(ewma_shift(col("xs"), 3)).as(Seq("pos", "s")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
+        element_at(col("xs"), col("pos") + 1).as("x"), col("s"))
+  }
+
+  private val q162Sql =
+    """WITH RECURSIVE s0 AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, x, x AS s FROM s0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.user_id, n.rn, n.x,
+      |    r.s + (n.x - r.s - (((n.x - r.s) % 8 + 8) % 8)) // 8
+      |  FROM r JOIN s0 n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+      |SELECT user_id, CAST(rn AS BIGINT) AS rn, x, CAST(s AS BIGINT) AS s
+      |FROM r""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6646,5 +6735,7 @@ object Queries {
     "q157_ppjoin_incremental" -> Q(q157, Some(q157Sql)),
     "q158_video_neardup" -> Q(q158, Some(q158Sql)),
     "q159_decayed_popularity" -> Q(q159, Some(q159Sql)),
-    "q160_containment_join" -> Q(q160, Some(q160Sql)))
+    "q160_containment_join" -> Q(q160, Some(q160Sql)),
+    "q161_linear_resample_grid" -> Q(q161, Some(q161Sql)),
+    "q162_integer_ewma" -> Q(q162, Some(q162Sql)))
 }

@@ -735,3 +735,44 @@ case class HausdorffL1(left: Expression, right: Expression, posWeight: Long)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HausdorffL1 =
     copy(left = l, right = r)
 }
+
+/** Integer EWMA over one entity's ordered long series with rational
+  * smoothing factor alpha = 1/2^shift:
+  *
+  *   s_0 = x_0;   s_i = s_{i-1} + floor((x_i − s_{i-1}) / 2^shift)
+  *
+  * — the trailing baseline an anomaly/drift monitor keeps per key,
+  * EXACT and engine-replayable because the floor of a power-of-two
+  * division is plain integer arithmetic (an IEEE 0.97·s + 0.03·x
+  * recurrence drifts in the last ulp across engines and is
+  * order-hostile). Floor (arithmetic shift), NOT truncation, so
+  * negative deviations round the same way positive ones do — the
+  * DuckDB replay spells it `(d − ((d % m + m) % m)) // m`, which this
+  * `>>` equals for all signs. One O(n) pass per entity; returns the
+  * full smoothed series (same length), null input stays null. */
+case class EwmaShiftLongs(child: Expression, shift: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(shift >= 0 && shift <= 62, s"ewma_shift needs shift in [0, 62], got $shift")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ewma_shift"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ewma_shift needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      val x = arr.getLong(i)
+      s = if (i == 0) x else s + ((x - s) >> shift)
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EwmaShiftLongs =
+    copy(child = newChild)
+}

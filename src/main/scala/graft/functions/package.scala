@@ -440,4 +440,10 @@ package object functions {
                    costMilli: Long, ticksPerSecond: Long = 1000000L): Column =
     ExprBridge.column(TokenBucket(col2expr(ts), capacityMilli,
       refillMilliPerSec, costMilli, ticksPerSecond))
+
+  /** Integer EWMA (alpha = 1/2^shift) over an ordered long series —
+    * exact floor arithmetic, full smoothed series out (see
+    * [[EwmaShiftLongs]]). */
+  def ewma_shift(series: Column, shift: Int): Column =
+    ExprBridge.column(EwmaShiftLongs(col2expr(series), shift))
 }

@@ -158,6 +158,71 @@ object AsOf {
     asofJoinMerge(grid, obs, key, ts, inner)
   }
 
+  /** [[gridResample]] with LINEAR interpolation instead of LOCF — the
+    * resampling a continuous signal (sensor series, price curve, audio
+    * envelope) wants where a step signal wants carry-forward. Each
+    * (key, grid point g) finds its bracketing observations via TWO
+    * merge as-of passes (backward for (t0, v0), forward for (t1, v1))
+    * and interpolates with EXACT integer arithmetic:
+    *
+    *   v(g) = floor( (v0·(t1−g) + v1·(g−t0)) / (t1−t0) )
+    *
+    * — the floor division is spelled `(num − pmod(num, den)) div den`
+    * so both engines floor identically for negative numerators (Spark's
+    * `div` truncates toward zero, DuckDB's `//` floors; the explicit
+    * remainder subtraction makes the quotient exact in both). Grid
+    * points at-or-after a key's last observation carry v0 (the LOCF
+    * tail — no forward extrapolation invents data); points before the
+    * first observation drop (inner semantics, as in [[gridResample]]).
+    * An observation exactly on a grid point brackets itself (t0 = t1)
+    * and passes through untouched.
+    *
+    * `valueCol` must be integral and the caller keeps v·(t1−t0) inside
+    * int64 (the groupOls discipline — e.g. integer cents × micro-second
+    * gaps over a bounded horizon, NOT nanos over years). Same scale
+    * shape as [[gridResample]]: two-literal bounds, per-key distributed
+    * grid build, one shuffle + sort per as-of side. */
+  def gridResampleLinear(obs: DataFrame, key: String, ts: String,
+                         valueCol: String, stepNs: Long): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive, got $stepNs")
+    val o = obs.select(col(key), col(ts).cast("long").as(ts),
+      col(valueCol).cast("long").as(valueCol))
+    val bounds = o.agg(min(col(ts)).cast("long"), max(col(ts)).cast("long"))
+      .head()
+    val keys = o.select(col(key)).distinct()
+    val grid =
+      if (bounds.isNullAt(0))
+        keys.select(col(key), lit(0L).as(ts)).where(lit(false))
+      else {
+        val first = Math.floorDiv(bounds.getLong(0) + stepNs - 1, stepNs) * stepNs
+        val last = Math.floorDiv(bounds.getLong(1), stepNs) * stepNs
+        if (first > last)
+          keys.select(col(key), lit(0L).as(ts)).where(lit(false))
+        else
+          keys.select(col(key),
+            explode(sequence(lit(first), lit(last), lit(stepNs))).as(ts))
+      }
+    val back = asofJoinMerge(grid,
+      o.select(col(key), col(ts), col(valueCol).as("__v0"),
+        col(ts).as("__t0")),
+      key, ts, inner = false)
+    val both = asofJoinForward(back,
+      o.select(col(key), col(ts), col(valueCol).as("__v1"),
+        col(ts).as("__t1")),
+      key, ts, inner = false)
+    both
+      .where(col("__t0").isNotNull) // no backward extrapolation
+      .withColumn("__num", col("__v0") * (col("__t1") - col(ts))
+        + col("__v1") * (col(ts) - col("__t0")))
+      .withColumn("__den", col("__t1") - col("__t0"))
+      .select(col(key), col(ts),
+        when(col("__t1").isNull || col("__den") === 0L, col("__v0"))
+          // `div` truncates; subtracting the (nonnegative) pmod first
+          // makes the quotient exact, i.e. a true floor
+          .otherwise(expr("(__num - pmod(__num, __den)) div __den"))
+          .as(valueCol))
+  }
+
   /** As-of join with a STALENESS BOUND (pandas `merge_asof(...,
     * tolerance=...)`): the latest right row at-or-before each left ts,
     * but only if it is at most `tolerance` old — a quote matched to a

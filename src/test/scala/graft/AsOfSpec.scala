@@ -100,6 +100,31 @@ class AsOfSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("k", "ts", "v"))
   }
 
+  test("gridResampleLinear interpolates between brackets, LOCF tail, exact floor") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, 0L, 0L), (1L, 30L, 9L),   // grid 10 -> floor(9*10/30)=3, 20 -> 6
+      (1L, 35L, -10L),               // grid 30 is an exact obs -> 9
+      (2L, 5L, 100L))                // single obs: grid 10..40 all LOCF 100
+      .toDF("k", "ts", "v")
+    val out = AsOf.gridResampleLinear(obs, "k", "ts", "v", stepNs = 10L)
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // bounds [0, 35] -> grid {0, 10, 20, 30}
+    assert(out == Seq((1L, 0L, 0L), (1L, 10L, 3L), (1L, 20L, 6L),
+      (1L, 30L, 9L),
+      (2L, 10L, 100L), (2L, 20L, 100L), (2L, 30L, 100L)))
+    // negative-numerator floor: v0=0 at ts 0, v1=-7 at ts 30 ->
+    // grid 10: floor(-70/30) = -3 (NOT the -2 a truncating div gives)
+    val neg = Seq((1L, 0L, 0L), (1L, 30L, -7L)).toDF("k", "ts", "v")
+    val negOut = AsOf.gridResampleLinear(neg, "k", "ts", "v", stepNs = 10L)
+      .orderBy("ts").collect().map(_.getLong(2)).toSeq
+    assert(negOut == Seq(0L, -3L, -5L, -7L))
+    // empty input degrades to an empty frame with the right schema
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "v")
+    assert(AsOf.gridResampleLinear(empty, "k", "ts", "v", 10L).count() == 0)
+  }
+
   test("asofJoinTolerance drops or nulls too-stale matches") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 50L, "b"), (2L, 5L, "c"))

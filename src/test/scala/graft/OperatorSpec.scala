@@ -855,6 +855,23 @@ class OperatorSpec extends SparkTestBase {
     assert(Stats.decayedCounts(empty, "k", "day", 7).count() == 0L)
   }
 
+  test("ewma_shift matches the reference recurrence, flooring negatives") {
+    val series = Seq(100L, 0L, 0L, 0L, 50L, -100L, 7L)
+    def ref(xs: Seq[Long], k: Int): Seq[Long] =
+      xs.tail.scanLeft(xs.head)((s, x) => s + Math.floorDiv(x - s, 1L << k))
+    for (k <- Seq(0, 1, 3)) {
+      val out = Seq(Tuple1(series)).toDF("xs")
+        .select(graft.functions.ewma_shift(col("xs"), k).as("s"))
+        .collect().head.getSeq[Long](0).toSeq
+      assert(out == ref(series, k), s"k=$k")
+    }
+    // floor, not truncation: x=-1 below s=0 must move the baseline DOWN
+    val neg = Seq(Tuple1(Seq(0L, -1L))).toDF("xs")
+      .select(graft.functions.ewma_shift(col("xs"), 3).as("s"))
+      .collect().head.getSeq[Long](0).toSeq
+    assert(neg == Seq(0L, -1L), "floor((-1-0)/8) must be -1, not 0")
+  }
+
   test("ppJoinDelta maintains full-rebuild parity on random re-crawls") {
     import graft.operators.{Dedup, Snapshot}
     val rnd = new scala.util.Random(71)
