@@ -205,6 +205,42 @@ object Streaming {
       .toDF("k", "ts", "granted")
   }
 
+  /** Streaming integer EWMA — the live twin of the q162
+    * [[graft.functions.ewma_shift]] kernel: per key the trailing
+    * baseline s' = s + ((x − s) >> shift) updates as events arrive,
+    * emitting (k, ts, x, s) per observation. TWO LONGS of state per key
+    * (count, baseline) — the [[streamingTokenBucket]] shape: exact
+    * integer recurrence, so the streamed baseline equals the batch
+    * kernel over the same history bit-for-bit (StreamingSpec), which no
+    * IEEE alpha-blend recurrence can promise across replays. Rows sort
+    * by ts within each micro-batch; cross-batch order is the stream's
+    * delivery contract (same as every stateful recurrence here). */
+  def streamingEwma(obs: DataFrame, shift: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(shift >= 0 && shift <= 62,
+      s"streamingEwma needs shift in [0, 62], got $shift")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("ts").cast("long"),
+        col("x").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          val out = sorted.map { case (_, t, x) =>
+            s = if (n == 0L) x else s + ((x - s) >> shift)
+            n += 1
+            (k, t, x, s)
+          }
+          state.update((n, s))
+          out.iterator
+      }
+      .toDF("k", "ts", "x", "s")
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

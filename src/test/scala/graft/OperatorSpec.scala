@@ -872,6 +872,26 @@ class OperatorSpec extends SparkTestBase {
     assert(neg == Seq(0L, -1L), "floor((-1-0)/8) must be -1, not 0")
   }
 
+  test("ppJoinAgainst equals the fresh-touching slice of the full ppJoin") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def text() = Seq.fill(4 + rnd.nextInt(6))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 25L).map(i => (i, text()))
+    val fresh = (26L to 34L).map(i => (i, text()))
+    def prs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = prs(Dedup.ppJoinAgainst(fresh.toDF("doc_id", "text"),
+      corpus.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      shingleN = 2))
+    val freshIds = fresh.map(_._1).toSet
+    val want = prs(Dedup.ppJoin((corpus ++ fresh).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2))
+      .filter(p => freshIds(p._1) || freshIds(p._2))
+    assert(got == want)
+  }
+
   test("ppJoinDelta maintains full-rebuild parity on random re-crawls") {
     import graft.operators.{Dedup, Snapshot}
     val rnd = new scala.util.Random(71)

@@ -463,6 +463,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"unexpected extra single-partition moves:\n$plan")
   }
 
+  test("containmentJoin candidates ride equi-joins, never a cartesian") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma tok"), col("id") % 17).as("text"))
+    val plan = graft.operators.Dedup.containmentJoin(docs, "doc_id", "text",
+        threshold = 0.8, shingleN = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from the prefix equi-join:\n$plan")
+    assert(!plan.contains("Window"), s"no windows in the pair path:\n$plan")
+  }
+
+  test("decayedCounts broadcasts the one-row bound and partial-aggregates") {
+    val df = spark.range(100000).select((col("id") % 31).as("k"),
+      (col("id") % 365).as("day"))
+    val plan = graft.operators.Stats.decayedCounts(df, "k", "day", 30)
+      .queryExecution.executedPlan.toString
+    // the newest-day bound is a one-row aggregate joined by broadcast
+    // nested loop — NOT an eager head() (lazy plan) and NOT a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bound must ride a broadcast one-row join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"per-key roll-up must partial-aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no windows:\n$plan")
+  }
+
   test("collocations tokenizes once and broadcasts the term-df sides") {
     val docs = spark.range(300)
       .select(col("id").as("doc_id"),

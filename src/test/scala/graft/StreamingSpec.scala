@@ -872,6 +872,34 @@ class StreamingSpec extends SparkTestBase {
       assert(out == batch)
     } finally q.stop()
   }
+  test("streaming EWMA equals the batch kernel over the history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.streamingEwma(mem.toDF().toDF("k", "ts", "x"),
+        shift = 3)
+      .writeStream.format("memory").queryName("ew").outputMode("append")
+      .start()
+    try {
+      // state must carry the baseline across the batch boundary, and
+      // the negative deviation must FLOOR (baseline moves down)
+      mem.addData((1L, 1L, 100L), (1L, 2L, 0L), (2L, 1L, 0L))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 0L), (2L, 2L, -1L))
+      q.processAllAvailable()
+      val out = spark.table("ew").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val batchOf = Map(1L -> Seq(100L, 0L, 0L), 2L -> Seq(0L, -1L))
+      val batch = batchOf.toSeq.map { case (k, xs) => (k, xs) }
+        .toDF("k", "xs")
+        .select(col("k"),
+          posexplode(graft.functions.ewma_shift(col("xs"), 3)))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1) + 1L, r.getLong(2))).toSet
+      assert(out == batch,
+        "streamed EWMA baselines != batch kernel over the same history")
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals the batch kernel over the history") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
