@@ -6246,68 +6246,81 @@ object Queries {
     * cut detection, shot grouping, mid-shot keyframes, the frame-table
     * rows, pixel synthesis, dHash band folds, banded candidates, Hamming
     * verify, the vote, and the recursive-CTE transitive closure. */
-  private def q158(s: SparkSession, dir: String): DataFrame = {
-    val clipsBase = t(s, dir, "part")
+  /** Shared q158/q163 video-fixture roster: every 4th block of four
+    * part keys, four temporal-shift variants per base, noise tag 'vnz'. */
+  private def videoRoster0(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
       .where(pmod(col("p_partkey"), lit(16L)) < 4)
       .select(col("p_partkey").as("clip_id"),
         (col("p_partkey") - pmod(col("p_partkey"), lit(4L))).as("base"),
-        pmod(col("p_partkey"), lit(4L)).as("v"))
-    // planted shot structure: 48 frames, scene boundaries at 12j + v
-    // (variant v shifts every cut by v frames); series value jumps
-    // 10000 per scene so detection at threshold 5000 recovers exactly
-    // the planted cuts
-    val clipSeries = clipsBase.select(col("clip_id"),
+        pmod(col("p_partkey"), lit(4L)).as("v"),
+        lit("vnz").as("ntag"))
+
+  /** Per-clip series over a (clip_id, v) roster — planted shot
+    * structure: 48 frames, scene boundaries at 12j + v (variant v
+    * shifts every cut by v frames); values jump 10000 per scene so
+    * detection at threshold 5000 recovers exactly the planted cuts. */
+  private def videoSeries(roster: DataFrame): DataFrame =
+    roster.select(col("clip_id"),
       transform(sequence(lit(0), lit(47)), f =>
         ((f >= lit(12) + col("v")).cast("long") +
           (f >= lit(24) + col("v")).cast("long") +
           (f >= lit(36) + col("v")).cast("long")).cast("double") * 10000.0)
         .as("series"))
-    // frames table staged to parquet (the q85 discipline — the gate
-    // measures the dedup chain over a columnar frame scan, not md5
-    // synthesis): per clip the four keyframe rows (content keyed on
-    // (base, scene) + per-(clip, frame) noise) and one DECOY frame at
-    // index 1, content keyed on the clip itself — if the keyframe join
-    // failed to prune it, its fingerprint would perturb the pair set
-    // and break parity
-    val frames = stageFixture(s, "q158_frames", dir) {
-      def kfAt(j: Int): Column = {
-        val start = if (j == 0) lit(0L) else lit(12L * j) + col("v")
-        val end = if (j == 3) lit(48L) else lit(12L * (j + 1)) + col("v")
-        start + shiftright(end - start, 1)
-      }
-      val rows = clipsBase.repartition(64, col("clip_id"))
-        .select(col("clip_id"), col("base"), col("v"),
-          explode(array((0 until 4).map(j =>
-            struct(kfAt(j).as("frame_idx"), lit(j.toLong).as("scene"))) :+
-            struct(lit(1L).as("frame_idx"), lit(99L).as("scene")): _*))
-            .as("fr"))
-        .select(col("clip_id"), col("fr.frame_idx").as("frame_idx"),
-          col("fr.scene").as("scene"),
-          when(col("fr.scene") === 99L, col("clip_id")).otherwise(col("base"))
-            .as("pxid"))
-      // 8x9 gray pixels at 6 bytes per md5 (2 hash groups x 6 shift
-      // lanes, plan-time unrolled, lanes past column 8 sliced off) —
-      // the q85 synthesis shape at the minimum dHash grid size
-      def hashRows(tag: String, idc: Column, sc: Column) =
-        transform(sequence(lit(0), lit(7)), r =>
-          transform(sequence(lit(0), lit(1)), g =>
-            md5_long(concat(lit(tag), idc.cast("string"), lit("_"),
-              sc.cast("string"), lit("_"), r.cast("string"), lit("_"),
-              g.cast("string")))))
-      val mat = zip_with(
-        hashRows("vpx", col("pxid"), col("scene")),
-        hashRows("vnz", col("clip_id"), col("frame_idx")),
-        (prow, nrow) => slice(flatten(zip_with(prow, nrow, (hp, hn) =>
-          array((0 until 6).map { k =>
-            (pmod(shiftright(hp, 8 * k), lit(256L)) +
-              pmod(shiftright(hn, 8 * k), lit(3L)) - lit(1L)).cast("double")
-          }: _*))), 1, 9))
-      rows.withColumn("matrix", mat)
-        .select(col("clip_id"), col("frame_idx"), col("matrix"))
-    }.repartition(64, col("clip_id")) // 64 tiny files read as 1 split
-    Dedup.videoNearDupClips(clipSeries, frames, "clip_id", "series",
-      "frame_idx", "matrix", cutThreshold = 5000.0, maxHamming = 6,
-      minVotes = 2, bandBytes = 2)
+
+  /** Frames table for a (clip_id, base, v, ntag) roster — per clip the
+    * four keyframe rows (content keyed on (base, scene) + per-(clip,
+    * frame) noise under the roster's noise tag, so a re-encode is a tag
+    * switch) and one DECOY frame at index 1, content keyed on the clip
+    * itself — if the keyframe join failed to prune it, its fingerprint
+    * would perturb the pair set and break parity. 8x9 gray pixels at 6
+    * bytes per md5 (2 hash groups x 6 shift lanes, plan-time unrolled,
+    * lanes past column 8 sliced off) — the q85 synthesis shape at the
+    * minimum dHash grid size. */
+  private def videoFrames(roster: DataFrame): DataFrame = {
+    def kfAt(j: Int): Column = {
+      val start = if (j == 0) lit(0L) else lit(12L * j) + col("v")
+      val end = if (j == 3) lit(48L) else lit(12L * (j + 1)) + col("v")
+      start + shiftright(end - start, 1)
+    }
+    val rows = roster.repartition(64, col("clip_id"))
+      .select(col("clip_id"), col("base"), col("v"), col("ntag"),
+        explode(array((0 until 4).map(j =>
+          struct(kfAt(j).as("frame_idx"), lit(j.toLong).as("scene"))) :+
+          struct(lit(1L).as("frame_idx"), lit(99L).as("scene")): _*))
+          .as("fr"))
+      .select(col("clip_id"), col("ntag"),
+        col("fr.frame_idx").as("frame_idx"),
+        col("fr.scene").as("scene"),
+        when(col("fr.scene") === 99L, col("clip_id")).otherwise(col("base"))
+          .as("pxid"))
+    def hashRows(tag: Column, idc: Column, sc: Column) =
+      transform(sequence(lit(0), lit(7)), r =>
+        transform(sequence(lit(0), lit(1)), g =>
+          md5_long(concat(tag, idc.cast("string"), lit("_"),
+            sc.cast("string"), lit("_"), r.cast("string"), lit("_"),
+            g.cast("string")))))
+    val mat = zip_with(
+      hashRows(lit("vpx"), col("pxid"), col("scene")),
+      hashRows(col("ntag"), col("clip_id"), col("frame_idx")),
+      (prow, nrow) => slice(flatten(zip_with(prow, nrow, (hp, hn) =>
+        array((0 until 6).map { k =>
+          (pmod(shiftright(hp, 8 * k), lit(256L)) +
+            pmod(shiftright(hn, 8 * k), lit(3L)) - lit(1L)).cast("double")
+        }: _*))), 1, 9))
+    rows.withColumn("matrix", mat)
+      .select(col("clip_id"), col("frame_idx"), col("matrix"))
+  }
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val roster = videoRoster0(s, dir)
+    // frames staged to parquet (the q85 discipline — the gate measures
+    // the dedup chain over a columnar frame scan, not md5 synthesis)
+    val frames = stageFixture(s, "q158_frames", dir)(videoFrames(roster))
+      .repartition(64, col("clip_id")) // 64 tiny files read as 1 split
+    Dedup.videoNearDupClips(videoSeries(roster), frames, "clip_id",
+      "series", "frame_idx", "matrix", cutThreshold = 5000.0,
+      maxHamming = 6, minVotes = 2, bandBytes = 2)
   }
 
   private val q158Sql = {
@@ -6407,6 +6420,128 @@ object Queries {
        |  CAST(coalesce(nb.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
        |  nb.max_votes
        |FROM cc LEFT JOIN nb ON nb.cid = cc.id""".stripMargin
+  }
+
+  /** Incremental video near-dup maintenance
+    * (Dedup.videoNearDupEdgesDelta): after a corpus refresh — every
+    * 16th-block variant 3 REMOVED, variant 2 RE-ENCODED (noise tag
+    * switch: same scenes, new per-frame noise), a fifth variant ADDED
+    * per surviving group — only edges touching an added/changed clip
+    * re-derive (fresh keyframes × full band table); edges with both
+    * clips untouched carry their votes forward (edge votes are local to
+    * the pair — no global state, unlike PPJoin's df order). The oracle
+    * IS the full edge rebuild of v1 (the q157 discipline), so the hash
+    * match proves survivors ∪ delta == rebuild. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    // half of q158's roster (every 8th block of four): the gate pays the
+    // full v0 edge derivation in-gate (the q157 history discipline), so
+    // its fixture is sized to half the q158 corpus to keep registry cost
+    // proportionate; its frames stage under their own key
+    val r0 = videoRoster0(s, dir).where(pmod(col("clip_id"), lit(32L)) < 4)
+    val kept = r0.where(pmod(col("clip_id"), lit(16L)) =!= 3)
+      .select(col("clip_id"), col("base"), col("v"),
+        when(pmod(col("clip_id"), lit(16L)) === 2, "vnz2").otherwise("vnz")
+          .as("ntag"))
+    val added = t(s, dir, "part")
+      .where(pmod(col("p_partkey"), lit(32L)) === 0)
+      .select((col("p_partkey") + 2000000L).as("clip_id"),
+        col("p_partkey").as("base"), lit(0L).as("v"), lit("vnz").as("ntag"))
+    val r1 = kept.unionByName(added)
+    val f0 = stageFixture(s, "q163_frames_v0", dir)(videoFrames(r0))
+      .repartition(64, col("clip_id"))
+    val f1 = stageFixture(s, "q163_frames_v1", dir)(videoFrames(r1))
+      .repartition(64, col("clip_id"))
+    val prevEdges = Dedup.videoNearDupEdges(videoSeries(r0), f0, "clip_id",
+      "series", "frame_idx", "matrix", cutThreshold = 5000.0,
+      maxHamming = 6, minVotes = 2, bandBytes = 2)
+    Dedup.videoNearDupEdgesDelta(videoSeries(r0), f0, prevEdges,
+      videoSeries(r1), f1, "clip_id", "series", "frame_idx", "matrix",
+      cutThreshold = 5000.0, maxHamming = 6, minVotes = 2, bandBytes = 2)
+  }
+
+  private val q163Sql = {
+    val hp = md5LongSql("'vpx' || pxid || '_' || scene || '_' || i || '_' || g")
+    val hn = md5LongSql("ntag || clip || '_' || kf || '_' || i || '_' || g")
+    s"""WITH clips AS (
+       |  SELECT p_partkey AS clip, p_partkey - p_partkey % 4 AS base,
+       |    p_partkey % 4 AS v,
+       |    CASE WHEN p_partkey % 16 = 2 THEN 'vnz2' ELSE 'vnz' END AS ntag
+       |  FROM part WHERE p_partkey % 32 < 4 AND p_partkey % 16 != 3
+       |  UNION ALL
+       |  SELECT p_partkey + 2000000, p_partkey, 0, 'vnz'
+       |  FROM part WHERE p_partkey % 32 = 0),
+       |sf AS (
+       |  SELECT clip, f,
+       |    10000 * (CASE WHEN f >= 12 + v THEN 1 ELSE 0 END
+       |           + CASE WHEN f >= 24 + v THEN 1 ELSE 0 END
+       |           + CASE WHEN f >= 36 + v THEN 1 ELSE 0 END) AS val
+       |  FROM clips, range(48) t(f)),
+       |dl AS (
+       |  SELECT clip, f, val,
+       |    lag(val) OVER (PARTITION BY clip ORDER BY f) AS pv
+       |  FROM sf),
+       |sh AS (
+       |  SELECT clip, f,
+       |    sum(CASE WHEN pv IS NOT NULL AND abs(val - pv) > 5000
+       |        THEN 1 ELSE 0 END) OVER (PARTITION BY clip ORDER BY f) AS shot
+       |  FROM dl),
+       |kfs AS (
+       |  SELECT clip, CAST(min(f) + count(*) // 2 AS BIGINT) AS kf
+       |  FROM sh GROUP BY clip, shot),
+       |fr AS (
+       |  SELECT clip, ntag, frame_idx, scene,
+       |    CASE WHEN scene = 99 THEN clip ELSE base END AS pxid
+       |  FROM (
+       |    SELECT clip, base, v, ntag, j AS scene,
+       |      CASE WHEN j = 0 THEN (12 + v) // 2
+       |           WHEN j = 3 THEN 36 + v + (12 - v) // 2
+       |           ELSE 12 * j + v + 6 END AS frame_idx
+       |    FROM clips, range(4) t(j)
+       |    UNION ALL
+       |    SELECT clip, base, v, ntag, 99 AS scene, 1 AS frame_idx
+       |    FROM clips)),
+       |ki AS (
+       |  SELECT f.clip, f.frame_idx AS kf, f.pxid, f.scene, f.ntag
+       |  FROM kfs k JOIN fr f ON f.clip = k.clip AND f.frame_idx = k.kf),
+       |hx AS (
+       |  SELECT clip, kf, i, g, $hp AS hp, $hn AS hn
+       |  FROM ki, range(8) t(i), range(2) u(g)),
+       |px AS (
+       |  SELECT clip, kf, i, g * 6 + k AS j,
+       |    (hp >> (8 * k)) % 256 + (hn >> (8 * k)) % 3 - 1 AS p
+       |  FROM hx, range(6) w(k)
+       |  WHERE g * 6 + k <= 8),
+       |bands AS (
+       |  SELECT a.clip, a.kf, a.i AS band,
+       |    CAST(sum(CASE WHEN a.p > b.p THEN 1 << CAST(7 - a.j AS INT)
+       |             ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM px a JOIN px b ON b.clip = a.clip AND b.kf = a.kf
+       |    AND b.i = a.i AND b.j = a.j + 1
+       |  GROUP BY 1, 2, 3),
+       |b16 AS (
+       |  SELECT clip, kf, band // 2 AS band,
+       |    CAST(sum(CASE WHEN band % 2 = 0 THEN band_val * 256
+       |             ELSE band_val END) AS BIGINT) AS band_val
+       |  FROM bands GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT l.clip AS ca, l.kf AS ka, r.clip AS cb, r.kf AS kb
+       |  FROM b16 l JOIN b16 r
+       |    ON r.band = l.band AND r.band_val = l.band_val
+       |    AND (l.clip < r.clip OR (l.clip = r.clip AND l.kf < r.kf))),
+       |kfp AS (
+       |  SELECT * FROM (
+       |    SELECT c.ca, c.ka, c.cb, c.kb,
+       |      CAST(sum(bit_count(xor(a.band_val, b.band_val))) AS BIGINT)
+       |        AS hamming
+       |    FROM cand c
+       |    JOIN bands a ON a.clip = c.ca AND a.kf = c.ka
+       |    JOIN bands b ON b.clip = c.cb AND b.kf = c.kb AND b.band = a.band
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE hamming <= 6)
+       |SELECT least(ca, cb) AS clip_a, greatest(ca, cb) AS clip_b,
+       |  CAST(count(*) AS BIGINT) AS n_votes
+       |FROM kfp WHERE ca != cb GROUP BY 1, 2
+       |HAVING count(*) >= 2""".stripMargin
   }
 
   /** Exponentially-decayed event popularity per type
@@ -6737,5 +6872,6 @@ object Queries {
     "q159_decayed_popularity" -> Q(q159, Some(q159Sql)),
     "q160_containment_join" -> Q(q160, Some(q160Sql)),
     "q161_linear_resample_grid" -> Q(q161, Some(q161Sql)),
-    "q162_integer_ewma" -> Q(q162, Some(q162Sql)))
+    "q162_integer_ewma" -> Q(q162, Some(q162Sql)),
+    "q163_video_neardup_delta" -> Q(q163, Some(q163Sql)))
 }

@@ -398,6 +398,46 @@ class OperatorSpec extends SparkTestBase {
       "both scenes must vote for the in-group pair")
   }
 
+  test("videoNearDupEdgesDelta equals a full edge rebuild after remove/change/add") {
+    def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    def mat(group: Int, scene: Int, bump: Double = 0.0) =
+      Seq.tabulate(8, 9)((i, j) =>
+        px(if (scene == 0) 7 else group, i, j) + (if (i == 0 && j == 0) bump else 0.0))
+    def frames(rows: Seq[(Long, Int, Double)]) = // (clip, group, bump)
+      (for { (c, g, b) <- rows
+             (idx, m) <- Seq((2L, mat(g, 0, b)), (6L, mat(g, 1, b))) }
+        yield (c, idx, m)).toDF("clip_id", "frame_idx", "matrix")
+    val v0c = Seq((1L, series(0)), (2L, series(1)), (3L, series(0)),
+      (4L, series(1))).toDF("clip_id", "series")
+    val v0f = frames(Seq((1L, 1, 0.0), (2L, 1, 0.0), (3L, 2, 0.0), (4L, 2, 0.0)))
+    // v1: clip 4 removed, clip 2 re-encoded (pixel bump flips its
+    // fingerprints -> changed), clip 5 added into group 1
+    val v1c = Seq((1L, series(0)), (2L, series(1)), (3L, series(0)),
+      (5L, series(0))).toDF("clip_id", "series")
+    val v1f = frames(Seq((1L, 1, 0.0), (2L, 1, 1.0), (3L, 2, 0.0), (5L, 1, 0.0)))
+    import graft.operators.Dedup
+    def edges(c: org.apache.spark.sql.DataFrame,
+              f: org.apache.spark.sql.DataFrame,
+              fresh: Option[org.apache.spark.sql.DataFrame] = None) =
+      Dedup.videoNearDupEdges(c, f, "clip_id", "series", "frame_idx",
+        "matrix", cutThreshold = 5000.0, maxHamming = 6, minVotes = 2,
+        bandBytes = 2, freshClips = fresh)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prevEdges = edges(v0c, v0f)
+    val full = rows(edges(v1c, v1f))
+    val delta = rows(Dedup.videoNearDupEdgesDelta(v0c, v0f, prevEdges,
+      v1c, v1f, "clip_id", "series", "frame_idx", "matrix",
+      cutThreshold = 5000.0, maxHamming = 6, minVotes = 2, bandBytes = 2))
+    assert(delta == full,
+      "survivors + delta must equal the full edge rebuild of v1")
+    // sanity: v1 really exercises all three delta classes
+    assert(full.exists(e => e._1 == 1L && e._2 == 5L), "added clip must pair")
+    assert(!full.exists(e => e._1 == 4L || e._2 == 4L), "removed clip gone")
+  }
+
   test("dhash_bands nulls malformed matrices and is shape-generic") {
     val ok = Seq.tabulate(32, 36)((i, j) => (i * 7 + j * 13) % 256.0) // 2x scale
     val ragged = Seq(Seq.fill(18)(1.0), Seq.fill(17)(1.0)) ++

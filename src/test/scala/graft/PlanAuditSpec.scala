@@ -463,6 +463,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"unexpected extra single-partition moves:\n$plan")
   }
 
+  test("gridResampleLinear plans as two as-of merges, no raw-row window") {
+    val obs = spark.range(1000).select((col("id") % 7).as("k"),
+      (col("id") * 1000L).as("ts"), (col("id") % 13).as("v"))
+    val plan = graft.operators.AsOf
+      .gridResampleLinear(obs, "k", "ts", "v", 5000L)
+      .queryExecution.executedPlan.toString
+    assert("AsofJoin".r.findAllIn(plan).length >= 2,
+      s"expected backward + forward AsofJoinExec:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no WindowExec in the interpolation fill:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("containmentJoin candidates ride equi-joins, never a cartesian") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
       concat(lit("alpha beta gamma tok"), col("id") % 17).as("text"))
