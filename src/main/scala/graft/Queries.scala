@@ -6705,6 +6705,64 @@ object Queries {
       |SELECT user_id, CAST(rn AS BIGINT) AS rn, x, CAST(s AS BIGINT) AS s
       |FROM r""".stripMargin
 
+  /** SCD Type-2 as-of read (Snapshot.scdAsOf): the q146 three-version
+    * timeline queried at version 1 must reproduce EXACTLY the v1
+    * corpus fingerprints — the payoff of dimension versioning (any
+    * historical corpus reconstructs from the history alone, no corpus
+    * stored per release). The oracle bypasses the history entirely and
+    * fingerprints the v1 snapshot directly, so the hash match proves
+    * the timeline's validity intervals are right, not merely
+    * self-consistent. One filter over the history — a partition prune
+    * at scale, no join. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val (v0, v1, v2) = recrawlFixture(t(s, dir, "documents"))
+    val h0 = Snapshot.scdInit(v0, "doc_id", "text", version = 0L)
+    val h1 = Snapshot.scdApply(h0, v1, "doc_id", "text", version = 1L)
+    val h2 = Snapshot.scdApply(h1, v2, "doc_id", "text", version = 2L)
+    Snapshot.scdAsOf(h2, version = 1L)
+  }
+
+  private val q164Sql =
+    s"""WITH v1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+       |                                THEN text || ' v2' ELSE text END
+       |                   AS text
+       |            FROM documents WHERE doc_id % 5 != 0)
+       |SELECT doc_id, ${md5LongSql("text")} AS h FROM v1""".stripMargin
+
+  /** WEIGHTED exact per-user median spend, doubled
+    * (Stats.exactGroupWeightedMedianX2): each event counts
+    * 1 + event_id % 5 times — the token-weighted / duration-weighted
+    * order statistic, lo+hi under the 2·cumW >= W rule (reduces to
+    * q151 at w = 1), NO floating point anywhere. Same checked
+    * bounded-histogram contract as the unweighted family; the oracle
+    * replays the weight histogram + cumulative picks. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), cents(col("value")).as("v"),
+        (lit(1L) + pmod(col("event_id"), lit(5L))).as("w"))
+    Stats.exactGroupWeightedMedianX2(ev, "user_id", "v", "w")
+  }
+
+  private val q165Sql =
+    """WITH o AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+      |    1 + event_id % 5 AS w
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, v, CAST(sum(w) AS BIGINT) AS c
+      |  FROM o GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT user_id, v, c,
+      |    sum(c) OVER (PARTITION BY user_id ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY user_id) AS W
+      |  FROM h)
+      |SELECT user_id, CAST(max(W) AS BIGINT) AS w_total,
+      |  CAST(sum(CASE WHEN 2*(cum-c) < W AND W <= 2*cum THEN v ELSE 0 END)
+      |     + sum(CASE WHEN 2*(cum-c) <= W AND W < 2*cum THEN v ELSE 0 END)
+      |    AS BIGINT) AS wmedian_x2
+      |FROM cw WHERE W > 0 GROUP BY user_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6873,5 +6931,7 @@ object Queries {
     "q160_containment_join" -> Q(q160, Some(q160Sql)),
     "q161_linear_resample_grid" -> Q(q161, Some(q161Sql)),
     "q162_integer_ewma" -> Q(q162, Some(q162Sql)),
-    "q163_video_neardup_delta" -> Q(q163, Some(q163Sql)))
+    "q163_video_neardup_delta" -> Q(q163, Some(q163Sql)),
+    "q164_scd2_asof_read" -> Q(q164, Some(q164Sql)),
+    "q165_weighted_median" -> Q(q165, Some(q165Sql)))
 }

@@ -147,4 +147,17 @@ object Snapshot {
     closed.select(col("doc_id"), col("h"), col("valid_from"), col("valid_to"))
       .unionByName(kept).unionByName(closedNow).unionByName(opened)
   }
+
+  /** As-of read of an SCD Type-2 history: the corpus fingerprint set as
+    * it stood at `version` — rows whose validity interval
+    * [valid_from, valid_to) contains it (open rows = to infinity). The
+    * payoff of the timeline: any historical corpus version
+    * reconstructs from the history alone, without storing the corpus
+    * per release (gate q164 proves the read equals the actual
+    * snapshot). One filter over the history — at scale a partition
+    * prune on the closed/open layout, no join at all. */
+  def scdAsOf(history: DataFrame, version: Long): DataFrame =
+    history.where(col("valid_from") <= version &&
+        (col("valid_to").isNull || col("valid_to") > version))
+      .select(col("doc_id"), col("h"))
 }

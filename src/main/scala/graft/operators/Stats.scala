@@ -364,6 +364,49 @@ object Stats {
         (col("__lo") + col("__hi")).as("median_x2"))
   }
 
+  /** WEIGHTED exact per-group median, doubled to stay integral — the
+    * order statistic where each row counts `wCol` times (token-weighted
+    * document medians, duration-weighted session medians): lo = the
+    * smallest v with 2·cumW(v) >= W, hi = the smallest v with
+    * 2·cumW(v) > W, output lo+hi (reduces exactly to
+    * [[exactGroupMedianX2]] at w = 1). Same shape and CHECKED
+    * bounded-histogram contract: rows collapse to a per-(group, value)
+    * WEIGHT histogram (map-side combining — the shuffle carries weight
+    * sums bounded by value cardinality), the cumulative window runs
+    * over that bounded histogram, and both middle picks are conditional
+    * sums. Weights must be >= 0; groups with zero total weight drop. */
+  def exactGroupWeightedMedianX2(df: DataFrame, keyCol: String,
+                                 xCol: String, wCol: String,
+                                 maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(sum(col(wCol).cast("long")).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "exactGroupWeightedMedianX2")
+    // a negative weight breaks cumW monotonicity and silently corrupts
+    // the order statistic — check on the materialized histogram (the
+    // pageRank w-contract discipline: validate, don't document)
+    val minW = hist.agg(min(col("__c"))).head()
+    require(minW.isNullAt(0) || minW.getLong(0) >= 0L,
+      "exactGroupWeightedMedianX2 requires non-negative weights")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__W", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol))))
+      .where(col("__W") > 0L)
+      .groupBy(col(keyCol))
+      .agg(first(col("__W")).as("w_total"),
+        sum(when(lit(2L) * (col("__cum") - col("__c")) < col("__W") &&
+          col("__W") <= lit(2L) * col("__cum"), col("__v")).otherwise(0L))
+          .as("__lo"),
+        sum(when(lit(2L) * (col("__cum") - col("__c")) <= col("__W") &&
+          col("__W") < lit(2L) * col("__cum"), col("__v")).otherwise(0L))
+          .as("__hi"))
+      .select(col(keyCol), col("w_total"),
+        (col("__lo") + col("__hi")).as("wmedian_x2"))
+  }
+
   /** EXACT per-group median absolute deviation, ×4 to stay integral:
     * dev_i = |2·x_i − median_x2| is twice the absolute deviation (an
     * integer), and its doubled median is 4·MAD — so the whole robust

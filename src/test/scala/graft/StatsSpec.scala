@@ -71,6 +71,39 @@ class StatsSpec extends SparkTestBase {
       maxDistinctPerKey = 1000L).count() == 1L)
   }
 
+  test("weighted median matches expansion-based median and reduces to q151 at w=1") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(200)((rnd.nextInt(4).toLong,
+      rnd.nextInt(30).toLong, 1L + rnd.nextInt(5)))
+    val df = rows.toDF("k", "v", "w")
+    val got = Stats.exactGroupWeightedMedianX2(df, "k", "v", "w")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // reference: expand each row w times, take the unweighted doubled
+    // median of the expanded multiset
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }
+        .sorted
+      val n = expanded.length
+      val lo = expanded((n + 1) / 2 - 1)
+      val hi = expanded((n + 2) / 2 - 1)
+      assert(got(k) == ((n.toLong, lo + hi)), s"key $k")
+    }
+    // w = 1 must equal the unweighted exact median
+    val ones = df.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val uw = Stats.exactGroupMedianX2(ones, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wm = Stats.exactGroupWeightedMedianX2(ones, "k", "v", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wm == uw)
+    // negative weights are rejected, not silently mis-ranked
+    val neg = Seq((1L, 5L, -1L), (1L, 6L, 2L)).toDF("k", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactGroupWeightedMedianX2(neg, "k", "v", "w")
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("trailingActives is lazy-safe on empty input (no NPE)") {
     val empty = spark.range(0).select($"id".as("u"), $"id".as("d"))
     assert(Stats.trailingActives(empty, "u", "d", 7).count() == 0L)
