@@ -438,6 +438,53 @@ class OperatorSpec extends SparkTestBase {
     assert(!full.exists(e => e._1 == 4L || e._2 == 4L), "removed clip gone")
   }
 
+  test("videoNearDupEdgesDelta maintains rebuild parity on random refreshes") {
+    val rnd = new scala.util.Random(97)
+    def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    def mat(group: Int, scene: Int, bump: Double) =
+      Seq.tabulate(8, 9)((i, j) =>
+        px(group * 10 + scene, i, j) + (if (i == 1 && j == 2) bump else 0.0))
+    // corpus model: clip -> (group, variant, bump); frames derive from it
+    type Corpus = Map[Long, (Int, Int, Double)]
+    def clipsDf(c: Corpus) = c.toSeq.map { case (id, (_, v, _)) =>
+      (id, series(v)) }.toDF("clip_id", "series")
+    def framesDf(c: Corpus) = c.toSeq.flatMap { case (id, (g, _, b)) =>
+      Seq((id, 2L, mat(g, 0, b)), (id, 6L, mat(g, 1, b))) }
+      .toDF("clip_id", "frame_idx", "matrix")
+    import graft.operators.Dedup
+    def edges(c: Corpus, fresh: Option[Seq[Long]] = None) =
+      Dedup.videoNearDupEdges(clipsDf(c), framesDf(c), "clip_id", "series",
+        "frame_idx", "matrix", cutThreshold = 5000.0, maxHamming = 6,
+        minVotes = 2, bandBytes = 2,
+        freshClips = fresh.map(_.toDF("clip_id")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (trial <- 1 to 2) {
+      var v0: Corpus = (1L to 8L).map(id =>
+        id -> ((1 + rnd.nextInt(3), rnd.nextInt(2), 0.0))).toMap
+      // random refresh: each clip removed (1/5), re-encoded (1/4),
+      // shifted variant (1/4), or kept; plus 1-2 added clips
+      var v1: Corpus = v0.flatMap { case (id, (g, v, b)) =>
+        rnd.nextInt(5) match {
+          case 0 => None
+          case 1 => Some(id -> ((g, v, b + 1.0)))
+          case 2 => Some(id -> ((g, 1 - v, b)))
+          case _ => Some(id -> ((g, v, b)))
+        }
+      }
+      (1 to 1 + rnd.nextInt(2)).foreach { i =>
+        v1 += (100L + i) -> ((1 + rnd.nextInt(3), rnd.nextInt(2), 0.0))
+      }
+      val delta = rows(Dedup.videoNearDupEdgesDelta(clipsDf(v0),
+        framesDf(v0), edges(v0), clipsDf(v1), framesDf(v1), "clip_id",
+        "series", "frame_idx", "matrix", cutThreshold = 5000.0,
+        maxHamming = 6, minVotes = 2, bandBytes = 2))
+      assert(delta == rows(edges(v1)), s"trial $trial")
+    }
+  }
+
   test("dhash_bands nulls malformed matrices and is shape-generic") {
     val ok = Seq.tabulate(32, 36)((i, j) => (i * 7 + j * 13) % 256.0) // 2x scale
     val ragged = Seq(Seq.fill(18)(1.0), Seq.fill(17)(1.0)) ++
