@@ -6763,6 +6763,40 @@ object Queries {
       |    AS BIGINT) AS wmedian_x2
       |FROM cw WHERE W > 0 GROUP BY user_id""".stripMargin
 
+  /** k-core of the collocation graph (Graph.kCoreMembers): 6 fixed
+    * peeling rounds at k = 3 — the dense-subgraph extractor (tightly
+    * co-occurring vocabulary survives, incidental collocations peel
+    * away; on an engagement graph this is the spam-ring / link-farm
+    * signal). Fixed rounds keep the job graph static and both engines
+    * replay the identical truncated peel (== the exact k-core once
+    * converged — property-pinned in GraphRangeSpec); the oracle unrolls
+    * the six rounds as chained CTEs over the shared collocation
+    * chain. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("u"), col("term_b").as("v"))
+    Graph.kCoreMembers(pairs, k = 3, rounds = 6)
+  }
+
+  private val q166Sql = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (SELECT u, count(*) AS c FROM e${i - 1} GROUP BY u),
+         |k$i AS (SELECT u FROM d$i WHERE c >= 3),
+         |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)""".stripMargin
+    }.mkString(",\n")
+    collocCtes + s""",
+       |ce AS (SELECT term_a AS u, term_b AS v FROM pairs WHERE n_ab >= 5),
+       |e0 AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+       |$rounds
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e6 GROUP BY u""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6933,5 +6967,6 @@ object Queries {
     "q162_integer_ewma" -> Q(q162, Some(q162Sql)),
     "q163_video_neardup_delta" -> Q(q163, Some(q163Sql)),
     "q164_scd2_asof_read" -> Q(q164, Some(q164Sql)),
-    "q165_weighted_median" -> Q(q165, Some(q165Sql)))
+    "q165_weighted_median" -> Q(q165, Some(q165Sql)),
+    "q166_kcore_collocations" -> Q(q166, Some(q166Sql)))
 }

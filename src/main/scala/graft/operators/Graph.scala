@@ -195,6 +195,64 @@ object Graph {
     * division (engine-exact); degree-<2 nodes have no possible wedge
     * and report 0.0. One extra degree aggregation + broadcast-sized
     * join over the triangle table. */
+  /** k-core membership by FIXED-ROUND peeling: each round drops every
+    * node whose degree within the surviving subgraph is < k, `rounds`
+    * times — the dense-subgraph extractor (spam rings, botnet
+    * co-engagement, link farms survive; the long tail peels away).
+    * Fixed rounds make the job graph static (the [[pageRankInt]]
+    * discipline — no driver-side convergence loop over data-sized
+    * state) and the result deterministic and engine-replayable: once
+    * the peel converges, further rounds are no-ops, so with `rounds` >=
+    * the peel depth the output IS the exact k-core (property-pinned
+    * against an iterate-to-fixpoint reference); before convergence both
+    * engines replay the same truncated peel. Output: surviving
+    * (node, degree) with degree measured in the final subgraph.
+    *
+    * Adaptive like the rest of the family: graphs under
+    * `driverEdgeLimit` collect under a CHECKED bound and peel in
+    * memory (value-identical — integer set arithmetic commutes);
+    * larger graphs run one degree aggregation + two semi-joins per
+    * round over the SHRINKING edge set, lineage cut per round. */
+  def kCoreMembers(edges: DataFrame, k: Int, rounds: Int,
+                   driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"kCoreMembers needs k >= 1, got $k")
+    require(rounds >= 1, s"kCoreMembers needs rounds >= 1, got $rounds")
+    val e0 = edges.toDF("u", "v")
+    val sym = e0.where(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+      .unionByName(e0.where(col("u") =!= col("v"))
+        .select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    if (sym.count() <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      var pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      (1 to rounds).foreach { _ =>
+        val deg = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        pairs = pairs.filter(p => keep(p._1) && keep(p._2))
+      }
+      val spark = edges.sparkSession
+      val idType = sym.schema.fields.head.dataType
+      val out = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+        .map { case (n, d) => Row(n, d) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("degree", LongType))))
+    } else {
+      var e = sym
+      (1 to rounds).foreach { _ =>
+        val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .where(col("d") >= k).select(col("u")).localCheckpoint()
+        e = e.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint()
+      }
+      e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    }
+  }
+
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val ce = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))

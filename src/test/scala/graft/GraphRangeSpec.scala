@@ -264,6 +264,36 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("k-core peel equals the fixpoint reference; driver == distributed") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val edges = Seq.fill(60)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      // reference: peel to the FIXPOINT (exact k-core)
+      var pairs = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      var changed = true
+      while (changed) {
+        val deg = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = pairs.filter(p => keep(p._1) && keep(p._2))
+        changed = next.size != pairs.size
+        pairs = next
+      }
+      val want = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      // rounds = |V| guarantees convergence (each non-converged round
+      // removes at least one node)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = rows(Graph.kCoreMembers(edges.toDF("u", "v"), k,
+        rounds = 14))
+      assert(driver == want, s"trial=$trial k=$k (driver path)")
+      val dist = rows(Graph.kCoreMembers(edges.toDF("u", "v"), k,
+        rounds = 14, driverEdgeLimit = 0L))
+      assert(dist == want, s"trial=$trial k=$k (distributed path)")
+    }
+  }
+
   test("triangle counts match brute force on random graphs") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(29)
