@@ -6797,6 +6797,85 @@ object Queries {
        |FROM e6 GROUP BY u""".stripMargin
   }
 
+  /** Exact per-supplier Gini concentration of shipped quantities
+    * (Stats.exactGroupGini): Σ|xi−xj| from cumulative count/sum over
+    * the bounded value histogram (quantities are 1..50 — the checked
+    * discrete-value contract), all integer until ONE final division —
+    * the inequality/concentration profile (is this supplier's volume
+    * spread across orders or concentrated in a few?) that at corpus
+    * scale answers "how skewed is the crawl across domains". */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+    Stats.exactGroupGini(li, "l_suppkey", "qty")
+  }
+
+  private val q167Sql =
+    """WITH h AS (
+      |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT l_suppkey, v, c,
+      |    coalesce(sum(c) OVER w, 0) AS nlt,
+      |    coalesce(sum(v * c) OVER w, 0) AS slt
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |a AS (
+      |  SELECT l_suppkey, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(v * c) AS BIGINT) AS sum_x,
+      |    CAST(2 * sum(c * (v * nlt - slt)) AS BIGINT) AS mad_sum
+      |  FROM cw GROUP BY 1)
+      |SELECT l_suppkey, n, sum_x, mad_sum,
+      |  CAST(mad_sum AS DOUBLE) / CAST(2 * n * sum_x AS DOUBLE) AS gini
+      |FROM a WHERE sum_x > 0""".stripMargin
+
+  /** Validation suite with the per-key monotonicity check
+    * (Validate.MonotonicBy beside NotNull/InRange): "cents never drop
+    * below the previous event's within a user's (ts, event_id)
+    * timeline" — the event-log regression sanity a 100 TB ingest gate
+    * runs (timestamps stepping backwards, versions regressing). The
+    * row-predicate checks still fold into ONE aggregation; the
+    * monotonic check costs one lag() window partitioned by user
+    * (bounded by one user's rows, never global). */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate._
+    val ev = t(s, dir, "events")
+      .withColumn("v", cents(col("value")))
+    Validate.validate(ev, Seq(
+      NotNull("user_id"),
+      InRange("v", -1000000, 1000000),
+      MonotonicBy(Seq("user_id"), "ts", "event_id", "v")))
+  }
+
+  private val q168Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT v, lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS pv
+      |  FROM e),
+      |rep AS (
+      |  SELECT 'not_null:user_id' AS check,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violations
+      |  FROM e
+      |  UNION ALL
+      |  SELECT 'in_range:v',
+      |    CAST(sum(CASE WHEN v IS NULL OR v < -1000000 OR v > 1000000
+      |             THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM e
+      |  UNION ALL
+      |  SELECT 'monotonic:v',
+      |    CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM m)
+      |SELECT rep.check, rep.violations, rep.violations = 0 AS passed
+      |FROM rep""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6968,5 +7047,7 @@ object Queries {
     "q163_video_neardup_delta" -> Q(q163, Some(q163Sql)),
     "q164_scd2_asof_read" -> Q(q164, Some(q164Sql)),
     "q165_weighted_median" -> Q(q165, Some(q165Sql)),
-    "q166_kcore_collocations" -> Q(q166, Some(q166Sql)))
+    "q166_kcore_collocations" -> Q(q166, Some(q166Sql)),
+    "q167_group_gini" -> Q(q167, Some(q167Sql)),
+    "q168_validate_monotonic" -> Q(q168, Some(q168Sql)))
 }

@@ -429,6 +429,48 @@ object Stats {
       .select(col(keyCol), col("n"), col("median_x2"), col("mad_x4"))
   }
 
+  /** EXACT per-group Gini concentration from the value histogram — the
+    * inequality measure of a distribution (how skewed is the crawl
+    * across domains, spend across users, quantity across suppliers):
+    *
+    *   mad_sum = Σ_i Σ_j |x_i − x_j| = 2·Σ_k c_k·(v_k·N_<k − S_<k)
+    *   gini    = mad_sum / (2·n·Σx)
+    *
+    * with N_<k / S_<k the cumulative count/sum strictly below value
+    * v_k — all EXACT longs off one map-side-combining histogram (the
+    * [[exactGroupMedianX2]] shape, same CHECKED bounded-histogram
+    * contract: the cumulative window runs over value cardinality, never
+    * rows), and the single division is the only float op. Values must
+    * be non-negative (checked — Gini is undefined below zero) with a
+    * positive group sum (zero-sum groups drop); the caller keeps
+    * c·v·n inside int64 (the groupOls discipline).
+    * Output: (key, n, sum_x, mad_sum, gini), gini ∈ [0, 1). */
+  def exactGroupGini(df: DataFrame, keyCol: String, xCol: String,
+                     maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "exactGroupGini")
+    val minV = hist.agg(min(col("__v"))).head()
+    require(minV.isNullAt(0) || minV.getLong(0) >= 0L,
+      "exactGroupGini requires non-negative values (Gini is undefined " +
+        "for mixed-sign data); shift or absolute-value the column first")
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__nlt", coalesce(sum(col("__c")).over(below), lit(0L)))
+      .withColumn("__slt",
+        coalesce(sum(col("__v") * col("__c")).over(below), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("sum_x"),
+        (lit(2L) * sum(col("__c") *
+          (col("__v") * col("__nlt") - col("__slt")))).as("mad_sum"))
+      .where(col("sum_x") > 0L)
+      .select(col(keyCol), col("n"), col("sum_x"), col("mad_sum"),
+        (col("mad_sum").cast("double") /
+          (lit(2L) * col("n") * col("sum_x")).cast("double")).as("gini"))
+  }
+
   /** Per-group MODE (most frequent value; ties break to the smallest
     * value): histogram groupBy + the partial-combining `top_k_by`
     * argmax — never a per-group sort or window over raw rows. Exact

@@ -51,6 +51,20 @@ object Validate {
     def name = s"ref:$fk"
   }
 
+  /** `valueCol` must be non-decreasing within each key group under the
+    * (orderCol, tieCol) order — the event-log sanity check (timestamps
+    * never step backwards within a session, versions never regress per
+    * doc). A violation is a row whose value is BELOW its predecessor's.
+    * Costs one lag() window partitioned by the key columns (bounded by
+    * one group's rows — the sessionize discipline, never global) — the
+    * one check class that cannot fold into the shared aggregation
+    * pass. */
+  final case class MonotonicBy(keyCols: Seq[String], orderCol: String,
+                               tieCol: String, valueCol: String)
+      extends Check {
+    def name = s"monotonic:$valueCol"
+  }
+
   /** Run a check suite over one table. Returns
     * (check: string, violations: long, passed: boolean), one row per
     * check, deterministic order-independent content. */
@@ -93,6 +107,15 @@ object Validate {
           .join(dim.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(r.name).as("check"), col("violations"))
+      case m @ MonotonicBy(keys, ord, tie, vc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ord), col(tie))
+        df.select(col(vc).as("__v"),
+            lag(col(vc), 1).over(w).as("__pv"))
+          .agg(sum(when(col("__pv").isNotNull && col("__v") < col("__pv"),
+            1L).otherwise(0L)).as("violations"))
+          .select(lit(m.name).as("check"),
+            coalesce(col("violations"), lit(0L)).as("violations"))
     }
 
     val all = (predReport.toSeq ++ others).reduce(_ unionByName _)

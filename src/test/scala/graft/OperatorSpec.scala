@@ -858,6 +858,25 @@ class OperatorSpec extends SparkTestBase {
     assert(out("ref:k") == ((0L, true)))
   }
 
+  test("validate MonotonicBy counts per-key order regressions, empty-safe") {
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    // key 1: 5, 3 (drop), 7, 2 (drop) -> 2 violations; key 2: rising -> 0
+    val df = Seq((1L, 1L, 1L, 5L), (1L, 2L, 2L, 3L), (1L, 3L, 3L, 7L),
+      (1L, 4L, 4L, 2L), (2L, 1L, 5L, 1L), (2L, 2L, 6L, 9L))
+      .toDF("k", "t", "id", "v")
+    val out = Validate.validate(df,
+        Seq(MonotonicBy(Seq("k"), "t", "id", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("monotonic:v", 2L, false)))
+    val empty = spark.range(0).select(col("id").as("k"), col("id").as("t"),
+      col("id").as("id2"), col("id").as("v"))
+    val eo = Validate.validate(empty,
+        Seq(MonotonicBy(Seq("k"), "t", "id2", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(eo.toSeq == Seq(("monotonic:v", 0L, true)))
+  }
+
   test("validate folds all row-predicate checks into one aggregation") {
     import graft.operators.Validate
     import graft.operators.Validate._

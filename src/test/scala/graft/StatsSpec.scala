@@ -104,6 +104,29 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("exactGroupGini matches the brute-force pairwise definition") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(150)((rnd.nextInt(3).toLong, rnd.nextInt(40).toLong))
+    val got = Stats.exactGroupGini(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val xs = rs.map(_._2)
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val n = xs.length.toLong
+      val sx = xs.sum
+      if (sx > 0)
+        assert(got(k) == ((n, sx, mad, mad.toDouble / (2L * n * sx))),
+          s"key $k")
+    }
+    // mixed-sign input is rejected, not silently mis-measured
+    val neg = Seq((1L, -5L), (1L, 6L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactGroupGini(neg, "k", "v")
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("trailingActives is lazy-safe on empty input (no NPE)") {
     val empty = spark.range(0).select($"id".as("u"), $"id".as("d"))
     assert(Stats.trailingActives(empty, "u", "d", 7).count() == 0L)
