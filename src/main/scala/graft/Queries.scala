@@ -6876,6 +6876,47 @@ object Queries {
       |SELECT rep.check, rep.violations, rep.violations = 0 AS passed
       |FROM rep""".stripMargin
 
+  /** Trust-propagation hop distances (Graph.seedDistances): BFS from
+    * the two lexicographically smallest collocation-graph terms, up to
+    * 4 hops — the "how far is this node from the trusted seeds"
+    * primitive (TrustRank's first stage; contamination blast-radius on
+    * a near-dup graph). Fixed rounds, pure integer mins, one
+    * edges⋈frontier join + map-side-combining min per round; the
+    * oracle unrolls the four relaxation rounds as chained CTEs. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("u"), col("term_b").as("v"))
+      .localCheckpoint() // nodes + seeds + BFS all read it
+    val nodes = pairs.select(col("u").as("node"))
+      .unionByName(pairs.select(col("v").as("node"))).distinct()
+    val seeds = nodes.orderBy(col("node")).limit(2)
+    Graph.seedDistances(pairs, seeds, maxHops = 4)
+  }
+
+  private val q169Sql = {
+    val rounds = (1 to 4).map { i =>
+      s"""s$i AS (
+         |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT node, d FROM s${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, s.d + 1 FROM s${i - 1} s
+         |    JOIN e0 e ON e.u = s.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    collocCtes + s""",
+       |ce AS (SELECT term_a AS u, term_b AS v FROM pairs WHERE n_ab >= 5),
+       |e0 AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+       |nodes AS (SELECT u AS node FROM e0),
+       |s0 AS (SELECT node, 0 AS d FROM (
+       |  SELECT DISTINCT node FROM nodes ORDER BY node LIMIT 2)),
+       |$rounds
+       |SELECT node, d AS dist FROM s4""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7049,5 +7090,6 @@ object Queries {
     "q165_weighted_median" -> Q(q165, Some(q165Sql)),
     "q166_kcore_collocations" -> Q(q166, Some(q166Sql)),
     "q167_group_gini" -> Q(q167, Some(q167Sql)),
-    "q168_validate_monotonic" -> Q(q168, Some(q168Sql)))
+    "q168_validate_monotonic" -> Q(q168, Some(q168Sql)),
+    "q169_seed_distances" -> Q(q169, Some(q169Sql)))
 }

@@ -195,6 +195,59 @@ object Graph {
     * division (engine-exact); degree-<2 nodes have no possible wedge
     * and report 0.0. One extra degree aggregation + broadcast-sized
     * join over the triangle table. */
+  /** Hop distances from a SEED SET by fixed-round BFS — the trust /
+    * contamination propagation primitive ("how many hops is this
+    * domain from the trusted seeds", "which docs sit within k hops of
+    * a known-bad cluster"): every node's exact minimum hop count to
+    * any seed, up to `maxHops`; unreachable-within-horizon nodes are
+    * absent. Fixed rounds (the [[pageRankInt]] discipline — static job
+    * graph, no driver convergence loop), pure integer mins, so the
+    * result is deterministic and engine-replayable round for round.
+    * Per round ONE edges⋈frontier equi-join + a map-side-combining
+    * min; the distance table carries one long per reached node,
+    * lineage cut per round. Adaptive under `driverEdgeLimit` like the
+    * rest of the family. `edges` is undirected (symmetrized here). */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                    driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(maxHops >= 1, s"seedDistances needs maxHops >= 1, got $maxHops")
+    val e0 = edges.toDF("u", "v")
+    val sym = e0.where(col("u") =!= col("v"))
+      .unionByName(e0.where(col("u") =!= col("v"))
+        .select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val s0 = seeds.toDF("node").distinct()
+    if (sym.count() <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val adj = sym.collect().map(r => (r.get(0), r.get(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = s0.collect().map(r => r.get(0) -> 0L).toMap
+      (1 to maxHops).foreach { h =>
+        val next = dist.filter(_._2 == h - 1).keys
+          .flatMap(n => adj.getOrElse(n, Array.empty[Any]))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> h.toLong)
+      }
+      val spark = edges.sparkSession
+      val idType = sym.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          dist.toSeq.map { case (n, d) => Row(n, d) }.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("dist", LongType))))
+    } else {
+      var dist = s0.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+      (1 to maxHops).foreach { _ =>
+        dist = dist
+          .unionByName(sym.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(col("v").as("node"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+    }
+  }
+
   /** k-core membership by FIXED-ROUND peeling: each round drops every
     * node whose degree within the surviving subgraph is < k, `rounds`
     * times — the dense-subgraph extractor (spam rings, botnet

@@ -294,6 +294,35 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("seed distances equal reference BFS; driver == distributed") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(50)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      val seeds = Seq(rnd.nextInt(16).toLong, rnd.nextInt(16).toLong).distinct
+      val maxHops = 4
+      // reference BFS over the symmetric simple graph
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var want = seeds.map(_ -> 0L).toMap
+      (1 to maxHops).foreach { h =>
+        val frontier = want.filter(_._2 == h - 1).keys
+          .flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(want.contains)
+        want = want ++ frontier.map(_ -> h.toLong)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val driver = rows(Graph.seedDistances(edges.toDF("u", "v"),
+        seeds.toDF("node"), maxHops))
+      assert(driver == want, s"trial $trial (driver)")
+      val dist = rows(Graph.seedDistances(edges.toDF("u", "v"),
+        seeds.toDF("node"), maxHops, driverEdgeLimit = 0L))
+      assert(dist == want, s"trial $trial (distributed)")
+    }
+  }
+
   test("triangle counts match brute force on random graphs") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(29)
