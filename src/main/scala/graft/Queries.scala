@@ -6917,6 +6917,105 @@ object Queries {
        |SELECT node, d AS dist FROM s4""".stripMargin
   }
 
+  /** Longest consecutive-day activity streak per user
+    * (Stats.longestStreak): the gaps-and-islands engagement statistic
+    * — day − row_number islands inside ONE window partitioned by user,
+    * then two integer aggregations; ties break to the earliest streak.
+    * At corpus scale the same operator reports each crawl source's
+    * longest unbroken coverage window. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.longestStreak(ev, "user_id", "day")
+  }
+
+  private val q170Sql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id
+      |          ORDER BY day) AS island
+      |      FROM d),
+      |i AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+      |        min(day) AS start FROM r GROUP BY 1, 2),
+      |b AS (SELECT user_id, len, start,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY len DESC, start ASC) AS rk,
+      |        CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+      |          AS n_active_days
+      |      FROM i)
+      |SELECT user_id, n_active_days, len AS longest_streak,
+      |  start AS streak_start
+      |FROM b WHERE rk = 1""".stripMargin
+
+  /** Growth accounting (Stats.growthAccounting): the per-day DAU
+    * decomposition — new / retained / resurrected / churned users —
+    * from two key-partitioned lag/lead windows and a day-bounded
+    * rollup, all exact integer counts. The corpus-freshness report of
+    * a continuous crawl (sources appearing / persisting / returning /
+    * dropping out each day). */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.growthAccounting(ev, "user_id", "day")
+  }
+
+  private val q171Sql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |s AS (SELECT user_id, day,
+      |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |      FROM d),
+      |st AS (SELECT day,
+      |         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_new,
+      |         CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_retained,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |       FROM s GROUP BY 1),
+      |ch AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT)
+      |         AS n_churned
+      |       FROM s WHERE next IS NULL OR next > day + 1 GROUP BY 1)
+      |SELECT coalesce(st.day, ch.day) AS day,
+      |  coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM st FULL OUTER JOIN ch ON st.day = ch.day""".stripMargin
+
+  /** Exact p90 of per-event cents per event type
+    * (Stats.exactGroupQuantile, pNum/pDen = 9/10): the arbitrary-
+    * rational order statistic — smallest value whose cumulative count
+    * reaches ⌈9n/10⌉ — picked by pure integer rank comparisons over
+    * the bounded value histogram. The tail-threshold primitive
+    * (p99 latency, length cutoffs) with zero floating point. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("v"))
+    Stats.exactGroupQuantile(ev, "event_type", "v", pNum = 9L, pDen = 10L)
+  }
+
+  private val q172Sql =
+    """WITH o AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM o GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT event_type, v, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN cum - c < (9 * n + 9) // 10
+      |    AND (9 * n + 9) // 10 <= cum THEN v ELSE 0 END) AS BIGINT)
+      |    AS q_value
+      |FROM cw GROUP BY event_type, n""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7091,5 +7190,8 @@ object Queries {
     "q166_kcore_collocations" -> Q(q166, Some(q166Sql)),
     "q167_group_gini" -> Q(q167, Some(q167Sql)),
     "q168_validate_monotonic" -> Q(q168, Some(q168Sql)),
-    "q169_seed_distances" -> Q(q169, Some(q169Sql)))
+    "q169_seed_distances" -> Q(q169, Some(q169Sql)),
+    "q170_longest_streak" -> Q(q170, Some(q170Sql)),
+    "q171_growth_accounting" -> Q(q171, Some(q171Sql)),
+    "q172_group_quantile" -> Q(q172, Some(q172Sql)))
 }

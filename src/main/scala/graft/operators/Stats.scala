@@ -489,6 +489,113 @@ object Stats {
         col("top")(0)("__c").as("n_mode"))
   }
 
+  /** EXACT per-group order statistic at an arbitrary rational quantile
+    * p = pNum/pDen — the generalization of [[exactGroupMedianX2]] to
+    * p90/p99 tail latencies, length cutoffs, quality-score thresholds.
+    * Type-1 (lower) quantile: the smallest value v whose cumulative
+    * count k satisfies k·pDen ≥ pNum·n, i.e. the element at 1-based
+    * rank ⌈pNum·n/pDen⌉ — a pure integer rank comparison, so the
+    * result is an exact long with NO floating point anywhere.
+    *
+    * Same shape and CHECKED bounded-histogram contract as the median
+    * family: rows collapse to a per-(group, value) count histogram
+    * (map-side combining — the shuffle is bounded by value
+    * cardinality, never row count), the cumulative window runs over
+    * that bounded histogram, and the pick is one conditional sum.
+    * Output: (key, n, q_value). */
+  def exactGroupQuantile(df: DataFrame, keyCol: String, xCol: String,
+                         pNum: Long, pDen: Long,
+                         maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    require(pDen >= 1 && pNum >= 1 && pNum <= pDen,
+      s"exactGroupQuantile needs 1 <= pNum <= pDen, got $pNum/$pDen")
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "exactGroupQuantile")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol))))
+    // 1-based target rank ⌈pNum·n/pDen⌉ (positive operands — div floors)
+    val k = expr(s"(${pNum}L * __n + ${pDen - 1}L) div ${pDen}L")
+    cum
+      .groupBy(col(keyCol))
+      .agg(first(col("__n")).as("n"),
+        sum(when(col("__cum") - col("__c") < k && k <= col("__cum"),
+          col("__v")).otherwise(0L)).as("q_value"))
+  }
+
+  /** Longest consecutive-day streak per key (gaps-and-islands): the
+    * classic engagement statistic — "this user's longest unbroken run
+    * of active days" — and, over crawl sources, "this domain's longest
+    * unbroken coverage window". Islands form by the day − row_number
+    * trick: within a key, consecutive days share (day − rank), so one
+    * window partitioned BY KEY (never global) plus two integer
+    * aggregations produce per-island lengths and the per-key argmax.
+    * Ties break to the EARLIEST streak. All exact longs.
+    * Output: (key, n_active_days, longest_streak, streak_start). */
+  def longestStreak(df: DataFrame, keyCol: String,
+                    dayCol: String): DataFrame = {
+    val act = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    act
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .groupBy(col(keyCol), (col("__d") - col("__rn")).as("__island"))
+      .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        // lexicographic struct max: longest run, then smallest start
+        max(struct(col("__len"), (-col("__start")).as("__negs")))
+          .as("__top"))
+      .select(col(keyCol), col("n_active_days"),
+        col("__top")("__len").as("longest_streak"),
+        (-col("__top")("__negs")).as("streak_start"))
+  }
+
+  /** Growth accounting: per-day counts of NEW (first-ever activity),
+    * RETAINED (also active the previous day), RESURRECTED (returning
+    * after a gap) and CHURNED (active the previous day but not this
+    * one — attributed to the first inactive day) keys — the standard
+    * DAU decomposition, and for a continuously re-crawled corpus the
+    * per-day "sources appearing / persisting / returning / dropping
+    * out" freshness report. Two windows, both partitioned BY KEY
+    * (lag/lead over one key's activity — never a global sort); the
+    * day-level rollup is bounded by the number of distinct days. All
+    * exact integer counts.
+    * Output: (day, n_new, n_retained, n_resurrected, n_churned),
+    * covering every day carrying at least one transition (a final
+    * max-day + 1 churn row included, by definition). */
+  def growthAccounting(df: DataFrame, keyCol: String,
+                       dayCol: String): DataFrame = {
+    val act = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
+      .distinct().localCheckpoint() // two window scans read it
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+    val states = act
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .groupBy(col("__d").as("day"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("__d") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") < col("__d") - 1L, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = act
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+      .where(col("__next").isNull || col("__next") > col("__d") + 1L)
+      .groupBy((col("__d") + 1L).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

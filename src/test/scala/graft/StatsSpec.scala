@@ -350,4 +350,96 @@ class StatsSpec extends SparkTestBase {
       assert(got(k) == ((n.toLong, m2, mad4)), s"k=$k")
     }
   }
+
+  test("exactGroupQuantile matches the sort-based order statistic " +
+    "for every rational p on random data") {
+    val rnd = new scala.util.Random(83)
+    val rows = Seq.fill(300)((rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+    val df = rows.toDF("k", "v")
+    for ((num, den) <- Seq((1L, 2L), (1L, 4L), (9L, 10L), (99L, 100L), (1L, 1L))) {
+      val got = Stats.exactGroupQuantile(df, "k", "v", num, den)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (k, g) =>
+        val s = g.map(_._2).sorted
+        val n = s.length
+        val rank = ((num * n + den - 1) / den).toInt // ceil, 1-based
+        assert(got(k) == ((n.toLong, s(rank - 1))), s"k=$k p=$num/$den")
+      }
+    }
+  }
+
+  test("exactGroupQuantile at p=1/2 picks the lower middle (median lo)") {
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L)).toDF("k", "v")
+    val q = Stats.exactGroupQuantile(df, "k", "v", 1L, 2L).collect().head
+    assert(q.getLong(2) == 20L) // rank ceil(4/2)=2 -> lower middle
+  }
+
+  test("longestStreak finds the longest run, ties to earliest, " +
+    "and matches brute force on random activity") {
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.fill(600)(
+      (rnd.nextInt(8).toLong, (100 + rnd.nextInt(40)).toLong))
+    val got = Stats.longestStreak(rows.toDF("k", "d"), "k", "d")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val days = g.map(_._2).distinct.sorted
+      // brute-force: walk the sorted distinct days accumulating runs
+      var runs = List.empty[(Long, Long)] // (start, len)
+      days.foreach { d =>
+        runs = runs match {
+          case (s, l) :: rest if d == s + l => (s, l + 1) :: rest
+          case _ => (d, 1L) :: runs
+        }
+      }
+      val (bs, bl) = runs.reverse.maxBy { case (s, l) => (l, -s) }
+      assert(got(k) == ((days.length.toLong, bl, bs)), s"k=$k")
+    }
+  }
+
+  test("growthAccounting classifies new/retained/resurrected/churned " +
+    "exactly on a hand-built timeline") {
+    // user 1: days 10,11,13 -> new@10, retained@11, churn@12,
+    //         resurrected@13, churn@14
+    // user 2: days 11,12    -> new@11, retained@12, churn@13
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L), (2L, 12L))
+      .toDF("k", "d")
+    val got = Stats.growthAccounting(df, "k", "d").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      10L -> ((1L, 0L, 0L, 0L)),
+      11L -> ((1L, 1L, 0L, 0L)),
+      12L -> ((0L, 1L, 0L, 1L)),
+      13L -> ((0L, 0L, 1L, 1L)),
+      14L -> ((0L, 0L, 0L, 1L))))
+  }
+
+  test("growthAccounting day-level identity: active(d) = new + " +
+    "retained + resurrected, and every churn follows activity") {
+    val rnd = new scala.util.Random(113)
+    val rows = Seq.fill(500)(
+      (rnd.nextInt(10).toLong, (50 + rnd.nextInt(25)).toLong))
+    val acc = Stats.growthAccounting(rows.toDF("k", "d"), "k", "d")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val active = rows.distinct.groupBy(_._2).map { case (d, g) =>
+      d -> g.map(_._1).distinct.size.toLong
+    }
+    active.foreach { case (d, n) =>
+      val (nw, rt, rs, _) = acc(d)
+      assert(nw + rt + rs == n, s"day $d")
+    }
+    // churned(d) = users active on d-1 and not on d
+    val byDay = rows.distinct.groupBy(_._2)
+      .map { case (d, g) => d -> g.map(_._1).toSet }
+    acc.foreach { case (d, (_, _, _, ch)) =>
+      val prev = byDay.getOrElse(d - 1, Set.empty[Long])
+      val cur = byDay.getOrElse(d, Set.empty[Long])
+      assert((prev -- cur).size.toLong == ch, s"day $d")
+    }
+  }
 }
