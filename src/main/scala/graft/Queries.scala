@@ -7016,6 +7016,44 @@ object Queries {
       |    AS q_value
       |FROM cw GROUP BY event_type, n""".stripMargin
 
+  /** Degree assortativity of the collocation graph
+    * (Graph.degreeAssortativity): do high-degree terms co-occur with
+    * other hubs or with leaves — the Newman r over endpoint degrees,
+    * reduced to FOUR integer sufficient statistics (2m stubs, Σdeg,
+    * Σdeg², 2Σdu·dv) by two co-partitioned degree joins + one
+    * map-side-combining aggregation, with ONE final double division.
+    * On a link or near-dup graph the same statistic is the
+    * star-farm / spam-ring shape detector. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+    Graph.degreeAssortativity(pairs)
+  }
+
+  private val q173Sql = collocCtes +
+    """,
+      |e AS (SELECT DISTINCT least(term_a, term_b) AS u,
+      |        greatest(term_a, term_b) AS v
+      |      FROM pairs WHERE n_ab >= 5 AND term_a <> term_b),
+      |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |      GROUP BY 1),
+      |j AS (SELECT x.deg AS du, y.deg AS dv
+      |      FROM e JOIN d x ON x.node = e.u JOIN d y ON y.node = e.v),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(du + dv) AS BIGINT) AS s_deg,
+      |        CAST(sum(du*du + dv*dv) AS BIGINT) AS s_deg_sq,
+      |        CAST(2 * sum(du * dv) AS BIGINT) AS s_cross_x2
+      |      FROM j)
+      |SELECT m, s_deg, s_deg_sq, s_cross_x2,
+      |  CAST(2*m*s_cross_x2 - s_deg*s_deg AS DOUBLE)
+      |    / CAST(2*m*s_deg_sq - s_deg*s_deg AS DOUBLE) AS assortativity
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7193,5 +7231,6 @@ object Queries {
     "q169_seed_distances" -> Q(q169, Some(q169Sql)),
     "q170_longest_streak" -> Q(q170, Some(q170Sql)),
     "q171_growth_accounting" -> Q(q171, Some(q171Sql)),
-    "q172_group_quantile" -> Q(q172, Some(q172Sql)))
+    "q172_group_quantile" -> Q(q172, Some(q172Sql)),
+    "q173_degree_assortativity" -> Q(q173, Some(q173Sql)))
 }

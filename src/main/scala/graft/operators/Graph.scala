@@ -322,4 +322,52 @@ object Graph {
             / (col("deg") * (col("deg") - lit(1L))).cast("double"))
           .as("coeff"))
   }
+
+  /** Degree assortativity of an undirected graph — the Pearson
+    * correlation of endpoint degrees over every directed stub (each
+    * undirected edge contributes both orientations, the standard
+    * Newman definition): do hubs link to hubs (assortative, r > 0,
+    * citation/collab graphs) or to leaves (disassortative, r < 0 —
+    * the web-spam / star-farm signature on a link or near-dup graph)?
+    *
+    * Exactness shape (the [[Stats.groupMoments]] discipline): the
+    * edge table collapses to FOUR integer sufficient statistics —
+    * M = 2m stubs, Sx = Σ(du+dv), Sxx = Σ(du²+dv²), Sxy = 2·Σdu·dv —
+    * via two co-partitioned degree joins and one map-side-combining
+    * aggregation; the final
+    *
+    *   r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+    *
+    * is ONE double division over int64 numerators, so the value is
+    * engine-exact. The caller keeps M·Sxx inside int64 (deg ≤ 2^21
+    * with m ≤ 2^21 is safe). A degree-regular graph (zero variance)
+    * yields 0/0 = NaN in every engine. Output: one row
+    * (m, s_deg, s_deg_sq, s_cross_x2, assortativity). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val ce = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ce.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    ce
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("du") + col("dv")).as("s_deg"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s_deg_sq"),
+        (lit(2L) * sum(col("du") * col("dv"))).as("s_cross_x2"))
+      .withColumn("__den", lit(2L) * col("m") * col("s_deg_sq")
+        - col("s_deg") * col("s_deg"))
+      .select(col("m"), col("s_deg"), col("s_deg_sq"), col("s_cross_x2"),
+        // degree-regular graph: zero variance -> 0/0; ANSI Spark raises
+        // on the double division DuckDB folds to NaN (the groupMoments
+        // discipline) so spell the NaN explicitly
+        when(col("__den") === 0L, lit(Double.NaN)).otherwise(
+          (lit(2L) * col("m") * col("s_cross_x2")
+            - col("s_deg") * col("s_deg")).cast("double")
+            / col("__den").cast("double"))
+          .as("assortativity"))
+  }
 }

@@ -398,4 +398,42 @@ class GraphRangeSpec extends SparkTestBase {
     val out = RangeJoin.intervalCoverage(df, "k", "s", "e").collect().head
     assert(out.getLong(1) == 25L && out.getLong(2) == 2L)
   }
+
+  test("degree assortativity matches brute-force sufficient statistics " +
+    "on random graphs, and signs match the known shapes") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 5) {
+      val raw = Seq.fill(120)(
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      val edges = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      val out = Graph.degreeAssortativity(raw.toDF("src", "dst"))
+        .collect().head
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+      val m = edges.size.toLong
+      val sx = edges.map(e => deg(e._1) + deg(e._2)).sum
+      val sxx = edges.map(e => deg(e._1) * deg(e._1)
+        + deg(e._2) * deg(e._2)).sum
+      val sxy = 2L * edges.map(e => deg(e._1) * deg(e._2)).sum
+      assert((out.getLong(0), out.getLong(1), out.getLong(2),
+        out.getLong(3)) == ((m, sx, sxx, sxy)), s"trial=$trial")
+      val expected = (2L * m * sxy - sx * sx).toDouble /
+        (2L * m * sxx - sx * sx).toDouble
+      val got = out.getDouble(4)
+      assert(got == expected ||
+        (got.isNaN && expected.isNaN), s"trial=$trial")
+    }
+    // star graph: the hub (deg n) links only to leaves (deg 1) ->
+    // maximally disassortative, r = -1
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(star).collect().head.getDouble(4)
+      == -1.0)
+    // a disjoint pair of edges: every stub sees deg (1,1) -> zero
+    // variance -> NaN (0/0) by convention
+    val regular = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(regular)
+      .collect().head.getDouble(4).isNaN)
+  }
 }
