@@ -7054,6 +7054,38 @@ object Queries {
       |    / CAST(2*m*s_deg_sq - s_deg*s_deg AS DOUBLE) AS assortativity
       |FROM a""".stripMargin
 
+  /** Per-user inversion count of event values over time
+    * (Stats.groupInversions): the exact Kendall-tau disorder numerator
+    * — how out-of-order is each user's cents series when walked by
+    * (micros, event_id)? One sorted per-key collect + an O(n log n)
+    * merge-sort kernel, never the O(n²) pair join the oracle replays.
+    * The trend-direction / rank-churn diagnostic (is quality monotone
+    * in crawl time; how much did rankings shuffle between builds). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), cents(col("value")).as("v"))
+    Stats.groupInversions(ev, "user_id", Seq("us", "event_id"), "v")
+  }
+
+  private val q174Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |inv AS (
+      |  SELECT a.user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM e a JOIN e b ON a.user_id = b.user_id
+      |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+      |    AND a.v > b.v
+      |  GROUP BY 1),
+      |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e
+      |      GROUP BY 1)
+      |SELECT n.user_id, n.n, coalesce(inv.c, 0) AS inversions,
+      |  CAST(coalesce(inv.c, 0) AS DOUBLE)
+      |    / CAST((n.n * (n.n - 1)) // 2 AS DOUBLE) AS disorder
+      |FROM n LEFT JOIN inv ON n.user_id = inv.user_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7232,5 +7264,6 @@ object Queries {
     "q170_longest_streak" -> Q(q170, Some(q170Sql)),
     "q171_growth_accounting" -> Q(q171, Some(q171Sql)),
     "q172_group_quantile" -> Q(q172, Some(q172Sql)),
-    "q173_degree_assortativity" -> Q(q173, Some(q173Sql)))
+    "q173_degree_assortativity" -> Q(q173, Some(q173Sql)),
+    "q174_value_inversions" -> Q(q174, Some(q174Sql)))
 }

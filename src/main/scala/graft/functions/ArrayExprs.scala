@@ -776,3 +776,59 @@ case class EwmaShiftLongs(child: Expression, shift: Int)
   override protected def withNewChildInternal(newChild: Expression): EwmaShiftLongs =
     copy(child = newChild)
 }
+
+/** `inversion_count(xs)` — number of strict inversions in a long
+  * sequence: pairs i < j with xs(i) > xs(j). This is the Kendall-tau
+  * disorder numerator (how far an observed ordering is from sorted —
+  * quality scores drifting against crawl time, rank churn between two
+  * index builds). Counted by an iterative bottom-up MERGE SORT over one
+  * scratch buffer — O(n log n), exact long (n ≤ 2^32 keeps the count
+  * below n²/2 < 2^63), zero allocation beyond the two buffers. The
+  * caller orders the array by its sort key FIRST (sort_array over a
+  * (key, value) struct); ties in the key must be pre-ordered ascending
+  * by value so equal-key pairs can never count as inversions.
+  * Null/empty arrays yield null. */
+case class InversionCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "inversion_count"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"inversion_count needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val n = arr.length
+    if (n == 0) null
+    else {
+      var src = arr
+      var dst = new Array[Long](n)
+      var inv = 0L
+      var width = 1
+      while (width < n) {
+        var lo = 0
+        while (lo < n) {
+          val mid = math.min(lo + width, n)
+          val hi = math.min(lo + 2 * width, n)
+          var i = lo; var j = mid; var k = lo
+          while (i < mid && j < hi) {
+            // stable: on ties take from the left run — not an inversion
+            if (src(i) <= src(j)) { dst(k) = src(i); i += 1 }
+            else { dst(k) = src(j); inv += (mid - i); j += 1 }
+            k += 1
+          }
+          while (i < mid) { dst(k) = src(i); i += 1; k += 1 }
+          while (j < hi) { dst(k) = src(j); j += 1; k += 1 }
+          lo = hi
+        }
+        val t = src; src = dst; dst = t
+        width *= 2
+      }
+      inv
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): InversionCount =
+    copy(child = newChild)
+}

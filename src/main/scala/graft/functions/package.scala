@@ -434,6 +434,11 @@ package object functions {
   def hausdorff_l1(a: Column, b: Column, posWeight: Long): Column =
     ExprBridge.column(HausdorffL1(col2expr(a), col2expr(b), posWeight))
 
+  /** Strict inversion count of a long sequence — the Kendall-tau
+    * disorder numerator, merge-sort counted (see [[InversionCount]]). */
+  def inversion_count(xs: Column): Column =
+    ExprBridge.column(InversionCount(col2expr(xs)))
+
   /** Token-bucket rate-limit replay over a sorted epoch-micros array
     * (see [[TokenBucket]]). */
   def token_bucket(ts: Column, capacityMilli: Long, refillMilliPerSec: Long,

@@ -596,6 +596,52 @@ object Stats {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** Per-group strict INVERSION COUNT — the Kendall-tau disorder
+    * numerator: among a key's rows ordered by `ordCols`, how many pairs
+    * have their `xCol` values out of ascending order? 0 = the series is
+    * already sorted (a quality score monotone in crawl time), n(n−1)/2
+    * = perfectly reversed; the exact "how shuffled is this ordering"
+    * statistic behind rank-churn and trend-direction diagnostics.
+    *
+    * Each key's rows collect into ONE sorted array (sort_array over the
+    * (ord…, x) struct — ties in the sort key order ascending by x, so
+    * equal-key pairs can never count as inversions) and a merge-sort
+    * kernel ([[graft.functions.InversionCount]]) counts in O(n log n)
+    * — never the O(n²) pair join. Per-key rows must fit one executor
+    * (the trajectory/series kernel contract), CHECKED against
+    * `maxRowsPerKey` before the collect can run. `disorder` =
+    * inversions / C(n,2) is the one final double division (NaN for
+    * single-row groups, both engines).
+    * Output: (key, n, inversions, disorder). */
+  def groupInversions(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                      xCol: String,
+                      maxRowsPerKey: Long = 5000000L): DataFrame = {
+    require(ordCols.nonEmpty, "groupInversions needs at least one order column")
+    import graft.functions.inversion_count
+    val proj = df.select(
+      (col(keyCol) +: ordCols.map(col)) :+ col(xCol).cast("long").as("__x"): _*)
+      .localCheckpoint()
+    val worst = proj.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k"))).head()
+    val m = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(m <= maxRowsPerKey,
+      s"groupInversions: a key holds $m rows, exceeding the per-key " +
+        s"kernel contract (maxRowsPerKey=$maxRowsPerKey). Pre-aggregate " +
+        "or sub-split the key before counting inversions.")
+    val sortKey = struct(ordCols.map(col) :+ col("__x"): _*)
+    proj
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(sortKey)).as("__s"))
+      .withColumn("__inv",
+        inversion_count(transform(col("__s"), s => s("__x"))))
+      .select(col(keyCol), col("n"), col("__inv").as("inversions"),
+        when(col("n") < 2L, lit(Double.NaN)).otherwise(
+          col("__inv").cast("double") /
+            expr("(n * (n - 1L)) div 2L").cast("double"))
+          .as("disorder"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -417,6 +417,49 @@ class StatsSpec extends SparkTestBase {
       14L -> ((0L, 0L, 0L, 1L))))
   }
 
+  test("groupInversions matches the brute-force pair count on random " +
+    "series, with ord ties never inverting") {
+    val rnd = new scala.util.Random(131)
+    val rows = Seq.fill(400)((rnd.nextInt(5).toLong,
+      rnd.nextInt(20).toLong, rnd.nextInt(15).toLong))
+    val got = Stats.groupInversions(rows.toDF("k", "o", "v"), "k",
+        Seq("o"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      // brute force over the SORTED-BY-(o, v) sequence: pairs a<b in
+      // that order with v_a > v_b (tied o sorts v ascending -> never
+      // an inversion, matching the operator's struct sort)
+      val s = g.map(t => (t._2, t._3)).sorted
+      val inv = (for {
+        i <- s.indices; j <- (i + 1) until s.length
+        if s(i)._2 > s(j)._2
+      } yield 1).size.toLong
+      val n = s.length.toLong
+      val (gn, gi, gd) = got(k)
+      assert((gn, gi) == ((n, inv)), s"k=$k")
+      if (n < 2) assert(gd.isNaN, s"k=$k")
+      else assert(gd == inv.toDouble / (n * (n - 1) / 2).toDouble, s"k=$k")
+    }
+  }
+
+  test("groupInversions: sorted is 0, reversed is C(n,2), " +
+    "single row is NaN disorder, and the per-key bound fires") {
+    val sorted = (1L to 10L).map(i => (1L, i, i)).toDF("k", "o", "v")
+    assert(Stats.groupInversions(sorted, "k", Seq("o"), "v")
+      .collect().head.getLong(2) == 0L)
+    val rev = (1L to 10L).map(i => (1L, i, 11L - i)).toDF("k", "o", "v")
+    assert(Stats.groupInversions(rev, "k", Seq("o"), "v")
+      .collect().head.getLong(2) == 45L)
+    val one = Seq((1L, 1L, 5L)).toDF("k", "o", "v")
+    val r = Stats.groupInversions(one, "k", Seq("o"), "v").collect().head
+    assert(r.getLong(2) == 0L && r.getDouble(3).isNaN)
+    val err = intercept[IllegalArgumentException] {
+      Stats.groupInversions(sorted, "k", Seq("o"), "v", maxRowsPerKey = 5L)
+    }
+    assert(err.getMessage.contains("per-key kernel contract"))
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
