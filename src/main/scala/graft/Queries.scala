@@ -7086,6 +7086,29 @@ object Queries {
       |    / CAST((n.n * (n.n - 1)) // 2 AS DOUBLE) AS disorder
       |FROM n LEFT JOIN inv ON n.user_id = inv.user_id""".stripMargin
 
+  /** Per-source lexical diversity (TextAnalysis.lexicalDiversity):
+    * tokens, types, hapax legomena, TTR and hapax share per crawl
+    * source — the vocabulary-richness fingerprint separating prose
+    * from boilerplate farms. One tokenize scan → a (source, token)
+    * histogram bounded by vocabulary → one rollup; exact integer
+    * counts, two fixed-shape double ratios. */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "source", "text")
+
+  private val q175Sql =
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS t FROM documents),
+       |h AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+       |      FROM tok GROUP BY 1, 2),
+       |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_types,
+       |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_hapax
+       |      FROM h GROUP BY 1)
+       |SELECT source, n_tokens, n_types, n_hapax,
+       |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+       |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7265,5 +7288,6 @@ object Queries {
     "q171_growth_accounting" -> Q(q171, Some(q171Sql)),
     "q172_group_quantile" -> Q(q172, Some(q172Sql)),
     "q173_degree_assortativity" -> Q(q173, Some(q173Sql)),
-    "q174_value_inversions" -> Q(q174, Some(q174Sql)))
+    "q174_value_inversions" -> Q(q174, Some(q174Sql)),
+    "q175_lexical_diversity" -> Q(q175, Some(q175Sql)))
 }

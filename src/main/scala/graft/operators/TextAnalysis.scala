@@ -1908,6 +1908,39 @@ object TextAnalysis {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Per-group lexical-diversity profile: token count, type (distinct
+    * token) count, hapax legomena (types occurring exactly once in the
+    * group), type–token ratio and hapax share — the vocabulary-richness
+    * fingerprint that separates natural prose from template/boilerplate
+    * farms (low TTR, few hapax) and from gibberish (TTR → 1) in a crawl
+    * quality pass.
+    *
+    * Scale shape: ONE tokenize scan → a (group, token) count histogram
+    * (map-side combining — the shuffle is bounded by per-group
+    * vocabulary, never token count) → one group rollup. All counts are
+    * exact longs; the two ratios are fixed-shape double divisions over
+    * them (engine-exact). Groups whose text yields zero tokens are
+    * absent (inner semantics). Output: (group, n_tokens, n_types,
+    * n_hapax, ttr, hapax_ratio). */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val hist = df
+      .select(col(groupCol), explode(ws_tokens(col(textCol))).as("__t"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    hist
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio"))
+  }
+
   /** Data-derived gazetteer: the top-k tokens of length >= minLen by
     * DOCUMENT frequency (count of distinct docs containing the token),
     * ranked (df desc, token asc) — a deterministic stand-in for a curated

@@ -1062,6 +1062,35 @@ class OperatorSpec extends SparkTestBase {
     assert(asOf0 == Set(1L, 2L, 3L))
   }
 
+  test("lexicalDiversity counts tokens/types/hapax exactly and " +
+    "matches brute force on random corpora") {
+    val df = Seq(
+      (1L, "a", "the cat sat on the mat"),   // the x2 -> 6 tok, 5 types, 4 hapax
+      (2L, "a", ""),                          // no tokens
+      (3L, "b", "x x x")                      // 3 tok, 1 type, 0 hapax
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.lexicalDiversity(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") == ((6L, 5L, 4L, 5.0 / 6.0, 4.0 / 5.0)))
+    assert(out("b") == ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
+    // random property: brute-force token maps per group
+    val rnd = new scala.util.Random(139)
+    val corpus = Seq.tabulate(60)(i => (i.toLong, s"s${i % 4}",
+      Seq.fill(1 + rnd.nextInt(12))("w" + rnd.nextInt(8)).mkString(" ")))
+    val got = TextAnalysis.lexicalDiversity(
+        corpus.toDF("doc_id", "source", "text"), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    corpus.groupBy(_._2).foreach { case (src, g) =>
+      val toks = g.flatMap(_._3.split("\\s+").filter(_.nonEmpty))
+      val counts = toks.groupBy(identity).map { case (_, v) => v.size }
+      assert(got(src) == ((toks.size.toLong, counts.size.toLong,
+        counts.count(_ == 1).toLong)), s"source=$src")
+    }
+  }
+
   test("loudnessStats computes exact peak and RMS over cents series") {
     import graft.operators.Multimodal
     val df = Seq(
