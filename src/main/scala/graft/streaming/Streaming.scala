@@ -241,6 +241,73 @@ object Streaming {
       .toDF("k", "ts", "x", "s")
   }
 
+  /** Streamed state for EXACT exponentially-decayed popularity — the
+    * live twin of [[graft.operators.Stats.decayedCounts]]. Per key the
+    * state is the total event count plus a day→count histogram PRUNED
+    * to the trailing `horizonDays` window of that key's newest day —
+    * at most horizonDays+1 entries, so state is bounded by the horizon,
+    * never by history length. Pruning is lossless for the final score:
+    * a day dropped here is ≥ horizon behind the key's max day, hence ≥
+    * horizon behind the GLOBAL max day, where its power-of-two weight
+    * is exactly zero in the batch kernel too. Each batch emits the
+    * key's refreshed state row (Append — downstream keeps the latest
+    * per key); [[decayedFromState]] turns a state snapshot into the
+    * batch-identical (n_events, decayed, score) table. */
+  def streamingDecayedState(obs: DataFrame, horizonDays: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(horizonDays >= 0 && horizonDays <= 62,
+      s"streamingDecayedState needs horizonDays in [0, 62], got $horizonDays")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("d").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]),
+        (Long, Long, Array[Long], Array[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Map[Long, Long])]) =>
+          var (n, hist) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          rows.foreach { case (_, d) =>
+            n += 1L
+            hist = hist.updated(d, hist.getOrElse(d, 0L) + 1L)
+          }
+          val maxd = hist.keys.max
+          hist = hist.filter { case (d, _) => maxd - d <= horizonDays }
+          state.update((n, hist))
+          val days = hist.keys.toArray.sorted
+          Iterator((k, n, days, days.map(hist)))
+      }
+      .toDF("k", "n_events", "days", "counts")
+  }
+
+  /** Serve the decayed-popularity table from a [[streamingDecayedState]]
+    * snapshot (latest row per key): ages every retained day against the
+    * GLOBAL max day across keys — joined in as a one-row aggregate (the
+    * trailingActives discipline, no eager collect) — with the same
+    * power-of-two weights as the batch kernel, so the result is
+    * bit-identical to `Stats.decayedCounts` over the full history. */
+  def decayedFromState(stateSnapshot: DataFrame, horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0 && horizonDays <= 62,
+      s"decayedFromState needs horizonDays in [0, 62], got $horizonDays")
+    val bound = stateSnapshot.select(explode(col("days")).as("__d"))
+      .agg(max(col("__d")).as("__maxd"))
+    stateSnapshot
+      .select(col("k"), col("n_events"),
+        explode(arrays_zip(col("days"), col("counts"))).as("__z"))
+      .select(col("k"), col("n_events"),
+        col("__z.days").as("__d"), col("__z.counts").as("__c"))
+      .crossJoin(bound)
+      .withColumn("__w",
+        when(col("__maxd") - col("__d") <= horizonDays,
+          col("__c") * expr(
+            s"shiftleft(1L, cast(${horizonDays}L - (__maxd - __d) as int))"))
+          .otherwise(lit(0L)))
+      .groupBy(col("k"))
+      .agg(max(col("n_events")).as("n_events"), sum(col("__w")).as("decayed"))
+      .withColumn("score",
+        col("decayed").cast("double") / lit(math.pow(2.0, horizonDays)))
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

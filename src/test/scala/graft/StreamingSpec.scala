@@ -900,6 +900,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decayed popularity serves batch-identical scores, " +
+    "with late events pruned exactly like the batch cutoff") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.streamingDecayedState(mem.toDF().toDF("k", "d"),
+        horizonDays = 4)
+      .writeStream.format("memory").queryName("decay").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, 100L), (1L, 101L), (2L, 100L))
+      q.processAllAvailable()
+      // second batch: a fresh day for key 1 and a LATE event for key 2
+      // (already beyond the horizon of key 2's own max day)
+      mem.addData((1L, 103L), (2L, 95L))
+      q.processAllAvailable()
+      // latest state row per key: n_events strictly grows per emission
+      val snap = spark.table("decay")
+        .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("n_events").desc)))
+        .where(col("__rk") === 1).drop("__rk")
+      val served = Streaming.decayedFromState(snap, horizonDays = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      val batch = graft.operators.Stats.decayedCounts(
+          Seq((1L, 100L), (1L, 101L), (2L, 100L), (1L, 103L), (2L, 95L))
+            .toDF("k", "d"), "k", "d", horizonDays = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      assert(served == batch,
+        "streamed decayed scores != batch kernel over the full history")
+      // spot-check the arithmetic: global max 103, h=4 ->
+      // key1 2^1+2^2+2^4 = 22; key2 keeps only day 100 -> 2, n=2
+      assert(served(1L) == ((3L, 22L, 22.0 / 16.0)))
+      assert(served(2L) == ((2L, 2L, 2.0 / 16.0)))
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals the batch kernel over the history") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
