@@ -7109,6 +7109,46 @@ object Queries {
        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
        |FROM a""".stripMargin
 
+  /** Per-user lag-1 autocorrelation of event cents over time
+    * (Stats.groupAutocorr): Pearson r between each user's series and
+    * its one-step successor, from SIX exact integer sufficient
+    * statistics per key — trend persistence / periodicity in one
+    * key-partitioned lag window plus a map-side-combining rollup; the
+    * float tail (two sqrts, one division) is fixed-shape so r is
+    * engine-exact. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), cents(col("value")).as("v"))
+    Stats.groupAutocorr(ev, "user_id", Seq("us", "event_id"), "v", k = 1)
+  }
+
+  private val q176Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, v AS a,
+      |    lead(v, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS b
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+      |    CAST(sum(a*a) AS BIGINT) AS saa,
+      |    CAST(sum(b*b) AS BIGINT) AS sbb,
+      |    CAST(sum(a*b) AS BIGINT) AS sab
+      |  FROM l WHERE b IS NOT NULL GROUP BY 1)
+      |SELECT user_id, m, sab AS s_ab,
+      |  CASE WHEN m*saa - sa*sa = 0 OR m*sbb - sb*sb = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(m*sab - sa*sb AS DOUBLE)
+      |      / (sqrt(CAST(m*saa - sa*sa AS DOUBLE))
+      |         * sqrt(CAST(m*sbb - sb*sb AS DOUBLE)))
+      |  END AS r
+      |FROM g""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7289,5 +7329,6 @@ object Queries {
     "q172_group_quantile" -> Q(q172, Some(q172Sql)),
     "q173_degree_assortativity" -> Q(q173, Some(q173Sql)),
     "q174_value_inversions" -> Q(q174, Some(q174Sql)),
-    "q175_lexical_diversity" -> Q(q175, Some(q175Sql)))
+    "q175_lexical_diversity" -> Q(q175, Some(q175Sql)),
+    "q176_autocorrelation" -> Q(q176, Some(q176Sql)))
 }

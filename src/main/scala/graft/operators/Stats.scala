@@ -642,6 +642,48 @@ object Stats {
           .as("disorder"))
   }
 
+  /** Per-group lag-k AUTOCORRELATION from exact integer sufficient
+    * statistics: Pearson r between each key's series and itself k
+    * steps later (walked in `ordCols` order) — the periodicity /
+    * trend-persistence diagnostic (does yesterday's quality predict
+    * today's; is there a weekly crawl cycle). One lag window per key
+    * (never global) pairs x_t with x_{t+k}; the pairs collapse to SIX
+    * integer sufficient statistics per key (m, Σa, Σb, Σa², Σb², Σab
+    * — map-side combining, six longs cross the shuffle regardless of
+    * series length), and the float tail is a fixed shape of casts, two
+    * IEEE sqrts and one division, so r is engine-exact. The caller
+    * keeps m·Σa² inside int64 (the groupOls discipline — cents-scale
+    * values are safe to ~4·10⁹ rows per key). Zero variance on either
+    * side → NaN (explicit — ANSI Spark vs DuckDB 0/0 parity). Keys
+    * with fewer than k+1 rows are absent (no pairs).
+    * Output: (key, m, s_ab, r). */
+  def groupAutocorr(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                    xCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"groupAutocorr needs lag k >= 1, got $k")
+    require(ordCols.nonEmpty, "groupAutocorr needs at least one order column")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(ordCols.map(col): _*)
+    val pairs = df
+      .select(col(keyCol) +: ordCols.map(col)
+        :+ col(xCol).cast("long").as("__a"): _*)
+      .withColumn("__b", lead(col("__a"), k).over(w))
+      .where(col("__b").isNotNull)
+    val agg = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("m"),
+        sum(col("__a")).as("sa"), sum(col("__b")).as("sb"),
+        sum(col("__a") * col("__a")).as("saa"),
+        sum(col("__b") * col("__b")).as("sbb"),
+        sum(col("__a") * col("__b")).as("s_ab"))
+    val va = agg("m") * col("saa") - col("sa") * col("sa")
+    val vb = agg("m") * col("sbb") - col("sb") * col("sb")
+    agg
+      .select(col(keyCol), col("m"), col("s_ab"),
+        when(va === 0L || vb === 0L, lit(Double.NaN)).otherwise(
+          (col("m") * col("s_ab") - col("sa") * col("sb")).cast("double")
+            / (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+          .as("r"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -460,6 +460,50 @@ class StatsSpec extends SparkTestBase {
     assert(err.getMessage.contains("per-key kernel contract"))
   }
 
+  test("groupAutocorr matches the brute-force Pearson over lagged " +
+    "pairs, and known shapes have the right sign") {
+    val rnd = new scala.util.Random(151)
+    for (k <- Seq(1, 2)) {
+      val rows = Seq.fill(300)((rnd.nextInt(4).toLong,
+        rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong))
+        // unique ord per key to make brute order total
+        .zipWithIndex.map { case ((key, _, v), i) => (key, i.toLong, v) }
+      val got = Stats.groupAutocorr(rows.toDF("k", "o", "v"), "k",
+          Seq("o"), "v", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      rows.groupBy(_._1).foreach { case (key, g) =>
+        val s = g.sortBy(_._2).map(_._3)
+        val pairs = s.dropRight(k).zip(s.drop(k))
+        val m = pairs.length.toLong
+        val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+        val saa = pairs.map(p => p._1 * p._1).sum
+        val sbb = pairs.map(p => p._2 * p._2).sum
+        val sab = pairs.map(p => p._1 * p._2).sum
+        val (gm, gab, gr) = got(key)
+        assert((gm, gab) == ((m, sab)), s"key=$key k=$k")
+        val va = m * saa - sa * sa; val vb = m * sbb - sb * sb
+        if (va == 0L || vb == 0L) assert(gr.isNaN, s"key=$key k=$k")
+        else assert(gr == (m * sab - sa * sb).toDouble /
+          (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble)),
+          s"key=$key k=$k")
+      }
+    }
+    // strictly increasing series: perfect lag-1 persistence, r = 1
+    val inc = (1L to 20L).map(i => (1L, i, i)).toDF("k", "o", "v")
+    assert(math.abs(Stats.groupAutocorr(inc, "k", Seq("o"), "v", 1)
+      .collect().head.getDouble(3) - 1.0) < 1e-12)
+    // alternating series: lag-1 anti-persistence, r = -1
+    val alt = (1L to 20L).map(i => (1L, i, (i % 2) * 10L))
+      .toDF("k", "o", "v")
+    assert(math.abs(Stats.groupAutocorr(alt, "k", Seq("o"), "v", 1)
+      .collect().head.getDouble(3) + 1.0) < 1e-12)
+    // constant series: zero variance -> NaN
+    val const = (1L to 5L).map(i => (1L, i, 7L)).toDF("k", "o", "v")
+    assert(Stats.groupAutocorr(const, "k", Seq("o"), "v", 1)
+      .collect().head.getDouble(3).isNaN)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
