@@ -7149,6 +7149,43 @@ object Queries {
       |  END AS r
       |FROM g""".stripMargin
 
+  /** χ²-distinctive vocabulary per source
+    * (TextAnalysis.distinctiveTerms): tokens over-represented in each
+    * crawl source vs the rest of the corpus, by the 2×2 contingency
+    * chi-squared with positive association only — one tokenize scan,
+    * marginal joins bounded by vocabulary, exact integer cells and a
+    * fixed-shape double χ² tail. */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "source",
+      "text", minCount = 3L, minChi2 = 4.0)
+
+  private val q177Sql =
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS token
+       |            FROM documents),
+       |cell AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+       |         FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS tt FROM cell
+       |       GROUP BY 1),
+       |gt AS (SELECT source, CAST(sum(a) AS BIGINT) AS gt FROM cell
+       |       GROUP BY 1),
+       |n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cell),
+       |x AS (SELECT cell.source, cell.token, cell.a,
+       |        CAST(cell.a AS DOUBLE) AS ad_,
+       |        CAST(tt.tt - cell.a AS DOUBLE) AS bd_,
+       |        CAST(gt.gt - cell.a AS DOUBLE) AS cd_,
+       |        CAST(n.n - tt.tt - gt.gt + cell.a AS DOUBLE) AS dd_,
+       |        CAST(n.n AS DOUBLE) AS nd_
+       |      FROM cell JOIN tt USING (token) JOIN gt USING (source)
+       |      CROSS JOIN n)
+       |SELECT source, token, a,
+       |  nd_ * (ad_*dd_ - bd_*cd_) * (ad_*dd_ - bd_*cd_)
+       |    / ((ad_+bd_) * (cd_+dd_) * (ad_+cd_) * (bd_+dd_)) AS chi2
+       |FROM x
+       |WHERE a >= 3 AND ad_*dd_ - bd_*cd_ > 0
+       |  AND nd_ * (ad_*dd_ - bd_*cd_) * (ad_*dd_ - bd_*cd_)
+       |    / ((ad_+bd_) * (cd_+dd_) * (ad_+cd_) * (bd_+dd_)) >= 4.0"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7330,5 +7367,6 @@ object Queries {
     "q173_degree_assortativity" -> Q(q173, Some(q173Sql)),
     "q174_value_inversions" -> Q(q174, Some(q174Sql)),
     "q175_lexical_diversity" -> Q(q175, Some(q175Sql)),
-    "q176_autocorrelation" -> Q(q176, Some(q176Sql)))
+    "q176_autocorrelation" -> Q(q176, Some(q176Sql)),
+    "q177_distinctive_terms" -> Q(q177, Some(q177Sql)))
 }

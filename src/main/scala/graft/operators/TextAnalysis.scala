@@ -1941,6 +1941,54 @@ object TextAnalysis {
           .as("hapax_ratio"))
   }
 
+  /** χ²-DISTINCTIVE terms per group: which tokens are over-represented
+    * in this source vs the rest of the corpus — the classic
+    * chi-squared keyword/feature-selection statistic over the 2×2
+    * token-occurrence contingency (a = t in s, b = t elsewhere,
+    * c = other tokens in s, d = other tokens elsewhere):
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * restricted to positive association (ad > bc). The vocabulary
+    * fingerprint of each crawl source (what language does this domain
+    * over-use), and the drift detector between two corpus snapshots.
+    *
+    * Scale shape: ONE tokenize scan → a (group, token) histogram
+    * bounded by vocabulary, then two co-partitioned joins against the
+    * token and group marginals and a one-row corpus total cross-joined
+    * in lazily (the trailingActives discipline). Counts are exact
+    * longs; the χ² tail casts the four cells to double FIRST and runs
+    * one fixed shape of products and a division (a·d can exceed int64
+    * at corpus scale — the double products are deterministic IEEE,
+    * engine-exact). Output: (group, token, a, chi2), filtered to
+    * a ≥ minCount and χ² ≥ minChi2. */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       minCount: Long, minChi2: Double): DataFrame = {
+    val cell = df
+      .select(col(groupCol), explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("a")).localCheckpoint() // three readers below
+    val tokTotal = cell.groupBy(col("token")).agg(sum(col("a")).as("__tt"))
+    val grpTotal = cell.groupBy(col(groupCol)).agg(sum(col("a")).as("__gt"))
+    val total = cell.agg(sum(col("a")).as("__n"))
+    val aD = col("a").cast("double")
+    val bD = (col("__tt") - col("a")).cast("double")
+    val cD = (col("__gt") - col("a")).cast("double")
+    val dD = (col("__n") - col("__tt") - col("__gt") + col("a"))
+      .cast("double")
+    val diff = aD * dD - bD * cD
+    cell
+      .join(tokTotal, "token")
+      .join(grpTotal, groupCol)
+      .crossJoin(total)
+      .withColumn("chi2",
+        col("__n").cast("double") * diff * diff
+          / ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD)))
+      .where(col("a") >= minCount && diff > 0.0 &&
+        col("chi2") >= minChi2)
+      .select(col(groupCol), col("token"), col("a"), col("chi2"))
+  }
+
   /** Data-derived gazetteer: the top-k tokens of length >= minLen by
     * DOCUMENT frequency (count of distinct docs containing the token),
     * ranked (df desc, token asc) — a deterministic stand-in for a curated

@@ -1091,6 +1091,45 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("distinctiveTerms matches the brute-force chi-squared over " +
+    "token contingency tables") {
+    val rnd = new scala.util.Random(163)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val corpus = Seq.tabulate(50)(i => (i.toLong, s"s${i % 3}",
+      Seq.fill(5 + rnd.nextInt(10))(
+        // skew: source s0 over-uses "alpha"
+        if (i % 3 == 0 && rnd.nextInt(3) == 0) "alpha"
+        else words(rnd.nextInt(words.size))).mkString(" ")))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val got = TextAnalysis.distinctiveTerms(df, "source", "text",
+        minCount = 1L, minChi2 = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // brute force
+    val toks = corpus.flatMap { case (_, s, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+    val n = toks.size.toLong
+    val cells = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tt = toks.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val gt = toks.groupBy(_._1).map { case (s, v) => s -> v.size.toLong }
+    var checked = 0
+    cells.foreach { case ((s, t), a) =>
+      val (ad, bd, cd, dd) = (a.toDouble, (tt(t) - a).toDouble,
+        (gt(s) - a).toDouble, (n - tt(t) - gt(s) + a).toDouble)
+      val diff = ad * dd - bd * cd
+      if (diff > 0) {
+        val chi2 = n.toDouble * diff * diff /
+          ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+        assert(got((s, t)) == ((a, chi2)), s"($s,$t)")
+        checked += 1
+      } else assert(!got.contains((s, t)), s"($s,$t) not positive")
+    }
+    assert(checked > 0 && got.size == checked)
+    // the planted skew surfaces: alpha is s0's top distinctive term
+    val s0 = got.collect { case ((s, t), (_, chi2)) if s == "s0" => t -> chi2 }
+    assert(s0.nonEmpty && s0.maxBy(_._2)._1 == "alpha")
+  }
+
   test("loudnessStats computes exact peak and RMS over cents series") {
     import graft.operators.Multimodal
     val df = Seq(
