@@ -7186,6 +7186,36 @@ object Queries {
        |    / ((ad_+bd_) * (cd_+dd_) * (ad_+cd_) * (bd_+dd_)) >= 4.0"""
       .stripMargin
 
+  /** KWIC concordance for "data" served from the persisted positional
+    * index (TextAnalysis.kwic): occurrences come from the index probe
+    * (literal pushed to the postings scan — zero corpus rescan to find
+    * matches); only MATCHED doc ids join back to documents for the
+    * ±2-token context slices. The corpus-linguistics audit view of a
+    * token, as a serving-path query. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextAnalysis.loadPositionalIndex(s, posIndexOnDisk(s, dir))
+    TextAnalysis.kwic(idx.postings, t(s, dir, "documents"),
+      "doc_id", "text", term = "data", window = 2)
+  }
+
+  private val q178Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, tk,
+       |    unnest(list_filter(list_transform(tk,
+       |      (x, i) -> CASE WHEN x = 'data'
+       |                     THEN CAST(i - 1 AS BIGINT) ELSE -1 END),
+       |      p -> p >= 0)) AS pos
+       |  FROM tk)
+       |SELECT doc_id, pos,
+       |  coalesce(array_to_string(
+       |    list_slice(tk, greatest(pos - 2, 0) + 1, pos), ' '), '')
+       |    AS left_ctx,
+       |  tk[CAST(pos + 1 AS BIGINT)] AS keyword,
+       |  coalesce(array_to_string(
+       |    list_slice(tk, pos + 2, pos + 3), ' '), '') AS right_ctx
+       |FROM occ""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7368,5 +7398,6 @@ object Queries {
     "q174_value_inversions" -> Q(q174, Some(q174Sql)),
     "q175_lexical_diversity" -> Q(q175, Some(q175Sql)),
     "q176_autocorrelation" -> Q(q176, Some(q176Sql)),
-    "q177_distinctive_terms" -> Q(q177, Some(q177Sql)))
+    "q177_distinctive_terms" -> Q(q177, Some(q177Sql)),
+    "q178_kwic_concordance" -> Q(q178, Some(q178Sql)))
 }

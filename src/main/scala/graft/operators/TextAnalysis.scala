@@ -667,6 +667,39 @@ object TextAnalysis {
       probePositions(postings, phrase.distinct), phrase)
   }
 
+  /** KWIC concordance: every occurrence of `term` with `window` tokens
+    * of context on each side — the corpus-linguistics keyword-in-context
+    * view (and the human audit surface for a curation rule: "show me
+    * how this token is actually used before I filter on it").
+    *
+    * Serving shape: occurrences come from the POSITIONAL INDEX (the
+    * `isin` literal probe reaches the postings scan — zero corpus
+    * rescan to find matches); only the MATCHED doc ids then join back
+    * to the docs table to fetch text for context (an index-pruned
+    * lookup join — AQE broadcasts the matched side when small, and the
+    * join never touches unmatched documents' text). Slicing is pure
+    * fixed-shape array math over the same tokenizer the index was
+    * built with. Output: (doc_id, pos, left_ctx, keyword, right_ctx),
+    * one row per occurrence; `keyword` re-read from the document
+    * (== term by construction of the index). */
+  def kwic(postings: DataFrame, docs: DataFrame, idCol: String,
+           textCol: String, term: String, window: Int): DataFrame = {
+    require(window >= 0, s"kwic needs window >= 0, got $window")
+    val occ = probePositions(postings, Seq(term))
+      .select(col("doc_id"), explode(col("positions")).as("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      ws_tokens(col(textCol)).as("__toks"))
+    val start = greatest(col("pos") - window, lit(0L))
+    occ.join(toks, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("__toks"), (start + 1L).cast("int"),
+          (col("pos") - start).cast("int")), " ").as("left_ctx"),
+        element_at(col("__toks"), (col("pos") + 1L).cast("int"))
+          .as("keyword"),
+        array_join(slice(col("__toks"), (col("pos") + 2L).cast("int"),
+          lit(window)), " ").as("right_ctx"))
+  }
+
   /** Probe a positional postings table for `terms` and explode to
     * (token, doc_id, positions) occurrence rows — the literal `isin`
     * reaches the scan, same as [[probeCand]]. */

@@ -1130,6 +1130,25 @@ class OperatorSpec extends SparkTestBase {
     assert(s0.nonEmpty && s0.maxBy(_._2)._1 == "alpha")
   }
 
+  test("kwic serves boundary-clamped contexts from the positional index") {
+    val docs = Seq(
+      (1L, "data at start and data at end data"),
+      (2L, "no keyword here"),
+      (3L, "one data two")).toDF("doc_id", "text")
+    val idx = TextAnalysis.buildPositionalIndex(docs, "doc_id", "text",
+      nShards = 2)
+    val out = TextAnalysis.kwic(idx, docs, "doc_id", "text",
+        term = "data", window = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (("", "data", "at start")),     // left clamps empty
+      (1L, 4L) -> (("start and", "data", "at end")),
+      (1L, 7L) -> (("at end", "data", "")),       // right clamps empty
+      (3L, 1L) -> (("one", "data", "two"))))      // short both sides
+  }
+
   test("loudnessStats computes exact peak and RMS over cents series") {
     import graft.operators.Multimodal
     val df = Seq(
