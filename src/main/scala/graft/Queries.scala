@@ -7216,6 +7216,35 @@ object Queries {
        |    list_slice(tk, pos + 2, pos + 3), ' '), '') AS right_ctx
        |FROM occ""".stripMargin
 
+  /** Reciprocal nearest-neighbor twins over the embedding corpus
+    * (Similarity.reciprocalPairs ∘ bruteForceTopK k=1): pairs where
+    * each vector is the other's single closest neighbor — the
+    * high-precision near-dup filter that drops one-sided hub hits.
+    * Rank-1 rows self-join co-partitioned on the id pair; the oracle
+    * replays top-1 (rounded cosine, id tiebreak) and the mutuality
+    * join declaratively. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.reciprocalPairs(Similarity.bruteForceTopK(emb, emb, k = 1))
+  }
+
+  private val q179Sql =
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim
+       |  FROM e a JOIN e b ON b.vec_id != a.vec_id),
+       |t1 AS (
+       |  SELECT query_id, cand_id, cos_sim FROM (
+       |    SELECT query_id, cand_id, cos_sim,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, cand_id ASC) AS rk
+       |    FROM scored) WHERE rk = 1)
+       |SELECT a.query_id AS id_a, a.cand_id AS id_b, a.cos_sim
+       |FROM t1 a JOIN t1 b
+       |  ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+       |WHERE a.query_id < a.cand_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7399,5 +7428,6 @@ object Queries {
     "q175_lexical_diversity" -> Q(q175, Some(q175Sql)),
     "q176_autocorrelation" -> Q(q176, Some(q176Sql)),
     "q177_distinctive_terms" -> Q(q177, Some(q177Sql)),
-    "q178_kwic_concordance" -> Q(q178, Some(q178Sql)))
+    "q178_kwic_concordance" -> Q(q178, Some(q178Sql)),
+    "q179_reciprocal_nn" -> Q(q179, Some(q179Sql)))
 }

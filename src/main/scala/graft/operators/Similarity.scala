@@ -49,6 +49,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** MUTUAL nearest-neighbor pairs from any ranked top-k table
+    * ([[bruteForceTopK]], [[ivfTopK]], …): keep each vector's rank-1
+    * neighbor and return the pairs where the relation is RECIPROCAL —
+    * a is b's closest and b is a's. Reciprocity is the classic
+    * high-precision near-duplicate / record-linkage filter: one-sided
+    * top-1 hits are often hub artifacts (one popular vector absorbs
+    * everything), while mutual top-1 pairs survive as genuine twins.
+    *
+    * Scale shape: one co-partitioned self-equi-join on the (query,
+    * cand) id pair over a ONE-ROW-PER-VECTOR table — the expensive part
+    * is whichever top-k source feeds it (brute for bounded sets, the
+    * IVF path at corpus scale), not this composition. Canonical a < b
+    * output, cos_sim carried from the a-side row.
+    * Output: (id_a, id_b, cos_sim). */
+  def reciprocalPairs(topk: DataFrame): DataFrame = {
+    val t1 = topk.where(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"))
+      .localCheckpoint() // both sides of the self-join read it
+    t1.as("a").join(t1.as("b"),
+        col("a.query_id") === col("b.cand_id") &&
+          col("a.cand_id") === col("b.query_id"))
+      .where(col("a.query_id") < col("a.cand_id"))
+      .select(col("a.query_id").as("id_a"), col("a.cand_id").as("id_b"),
+        col("a.cos_sim").as("cos_sim"))
+  }
+
   /** Trajectory similarity search (the REPOSE/trajectory-search family,
     * ICDE'21 shape): exact top-k nearest entities to each query entity
     * by the discrete symmetric Hausdorff distance over integer

@@ -219,6 +219,31 @@ class ScaleSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
+    val rnd = new scala.util.Random(179)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, k = 1)
+    val got = Similarity.reciprocalPairs(top1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: mutual rank-1 relation from the same top-1 table
+    val nn = top1.where(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = nn.collect {
+      case (a, b) if nn.get(b).contains(a) && a < b => (a, b)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // planted twins: two near-identical vectors must surface as a pair
+    val twin = vecs.unionByName(Seq(
+      (100L, Seq(10f, 0f, 0f, 0f)), (101L, Seq(10f, 0.001f, 0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val pairs2 = Similarity.reciprocalPairs(
+        Similarity.bruteForceTopK(twin, twin, k = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2.contains((100L, 101L)))
+  }
+
   test("hll_distinct partial-aggregates: registers, not values, cross the shuffle") {
     val df = (0L until 2000L).map(i => (s"g${i % 3}", s"v${i % 701}"))
       .toDF("g", "v").repartition(7)
