@@ -7245,6 +7245,106 @@ object Queries {
        |  ON a.query_id = b.cand_id AND a.cand_id = b.query_id
        |WHERE a.query_id < a.cand_id""".stripMargin
 
+  /** Run-length encoding of each user's event-type sequence
+    * (Stats.stateRuns): consecutive equal types collapse into numbered
+    * runs walked by (micros, event_id) — the behavioral-sequence
+    * compression behind dwell profiles and sequence mining. Two
+    * key-partitioned windows + one rollup, exact integer lengths. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), col("event_type"))
+    Stats.stateRuns(ev, "user_id", Seq("us", "event_id"), "event_type")
+  }
+
+  private val q180Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id)
+      |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS nf
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_idx
+      |  FROM f)
+      |SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+      |  event_type AS state, CAST(count(*) AS BIGINT) AS run_len
+      |FROM r GROUP BY 1, 2, 3""".stripMargin
+
+  /** Benford first-digit profile of lineitem prices per return flag
+    * (Stats.benfordProfile): leading digits from pure integer
+    * floor-division, counts exact, expected shares shipped as the SAME
+    * 17-digit literals to both engines — the fabricated-data detector
+    * as a gate. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+    Stats.benfordProfile(li, "l_returnflag", "v")
+  }
+
+  private val q181Sql = {
+    val shares = Stats.BenfordShare.zipWithIndex.map { case (sh, i) =>
+      f"WHEN digit = ${i + 1} THEN CAST($sh%.17e AS DOUBLE)"
+    }.mkString("\n  ")
+    s"""WITH o AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+       |  FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag,
+       |    CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM o WHERE v > 0 GROUP BY 1, 2),
+       |g AS (
+       |  SELECT l_returnflag, digit, n,
+       |    CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+       |      AS n_group
+       |  FROM h)
+       |SELECT l_returnflag, digit, n, n_group,
+       |  CAST(n AS DOUBLE) / CAST(n_group AS DOUBLE) AS share,
+       |  CASE $shares END AS benford_share
+       |FROM g""".stripMargin
+  }
+
+  /** Calibration (reliability) table of the q130 quality classifier
+    * against the English label (Stats.calibrationTable, 10 bins):
+    * integer fixed-width bins over the observed micro-score range with
+    * the bounds joined in lazily; exact counts, fixed-shape mean/rate
+    * divisions — "is a high score actually more often English". */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierQualityFilter(docs, "doc_id", "text",
+      bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+      .select(col("doc_id"), col("score_micro"))
+    val labeled = scored.join(
+      docs.select(col("doc_id"), (col("lang") === "en").as("label")),
+      "doc_id")
+    Stats.calibrationTable(labeled, "score_micro", "label", nBins = 10)
+  }
+
+  private val q182Sql = classifierCtes +
+    """,
+      |sc AS (SELECT CAST(floor(z.z * 1000000.0) AS BIGINT) AS s,
+      |              d.lang = 'en' AS label
+      |       FROM z JOIN documents d ON z.doc_id = d.doc_id),
+      |b AS (SELECT min(s) AS mn, max(s) AS mx FROM sc),
+      |g AS (SELECT (s - mn) * 10 // (mx - mn + 1) AS bin, s, label
+      |      FROM sc CROSS JOIN b),
+      |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_pos,
+      |        CAST(sum(s) AS BIGINT) AS sum_score
+      |      FROM g GROUP BY 1)
+      |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, sum_score,
+      |  CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+      |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7429,5 +7529,8 @@ object Queries {
     "q176_autocorrelation" -> Q(q176, Some(q176Sql)),
     "q177_distinctive_terms" -> Q(q177, Some(q177Sql)),
     "q178_kwic_concordance" -> Q(q178, Some(q178Sql)),
-    "q179_reciprocal_nn" -> Q(q179, Some(q179Sql)))
+    "q179_reciprocal_nn" -> Q(q179, Some(q179Sql)),
+    "q180_state_runs" -> Q(q180, Some(q180Sql)),
+    "q181_benford_profile" -> Q(q181, Some(q181Sql)),
+    "q182_calibration_table" -> Q(q182, Some(q182Sql)))
 }

@@ -684,6 +684,118 @@ object Stats {
           .as("r"))
   }
 
+  /** RUN-LENGTH encoding of a per-key state sequence: walk each key's
+    * rows in `ordCols` order and collapse consecutive equal `stateCol`
+    * values into numbered runs — the behavioral-sequence compression
+    * (browse-browse-buy → two runs) and the state-dwell profile
+    * (how long does a crawl source stay in each health state) behind
+    * session labeling and sequence mining.
+    *
+    * Two windows, both partitioned BY KEY (lag to flag run starts,
+    * running sum to number them — never a global sort), then one
+    * map-side-combining rollup per (key, run). `ordCols` must totally
+    * order each key's rows; states must be non-null. All exact longs.
+    * Output: (key, run_idx, state, run_len), run_idx 1-based in walk
+    * order. */
+  def stateRuns(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                stateCol: String): DataFrame = {
+    require(ordCols.nonEmpty, "stateRuns needs at least one order column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordCols.map(col): _*)
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    df
+      .withColumn("__nf",
+        when(!(lag(col(stateCol), 1).over(w) <=> col(stateCol)), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__nf")).over(wc))
+      .groupBy(col(keyCol), col("__run").as("run_idx"),
+        col(stateCol).as("state"))
+      .agg(count(lit(1)).as("run_len"))
+  }
+
+  /** BENFORD first-digit profile per group: the distribution of leading
+    * decimal digits of a positive integer column vs Benford's law — the
+    * classic fabricated-data / synthetic-source detector (organic
+    * magnitudes follow log-uniform leading digits; generated or
+    * copy-pasted numbers don't). The leading digit comes from pure
+    * integer floor-division (v div 10^⌊log10 v⌋ — spelled as a chain of
+    * comparisons, no float log), so counts are exact longs; expected
+    * Benford shares and the chi-squared distance are a fixed shape of
+    * IEEE log10/divisions over those longs (engine-exact). One
+    * map-side-combining digit histogram (shuffle bounded by groups×9)
+    * plus a group rollup. Zero/negative values are excluded by
+    * definition. Output: one row per (group, digit 1..9) present —
+    * (group, digit, n, share, benford_share), plus the per-group n. */
+  def benfordProfile(df: DataFrame, keyCol: String,
+                     xCol: String): DataFrame = {
+    val v = col(xCol).cast("long")
+    // largest power of ten <= v: 18 integer comparisons, exact over the
+    // full int64 range (no float log10 anywhere near the digit)
+    val pow10 = (1 to 18).foldLeft(lit(1L)) { (acc, i) =>
+      when(v >= lit(BenfordPow10(i)), lit(BenfordPow10(i))).otherwise(acc)
+    }
+    val hist = df.where(v > 0L)
+      .withColumn("__v", v).withColumn("__p", pow10)
+      .withColumn("__digit", expr("__v div __p"))
+      .groupBy(col(keyCol), col("__digit").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    // expected shares ship as PRE-COMPUTED double literals (the LSH
+    // fixed-plane discipline): both engines compare against the same
+    // 17-digit constants instead of racing libm log10 implementations
+    val expected = (1 to 9).foldLeft(lit(Double.NaN)) { (acc, d) =>
+      when(col("digit") === d.toLong, lit(BenfordShare(d - 1))).otherwise(acc)
+    }
+    val wk = Window.partitionBy(col(keyCol))
+    hist
+      .withColumn("n_group", sum(col("n")).over(wk))
+      .select(col(keyCol), col("digit"), col("n"), col("n_group"),
+        (col("n").cast("double") / col("n_group").cast("double"))
+          .as("share"),
+        expected.as("benford_share"))
+  }
+
+  /** 10^0 .. 10^18 as exact longs. */
+  val BenfordPow10: Array[Long] =
+    Iterator.iterate(1L)(_ * 10L).take(19).toArray
+
+  /** Benford's-law expected share of leading digit d = log10(1 + 1/d),
+    * computed ONCE here and shipped as literals to both engines. */
+  val BenfordShare: Array[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).toArray
+
+  /** Classifier CALIBRATION (reliability) table: fixed-width score bins
+    * over the observed [min, max] range, each reporting how often the
+    * label actually fires vs the bin's mean score — the reliability
+    * diagram behind "can I trust this quality classifier's 0.9 as a
+    * 90%?", and the drift monitor between scoring runs.
+    *
+    * Bin index is pure integer arithmetic over micro-quantized scores
+    * — ⌊(s − min)·nBins / (max − min + 1)⌋ with the observed bounds
+    * joined in as a ONE-ROW aggregate (the trailingActives discipline,
+    * lazy, no driver action) — so bin membership and every count are
+    * exact longs; mean score and empirical rate are fixed-shape double
+    * divisions at the end. One map-side-combining rollup; the shuffle
+    * carries nBins rows. Output: (bin, n, n_pos, sum_score, mean_score,
+    * frac_pos), bins 0..nBins−1, empty bins absent. */
+  def calibrationTable(df: DataFrame, scoreCol: String, labelCol: String,
+                       nBins: Int): DataFrame = {
+    require(nBins >= 1, s"calibrationTable needs nBins >= 1, got $nBins")
+    val s = col(scoreCol).cast("long")
+    val ev = df.select(s.as("__s"), col(labelCol).cast("boolean").as("__l"))
+    val bounds = ev.agg(min(col("__s")).as("__min"), max(col("__s")).as("__max"))
+    ev.crossJoin(bounds)
+      .withColumn("__bin",
+        expr(s"((__s - __min) * ${nBins}L) div (__max - __min + 1L)"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_score"),
+        (col("sum_score").cast("double") / col("n").cast("double"))
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

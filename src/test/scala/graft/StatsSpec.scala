@@ -504,6 +504,72 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getDouble(3).isNaN)
   }
 
+  test("stateRuns collapses consecutive states into numbered runs " +
+    "matching brute-force RLE") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (1L, 4L, "a"), (2L, 1L, "x")).toDF("k", "o", "st")
+    val got = Stats.stateRuns(df, "k", Seq("o"), "st")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> (("a", 2L)), (1L, 2L) -> (("b", 1L)),
+      (1L, 3L) -> (("a", 1L)), (2L, 1L) -> (("x", 1L))))
+    // random property vs brute-force RLE
+    val rnd = new scala.util.Random(191)
+    val rows = Seq.tabulate(500)(i =>
+      (rnd.nextInt(6).toLong, i.toLong, s"s${rnd.nextInt(3)}"))
+    val out = Stats.stateRuns(rows.toDF("k", "o", "st"), "k", Seq("o"), "st")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val seq = g.sortBy(_._2).map(_._3)
+      val rle = seq.foldLeft(List.empty[(String, Long)]) {
+        case ((s, n) :: rest, x) if s == x => (s, n + 1) :: rest
+        case (acc, x) => (x, 1L) :: acc
+      }.reverse
+      rle.zipWithIndex.foreach { case ((st, len), i) =>
+        assert(out((k, i + 1L)) == ((st, len)), s"k=$k run=${i + 1}")
+      }
+      assert(!out.contains((k, rle.size + 1L)))
+    }
+  }
+
+  test("benfordProfile extracts exact leading digits incl. int64 edges " +
+    "and ships identical expected-share literals") {
+    val df = Seq((1L, 1L), (1L, 9L), (1L, 10L), (1L, 99L), (1L, 100L),
+      (1L, 923L), (1L, Long.MaxValue), (1L, 0L), (1L, -5L))
+      .toDF("k", "v")
+    val out = Stats.benfordProfile(df, "k", "v")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(5)))).toMap
+    // 0 and -5 excluded; digits: 1(1,10,100), 9(9,99,923,MaxValue)
+    assert(out == Map(
+      1L -> ((3L, 7L, Stats.BenfordShare(0))),
+      9L -> ((4L, 7L, Stats.BenfordShare(8)))))
+    assert(math.abs(Stats.BenfordShare.sum - 1.0) < 1e-12)
+  }
+
+  test("calibrationTable bins exactly and reports exact rates") {
+    // scores 0..99, label fires iff score >= 50; 10 bins of width 10
+    val df = (0L until 100L).map(i => (i, i >= 50L)).toDF("s", "l")
+    val out = Stats.calibrationTable(df, "s", "l", nBins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.size == 10)
+    (0L until 10L).foreach { b =>
+      val (n, np, ms, fp) = out(b)
+      assert(n == 10L && ms == (b * 100L + 45L).toDouble / 10.0)
+      assert(np == (if (b >= 5) 10L else 0L))
+      assert(fp == (if (b >= 5) 1.0 else 0.0))
+    }
+    // degenerate single-score input: one bin 0, rate exact
+    val one = Seq((7L, true), (7L, false)).toDF("s", "l")
+    val o1 = Stats.calibrationTable(one, "s", "l", nBins = 4)
+      .collect()
+    assert(o1.length == 1 && o1.head.getLong(0) == 0L &&
+      o1.head.getDouble(5) == 0.5)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
