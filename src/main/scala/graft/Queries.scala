@@ -7345,6 +7345,27 @@ object Queries {
       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
       |FROM a""".stripMargin
 
+  /** Source-vocabulary Jaccard matrix (TextAnalysis.vocabJaccard):
+    * pairwise distinct-token overlap between crawl sources — the
+    * mirror/ twin-domain detector over a bounded source roster; exact
+    * set counts, one fixed-shape division, canonical pairs. */
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabJaccard(t(s, dir, "documents"), "source", "text")
+
+  private val q183Sql =
+    s"""WITH v AS (SELECT DISTINCT source AS g, unnest($toksSql) AS token
+       |           FROM documents),
+       |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+       |i AS (SELECT a.g AS g_a, b.g AS g_b,
+       |        CAST(count(*) AS BIGINT) AS n_inter
+       |      FROM v a JOIN v b ON a.token = b.token AND a.g < b.g
+       |      GROUP BY 1, 2)
+       |SELECT i.g_a, i.g_b, sa.nv AS n_a, sb.nv AS n_b, i.n_inter,
+       |  CAST(i.n_inter AS DOUBLE)
+       |    / CAST(sa.nv + sb.nv - i.n_inter AS DOUBLE) AS jaccard
+       |FROM i JOIN sz sa ON sa.g = i.g_a JOIN sz sb ON sb.g = i.g_b"""
+      .stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7532,5 +7553,6 @@ object Queries {
     "q179_reciprocal_nn" -> Q(q179, Some(q179Sql)),
     "q180_state_runs" -> Q(q180, Some(q180Sql)),
     "q181_benford_profile" -> Q(q181, Some(q181Sql)),
-    "q182_calibration_table" -> Q(q182, Some(q182Sql)))
+    "q182_calibration_table" -> Q(q182, Some(q182Sql)),
+    "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)))
 }

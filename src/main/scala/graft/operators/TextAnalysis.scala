@@ -2022,6 +2022,42 @@ object TextAnalysis {
       .select(col(groupCol), col("token"), col("a"), col("chi2"))
   }
 
+  /** Pairwise VOCABULARY Jaccard between groups: |V_a ∩ V_b| /
+    * |V_a ∪ V_b| over each group's distinct-token set — the
+    * source-similarity matrix behind mirror detection ("these two
+    * domains publish the same language") and dedup-aware sampling
+    * across a bounded roster of sources.
+    *
+    * Scale shape: one tokenize scan → per-group distinct vocabulary →
+    * a token-equi self-join whose pair fan-out is Σ_t s_t² with s_t =
+    * groups containing token t — bounded by the GROUP ROSTER squared,
+    * which is this operator's contract (named sources / languages /
+    * shards, not per-document groups; for doc-level near-dup use the
+    * MinHash/PPJoin family, which bounds candidates by bands and
+    * prefixes instead). Counts are exact longs; Jaccard is the one
+    * fixed-shape double division. Canonical g_a < g_b rows.
+    * Output: (g_a, g_b, n_a, n_b, n_inter, jaccard). */
+  def vocabJaccard(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val vocab = df
+      .select(col(groupCol).as("g"),
+        explode(ws_tokens(col(textCol))).as("token"))
+      .distinct().localCheckpoint() // sizes + both join sides read it
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    vocab.select(col("g").as("g_a"), col("token"))
+      .join(vocab.select(col("g").as("g_b"), col("token")), "token")
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("g").as("g_a"), col("nv").as("n_a")), "g_a")
+      .join(sizes.select(col("g").as("g_b"), col("nv").as("n_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Data-derived gazetteer: the top-k tokens of length >= minLen by
     * DOCUMENT frequency (count of distinct docs containing the token),
     * ranked (df desc, token asc) — a deterministic stand-in for a curated
