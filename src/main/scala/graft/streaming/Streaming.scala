@@ -308,6 +308,42 @@ object Streaming {
         col("decayed").cast("double") / lit(math.pow(2.0, horizonDays)))
   }
 
+  /** Streamed RUN-LENGTH encoding — the live twin of
+    * [[graft.operators.Stats.stateRuns]]: per key the state is just
+    * (current run index, its state value, its length), three values
+    * regardless of history; each batch walks its rows in `o` order,
+    * extends or opens runs, and emits every run TOUCHED this batch with
+    * its refreshed length (Append — downstream keeps the max-length row
+    * per (k, run_idx), since a run can grow across batches). Rows must
+    * arrive with non-decreasing `o` per key across batches (the
+    * streamingEwma in-order contract); states must be non-null.
+    * Output rows: (k, run_idx, state, run_len). */
+  def streamingStateRuns(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("o").cast("long"),
+        col("st").cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long),
+        (Long, Long, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, String, Long)]) =>
+          var (run, st, len) = state.getOption.getOrElse((0L, null: String, 0L))
+          val touched = scala.collection.mutable.LinkedHashMap
+            .empty[Long, (String, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, s) =>
+            if (st == null || s != st) { run += 1L; st = s; len = 0L }
+            len += 1L
+            touched(run) = (st, len)
+          }
+          state.update((run, st, len))
+          touched.iterator.map { case (r, (s, l)) => (k, r, s, l) }
+      }
+      .toDF("k", "run_idx", "state", "run_len")
+  }
+
   /** Windowed per-type event counts (tumbling) — the streaming analogue of
     * the report side-channel. */
   def eventTypeCounts(events: DataFrame, windowMinutes: Int = 10,

@@ -940,6 +940,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming state runs equal batch RLE over the history, " +
+    "with runs growing across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streaming.streamingStateRuns(mem.toDF().toDF("k", "o", "st"))
+      .writeStream.format("memory").queryName("rle").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "x"))
+      q.processAllAvailable()
+      // key 1's run of a's continues across the boundary, then flips
+      mem.addData((1L, 3L, "a"), (1L, 4L, "b"), (2L, 2L, "y"))
+      q.processAllAvailable()
+      // keep the longest emission per (k, run_idx): a run emits once
+      // per batch it grows in
+      val out = spark.table("rle").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3))))
+        .groupBy(_._1).map { case (kr, vs) => kr -> vs.map(_._2).maxBy(_._2) }
+      val batch = graft.operators.Stats.stateRuns(
+          Seq((1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "x"),
+            (1L, 3L, "a"), (1L, 4L, "b"), (2L, 2L, "y"))
+            .toDF("k", "o", "st"), "k", Seq("o"), "st")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3)))).toMap
+      assert(out == batch,
+        "streamed RLE != batch stateRuns over the same history")
+      assert(out((1L, 1L)) == (("a", 3L))) // grew across the boundary
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals the batch kernel over the history") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
