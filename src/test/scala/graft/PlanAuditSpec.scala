@@ -502,6 +502,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"no windows:\n$plan")
   }
 
+  test("the round-10 sequence operators never single-partition their " +
+    "windows: every window exchange hashes by key") {
+    import graft.operators.Stats
+    val df = spark.range(100000).select((col("id") % 97).as("k"),
+      col("id").as("o"), (col("id") % 11).as("v"),
+      (col("id") % 3).cast("string").as("st"))
+    val plans = Seq(
+      "stateRuns" -> Stats.stateRuns(df, "k", Seq("o"), "st"),
+      "groupAutocorr" -> Stats.groupAutocorr(df, "k", Seq("o"), "v", 1),
+      "longestStreak" -> Stats.longestStreak(
+        df.select(col("k"), (col("o") % 400).as("d")), "k", "d"),
+      "growthAccounting" -> Stats.growthAccounting(
+        df.select(col("k"), (col("o") % 400).as("d")), "k", "d"))
+    plans.foreach { case (name, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      // a WindowExec over SinglePartition would mean a global sort of
+      // raw rows — the 100 TB killer these operators are shaped to avoid
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name must not single-partition:\n$plan")
+      assert(plan.contains("Window") || name == "growthAccounting",
+        s"$name expected a key-partitioned window:\n$plan")
+    }
+  }
+
   test("collocations tokenizes once and broadcasts the term-df sides") {
     val docs = spark.range(300)
       .select(col("id").as("doc_id"),
