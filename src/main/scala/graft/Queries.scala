@@ -7366,6 +7366,45 @@ object Queries {
        |FROM i JOIN sz sa ON sa.g = i.g_a JOIN sz sb ON sb.g = i.g_b"""
       .stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov drift per event type
+    * (Stats.ksStatistic): cents distribution of the even-user cohort
+    * vs the odd-user cohort — the A/B distribution-shift detector.
+    * Cross-multiplied integer CDF gaps make the argmax exact; one
+    * division after it. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), (pmod(col("user_id"), lit(2L)) === 0L)
+        .as("side"), cents(col("value")).as("v"))
+    Stats.ksStatistic(ev, "event_type", "side", "v")
+  }
+
+  private val q184Sql =
+    """WITH o AS (
+      |  SELECT event_type, user_id % 2 = 0 AS side,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, v,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM o GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT event_type, ca, cb,
+      |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+      |    CAST(max(nb) AS BIGINT) AS n_b,
+      |    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+      |  FROM cw WHERE na > 0 AND nb > 0 GROUP BY 1)
+      |SELECT event_type, n_a, n_b, d_num,
+      |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7554,5 +7593,6 @@ object Queries {
     "q180_state_runs" -> Q(q180, Some(q180Sql)),
     "q181_benford_profile" -> Q(q181, Some(q181Sql)),
     "q182_calibration_table" -> Q(q182, Some(q182Sql)),
-    "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)))
+    "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)),
+    "q184_ks_drift" -> Q(q184, Some(q184Sql)))
 }

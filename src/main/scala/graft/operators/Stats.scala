@@ -796,6 +796,54 @@ object Stats {
           .as("frac_pos"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic per group: the
+    * maximum CDF gap between the `sideCol`=true and =false samples of
+    * an integer column — THE distribution-drift detector (did this
+    * source's quality scores shift between snapshots; does segment A's
+    * spend distribute like segment B's) with no binning error.
+    *
+    * Kept exact by cross-multiplication: at every observed value,
+    * |F_a − F_b| = |cumA·nB − cumB·nA| / (nA·nB) — the numerator is an
+    * exact long, so the maximum is found by INTEGER comparisons and the
+    * single division happens once, after the argmax (engine-exact; the
+    * caller keeps cum·n inside int64 — samples to ~3·10⁹ rows each).
+    *
+    * Same shape and CHECKED bounded-histogram contract as the exact
+    * median family: rows collapse to a per-(group, value) pair of side
+    * counts (map-side combining — the shuffle is bounded by value
+    * cardinality), one cumulative window runs per group over that
+    * bounded histogram, and the max is one more integer aggregation.
+    * Groups missing either side drop (KS undefined).
+    * Output: (key, n_a, n_b, d_num, d) with d = d_num/(nA·nB). */
+  def ksStatistic(df: DataFrame, keyCol: String, sideCol: String,
+                  xCol: String,
+                  maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df
+      .groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__ca"),
+        sum(when(col(sideCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__cb"))
+      .localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "ksStatistic")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wk = Window.partitionBy(col(keyCol))
+    hist
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .where(col("__na") > 0L && col("__nb") > 0L)
+      .groupBy(col(keyCol))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

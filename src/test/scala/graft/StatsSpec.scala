@@ -570,6 +570,38 @@ class StatsSpec extends SparkTestBase {
       o1.head.getDouble(5) == 0.5)
   }
 
+  test("ksStatistic matches the brute-force max CDF gap and known " +
+    "shapes: identical samples 0, disjoint samples 1") {
+    val rnd = new scala.util.Random(199)
+    val rows = Seq.fill(600)((rnd.nextInt(4).toLong,
+      rnd.nextBoolean(), rnd.nextInt(25).toLong))
+    val got = Stats.ksStatistic(rows.toDF("k", "side", "v"), "k",
+        "side", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val a = g.filter(_._2).map(_._3)
+      val b = g.filterNot(_._2).map(_._3)
+      if (a.nonEmpty && b.nonEmpty) {
+        val grid = (a ++ b).distinct.sorted
+        val dNum = grid.map(v =>
+          math.abs(a.count(_ <= v).toLong * b.size -
+            b.count(_ <= v).toLong * a.size)).max
+        assert(got(k) == ((a.size.toLong, b.size.toLong, dNum,
+          dNum.toDouble / (a.size.toLong * b.size).toDouble)), s"k=$k")
+      } else assert(!got.contains(k), s"k=$k one-sided must drop")
+    }
+    // identical samples -> D = 0; disjoint supports -> D = 1
+    val same = (1L to 20L).flatMap(i =>
+      Seq((1L, true, i % 5), (1L, false, i % 5))).toDF("k", "side", "v")
+    assert(Stats.ksStatistic(same, "k", "side", "v")
+      .collect().head.getDouble(4) == 0.0)
+    val disj = ((1L to 10L).map(i => (1L, true, i)) ++
+      (1L to 10L).map(i => (1L, false, i + 100L))).toDF("k", "side", "v")
+    assert(Stats.ksStatistic(disj, "k", "side", "v")
+      .collect().head.getDouble(4) == 1.0)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
