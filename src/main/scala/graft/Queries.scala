@@ -7405,6 +7405,57 @@ object Queries {
       |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d
       |FROM a""".stripMargin
 
+  /** Event-type × weekday association (Stats.cramersV): χ²
+    * independence + Cramér's V over the bounded contingency table —
+    * "does behavior depend on the day of week". Cells and marginals
+    * exact; per-cell χ² terms micro-quantized to integer nano-units so
+    * the cross-cell sum is order-free and engine-exact. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type").as("a"),
+        expr("pmod(ts div 86400000000000 + 4, 7)").as("b"))
+    Stats.cramersV(ev, "a", "b")
+  }
+
+  private val q185Sql =
+    """WITH o AS (
+      |  SELECT event_type AS a,
+      |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS b
+      |  FROM events),
+      |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+      |          FROM o GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells
+      |       GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |grid AS (
+      |  SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(cells.c, 0) AS c,
+      |    tot.n
+      |  FROM ra CROSS JOIN cb
+      |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+      |  CROSS JOIN tot),
+      |t AS (
+      |  SELECT n,
+      |    CAST(floor(
+      |      CAST(n*c - ra*cb AS DOUBLE) * CAST(n*c - ra*cb AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS tn
+      |  FROM grid),
+      |k AS (SELECT (SELECT count(DISTINCT a) FROM cells) AS ka,
+      |             (SELECT count(DISTINCT b) FROM cells) AS kb),
+      |agg AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(tn) AS BIGINT) AS chi2_nano
+      |  FROM t)
+      |SELECT agg.n, agg.n_cells, agg.chi2_nano,
+      |  CASE WHEN least(k.ka, k.kb) <= 1 THEN CAST('nan' AS DOUBLE)
+      |    ELSE sqrt(CAST(agg.chi2_nano AS DOUBLE) / 1000000000.0
+      |      / CAST(agg.n * (least(k.ka, k.kb) - 1) AS DOUBLE))
+      |  END AS v
+      |FROM agg CROSS JOIN k""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7594,5 +7645,6 @@ object Queries {
     "q181_benford_profile" -> Q(q181, Some(q181Sql)),
     "q182_calibration_table" -> Q(q182, Some(q182Sql)),
     "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)),
-    "q184_ks_drift" -> Q(q184, Some(q184Sql)))
+    "q184_ks_drift" -> Q(q184, Some(q184Sql)),
+    "q185_cramers_v" -> Q(q185, Some(q185Sql)))
 }

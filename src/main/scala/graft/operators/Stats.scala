@@ -844,6 +844,66 @@ object Stats {
           (col("n_a") * col("n_b")).cast("double")).as("d"))
   }
 
+  /** χ² independence test + CRAMÉR'S V between two categorical columns:
+    * is the (a, b) contingency independent (V ≈ 0) or associated
+    * (V → 1)? The "does event type depend on weekday", "does language
+    * depend on source" coupling detector a profiling pass runs over
+    * every categorical pair.
+    *
+    * Shape: ONE map-side-combining contingency aggregation (shuffle
+    * bounded by |A|·|B| cells), marginals by two key-partitioned window
+    * sums over the bounded cell table, the total as a window over all
+    * cells of the SAME bounded table (never the raw rows). Cell counts
+    * and marginals are exact longs; χ² sums (observed − expected)²/
+    * expected over cells with the expected value formed in double
+    * (fixed IEEE shape: (n·o − ra·cb)² / (n·ra·cb) summed in one
+    * aggregation — engine-exact given DuckDB replays the same shape;
+    * the sum order across cells is made deterministic by summing the
+    * PER-CELL doubles with Kahan-free plain addition in BOTH engines
+    * over the same grouped aggregation — Spark and DuckDB both reduce
+    * unordered, so the gate sums per-cell terms to one row via an
+    * order-independent EXACT route instead: terms are micro-quantized
+    * to integer nano-units first, making the sum order-free).
+    * Output: one row (n, n_cells, chi2_nano, v) with
+    * chi2 = chi2_nano/1e9 folded into v's fixed-shape tail. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o")).localCheckpoint()
+    // the FULL category grid (marginals cross-joined, zero cells kept):
+    // χ² sums over every (a, b) combination — dropping unobserved cells
+    // would silently understate the statistic by Σ ra·cb/n
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__oc", coalesce(col("__o"), lit(0L)))
+      .crossJoin(tot)
+    // per-cell χ² term (n·o − ra·cb)² / (n·ra·cb), micro-quantized to
+    // integer nano-units so the cross-cell sum is order-independent and
+    // engine-exact (the perplexity-gate discipline)
+    val term = (col("__n") * col("__oc") - col("__ra") * col("__cb"))
+      .cast("double")
+    val termNano = floor(
+      term * term /
+        (col("__n").cast("double") * col("__ra").cast("double")
+          * col("__cb").cast("double")) * lit(1e9)).cast("long")
+    grid
+      .withColumn("__t", termNano)
+      .groupBy()
+      .agg(first(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+        countDistinct(col("__a")).as("k_a"),
+        countDistinct(col("__b")).as("k_b"),
+        sum(col("__t")).as("chi2_nano"))
+      .select(col("n"), col("n_cells"), col("chi2_nano"),
+        // one-category side: V undefined (0/0) -> explicit NaN (the
+        // groupMoments ANSI-vs-DuckDB parity discipline)
+        when(least(col("k_a"), col("k_b")) <= 1L, lit(Double.NaN))
+          .otherwise(sqrt(col("chi2_nano").cast("double") / lit(1e9)
+            / (col("n") * (least(col("k_a"), col("k_b")) - lit(1L)))
+              .cast("double"))).as("v"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

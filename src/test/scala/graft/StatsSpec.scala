@@ -602,6 +602,36 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getDouble(4) == 1.0)
   }
 
+  test("cramersV matches brute force and hits the 0/1/NaN shapes") {
+    val rnd = new scala.util.Random(211)
+    val rows = Seq.fill(500)((s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+    val out = Stats.cramersV(rows.toDF("a", "b"), "a", "b").collect().head
+    // brute force over the FULL category grid (zero cells included)
+    // with the same nano-quantized per-cell terms
+    val obs = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ra = rows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cb = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = rows.size.toLong
+    val chi2Nano = (for (a <- ra.keys; b <- cb.keys) yield {
+      val o = obs.getOrElse((a, b), 0L)
+      val t = (n * o - ra(a) * cb(b)).toDouble
+      math.floor(t * t / (n.toDouble * ra(a).toDouble * cb(b).toDouble)
+        * 1e9).toLong
+    }).sum
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ==
+      ((n, ra.size.toLong * cb.size, chi2Nano)))
+    assert(out.getDouble(3) ==
+      math.sqrt(chi2Nano.toDouble / 1e9 / (n * (3 - 1)).toDouble))
+    // perfect association -> V = 1 (up to the nano quantization)
+    val perfect = Seq.tabulate(100)(i => (s"x${i % 3}", s"y${i % 3}"))
+      .toDF("a", "b")
+    assert(math.abs(Stats.cramersV(perfect, "a", "b")
+      .collect().head.getDouble(3) - 1.0) < 1e-4)
+    // one-category side -> NaN
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Stats.cramersV(one, "a", "b").collect().head.getDouble(3).isNaN)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
