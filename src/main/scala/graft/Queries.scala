@@ -7456,6 +7456,43 @@ object Queries {
       |  END AS v
       |FROM agg CROSS JOIN k""".stripMargin
 
+  /** Per-type daily burst detection (Stats.burstDays, shift=3,
+    * threshold 3/2): a day bursts when its event count exceeds 1.5x
+    * the trailing integer-EWMA baseline of previous days — exact int64
+    * end to end (counts, the >>3 floor EWMA kernel, the cross-
+    * multiplied threshold). The crawl-storm / hot-source detector. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      expr("ts div 86400000000000").as("day"))
+    Stats.burstDays(ev, "event_type", "day", shift = 3, num = 3L, den = 2L)
+  }
+
+  private val q186Sql =
+    """WITH RECURSIVE c0 AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s0 AS (
+      |  SELECT event_type, day, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM c0),
+      |r AS (
+      |  SELECT event_type, rn, day, c, c AS s FROM s0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.rn, n.day, n.c,
+      |    r.s + (n.c - r.s - (((n.c - r.s) % 8 + 8) % 8)) // 8
+      |  FROM r JOIN s0 n ON n.event_type = r.event_type
+      |    AND n.rn = r.rn + 1),
+      |f AS (
+      |  SELECT event_type, day, c,
+      |    lag(s) OVER (PARTITION BY event_type ORDER BY rn) AS baseline
+      |  FROM r)
+      |SELECT event_type, day, c AS n_events,
+      |  CAST(baseline AS BIGINT) AS baseline,
+      |  CASE WHEN baseline IS NULL THEN false
+      |       ELSE c * 2 > 3 * baseline END AS burst
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7646,5 +7683,6 @@ object Queries {
     "q182_calibration_table" -> Q(q182, Some(q182Sql)),
     "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)),
     "q184_ks_drift" -> Q(q184, Some(q184Sql)),
-    "q185_cramers_v" -> Q(q185, Some(q185Sql)))
+    "q185_cramers_v" -> Q(q185, Some(q185Sql)),
+    "q186_burst_days" -> Q(q186, Some(q186Sql)))
 }

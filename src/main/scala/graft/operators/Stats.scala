@@ -904,6 +904,49 @@ object Stats {
               .cast("double"))).as("v"))
   }
 
+  /** Volume BURST detection against an integer-EWMA baseline: a key's
+    * day is a burst when its event count exceeds num/den × the trailing
+    * EWMA of its PREVIOUS days' counts — the traffic-spike / crawl-storm
+    * / hot-source detector with zero floating point: counts are exact,
+    * the baseline is the order-stable `ewma_shift` kernel
+    * (s' = s + ((x−s) >> shift)), and the threshold comparison
+    * c·den > num·baseline is pure int64.
+    *
+    * Shape: rows collapse to per-(key, day) counts (map-side combining);
+    * each key's day series packs into ONE sorted array (bounded by the
+    * key's ACTIVE days — the series-kernel contract) and the EWMA kernel
+    * runs once per key; a first-day row has no baseline and is never a
+    * burst. Output: (key, day, n_events, baseline, burst). */
+  def burstDays(df: DataFrame, keyCol: String, dayCol: String,
+                shift: Int, num: Long, den: Long): DataFrame = {
+    require(num >= 1 && den >= 1,
+      s"burstDays needs positive num/den, got $num/$den")
+    import graft.functions.ewma_shift
+    val counts = df
+      .select(col(keyCol), col(dayCol).cast("long").as("__d"))
+      .groupBy(col(keyCol), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__d"), col("__c"))))
+        .as("__s"))
+      .withColumn("__days", transform(col("__s"), s => s("__d")))
+      .withColumn("__cs", transform(col("__s"), s => s("__c")))
+      .withColumn("__ew", ewma_shift(col("__cs"), shift))
+      .select(col(keyCol),
+        posexplode(arrays_zip(col("__days"), col("__cs"))).as(Seq("__i", "__z")),
+        col("__ew"))
+      .select(col(keyCol), col("__z.__days").as("day"),
+        col("__z.__cs").as("n_events"),
+        // baseline = the EWMA BEFORE this day folds in: __ew[i-1]
+        // (element_at is 1-based, so index __i reads the previous slot)
+        when(col("__i") >= 1, element_at(col("__ew"), col("__i").cast("int")))
+          .as("baseline"))
+      .withColumn("burst",
+        col("baseline").isNotNull &&
+          col("n_events") * lit(den) > lit(num) * col("baseline"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

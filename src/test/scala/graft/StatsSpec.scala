@@ -632,6 +632,41 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.cramersV(one, "a", "b").collect().head.getDouble(3).isNaN)
   }
 
+  test("burstDays flags exactly the days beating num/den x the " +
+    "trailing EWMA, first day never bursts") {
+    // key 1 daily counts: 8, 8, 8, 20 -> EWMA(>>1): 8, 8, 8 ;
+    // day 13 count 20 > 3/2 * 8 -> burst; day 11/12 8 !> 12 -> no
+    val rows =
+      (1 to 8).map(_ => (1L, 10L)) ++ (1 to 8).map(_ => (1L, 11L)) ++
+      (1 to 8).map(_ => (1L, 12L)) ++ (1 to 20).map(_ => (1L, 13L))
+    val out = Stats.burstDays(rows.toDF("k", "d"), "k", "d",
+        shift = 1, num = 3L, den = 2L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(out(10L) == ((8L, -1L, false))) // no baseline yet
+    assert(out(11L) == ((8L, 8L, false)))
+    assert(out(12L) == ((8L, 8L, false)))
+    assert(out(13L) == ((20L, 8L, true)))
+    // random property: replay the kernel + threshold scalar-side
+    val rnd = new scala.util.Random(223)
+    val ev = Seq.fill(800)((rnd.nextInt(3).toLong,
+      (50 + rnd.nextInt(30)).toLong))
+    val got = Stats.burstDays(ev.toDF("k", "d"), "k", "d", 2, 2L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(4)))).toMap
+    ev.groupBy(_._1).foreach { case (k, g) =>
+      val counts = g.groupBy(_._2).map { case (d, v) => d -> v.size.toLong }
+        .toSeq.sortBy(_._1)
+      var s = 0L
+      counts.zipWithIndex.foreach { case ((d, c), i) =>
+        val burst = i > 0 && c * 1L > 2L * s
+        s = if (i == 0) c else s + ((c - s) >> 2)
+        assert(got((k, d)) == ((c, burst)), s"k=$k d=$d")
+      }
+    }
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
