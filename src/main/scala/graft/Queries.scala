@@ -7493,6 +7493,74 @@ object Queries {
       |       ELSE c * 2 > 3 * baseline END AS burst
       |FROM f""".stripMargin
 
+  /** Vocabulary heavy-change movers between the even- and odd-doc_id
+    * corpus halves (TextAnalysis.vocabDrift, k=25): top tokens by
+    * absolute count change through a full-outer vocabulary merge and a
+    * TakeOrdered top-k — the crawl-to-crawl drift report, exact. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.vocabDrift(docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1L), "text", k = 25)
+  }
+
+  private val q187Sql =
+    s"""WITH ca AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_a FROM (
+       |    SELECT unnest($toksSql) AS token FROM documents
+       |    WHERE doc_id % 2 = 0) GROUP BY 1),
+       |cb AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_b FROM (
+       |    SELECT unnest($toksSql) AS token FROM documents
+       |    WHERE doc_id % 2 = 1) GROUP BY 1),
+       |m AS (
+       |  SELECT token, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+       |  FROM ca FULL OUTER JOIN cb USING (token))
+       |SELECT token, n_a, n_b, n_b - n_a AS delta,
+       |  abs(n_b - n_a) AS abs_delta
+       |FROM m
+       |ORDER BY abs_delta DESC, token ASC LIMIT 25""".stripMargin
+
+  /** Per-source classifier AUC (Stats.rankAucByKey): the q130
+    * Mann-Whitney construction evaluated independently per crawl
+    * source — a global AUC hides a source where the classifier is
+    * blind; key-partitioned cumulative window over the bounded
+    * histogram, exact U2, one division per key. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.classifierQualityFilter(docs, "doc_id", "text",
+      bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4, wStop = 1.0, wDigit = -3.0)
+      .select(col("doc_id"), col("score_micro"))
+    val labeled = scored.join(
+      docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("label")), "doc_id")
+    Stats.rankAucByKey(labeled, "source", "score_micro", "label")
+  }
+
+  private val q188Sql = classifierCtes +
+    """,
+      |sc AS (SELECT d.source,
+      |              CAST(floor(z.z * 1000000.0) AS BIGINT) AS s,
+      |              d.lang = 'en' AS label
+      |       FROM z JOIN documents d ON z.doc_id = d.doc_id),
+      |h AS (SELECT source, s,
+      |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS np,
+      |        CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+      |          AS nn
+      |      FROM sc GROUP BY 1, 2),
+      |c AS (SELECT source, np, nn,
+      |        CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS below
+      |      FROM h),
+      |a AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+      |        CAST(sum(nn) AS BIGINT) AS n_neg,
+      |        CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+      |      FROM c GROUP BY 1)
+      |SELECT source, n_pos, n_neg, u2,
+      |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7684,5 +7752,7 @@ object Queries {
     "q183_vocab_jaccard" -> Q(q183, Some(q183Sql)),
     "q184_ks_drift" -> Q(q184, Some(q184Sql)),
     "q185_cramers_v" -> Q(q185, Some(q185Sql)),
-    "q186_burst_days" -> Q(q186, Some(q186Sql)))
+    "q186_burst_days" -> Q(q186, Some(q186Sql)),
+    "q187_vocab_drift" -> Q(q187, Some(q187Sql)),
+    "q188_auc_by_source" -> Q(q188, Some(q188Sql)))
 }

@@ -78,6 +78,38 @@ object Stats {
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
 
+  /** PER-GROUP ROC-AUC — [[rankAuc]] evaluated independently for every
+    * key (per-source / per-language / per-segment classifier quality:
+    * a global AUC hides a source where the classifier is blind). Same
+    * exact Mann–Whitney construction: per-(key, score) (nPos, nNeg)
+    * histogram (map-side combining, shuffle bounded by key×score
+    * cardinality), the cumulative-negatives window partitioned BY KEY
+    * (never the single-partition global window [[rankAuc]] is allowed
+    * because its histogram is one bounded table), U2 exact with
+    * midrank-tie doubling, ONE division per key. Same CHECKED
+    * bounded-histogram contract. Keys missing a label class drop
+    * (AUC undefined). Output: (key, n_pos, n_neg, u2, auc). */
+  def rankAucByKey(df: DataFrame, keyCol: String, scoreCol: String,
+                   labelCol: String,
+                   maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+      .localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "rankAucByKey")
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("below", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("below") + col("nn"))).as("u2"))
+      .where(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col(keyCol), col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** Per-group ordinary-least-squares trend (y = slope·x + intercept)
     * from integer sufficient statistics: ONE map-side-combining
     * aggregation collects (n, Σx, Σy, Σxy, Σx²) as exact longs per

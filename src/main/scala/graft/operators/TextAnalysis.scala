@@ -2058,6 +2058,33 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Vocabulary HEAVY-CHANGE report between two corpus snapshots: the
+    * top-k tokens by absolute occurrence-count change — "what language
+    * appeared or vanished between yesterday's crawl and today's" (the
+    * heavy-change detection problem over term frequencies; the exact
+    * small-k companion to sketch-based change detection). One count
+    * histogram per side (map-side combining, bounded by vocabulary), a
+    * full-outer merge on token, and a TakeOrdered top-k on
+    * (|Δ| desc, token asc) — per-partition heaps, no global sort, no
+    * window. All exact longs. Output: (token, n_a, n_b, delta,
+    * abs_delta), the k largest movers. */
+  def vocabDrift(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"vocabDrift needs k >= 1, got $k")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    counts(dfA, "n_a")
+      .join(counts(dfB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("delta", col("n_b") - col("n_a"))
+      .withColumn("abs_delta", abs(col("delta")))
+      .orderBy(col("abs_delta").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Data-derived gazetteer: the top-k tokens of length >= minLen by
     * DOCUMENT frequency (count of distinct docs containing the token),
     * ranked (df desc, token asc) — a deterministic stand-in for a curated

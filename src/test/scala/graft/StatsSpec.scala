@@ -667,6 +667,40 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("rankAucByKey equals per-key rankAuc and drops one-class keys") {
+    val rnd = new scala.util.Random(227)
+    val rows = Seq.fill(400)((rnd.nextInt(4).toLong,
+      rnd.nextInt(30).toLong, rnd.nextBoolean())) ++
+      Seq.fill(10)((9L, rnd.nextInt(30).toLong, true)) // one-class key
+    val df = rows.toDF("k", "score", "label")
+    val byKey = Stats.rankAucByKey(df, "k", "score", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(!byKey.contains(9L), "one-class key must drop")
+    rows.groupBy(_._1).filterNot(_._1 == 9L).foreach { case (k, g) =>
+      val single = Stats.rankAuc(
+        g.map(t => (t._2, t._3)).toDF("score", "label"), "score", "label")
+        .collect().head
+      assert(byKey(k) == ((single.getLong(0), single.getLong(1),
+        single.getLong(2), single.getDouble(3))), s"k=$k")
+    }
+  }
+
+  test("vocabDrift surfaces the planted heavy movers in exact order") {
+    val a = Seq((1L, "alpha alpha alpha common common"),
+      (2L, "gone gone gone gone")).toDF("doc_id", "text")
+    val b = Seq((3L, "alpha common common fresh fresh fresh fresh fresh"))
+      .toDF("doc_id", "text")
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.vocabDrift(a, b, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("fresh", 0L, 5L, 5L, 5L),   // biggest mover
+      ("gone", 4L, 0L, -4L, 4L),
+      ("alpha", 3L, 1L, -2L, 2L))) // 'common' (|d|=0) never outranks
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
