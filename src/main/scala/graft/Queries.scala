@@ -7561,6 +7561,47 @@ object Queries {
       |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
       |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin
 
+  /** A/B purchase-rate z-test per event day-of-week
+    * (Stats.twoProportionZ): even- vs odd-user cohorts, hit =
+    * purchase event — four exact longs per key, fixed-shape IEEE z
+    * tail; the conversion-significance primitive. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        (col("event_type") === "purchase").as("hit"))
+    Stats.twoProportionZ(ev, "dow", "side", "hit")
+  }
+
+  private val q189Sql =
+    """WITH o AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    user_id % 2 = 0 AS side, event_type = 'purchase' AS hit
+      |  FROM events),
+      |a AS (
+      |  SELECT dow,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN side AND hit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x_a,
+      |    CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(CASE WHEN NOT side AND hit THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x_b
+      |  FROM o GROUP BY 1)
+      |SELECT dow, n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |      / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |        * (1.0 - CAST(x_a + x_b AS DOUBLE)
+      |            / CAST(n_a + n_b AS DOUBLE))
+      |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7754,5 +7795,6 @@ object Queries {
     "q185_cramers_v" -> Q(q185, Some(q185Sql)),
     "q186_burst_days" -> Q(q186, Some(q186Sql)),
     "q187_vocab_drift" -> Q(q187, Some(q187Sql)),
-    "q188_auc_by_source" -> Q(q188, Some(q188Sql)))
+    "q188_auc_by_source" -> Q(q188, Some(q188Sql)),
+    "q189_two_proportion_z" -> Q(q189, Some(q189Sql)))
 }

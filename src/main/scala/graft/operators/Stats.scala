@@ -110,6 +110,43 @@ object Stats {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** TWO-PROPORTION z-test per group: is side A's hit rate different
+    * from side B's — the A/B conversion-rate significance primitive
+    * (and the cohort-vs-cohort quality-pass-rate comparison):
+    *
+    *   z = (p̂a − p̂b) / √( p̂·(1−p̂)·(1/na + 1/nb) ),  p̂ pooled
+    *
+    * All four cells (na, xa, nb, xb) reduce to ONE map-side-combining
+    * aggregation of exact longs (four longs per key cross the
+    * shuffle); the z tail is a fixed shape of IEEE divisions and one
+    * sqrt over them — engine-exact. Degenerate pools (p̂ = 0 or 1 —
+    * zero variance) and keys missing a side report NaN/drop.
+    * Output: (key, n_a, x_a, n_b, x_b, p_a, p_b, z). */
+  def twoProportionZ(df: DataFrame, keyCol: String, sideCol: String,
+                     hitCol: String): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val hit = col(hitCol).cast("boolean")
+    val agg = df.groupBy(col(keyCol))
+      .agg(sum(when(side, 1L).otherwise(0L)).as("n_a"),
+        sum(when(side && hit, 1L).otherwise(0L)).as("x_a"),
+        sum(when(!side, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!side && hit, 1L).otherwise(0L)).as("x_b"))
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col(keyCol), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      // pooled rate 0 or 1: zero variance -> explicit NaN (ANSI parity)
+      when(col("x_a") + col("x_b") === 0L ||
+        col("x_a") + col("x_b") === col("n_a") + col("n_b"),
+        lit(Double.NaN)).otherwise(
+        (pa - pb) / sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double")))).as("z"))
+  }
+
   /** Per-group ordinary-least-squares trend (y = slope·x + intercept)
     * from integer sufficient statistics: ONE map-side-combining
     * aggregation collects (n, Σx, Σy, Σxy, Σx²) as exact longs per

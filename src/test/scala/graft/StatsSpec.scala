@@ -701,6 +701,29 @@ class StatsSpec extends SparkTestBase {
       ("alpha", 3L, 1L, -2L, 2L))) // 'common' (|d|=0) never outranks
   }
 
+  test("twoProportionZ matches the textbook statistic and hits the " +
+    "degenerate shapes") {
+    // A: 30/100, B: 20/100 -> classic pooled z
+    val rows = (1 to 100).map(i => (1L, true, i <= 30)) ++
+      (1 to 100).map(i => (1L, false, i <= 20))
+    val out = Stats.twoProportionZ(rows.toDF("k", "side", "hit"),
+      "k", "side", "hit").collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((100L, 30L, 100L, 20L)))
+    val (pa, pb, p) = (0.3, 0.2, 0.25)
+    val z = (pa - pb) / math.sqrt(p * (1.0 - p) * (1.0 / 100 + 1.0 / 100))
+    assert(out.getDouble(7) == z)
+    // all-hit pool: zero variance -> NaN; missing side -> key drops
+    val allHit = Seq((1L, true, true), (1L, false, true))
+      .toDF("k", "side", "hit")
+    assert(Stats.twoProportionZ(allHit, "k", "side", "hit")
+      .collect().head.getDouble(7).isNaN)
+    val oneSide = Seq((1L, true, true), (1L, true, false))
+      .toDF("k", "side", "hit")
+    assert(Stats.twoProportionZ(oneSide, "k", "side", "hit")
+      .collect().isEmpty)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
