@@ -7602,6 +7602,34 @@ object Queries {
       |  END AS z
       |FROM a WHERE n_a > 0 AND n_b > 0""".stripMargin
 
+  /** Exact per-type CDF table of lineitem quantities
+    * (Stats.exactGroupCdf): (below, equal, n, midrank pct_x2) per
+    * (return flag, quantity) — the PURE-INTEGER percentile-
+    * normalization lookup; one histogram + one key-partitioned
+    * cumulative window. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    Stats.exactGroupCdf(li, "l_returnflag", "q")
+  }
+
+  private val q190Sql =
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS n_equal
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, v, n_equal,
+      |    CAST(coalesce(sum(n_equal) OVER (PARTITION BY l_returnflag
+      |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_below,
+      |    CAST(sum(n_equal) OVER (PARTITION BY l_returnflag) AS BIGINT)
+      |      AS n
+      |  FROM h)
+      |SELECT l_returnflag, v, n_below, n_equal, n,
+      |  2 * n_below + n_equal AS pct_x2
+      |FROM c""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7796,5 +7824,6 @@ object Queries {
     "q186_burst_days" -> Q(q186, Some(q186Sql)),
     "q187_vocab_drift" -> Q(q187, Some(q187Sql)),
     "q188_auc_by_source" -> Q(q188, Some(q188Sql)),
-    "q189_two_proportion_z" -> Q(q189, Some(q189Sql)))
+    "q189_two_proportion_z" -> Q(q189, Some(q189Sql)),
+    "q190_exact_cdf" -> Q(q190, Some(q190Sql)))
 }

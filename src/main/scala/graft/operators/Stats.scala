@@ -1016,6 +1016,38 @@ object Stats {
           col("n_events") * lit(den) > lit(num) * col("baseline"))
   }
 
+  /** EXACT per-group CDF / midrank-percentile table: for every
+    * (group, value), the counts strictly below, equal, and total — and
+    * the midrank percentile numerator pct_x2 = 2·below + equal (the
+    * percentile is pct_x2 / 2n, but the table stays PURE INTEGER so
+    * joins against it stay engine-exact). This is the exact
+    * percentile-normalization lookup (map any score to its within-
+    * group quantile by one co-partitioned join — the exact twin of the
+    * q80 sketch percentile-norm for discrete columns), and the
+    * building block under rankAuc / KS / median already in this
+    * module, exposed as a first-class table.
+    *
+    * Same shape and CHECKED bounded-histogram contract as the median
+    * family: one map-side-combining histogram, one key-partitioned
+    * cumulative window over it. Output: (key, v, n_below, n_equal, n,
+    * pct_x2). */
+  def exactGroupCdf(df: DataFrame, keyCol: String, xCol: String,
+                    maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n_equal")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "exactGroupCdf")
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wk = Window.partitionBy(col(keyCol))
+    hist
+      .withColumn("n_below",
+        coalesce(sum(col("n_equal")).over(below), lit(0L)))
+      .withColumn("n", sum(col("n_equal")).over(wk))
+      .select(col(keyCol), col("v"), col("n_below"), col("n_equal"),
+        col("n"),
+        (lit(2L) * col("n_below") + col("n_equal")).as("pct_x2"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

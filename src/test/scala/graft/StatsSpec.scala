@@ -724,6 +724,29 @@ class StatsSpec extends SparkTestBase {
       .collect().isEmpty)
   }
 
+  test("exactGroupCdf is a consistent pure-integer CDF: identities " +
+    "hold and the median falls out of the pct_x2 column") {
+    val rnd = new scala.util.Random(233)
+    val rows = Seq.fill(400)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong))
+    val cdf = Stats.exactGroupCdf(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.size.toLong
+      g.map(_._2).distinct.foreach { v =>
+        val below = g.count(_._2 < v).toLong
+        val equal = g.count(_._2 == v).toLong
+        assert(cdf((k, v)) == ((below, equal, n, 2 * below + equal)),
+          s"k=$k v=$v")
+      }
+      // the value whose pct_x2 interval straddles n is the lower median
+      val s = g.map(_._2).sorted
+      val med = s((n.toInt - 1) / 2)
+      val (b, e, _, _) = cdf((k, med))
+      assert(2 * b < n && n <= 2 * (b + e), s"median straddle k=$k")
+    }
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
