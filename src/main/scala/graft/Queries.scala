@@ -7630,6 +7630,46 @@ object Queries {
       |  2 * n_below + n_equal AS pct_x2
       |FROM c""".stripMargin
 
+  /** Exact per-user Spearman rank correlation between event time and
+    * cents (Stats.spearmanByKey): monotone spend trend per user with
+    * midrank ties — doubled midranks come from the q190 CDF table
+    * (Pearson is affine-invariant, so no half-ranks materialize), six
+    * integer sums per key, fixed-shape float tail. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        cents(col("value")).as("v"))
+    Stats.spearmanByKey(ev, "user_id", "us", "v")
+  }
+
+  private val q191Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id,
+      |    2*(rank() OVER (PARTITION BY user_id ORDER BY us) - 1)
+      |      + count(*) OVER (PARTITION BY user_id, us) AS rx,
+      |    2*(rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+      |      + count(*) OVER (PARTITION BY user_id, v) AS ry
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+      |    CAST(sum(rx*rx) AS BIGINT) AS sxx,
+      |    CAST(sum(ry*ry) AS BIGINT) AS syy,
+      |    CAST(sum(rx*ry) AS BIGINT) AS sxy
+      |  FROM r GROUP BY 1)
+      |SELECT user_id, n,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+      |  END AS rho
+      |FROM g""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7825,5 +7865,6 @@ object Queries {
     "q187_vocab_drift" -> Q(q187, Some(q187Sql)),
     "q188_auc_by_source" -> Q(q188, Some(q188Sql)),
     "q189_two_proportion_z" -> Q(q189, Some(q189Sql)),
-    "q190_exact_cdf" -> Q(q190, Some(q190Sql)))
+    "q190_exact_cdf" -> Q(q190, Some(q190Sql)),
+    "q191_spearman" -> Q(q191, Some(q191Sql)))
 }

@@ -1048,6 +1048,49 @@ object Stats {
         (lit(2L) * col("n_below") + col("n_equal")).as("pct_x2"))
   }
 
+  /** EXACT per-group SPEARMAN rank correlation with midrank ties:
+    * Pearson over the doubled midranks (pct_x2 from
+    * [[exactGroupCdf]] — Pearson is affine-invariant, so the ×2
+    * scaling cancels and no half-ranks ever materialize). The
+    * monotone-association detector (does quality rise with length;
+    * does spend rank track activity rank) that Pearson-on-values gets
+    * wrong under outliers and nonlinearity.
+    *
+    * Shape: two CDF joins back onto the rows (co-partitioned on
+    * (key, value) — the exactGroupMadX4 join-back discipline), then
+    * SIX integer sums per key (map-side combining) and the
+    * fixed-shape float tail (two IEEE sqrts, one division) — rho is
+    * engine-exact. Doubled ranks are ≤ 2n, so n·(2n)² must fit int64:
+    * keys up to ~10⁶ rows (document-scale groups; CHECKED via the CDF
+    * contract underneath). Zero variance on either side → NaN.
+    * Output: (key, n, rho). */
+  def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String,
+                    maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).localCheckpoint()
+    val cdfx = exactGroupCdf(base, keyCol, "__x", maxDistinctPerKey)
+      .select(col(keyCol), col("v").as("__x"), col("pct_x2").as("__rx"))
+    val cdfy = exactGroupCdf(base, keyCol, "__y", maxDistinctPerKey)
+      .select(col(keyCol), col("v").as("__y"), col("pct_x2").as("__ry"))
+    val ranked = base
+      .join(cdfx, Seq(keyCol, "__x"))
+      .join(cdfy, Seq(keyCol, "__y"))
+    val agg = ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
+        sum(col("__rx") * col("__rx")).as("sxx"),
+        sum(col("__ry") * col("__ry")).as("syy"),
+        sum(col("__rx") * col("__ry")).as("sxy"))
+    val vx = agg("n") * col("sxx") - col("sx") * col("sx")
+    val vy = agg("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col(keyCol), col("n"),
+      when(vx === 0L || vy === 0L, lit(Double.NaN)).otherwise(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("rho"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -747,6 +747,44 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("spearmanByKey matches brute-force midrank Pearson and hits " +
+    "the +1/-1/NaN shapes") {
+    val rnd = new scala.util.Random(239)
+    val rows = Seq.fill(300)((rnd.nextInt(3).toLong,
+      rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val got = Stats.spearmanByKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def rank2(vs: Seq[Long]): Map[Long, Long] =
+      vs.distinct.map(v => v ->
+        (2L * vs.count(_ < v) + vs.count(_ == v))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val (rx, ry) = (rank2(g.map(_._2)), rank2(g.map(_._3)))
+      val pairs = g.map(t => (rx(t._2), ry(t._3)))
+      val n = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val (gn, gr) = got(k)
+      assert(gn == n, s"k=$k")
+      if (vx == 0L || vy == 0L) assert(gr.isNaN, s"k=$k")
+      else assert(gr == (n * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)), s"k=$k")
+    }
+    // monotone increasing -> rho 1; decreasing -> -1; constant y -> NaN
+    val inc = (1L to 20L).map(i => (1L, i, i * i)).toDF("k", "x", "y")
+    assert(Stats.spearmanByKey(inc, "k", "x", "y")
+      .collect().head.getDouble(2) == 1.0)
+    val dec = (1L to 20L).map(i => (1L, i, -i * i)).toDF("k", "x", "y")
+    assert(Stats.spearmanByKey(dec, "k", "x", "y")
+      .collect().head.getDouble(2) == -1.0)
+    val const = (1L to 5L).map(i => (1L, i, 7L)).toDF("k", "x", "y")
+    assert(Stats.spearmanByKey(const, "k", "x", "y")
+      .collect().head.getDouble(2).isNaN)
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
