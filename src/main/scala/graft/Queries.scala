@@ -7655,11 +7655,15 @@ object Queries {
       |      + count(*) OVER (PARTITION BY user_id, v) AS ry
       |  FROM e),
       |g AS (
+      |  -- HUGEINT sums mirror the Spark side's decimal(38,0) widening:
+      |  -- the variance products grow as ~n^4/3 and overflow int64 at
+      |  -- n ~ 73k rows per key, so BOTH engines form them in exact
+      |  -- 128-bit integers and cast the identical value to double once
       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-      |    CAST(sum(rx*rx) AS BIGINT) AS sxx,
-      |    CAST(sum(ry*ry) AS BIGINT) AS syy,
-      |    CAST(sum(rx*ry) AS BIGINT) AS sxy
+      |    CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+      |    CAST(sum(rx*rx) AS HUGEINT) AS sxx,
+      |    CAST(sum(ry*ry) AS HUGEINT) AS syy,
+      |    CAST(sum(rx*ry) AS HUGEINT) AS sxy
       |  FROM r GROUP BY 1)
       |SELECT user_id, n,
       |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0

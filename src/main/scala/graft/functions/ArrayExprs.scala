@@ -20,6 +20,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * are JIT-compiled Scala — no per-element virtual calls).
   */
 
+/** Null-element guard for the long-array kernels: the public
+  * graft.functions API accepts `array<long>` regardless of its
+  * declared `containsNull` (internal producers — collect_list,
+  * transform over struct fields — often carry `containsNull = true`
+  * even when no null can occur), so kernels that read raw elements
+  * (`toLongArray`/`getLong`, both undefined over null slots: garbage
+  * from unsafe buffers or an NPE from generic rows) probe for an
+  * actual null element first and return SQL NULL instead — the same
+  * contract as every built-in null-strict function. */
+private[functions] object ArrayNulls {
+  def anyNull(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** `savgol_filter(x, window, polyorder)` over an array<double> column,
   * matching scipy's default mode="interp" boundary handling.
   * Series shorter than `window` yield null (scipy raises; we route to the
@@ -727,8 +748,11 @@ case class HausdorffL1(left: Expression, right: Expression, posWeight: Long)
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val la = l.asInstanceOf[ArrayData].toLongArray()
-    val ra = r.asInstanceOf[ArrayData].toLongArray()
+    val ld = l.asInstanceOf[ArrayData]
+    val rd = r.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ld) || ArrayNulls.anyNull(rd)) return null
+    val la = ld.toLongArray()
+    val ra = rd.toLongArray()
     if (la.isEmpty || ra.isEmpty) null
     else math.max(directed(la, ra), directed(ra, la))
   }
@@ -754,6 +778,7 @@ case class EwmaShiftLongs(child: Expression, shift: Int)
     extends UnaryExpression with CodegenFallback {
   require(shift >= 0 && shift <= 62, s"ewma_shift needs shift in [0, 62], got $shift")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "ewma_shift"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -761,6 +786,7 @@ case class EwmaShiftLongs(child: Expression, shift: Int)
   }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(arr)) return null
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -799,7 +825,9 @@ case class InversionCount(child: Expression)
       s"inversion_count needs array<long>, got $t")
   }
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val arr = ad.toLongArray()
     val n = arr.length
     if (n == 0) null
     else {

@@ -402,6 +402,8 @@ case class ContainmentThresholdLongs(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // null elements are undefined set members: SQL NULL, never garbage
+    if (ArrayNulls.anyNull(a) || ArrayNulls.anyNull(b)) return null
     val n = a.numElements(); val m = b.numElements()
     if (n == 0 || m == 0) return null
     // the intersection can never exceed |B|

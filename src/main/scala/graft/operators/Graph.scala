@@ -55,12 +55,13 @@ object Graph {
     // by zero — ArithmeticException on the driver path but an ANSI
     // runtime error (or silent null) on the distributed one; checking
     // here makes both paths reject bad input identically, for free
-    val sized = e0.agg(count(lit(1)).as("n"),
-      sum(when(col("w") <= 0L, 1L).otherwise(0L)).as("bad")).head()
-    val nEdges = sized.getLong(0)
-    val nBad = if (sized.isNullAt(1)) 0L else sized.getLong(1)
-    require(nBad == 0L,
-      s"pageRankIntWeighted requires every edge weight > 0; found $nBad violating edges")
+    // (one Contracts.enforce job returns the size for the path fork)
+    val Seq(nEdges, _) = Contracts.enforce(e0,
+      Contracts.read(count(lit(1))),
+      Contracts.Bound(sum(when(col("w") <= 0L, 1L).otherwise(0L)),
+        _ == 0L, b =>
+          s"pageRankIntWeighted requires every edge weight > 0; " +
+            s"found $b violating edges"))
     if (nEdges == 0) // empty graph -> empty ranking, schema preserved
       e0.select(col("src").as("node"), col("w").as("rank"))
     else if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)

@@ -51,12 +51,13 @@ object Stats {
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
               maxDistinctScores: Long = 2000000L): DataFrame = {
     val hist = scoreHist(df, scoreCol, labelCol).localCheckpoint()
-    val nScores = hist.count()
-    require(nScores <= maxDistinctScores,
-      s"rankAuc: $nScores distinct scores exceeds the bounded-histogram " +
-        s"contract (maxDistinctScores=$maxDistinctScores). Quantize the " +
-        "score column (e.g. micro-units) or use the sketch quantiles " +
-        "(Sketches, q66 path) for continuous scores.")
+    Contracts.enforce(hist, Contracts.Bound(count(lit(1)),
+      _ <= maxDistinctScores, n =>
+        s"rankAuc: $n distinct scores exceeds the bounded-histogram " +
+          s"contract (maxDistinctScores=$maxDistinctScores). Quantize the " +
+          "score column (e.g. micro-units), or use the mergeable rank " +
+          "sketch (rq_agg / rq_quantile, q192 path) or the sketch " +
+          "quantiles (Sketches, q66 path) for continuous scores."))
     val below = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -126,11 +127,24 @@ object Stats {
                      hitCol: String): DataFrame = {
     val side = col(sideCol).cast("boolean")
     val hit = col(hitCol).cast("boolean")
+    // a NULL side would silently drop the row from BOTH cohorts and a
+    // NULL hit would silently count as a miss — validated in the SAME
+    // aggregation as the four cells via a raise_error branch, so the
+    // checked contract costs zero extra jobs (the lazy twin of the
+    // eager Contracts guards)
     val agg = df.groupBy(col(keyCol))
       .agg(sum(when(side, 1L).otherwise(0L)).as("n_a"),
         sum(when(side && hit, 1L).otherwise(0L)).as("x_a"),
         sum(when(!side, 1L).otherwise(0L)).as("n_b"),
-        sum(when(!side && hit, 1L).otherwise(0L)).as("x_b"))
+        sum(when(!side && hit, 1L).otherwise(0L)).as("x_b"),
+        sum(when(side.isNull || hit.isNull, 1L).otherwise(0L)).as("__bad"))
+      .where(when(col("__bad") > 0L,
+        raise_error(concat(
+          lit("twoProportionZ: NULL side/hit rows under key "),
+          col(keyCol).cast("string"),
+          lit(" — assign every row a cohort and an outcome, or filter " +
+            "explicitly before calling"))).isNotNull)
+        .otherwise(lit(true)))
       .where(col("n_a") > 0L && col("n_b") > 0L)
     val pa = col("x_a").cast("double") / col("n_a").cast("double")
     val pb = col("x_b").cast("double") / col("n_b").cast("double")
@@ -171,7 +185,10 @@ object Stats {
                yCol: String): DataFrame = {
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
-    val agg = df.groupBy(col(keyCol))
+    // an OLS observation needs BOTH coordinates: a row with a NULL x or
+    // y drops here, explicitly — otherwise count(1) would keep it in n
+    // while the NULL-skipping sums lose it, silently skewing the fit
+    val agg = df.where(x.isNotNull && y.isNotNull).groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
     val den = col("n") * col("sxx") - col("sx") * col("sx")
@@ -303,7 +320,10 @@ object Stats {
     */
   def groupMoments(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
     val x = col(xCol).cast("long")
-    val agg = df.groupBy(col(keyCol))
+    // NULL observations drop explicitly: n must count exactly the rows
+    // the NULL-skipping power sums saw, or mean/variance/skew silently
+    // disagree with each other on dirty input
+    val agg = df.where(x.isNotNull).groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(x).as("s1"),
         sum(x * x).as("s2"), sum((x * x) * x).as("s3"))
     val nD = col("n").cast("double")
@@ -454,9 +474,8 @@ object Stats {
     // a negative weight breaks cumW monotonicity and silently corrupts
     // the order statistic — check on the materialized histogram (the
     // pageRank w-contract discipline: validate, don't document)
-    val minW = hist.agg(min(col("__c"))).head()
-    require(minW.isNullAt(0) || minW.getLong(0) >= 0L,
-      "exactGroupWeightedMedianX2 requires non-negative weights")
+    Contracts.enforce(hist, Contracts.Bound(min(col("__c")), _ >= 0L, _ =>
+      "exactGroupWeightedMedianX2 requires non-negative weights"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     hist
@@ -519,10 +538,9 @@ object Stats {
     val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c")).localCheckpoint()
     requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "exactGroupGini")
-    val minV = hist.agg(min(col("__v"))).head()
-    require(minV.isNullAt(0) || minV.getLong(0) >= 0L,
+    Contracts.enforce(hist, Contracts.Bound(min(col("__v")), _ >= 0L, _ =>
       "exactGroupGini requires non-negative values (Gini is undefined " +
-        "for mixed-sign data); shift or absolute-value the column first")
+        "for mixed-sign data); shift or absolute-value the column first"))
     val below = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -690,13 +708,9 @@ object Stats {
     val proj = df.select(
       (col(keyCol) +: ordCols.map(col)) :+ col(xCol).cast("long").as("__x"): _*)
       .localCheckpoint()
-    val worst = proj.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
-      .agg(max(col("__k"))).head()
-    val m = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-    require(m <= maxRowsPerKey,
-      s"groupInversions: a key holds $m rows, exceeding the per-key " +
-        s"kernel contract (maxRowsPerKey=$maxRowsPerKey). Pre-aggregate " +
-        "or sub-split the key before counting inversions.")
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey, "groupInversions",
+      "rows", "Pre-aggregate or sub-split the key before counting " +
+        "inversions.", contract = "per-key kernel")
     val sortKey = struct(ordCols.map(col) :+ col("__x"): _*)
     proj
       .groupBy(col(keyCol))
@@ -735,6 +749,10 @@ object Stats {
     val pairs = df
       .select(col(keyCol) +: ordCols.map(col)
         :+ col(xCol).cast("long").as("__a"): _*)
+      // NULL observations leave the series BEFORE the lag pairs form —
+      // a NULL __a would otherwise occupy a lead slot and silently
+      // desync the six sufficient statistics from each other
+      .where(col("__a").isNotNull)
       .withColumn("__b", lead(col("__a"), k).over(w))
       .where(col("__b").isNotNull)
     val agg = pairs.groupBy(col(keyCol))
@@ -1060,33 +1078,57 @@ object Stats {
     * (key, value) — the exactGroupMadX4 join-back discipline), then
     * SIX integer sums per key (map-side combining) and the
     * fixed-shape float tail (two IEEE sqrts, one division) — rho is
-    * engine-exact. Doubled ranks are ≤ 2n, so n·(2n)² must fit int64:
-    * keys up to ~10⁶ rows (document-scale groups; CHECKED via the CDF
-    * contract underneath). Zero variance on either side → NaN.
-    * Output: (key, n, rho). */
+    * engine-exact. The sums and the variance products are formed in
+    * decimal(38,0) — EXACT integers to 10³⁸ — because doubled midranks
+    * are ≤ 2n and the variance terms grow as ~n⁴/3, which silently
+    * overflows int64 at n ≈ 73k rows per key (long sums would cap
+    * "document-scale" keys far below honest corpus sizes; decimal
+    * pushes the exact bound to ~10⁹ rows per key). DuckDB replays
+    * the same integers via its int128 sums, and both engines cast the
+    * identical exact integer to double once, so rho stays bit-exact.
+    * The per-key ROW bound (4n⁴ ≤ 10³⁸ → n ≤ 2·10⁹) is CHECKED
+    * explicitly — one max over the CDF table's n column, reusing the
+    * checkpointed histogram — on top of the CDF's own distinct-value
+    * contract (which bounds ties' cardinality, NOT rows: a hot
+    * low-cardinality key passes it trivially). Zero variance on
+    * either side → NaN. Output: (key, n, rho). */
   def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
                     yCol: String,
-                    maxDistinctPerKey: Long = 2000000L): DataFrame = {
+                    maxDistinctPerKey: Long = 2000000L,
+                    maxRowsPerKey: Long = 2000000000L): DataFrame = {
     val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).localCheckpoint()
-    val cdfx = exactGroupCdf(base, keyCol, "__x", maxDistinctPerKey)
+    val cdfx0 = exactGroupCdf(base, keyCol, "__x", maxDistinctPerKey)
+    // the row-count contract, asserted on the CDF's per-key n (bounded
+    // rows — the histogram is already materialized underneath)
+    Contracts.enforce(cdfx0, Contracts.Bound(max(col("n")),
+      _ <= maxRowsPerKey, m =>
+        s"spearmanByKey: a key holds $m rows, exceeding the decimal(38,0) " +
+          s"exactness contract (maxRowsPerKey=$maxRowsPerKey — the " +
+          "variance products grow as ~4n^4). Sub-split or sample the key."))
+    val cdfx = cdfx0
       .select(col(keyCol), col("v").as("__x"), col("pct_x2").as("__rx"))
     val cdfy = exactGroupCdf(base, keyCol, "__y", maxDistinctPerKey)
       .select(col(keyCol), col("v").as("__y"), col("pct_x2").as("__ry"))
     val ranked = base
       .join(cdfx, Seq(keyCol, "__x"))
       .join(cdfy, Seq(keyCol, "__y"))
+    // decimal(38,0) term-and-sum: each product is exact (ranks ≤ 2n),
+    // each sum is exact to 10^38 — no silent int64 wrap, no ANSI throw
+    val rx = col("__rx").cast("decimal(38,0)")
+    val ry = col("__ry").cast("decimal(38,0)")
     val agg = ranked.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col("__rx")).as("sx"), sum(col("__ry")).as("sy"),
-        sum(col("__rx") * col("__rx")).as("sxx"),
-        sum(col("__ry") * col("__ry")).as("syy"),
-        sum(col("__rx") * col("__ry")).as("sxy"))
-    val vx = agg("n") * col("sxx") - col("sx") * col("sx")
-    val vy = agg("n") * col("syy") - col("sy") * col("sy")
+        sum(rx).as("sx"), sum(ry).as("sy"),
+        sum(rx * rx).as("sxx"),
+        sum(ry * ry).as("syy"),
+        sum(rx * ry).as("sxy"))
+    val nDec = col("n").cast("decimal(38,0)")
+    val vx = nDec * col("sxx") - col("sx") * col("sx")
+    val vy = nDec * col("syy") - col("sy") * col("sy")
     agg.select(col(keyCol), col("n"),
-      when(vx === 0L || vy === 0L, lit(Double.NaN)).otherwise(
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      when(vx === lit(0) || vy === lit(0), lit(Double.NaN)).otherwise(
+        (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
           / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
         .as("rho"))
   }
@@ -1098,18 +1140,16 @@ object Stats {
     * aggregation reuses the materialized rows and the main plan pays
     * nothing extra. On a continuous column the per-key histogram
     * degenerates to the key's row count — the cumulative window then
-    * sorts data-sized partitions — so we fail loudly with a pointer to
-    * the sketch-quantile / robust-outlier path (q66 / q124) instead. */
+    * sorts data-sized partitions — so we fail loudly with a pointer at
+    * the turnkey continuous-column routes: the mergeable rank sketch
+    * (rq_agg, no bounds guessing), the bounded-bin sketch quantiles
+    * (q66), and the robust outliers (q124). One line, one job — the
+    * shared [[Contracts]] shape. */
   private def requireBoundedPerKey(hist: DataFrame, keyCol: String,
-                                   limit: Long, op: String): Unit = {
-    val worst = hist.groupBy(col(keyCol)).agg(count(lit(1)).as("__k"))
-      .agg(max(col("__k"))).head()
-    val m = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-    require(m <= limit,
-      s"$op: a key holds $m distinct values, exceeding the " +
-        s"bounded-histogram contract (maxDistinctPerKey=$limit). " +
-        "Quantize the column to discrete units, or use the sketch " +
-        "quantiles / robust outliers (Sketches, q66/q124 paths) for " +
-        "continuous values.")
-  }
+                                   limit: Long, op: String): Unit =
+    Contracts.boundedPerKey(hist, keyCol, limit, op, "distinct values",
+      "Quantize the column to discrete units, or use the mergeable rank " +
+        "sketch (rq_agg / rq_quantile, q192 path — no bin bounds needed) " +
+        "or the sketch quantiles / robust outliers (Sketches, q66/q124 " +
+        "paths) for continuous values.")
 }

@@ -978,6 +978,25 @@ class OperatorSpec extends SparkTestBase {
     assert(neg == Seq(0L, -1L), "floor((-1-0)/8) must be -1, not 0")
   }
 
+  test("long-array kernels return SQL NULL on null elements instead of " +
+    "reading garbage (the public-API containsNull contract)") {
+    import graft.functions.{ewma_shift, inversion_count, containment_threshold}
+    // containsNull = true arrays with an actual null slot: every kernel
+    // that reads raw long elements must answer NULL, never a value
+    val dirty = Seq(Tuple1(Seq(Some(3L), None, Some(1L))))
+      .toDF("xs")
+    assert(dirty.select(inversion_count(col("xs"))).collect().head.isNullAt(0))
+    assert(dirty.select(ewma_shift(col("xs"), 2)).collect().head.isNullAt(0))
+    val pair = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+    assert(pair.select(containment_threshold(col("a"), col("b"), 0.1))
+      .collect().head.isNullAt(0))
+    // and clean containsNull=true arrays still compute normally
+    val clean = Seq(Tuple1(Seq(Some(3L), Some(2L), Some(1L)))).toDF("xs")
+    assert(clean.select(inversion_count(col("xs")))
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("ppJoinAgainst equals the fresh-touching slice of the full ppJoin") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(59)

@@ -810,4 +810,106 @@ class StatsSpec extends SparkTestBase {
       assert((prev -- cur).size.toLong == ch, s"day $d")
     }
   }
+
+  test("spearmanByKey is exact on a hot low-cardinality key whose " +
+    "variance products overflow int64 (the decimal(38,0) widening)") {
+    import org.apache.spark.sql.functions._
+    // 2M rows over 100 distinct values per side: passes the CDF's
+    // distinct-value contract trivially, but sxx ~ 4n^3/3 ~ 1.1e19 and
+    // n*sxx ~ 2.1e25 — long sums would silently wrap (non-ANSI) or
+    // throw mid-query (ANSI); the decimal(38,0) forms stay exact
+    val n = 2000000L
+    val df = spark.range(n).select(lit(1L).as("k"),
+      pmod(col("id"), lit(100L)).as("x"),
+      pmod(col("id") * 31L + 7L, lit(100L)).as("y"))
+    val got = Stats.spearmanByKey(df, "k", "x", "y").collect().head
+    // expected rho from BigInt sufficient statistics over the joint
+    // (x, y) histogram — exact midranks, exact sums, one double division
+    val xc = new Array[Long](100); val yc = new Array[Long](100)
+    val joint = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    var i = 0L
+    while (i < n) {
+      val x = (i % 100L).toInt; val y = ((i * 31L + 7L) % 100L).toInt
+      xc(x) += 1; yc(y) += 1
+      joint((x, y)) = joint.getOrElse((x, y), 0L) + 1L
+      i += 1
+    }
+    def midranks(c: Array[Long]): Array[BigInt] = {
+      var below = 0L
+      c.map { cnt => val r = BigInt(2L * below + cnt); below += cnt; r }
+    }
+    val (rx, ry) = (midranks(xc), midranks(yc))
+    var sx = BigInt(0); var sy = BigInt(0); var sxx = BigInt(0)
+    var syy = BigInt(0); var sxy = BigInt(0)
+    joint.foreach { case ((x, y), cnt) =>
+      sx += rx(x) * cnt; sy += ry(y) * cnt
+      sxx += rx(x) * rx(x) * cnt; syy += ry(y) * ry(y) * cnt
+      sxy += rx(x) * ry(y) * cnt
+    }
+    val nB = BigInt(n)
+    val vx = nB * sxx - sx * sx; val vy = nB * syy - sy * sy
+    assert(vx > BigInt(Long.MaxValue),
+      "fixture must actually exceed int64 in the variance product")
+    val expected = (nB * sxy - sx * sy).toDouble /
+      (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+    assert(got.getLong(1) == n)
+    assert(got.getDouble(2) == expected, "rho must be bit-exact")
+    // and the NEW row-count contract is CHECKED, not documented: a key
+    // over the bound fails loudly before any window runs
+    val e = intercept[IllegalArgumentException] {
+      Stats.spearmanByKey(df, "k", "x", "y", maxRowsPerKey = 1000L)
+    }
+    assert(e.getMessage.contains("maxRowsPerKey"))
+  }
+
+  test("groupMoments/groupOls/groupAutocorr drop NULL observations " +
+    "consistently (n matches what the sums saw)") {
+    import org.apache.spark.sql.functions._
+    // 3 clean rows + 2 NULL-x rows: n must be 3, not 5
+    val m = Seq((1L, Some(2L)), (1L, None), (1L, Some(4L)), (1L, None),
+      (1L, Some(6L))).toDF("k", "x")
+    val mr = Stats.groupMoments(m, "k", "x").collect().head
+    assert(mr.getLong(1) == 3L && mr.getDouble(2) == 4.0 &&
+      mr.getDouble(3) == 8.0 / 3.0)
+    // OLS: the NULL-y row drops entirely (not half-counted)
+    val o = Seq((1L, 1L, Some(2L)), (1L, 2L, None), (1L, 3L, Some(6L)),
+      (1L, 5L, Some(10L))).toDF("k", "x", "y")
+    val or = Stats.groupOls(o, "k", "x", "y").collect().head
+    assert(or.getLong(1) == 3L && or.getDouble(2) == 2.0 &&
+      or.getDouble(3) == 0.0)
+    // autocorr: NULL observations leave the series BEFORE pairing, so
+    // the surviving values pair up adjacently: (1,2),(2,3),(3,4)
+    val a = Seq((1L, 1L, Some(1L)), (1L, 2L, None), (1L, 3L, Some(2L)),
+      (1L, 4L, Some(3L)), (1L, 5L, None), (1L, 6L, Some(4L)))
+      .toDF("k", "o", "x")
+    val ar = Stats.groupAutocorr(a, "k", Seq("o"), "x", 1).collect().head
+    // pairs (1,2),(2,3),(3,4): num = 3*20-6*9 = 6, va = vb = 6 — the
+    // expected value replays the operator's exact IEEE shape
+    assert(ar.getLong(1) == 3L &&
+      ar.getDouble(3) == 6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+  }
+
+  test("twoProportionZ fails loudly on NULL side/hit rows instead of " +
+    "silently dropping them") {
+    val dirty = Seq((1L, Some(true), Some(true)), (1L, None, Some(false)),
+      (1L, Some(false), Some(true))).toDF("k", "side", "hit")
+    val e = intercept[Throwable] {
+      Stats.twoProportionZ(dirty, "k", "side", "hit").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        messages(t.getCause)
+    assert(messages(e).contains("twoProportionZ"))
+    val dirtyHit = Seq((1L, Some(true), Some(true)),
+      (1L, Some(false), None)).toDF("k", "side", "hit")
+    val e2 = intercept[Throwable] {
+      Stats.twoProportionZ(dirtyHit, "k", "side", "hit").collect()
+    }
+    assert(messages(e2).contains("twoProportionZ"))
+    // clean input is untouched by the guard branch
+    val clean = Seq((1L, true, true), (1L, true, false), (1L, false, true),
+      (1L, false, false)).toDF("k", "side", "hit")
+    val r = Stats.twoProportionZ(clean, "k", "side", "hit").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(3) == 2L && r.getDouble(7) == 0.0)
+  }
 }
