@@ -6397,10 +6397,23 @@ object Queries {
        |    JOIN bands b ON b.clip = c.cb AND b.kf = c.kb AND b.band = a.band
        |    GROUP BY 1, 2, 3, 4)
        |  WHERE hamming <= 6),
+       |mp AS (
+       |  -- cand guarantees ca < cb whenever the clips differ, so the
+       |  -- (ka, kb) orientation already matches the Spark side's packing
+       |  SELECT ca AS clip_a, cb AS clip_b, ka, kb
+       |  FROM kfp WHERE ca != cb),
+       |ch AS (
+       |  -- order-consistency vote: longest chain of matched keyframe
+       |  -- pairs strictly increasing in BOTH clips (the lis_pairs rule);
+       |  -- chains enumerate recursively — per-pair match lists are tiny
+       |  SELECT clip_a, clip_b, ka, kb, 1 AS len FROM mp
+       |  UNION ALL
+       |  SELECT m.clip_a, m.clip_b, m.ka, m.kb, c.len + 1
+       |  FROM ch c JOIN mp m ON m.clip_a = c.clip_a AND m.clip_b = c.clip_b
+       |    AND m.ka > c.ka AND m.kb > c.kb),
        |votes AS (
-       |  SELECT least(ca, cb) AS clip_a, greatest(ca, cb) AS clip_b,
-       |    CAST(count(*) AS BIGINT) AS n_votes
-       |  FROM kfp WHERE ca != cb GROUP BY 1, 2),
+       |  SELECT clip_a, clip_b, CAST(max(len) AS BIGINT) AS n_votes
+       |  FROM ch GROUP BY 1, 2),
        |edges0 AS (SELECT * FROM votes WHERE n_votes >= 2),
        |nb AS (
        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
@@ -6462,7 +6475,7 @@ object Queries {
   private val q163Sql = {
     val hp = md5LongSql("'vpx' || pxid || '_' || scene || '_' || i || '_' || g")
     val hn = md5LongSql("ntag || clip || '_' || kf || '_' || i || '_' || g")
-    s"""WITH clips AS (
+    s"""WITH RECURSIVE clips AS (
        |  SELECT p_partkey AS clip, p_partkey - p_partkey % 4 AS base,
        |    p_partkey % 4 AS v,
        |    CASE WHEN p_partkey % 16 = 2 THEN 'vnz2' ELSE 'vnz' END AS ntag
@@ -6537,11 +6550,20 @@ object Queries {
        |    JOIN bands a ON a.clip = c.ca AND a.kf = c.ka
        |    JOIN bands b ON b.clip = c.cb AND b.kf = c.kb AND b.band = a.band
        |    GROUP BY 1, 2, 3, 4)
-       |  WHERE hamming <= 6)
-       |SELECT least(ca, cb) AS clip_a, greatest(ca, cb) AS clip_b,
-       |  CAST(count(*) AS BIGINT) AS n_votes
-       |FROM kfp WHERE ca != cb GROUP BY 1, 2
-       |HAVING count(*) >= 2""".stripMargin
+       |  WHERE hamming <= 6),
+       |mp AS (
+       |  SELECT ca AS clip_a, cb AS clip_b, ka, kb
+       |  FROM kfp WHERE ca != cb),
+       |ch AS (
+       |  -- the lis_pairs order-consistency vote (see q158's oracle)
+       |  SELECT clip_a, clip_b, ka, kb, 1 AS len FROM mp
+       |  UNION ALL
+       |  SELECT m.clip_a, m.clip_b, m.ka, m.kb, c.len + 1
+       |  FROM ch c JOIN mp m ON m.clip_a = c.clip_a AND m.clip_b = c.clip_b
+       |    AND m.ka > c.ka AND m.kb > c.kb)
+       |SELECT clip_a, clip_b, CAST(max(len) AS BIGINT) AS n_votes
+       |FROM ch GROUP BY 1, 2
+       |HAVING max(len) >= 2""".stripMargin
   }
 
   /** Exponentially-decayed event popularity per type

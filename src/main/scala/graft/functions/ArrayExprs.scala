@@ -860,3 +860,63 @@ case class InversionCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): InversionCount =
     copy(child = newChild)
 }
+
+/** `lis_pairs(xs)` — length of the longest chain of index pairs that is
+  * STRICTLY increasing in both coordinates. Each element packs one
+  * (a, b) pair as a·2³² + b with both indices in [0, 2³¹) (caller
+  * contract — frame/keyframe indexes), and the array arrives sorted
+  * ascending (= lexicographic by (a, b), sort_array upstream).
+  *
+  * This is the order-consistency vote of the video near-dup family: an
+  * unordered keyframe-match count merges two clips that merely share k
+  * packaging frames (intro card + outro + slate — common broadcast
+  * wrapping), while a real near-dup's matches occur in the SAME
+  * temporal order in both clips. The longest such chain is the honest
+  * vote. O(n²) DP over one long array — matched-pair lists are bounded
+  * by the two clips' keyframe counts (~one per shot), so n is tiny by
+  * construction. Null/empty input and null elements yield null. */
+case class LisPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lis_pairs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lis_pairs needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val xs = ad.toLongArray()
+    val n = xs.length
+    if (n == 0) return null
+    val as = new Array[Long](n)
+    val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      as(i) = xs(i) >>> 32
+      bs(i) = xs(i) & 0xffffffffL
+      i += 1
+    }
+    val len = new Array[Long](n)
+    var best = 0L
+    i = 0
+    while (i < n) {
+      var li = 1L
+      var j = 0
+      while (j < i) {
+        // ascending input: a(j) <= a(i) always; strict-both needed
+        if (as(j) < as(i) && bs(j) < bs(i) && len(j) + 1L > li)
+          li = len(j) + 1L
+        j += 1
+      }
+      len(i) = li
+      if (li > best) best = li
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(newChild: Expression): LisPairs =
+    copy(child = newChild)
+}

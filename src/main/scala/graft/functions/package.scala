@@ -439,6 +439,12 @@ package object functions {
   def inversion_count(xs: Column): Column =
     ExprBridge.column(InversionCount(col2expr(xs)))
 
+  /** Longest strictly-increasing chain over sorted packed (a·2³²+b)
+    * index pairs — the order-consistency vote of the video near-dup
+    * family (see [[LisPairs]]). */
+  def lis_pairs(xs: Column): Column =
+    ExprBridge.column(LisPairs(col2expr(xs)))
+
   /** Token-bucket rate-limit replay over a sorted epoch-micros array
     * (see [[TokenBucket]]). */
   def token_bucket(ts: Column, capacityMilli: Long, refillMilliPerSec: Long,

@@ -398,6 +398,51 @@ class OperatorSpec extends SparkTestBase {
       "both scenes must vote for the in-group pair")
   }
 
+  test("videoNearDup vote is order-consistent: shared packaging frames " +
+    "in scrambled order cannot merge distinct clips") {
+    // 8-frame clips, cut at 4 -> keyframes at 2 and 6 (the fixture shape
+    // of the neighboring tests)
+    val series = Seq.tabulate(8)(f => if (f >= 4) 10000.0 else 0.0)
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    def mat(seed: Int) = Seq.tabulate(8, 9)((i, j) => px(seed, i, j))
+    val clips = Seq((1L, series), (2L, series), (3L, series), (4L, series))
+      .toDF("clip_id", "series")
+    // DECOY pair (1, 2): the same two contents appear in SWAPPED order
+    // (clip 1: M1 then M2; clip 2: M2 then M1) — the broadcast-packaging
+    // shape (shared intro/outro/slate). Two keyframe pairs match, but no
+    // order-consistent chain longer than 1 exists.
+    // CONTROL pair (3, 4): the same two contents in the SAME order.
+    val frames = Seq(
+      (1L, 2L, mat(1)), (1L, 6L, mat(2)),
+      (2L, 2L, mat(2)), (2L, 6L, mat(1)),
+      (3L, 2L, mat(3)), (3L, 6L, mat(4)),
+      (4L, 2L, mat(3)), (4L, 6L, mat(4)))
+      .toDF("clip_id", "frame_idx", "matrix")
+    val edges = Dedup.videoNearDupEdges(clips, frames, "clip_id", "series",
+        "frame_idx", "matrix", cutThreshold = 5000.0, maxHamming = 6,
+        minVotes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges == Set((3L, 4L, 2L)),
+      "the scrambled-order decoy must NOT vote through; the aligned pair must")
+    // the unordered rule WOULD have merged the decoy: both keyframe
+    // pairs really do match (verify via the LIS kernel directly)
+    import graft.functions.lis_pairs
+    val packed = Seq(Tuple1(Seq((2L << 32) | 6L, (6L << 32) | 2L)))
+      .toDF("xs")
+    assert(packed.select(lis_pairs(sort_array(col("xs"))))
+      .collect().head.getLong(0) == 1L)
+    val aligned = Seq(Tuple1(Seq((2L << 32) | 2L, (6L << 32) | 6L)))
+      .toDF("xs")
+    assert(aligned.select(lis_pairs(sort_array(col("xs"))))
+      .collect().head.getLong(0) == 2L)
+    // kernel pin: duplicates in one coordinate never chain (strict both)
+    val dupA = Seq(Tuple1(Seq((2L << 32) | 2L, (2L << 32) | 6L,
+      (6L << 32) | 7L))).toDF("xs")
+    assert(dupA.select(lis_pairs(sort_array(col("xs"))))
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("videoNearDupEdgesDelta equals a full edge rebuild after remove/change/add") {
     def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
     def px(seed: Int, i: Int, j: Int): Double =
