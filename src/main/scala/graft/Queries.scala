@@ -7696,6 +7696,69 @@ object Queries {
       |  END AS rho
       |FROM g""".stripMargin
 
+  /** Mergeable RANK-QUANTILE sketch rollup (functions.rq_sketch — the
+    * turnkey continuous-column route the exact median/CDF family's
+    * bounded-histogram guards point at, with NO pre-chosen bin bounds
+    * unlike q66's hist_agg): per-returnflag sketches of extended-price
+    * cents merged into one corpus sketch, quantiles read off it. The
+    * sketch is hash-level VALUE SAMPLING with exact per-value counts
+    * (Gibbons' distinct-sampling idea applied to ranks — deterministic,
+    * unlike KLL's coin-flip compaction), so the final state is a pure
+    * function of the input multiset: the oracle replays the ONE-SHOT
+    * sketch directly from raw values, and the hash match therefore
+    * PROVES two-level merge == one-shot (the q61 discipline), not just
+    * the estimator. Quantile picks are pure integer comparisons — the
+    * Horvitz-Thompson 2^level scale cancels in the rank test. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+    li.groupBy("l_returnflag").agg(rq_sketch(col("v"), 512).as("sk"))
+      .agg(rq_merge(col("sk"), 512).as("sk"))
+      .select(rq_info(col("sk")).as("info"),
+        rq_quantile(col("sk"), 1, 2).as("p50"),
+        rq_quantile(col("sk"), 9, 10).as("p90"),
+        rq_quantile(col("sk"), 99, 100).as("p99"))
+      .select(col("info.level").as("level"),
+        col("info.n_sample").as("n_sample"), col("info.n_est").as("n_est"),
+        col("p50"), col("p90"), col("p99"))
+  }
+
+  private val q192Sql = {
+    val h = md5LongSql("CAST(v AS VARCHAR)")
+    """WITH vals AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+      |hv AS (SELECT v, c, HEXPR AS h FROM hist),
+      |-- J* = the smallest level whose surviving distinct-value set fits
+      |-- the budget; the Spark sketch reaches exactly this level under
+      |-- ANY partitioning/merge tree (the merge == one-shot invariant)
+      |lv AS (
+      |  SELECT j, count(*) FILTER (
+      |    WHERE (h & ((CAST(1 AS BIGINT) << CAST(j AS INT)) - 1)) = 0) AS nd
+      |  FROM hv, range(0, 61) t(j) GROUP BY 1),
+      |js AS (SELECT CAST(min(j) AS INTEGER) AS level FROM lv WHERE nd <= 512),
+      |samp AS (
+      |  SELECT v, c FROM hv, js
+      |  WHERE (h & ((CAST(1 AS BIGINT) << CAST(level AS INT)) - 1)) = 0),
+      |cum AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v) AS k, sum(c) OVER () AS total
+      |  FROM samp),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sample,
+      |    CAST(sum(c) AS BIGINT) AS tot
+      |  FROM samp),
+      |q AS (
+      |  SELECT min(v) FILTER (WHERE k * 2 >= 1 * total) AS p50,
+      |    min(v) FILTER (WHERE k * 10 >= 9 * total) AS p90,
+      |    min(v) FILTER (WHERE k * 100 >= 99 * total) AS p99
+      |  FROM cum)
+      |SELECT js.level, agg.n_sample,
+      |  agg.tot * (CAST(1 AS BIGINT) << CAST(js.level AS INT)) AS n_est,
+      |  q.p50, q.p90, q.p99
+      |FROM js, agg, q""".stripMargin.replace("HEXPR", h)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7892,5 +7955,6 @@ object Queries {
     "q188_auc_by_source" -> Q(q188, Some(q188Sql)),
     "q189_two_proportion_z" -> Q(q189, Some(q189Sql)),
     "q190_exact_cdf" -> Q(q190, Some(q190Sql)),
-    "q191_spearman" -> Q(q191, Some(q191Sql)))
+    "q191_spearman" -> Q(q191, Some(q191Sql)),
+    "q192_rq_sketch_rollup" -> Q(q192, Some(q192Sql)))
 }

@@ -917,3 +917,274 @@ case class HistCdf(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HistCdf =
     copy(left = l, right = r)
 }
+
+// ===========================================================================
+// RQ — the deterministic mergeable RANK-QUANTILE sketch
+// ===========================================================================
+
+/** Shared mechanics of the RQ sketch — the turnkey continuous-column
+  * quantile route the exact median/CDF family's bounded-histogram
+  * guards point at (no pre-chosen [lo, hi) bin bounds, unlike
+  * `hist_agg`).
+  *
+  * Design: VALUE-SAMPLING by hash level (the distinct-sampling idea of
+  * Gibbons, VLDB'01, applied to rank estimation) instead of KLL's
+  * coin-flip compaction — chosen because it is the construction that
+  * makes the sketch a PURE FUNCTION OF THE INPUT MULTISET:
+  *
+  *   - a value v is in the sample at level j iff
+  *     md5Long(str(v)) & (2^j − 1) == 0 (low bits of the corpus's
+  *     standard 60-bit hash — deterministic, engine-replayable);
+  *   - the sketch holds the EXACT occurrence count of every sampled
+  *     value; inserts of a sampled value always pass (level-j pass
+  *     implies level-j' pass for all j' <= j), so counts are never
+  *     partial;
+  *   - whenever the entry set exceeds `budget`, the level rises by one
+  *     and entries failing the new mask drop (expected halving).
+  *
+  * MERGE == ONE-SHOT, bit-for-bit, under ANY merge tree: at every
+  * point the entry set at level j over input multiset D is exactly
+  * D_j = {v in D : hash passes 2^j} with full counts, and the final
+  * level is J* = min{ j : |distinct(D_j)| <= budget } — the level can
+  * never overshoot (it only rises while the CURRENT entry set, a
+  * subset of the final D_j, already exceeds the budget, which implies
+  * j < J*) and never undershoot (the run ends with all values present
+  * and the budget enforced). So the final state is a function of
+  * (distinct values + counts, budget) alone — partitioning, arrival
+  * order and merge grouping cannot move it, which is what lets a SQL
+  * oracle replay the sketch and a gate prove mergeability itself (the
+  * q61 discipline).
+  *
+  * Estimation: every sampled value survives with probability 2^-J*,
+  * so rank(t) ≈ 2^J* · Σ_{sampled v <= t} count(v) (Horvitz-Thompson,
+  * unbiased); for QUANTILES the 2^J* factor cancels — the p-quantile
+  * estimate is simply the count-weighted p-quantile OF THE SAMPLE,
+  * a pure integer-comparison pick (no floating point at all). The
+  * sketch targets exactly the regime the exact family rejects:
+  * high-cardinality (continuous) columns, where per-value counts are
+  * tiny and the sample behaves like a uniform value sample. For hot
+  * discrete columns use the exact median/CDF family — the two routes
+  * are complementary and the guards name both.
+  *
+  * Canonical serialization (level, n, pairs sorted by value) makes
+  * equal sketches byte-equal — gates can compare the binary itself.
+  */
+object RqSketch {
+  /** Growable sketch state: sampling level + exact counts by value. */
+  final class Buf(var level: Int,
+                  val entries: scala.collection.mutable.HashMap[Long, Long])
+
+  def emptyBuf(): Buf = new Buf(0, scala.collection.mutable.HashMap.empty)
+
+  def hash(v: Long): Long = TextKernels.md5Long(java.lang.Long.toString(v))
+
+  private def passes(v: Long, level: Int): Boolean =
+    (hash(v) & ((1L << level) - 1L)) == 0L
+
+  /** Raise the level until the entry set fits the budget. */
+  private def compact(buf: Buf, budget: Int): Unit =
+    while (buf.entries.size > budget) {
+      buf.level += 1
+      require(buf.level <= 60,
+        "rq sketch exhausted its 60-bit hash — budget too small")
+      buf.entries.filterInPlace((v, _) => passes(v, buf.level))
+    }
+
+  def insert(buf: Buf, v: Long, c: Long, budget: Int): Unit =
+    if (passes(v, buf.level)) {
+      buf.entries.update(v, buf.entries.getOrElse(v, 0L) + c)
+      compact(buf, budget)
+    }
+
+  def merge(a: Buf, b: Buf, budget: Int): Buf = {
+    if (b.level > a.level) {
+      a.level = b.level
+      a.entries.filterInPlace((v, _) => passes(v, a.level))
+    }
+    b.entries.foreach { case (v, c) =>
+      if (passes(v, a.level))
+        a.entries.update(v, a.entries.getOrElse(v, 0L) + c)
+    }
+    compact(a, budget)
+    a
+  }
+
+  /** Canonical bytes: level, n, then (value, count) pairs ascending by
+    * value — equal sketches are byte-equal. */
+  def serialize(buf: Buf): Array[Byte] = {
+    val sorted = buf.entries.toArray.sortBy(_._1)
+    val bb = java.nio.ByteBuffer.allocate(8 + sorted.length * 16)
+    bb.putInt(buf.level)
+    bb.putInt(sorted.length)
+    sorted.foreach { case (v, c) => bb.putLong(v); bb.putLong(c) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val level = bb.getInt
+    val n = bb.getInt
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+    new Buf(level, m)
+  }
+}
+
+/** Builds an RQ sketch over a long column (see [[RqSketch]]). Output:
+  * the canonical sketch bytes — persist per fine grain, roll up with
+  * [[RqMergeAgg]], read quantiles with [[RqQuantile]]. */
+case class RqSketchAgg(
+    child: Expression,
+    budget: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RqSketch.Buf] with UnaryLike[Expression] {
+  require(budget >= 16 && budget <= (1 << 20),
+    s"rq budget out of range [16, 2^20]: $budget")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "rq_sketch"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rq_sketch needs long, got $t")
+  }
+
+  override def createAggregationBuffer(): RqSketch.Buf = RqSketch.emptyBuf()
+
+  override def update(buf: RqSketch.Buf, row: InternalRow): RqSketch.Buf = {
+    val v = child.eval(row)
+    if (v != null) RqSketch.insert(buf, v.asInstanceOf[Long], 1L, budget)
+    buf
+  }
+
+  override def merge(a: RqSketch.Buf, b: RqSketch.Buf): RqSketch.Buf =
+    RqSketch.merge(a, b, budget)
+
+  override def eval(buf: RqSketch.Buf): Any = RqSketch.serialize(buf)
+  override def serialize(buf: RqSketch.Buf): Array[Byte] = RqSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): RqSketch.Buf =
+    RqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): RqSketchAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): RqSketchAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): RqSketchAgg =
+    copy(child = newChild)
+}
+
+/** Combines persisted [[RqSketchAgg]] bytes — merge of merges equals
+  * the one-shot sketch of the union, byte-for-byte (see [[RqSketch]]).
+  * NULL inputs skip (a grain with no sketch contributes nothing). */
+case class RqMergeAgg(
+    child: Expression,
+    budget: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RqSketch.Buf] with UnaryLike[Expression] {
+  require(budget >= 16 && budget <= (1 << 20),
+    s"rq budget out of range [16, 2^20]: $budget")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "rq_merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rq_merge needs binary, got $t")
+  }
+
+  override def createAggregationBuffer(): RqSketch.Buf = RqSketch.emptyBuf()
+
+  override def update(buf: RqSketch.Buf, row: InternalRow): RqSketch.Buf = {
+    val v = child.eval(row)
+    if (v != null)
+      RqSketch.merge(buf, RqSketch.deserialize(v.asInstanceOf[Array[Byte]]),
+        budget)
+    buf
+  }
+
+  override def merge(a: RqSketch.Buf, b: RqSketch.Buf): RqSketch.Buf =
+    RqSketch.merge(a, b, budget)
+
+  override def eval(buf: RqSketch.Buf): Any = RqSketch.serialize(buf)
+  override def serialize(buf: RqSketch.Buf): Array[Byte] = RqSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): RqSketch.Buf =
+    RqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): RqMergeAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): RqMergeAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): RqMergeAgg =
+    copy(child = newChild)
+}
+
+/** Type-1 (lower) quantile estimate at rational p = pNum/pDen from RQ
+  * sketch bytes: the smallest sampled value whose cumulative sample
+  * count k satisfies k·pDen >= pNum·total — the Horvitz-Thompson 2^J
+  * scale cancels, so the pick is PURE INTEGER comparisons over the
+  * canonical (already value-sorted) entries; the result is an actual
+  * data value. Empty sketch -> null. */
+case class RqQuantile(child: Expression, pNum: Long, pDen: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(pDen >= 1 && pNum >= 1 && pNum <= pDen,
+    s"rq_quantile needs 1 <= pNum <= pDen, got $pNum/$pDen")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_quantile"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rq_quantile needs binary, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(input.asInstanceOf[Array[Byte]])
+    bb.getInt // level — unused: the scale cancels in the rank test
+    val n = bb.getInt
+    if (n == 0) return null
+    val vs = new Array[Long](n)
+    val cs = new Array[Long](n)
+    var i = 0
+    var total = 0L
+    while (i < n) { vs(i) = bb.getLong; cs(i) = bb.getLong; total += cs(i); i += 1 }
+    var cum = 0L
+    i = 0
+    while (i < n) {
+      cum += cs(i)
+      if (cum * pDen >= pNum * total) return vs(i)
+      i += 1
+    }
+    vs(n - 1)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RqQuantile =
+    copy(child = newChild)
+}
+
+/** Estimated row count behind RQ sketch bytes: Σ counts · 2^level
+  * (Horvitz-Thompson — each sampled value's exact count stands for
+  * ~2^level values' counts). Also exposes the sample diagnostics the
+  * caller sizes budgets with. Output struct: (level, n_sample, n_est). */
+case class RqInfo(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("n_sample", LongType, nullable = false),
+    StructField("n_est", LongType, nullable = false)))
+  override def prettyName: String = "rq_info"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rq_info needs binary, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(input.asInstanceOf[Array[Byte]])
+    val level = bb.getInt
+    val n = bb.getInt
+    var total = 0L
+    var i = 0
+    while (i < n) { bb.getLong; total += bb.getLong; i += 1 }
+    InternalRow(level, n.toLong, total << level)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RqInfo =
+    copy(child = newChild)
+}

@@ -248,6 +248,28 @@ package object functions {
   def hist_cdf(bins: Column, x: Column, lo: Double, hi: Double, nBins: Int): Column =
     ExprBridge.column(HistCdf(col2expr(bins), col2expr(x), lo, hi, nBins))
 
+  /** Deterministic mergeable RANK-QUANTILE sketch over a long column —
+    * the continuous-column quantile route with NO pre-chosen bin
+    * bounds: hash-level value sampling with exact per-value counts,
+    * merge == one-shot byte-for-byte (see [[RqSketch]]). */
+  def rq_sketch(c: Column, budget: Int): Column =
+    ExprBridge.column(RqSketchAgg(col2expr(c), budget).toAggregateExpression())
+
+  /** Combine persisted `rq_sketch` bytes — a merge of merges equals the
+    * one-shot sketch of the union, byte-for-byte. */
+  def rq_merge(c: Column, budget: Int): Column =
+    ExprBridge.column(RqMergeAgg(col2expr(c), budget).toAggregateExpression())
+
+  /** Type-1 quantile estimate at p = pNum/pDen from `rq_sketch` bytes —
+    * a pure integer pick of an actual data value (see [[RqQuantile]]). */
+  def rq_quantile(sketch: Column, pNum: Long, pDen: Long): Column =
+    ExprBridge.column(RqQuantile(col2expr(sketch), pNum, pDen))
+
+  /** Sketch diagnostics: (level, n_sample, n_est) — n_est is the
+    * Horvitz-Thompson row-count estimate (see [[RqInfo]]). */
+  def rq_info(sketch: Column): Column =
+    ExprBridge.column(RqInfo(col2expr(sketch)))
+
   /** Partial-combining per-group top-k: the k largest structs under the
     * struct's field-wise order, descending — the aggregate form of
     * `row_number over (partition by g order by ...) <= k` (see

@@ -56,7 +56,7 @@ object Stats {
         s"rankAuc: $n distinct scores exceeds the bounded-histogram " +
           s"contract (maxDistinctScores=$maxDistinctScores). Quantize the " +
           "score column (e.g. micro-units), or use the mergeable rank " +
-          "sketch (rq_agg / rq_quantile, q192 path) or the sketch " +
+          "sketch (rq_sketch / rq_quantile, q192 path) or the sketch " +
           "quantiles (Sketches, q66 path) for continuous scores."))
     val below = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1142,14 +1142,14 @@ object Stats {
     * degenerates to the key's row count — the cumulative window then
     * sorts data-sized partitions — so we fail loudly with a pointer at
     * the turnkey continuous-column routes: the mergeable rank sketch
-    * (rq_agg, no bounds guessing), the bounded-bin sketch quantiles
+    * (rq_sketch, no bounds guessing), the bounded-bin sketch quantiles
     * (q66), and the robust outliers (q124). One line, one job — the
     * shared [[Contracts]] shape. */
   private def requireBoundedPerKey(hist: DataFrame, keyCol: String,
                                    limit: Long, op: String): Unit =
     Contracts.boundedPerKey(hist, keyCol, limit, op, "distinct values",
       "Quantize the column to discrete units, or use the mergeable rank " +
-        "sketch (rq_agg / rq_quantile, q192 path — no bin bounds needed) " +
+        "sketch (rq_sketch / rq_quantile, q192 path — no bin bounds needed) " +
         "or the sketch quantiles / robust outliers (Sketches, q66/q124 " +
         "paths) for continuous values.")
 }

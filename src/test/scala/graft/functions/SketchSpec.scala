@@ -285,4 +285,101 @@ class SketchSpec extends SparkTestBase {
     // floor(1e6*1)+floor(1e6*0.5) = 1500000; floor(2e6)+floor(-0.5e6) = 1500000
     assert(got == Seq(1500000L, 1500000L))
   }
+
+  // --- RQ rank-quantile sketch -----------------------------------------
+
+  /** Driver-side reference replay of the RQ construction: final level
+    * J* = min{ j : |{distinct v : hash passes 2^j}| <= budget }, sample
+    * = surviving values with FULL counts. Shares only md5Long with the
+    * SUT. */
+  private def refRq(vals: Seq[Long], budget: Int): (Int, Map[Long, Long]) = {
+    val hist = vals.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    def pass(v: Long, j: Int) =
+      (TextKernels.md5Long(v.toString) & ((1L << j) - 1L)) == 0L
+    val j = (0 to 60).find(j => hist.keys.count(pass(_, j)) <= budget).get
+    (j, hist.filter { case (v, _) => pass(v, j) })
+  }
+
+  private def refQuantile(sample: Map[Long, Long], pNum: Long, pDen: Long): Long = {
+    val sorted = sample.toSeq.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    sorted.find { case (_, c) => cum += c; cum * pDen >= pNum * total }
+      .map(_._1).getOrElse(sorted.last._1)
+  }
+
+  test("rq_sketch two-level merge equals the one-shot sketch BYTE-FOR-" +
+    "BYTE under random grouping, and both equal the reference replay") {
+    val rnd = new scala.util.Random(83)
+    for ((budget, trial) <- Seq((16, 1), (64, 2), (256, 3))) {
+      // skewed multiset: heavy dups on small values + a long tail
+      val vals = Seq.fill(3000)(
+        if (rnd.nextBoolean()) rnd.nextInt(40).toLong
+        else rnd.nextLong() % 100000L)
+      val df = vals.map(v => (rnd.nextInt(7).toLong, v)).toDF("g", "v")
+      val oneShot = df.agg(rq_sketch(col("v"), budget).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val twoLevel = df.groupBy("g").agg(rq_sketch(col("v"), budget).as("sk"))
+        .agg(rq_merge(col("sk"), budget).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(oneShot, twoLevel),
+        s"trial $trial: merge tree must not move the sketch")
+      // and the state is exactly the reference construction
+      val (refJ, refSample) = refRq(vals, budget)
+      val buf = RqSketch.deserialize(oneShot)
+      assert(buf.level == refJ, s"trial $trial level")
+      assert(buf.entries.toMap == refSample, s"trial $trial sample")
+      // estimator picks replay exactly
+      val row = df.agg(rq_sketch(col("v"), budget).as("sk"))
+        .select(rq_quantile(col("sk"), 1L, 2L), rq_quantile(col("sk"), 9L, 10L),
+          rq_info(col("sk")).getField("n_est"),
+          rq_info(col("sk")).getField("level")).head()
+      assert(row.getLong(0) == refQuantile(refSample, 1, 2), s"trial $trial p50")
+      assert(row.getLong(1) == refQuantile(refSample, 9, 10), s"trial $trial p90")
+      assert(row.getLong(2) ==
+        (refSample.values.sum << refJ), s"trial $trial n_est")
+      assert(row.getInt(3) == refJ)
+    }
+  }
+
+  test("rq_sketch at level 0 (budget >= distinct) is the exact histogram " +
+    "and rq_quantile is the exact type-1 quantile") {
+    val rnd = new scala.util.Random(47)
+    val vals = Seq.fill(500)(rnd.nextInt(60).toLong)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val sk = df.agg(rq_sketch(col("v"), 512).as("sk"))
+    val buf = RqSketch.deserialize(sk.head().getAs[Array[Byte]](0))
+    assert(buf.level == 0)
+    assert(buf.entries.toMap ==
+      vals.groupBy(identity).map { case (v, g) => v -> g.size.toLong })
+    val sorted = vals.sorted
+    def exactQ(num: Long, den: Long): Long = {
+      val k = ((num * sorted.length + den - 1) / den).toInt // ceil rank
+      sorted(k - 1)
+    }
+    val row = sk.select(rq_quantile(col("sk"), 1L, 2L),
+      rq_quantile(col("sk"), 3L, 4L), rq_quantile(col("sk"), 99L, 100L),
+      rq_info(col("sk")).getField("n_est")).head()
+    assert(row.getLong(0) == exactQ(1, 2))
+    assert(row.getLong(1) == exactQ(3, 4))
+    assert(row.getLong(2) == exactQ(99, 100))
+    assert(row.getLong(3) == 500L, "level 0: n_est is the exact row count")
+  }
+
+  test("rq_sketch estimates are usefully close on a continuous column " +
+    "(the regime the exact family's guards reject)") {
+    // 50k distinct-ish values, budget 512 -> deep sampling; rank error
+    // of the sampled quantile should stay within a few percent
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(50000)(rnd.nextInt(1000000).toLong)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val row = df.agg(rq_sketch(col("v"), 512).as("sk"))
+      .select(rq_quantile(col("sk"), 1L, 2L),
+        rq_info(col("sk")).getField("n_est")).head()
+    val sorted = vals.sorted
+    val rank = sorted.count(_ <= row.getLong(0)).toDouble / sorted.length
+    assert(math.abs(rank - 0.5) < 0.08, s"p50 rank error too big: $rank")
+    val nEst = row.getLong(1).toDouble
+    assert(math.abs(nEst - 50000.0) / 50000.0 < 0.25, s"n_est off: $nEst")
+  }
 }
