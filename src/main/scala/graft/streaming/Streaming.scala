@@ -955,6 +955,161 @@ object Streaming {
     }
   }
 
+  /** Continuous VIDEO near-dup edge maintenance — the streamed twin of
+    * the q158/q163 video family, keeping the order-consistent voted
+    * clip-pair edge set LIVE over a stream of clip upserts and deletes
+    * (the [[SimilarityMaintainer]] pattern applied to the multimodal
+    * stack).
+    *
+    * Driver-held state (references to checkpointed frames — the frame
+    * CORPUS is never retained, the fingerprint-not-payload discipline):
+    *   - `fps`     — [[graft.operators.Dedup.clipFingerprints]] of the
+    *     live corpus (two longs per clip) for batch classification;
+    *   - `kfBytes` — [[graft.operators.Dedup.clipKeyframeBytes]]: the
+    *     per-keyframe dHash byte table (~8 longs per shot) — everything
+    *     the banded-Hamming + LIS-vote math needs;
+    *   - `edges`   — the maintained (clip_a, clip_b, n_votes) answer.
+    *
+    * Per batch, the q163 invariant applied literally:
+    *   edges' = edges − {e : e touches a changed/deleted clip}
+    *            ∪ videoEdgesFromBytes(kfBytes', fresh = added ∪ changed)
+    * which equals videoNearDupEdges(surviving corpus): an edge's votes
+    * depend ONLY on its two clips' keyframes (verified locality —
+    * `Dedup.scala` edge derivation), so untouched pairs cannot move.
+    * O(|fresh keyframes| × band bucket) per batch, never a corpus
+    * re-fingerprint; StreamingSpec pins streamed == batch rebuild over
+    * upserts + deletes + checkpoint/restore.
+    *
+    * Batch shape: ONE ROW PER CLIP upsert —
+    * (idCol, seriesCol, framesCol: array<struct<frameIdxCol,
+    * matrixCol>>, [deleteCol]) — a clip arrives whole (its per-frame
+    * feature series plus its frame matrices), ids unique per batch. */
+  final class VideoDedupMaintainer(initialClips: DataFrame,
+                                   initialFrames: DataFrame, idCol: String,
+                                   seriesCol: String, frameIdxCol: String,
+                                   matrixCol: String, cutThreshold: Double,
+                                   maxHamming: Int = 6, minVotes: Int = 2,
+                                   bandBytes: Int = 2,
+                                   framesCol: String = "frames",
+                                   deleteCol: Option[String] = None) {
+    import graft.operators.Dedup
+    private var fps: DataFrame = Dedup.clipFingerprints(initialClips,
+      initialFrames, idCol, seriesCol, frameIdxCol, matrixCol)
+      .localCheckpoint()
+    private var kfBytes: DataFrame = Dedup.clipKeyframeBytes(initialClips,
+      initialFrames, idCol, seriesCol, frameIdxCol, matrixCol, cutThreshold)
+      .localCheckpoint()
+    private var liveEdges: DataFrame = Dedup.videoEdgesFromBytes(kfBytes,
+      maxHamming, minVotes, bandBytes, None).localCheckpoint()
+
+    /** The maintained voted edge set (clip_a, clip_b, n_votes). */
+    def edges: DataFrame = synchronized(liveEdges)
+
+    /** Apply one micro-batch of clip upserts/deletes (ids unique within
+      * a batch) — classification discipline identical to
+      * [[SimilarityMaintainer.applyBatch]]. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val isDel = deleteCol.filter(batch.columns.contains)
+        .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+      val b = batch.select(col(idCol), col(seriesCol), col(framesCol),
+        isDel.as("__del")).localCheckpoint()
+      val bClips = b.select(col(idCol), col(seriesCol))
+      val bFrames = b.select(col(idCol), explode(col(framesCol)).as("__fr"))
+        .select(col(idCol), col(s"__fr.$frameIdxCol").as(frameIdxCol),
+          col(s"__fr.$matrixCol").as(matrixCol))
+      // batch fingerprints via the SAME derivation the batch operator
+      // classifies with — streamed and rebuilt classification can never
+      // disagree
+      val bfp = Dedup.clipFingerprints(bClips, bFrames, idCol, seriesCol,
+          frameIdxCol, matrixCol)
+        .join(b.select(col(idCol), col("__del")), Seq(idCol))
+        .localCheckpoint()
+      val classified = bfp.join(
+        fps.select(col(idCol), col("__sfp").as("__psfp"),
+          col("__ffp").as("__pffp"), lit(true).as("__inp")),
+        Seq(idCol), "left_outer")
+      val present = coalesce(col("__inp"), lit(false))
+      val changed = !(col("__sfp") <=> col("__psfp")) ||
+        !(col("__ffp") <=> col("__pffp"))
+      // gone: old state dies (deletes + changed re-sends) — their
+      // keyframe bytes leave and every edge touching them re-derives
+      // (changed) or dies (deleted)
+      val gone = classified.where(present && (col("__del") || changed))
+        .select(col(idCol)).localCheckpoint()
+      // fresh: new state enters (adds + changed re-sends)
+      val fresh = classified.where(!col("__del") && (!present || changed))
+        .select(col(idCol)).localCheckpoint()
+      kfBytes = kfBytes
+        .join(gone.withColumnRenamed(idCol, "clip"), Seq("clip"), "left_anti")
+        .unionByName(Dedup.clipKeyframeBytes(
+          bClips.join(fresh, Seq(idCol)), bFrames.join(fresh, Seq(idCol)),
+          idCol, seriesCol, frameIdxCol, matrixCol, cutThreshold))
+        .localCheckpoint()
+      val survivors = liveEdges
+        .join(gone.withColumnRenamed(idCol, "clip_a"), Seq("clip_a"),
+          "left_anti")
+        .join(gone.withColumnRenamed(idCol, "clip_b"), Seq("clip_b"),
+          "left_anti")
+        .select(col("clip_a"), col("clip_b"), col("n_votes"))
+      liveEdges = survivors
+        .unionByName(Dedup.videoEdgesFromBytes(kfBytes, maxHamming,
+          minVotes, bandBytes, Some(fresh)))
+        .localCheckpoint()
+      fps = fps.join(b.select(idCol), Seq(idCol), "left_anti")
+        .unionByName(bfp.where(!col("__del"))
+          .select(col(idCol), col("__sfp"), col("__ffp")))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(upserts: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      upserts.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the COMPLETE maintenance state (clip fingerprints,
+      * keyframe byte table, edge set) for
+      * [[VideoDedupMaintainer.restore]] — the frame corpus is NOT
+      * needed to resume. */
+    def checkpoint(dir: String): Unit = synchronized {
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      kfBytes.write.mode("overwrite").parquet(s"$dir/kfbytes")
+      liveEdges.write.mode("overwrite").parquet(s"$dir/edges")
+    }
+  }
+
+  object VideoDedupMaintainer {
+    /** Resume a [[VideoDedupMaintainer.checkpoint]]. Configuration
+      * (column names, cutThreshold, maxHamming, minVotes, bandBytes,
+      * deleteCol) is not state — pass the SAME values the original
+      * maintainer ran with (the [[SearchIndexMaintainer.restore]]
+      * contract). */
+    def restore(spark: SparkSession, dir: String, idCol: String,
+                seriesCol: String, frameIdxCol: String, matrixCol: String,
+                cutThreshold: Double, maxHamming: Int = 6, minVotes: Int = 2,
+                bandBytes: Int = 2, framesCol: String = "frames",
+                deleteCol: Option[String] = None): VideoDedupMaintainer = {
+      import org.apache.spark.sql.types._
+      val fps = spark.read.parquet(s"$dir/fps")
+      def empty(schema: StructType) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val idType = fps.schema(idCol).dataType
+      val m = new VideoDedupMaintainer(
+        empty(StructType(Seq(StructField(idCol, idType),
+          StructField(seriesCol, ArrayType(DoubleType))))),
+        empty(StructType(Seq(StructField(idCol, idType),
+          StructField(frameIdxCol, LongType),
+          StructField(matrixCol, ArrayType(ArrayType(DoubleType)))))),
+        idCol, seriesCol, frameIdxCol, matrixCol, cutThreshold, maxHamming,
+        minVotes, bandBytes, framesCol, deleteCol)
+      m.fps = fps.localCheckpoint()
+      m.kfBytes = spark.read.parquet(s"$dir/kfbytes").localCheckpoint()
+      m.liveEdges = spark.read.parquet(s"$dir/edges").localCheckpoint()
+      m
+    }
+  }
+
   object SearchIndexMaintainer {
     /** Resume a [[SearchIndexMaintainer.checkpoint]]: loads the
       * fingerprint table, base index, pending segments and positional

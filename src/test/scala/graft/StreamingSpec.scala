@@ -1005,4 +1005,139 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("video dedup maintainer keeps streamed edges == batch rebuild " +
+    "over clip upserts and deletes") {
+    import graft.operators.Dedup
+    def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    def mat(g: Int, scene: Int, b: Double) =
+      Seq.tabulate(8, 9)((i, j) =>
+        px(g * 10 + scene, i, j) + (if (i == 1 && j == 2) b else 0.0))
+    // corpus model: clip -> (group, variant, bump) — the OperatorSpec
+    // random-refresh fixture
+    type Corpus = Map[Long, (Int, Int, Double)]
+    def clipsDf(c: Corpus) = c.toSeq.map { case (id, (_, v, _)) =>
+      (id, series(v)) }.toDF("clip_id", "series")
+    def framesDf(c: Corpus) = c.toSeq.flatMap { case (id, (g, _, b)) =>
+      Seq((id, 2L, mat(g, 0, b)), (id, 6L, mat(g, 1, b))) }
+      .toDF("clip_id", "frame_idx", "matrix")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def expect(c: Corpus) = edgeSet(Dedup.videoNearDupEdges(clipsDf(c),
+      framesDf(c), "clip_id", "series", "frame_idx", "matrix",
+      cutThreshold = 5000.0, maxHamming = 6, minVotes = 2, bandBytes = 2))
+    var corpus: Corpus = (1L to 6L).map(id =>
+      id -> ((1 + (id % 3).toInt, (id % 2).toInt, 0.0))).toMap
+    val m = new Streaming.VideoDedupMaintainer(clipsDf(corpus),
+      framesDf(corpus), "clip_id", "series", "frame_idx", "matrix",
+      cutThreshold = 5000.0, deleteCol = Some("del"))
+    assert(edgeSet(m.edges) == expect(corpus),
+      "initial edge set != batch videoNearDupEdges")
+    // one batch row per clip: (clip_id, series, frames nested, del)
+    def applyB(rows: Seq[(Long, Option[(Int, Int, Double)])],
+               label: String): Unit = {
+      val clipPart = rows.map {
+        case (id, Some((_, v, _))) => (id, series(v), false)
+        case (id, None) => (id, Seq.empty[Double], true)
+      }.toDF("clip_id", "series", "del")
+      val framesPart = rows.flatMap {
+        case (id, Some((g, _, b))) =>
+          Seq((id, 2L, mat(g, 0, b)), (id, 6L, mat(g, 1, b)))
+        case (id, None) => Seq((id, 0L, Seq(Seq(0.0)))) // ignored payload
+      }.toDF("clip_id", "frame_idx", "matrix")
+        .groupBy("clip_id")
+        .agg(collect_list(struct(col("frame_idx"), col("matrix")))
+          .as("frames"))
+      m.applyBatch(clipPart.join(framesPart, Seq("clip_id")))
+      rows.foreach {
+        case (id, Some(s)) => corpus += id -> s
+        case (id, None) => corpus -= id
+      }
+      assert(edgeSet(m.edges) == expect(corpus),
+        s"streamed edges != batch rebuild of the surviving corpus after $label")
+    }
+    // add a new group-1 clip (pairs with existing) + delete one
+    applyB(Seq(7L -> Some((1, 0, 0.0)), 3L -> None), "add+delete")
+    // re-encode (bump flips fingerprints, content leaves its pairs) +
+    // variant shift of another (same content, new series)
+    applyB(Seq(4L -> Some((2, 0, 1.0)), 2L -> Some((2, 1, 0.0))),
+      "re-encode+shift")
+    // unchanged re-send (no-op: survivors carry votes) + delete of an
+    // absent id (no-op)
+    applyB(Seq(1L -> Some((2, 1, 0.0)), 99L -> None), "no-op batch")
+    // seeded random history over the same refresh model
+    val rnd = new scala.util.Random(59)
+    (1 to 2).foreach { i =>
+      val rows = (1 to 4).map { _ =>
+        val id = 1L + rnd.nextInt(9)
+        if (rnd.nextInt(4) == 0) id -> (None: Option[(Int, Int, Double)])
+        else id -> Some((1 + rnd.nextInt(3), rnd.nextInt(2),
+          rnd.nextInt(2).toDouble))
+      }.groupBy(_._1).map(_._2.head).toSeq
+      applyB(rows, s"random batch $i")
+    }
+  }
+
+  test("video dedup maintainer checkpoint/restore resumes without the " +
+    "frame corpus") {
+    import graft.operators.Dedup
+    def series(v: Int) = Seq.tabulate(8)(f => if (f >= 4 + v) 10000.0 else 0.0)
+    def px(seed: Int, i: Int, j: Int): Double =
+      ((seed * 31 + i * 131 + j * 17) * 2654435761L % 256 + 256) % 256
+    def mat(g: Int, scene: Int, b: Double) =
+      Seq.tabulate(8, 9)((i, j) =>
+        px(g * 10 + scene, i, j) + (if (i == 1 && j == 2) b else 0.0))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c0: Map[Long, (Int, Int, Double)] = Map(
+      1L -> ((1, 0, 0.0)), 2L -> ((1, 1, 0.0)), 3L -> ((2, 0, 0.0)))
+    def clipsDf(c: Map[Long, (Int, Int, Double)]) = c.toSeq.map {
+      case (id, (_, v, _)) => (id, series(v)) }.toDF("clip_id", "series")
+    def framesDf(c: Map[Long, (Int, Int, Double)]) = c.toSeq.flatMap {
+      case (id, (g, _, b)) =>
+        Seq((id, 2L, mat(g, 0, b)), (id, 6L, mat(g, 1, b))) }
+      .toDF("clip_id", "frame_idx", "matrix")
+    val live = new Streaming.VideoDedupMaintainer(clipsDf(c0), framesDf(c0),
+      "clip_id", "series", "frame_idx", "matrix", cutThreshold = 5000.0,
+      deleteCol = Some("del"))
+    def mkBatch(rows: Seq[(Long, Option[(Int, Int, Double)])]) = {
+      val clipPart = rows.map {
+        case (id, Some((_, v, _))) => (id, series(v), false)
+        case (id, None) => (id, Seq.empty[Double], true)
+      }.toDF("clip_id", "series", "del")
+      val framesPart = rows.flatMap {
+        case (id, Some((g, _, b))) =>
+          Seq((id, 2L, mat(g, 0, b)), (id, 6L, mat(g, 1, b)))
+        case (id, None) => Seq((id, 0L, Seq(Seq(0.0))))
+      }.toDF("clip_id", "frame_idx", "matrix")
+        .groupBy("clip_id")
+        .agg(collect_list(struct(col("frame_idx"), col("matrix")))
+          .as("frames"))
+      clipPart.join(framesPart, Seq("clip_id"))
+    }
+    val b1 = Seq(4L -> Some((1, 0, 0.0)), 3L -> None)
+    val b2 = Seq(2L -> Some((2, 0, 0.0): (Int, Int, Double)),
+      5L -> Some((1, 1, 0.0): (Int, Int, Double)))
+    live.applyBatch(mkBatch(b1))
+    val dir = java.nio.file.Files.createTempDirectory("vidckpt").toString
+    live.checkpoint(dir)
+    live.applyBatch(mkBatch(b2))
+    // the restored maintainer resumes from disk alone — no frame corpus
+    // anywhere — and must track the live one through the same b2
+    val restored = Streaming.VideoDedupMaintainer.restore(spark, dir,
+      "clip_id", "series", "frame_idx", "matrix", cutThreshold = 5000.0,
+      deleteCol = Some("del"))
+    restored.applyBatch(mkBatch(b2))
+    assert(edgeSet(restored.edges) == edgeSet(live.edges),
+      "restored edge set diverged from the live maintainer")
+    val surviving: Map[Long, (Int, Int, Double)] = Map(
+      1L -> ((1, 0, 0.0)), 2L -> ((2, 0, 0.0)), 4L -> ((1, 0, 0.0)),
+      5L -> ((1, 1, 0.0)))
+    assert(edgeSet(restored.edges) == edgeSet(Dedup.videoNearDupEdges(
+      clipsDf(surviving), framesDf(surviving), "clip_id", "series",
+      "frame_idx", "matrix", cutThreshold = 5000.0)),
+      "restored edge set != batch rebuild of the surviving corpus")
+  }
 }
