@@ -7759,6 +7759,107 @@ object Queries {
       |FROM js, agg, q""".stripMargin.replace("HEXPR", h)
   }
 
+  /** PER-GROUP rank-quantile sketches (the q192 family grouped): one
+    * rq_sketch per event type over the continuous cents column — the
+    * turnkey per-group quantile route the exact median family's guards
+    * reject continuous columns toward. Each group reaches its OWN
+    * sampling level; the oracle replays every group's one-shot
+    * construction, certifying the per-group determinism (budget 256
+    * forces real sampling at sf >= 0.01). */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("v"))
+    ev.groupBy("event_type").agg(rq_sketch(col("v"), 256).as("sk"))
+      .select(col("event_type"),
+        rq_info(col("sk")).getField("level").as("level"),
+        rq_info(col("sk")).getField("n_sample").as("n_sample"),
+        rq_info(col("sk")).getField("n_est").as("n_est"),
+        rq_quantile(col("sk"), 1, 4).as("p25"),
+        rq_quantile(col("sk"), 1, 2).as("p50"),
+        rq_quantile(col("sk"), 3, 4).as("p75"))
+  }
+
+  private val q193Sql = {
+    val h = md5LongSql("CAST(v AS VARCHAR)")
+    """WITH e AS (
+      |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |hv AS (SELECT g, v, c, HEXPR AS h FROM hist),
+      |lv AS (
+      |  SELECT g, j, count(*) FILTER (
+      |    WHERE (h & ((CAST(1 AS BIGINT) << CAST(j AS INT)) - 1)) = 0) AS nd
+      |  FROM hv, range(0, 61) t(j) GROUP BY 1, 2),
+      |js AS (
+      |  SELECT g, CAST(min(j) AS INTEGER) AS level
+      |  FROM lv WHERE nd <= 256 GROUP BY 1),
+      |samp AS (
+      |  SELECT hv.g, v, c FROM hv JOIN js ON js.g = hv.g
+      |  WHERE (h & ((CAST(1 AS BIGINT) << CAST(level AS INT)) - 1)) = 0),
+      |cum AS (
+      |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS k,
+      |    sum(c) OVER (PARTITION BY g) AS total
+      |  FROM samp),
+      |agg AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_sample,
+      |    CAST(sum(c) AS BIGINT) AS tot
+      |  FROM samp GROUP BY 1),
+      |q AS (
+      |  SELECT g, min(v) FILTER (WHERE k * 4 >= 1 * total) AS p25,
+      |    min(v) FILTER (WHERE k * 2 >= 1 * total) AS p50,
+      |    min(v) FILTER (WHERE k * 4 >= 3 * total) AS p75
+      |  FROM cum GROUP BY 1)
+      |SELECT js.g AS event_type, js.level, agg.n_sample,
+      |  agg.tot * (CAST(1 AS BIGINT) << CAST(js.level AS INT)) AS n_est,
+      |  q.p25, q.p50, q.p75
+      |FROM js
+      |JOIN agg ON agg.g = js.g
+      |JOIN q ON q.g = js.g""".stripMargin.replace("HEXPR", h)
+  }
+
+  /** Exact per-user Kendall tau-b between event time and cents
+    * (Stats.kendallTauB) — the pair-concordance twin of q191's
+    * Spearman, with full tie corrections; x = time makes it the
+    * Mann–Kendall trend test. Spark counts discordant pairs with the
+    * O(n log n) merge-sort inversion kernel over (time, value)-sorted
+    * values and derives concordant from exact tie histograms; the
+    * oracle is the brute-force O(n²) pair join, so the hash match
+    * certifies the kernel against the definition. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        cents(col("value")).as("v"))
+    Stats.kendallTauB(ev, "user_id", "us", "v")
+  }
+
+  private val q194Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS x,
+      |    CAST(round(value*100) AS BIGINT) AS y
+      |  FROM events),
+      |p AS (
+      |  SELECT a.user_id,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+      |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+      |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      |  FROM e a JOIN e b
+      |    ON b.user_id = a.user_id AND a.event_id < b.event_id
+      |  GROUP BY 1),
+      |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+      |SELECT n.user_id, n.n,
+      |  coalesce(p.c, 0) AS concordant, coalesce(p.d, 0) AS discordant,
+      |  CASE WHEN n.n * (n.n - 1) // 2 - coalesce(p.tx, 0) = 0
+      |    OR n.n * (n.n - 1) // 2 - coalesce(p.ty, 0) = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(coalesce(p.c, 0) - coalesce(p.d, 0) AS DOUBLE)
+      |      / (sqrt(CAST(n.n * (n.n - 1) // 2 - p.tx AS DOUBLE))
+      |         * sqrt(CAST(n.n * (n.n - 1) // 2 - p.ty AS DOUBLE)))
+      |  END AS tau_b
+      |FROM n LEFT JOIN p ON p.user_id = n.user_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -7956,5 +8057,7 @@ object Queries {
     "q189_two_proportion_z" -> Q(q189, Some(q189Sql)),
     "q190_exact_cdf" -> Q(q190, Some(q190Sql)),
     "q191_spearman" -> Q(q191, Some(q191Sql)),
-    "q192_rq_sketch_rollup" -> Q(q192, Some(q192Sql)))
+    "q192_rq_sketch_rollup" -> Q(q192, Some(q192Sql)),
+    "q193_rq_group_quantiles" -> Q(q193, Some(q193Sql)),
+    "q194_kendall_tau" -> Q(q194, Some(q194Sql)))
 }

@@ -1133,6 +1133,66 @@ object Stats {
         .as("rho"))
   }
 
+  /** EXACT per-group KENDALL TAU-B rank correlation with full tie
+    * corrections — the pair-concordance twin of [[spearmanByKey]] (tau
+    * answers "how often does a later event also rank higher", which is
+    * the robust monotone-trend statistic under heavy ties; it is also
+    * the Mann–Kendall trend test when x is time):
+    *
+    *   C − D = (n0 − n1 − n2 + n11) − 2D
+    *   tau_b = (C − D) / (√(n0−n1) · √(n0−n2))
+    *
+    * with n0 = C(n,2), n1/n2/n11 = same-x / same-y / same-both tied
+    * pair counts, and D (discordant pairs) counted EXACTLY by the
+    * merge-sort inversion kernel over each key's y-sequence sorted by
+    * (x, y) — x-tied pairs order ascending by y so they can never count,
+    * making the count precisely the strict-discordance D. O(n log n)
+    * per key, never the O(n²) pair join (that shape is the ORACLE's
+    * job).
+    *
+    * Shape: the tie terms are three map-side-combining histogram
+    * aggregations (shuffles keyed by (key, value) — hash groupBys,
+    * never windows, so cardinality is scale-safe); D rides the
+    * series-kernel contract (per-key rows CHECKED against
+    * `maxRowsPerKey`, the groupInversions discipline); the float tail
+    * is two IEEE sqrts and one division over exact longs —
+    * engine-exact. Keys with zero x- or y-variance → NaN.
+    * Output: (key, n, concordant, discordant, tau_b). */
+  def kendallTauB(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+                  maxRowsPerKey: Long = 5000000L): DataFrame = {
+    import graft.functions.inversion_count
+    val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).localCheckpoint()
+    Contracts.boundedPerKey(base, keyCol, maxRowsPerKey, "kendallTauB",
+      "rows", "Pre-aggregate or sub-split the key before correlating.",
+      contract = "per-key kernel")
+    def tiePairs(cols: Seq[String], out: String) =
+      base.groupBy(col(keyCol) +: cols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(keyCol))
+        .agg(sum(expr("(__c * (__c - 1)) div 2")).as(out))
+    val d = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        inversion_count(transform(
+          sort_array(collect_list(struct(col("__x"), col("__y")))),
+          s => s("__y"))).as("discordant"))
+    val joined = d
+      .join(tiePairs(Seq("__x"), "__n1"), Seq(keyCol))
+      .join(tiePairs(Seq("__y"), "__n2"), Seq(keyCol))
+      .join(tiePairs(Seq("__x", "__y"), "__n11"), Seq(keyCol))
+      .withColumn("__n0", expr("(n * (n - 1)) div 2"))
+    val c = col("__n0") - col("__n1") - col("__n2") + col("__n11") -
+      col("discordant")
+    val dx = col("__n0") - col("__n1")
+    val dy = col("__n0") - col("__n2")
+    joined.select(col(keyCol), col("n"), c.as("concordant"),
+      col("discordant"),
+      when(dx === 0L || dy === 0L, lit(Double.NaN)).otherwise(
+        (c - col("discordant")).cast("double")
+          / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        .as("tau_b"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -785,6 +785,58 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getDouble(2).isNaN)
   }
 
+  test("kendallTauB matches the brute-force pair definition with ties, " +
+    "and hits the +1/-1/NaN shapes") {
+    val rnd = new scala.util.Random(431)
+    // small value ranges force heavy ties on both axes
+    val rows = Seq.fill(400)((rnd.nextInt(4).toLong,
+      rnd.nextInt(10).toLong, rnd.nextInt(8).toLong))
+    val got = Stats.kendallTauB(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val ps = for {
+        i <- g.indices; j <- (i + 1) until g.size
+      } yield (g(i), g(j))
+      val c = ps.count { case ((_, x1, y1), (_, x2, y2)) =>
+        (x1 < x2 && y1 < y2) || (x1 > x2 && y1 > y2) }.toLong
+      val d = ps.count { case ((_, x1, y1), (_, x2, y2)) =>
+        (x1 < x2 && y1 > y2) || (x1 > x2 && y1 < y2) }.toLong
+      val tx = ps.count { case ((_, x1, _), (_, x2, _)) => x1 == x2 }.toLong
+      val ty = ps.count { case ((_, _, y1), (_, _, y2)) => y1 == y2 }.toLong
+      val n = g.size.toLong
+      val n0 = n * (n - 1) / 2
+      val (gn, gc, gd, gt) = got(k)
+      assert(gn == n && gc == c && gd == d, s"k=$k")
+      if (n0 - tx == 0L || n0 - ty == 0L) assert(gt.isNaN, s"k=$k")
+      else assert(gt == (c - d).toDouble /
+        (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)),
+        s"k=$k")
+    }
+    // perfectly concordant -> +1; reversed -> -1 (up to the operator's
+    // fixed sqrt(x)*sqrt(x) IEEE shape, replayed here exactly);
+    // constant y -> NaN; single row -> NaN
+    val unit = 105.0 / (math.sqrt(105.0) * math.sqrt(105.0)) // n = 15
+    val inc = (1L to 15L).map(i => (1L, i, i * 3)).toDF("k", "x", "y")
+    assert(Stats.kendallTauB(inc, "k", "x", "y")
+      .collect().head.getDouble(4) == unit)
+    val dec = (1L to 15L).map(i => (1L, i, -i)).toDF("k", "x", "y")
+    assert(Stats.kendallTauB(dec, "k", "x", "y")
+      .collect().head.getDouble(4) == -unit)
+    val const = (1L to 5L).map(i => (1L, i, 9L)).toDF("k", "x", "y")
+    assert(Stats.kendallTauB(const, "k", "x", "y")
+      .collect().head.getDouble(4).isNaN)
+    val one = Seq((1L, 2L, 3L)).toDF("k", "x", "y")
+    val r1 = Stats.kendallTauB(one, "k", "x", "y").collect().head
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 0L &&
+      r1.getLong(3) == 0L && r1.getDouble(4).isNaN)
+    // the per-key kernel contract is CHECKED
+    val e = intercept[IllegalArgumentException] {
+      Stats.kendallTauB(inc, "k", "x", "y", maxRowsPerKey = 5L)
+    }
+    assert(e.getMessage.contains("per-key kernel"))
+  }
+
   test("growthAccounting day-level identity: active(d) = new + " +
     "retained + resurrected, and every churn follows activity") {
     val rnd = new scala.util.Random(113)
