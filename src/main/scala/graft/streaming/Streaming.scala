@@ -241,6 +241,40 @@ object Streaming {
       .toDF("k", "ts", "x", "s")
   }
 
+  /** Streamed RQ rank-quantile sketch per key — the live twin of
+    * `functions.rq_sketch` (q192/q193): per-key state is the canonical
+    * sketch bytes (level + ≤ budget exact value counts), each batch
+    * folds its values in, and each batch emits the key's refreshed
+    * bytes (Append — downstream keeps the latest row per key and serves
+    * quantiles with `rq_quantile` at any moment). Because the sketch is
+    * a PURE FUNCTION OF THE INPUT MULTISET (merge == one-shot — the
+    * RqSketch invariant), the emitted bytes are BIT-IDENTICAL to the
+    * batch aggregate over the key's full history: the strongest
+    * streamed-equals-batch contract in the module, pinned by
+    * StreamingSpec. State is bounded by the budget, never by history.
+    * Input columns: (k, v). Output: (k, sketch). */
+  def streamingRqSketch(obs: DataFrame, budget: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (Long, Array[Byte])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.functions.RqSketch.deserialize)
+            .getOrElse(graft.functions.RqSketch.emptyBuf())
+          rows.foreach { case (_, v) =>
+            graft.functions.RqSketch.insert(buf, v, 1L, budget) }
+          val bytes = graft.functions.RqSketch.serialize(buf)
+          state.update(bytes)
+          Iterator((k, bytes))
+      }
+      .toDF("k", "sketch")
+  }
+
   /** Streamed state for EXACT exponentially-decayed popularity — the
     * live twin of [[graft.operators.Stats.decayedCounts]]. Per key the
     * state is the total event count plus a day→count histogram PRUNED

@@ -900,6 +900,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming RQ sketch bytes are BIT-IDENTICAL to the batch " +
+    "aggregate over each key's full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    val hist = scala.collection.mutable.Map
+      .empty[Long, Vector[Long]].withDefaultValue(Vector.empty)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.streamingRqSketch(mem.toDF().toDF("k", "v"),
+        budget = 32)
+      .writeStream.format("memory").queryName("rqs").outputMode("append")
+      .start()
+    try {
+      // three batches of skewed values over two keys: enough distincts
+      // to force the level past 0 (real sampling, not the degenerate
+      // full histogram)
+      (1 to 3).foreach { _ =>
+        val rows = Seq.fill(300)((1L + rnd.nextInt(2),
+          if (rnd.nextBoolean()) rnd.nextInt(10).toLong
+          else rnd.nextLong() % 10000L))
+        rows.foreach { case (k, v) => hist(k) = hist(k) :+ v }
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      // latest emitted row per key (the Append contract)
+      val latest = spark.table("rqs").collect()
+        .zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getAs[Array[Byte]](1) }
+      val batch = hist.toSeq.flatMap { case (k, vs) => vs.map((k, _)) }
+        .toDF("k", "v")
+        .groupBy("k").agg(graft.functions.rq_sketch(col("v"), 32).as("sk"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(latest.keySet == batch.keySet)
+      latest.foreach { case (k, bytes) =>
+        assert(java.util.Arrays.equals(bytes, batch(k)),
+          s"key $k: streamed sketch bytes != batch aggregate")
+        assert(graft.functions.RqSketch.deserialize(bytes).level > 0,
+          s"key $k: fixture must force real sampling")
+      }
+    } finally q.stop()
+  }
+
   test("streaming decayed popularity serves batch-identical scores, " +
     "with late events pruned exactly like the batch cutoff") {
     implicit val sqlCtx = spark.sqlContext
