@@ -7860,6 +7860,109 @@ object Queries {
       |  END AS tau_b
       |FROM n LEFT JOIN p ON p.user_id = n.user_id""".stripMargin
 
+  /** WEIGHTED rank-quantile sketch (functions.rq_sketch_w): quantity-
+    * weighted quantiles of extended-price cents — "what price does the
+    * median UNIT ship at" (each row counts l_quantity times), the
+    * sketch sibling of the exact weighted median (q165) for continuous
+    * columns. Same deterministic value-sampling construction with
+    * weights folded into the exact counts; the oracle replays the
+    * one-shot weighted build, n_est estimates TOTAL WEIGHT. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+    li.agg(rq_sketch_w(col("v"), col("w"), 512).as("sk"))
+      .select(rq_info(col("sk")).getField("level").as("level"),
+        rq_info(col("sk")).getField("n_sample").as("n_sample"),
+        rq_info(col("sk")).getField("n_est").as("n_est"),
+        rq_quantile(col("sk"), 1, 4).as("p25"),
+        rq_quantile(col("sk"), 1, 2).as("p50"),
+        rq_quantile(col("sk"), 9, 10).as("p90"))
+  }
+
+  private val q195Sql = {
+    val h = md5LongSql("CAST(v AS VARCHAR)")
+    """WITH vals AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem WHERE l_quantity > 0),
+      |hist AS (SELECT v, CAST(sum(w) AS BIGINT) AS c FROM vals GROUP BY 1),
+      |hv AS (SELECT v, c, HEXPR AS h FROM hist),
+      |lv AS (
+      |  SELECT j, count(*) FILTER (
+      |    WHERE (h & ((CAST(1 AS BIGINT) << CAST(j AS INT)) - 1)) = 0) AS nd
+      |  FROM hv, range(0, 61) t(j) GROUP BY 1),
+      |js AS (SELECT CAST(min(j) AS INTEGER) AS level FROM lv WHERE nd <= 512),
+      |samp AS (
+      |  SELECT v, c FROM hv, js
+      |  WHERE (h & ((CAST(1 AS BIGINT) << CAST(level AS INT)) - 1)) = 0),
+      |cum AS (
+      |  SELECT v, sum(c) OVER (ORDER BY v) AS k, sum(c) OVER () AS total
+      |  FROM samp),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sample,
+      |    CAST(sum(c) AS BIGINT) AS tot
+      |  FROM samp),
+      |q AS (
+      |  SELECT min(v) FILTER (WHERE k * 4 >= 1 * total) AS p25,
+      |    min(v) FILTER (WHERE k * 2 >= 1 * total) AS p50,
+      |    min(v) FILTER (WHERE k * 10 >= 9 * total) AS p90
+      |  FROM cum)
+      |SELECT js.level, agg.n_sample,
+      |  agg.tot * (CAST(1 AS BIGINT) << CAST(js.level AS INT)) AS n_est,
+      |  q.p25, q.p50, q.p90
+      |FROM js, agg, q""".stripMargin.replace("HEXPR", h)
+  }
+
+  /** Sketch-based PERCENTILE NORMALIZATION for continuous columns
+    * (functions.rq_cdf): every 23rd event's cents value mapped to its
+    * estimated within-type percentile by ONE broadcast join against the
+    * per-type rq sketches — the bounds-free twin of the q80 hist_cdf
+    * normalization and the sketch twin of the exact q190 CDF table.
+    * Integer sums, one final division — engine-exact given the sketch
+    * replay (which q193 already certifies). */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("v"))
+    val sketches = ev.groupBy("event_type")
+      .agg(rq_sketch(col("v"), 256).as("sk"))
+    ev.where(pmod(col("event_id"), lit(23L)) === 0)
+      .join(broadcast(sketches), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("v"),
+        rq_cdf(col("sk"), col("v")).as("pct"))
+  }
+
+  private val q196Sql = {
+    val h = md5LongSql("CAST(v AS VARCHAR)")
+    """WITH e AS (
+      |  SELECT event_id, event_type AS g,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |hv AS (SELECT g, v, c, HEXPR AS h FROM hist),
+      |lv AS (
+      |  SELECT g, j, count(*) FILTER (
+      |    WHERE (h & ((CAST(1 AS BIGINT) << CAST(j AS INT)) - 1)) = 0) AS nd
+      |  FROM hv, range(0, 61) t(j) GROUP BY 1, 2),
+      |js AS (
+      |  SELECT g, CAST(min(j) AS INTEGER) AS level
+      |  FROM lv WHERE nd <= 256 GROUP BY 1),
+      |samp AS (
+      |  SELECT hv.g, v, c FROM hv JOIN js ON js.g = hv.g
+      |  WHERE (h & ((CAST(1 AS BIGINT) << CAST(level AS INT)) - 1)) = 0),
+      |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS total FROM samp GROUP BY 1),
+      |sel AS (SELECT event_id, g, v FROM e WHERE event_id % 23 = 0),
+      |cumv AS (
+      |  SELECT sel.event_id, sel.g, sel.v,
+      |    CAST(coalesce(sum(samp.c) FILTER (WHERE samp.v <= sel.v), 0)
+      |      AS BIGINT) AS cum
+      |  FROM sel LEFT JOIN samp ON samp.g = sel.g
+      |  GROUP BY 1, 2, 3)
+      |SELECT c.event_id, c.g AS event_type, c.v,
+      |  CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS pct
+      |FROM cumv c JOIN tot t ON t.g = c.g""".stripMargin.replace("HEXPR", h)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8059,5 +8162,7 @@ object Queries {
     "q191_spearman" -> Q(q191, Some(q191Sql)),
     "q192_rq_sketch_rollup" -> Q(q192, Some(q192Sql)),
     "q193_rq_group_quantiles" -> Q(q193, Some(q193Sql)),
-    "q194_kendall_tau" -> Q(q194, Some(q194Sql)))
+    "q194_kendall_tau" -> Q(q194, Some(q194Sql)),
+    "q195_rq_weighted_quantiles" -> Q(q195, Some(q195Sql)),
+    "q196_rq_percentile_norm" -> Q(q196, Some(q196Sql)))
 }

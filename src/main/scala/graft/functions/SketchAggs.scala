@@ -1188,3 +1188,104 @@ case class RqInfo(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RqInfo =
     copy(child = newChild)
 }
+
+/** WEIGHTED [[RqSketchAgg]]: each (value, weight) row adds `weight` to
+  * the value's exact count — token-weighted length quantiles,
+  * quantity-weighted price quantiles, duration-weighted session
+  * medians at sketch scale (the continuous-column sibling of the exact
+  * `exactGroupWeightedMedianX2`). Rows with NULL or non-positive
+  * weight are SKIPPED (the sketch state must stay a pure function of
+  * the positive-weighted multiset — a zero-weight entry would change
+  * the canonical bytes without changing any rank). Same level
+  * machinery, same merge == one-shot invariant; `rq_quantile` then
+  * picks weighted quantiles and `rq_info`'s n_est estimates TOTAL
+  * WEIGHT. Input: struct<v: long, w: long>. */
+case class RqSketchWAgg(
+    child: Expression,
+    budget: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RqSketch.Buf] with UnaryLike[Expression] {
+  require(budget >= 16 && budget <= (1 << 20),
+    s"rq budget out of range [16, 2^20]: $budget")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "rq_sketch_w"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(a, b))
+      if a.dataType == LongType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rq_sketch_w needs struct<long, long>, got $t")
+  }
+
+  override def createAggregationBuffer(): RqSketch.Buf = RqSketch.emptyBuf()
+
+  override def update(buf: RqSketch.Buf, row: InternalRow): RqSketch.Buf = {
+    val s = child.eval(row)
+    if (s != null) {
+      val r = s.asInstanceOf[InternalRow]
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val w = r.getLong(1)
+        if (w > 0L) RqSketch.insert(buf, r.getLong(0), w, budget)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: RqSketch.Buf, b: RqSketch.Buf): RqSketch.Buf =
+    RqSketch.merge(a, b, budget)
+
+  override def eval(buf: RqSketch.Buf): Any = RqSketch.serialize(buf)
+  override def serialize(buf: RqSketch.Buf): Array[Byte] = RqSketch.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): RqSketch.Buf =
+    RqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): RqSketchWAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): RqSketchWAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): RqSketchWAgg =
+    copy(child = newChild)
+}
+
+/** Estimated CDF (percentile) of a point under RQ sketch bytes:
+  * cum(sampled v <= x) / total — the Horvitz-Thompson scale cancels,
+  * so the estimate is exact integer sums with ONE final double
+  * division (engine-exact). The sketch-based per-group
+  * percentile-normalization primitive for continuous columns (the
+  * rq twin of `hist_cdf` — no bin bounds — and of the exact
+  * `exactGroupCdf` for discrete ones). Empty sketch -> null. */
+case class RqCdf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_cdf"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rq_cdf needs (binary, long), got $t")
+    }
+  override def nullSafeEval(sketch: Any, x: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(sketch.asInstanceOf[Array[Byte]])
+    bb.getInt // level cancels
+    val n = bb.getInt
+    if (n == 0) return null
+    val t = x.asInstanceOf[Long]
+    var cum = 0L
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = bb.getLong
+      val c = bb.getLong
+      if (v <= t) cum += c
+      total += c
+      i += 1
+    }
+    cum.toDouble / total.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RqCdf =
+    copy(left = l, right = r)
+}

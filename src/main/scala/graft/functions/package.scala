@@ -270,6 +270,21 @@ package object functions {
   def rq_info(sketch: Column): Column =
     ExprBridge.column(RqInfo(col2expr(sketch)))
 
+  /** WEIGHTED `rq_sketch`: each row adds `w` to its value's exact count
+    * (non-positive/NULL weights skip); `rq_quantile` then picks
+    * weighted quantiles and `rq_info`'s n_est estimates total weight
+    * (see [[RqSketchWAgg]]). */
+  def rq_sketch_w(v: Column, w: Column, budget: Int): Column =
+    ExprBridge.column(RqSketchWAgg(
+      col2expr(org.apache.spark.sql.functions.struct(v, w)), budget)
+      .toAggregateExpression())
+
+  /** Estimated CDF (percentile) of a point under `rq_sketch` bytes —
+    * the bounds-free percentile-normalization primitive (see
+    * [[RqCdf]]). */
+  def rq_cdf(sketch: Column, x: Column): Column =
+    ExprBridge.column(RqCdf(col2expr(sketch), col2expr(x)))
+
   /** Partial-combining per-group top-k: the k largest structs under the
     * struct's field-wise order, descending — the aggregate form of
     * `row_number over (partition by g order by ...) <= k` (see

@@ -366,6 +366,59 @@ class SketchSpec extends SparkTestBase {
     assert(row.getLong(3) == 500L, "level 0: n_est is the exact row count")
   }
 
+  test("rq_sketch_w folds weights into exact counts: unit weights equal " +
+    "the unweighted bytes, and replication equals integer weights") {
+    val rnd = new scala.util.Random(29)
+    val vals = Seq.fill(800)((rnd.nextLong() % 5000L,
+      1L + rnd.nextInt(5).toLong))
+    val df = vals.toDF("v", "w")
+    // w = 1 everywhere == the unweighted sketch, byte-for-byte
+    val unit = vals.map(p => (p._1, 1L)).toDF("v", "w")
+    val a = unit.agg(rq_sketch_w(col("v"), col("w"), 64))
+      .head().getAs[Array[Byte]](0)
+    val b = vals.map(_._1).map(Tuple1(_)).toDF("v")
+      .agg(rq_sketch(col("v"), 64)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+    // weight w == the row replicated w times, byte-for-byte
+    val weighted = df.agg(rq_sketch_w(col("v"), col("w"), 64))
+      .head().getAs[Array[Byte]](0)
+    val replicated = vals.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .map(Tuple1(_)).toDF("v")
+      .agg(rq_sketch(col("v"), 64)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(weighted, replicated))
+    // non-positive / NULL weights drop (state stays multiset-pure)
+    val dirty = (vals.map { case (v, w) => (v, Some(w)) } ++
+      Seq((999999L, Some(0L)), (888888L, Some(-3L)), (777777L, None)))
+      .toDF("v", "w")
+    val cleaned = dirty.agg(rq_sketch_w(col("v"), col("w"), 64))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(cleaned, weighted))
+  }
+
+  test("rq_cdf is the exact sample CDF and inverts rq_quantile") {
+    val rnd = new scala.util.Random(53)
+    val vals = Seq.fill(5000)(rnd.nextLong() % 100000L)
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val sk = df.agg(rq_sketch(col("v"), 128).as("sk")).localCheckpoint()
+    val buf = RqSketch.deserialize(sk.head().getAs[Array[Byte]](0))
+    val sorted = buf.entries.toSeq.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    // cdf replays cum/total at arbitrary probes, including below-all
+    // and above-all
+    for (probe <- Seq(Long.MinValue / 2, -500L, 0L, 1234L, 99999L)) {
+      val expect = sorted.filter(_._1 <= probe).map(_._2).sum.toDouble /
+        total.toDouble
+      val got = sk.select(rq_cdf(col("sk"), lit(probe))).head().getDouble(0)
+      assert(got == expect, s"probe $probe")
+    }
+    // round trip: cdf(quantile(p)) >= p for every sampled rank
+    for ((num, den) <- Seq((1L, 4L), (1L, 2L), (9L, 10L))) {
+      val qv = sk.select(rq_quantile(col("sk"), num, den)).head().getLong(0)
+      val pct = sk.select(rq_cdf(col("sk"), lit(qv))).head().getDouble(0)
+      assert(pct >= num.toDouble / den.toDouble, s"$num/$den")
+    }
+  }
+
   test("rq_sketch estimates are usefully close on a continuous column " +
     "(the regime the exact family's guards reject)") {
     // 50k distinct-ish values, budget 512 -> deep sampling; rank error
