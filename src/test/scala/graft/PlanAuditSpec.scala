@@ -526,6 +526,31 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("rq sketches partial-aggregate (bounded bytes cross the shuffle, " +
+    "never values) and kendallTauB has no single-partition stage") {
+    val rows = spark.range(3000).select((col("id") % 7).as("g"),
+      (col("id") * 37 % 50000).as("v"), (col("id") % 40 + 1L).as("w"))
+    val skPlan = rows.groupBy("g")
+      .agg(graft.functions.rq_sketch(col("v"), 64))
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("partial_rq_sketch"),
+      s"rq_sketch must partial-aggregate:\n$skPlan")
+    val wPlan = rows.groupBy("g")
+      .agg(graft.functions.rq_sketch_w(col("v"), col("w"), 64))
+      .queryExecution.executedPlan.toString
+    assert(wPlan.contains("partial_rq_sketch_w"),
+      s"rq_sketch_w must partial-aggregate:\n$wPlan")
+    // kendallTauB: three hash-groupBy tie histograms + one series
+    // collect — no window anywhere, no Exchange SinglePartition
+    val tauPlan = graft.operators.Stats.kendallTauB(
+        rows.toDF("k", "x", "y"), "k", "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(!tauPlan.contains("Window"),
+      s"kendallTauB must not use windows:\n$tauPlan")
+    assert(!tauPlan.contains("Exchange SinglePartition"),
+      s"kendallTauB must stay key-partitioned:\n$tauPlan")
+  }
+
   test("collocations tokenizes once and broadcasts the term-df sides") {
     val docs = spark.range(300)
       .select(col("id").as("doc_id"),
