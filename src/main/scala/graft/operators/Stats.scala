@@ -1087,10 +1087,10 @@ object Stats {
     * the same integers via its int128 sums, and both engines cast the
     * identical exact integer to double once, so rho stays bit-exact.
     * The per-key ROW bound (4n⁴ ≤ 10³⁸ → n ≤ 2·10⁹) is CHECKED
-    * explicitly — one max over the CDF table's n column, reusing the
-    * checkpointed histogram — on top of the CDF's own distinct-value
-    * contract (which bounds ties' cardinality, NOT rows: a hot
-    * low-cardinality key passes it trivially). Zero variance on
+    * explicitly — one map-side-combining count over the checkpointed
+    * base — on top of the CDF's own distinct-value contract (which
+    * bounds ties' cardinality, NOT rows: a hot low-cardinality key
+    * passes it trivially). Zero variance on
     * either side → NaN. Output: (key, n, rho). */
   def spearmanByKey(df: DataFrame, keyCol: String, xCol: String,
                     yCol: String,
@@ -1098,15 +1098,13 @@ object Stats {
                     maxRowsPerKey: Long = 2000000000L): DataFrame = {
     val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).localCheckpoint()
-    val cdfx0 = exactGroupCdf(base, keyCol, "__x", maxDistinctPerKey)
-    // the row-count contract, asserted on the CDF's per-key n (bounded
-    // rows — the histogram is already materialized underneath)
-    Contracts.enforce(cdfx0, Contracts.Bound(max(col("n")),
-      _ <= maxRowsPerKey, m =>
-        s"spearmanByKey: a key holds $m rows, exceeding the decimal(38,0) " +
-          s"exactness contract (maxRowsPerKey=$maxRowsPerKey — the " +
-          "variance products grow as ~4n^4). Sub-split or sample the key."))
-    val cdfx = cdfx0
+    // the row-count contract: one map-side-combining count over the
+    // checkpointed base (the groupInversions shape — cheaper than
+    // replaying the CDF's cumulative window just to read its n column)
+    Contracts.boundedPerKey(base, keyCol, maxRowsPerKey, "spearmanByKey",
+      "rows", "The variance products grow as ~4n^4; sub-split or sample " +
+        "the key.", contract = "decimal(38,0) exactness")
+    val cdfx = exactGroupCdf(base, keyCol, "__x", maxDistinctPerKey)
       .select(col(keyCol), col("v").as("__x"), col("pct_x2").as("__rx"))
     val cdfy = exactGroupCdf(base, keyCol, "__y", maxDistinctPerKey)
       .select(col(keyCol), col("v").as("__y"), col("pct_x2").as("__ry"))

@@ -911,7 +911,7 @@ class StatsSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       Stats.spearmanByKey(df, "k", "x", "y", maxRowsPerKey = 1000L)
     }
-    assert(e.getMessage.contains("maxRowsPerKey"))
+    assert(e.getMessage.contains("decimal(38,0) exactness"))
   }
 
   test("groupMoments/groupOls/groupAutocorr drop NULL observations " +
