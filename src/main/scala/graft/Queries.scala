@@ -7963,6 +7963,198 @@ object Queries {
       |FROM cumv c JOIN tot t ON t.g = c.g""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Welch's unequal-variance t-test per day-of-week (Stats.welchT):
+    * even- vs odd-user mean event value in cents — the continuous-metric
+    * A/B readout beside q189's rate test. Six exact longs per key cross
+    * the shuffle; the oracle replays the identical division/sqrt tail. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        cents(col("value")).as("x"))
+    Stats.welchT(ev, "dow", "side", "x")
+  }
+
+  private val q197Sql =
+    """WITH o AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    user_id % 2 = 0 AS side,
+      |    CAST(round(value*100) AS BIGINT) AS x
+      |  FROM events),
+      |a AS (
+      |  SELECT dow,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN side THEN x ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN side THEN x*x ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT side THEN x ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN NOT side THEN x*x ELSE 0 END) AS BIGINT)
+      |      AS ss_b
+      |  FROM o GROUP BY 1),
+      |b AS (
+      |  SELECT dow, n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    (CAST(n_a*ss_a - s_a*s_a AS DOUBLE)
+      |       / CAST(n_a*(n_a-1) AS DOUBLE)) / CAST(n_a AS DOUBLE) AS ra,
+      |    (CAST(n_b*ss_b - s_b*s_b AS DOUBLE)
+      |       / CAST(n_b*(n_b-1) AS DOUBLE)) / CAST(n_b AS DOUBLE) AS rb
+      |  FROM a WHERE n_a > 1 AND n_b > 1)
+      |SELECT dow, n_a, n_b, mean_a, mean_b,
+      |  CASE WHEN ra + rb = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (mean_a - mean_b) / sqrt(ra + rb) END AS t,
+      |  CASE WHEN ra + rb = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (ra + rb) * (ra + rb)
+      |      / (ra*ra / CAST(n_a-1 AS DOUBLE) + rb*rb / CAST(n_b-1 AS DOUBLE))
+      |  END AS df
+      |FROM b""".stripMargin
+
+  /** CUPED variance-reduced lift per user segment (Stats.cupedAdjust):
+    * unit = user, metric y = purchase spend, covariate x = view spend
+    * (pre-treatment behavior predicting the metric), arm = user parity.
+    * The pooled theta and both adjusted arm means replay from ten exact
+    * longs per segment. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", cents(col("value")))
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(0L)).as("y"))
+      .select(pmod(col("user_id"), lit(3L)).as("seg"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        col("y"), col("x"))
+    Stats.cupedAdjust(u, "seg", "side", "y", "x")
+  }
+
+  private val q198Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'view'
+      |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |o AS (SELECT user_id % 3 AS seg, user_id % 2 = 0 AS side, y, x FROM u),
+      |a AS (
+      |  SELECT seg,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN side THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(sum(CASE WHEN side THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |    CAST(sum(CASE WHEN side THEN x*y ELSE 0 END) AS BIGINT) AS sxy_a,
+      |    CAST(sum(CASE WHEN side THEN x*x ELSE 0 END) AS BIGINT) AS sxx_a,
+      |    CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT side THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(sum(CASE WHEN NOT side THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+      |    CAST(sum(CASE WHEN NOT side THEN x*y ELSE 0 END) AS BIGINT)
+      |      AS sxy_b,
+      |    CAST(sum(CASE WHEN NOT side THEN x*x ELSE 0 END) AS BIGINT)
+      |      AS sxx_b
+      |  FROM o GROUP BY 1),
+      |b AS (
+      |  SELECT seg, n_a, n_b,
+      |    (n_a + n_b) * (sxx_a + sxx_b)
+      |      - (sx_a + sx_b) * (sx_a + sx_b) AS den,
+      |    CAST((n_a + n_b) * (sxy_a + sxy_b)
+      |        - (sx_a + sx_b) * (sy_a + sy_b) AS DOUBLE)
+      |      / CAST((n_a + n_b) * (sxx_a + sxx_b)
+      |        - (sx_a + sx_b) * (sx_a + sx_b) AS DOUBLE) AS theta,
+      |    CAST(sx_a + sx_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS mxp,
+      |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mya,
+      |    CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS myb,
+      |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mxa,
+      |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mxb
+      |  FROM a WHERE n_a > 0 AND n_b > 0)
+      |SELECT seg, n_a, n_b,
+      |  CASE WHEN den = 0 THEN CAST('nan' AS DOUBLE) ELSE theta END
+      |    AS theta,
+      |  mya - myb AS raw_delta,
+      |  CASE WHEN den = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE mya - theta * (mxa - mxp) END AS adj_a,
+      |  CASE WHEN den = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE myb - theta * (mxb - mxp) END AS adj_b,
+      |  CASE WHEN den = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (mya - theta * (mxa - mxp)) - (myb - theta * (mxb - mxp))
+      |  END AS adj_delta
+      |FROM b""".stripMargin
+
+  /** Exact 10%-trimmed and winsorized mean price per return flag
+    * (Stats.trimmedMeans): rows collapse to the per-(flag, cents)
+    * histogram, the kept multiplicities are integer interval arithmetic
+    * over the cumulative counts, and the oracle replays via literal
+    * rank windows — same n, k, cut values, and both means bit-exact. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("v"))
+    Stats.trimmedMeans(li, "rf", "v", 1L, 10L)
+  }
+
+  private val q199Sql =
+    """WITH o AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT rf, v,
+      |    row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY rf) AS BIGINT) AS n
+      |  FROM o),
+      |p AS (SELECT rf, n, (n * 1) // 10 AS k FROM r GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT r.rf, r.v, p.n, p.k FROM r JOIN p USING (rf)
+      |  WHERE r.rn > p.k AND r.rn <= p.n - p.k),
+      |agg AS (
+      |  SELECT rf, any_value(n) AS n, any_value(k) AS k,
+      |    CAST(sum(v) AS BIGINT) AS ts, min(v) AS v_lo, max(v) AS v_hi
+      |  FROM kept GROUP BY 1)
+      |SELECT rf, n, k, v_lo, v_hi,
+      |  CAST(ts AS DOUBLE) / CAST(n - 2*k AS DOUBLE) AS trimmed_mean,
+      |  CAST(ts + k*v_lo + k*v_hi AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS winsor_mean
+      |FROM agg WHERE n > 2*k""".stripMargin
+
+  /** Theil–Sen robust spend trend per user (Stats.theilSen): the median
+    * of all pairwise (cents/second) slopes over each user's event
+    * series — the O(n²) slope multiset lives inside ONE per-key array
+    * kernel under a CHECKED row bound, while the ORACLE pays the
+    * literal pair self-join and the same sorted-median pick. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("x"),
+        cents(col("value")).as("y"))
+    Stats.theilSen(ev, "user_id", "x", "y")
+  }
+
+  private val q200Sql =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS x,
+      |    CAST(round(value*100) AS BIGINT) AS y
+      |  FROM events),
+      |nn AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |       FROM o GROUP BY 1),
+      |p AS (
+      |  SELECT a.user_id,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+      |  FROM o a JOIN o b ON a.user_id = b.user_id AND a.x < b.x),
+      |r AS (
+      |  SELECT user_id, sl,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sl) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS m
+      |  FROM p),
+      |med AS (
+      |  SELECT user_id, any_value(m) AS m,
+      |    sum(CASE WHEN m % 2 = 1 AND rn = (m+1)//2 THEN sl
+      |             WHEN m % 2 = 0 AND rn IN (m//2, m//2 + 1) THEN sl
+      |        END) AS msum
+      |  FROM r GROUP BY 1)
+      |SELECT med.user_id, nn.n, med.m AS m_slopes,
+      |  CASE WHEN med.m % 2 = 1 THEN med.msum ELSE med.msum / 2.0 END
+      |    AS slope
+      |FROM med JOIN nn ON nn.user_id = med.user_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8164,5 +8356,9 @@ object Queries {
     "q193_rq_group_quantiles" -> Q(q193, Some(q193Sql)),
     "q194_kendall_tau" -> Q(q194, Some(q194Sql)),
     "q195_rq_weighted_quantiles" -> Q(q195, Some(q195Sql)),
-    "q196_rq_percentile_norm" -> Q(q196, Some(q196Sql)))
+    "q196_rq_percentile_norm" -> Q(q196, Some(q196Sql)),
+    "q197_welch_t" -> Q(q197, Some(q197Sql)),
+    "q198_cuped_lift" -> Q(q198, Some(q198Sql)),
+    "q199_trimmed_means" -> Q(q199, Some(q199Sql)),
+    "q200_theil_sen" -> Q(q200, Some(q200Sql)))
 }

@@ -920,3 +920,72 @@ case class LisPairs(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): LisPairs =
     copy(child = newChild)
 }
+
+/** `theil_sen_slope(xs, ys)` — the median of all pairwise slopes
+  * (ys(j) − ys(i)) / (xs(j) − xs(i)) over index pairs i < j with
+  * xs(j) > xs(i), where both arrays arrive SORTED ascending by (x, y)
+  * (sort_array over the zipped structs upstream — so j > i already
+  * implies xs(j) ≥ xs(i) and only the strict check remains).
+  *
+  * The Theil–Sen robust trend kernel: each slope is ONE IEEE division
+  * of exact long differences, the multiset is sorted, and the median
+  * is the middle element (odd m) or the mean of the two central
+  * elements (even m) — a fixed float shape a literal O(n²) pair join
+  * can replay bit-for-bit in any engine. O(n²) time AND memory, so the
+  * caller bounds n (the Stats.theilSen CHECKED contract). Returns null
+  * for empty/null input, null elements, mismatched lengths, or zero
+  * x-variance (no slope exists). */
+case class TheilSenSlope(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "theil_sen_slope"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"theil_sen_slope needs two array<long>, got $l, $r")
+    }
+  override def nullSafeEval(xsAny: Any, ysAny: Any): Any = {
+    val xd = xsAny.asInstanceOf[ArrayData]
+    val yd = ysAny.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(xd) || ArrayNulls.anyNull(yd)) return null
+    val xs = xd.toLongArray()
+    val ys = yd.toLongArray()
+    val n = xs.length
+    if (n == 0 || ys.length != n) return null
+    // m = C(n,2) minus x-tied pairs; sized exactly, filled pairwise
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (xs(j) > xs(i)) m += 1
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return null
+    val slopes = new Array[Double](m)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (xs(j) > xs(i)) {
+          slopes(k) = (ys(j) - ys(i)).toDouble / (xs(j) - xs(i)).toDouble
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    if (m % 2 == 1) slopes(m / 2)
+    else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TheilSenSlope =
+    copy(left = newLeft, right = newRight)
+}

@@ -482,6 +482,11 @@ package object functions {
   def lis_pairs(xs: Column): Column =
     ExprBridge.column(LisPairs(col2expr(xs)))
 
+  /** Median of pairwise slopes over an (x, y)-sorted integer series —
+    * the Theil–Sen robust trend kernel (see [[TheilSenSlope]]). */
+  def theil_sen_slope(xs: Column, ys: Column): Column =
+    ExprBridge.column(TheilSenSlope(col2expr(xs), col2expr(ys)))
+
   /** Token-bucket rate-limit replay over a sorted epoch-micros array
     * (see [[TokenBucket]]). */
   def token_bucket(ts: Column, capacityMilli: Long, refillMilliPerSec: Long,

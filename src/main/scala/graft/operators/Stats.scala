@@ -1191,6 +1191,231 @@ object Stats {
         .as("tau_b"))
   }
 
+  /** WELCH'S UNEQUAL-VARIANCE t-TEST per group: is side A's mean metric
+    * different from side B's — the continuous-metric twin of
+    * [[twoProportionZ]] (revenue per user, latency, tokens per document):
+    *
+    *   t  = (m̄a − m̄b) / √(s²a/na + s²b/nb)
+    *   ν  = (ra + rb)² / ( ra²/(na−1) + rb²/(nb−1) ),  r = s²/n
+    *
+    * with the unbiased variances formed from EXACT integer sufficient
+    * statistics — s² = (n·Σx² − (Σx)²) / (n·(n−1)) has an int64
+    * numerator (the caller keeps x in units where x²·n fits, e.g.
+    * cents — the [[groupOls]] discipline) and ONE division — so the t/ν
+    * tail is a fixed shape of IEEE divisions, one sqrt, and products of
+    * already-divided doubles: engine-exact.
+    *
+    * Six longs per key cross the shuffle regardless of group size (ONE
+    * map-side-combining aggregation). NULL side or x rows are rejected
+    * in the SAME aggregation via a raise_error branch (the
+    * [[twoProportionZ]] lazy-checked contract — zero extra jobs): a
+    * NULL side would silently vanish from both arms and a NULL x would
+    * desync n from the NULL-skipping sums. Keys with an arm of fewer
+    * than 2 rows drop (no variance); zero pooled standard error → NaN.
+    * Output: (key, n_a, n_b, mean_a, mean_b, t, df). */
+  def welchT(df: DataFrame, keyCol: String, sideCol: String,
+             xCol: String): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val x = col(xCol).cast("long")
+    val agg = df.groupBy(col(keyCol))
+      .agg(sum(when(side, 1L).otherwise(0L)).as("n_a"),
+        sum(when(side, x).otherwise(0L)).as("s_a"),
+        sum(when(side, x * x).otherwise(0L)).as("ss_a"),
+        sum(when(!side, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!side, x).otherwise(0L)).as("s_b"),
+        sum(when(!side, x * x).otherwise(0L)).as("ss_b"),
+        sum(when(side.isNull || x.isNull, 1L).otherwise(0L)).as("__bad"))
+      .where(when(col("__bad") > 0L,
+        raise_error(concat(
+          lit("welchT: NULL side/x rows under key "),
+          col(keyCol).cast("string"),
+          lit(" — assign every row an arm and a metric, or filter " +
+            "explicitly before calling"))).isNotNull)
+        .otherwise(lit(true)))
+      .where(col("n_a") > 1L && col("n_b") > 1L)
+    val ma = col("s_a").cast("double") / col("n_a").cast("double")
+    val mb = col("s_b").cast("double") / col("n_b").cast("double")
+    val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a"))
+      .cast("double") / (col("n_a") * (col("n_a") - 1L)).cast("double")
+    val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b"))
+      .cast("double") / (col("n_b") * (col("n_b") - 1L)).cast("double")
+    val ra = va / col("n_a").cast("double")
+    val rb = vb / col("n_b").cast("double")
+    val se2 = ra + rb
+    agg.select(col(keyCol), col("n_a"), col("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      when(se2 === 0.0, lit(Double.NaN))
+        .otherwise((ma - mb) / sqrt(se2)).as("t"),
+      when(se2 === 0.0, lit(Double.NaN))
+        .otherwise((se2 * se2) /
+          (ra * ra / (col("n_a") - 1L).cast("double")
+            + rb * rb / (col("n_b") - 1L).cast("double"))).as("df"))
+  }
+
+  /** CUPED variance-reduced experiment readout per key: adjust each
+    * arm's metric mean by the pooled pre-period covariate regression
+    * (Deng et al., WSDM'13 — the industry-standard sensitivity boost):
+    *
+    *   θ       = cov(x, y) / var(x)          (pooled, both arms)
+    *   adj_arm = m̄y(arm) − θ·(m̄x(arm) − m̄x(pool))
+    *
+    * The pre-period covariate x is unaffected by treatment, so the
+    * adjustment removes the x-explained variance from the delta without
+    * biasing it. θ's numerator/denominator form in int64 from exact
+    * sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)², the [[groupOls]] unit
+    * discipline) with ONE division; the adjusted means are fixed-shape
+    * products/differences of already-divided doubles — engine-exact.
+    *
+    * ONE map-side-combining aggregation; ten longs per key cross the
+    * shuffle (n/Σx/Σy/Σxy/Σx² per arm — the pooled sums are their
+    * exact int64 totals). NULL side/x/y rows are rejected in the same
+    * aggregation (the [[twoProportionZ]] lazy-checked contract). Keys
+    * missing an arm drop; zero pooled x-variance → θ has no definition
+    * → NaN columns (the raw delta stays valid).
+    * Output: (key, n_a, n_b, theta, raw_delta, adj_a, adj_b, adj_delta). */
+  def cupedAdjust(df: DataFrame, keyCol: String, sideCol: String,
+                  yCol: String, xCol: String): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    def arm(p: org.apache.spark.sql.Column, suf: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(p, x).otherwise(0L)).as(s"sx_$suf"),
+      sum(when(p, y).otherwise(0L)).as(s"sy_$suf"),
+      sum(when(p, x * y).otherwise(0L)).as(s"sxy_$suf"),
+      sum(when(p, x * x).otherwise(0L)).as(s"sxx_$suf"))
+    val cells = arm(side, "a") ++ arm(!side, "b") :+
+      sum(when(side.isNull || x.isNull || y.isNull, 1L).otherwise(0L))
+        .as("__bad")
+    val agg = df.groupBy(col(keyCol))
+      .agg(cells.head, cells.tail: _*)
+      .where(when(col("__bad") > 0L,
+        raise_error(concat(
+          lit("cupedAdjust: NULL side/x/y rows under key "),
+          col(keyCol).cast("string"),
+          lit(" — assign every row an arm, a covariate and a metric, " +
+            "or filter explicitly before calling"))).isNotNull)
+        .otherwise(lit(true)))
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+    val n = col("n_a") + col("n_b")
+    val sx = col("sx_a") + col("sx_b")
+    val sy = col("sy_a") + col("sy_b")
+    val sxy = col("sxy_a") + col("sxy_b")
+    val sxx = col("sxx_a") + col("sxx_b")
+    val den = n * sxx - sx * sx
+    val theta = (n * sxy - sx * sy).cast("double") / den.cast("double")
+    val mxPool = sx.cast("double") / n.cast("double")
+    val mya = col("sy_a").cast("double") / col("n_a").cast("double")
+    val myb = col("sy_b").cast("double") / col("n_b").cast("double")
+    val mxa = col("sx_a").cast("double") / col("n_a").cast("double")
+    val mxb = col("sx_b").cast("double") / col("n_b").cast("double")
+    val adjA = mya - theta * (mxa - mxPool)
+    val adjB = myb - theta * (mxb - mxPool)
+    agg.select(col(keyCol), col("n_a"), col("n_b"),
+      when(den === 0L, lit(Double.NaN)).otherwise(theta).as("theta"),
+      (mya - myb).as("raw_delta"),
+      when(den === 0L, lit(Double.NaN)).otherwise(adjA).as("adj_a"),
+      when(den === 0L, lit(Double.NaN)).otherwise(adjB).as("adj_b"),
+      when(den === 0L, lit(Double.NaN)).otherwise(adjA - adjB)
+        .as("adj_delta"))
+  }
+
+  /** EXACT TRIMMED and WINSORIZED means per key — the robust central
+    * tendencies that ignore/clamp each tail's k = ⌊n·num/den⌋ rank
+    * positions (the outlier-resistant spend/latency/quality mean;
+    * trimming DROPS the tails, winsorizing CLAMPS them to the surviving
+    * extremes, preserving n):
+    *
+    * Rows collapse to the per-(key, value) HISTOGRAM first (the
+    * [[exactGroupCdf]] shape — shuffle bounded by value cardinality
+    * under the CHECKED bounded-histogram contract, never row count);
+    * each value's kept multiplicity inside the open rank window
+    * (k, n−k] is pure integer interval arithmetic over the cumulative
+    * counts, the boundary values v_lo = value at rank k+1 and
+    * v_hi = value at rank n−k fall out of the same cumulative pass, and
+    * both means are ONE division of exact int64 sums:
+    *
+    *   trimmed  = Σ v·kept(v) / (n − 2k)
+    *   winsor   = (Σ v·kept(v) + k·v_lo + k·v_hi) / n
+    *
+    * Keys where the trim swallows everything (n ≤ 2k) drop.
+    * Output: (key, n, k, v_lo, v_hi, trimmed_mean, winsor_mean). */
+  def trimmedMeans(df: DataFrame, keyCol: String, xCol: String,
+                   trimNum: Long, trimDen: Long,
+                   maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && trimNum * 2 < trimDen,
+      s"trimmedMeans needs 0 <= num/den < 1/2, got $trimNum/$trimDen")
+    val cdf = exactGroupCdf(df, keyCol, xCol, maxDistinctPerKey)
+    val k = expr(s"(n * ${trimNum}L) div ${trimDen}L")
+    // kept copies of v inside ranks (k, n-k]: overlap of the value's
+    // rank interval (below, below+cnt] with the kept interval
+    val keptLo = greatest(col("n_below"), k)
+    val keptHi = least(col("n_below") + col("n_equal"), col("n") - k)
+    val kept = greatest(keptHi - keptLo, lit(0L))
+    val isLo = col("n_below") < k + 1L &&
+      col("n_below") + col("n_equal") >= k + 1L
+    val isHi = col("n_below") < col("n") - k &&
+      col("n_below") + col("n_equal") >= col("n") - k
+    cdf
+      .withColumn("__k", k)
+      .groupBy(col(keyCol))
+      .agg(first(col("n")).as("n"), first(col("__k")).as("k"),
+        sum(col("v") * kept).as("__ts"),
+        max(when(isLo, col("v"))).as("v_lo"),
+        max(when(isHi, col("v"))).as("v_hi"))
+      .where(col("n") > lit(2L) * col("k"))
+      .select(col(keyCol), col("n"), col("k"), col("v_lo"), col("v_hi"),
+        (col("__ts").cast("double")
+          / (col("n") - lit(2L) * col("k")).cast("double")).as("trimmed_mean"),
+        ((col("__ts") + col("k") * col("v_lo") + col("k") * col("v_hi"))
+          .cast("double") / col("n").cast("double")).as("winsor_mean"))
+  }
+
+  /** THEIL–SEN robust slope per key: the MEDIAN of all pairwise slopes
+    * (yj − yi)/(xj − xi) over observation pairs with distinct x — the
+    * breakdown-point-0.29 trend estimator that shrugs off outliers the
+    * [[groupOls]] least-squares fit chases (sensor drift, spend
+    * trajectories, rate trends over dirty telemetry).
+    *
+    * Shape: each key's series rides the CHECKED per-key kernel contract
+    * (the [[kendallTauB]] discipline — this kernel is O(n²) in time AND
+    * memory, so the default bound is deliberately small); the slope
+    * multiset is materialized and median-picked inside ONE
+    * [[graft.functions.ArrayExprs]] long-array kernel over the
+    * (x, y)-sorted series, so no pair join and no window ever touch the
+    * cluster. The pair count m = C(n,2) − Σx C(cx,2) (x-tied pairs have
+    * no slope) comes from a histogram aggregation, never the kernel.
+    * Each slope is ONE IEEE division of exact long differences; the
+    * median is element m/2 (odd) or the mean of the two central
+    * elements (even) of the sorted multiset — engine-exact, replayable
+    * by a literal O(n²) pair join (the oracle's job, not ours). Keys
+    * with zero x-variance (m = 0) drop.
+    * Output: (key, n, m_slopes, slope). */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+               maxRowsPerKey: Long = 2000L): DataFrame = {
+    import graft.functions.theil_sen_slope
+    val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).localCheckpoint()
+    Contracts.boundedPerKey(base, keyCol, maxRowsPerKey, "theilSen",
+      "rows", "The slope multiset is O(n²) per key — pre-aggregate " +
+        "(e.g. daily sums) or sub-split the key before fitting.",
+      contract = "per-key O(n²) kernel")
+    val xTies = base.groupBy(col(keyCol), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(expr("(__c * (__c - 1)) div 2")).as("__tx"))
+    val sorted = sort_array(collect_list(struct(col("__x"), col("__y"))))
+    val fitted = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        theil_sen_slope(transform(sorted, s => s("__x")),
+          transform(sorted, s => s("__y"))).as("slope"))
+    fitted.join(xTies, Seq(keyCol))
+      .where(col("slope").isNotNull)
+      .select(col(keyCol), col("n"),
+        (expr("(n * (n - 1)) div 2") - col("__tx")).as("m_slopes"),
+        col("slope"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -964,4 +964,173 @@ class StatsSpec extends SparkTestBase {
     val r = Stats.twoProportionZ(clean, "k", "side", "hit").collect().head
     assert(r.getLong(1) == 2L && r.getLong(3) == 2L && r.getDouble(7) == 0.0)
   }
+
+  test("welchT replays the exact sufficient-statistics shape and agrees " +
+    "with a brute-force Welch computation") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(3).toLong, rnd.nextBoolean(), (rnd.nextInt(2000) + 1).toLong)
+    }
+    val out = Stats.welchT(rows.toDF("k", "side", "x"), "k", "side", "x")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 2L).foreach { k =>
+      val a = rows.filter(r => r._1 == k && r._2).map(_._3)
+      val b = rows.filter(r => r._1 == k && !r._2).map(_._3)
+      if (a.length > 1 && b.length > 1) {
+        val r = out(k)
+        val na = a.length.toLong; val nb = b.length.toLong
+        val ma = a.sum.toDouble / na.toDouble
+        val mb = b.sum.toDouble / nb.toDouble
+        val va = (na * a.map(v => v * v).sum - a.sum * a.sum).toDouble /
+          (na * (na - 1)).toDouble
+        val vb = (nb * b.map(v => v * v).sum - b.sum * b.sum).toDouble /
+          (nb * (nb - 1)).toDouble
+        val ra = va / na.toDouble; val rb = vb / nb.toDouble
+        val se2 = ra + rb
+        assert(r.getLong(1) == na && r.getLong(2) == nb)
+        assert(r.getDouble(3) == ma && r.getDouble(4) == mb)
+        assert(r.getDouble(5) == (ma - mb) / math.sqrt(se2))
+        assert(r.getDouble(6) == se2 * se2 /
+          (ra * ra / (na - 1).toDouble + rb * rb / (nb - 1).toDouble))
+        // sanity: Welch df lies between min(na,nb)-1 and na+nb-2
+        assert(r.getDouble(6) >= math.min(na, nb) - 1.0 - 1e-9 &&
+          r.getDouble(6) <= na + nb - 2.0 + 1e-9)
+      }
+    }
+    // zero-variance arms: se2 == 0 -> NaN t, not a throw
+    val flat = Seq((9L, true, 5L), (9L, true, 5L), (9L, false, 5L),
+      (9L, false, 5L)).toDF("k", "side", "x")
+    val fr = Stats.welchT(flat, "k", "side", "x").collect().head
+    assert(fr.getDouble(5).isNaN && fr.getDouble(6).isNaN)
+    // NULL rows fail loudly (the twoProportionZ lazy-checked contract)
+    val dirty = Seq((1L, Some(true), Some(3L)), (1L, None, Some(2L)),
+      (1L, Some(false), Some(1L)), (1L, Some(true), Some(2L)),
+      (1L, Some(false), Some(4L))).toDF("k", "side", "x")
+    val e = intercept[Throwable] {
+      Stats.welchT(dirty, "k", "side", "x").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        messages(t.getCause)
+    assert(messages(e).contains("welchT"))
+  }
+
+  test("cupedAdjust computes the pooled theta exactly and the covariate " +
+    "shift cancels out of the adjusted delta") {
+    val rnd = new scala.util.Random(72)
+    // y correlated with x plus arm effect: the CUPED textbook setup
+    val rows = (1 to 300).map { _ =>
+      val x = (rnd.nextInt(500) + 1).toLong
+      val side = rnd.nextBoolean()
+      val y = 2 * x + rnd.nextInt(100).toLong + (if (side) 40L else 0L)
+      (rnd.nextInt(2).toLong, side, y, x)
+    }
+    val out = Stats.cupedAdjust(rows.toDF("k", "side", "y", "x"),
+      "k", "side", "y", "x").collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 1L).foreach { k =>
+      val g = rows.filter(_._1 == k)
+      val a = g.filter(_._2); val b = g.filterNot(_._2)
+      val n = g.length.toLong
+      val sx = g.map(_._4).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(r => r._4 * r._3).sum
+      val sxx = g.map(r => r._4 * r._4).sum
+      val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val r = out(k)
+      assert(r.getDouble(3) == theta)
+      val mxPool = sx.toDouble / n.toDouble
+      def arm(s: Seq[(Long, Boolean, Long, Long)]) = {
+        val m = s.length.toDouble
+        (s.map(_._3).sum.toDouble / m, s.map(_._4).sum.toDouble / m)
+      }
+      val (mya, mxa) = arm(a); val (myb, mxb) = arm(b)
+      assert(r.getDouble(4) == mya - myb)
+      val adjA = mya - theta * (mxa - mxPool)
+      val adjB = myb - theta * (mxb - mxPool)
+      assert(r.getDouble(5) == adjA && r.getDouble(6) == adjB &&
+        r.getDouble(7) == adjA - adjB)
+      // the point of CUPED: removing the x-explained variance pulls the
+      // delta toward the true +40 arm effect (raw delta is noisier)
+      assert(math.abs(r.getDouble(7) - 40.0) <= 25.0)
+    }
+    // zero x-variance: theta undefined -> NaN columns, raw delta intact
+    val flat = Seq((5L, true, 10L, 7L), (5L, true, 20L, 7L),
+      (5L, false, 12L, 7L), (5L, false, 14L, 7L)).toDF("k", "side", "y", "x")
+    val fr = Stats.cupedAdjust(flat, "k", "side", "y", "x").collect().head
+    assert(fr.getDouble(3).isNaN && fr.getDouble(7).isNaN &&
+      fr.getDouble(4) == 2.0)
+  }
+
+  test("trimmedMeans equals the sort-drop-k brute force, winsorized " +
+    "equals the clamp brute force, with ties across the cut") {
+    val rnd = new scala.util.Random(73)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to (50 + trial * 37)).map { _ =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(12).toLong - 3L)
+      }
+      val out = Stats.trimmedMeans(rows.toDF("g", "v"), "g", "v", 1L, 10L)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 2L).foreach { k =>
+        val vs = rows.filter(_._1 == k).map(_._2).sorted
+        val n = vs.length
+        val kk = n / 10
+        if (n > 2 * kk && n > 0) {
+          val kept = vs.slice(kk, n - kk)
+          val r = out(k)
+          assert(r.getLong(1) == n && r.getLong(2) == kk, s"trial=$trial")
+          assert(r.getLong(3) == kept.head && r.getLong(4) == kept.last)
+          assert(r.getDouble(5) ==
+            kept.sum.toDouble / (n - 2 * kk).toDouble, s"trial=$trial")
+          val wins = vs.map(v => math.max(kept.head, math.min(kept.last, v)))
+          assert(r.getDouble(6) == wins.sum.toDouble / n.toDouble)
+        }
+      }
+    }
+    // k = 0 degenerates to the plain mean for both
+    val tiny = Seq((1L, 1L), (1L, 2L), (1L, 9L)).toDF("g", "v")
+    val tr = Stats.trimmedMeans(tiny, "g", "v", 1L, 10L).collect().head
+    assert(tr.getDouble(5) == 4.0 && tr.getDouble(6) == 4.0)
+  }
+
+  test("theilSen equals the brute-force median-of-pairwise-slopes and " +
+    "shrugs off the outlier OLS chases") {
+    val rnd = new scala.util.Random(74)
+    (1 to 5).foreach { trial =>
+      val rows = (1 to 60).map { i =>
+        (rnd.nextInt(2).toLong, (i + rnd.nextInt(5)).toLong,
+          rnd.nextInt(200).toLong)
+      }
+      val out = Stats.theilSen(rows.toDF("k", "x", "y"), "k", "x", "y")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val pts = rows.filter(_._1 == k).map(r => (r._2, r._3))
+        val slopes = (for {
+          i <- pts.indices; j <- pts.indices
+          if i < j && pts(i)._1 != pts(j)._1
+        } yield (pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble).sorted
+        val m = slopes.length
+        val expected = if (m % 2 == 1) slopes(m / 2)
+          else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+        val r = out(k)
+        assert(r.getLong(1) == pts.length && r.getLong(2) == m)
+        assert(r.getDouble(3) == expected, s"trial=$trial k=$k")
+      }
+    }
+    // robustness: a wild outlier barely moves the Theil-Sen slope
+    val clean = (1 to 20).map(i => (1L, i.toLong, 3L * i))
+    val dirty = clean :+ ((1L, 21L, 100000L))
+    val ts = Stats.theilSen(dirty.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head.getDouble(3)
+    assert(ts == 3.0)
+    // zero x-variance: no slope -> key drops
+    val flat = Seq((2L, 5L, 1L), (2L, 5L, 9L)).toDF("k", "x", "y")
+    assert(Stats.theilSen(flat, "k", "x", "y").count() == 0L)
+    // the O(n^2) kernel bound is CHECKED, not documented
+    val wide = (1 to 500).map(i => (1L, i.toLong, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      Stats.theilSen(wide.toDF("k", "x", "y"), "k", "x", "y",
+        maxRowsPerKey = 100L)
+    }
+    assert(e.getMessage.contains("theilSen"))
+  }
 }
