@@ -8155,6 +8155,40 @@ object Queries {
       |    AS slope
       |FROM med JOIN nn ON nn.user_id = med.user_id""".stripMargin
 
+  /** Per-dimension embedding health profile
+    * (Similarity.embeddingDimProfile): micro-quantized n / n_zero /
+    * min / max / mean / variance per dim — the collapsed-dim /
+    * scale-drift monitor run before any ANN or semantic-dedup pass
+    * trusts the vectors. Decimal(38,0) power sums vs the oracle's
+    * HUGEINT; bround = round_even on the half-even boundary (a float
+    * ×10⁶ is EXACT in double, so .5 ties are reachable). */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDimProfile(t(s, dir, "embeddings"), "embedding")
+
+  private val q201Sql =
+    """WITH u AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+      |      AS dim,
+      |    unnest(embedding) AS e
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |x AS (
+      |  SELECT dim,
+      |    CAST(round_even(CAST(e AS DOUBLE) * 1000000, 0) AS BIGINT) AS q,
+      |    e IS NULL AS isn
+      |  FROM u),
+      |a AS (
+      |  SELECT dim,
+      |    CAST(count(CASE WHEN NOT isn THEN 1 END) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |    min(q) AS q_min, max(q) AS q_max,
+      |    sum(q) AS s, sum(q*q) AS ss
+      |  FROM x GROUP BY 1)
+      |SELECT dim, n, n_null, n_zero, q_min, q_max,
+      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |  CAST(n*ss - s*s AS DOUBLE) / CAST(n*n AS DOUBLE) AS variance
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8360,5 +8394,6 @@ object Queries {
     "q197_welch_t" -> Q(q197, Some(q197Sql)),
     "q198_cuped_lift" -> Q(q198, Some(q198Sql)),
     "q199_trimmed_means" -> Q(q199, Some(q199Sql)),
-    "q200_theil_sen" -> Q(q200, Some(q200Sql)))
+    "q200_theil_sen" -> Q(q200, Some(q200Sql)),
+    "q201_embedding_dim_profile" -> Q(q201, Some(q201Sql)))
 }

@@ -424,6 +424,53 @@ object Similarity {
     kept.unionByName(fresh)
   }
 
+  /** Per-DIMENSION health profile of an embedding column — the embedding
+    * quality monitor a 100 TB multimodal corpus needs before any ANN /
+    * dedup pass trusts the vectors: a COLLAPSED dimension (zero
+    * variance — the encoder died or the dim was never trained), a
+    * DEAD dimension (all-zero — padding/truncation bugs), or SCALE
+    * DRIFT between ingest batches (mean/std shifting per dim) all read
+    * straight off this table.
+    *
+    * Exactness: each float element is micro-quantized
+    * (bround(x·10⁶) as long — float→double widening is value-exact),
+    * so per-dim n / n_zero / q_min / q_max and the Σq / Σq² sufficient
+    * statistics are integers; the sums accumulate as decimal(38,0)
+    * (q² ≈ 3·10¹¹ per element — int64 would wrap near 3·10⁷ rows per
+    * dim, decimal is exact to 10³⁸ — the spearmanByKey discipline) and
+    * mean/variance are the usual one-division tails over exact
+    * operands: engine-exact vs a HUGEINT-summing oracle.
+    *
+    * Scale shape: posexplode then ONE map-side-combining hash
+    * aggregation on the dim ordinal — the shuffle carries at most
+    * (#partitions × d) partial rows, never (n × d); no window, no
+    * sort. NULL vectors drop at the explode; NULL elements are counted
+    * (n_null) and excluded from every statistic rather than silently
+    * poisoning the sums.
+    * Output: (dim, n, n_null, n_zero, q_min, q_max, mean, variance). */
+  def embeddingDimProfile(df: DataFrame, vecCol: String,
+                          scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val q = bround(col("__e").cast("double") * scale.toDouble, 0)
+      .cast("long")
+    val qd = q.cast("decimal(38,0)")
+    val agg = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__e")))
+      .select(col("dim").cast("long").as("dim"), col("__e"))
+      .groupBy(col("dim"))
+      .agg(count(col("__e")).as("n"),
+        sum(when(col("__e").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(q === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(q).as("q_min"), max(q).as("q_max"),
+        sum(qd).as("__s"), sum(qd * qd).as("__ss"))
+    val nDec = col("n").cast("decimal(38,0)")
+    agg.select(col("dim"), col("n"), col("n_null"), col("n_zero"),
+      col("q_min"), col("q_max"),
+      (col("__s").cast("double") / col("n").cast("double")).as("mean"),
+      ((nDec * col("__ss") - col("__s") * col("__s")).cast("double")
+        / (nDec * nDec).cast("double")).as("variance"))
+  }
+
   def ivfPqTopK(index: PqIndex, queries: DataFrame, k: Int,
                 nProbe: Int = 2): DataFrame = {
     val m = index.codebooks.length

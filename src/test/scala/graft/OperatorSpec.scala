@@ -1225,4 +1225,42 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 4L)
     assert(r.getDouble(3) == math.sqrt(25.0 / 3.0))
   }
+
+  test("embeddingDimProfile: exact per-dim stats, collapsed/dead dims " +
+    "and null elements surface instead of poisoning the sums") {
+    // dim0 healthy, dim1 collapsed (constant non-zero), dim2 dead
+    // (all zero), dim3 carries a null element
+    val vecs: Seq[Seq[java.lang.Float]] = Seq(
+      Seq[java.lang.Float](1.0f, 0.5f, 0.0f, 2.0f),
+      Seq[java.lang.Float](2.0f, 0.5f, 0.0f, null),
+      Seq[java.lang.Float](3.0f, 0.5f, 0.0f, 4.0f))
+    val df = vecs.toDF("embedding")
+    val out = Similarity.embeddingDimProfile(df, "embedding", scale = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // dim0: q = 10, 20, 30 -> n=3, mean=20/... in deci-units: s=60
+    val d0 = out(0L)
+    assert(d0.getLong(1) == 3 && d0.getLong(2) == 0 && d0.getLong(3) == 0)
+    assert(d0.getLong(4) == 10L && d0.getLong(5) == 30L)
+    assert(d0.getDouble(6) == 60.0 / 3.0)
+    assert(d0.getDouble(7) == (3.0 * 1400.0 - 3600.0) / 9.0)
+    // dim1 collapsed: variance exactly 0, n_zero 0
+    val d1 = out(1L)
+    assert(d1.getDouble(7) == 0.0 && d1.getLong(3) == 0)
+    // dim2 dead: all-zero -> n_zero == n, mean 0, variance 0
+    val d2 = out(2L)
+    assert(d2.getLong(3) == 3 && d2.getDouble(6) == 0.0 &&
+      d2.getDouble(7) == 0.0)
+    // dim3: the null element is COUNTED (n_null) and excluded from n
+    // and every statistic
+    val d3 = out(3L)
+    assert(d3.getLong(1) == 2 && d3.getLong(2) == 1)
+    assert(d3.getLong(4) == 20L && d3.getLong(5) == 40L)
+    assert(d3.getDouble(6) == 60.0 / 2.0)
+    // a null VECTOR drops entirely at the explode
+    val withNullVec = (vecs :+ null.asInstanceOf[Seq[java.lang.Float]])
+      .toDF("embedding")
+    val out2 = Similarity.embeddingDimProfile(withNullVec, "embedding", 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(0L).getLong(1) == 3)
+  }
 }
