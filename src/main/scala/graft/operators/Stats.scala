@@ -146,11 +146,23 @@ object Stats {
             "explicitly before calling"))).isNotNull)
         .otherwise(lit(true)))
       .where(col("n_a") > 0L && col("n_b") > 0L)
+    twoProportionZFromCells(agg, keyCol)
+  }
+
+  /** The z-tail of [[twoProportionZ]] over an already-reduced cells
+    * table (key, n_a, x_a, n_b, x_b) — factored out so the STREAMED
+    * cell state ([[graft.streaming.Streaming.streamingAbCells]]) serves
+    * the identical fixed IEEE shape: parity between the live monitor
+    * and the batch readout is then structural, not coincidental. Keys
+    * missing an arm drop here too (idempotent on batch output). */
+  def twoProportionZFromCells(cells: DataFrame, keyCol: String): DataFrame = {
     val pa = col("x_a").cast("double") / col("n_a").cast("double")
     val pb = col("x_b").cast("double") / col("n_b").cast("double")
     val pool = (col("x_a") + col("x_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    agg.select(col(keyCol), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+    cells
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col(keyCol), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
       pa.as("p_a"), pb.as("p_b"),
       // pooled rate 0 or 1: zero variance -> explicit NaN (ANSI parity)
       when(col("x_a") + col("x_b") === 0L ||

@@ -241,6 +241,45 @@ object Streaming {
       .toDF("k", "ts", "x", "s")
   }
 
+  /** Streaming A/B cell maintainer — the live twin of
+    * [[graft.operators.Stats.twoProportionZ]]: per experiment key the
+    * state is the four exact cells (n_a, x_a, n_b, x_b), each batch
+    * folds its rows in and emits the key's refreshed cells (Append —
+    * downstream keeps the latest row per key and serves the z readout
+    * at any moment via `Stats.twoProportionZFromCells`, the SAME fixed
+    * IEEE tail the batch operator runs, so live == batch is structural).
+    * FOUR LONGS of state per key regardless of history. NULL side/hit
+    * rows fail loudly before touching state (the batch operator's
+    * checked contract — a NULL side would silently vanish from both
+    * arms). Input columns: (k, side, hit). Output: the cells table. */
+  def streamingAbCells(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val guarded = obs.select(col("k").cast("long"),
+      when(col("side").isNull || col("hit").isNull,
+        raise_error(lit("streamingAbCells: NULL side/hit row — assign " +
+          "every row a cohort and an outcome, or filter explicitly " +
+          "before the stream")))
+        .otherwise(col("side").cast("boolean")).as("side"),
+      col("hit").cast("boolean").as("hit"))
+    guarded.as[(Long, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (na, xa, nb, xb) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          rows.foreach { case (_, side, hit) =>
+            if (side) { na += 1L; if (hit) xa += 1L }
+            else { nb += 1L; if (hit) xb += 1L }
+          }
+          state.update((na, xa, nb, xb))
+          Iterator((k, na, xa, nb, xb))
+      }
+      .toDF("k", "n_a", "x_a", "n_b", "x_b")
+  }
+
   /** Streamed RQ rank-quantile sketch per key — the live twin of
     * `functions.rq_sketch` (q192/q193): per-key state is the canonical
     * sketch bytes (level + ≤ budget exact value counts), each batch

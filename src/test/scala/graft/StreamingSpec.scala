@@ -900,6 +900,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming A/B cells serve the exact batch two-proportion z " +
+    "readout at every moment") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Boolean)]
+    val mem = MemoryStream[(Long, Boolean, Boolean)]
+    val q = Streaming.streamingAbCells(mem.toDF().toDF("k", "side", "hit"))
+      .writeStream.format("memory").queryName("ab").outputMode("append")
+      .start()
+    try {
+      (1 to 3).foreach { _ =>
+        val rows = Seq.fill(200)((rnd.nextInt(3).toLong,
+          rnd.nextBoolean(), rnd.nextInt(10) < 3))
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        // latest emitted cells per key == the batch cell aggregation,
+        // and the z served from them == the batch operator bit-for-bit
+        val latest = spark.table("ab").collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (k, rs) => rs.maxBy(_._2)._1 }
+          .toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        val cells = latest.toDF("k", "n_a", "x_a", "n_b", "x_b")
+        val served = graft.operators.Stats
+          .twoProportionZFromCells(cells, "k")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getDouble(7))).toMap
+        val batch = graft.operators.Stats
+          .twoProportionZ(hist.toSeq.toDF("k", "side", "hit"),
+            "k", "side", "hit")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getDouble(7))).toMap
+        assert(served == batch,
+          "streamed cells != batch two-proportion readout")
+      }
+    } finally q.stop()
+  }
+
   test("streaming RQ sketch bytes are BIT-IDENTICAL to the batch " +
     "aggregate over each key's full history") {
     implicit val sqlCtx = spark.sqlContext
