@@ -551,6 +551,55 @@ class PlanAuditSpec extends SparkTestBase {
       s"kendallTauB must stay key-partitioned:\n$tauPlan")
   }
 
+  test("the round-11 experiment/robust stats partial-aggregate with no " +
+    "single-partition stage; trimmedMeans windows only the histogram") {
+    import graft.operators.{Similarity, Stats}
+    val df = spark.range(100000).select((col("id") % 97).as("g"),
+      (col("id") % 2 === 0).as("side"), (col("id") % 1000).as("x"),
+      (col("id") % 700).as("y"))
+    // welchT / cupedAdjust: ONE hash aggregation, no window, no
+    // single-partition exchange — sufficient statistics cross the
+    // shuffle partial-aggregated
+    Seq("welchT" -> Stats.welchT(df, "g", "side", "x"),
+      "cupedAdjust" -> Stats.cupedAdjust(df, "g", "side", "y", "x"))
+      .foreach { case (name, q) =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"), s"$name must not window:\n$plan")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name must stay key-partitioned:\n$plan")
+        assert(plan.contains("partial_sum") || plan.contains("Partial"),
+          s"$name must partial-aggregate:\n$plan")
+      }
+    // trimmedMeans: the only window runs over the per-(key, value)
+    // HISTOGRAM, partitioned by key — never a single partition
+    val tm = Stats.trimmedMeans(df.select(col("g"), col("x")),
+      "g", "x", 1L, 10L)
+    val tmPlan = tm.queryExecution.executedPlan.toString
+    assert(!tmPlan.contains("Exchange SinglePartition"),
+      s"trimmedMeans must stay key-partitioned:\n$tmPlan")
+    // theilSen: per-key kernel via collect_list aggregation — no window
+    val ts = Stats.theilSen(df.select(col("g"),
+      col("x").as("xx"), col("y")).limit(5000), "g", "xx", "y")
+    val tsPlan = ts.queryExecution.executedPlan.toString
+    assert(!tsPlan.contains("Window"),
+      s"theilSen must not use windows:\n$tsPlan")
+    assert(!tsPlan.contains("Exchange SinglePartition"),
+      s"theilSen must stay key-partitioned:\n$tsPlan")
+    // embeddingDimProfile: posexplode then ONE hash agg on the dim
+    // ordinal — no window, no single-partition exchange
+    val vecs = spark.range(2000).select(
+      org.apache.spark.sql.functions.array(
+        (0 until 8).map(i => (col("id") % (i + 3)).cast("float")): _*)
+        .as("emb"))
+    val ep = Similarity.embeddingDimProfile(vecs, "emb")
+    val epPlan = ep.queryExecution.executedPlan.toString
+    assert(!epPlan.contains("Window") &&
+      !epPlan.contains("Exchange SinglePartition"),
+      s"embeddingDimProfile must hash-aggregate per dim:\n$epPlan")
+    assert(epPlan.contains("Generate"),
+      s"embeddingDimProfile expected one posexplode Generate:\n$epPlan")
+  }
+
   test("collocations tokenizes once and broadcasts the term-df sides") {
     val docs = spark.range(300)
       .select(col("id").as("doc_id"),
