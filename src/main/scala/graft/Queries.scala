@@ -8189,6 +8189,75 @@ object Queries {
       |  CAST(n*ss - s*s AS DOUBLE) / CAST(n*n AS DOUBLE) AS variance
       |FROM a""".stripMargin
 
+  /** Sketch-scale KS drift per event type (functions.rq_ks): even- vs
+    * odd-user value distributions compared through two 256-budget RQ
+    * sketches built in ONE pass — the turnkey drift route for the
+    * continuous columns q184's exact KS rejects. The oracle replays
+    * BOTH sketch constructions (per-(type, side) level selection — the
+    * q192 machinery) and the cross-multiplied max walk bit-for-bit. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        cents(col("value")).as("v"))
+    ev.groupBy("event_type")
+      .agg(rq_sketch(when(col("side"), col("v")), 256).as("ska"),
+        rq_sketch(when(!col("side"), col("v")), 256).as("skb"))
+      .select(col("event_type"), rq_ks(col("ska"), col("skb")).as("ks"))
+      .where(col("ks").isNotNull)
+      .select(col("event_type"), col("ks.n_a").as("n_a"),
+        col("ks.n_b").as("n_b"), col("ks.d_num").as("d_num"),
+        col("ks.d").as("d"))
+  }
+
+  private val q202Sql = {
+    val h = md5LongSql("CAST(v AS VARCHAR)")
+    """WITH e AS (
+      |  SELECT event_type AS g, user_id % 2 = 0 AS side,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |hist AS (
+      |  SELECT g, side, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2, 3),
+      |hv AS (SELECT g, side, v, c, HEXPR AS h FROM hist),
+      |lv AS (
+      |  SELECT g, side, j, count(*) FILTER (
+      |    WHERE (h & ((CAST(1 AS BIGINT) << CAST(j AS INT)) - 1)) = 0) AS nd
+      |  FROM hv, range(0, 61) t(j) GROUP BY 1, 2, 3),
+      |js AS (
+      |  SELECT g, side, CAST(min(j) AS INTEGER) AS level
+      |  FROM lv WHERE nd <= 256 GROUP BY 1, 2),
+      |samp AS (
+      |  SELECT hv.g, hv.side, v, c
+      |  FROM hv JOIN js ON js.g = hv.g AND js.side = hv.side
+      |  WHERE (h & ((CAST(1 AS BIGINT) << CAST(level AS INT)) - 1)) = 0),
+      |sa AS (SELECT g, v, c FROM samp WHERE side),
+      |sb AS (SELECT g, v, c FROM samp WHERE NOT side),
+      |vals AS (SELECT g, v FROM sa UNION SELECT g, v FROM sb),
+      |m AS (
+      |  SELECT vals.g, vals.v, coalesce(sa.c, 0) AS ca,
+      |    coalesce(sb.c, 0) AS cb
+      |  FROM vals
+      |  LEFT JOIN sa ON sa.g = vals.g AND sa.v = vals.v
+      |  LEFT JOIN sb ON sb.g = vals.g AND sb.v = vals.v),
+      |cm AS (
+      |  SELECT g,
+      |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+      |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb,
+      |    sum(ca) OVER (PARTITION BY g) AS ta,
+      |    sum(cb) OVER (PARTITION BY g) AS tb
+      |  FROM m)
+      |SELECT g AS event_type,
+      |  CAST(any_value(ta) AS BIGINT) AS n_a,
+      |  CAST(any_value(tb) AS BIGINT) AS n_b,
+      |  CAST(max(abs(cuma*tb - cumb*ta)) AS BIGINT) AS d_num,
+      |  CAST(max(abs(cuma*tb - cumb*ta)) AS DOUBLE)
+      |    / CAST(any_value(ta) * any_value(tb) AS DOUBLE) AS d
+      |FROM cm
+      |WHERE ta > 0 AND tb > 0
+      |GROUP BY 1""".stripMargin.replace("HEXPR", h)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8395,5 +8464,6 @@ object Queries {
     "q198_cuped_lift" -> Q(q198, Some(q198Sql)),
     "q199_trimmed_means" -> Q(q199, Some(q199Sql)),
     "q200_theil_sen" -> Q(q200, Some(q200Sql)),
-    "q201_embedding_dim_profile" -> Q(q201, Some(q201Sql)))
+    "q201_embedding_dim_profile" -> Q(q201, Some(q201Sql)),
+    "q202_rq_ks_drift" -> Q(q202, Some(q202Sql)))
 }

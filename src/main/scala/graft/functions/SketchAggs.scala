@@ -1289,3 +1289,75 @@ case class RqCdf(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RqCdf =
     copy(left = l, right = r)
 }
+
+/** `rq_ks(sketch_a, sketch_b)` — the two-sample Kolmogorov–Smirnov
+  * drift statistic ESTIMATED from two RQ sketches: the sketch-scale
+  * twin of the exact `Stats.ksStatistic`, for the continuous columns
+  * whose bounded-histogram contract the exact operator rejects.
+  *
+  * D = max over thresholds t of |cdfA(t) − cdfB(t)|, with each side's
+  * CDF taken over its own retained sample (cum/total of exact sampled
+  * counts — each side's Horvitz–Thompson 2^level scale cancels inside
+  * its own ratio, the `rq_cdf` argument). The max is attained at a
+  * sampled value of one of the two sketches, so one merged ascending
+  * walk over both samples finds it; the comparison stays EXACT by
+  * cross-multiplication (|cumA·totB − cumB·totA| in int64, safe to
+  * ~3·10⁹ sampled counts per side — the `ksStatistic` discipline) and
+  * the single division at the end is the only floating-point op.
+  * Deterministic given the two sketches, and the sketches are pure
+  * functions of their input multisets — so a SQL oracle can replay
+  * construction AND statistic bit-for-bit.
+  *
+  * Output struct: (n_a, n_b, d_num, d) with n_a/n_b the retained
+  * sample totals, d = d_num / (n_a·n_b). Null if either sketch is
+  * empty. */
+case class RqKs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false),
+    StructField("d_num", LongType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_ks"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rq_ks needs (binary, binary), got $t")
+    }
+  private def pairs(bytes: Array[Byte]): (Array[Long], Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt // level cancels inside the side's own CDF
+    val n = bb.getInt
+    val vs = new Array[Long](n)
+    val cs = new Array[Long](n)
+    var i = 0
+    while (i < n) { vs(i) = bb.getLong; cs(i) = bb.getLong; i += 1 }
+    (vs, cs) // canonical serialization: already ascending by value
+  }
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val (va, ca) = pairs(aAny.asInstanceOf[Array[Byte]])
+    val (vb, cb) = pairs(bAny.asInstanceOf[Array[Byte]])
+    if (va.length == 0 || vb.length == 0) return null
+    var totA = 0L; var totB = 0L
+    ca.foreach(totA += _); cb.foreach(totB += _)
+    var i = 0; var j = 0
+    var cumA = 0L; var cumB = 0L
+    var dNum = 0L
+    // merged ascending walk: advance BOTH cursors past the current
+    // threshold value before comparing (CDFs are right-continuous at t)
+    while (i < va.length || j < vb.length) {
+      val t = if (j >= vb.length || (i < va.length && va(i) <= vb(j)))
+        va(i) else vb(j)
+      while (i < va.length && va(i) == t) { cumA += ca(i); i += 1 }
+      while (j < vb.length && vb(j) == t) { cumB += cb(j); j += 1 }
+      val gap = math.abs(cumA * totB - cumB * totA)
+      if (gap > dNum) dNum = gap
+    }
+    InternalRow(totA, totB, dNum,
+      dNum.toDouble / (totA * totB).toDouble)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RqKs =
+    copy(left = l, right = r)
+}

@@ -279,6 +279,12 @@ package object functions {
       col2expr(org.apache.spark.sql.functions.struct(v, w)), budget)
       .toAggregateExpression())
 
+  /** Two-sample KS drift statistic estimated from two `rq_sketch`
+    * bytes — the sketch-scale twin of `Stats.ksStatistic` for
+    * continuous columns (see [[RqKs]]). */
+  def rq_ks(a: Column, b: Column): Column =
+    ExprBridge.column(RqKs(col2expr(a), col2expr(b)))
+
   /** Estimated CDF (percentile) of a point under `rq_sketch` bytes —
     * the bounds-free percentile-normalization primitive (see
     * [[RqCdf]]). */

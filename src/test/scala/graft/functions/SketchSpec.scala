@@ -435,4 +435,47 @@ class SketchSpec extends SparkTestBase {
     val nEst = row.getLong(1).toDouble
     assert(math.abs(nEst - 50000.0) / 50000.0 < 0.25, s"n_est off: $nEst")
   }
+
+  test("rq_ks: equals the exact KS when the budget holds everything, " +
+    "0 on identical multisets, 1 on disjoint ranges, accurate under " +
+    "deep sampling") {
+    // budget >= distinct values: the sketches ARE the exact histograms,
+    // so rq_ks must equal Stats.ksStatistic bit-for-bit
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(2000)((rnd.nextBoolean(), rnd.nextInt(50).toLong))
+    val df = rows.map { case (s, v) => (1L, s, v) }.toDF("k", "side", "v")
+    val sk = df.agg(
+        rq_sketch(when(col("side"), col("v")), 256).as("a"),
+        rq_sketch(when(!col("side"), col("v")), 256).as("b"))
+      .select(rq_ks(col("a"), col("b")).as("ks")).head().getStruct(0)
+    val exact = graft.operators.Stats
+      .ksStatistic(df, "k", "side", "v").head()
+    assert(sk.getLong(0) == exact.getLong(1) &&
+      sk.getLong(1) == exact.getLong(2))
+    assert(sk.getLong(2) == exact.getLong(3), "d_num mismatch vs exact")
+    assert(sk.getDouble(3) == exact.getDouble(4), "d mismatch vs exact")
+    // identical multisets -> d exactly 0 (same sampled set both sides)
+    val same = Seq.fill(500)(rnd.nextLong() % 100000L)
+    val sameDf = same.map(Tuple1(_)).toDF("v")
+    val d0 = sameDf.agg(rq_sketch(col("v"), 64).as("a"),
+        rq_sketch(col("v"), 64).as("b"))
+      .select(rq_ks(col("a"), col("b")).getField("d")).head().getDouble(0)
+    assert(d0 == 0.0)
+    // disjoint ranges -> d exactly 1
+    val dis = ((1 to 300).map(i => (true, i.toLong)) ++
+      (1 to 300).map(i => (false, 1000000L + i))).toDF("side", "v")
+    val d1 = dis.agg(rq_sketch(when(col("side"), col("v")), 32).as("a"),
+        rq_sketch(when(!col("side"), col("v")), 32).as("b"))
+      .select(rq_ks(col("a"), col("b")).getField("d")).head().getDouble(0)
+    assert(d1 == 1.0)
+    // deep sampling on shifted distributions: the estimate lands near
+    // the true D (|shift| = 30% of a uniform width -> D = 0.3)
+    val ua = Seq.fill(40000)(rnd.nextInt(1000000).toLong)
+    val ub = Seq.fill(40000)(300000L + rnd.nextInt(1000000).toLong)
+    val big = (ua.map((true, _)) ++ ub.map((false, _))).toDF("side", "v")
+    val dBig = big.agg(rq_sketch(when(col("side"), col("v")), 512).as("a"),
+        rq_sketch(when(!col("side"), col("v")), 512).as("b"))
+      .select(rq_ks(col("a"), col("b")).getField("d")).head().getDouble(0)
+    assert(math.abs(dBig - 0.3) < 0.1, s"sampled KS too far off: $dBig")
+  }
 }
