@@ -8258,6 +8258,122 @@ object Queries {
       |GROUP BY 1""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Simpson behavioral diversity per user (Stats.simpsonDiversity):
+    * the log-free concentration index over event types — exact
+    * rational arithmetic end to end (Shannon's ln has no
+    * bit-reproducible cross-engine story; Gini–Simpson does). */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    Stats.simpsonDiversity(
+      t(s, dir, "events").select(col("user_id"), col("event_type")),
+      "user_id", "event_type")
+
+  private val q203Sql =
+    """WITH h AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |a AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_cats,
+      |    CAST(sum(c*c) AS BIGINT) AS sumsq
+      |  FROM h GROUP BY 1)
+      |SELECT user_id, n, n_cats, sumsq,
+      |  1.0 - CAST(sumsq AS DOUBLE) / CAST(n*n AS DOUBLE) AS simpson,
+      |  CAST(n*n AS DOUBLE) / CAST(sumsq AS DOUBLE) AS inv_simpson
+      |FROM a""".stripMargin
+
+  /** Wilson score interval for the purchase rate per day-of-week
+    * (Stats.wilsonInterval): the small-n-safe error bar beside q189's
+    * z-test — (n, x) exact longs, fixed IEEE tail with the plan-literal
+    * z = 1.96 identical in both engines. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        (col("event_type") === "purchase").as("hit"))
+    Stats.wilsonInterval(ev, "dow", "hit")
+  }
+
+  private val q204Sql =
+    """WITH o AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    event_type = 'purchase' AS hit
+      |  FROM events),
+      |a AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM o GROUP BY 1),
+      |b AS (
+      |  SELECT dow, n, x,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.96*1.96) / CAST(n AS DOUBLE) AS denom,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE)) AS center,
+      |    1.96 * sqrt(
+      |      (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + (1.96*1.96)
+      |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS margin
+      |  FROM a)
+      |SELECT dow, n, x, p,
+      |  (center - margin) / denom AS lo,
+      |  (center + margin) / denom AS hi
+      |FROM b""".stripMargin
+
+  /** Murphy decomposition of the Brier score
+    * (Stats.brierDecomposition) over a value-derived micro-prob
+    * forecast of purchase: the total Brier is a pure integer sum
+    * (decimal vs HUGEINT) with one division; REL/RES sum nano-floored
+    * per-group terms (order-free — the cramersV discipline). */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select((cents(col("value")) * 20L).as("q"),
+        (col("event_type") === "purchase").as("l"))
+    Stats.brierDecomposition(ev, "q", "l")
+  }
+
+  private val q205Sql =
+    """WITH o AS (
+      |  SELECT CAST(round(value*100) AS BIGINT) * 20 AS q,
+      |    event_type = 'purchase' AS l
+      |  FROM events),
+      |h AS (
+      |  SELECT q, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    sum(CASE WHEN l THEN (q - 1000000) * (q - 1000000)
+      |        ELSE q * q END) AS se
+      |  FROM o GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt
+      |  FROM h),
+      |terms AS (
+      |  SELECT h.c, h.x, h.se,
+      |    CAST(floor(CAST(h.c AS DOUBLE)
+      |      * (CAST(h.q AS DOUBLE) / 1000000.0
+      |         - CAST(h.x AS DOUBLE) / CAST(h.c AS DOUBLE))
+      |      * (CAST(h.q AS DOUBLE) / 1000000.0
+      |         - CAST(h.x AS DOUBLE) / CAST(h.c AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS rel_t,
+      |    CAST(floor(CAST(h.c AS DOUBLE)
+      |      * (CAST(h.x AS DOUBLE) / CAST(h.c AS DOUBLE)
+      |         - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+      |      * (CAST(h.x AS DOUBLE) / CAST(h.c AS DOUBLE)
+      |         - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+      |      * 1000000000.0) AS BIGINT) AS res_t
+      |  FROM h, tot)
+      |SELECT tot.nt AS n,
+      |  CAST((SELECT count(*) FROM h) AS BIGINT) AS n_groups,
+      |  CAST((SELECT sum(se) FROM h) AS DOUBLE)
+      |    / CAST(tot.nt * 1000000000000 AS DOUBLE) AS brier,
+      |  CAST((SELECT sum(rel_t) FROM terms) AS BIGINT) AS rel_nano,
+      |  CAST((SELECT sum(res_t) FROM terms) AS BIGINT) AS res_nano,
+      |  CAST((SELECT sum(rel_t) FROM terms) AS DOUBLE)
+      |    / (CAST(tot.nt AS DOUBLE) * 1000000000.0) AS rel,
+      |  CAST((SELECT sum(res_t) FROM terms) AS DOUBLE)
+      |    / (CAST(tot.nt AS DOUBLE) * 1000000000.0) AS res,
+      |  (CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+      |    * (1.0 - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE)) AS unc
+      |FROM tot""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8465,5 +8581,8 @@ object Queries {
     "q199_trimmed_means" -> Q(q199, Some(q199Sql)),
     "q200_theil_sen" -> Q(q200, Some(q200Sql)),
     "q201_embedding_dim_profile" -> Q(q201, Some(q201Sql)),
-    "q202_rq_ks_drift" -> Q(q202, Some(q202Sql)))
+    "q202_rq_ks_drift" -> Q(q202, Some(q202Sql)),
+    "q203_simpson_diversity" -> Q(q203, Some(q203Sql)),
+    "q204_wilson_interval" -> Q(q204, Some(q204Sql)),
+    "q205_brier_decomposition" -> Q(q205, Some(q205Sql)))
 }

@@ -1428,6 +1428,153 @@ object Stats {
         col("slope"))
   }
 
+  /** SIMPSON DIVERSITY per key — the behavioral/source-mix concentration
+    * profile that needs NO logarithm (Shannon entropy's ln has no
+    * bit-reproducible cross-engine story; the Gini–Simpson index is
+    * pure rational arithmetic over exact counts):
+    *
+    *   simpson      = 1 − Σ c_i² / n²     (P(two draws differ))
+    *   inv_simpson  = n² / Σ c_i²         (effective number of categories)
+    *
+    * Rows collapse to the per-(key, category) histogram (ONE map-side
+    * combining aggregation, then ONE more to fold Σc² — both shuffles
+    * bounded by category cardinality per key, never rows); Σc_i² ≤ n²
+    * keeps int64 exact to n ≈ 3·10⁹ rows per key (the ksStatistic
+    * bound). NULL categories drop explicitly — n must count exactly
+    * the categorized rows or the index silently lies on dirty input
+    * (the [[groupMoments]] discipline). Keys with n = 0 vanish.
+    * Output: (key, n, n_cats, sumsq, simpson, inv_simpson). */
+  def simpsonDiversity(df: DataFrame, keyCol: String,
+                       catCol: String): DataFrame = {
+    val hist = df.where(col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    hist.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("__c") * col("__c")).as("sumsq"))
+      .select(col(keyCol), col("n"), col("n_cats"), col("sumsq"),
+        (lit(1.0) - col("sumsq").cast("double")
+          / (col("n") * col("n")).cast("double")).as("simpson"),
+        ((col("n") * col("n")).cast("double")
+          / col("sumsq").cast("double")).as("inv_simpson"))
+  }
+
+  /** WILSON SCORE INTERVAL per key: the rate confidence interval that
+    * behaves at small n and extreme rates (where the naive Wald
+    * interval escapes [0, 1]) — the per-segment error-bar column for
+    * every rate readout ([[twoProportionZ]]'s reporting companion):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * ONE map-side-combining aggregation reduces each key to (n, x)
+    * exact longs; the interval is a FIXED IEEE shape over them (the
+    * plan-literal z is the same double constant in both engines), so
+    * bounds replay bit-for-bit. NULL hit rows are rejected in the same
+    * aggregation (the [[twoProportionZ]] lazy-checked contract).
+    * Output: (key, n, x, p, lo, hi). */
+  def wilsonInterval(df: DataFrame, keyCol: String, hitCol: String,
+                     z: Double = 1.96): DataFrame = {
+    require(z > 0.0 && z.isFinite, s"wilsonInterval needs z > 0, got $z")
+    val hit = col(hitCol).cast("boolean")
+    val agg = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(hit, 1L).otherwise(0L)).as("x"),
+        sum(when(hit.isNull, 1L).otherwise(0L)).as("__bad"))
+      .where(when(col("__bad") > 0L,
+        raise_error(concat(
+          lit("wilsonInterval: NULL hit rows under key "),
+          col(keyCol).cast("string"),
+          lit(" — assign every row an outcome, or filter explicitly " +
+            "before calling"))).isNotNull)
+        .otherwise(lit(true)))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    agg.select(col(keyCol), col("n"), col("x"), p.as("p"),
+      ((center - margin) / denom).as("lo"),
+      ((center + margin) / denom).as("hi"))
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score over micro-quantized
+    * forecasts — calibration diagnostics beyond [[calibrationTable]]'s
+    * reliability diagram: with forecasts grouped by their EXACT
+    * micro-prob value q ∈ [0, 10⁶] (bounded-histogram contract — a
+    * forecast column is score-resolution bounded, the [[rankAuc]]
+    * argument),
+    *
+    *   brier = REL − RES + UNC
+    *   REL = Σ n_k(p_k − o_k)²/N   RES = Σ n_k(o_k − ō)²/N
+    *   UNC = ō(1 − ō)
+    *
+    * The TOTAL Brier score is kept fully exact: Σ(q_i − 10⁶·o_i)² is
+    * an integer sum (≤ 10¹² per row — decimal(38,0) accumulated, the
+    * spearman discipline) with ONE division by N·10¹². REL and RES
+    * sum per-GROUP double terms, so each term is floor-quantized to
+    * integer nano-units first, making the cross-group sums order-free
+    * (the [[cramersV]] discipline) — rel/res carry that explicit
+    * 1e-9 resolution, brier does not. NULL forecast/label rows are
+    * rejected in the aggregation (the lazy-checked contract).
+    * Output: one row (n, n_groups, brier, rel_nano, res_nano, rel,
+    * res, unc). */
+  def brierDecomposition(df: DataFrame, microProbCol: String,
+                         labelCol: String,
+                         maxDistinctScores: Long = 2000000L): DataFrame = {
+    val q = col(microProbCol).cast("long")
+    val l = col(labelCol).cast("boolean")
+    val hist = df
+      .select(q.as("__q"), l.as("__l"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__x"),
+        sum(when(col("__l"),
+            (col("__q") - lit(1000000L)) * (col("__q") - lit(1000000L)))
+          .otherwise(col("__q") * col("__q")).cast("decimal(38,0)"))
+          .as("__se"),
+        sum(when(col("__q").isNull || col("__l").isNull, 1L).otherwise(0L))
+          .as("__bad"))
+      .where(when(col("__bad") > 0L,
+        raise_error(lit("brierDecomposition: NULL forecast/label rows — " +
+          "assign every row a micro-prob and an outcome, or filter " +
+          "explicitly before calling")).isNotNull)
+        .otherwise(lit(true)))
+      .localCheckpoint()
+    Contracts.enforce(hist, Contracts.Bound(count(lit(1)),
+      _ <= maxDistinctScores, m =>
+        s"brierDecomposition: $m distinct forecast values exceeds the " +
+          s"bounded-histogram contract (maxDistinctScores=" +
+          s"$maxDistinctScores). Quantize the forecast (micro-probs)."))
+    val tot = hist.agg(sum(col("__n")).as("__nt"), sum(col("__x")).as("__xt"))
+    val pk = col("__q").cast("double") / lit(1e6)
+    val ok = col("__x").cast("double") / col("__n").cast("double")
+    val obar = col("__xt").cast("double") / col("__nt").cast("double")
+    val relTerm = floor(col("__n").cast("double") * (pk - ok) * (pk - ok)
+      * lit(1e9)).cast("long")
+    val resTerm = floor(col("__n").cast("double") * (ok - obar) * (ok - obar)
+      * lit(1e9)).cast("long")
+    hist.crossJoin(tot)
+      .groupBy()
+      .agg(first(col("__nt")).as("n"), count(lit(1)).as("n_groups"),
+        sum(col("__se")).as("__set"),
+        sum(relTerm).as("rel_nano"), sum(resTerm).as("res_nano"),
+        first(col("__xt")).as("__x"))
+      .select(col("n"), col("n_groups"),
+        (col("__set").cast("double")
+          / (col("n").cast("decimal(38,0)") * lit(1000000000000L)
+              .cast("decimal(38,0)")).cast("double")).as("brier"),
+        col("rel_nano"), col("res_nano"),
+        (col("rel_nano").cast("double")
+          / (col("n").cast("double") * lit(1e9))).as("rel"),
+        (col("res_nano").cast("double")
+          / (col("n").cast("double") * lit(1e9))).as("res"),
+        ((col("__x").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("__x").cast("double") / col("n").cast("double")))
+          .as("unc"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -1133,4 +1133,110 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("theilSen"))
   }
+
+  test("simpsonDiversity: brute parity, degenerate and uniform edges, " +
+    "null categories dropped explicitly") {
+    val rnd = new scala.util.Random(75)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(3).toLong, s"c${rnd.nextInt(7)}")
+    }
+    val out = Stats.simpsonDiversity(rows.toDF("g", "cat"), "g", "cat")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 2L).foreach { g =>
+      val cs = rows.filter(_._1 == g).groupBy(_._2).map(_._2.size.toLong)
+      val n = cs.sum; val sq = cs.map(c => c * c).sum
+      val r = out(g)
+      assert(r.getLong(1) == n && r.getLong(2) == cs.size &&
+        r.getLong(3) == sq)
+      assert(r.getDouble(4) == 1.0 - sq.toDouble / (n * n).toDouble)
+      assert(r.getDouble(5) == (n * n).toDouble / sq.toDouble)
+    }
+    // one category -> simpson 0, effective categories exactly 1;
+    // perfectly uniform k categories -> effective categories exactly k
+    val deg = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "x"), (2L, "y"), (2L, "z")).toDF("g", "cat")
+    val dr = Stats.simpsonDiversity(deg, "g", "cat")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(dr(1L).getDouble(4) == 0.0 && dr(1L).getDouble(5) == 1.0)
+    assert(dr(2L).getDouble(5) == 3.0)
+    // null categories drop from n too (n == categorized rows only)
+    val dirty = Seq((1L, "a"), (1L, null), (1L, "b")).toDF("g", "cat")
+    assert(Stats.simpsonDiversity(dirty, "g", "cat")
+      .collect().head.getLong(1) == 2L)
+  }
+
+  test("wilsonInterval: exact IEEE-shape parity, sane bounds at the " +
+    "edges, NULL outcomes fail loudly") {
+    val rnd = new scala.util.Random(76)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(5) == 0))
+    val out = Stats.wilsonInterval(rows.toDF("g", "hit"), "g", "hit")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 3L).foreach { g =>
+      val hs = rows.filter(_._1 == g)
+      val n = hs.size.toLong; val x = hs.count(_._2).toLong
+      val r = out(g)
+      val nD = n.toDouble; val p = x.toDouble / nD
+      val z = 1.96; val z2 = z * z
+      val denom = 1.0 + z2 / nD
+      val center = p + z2 / (2.0 * nD)
+      val margin = z * math.sqrt(p * (1.0 - p) / nD + z2 / (4.0 * nD * nD))
+      assert(r.getLong(1) == n && r.getLong(2) == x)
+      assert(r.getDouble(4) == (center - margin) / denom)
+      assert(r.getDouble(5) == (center + margin) / denom)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0 &&
+        r.getDouble(4) <= p && p <= r.getDouble(5))
+    }
+    // x = 0 / x = n: Wilson bounds stay strictly inside (0, 1) at the
+    // open end — the reason it beats Wald for rare-event segments
+    val zero = Seq((1L, false), (1L, false), (1L, false)).toDF("g", "hit")
+    val zr = Stats.wilsonInterval(zero, "g", "hit").collect().head
+    assert(zr.getDouble(4) == 0.0 && zr.getDouble(5) > 0.0 &&
+      zr.getDouble(5) < 1.0)
+    val dirty = Seq((1L, Some(true)), (1L, None)).toDF("g", "hit")
+    val e = intercept[Throwable] {
+      Stats.wilsonInterval(dirty, "g", "hit").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        messages(t.getCause)
+    assert(messages(e).contains("wilsonInterval"))
+  }
+
+  test("brierDecomposition: exact total Brier, Murphy identity within " +
+    "nano resolution, perfect calibration has zero reliability") {
+    val rnd = new scala.util.Random(78)
+    // forecasts on a coarse grid so groups are meaty
+    val rows = (1 to 2000).map { _ =>
+      val q = rnd.nextInt(11).toLong * 100000L
+      (q, rnd.nextInt(1000000) < q)
+    }
+    val r = Stats.brierDecomposition(rows.toDF("q", "l"), "q", "l")
+      .collect().head
+    val n = rows.size.toLong
+    val brierExact = rows.map { case (q, l) =>
+      val d = if (l) q - 1000000L else q; d * d
+    }.sum
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(2) ==
+      BigDecimal(brierExact).toDouble / (n.toDouble * 1e12))
+    // Murphy: brier == rel - res + unc, up to the nano quantization of
+    // rel/res (each term floor-quantized at 1e-9; groups <= 11)
+    val identity = r.getDouble(5) - r.getDouble(6) + r.getDouble(7)
+    assert(math.abs(identity - r.getDouble(2)) < 1e-7,
+      s"Murphy identity broke: $identity vs ${r.getDouble(2)}")
+    // perfectly calibrated forecasts: o_k == p_k exactly -> rel_nano 0
+    val cal = Seq.tabulate(10) { i =>
+      (1 to 10).map { j => (i.toLong * 100000L, j <= i) }
+    }.flatten
+    val cr = Stats.brierDecomposition(cal.toDF("q", "l"), "q", "l")
+      .collect().head
+    assert(cr.getLong(3) == 0L, s"rel_nano=${cr.getLong(3)}")
+    // the bounded-forecast contract is CHECKED
+    val wide = (1 to 5000).map(i => (i.toLong, i % 2 == 0))
+    val e = intercept[IllegalArgumentException] {
+      Stats.brierDecomposition(wide.toDF("q", "l"), "q", "l",
+        maxDistinctScores = 100L)
+    }
+    assert(e.getMessage.contains("brierDecomposition"))
+  }
 }
