@@ -8374,6 +8374,69 @@ object Queries {
       |    * (1.0 - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE)) AS unc
       |FROM tot""".stripMargin
 
+  /** CUSUM mean-shift alarms per user (Stats.cusumAlarms): the
+    * sequential changepoint detector beside q162's EWMA baseline and
+    * q186's burst test — exact integer accumulator with reset-on-alarm,
+    * replayed by the oracle's recursive CTE. */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    Stats.cusumAlarms(
+      t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).as("v")),
+      "user_id", Seq("ts", "event_id"), "v", ref = 5000L, h = 30000L)
+
+  private val q206Sql =
+    """WITH RECURSIVE s0 AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, x,
+      |    CAST(greatest(0, x - 5000) AS BIGINT) AS s
+      |  FROM s0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.user_id, n.rn, n.x,
+      |    CAST(greatest(0,
+      |      (CASE WHEN r.s >= 30000 THEN 0 ELSE r.s END) + n.x - 5000)
+      |      AS BIGINT)
+      |  FROM r JOIN s0 n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+      |SELECT user_id, CAST(rn AS BIGINT) AS rn, x, s, s >= 30000 AS alarm
+      |FROM r""".stripMargin
+
+  /** Seasonal-naive forecastability per user
+    * (Stats.seasonalNaiveError): the exact MASE numerator/denominator
+    * pair at season 5 — integer SADs from two key-partitioned lag
+    * windows, one fixed-shape ratio. */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    Stats.seasonalNaiveError(
+      t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).as("v")),
+      "user_id", Seq("ts", "event_id"), "v", season = 5)
+
+  private val q207Sql =
+    """WITH o AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+      |    ts, event_id
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, x,
+      |    lag(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id, x)
+      |      AS l1,
+      |    lag(x, 5) OVER (PARTITION BY user_id ORDER BY ts, event_id, x)
+      |      AS lm
+      |  FROM o),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(abs(x - lm)) AS BIGINT) AS sad_season,
+      |    CAST(sum(abs(x - l1)) AS BIGINT) AS sad_naive
+      |  FROM l GROUP BY 1)
+      |SELECT user_id, n, sad_season, sad_naive,
+      |  CASE WHEN sad_naive = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (CAST(sad_season AS DOUBLE) / CAST(n - 5 AS DOUBLE))
+      |      / (CAST(sad_naive AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |  END AS mase_x
+      |FROM a WHERE n > 5""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8584,5 +8647,7 @@ object Queries {
     "q202_rq_ks_drift" -> Q(q202, Some(q202Sql)),
     "q203_simpson_diversity" -> Q(q203, Some(q203Sql)),
     "q204_wilson_interval" -> Q(q204, Some(q204Sql)),
-    "q205_brier_decomposition" -> Q(q205, Some(q205Sql)))
+    "q205_brier_decomposition" -> Q(q205, Some(q205Sql)),
+    "q206_cusum_alarms" -> Q(q206, Some(q206Sql)),
+    "q207_seasonal_naive" -> Q(q207, Some(q207Sql)))
 }

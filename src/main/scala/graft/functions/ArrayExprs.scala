@@ -989,3 +989,49 @@ case class TheilSenSlope(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): TheilSenSlope =
     copy(left = newLeft, right = newRight)
 }
+
+/** `cusum_longs(xs, ref, h)` — one-sided upper CUSUM over an ordered
+  * long series, EXACT integer arithmetic end to end:
+  *
+  *   S_t = max(0, S'_{t-1} + x_t − ref),   S'_{t-1} = 0 if the
+  *   previous step ALARMED (S_{t-1} ≥ h — restart the accumulator so
+  *   repeated shifts each fire once), else S_{t-1}
+  *
+  * The sequential changepoint detector (Page 1954): drift above the
+  * reference accumulates until the evidence crosses h, a point anomaly
+  * barely moves S, and the integer recurrence is order-stable and
+  * engine-replayable by a recursive CTE (the `ewma_shift` discipline —
+  * no IEEE state survives across steps). Returns the full S series;
+  * alarms are the positions with S_t ≥ h. Null/empty input or null
+  * elements yield null. */
+case class CusumLongs(child: Expression, ref: Long, h: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(h > 0, s"cusum_longs needs h > 0, got $h")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cusum_longs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cusum_longs needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val xs = ad.toLongArray()
+    val n = xs.length
+    if (n == 0) return null
+    val out = new Array[Long](n)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = math.max(0L, s + xs(i) - ref)
+      out(i) = s
+      if (s >= h) s = 0L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CusumLongs =
+    copy(child = newChild)
+}

@@ -505,4 +505,10 @@ package object functions {
     * [[EwmaShiftLongs]]). */
   def ewma_shift(series: Column, shift: Int): Column =
     ExprBridge.column(EwmaShiftLongs(col2expr(series), shift))
+
+  /** One-sided upper CUSUM changepoint accumulator over an ordered
+    * long series — exact integers, reset after each alarm (see
+    * [[CusumLongs]]). */
+  def cusum_longs(series: Column, ref: Long, h: Long): Column =
+    ExprBridge.column(CusumLongs(col2expr(series), ref, h))
 }

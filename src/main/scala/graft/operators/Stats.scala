@@ -1575,6 +1575,87 @@ object Stats {
           .as("unc"))
   }
 
+  /** CUSUM changepoint alarms per key (Page 1954, one-sided upper):
+    * the sequential mean-shift detector that the trailing EWMA
+    * baseline ([[graft.functions.ewma_shift]]) complements — CUSUM
+    * accumulates evidence S_t = max(0, S_{t-1} + x_t − ref) so a
+    * SUSTAINED drift above the reference fires even when every single
+    * observation looks innocent, and a lone spike barely moves it.
+    * The accumulator resets after each alarm (S ≥ h), so repeated
+    * shifts each fire once.
+    *
+    * Shape: per-key series kernel (the [[kendallTauB]] CHECKED
+    * row-bound discipline) — one sort-free hash aggregation collects
+    * each key's (order, x) rows, ONE
+    * [[graft.functions.ArrayExprs]] integer kernel replays the
+    * recurrence, and a posexplode hands back per-observation rows. All
+    * arithmetic is exact int64 (order-stable, engine-replayable by a
+    * recursive CTE — no IEEE state crosses a step). Ties in the order
+    * columns break by x (sort_array lexicographic), mirrorable.
+    * Output: (key, rn, x, s, alarm). */
+  def cusumAlarms(df: DataFrame, keyCol: String, ordCols: Seq[String],
+                  xCol: String, ref: Long, h: Long,
+                  maxRowsPerKey: Long = 5000000L): DataFrame = {
+    import graft.functions.cusum_longs
+    require(ordCols.nonEmpty, "cusumAlarms needs at least one order column")
+    val base = df.select(col(keyCol) +: (ordCols.map(col) :+
+      col(xCol).cast("long").as("__x")): _*).localCheckpoint()
+    Contracts.boundedPerKey(base, keyCol, maxRowsPerKey, "cusumAlarms",
+      "rows", "Pre-aggregate (e.g. hourly sums) or sub-split the key.",
+      contract = "per-key kernel")
+    val sorted = array_sort(collect_list(struct(
+      ordCols.map(col) :+ col("__x"): _*)))
+    base.groupBy(col(keyCol))
+      .agg(transform(sorted, r => r("__x")).as("__xs"))
+      .select(col(keyCol), col("__xs"),
+        posexplode(cusum_longs(col("__xs"), ref, h)).as(Seq("__p", "s")))
+      .select(col(keyCol), (col("__p") + 1).cast("long").as("rn"),
+        element_at(col("__xs"), col("__p") + 1).as("x"), col("s"),
+        (col("s") >= h).as("alarm"))
+  }
+
+  /** SEASONAL-NAIVE forecastability per key — the MASE denominator
+    * pair (Hyndman & Koehler 2006) computed EXACTLY: how much better
+    * does "same slot last season" predict the series than "previous
+    * observation"?
+    *
+    *   sad_season = Σ_{t>m} |x_t − x_{t−m}|     (season lag m)
+    *   sad_naive  = Σ_{t>1} |x_t − x_{t−1}|
+    *   mase_x     = (sad_season/(n−m)) / (sad_naive/(n−1))
+    *
+    * mase_x ≪ 1 ⟹ strong seasonality (the seasonal naive forecast
+    * dominates); ≈ 1 ⟹ no seasonal structure. Integer SADs are exact
+    * int64 sums; the ratio is two divisions and one quotient of
+    * already-divided doubles — engine-exact. Two lag windows
+    * PARTITIONED BY KEY over the key's ordered rows (bounded by the
+    * key's own cardinality — the stateRuns discipline, never a global
+    * sort); keys with n ≤ m drop; a flat series (sad_naive = 0) → NaN.
+    * Output: (key, n, sad_season, sad_naive, mase_x). */
+  def seasonalNaiveError(df: DataFrame, keyCol: String,
+                         ordCols: Seq[String], xCol: String,
+                         season: Int): DataFrame = {
+    require(season >= 1, s"seasonalNaiveError needs season >= 1, got $season")
+    require(ordCols.nonEmpty,
+      "seasonalNaiveError needs at least one order column")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(ordCols.map(col) :+ col("__x"): _*)
+    val base = df.select(col(keyCol) +: (ordCols.map(col) :+
+      col(xCol).cast("long").as("__x")): _*)
+      .withColumn("__lag1", lag(col("__x"), 1).over(w))
+      .withColumn("__lagm", lag(col("__x"), season).over(w))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("__x") - col("__lagm"))).as("sad_season"),
+        sum(abs(col("__x") - col("__lag1"))).as("sad_naive"))
+      .where(col("n") > season.toLong)
+      .select(col(keyCol), col("n"), col("sad_season"), col("sad_naive"),
+        when(col("sad_naive") === 0L, lit(Double.NaN)).otherwise(
+          (col("sad_season").cast("double")
+            / (col("n") - season.toLong).cast("double"))
+            / (col("sad_naive").cast("double")
+              / (col("n") - 1L).cast("double"))).as("mase_x"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -1239,4 +1239,84 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("brierDecomposition"))
   }
+
+  test("cusumAlarms: brute replay parity, sustained drift fires where " +
+    "a lone spike cannot, accumulator resets after each alarm") {
+    val rnd = new scala.util.Random(79)
+    val rows = (1 to 200).map { i =>
+      (rnd.nextInt(2).toLong, i.toLong, (40 + rnd.nextInt(30)).toLong)
+    }
+    val ref = 55L; val h = 60L
+    val out = Stats.cusumAlarms(rows.toDF("g", "o", "v"), "g", Seq("o"),
+        "v", ref, h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    (0L to 1L).foreach { g =>
+      val xs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      var s = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        s = math.max(0L, s + x - ref)
+        assert(out((g, i + 1L)) == (s, s >= h), s"g=$g rn=${i + 1}")
+        if (s >= h) s = 0L
+      }
+    }
+    // sustained small drift accumulates to an alarm; an equal-mass
+    // lone spike inside baseline noise does not
+    val drift = (1 to 20).map(i => (1L, i.toLong,
+      if (i <= 10) 50L else 58L))
+    val dAlarms = Stats.cusumAlarms(drift.toDF("g", "o", "v"), "g",
+        Seq("o"), "v", ref = 52L, h = 40L)
+      .where(org.apache.spark.sql.functions.col("alarm")).count()
+    assert(dAlarms >= 1, "sustained +6 drift must trip the accumulator")
+    val spike = (1 to 20).map(i => (1L, i.toLong,
+      if (i == 10) 80L else 50L))
+    val sAlarms = Stats.cusumAlarms(spike.toDF("g", "o", "v"), "g",
+        Seq("o"), "v", ref = 52L, h = 40L)
+      .where(org.apache.spark.sql.functions.col("alarm")).count()
+    assert(sAlarms == 0, "a lone +28 spike must not trip h = 40")
+    // the per-key kernel bound is CHECKED
+    val e = intercept[IllegalArgumentException] {
+      Stats.cusumAlarms(rows.toDF("g", "o", "v"), "g", Seq("o"), "v",
+        ref, h, maxRowsPerKey = 10L)
+    }
+    assert(e.getMessage.contains("cusumAlarms"))
+  }
+
+  test("seasonalNaiveError: brute parity, zero seasonal error on a " +
+    "perfectly periodic series, NaN on a flat one") {
+    val rnd = new scala.util.Random(80)
+    val rows = (1 to 150).map { i =>
+      (rnd.nextInt(2).toLong, i.toLong, rnd.nextInt(100).toLong)
+    }
+    val m = 4
+    val out = Stats.seasonalNaiveError(rows.toDF("g", "o", "v"), "g",
+        Seq("o"), "v", m)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L to 1L).foreach { g =>
+      val xs = rows.filter(_._1 == g).sortBy(_._2).map(_._3)
+      val n = xs.length
+      val sadS = (m until n).map(i => math.abs(xs(i) - xs(i - m))).sum
+      val sadN = (1 until n).map(i => math.abs(xs(i) - xs(i - 1))).sum
+      val r = out(g)
+      assert(r.getLong(1) == n && r.getLong(2) == sadS &&
+        r.getLong(3) == sadN)
+      assert(r.getDouble(4) ==
+        (sadS.toDouble / (n - m).toDouble)
+          / (sadN.toDouble / (n - 1).toDouble))
+    }
+    // period-m series: the seasonal naive forecast is PERFECT
+    val periodic = (0 until 40).map(i => (1L, i.toLong, (i % m + 1) * 10L))
+    val pr = Stats.seasonalNaiveError(periodic.toDF("g", "o", "v"), "g",
+      Seq("o"), "v", m).collect().head
+    assert(pr.getLong(2) == 0L && pr.getDouble(4) == 0.0)
+    // flat series: naive SAD 0 -> NaN, not a throw
+    val flat = (0 until 10).map(i => (1L, i.toLong, 7L))
+    val fr = Stats.seasonalNaiveError(flat.toDF("g", "o", "v"), "g",
+      Seq("o"), "v", m).collect().head
+    assert(fr.getDouble(4).isNaN)
+    // short keys (n <= m) drop
+    val short = (0 until 3).map(i => (1L, i.toLong, i.toLong))
+    assert(Stats.seasonalNaiveError(short.toDF("g", "o", "v"), "g",
+      Seq("o"), "v", m).count() == 0L)
+  }
 }
