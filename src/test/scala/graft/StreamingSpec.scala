@@ -900,6 +900,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("live drift monitoring: rq_ks over two streamed sketches equals " +
+    "the batch sketch KS at every moment") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(81)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.streamingRqSketch(mem.toDF().toDF("k", "v"),
+        budget = 64)
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .start()
+    try {
+      (1 to 3).foreach { b =>
+        // side 0 stationary, side 1 drifts upward batch by batch
+        val rows = Seq.fill(300)(if (rnd.nextBoolean())
+          (0L, rnd.nextInt(10000).toLong)
+        else (1L, b * 2000L + rnd.nextInt(10000).toLong))
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val latest = spark.table("drift").collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getAs[Array[Byte]](1) }
+        val served = Seq((latest(0L), latest(1L)))
+          .toDF("a", "b")
+          .select(graft.functions.rq_ks(col("a"), col("b")).getField("d"))
+          .head().getDouble(0)
+        val batch = hist.toSeq.toDF("k", "v")
+          .groupBy()
+          .agg(graft.functions.rq_sketch(when(col("k") === 0L, col("v")), 64)
+              .as("a"),
+            graft.functions.rq_sketch(when(col("k") === 1L, col("v")), 64)
+              .as("b"))
+          .select(graft.functions.rq_ks(col("a"), col("b")).getField("d"))
+          .head().getDouble(0)
+        assert(served == batch,
+          s"live rq_ks != batch sketch KS after batch $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
