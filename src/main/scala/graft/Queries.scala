@@ -8437,6 +8437,37 @@ object Queries {
       |  END AS mase_x
       |FROM a WHERE n > 5""".stripMargin
 
+  /** Pairwise association rules over order baskets (Assoc.pairRules):
+    * co-purchased part pairs with support >= 2, confidence both ways
+    * and lift — exact integer supports, three single-division ratios,
+    * pair fan-out bounded per basket under a CHECKED contract. */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    Assoc.pairRules(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  private val q208Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |isup AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM d GROUP BY 1),
+      |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM d),
+      |p AS (
+      |  SELECT l.i AS item_a, r.i AS item_b,
+      |    CAST(count(*) AS BIGINT) AS support_ab
+      |  FROM d l JOIN d r ON l.b = r.b AND l.i < r.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.item_a, p.item_b, p.support_ab,
+      |  a.s AS support_a, bb.s AS support_b,
+      |  CAST(p.support_ab AS DOUBLE) / CAST(a.s AS DOUBLE) AS conf_a_b,
+      |  CAST(p.support_ab AS DOUBLE) / CAST(bb.s AS DOUBLE) AS conf_b_a,
+      |  CAST(nb.n * p.support_ab AS DOUBLE)
+      |    / CAST(a.s * bb.s AS DOUBLE) AS lift
+      |FROM p
+      |JOIN isup a ON a.i = p.item_a
+      |JOIN isup bb ON bb.i = p.item_b
+      |CROSS JOIN nb""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8649,5 +8680,6 @@ object Queries {
     "q204_wilson_interval" -> Q(q204, Some(q204Sql)),
     "q205_brier_decomposition" -> Q(q205, Some(q205Sql)),
     "q206_cusum_alarms" -> Q(q206, Some(q206Sql)),
-    "q207_seasonal_naive" -> Q(q207, Some(q207Sql)))
+    "q207_seasonal_naive" -> Q(q207, Some(q207Sql)),
+    "q208_association_rules" -> Q(q208, Some(q208Sql)))
 }

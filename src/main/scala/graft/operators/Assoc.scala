@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining — the co-purchase / co-occurrence
+  * rule extractor (Agrawal & Srikant's Apriori setting, restricted to
+  * the pairwise rules that dominate practical use: "baskets with A
+  * also contain B").
+  *
+  * Everything reduces to exact integer supports before the three
+  * fixed-shape ratio columns, so results are engine-exact; the pair
+  * fan-out is bounded by the per-basket DISTINCT item count — a
+  * CHECKED contract, because one pathological basket (a crawler cart
+  * with 10⁵ items) would otherwise explode C(n,2) quietly inside a
+  * self-join.
+  */
+object Assoc {
+
+  /** Pairwise association rules over (basket, item) rows:
+    *
+    *   support_ab = |{baskets ⊇ {a,b}}|          (≥ minSupport)
+    *   conf_a_b   = support_ab / support_a       (P(b | a))
+    *   conf_b_a   = support_ab / support_b
+    *   lift       = n·support_ab / (support_a·support_b)
+    *
+    * Shape: ONE distinct projection collapses multi-quantity lines
+    * (a basket holding item twice is still one co-occurrence), the
+    * per-basket distinct-item bound is CHECKED against
+    * `maxItemsPerBasket` (the [[Contracts]] fail-before-execute
+    * discipline — C(n,2) lives inside the self-join below), pairs come
+    * from a basket-keyed self-equi-join with `itemA < itemB` (each
+    * unordered pair exactly once; candidates bounded by Σ C(basket,2),
+    * never |items|²), and item/pair supports are two map-side-combining
+    * hash aggregations. The basket total rides a one-row cross join
+    * (the trailingActives discipline, no eager collect). All three
+    * ratios are single divisions of exact int64 operands — DuckDB
+    * replays them bit-for-bit.
+    * Output: (item_a, item_b, support_ab, support_a, support_b,
+    * conf_a_b, conf_b_a, lift). */
+  def pairRules(df: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long,
+                maxItemsPerBasket: Long = 100000L): DataFrame = {
+    require(minSupport >= 1, s"pairRules needs minSupport >= 1, got $minSupport")
+    val d = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__i").isNotNull && col("__b").isNotNull)
+      .distinct().localCheckpoint()
+    Contracts.boundedPerKey(d, "__b", maxItemsPerBasket, "pairRules",
+      "distinct items", "Split or cap pathological baskets before mining " +
+        "— the pair join is C(n,2) per basket.",
+      contract = "per-basket pair fan-out")
+    val itemSupport = d.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__s"))
+    val nBaskets = d.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val pairs = d.as("l").join(d.as("r"),
+        col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("support_ab"))
+      .where(col("support_ab") >= minSupport)
+    pairs
+      .join(itemSupport.withColumnRenamed("__i", "item_a")
+        .withColumnRenamed("__s", "support_a"), Seq("item_a"))
+      .join(itemSupport.withColumnRenamed("__i", "item_b")
+        .withColumnRenamed("__s", "support_b"), Seq("item_b"))
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"), col("support_ab"),
+        col("support_a"), col("support_b"),
+        (col("support_ab").cast("double") / col("support_a").cast("double"))
+          .as("conf_a_b"),
+        (col("support_ab").cast("double") / col("support_b").cast("double"))
+          .as("conf_b_a"),
+        ((col("__n") * col("support_ab")).cast("double")
+          / (col("support_a") * col("support_b")).cast("double")).as("lift"))
+  }
+}

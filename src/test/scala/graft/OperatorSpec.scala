@@ -1263,4 +1263,48 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out2(0L).getLong(1) == 3)
   }
+
+  test("pairRules: brute-force parity, multi-quantity lines collapse, " +
+    "pathological baskets fail loudly") {
+    import graft.operators.Assoc
+    val rnd = new scala.util.Random(82)
+    val rows = (1 to 120).flatMap { b =>
+      Seq.fill(2 + rnd.nextInt(4))((b.toLong, s"i${rnd.nextInt(12)}"))
+    }
+    val out = Assoc.pairRules(rows.toDF("b", "i"), "b", "i", minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // brute force over distinct (basket, item)
+    val baskets = rows.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val isup = rows.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet.size.toLong).toMap
+    val pairs = baskets.values.flatMap { items =>
+      items.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    assert(out.keySet == pairs.keySet.map { case (a, b) => (a, b) })
+    pairs.foreach { case ((a, b), sab) =>
+      val r = out((a, b))
+      assert(r.getLong(2) == sab)
+      assert(r.getLong(3) == isup(a) && r.getLong(4) == isup(b))
+      assert(r.getDouble(5) == sab.toDouble / isup(a).toDouble)
+      assert(r.getDouble(6) == sab.toDouble / isup(b).toDouble)
+      assert(r.getDouble(7) ==
+        (n * sab).toDouble / (isup(a) * isup(b)).toDouble)
+    }
+    // a basket holding an item twice counts ONE co-occurrence
+    val dup = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("b", "i")
+    val dr = graft.operators.Assoc.pairRules(dup, "b", "i", 2L)
+      .collect().head
+    assert(dr.getLong(2) == 2L && dr.getDouble(7) == 1.0)
+    // the per-basket fan-out bound is CHECKED before the pair join
+    val wide = (1 to 300).map(i => (1L, s"i$i"))
+    val e = intercept[IllegalArgumentException] {
+      Assoc.pairRules(wide.toDF("b", "i"), "b", "i", 1L,
+        maxItemsPerBasket = 100L)
+    }
+    assert(e.getMessage.contains("pairRules"))
+  }
 }
