@@ -8468,6 +8468,40 @@ object Queries {
       |JOIN isup bb ON bb.i = p.item_b
       |CROSS JOIN nb""".stripMargin
 
+  /** Deterministic label-propagation communities over the collocation
+    * graph (Graph.labelPropagation): three synchronous rounds of
+    * "most frequent neighbor label, ties to the smallest" — the
+    * unique tie-break makes the whole trajectory SQL-replayable; the
+    * oracle unrolls the rounds (the q166 kCore discipline). */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("u"), col("term_b").as("v"))
+    Graph.labelPropagation(pairs, rounds = 3)
+  }
+
+  private val q209Sql = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.u AS node, l.label, count(*) AS c
+         |        FROM e0 e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |          SELECT node, label, row_number() OVER (
+         |            PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |          FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    collocCtes +
+      s""",
+         |flt AS (SELECT term_a, term_b FROM pairs WHERE n_ab >= 5),
+         |e0 AS (SELECT term_a AS u, term_b AS v FROM flt
+         |       UNION SELECT term_b, term_a FROM flt),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8681,5 +8715,6 @@ object Queries {
     "q205_brier_decomposition" -> Q(q205, Some(q205Sql)),
     "q206_cusum_alarms" -> Q(q206, Some(q206Sql)),
     "q207_seasonal_naive" -> Q(q207, Some(q207Sql)),
-    "q208_association_rules" -> Q(q208, Some(q208Sql)))
+    "q208_association_rules" -> Q(q208, Some(q208Sql)),
+    "q209_label_propagation" -> Q(q209, Some(q209Sql)))
 }

@@ -371,4 +371,80 @@ object Graph {
             / col("__den").cast("double"))
           .as("assortativity"))
   }
+
+  /** DETERMINISTIC synchronous label propagation — community detection
+    * with an engine-replayable fixpoint rule (Raghavan et al. 2007,
+    * made deterministic): every node starts as its own label, and each
+    * synchronous round reassigns
+    *
+    *   label(n) := argmax over neighbor labels by
+    *               (count DESC, label ASC)
+    *
+    * — the unique tie-break makes the whole trajectory a pure function
+    * of (edge set, rounds), unlike classic LPA's random visit order,
+    * so a SQL oracle unrolls the rounds and the hash must match.
+    * Densely connected groups converge onto their lexicographically
+    * smallest member within a few rounds; FIXED rounds keep the job
+    * graph static (the [[pageRankInt]] discipline).
+    *
+    * Adaptive shape (the [[kCoreMembers]] pattern): under the CHECKED
+    * `driverEdgeLimit` the symmetric edge set collects and the rounds
+    * run as one in-JVM loop (post-filter collocation/co-engagement
+    * graphs are edge-sparse; a distributed round pays a shuffle floor
+    * per iteration); above it each round is ONE edges⋈labels join +
+    * per-node (neighbor-label count, label) window — partitioned by
+    * node, bounded by its distinct neighbor labels — with a lineage
+    * cut per round. Both paths are parity-pinned in GraphRangeSpec.
+    * Output: (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
+    val e0 = edges.toDF("u", "v")
+    val sym = e0.where(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+      .unionByName(e0.where(col("u") =!= col("v"))
+        .select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    if (sym.count() <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      val nbrs = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      var labels: Map[Any, Any] = nbrs.keys.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        labels = nbrs.map { case (n, ns) =>
+          val counts = ns.map(labels).groupBy(identity).view
+            .mapValues(_.size).toMap
+          n -> counts.reduceLeft { (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && lt(b._1, a._1))) b else a
+          }._1
+        }
+      }
+      val spark = edges.sparkSession
+      val idType = sym.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          labels.toSeq.map { case (n, l) => Row(n, l) }.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("label", idType))))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      var labels = sym.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label").asc)
+      (1 to rounds).foreach { _ =>
+        labels = sym
+          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u").as("node"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("node"), col("label")).localCheckpoint()
+      }
+      labels
+    }
+  }
 }

@@ -436,4 +436,36 @@ class GraphRangeSpec extends SparkTestBase {
     assert(Graph.degreeAssortativity(regular)
       .collect().head.getDouble(4).isNaN)
   }
+
+  test("labelPropagation: driver == distributed, two cliques converge " +
+    "to their smallest members, bridge nodes join a community") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(83)
+    (1 to 3).foreach { trial =>
+      val n = 25
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(5) == 0
+      } yield (u.toLong, v.toLong))
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v")
+        val drv = Graph.labelPropagation(df, rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Graph.labelPropagation(df, rounds = 4,
+            driverEdgeLimit = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(drv == dist, s"trial=$trial driver != distributed")
+      }
+    }
+    // two 4-cliques joined by one bridge edge: after a few rounds each
+    // clique carries its smallest member's label
+    val cl1 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val cl2 = for (u <- 11L to 14L; v <- (u + 1) to 14L) yield (u, v)
+    val g = (cl1 ++ cl2 :+ ((4L, 11L))).toDF("u", "v")
+    val labels = Graph.labelPropagation(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(labels(_) == 1L),
+      s"clique 1 must converge to label 1: $labels")
+    assert((12L to 14L).forall(labels(_) == 11L),
+      s"clique 2 must converge to label 11: $labels")
+  }
 }
