@@ -8502,6 +8502,51 @@ object Queries {
          |SELECT node, label FROM l3""".stripMargin
   }
 
+  /** Per-label embedding centroid drift between the even- and odd-id
+    * halves of the corpus (Similarity.centroidDrift): cosine of the
+    * quantized SUM vectors (the 1/n factors cancel — no per-key
+    * division, exact decimal(38,0)/HUGEINT until two sqrts and one
+    * division) — the encoder/corpus-mix drift monitor per slice. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("k"),
+        col("embedding"))
+    Similarity.centroidDrift(
+      emb.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      emb.where(pmod(col("vec_id"), lit(2L)) === 1L),
+      "k", "embedding")
+  }
+
+  private val q210Sql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS k,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+      |      AS BIGINT) AS q
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |sa AS (SELECT k, dim, sum(q) AS s FROM u WHERE vec_id % 2 = 0
+      |       GROUP BY 1, 2),
+      |sb AS (SELECT k, dim, sum(q) AS s FROM u WHERE vec_id % 2 = 1
+      |       GROUP BY 1, 2),
+      |j AS (SELECT sa.k, sa.s AS x, sb.s AS y
+      |      FROM sa JOIN sb ON sa.k = sb.k AND sa.dim = sb.dim),
+      |g AS (SELECT k, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      |      FROM j GROUP BY 1),
+      |ca AS (SELECT CAST(label AS BIGINT) AS k,
+      |         CAST(count(*) AS BIGINT) AS n_a
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND vec_id % 2 = 0 GROUP BY 1),
+      |cb AS (SELECT CAST(label AS BIGINT) AS k,
+      |         CAST(count(*) AS BIGINT) AS n_b
+      |       FROM embeddings
+      |       WHERE embedding IS NOT NULL AND vec_id % 2 = 1 GROUP BY 1)
+      |SELECT g.k, ca.n_a, cb.n_b, CAST(g.dot AS DOUBLE) AS dot,
+      |  CASE WHEN g.nx = 0 OR g.ny = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(g.dot AS DOUBLE)
+      |      / (sqrt(CAST(g.nx AS DOUBLE)) * sqrt(CAST(g.ny AS DOUBLE)))
+      |  END AS cos
+      |FROM g JOIN ca ON ca.k = g.k JOIN cb ON cb.k = g.k""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8716,5 +8761,6 @@ object Queries {
     "q206_cusum_alarms" -> Q(q206, Some(q206Sql)),
     "q207_seasonal_naive" -> Q(q207, Some(q207Sql)),
     "q208_association_rules" -> Q(q208, Some(q208Sql)),
-    "q209_label_propagation" -> Q(q209, Some(q209Sql)))
+    "q209_label_propagation" -> Q(q209, Some(q209Sql)),
+    "q210_centroid_drift" -> Q(q210, Some(q210Sql)))
 }

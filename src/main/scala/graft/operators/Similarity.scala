@@ -471,6 +471,54 @@ object Similarity {
         / (nDec * nDec).cast("double")).as("variance"))
   }
 
+  /** CENTROID DRIFT between two embedding snapshots, per key — "did the
+    * encoder (or the corpus mix) move?" for every source/label slice,
+    * answered as the cosine between the two slices' mean vectors. The
+    * scale-relevant identity: cosine of the SUM vectors equals cosine
+    * of the means (the 1/n factors cancel), so no per-key division ever
+    * happens and everything stays exact integer arithmetic until the
+    * final two sqrts and one division.
+    *
+    * Exactness: elements micro-quantize (the [[embeddingDimProfile]]
+    * argument — float×10⁶ is exact in double), per-(key, dim) sums and
+    * the dot/norm accumulations run in decimal(38,0) (s ≈ 5·10⁶·n per
+    * dim ⟹ s² ≈ 2.5·10³¹ at a billion vectors — far past int64, well
+    * inside decimal38; the oracle sums HUGEINT). Shape: one posexplode
+    * + hash agg per side (shuffle ≤ partitions × keys × d), ONE
+    * co-partitioned (key, dim) equi-join, one final per-key fold —
+    * no window, no driver collect. Keys missing from either side drop;
+    * a zero-norm side → NaN. Output: (key, n_a, n_b, dot, cos). */
+  def centroidDrift(a: DataFrame, b: DataFrame, keyCol: String,
+                    vecCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    def dimSums(df: DataFrame, out: String) = df
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("__dim", "__e")))
+      .select(col(keyCol), col("__dim").cast("long").as("__dim"),
+        bround(col("__e").cast("double") * scale.toDouble, 0)
+          .cast("long").cast("decimal(38,0)").as("__q"))
+      .groupBy(col(keyCol), col("__dim"))
+      .agg(sum(col("__q")).as(out))
+    def counts(df: DataFrame, out: String) = df
+      .where(col(vecCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as(out))
+    val joined = dimSums(a, "__sa").join(dimSums(b, "__sb"),
+      Seq(keyCol, "__dim"))
+    val folded = joined.groupBy(col(keyCol))
+      .agg(sum(col("__sa") * col("__sb")).as("__dot"),
+        sum(col("__sa") * col("__sa")).as("__nx"),
+        sum(col("__sb") * col("__sb")).as("__ny"))
+    folded
+      .join(counts(a, "n_a"), Seq(keyCol))
+      .join(counts(b, "n_b"), Seq(keyCol))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        col("__dot").cast("double").as("dot"),
+        when(col("__nx") === lit(0) || col("__ny") === lit(0),
+          lit(Double.NaN)).otherwise(
+          col("__dot").cast("double") /
+            (sqrt(col("__nx").cast("double"))
+              * sqrt(col("__ny").cast("double")))).as("cos"))
+  }
+
   def ivfPqTopK(index: PqIndex, queries: DataFrame, k: Int,
                 nProbe: Int = 2): DataFrame = {
     val m = index.codebooks.length

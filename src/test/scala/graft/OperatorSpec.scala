@@ -1307,4 +1307,43 @@ class OperatorSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("pairRules"))
   }
+
+  test("centroidDrift: identical snapshots give cosine 1, orthogonal " +
+    "slices 0, opposite slices -1, exact sums verified") {
+    import graft.operators.Similarity
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("k", "embedding")
+    // identical snapshots -> cos exactly 1.0 (dot == nx == ny)
+    val a = df(Seq((1L, Seq(0.5f, -0.25f, 0.125f)),
+      (1L, Seq(0.1f, 0.2f, 0.3f))))
+    val same = Similarity.centroidDrift(a, a, "k", "embedding")
+      .collect().head
+    assert(same.getLong(1) == 2 && same.getLong(2) == 2)
+    // dot == nx == ny exactly, but sqrt(n)*sqrt(n) != n in IEEE —
+    // last-ulp only (both engines compute the identical value)
+    assert(math.abs(same.getDouble(4) - 1.0) < 1e-12)
+    // orthogonal centroids -> 0; opposite -> -1
+    val x = df(Seq((1L, Seq(1.0f, 0.0f))))
+    val y = df(Seq((1L, Seq(0.0f, 1.0f))))
+    assert(Similarity.centroidDrift(x, y, "k", "embedding")
+      .collect().head.getDouble(4) == 0.0)
+    val negx = df(Seq((1L, Seq(-1.0f, 0.0f))))
+    assert(Similarity.centroidDrift(x, negx, "k", "embedding")
+      .collect().head.getDouble(4) == -1.0)
+    // exact quantized dot: [0.5, 0.25] x 2 rows vs [1.0, -0.5]
+    val p = df(Seq((1L, Seq(0.5f, 0.25f)), (1L, Seq(0.5f, 0.25f))))
+    val q = df(Seq((1L, Seq(1.0f, -0.5f))))
+    val r = Similarity.centroidDrift(p, q, "k", "embedding")
+      .collect().head
+    // sums: a = (1e6, 5e5); b = (1e6, -5e5); dot = 1e12 - 2.5e11
+    assert(r.getDouble(3) == 7.5e11)
+    // a zero-norm side -> NaN, not a throw
+    val z = df(Seq((1L, Seq(0.0f, 0.0f))))
+    assert(Similarity.centroidDrift(x, z, "k", "embedding")
+      .collect().head.getDouble(4).isNaN)
+    // keys missing from one side drop
+    val twoKeys = df(Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))))
+    assert(Similarity.centroidDrift(twoKeys, x, "k", "embedding")
+      .count() == 1L)
+  }
 }
