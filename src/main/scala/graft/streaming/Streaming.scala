@@ -241,6 +241,42 @@ object Streaming {
       .toDF("k", "ts", "x", "s")
   }
 
+  /** Streaming CUSUM changepoint monitor — the live twin of
+    * [[graft.operators.Stats.cusumAlarms]]: per key the accumulator
+    * S = max(0, S + x − ref) updates as observations arrive, emitting
+    * (k, ts, x, s, alarm) per row and resetting after each alarm
+    * (S ≥ h). ONE LONG of state per key — the [[streamingEwma]] shape:
+    * exact integer recurrence, so the streamed trajectory equals the
+    * batch kernel over the same history bit-for-bit (StreamingSpec).
+    * Rows sort by ts within each micro-batch; cross-batch order is the
+    * stream's delivery contract. */
+  def streamingCusum(obs: DataFrame, ref: Long, h: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(h > 0, s"streamingCusum needs h > 0, got $h")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("ts").cast("long"),
+        col("x").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var s = state.getOption.getOrElse(0L)
+          val out = sorted.map { case (_, t, x) =>
+            s = math.max(0L, s + x - ref)
+            val alarm = s >= h
+            val row = (k, t, x, s, alarm)
+            if (alarm) s = 0L
+            row
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF("k", "ts", "x", "s", "alarm")
+  }
+
   /** Streaming A/B cell maintainer — the live twin of
     * [[graft.operators.Stats.twoProportionZ]]: per experiment key the
     * state is the four exact cells (n_a, x_a, n_b, x_b), each batch

@@ -900,6 +900,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals the batch kernel over the history, " +
+    "alarms and resets crossing batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.streamingCusum(mem.toDF().toDF("k", "ts", "x"),
+        ref = 10L, h = 25L)
+      .writeStream.format("memory").queryName("cs").outputMode("append")
+      .start()
+    try {
+      // key 1 drifts to an alarm ACROSS the batch boundary (state must
+      // carry the accumulator); key 2 stays quiet
+      mem.addData((1L, 1L, 20L), (1L, 2L, 18L), (2L, 1L, 5L))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 22L), (1L, 4L, 20L), (2L, 2L, 8L))
+      q.processAllAvailable()
+      val out = spark.table("cs").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(3), r.getBoolean(4))).toMap
+      val batch = graft.operators.Stats.cusumAlarms(
+          Seq((1L, 1L, 20L), (1L, 2L, 18L), (1L, 3L, 22L), (1L, 4L, 20L),
+            (2L, 1L, 5L), (2L, 2L, 8L)).toDF("k", "o", "v"),
+          "k", Seq("o"), "v", ref = 10L, h = 25L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(3), r.getBoolean(4))).toMap
+      // batch rn is 1-based position == our ts here by construction
+      assert(out == batch, "streamed CUSUM != batch kernel")
+      // the drift key alarmed at least once and then RESET (a later s
+      // value must be below the running total a no-reset fold implies)
+      assert(out.exists { case ((k, _), (_, a)) => k == 1L && a })
+    } finally q.stop()
+  }
+
   test("live drift monitoring: rq_ks over two streamed sketches equals " +
     "the batch sketch KS at every moment") {
     implicit val sqlCtx = spark.sqlContext
