@@ -8547,6 +8547,71 @@ object Queries {
       |  END AS cos
       |FROM g JOIN ca ON ca.k = g.k JOIN cb ON cb.k = g.k""".stripMargin
 
+  /** KMV set-operation estimates over source vocabularies
+    * (functions.kmv_set_ops): union / Jaccard / intersection per
+    * source pair from two 64-entry bottom-k samples — the SKETCH twin
+    * of q183's exact vocabJaccard: 190 pairs compared through 20
+    * fixed-size sketches instead of a token self-join over the full
+    * vocabulary. The oracle replays the bottom-k (ORDER BY h LIMIT k,
+    * the q57 discipline) and the θ = min(τ_a, τ_b) merged walk. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(col("source").as("g"), explode(ws_tokens(col("text")))
+        .as("token"))
+      .distinct()
+    val sk = vocab
+      .select(col("g"), md5_long(col("token")).as("h"))
+      .groupBy(col("g"))
+      .agg(bottom_k(struct(col("h"), col("h").as("id")), 64).as("bk"))
+    sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        kmv_set_ops(col("a.bk"), col("b.bk"), 64).as("o"))
+      .select(col("g_a"), col("g_b"), col("o.tau").as("tau"),
+        col("o.n_s").as("n_s"), col("o.n_common").as("n_common"),
+        col("o.d_union").as("d_union"), col("o.jaccard").as("jaccard"),
+        col("o.d_intersect").as("d_intersect"))
+  }
+
+  private val q211Sql = {
+    val h = md5LongSql("token")
+    s"""WITH v AS (SELECT DISTINCT source AS g, unnest($toksSql) AS token
+       |           FROM documents),
+       |hh AS (SELECT DISTINCT g, $h AS h FROM v),
+       |r AS (SELECT g, h,
+       |        row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |      FROM hh),
+       |s AS (SELECT g, h FROM r WHERE rn <= 64),
+       |tau AS (SELECT g,
+       |          CASE WHEN count(*) = 64 THEN max(h)
+       |               ELSE 1152921504606846976 END AS tau
+       |        FROM s GROUP BY 1),
+       |pr AS (SELECT ta.g AS g_a, tb.g AS g_b,
+       |         CASE WHEN ta.tau < tb.tau THEN ta.tau ELSE tb.tau END
+       |           AS tau
+       |       FROM tau ta JOIN tau tb ON ta.g < tb.g),
+       |m AS (SELECT p.g_a, p.g_b, p.tau, s.h,
+       |        max(CASE WHEN s.g = p.g_a THEN 1 ELSE 0 END) AS ina,
+       |        max(CASE WHEN s.g = p.g_b THEN 1 ELSE 0 END) AS inb
+       |      FROM pr p JOIN s ON s.g IN (p.g_a, p.g_b) AND s.h < p.tau
+       |      GROUP BY 1, 2, 3, 4),
+       |agg AS (SELECT g_a, g_b, any_value(tau) AS tau,
+       |          CAST(count(*) AS BIGINT) AS n_s,
+       |          CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_common
+       |        FROM m GROUP BY 1, 2)
+       |SELECT g_a, g_b, tau, n_s, n_common,
+       |  CASE WHEN tau = 1152921504606846976 THEN CAST(n_s AS DOUBLE)
+       |    ELSE CAST(n_s AS DOUBLE) * 1152921504606846976.0
+       |      / CAST(tau AS DOUBLE) END AS d_union,
+       |  CASE WHEN n_s = 0 THEN CAST('nan' AS DOUBLE)
+       |    ELSE CAST(n_common AS DOUBLE) / CAST(n_s AS DOUBLE)
+       |  END AS jaccard,
+       |  CASE WHEN tau = 1152921504606846976 THEN CAST(n_common AS DOUBLE)
+       |    ELSE CAST(n_common AS DOUBLE) * 1152921504606846976.0
+       |      / CAST(tau AS DOUBLE) END AS d_intersect
+       |FROM agg""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8762,5 +8827,6 @@ object Queries {
     "q207_seasonal_naive" -> Q(q207, Some(q207Sql)),
     "q208_association_rules" -> Q(q208, Some(q208Sql)),
     "q209_label_propagation" -> Q(q209, Some(q209Sql)),
-    "q210_centroid_drift" -> Q(q210, Some(q210Sql)))
+    "q210_centroid_drift" -> Q(q210, Some(q210Sql)),
+    "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -1360,4 +1360,92 @@ case class RqKs(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RqKs =
     copy(left = l, right = r)
+}
+
+/** `kmv_set_ops(a, b, k)` — theta-sketch-style SET OPERATION estimates
+  * from two `bottom_k` samples built with the same k over the 60-bit
+  * md5 hash space: union cardinality, Jaccard, and intersection
+  * cardinality WITHOUT ever joining the underlying sets (the
+  * Dataverse/DataSketches theta-union idea on KMV samples; Beyer et
+  * al. SIGMOD'07).
+  *
+  *   τ   = min(τ_A, τ_B), where τ_X = the k-th smallest hash when the
+  *         sample is FULL, else 2⁶⁰ (a partial sample saw everything)
+  *   S   = {distinct h from either sample : h < τ}   (both samples are
+  *         complete below τ, so S is an exact uniform hash sample of
+  *         the union)
+  *   d_union     = |S| · 2⁶⁰ / τ        (exact |S| when τ = 2⁶⁰)
+  *   jaccard     = |S ∩ A ∩ B| / |S|
+  *   d_intersect = |S ∩ A ∩ B| · 2⁶⁰ / τ
+  *
+  * All counts are exact integers; the two scale divisions and one
+  * ratio are the only floats — engine-replayable against a SQL
+  * bottom-k (ORDER BY h LIMIT k, the q57 discipline). Sketches of
+  * different k compose (τ handles it), but the gate keeps one k.
+  * Null inputs yield null; both-empty yields n_s = 0 with NaN jaccard.
+  * Output struct: (tau, n_s, n_common, d_union, jaccard, d_intersect). */
+case class KmvSetOps(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(k >= 1 && k <= 4096, s"kmv_set_ops k out of range: $k")
+  private val SPACE = 1152921504606846976L // 2^60, the md5Long range
+  override def dataType: DataType = StructType(Seq(
+    StructField("tau", LongType, nullable = false),
+    StructField("n_s", LongType, nullable = false),
+    StructField("n_common", LongType, nullable = false),
+    StructField("d_union", DoubleType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false),
+    StructField("d_intersect", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "kmv_set_ops"
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(StructType(Array(a, b)), _) =>
+      a.dataType == LongType && b.dataType == LongType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_set_ops needs two array<struct<long, long>> bottom_k samples, " +
+        s"got ${left.dataType}, ${right.dataType}")
+  /** Distinct hashes ascending (bottom_k emits (h, id) sorted, unique
+    * by pair — collapse to unique by h). */
+  private def hashes(a: ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val h = a.getStruct(i, 2).getLong(0)
+      if (m == 0 || out(m - 1) != h) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val ha = hashes(aAny.asInstanceOf[ArrayData])
+    val hb = hashes(bAny.asInstanceOf[ArrayData])
+    val tauA = if (ha.length == k) ha.last else SPACE
+    val tauB = if (hb.length == k) hb.last else SPACE
+    val tau = math.min(tauA, tauB)
+    // merged walk below tau: count distinct union hashes and commons
+    var i = 0; var j = 0
+    var nS = 0L; var common = 0L
+    while ((i < ha.length && ha(i) < tau) || (j < hb.length && hb(j) < tau)) {
+      val aOk = i < ha.length && ha(i) < tau
+      val bOk = j < hb.length && hb(j) < tau
+      if (aOk && bOk && ha(i) == hb(j)) {
+        nS += 1; common += 1; i += 1; j += 1
+      } else if (bOk && (!aOk || hb(j) < ha(i))) { nS += 1; j += 1 }
+      else { nS += 1; i += 1 }
+    }
+    val dUnion = if (tau == SPACE) nS.toDouble
+      else nS.toDouble * SPACE.toDouble / tau.toDouble
+    val jac = if (nS == 0L) Double.NaN else common.toDouble / nS.toDouble
+    val dInt = if (tau == SPACE) common.toDouble
+      else common.toDouble * SPACE.toDouble / tau.toDouble
+    InternalRow(tau, nS, common, dUnion, jac, dInt)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvSetOps = copy(left = l, right = r)
 }

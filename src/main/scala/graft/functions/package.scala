@@ -306,6 +306,11 @@ package object functions {
   def bottom_k(pair: Column, k: Int): Column =
     ExprBridge.column(BottomKAgg(col2expr(pair), k).toAggregateExpression())
 
+  /** Theta-sketch-style union/Jaccard/intersection estimates from two
+    * `bottom_k` samples built with the same k (see [[KmvSetOps]]). */
+  def kmv_set_ops(a: Column, b: Column, k: Int): Column =
+    ExprBridge.column(KmvSetOps(col2expr(a), col2expr(b), k))
+
   /** Quantized elementwise vector sum over fixed-`dim` float/double
     * arrays: exact Long sums of `floor(x*1e6)` per component — the
     * partial-combining per-group embedding-centroid aggregate (see

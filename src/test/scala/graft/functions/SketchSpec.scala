@@ -478,4 +478,39 @@ class SketchSpec extends SparkTestBase {
       .select(rq_ks(col("a"), col("b")).getField("d")).head().getDouble(0)
     assert(math.abs(dBig - 0.3) < 0.1, s"sampled KS too far off: $dBig")
   }
+
+  test("kmv_set_ops: exact below k, accurate estimates above, " +
+    "disjoint and identical edges") {
+    def ops(a: Seq[Long], b: Seq[Long], k: Int) = {
+      val df = (a.map(v => (0, v)) ++ b.map(v => (1, v))).toDF("side", "v")
+        .select(col("side"), md5_long(col("v").cast("string")).as("h"))
+      df.agg(
+          bottom_k(when(col("side") === 0,
+            struct(col("h"), col("h").as("id"))), k).as("a"),
+          bottom_k(when(col("side") === 1,
+            struct(col("h"), col("h").as("id"))), k).as("b"))
+        .select(kmv_set_ops(col("a"), col("b"), k).as("o"))
+        .select("o.*").head()
+    }
+    // both sets under k: the sketches ARE the sets -> everything exact
+    val small = ops(1L to 20L, 11L to 35L, 64)
+    assert(small.getLong(0) == 1152921504606846976L)
+    assert(small.getLong(1) == 35L && small.getLong(2) == 10L)
+    assert(small.getDouble(3) == 35.0 && small.getDouble(5) == 10.0)
+    assert(small.getDouble(4) == 10.0 / 35.0)
+    // large sets, known 50% overlap: estimates land near truth
+    val a = (1L to 20000L)
+    val b = (10001L to 30000L)
+    val big = ops(a, b, 256)
+    assert(math.abs(big.getDouble(3) - 30000.0) / 30000.0 < 0.25,
+      s"union est off: ${big.getDouble(3)}")
+    assert(math.abs(big.getDouble(4) - 1.0 / 3.0) < 0.15,
+      s"jaccard est off: ${big.getDouble(4)}")
+    // disjoint -> zero commons at any scale
+    val dis = ops(1L to 5000L, 100001L to 105000L, 128)
+    assert(dis.getLong(2) == 0L && dis.getDouble(5) == 0.0)
+    // identical -> jaccard exactly 1 (same sample both sides)
+    val same = ops(1L to 5000L, 1L to 5000L, 128)
+    assert(same.getDouble(4) == 1.0)
+  }
 }
