@@ -8612,6 +8612,50 @@ object Queries {
        |FROM agg""".stripMargin
   }
 
+  /** Golden-record survivorship per user (Snapshot.goldenRecords):
+    * latest-non-null-wins per attribute in ONE decomposable
+    * aggregation — the entity-resolution merge step. Attributes are
+    * deliberately sparse (errors carry no type, small events no spend)
+    * so the picks genuinely skip nulls; the oracle replays each pick
+    * with a per-attribute descending window over the non-null rows. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") =!= "error", col("event_type"))
+          .as("last_type"),
+        when(col("value") > 100.0, cents(col("value")))
+          .as("last_big_cents"))
+    Snapshot.goldenRecords(ev, "user_id", "event_id",
+      Seq("ts", "event_id"), Seq("last_type", "last_big_cents"))
+  }
+
+  private val q212Sql =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+      |    CASE WHEN event_type != 'error' THEN event_type END AS lt,
+      |    CASE WHEN value > 100.0 THEN CAST(round(value*100) AS BIGINT)
+      |    END AS lb
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_members,
+      |    min(event_id) AS canonical_id
+      |  FROM o GROUP BY 1),
+      |p1 AS (
+      |  SELECT user_id, lt FROM (
+      |    SELECT user_id, lt, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM o WHERE lt IS NOT NULL) WHERE rn = 1),
+      |p2 AS (
+      |  SELECT user_id, lb FROM (
+      |    SELECT user_id, lb, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM o WHERE lb IS NOT NULL) WHERE rn = 1)
+      |SELECT b.user_id, b.n_members, b.canonical_id,
+      |  p1.lt AS last_type, p2.lb AS last_big_cents
+      |FROM base b
+      |LEFT JOIN p1 ON p1.user_id = b.user_id
+      |LEFT JOIN p2 ON p2.user_id = b.user_id""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8828,5 +8872,6 @@ object Queries {
     "q208_association_rules" -> Q(q208, Some(q208Sql)),
     "q209_label_propagation" -> Q(q209, Some(q209Sql)),
     "q210_centroid_drift" -> Q(q210, Some(q210Sql)),
-    "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)))
+    "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)),
+    "q212_golden_records" -> Q(q212, Some(q212Sql)))
 }

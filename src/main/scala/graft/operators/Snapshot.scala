@@ -160,4 +160,34 @@ object Snapshot {
     history.where(col("valid_from") <= version &&
         (col("valid_to").isNull || col("valid_to") > version))
       .select(col("doc_id"), col("h"))
+
+  /** GOLDEN-RECORD survivorship merge — the entity-resolution tail
+    * step: duplicate clusters in, ONE merged record per entity out,
+    * each attribute surviving from the MOST RECENT row where it is
+    * non-null (the standard MDM "latest non-null wins" rule — a stale
+    * record's filled field beats a fresh record's missing one).
+    *
+    * Shape: ONE decomposable aggregation — per attribute a
+    * `max_by(attr, order-struct-if-non-null)` (the NULL ordering key
+    * makes null-attribute rows invisible to that attribute's pick
+    * without filtering the row out of the others), plus min(id) as the
+    * canonical representative and the member count. The order columns
+    * must make rows unique within a cluster (e.g. (ts, event_id)) so
+    * the pick is deterministic — the same contract every sequence
+    * operator here documents. Map-side combining, shuffle bounded by
+    * cluster cardinality; no window, no second pass per attribute.
+    * Output: (cluster, n_members, canonical_id, <attrCols...>). */
+  def goldenRecords(df: DataFrame, clusterCol: String, idCol: String,
+                    orderCols: Seq[String],
+                    attrCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "goldenRecords needs order columns")
+    require(attrCols.nonEmpty, "goldenRecords needs attribute columns")
+    val ord = struct(orderCols.map(col): _*)
+    val picks = attrCols.map { a =>
+      max_by(col(a), when(col(a).isNotNull, ord)).as(a)
+    }
+    df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        (min(col(idCol)).as("canonical_id") +: picks): _*)
+  }
 }

@@ -1346,4 +1346,29 @@ class OperatorSpec extends SparkTestBase {
     assert(Similarity.centroidDrift(twoKeys, x, "k", "embedding")
       .count() == 1L)
   }
+
+  test("goldenRecords: latest non-null wins per attribute " +
+    "independently, all-null attributes stay null") {
+    import graft.operators.Snapshot
+    // cluster 1: the newest row (o=4) has a null name but a fresh
+    // email; the name must survive from the OLDER row 3 — per-attr
+    // independence is the whole point of survivorship
+    val rows = Seq(
+      (1L, 1L, Some("alice"), Some("a@old")),
+      (1L, 3L, Some("alicia"), None),
+      (1L, 4L, None, Some("a@new")),
+      (2L, 1L, None, None),
+      (2L, 2L, Some("bob"), None)).map { case (c, o, nm, em) =>
+      (c, o, nm.orNull, em.orNull)
+    }
+    val out = Snapshot.goldenRecords(rows.toDF("c", "o", "name", "email"),
+        "c", "o", Seq("o"), Seq("name", "email"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getLong(1) == 3 && c1.getLong(2) == 1L)
+    assert(c1.getString(3) == "alicia" && c1.getString(4) == "a@new")
+    val c2 = out(2L)
+    assert(c2.getString(3) == "bob" && c2.isNullAt(4),
+      "an attribute with no non-null source must stay null")
+  }
 }
