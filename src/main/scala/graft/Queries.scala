@@ -8656,6 +8656,66 @@ object Queries {
       |LEFT JOIN p1 ON p1.user_id = b.user_id
       |LEFT JOIN p2 ON p2.user_id = b.user_id""".stripMargin
 
+  /** Personalized PageRank from a two-term seed set over the
+    * collocation graph (Graph.personalizedPageRankInt): topic-
+    * conditioned proximity instead of global importance — teleport
+    * mass lands only on the seeds; integer-exact rounds unrolled by
+    * the oracle (the q134 discipline, seed-masked base). */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a"), col("term_b"))
+    val edges = pairs
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+      .unionByName(pairs.select(col("term_b").as("src"),
+        col("term_a").as("dst")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(2)
+    Graph.personalizedPageRankInt(edges, seeds, iterations = 3)
+  }
+
+  private val q213Sql = {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node, nodes.seed,
+         |    (CASE WHEN nodes.seed
+         |       THEN (15 * 1000000000000)
+         |         // (100 * (SELECT count(*) FROM seeds)) ELSE 0 END)
+         |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum(r${i - 1}.rank // deg.deg) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    collocCtes +
+      s""",
+         |e AS (SELECT term_a AS src, term_b AS dst FROM pairs
+         |      WHERE n_ab >= 5
+         |      UNION ALL
+         |      SELECT term_b, term_a FROM pairs WHERE n_ab >= 5),
+         |seeds AS (SELECT DISTINCT src AS node FROM e
+         |          ORDER BY node LIMIT 2),
+         |nodes AS (SELECT DISTINCT n.node,
+         |            n.node IN (SELECT node FROM seeds) AS seed
+         |          FROM (SELECT src AS node FROM e
+         |                UNION SELECT dst FROM e
+         |                UNION SELECT node FROM seeds) n),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |r0 AS (SELECT node, seed,
+         |         CASE WHEN seed
+         |           THEN 1000000000000 // (SELECT count(*) FROM seeds)
+         |           ELSE 0 END AS rank
+         |       FROM nodes),
+         |$rounds
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8873,5 +8933,6 @@ object Queries {
     "q209_label_propagation" -> Q(q209, Some(q209Sql)),
     "q210_centroid_drift" -> Q(q210, Some(q210Sql)),
     "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)),
-    "q212_golden_records" -> Q(q212, Some(q212Sql)))
+    "q212_golden_records" -> Q(q212, Some(q212Sql)),
+    "q213_personalized_pagerank" -> Q(q213, Some(q213Sql)))
 }

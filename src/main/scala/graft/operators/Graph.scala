@@ -372,6 +372,94 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** PERSONALIZED PageRank (integer-exact): the teleport mass lands
+    * only on the SEED set, so rank measures proximity to the seeds
+    * through the link structure — "what belongs to this topic/author/
+    * cluster" rather than global importance (the random-walk-with-
+    * restart relevance measure behind related-item panels and
+    * topic-conditioned ranking). Same fixed-point arithmetic as
+    * [[pageRankInt]] — ranks are integer micro-units of `scale`,
+    * every division is integer `div`, so the trajectory is exact and
+    * oracle-replayable by unrolled rounds:
+    *
+    *   r_0(v)   = scale div |S|       for v ∈ S, else 0
+    *   r_{t+1}(v) = [v ∈ S]·(15·scale div (100·|S|))
+    *                + 85·Σ_{u→v} (r_t(u) div deg(u)) div 100
+    *
+    * Adaptive driver/distributed dispatch under the same CHECKED edge
+    * bound as [[pageRankIntWeighted]]; the seed count is CHECKED
+    * (1..maxSeeds) in the same style. Output: (node, rank) over edge
+    * endpoints ∪ seeds. */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+                              iterations: Int,
+                              scale: Long = 1000000000000L,
+                              driverEdgeLimit: Long = 1L << 20,
+                              maxSeeds: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "personalizedPageRankInt needs >= 1 iteration")
+    val e0 = edges.toDF("src", "dst").localCheckpoint()
+    val sd = seeds.toDF("node").distinct().localCheckpoint()
+    val Seq(nEdges) = Contracts.enforce(e0, Contracts.read(count(lit(1))))
+    val Seq(nSeeds) = Contracts.enforce(sd,
+      Contracts.Bound(count(lit(1)), c => c >= 1 && c <= maxSeeds, c =>
+        s"personalizedPageRankInt needs 1..$maxSeeds seeds, got $c"))
+    val base = (15L * scale) / (100L * nSeeds)
+    val init = scale / nSeeds
+    if (nEdges <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+      val seedSet = sd.collect().map(_.get(0)).toSet
+      val nodes = (pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        ++ seedSet.iterator).toArray.distinct
+      val deg = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank: Map[Any, Long] =
+        nodes.iterator.map(v =>
+          v -> (if (seedSet(v)) init else 0L)).toMap
+      (1 to iterations).foreach { _ =>
+        val sums = scala.collection.mutable.HashMap.empty[Any, Long]
+        pairs.foreach { case (u, v) =>
+          sums.update(v, sums.getOrElse(v, 0L) + rank(u) / deg(u))
+        }
+        rank = nodes.iterator.map { v =>
+          v -> ((if (seedSet(v)) base else 0L)
+            + (85L * sums.getOrElse(v, 0L)) / 100L)
+        }.toMap
+      }
+      val spark = edges.sparkSession
+      val idType = e0.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          nodes.map(v => Row(v, rank(v))).toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("rank", LongType))))
+    } else {
+      val nodes = e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .unionByName(sd)
+        .distinct()
+        .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+        .localCheckpoint()
+      val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val e = e0.join(deg, "src").localCheckpoint()
+      var rank = nodes.select(col("node"), col("__seed"),
+        when(col("__seed"), lit(init)).otherwise(lit(0L)).as("rank"))
+        .localCheckpoint()
+      (1 to iterations).foreach { _ =>
+        val sums = e
+          .join(rank.select(col("node").as("src"), col("rank")), "src")
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        rank = nodes.join(sums, Seq("node"), "left")
+          .select(col("node"), col("__seed"),
+            (when(col("__seed"), lit(base)).otherwise(lit(0L))
+              + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+          .localCheckpoint()
+      }
+      rank.select(col("node"), col("rank"))
+    }
+  }
+
   /** DETERMINISTIC synchronous label propagation — community detection
     * with an engine-replayable fixpoint rule (Raghavan et al. 2007,
     * made deterministic): every node starts as its own label, and each

@@ -468,4 +468,46 @@ class GraphRangeSpec extends SparkTestBase {
     assert((12L to 14L).forall(labels(_) == 11L),
       s"clique 2 must converge to label 11: $labels")
   }
+
+  test("personalizedPageRankInt: driver == distributed, seed proximity " +
+    "orders ranks, the checked seed bound fires") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(84)
+    (1 to 3).foreach { trial =>
+      val edges = (for {
+        u <- 1 to 20; v <- 1 to 20 if u != v && rnd.nextInt(5) == 0
+      } yield (u.toLong, v.toLong))
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val seeds = Seq(Tuple1(edges.head._1)).toDF("node")
+        val drv = Graph.personalizedPageRankInt(df, seeds, 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Graph.personalizedPageRankInt(df, seeds, 4,
+            driverEdgeLimit = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(drv == dist, s"trial=$trial driver != distributed")
+      }
+    }
+    // a chain 1->2->3->4 seeded at 1: rank decays monotonically with
+    // hop distance, and only the seed holds the teleport base
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRankInt(chain,
+        Seq(Tuple1(1L)).toDF("node"), iterations = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L),
+      s"proximity order broke: $r")
+    // an unreachable node gets rank 0 (no teleport off-seed)
+    val withIsland = (Seq((1L, 2L), (5L, 6L))).toDF("src", "dst")
+    val ri = Graph.personalizedPageRankInt(withIsland,
+        Seq(Tuple1(1L)).toDF("node"), iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ri(5L) == 0L && ri(6L) == 0L && ri(2L) > 0L)
+    // the seed-count contract is CHECKED
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankInt(chain,
+        spark.emptyDataFrame.select(org.apache.spark.sql.functions
+          .lit(1L).as("node")).where("false"), 2)
+    }
+    assert(e.getMessage.contains("personalizedPageRankInt"))
+  }
 }
