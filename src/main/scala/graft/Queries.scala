@@ -8716,6 +8716,26 @@ object Queries {
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
   }
 
+  /** Incremental association rules (Assoc.pairRulesDelta): supports
+    * persisted from the two-thirds "history" baskets fold with the new
+    * third in O(delta) — the oracle is q208's FULL rebuild over all
+    * baskets (the q157 discipline), so the hash match proves
+    * delta == rebuild, including pairs that crossed minSupport only
+    * with the new batch's help. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val hist = li.where(pmod(col("l_orderkey"), lit(3L)) =!= 0L)
+    val fresh = li.where(pmod(col("l_orderkey"), lit(3L)) === 0L)
+    val prevItems = Assoc.itemSupports(hist, "l_orderkey", "l_partkey")
+    val prevPairs = Assoc.pairSupports(hist, "l_orderkey", "l_partkey")
+    val prevN = hist.select(col("l_orderkey")).distinct().count()
+    Assoc.pairRulesDelta(prevItems, prevPairs, prevN, fresh,
+      "l_orderkey", "l_partkey", minSupport = 2L)
+  }
+
+  private val q214Sql = q208Sql
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8934,5 +8954,6 @@ object Queries {
     "q210_centroid_drift" -> Q(q210, Some(q210Sql)),
     "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)),
     "q212_golden_records" -> Q(q212, Some(q212Sql)),
-    "q213_personalized_pagerank" -> Q(q213, Some(q213Sql)))
+    "q213_personalized_pagerank" -> Q(q213, Some(q213Sql)),
+    "q214_assoc_rules_delta" -> Q(q214, Some(q214Sql)))
 }

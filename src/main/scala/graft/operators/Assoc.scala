@@ -53,11 +53,75 @@ object Assoc {
       .agg(count(lit(1)).as("__s"))
     val nBaskets = d.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__n"))
-    val pairs = d.as("l").join(d.as("r"),
+    val pairs = pairCounts(d).where(col("support_ab") >= minSupport)
+    assemble(itemSupport, pairs, nBaskets)
+  }
+
+  /** INCREMENTAL [[pairRules]] for an APPEND-ONLY basket stream: fold a
+    * batch of NEW baskets into previously persisted supports in
+    * O(delta), provably equal to the full rebuild (the ppJoinDelta /
+    * q157 discipline). Sound because every statistic is ADDITIVE over
+    * disjoint basket sets — item supports, pair supports and the
+    * basket total all just sum — which is exactly what a mutable
+    * corpus would break (the caller contract: `newBaskets` basket ids
+    * are UNSEEN; an updated old basket needs the rebuild path).
+    * `minSupport` applies AFTER the fold, so a pair that crossed the
+    * threshold only with the new batch's help appears — persist the
+    * UNFILTERED pair supports between runs for that reason.
+    * Inputs: `prevItems` (item, support), `prevPairs`
+    * (item_a, item_b, support_ab) both UNFILTERED, `prevNBaskets`.
+    * Output: the [[pairRules]] shape over the union corpus. */
+  def pairRulesDelta(prevItems: DataFrame, prevPairs: DataFrame,
+                     prevNBaskets: Long, newBaskets: DataFrame,
+                     basketCol: String, itemCol: String,
+                     minSupport: Long,
+                     maxItemsPerBasket: Long = 100000L): DataFrame = {
+    require(minSupport >= 1 && prevNBaskets >= 0,
+      s"pairRulesDelta needs minSupport >= 1 and prevNBaskets >= 0")
+    val d = newBaskets
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__i").isNotNull && col("__b").isNotNull)
+      .distinct().localCheckpoint()
+    Contracts.boundedPerKey(d, "__b", maxItemsPerBasket, "pairRulesDelta",
+      "distinct items", "Split or cap pathological baskets before mining " +
+        "— the pair join is C(n,2) per basket.",
+      contract = "per-basket pair fan-out")
+    val items = prevItems.toDF("__i", "__s")
+      .unionByName(d.groupBy(col("__i")).agg(count(lit(1)).as("__s")))
+      .groupBy(col("__i")).agg(sum(col("__s")).as("__s"))
+    val pairs = prevPairs.toDF("item_a", "item_b", "support_ab")
+      .unionByName(pairCounts(d))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("support_ab")).as("support_ab"))
+      .where(col("support_ab") >= minSupport)
+    val nb = d.select(col("__b")).distinct()
+      .agg((count(lit(1)) + lit(prevNBaskets)).as("__n"))
+    assemble(items, pairs, nb)
+  }
+
+  /** Unfiltered (item, support) / (item_a, item_b, support_ab) tables
+    * of a basket set — what [[pairRulesDelta]] persists between runs. */
+  def itemSupports(df: DataFrame, basketCol: String,
+                   itemCol: String): DataFrame =
+    df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__i").isNotNull && col("__b").isNotNull)
+      .distinct()
+      .groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+
+  def pairSupports(df: DataFrame, basketCol: String,
+                   itemCol: String): DataFrame =
+    pairCounts(df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__i").isNotNull && col("__b").isNotNull)
+      .distinct())
+
+  private def pairCounts(d: DataFrame): DataFrame =
+    d.as("l").join(d.as("r"),
         col("l.__b") === col("r.__b") && col("l.__i") < col("r.__i"))
       .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
       .agg(count(lit(1)).as("support_ab"))
-      .where(col("support_ab") >= minSupport)
+
+  private def assemble(itemSupport: DataFrame, pairs: DataFrame,
+                       nBaskets: DataFrame): DataFrame =
     pairs
       .join(itemSupport.withColumnRenamed("__i", "item_a")
         .withColumnRenamed("__s", "support_a"), Seq("item_a"))
@@ -72,5 +136,4 @@ object Assoc {
           .as("conf_b_a"),
         ((col("__n") * col("support_ab")).cast("double")
           / (col("support_a") * col("support_b")).cast("double")).as("lift"))
-  }
 }

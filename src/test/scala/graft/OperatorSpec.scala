@@ -1371,4 +1371,30 @@ class OperatorSpec extends SparkTestBase {
     assert(c2.getString(3) == "bob" && c2.isNullAt(4),
       "an attribute with no non-null source must stay null")
   }
+
+  test("pairRulesDelta == full rebuild on random append-only splits, " +
+    "including pairs that cross minSupport only with the delta") {
+    import graft.operators.Assoc
+    val rnd = new scala.util.Random(85)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 90).flatMap { b =>
+        Seq.fill(2 + rnd.nextInt(4))((b.toLong, s"i${rnd.nextInt(10)}"))
+      }
+      val df = rows.toDF("b", "i")
+      val cut = 30 + rnd.nextInt(30)
+      val hist = df.where(col("b") <= cut)
+      val fresh = df.where(col("b") > cut)
+      val full = Assoc.pairRules(df, "b", "i", minSupport = 3L)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+      val delta = Assoc.pairRulesDelta(
+          Assoc.itemSupports(hist, "b", "i"),
+          Assoc.pairSupports(hist, "b", "i"),
+          hist.select("b").distinct().count(),
+          fresh, "b", "i", minSupport = 3L)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+      assert(delta == full, s"trial=$trial delta != rebuild")
+    }
+  }
 }
