@@ -8736,6 +8736,53 @@ object Queries {
 
   private val q214Sql = q208Sql
 
+  /** Exact quantile mapping per event type (Stats.quantileMap): odd
+    * users' value distribution mapped onto the even users' scale by
+    * CDF matching — cross-multiplied integer rank comparisons riding
+    * the forward merge as-of exec; the oracle replays both CDFs and
+    * the min-threshold pick with a negated-axis ASOF join. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        cents(col("value")).as("v"))
+    Stats.quantileMap(
+      ev.where(col("side")).select(col("event_type"), col("v")),
+      ev.where(!col("side")).select(col("event_type"), col("v")),
+      "event_type", "v")
+  }
+
+  private val q215Sql =
+    """WITH o AS (
+      |  SELECT event_type AS g, user_id % 2 = 0 AS side,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |ha AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |       FROM o WHERE side GROUP BY 1, 2),
+      |hb AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |       FROM o WHERE NOT side GROUP BY 1, 2),
+      |ca AS (SELECT g, v,
+      |         sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |       FROM ha),
+      |cb AS (SELECT g, v, c,
+      |         2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           + c AS px,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |       FROM hb),
+      |arows AS (
+      |  SELECT ca.g, -(ca.cum * 2 * nb.n) AS nax, ca.v AS va
+      |  FROM ca JOIN (SELECT g, max(n) AS n FROM cb GROUP BY 1) nb
+      |    ON nb.g = ca.g),
+      |brows AS (
+      |  SELECT cb.g, cb.v, -(cb.px * na.n) AS nax
+      |  FROM cb JOIN (SELECT g, max(n) AS n FROM ca GROUP BY 1) na
+      |    ON na.g = cb.g)
+      |SELECT b.g AS event_type, b.v, a.va AS v_mapped
+      |FROM brows b
+      |ASOF JOIN arows a ON b.g = a.g AND b.nax >= a.nax""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -8955,5 +9002,6 @@ object Queries {
     "q211_kmv_set_ops" -> Q(q211, Some(q211Sql)),
     "q212_golden_records" -> Q(q212, Some(q212Sql)),
     "q213_personalized_pagerank" -> Q(q213, Some(q213Sql)),
-    "q214_assoc_rules_delta" -> Q(q214, Some(q214Sql)))
+    "q214_assoc_rules_delta" -> Q(q214, Some(q214Sql)),
+    "q215_quantile_map" -> Q(q215, Some(q215Sql)))
 }

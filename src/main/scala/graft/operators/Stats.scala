@@ -1656,6 +1656,49 @@ object Stats {
               / (col("n") - 1L).cast("double"))).as("mase_x"))
   }
 
+  /** EXACT QUANTILE MAPPING (CDF matching) per key: translate every
+    * value of a TARGET distribution onto the REFERENCE distribution
+    * occupying the same rank — the distribution-alignment primitive
+    * (harmonize a drifted feature across sources/instruments, map a
+    * new scorer's outputs onto the calibrated scale of the old one):
+    *
+    *   mapped(v) = min { va : 2·cumA(va)·nB ≥ pct_x2_B(v)·nA }
+    *
+    * i.e. the smallest reference value whose CDF reaches the target
+    * value's midrank percentile — the comparison is CROSS-MULTIPLIED
+    * so both sides stay exact integers (the [[ksStatistic]] bound:
+    * nA·nB per key must fit int64/2 — ~1.5·10⁹ rows per side).
+    *
+    * Shape: two [[exactGroupCdf]] tables (CHECKED bounded-histogram
+    * contract each), per-key totals joined across sides, and the
+    * monotone min-threshold search rides the FORWARD MERGE AS-OF exec
+    * ([[AsOf.asofJoinForward]]) — one shuffle+sort per side on the
+    * integer axis, never a |VA|×|VB| pair join. The axis always
+    * resolves (max S = max T = 2·nA·nB), so no target value drops.
+    * Output: (key, v, v_mapped), nondecreasing in v per key. */
+  def quantileMap(ref: DataFrame, tgt: DataFrame, keyCol: String,
+                  xCol: String,
+                  maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val cdfA = exactGroupCdf(ref, keyCol, xCol, maxDistinctPerKey)
+      .select(col(keyCol), col("v").as("__va"),
+        (col("n_below") + col("n_equal")).as("__cumA"),
+        col("n").as("__nA"))
+    val cdfB = exactGroupCdf(tgt, keyCol, xCol, maxDistinctPerKey)
+      .select(col(keyCol), col("v"), col("pct_x2").as("__pxB"),
+        col("n").as("__nB"))
+    val nAtab = cdfA.groupBy(col(keyCol)).agg(max(col("__nA")).as("__nAk"))
+    val nBtab = cdfB.groupBy(col(keyCol)).agg(max(col("__nB")).as("__nBk"))
+    val aRows = cdfA.join(nBtab, Seq(keyCol))
+      .select(col(keyCol),
+        (col("__cumA") * lit(2L) * col("__nBk")).as("__axis"),
+        col("__va"))
+    val bRows = cdfB.join(nAtab, Seq(keyCol))
+      .select(col(keyCol), col("v"),
+        (col("__pxB") * col("__nAk")).as("__axis"))
+    AsOf.asofJoinForward(bRows, aRows, keyCol, "__axis", inner = true)
+      .select(col(keyCol), col("v"), col("__va").as("v_mapped"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -1319,4 +1319,39 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.seasonalNaiveError(short.toDF("g", "o", "v"), "g",
       Seq("o"), "v", m).count() == 0L)
   }
+
+  test("quantileMap: identity on itself, monotone, matches the " +
+    "brute-force min-threshold rule, and normalizes a shifted copy") {
+    val rnd = new scala.util.Random(86)
+    val refv = Seq.fill(200)((1L, rnd.nextInt(50).toLong))
+    val tgtv = Seq.fill(150)((1L, rnd.nextInt(60).toLong))
+    val out = Stats.quantileMap(refv.toDF("g", "v"), tgtv.toDF("g", "v"),
+        "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // brute force: mapped(v) = min va with 2*cumA(va)*nB >= pxB(v)*nA
+    val avs = refv.map(_._2).sorted
+    val bvs = tgtv.map(_._2).sorted
+    val nA = avs.size.toLong; val nB = bvs.size.toLong
+    bvs.distinct.foreach { v =>
+      val px = 2L * bvs.count(_ < v) + bvs.count(_ == v)
+      val expect = avs.distinct.sorted
+        .find(va => 2L * avs.count(_ <= va) * nB >= px * nA).get
+      assert(out(v) == expect, s"v=$v")
+    }
+    // monotone in v
+    val sortedPairs = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sortedPairs == sortedPairs.sorted)
+    // mapping a distribution onto ITSELF is the identity on its values
+    val self = Stats.quantileMap(refv.toDF("g", "v"), refv.toDF("g", "v"),
+        "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    self.foreach { case (v, m) => assert(m == v, s"self-map moved $v") }
+    // a constant-shifted copy maps back onto the reference scale
+    val shifted = refv.map { case (g, v) => (g, v + 1000L) }
+    val undo = Stats.quantileMap(refv.toDF("g", "v"),
+        shifted.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    undo.foreach { case (v, m) => assert(m == v - 1000L,
+      s"shift not undone at $v") }
+  }
 }
