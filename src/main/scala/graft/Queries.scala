@@ -8783,6 +8783,213 @@ object Queries {
       |FROM brows b
       |ASOF JOIN arows a ON b.g = a.g AND b.nax >= a.nax""".stripMargin
 
+  /** Exact per-user PEARSON correlation between event day and spend
+    * cents (Stats.pearsonByKey): the linear-association member of the
+    * per-key correlation triple next to q191 (Spearman) and q194
+    * (Kendall) — six decimal(38,0) sufficient statistics per key
+    * (HUGEINT in the oracle), fixed IEEE tail, n·B² contract CHECKED
+    * before the aggregation runs. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        cents(col("value")).as("v"))
+    Stats.pearsonByKey(ev, "user_id", "d", "v")
+  }
+
+  private val q216Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(d) AS HUGEINT) AS sx, CAST(sum(v) AS HUGEINT) AS sy,
+      |    CAST(sum(d*d) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(v AS HUGEINT)*v) AS HUGEINT) AS syy,
+      |    CAST(sum(d*v) AS HUGEINT) AS sxy
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, n,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+      |  END AS r
+      |FROM g""".stripMargin
+
+  /** Newman modularity of the q209 label-propagation partition
+    * (Graph.modularity): the partition-quality readout — integer
+    * sufficient statistics (m, per-community stub degrees and
+    * intra-edges) folded to ONE decimal(38,0)/HUGEINT numerator and
+    * one double division; the oracle replays the LPA rounds AND the
+    * score, so the hash pins the whole judge chain. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    val pairs = TextAnalysis.collocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 5)
+      .select(col("term_a").as("u"), col("term_b").as("v"))
+    Graph.modularity(pairs, Graph.labelPropagation(pairs, rounds = 3))
+  }
+
+  private val q217Sql = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.u AS node, l.label, count(*) AS c
+         |        FROM e0 e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |          SELECT node, label, row_number() OVER (
+         |            PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |          FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    collocCtes +
+      s""",
+         |flt AS (SELECT term_a, term_b FROM pairs WHERE n_ab >= 5),
+         |e0 AS (SELECT term_a AS u, term_b AS v FROM flt
+         |       UNION SELECT term_b, term_a FROM flt),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0),
+         |$rounds,
+         |lab AS (SELECT node, label FROM l3),
+         |ce AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+         |       FROM e0 WHERE u != v),
+         |ce2 AS (SELECT lu.label AS lu, lv.label AS lv
+         |        FROM ce JOIN lab lu ON lu.node = ce.u
+         |        JOIN lab lv ON lv.node = ce.v),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce2),
+         |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS d_c FROM (
+         |         SELECT lu AS label FROM ce2
+         |         UNION ALL SELECT lv FROM ce2) GROUP BY 1),
+         |ec AS (SELECT lu AS label, CAST(count(*) AS BIGINT) AS e_c
+         |       FROM ce2 WHERE lu = lv GROUP BY 1),
+         |per AS (SELECT dc.label, dc.d_c, coalesce(ec.e_c, 0) AS e_c
+         |        FROM dc LEFT JOIN ec USING (label)),
+         |agg AS (SELECT mm.m, CAST(count(*) AS BIGINT) AS n_communities,
+         |          sum(CAST(4 AS HUGEINT) * mm.m * per.e_c
+         |            - CAST(per.d_c AS HUGEINT) * per.d_c) AS num
+         |        FROM per CROSS JOIN mm GROUP BY mm.m)
+         |SELECT m, n_communities, CAST(num AS DOUBLE) AS q_num,
+         |  CASE WHEN m = 0 THEN CAST('nan' AS DOUBLE)
+         |    ELSE CAST(num AS DOUBLE)
+         |      / CAST(CAST(4 AS HUGEINT) * m * m AS DOUBLE)
+         |  END AS modularity
+         |FROM agg""".stripMargin
+  }
+
+  /** Vocabulary growth curve over doc_id ingestion batches of 50
+    * (TextAnalysis.vocabGrowth): per batch the token volume, the
+    * never-seen-before type count, and the running vocabulary vs
+    * running token totals — the Heaps-law saturation dial for a
+    * growing crawl. Exact longs; the cumulative windows run over the
+    * CHECKED bounded batch table only. */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(
+      t(s, dir, "documents").withColumn("batch", expr("doc_id div 50")),
+      "text", "batch")
+
+  private val q218Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id // 50 AS batch, unnest($toksSql) AS tok
+       |  FROM documents),
+       |pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens
+       |       FROM toks GROUP BY 1),
+       |fs AS (SELECT min(batch) AS batch FROM toks GROUP BY tok),
+       |nt AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_types
+       |       FROM fs GROUP BY 1),
+       |c AS (SELECT pb.batch, pb.n_tokens,
+       |        coalesce(nt.new_types, 0) AS new_types
+       |      FROM pb LEFT JOIN nt USING (batch))
+       |SELECT batch, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY batch) AS BIGINT) AS cum_tokens,
+       |  new_types,
+       |  CAST(sum(new_types) OVER (ORDER BY batch) AS BIGINT) AS vocab_size
+       |FROM c""".stripMargin
+
+  /** HITS hubs/authorities over the bipartite user→event-type graph
+    * (Graph.hitsInt, 2 rounds): which event types are authoritative
+    * and which users are hub-like — fixed-round unnormalized integer
+    * trajectory in decimal(38,0)/HUGEINT, one end normalization by
+    * the global max; the oracle unrolls both half-rounds per round. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+        col("event_type").as("dst"))
+    Graph.hitsInt(edges, rounds = 2)
+  }
+
+  private val q219Sql = {
+    val half = (1 to 2).map { i =>
+      s"""a$i AS (
+         |  SELECT n.node, coalesce(s.s, 0) AS auth FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |               CAST(sum(h${i - 1}.hub) AS HUGEINT) AS s
+         |             FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src
+         |             GROUP BY 1) s ON s.node = n.node),
+         |h$i AS (
+         |  SELECT n.node, coalesce(s.s, 0) AS hub FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node,
+         |               CAST(sum(a$i.auth) AS HUGEINT) AS s
+         |             FROM e JOIN a$i ON a$i.node = e.dst
+         |             GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+       |    event_type AS dst
+       |  FROM events),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS HUGEINT) AS hub FROM nodes),
+       |$half,
+       |mx AS (SELECT max(hub) AS mh FROM h2),
+       |ma AS (SELECT max(auth) AS ma FROM a2)
+       |SELECT n.node,
+       |  CASE WHEN mx.mh = 0 THEN 0.0
+       |    ELSE CAST(h2.hub AS DOUBLE) / CAST(mx.mh AS DOUBLE) END AS hub,
+       |  CASE WHEN ma.ma = 0 THEN 0.0
+       |    ELSE CAST(a2.auth AS DOUBLE) / CAST(ma.ma AS DOUBLE) END AS auth
+       |FROM nodes n
+       |JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+       |CROSS JOIN mx CROSS JOIN ma""".stripMargin
+  }
+
+  /** Deterministic hash-ring negative sampling over the document ids
+    * (Similarity.hashRingNegatives, k=3, 64 buckets): reproducible
+    * contrastive negatives — first ring member at-or-after each probe
+    * hash, wrap to the global minimum; the oracle replays the GLOBAL
+    * rule (negated-axis ASOF LEFT join + wrap coalesce), which the
+    * bucketed plan must equal exactly, so the hash match proves the
+    * bucket decomposition sound. */
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    Similarity.hashRingNegatives(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id",
+      k = 3, buckets = 64)
+
+  private val q220Sql = {
+    def ringHash(e: String): String =
+      s"""CAST(coalesce(list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(split($e, ''),
+         |          c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 2147483647), 0) AS BIGINT)"""
+        .stripMargin
+    s"""WITH ring AS (
+       |  SELECT p, min(doc_id) AS rid FROM (
+       |    SELECT doc_id,
+       |      ${ringHash("CAST(doc_id AS VARCHAR)")} AS p
+       |    FROM documents) GROUP BY 1),
+       |probes AS (
+       |  SELECT doc_id AS anchor_id, j AS probe,
+       |    ${ringHash("CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)")} AS q
+       |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)),
+       |a AS (SELECT -p AS nax, p FROM ring),
+       |b AS (SELECT anchor_id, probe, -q AS nax FROM probes),
+       |m AS (SELECT b.anchor_id, b.probe, a.p AS pos
+       |      FROM b ASOF LEFT JOIN a ON b.nax >= a.nax),
+       |g AS (SELECT min(p) AS gp FROM ring)
+       |SELECT m.anchor_id, m.probe, r.rid AS neg_id
+       |FROM m CROSS JOIN g
+       |JOIN ring r ON r.p = coalesce(m.pos, g.gp)
+       |WHERE r.rid != m.anchor_id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9003,5 +9210,10 @@ object Queries {
     "q212_golden_records" -> Q(q212, Some(q212Sql)),
     "q213_personalized_pagerank" -> Q(q213, Some(q213Sql)),
     "q214_assoc_rules_delta" -> Q(q214, Some(q214Sql)),
-    "q215_quantile_map" -> Q(q215, Some(q215Sql)))
+    "q215_quantile_map" -> Q(q215, Some(q215Sql)),
+    "q216_pearson" -> Q(q216, Some(q216Sql)),
+    "q217_modularity" -> Q(q217, Some(q217Sql)),
+    "q218_vocab_growth" -> Q(q218, Some(q218Sql)),
+    "q219_hits" -> Q(q219, Some(q219Sql)),
+    "q220_ring_negatives" -> Q(q220, Some(q220Sql)))
 }

@@ -535,4 +535,154 @@ object Graph {
       labels
     }
   }
+
+  /** Newman MODULARITY of a community partition — THE quality score
+    * for [[labelPropagation]]'s output (is this community structure
+    * better than random?, the standard accept/reject gate before a
+    * partition drives dedup grouping or topic routing):
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    *     = ( Σ_c (4·m·e_c − d_c²) ) / (4m²)
+    *
+    * with m = undirected edge count, e_c = intra-community edges,
+    * d_c = total stub degree of community c — evaluated on the
+    * subgraph INDUCED BY LABELED NODES (edges with an unlabeled
+    * endpoint drop, so the score judges exactly the partition it was
+    * given). Self-loops drop (they are neither intra- nor
+    * inter-community under the stub formulation used here).
+    *
+    * Exactness shape (the [[degreeAssortativity]] discipline): two
+    * co-partitioned label joins + two map-side-combining aggregations
+    * collapse the graph to one row of integer sufficient statistics;
+    * the numerator forms in decimal(38,0) (4·m·e_c with m edges ~10⁹
+    * overflows int64; decimal is exact to 10³⁸ and DuckDB mirrors via
+    * HUGEINT), and Q is ONE double division of exact integers —
+    * engine-exact. The single trivial partition (everything in one
+    * community) scores exactly 0 by construction — pinned in the
+    * spec. Output: one row (m, n_communities, q_num, modularity). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.toDF("node", "label")
+    val ce = edges.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .localCheckpoint()
+    val m = ce.agg(count(lit(1)).as("m"))
+    // stub degrees per community: each edge contributes one stub to
+    // each endpoint's community (posexplode-free: one explode + agg)
+    val dc = ce.select(explode(array(col("lu"), col("lv"))).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+    val ec = ce.where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
+    val per = dc.join(ec, Seq("label"), "left")
+      .select(col("label"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      // m rides in on a one-row cross join (the trailingActives
+      // pattern) so the numerator never needs a driver-side constant
+      .crossJoin(m)
+      .select(col("label"),
+        (lit(4).cast("decimal(38,0)") * col("m") * col("e_c")
+          - col("d_c").cast("decimal(38,0)") * col("d_c")).as("__term"),
+        col("m"))
+    per.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("__term")).as("__num"))
+      .select(col("m"), col("n_communities"),
+        col("__num").cast("double").as("q_num"),
+        when(col("m") === 0L, lit(Double.NaN)).otherwise(
+          col("__num").cast("double")
+            / (lit(4).cast("decimal(38,0)") * col("m") * col("m"))
+              .cast("double")).as("modularity"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — fixed-round,
+    * UNNORMALIZED-integer inner loop with one normalization at the
+    * end, so the whole trajectory is engine-exact and replayable
+    * (float HITS renormalizes with a sqrt every round, and Spark's
+    * nondeterministic reduce order would move low bits between runs):
+    *
+    *   hub₀(u)  = 1
+    *   authₖ(v) = Σ_{u→v} hubₖ₋₁(u)
+    *   hubₖ(u)  = Σ_{u→v} authₖ(v)
+    *
+    * accumulated in decimal(38,0) (values grow as ~(d_in·d_out)^k —
+    * int64 dies at round 2 on any graph with hub scores beyond ~10⁹;
+    * decimal is exact to 10³⁸, DuckDB mirrors via HUGEINT), then ONE
+    * division per node by the global max — hub/auth scores in [0, 1],
+    * both divisions a fixed IEEE shape over identical exact integers.
+    * The growth contract is CHECKED before any round runs: one
+    * Contracts job reads n, max in-degree and max out-degree, and the
+    * exact worst-case bound (BigInt ladder: authBound = dIn·hubBound,
+    * hubBound = dOut·authBound, k times) must stay under 10³⁶ (two
+    * digits of slack under decimal's 10³⁸ for the max-sums).
+    *
+    * Scale shape: per round TWO co-partitioned edges⋈scores joins +
+    * map-side-combining sums (two decimals per node cross the
+    * shuffle); lineage cut per round; rounds FIXED (static job graph,
+    * the [[pageRankInt]] discipline). The per-round shuffle pair is
+    * below the adaptive-driver payoff at the 1–3 rounds HITS needs,
+    * so there is deliberately no collected fast path here. Output:
+    * (node, hub, auth) over all edge endpoints. */
+  def hitsInt(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"hitsInt needs rounds in [1, 8], got $rounds")
+    val e0 = edges.toDF("src", "dst").distinct().localCheckpoint()
+    val Seq(nEdges, dOut, dIn) = Contracts.enforce(
+      e0.groupBy(col("src")).agg(count(lit(1)).as("__o"))
+        .unionByName(e0.groupBy(col("dst")).agg(count(lit(1)).as("__o"))
+          .select(col("dst").as("src"), (-col("__o")).as("__o"))),
+      Contracts.read(sum(when(col("__o") > 0L, col("__o"))
+        .otherwise(lit(0L)))),
+      Contracts.read(max(when(col("__o") > 0L, col("__o"))
+        .otherwise(lit(0L)))),
+      Contracts.read(max(-when(col("__o") < 0L, col("__o"))
+        .otherwise(lit(0L)))))
+    // exact worst-case growth ladder; fail BEFORE the first round
+    var hubBound = BigInt(1); var authBound = BigInt(0)
+    (1 to rounds).foreach { _ =>
+      authBound = BigInt(dIn).max(1) * hubBound
+      hubBound = BigInt(dOut).max(1) * authBound
+    }
+    require(hubBound <= BigInt(10).pow(36),
+      s"hitsInt: $rounds rounds on a graph with max degrees " +
+        s"(in=$dIn, out=$dOut) can reach hub scores ~1e${hubBound
+          .toString.length - 1}, beyond the decimal(38,0) exactness " +
+        "contract (1e36). Reduce rounds or prune the graph first.")
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var hub = nodes.select(col("node"),
+      lit(1).cast("decimal(38,0)").as("hub")).localCheckpoint()
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    (1 to rounds).foreach { _ =>
+      auth = nodes.join(
+        e0.join(hub.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a")),
+        Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__a"), lit(0).cast("decimal(38,0)")).as("auth"))
+        .localCheckpoint()
+      hub = nodes.join(
+        e0.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__h")),
+        Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__h"), lit(0).cast("decimal(38,0)")).as("hub"))
+        .localCheckpoint()
+    }
+    val scores = hub.join(auth, "node")
+    val mx = scores.agg(max(col("hub")).as("__mh"),
+      max(col("auth")).as("__ma"))
+    scores.crossJoin(mx)
+      .select(col("node"),
+        when(col("__mh") === 0, lit(0.0)).otherwise(
+          col("hub").cast("double") / col("__mh").cast("double"))
+          .as("hub"),
+        when(col("__ma") === 0, lit(0.0)).otherwise(
+          col("auth").cast("double") / col("__ma").cast("double"))
+          .as("auth"))
+  }
 }

@@ -534,4 +534,72 @@ object Similarity {
         adcMicro(col("dtable"), col("codes"), m).as("adc_micro"))
     rankAdcTopK(scored, k)
   }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING on a consistent hash ring — the
+    * contrastive-pairs primitive: every anchor gets k pseudo-random but
+    * REPRODUCIBLE negatives (rerun → byte-identical pairs; new corpus
+    * members perturb only the ring arcs they land on, the classic
+    * consistent-hashing stability argument — a random sample would
+    * reshuffle every epoch's negatives and poison caching/debugging).
+    *
+    * Rule: each id sits on a ring at `rolling_hash(id)` (position
+    * collisions collapse to the smallest id — larger colliders just
+    * never get picked); probe j of an anchor hashes `id + "#" + j` and
+    * takes the first ring member at-or-after that position, wrapping
+    * to the ring's global minimum. An anchor that draws itself yields
+    * that probe nothing (k−1 negatives, deterministic, rare).
+    *
+    * Scale shape — the wrap-around lookup never becomes a global
+    * sort: positions bucket by their high bits, so "first member ≥ q"
+    * decomposes into (a) a per-bucket FORWARD MERGE AS-OF
+    * ([[AsOf.asofJoinForward]] — co-partitioned by bucket, sorted
+    * within), (b) for probes that exhaust their bucket, a suffix-min
+    * successor table over the BOUNDED bucket axis (`buckets` rows —
+    * its unpartitioned window sorts a fixed-size frame, never data),
+    * and (c) the one-row global minimum for the wrap. Everything else
+    * is equi-joins. Output: (anchor_id, probe, neg_id). */
+  def hashRingNegatives(df: DataFrame, idCol: String, k: Int,
+                        buckets: Int = 1024): DataFrame = {
+    require(k >= 1 && k <= 64, s"hashRingNegatives needs k in [1,64], got $k")
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"hashRingNegatives needs buckets in [1, 2^20], got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = (2147483647L / buckets) + 1L
+    // ring: one member per distinct position (smallest id wins)
+    val ring = df.select(col(idCol).as("__rid"),
+        rolling_hash(col(idCol).cast("string")).as("__ax"))
+      .groupBy(col("__ax")).agg(min(col("__rid")).as("__rid"))
+      .withColumn("__b", expr(s"__ax div ${width}L"))
+      .localCheckpoint() // feeds the as-of, the bucket mins and the wrap
+    val probes = df.select(col(idCol).as("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("probe"))
+      .withColumn("__ax", rolling_hash(concat(
+        col("anchor_id").cast("string"), lit("#"),
+        col("probe").cast("string"))))
+      .withColumn("__b", expr(s"__ax div ${width}L"))
+    // (a) in-bucket: earliest ring position at-or-after the probe
+    val inBucket = AsOf.asofJoinForward(
+      probes,
+      ring.select(col("__b"), col("__ax"), col("__rid").as("__hit"),
+        col("__ax").as("__hp")),
+      "__b", "__ax", inner = false)
+    // (b) bucket exhausted: first position of the next non-empty bucket,
+    // read off a suffix-min over the DENSE bounded bucket axis
+    val bmin = ring.groupBy(col("__b")).agg(min(col("__ax")).as("__bp"))
+    val wS = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val succ = df.sparkSession.range(buckets).select(col("id").as("__b"))
+      .join(bmin, Seq("__b"), "left")
+      .select(col("__b"), min(col("__bp")).over(wS).as("__sp"))
+    // (c) wrap: the ring's global minimum, one row
+    val wrap = ring.agg(min(col("__ax")).as("__gp"))
+    inBucket
+      .join(broadcast(succ), Seq("__b"))
+      .crossJoin(broadcast(wrap))
+      .select(col("anchor_id"), col("probe"),
+        coalesce(col("__hp"), col("__sp"), col("__gp")).as("__pos"))
+      .join(ring.select(col("__ax").as("__pos"), col("__rid")), Seq("__pos"))
+      .where(col("__rid") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("probe"), col("__rid").as("neg_id"))
+  }
 }

@@ -1699,6 +1699,71 @@ object Stats {
       .select(col(keyCol), col("v"), col("__va").as("v_mapped"))
   }
 
+  /** EXACT per-group PEARSON correlation on raw integer values — the
+    * linear-association member of the per-key correlation triple
+    * ([[spearmanByKey]] ranks it, [[kendallTauByKey]] counts pair
+    * concordance; Pearson answers "how linear is the relationship in
+    * the original units", the only one of the three that sees
+    * magnitude, not just order):
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * ONE map-side-combining aggregation collects the six sufficient
+    * statistics per key; five values per key cross the shuffle
+    * regardless of group size. The sums and variance products are
+    * formed in decimal(38,0) — exact integers to 10³⁸ — so there is no
+    * silent int64 wrap and no ANSI mid-query throw; DuckDB replays the
+    * identical integers via HUGEINT and both engines cast the same
+    * exact value to double once (two sqrts + one division, fixed IEEE
+    * shape → bit-exact r).
+    *
+    * The exactness contract is CHECKED, not documented (the
+    * connectedComponents discipline): n²·B⁴ must stay under 10³⁸ for
+    * the variance products (B = max |value| on either axis), which one
+    * Contracts job verifies as maxRows·maxAbs² ≤ 10¹⁹ conservatively
+    * (per-key row count paired with the GLOBAL max magnitude — looser
+    * than per-key pairing but one aggregation cheaper, and honest: a
+    * violation means SOME key may be inexact). Rows with a NULL on
+    * either axis drop explicitly — count(1) must count exactly the
+    * rows the NULL-skipping sums saw (the groupOls rule). Zero
+    * variance on either axis → NaN. Output: (key, n, r). */
+  def pearsonByKey(df: DataFrame, keyCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val base = df
+      .select(col(keyCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint()
+    // one job sizes the contract: per-key n and global max|value| —
+    // n^2 B^4 <= 1e38 <=> n·B^2 <= 1e19; enforced conservatively on
+    // the max row count x the squared global magnitude bound
+    val perKey = base.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+      greatest(max(abs(col("__x"))), max(abs(col("__y")))).as("__b"))
+    val Seq(maxN, maxB) = Contracts.enforce(perKey,
+      Contracts.read(max(col("__n"))), Contracts.read(max(col("__b"))))
+    require(maxB <= 3000000000L &&
+      BigInt(maxN) * BigInt(maxB) * BigInt(maxB) <= BigInt(10).pow(19),
+      s"pearsonByKey: rows-per-key x maxAbs^2 = $maxN x $maxB^2 exceeds " +
+        "the decimal(38,0) exactness contract (n*B^2 <= 1e19). Rescale " +
+        "the values to coarser integer units, or rank-correlate instead " +
+        "(spearmanByKey / kendallTauByKey are magnitude-free).")
+    val x = col("__x").cast("decimal(38,0)")
+    val y = col("__y").cast("decimal(38,0)")
+    val agg = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val nDec = col("n").cast("decimal(38,0)")
+    val vx = nDec * col("sxx") - col("sx") * col("sx")
+    val vy = nDec * col("syy") - col("sy") * col("sy")
+    agg.select(col(keyCol), col("n"),
+      when(vx === lit(0) || vy === lit(0), lit(Double.NaN)).otherwise(
+        (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("r"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

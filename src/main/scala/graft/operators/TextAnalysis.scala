@@ -2160,4 +2160,49 @@ object TextAnalysis {
         ((col("n_ab") * lit(nDocs)).cast("double") /
           (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
   }
+
+  /** VOCABULARY GROWTH CURVE over an ordered ingestion axis (the Heaps
+    * law profile): per batch, the token volume, the number of NEVER-
+    * SEEN-BEFORE types, and the running vocabulary size against the
+    * running token total. The curve is the corpus-curation saturation
+    * dial — a healthy growing crawl adds types roughly ∝ tokens^β
+    * (β ≈ 0.5); a flat new-type line means the source is exhausted
+    * (more tokens, nothing new), a spike means a domain/language mix
+    * shift (or an encoding bug minting fake types).
+    *
+    * Scale shape: everything data-sized stays in TWO map-side-combining
+    * hash aggregations — per-token FIRST batch (one row per vocabulary
+    * type, the q187 vocabulary-bounded discipline) and per-batch token
+    * volume; only the per-batch table (CHECKED ≤ maxBatches rows — an
+    * ingestion axis is days/dumps, never data-sized) flows into the
+    * cumulative windows, so the unpartitioned running sums sort a
+    * bounded-stats frame, not the corpus. Exact longs throughout.
+    * Output: (batch, n_tokens, cum_tokens, new_types, vocab_size). */
+  def vocabGrowth(df: DataFrame, textCol: String, batchCol: String,
+                  maxBatches: Long = 100000L): DataFrame = {
+    val toks = df.select(col(batchCol).cast("long").as("batch"),
+      explode(ws_tokens(col(textCol))).as("__t"))
+    val perBatch = toks.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("__t"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
+    val curve = perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint() // bounded per-batch table; the guard reuses it
+    Contracts.enforce(curve, Contracts.Bound(count(lit(1)),
+      _ <= maxBatches, b =>
+        s"vocabGrowth: $b batches exceed maxBatches=$maxBatches — the " +
+          "cumulative windows sort the batch table, which must stay " +
+          "bounded (coarsen the batch axis)."))
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned by design: runs over the CHECKED bounded batch table
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve.select(col("batch"), col("n_tokens"),
+      sum(col("n_tokens")).over(w).as("cum_tokens"),
+      col("new_types"),
+      sum(col("new_types")).over(w).as("vocab_size"))
+  }
 }

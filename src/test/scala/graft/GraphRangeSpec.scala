@@ -510,4 +510,75 @@ class GraphRangeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("personalizedPageRankInt"))
   }
+
+  test("modularity matches the brute-force Newman score; the trivial " +
+    "one-community partition scores exactly 0") {
+    import graft.operators.Graph
+    val cl1 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val cl2 = for (u <- 5L to 8L; v <- (u + 1) to 8L) yield (u, v)
+    val edges = (cl1 ++ cl2 :+ ((4L, 5L)))
+    val g = edges.toDF("u", "v")
+    def brute(labels: Map[Long, Long]): Double = {
+      val m = edges.size
+      val dc = edges.flatMap(e => Seq(labels(e._1), labels(e._2)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // .toSeq: mapping over the key SET would collapse equal terms
+      val num = dc.keys.toSeq.map(c => BigInt(4L) * m *
+        edges.count(e => labels(e._1) == c && labels(e._2) == c)
+        - BigInt(dc(c)) * dc(c)).sum
+      num.toDouble / (BigInt(4L) * m * m).toDouble
+    }
+    val perfect = ((1L to 4L).map(_ -> 1L) ++ (5L to 8L).map(_ -> 5L)).toMap
+    val out = Graph.modularity(g, perfect.toSeq.toDF("node", "label"))
+      .collect().head
+    assert(out.getLong(0) == edges.size)
+    assert(out.getLong(1) == 2L)
+    assert(out.getDouble(3) == brute(perfect),
+      s"got ${out.getDouble(3)}, want ${brute(perfect)}")
+    // one community holding everything: Q = e/m - (2m/2m)^2 = 0 exactly
+    val one = (1L to 8L).map(_ -> 1L).toMap
+    assert(Graph.modularity(g, one.toSeq.toDF("node", "label"))
+      .collect().head.getDouble(3) == 0.0)
+    // edges with an unlabeled endpoint drop: judge only the partition
+    val partial = Graph.modularity(g,
+      (1L to 4L).map(_ -> 1L).toSeq.toDF("node", "label")).collect().head
+    assert(partial.getLong(0) == cl1.size && partial.getDouble(3) == 0.0)
+  }
+
+  test("hitsInt matches the brute-force unnormalized trajectory and " +
+    "checks rounds + growth contracts") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 2L))
+    val out = Graph.hitsInt(edges.toDF("src", "dst"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // brute: exact integer half-rounds, one normalization at the end
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> BigInt(1)).toMap
+    var auth = hub
+    (1 to 2).foreach { _ =>
+      auth = nodes.map(v => v ->
+        edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      hub = nodes.map(u => u ->
+        edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+    }
+    val mh = hub.values.max; val ma = auth.values.max
+    nodes.foreach { v =>
+      assert(out(v)._1 == hub(v).toDouble / mh.toDouble, s"hub $v")
+      assert(out(v)._2 == auth(v).toDouble / ma.toDouble, s"auth $v")
+    }
+    // rounds contract
+    intercept[IllegalArgumentException] {
+      Graph.hitsInt(edges.toDF("src", "dst"), rounds = 9)
+    }
+    // the decimal(38,0) growth ladder is CHECKED before any round runs:
+    // a 70k-out-degree star at 8 rounds reaches ~(7e4)^8 > 1e36
+    val star = spark.range(70000).select(
+      org.apache.spark.sql.functions.lit(0L).as("src"),
+      (org.apache.spark.sql.functions.col("id") + 1L).as("dst"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.hitsInt(star, rounds = 8)
+    }
+    assert(e.getMessage.contains("hitsInt"))
+  }
 }

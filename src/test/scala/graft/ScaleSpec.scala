@@ -244,6 +244,49 @@ class ScaleSpec extends SparkTestBase {
     assert(pairs2.contains((100L, 101L)))
   }
 
+  test("hashRingNegatives matches the global first-at-or-after rule " +
+    "and is invariant to the bucket decomposition") {
+    def ringHash(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 31 + c.toLong) % 2147483647L)
+      h
+    }
+    val ids = (0L until 60L).map(i => i * 7L + 3L)
+    val df = ids.toDF("doc_id")
+    val got = Similarity.hashRingNegatives(df, "doc_id", k = 4,
+        buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // brute force: THE rule, with no buckets at all — one member per
+    // position (smallest id), first position at-or-after the probe,
+    // wrap to the ring minimum, self-draws dropped
+    val ring = ids.groupBy(id => ringHash(id.toString))
+      .view.mapValues(_.min).toMap
+    val sortedPos = ring.keys.toSeq.sorted
+    val expected = (for { id <- ids; j <- 1 to 4 } yield {
+      val q = ringHash(s"$id#$j")
+      val pos = sortedPos.find(_ >= q).getOrElse(sortedPos.head)
+      ((id, j), ring(pos))
+    }).filter { case ((id, _), neg) => neg != id }.toMap
+    assert(got == expected && got.nonEmpty)
+    // bucket decomposition is an implementation detail: 1 bucket
+    // (pure as-of + wrap) == 16 == 256
+    val b1 = Similarity.hashRingNegatives(df, "doc_id", k = 4, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val b256 = Similarity.hashRingNegatives(df, "doc_id", k = 4,
+        buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(b1 == expected && b256 == expected)
+    // determinism across runs: same corpus -> byte-identical pairs
+    val again = Similarity.hashRingNegatives(df, "doc_id", k = 4,
+        buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(again == got)
+  }
+
   test("hll_distinct partial-aggregates: registers, not values, cross the shuffle") {
     val df = (0L until 2000L).map(i => (s"g${i % 3}", s"v${i % 701}"))
       .toDF("g", "v").repartition(7)

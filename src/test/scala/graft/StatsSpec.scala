@@ -1354,4 +1354,70 @@ class StatsSpec extends SparkTestBase {
     undo.foreach { case (v, m) => assert(m == v - 1000L,
       s"shift not undone at $v") }
   }
+
+  test("pearsonByKey equals the closed-form brute computation, drops " +
+    "NULL rows from n, and checks the magnitude contract") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 3).flatMap { k =>
+      Seq.fill(80)((k.toLong, rnd.nextInt(500).toLong - 250L,
+        rnd.nextInt(900).toLong))
+    }
+    val out = Stats.pearsonByKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = BigInt(g.size)
+      val sx = g.map(r => BigInt(r._2)).sum
+      val sy = g.map(r => BigInt(r._3)).sum
+      val sxx = g.map(r => BigInt(r._2) * r._2).sum
+      val syy = g.map(r => BigInt(r._3) * r._3).sum
+      val sxy = g.map(r => BigInt(r._2) * r._3).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      // mirror the operator's exact op order: exact integer -> double
+      // once, two sqrts, one division
+      val expect = (n * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+      assert(out(k)._1 == g.size && out(k)._2 == expect, s"key $k")
+    }
+    // zero variance on one axis -> NaN, never a throw
+    val flat = Seq((1L, 5L, 1L), (1L, 5L, 2L)).toDF("k", "x", "y")
+    assert(Stats.pearsonByKey(flat, "k", "x", "y")
+      .collect().head.getDouble(2).isNaN)
+    // a NULL on either axis drops the ROW (n must match the sums)
+    val dirty = Seq((1L, Some(1L), Some(10L)), (1L, None, Some(99L)),
+        (1L, Some(2L), None), (1L, Some(3L), Some(30L)))
+      .toDF("k", "x", "y")
+    assert(Stats.pearsonByKey(dirty, "k", "x", "y")
+      .collect().head.getLong(1) == 2L)
+    // the n*B^2 <= 1e19 exactness contract is CHECKED, not documented
+    val big = Seq((1L, 4000000000L, 1L), (1L, 1L, 2L)).toDF("k", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.pearsonByKey(big, "k", "x", "y")
+    }
+    assert(e.getMessage.contains("pearsonByKey"))
+  }
+
+  test("vocabGrowth pins the Heaps curve on a planted corpus and " +
+    "checks the batch-axis bound") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "a b c"),       // batch 0: 3 tokens, 3 new types
+      (1L, "a b"),         // batch 1: 2 tokens, 0 new
+      (2L, "c d d"),       // batch 2: 3 tokens, 1 new (d)
+      (3L, "e a e")        // batch 3: 3 tokens, 1 new (e)
+    ).toDF("batch", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "text", "batch")
+      .orderBy("batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3L, 3L, 3L),
+      (1L, 2L, 5L, 0L, 3L),
+      (2L, 3L, 8L, 1L, 4L),
+      (3L, 3L, 11L, 1L, 5L)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabGrowth(docs, "text", "batch", maxBatches = 2L)
+    }
+    assert(e.getMessage.contains("vocabGrowth"))
+  }
 }
