@@ -8990,6 +8990,148 @@ object Queries {
        |WHERE r.rid != m.anchor_id""".stripMargin
   }
 
+  /** Kaplan–Meier churn-survival curves per user cohort
+    * (Stats.kaplanMeier): duration = a user's active day span, event =
+    * churned before the corpus's last day (still-active users are
+    * right-censored) — risk sets from integer window arithmetic over
+    * the CHECKED duration histogram, survival via the sequential
+    * prefix_prod fold the oracle replays with list_reduce. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+    // subject = a (user, event type) pair: duration = days from the
+    // user's first activity to their LAST event of that type; event
+    // observed ("abandoned the behavior") if that precedes the user's
+    // own last active day, censored otherwise — real mixed censoring
+    val span = ev.groupBy("user_id")
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val subj = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("day")).as("tl"))
+      .join(span, "user_id")
+      .select(col("event_type").as("cohort"),
+        (col("tl") - col("f")).as("dur"), (col("tl") < col("l")).as("ev"))
+    Stats.kaplanMeier(subj, "cohort", "dur", "ev")
+  }
+
+  private val q221Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |span AS (SELECT user_id, min(day) AS f, max(day) AS l
+      |         FROM e GROUP BY 1),
+      |tl AS (SELECT user_id, event_type, max(day) AS tl
+      |       FROM e GROUP BY 1, 2),
+      |subj AS (SELECT tl.event_type AS cohort, tl.tl - span.f AS t,
+      |           tl.tl < span.l AS ev
+      |         FROM tl JOIN span ON span.user_id = tl.user_id),
+      |h AS (SELECT cohort, t,
+      |        CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |        CAST(count(*) AS BIGINT) AS c
+      |      FROM subj GROUP BY 1, 2),
+      |r AS (SELECT cohort, t, d,
+      |        CAST(sum(c) OVER (PARTITION BY cohort)
+      |          - coalesce(sum(c) OVER (PARTITION BY cohort ORDER BY t
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS n_at_risk
+      |      FROM h),
+      |s AS (SELECT cohort, t, d, n_at_risk,
+      |        CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+      |          AS f
+      |      FROM r WHERE d > 0),
+      |arr AS (SELECT cohort,
+      |          list(struct_pack(t := t, d := d, n := n_at_risk, f := f)
+      |            ORDER BY t) AS l
+      |        FROM s GROUP BY 1),
+      |idx AS (SELECT cohort, l, generate_subscripts(l, 1) AS i FROM arr)
+      |SELECT cohort, l[i].t AS t, l[i].d AS d, l[i].n AS n_at_risk,
+      |  list_reduce(list_transform(l[1:i], x -> x.f), (a, b) -> a * b)
+      |    AS survival
+      |FROM idx""".stripMargin
+
+  /** Difference-in-differences spend lift per event type
+    * (Stats.diffInDiff): odd users "treated", the corpus midpoint day
+    * splits pre/post — 2×2 exact integer cells per key, four double
+    * means, fixed IEEE tail; NULL cell assignments rejected inside
+    * the aggregation (the q189 lazy checked contract). */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("ts div 86400000000000").as("day"), cents(col("value")).as("v"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val cells = ev.crossJoin(mid)
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 1L).as("tr"),
+        (col("day") >= col("mid")).as("po"), col("v"))
+    Stats.diffInDiff(cells, "event_type", "tr", "po", "v")
+  }
+
+  private val q222Sql =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+      |c AS (SELECT event_type, user_id % 2 = 1 AS tr, day >= mid.mid AS po,
+      |        v
+      |      FROM e CROSS JOIN mid),
+      |g AS (SELECT event_type,
+      |  CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_t_post,
+      |  CAST(sum(CASE WHEN tr AND po THEN v ELSE 0 END) AS BIGINT)
+      |    AS s_t_post,
+      |  CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_t_pre,
+      |  CAST(sum(CASE WHEN tr AND NOT po THEN v ELSE 0 END) AS BIGINT)
+      |    AS s_t_pre,
+      |  CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_c_post,
+      |  CAST(sum(CASE WHEN NOT tr AND po THEN v ELSE 0 END) AS BIGINT)
+      |    AS s_c_post,
+      |  CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_c_pre,
+      |  CAST(sum(CASE WHEN NOT tr AND NOT po THEN v ELSE 0 END) AS BIGINT)
+      |    AS s_c_pre
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+      |    - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+      |  - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+      |    - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did
+      |FROM g
+      |WHERE n_t_post > 0 AND n_t_pre > 0 AND n_c_post > 0 AND n_c_pre > 0"""
+      .stripMargin
+
+  /** Self-join cardinality estimate of events on user_id from two
+    * count-min sketches (Sketches.cmsJoinSize, 4×64): the "will this
+    * join explode" planner probe — min-over-rows inner product of
+    * exact counter matrices, over-count-only error (width 64 is below
+    * the user cardinality on purpose, so collisions actually fire);
+    * the oracle replays every cell and the row products. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").cast("string").as("k"))
+    Sketches.cmsJoinSize(ev, col("k"), ev, col("k"), depth = 4, width = 64)
+  }
+
+  private val q223Sql = {
+    val d = 4
+    val w = 64
+    s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+       |kh AS (SELECT k, ${md5LongSql("k")} AS h FROM k),
+       |cells AS (
+       |  SELECT j.i AS row_j, ${sketchPosSql("kh.h", "j.i", w)} AS pos,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM kh CROSS JOIN range(0, $d) j(i)
+       |  GROUP BY 1, 2),
+       |rows_ AS (SELECT row_j, sum(cnt * cnt) AS s FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+       |SELECT n.n AS n_a, n.n AS n_b, CAST(min(s) AS BIGINT)
+       |  AS est_join_size
+       |FROM rows_ CROSS JOIN n GROUP BY n.n""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9215,5 +9357,8 @@ object Queries {
     "q217_modularity" -> Q(q217, Some(q217Sql)),
     "q218_vocab_growth" -> Q(q218, Some(q218Sql)),
     "q219_hits" -> Q(q219, Some(q219Sql)),
-    "q220_ring_negatives" -> Q(q220, Some(q220Sql)))
+    "q220_ring_negatives" -> Q(q220, Some(q220Sql)),
+    "q221_kaplan_meier" -> Q(q221, Some(q221Sql)),
+    "q222_diff_in_diff" -> Q(q222, Some(q222Sql)),
+    "q223_cms_join_size" -> Q(q223, Some(q223Sql)))
 }

@@ -1035,3 +1035,44 @@ case class CusumLongs(child: Expression, ref: Long, h: Long)
   override protected def withNewChildInternal(newChild: Expression): CusumLongs =
     copy(child = newChild)
 }
+
+/** `prefix_prod(xs)` — running product of a double sequence:
+  * out(i) = xs(0)·xs(1)·…·xs(i), folded STRICTLY left-to-right so the
+  * IEEE result is a pure function of the element order (a tree-shaped
+  * or reassociated product moves low bits; the sequential fold is
+  * what a SQL `list_reduce` over the same list replays bit-exactly).
+  * This is the Kaplan–Meier survival accumulator — the caller hands
+  * in the ordered per-step factors (n−d)/n and reads back the curve.
+  * O(n), zero allocation beyond the output. Null input, null
+  * elements, or any non-finite element (NaN/Inf would poison every
+  * later prefix) yield null. */
+case class PrefixProd(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_prod"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"prefix_prod needs array<double>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val n = ad.numElements()
+    val out = new Array[Double](n)
+    var p = 1.0
+    var i = 0
+    while (i < n) {
+      val x = ad.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return null
+      p = p * x
+      out(i) = p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PrefixProd =
+    copy(child = newChild)
+}

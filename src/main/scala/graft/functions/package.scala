@@ -493,6 +493,11 @@ package object functions {
   def lis_pairs(xs: Column): Column =
     ExprBridge.column(LisPairs(col2expr(xs)))
 
+  /** Running left-to-right product of a double sequence — the
+    * Kaplan–Meier survival accumulator (see [[PrefixProd]]). */
+  def prefix_prod(xs: Column): Column =
+    ExprBridge.column(PrefixProd(col2expr(xs)))
+
   /** Median of pairwise slopes over an (x, y)-sorted integer series —
     * the Theil–Sen robust trend kernel (see [[TheilSenSlope]]). */
   def theil_sen_slope(xs: Column, ys: Column): Column =

@@ -112,6 +112,39 @@ object Sketches {
       .drop("__cms")
   }
 
+  /** JOIN-CARDINALITY ESTIMATE from two count-min sketches — the
+    * plan-before-you-pay primitive: |A ⋈ B| on a key equals
+    * Σ_k cntA(k)·cntB(k), and the CMS row-wise inner product
+    *
+    *   est = min_j Σ_pos a[j][pos] · b[j][pos]
+    *
+    * upper-bounds it with over-count-only error (Cormode & Muthu-
+    * krishnan's inner-product estimator) — so a pipeline can ask "is
+    * this join going to explode?" from two d×w counter rows instead
+    * of running the join. Each side is ONE partial-aggregated scan
+    * collapsing to a single broadcast-sized sketch row; the estimate
+    * is a fixed HOF shape (zip_with product, per-row slice sums,
+    * array_min) over exact long counters — deterministic and oracle-
+    * replayable cell-for-cell. Caller contract: nA·nB must fit int64
+    * (the exact inner product is bounded by it); at 100 TB that means
+    * sketching the join KEY DISTRIBUTION of a sampled/filtered slice,
+    * not 10⁹×10⁹ raw rows — the planner use, not the executor use.
+    * Output: one row (n_a, n_b, est_join_size). */
+  def cmsJoinSize(dfA: DataFrame, keyA: Column, dfB: DataFrame,
+                  keyB: Column, depth: Int, width: Int): DataFrame = {
+    val skA = dfA.agg(cms_agg(keyA, depth, width).as("__a"),
+      count(keyA).as("n_a"))
+    val skB = dfB.agg(cms_agg(keyB, depth, width).as("__b"),
+      count(keyB).as("n_b"))
+    val zip = zip_with(col("__a"), col("__b"), (x, y) => x * y)
+    val rowSums = transform(sequence(lit(0), lit(depth - 1)), j =>
+      aggregate(slice(zip, j * lit(width) + lit(1), lit(width)),
+        lit(0L), (acc, x) => acc + x))
+    skA.crossJoin(skB)
+      .select(col("n_a"), col("n_b"),
+        array_min(rowSums).as("est_join_size"))
+  }
+
   /** Per-group ROBUST outlier flagging — median/MAD instead of
     * mean/stddev, so a heavy-tailed quality or length distribution (the
     * norm in web corpora) doesn't let its own outliers inflate the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1762,6 +1762,121 @@ object Stats {
         (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
           / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
         .as("r"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES per key — the workhorse quasi-
+    * experimental lift estimator when assignment wasn't randomized
+    * (feature rollouts by region, supplier policy changes, crawl-
+    * source interventions): the treated group's pre→post change minus
+    * the control group's pre→post change cancels shared time trends,
+    *
+    *   did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * ONE map-side-combining aggregation collects the 2×2 cell counts
+    * and exact long value sums (eight longs per key cross the
+    * shuffle); each mean is one double division and the two
+    * subtractions are a fixed IEEE shape — engine-exact. NULL
+    * treated/post/value rows are REJECTED inside the same aggregation
+    * via the raise_error branch (the [[twoProportionZ]] lazy checked
+    * contract — a NULL cell assignment silently moving mass between
+    * cells is the classic way a DiD readout lies). Keys missing any
+    * of the four cells drop (no counterfactual → no estimate).
+    * Output: (key, n_t_pre, n_t_post, n_c_pre, n_c_post, did). */
+  def diffInDiff(df: DataFrame, keyCol: String, treatedCol: String,
+                 postCol: String, valueCol: String): DataFrame = {
+    val tr = col(treatedCol).cast("boolean")
+    val po = col(postCol).cast("boolean")
+    val v = col(valueCol).cast("long")
+    def cell(p: Column, n: String, s: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(n),
+      sum(when(p, v).otherwise(0L)).as(s))
+    val cols = cell(tr && po, "n_t_post", "s_t_post") ++
+      cell(tr && !po, "n_t_pre", "s_t_pre") ++
+      cell(!tr && po, "n_c_post", "s_c_post") ++
+      cell(!tr && !po, "n_c_pre", "s_c_pre") :+
+      sum(when(tr.isNull || po.isNull || v.isNull, 1L).otherwise(0L))
+        .as("__bad")
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    df.groupBy(col(keyCol))
+      .agg(cols.head, cols.tail: _*)
+      .where(when(col("__bad") > 0L,
+        raise_error(concat(
+          lit("diffInDiff: NULL treated/post/value rows under key "),
+          col(keyCol).cast("string"),
+          lit(" — assign every row a cell and an outcome, or filter " +
+            "explicitly before calling"))).isNotNull)
+        .otherwise(lit(true)))
+      .where(col("n_t_post") > 0L && col("n_t_pre") > 0L &&
+        col("n_c_post") > 0L && col("n_c_pre") > 0L)
+      .select(col(keyCol), col("n_t_pre"), col("n_t_post"),
+        col("n_c_pre"), col("n_c_post"),
+        ((m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre"))
+          - (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre")))
+          .as("did"))
+  }
+
+  /** KAPLAN–MEIER survival curve per cohort — the time-to-event
+    * workhorse (user churn, supplier attrition, document staleness)
+    * with RIGHT-CENSORING handled correctly: a subject still alive at
+    * observation end ("censored") leaves the risk set without counting
+    * as an event, which a naive "fraction churned by day t" silently
+    * gets wrong. At each distinct event time t (ascending):
+    *
+    *   S(t) = Π_{s ≤ t} (n_s − d_s) / n_s
+    *
+    * with d_s = events at s and n_s = subjects still at risk
+    * (duration ≥ s). Exactness: durations collapse to a CHECKED
+    * bounded per-key histogram (one row per distinct duration — the
+    * exact-median discipline), the risk set is integer window
+    * arithmetic over it, each step factor is ONE double division of
+    * exact longs, and the running product folds STRICTLY left-to-
+    * right in the [[graft.functions.PrefixProd]] kernel — the same
+    * sequential fold a SQL `list_reduce` replays, so the whole curve
+    * is engine-exact. NULL duration/event rows are rejected before
+    * anything runs (checked contract, one Contracts job on the
+    * checkpointed base). Censoring-only times don't step the curve
+    * (d = 0 rows drop — standard KM). Per-key curve length is bounded
+    * by the histogram contract, so the collect_list rides the
+    * documented series-kernel bound (the burstDays shape).
+    * Output: (key, t, d, n_at_risk, survival). */
+  def kaplanMeier(df: DataFrame, keyCol: String, durationCol: String,
+                  eventCol: String,
+                  maxDistinctPerKey: Long = 100000L): DataFrame = {
+    val base = df.select(col(keyCol), col(durationCol).cast("long").as("__t"),
+      col(eventCol).cast("boolean").as("__e")).localCheckpoint()
+    Contracts.enforce(base,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__t") < 0L ||
+        col("__e").isNull, 1L).otherwise(0L)), _ == 0L, b =>
+        s"kaplanMeier: $b rows with NULL/negative duration or NULL " +
+          "event flag — every subject needs a non-negative duration " +
+          "and an observed/censored outcome"))
+    val hist = base.groupBy(col(keyCol), col("__t"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__c"))
+      .localCheckpoint()
+    Contracts.boundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "kaplanMeier", "distinct durations",
+      "Quantize the duration axis (days, not micros) so the per-key " +
+        "histogram stays bounded.")
+    val wAll = Window.partitionBy(col(keyCol))
+    val wBefore = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = hist
+      .withColumn("n_at_risk", sum(col("__c")).over(wAll)
+        - coalesce(sum(col("__c")).over(wBefore), lit(0L)))
+      .where(col("d") > 0L)
+    steps.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("d"),
+        col("n_at_risk")))).as("__s"))
+      .withColumn("__surv", graft.functions.prefix_prod(
+        transform(col("__s"), x =>
+          (x("n_at_risk") - x("d")).cast("double")
+            / x("n_at_risk").cast("double"))))
+      .select(col(keyCol), col("__surv"), posexplode(col("__s")))
+      .select(col(keyCol), col("col.__t").as("t"), col("col.d").as("d"),
+        col("col.n_at_risk").as("n_at_risk"),
+        element_at(col("__surv"), col("pos") + 1).as("survival"))
   }
 
   /** CHECKS the per-key bounded-histogram contract the exact

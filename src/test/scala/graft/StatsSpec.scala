@@ -1420,4 +1420,79 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("vocabGrowth"))
   }
+
+  test("kaplanMeier matches the brute-force product-limit estimator " +
+    "with censoring; contracts fire") {
+    val rnd = new scala.util.Random(31)
+    val subj = (1 to 2).flatMap { k =>
+      Seq.fill(150)((k.toLong, rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    }
+    val out = Stats.kaplanMeier(subj.toDF("k", "t", "e"), "k", "t", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    subj.groupBy(_._1).foreach { case (k, g) =>
+      val times = g.filter(_._3).map(_._2).distinct.sorted
+      var s = 1.0
+      times.foreach { t =>
+        val d = g.count(r => r._2 == t && r._3).toLong
+        val n = g.count(_._2 >= t).toLong
+        s = s * ((n - d).toDouble / n.toDouble) // the kernel's op order
+        val (gd, gn, gs) = out((k, t))
+        assert(gd == d && gn == n && gs == s, s"k=$k t=$t")
+      }
+      // censoring-only times never step the curve
+      val evTimes = times.toSet
+      g.map(_._2).distinct.filterNot(evTimes).foreach { t =>
+        assert(!out.contains((k, t)), s"censor-only time $t stepped")
+      }
+    }
+    // NULL durations are rejected before anything runs
+    val dirty = Seq((1L, Some(3L), true), (1L, None, false))
+      .toDF("k", "t", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.kaplanMeier(dirty, "k", "t", "e")
+    }
+    assert(e1.getMessage.contains("kaplanMeier"))
+    // the duration-histogram bound is CHECKED
+    import org.apache.spark.sql.functions.lit
+    val wide = spark.range(5000).select(lit(1L).as("k"), $"id".as("t"),
+      lit(true).as("e"))
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.kaplanMeier(wide, "k", "t", "e", maxDistinctPerKey = 100L)
+    }
+    assert(e2.getMessage.contains("kaplanMeier"))
+  }
+
+  test("diffInDiff recovers a planted lift under a shared trend and " +
+    "rejects NULL cell assignments") {
+    // control: pre mean 100, post mean 140 (shared trend +40)
+    // treated: pre mean 200, post mean 290 (trend +40, lift +50)
+    val rows =
+      Seq.fill(8)((1L, false, false, 100L)) ++
+      Seq.fill(4)((1L, false, true, 140L)) ++
+      Seq.fill(6)((1L, true, false, 200L)) ++
+      Seq.fill(3)((1L, true, true, 290L))
+    val out = Stats.diffInDiff(rows.toDF("k", "tr", "po", "v"),
+      "k", "tr", "po", "v").collect().head
+    assert(out.getLong(1) == 6L && out.getLong(2) == 3L &&
+      out.getLong(3) == 8L && out.getLong(4) == 4L)
+    assert(out.getDouble(5) == 50.0, s"did=${out.getDouble(5)}")
+    // a key missing any of the four cells has no counterfactual
+    val missing = Seq((2L, true, true, 5L), (2L, false, true, 5L))
+      .toDF("k", "tr", "po", "v")
+    assert(Stats.diffInDiff(missing, "k", "tr", "po", "v").count() == 0L)
+    // NULL treated/post/value rows fail loudly inside the aggregation
+    val dirty = Seq((3L, Some(true), Some(true), Some(1L)),
+        (3L, None, Some(false), Some(2L)),
+        (3L, Some(false), Some(true), Some(3L)),
+        (3L, Some(false), Some(false), Some(4L)),
+        (3L, Some(true), Some(false), Some(5L)))
+      .toDF("k", "tr", "po", "v")
+    val e = intercept[Exception] {
+      Stats.diffInDiff(dirty, "k", "tr", "po", "v").collect()
+    }
+    assert(e.getMessage.contains("diffInDiff")
+      || e.getCause != null && e.getCause.getMessage.contains("diffInDiff"))
+  }
 }

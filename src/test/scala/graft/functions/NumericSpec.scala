@@ -124,4 +124,23 @@ class NumericSpec extends AnyFunSuite {
       assert(kernel(a, b, w) == brute(a, b, w), s"w=$w a=$a b=$b")
     }
   }
+
+  test("prefix_prod equals the sequential scanLeft fold bit-for-bit " +
+    "and nulls out on non-finite elements") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    def kernel(xs: Seq[Double]): Any =
+      PrefixProd(Literal.create(null))
+        .nullSafeEval(new GenericArrayData(xs.toArray))
+    val rnd = new scala.util.Random(67)
+    (1 to 30).foreach { _ =>
+      val xs = Seq.fill(1 + rnd.nextInt(20))(rnd.nextDouble() * 2)
+      val expect = xs.scanLeft(1.0)(_ * _).tail
+      val got = kernel(xs).asInstanceOf[ArrayData].toDoubleArray()
+      assert(got.toSeq == expect, s"xs=$xs")
+    }
+    assert(kernel(Seq(1.0, Double.NaN)) == null)
+    assert(kernel(Seq(Double.PositiveInfinity)) == null)
+    assert(kernel(Seq.empty).asInstanceOf[ArrayData].numElements() == 0)
+  }
 }

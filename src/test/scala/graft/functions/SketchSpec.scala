@@ -513,4 +513,38 @@ class SketchSpec extends SparkTestBase {
     val same = ops(1L to 5000L, 1L to 5000L, 128)
     assert(same.getDouble(4) == 1.0)
   }
+
+  test("cmsJoinSize never undercounts the exact join cardinality and " +
+    "is exact without collisions") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(223)
+    // zipf-ish key skew so the self-join size is dominated by hot keys
+    val a = Seq.fill(3000)(s"k${rnd.nextInt(rnd.nextInt(80) + 1)}")
+    val b = Seq.fill(2000)(s"k${rnd.nextInt(rnd.nextInt(120) + 1)}")
+    val exact = {
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong)
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong)
+      ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    }
+    def est(w: Int): Long = Sketches.cmsJoinSize(
+      a.toDF("k"), col("k"), b.toDF("k"), col("k"), 4, w)
+      .collect().head.getLong(2)
+    // over-count-only error, at any width
+    val narrow = est(16)
+    assert(narrow >= exact, s"narrow=$narrow < exact=$exact")
+    // cell-exact vs the reference model: est == min over rows of the
+    // counter dot product, replayed off-Spark
+    def refEst(w: Int): Long = {
+      val ca = refCms(a, 4, w); val cb = refCms(b, 4, w)
+      (0 until 4).map { j =>
+        (0 until w).map(p => ca(j * w + p) * cb(j * w + p)).sum
+      }.min
+    }
+    assert(narrow == refEst(16))
+    assert(est(512) == refEst(512) && est(512) >= exact)
+    // n_a/n_b carried for the caller's relative-error readout
+    val row = Sketches.cmsJoinSize(a.toDF("k"), col("k"), b.toDF("k"),
+      col("k"), 4, 64).collect().head
+    assert(row.getLong(0) == 3000L && row.getLong(1) == 2000L)
+  }
 }
