@@ -316,6 +316,58 @@ object Streaming {
       .toDF("k", "n_a", "x_a", "n_b", "x_b")
   }
 
+  /** Streaming GOLDEN-RECORD survivorship maintainer — the live twin
+    * of [[graft.operators.Snapshot.goldenRecords]] (q212) in its
+    * (ts, id)-ordered two-attribute shape: per entity cluster the
+    * state is (member count, canonical min id, and for each attribute
+    * the (ts, id, value) of the LATEST NON-NULL observation); each
+    * batch folds its rows in and emits the cluster's refreshed golden
+    * row (Append — downstream keeps the latest row per cluster).
+    * Survivorship picks are associative-commutative max_by folds over
+    * a unique (ts, id) order key, so streamed == batch over the full
+    * history is structural, not coincidental — pinned in
+    * StreamingSpec. State is O(1) per cluster regardless of history
+    * (two longs + two bounded picks). Input columns:
+    * (k, ts, id, a_s, a_l) with a unique (ts, id) per row.
+    * Output: (k, n_members, canonical_id, last_s, last_l). */
+  def streamingGoldenRecords(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    def better[A](cur: Option[(Long, Long, A)], ts: Long, id: Long,
+                  v: A): Option[(Long, Long, A)] =
+      cur match {
+        case Some((bt, bi, _)) if bt > ts || (bt == ts && bi >= id) => cur
+        case _ => Some((ts, id, v))
+      }
+    obs.select(col("k").cast("long"), col("ts").cast("long"),
+        col("id").cast("long"), col("a_s").cast("string"),
+        col("a_l").cast("long"))
+      .as[(Long, Long, Long, Option[String], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Option[(Long, Long, String)],
+          Option[(Long, Long, Long)]),
+        (Long, Long, Long, Option[String], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long,
+            Option[(Long, Long, String)], Option[(Long, Long, Long)])]) =>
+          var (n, canon, ps, pl) =
+            state.getOption.getOrElse((0L, Long.MaxValue,
+              None: Option[(Long, Long, String)],
+              None: Option[(Long, Long, Long)]))
+          rows.foreach { case (_, ts, id, as_, al) =>
+            n += 1L
+            if (id < canon) canon = id
+            as_.foreach(v => ps = better(ps, ts, id, v))
+            al.foreach(v => pl = better(pl, ts, id, v))
+          }
+          state.update((n, canon, ps, pl))
+          Iterator((k, n, canon, ps.map(_._3), pl.map(_._3)))
+      }
+      .toDF("k", "n_members", "canonical_id", "last_s", "last_l")
+  }
+
   /** Streamed RQ rank-quantile sketch per key — the live twin of
     * `functions.rq_sketch` (q192/q193): per-key state is the canonical
     * sketch bytes (level + ≤ budget exact value counts), each batch

@@ -972,6 +972,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming golden records equal the batch survivorship merge " +
+    "after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(212)
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Option[String], Option[Long])]
+    var nextId = 0L
+    val mem = MemoryStream[(Long, Long, Long, Option[String], Option[Long])]
+    val q = Streaming.streamingGoldenRecords(
+        mem.toDF().toDF("k", "ts", "id", "a_s", "a_l"))
+      .writeStream.format("memory").queryName("golden")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(120) {
+          nextId += 1L
+          (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, nextId,
+            if (rnd.nextInt(3) == 0) None else Some(s"s${rnd.nextInt(7)}"),
+            if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(900).toLong))
+        }
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val latest = spark.table("golden").collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (_, rs) => rs.maxBy(_._2)._1 }
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            Option(r.getString(3)), if (r.isNullAt(4)) None
+            else Some(r.getLong(4)))).toMap
+        val batch = graft.operators.Snapshot.goldenRecords(
+            hist.toSeq.toDF("k", "ts", "id", "a_s", "a_l"),
+            "k", "id", Seq("ts", "id"), Seq("a_s", "a_l"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            Option(r.getString(3)), if (r.isNullAt(4)) None
+            else Some(r.getLong(4)))).toMap
+        assert(latest == batch, s"streamed != batch golden after $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
