@@ -9132,6 +9132,114 @@ object Queries {
        |FROM rows_ CROSS JOIN n GROUP BY n.n""".stripMargin
   }
 
+  /** Last-touch revenue attribution (AsOf.lastTouchAttribution):
+    * each purchase credits the latest click/view of the same user
+    * within 3 days, else "(unattributed)" — the tolerance merge as-of
+    * + one channel-sized rollup; Σ n_conversions must equal the
+    * purchase count (the audit property), which the oracle's ASOF
+    * LEFT replay preserves. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), cents(col("value")).as("v"))
+    val touch = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    AsOf.lastTouchAttribution(conv, touch, "user_id", "ts", "v",
+      "event_type", tolerance = 3L * 86400L * 1000000000L)
+  }
+
+  private val q224Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |conv AS (SELECT user_id, ts, v FROM e WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id, ts, max(event_type) AS ch FROM e
+      |          WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      |m AS (SELECT c.user_id, c.ts, c.v, t.ts AS mts, t.ch
+      |      FROM conv c ASOF LEFT JOIN touch t
+      |        ON c.user_id = t.user_id AND c.ts >= t.ts),
+      |f AS (SELECT v,
+      |        CASE WHEN mts IS NOT NULL AND ts - mts <= 259200000000000
+      |          THEN ch END AS ch2
+      |      FROM m)
+      |SELECT coalesce(ch2, '(unattributed)') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_conversions,
+      |  CAST(sum(v) AS BIGINT) AS attributed_value
+      |FROM f GROUP BY 1""".stripMargin
+
+  /** Leave-one-out target encoding of event type against spend cents
+    * (Stats.looTargetEncoding): the leakage-safe categorical feature —
+    * category (Σy, n) pairs broadcast back, one exact subtraction and
+    * ONE double division per row; NULL outcomes rejected up front. */
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    Stats.looTargetEncoding(
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        cents(col("value")).as("v")),
+      "event_id", "event_type", "v")
+
+  private val q225Sql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |c AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS s,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.v,
+      |  CASE WHEN c.n > 1
+      |    THEN CAST(c.s - e.v AS DOUBLE) / CAST(c.n - 1 AS DOUBLE)
+      |  END AS loo
+      |FROM e JOIN c USING (event_type)""".stripMargin
+
+  /** RAKE keyword phrases over the corpus (TextAnalysis.rakePhrases,
+    * top 25): stopword roster = the 15 highest-document-frequency
+    * tokens (buildDictionary), phrases = non-stopword islands,
+    * deg/freq word scores summed left-to-right — the oracle replays
+    * the islands (pos − row_number), every integer stat, and the
+    * 0.0-seeded sequential fold. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stop = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 15, minLen = 1)
+    TextAnalysis.rakePhrases(docs, "doc_id", "text", stop, k = 25)
+  }
+
+  private val q226Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) - 1 AS pos
+       |  FROM documents),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+       |          SELECT DISTINCT doc_id, tok FROM tk) GROUP BY 1),
+       |roster AS (SELECT tok FROM dfq ORDER BY df DESC, tok ASC LIMIT 15),
+       |ns AS (SELECT doc_id, tok, pos FROM tk
+       |       WHERE tok NOT IN (SELECT tok FROM roster)),
+       |isl AS (SELECT doc_id, tok, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY pos) AS g
+       |        FROM ns),
+       |ph AS (SELECT doc_id, g,
+       |         array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+       |         CAST(count(*) AS BIGINT) AS len
+       |       FROM isl GROUP BY 1, 2),
+       |stats AS (SELECT i.tok, CAST(count(*) AS BIGINT) AS freq,
+       |            CAST(sum(p.len) AS BIGINT) AS deg
+       |          FROM isl i JOIN ph p
+       |            ON p.doc_id = i.doc_id AND p.g = i.g
+       |          GROUP BY 1),
+       |sc AS (SELECT i.doc_id, i.g,
+       |         list(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+       |           ORDER BY i.pos) AS scs
+       |       FROM isl i JOIN stats s ON s.tok = i.tok GROUP BY 1, 2),
+       |inst AS (SELECT p.phrase,
+       |           list_reduce(list_prepend(0.0, sc.scs),
+       |             (a, b) -> a + b) AS score
+       |         FROM ph p JOIN sc ON sc.doc_id = p.doc_id AND sc.g = p.g)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  max(score) AS score
+       |FROM inst GROUP BY 1
+       |ORDER BY score DESC, phrase ASC LIMIT 25""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9360,5 +9468,8 @@ object Queries {
     "q220_ring_negatives" -> Q(q220, Some(q220Sql)),
     "q221_kaplan_meier" -> Q(q221, Some(q221Sql)),
     "q222_diff_in_diff" -> Q(q222, Some(q222Sql)),
-    "q223_cms_join_size" -> Q(q223, Some(q223Sql)))
+    "q223_cms_join_size" -> Q(q223, Some(q223Sql)),
+    "q224_attribution" -> Q(q224, Some(q224Sql)),
+    "q225_loo_encoding" -> Q(q225, Some(q225Sql)),
+    "q226_rake_phrases" -> Q(q226, Some(q226Sql)))
 }

@@ -254,4 +254,35 @@ object AsOf {
       cleared
     }
   }
+
+  /** LAST-TOUCH ATTRIBUTION — the standard marketing/funnels rollup
+    * riding the tolerance as-of exec: each conversion is credited to
+    * the LATEST touch of the same key at-or-before it and within
+    * `tolerance` (ns); conversions with no eligible touch land in the
+    * `(unattributed)` bucket, so the output always accounts for every
+    * conversion (Σ n_conversions == conversion count — the audit
+    * property a filtered inner join silently breaks).
+    *
+    * Touches collapse to one row per (key, ts) first (max channel —
+    * the as-of right side needs a unique time axis or equal-ts picks
+    * are tie-ambiguous); the join is the MERGE as-of (co-partitioned
+    * by key, sorted within — never a window over the touch history),
+    * and the rollup is one map-side-combining aggregation over the
+    * channel cardinality. Exact long value sums.
+    * Output: (channel, n_conversions, attributed_value). */
+  def lastTouchAttribution(conversions: DataFrame, touches: DataFrame,
+                           key: String, ts: String, valueCol: String,
+                           channelCol: String,
+                           tolerance: Long): DataFrame = {
+    val tt = touches.groupBy(col(key), col(ts))
+      .agg(max(col(channelCol)).as(channelCol))
+    asofJoinTolerance(
+      conversions.select(col(key), col(ts),
+        col(valueCol).cast("long").as(valueCol)),
+      tt, key, ts, tolerance, inner = false)
+      .groupBy(coalesce(col(channelCol), lit("(unattributed)"))
+        .as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol)).as("attributed_value"))
+  }
 }

@@ -1879,6 +1879,41 @@ object Stats {
         element_at(col("__surv"), col("pos") + 1).as("survival"))
   }
 
+  /** LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe categorical
+    * feature every tabular trainer wants: each row's category is
+    * encoded as the mean outcome of all OTHER rows in that category,
+    *
+    *   loo_i = (Σ_cat y − y_i) / (n_cat − 1)
+    *
+    * (plain target-mean encoding leaks each row's own label into its
+    * feature, which a tree model exploits into fake validation lift).
+    * Exact: ONE map-side-combining aggregation collapses categories to
+    * (Σy, n) integer pairs — category-cardinality-sized, broadcast
+    * back — and each row pays one exact long subtraction + ONE double
+    * division, engine-exact. Singleton categories have no "others" →
+    * NULL (the caller decides the fallback prior; silently emitting
+    * the global mean would hide the leak this encoder exists to
+    * avoid). NULL outcomes are rejected up front (checked contract —
+    * a NULL y skipped by Σ but counted by n would shift every
+    * sibling's encoding). Output: input key/cat/y + loo. */
+  def looTargetEncoding(df: DataFrame, idCol: String, catCol: String,
+                        yCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(catCol),
+      col(yCol).cast("long").as("__y")).localCheckpoint()
+    Contracts.enforce(base,
+      Contracts.Bound(sum(when(col("__y").isNull, 1L).otherwise(0L)),
+        _ == 0L, b => s"looTargetEncoding: $b rows with NULL outcome — " +
+          "encode only labeled rows (filter or impute first)"))
+    val cats = base.groupBy(col(catCol))
+      .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
+    base.join(broadcast(cats), Seq(catCol))
+      .select(col(idCol), col(catCol), col("__y").as(yCol),
+        when(col("__n") > 1L,
+          (col("__s") - col("__y")).cast("double")
+            / (col("__n") - lit(1L)).cast("double"))
+          .as("loo"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

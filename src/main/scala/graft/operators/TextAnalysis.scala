@@ -2161,6 +2161,66 @@ object TextAnalysis {
           (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
   }
 
+  /** RAKE-style KEYWORD PHRASES (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens (the classic gaps-and-
+    * islands split — a stopword ends a phrase), each word scores
+    * deg(w)/freq(w) over the candidate set (deg = Σ lengths of the
+    * phrases containing w — long phrases boost their members; freq =
+    * w's occurrence count — ubiquity damps), and a phrase scores the
+    * sum of its word scores. The top-k phrases by (score DESC, phrase
+    * ASC) are the corpus keyword profile — multi-word terminology that
+    * unigram TF-IDF (q50) and PMI pairs (q129) both miss.
+    *
+    * Exactness: deg and freq are exact longs, each word score is ONE
+    * double division, and the phrase sum folds STRICTLY left-to-right
+    * in word order (functions.aggregate with a 0.0 seed — IEEE-
+    * identical to the oracle's list_reduce over the 0.0-prepended
+    * ordered list), so scores are engine-exact. Scale shape: one
+    * tokenize scan; islands from a per-doc window (bounded by one
+    * document's tokens); word stats are a vocabulary-sized aggregate;
+    * the final top-k is a TakeOrdered, never a global sort. The
+    * stopword roster rides the plan as a literal (the dictTag
+    * discipline) — derive it with [[buildDictionary]]. */
+  def rakePhrases(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"rakePhrases needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__doc"),
+      posexplode(ws_tokens(col(textCol))).as(Seq("__pos", "__t")))
+    val ns = if (stopwords.isEmpty) toks
+      else toks.where(!col("__t").isin(stopwords: _*))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val phrases = ns
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__t"))))
+        .as("__ws"))
+      .select(col("__doc"), col("__isl"),
+        transform(col("__ws"), x => x("__t")).as("__words"))
+      .localCheckpoint() // feeds word stats AND phrase scoring
+    val stats = phrases
+      .select(explode(col("__words")).as("__t"),
+        size(col("__words")).cast("long").as("__len"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    phrases
+      .withColumn("__phrase", concat_ws(" ", col("__words")))
+      .select(col("__doc"), col("__isl"), col("__phrase"),
+        posexplode(col("__words")).as(Seq("__wp", "__t")))
+      .join(stats, "__t")
+      .groupBy(col("__doc"), col("__isl"), col("__phrase"))
+      .agg(sort_array(collect_list(struct(col("__wp"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .as("__sc")))).as("__scs"))
+      .select(col("__phrase"),
+        aggregate(transform(col("__scs"), x => x("__sc")),
+          lit(0.0), (acc, x) => acc + x).as("__score"))
+      .groupBy(col("__phrase").as("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__score")).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** VOCABULARY GROWTH CURVE over an ordered ingestion axis (the Heaps
     * law profile): per batch, the token volume, the number of NEVER-
     * SEEN-BEFORE types, and the running vocabulary size against the

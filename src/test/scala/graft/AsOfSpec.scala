@@ -168,4 +168,34 @@ class AsOfSpec extends SparkTestBase {
     } yield (k, g, latest.get._3)).toSet
     assert(got == want)
   }
+
+  test("lastTouchAttribution matches the brute rule and accounts for " +
+    "every conversion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(224)
+    val conv = Seq.fill(80)((rnd.nextInt(6).toLong,
+      rnd.nextInt(1000).toLong * 10L, 1L + rnd.nextInt(100).toLong))
+    val touch = Seq.fill(120)((rnd.nextInt(6).toLong,
+      rnd.nextInt(1000).toLong * 10L,
+      if (rnd.nextBoolean()) "ads" else "organic"))
+    val tol = 300L
+    val got = AsOf.lastTouchAttribution(conv.toDF("k", "ts", "v"),
+        touch.toDF("k", "ts", "ch"), "k", "ts", "v", "ch", tol)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute: per (key, ts) the max channel; per conversion the latest
+    // eligible touch within tolerance, else unattributed
+    val uniq = touch.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).max).toMap
+    val credited = conv.map { case (k, ts, v) =>
+      val best = uniq.keys.filter(p => p._1 == k && p._2 <= ts &&
+        ts - p._2 <= tol).toSeq.sortBy(_._2).lastOption
+      (best.map(uniq).getOrElse("(unattributed)"), v)
+    }
+    val want = credited.groupBy(_._1).view.mapValues(g =>
+      (g.size.toLong, g.map(_._2).sum)).toMap
+    assert(got == want)
+    // the audit property: nothing is silently dropped
+    assert(got.values.map(_._1).sum == conv.size.toLong)
+  }
 }

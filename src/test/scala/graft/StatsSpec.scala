@@ -1495,4 +1495,57 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("diffInDiff")
       || e.getCause != null && e.getCause.getMessage.contains("diffInDiff"))
   }
+
+  test("looTargetEncoding: each row gets the mean of the OTHERS, " +
+    "singletons null out, NULL outcomes fail loudly") {
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 60L),
+      (4L, "b", 5L), (5L, "b", 7L), (6L, "c", 99L))
+    val out = Stats.looTargetEncoding(rows.toDF("id", "cat", "y"),
+        "id", "cat", "y")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L).contains(40.0) && out(2L).contains(35.0) &&
+      out(3L).contains(15.0))
+    assert(out(4L).contains(7.0) && out(5L).contains(5.0))
+    assert(out(6L).isEmpty, "singleton category must encode NULL")
+    // the row's own label never leaks into its feature: shifting ONE
+    // row's y moves every sibling's encoding but not its own (when the
+    // category mean of the others is unchanged)
+    val shifted = rows.map { case (i, c, y) =>
+      (i, c, if (i == 1L) y + 300L else y) }
+    val out2 = Stats.looTargetEncoding(shifted.toDF("id", "cat", "y"),
+        "id", "cat", "y")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out2(1L) == out(1L), "own-label leak detected")
+    assert(out2(2L) != out(2L) && out2(3L) != out(3L))
+    val dirty = Seq((1L, "a", Some(1L)), (2L, "a", None))
+      .toDF("id", "cat", "y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.looTargetEncoding(dirty, "id", "cat", "y")
+    }
+    assert(e.getMessage.contains("looTargetEncoding"))
+  }
+
+  test("rakePhrases: islands split on stopwords, deg/freq scoring " +
+    "surfaces the planted multi-word phrase first") {
+    import graft.operators.TextAnalysis
+    // "the" is the stopword; "deep neural net" appears twice as an
+    // island and must outrank single words (deg rewards long phrases)
+    val docs = Seq(
+      (1L, "the deep neural net the baseline"),
+      (2L, "the deep neural net"),
+      (3L, "the baseline the loses")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rakePhrases(docs, "doc_id", "text",
+      stopwords = Seq("the"), k = 10).collect()
+    val top = out.head
+    assert(top.getString(0) == "deep neural net")
+    assert(top.getLong(1) == 2L)
+    // deg(deep)=deg(neural)=deg(net)=6 over freq 2 each -> 3+3+3
+    assert(top.getDouble(2) == 9.0)
+    // every phrase is a contiguous non-stopword run: no phrase may
+    // contain the stopword
+    assert(out.forall(!_.getString(0).split(" ").contains("the")))
+  }
 }
