@@ -9240,6 +9240,40 @@ object Queries {
        |FROM inst GROUP BY 1
        |ORDER BY score DESC, phrase ASC LIMIT 25""".stripMargin
 
+  /** Rolling 8-point OLS spend trend per user (Stats.rollingOlsSlope):
+    * the "how fast is it moving NOW" monitor — exact long sums over a
+    * sliding window frame, x = the per-key sequence index, ONE double
+    * division per emitted row; identical SQL frames replay it. */
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    Stats.rollingOlsSlope(
+      t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"), col("event_id"),
+        cents(col("value")).as("v")),
+      "user_id", "us", "event_id", "v", window = 8)
+
+  private val q227Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (SELECT user_id, us, event_id, v,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY us, event_id) AS BIGINT) AS x
+      |      FROM e),
+      |f AS (SELECT user_id, us, event_id,
+      |        CAST(count(*) OVER wf AS BIGINT) AS n,
+      |        CAST(sum(x) OVER wf AS BIGINT) AS sx,
+      |        CAST(sum(v) OVER wf AS BIGINT) AS sy,
+      |        CAST(sum(x*v) OVER wf AS BIGINT) AS sxy,
+      |        CAST(sum(x*x) OVER wf AS BIGINT) AS sxx
+      |      FROM r WINDOW wf AS (PARTITION BY user_id
+      |        ORDER BY us, event_id
+      |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, us, event_id, n,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |    AS slope
+      |FROM f WHERE n = 8""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9471,5 +9505,6 @@ object Queries {
     "q223_cms_join_size" -> Q(q223, Some(q223Sql)),
     "q224_attribution" -> Q(q224, Some(q224Sql)),
     "q225_loo_encoding" -> Q(q225, Some(q225Sql)),
-    "q226_rake_phrases" -> Q(q226, Some(q226Sql)))
+    "q226_rake_phrases" -> Q(q226, Some(q226Sql)),
+    "q227_rolling_ols" -> Q(q227, Some(q227Sql)))
 }

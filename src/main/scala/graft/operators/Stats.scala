@@ -1914,6 +1914,47 @@ object Stats {
           .as("loo"))
   }
 
+  /** ROLLING OLS TREND per key — [[groupOls]]'s windowed sibling: at
+    * every observation, the least-squares slope over the TRAILING
+    * `window` points (x = the observation's per-key sequence index,
+    * y = the value), i.e. "how fast is this entity's metric moving
+    * RIGHT NOW" — the telemetry/spend drift monitor that a whole-
+    * history slope smears out. Only rows with a full window emit (a
+    * partial window's slope isn't comparable to its neighbors').
+    *
+    * Exactness shape: the five sufficient statistics are exact long
+    * SUMS OVER A WINDOW FRAME (rowsBetween −(w−1)..0 — Spark's
+    * sliding-frame aggregation adds/subtracts longs, order-pinned by
+    * the (orderCol, idCol) sort), x is the per-key row_number (small
+    * integers — x² sums stay tiny no matter the value scale), and the
+    * slope is ONE double division of int64 values — engine-exact,
+    * replayed by identical SQL window frames. The windows partition
+    * by key (bounded by one key's history — the sessionize
+    * discipline, never a global sort). Output: every full-window row
+    * (key, orderCol, idCol, n, slope). */
+  def rollingOlsSlope(df: DataFrame, keyCol: String, orderCol: String,
+                      idCol: String, yCol: String,
+                      window: Int): DataFrame = {
+    require(window >= 2, s"rollingOlsSlope needs window >= 2, got $window")
+    val wSeq = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(idCol))
+    val wFrame = wSeq.rowsBetween(-(window - 1L), 0L)
+    val y = col(yCol).cast("long")
+    val base = df
+      .withColumn("__x", row_number().over(wSeq).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wFrame))
+      .withColumn("__sx", sum(col("__x")).over(wFrame))
+      .withColumn("__sy", sum(y).over(wFrame))
+      .withColumn("__sxy", sum(col("__x") * y).over(wFrame))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(wFrame))
+      .where(col("__n") === window.toLong)
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    base.select(col(keyCol), col(orderCol), col(idCol),
+      col("__n").as("n"),
+      ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast("double") / den.cast("double")).as("slope"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -368,6 +368,66 @@ object Streaming {
       .toDF("k", "n_members", "canonical_id", "last_s", "last_l")
   }
 
+  /** Streaming LAST-TOUCH ATTRIBUTION — the live twin of
+    * [[graft.operators.AsOf.lastTouchAttribution]] (q224): per user
+    * the state is ONE (ts, channel) pair — the latest touch seen —
+    * and each arriving conversion is credited on the spot (touch
+    * within `tolerance`, else "(unattributed)") and emitted as an
+    * attribution row; downstream rolls the stream up by channel for
+    * the live dashboard. Rows fold in event-time order within a batch
+    * (sorted in the group iterator — bounded by one key's batch
+    * slice), touches before conversions on an equal timestamp and max
+    * channel on an equal-ts touch pair, exactly mirroring the batch
+    * operator's (key, ts) max-channel dedupe + at-or-before as-of
+    * pick, so streamed credits == batch credits whenever batches
+    * respect event-time order across batch boundaries (the standard
+    * maintainer contract — StreamingSpec pins it). Input:
+    * (k, ts, kind 'touch'|'conv', channel, v). Output per conversion:
+    * (k, ts, v, channel). */
+  def streamingLastTouch(obs: DataFrame, tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("ts").cast("long"),
+        col("kind").cast("string"), col("channel").cast("string"),
+        col("v").cast("long"))
+      .as[(Long, Long, String, Option[String], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String),
+        (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, String)]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, String)]
+          // touches sort before conversions at an equal ts (kind
+          // 'conv' > 'touch' lexicographically reversed via boolean),
+          // equal-ts touches ascending by channel so the LAST applied
+          // is the max — the batch dedupe rule
+          rows.toSeq.sortBy(r => (r._2, r._3 == "conv",
+            r._4.getOrElse(""))).foreach {
+            case (_, ts, "touch", Some(ch), _) =>
+              if (st.forall(s => ts > s._1 || (ts == s._1 && ch > s._2)))
+                st = Some((ts, ch))
+            case (_, ts, "conv", _, Some(v)) =>
+              val ch = st match {
+                case Some((tts, c)) if ts >= tts && ts - tts <= tolerance
+                  => c
+                case _ => "(unattributed)"
+              }
+              out += ((k, ts, v, ch))
+            case (_, ts, kind, _, _) => throw new IllegalArgumentException(
+              s"streamingLastTouch: malformed row (k=$k, ts=$ts, " +
+                s"kind=$kind) — touches need a channel, conversions a " +
+                "value")
+          }
+          if (st.isDefined) state.update(st.get)
+          out.iterator
+      }
+      .toDF("k", "ts", "v", "channel")
+  }
+
   /** Streamed RQ rank-quantile sketch per key — the live twin of
     * `functions.rq_sketch` (q192/q193): per-key state is the canonical
     * sketch bytes (level + ≤ budget exact value counts), each batch

@@ -1548,4 +1548,35 @@ class StatsSpec extends SparkTestBase {
     // contain the stopword
     assert(out.forall(!_.getString(0).split(" ").contains("the")))
   }
+
+  test("rollingOlsSlope matches the brute trailing-window fit and " +
+    "emits only full windows") {
+    val rnd = new scala.util.Random(227)
+    val rows = (1 to 2).flatMap { k =>
+      (1 to 40).map(i => (k.toLong, i.toLong * 10L, i.toLong,
+        rnd.nextInt(500).toLong))
+    }
+    val w = 5
+    val out = Stats.rollingOlsSlope(rows.toDF("k", "o", "id", "y"),
+        "k", "o", "id", "y", w)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val srt = g.sortBy(r => (r._2, r._3)).zipWithIndex
+        .map { case (r, i) => (i + 1L, r._3, r._4) } // (x=rn, id, y)
+      srt.foreach { case (x, id, _) =>
+        if (x < w) assert(!out.contains((k, id)), "partial window emitted")
+        else {
+          val win = srt.filter(p => p._1 > x - w && p._1 <= x)
+          val n = w.toLong
+          val sx = win.map(_._1).sum; val sy = win.map(_._3).sum
+          val sxy = win.map(p => p._1 * p._3).sum
+          val sxx = win.map(p => p._1 * p._1).sum
+          val expect = (n * sxy - sx * sy).toDouble /
+            (n * sxx - sx * sx).toDouble
+          assert(out((k, id)) == expect, s"k=$k id=$id")
+        }
+      }
+    }
+  }
 }

@@ -1013,6 +1013,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming last-touch credits equal the batch attribution " +
+    "rollup after every time-ordered batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(227)
+    val tol = 40L
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Option[String], Option[Long])]
+    val mem = MemoryStream[(Long, Long, String, Option[String], Option[Long])]
+    val q = Streaming.streamingLastTouch(
+        mem.toDF().toDF("k", "ts", "kind", "channel", "v"), tol)
+      .writeStream.format("memory").queryName("touchq")
+      .outputMode("append").start()
+    try {
+      var ts = 0L
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(150) {
+          ts += rnd.nextInt(5).toLong // nondecreasing event time
+          if (rnd.nextInt(3) == 0)
+            (rnd.nextInt(4).toLong, ts, "conv", None,
+              Some(1L + rnd.nextInt(50).toLong))
+          else
+            (rnd.nextInt(4).toLong, ts, "touch",
+              Some(if (rnd.nextBoolean()) "ads" else "organic"), None)
+        }
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("touchq").collect()
+          .map(r => r.getString(3) -> r.getLong(2))
+          .groupBy(_._1).view
+          .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+        val batch = graft.operators.AsOf.lastTouchAttribution(
+            hist.filter(_._3 == "conv").toSeq
+              .map(r => (r._1, r._2, r._5.get)).toDF("k", "ts", "v"),
+            hist.filter(_._3 == "touch").toSeq
+              .map(r => (r._1, r._2, r._4.get)).toDF("k", "ts", "ch"),
+            "k", "ts", "v", "ch", tol)
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(streamed == batch, s"streamed != batch credits after $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
