@@ -615,4 +615,57 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
       s"term-df sides must broadcast:\n$plan")
   }
+
+  test("the correlation/encoding/attribution batch keeps its scale " +
+    "contracts in the plan") {
+    import graft.operators.{AsOf, Similarity, Stats}
+    val df = spark.range(50000).select((col("id") % 97).as("g"),
+      (col("id") % 366).as("x"), (col("id") % 701).as("y"))
+    // pearsonByKey: ONE hash aggregation of six decimal sums — no
+    // window, no single-partition exchange
+    val pr = Stats.pearsonByKey(df, "g", "x", "y")
+    val prPlan = pr.queryExecution.executedPlan.toString
+    assert(!prPlan.contains("Window") &&
+      !prPlan.contains("Exchange SinglePartition"),
+      s"pearsonByKey must stay one key-partitioned agg:\n$prPlan")
+    // looTargetEncoding: the category stats come back on a BROADCAST
+    // join (category-cardinality-sized), never a shuffled join
+    val wide = spark.range(50000).select(col("id"), (col("id") % 97).as("g"),
+      (col("id") % 366).as("x"), (col("id") % 701).as("y"))
+    val loo = Stats.looTargetEncoding(
+      wide.select(col("id"), col("g").cast("string").as("c"), col("y")),
+      "id", "c", "y")
+    val looPlan = loo.queryExecution.executedPlan.toString
+    assert(looPlan.contains("BroadcastHashJoin"),
+      s"looTargetEncoding must broadcast category stats:\n$looPlan")
+    assert(!looPlan.contains("Window"),
+      s"looTargetEncoding must not window:\n$looPlan")
+    // rollingOlsSlope: windows partition BY KEY only
+    val ro = Stats.rollingOlsSlope(wide, "g", "x", "id", "y", 8)
+    val roPlan = ro.queryExecution.executedPlan.toString
+    assert(!roPlan.contains("Exchange SinglePartition"),
+      s"rollingOlsSlope must stay key-partitioned:\n$roPlan")
+    // lastTouchAttribution: the merge as-of exec carries the join —
+    // no sort-merge join of raw touches, no window over them
+    val conv = spark.range(3000).select((col("id") % 11).as("k"),
+      (col("id") * 7).as("ts"), lit(5L).as("v"))
+    val touch = spark.range(9000).select((col("id") % 11).as("k"),
+      (col("id") * 3).as("ts"), lit("ads").as("ch"))
+    val at = AsOf.lastTouchAttribution(conv, touch, "k", "ts", "v",
+      "ch", 1000L)
+    val atPlan = at.queryExecution.executedPlan.toString
+    assert(atPlan.contains("AsofJoin"),
+      s"lastTouchAttribution must ride the as-of exec:\n$atPlan")
+    assert(!atPlan.contains("Window"),
+      s"lastTouchAttribution must not window raw touches:\n$atPlan")
+    // hashRingNegatives: as-of exec + broadcasts; the only cross join
+    // is the ONE-ROW wrap bound
+    val ids = spark.range(2000).select(col("id").as("doc_id"))
+    val hr = Similarity.hashRingNegatives(ids, "doc_id", 2, 64)
+    val hrPlan = hr.queryExecution.executedPlan.toString
+    assert(hrPlan.contains("AsofJoin"),
+      s"hashRingNegatives must ride the as-of exec:\n$hrPlan")
+    assert(!hrPlan.contains("CartesianProduct"),
+      s"hashRingNegatives: no cartesian beyond broadcast bounds:\n$hrPlan")
+  }
 }
