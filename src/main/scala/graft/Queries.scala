@@ -9274,6 +9274,87 @@ object Queries {
       |    AS slope
       |FROM f WHERE n = 8""".stripMargin
 
+  /** Peak concurrent open shipments per supplier
+    * (RangeJoin.peakConcurrency): shipment intervals quantity-scaled
+    * from the ship date, half-open sweep line (+1/−1 boundary rows,
+    * closes before opens at a tie), exact integer running sums per
+    * key; peak + earliest onset. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("s"),
+      (expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        + lit(1L) + expr("cast(l_quantity as long) div 10")).as("e"))
+    RangeJoin.peakConcurrency(li, "l_suppkey", "s", "e")
+  }
+
+  private val q228Sql =
+    """WITH iv AS (
+      |  SELECT l_suppkey AS k, epoch_us(l_shipdate) // 86400000000 AS s,
+      |    epoch_us(l_shipdate) // 86400000000 + 1
+      |      + CAST(l_quantity AS BIGINT) // 10 AS e
+      |  FROM lineitem),
+      |pts AS (SELECT k, s AS p, CAST(1 AS BIGINT) AS d FROM iv
+      |        UNION ALL
+      |        SELECT k, e, CAST(-1 AS BIGINT) FROM iv),
+      |r AS (SELECT k, p,
+      |        CAST(sum(d) OVER (PARTITION BY k ORDER BY p, d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS live
+      |      FROM pts),
+      |rk AS (SELECT k, p, live, row_number() OVER (PARTITION BY k
+      |         ORDER BY live DESC, p ASC) AS rn
+      |       FROM r)
+      |SELECT k AS l_suppkey, live AS peak, p AS peak_at
+      |FROM rk WHERE rn = 1""".stripMargin
+
+  /** Link prediction over the part co-purchase graph
+    * (Graph.linkPrediction, top 30): parts bought together in >= 2
+    * baskets form the edges (the q208 association shape); the
+    * missing-edge candidates — wedge-join common neighbors under the
+    * CHECKED degree bound, existing edges anti-joined away, exact
+    * Jaccard tail — are "parts that should co-sell but don't yet". */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val pairs = d.as("l").join(d.as("r"), col("l.b") === col("r.b")
+        && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("u"), col("r.i").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L)
+      .select(col("u"), col("v"))
+    Graph.linkPrediction(pairs, minCommon = 2L, k = 30)
+  }
+
+  private val q229Sql =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+       |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ce AS (SELECT l.i AS u, r.i AS v FROM d l
+       |       JOIN d r ON l.b = r.b AND l.i < r.i
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+       |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e0 GROUP BY 1),
+       |wedges AS (SELECT s1.u AS u, s2.v AS v
+       |           FROM e0 s1 JOIN e0 s2 ON s1.v = s2.u
+       |           WHERE s1.u < s2.v),
+       |cand AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn
+       |         FROM wedges w
+       |         WHERE NOT EXISTS (SELECT 1 FROM ce
+       |           WHERE ce.u = w.u AND ce.v = w.v)
+       |         GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT c.u, c.v, c.cn,
+       |  CAST(c.cn AS DOUBLE)
+       |    / CAST(du.deg + dv.deg - c.cn AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN deg du ON du.node = c.u
+       |JOIN deg dv ON dv.node = c.v
+       |ORDER BY c.cn DESC, jaccard DESC, c.u ASC, c.v ASC
+       |LIMIT 30""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9506,5 +9587,7 @@ object Queries {
     "q224_attribution" -> Q(q224, Some(q224Sql)),
     "q225_loo_encoding" -> Q(q225, Some(q225Sql)),
     "q226_rake_phrases" -> Q(q226, Some(q226Sql)),
-    "q227_rolling_ols" -> Q(q227, Some(q227Sql)))
+    "q227_rolling_ols" -> Q(q227, Some(q227Sql)),
+    "q228_peak_concurrency" -> Q(q228, Some(q228Sql)),
+    "q229_link_prediction" -> Q(q229, Some(q229Sql)))
 }

@@ -115,4 +115,41 @@ object RangeJoin {
       .agg(sum(col("__e") - col("__s")).as("covered"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** PEAK CONCURRENCY per key — the sweep-line max-overlap statistic
+    * ([[intervalCoverage]] answers "how much time was covered",
+    * this answers "how many intervals were open AT ONCE at the
+    * worst moment"): capacity planning (peak open shipments per
+    * supplier, peak concurrent sessions per host, peak in-flight
+    * transcodes per worker). Half-open [start, end) semantics: an
+    * interval ending at p and one starting at p never overlap —
+    * closes apply before opens at an equal boundary, which the
+    * (point, delta ASC) sort encodes (delta −1 < +1).
+    *
+    * Exact integer sweep: each interval emits (+1 at start, −1 at
+    * end), the per-key running sum over the boundary sequence is the
+    * live count, and the peak plus its EARLIEST onset fall out of one
+    * more aggregation. The windows partition by key (bounded by one
+    * key's intervals — the sessionize discipline); engine-exact.
+    * Zero-length intervals (start >= end) are rejected up front.
+    * Output: (key, peak, peak_at). */
+  def peakConcurrency(df: DataFrame, keyCol: String, startCol: String,
+                      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bad = df.where(col(startCol) >= col(endCol)).limit(1).count()
+    require(bad == 0L, "peakConcurrency: intervals must have " +
+      "start < end (half-open [start, end)) — filter or repair first")
+    val pts = df.select(col(keyCol), col(startCol).as("__p"),
+        lit(1L).as("__d"))
+      .unionByName(df.select(col(keyCol), col(endCol).as("__p"),
+        lit(-1L).as("__d")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__p"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts
+      .withColumn("__live", sum(col("__d")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__live")).as("peak"),
+        min_by(col("__p"), struct((-col("__live")).as("n"),
+          col("__p").as("p"))).as("peak_at"))
+  }
 }

@@ -581,4 +581,60 @@ class GraphRangeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("hitsInt"))
   }
+
+  test("peakConcurrency matches the brute sweep with half-open " +
+    "semantics and earliest onset") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(228)
+    val iv = (1 to 2).flatMap { k =>
+      Seq.fill(200) {
+        val s = rnd.nextInt(100).toLong
+        (k.toLong, s, s + 1L + rnd.nextInt(12).toLong)
+      }
+    }
+    val got = RangeJoin.peakConcurrency(iv.toDF("k", "s", "e"),
+        "k", "s", "e")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    iv.groupBy(_._1).foreach { case (k, g) =>
+      // brute: live count at every point p = intervals with s <= p < e
+      val pts = g.flatMap(i => Seq(i._2, i._3)).distinct.sorted
+      val live = pts.map(p => p -> g.count(i => i._2 <= p && p < i._3))
+      val peak = live.map(_._2).max
+      val at = live.filter(_._2 == peak).map(_._1).min
+      assert(got(k) == ((peak.toLong, at)), s"k=$k got=${got(k)}")
+    }
+    // touching intervals [0,5) + [5,9) never overlap
+    val touch = Seq((9L, 0L, 5L), (9L, 5L, 9L)).toDF("k", "s", "e")
+    assert(RangeJoin.peakConcurrency(touch, "k", "s", "e")
+      .collect().head.getLong(1) == 1L)
+    // zero-length intervals are rejected
+    intercept[IllegalArgumentException] {
+      RangeJoin.peakConcurrency(Seq((1L, 4L, 4L)).toDF("k", "s", "e"),
+        "k", "s", "e")
+    }
+  }
+
+  test("linkPrediction finds the missing edge of an almost-clique and " +
+    "checks the degree bound") {
+    import graft.operators.Graph
+    // K5 minus the (1,2) edge: 1 and 2 share neighbors {3,4,5} -> the
+    // top candidate must be (1,2) with cn=3, jaccard=3/(3+3-3)=1.0
+    val full = for (u <- 1L to 5L; v <- (u + 1) to 5L) yield (u, v)
+    val g = full.filterNot(_ == ((1L, 2L))).toDF("u", "v")
+    val top = Graph.linkPrediction(g, minCommon = 1L, k = 3)
+      .collect().head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2)) == ((1L, 2L, 3L)))
+    assert(top.getDouble(3) == 1.0)
+    // existing edges never come back as candidates
+    val all = Graph.linkPrediction(g, minCommon = 1L, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.intersect(full.filterNot(_ == ((1L, 2L))).toSet).isEmpty)
+    // the wedge fan-out contract is CHECKED
+    val hub = (1L to 50L).map(i => (0L, i)).toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(hub, minCommon = 1L, k = 5, maxDegree = 10L)
+    }
+    assert(e.getMessage.contains("linkPrediction"))
+  }
 }
