@@ -9355,6 +9355,52 @@ object Queries {
        |ORDER BY c.cn DESC, jaccard DESC, c.u ASC, c.v ASC
        |LIMIT 30""".stripMargin
 
+  /** O(delta) incremental vocabulary growth
+    * (TextAnalysis.vocabGrowthDelta): batches 0–7 persist as the two
+    * mergeable state halves (per-token first batch, per-batch token
+    * volume); batches 8–9 fold in by tokenizing ONLY the fresh slice.
+    * The oracle is q218's FULL REBUILD (the q214 discipline), so the
+    * hash match proves delta == rebuild. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("batch", expr("doc_id div 50"))
+    val hist = docs.where(col("batch") < 8L)
+    val fresh = docs.where(col("batch") >= 8L)
+    TextAnalysis.vocabGrowthDelta(
+      TextAnalysis.vocabFirstSeen(hist, "text", "batch"),
+      TextAnalysis.vocabBatchTokens(hist, "text", "batch"),
+      fresh, "text", "batch")
+  }
+
+  private val q230Sql = q218Sql
+
+  /** Freeze/static-segment detection over the per-user frame-axis
+    * series (Multimodal.freezeSegments, eps = 2000 cents, >= 3
+    * frames): maximal runs where the signal stops moving — the
+    * stuck-encoder / frozen-webcam / slate-padding trim pass, the
+    * complement of q112's cut detector; gaps-and-islands over a
+    * per-key lag, exact integers throughout. */
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    Multimodal.freezeSegments(userSeries(s, dir), "user_id", "series",
+      eps = 2000L, minFrames = 3)
+
+  private val q231Sql = seriesSqlCte +
+    """,
+      |d AS (SELECT user_id, rn, v,
+      |        lag(v) OVER (PARTITION BY user_id ORDER BY rn) AS pv
+      |      FROM s),
+      |f AS (SELECT user_id, rn - 1 AS i FROM d
+      |      WHERE pv IS NOT NULL AND abs(v - pv) <= 2000),
+      |isl AS (SELECT user_id, i,
+      |          i - row_number() OVER (PARTITION BY user_id
+      |            ORDER BY i) AS g
+      |        FROM f),
+      |r AS (SELECT user_id, CAST(min(i) AS BIGINT) AS first,
+      |        CAST(count(*) AS BIGINT) AS run
+      |      FROM isl GROUP BY user_id, g)
+      |SELECT user_id, first - 1 AS start_frame, run + 1 AS n_frames
+      |FROM r WHERE run + 1 >= 3""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9589,5 +9635,7 @@ object Queries {
     "q226_rake_phrases" -> Q(q226, Some(q226Sql)),
     "q227_rolling_ols" -> Q(q227, Some(q227Sql)),
     "q228_peak_concurrency" -> Q(q228, Some(q228Sql)),
-    "q229_link_prediction" -> Q(q229, Some(q229Sql)))
+    "q229_link_prediction" -> Q(q229, Some(q229Sql)),
+    "q230_vocab_growth_delta" -> Q(q230, Some(q230Sql)),
+    "q231_freeze_segments" -> Q(q231, Some(q231Sql)))
 }

@@ -256,4 +256,43 @@ object Multimodal {
       .select(col(idCol), col("n"), col("peak"),
         sqrt(col("ss").cast("double") / col("n").cast("double")).as("rms"))
   }
+
+  /** FREEZE / STATIC-SEGMENT detection over a clip's per-frame signal
+    * — the complement of [[cutPositions]] (cuts find where the signal
+    * JUMPS; this finds where it STOPS MOVING): maximal runs of
+    * consecutive frames whose integer signal moves by at most `eps`
+    * flag stuck encoders, frozen webcams, slate/test-card padding and
+    * duplicated-frame transcodes — the segments a training pipeline
+    * trims before a model learns that nothing ever moves.
+    *
+    * Frame i continues a freeze iff |v(i) − v(i−1)| ≤ eps; a segment
+    * of r continuation frames covers r+1 frames starting at the
+    * anchor. The gaps-and-islands shape: long form, per-key lag, then
+    * island id = frame − row_number over the flagged rows — all exact
+    * integer arithmetic (the signal arrives as integer-valued doubles
+    * — cents/quantized luma — and is cast, not rounded). Windows
+    * partition by clip (bounded by one clip's frames, the sessionize
+    * discipline). Output: (key, start_frame, n_frames) for segments
+    * covering >= minFrames frames. */
+  def freezeSegments(df: DataFrame, keyCol: String, seriesCol: String,
+                     eps: Long, minFrames: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(eps >= 0, s"freezeSegments needs eps >= 0, got $eps")
+    require(minFrames >= 2, s"freezeSegments needs minFrames >= 2")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__i"))
+    val flagged = df
+      .select(col(keyCol), posexplode(col(seriesCol)).as(Seq("__i", "__v")))
+      .withColumn("__vl", col("__v").cast("long"))
+      .withColumn("__pv", lag(col("__vl"), 1).over(w))
+      .where(col("__pv").isNotNull &&
+        abs(col("__vl") - col("__pv")) <= eps)
+    flagged
+      .withColumn("__isl", col("__i") - row_number().over(w))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__i")).as("__first"), count(lit(1)).as("__run"))
+      .where(col("__run") + 1L >= minFrames.toLong)
+      .select(col(keyCol), (col("__first") - 1L).as("start_frame"),
+        (col("__run") + 1L).as("n_frames"))
+  }
 }

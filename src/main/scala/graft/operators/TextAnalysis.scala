@@ -2239,15 +2239,56 @@ object TextAnalysis {
     * bounded-stats frame, not the corpus. Exact longs throughout.
     * Output: (batch, n_tokens, cum_tokens, new_types, vocab_size). */
   def vocabGrowth(df: DataFrame, textCol: String, batchCol: String,
-                  maxBatches: Long = 100000L): DataFrame = {
-    val toks = df.select(col(batchCol).cast("long").as("batch"),
-      explode(ws_tokens(col(textCol))).as("__t"))
-    val perBatch = toks.groupBy(col("batch"))
-      .agg(count(lit(1)).as("n_tokens"))
-    val firstSeen = toks.groupBy(col("__t"))
-      .agg(min(col("batch")).as("batch"))
-      .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
-    val curve = perBatch.join(firstSeen, Seq("batch"), "left")
+                  maxBatches: Long = 100000L): DataFrame =
+    vocabCurve(vocabBatchTokens(df, textCol, batchCol),
+      vocabFirstSeen(df, textCol, batchCol), maxBatches)
+
+  /** The [[vocabGrowth]] STATE, exposed for incremental maintenance:
+    * per-token FIRST batch (one row per vocabulary type — the
+    * vocabulary-bounded half). */
+  def vocabFirstSeen(df: DataFrame, textCol: String,
+                     batchCol: String): DataFrame =
+    df.select(col(batchCol).cast("long").as("batch"),
+        explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(min(col("batch")).as("batch"))
+
+  /** The other [[vocabGrowth]] state half: token volume per batch. */
+  def vocabBatchTokens(df: DataFrame, textCol: String,
+                       batchCol: String): DataFrame =
+    df.select(col(batchCol).cast("long").as("batch"),
+        explode(ws_tokens(col(textCol))).as("token"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+
+  /** O(delta) INCREMENTAL [[vocabGrowth]] — the q214 fold discipline
+    * applied to the Heaps curve: both state halves are MERGEABLE
+    * (first-seen under min — a token's first batch can only move
+    * earlier, and an append-only fresh slice can never move it at
+    * all; per-batch volumes under sum over disjoint batch sets), so a
+    * new ingestion slice folds into persisted state by tokenizing
+    * ONLY the fresh rows — the historical corpus is never rescanned —
+    * and the refreshed curve is provably equal to the full rebuild
+    * (the gate's oracle IS the rebuild). The merge is vocabulary- and
+    * batch-bounded work, not corpus-bounded. */
+  def vocabGrowthDelta(prevFirstSeen: DataFrame, prevBatchTokens: DataFrame,
+                       fresh: DataFrame, textCol: String, batchCol: String,
+                       maxBatches: Long = 100000L): DataFrame = {
+    val mergedFirst = prevFirstSeen.toDF("token", "batch")
+      .unionByName(vocabFirstSeen(fresh, textCol, batchCol))
+      .groupBy(col("token")).agg(min(col("batch")).as("batch"))
+    val mergedCounts = prevBatchTokens.toDF("batch", "n_tokens")
+      .unionByName(vocabBatchTokens(fresh, textCol, batchCol))
+      .groupBy(col("batch")).agg(sum(col("n_tokens")).as("n_tokens"))
+    vocabCurve(mergedCounts, mergedFirst, maxBatches)
+  }
+
+  /** Curve assembly shared by [[vocabGrowth]] and [[vocabGrowthDelta]]:
+    * new-type counts off the first-seen table, then the cumulative
+    * windows over the CHECKED bounded batch table only. */
+  private def vocabCurve(perBatch: DataFrame, firstSeen: DataFrame,
+                         maxBatches: Long): DataFrame = {
+    val newTypes = firstSeen.groupBy(col("batch"))
+      .agg(count(lit(1)).as("new_types"))
+    val curve = perBatch.join(newTypes, Seq("batch"), "left")
       .select(col("batch"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
       .localCheckpoint() // bounded per-batch table; the guard reuses it

@@ -1419,6 +1419,49 @@ class StatsSpec extends SparkTestBase {
       TextAnalysis.vocabGrowth(docs, "text", "batch", maxBatches = 2L)
     }
     assert(e.getMessage.contains("vocabGrowth"))
+    // O(delta) fold == full rebuild, at every split point
+    val rnd = new scala.util.Random(230)
+    val corpus = (0L until 40L).map { i =>
+      (i / 8L, Seq.fill(5)(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("batch", "text")
+    val full = TextAnalysis.vocabGrowth(corpus, "text", "batch")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Seq(1L, 3L, 4L).foreach { cut =>
+      val hist = corpus.where($"batch" < cut)
+      val fresh = corpus.where($"batch" >= cut)
+      val delta = TextAnalysis.vocabGrowthDelta(
+          TextAnalysis.vocabFirstSeen(hist, "text", "batch"),
+          TextAnalysis.vocabBatchTokens(hist, "text", "batch"),
+          fresh, "text", "batch")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(delta == full, s"delta != rebuild at cut $cut")
+    }
+  }
+
+  test("freezeSegments finds exactly the planted static runs with " +
+    "half-open eps semantics") {
+    import graft.operators.Multimodal
+    // frames:      0    1    2    3     4     5     6     7    8
+    val series = Seq(100.0, 100.0, 101.0, 5000.0, 5000.0, 5000.0, 9000.0,
+      9001.0, 20000.0)
+    val df = Seq((1L, series)).toDF("k", "series")
+    val got = Multimodal.freezeSegments(df, "k", "series", eps = 1L,
+        minFrames = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // runs: frames 0-2 (|d|<=1 twice), 3-5, 6-7; the 8th jumps
+    assert(got == Set((0L, 3L), (3L, 3L), (6L, 2L)))
+    // minFrames filters the short run
+    val got3 = Multimodal.freezeSegments(df, "k", "series", eps = 1L,
+        minFrames = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got3 == Set((0L, 3L), (3L, 3L)))
+    // eps is inclusive: a move of exactly eps continues the freeze
+    val edge = Seq((2L, Seq(0.0, 5.0, 11.0))).toDF("k", "series")
+    assert(Multimodal.freezeSegments(edge, "k", "series", 5L, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      == Set((0L, 2L)))
   }
 
   test("kaplanMeier matches the brute-force product-limit estimator " +
