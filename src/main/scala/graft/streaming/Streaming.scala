@@ -428,6 +428,60 @@ object Streaming {
       .toDF("k", "ts", "v", "channel")
   }
 
+  /** Streaming ROLLING OLS TREND — the live twin of
+    * [[graft.operators.Stats.rollingOlsSlope]] (q227): per key the
+    * state is the last `window−1` values plus the arrival index
+    * (O(window) longs — never the history), and each arrival with a
+    * full window emits its trailing least-squares slope immediately.
+    * x positions are the consecutive per-key arrival indexes, so
+    * sx/sxx are closed-form arithmetic-series sums and sy/sxy fold
+    * over the buffer — the IDENTICAL exact-int64 sufficient
+    * statistics and single IEEE division as the batch operator, so
+    * streamed == batch is structural whenever batches respect
+    * (order, id) time order (StreamingSpec pins it). Input:
+    * (k, o, id, y) with per-batch rows folded in (o, id) order.
+    * Output: (k, o, id, n, slope) for full windows only. */
+  def streamingRollingSlope(obs: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(window >= 2, s"streamingRollingSlope needs window >= 2")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("o").cast("long"),
+        col("id").cast("long"), col("y").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]),
+        (Long, Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Seq[Long])]) =>
+          var (idx, buf0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          var buf = buf0.toVector
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, o, id, y) =>
+              idx += 1L
+              buf = (buf :+ y).takeRight(window)
+              if (buf.length == window) {
+                val n = window.toLong
+                // x = idx-window+1 .. idx: arithmetic-series sums
+                val x0 = idx - window + 1L
+                val sx = (x0 + idx) * n / 2L
+                val sxx = (1L to n).map(j => (x0 + j - 1L) * (x0 + j - 1L)).sum
+                val sy = buf.sum
+                val sxy = buf.zipWithIndex
+                  .map { case (v, j) => (x0 + j) * v }.sum
+                val den = n * sxx - sx * sx
+                out += ((k, o, id, n,
+                  (n * sxy - sx * sy).toDouble / den.toDouble))
+              }
+          }
+          state.update((idx, buf))
+          out.iterator
+      }
+      .toDF("k", "o", "id", "n", "slope")
+  }
+
   /** Streamed RQ rank-quantile sketch per key — the live twin of
     * `functions.rq_sketch` (q192/q193): per-key state is the canonical
     * sketch bytes (level + ≤ budget exact value counts), each batch

@@ -1057,6 +1057,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming rolling slope equals the batch trailing-window fit " +
+    "bit-for-bit across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(231)
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    var o = 0L
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streaming.streamingRollingSlope(
+        mem.toDF().toDF("k", "o", "id", "y"), window = 6)
+      .writeStream.format("memory").queryName("rslope")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(90) {
+          o += 1L + rnd.nextInt(3)
+          (rnd.nextInt(4).toLong, o, o * 10L, rnd.nextInt(800).toLong)
+        }
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("rslope").collect()
+          .map(r => (r.getLong(0), r.getLong(2)) ->
+            (r.getLong(3), r.getDouble(4))).toMap
+        val batch = graft.operators.Stats.rollingOlsSlope(
+            hist.toSeq.toDF("k", "o", "id", "y"), "k", "o", "id", "y", 6)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2)) ->
+            (r.getLong(3), r.getDouble(4))).toMap
+        assert(streamed == batch, s"streamed != batch slopes after $b")
+      }
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
