@@ -285,6 +285,29 @@ class ScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
       .toMap
     assert(again == got)
+    // THE consistent-hashing stability property: growing the corpus by
+    // one member may only re-point probes ONTO that member (the arcs
+    // it lands on) — every other assignment survives verbatim. A
+    // random sampler reshuffles everything; this is why the ring.
+    val newId = 1001L
+    val grown = Similarity.hashRingNegatives(
+        (ids :+ newId).toDF("doc_id"), "doc_id", k = 4, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val oldAnchorKeys = expected.keySet
+    oldAnchorKeys.foreach { key =>
+      val before = expected(key)
+      grown.get(key) match {
+        case Some(after) =>
+          assert(after == before || after == newId,
+            s"$key moved $before -> $after, not onto the new member")
+        case None =>
+          // a probe can only DISAPPEAR if the new member became its
+          // pick and the pick equals the anchor — impossible here
+          // (newId is not an old anchor), so every old probe survives
+          fail(s"probe $key vanished when the corpus grew")
+      }
+    }
   }
 
   test("hll_distinct partial-aggregates: registers, not values, cross the shuffle") {
