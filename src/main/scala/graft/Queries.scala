@@ -9401,6 +9401,34 @@ object Queries {
       |SELECT user_id, first - 1 AS start_frame, run + 1 AS n_frames
       |FROM r WHERE run + 1 >= 3""".stripMargin
 
+  /** Exact spend deciles per event type (Stats.equalFrequencyBuckets,
+    * 10 buckets): midrank-percentile discretization off the q190 CDF
+    * table — pure integer arithmetic, ties share one bucket (the
+    * honest behavior an ntile window fakes by splitting equal values
+    * across boundaries). */
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    Stats.equalFrequencyBuckets(
+      t(s, dir, "events").select(col("event_type"),
+        cents(col("value")).as("v")),
+      "event_type", "v", nBuckets = 10)
+
+  private val q232Sql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_equal
+      |      FROM e GROUP BY 1, 2),
+      |c AS (SELECT event_type, v, n_equal,
+      |        CAST(coalesce(sum(n_equal) OVER (PARTITION BY event_type
+      |          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND 1 PRECEDING), 0) AS BIGINT) AS n_below,
+      |        CAST(sum(n_equal) OVER (PARTITION BY event_type)
+      |          AS BIGINT) AS n
+      |      FROM h)
+      |SELECT event_type, v, n_equal,
+      |  1 + ((2 * n_below + n_equal) * 10) // (2 * n) AS bucket
+      |FROM c""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9637,5 +9665,6 @@ object Queries {
     "q228_peak_concurrency" -> Q(q228, Some(q228Sql)),
     "q229_link_prediction" -> Q(q229, Some(q229Sql)),
     "q230_vocab_growth_delta" -> Q(q230, Some(q230Sql)),
-    "q231_freeze_segments" -> Q(q231, Some(q231Sql)))
+    "q231_freeze_segments" -> Q(q231, Some(q231Sql)),
+    "q232_equal_freq_buckets" -> Q(q232, Some(q232Sql)))
 }

@@ -1955,6 +1955,31 @@ object Stats {
         .cast("double") / den.cast("double")).as("slope"))
   }
 
+  /** EQUAL-FREQUENCY BUCKETS per key — exact quantile discretization
+    * (the feature-binning prep step before WOE/monotonic encodings
+    * and per-segment reporting): every distinct value maps to the
+    * bucket its MIDRANK percentile falls in,
+    *
+    *   bucket(v) = 1 + (pct_x2(v) · nBuckets) div (2n)   ∈ [1, nBuckets]
+    *
+    * with pct_x2 = 2·below + equal from [[exactGroupCdf]] — pure
+    * integer arithmetic (pct_x2 < 2n always, so the div lands in
+    * 0..nBuckets−1), no float percentile and no ntile window over raw
+    * rows. Ties share one value row and therefore one bucket — the
+    * honest behavior ntile fakes by splitting equal values across
+    * bucket boundaries. Output is the VALUE-level table
+    * (key, v, n_equal, bucket) — row-level assignment is one
+    * co-partitioned (key, v) equi-join away; inherits the CHECKED
+    * bounded-histogram contract. */
+  def equalFrequencyBuckets(df: DataFrame, keyCol: String,
+                            valueCol: String, nBuckets: Int,
+                            maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    require(nBuckets >= 2, s"equalFrequencyBuckets needs nBuckets >= 2")
+    exactGroupCdf(df, keyCol, valueCol, maxDistinctPerKey)
+      .select(col(keyCol), col("v"), col("n_equal"),
+        (lit(1L) + expr(s"(pct_x2 * $nBuckets) div (2 * n)")).as("bucket"))
+  }
+
   /** CHECKS the per-key bounded-histogram contract the exact
     * median/MAD/mode family depends on (the `connectedComponents`
     * discipline: verify the assumption, don't just document it). The

@@ -1464,6 +1464,30 @@ class StatsSpec extends SparkTestBase {
       == Set((0L, 2L)))
   }
 
+  test("equalFrequencyBuckets: buckets are balanced on distinct " +
+    "values, monotone in v, and ties share one bucket") {
+    // 100 distinct values, 10 buckets: exactly 10 values per bucket
+    val vals = (1L to 100L).map(v => (1L, v))
+    val out = Stats.equalFrequencyBuckets(vals.toDF("k", "v"),
+        "k", "v", nBuckets = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out.values.groupBy(identity).values.forall(_.size == 10))
+    // monotone: higher value never gets a lower bucket
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted && sorted.head == 1L
+      && sorted.last == 10L)
+    // a heavy tie mass lands in ONE bucket (its midrank's), never
+    // split across a boundary the way ntile splits it
+    val tied = (Seq.fill(70)((2L, 5L)) ++ (1L to 30L).map(v =>
+      (2L, 100L + v)))
+    val tb = Stats.equalFrequencyBuckets(tied.toDF("k", "v"),
+        "k", "v", nBuckets = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // 70 rows at v=5: midrank pct_x2 = 70, n=100 -> bucket 1+700/200=4
+    assert(tb(5L) == 4L)
+    assert(tb.size == 31)
+  }
+
   test("kaplanMeier matches the brute-force product-limit estimator " +
     "with censoring; contracts fire") {
     val rnd = new scala.util.Random(31)
