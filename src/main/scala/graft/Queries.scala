@@ -8156,12 +8156,13 @@ object Queries {
       |FROM med JOIN nn ON nn.user_id = med.user_id""".stripMargin
 
   /** Per-dimension embedding health profile
-    * (Similarity.embeddingDimProfile): micro-quantized n / n_zero /
-    * min / max / mean / variance per dim — the collapsed-dim /
-    * scale-drift monitor run before any ANN or semantic-dedup pass
-    * trusts the vectors. Decimal(38,0) power sums vs the oracle's
-    * HUGEINT; bround = round_even on the half-even boundary (a float
-    * ×10⁶ is EXACT in double, so .5 ties are reachable). */
+    * (Similarity.embeddingDimProfile): n / n_zero / micro-quantized
+    * min / max plus mean / variance DESCALED to raw embedding units —
+    * the collapsed-dim / scale-drift monitor run before any ANN or
+    * semantic-dedup pass trusts the vectors. Decimal(38,0) power sums
+    * vs the oracle's HUGEINT, exact integer n·scale denominators on
+    * both sides; bround = round_even on the half-even boundary (a
+    * float ×10⁶ is EXACT in double, so .5 ties are reachable). */
   private def q201(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingDimProfile(t(s, dir, "embeddings"), "embedding")
 
@@ -8185,8 +8186,10 @@ object Queries {
       |    sum(q) AS s, sum(q*q) AS ss
       |  FROM x GROUP BY 1)
       |SELECT dim, n, n_null, n_zero, q_min, q_max,
-      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |  CAST(n*ss - s*s AS DOUBLE) / CAST(n*n AS DOUBLE) AS variance
+      |  CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean,
+      |  CAST(n*ss - s*s AS DOUBLE)
+      |    / CAST(CAST(n * 1000000 AS HUGEINT)
+      |           * CAST(n * 1000000 AS HUGEINT) AS DOUBLE) AS variance
       |FROM a""".stripMargin
 
   /** Sketch-scale KS drift per event type (functions.rq_ks): even- vs
@@ -8325,15 +8328,18 @@ object Queries {
     * (decimal vs HUGEINT) with one division; REL/RES sum nano-floored
     * per-group terms (order-free — the cramersV discipline). */
   private def q205(s: SparkSession, dir: String): DataFrame = {
+    // value-derived forecast clamped to the micro-prob range — the
+    // operator now CHECKS 0 <= q <= 1e6 (a >$500 event would
+    // otherwise feed a "probability" above 1)
     val ev = t(s, dir, "events")
-      .select((cents(col("value")) * 20L).as("q"),
+      .select(least(cents(col("value")) * 20L, lit(1000000L)).as("q"),
         (col("event_type") === "purchase").as("l"))
     Stats.brierDecomposition(ev, "q", "l")
   }
 
   private val q205Sql =
     """WITH o AS (
-      |  SELECT CAST(round(value*100) AS BIGINT) * 20 AS q,
+      |  SELECT least(CAST(round(value*100) AS BIGINT) * 20, 1000000) AS q,
       |    event_type = 'purchase' AS l
       |  FROM events),
       |h AS (

@@ -955,19 +955,26 @@ case class TheilSenSlope(left: Expression, right: Expression)
     val ys = yd.toLongArray()
     val n = xs.length
     if (n == 0 || ys.length != n) return null
-    // m = C(n,2) minus x-tied pairs; sized exactly, filled pairwise
-    var m = 0
+    // m = C(n,2) minus x-tied pairs; counted as a Long (C(n,2)
+    // overflows Int past n ~ 65k) and CHECKED against the array
+    // limit before allocation — a caller raising the theilSen row
+    // bound past the kernel's real capacity fails loudly here
+    // instead of tripping a NegativeArraySizeException
+    var m = 0L
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        if (xs(j) > xs(i)) m += 1
+        if (xs(j) > xs(i)) m += 1L
         j += 1
       }
       i += 1
     }
-    if (m == 0) return null
-    val slopes = new Array[Double](m)
+    if (m == 0L) return null
+    require(m <= Int.MaxValue,
+      s"theil_sen_slope: $m slope pairs exceed the kernel's array " +
+        "capacity (Int.MaxValue) — lower maxRowsPerKey below ~65000")
+    val slopes = new Array[Double](m.toInt)
     var k = 0
     i = 0
     while (i < n) {
@@ -982,8 +989,9 @@ case class TheilSenSlope(left: Expression, right: Expression)
       i += 1
     }
     java.util.Arrays.sort(slopes)
-    if (m % 2 == 1) slopes(m / 2)
-    else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+    val mi = m.toInt
+    if (mi % 2 == 1) slopes(mi / 2)
+    else (slopes(mi / 2 - 1) + slopes(mi / 2)) / 2.0
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TheilSenSlope =
@@ -1075,4 +1083,100 @@ case class PrefixProd(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): PrefixProd =
     copy(child = newChild)
+}
+
+/** `unigram_viterbi(len, encs, ps)` — the max-probability (Viterbi)
+  * segmentation of a word of `len` characters under a unigram piece
+  * model: candidate pieces arrive as two PARALLEL arrays (`encs(k)` =
+  * start·100 + length with 1-based start — the lis_pairs packing
+  * discipline, word length ≤ 99 by the trainer's CHECKED cap — and
+  * `ps(k)` = the piece's smoothed probability), and the result is the
+  * chosen pieces' encodings in left-to-right order.
+  *
+  * Exactness contract: the DP is a fixed IEEE shape — best(0) = 1.0,
+  * best(e) = max over candidates (s, l) with s+l−1 = e of
+  * best(s−1)·p — every product is ONE correctly-rounded double
+  * multiplication accumulated in strictly increasing end-position
+  * order, so an engine replaying the same recurrence (DuckDB's
+  * recursive CTE in the q233 oracle) reproduces every best(e)
+  * BIT-FOR-BIT, no logs and no exp anywhere. Ties (bit-equal
+  * products) break to the SMALLEST start (longest final piece) — an
+  * order-independent argmax, so candidate array order never matters.
+  * Probabilities must be strictly positive (the trainer's +1
+  * smoothing guarantees it); an uncoverable position throws loudly
+  * (the trainer always retains every single character, so a gap means
+  * the caller broke that contract — failing beats silently dropping
+  * the word from the counts). Null/empty input yields null. */
+case class UnigramViterbi(first: Expression, second: Expression,
+                          third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_viterbi"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType | LongType, ArrayType(LongType, _),
+          ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi needs (int, array<long>, array<double>), " +
+          s"got $a, $b, $c")
+    }
+  override def nullSafeEval(lenAny: Any, encAny: Any, pAny: Any): Any = {
+    val n = lenAny match {
+      case i: Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case i: Int => i
+      case l: Long => l.toInt
+    }
+    val encAd = encAny.asInstanceOf[ArrayData]
+    val pAd = pAny.asInstanceOf[ArrayData]
+    if (n <= 0 || ArrayNulls.anyNull(encAd) || ArrayNulls.anyNull(pAd))
+      return null
+    val m = encAd.numElements()
+    if (m == 0 || pAd.numElements() != m) return null
+    val encs = encAd.toLongArray()
+    val ps = pAd.toDoubleArray()
+    val best = new Array[Double](n + 1)
+    val choice = new Array[Long](n + 1)
+    java.util.Arrays.fill(best, -1.0)
+    best(0) = 1.0
+    var e = 1
+    while (e <= n) {
+      var bv = -1.0
+      var bs = Int.MaxValue
+      var benc = -1L
+      var k = 0
+      while (k < m) {
+        val s = (encs(k) / 100L).toInt
+        val l = (encs(k) % 100L).toInt
+        if (s >= 1 && l >= 1 && s + l - 1 == e && best(s - 1) >= 0.0) {
+          val v = best(s - 1) * ps(k)
+          if (v > bv || (v == bv && s < bs)) {
+            bv = v; bs = s; benc = encs(k)
+          }
+        }
+        k += 1
+      }
+      if (benc < 0L)
+        throw new IllegalStateException(
+          s"unigram_viterbi: no candidate piece covers position $e — " +
+            "the vocabulary must retain every single character " +
+            "(trainer contract)")
+      best(e) = bv
+      choice(e) = benc
+      e += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = n
+    while (pos > 0) {
+      val enc = choice(pos)
+      out.prepend(enc)
+      pos = (enc / 100L).toInt - 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): UnigramViterbi =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

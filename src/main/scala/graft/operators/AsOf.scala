@@ -177,11 +177,16 @@ object AsOf {
     * An observation exactly on a grid point brackets itself (t0 = t1)
     * and passes through untouched.
     *
-    * `valueCol` must be integral and the caller keeps v·(t1−t0) inside
-    * int64 (the groupOls discipline — e.g. integer cents × micro-second
-    * gaps over a bounded horizon, NOT nanos over years). Same scale
-    * shape as [[gridResample]]: two-literal bounds, per-key distributed
-    * grid build, one shuffle + sort per as-of side. */
+    * `valueCol` must be integral, and the v·(t1−t0) int64 envelope is
+    * CHECKED per row, not documented: a raise_error branch inside the
+    * interpolation projection rejects any bracket whose
+    * |v0|·(t1−g) + |v1|·(g−t0) tops 4·10¹⁸ (double-compare — exact to
+    * 1 part in 10¹⁶, with a 2× margin under the true 9.2·10¹⁸
+    * capacity), so a cents×micros feed fails loudly instead of
+    * wrapping (e.g. keep integer cents × micro-second gaps over a
+    * bounded horizon, NOT nanos over years). Same scale shape as
+    * [[gridResample]]: two-literal bounds, per-key distributed grid
+    * build, one shuffle + sort per as-of side. */
   def gridResampleLinear(obs: DataFrame, key: String, ts: String,
                          valueCol: String, stepNs: Long): DataFrame = {
     require(stepNs > 0, s"stepNs must be positive, got $stepNs")
@@ -212,6 +217,19 @@ object AsOf {
       key, ts, inner = false)
     both
       .where(col("__t0").isNotNull) // no backward extrapolation
+      // checked int64 envelope: |v0|·(t1−g) + |v1|·(g−t0) ≤ 4e18 per
+      // bracket, verified with a double compare BEFORE the long
+      // products form (LOCF tails with __t1 null skip — they never
+      // multiply)
+      .where(when(col("__t1").isNotNull &&
+          abs(col("__v0")).cast("double")
+            * (col("__t1") - col(ts)).cast("double")
+          + abs(col("__v1")).cast("double")
+            * (col(ts) - col("__t0")).cast("double") > 4e18,
+        raise_error(lit("gridResampleLinear: v*(t1-t0) exceeds the " +
+          "int64 exactness contract (|v0|*(t1-g)+|v1|*(g-t0) <= 4e18)" +
+          " — rescale values or coarsen the time axis")).isNotNull)
+        .otherwise(lit(true)))
       .withColumn("__num", col("__v0") * (col("__t1") - col(ts))
         + col("__v1") * (col(ts) - col("__t0")))
       .withColumn("__den", col("__t1") - col("__t0"))

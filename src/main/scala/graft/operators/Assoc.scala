@@ -99,6 +99,26 @@ object Assoc {
     assemble(items, pairs, nb)
   }
 
+  /** Serve the [[pairRules]] readout directly from persisted
+    * UNFILTERED supports (the [[pairRulesDelta]] state — item
+    * supports, pair supports, basket total) without touching a single
+    * basket row: the support tables already hold every exact integer
+    * the three ratio columns need, so a live co-purchase monitor
+    * answers from state in one pair-sized join pass. `minSupport`
+    * applies here, at read time — the state stays unfiltered so a
+    * pair can cross the threshold later (the [[pairRulesDelta]]
+    * persistence contract). */
+  def rulesFromSupports(items: DataFrame, pairs: DataFrame,
+                        nBaskets: Long, minSupport: Long): DataFrame = {
+    require(minSupport >= 1 && nBaskets >= 0,
+      s"rulesFromSupports needs minSupport >= 1 and nBaskets >= 0")
+    val nb = items.sparkSession.range(1)
+      .select(lit(nBaskets).as("__n"))
+    assemble(items.toDF("__i", "__s"),
+      pairs.toDF("item_a", "item_b", "support_ab")
+        .where(col("support_ab") >= minSupport), nb)
+  }
+
   /** Unfiltered (item, support) / (item_a, item_b, support_ab) tables
     * of a basket set — what [[pairRulesDelta]] persists between runs. */
   def itemSupports(df: DataFrame, basketCol: String,

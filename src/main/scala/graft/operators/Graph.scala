@@ -42,8 +42,10 @@ object Graph {
     * contributions split proportionally — contrib(u→v) = rank(u)·w_uv
     * div Σ_x w_ux — so a collocation/citation graph's strong ties pull
     * more rank than incidental ones. Same integer-exact/adaptive
-    * machinery; rank·w must fit int64 (w up to ~9e6 at the default
-    * scale). */
+    * machinery; the rank·w int64 envelope is CHECKED in the same
+    * sizing job, not documented (per-node rank never exceeds the
+    * total mass `scale`, so max w ≤ Long.MaxValue/scale — ~9e6 at
+    * the default scale — keeps every contribution product exact). */
   def pageRankIntWeighted(edges: DataFrame, iterations: Int,
                           scale: Long = 1000000000000L,
                           driverEdgeLimit: Long = 1L << 20): DataFrame = {
@@ -56,12 +58,17 @@ object Graph {
     // runtime error (or silent null) on the distributed one; checking
     // here makes both paths reject bad input identically, for free
     // (one Contracts.enforce job returns the size for the path fork)
-    val Seq(nEdges, _) = Contracts.enforce(e0,
+    val Seq(nEdges, _, _) = Contracts.enforce(e0,
       Contracts.read(count(lit(1))),
       Contracts.Bound(sum(when(col("w") <= 0L, 1L).otherwise(0L)),
         _ == 0L, b =>
           s"pageRankIntWeighted requires every edge weight > 0; " +
-            s"found $b violating edges"))
+            s"found $b violating edges"),
+      Contracts.Bound(max(col("w")), _ <= Long.MaxValue / scale, m =>
+        s"pageRankIntWeighted: max edge weight $m exceeds the rank*w " +
+          s"int64 exactness contract (w <= ${Long.MaxValue / scale} at " +
+          s"scale $scale) — rescale the weights (only their ratios " +
+          "matter) or lower the rank scale"))
     if (nEdges == 0) // empty graph -> empty ranking, schema preserved
       e0.select(col("src").as("node"), col("w").as("rank"))
     else if (nEdges <= driverEdgeLimit) pageRankDriver(e0, iterations, scale)
@@ -340,9 +347,12 @@ object Graph {
     *   r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
     *
     * is ONE double division over int64 numerators, so the value is
-    * engine-exact. The caller keeps M·Sxx inside int64 (deg ≤ 2^21
-    * with m ≤ 2^21 is safe). A degree-regular graph (zero variance)
-    * yields 0/0 = NaN in every engine. Output: one row
+    * engine-exact. The M·Sxx ≤ 4m²d² int64 envelope is CHECKED
+    * before execution, not documented: one aggregation over the
+    * degree table (which the join needs anyway) verifies
+    * m·maxDeg ≤ 10⁹ and fails loudly with a sampling hint. A
+    * degree-regular graph (zero variance) yields 0/0 = NaN in every
+    * engine. Output: one row
     * (m, s_deg, s_deg_sq, s_cross_x2, assortativity). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val ce = edges.select(least(col("src"), col("dst")).as("u"),
@@ -352,6 +362,15 @@ object Graph {
       .localCheckpoint()
     val deg = ce.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // Σdeg = 2m, so one job sizes both factors of the envelope
+    val Seq(maxDeg, degSum) = Contracts.enforce(deg,
+      Contracts.read(max(col("deg"))), Contracts.read(sum(col("deg"))))
+    require(BigInt(degSum / 2) * BigInt(maxDeg) <= BigInt(1000000000L),
+      s"degreeAssortativity: edges x maxDegree = ${degSum / 2} x " +
+        s"$maxDeg exceeds the int64 exactness contract " +
+        "(m*d <= 1e9 keeps M*Sxx and Sx^2 exact) — sample the edge " +
+        "set or cap hub degrees first")
     ce
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")

@@ -136,12 +136,24 @@ object RangeJoin {
   def peakConcurrency(df: DataFrame, keyCol: String, startCol: String,
                       endCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bad = df.where(col(startCol) >= col(endCol)).limit(1).count()
-    require(bad == 0L, "peakConcurrency: intervals must have " +
-      "start < end (half-open [start, end)) — filter or repair first")
-    val pts = df.select(col(keyCol), col(startCol).as("__p"),
+    // pin the projected input ONCE, then both the guard and the sweep
+    // read the same materialized rows — a non-deterministic or
+    // concurrently-mutated source can no longer pass the check yet
+    // feed different intervals to the sweep (the Contracts.enforce-on-
+    // localCheckpoint discipline the rest of the module uses); NULL
+    // boundaries are rejected in the same job (a NULL start or end
+    // would silently vanish from the half-open comparison)
+    val iv = df.select(col(keyCol), col(startCol).as("__s"),
+      col(endCol).as("__e")).localCheckpoint()
+    Contracts.enforce(iv,
+      Contracts.Bound(sum(when(col("__s").isNull || col("__e").isNull ||
+        col("__s") >= col("__e"), 1L).otherwise(0L)), _ == 0L, b =>
+        s"peakConcurrency: $b intervals with NULL boundaries or " +
+          "start >= end (half-open [start, end) needs start < end) — " +
+          "filter or repair first"))
+    val pts = iv.select(col(keyCol), col("__s").as("__p"),
         lit(1L).as("__d"))
-      .unionByName(df.select(col(keyCol), col(endCol).as("__p"),
+      .unionByName(iv.select(col(keyCol), col("__e").as("__p"),
         lit(-1L).as("__d")))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__p"), col("__d"))
       .rowsBetween(Window.unboundedPreceding, 0)

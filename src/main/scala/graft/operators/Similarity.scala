@@ -439,7 +439,14 @@ object Similarity {
     * (q² ≈ 3·10¹¹ per element — int64 would wrap near 3·10⁷ rows per
     * dim, decimal is exact to 10³⁸ — the spearmanByKey discipline) and
     * mean/variance are the usual one-division tails over exact
-    * operands: engine-exact vs a HUGEINT-summing oracle.
+    * operands: engine-exact vs a HUGEINT-summing oracle. The divisions
+    * DESCALE back to raw embedding units — mean = Σq/(n·scale) and
+    * variance = (n·Σq² − (Σq)²)/(n·scale)², both denominators formed
+    * as exact decimal integers before the single double cast — so
+    * downstream drift thresholds are written against the column's own
+    * units, not a ×10⁶/×10¹² internal quantization (q_min/q_max stay
+    * micro-quantized longs: they're exact by construction and keeping
+    * them integral preserves ordering without a lossy division).
     *
     * Scale shape: posexplode then ONE map-side-combining hash
     * aggregation on the dim ordinal — the shuffle carries at most
@@ -464,11 +471,12 @@ object Similarity {
         min(q).as("q_min"), max(q).as("q_max"),
         sum(qd).as("__s"), sum(qd * qd).as("__ss"))
     val nDec = col("n").cast("decimal(38,0)")
+    val nScale = nDec * lit(scale).cast("decimal(38,0)")
     agg.select(col("dim"), col("n"), col("n_null"), col("n_zero"),
       col("q_min"), col("q_max"),
-      (col("__s").cast("double") / col("n").cast("double")).as("mean"),
+      (col("__s").cast("double") / nScale.cast("double")).as("mean"),
       ((nDec * col("__ss") - col("__s") * col("__s")).cast("double")
-        / (nDec * nDec).cast("double")).as("variance"))
+        / (nScale * nScale).cast("double")).as("variance"))
   }
 
   /** CENTROID DRIFT between two embedding snapshots, per key — "did the

@@ -125,13 +125,19 @@ object Sketches {
     * collapsing to a single broadcast-sized sketch row; the estimate
     * is a fixed HOF shape (zip_with product, per-row slice sums,
     * array_min) over exact long counters — deterministic and oracle-
-    * replayable cell-for-cell. Caller contract: nA·nB must fit int64
-    * (the exact inner product is bounded by it); at 100 TB that means
-    * sketching the join KEY DISTRIBUTION of a sampled/filtered slice,
-    * not 10⁹×10⁹ raw rows — the planner use, not the executor use.
+    * replayable cell-for-cell. The nA·nB int64 envelope (the exact
+    * inner product is bounded by it) is CHECKED in the same one-row
+    * projection, not documented: a raise_error branch rejects
+    * nA·nB > 4·10¹⁸ loudly. At 100 TB that means sketching the join
+    * KEY DISTRIBUTION of a sampled/filtered slice, not 10⁹×10⁹ raw
+    * rows — the planner use, not the executor use.
     * Output: one row (n_a, n_b, est_join_size). */
   def cmsJoinSize(dfA: DataFrame, keyA: Column, dfB: DataFrame,
-                  keyB: Column, depth: Int, width: Int): DataFrame = {
+                  keyB: Column, depth: Int, width: Int,
+                  maxExactProduct: Long = 4000000000000000000L): DataFrame = {
+    require(maxExactProduct <= 4000000000000000000L,
+      s"cmsJoinSize: maxExactProduct $maxExactProduct exceeds the " +
+        "inner-product int64 capacity (4e18)")
     val skA = dfA.agg(cms_agg(keyA, depth, width).as("__a"),
       count(keyA).as("n_a"))
     val skB = dfB.agg(cms_agg(keyB, depth, width).as("__b"),
@@ -141,6 +147,13 @@ object Sketches {
       aggregate(slice(zip, j * lit(width) + lit(1), lit(width)),
         lit(0L), (acc, x) => acc + x))
     skA.crossJoin(skB)
+      .where(when(col("n_a").cast("double") * col("n_b").cast("double")
+          > maxExactProduct.toDouble,
+        raise_error(lit("cmsJoinSize: nA*nB exceeds the inner-product " +
+          s"int64 exactness contract (nA*nB <= $maxExactProduct) — " +
+          "sketch sampled/filtered slices of the join inputs instead"))
+          .isNotNull)
+        .otherwise(lit(true)))
       .select(col("n_a"), col("n_b"),
         array_min(rowSums).as("est_join_size"))
   }

@@ -257,13 +257,17 @@ object Stats {
     * bursts of closely-spaced points; TWAP weights by how long each
     * value was actually in force). The financial/telemetry standard.
     *
-    * Numerator and denominator accumulate as exact longs (caller keeps
-    * value·gap inside int64 — e.g. integer cents × micros over a
-    * bounded horizon); the single division is the only float op, so the
-    * result is engine-exact. The lead() window partitions by key
-    * (bounded by one key's history, the sessionize discipline); the
-    * roll-up is one map-side-combining aggregation. Keys with a single
-    * observation span zero time and are dropped.
+    * The weighted numerator accumulates in decimal(38,0) — each
+    * value·gap product forms decimal×decimal, so a cents×micros term
+    * can never silently wrap int64 (the pearsonByKey discipline) —
+    * and the magnitude envelope is CHECKED in the SAME aggregation:
+    * max |v| and max gap ride beside the sums and a raise_error
+    * branch rejects any key whose rows·maxAbs(v)·maxGap tops 10³⁷
+    * (decimal headroom, 10× margin). The single division is the only
+    * float op, so the result is engine-exact. The lead() window
+    * partitions by key (bounded by one key's history, the sessionize
+    * discipline); the roll-up is one map-side-combining aggregation.
+    * Keys with a single observation span zero time and are dropped.
     *
     * `tsCol` must be an integer time axis (epoch micros) and `orderCol`
     * a tie-breaking id for simultaneous observations (dt = 0 rows are
@@ -276,10 +280,23 @@ object Stats {
     val stepped = df
       .withColumn("__nt", lead(col(tsCol), 1).over(w))
       .where(col("__nt").isNotNull)
+    val vD = col(valueCol).cast("decimal(38,0)")
+    val gapD = (col("__nt") - col(tsCol)).cast("decimal(38,0)")
     stepped
       .groupBy(col(keyCol))
-      .agg(sum(col(valueCol) * (col("__nt") - col(tsCol))).as("wv"),
-        (max(col("__nt")) - min(col(tsCol))).as("span"))
+      .agg(sum(vD * gapD).as("wv"),
+        (max(col("__nt")) - min(col(tsCol))).as("span"),
+        count(lit(1)).as("__n"),
+        max(abs(col(valueCol).cast("long"))).as("__mv"),
+        max(col("__nt") - col(tsCol)).as("__mg"))
+      .where(when(col("__n").cast("double") * col("__mv").cast("double")
+          * col("__mg").cast("double") > 1e37,
+        raise_error(concat(
+          lit("timeWeightedAvg: rows x maxAbs(v) x maxGap exceeds the " +
+            "decimal(38,0) exactness contract (n*B*G <= 1e37) under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale values or coarsen the time axis"))).isNotNull)
+        .otherwise(lit(true)))
       .where(col("span") > 0L)
       .select(col(keyCol), col("span"),
         (col("wv").cast("double") / col("span").cast("double")).as("twap"))
@@ -322,36 +339,54 @@ object Stats {
     *   var  = (n·Σx² − Σx²₁) / n²            (Σx²₁ = (Σx)²)
     *   skew = (n²Σx³ − 3nΣxΣx² + 2(Σx)³) / (n³·σ³)
     *
-    * — four longs per group cross the shuffle regardless of group
-    * size, numerators form in int64 (the caller scales x so x³·n and
-    * (Σx)³ fit — e.g. deci-cents), and the float tail is a fixed
-    * shape of casts, products and one sqrt, so values are
-    * engine-exact. Zero-variance groups yield NaN skew (0/0) in every
-    * engine. The distribution-drift profiling pass (is this source's
-    * quality-score distribution shifting/asymmetric?) at any scale.
+    * — five values per group cross the shuffle regardless of group
+    * size, the power sums and skew numerator form in decimal(38,0)
+    * (n³·B³ and (Σx)³ live far past int64 even at modest scales — the
+    * pearsonByKey discipline), and the float tail is a fixed shape of
+    * casts, products and one sqrt, so values are engine-exact vs a
+    * HUGEINT-summing oracle. The decimal envelope (n³·B³ ≤ 10³⁸, i.e.
+    * n·maxAbs(x) ≤ 4·10¹²) is CHECKED in the SAME aggregation: max |x|
+    * rides beside the sums and a raise_error branch rejects violating
+    * groups loudly — zero extra jobs. Zero-variance groups yield NaN
+    * skew (0/0) in every engine. The distribution-drift profiling pass
+    * (is this source's quality-score distribution shifting/
+    * asymmetric?) at any scale.
     */
   def groupMoments(df: DataFrame, keyCol: String, xCol: String): DataFrame = {
     val x = col(xCol).cast("long")
+    val xD = x.cast("decimal(38,0)")
     // NULL observations drop explicitly: n must count exactly the rows
     // the NULL-skipping power sums saw, or mean/variance/skew silently
     // disagree with each other on dirty input
     val agg = df.where(x.isNotNull).groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
-        sum(x * x).as("s2"), sum((x * x) * x).as("s3"))
+      .agg(count(lit(1)).as("n"), sum(xD).as("s1"),
+        sum(xD * xD).as("s2"), sum((xD * xD) * xD).as("s3"),
+        max(abs(x)).as("__m"))
+      .where(when(col("n").cast("double") * col("__m").cast("double")
+          > 4e12,
+        raise_error(concat(
+          lit("groupMoments: rows x maxAbs(x) exceeds the decimal(38,0) " +
+            "exactness contract (n*B <= 4e12 keeps n^3*B^3 <= 1e38) " +
+            "under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale the metric to coarser integer units"))).isNotNull)
+        .otherwise(lit(true)))
     val nD = col("n").cast("double")
+    val nDec = col("n").cast("decimal(38,0)")
     agg
       .withColumn("mean", col("s1").cast("double") / nD)
       .withColumn("variance",
-        (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+        (nDec * col("s2") - col("s1") * col("s1")).cast("double")
           / (nD * nD))
       .withColumn("std", sqrt(col("variance")))
       .select(col(keyCol), col("n"), col("mean"), col("variance"), col("std"),
         // zero variance -> no shape: explicit NaN (ANSI Spark raises on
         // the 0/0 double division DuckDB would fold to NaN)
         when(col("std") === 0.0, lit(Double.NaN)).otherwise(
-          (col("n") * col("n") * col("s3")
-            - lit(3L) * col("n") * col("s1") * col("s2")
-            + lit(2L) * col("s1") * col("s1") * col("s1")).cast("double")
+          (nDec * nDec * col("s3")
+            - lit(3L).cast("decimal(38,0)") * nDec * col("s1") * col("s2")
+            + lit(2L).cast("decimal(38,0)") * col("s1") * col("s1")
+              * col("s1")).cast("double")
             / (nD * nD * nD * col("std") * col("std") * col("std")))
           .as("skew"))
   }
@@ -403,12 +438,16 @@ object Stats {
     * [[trailingActives]] discipline), weights are computed row-local
     * (variable shiftleft), and ONE map-side-combining groupBy(key)
     * carries two longs per key. `horizon` ≤ 62 keeps 2^horizon in
-    * int64; Σ 2^horizon · rows must fit int64 (horizon 30 leaves room
-    * for 8 billion same-day events per key). */
+    * int64; the Σ ≤ 2^horizon · rows int64 envelope is CHECKED in the
+    * SAME aggregation (a raise_error branch on the per-key event
+    * count — horizon 30 leaves room for 8 billion same-day events per
+    * key before it fires), not documented. */
   def decayedCounts(df: DataFrame, keyCol: String, dayCol: String,
                     horizonDays: Int): DataFrame = {
     require(horizonDays >= 0 && horizonDays <= 62,
       s"horizonDays must be in [0, 62], got $horizonDays")
+    // exact per-key capacity: n·2^horizon ≤ Long.MaxValue
+    val maxRowsPerKey = Long.MaxValue >> horizonDays
     val ev = df.select(col(keyCol), col(dayCol).cast("long").as("__d"))
     val bound = ev.agg(max(col("__d")).as("__maxd"))
     ev.crossJoin(bound)
@@ -419,6 +458,14 @@ object Stats {
           .otherwise(lit(0L)))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("decayed"))
+      .where(when(col("n_events") > maxRowsPerKey,
+        raise_error(concat(
+          lit("decayedCounts: "), col("n_events").cast("string"),
+          lit(s" events under key "), col(keyCol).cast("string"),
+          lit(s" exceed the int64 weight-sum capacity " +
+            s"($maxRowsPerKey at horizon $horizonDays) — bucket days " +
+            "coarser or lower the horizon"))).isNotNull)
+        .otherwise(lit(true)))
       .withColumn("score",
         col("decayed").cast("double") / lit(math.pow(2.0, horizonDays)))
   }
@@ -542,8 +589,12 @@ object Stats {
     * contract: the cumulative window runs over value cardinality, never
     * rows), and the single division is the only float op. Values must
     * be non-negative (checked — Gini is undefined below zero) with a
-    * positive group sum (zero-sum groups drop); the caller keeps
-    * c·v·n inside int64 (the groupOls discipline).
+    * positive group sum (zero-sum groups drop). The int64 envelope
+    * (mad_sum ≤ n²·maxV, and every c·(v·N − S) term under it) is
+    * CHECKED before execution, not documented: one extra aggregation
+    * over the already-materialized histogram verifies
+    * maxRowsPerKey² · maxValue ≤ 4·10¹⁸ and fails loudly with a
+    * rescale hint.
     * Output: (key, n, sum_x, mad_sum, gini), gini ∈ [0, 1). */
   def exactGroupGini(df: DataFrame, keyCol: String, xCol: String,
                      maxDistinctPerKey: Long = 2000000L): DataFrame = {
@@ -553,6 +604,18 @@ object Stats {
     Contracts.enforce(hist, Contracts.Bound(min(col("__v")), _ >= 0L, _ =>
       "exactGroupGini requires non-negative values (Gini is undefined " +
         "for mixed-sign data); shift or absolute-value the column first"))
+    // int64 exactness envelope: the pairwise |x_i − x_j| double sum is
+    // ≤ n²·maxV per key, and every cumulative term stays under it —
+    // sized on the materialized histogram (per-key row count = Σ c)
+    val Seq(maxN, maxV) = Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("__c")).as("__n"),
+        max(col("__v")).as("__b")),
+      Contracts.read(max(col("__n"))), Contracts.read(max(col("__b"))))
+    require(BigInt(maxN) * BigInt(maxN) * BigInt(maxV) <=
+      BigInt("4000000000000000000"),
+      s"exactGroupGini: rowsPerKey^2 x maxValue = $maxN^2 x $maxV " +
+        "exceeds the int64 exactness contract (n^2*V <= 4e18) — " +
+        "rescale the values to coarser integer units")
     val below = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -903,9 +966,12 @@ object Stats {
     *
     * Kept exact by cross-multiplication: at every observed value,
     * |F_a − F_b| = |cumA·nB − cumB·nA| / (nA·nB) — the numerator is an
-    * exact long, so the maximum is found by INTEGER comparisons and the
-    * single division happens once, after the argmax (engine-exact; the
-    * caller keeps cum·n inside int64 — samples to ~3·10⁹ rows each).
+    * exact long, so the maximum is found by INTEGER comparisons and
+    * the single division happens once, after the argmax. The int64
+    * envelope (cum·n ≤ nA·nB) is CHECKED before execution, not
+    * documented: one aggregation over the materialized histogram
+    * verifies the heavier side of every key holds ≤ 2·10⁹ rows (so
+    * nA·nB ≤ 4·10¹⁸) and fails loudly with the rank-sketch pointer.
     *
     * Same shape and CHECKED bounded-histogram contract as the exact
     * median family: rows collapse to a per-(group, value) pair of side
@@ -916,7 +982,11 @@ object Stats {
     * Output: (key, n_a, n_b, d_num, d) with d = d_num/(nA·nB). */
   def ksStatistic(df: DataFrame, keyCol: String, sideCol: String,
                   xCol: String,
-                  maxDistinctPerKey: Long = 2000000L): DataFrame = {
+                  maxDistinctPerKey: Long = 2000000L,
+                  maxRowsPerSide: Long = 2000000000L): DataFrame = {
+    require(maxRowsPerSide <= 2000000000L,
+      s"ksStatistic: maxRowsPerSide $maxRowsPerSide exceeds the " +
+        "cross-multiplied int64 capacity (2e9 keeps nA*nB <= 4e18)")
     val hist = df
       .groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
       .agg(sum(when(col(sideCol).cast("boolean"), 1L).otherwise(0L))
@@ -925,6 +995,16 @@ object Stats {
           .as("__cb"))
       .localCheckpoint()
     requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "ksStatistic")
+    Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("__ca")).as("__na"),
+        sum(col("__cb")).as("__nb")),
+      Contracts.Bound(max(greatest(col("__na"), col("__nb"))),
+        _ <= maxRowsPerSide, m =>
+          s"ksStatistic: a key's heavier side holds $m rows, exceeding " +
+            "the cross-multiplied int64 exactness contract (limit " +
+            s"$maxRowsPerSide; 2e9 keeps nA*nB <= 4e18). Sample the " +
+            "sides, or use the rank-sketch two-sample KS (rq_ks, q202 " +
+            "path) at this scale."))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wk = Window.partitionBy(col(keyCol))
@@ -1211,31 +1291,39 @@ object Stats {
     *   ν  = (ra + rb)² / ( ra²/(na−1) + rb²/(nb−1) ),  r = s²/n
     *
     * with the unbiased variances formed from EXACT integer sufficient
-    * statistics — s² = (n·Σx² − (Σx)²) / (n·(n−1)) has an int64
-    * numerator (the caller keeps x in units where x²·n fits, e.g.
-    * cents — the [[groupOls]] discipline) and ONE division — so the t/ν
-    * tail is a fixed shape of IEEE divisions, one sqrt, and products of
-    * already-divided doubles: engine-exact.
+    * statistics — s² = (n·Σx² − (Σx)²) / (n·(n−1)) forms its numerator
+    * in decimal(38,0) (the [[pearsonByKey]] discipline: no silent
+    * int64 wrap, no ANSI mid-query throw) with ONE division — so the
+    * t/ν tail is a fixed shape of IEEE divisions, one sqrt, and
+    * products of already-divided doubles: engine-exact vs a
+    * HUGEINT-summing oracle.
     *
-    * Six longs per key cross the shuffle regardless of group size (ONE
-    * map-side-combining aggregation). NULL side or x rows are rejected
-    * in the SAME aggregation via a raise_error branch (the
-    * [[twoProportionZ]] lazy-checked contract — zero extra jobs): a
-    * NULL side would silently vanish from both arms and a NULL x would
-    * desync n from the NULL-skipping sums. Keys with an arm of fewer
-    * than 2 rows drop (no variance); zero pooled standard error → NaN.
+    * Seven values per key cross the shuffle regardless of group size
+    * (ONE map-side-combining aggregation). The decimal(38,0)
+    * exactness bound (n²·B² ≤ 10³⁸ for the variance numerator) is
+    * CHECKED, not documented, in the SAME aggregation: max |x| is
+    * collected beside the sums and a raise_error branch rejects any
+    * key with n·maxAbs(x) > 10¹⁸ (margin 10×) — zero extra jobs, the
+    * [[twoProportionZ]] lazy-checked shape. NULL side or x rows are
+    * rejected the same way: a NULL side would silently vanish from
+    * both arms and a NULL x would desync n from the NULL-skipping
+    * sums. Keys with an arm of fewer than 2 rows drop (no variance);
+    * zero pooled standard error → NaN.
     * Output: (key, n_a, n_b, mean_a, mean_b, t, df). */
   def welchT(df: DataFrame, keyCol: String, sideCol: String,
              xCol: String): DataFrame = {
     val side = col(sideCol).cast("boolean")
     val x = col(xCol).cast("long")
+    val xD = x.cast("decimal(38,0)")
+    val zeroD = lit(0L).cast("decimal(38,0)")
     val agg = df.groupBy(col(keyCol))
       .agg(sum(when(side, 1L).otherwise(0L)).as("n_a"),
-        sum(when(side, x).otherwise(0L)).as("s_a"),
-        sum(when(side, x * x).otherwise(0L)).as("ss_a"),
+        sum(when(side, xD).otherwise(zeroD)).as("s_a"),
+        sum(when(side, xD * xD).otherwise(zeroD)).as("ss_a"),
         sum(when(!side, 1L).otherwise(0L)).as("n_b"),
-        sum(when(!side, x).otherwise(0L)).as("s_b"),
-        sum(when(!side, x * x).otherwise(0L)).as("ss_b"),
+        sum(when(!side, xD).otherwise(zeroD)).as("s_b"),
+        sum(when(!side, xD * xD).otherwise(zeroD)).as("ss_b"),
+        max(abs(x)).as("__m"),
         sum(when(side.isNull || x.isNull, 1L).otherwise(0L)).as("__bad"))
       .where(when(col("__bad") > 0L,
         raise_error(concat(
@@ -1244,13 +1332,25 @@ object Stats {
           lit(" — assign every row an arm and a metric, or filter " +
             "explicitly before calling"))).isNotNull)
         .otherwise(lit(true)))
+      .where(when((col("n_a") + col("n_b")).cast("decimal(38,0)")
+          * col("__m").cast("decimal(38,0)")
+          > lit("1000000000000000000").cast("decimal(38,0)"),
+        raise_error(concat(
+          lit("welchT: rows x maxAbs(x) exceeds the decimal(38,0) " +
+            "exactness contract (n*B <= 1e18) under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale the metric to coarser integer units"))).isNotNull)
+        .otherwise(lit(true)))
       .where(col("n_a") > 1L && col("n_b") > 1L)
+    def nD(c: String) = col(c).cast("decimal(38,0)")
     val ma = col("s_a").cast("double") / col("n_a").cast("double")
     val mb = col("s_b").cast("double") / col("n_b").cast("double")
-    val va = (col("n_a") * col("ss_a") - col("s_a") * col("s_a"))
-      .cast("double") / (col("n_a") * (col("n_a") - 1L)).cast("double")
-    val vb = (col("n_b") * col("ss_b") - col("s_b") * col("s_b"))
-      .cast("double") / (col("n_b") * (col("n_b") - 1L)).cast("double")
+    val va = (nD("n_a") * col("ss_a") - col("s_a") * col("s_a"))
+      .cast("double") /
+      (nD("n_a") * (col("n_a") - 1L).cast("decimal(38,0)")).cast("double")
+    val vb = (nD("n_b") * col("ss_b") - col("s_b") * col("s_b"))
+      .cast("double") /
+      (nD("n_b") * (col("n_b") - 1L).cast("decimal(38,0)")).cast("double")
     val ra = va / col("n_a").cast("double")
     val rb = vb / col("n_b").cast("double")
     val se2 = ra + rb
@@ -1273,30 +1373,41 @@ object Stats {
     *
     * The pre-period covariate x is unaffected by treatment, so the
     * adjustment removes the x-explained variance from the delta without
-    * biasing it. θ's numerator/denominator form in int64 from exact
-    * sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)², the [[groupOls]] unit
-    * discipline) with ONE division; the adjusted means are fixed-shape
-    * products/differences of already-divided doubles — engine-exact.
+    * biasing it. θ's numerator/denominator form in decimal(38,0) from
+    * exact sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)² — the
+    * [[pearsonByKey]] discipline: no silent int64 wrap, no ANSI
+    * mid-query throw) with ONE division; the adjusted means are
+    * fixed-shape products/differences of already-divided doubles —
+    * engine-exact vs a HUGEINT-summing oracle.
     *
-    * ONE map-side-combining aggregation; ten longs per key cross the
-    * shuffle (n/Σx/Σy/Σxy/Σx² per arm — the pooled sums are their
-    * exact int64 totals). NULL side/x/y rows are rejected in the same
-    * aggregation (the [[twoProportionZ]] lazy-checked contract). Keys
-    * missing an arm drop; zero pooled x-variance → θ has no definition
-    * → NaN columns (the raw delta stays valid).
+    * ONE map-side-combining aggregation; eleven values per key cross
+    * the shuffle (n/Σx/Σy/Σxy/Σx² per arm plus max magnitude — the
+    * pooled sums are their exact decimal totals). The decimal(38,0)
+    * exactness bound (n²·B² ≤ 10³⁸ for θ's numerator/denominator) is
+    * CHECKED in the SAME aggregation: max(|x|, |y|) is collected
+    * beside the sums and a raise_error branch rejects any key with
+    * n·maxAbs > 10¹⁸ (margin 10×) — zero extra jobs. NULL side/x/y
+    * rows are rejected the same way (the [[twoProportionZ]]
+    * lazy-checked contract). Keys missing an arm drop; zero pooled
+    * x-variance → θ has no definition → NaN columns (the raw delta
+    * stays valid).
     * Output: (key, n_a, n_b, theta, raw_delta, adj_a, adj_b, adj_delta). */
   def cupedAdjust(df: DataFrame, keyCol: String, sideCol: String,
                   yCol: String, xCol: String): DataFrame = {
     val side = col(sideCol).cast("boolean")
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
+    val xD = x.cast("decimal(38,0)")
+    val yD = y.cast("decimal(38,0)")
+    val zeroD = lit(0L).cast("decimal(38,0)")
     def arm(p: org.apache.spark.sql.Column, suf: String) = Seq(
       sum(when(p, 1L).otherwise(0L)).as(s"n_$suf"),
-      sum(when(p, x).otherwise(0L)).as(s"sx_$suf"),
-      sum(when(p, y).otherwise(0L)).as(s"sy_$suf"),
-      sum(when(p, x * y).otherwise(0L)).as(s"sxy_$suf"),
-      sum(when(p, x * x).otherwise(0L)).as(s"sxx_$suf"))
+      sum(when(p, xD).otherwise(zeroD)).as(s"sx_$suf"),
+      sum(when(p, yD).otherwise(zeroD)).as(s"sy_$suf"),
+      sum(when(p, xD * yD).otherwise(zeroD)).as(s"sxy_$suf"),
+      sum(when(p, xD * xD).otherwise(zeroD)).as(s"sxx_$suf"))
     val cells = arm(side, "a") ++ arm(!side, "b") :+
+      greatest(max(abs(x)), max(abs(y))).as("__m") :+
       sum(when(side.isNull || x.isNull || y.isNull, 1L).otherwise(0L))
         .as("__bad")
     val agg = df.groupBy(col(keyCol))
@@ -1308,8 +1419,18 @@ object Stats {
           lit(" — assign every row an arm, a covariate and a metric, " +
             "or filter explicitly before calling"))).isNotNull)
         .otherwise(lit(true)))
+      .where(when((col("n_a") + col("n_b")).cast("decimal(38,0)")
+          * col("__m").cast("decimal(38,0)")
+          > lit("1000000000000000000").cast("decimal(38,0)"),
+        raise_error(concat(
+          lit("cupedAdjust: rows x maxAbs(x, y) exceeds the " +
+            "decimal(38,0) exactness contract (n*B <= 1e18) under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale the covariate/metric to coarser integer " +
+            "units"))).isNotNull)
+        .otherwise(lit(true)))
       .where(col("n_a") > 0L && col("n_b") > 0L)
-    val n = col("n_a") + col("n_b")
+    val n = (col("n_a") + col("n_b")).cast("decimal(38,0)")
     val sx = col("sx_a") + col("sx_b")
     val sy = col("sy_a") + col("sy_b")
     val sxy = col("sxy_a") + col("sxy_b")
@@ -1541,6 +1662,17 @@ object Stats {
           "assign every row a micro-prob and an outcome, or filter " +
           "explicitly before calling")).isNotNull)
         .otherwise(lit(true)))
+      // a forecast is a probability: micro-prob outside [0, 1e6] means
+      // the feed is mis-scaled and every REL/RES term would be parity-
+      // exact but statistically meaningless — reject loudly in the
+      // same aggregation (the histogram key IS the forecast, so this
+      // is one comparison per distinct score, not per row)
+      .where(when(col("__q") < 0L || col("__q") > 1000000L,
+        raise_error(concat(lit("brierDecomposition: forecast "),
+          col("__q").cast("string"),
+          lit(" outside [0, 1000000] micro-prob — clamp or rescale " +
+            "the forecast column to probabilities first"))).isNotNull)
+        .otherwise(lit(true)))
       .localCheckpoint()
     Contracts.enforce(hist, Contracts.Bound(count(lit(1)),
       _ <= maxDistinctScores, m =>
@@ -1666,8 +1798,11 @@ object Stats {
     *
     * i.e. the smallest reference value whose CDF reaches the target
     * value's midrank percentile — the comparison is CROSS-MULTIPLIED
-    * so both sides stay exact integers (the [[ksStatistic]] bound:
-    * nA·nB per key must fit int64/2 — ~1.5·10⁹ rows per side).
+    * so both sides stay exact integers. The [[ksStatistic]] bound
+    * (2·nA·nB must fit int64) is CHECKED before execution, not
+    * documented: one aggregation per side over the CDF tables
+    * verifies every key holds ≤ 1.5·10⁹ rows per side and fails
+    * loudly with the rank-sketch pointer.
     *
     * Shape: two [[exactGroupCdf]] tables (CHECKED bounded-histogram
     * contract each), per-key totals joined across sides, and the
@@ -1678,7 +1813,11 @@ object Stats {
     * Output: (key, v, v_mapped), nondecreasing in v per key. */
   def quantileMap(ref: DataFrame, tgt: DataFrame, keyCol: String,
                   xCol: String,
-                  maxDistinctPerKey: Long = 2000000L): DataFrame = {
+                  maxDistinctPerKey: Long = 2000000L,
+                  maxRowsPerSide: Long = 1500000000L): DataFrame = {
+    require(maxRowsPerSide <= 1500000000L,
+      s"quantileMap: maxRowsPerSide $maxRowsPerSide exceeds the " +
+        "cross-multiplied int64 capacity (1.5e9 keeps 2*nA*nB in int64)")
     val cdfA = exactGroupCdf(ref, keyCol, xCol, maxDistinctPerKey)
       .select(col(keyCol), col("v").as("__va"),
         (col("n_below") + col("n_equal")).as("__cumA"),
@@ -1688,6 +1827,18 @@ object Stats {
         col("n").as("__nB"))
     val nAtab = cdfA.groupBy(col(keyCol)).agg(max(col("__nA")).as("__nAk"))
     val nBtab = cdfB.groupBy(col(keyCol)).agg(max(col("__nB")).as("__nBk"))
+    // cross-multiplied int64 envelope: axes reach 2·nA·nB per key —
+    // each side's per-key rows must stay ≤ 1.5e9 (2·(1.5e9)² ≈ 4.5e18)
+    def sideBound(tab: DataFrame, c: String, side: String): Unit =
+      Contracts.enforce(tab, Contracts.Bound(max(col(c)),
+        _ <= maxRowsPerSide, m =>
+          s"quantileMap: a key's $side sample holds $m rows, exceeding " +
+            "the cross-multiplied int64 exactness contract (limit " +
+            s"$maxRowsPerSide; 1.5e9 keeps 2*nA*nB in int64). Sample " +
+            "the sides, or map through rank-sketch quantiles " +
+            "(rq_quantile, q193 path) at this scale."))
+    sideBound(nAtab, "__nAk", "reference")
+    sideBound(nBtab, "__nBk", "target")
     val aRows = cdfA.join(nBtab, Seq(keyCol))
       .select(col(keyCol),
         (col("__cumA") * lit(2L) * col("__nBk")).as("__axis"),
@@ -1787,9 +1938,16 @@ object Stats {
     val tr = col(treatedCol).cast("boolean")
     val po = col(postCol).cast("boolean")
     val v = col(valueCol).cast("long")
+    // cell sums accumulate in decimal(38,0): the only integer
+    // expressions here are the four Σv (no squares, no cross
+    // products), so exactness to 10³⁸ needs no checked bound — a
+    // plain long Σv could wrap silently past n·B ≈ 9·10¹⁸ in
+    // non-ANSI Spark (the pearsonByKey discipline, sum-only case)
+    val vD = v.cast("decimal(38,0)")
+    val zeroD = lit(0L).cast("decimal(38,0)")
     def cell(p: Column, n: String, s: String) = Seq(
       sum(when(p, 1L).otherwise(0L)).as(n),
-      sum(when(p, v).otherwise(0L)).as(s))
+      sum(when(p, vD).otherwise(zeroD)).as(s))
     val cols = cell(tr && po, "n_t_post", "s_t_post") ++
       cell(tr && !po, "n_t_pre", "s_t_pre") ++
       cell(!tr && po, "n_c_post", "s_c_post") ++
@@ -1895,7 +2053,13 @@ object Stats {
     * the global mean would hide the leak this encoder exists to
     * avoid). NULL outcomes are rejected up front (checked contract —
     * a NULL y skipped by Σ but counted by n would shift every
-    * sibling's encoding). Output: input key/cat/y + loo. */
+    * sibling's encoding). The join-back carries NO broadcast hint:
+    * target encoding gets reached for exactly when the categorical is
+    * high-cardinality (domains, user segments, near-ID columns), where
+    * a forced broadcast of the unbounded (Σy, n) table OOMs the
+    * driver — AQE picks broadcast at runtime when the table actually
+    * fits, and falls back to a shuffle join when it doesn't (the
+    * retentionCohorts discipline). Output: input key/cat/y + loo. */
   def looTargetEncoding(df: DataFrame, idCol: String, catCol: String,
                         yCol: String): DataFrame = {
     val base = df.select(col(idCol), col(catCol),
@@ -1906,7 +2070,7 @@ object Stats {
           "encode only labeled rows (filter or impute first)"))
     val cats = base.groupBy(col(catCol))
       .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
-    base.join(broadcast(cats), Seq(catCol))
+    base.join(cats, Seq(catCol))
       .select(col(idCol), col(catCol), col("__y").as(yCol),
         when(col("__n") > 1L,
           (col("__s") - col("__y")).cast("double")
@@ -1922,37 +2086,68 @@ object Stats {
     * history slope smears out. Only rows with a full window emit (a
     * partial window's slope isn't comparable to its neighbors').
     *
-    * Exactness shape: the five sufficient statistics are exact long
-    * SUMS OVER A WINDOW FRAME (rowsBetween −(w−1)..0 — Spark's
-    * sliding-frame aggregation adds/subtracts longs, order-pinned by
-    * the (orderCol, idCol) sort), x is the per-key row_number (small
-    * integers — x² sums stay tiny no matter the value scale), and the
-    * slope is ONE double division of int64 values — engine-exact,
-    * replayed by identical SQL window frames. The windows partition
-    * by key (bounded by one key's history — the sessionize
-    * discipline, never a global sort). Output: every full-window row
-    * (key, orderCol, idCol, n, slope). */
+    * Exactness shape: the OLS slope is invariant under x-translation
+    * (n·Σ(x−c)y − Σ(x−c)Σy = n·Σxy − Σx·Σy and likewise the
+    * denominator, in EXACT arithmetic), so every full frame is
+    * rebased to x' = 1..w: Σx' = w(w+1)/2 and Σx'² = w(w+1)(2w+1)/6
+    * become driver-side constants, the denominator w·Σx'² − (Σx')² is
+    * ONE exact BigInt literal shared by every row, and the rebased
+    * cross sum Σx'y = Σxy − (x_now − w)·Σy is formed from the frame's
+    * decimal(38,0) Σxy (rowsBetween −(w−1)..0 — Spark's sliding-frame
+    * aggregation, order-pinned by the (orderCol, idCol) sort). After
+    * rebasing, every magnitude depends on the WINDOW and the value
+    * scale — never on the key's row count, which is what sank the
+    * previous all-long form (x = row_number grows with key history, so
+    * Σx² ≈ w·n² wrapped int64 near n ≈ 10⁹/√w). The one n-dependent
+    * intermediate left (the unrebased decimal Σxy ≤ w·n·B) is CHECKED
+    * before execution: one Contracts job verifies
+    * maxRowsPerKey · w · maxAbs(y) ≤ 10³⁷ (decimal(38,0) headroom with
+    * a 10× margin — int64 row counts can never violate it alone, the
+    * guard exists for the magnitude product). The slope is ONE double
+    * division of the same exact integers the unrebased formula yields,
+    * so identical SQL window frames over true x replay it bit-for-bit.
+    * The windows partition by key (bounded by one key's history — the
+    * sessionize discipline, never a global sort). Output: every
+    * full-window row (key, orderCol, idCol, n, slope). */
   def rollingOlsSlope(df: DataFrame, keyCol: String, orderCol: String,
                       idCol: String, yCol: String,
                       window: Int): DataFrame = {
     require(window >= 2, s"rollingOlsSlope needs window >= 2, got $window")
+    val w = window.toLong
+    // rebased-x closed forms (x' = 1..w in every full frame)
+    val sxC = BigInt(w) * (w + 1) / 2
+    val sxxC = BigInt(w) * (w + 1) * (2 * w + 1) / 6
+    val denC = BigInt(w) * sxxC - sxC * sxC
+    val base0 = df.select(col(keyCol), col(orderCol), col(idCol),
+      col(yCol).cast("long").as("__y")).localCheckpoint()
+    val perKey = base0.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), max(abs(col("__y"))).as("__b"))
+    val Seq(maxN, maxB) = Contracts.enforce(perKey,
+      Contracts.read(max(col("__n"))), Contracts.read(max(col("__b"))))
+    require(BigInt(maxN) * BigInt(w) * BigInt(maxB) <= BigInt(10).pow(37),
+      s"rollingOlsSlope: rows-per-key x window x maxAbs(y) = " +
+        s"$maxN x $w x $maxB exceeds the decimal(38,0) exactness " +
+        "contract (n*w*B <= 1e37). Rescale the values to coarser " +
+        "integer units.")
     val wSeq = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol), col(idCol))
     val wFrame = wSeq.rowsBetween(-(window - 1L), 0L)
-    val y = col(yCol).cast("long")
-    val base = df
+    val y = col("__y")
+    val base = base0
       .withColumn("__x", row_number().over(wSeq).cast("long"))
       .withColumn("__n", count(lit(1)).over(wFrame))
-      .withColumn("__sx", sum(col("__x")).over(wFrame))
-      .withColumn("__sy", sum(y).over(wFrame))
-      .withColumn("__sxy", sum(col("__x") * y).over(wFrame))
-      .withColumn("__sxx", sum(col("__x") * col("__x")).over(wFrame))
-      .where(col("__n") === window.toLong)
-    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+      .withColumn("__sy", sum(y.cast("decimal(38,0)")).over(wFrame))
+      .withColumn("__sxy", sum(col("__x").cast("decimal(38,0)")
+        * y.cast("decimal(38,0)")).over(wFrame))
+      .where(col("__n") === w)
+    // rebase: c = x_now − w;  Σx'y = Σxy − c·Σy  (exact)
+    val c = (col("__x") - lit(w)).cast("decimal(38,0)")
+    val sxyR = col("__sxy") - c * col("__sy")
+    val num = lit(w).cast("decimal(38,0)") * sxyR -
+      lit(sxC.toString).cast("decimal(38,0)") * col("__sy")
     base.select(col(keyCol), col(orderCol), col(idCol),
       col("__n").as("n"),
-      ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
-        .cast("double") / den.cast("double")).as("slope"))
+      (num.cast("double") / lit(denC.toDouble)).as("slope"))
   }
 
   /** EQUAL-FREQUENCY BUCKETS per key — exact quantile discretization

@@ -430,20 +430,37 @@ object Streaming {
 
   /** Streaming ROLLING OLS TREND — the live twin of
     * [[graft.operators.Stats.rollingOlsSlope]] (q227): per key the
-    * state is the last `window−1` values plus the arrival index
-    * (O(window) longs — never the history), and each arrival with a
-    * full window emits its trailing least-squares slope immediately.
-    * x positions are the consecutive per-key arrival indexes, so
-    * sx/sxx are closed-form arithmetic-series sums and sy/sxy fold
-    * over the buffer — the IDENTICAL exact-int64 sufficient
-    * statistics and single IEEE division as the batch operator, so
-    * streamed == batch is structural whenever batches respect
-    * (order, id) time order (StreamingSpec pins it). Input:
-    * (k, o, id, y) with per-batch rows folded in (o, id) order.
-    * Output: (k, o, id, n, slope) for full windows only. */
+    * state is the last `window−1` values plus a retained arrival
+    * count (O(window) longs — never the history), and each arrival
+    * with a full window emits its trailing least-squares slope
+    * immediately. The slope is x-translation-invariant, so every
+    * emission REBASES x to 1..w — sx/sxx/den are closed-form
+    * constants and only sy/sxy fold over the buffer. The arrival
+    * index therefore never enters the math: the previous form kept
+    * x = the lifetime arrival index, whose Σx² ≈ w·idx² walked a
+    * long-lived high-rate key deterministically into int64 wrap —
+    * rebased, every magnitude is bounded by the WINDOW and the value
+    * scale alone, for any stream lifetime. That bound is CHECKED,
+    * not documented: each value must satisfy |y| ≤ 4·10¹⁸/w³ (the
+    * numerator w³·B int64 budget with margin), rejected loudly
+    * per-row, and the window is capped so den = w²(w²−1)/12 fits
+    * int64. The emitted integers equal the batch operator's exactly
+    * (same rebasing identity), so streamed == batch is structural
+    * whenever batches respect (order, id) time order (StreamingSpec
+    * pins it). Input: (k, o, id, y) with per-batch rows folded in
+    * (o, id) order. Output: (k, o, id, n, slope) for full windows
+    * only. */
   def streamingRollingSlope(obs: DataFrame, window: Int): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(window >= 2, s"streamingRollingSlope needs window >= 2")
+    require(window <= 100000,
+      s"streamingRollingSlope: window $window exceeds 100000 — the " +
+        "closed-form denominator w^2(w^2-1)/12 must fit int64")
+    val n = window.toLong
+    val sx = n * (n + 1L) / 2L
+    val sxx = n * (n + 1L) * (2L * n + 1L) / 6L
+    val den = n * sxx - sx * sx
+    val maxAbsY = 4000000000000000000L / (n * n * n)
     val spark = obs.sparkSession
     import spark.implicits._
     obs.select(col("k").cast("long"), col("o").cast("long"),
@@ -454,29 +471,33 @@ object Streaming {
         (Long, Long, Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (k, rows, state: GroupState[(Long, Seq[Long])]) =>
-          var (idx, buf0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          var (cnt, buf0) = state.getOption.getOrElse((0L, Seq.empty[Long]))
           var buf = buf0.toVector
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Long, Long, Double)]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
             case (_, o, id, y) =>
-              idx += 1L
+              require(math.abs(y) <= maxAbsY,
+                s"streamingRollingSlope: |y| = ${math.abs(y)} under key " +
+                  s"$k exceeds the int64 exactness contract " +
+                  s"(w^3*B <= 4e18 => |y| <= $maxAbsY at window " +
+                  s"$window). Rescale the values to coarser integer " +
+                  "units.")
+              cnt += 1L
               buf = (buf :+ y).takeRight(window)
               if (buf.length == window) {
-                val n = window.toLong
-                // x = idx-window+1 .. idx: arithmetic-series sums
-                val x0 = idx - window + 1L
-                val sx = (x0 + idx) * n / 2L
-                val sxx = (1L to n).map(j => (x0 + j - 1L) * (x0 + j - 1L)).sum
-                val sy = buf.sum
-                val sxy = buf.zipWithIndex
-                  .map { case (v, j) => (x0 + j) * v }.sum
-                val den = n * sxx - sx * sx
+                // rebased x = 1..w: sx/sxx/den are the constants above
+                var sy = 0L
+                var sxy = 0L
+                var j = 0
+                while (j < window) {
+                  sy += buf(j); sxy += (j + 1L) * buf(j); j += 1
+                }
                 out += ((k, o, id, n,
                   (n * sxy - sx * sy).toDouble / den.toDouble))
               }
           }
-          state.update((idx, buf))
+          state.update((cnt, buf))
           out.iterator
       }
       .toDF("k", "o", "id", "n", "slope")
@@ -1226,6 +1247,136 @@ object Streaming {
       m.fps = fps.localCheckpoint()
       m.sets = spark.read.parquet(s"$dir/sets").localCheckpoint()
       m.livePairs = spark.read.parquet(s"$dir/pairs").localCheckpoint()
+      m
+    }
+  }
+
+  /** Continuous association-rule maintenance — the streamed twin of
+    * the q208/q214 pair, keeping a live co-purchase / co-occurrence
+    * monitor over an APPEND-ONLY basket stream (the
+    * [[SimilarityMaintainer]] pattern applied to market-basket state).
+    *
+    * Sound for exactly the reason [[graft.operators.Assoc.pairRulesDelta]]
+    * (q214) proves: every statistic is ADDITIVE over disjoint basket
+    * sets — item supports, pair supports and the basket total all just
+    * sum — so folding each micro-batch into the persisted UNFILTERED
+    * supports equals the full rebuild over the accumulated corpus.
+    *
+    * Driver-held state (references to checkpointed frames):
+    *   - `items`  — (item, support), UNFILTERED;
+    *   - `pairSupports` — (item_a, item_b, support_ab), UNFILTERED
+    *     (filtered state would freeze out pairs that cross the
+    *     threshold only with a later batch's help — the q214
+    *     persistence contract);
+    *   - `seen`   — the basket-id set (one id per basket — the
+    *     fingerprint-not-payload discipline: no item rows retained),
+    *     which upgrades pairRulesDelta's DOCUMENTED append-only caller
+    *     contract into a CHECKED one: a batch re-sending a seen basket
+    *     id fails loudly instead of double-counting its supports.
+    *
+    * Per batch: one CHECKED per-basket fan-out bound (the
+    * [[graft.operators.Contracts]] discipline), one anti-join
+    * append-only check, three additive folds — O(delta × basket²),
+    * never a corpus re-scan. `rules(minSupport)` serves the exact
+    * [[graft.operators.Assoc.pairRules]] readout from state at any
+    * moment; StreamingSpec pins streamed == batch rebuild across
+    * batches and checkpoint/restore. */
+  final class AssocMaintainer(initialBaskets: DataFrame, basketCol: String,
+                              itemCol: String,
+                              maxItemsPerBasket: Long = 100000L) {
+    import graft.operators.{Assoc, Contracts}
+    private var items: DataFrame =
+      Assoc.itemSupports(initialBaskets, basketCol, itemCol)
+        .localCheckpoint()
+    private var pairSup: DataFrame =
+      Assoc.pairSupports(initialBaskets, basketCol, itemCol)
+        .localCheckpoint()
+    private var seen: DataFrame = initialBaskets
+      .select(col(basketCol).as("__b")).where(col("__b").isNotNull)
+      .distinct().localCheckpoint()
+    private var nBaskets: Long = seen.count()
+
+    /** Exact [[graft.operators.Assoc.pairRules]] over every basket
+      * folded so far, served from state — no basket rows touched. */
+    def rules(minSupport: Long): DataFrame = synchronized {
+      Assoc.rulesFromSupports(items, pairSup, nBaskets, minSupport)
+    }
+
+    /** Fold one micro-batch of NEW baskets (append-only — re-sent
+      * basket ids are rejected, see class doc). */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val d = batch.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .where(col("__i").isNotNull && col("__b").isNotNull)
+        .distinct().localCheckpoint()
+      Contracts.boundedPerKey(d, "__b", maxItemsPerBasket,
+        "AssocMaintainer", "distinct items",
+        "Split or cap pathological baskets before mining — the pair " +
+          "join is C(n,2) per basket.",
+        contract = "per-basket pair fan-out")
+      val batchBaskets = d.select(col("__b")).distinct().localCheckpoint()
+      val dup = batchBaskets.join(seen, Seq("__b"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        "AssocMaintainer: a batch re-sent an already-folded basket id " +
+          "— supports are additive over DISJOINT basket sets only " +
+          "(the q214 contract); route updated baskets through a rebuild")
+      items = items.toDF("__i", "__s")
+        .unionByName(d.groupBy(col("__i")).agg(count(lit(1)).as("__s")))
+        .groupBy(col("__i")).agg(sum(col("__s")).as("__s"))
+        .localCheckpoint()
+      pairSup = pairSup.toDF("item_a", "item_b", "support_ab")
+        .unionByName(Assoc.pairSupports(
+          d.select(col("__b").as(basketCol), col("__i").as(itemCol)),
+          basketCol, itemCol))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(sum(col("support_ab")).as("support_ab"))
+        .localCheckpoint()
+      nBaskets += batchBaskets.count()
+      seen = seen.unionByName(batchBaskets).localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(baskets: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      baskets.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the COMPLETE maintenance state (supports + basket-id
+      * set + total) for [[AssocMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      items.write.mode("overwrite").parquet(s"$dir/items")
+      pairSup.write.mode("overwrite").parquet(s"$dir/pairs")
+      seen.write.mode("overwrite").parquet(s"$dir/seen")
+      val sp = items.sparkSession
+      import sp.implicits._
+      Seq(nBaskets).toDF("n_baskets")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object AssocMaintainer {
+    /** Resume an [[AssocMaintainer.checkpoint]]. Configuration
+      * (basketCol/itemCol/maxItemsPerBasket) is not state — pass the
+      * SAME values the original maintainer ran with (the
+      * [[SimilarityMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, basketCol: String,
+                itemCol: String,
+                maxItemsPerBasket: Long = 100000L): AssocMaintainer = {
+      val seen = spark.read.parquet(s"$dir/seen")
+      val emptyBaskets = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField(basketCol,
+            seen.schema("__b").dataType),
+          org.apache.spark.sql.types.StructField(itemCol,
+            org.apache.spark.sql.types.StringType))))
+      val m = new AssocMaintainer(emptyBaskets, basketCol, itemCol,
+        maxItemsPerBasket)
+      m.items = spark.read.parquet(s"$dir/items").localCheckpoint()
+      m.pairSup = spark.read.parquet(s"$dir/pairs").localCheckpoint()
+      m.seen = seen.localCheckpoint()
+      m.nBaskets = spark.read.parquet(s"$dir/meta")
+        .collect().head.getLong(0)
       m
     }
   }

@@ -123,6 +123,17 @@ class AsOfSpec extends SparkTestBase {
     // empty input degrades to an empty frame with the right schema
     val empty = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "v")
     assert(AsOf.gridResampleLinear(empty, "k", "ts", "v", 10L).count() == 0)
+    // the v·(t1−t0) int64 envelope is CHECKED per bracket: a value
+    // times a gap past 4e18 must fail loudly, not wrap the product
+    val huge = Seq((1L, 0L, 1000000000000000000L),
+      (1L, 4000000000000000000L, 0L)).toDF("k", "ts", "v")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+        msgs(t.getCause)
+    assert(msgs(intercept[Throwable] {
+      AsOf.gridResampleLinear(huge, "k", "ts", "v",
+        stepNs = 1000000000000000000L).collect()
+    }).contains("gridResampleLinear"))
   }
 
   test("asofJoinTolerance drops or nulls too-stale matches") {

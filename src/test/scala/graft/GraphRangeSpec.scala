@@ -238,6 +238,13 @@ class GraphRangeSpec extends SparkTestBase {
         v -> (base + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
     }
     assert(got == rank && dist == rank)
+    // the rank·w int64 envelope is CHECKED in the sizing job: a weight
+    // past Long.MaxValue/scale must fail loudly, not wrap a product
+    val heavy = Seq((1L, 2L, 10000000L)).toDF("src", "dst", "w")
+    val we = intercept[IllegalArgumentException] {
+      Graph.pageRankIntWeighted(heavy, 2, scale)
+    }
+    assert(we.getMessage.contains("pageRankIntWeighted"))
   }
 
   test("clustering coefficient matches brute force on random graphs") {
@@ -435,6 +442,15 @@ class GraphRangeSpec extends SparkTestBase {
     val regular = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
     assert(Graph.degreeAssortativity(regular)
       .collect().head.getDouble(4).isNaN)
+    // the M·Sxx int64 envelope is CHECKED: a 40k-leaf star carries
+    // m·maxDeg = 1.6e9 > 1e9 and must fail loudly, not wrap
+    import org.apache.spark.sql.functions.{col, lit}
+    val hub = spark.range(1, 40001).select(lit(0L).as("src"),
+      col("id").as("dst"))
+    val ae = intercept[IllegalArgumentException] {
+      Graph.degreeAssortativity(hub)
+    }
+    assert(ae.getMessage.contains("degreeAssortativity"))
   }
 
   test("labelPropagation: driver == distributed, two cliques converge " +
@@ -612,6 +628,13 @@ class GraphRangeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       RangeJoin.peakConcurrency(Seq((1L, 4L, 4L)).toDF("k", "s", "e"),
         "k", "s", "e")
+    }
+    // NULL boundaries are rejected by the same pinned-input guard (a
+    // NULL start would silently vanish from the un-pinned comparison)
+    intercept[IllegalArgumentException] {
+      RangeJoin.peakConcurrency(
+        Seq((1L, Some(4L), None), (1L, Some(1L), Some(2L)))
+          .toDF("k", "s", "e"), "k", "s", "e")
     }
   }
 

@@ -1237,12 +1237,14 @@ class OperatorSpec extends SparkTestBase {
     val df = vecs.toDF("embedding")
     val out = Similarity.embeddingDimProfile(df, "embedding", scale = 10L)
       .collect().map(r => r.getLong(0) -> r).toMap
-    // dim0: q = 10, 20, 30 -> n=3, mean=20/... in deci-units: s=60
+    // dim0: q = 10, 20, 30 (deci-quantized) -> n=3; mean/variance are
+    // DESCALED to raw units: mean = Σq/(n·scale), var = (nΣq²−(Σq)²)/
+    // (n·scale)²
     val d0 = out(0L)
     assert(d0.getLong(1) == 3 && d0.getLong(2) == 0 && d0.getLong(3) == 0)
     assert(d0.getLong(4) == 10L && d0.getLong(5) == 30L)
-    assert(d0.getDouble(6) == 60.0 / 3.0)
-    assert(d0.getDouble(7) == (3.0 * 1400.0 - 3600.0) / 9.0)
+    assert(d0.getDouble(6) == 60.0 / 30.0)
+    assert(d0.getDouble(7) == (3.0 * 1400.0 - 3600.0) / 900.0)
     // dim1 collapsed: variance exactly 0, n_zero 0
     val d1 = out(1L)
     assert(d1.getDouble(7) == 0.0 && d1.getLong(3) == 0)
@@ -1255,7 +1257,7 @@ class OperatorSpec extends SparkTestBase {
     val d3 = out(3L)
     assert(d3.getLong(1) == 2 && d3.getLong(2) == 1)
     assert(d3.getLong(4) == 20L && d3.getLong(5) == 40L)
-    assert(d3.getDouble(6) == 60.0 / 2.0)
+    assert(d3.getDouble(6) == 60.0 / 20.0)
     // a null VECTOR drops entirely at the explode
     val withNullVec = (vecs :+ null.asInstanceOf[Seq[java.lang.Float]])
       .toDF("embedding")

@@ -1132,6 +1132,20 @@ class StatsSpec extends SparkTestBase {
         maxRowsPerKey = 100L)
     }
     assert(e.getMessage.contains("theilSen"))
+    // kernel-level: past ~65k rows C(n,2) tops Int.MaxValue — the pair
+    // count is a Long and the array-capacity require fires BEFORE any
+    // allocation (a caller raising maxRowsPerKey cannot reach a
+    // NegativeArraySizeException)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val n = 66000
+    val xs = ArrayData.toArrayData(Array.tabulate(n)(_.toLong))
+    val ys = ArrayData.toArrayData(Array.fill(n)(1L))
+    val ke = intercept[IllegalArgumentException] {
+      graft.functions.TheilSenSlope(Literal(1L), Literal(1L))
+        .nullSafeEval(xs, ys)
+    }
+    assert(ke.getMessage.contains("theil_sen_slope"))
   }
 
   test("simpsonDiversity: brute parity, degenerate and uniform edges, " +
@@ -1592,6 +1606,17 @@ class StatsSpec extends SparkTestBase {
       Stats.looTargetEncoding(dirty, "id", "cat", "y")
     }
     assert(e.getMessage.contains("looTargetEncoding"))
+    // high-cardinality categorical (every category near-distinct, the
+    // case target encoding exists for): works, encodes singletons
+    // NULL, and never forces a driver broadcast of the unbounded
+    // category table (PlanAuditSpec pins the hint-free plan)
+    import org.apache.spark.sql.functions.col
+    val hc = (1L to 5000L).map(i => (i, s"cat_$i", i)) :+
+      ((5001L, "cat_1", 100L))
+    val hout = Stats.looTargetEncoding(hc.toDF("id", "cat", "y"),
+      "id", "cat", "y")
+    assert(hout.where(col("loo").isNull).count() == 4999L)
+    assert(hout.where(col("loo").isNotNull).count() == 2L)
   }
 
   test("rakePhrases: islands split on stopwords, deg/freq scoring " +
@@ -1615,6 +1640,12 @@ class StatsSpec extends SparkTestBase {
     // contain the stopword
     assert(out.forall(!_.getString(0).split(" ").contains("the")))
   }
+
+  // flattens a nested exception chain into one searchable string — the
+  // raise_error checks surface wrapped in SparkRuntimeException layers
+  private def chainMessages(t: Throwable): String =
+    if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+      chainMessages(t.getCause)
 
   test("rollingOlsSlope matches the brute trailing-window fit and " +
     "emits only full windows") {
@@ -1645,5 +1676,178 @@ class StatsSpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("rollingOlsSlope stays exact at value magnitudes the old " +
+    "all-long path could not hold, matching a BigInt unrebased " +
+    "reference (x-translation invariance)") {
+    // |y| ~ 1e15: the rebased decimal path must equal the EXACT BigInt
+    // evaluation of the ORIGINAL unrebased formula (n·Σxy − Σx·Σy over
+    // true x = 1..n) — pinning both decimal exactness and the
+    // translation-invariance identity the rebasing rests on
+    val rnd = new scala.util.Random(1227)
+    val ys = Vector.fill(30)(rnd.nextLong() % 1000000000000000L)
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      (1L, (i + 1).toLong, (i + 1).toLong, y) }
+    val w = 7
+    val out = Stats.rollingOlsSlope(rows.toDF("k", "o", "id", "y"),
+        "k", "o", "id", "y", w)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(out.size == 30 - w + 1)
+    (w to 30).foreach { i =>
+      val win = (i - w + 1 to i).map(x => (BigInt(x), BigInt(ys(x - 1))))
+      val n = BigInt(w)
+      val sx = win.map(_._1).sum; val sy = win.map(_._2).sum
+      val sxy = win.map(p => p._1 * p._2).sum
+      val sxx = win.map(p => p._1 * p._1).sum
+      val expect = (n * sxy - sx * sy).toDouble /
+        (n * sxx - sx * sx).toDouble
+      assert(out(i.toLong) == expect, s"i=$i")
+    }
+  }
+
+  test("the decimal sufficient-statistic paths stay exact where a long " +
+    "accumulator would wrap (welchT / cupedAdjust / diffInDiff / " +
+    "groupMoments / timeWeightedAvg)") {
+    // welchT: x ~ 3e9 -> Σx² ≈ 1.8e19 tops int64. t/df are shift-
+    // invariant and every double below 2^53 is exact, so the big-value
+    // run must equal the small-value run on x − 3e9 bit-for-bit
+    val base = 3000000000L
+    def wrows(shift: Long) = Seq((1L, true, base + 0L - shift),
+      (1L, true, base + 1L - shift), (1L, false, base - 1L - shift),
+      (1L, false, base + 2L - shift)).toDF("k", "side", "x")
+    val big = Stats.welchT(wrows(0L), "k", "side", "x").collect().head
+    val small = Stats.welchT(wrows(base), "k", "side", "x").collect().head
+    assert(big.getDouble(5) == small.getDouble(5) &&
+      big.getDouble(6) == small.getDouble(6))
+    // cupedAdjust: theta's exact integer numerator/denominator are
+    // shift-invariant, so the big-value theta must equal the shifted
+    // one bit-for-bit; adj_delta mixes big and small doubles (NOT
+    // shift-invariant in IEEE), so it's pinned against the exact
+    // BigInt -> double cast sequence instead
+    def crowsData(shift: Long) = Seq(
+      (1L, true, base + 10L - shift, base + 1L - shift),
+      (1L, true, base + 30L - shift, base + 3L - shift),
+      (1L, false, base + 12L - shift, base + 2L - shift),
+      (1L, false, base + 25L - shift, base + 4L - shift))
+    def crows(shift: Long) = crowsData(shift).toDF("k", "side", "y", "x")
+    val cb = Stats.cupedAdjust(crows(0L), "k", "side", "y", "x")
+      .collect().head
+    val cs = Stats.cupedAdjust(crows(base), "k", "side", "y", "x")
+      .collect().head
+    assert(cb.getDouble(3) == cs.getDouble(3))
+    locally {
+      val g = crowsData(0L)
+      val a = g.filter(_._2); val b = g.filterNot(_._2)
+      val n = BigInt(g.length)
+      val sx = g.map(r => BigInt(r._4)).sum
+      val sy = g.map(r => BigInt(r._3)).sum
+      val sxy = g.map(r => BigInt(r._4) * BigInt(r._3)).sum
+      val sxx = g.map(r => BigInt(r._4) * BigInt(r._4)).sum
+      val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val mxPool = sx.toDouble / n.toDouble
+      def arm(s: Seq[(Long, Boolean, Long, Long)]) = {
+        val m = s.length
+        (s.map(r => BigInt(r._3)).sum.toDouble / m.toDouble,
+          s.map(r => BigInt(r._4)).sum.toDouble / m.toDouble)
+      }
+      val (mya, mxa) = arm(a); val (myb, mxb) = arm(b)
+      val adjA = mya - theta * (mxa - mxPool)
+      val adjB = myb - theta * (mxb - mxPool)
+      assert(cb.getDouble(3) == theta && cb.getDouble(7) == adjA - adjB)
+    }
+    // diffInDiff: two 5e18 rows in one cell -> Σv = 1e19 wraps a long;
+    // expected replays the exact BigInt -> double cast sequence
+    val v0 = 5000000000000000000L
+    val dd = Seq((1L, true, true, v0), (1L, true, true, v0 - 4L),
+      (1L, true, false, v0 - 10L), (1L, false, true, v0 - 7L),
+      (1L, false, false, v0 - 1L)).toDF("k", "tr", "post", "v")
+    val dr = Stats.diffInDiff(dd, "k", "tr", "post", "v").collect().head
+    def m(s: BigInt, n: Long) = s.toDouble / n.toDouble
+    val expectDid = (m(BigInt(v0) * 2 - 4, 2) - m(BigInt(v0) - 10, 1)) -
+      (m(BigInt(v0) - 7, 1) - m(BigInt(v0) - 1, 1))
+    assert(dr.getDouble(5) == expectDid)
+    // groupMoments: Σx ~ 3e6 -> (Σx)³ ≈ 2.7e19 wraps; BigInt reference
+    val xs = Seq(1000000L, 1000003L, 999998L)
+    val gm = Stats.groupMoments(xs.map((1L, _)).toDF("k", "x"),
+      "k", "x").collect().head
+    val n = BigInt(3)
+    val s1 = xs.map(BigInt(_)).sum
+    val s2 = xs.map(x => BigInt(x) * x).sum
+    val s3 = xs.map(x => BigInt(x) * x * x).sum
+    val nD = 3.0
+    val variance = (n * s2 - s1 * s1).toDouble / (nD * nD)
+    val std = math.sqrt(variance)
+    val skew = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).toDouble /
+      (nD * nD * nD * std * std * std)
+    assert(gm.getDouble(2) == s1.toDouble / nD &&
+      gm.getDouble(3) == variance && gm.getDouble(5) == skew)
+    // timeWeightedAvg: one 4e18·10 term wraps a long product
+    val tv = 4000000000000000000L
+    val tw = Stats.timeWeightedAvg(
+      Seq((1L, 0L, 1L, tv), (1L, 10L, 2L, 0L)).toDF("k", "ts", "o", "v"),
+      "k", "ts", "o", "v").collect().head
+    assert(tw.getDouble(2) == (BigInt(tv) * 10).toDouble / 10.0)
+  }
+
+  test("the checked magnitude contracts fire loudly instead of " +
+    "wrapping (welchT / cupedAdjust / groupMoments / timeWeightedAvg / " +
+    "decayedCounts / exactGroupGini / ksStatistic / quantileMap / " +
+    "brierDecomposition)") {
+    val big = 2000000000000000000L
+    // welchT: n·maxAbs(x) = 4·2e18 > 1e18
+    assert(chainMessages(intercept[Throwable] {
+      Stats.welchT(Seq((1L, true, big), (1L, true, 1L), (1L, false, 1L),
+        (1L, false, 2L)).toDF("k", "side", "x"),
+        "k", "side", "x").collect()
+    }).contains("exactness contract"))
+    // cupedAdjust: greatest(|x|, |y|) trips the same bound
+    assert(chainMessages(intercept[Throwable] {
+      Stats.cupedAdjust(Seq((1L, true, big, 1L), (1L, false, 1L, 1L))
+        .toDF("k", "side", "y", "x"),
+        "k", "side", "y", "x").collect()
+    }).contains("exactness contract"))
+    // groupMoments: n·maxAbs(x) = 5e12 > 4e12
+    assert(chainMessages(intercept[Throwable] {
+      Stats.groupMoments(Seq((1L, 5000000000000L)).toDF("k", "x"),
+        "k", "x").collect()
+    }).contains("groupMoments"))
+    // timeWeightedAvg: 1 row · 5e18 · 5e18 gap > 1e37
+    assert(chainMessages(intercept[Throwable] {
+      Stats.timeWeightedAvg(Seq((1L, 0L, 1L, 5000000000000000000L),
+        (1L, 5000000000000000000L, 2L, 0L)).toDF("k", "ts", "o", "v"),
+        "k", "ts", "o", "v").collect()
+    }).contains("timeWeightedAvg"))
+    // decayedCounts at horizon 62: per-key capacity is ONE event
+    assert(chainMessages(intercept[Throwable] {
+      Stats.decayedCounts(Seq((1L, 1L), (1L, 2L)).toDF("k", "day"),
+        "k", "day", 62).collect()
+    }).contains("decayedCounts"))
+    // exactGroupGini: n²·maxV = 5e18 > 4e18 (driver-side require)
+    assert(chainMessages(intercept[IllegalArgumentException] {
+      Stats.exactGroupGini(Seq((1L, 5000000000000000000L)).toDF("k", "x"),
+        "k", "x")
+    }).contains("exactGroupGini"))
+    // ksStatistic: a side past the (test-lowered) per-side row bound
+    assert(chainMessages(intercept[IllegalArgumentException] {
+      Stats.ksStatistic(Seq((1L, true, 1L), (1L, true, 2L), (1L, true, 3L),
+        (1L, false, 2L)).toDF("k", "side", "x"),
+        "k", "side", "x", maxRowsPerSide = 2L)
+    }).contains("ksStatistic"))
+    // quantileMap: reference side past the (test-lowered) bound
+    val qa = Seq((1L, 1L), (1L, 2L)).toDF("k", "x")
+    assert(chainMessages(intercept[IllegalArgumentException] {
+      Stats.quantileMap(qa, qa, "k", "x", maxRowsPerSide = 1L)
+    }).contains("quantileMap"))
+    // the capacity caps themselves are closed: asking for more than
+    // the int64 envelope is rejected up front
+    intercept[IllegalArgumentException] {
+      Stats.ksStatistic(qa, "k", "x", "x", maxRowsPerSide = 3000000000L)
+    }
+    // brierDecomposition: forecast above 1e6 micro-prob
+    assert(chainMessages(intercept[Throwable] {
+      Stats.brierDecomposition(Seq((2000000L, true), (500000L, false))
+        .toDF("q", "l"), "q", "l").collect()
+    }).contains("micro-prob"))
   }
 }

@@ -838,6 +838,62 @@ class StreamingSpec extends SparkTestBase {
       "restored pair set != batch ppJoin of the surviving corpus")
   }
 
+  test("assoc maintainer keeps the pair-rule readout live to batch " +
+    "parity, rejects re-sent baskets, and checkpoint/restores") {
+    import graft.operators.Assoc
+    def rls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(1), r.getString(0),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7))).toSet
+    val rnd = new scala.util.Random(214)
+    val catalog = Vector("milk", "bread", "eggs", "beer", "chips",
+      "salsa", "tea")
+    def mkBaskets(ids: Range): Seq[(Long, String)] = ids.flatMap { b =>
+      val n = 2 + rnd.nextInt(4)
+      rnd.shuffle(catalog).take(n).map(i => (b.toLong, i))
+    }
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val v0 = mkBaskets(1 to 12)
+    hist ++= v0
+    val m = new Streaming.AssocMaintainer(v0.toDF("basket", "item"),
+      "basket", "item")
+    def expect(minSupport: Long) = rls(Assoc.pairRules(
+      hist.toSeq.toDF("basket", "item"), "basket", "item", minSupport))
+    assert(rls(m.rules(2L)) == expect(2L), "initial rules != batch")
+    // fold two append-only batches; parity at every moment, at BOTH a
+    // tight and a loose threshold (the state stays unfiltered, so a
+    // pair crossing minSupport only with a later batch must appear)
+    Seq(13 to 20, 21 to 30).zipWithIndex.foreach { case (ids, i) =>
+      val b = mkBaskets(ids)
+      hist ++= b
+      m.applyBatch(b.toDF("basket", "item"))
+      assert(rls(m.rules(2L)) == expect(2L), s"rules(2) after batch $i")
+      assert(rls(m.rules(5L)) == expect(5L), s"rules(5) after batch $i")
+    }
+    // append-only is CHECKED: re-sending a folded basket id fails
+    // loudly instead of double-counting its supports
+    val e = intercept[IllegalArgumentException] {
+      m.applyBatch(Seq((5L, "milk"), (31L, "tea")).toDF("basket", "item"))
+    }
+    assert(e.getMessage.contains("AssocMaintainer"))
+    assert(rls(m.rules(2L)) == expect(2L), "rejected batch mutated state")
+    // checkpoint, fold one more batch into live AND restored: the
+    // restored maintainer resumes from the support tables alone (no
+    // basket rows on disk) and must track the live one exactly
+    val dir = java.nio.file.Files.createTempDirectory("assocckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.AssocMaintainer.restore(spark, dir,
+      "basket", "item")
+    val b3 = mkBaskets(31 to 38)
+    hist ++= b3
+    m.applyBatch(b3.toDF("basket", "item"))
+    restored.applyBatch(b3.toDF("basket", "item"))
+    assert(rls(restored.rules(2L)) == rls(m.rules(2L)),
+      "restored maintainer diverged from the live one")
+    assert(rls(restored.rules(2L)) == expect(2L),
+      "restored rules != batch pairRules of the accumulated corpus")
+  }
+
   test("streaming LOCF emits the batch grid prefix below each key's last obs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
@@ -1088,6 +1144,27 @@ class StreamingSpec extends SparkTestBase {
             (r.getLong(3), r.getDouble(4))).toMap
         assert(streamed == batch, s"streamed != batch slopes after $b")
       }
+    } finally q.stop()
+  }
+
+  test("streaming rolling slope CHECKS its per-value magnitude bound " +
+    "instead of wrapping int64") {
+    // rebased x keeps every magnitude bounded by window and value
+    // scale; the w³·B ≤ 4e18 envelope is enforced per row — a value
+    // past it (|y| > 4e18/w³) must fail the batch loudly
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streaming.streamingRollingSlope(
+        mem.toDF().toDF("k", "o", "id", "y"), window = 8)
+      .writeStream.format("memory").queryName("rslope_guard")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, 1L, 10000000000000000L)) // 1e16 > 4e18/512
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+          msgs(t.getCause)
+      assert(msgs(e).contains("streamingRollingSlope"))
     } finally q.stop()
   }
 

@@ -546,5 +546,19 @@ class SketchSpec extends SparkTestBase {
     val row = Sketches.cmsJoinSize(a.toDF("k"), col("k"), b.toDF("k"),
       col("k"), 4, 64).collect().head
     assert(row.getLong(0) == 3000L && row.getLong(1) == 2000L)
+    // the nA·nB int64 envelope is CHECKED in-plan (test-lowered cap):
+    // a product past it fails loudly instead of silently over-counting
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+        msgs(t.getCause)
+    assert(msgs(intercept[Throwable] {
+      Sketches.cmsJoinSize(a.toDF("k"), col("k"), b.toDF("k"), col("k"),
+        4, 64, maxExactProduct = 1000L).collect()
+    }).contains("cmsJoinSize"))
+    // the cap itself is closed at the real capacity
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(a.toDF("k"), col("k"), b.toDF("k"), col("k"),
+        4, 64, maxExactProduct = 5000000000000000000L)
+    }
   }
 }
