@@ -9435,6 +9435,163 @@ object Queries {
       |  1 + ((2 * n_below + n_equal) * 10) // (2 * n) AS bucket
       |FROM c""".stripMargin
 
+  // ---- q233/q234: unigram-LM (SentencePiece-style) tokenizer ----
+
+  private val uniSeed = 40
+  private val uniRounds = 2
+  private val uniMpl = 4
+  private val uniVocab = 30
+  private val uniMaxW = 16
+
+  /** One Viterbi DP block of the unigram oracle (the q233/q234
+    * machinery): candidates from `grid` scored by prob CTE `pPrev`,
+    * a recursive CTE carrying the best-product and choice lists in
+    * end-position order (every product one correctly-rounded double
+    * multiply — the UnigramViterbi contract), and a backtrace CTE.
+    * Emits c$tag / dp$tag / bt$tag; segs live in bt$tag WHERE e = 0. */
+  private def uniDpSql(tag: String, pPrev: String): String = {
+    def pick(field: String) =
+      s"""list_sort(list_transform(c.cl,
+         |        x -> {'nv': -(d.best[x['s']] * x['p']), 's': x['s'],
+         |              'v': d.best[x['s']] * x['p'],
+         |              'enc': CAST(x['s'] * 100 + x['l'] AS BIGINT)}))[1]
+         |      ['$field']""".stripMargin
+    s"""c$tag AS (
+       |  SELECT g.word, g.s + g.l - 1 AS e,
+       |    list_sort(list({'s': g.s, 'l': g.l, 'p': pp.p})) AS cl
+       |  FROM grid g JOIN $pPrev pp ON pp.piece = g.piece
+       |  GROUP BY 1, 2),
+       |dp$tag AS (
+       |  SELECT word, len, 0 AS e, [CAST(1.0 AS DOUBLE)] AS best,
+       |    CAST([] AS BIGINT[]) AS choice
+       |  FROM w
+       |  UNION ALL
+       |  SELECT d.word, d.len, d.e + 1,
+       |    list_append(d.best, ${pick("v")}),
+       |    list_append(d.choice, ${pick("enc")})
+       |  FROM dp$tag d JOIN c$tag c ON c.word = d.word AND c.e = d.e + 1
+       |  WHERE d.e < d.len),
+       |bt$tag AS (
+       |  SELECT word, len AS e, CAST([] AS BIGINT[]) AS segs, choice
+       |  FROM dp$tag WHERE e = len
+       |  UNION ALL
+       |  SELECT word, CAST(choice[e] // 100 - 1 AS INT) AS e,
+       |    list_prepend(choice[e], segs), choice
+       |  FROM bt$tag WHERE e > 0)""".stripMargin
+  }
+
+  /** One EM round: DP-segment under p{i−1}, roll the chosen pieces up
+    * to new counts, prune (chars always stay; multi-char keep cnt > 0,
+    * top vocabSize by (cnt DESC, piece ASC)), re-smooth. */
+  private def uniRoundSql(i: Int): String =
+    s"""${uniDpSql(i.toString, s"p${i - 1}")},
+       |cnt$i AS (
+       |  SELECT substr(b.word, CAST(enc // 100 AS INT),
+       |      CAST(enc % 100 AS INT)) AS piece,
+       |    CAST(sum(w.freq) AS BIGINT) AS cnt
+       |  FROM (SELECT word, unnest(segs) AS enc FROM bt$i WHERE e = 0) b
+       |  JOIN w ON w.word = b.word
+       |  GROUP BY 1),
+       |k$i AS (
+       |  SELECT v.piece, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM p${i - 1} v LEFT JOIN cnt$i c ON c.piece = v.piece),
+       |v$i AS (
+       |  SELECT piece, cnt FROM k$i WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM k$i WHERE len(piece) >= 2 AND cnt > 0
+       |    ORDER BY cnt DESC, piece LIMIT $uniVocab)),
+       |t$i AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) + CAST(count(*) AS BIGINT) AS nv
+       |  FROM v$i),
+       |p$i AS (
+       |  SELECT piece, cnt,
+       |    CAST(cnt + 1 AS DOUBLE) / CAST(t$i.nv AS DOUBLE) AS p
+       |  FROM v$i, t$i)""".stripMargin
+
+  /** The shared trainer chain: bounded word table, substring grid,
+    * seed vocabulary (all chars + top seedSize multi-char substrings),
+    * +1-smoothed probabilities, then `uniRounds` unrolled EM rounds. */
+  private val uniTrainSql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(len(word) AS INT) AS len
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  WHERE len(word) <= $uniMaxW
+       |  GROUP BY 1),
+       |grid AS (
+       |  SELECT word, freq, len, CAST(sl['s'] AS INT) AS s,
+       |    CAST(sl['l'] AS INT) AS l,
+       |    substr(word, CAST(sl['s'] AS INT), CAST(sl['l'] AS INT))
+       |      AS piece
+       |  FROM (
+       |    SELECT word, freq, len,
+       |      unnest(flatten(list_transform(range(1, len + 1), s ->
+       |        list_transform(range(1, least($uniMpl, len - s + 1) + 1),
+       |          l -> {'s': s, 'l': l})))) AS sl
+       |    FROM w)),
+       |sc AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM grid GROUP BY 1),
+       |v0 AS (
+       |  SELECT piece, cnt FROM sc WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sc WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $uniSeed)),
+       |t0 AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) + CAST(count(*) AS BIGINT) AS nv
+       |  FROM v0),
+       |p0 AS (
+       |  SELECT piece, cnt,
+       |    CAST(cnt + 1 AS DOUBLE) / CAST(t0.nv AS DOUBLE) AS p
+       |  FROM v0, t0),
+       |${(1 to uniRounds).map(uniRoundSql).mkString(",\n")}""".stripMargin
+
+  /** Unigram-LM tokenizer training over the corpus
+    * (TextAnalysis.unigramLmTrain — Kudo 2018's SentencePiece setting,
+    * hard-EM/Viterbi variant beside q122's BPE): seed = all chars +
+    * top-40 substrings, two EM rounds of Viterbi-segment → re-count →
+    * prune (chars always survive, multis keep cnt > 0, top 30), +1
+    * smoothing. The oracle unrolls both rounds with a recursive-CTE
+    * Viterbi whose products replay the kernel's fixed-order IEEE
+    * multiplies bit-for-bit — no logs anywhere. */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmTrain(t(s, dir, "documents"), "text",
+      seedSize = uniSeed, rounds = uniRounds, maxPieceLen = uniMpl,
+      vocabSize = uniVocab, maxWordLen = uniMaxW)
+
+  private val q233Sql: String =
+    s"""$uniTrainSql
+       |SELECT piece, cnt, p AS prob FROM p$uniRounds""".stripMargin
+
+  /** Corpus token budgeting under the q233-trained vocabulary
+    * (TextAnalysis.unigramTokenCounts — the q123 join-back shape):
+    * every distinct word Viterbi-segments ONCE under the final
+    * smoothed probabilities and the per-word piece counts join back
+    * onto the documents. Output: (doc_id, n_words, n_pieces). */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.unigramLmTrain(docs, "text",
+      seedSize = uniSeed, rounds = uniRounds, maxPieceLen = uniMpl,
+      vocabSize = uniVocab, maxWordLen = uniMaxW)
+    TextAnalysis.unigramTokenCounts(docs, "doc_id", "text", vocab,
+      maxPieceLen = uniMpl, maxWordLen = uniMaxW)
+  }
+
+  private val q234Sql: String =
+    s"""$uniTrainSql,
+       |${uniDpSql("f", s"p$uniRounds")},
+       |pw AS (
+       |  SELECT word, CAST(len(segs) AS BIGINT) AS np
+       |  FROM btf WHERE e = 0),
+       |dt AS (
+       |  SELECT doc_id, unnest($toksSql) AS word FROM documents)
+       |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pw.np) AS BIGINT) AS n_pieces
+       |FROM dt JOIN pw ON pw.word = dt.word
+       |GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9672,5 +9829,7 @@ object Queries {
     "q229_link_prediction" -> Q(q229, Some(q229Sql)),
     "q230_vocab_growth_delta" -> Q(q230, Some(q230Sql)),
     "q231_freeze_segments" -> Q(q231, Some(q231Sql)),
-    "q232_equal_freq_buckets" -> Q(q232, Some(q232Sql)))
+    "q232_equal_freq_buckets" -> Q(q232, Some(q232Sql)),
+    "q233_unigram_train" -> Q(q233, Some(q233Sql)),
+    "q234_unigram_token_counts" -> Q(q234, Some(q234Sql)))
 }

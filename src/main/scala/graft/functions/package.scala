@@ -498,6 +498,13 @@ package object functions {
   def prefix_prod(xs: Column): Column =
     ExprBridge.column(PrefixProd(col2expr(xs)))
 
+  /** Max-probability (Viterbi) segmentation of a `len`-char word under
+    * a unigram piece model — candidates as paired (start·100+length,
+    * probability) arrays; see [[UnigramViterbi]]. */
+  def unigram_viterbi(len: Column, encs: Column, ps: Column): Column =
+    ExprBridge.column(UnigramViterbi(col2expr(len), col2expr(encs),
+      col2expr(ps)))
+
   /** Median of pairwise slopes over an (x, y)-sorted integer series —
     * the Theil–Sen robust trend kernel (see [[TheilSenSlope]]). */
   def theil_sen_slope(xs: Column, ys: Column): Column =

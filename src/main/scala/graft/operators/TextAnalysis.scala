@@ -2306,4 +2306,172 @@ object TextAnalysis {
       col("new_types"),
       sum(col("new_types")).over(w).as("vocab_size"))
   }
+
+  // --------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer training — Viterbi EM
+  // --------------------------------------------------------------------
+
+  /** The corpus word table every unigram stage runs over: lower-cased
+    * whitespace tokens collapsed to (word, freq, len) — vocabulary-
+    * bounded (CHECKED), the [[bpeTrain]] discipline. Words longer than
+    * `maxWordLen` drop EXPLICITLY (deterministic, the oracle replays
+    * the same filter) — they would blow the DP bound and the enc
+    * packing (start·100 + length needs len ≤ 99). */
+  private def unigramWords(df: DataFrame, textCol: String,
+                           maxWordLen: Int,
+                           maxDistinctWords: Long): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= 99,
+      s"unigram: maxWordLen must be in [1, 99] (enc packing), got " +
+        s"$maxWordLen")
+    val words = df
+      .select(explode(ws_tokens(col(textCol))).as("word"))
+      .where(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("word")))
+      .localCheckpoint()
+    Contracts.enforce(words, Contracts.Bound(count(lit(1)),
+      _ <= maxDistinctWords, m =>
+        s"unigram: $m distinct words exceed the vocabulary-bounded " +
+          s"contract (maxDistinctWords=$maxDistinctWords) — normalize " +
+          "or pre-filter the corpus"))
+    words
+  }
+
+  /** Every (start, length) substring of every distinct word up to
+    * `maxPieceLen`, with its enc = start·100 + length packing (the
+    * lis_pairs discipline): the candidate grid both seeding and each
+    * EM round's segmentation join run over. One flatten(transform(
+    * sequence)) HOF per word — no self-join, no window. */
+  private def unigramGrid(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("word"), col("freq"), col("len"),
+        explode(flatten(transform(
+          sequence(lit(1), col("len")),
+          s => transform(
+            sequence(lit(1), least(lit(maxPieceLen), col("len") - s + 1)),
+            l => (s * 100 + l).cast("long"))))).as("enc"))
+      .withColumn("piece", substring(col("word"),
+        (col("enc") / 100L).cast("int"), (col("enc") % 100L).cast("int")))
+
+  /** Viterbi-segments every distinct word under a scored vocabulary
+    * (piece, p): candidates joined from the grid, packed into paired
+    * (enc, p) arrays via ONE deterministic sort_array, and the
+    * [[graft.functions.UnigramViterbi]] kernel returns the chosen
+    * pieces' encodings. Output: (word, freq, segs array<long>). */
+  private def unigramViterbiWords(grid: DataFrame,
+                                  vocabP: DataFrame): DataFrame =
+    grid.join(vocabP, Seq("piece"))
+      .groupBy(col("word"), col("freq"), col("len"))
+      .agg(sort_array(collect_list(struct(col("enc"), col("p"))))
+        .as("__c"))
+      .select(col("word"), col("freq"),
+        unigram_viterbi(col("len"),
+          transform(col("__c"), c => c("enc")),
+          transform(col("__c"), c => c("p"))).as("segs"))
+
+  /** UNIGRAM-LM TOKENIZER TRAINER (Kudo 2018's SentencePiece setting,
+    * hard-EM / Viterbi variant) — the other production tokenizer shape
+    * beside [[bpeTrain]]'s BPE: instead of greedy merges, a PROBABILITY
+    * over a piece vocabulary is fit by EM and the vocabulary pruned,
+    * which is what T5/mT5-style corpora were budgeted with.
+    *
+    *   seed   : every substring (≤ maxPieceLen chars) of the bounded
+    *            word table, weighted by occurrence·word-freq; vocab₀ =
+    *            ALL single characters ∪ top `seedSize` multi-char
+    *            pieces by (count DESC, piece ASC)
+    *   E-step : Viterbi-segment every distinct word under the current
+    *            smoothed piece probabilities p = (cnt+1)/(N+V)
+    *            (+1 smoothing keeps every p strictly positive, so the
+    *            DP never multiplies by zero)
+    *   M-step : new counts = Σ word-freq over chosen pieces
+    *   prune  : single characters ALWAYS stay (coverage — the kernel
+    *            throws on an uncoverable position otherwise); multi-
+    *            char pieces keep only cnt > 0, top `vocabSize` by
+    *            (cnt DESC, piece ASC)
+    *
+    * Exactness: counts are exact integers; each probability is ONE
+    * correctly-rounded IEEE division of integers; each Viterbi product
+    * is a fixed-order chain of correctly-rounded multiplications
+    * (see [[graft.functions.UnigramViterbi]] — no logs, no exp), and
+    * every tie-break is total (count DESC then piece ASC; product then
+    * smallest start) — so a DuckDB oracle unrolling the same rounds
+    * with a recursive-CTE DP replays the trainer BIT-FOR-BIT (q233).
+    *
+    * Scale shape: everything runs over the CHECKED vocabulary-bounded
+    * word table (never raw tokens — the one-tokenize discipline); each
+    * round is two hash joins + two hash aggregations + one bounded
+    * TakeOrdered, localCheckpoint'ed (the bpeTrain round discipline);
+    * the only driver state is the two-long (N, V) total per round.
+    * Output: (piece, cnt, prob) of the final vocabulary. */
+  def unigramLmTrain(df: DataFrame, textCol: String, seedSize: Int,
+                     rounds: Int, maxPieceLen: Int, vocabSize: Int,
+                     maxWordLen: Int = 16,
+                     maxDistinctWords: Long = 2000000L): DataFrame = {
+    require(seedSize >= 1 && rounds >= 1 && maxPieceLen >= 1 &&
+      vocabSize >= 1,
+      s"unigramLmTrain needs seedSize/rounds/maxPieceLen/vocabSize >= 1")
+    val spark = df.sparkSession
+    val words = unigramWords(df, textCol, maxWordLen, maxDistinctWords)
+    val grid = unigramGrid(words, maxPieceLen).localCheckpoint()
+    // seed vocabulary: all chars + top multi-char substrings
+    val seedCounts = grid.groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt"))
+    val chars = seedCounts.where(length(col("piece")) === 1)
+    val multis = seedCounts.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    var vocab = chars.unionByName(multis).localCheckpoint()
+    def withProbs(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("cnt")), count(lit(1))).head()
+      if (tot.isNullAt(1) || tot.getLong(1) == 0L)
+        return v.withColumn("p", lit(0.0))
+      val nv = (if (tot.isNullAt(0)) 0L else tot.getLong(0)) +
+        tot.getLong(1)
+      v.withColumn("p",
+        (col("cnt") + 1L).cast("double") / lit(nv.toDouble))
+    }
+    var round = 1
+    while (round <= rounds) {
+      val vp = withProbs(vocab).select(col("piece"), col("p"))
+      val segged = unigramViterbiWords(grid, vp)
+      val newCounts = segged
+        .select(col("freq"), col("word"), explode(col("segs")).as("enc"))
+        .select(col("freq"), substring(col("word"),
+          (col("enc") / 100L).cast("int"),
+          (col("enc") % 100L).cast("int")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val refreshed = vocab.select(col("piece"))
+        .join(newCounts, Seq("piece"), "left_outer")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val keptChars = refreshed.where(length(col("piece")) === 1)
+      val keptMultis = refreshed
+        .where(length(col("piece")) >= 2 && col("cnt") > 0L)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+      vocab = keptChars.unionByName(keptMultis).localCheckpoint()
+      round += 1
+    }
+    withProbs(vocab).select(col("piece"), col("cnt"),
+      col("p").as("prob"))
+  }
+
+  /** Corpus token budgeting under a TRAINED unigram vocabulary (the
+    * q123 join-back shape for q234): Viterbi-segments every distinct
+    * word once under the vocab's probabilities and joins the per-word
+    * piece counts back onto the documents — per doc, the whitespace
+    * word count and the unigram piece (token) count a trainer would
+    * pay for it. Output: (doc_id, n_words, n_pieces). */
+  def unigramTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, maxPieceLen: Int,
+                         maxWordLen: Int = 16,
+                         maxDistinctWords: Long = 2000000L): DataFrame = {
+    val words = unigramWords(df, textCol, maxWordLen, maxDistinctWords)
+    val grid = unigramGrid(words, maxPieceLen)
+    val vp = vocab.select(col("piece"), col("prob").as("p"))
+    val perWord = unigramViterbiWords(grid, vp)
+      .select(col("word"), size(col("segs")).as("__np"))
+    df.select(col(idCol), explode(ws_tokens(col(textCol))).as("word"))
+      .where(length(col("word")) <= maxWordLen)
+      .join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__np")).as("n_pieces"))
+  }
 }

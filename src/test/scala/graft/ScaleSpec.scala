@@ -845,6 +845,105 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("unigram-LM training matches a brute-force Viterbi-EM reference " +
+    "on random corpora, and token counts join back per doc") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(233)
+    val alphabet = "abcd"
+    val (seedSize, rounds, mpl, vocabSize) = (8, 2, 3, 5)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map { i =>
+        val words = Seq.fill(2 + rnd.nextInt(5))(
+          Seq.fill(1 + rnd.nextInt(7))(alphabet(rnd.nextInt(4))).mkString)
+        (i, words.mkString(" "))
+      }
+      // ---- brute reference: same arithmetic, same tie-breaks ----
+      val wordFreq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      def seedCounts: Map[String, Long] = {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        wordFreq.foreach { case (w, f) =>
+          for (s <- 1 to w.length;
+               l <- 1 to math.min(mpl, w.length - s + 1)) {
+            val p = w.substring(s - 1, s - 1 + l)
+            m(p) = m.getOrElse(p, 0L) + f
+          }
+        }
+        m.toMap
+      }
+      def probs(v: Map[String, Long]): Map[String, Double] = {
+        val nv = v.values.sum + v.size
+        v.map { case (p, c) => p -> (c + 1L).toDouble / nv.toDouble }
+      }
+      def viterbi(w: String, pr: Map[String, Double]): Seq[String] = {
+        val n = w.length
+        val best = Array.fill(n + 1)(-1.0); best(0) = 1.0
+        val ch = Array.fill(n + 1)((0, ""))
+        for (e <- 1 to n) {
+          var bv = -1.0; var bs = Int.MaxValue; var bp = ""
+          for (s <- 1 to e; if e - s + 1 <= mpl) {
+            val piece = w.substring(s - 1, e)
+            pr.get(piece).foreach { p =>
+              val v = best(s - 1) * p
+              if (v > bv || (v == bv && s < bs)) { bv = v; bs = s; bp = piece }
+            }
+          }
+          best(e) = bv; ch(e) = (bs, bp)
+        }
+        var pos = n
+        var out = List.empty[String]
+        while (pos > 0) { out = ch(pos)._2 :: out; pos = ch(pos)._1 - 1 }
+        out
+      }
+      val sc = seedCounts
+      var vocab: Map[String, Long] =
+        sc.filter(_._1.length == 1) ++
+          sc.filter(_._1.length >= 2).toSeq
+            .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      (1 to rounds).foreach { _ =>
+        val pr = probs(vocab)
+        val nc = scala.collection.mutable.Map.empty[String, Long]
+        wordFreq.foreach { case (w, f) =>
+          viterbi(w, pr).foreach(p => nc(p) = nc.getOrElse(p, 0L) + f) }
+        vocab = vocab.keys.filter(_.length == 1)
+          .map(p => p -> nc.getOrElse(p, 0L)).toMap ++
+          vocab.keys.filter(_.length >= 2)
+            .map(p => p -> nc.getOrElse(p, 0L)).filter(_._2 > 0L).toSeq
+            .sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+      }
+      val prF = probs(vocab)
+      val expect = vocab.map { case (p, c) => p -> ((c, prF(p))) }
+      // ---- the operator must reproduce it EXACTLY (incl. doubles) ----
+      val vdf = TextAnalysis.unigramLmTrain(docs.toDF("doc_id", "text"),
+        "text", seedSize, rounds, mpl, vocabSize, maxWordLen = 16)
+      val got = vdf.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expect, s"trial $trial")
+      // ---- per-doc token budget joins back exactly ----
+      val tc = TextAnalysis.unigramTokenCounts(docs.toDF("doc_id", "text"),
+        "doc_id", "text", vdf, maxPieceLen = mpl, maxWordLen = 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val expTc = docs.map { case (i, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        i -> ((ws.length.toLong,
+          ws.map(w => viterbi(w, prF).length.toLong).sum))
+      }.toMap
+      assert(tc == expTc, s"trial $trial token counts")
+    }
+    // kernel contract: an uncoverable position throws loudly instead of
+    // silently dropping the word from the counts
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = intercept[IllegalStateException] {
+      graft.functions.UnigramViterbi(Literal(1), Literal(1L), Literal(1.0))
+        .nullSafeEval(2,
+          ArrayData.toArrayData(Array(102L)), // (s=1, l=2) only
+          ArrayData.toArrayData(Array(0.5)))
+    }
+    assert(e.getMessage.contains("unigram_viterbi"))
+  }
+
   test("AutoShards derives the shard count and bounds the worst postings row") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
