@@ -51,7 +51,14 @@ object Stats {
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
               maxDistinctScores: Long = 2000000L): DataFrame = {
     val hist = scoreHist(df, scoreCol, labelCol).localCheckpoint()
-    Contracts.enforce(hist, Contracts.Bound(count(lit(1)),
+    // U2 ≤ 2n² must stay int64-exact: CHECKED row bound in the same
+    // sizing job (n ≤ 2e9 keeps 2n² ≤ 8e18)
+    Contracts.enforce(hist, Contracts.Bound(
+      sum(col("np") + col("nn")), _ <= 2000000000L, n =>
+        s"rankAuc: $n rows exceed the exact-U2 int64 contract " +
+          "(n <= 2e9 keeps U2 <= 2n^2 exact) — sample the scored rows " +
+          "or stratify by source first"),
+      Contracts.Bound(count(lit(1)),
       _ <= maxDistinctScores, n =>
         s"rankAuc: $n distinct scores exceeds the bounded-histogram " +
           s"contract (maxDistinctScores=$maxDistinctScores). Quantize the " +
@@ -98,6 +105,14 @@ object Stats {
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
       .localCheckpoint()
     requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "rankAucByKey")
+    // per-key U2 ≤ 2n² must stay int64-exact (the rankAuc contract,
+    // applied per key on the already-materialized histogram)
+    Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("np") + col("nn")).as("__n")),
+      Contracts.Bound(max(col("__n")), _ <= 2000000000L, n =>
+        s"rankAucByKey: a key holds $n rows, exceeding the exact-U2 " +
+          "int64 contract (n <= 2e9 per key keeps U2 <= 2n^2 exact) — " +
+          "sample the scored rows per key first"))
     val below = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -181,14 +196,19 @@ object Stats {
     *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
     *   intercept = (Σy − slope·Σx) / n
     *
-    * with numerator and denominator formed in int64 (exact — the caller
-    * keeps x and y in units where the products fit, e.g. hour indexes ×
-    * integer cents) and ONE division each; the intercept reuses the
-    * already-divided slope (mirrorable op order, engine-exact on
-    * identical doubles). Groups with zero x-variance (all observations
-    * at one x) have no defined slope and are dropped.
+    * with numerator and denominator formed in decimal(38,0) — exact
+    * integers to 10³⁸, no silent int64 wrap, no ANSI mid-query throw
+    * (the pearsonByKey discipline) — and ONE division each; the
+    * intercept reuses the already-divided slope (mirrorable op order,
+    * engine-exact on identical doubles vs a HUGEINT-summing oracle).
+    * The decimal envelope (n²·B² ≤ 10³⁸, B = max(|x|, |y|)) is
+    * CHECKED in the SAME aggregation: the max magnitude rides beside
+    * the sums and a raise_error branch rejects any key with
+    * n·B > 10¹⁸ (margin 10×) — zero extra jobs. Groups with zero
+    * x-variance (all observations at one x) have no defined slope and
+    * are dropped.
     *
-    * The classic decomposable-aggregation shape: five longs per group
+    * The classic decomposable-aggregation shape: six values per group
     * cross the shuffle regardless of group size — per-entity drift/trend
     * extraction (sensor drift, user spend trajectory, QPS growth) at any
     * scale.
@@ -197,14 +217,27 @@ object Stats {
                yCol: String): DataFrame = {
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
+    val xD = x.cast("decimal(38,0)")
+    val yD = y.cast("decimal(38,0)")
     // an OLS observation needs BOTH coordinates: a row with a NULL x or
     // y drops here, explicitly — otherwise count(1) would keep it in n
     // while the NULL-skipping sums lose it, silently skewing the fit
     val agg = df.where(x.isNotNull && y.isNotNull).groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
-    val den = col("n") * col("sxx") - col("sx") * col("sx")
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .agg(count(lit(1)).as("n"), sum(xD).as("sx"), sum(yD).as("sy"),
+        sum(xD * yD).as("sxy"), sum(xD * xD).as("sxx"),
+        greatest(max(abs(x)), max(abs(y))).as("__m"))
+      .where(when(col("n").cast("decimal(38,0)")
+          * col("__m").cast("decimal(38,0)")
+          > lit("1000000000000000000").cast("decimal(38,0)"),
+        raise_error(concat(
+          lit("groupOls: rows x maxAbs(x, y) exceeds the decimal(38,0) " +
+            "exactness contract (n*B <= 1e18) under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale the axes to coarser integer units"))).isNotNull)
+        .otherwise(lit(true)))
+    val nDec = col("n").cast("decimal(38,0)")
+    val den = nDec * col("sxx") - col("sx") * col("sx")
+    val slope = (nDec * col("sxy") - col("sx") * col("sy"))
       .cast("double") / den.cast("double")
     agg
       .where(den =!= 0L)
@@ -807,13 +840,18 @@ object Stats {
     * today's; is there a weekly crawl cycle). One lag window per key
     * (never global) pairs x_t with x_{t+k}; the pairs collapse to SIX
     * integer sufficient statistics per key (m, Σa, Σb, Σa², Σb², Σab
-    * — map-side combining, six longs cross the shuffle regardless of
-    * series length), and the float tail is a fixed shape of casts, two
-    * IEEE sqrts and one division, so r is engine-exact. The caller
-    * keeps m·Σa² inside int64 (the groupOls discipline — cents-scale
-    * values are safe to ~4·10⁹ rows per key). Zero variance on either
-    * side → NaN (explicit — ANSI Spark vs DuckDB 0/0 parity). Keys
-    * with fewer than k+1 rows are absent (no pairs).
+    * — map-side combining in decimal(38,0), the pearsonByKey
+    * discipline: no silent int64 wrap, no ANSI mid-query throw), and
+    * the float tail is a fixed shape of casts, two IEEE sqrts and one
+    * division, so r is engine-exact vs a HUGEINT-summing oracle. The
+    * exactness envelope is CHECKED in the SAME aggregation, not
+    * documented: max |x| rides beside the sums and a raise_error
+    * branch rejects any key with m·maxAbs² > 4·10¹⁸ — the bound the
+    * int64 OUTPUT column Σab itself dictates (under it, every decimal
+    * intermediate m·Σa² ≤ m²B² ≤ 3.6·10³⁷ is exact with 10× headroom).
+    * Zero variance on either side → NaN (explicit — ANSI Spark vs
+    * DuckDB 0/0 parity). Keys with fewer than k+1 rows are absent (no
+    * pairs).
     * Output: (key, m, s_ab, r). */
   def groupAutocorr(df: DataFrame, keyCol: String, ordCols: Seq[String],
                     xCol: String, k: Int): DataFrame = {
@@ -830,18 +868,30 @@ object Stats {
       .where(col("__a").isNotNull)
       .withColumn("__b", lead(col("__a"), k).over(w))
       .where(col("__b").isNotNull)
+    val aD = col("__a").cast("decimal(38,0)")
+    val bD = col("__b").cast("decimal(38,0)")
     val agg = pairs.groupBy(col(keyCol))
       .agg(count(lit(1)).as("m"),
-        sum(col("__a")).as("sa"), sum(col("__b")).as("sb"),
-        sum(col("__a") * col("__a")).as("saa"),
-        sum(col("__b") * col("__b")).as("sbb"),
-        sum(col("__a") * col("__b")).as("s_ab"))
-    val va = agg("m") * col("saa") - col("sa") * col("sa")
-    val vb = agg("m") * col("sbb") - col("sb") * col("sb")
+        sum(aD).as("sa"), sum(bD).as("sb"),
+        sum(aD * aD).as("saa"),
+        sum(bD * bD).as("sbb"),
+        sum(aD * bD).as("s_ab"),
+        greatest(max(abs(col("__a"))), max(abs(col("__b")))).as("__mx"))
+      .where(when(col("m").cast("double") * col("__mx").cast("double")
+          * col("__mx").cast("double") > 4e18,
+        raise_error(concat(
+          lit("groupAutocorr: pairs x maxAbs(x)^2 exceeds the int64 " +
+            "exactness contract (m*B^2 <= 4e18) under key "),
+          col(keyCol).cast("string"),
+          lit(" — rescale the series to coarser integer units"))).isNotNull)
+        .otherwise(lit(true)))
+    val mDec = col("m").cast("decimal(38,0)")
+    val va = mDec * col("saa") - col("sa") * col("sa")
+    val vb = mDec * col("sbb") - col("sb") * col("sb")
     agg
-      .select(col(keyCol), col("m"), col("s_ab"),
-        when(va === 0L || vb === 0L, lit(Double.NaN)).otherwise(
-          (col("m") * col("s_ab") - col("sa") * col("sb")).cast("double")
+      .select(col(keyCol), col("m"), col("s_ab").cast("long").as("s_ab"),
+        when(va === lit(0) || vb === lit(0), lit(Double.NaN)).otherwise(
+          (mDec * col("s_ab") - col("sa") * col("sb")).cast("double")
             / (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
           .as("r"))
   }

@@ -1788,6 +1788,44 @@ class StatsSpec extends SparkTestBase {
       Seq((1L, 0L, 1L, tv), (1L, 10L, 2L, 0L)).toDF("k", "ts", "o", "v"),
       "k", "ts", "o", "v").collect().head
     assert(tw.getDouble(2) == (BigInt(tv) * 10).toDouble / 10.0)
+    // groupOls: x·y ≈ 9e18 per term — Σxy wraps a long; BigInt ref
+    val od = Seq((1L, 3000000000L, 3000000001L),
+      (1L, 3000000002L, 2999999997L), (1L, 2999999995L, 3000000004L))
+    val or0 = Stats.groupOls(od.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head
+    locally {
+      val n = BigInt(od.length)
+      val sx = od.map(r => BigInt(r._2)).sum
+      val sy = od.map(r => BigInt(r._3)).sum
+      val sxy = od.map(r => BigInt(r._2) * r._3).sum
+      val sxx = od.map(r => BigInt(r._2) * r._2).sum
+      val slope = (n * sxy - sx * sy).toDouble /
+        (n * sxx - sx * sx).toDouble
+      val icpt = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(or0.getDouble(2) == slope && or0.getDouble(3) == icpt)
+    }
+    // groupAutocorr: m·Σa² ≈ 1.6e19 tops int64 while m·B² = 4e18
+    // stays inside the checked envelope; BigInt ref
+    val ad = Seq(999999996L, -999999999L, 999999991L, -999999998L,
+      999999997L)
+    val ar = Stats.groupAutocorr(
+      ad.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+        .toDF("k", "o", "x"), "k", Seq("o"), "x", k = 1)
+      .collect().head
+    locally {
+      val pairs2 = ad.zip(ad.tail)
+      val m = BigInt(pairs2.length)
+      val sa = pairs2.map(p => BigInt(p._1)).sum
+      val sb = pairs2.map(p => BigInt(p._2)).sum
+      val saa = pairs2.map(p => BigInt(p._1) * p._1).sum
+      val sbb = pairs2.map(p => BigInt(p._2) * p._2).sum
+      val sab = pairs2.map(p => BigInt(p._1) * p._2).sum
+      val va = m * saa - sa * sa
+      val vb = m * sbb - sb * sb
+      val r = (m * sab - sa * sb).toDouble /
+        (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble))
+      assert(ar.getLong(2) == sab.toLong && ar.getDouble(3) == r)
+    }
   }
 
   test("the checked magnitude contracts fire loudly instead of " +
@@ -1849,5 +1887,16 @@ class StatsSpec extends SparkTestBase {
       Stats.brierDecomposition(Seq((2000000L, true), (500000L, false))
         .toDF("q", "l"), "q", "l").collect()
     }).contains("micro-prob"))
+    // groupOls: n·maxAbs = 2e18 > 1e18
+    assert(chainMessages(intercept[Throwable] {
+      Stats.groupOls(Seq((1L, big, big)).toDF("k", "x", "y"),
+        "k", "x", "y").collect()
+    }).contains("groupOls"))
+    // groupAutocorr: m·maxAbs² = 8e18 > 4e18
+    assert(chainMessages(intercept[Throwable] {
+      Stats.groupAutocorr(Seq((1L, 1L, 2000000000L), (1L, 2L, 2000000000L),
+        (1L, 3L, 2000000000L)).toDF("k", "o", "x"),
+        "k", Seq("o"), "x", k = 1).collect()
+    }).contains("groupAutocorr"))
   }
 }
