@@ -616,6 +616,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"term-df sides must broadcast:\n$plan")
   }
 
+  test("unigram trainer runs over the checkpointed word table — no " +
+    "corpus re-tokenize per round, no cartesian, no raw-row window") {
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma delta tok"),
+          (col("id") % 13).cast("string")).as("text"))
+    val v = graft.operators.TextAnalysis.unigramLmTrain(docs, "text",
+      seedSize = 10, rounds = 2, maxPieceLen = 3, vocabSize = 8)
+    val plan = v.queryExecution.executedPlan.toString
+    // rounds fold over localCheckpoint'ed word/grid tables: the final
+    // serving plan reads checkpoints, never the tokenizer, and the
+    // candidate join is an equi-join on the piece
+    assert(!plan.contains("tokenize"),
+      s"unigram trainer must tokenize the corpus exactly once:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unigram trainer must stay equi-joined:\n$plan")
+    assert(!plan.contains("Window"),
+      s"unigram trainer must not window raw rows:\n$plan")
+  }
+
   test("the correlation/encoding/attribution batch keeps its scale " +
     "contracts in the plan") {
     import graft.operators.{AsOf, Similarity, Stats}
