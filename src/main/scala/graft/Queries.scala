@@ -9592,6 +9592,67 @@ object Queries {
        |FROM dt JOIN pw ON pw.word = dt.word
        |GROUP BY 1""".stripMargin
 
+  /** K-anonymity / l-diversity corpus profile (Stats.kAnonymityProfile,
+    * k = 5): equivalence classes over (event_type, day-of-week, spend
+    * band), sensitive = user_id — the pre-publication privacy gate
+    * (how re-identifiable is this corpus by linkage). One class-table
+    * aggregation + one global reduction; exact counts, one division. */
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    Stats.kAnonymityProfile(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+          cents(col("value")).as("__c"), col("user_id"))
+        .select(col("event_type"), col("dow"),
+          expr("__c div 10000").as("band"), col("user_id")),
+      Seq("event_type", "dow", "band"), "user_id", k = 5L)
+
+  private val q235Sql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    CAST(round(value*100) AS BIGINT) // 10000 AS band,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS l
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  min(n) AS min_class_size,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_below_k,
+      |  min(l) AS min_l_diversity,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE) AS frac_below_k
+      |FROM c""".stripMargin
+
+  /** The actionable twin: the 25 smallest sub-k equivalence classes
+    * (Stats.kAnonymityViolations) — exactly which quasi-identifier
+    * combinations to generalize or drop; (size ASC, keys ASC) total
+    * order + LIMIT rides TakeOrderedAndProject, never a global sort. */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    Stats.kAnonymityViolations(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+          cents(col("value")).as("__c"), col("user_id"))
+        .select(col("event_type"), col("dow"),
+          expr("__c div 10000").as("band"), col("user_id")),
+      Seq("event_type", "dow", "band"), "user_id", k = 5L, topN = 25)
+
+  private val q236Sql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    CAST(round(value*100) AS BIGINT) // 10000 AS band,
+      |    CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS l_diversity
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, dow, band, class_size, l_diversity
+      |FROM c WHERE class_size < 5
+      |ORDER BY class_size, event_type, dow, band LIMIT 25""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9831,5 +9892,7 @@ object Queries {
     "q231_freeze_segments" -> Q(q231, Some(q231Sql)),
     "q232_equal_freq_buckets" -> Q(q232, Some(q232Sql)),
     "q233_unigram_train" -> Q(q233, Some(q233Sql)),
-    "q234_unigram_token_counts" -> Q(q234, Some(q234Sql)))
+    "q234_unigram_token_counts" -> Q(q234, Some(q234Sql)),
+    "q235_k_anonymity" -> Q(q235, Some(q235Sql)),
+    "q236_k_anonymity_violations" -> Q(q236, Some(q236Sql)))
 }

@@ -2244,4 +2244,71 @@ object Stats {
         "sketch (rq_sketch / rq_quantile, q192 path — no bin bounds needed) " +
         "or the sketch quantiles / robust outliers (Sketches, q66/q124 " +
         "paths) for continuous values.")
+
+  /** K-ANONYMITY / L-DIVERSITY corpus profile — the pre-publication
+    * privacy gate for a training corpus (Sweeney 2002; Machanavajjhala
+    * 2007): rows group into EQUIVALENCE CLASSES by their
+    * quasi-identifier combination, and a corpus is k-anonymous iff
+    * every class holds ≥ k rows (a smaller class re-identifies its
+    * members by linkage) and l-diverse iff every class spans ≥ l
+    * distinct sensitive values (a 1-diverse class leaks the sensitive
+    * attribute even at k-anonymity — everyone in it shares the value).
+    * One summary row:
+    *
+    *   (n_rows, n_classes, min_class_size, rows_below_k,
+    *    classes_below_k, min_l_diversity, frac_below_k)
+    *
+    * NULL semantics, pinned: a NULL quasi-identifier is its own
+    * equivalence-class value (groupBy semantics — NULL-linked rows DO
+    * link to each other); NULL sensitive values are excluded from the
+    * diversity count (count-distinct semantics — an all-NULL-sensitive
+    * class has l = 0, surfaced, not hidden). All counts are exact
+    * integers; frac_below_k is the single double division.
+    *
+    * Scale shape: ONE map-side-combining aggregation to the class
+    * table (bounded by quasi-combination cardinality, never row
+    * count — the count-distinct rides Spark's two-phase partial
+    * aggregation) and ONE global reduction over it. No window, no
+    * sort, no collect — the 100 TB compliance check is two hash
+    * passes. */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityProfile needs quasi columns")
+    require(k >= 2, s"kAnonymityProfile needs k >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    classes
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__n")).as("min_class_size"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("rows_below_k"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        min(col("__l")).as("min_l_diversity"))
+      .withColumn("frac_below_k",
+        col("rows_below_k").cast("double") / col("n_rows").cast("double"))
+  }
+
+  /** The ACTIONABLE side of [[kAnonymityProfile]]: the topN WORST
+    * equivalence classes (smallest first — the most re-identifiable
+    * rows) below the k threshold, with their sizes and sensitive-value
+    * diversity, so the curation pass knows exactly which
+    * quasi-identifier combinations to generalize or drop. Ordered
+    * (size ASC, quasi values ASC — total, since class keys are
+    * unique) and LIMITed — TakeOrderedAndProject, never a global
+    * sort. Same NULL semantics as the profile. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, k: Long,
+                           topN: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityViolations needs quasi columns")
+    require(k >= 2 && topN >= 1,
+      s"kAnonymityViolations needs k >= 2 and topN >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .where(col("class_size") < k)
+      .orderBy(col("class_size").asc +: quasiCols.map(col(_).asc): _*)
+      .limit(topN)
+  }
 }

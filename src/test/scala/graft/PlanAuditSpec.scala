@@ -637,6 +637,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"unigram trainer must not window raw rows:\n$plan")
   }
 
+  test("kAnonymity pair: two hash passes for the profile; violations " +
+    "top-N rides TakeOrdered, never a global sort") {
+    import graft.operators.Stats
+    val df = spark.range(100000).select(
+      (col("id") % 17).cast("string").as("qa"), (col("id") % 7).as("qb"),
+      (col("id") % 997).as("s"))
+    val p = Stats.kAnonymityProfile(df, Seq("qa", "qb"), "s", 5L)
+    val pPlan = p.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Window") && !pPlan.contains("Sort "),
+      s"profile must be pure hash aggregation:\n$pPlan")
+    val v = Stats.kAnonymityViolations(df, Seq("qa", "qb"), "s", 5L, 25)
+    val vPlan = v.queryExecution.executedPlan.toString
+    assert(vPlan.contains("TakeOrderedAndProject"),
+      s"violations must ride TakeOrdered:\n$vPlan")
+    assert(!vPlan.contains("Exchange SinglePartition") ||
+      vPlan.contains("TakeOrderedAndProject"),
+      s"violations must not globally sort:\n$vPlan")
+  }
+
   test("the correlation/encoding/attribution batch keeps its scale " +
     "contracts in the plan") {
     import graft.operators.{AsOf, Similarity, Stats}

@@ -1899,4 +1899,49 @@ class StatsSpec extends SparkTestBase {
         "k", Seq("o"), "x", k = 1).collect()
     }).contains("groupAutocorr"))
   }
+
+  test("kAnonymityProfile/Violations match a brute reference, with the " +
+    "pinned NULL semantics (NULL quasi links; NULL sensitive excluded)") {
+    val rnd = new scala.util.Random(235)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(300)((
+        if (rnd.nextInt(10) == 0) null else s"g${rnd.nextInt(6)}",
+        rnd.nextInt(4).toLong,
+        if (rnd.nextInt(12) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(8).toLong)))
+      val df = rows.toDF("qa", "qb", "s")
+      val k = 6L
+      // brute reference: classes keyed by BOTH quasi values (null is a
+      // class value), sensitive distinct excludes nulls
+      val classes = rows.groupBy(r => (r._1, r._2)).map { case (key, g) =>
+        key -> ((g.size.toLong,
+          g.map(_._3).filter(_ != null).distinct.size.toLong))
+      }
+      val p = Stats.kAnonymityProfile(df, Seq("qa", "qb"), "s", k)
+        .collect().head
+      val sizes = classes.values.map(_._1)
+      assert(p.getLong(0) == 300L)
+      assert(p.getLong(1) == classes.size.toLong)
+      assert(p.getLong(2) == sizes.min)
+      val below = classes.values.filter(_._1 < k)
+      assert(p.getLong(3) == below.map(_._1).sum)
+      assert(p.getLong(4) == below.size.toLong)
+      assert(p.getLong(5) == classes.values.map(_._2).min)
+      assert(p.getDouble(6) ==
+        below.map(_._1).sum.toDouble / 300.0, s"trial $trial")
+      // violations: the sub-k classes, smallest first, key-tiebroken —
+      // a prefix of the brute list under the same total order
+      val topN = 5
+      val v = Stats.kAnonymityViolations(df, Seq("qa", "qb"), "s", k, topN)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getLong(2), r.getLong(3)))
+      val expect = classes.toSeq.filter(_._2._1 < k)
+        .map { case ((qa, qb), (n, l)) => (Option(qa), qb, n, l) }
+        .sortBy { case (qa, qb, n, _) =>
+          (n, qa.isDefined, qa.getOrElse(""), qb) }
+        .take(topN)
+        .map { case (qa, qb, n, l) => (qa, qb, n, l) }
+      assert(v.toSeq == expect, s"trial $trial violations")
+    }
+  }
 }
