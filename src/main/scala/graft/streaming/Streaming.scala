@@ -316,6 +316,55 @@ object Streaming {
       .toDF("k", "n_a", "x_a", "n_b", "x_b")
   }
 
+  /** Streaming K-ANONYMITY class monitor — the live twin of
+    * [[graft.operators.Stats.kAnonymityProfile]] (q235): per
+    * quasi-identifier equivalence class (the caller packs the quasi
+    * columns into `cls`; sensitive values arrive as longs — hash a
+    * non-numeric sensitive first, the fingerprint-not-payload
+    * discipline), each batch folds arrivals in and emits the class's
+    * refreshed (n, l) row (Append — downstream keeps the latest row
+    * per class and runs the q235 summary reduction over it at any
+    * moment).
+    *
+    * Bounded state, HONESTLY: the raw l-diversity state (the distinct
+    * sensitive set) is unbounded, but the monitor's question is
+    * "which classes sit BELOW the k/l thresholds" — any class with
+    * more than `lCap` distinct sensitive values is safely diverse and
+    * its exact l is irrelevant. So the per-class state caps at
+    * lCap + 1 retained values: for every class at or below the
+    * threshold the streamed l is EXACT (== batch
+    * least(count_distinct, lCap+1)), and a saturated class reports
+    * exactly lCap + 1, meaning "≥ lCap + 1". State per class:
+    * one long + at most lCap + 1 longs, regardless of history.
+    * NULL sensitive values count toward n but never toward l (the
+    * q235 semantics — an all-NULL class surfaces l = 0). Streamed ==
+    * batch pinned in StreamingSpec, saturation included.
+    * Input: (cls, s). Output: (cls, n, l_capped). */
+  def streamingKAnonymityClasses(obs: DataFrame, lCap: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(lCap >= 1, s"streamingKAnonymityClasses needs lCap >= 1")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("cls").cast("string"), col("s").cast("long"))
+      .as[(String, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cls, rows, state: GroupState[(Long, Seq[Long])]) =>
+          var (n, seen) = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          var set = seen.toSet
+          rows.foreach { case (_, sOpt) =>
+            n += 1L
+            sOpt.foreach { v =>
+              if (set.size < lCap + 1 && !set.contains(v)) set += v
+            }
+          }
+          state.update((n, set.toSeq))
+          Iterator((cls, n, set.size.toLong))
+      }
+      .toDF("cls", "n", "l_capped")
+  }
+
   /** Streaming GOLDEN-RECORD survivorship maintainer — the live twin
     * of [[graft.operators.Snapshot.goldenRecords]] (q212) in its
     * (ts, id)-ordered two-attribute shape: per entity cluster the

@@ -651,9 +651,8 @@ class PlanAuditSpec extends SparkTestBase {
     val vPlan = v.queryExecution.executedPlan.toString
     assert(vPlan.contains("TakeOrderedAndProject"),
       s"violations must ride TakeOrdered:\n$vPlan")
-    assert(!vPlan.contains("Exchange SinglePartition") ||
-      vPlan.contains("TakeOrderedAndProject"),
-      s"violations must not globally sort:\n$vPlan")
+    assert(!vPlan.contains("Exchange SinglePartition"),
+      s"violations must not single-partition the class table:\n$vPlan")
   }
 
   test("the correlation/encoding/attribution batch keeps its scale " +

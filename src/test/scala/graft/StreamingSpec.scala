@@ -838,6 +838,51 @@ class StreamingSpec extends SparkTestBase {
       "restored pair set != batch ppJoin of the surviving corpus")
   }
 
+  test("streaming k-anonymity classes serve the exact capped batch " +
+    "readout, with bounded state under saturation and NULL sensitive " +
+    "counted in n but never l") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(236)
+    val lCap = 3
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Long])]
+    val mem = MemoryStream[(String, Option[Long])]
+    val q = Streaming.streamingKAnonymityClasses(
+        mem.toDF().toDF("cls", "s"), lCap)
+      .writeStream.format("memory").queryName("kanon")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(120) {
+          val cls = s"c${rnd.nextInt(5)}"
+          // class c4 floods with distinct values (saturation); c3 sends
+          // NULL sensitive rows; others draw from a small pool
+          val s: Option[Long] =
+            if (cls == "c4") Some(rnd.nextLong())
+            else if (cls == "c3" && rnd.nextBoolean()) None
+            else Some(rnd.nextInt(3).toLong)
+          (cls, s)
+        }
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("kanon").collect().zipWithIndex
+          .groupBy(_._1.getString(0))
+          .map { case (c, rs) =>
+            val r = rs.maxBy(_._2)._1
+            c -> ((r.getLong(1), r.getLong(2)))
+          }
+        val batch = hist.groupBy(_._1).map { case (c, g) =>
+          c -> ((g.size.toLong,
+            math.min(g.flatMap(_._2).distinct.size, lCap + 1).toLong))
+        }
+        assert(streamed == batch, s"streamed != capped batch after $b")
+        // saturation: the flooded class reports exactly lCap+1
+        assert(streamed("c4")._2 == lCap + 1L)
+      }
+    } finally q.stop()
+  }
+
   test("assoc maintainer keeps the pair-rule readout live to batch " +
     "parity, rejects re-sent baskets, and checkpoint/restores") {
     import graft.operators.Assoc
