@@ -9653,6 +9653,89 @@ object Queries {
       |FROM c WHERE class_size < 5
       |ORDER BY class_size, event_type, dow, band LIMIT 25""".stripMargin
 
+  /** Seed-pair betweenness centrality over the part co-purchase graph
+    * (Graph.pairBetweenness, maxDepth 3): the three top-degree hubs
+    * paired with the three lowest-degree leaves (both rankings
+    * deterministic: degree then node id — six bounded plan-literal
+    * stats), interior nodes scored by exact Brandes pair dependencies
+    * σ_sv·σ_vt/σ_st with the fixed-order fraction fold. The oracle
+    * replays the degree rankings, three unrolled BFS levels per
+    * direction (all pairs at once, keyed by pair index), the interior
+    * predicate, and the sorted fold. */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val e = d.as("l").join(d.as("r"), col("l.b") === col("r.b")
+        && col("l.i") < col("r.i"))
+      .select(col("l.i").as("u"), col("r.i").as("v"))
+      .distinct().localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val hubs = deg.orderBy(col("dg").desc, col("node").asc).limit(3)
+      .collect().map(_.getLong(0))
+    val antis = deg.orderBy(col("dg").asc, col("node").asc).limit(3)
+      .collect().map(_.getLong(0))
+    Graph.pairBetweenness(e, hubs.zip(antis).toSeq, maxDepth = 3)
+  }
+
+  private val q237Sql: String = {
+    def levels(tag: String, depth: Int): String =
+      (1 to depth).map { k =>
+        s"""f$tag$k AS (
+           |  SELECT f.idx, a.v AS node, $k AS d,
+           |    CAST(sum(f.sig) AS BIGINT) AS sig
+           |  FROM f$tag${k - 1} f JOIN adj a ON a.u = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM s$tag${k - 1} x
+           |    WHERE x.idx = f.idx AND x.node = a.v)
+           |  GROUP BY 1, 2),
+           |s$tag$k AS (SELECT * FROM s$tag${k - 1}
+           |  UNION ALL SELECT * FROM f$tag$k)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+       |e AS (SELECT DISTINCT l.i AS u, r.i AS v
+       |      FROM d l JOIN d r ON l.b = r.b AND l.i < r.i),
+       |adj AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+       |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS dg
+       |        FROM adj GROUP BY 1),
+       |hub AS (SELECT node, rn FROM (
+       |          SELECT node, row_number() OVER (ORDER BY dg DESC, node)
+       |            AS rn FROM deg) WHERE rn <= 3),
+       |antis AS (SELECT node, rn FROM (
+       |           SELECT node, row_number() OVER (ORDER BY dg ASC, node)
+       |             AS rn FROM deg) WHERE rn <= 3),
+       |prs AS (SELECT CAST(h.rn - 1 AS BIGINT) AS idx, h.node AS s,
+       |          a.node AS t
+       |        FROM hub h JOIN antis a ON a.rn = h.rn),
+       |ff0 AS (SELECT idx, s AS node, 0 AS d, CAST(1 AS BIGINT) AS sig
+       |        FROM prs),
+       |sf0 AS (SELECT * FROM ff0),
+       |${levels("f", 3)},
+       |fb0 AS (SELECT idx, t AS node, 0 AS d, CAST(1 AS BIGINT) AS sig
+       |        FROM prs),
+       |sb0 AS (SELECT * FROM fb0),
+       |${levels("b", 3)},
+       |dstt AS (SELECT p.idx, x.d AS dst, x.sig AS sigst
+       |         FROM prs p JOIN sf3 x ON x.idx = p.idx AND x.node = p.t),
+       |c AS (
+       |  SELECT f.node, f.idx, f.sig * b.sig AS num, dd.sigst AS den
+       |  FROM sf3 f
+       |  JOIN sb3 b ON b.idx = f.idx AND b.node = f.node
+       |  JOIN dstt dd ON dd.idx = f.idx
+       |  JOIN prs p ON p.idx = f.idx
+       |  WHERE f.node != p.s AND f.node != p.t AND f.d + b.d = dd.dst),
+       |g AS (SELECT node, CAST(count(*) AS BIGINT) AS n_pairs,
+       |        list_sort(list({'idx': idx, 'num': num, 'den': den})) AS l
+       |      FROM c GROUP BY 1)
+       |SELECT node, n_pairs,
+       |  list_reduce(list_prepend(0.0, list_transform(l, x ->
+       |    CAST(x['num'] AS DOUBLE) / CAST(x['den'] AS DOUBLE))),
+       |    (a, b) -> a + b) AS betweenness
+       |FROM g""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9894,5 +9977,6 @@ object Queries {
     "q233_unigram_train" -> Q(q233, Some(q233Sql)),
     "q234_unigram_token_counts" -> Q(q234, Some(q234Sql)),
     "q235_k_anonymity" -> Q(q235, Some(q235Sql)),
-    "q236_k_anonymity_violations" -> Q(q236, Some(q236Sql)))
+    "q236_k_anonymity_violations" -> Q(q236, Some(q236Sql)),
+    "q237_pair_betweenness" -> Q(q237, Some(q237Sql)))
 }

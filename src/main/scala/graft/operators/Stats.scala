@@ -2265,12 +2265,18 @@ object Stats {
     * class has l = 0, surfaced, not hidden). All counts are exact
     * integers; frac_below_k is the single double division.
     *
-    * Scale shape: ONE map-side-combining aggregation to the class
-    * table (bounded by quasi-combination cardinality, never row
-    * count — the count-distinct rides Spark's two-phase partial
-    * aggregation) and ONE global reduction over it. No window, no
-    * sort, no collect — the 100 TB compliance check is two hash
-    * passes. */
+    * Scale shape: ONE aggregation to the class table and ONE global
+    * reduction over it — no window, no sort, no collect. The honest
+    * shuffle bound: the exact count-distinct's intermediate is the
+    * DISTINCT (class, sensitive) pair set (map-side partial distinct
+    * dedups within partitions, but the pair set itself can approach
+    * row count when the sensitive column is near-unique — which is
+    * precisely when the corpus is at its safest and an approximate
+    * answer would also do). Where that shuffle is too heavy at 100 TB,
+    * the streaming twin's capped formulation
+    * ([[graft.streaming.Streaming.streamingKAnonymityClasses]] —
+    * least(l, lCap+1), exact for every at-risk class) bounds the
+    * per-class state instead. */
   def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
                         sensitiveCol: String, k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymityProfile needs quasi columns")

@@ -638,6 +638,80 @@ class GraphRangeSpec extends SparkTestBase {
     }
   }
 
+  test("pairBetweenness: driver == distributed == brute Brandes pair " +
+    "dependencies on random graphs; sigma guard fires on both paths") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(237)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60)(
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val prs = Seq((0L, 9L), (1L, 12L), (3L, 7L))
+      val maxDepth = 4
+      def bfs(s: Long): Map[Long, (Long, Long)] = {
+        var dist = Map(s -> (0L, 1L)); var fr = Seq(s)
+        (1 to maxDepth).foreach { d =>
+          val nxt = scala.collection.mutable.Map.empty[Long, Long]
+          fr.foreach { x =>
+            adj.getOrElse(x, Set.empty).foreach { y =>
+              if (!dist.contains(y))
+                nxt(y) = nxt.getOrElse(y, 0L) + dist(x)._2
+            }
+          }
+          nxt.foreach { case (y, sg) => dist += y -> (d.toLong, sg) }
+          fr = nxt.keys.toSeq
+        }
+        dist
+      }
+      // brute: per-node sorted pair fractions folded in idx order —
+      // the exact float shape the operator commits to
+      val fracs = scala.collection.mutable
+        .Map.empty[Long, List[(Long, Long, Long)]]
+      prs.zipWithIndex.foreach { case ((s, t), idx) =>
+        val fs = bfs(s); val ft = bfs(t)
+        fs.get(t).foreach { case (dst, sigst) =>
+          fs.foreach { case (v, (dsv, sigsv)) =>
+            ft.get(v).foreach { case (dvt, sigvt) =>
+              if (v != s && v != t && dsv + dvt == dst)
+                fracs(v) = fracs.getOrElse(v, Nil) :+
+                  ((idx.toLong, sigsv * sigvt, sigst))
+            }
+          }
+        }
+      }
+      val expect = fracs.map { case (v, fs) =>
+        v -> ((fs.size.toLong,
+          fs.sortBy(_._1).foldLeft(0.0) { case (acc, (_, n, d)) =>
+            acc + n.toDouble / d.toDouble }))
+      }.toMap
+      val df = edges.toDF("src", "dst")
+      def run(limit: Long) =
+        Graph.pairBetweenness(df, prs, maxDepth, driverEdgeLimit = limit)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+      val drv = run(1L << 20)
+      val dist = run(0L)
+      assert(drv == expect, s"trial $trial driver != brute")
+      assert(dist == expect, s"trial $trial distributed != brute")
+    }
+    // sigma guard: a diamond (two equal-length paths) at maxSigma = 1
+    // must fail loudly on BOTH paths, not wrap silently
+    val diamond = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+        msgs(t.getCause)
+    Seq(1L << 20, 0L).foreach { limit =>
+      assert(msgs(intercept[Throwable] {
+        Graph.pairBetweenness(diamond, Seq((0L, 3L)), maxDepth = 3,
+          maxSigma = 1L, driverEdgeLimit = limit).collect()
+      }).contains("pairBetweenness"), s"limit=$limit")
+    }
+  }
+
   test("linkPrediction finds the missing edge of an almost-clique and " +
     "checks the degree bound") {
     import graft.operators.Graph
