@@ -9736,6 +9736,147 @@ object Queries {
        |FROM g""".stripMargin
   }
 
+  /** Mann–Whitney U z-test per event type (Stats.mannWhitneyZ): does
+    * the even-user cohort's spend distribution sit above the odd
+    * cohort's — the nonparametric twin of q197's Welch t (right for
+    * heavy-tailed spend; no normality assumed). Doubled-U and the
+    * tie-cube sum reduce over the per-(type, cents) histogram —
+    * integer-exact sufficient statistics, one fixed IEEE tail —
+    * mirrored by a HUGEINT-summing oracle. */
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitneyZ(
+      t(s, dir, "events").select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+        cents(col("value")).as("x")),
+      "event_type", "side", "x")
+
+  private val q238Sql =
+    """WITH o AS (
+      |  SELECT event_type, user_id % 2 = 0 AS side,
+      |    CAST(round(value*100) AS BIGINT) AS x
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, x,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, x, na, nb,
+      |    CAST(coalesce(sum(nb) OVER (PARTITION BY event_type ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS blw
+      |  FROM h),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(sum(na) AS BIGINT) AS n_a,
+      |    CAST(sum(nb) AS BIGINT) AS n_b,
+      |    CAST(sum(na * (2*blw + nb)) AS BIGINT) AS u2_a,
+      |    CAST(sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+      |      - (na + nb)) AS DOUBLE) AS t3
+      |  FROM c GROUP BY 1
+      |  HAVING sum(na) > 0 AND sum(nb) > 0)
+      |SELECT event_type, n_a, n_b, u2_a,
+      |  CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+      |        - t3 / (CAST(n_a + n_b AS DOUBLE)
+      |          * CAST(n_a + n_b - 1 AS DOUBLE))) = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(u2_a - n_a*n_b AS DOUBLE)
+      |      / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |        * (CAST(n_a + n_b + 1 AS DOUBLE)
+      |          - t3 / (CAST(n_a + n_b AS DOUBLE)
+      |            * CAST(n_a + n_b - 1 AS DOUBLE)))))
+      |  END AS z
+      |FROM a""".stripMargin
+
+  /** Conformal anomaly detection with BH FDR control
+    * (Stats.conformalBh, α = 0.1): odd-user events calibrate the
+    * spend-score distribution; even-user events are the test feed,
+    * with error-event amounts tripled (the corrupted-feed injection
+    * this gate exists to catch). Every p-value is an exact rational
+    * (1 + #cal ≥ s)/(ncal+1) and the BH rank sweep compares
+    * cross-multiplied int64 products over ONE merged score histogram —
+    * no floating point anywhere; the oracle replays histogram, sweep,
+    * threshold and join-back verbatim. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cal = ev.where(pmod(col("user_id"), lit(2L)) === 1L)
+      .select(cents(col("value")).as("score"))
+    val tst = ev.where(pmod(col("user_id"), lit(2L)) === 0L)
+      .select(col("event_id"),
+        (cents(col("value")) *
+          when(col("event_type") === "error", 3L).otherwise(1L))
+          .as("score"))
+    Stats.conformalBh(cal, tst, "event_id", "score", alphaMicro = 100000L)
+  }
+
+  private val q239Sql =
+    """WITH cal AS (
+      |  SELECT CAST(round(value*100) AS BIGINT) AS s
+      |  FROM events WHERE user_id % 2 = 1),
+      |tst AS (
+      |  SELECT event_id, CAST(round(value*100) AS BIGINT)
+      |    * (CASE WHEN event_type = 'error' THEN 3 ELSE 1 END) AS s
+      |  FROM events WHERE user_id % 2 = 0),
+      |ch AS (SELECT s, CAST(count(*) AS BIGINT) AS nc FROM cal GROUP BY 1),
+      |th AS (SELECT s, CAST(count(*) AS BIGINT) AS nt FROM tst GROUP BY 1),
+      |m AS (
+      |  SELECT coalesce(ch.s, th.s) AS s, coalesce(nc, 0) AS nc,
+      |    coalesce(nt, 0) AS nt
+      |  FROM ch FULL OUTER JOIN th ON ch.s = th.s),
+      |w AS (
+      |  SELECT s, nt,
+      |    CAST(sum(nc) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ge_cal,
+      |    CAST(sum(nt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS r_max
+      |  FROM m),
+      |tot AS (SELECT CAST((SELECT sum(nc) FROM m) AS BIGINT) AS ncal,
+      |               CAST((SELECT sum(nt) FROM m) AS BIGINT) AS mm),
+      |thr AS (
+      |  SELECT min(s) AS smin FROM w, tot
+      |  WHERE nt > 0
+      |    AND (ge_cal + 1) * mm * 1000000 <= r_max * 100000 * (ncal + 1))
+      |SELECT t.event_id, t.s AS score, w.ge_cal + 1 AS p_num,
+      |  tot.ncal + 1 AS p_den
+      |FROM tst t JOIN w ON w.s = t.s, tot, thr
+      |WHERE t.s >= thr.smin""".stripMargin
+
+  /** Gini spend-concentration per order priority (Stats.giniByKey):
+    * how unevenly order value is distributed within each priority
+    * class — the curation-weight concentration profile. The doubled
+    * rank-weighted sum reduces over the per-(priority, cents)
+    * histogram in decimal(38,0); the oracle mirrors in HUGEINT. */
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    Stats.giniByKey(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("x")),
+      "o_orderpriority", "x")
+
+  private val q240Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS x
+      |  FROM orders),
+      |h AS (SELECT k, x, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT k, x, c,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS b
+      |  FROM h),
+      |a AS (
+      |  SELECT k, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT) * c) AS BIGINT) AS sum_x,
+      |    sum(CAST(x AS HUGEINT) * (2 * CAST(b AS HUGEINT) * c
+      |      + CAST(c AS HUGEINT) * c + c)) AS s2
+      |  FROM cw GROUP BY 1)
+      |SELECT k AS o_orderpriority, n, sum_x,
+      |  CASE WHEN sum_x = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(s2 - (CAST(n AS HUGEINT) + 1) * sum_x AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * sum_x AS DOUBLE) END AS gini
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -9978,5 +10119,8 @@ object Queries {
     "q234_unigram_token_counts" -> Q(q234, Some(q234Sql)),
     "q235_k_anonymity" -> Q(q235, Some(q235Sql)),
     "q236_k_anonymity_violations" -> Q(q236, Some(q236Sql)),
-    "q237_pair_betweenness" -> Q(q237, Some(q237Sql)))
+    "q237_pair_betweenness" -> Q(q237, Some(q237Sql)),
+    "q238_mann_whitney_z" -> Q(q238, Some(q238Sql)),
+    "q239_conformal_bh" -> Q(q239, Some(q239Sql)),
+    "q240_gini_by_key" -> Q(q240, Some(q240Sql)))
 }

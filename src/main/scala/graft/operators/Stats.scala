@@ -2317,4 +2317,228 @@ object Stats {
       .orderBy(col("class_size").asc +: quasiCols.map(col(_).asc): _*)
       .limit(topN)
   }
+
+  /** MANN–WHITNEY U z-TEST per key — the nonparametric two-sample
+    * significance readout (Mann & Whitney 1947): does side A's metric
+    * DISTRIBUTION sit above/below side B's, without [[welchT]]'s
+    * normality assumption (the right test for heavy-tailed spend /
+    * latency metrics). Completes the rank family: [[rankAucByKey]] is
+    * the EFFECT SIZE (AUC = U/(na·nb)); this is its z-scored
+    * significance with the exact tie correction:
+    *
+    *   U2_a = Σ_v na_v · (2·cumNbBelow(v) + nb_v)      (doubled U, exact)
+    *   σ²_U = na·nb/12 · [ (n+1) − Σ_t(t³−t) / (n(n−1)) ]
+    *   z    = (U2_a − na·nb) / (2·σ_U)
+    *
+    * (E[U2] = na·nb; the tie term sums t³−t over every tie group of
+    * size t — groups of 1 contribute 0, so it reduces over the SAME
+    * per-(key, value) histogram that carries the counts.)
+    *
+    * Scale shape: the [[rankAucByKey]] machinery verbatim — rows
+    * collapse to a per-(key, value) (na, nb) histogram (map-side
+    * combining; shuffle bounded by key×value cardinality, never row
+    * count), the cumulative window partitions BY KEY over the bounded
+    * histogram, and the z tail is a fixed IEEE shape over exact
+    * integers. U2 stays int64 under the same CHECKED n ≤ 2e9 per-key
+    * row bound (U2 ≤ 2·na·nb ≤ n²/2); the tie cubes form in
+    * decimal(38,0) (t³ ≤ 8e27 at the bound — int64 would wrap past
+    * t ≈ 2e6). NULL side/value rows are rejected via the lazy
+    * raise_error contract ([[twoProportionZ]] discipline, zero extra
+    * jobs beyond the histogram's own guards). Keys missing a side
+    * drop (U undefined); an all-tied key has σ_U = 0 exactly
+    * ((n³−n)/(n(n−1)) = n+1 in exact arithmetic; bit-exact in double
+    * up to n³ < 2⁵³, mirrored by the oracle) → z = NaN.
+    * Output: (key, n_a, n_b, u2_a, z). */
+  def mannWhitneyZ(df: DataFrame, keyCol: String, sideCol: String,
+                   xCol: String,
+                   maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val x = col(xCol).cast("long")
+    val hist = df.groupBy(col(keyCol), x.as("__x"))
+      .agg(sum(when(side, 1L).otherwise(0L)).as("na"),
+        sum(when(!side, 1L).otherwise(0L)).as("nb"),
+        sum(when(side.isNull || x.isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"mannWhitneyZ: $b NULL side/value rows — assign every row an " +
+          "arm and a metric, or filter explicitly before calling"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "mannWhitneyZ")
+    // per-key n ≤ 2e9 keeps U2 ≤ n²/2 int64-exact (the rankAuc bound)
+    Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("na") + col("nb")).as("__n")),
+      Contracts.Bound(max(col("__n")), _ <= 2000000000L, n =>
+        s"mannWhitneyZ: a key holds $n rows, exceeding the exact-U2 " +
+          "int64 contract (n <= 2e9 per key) — sample the rows per " +
+          "key first"))
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("na") + col("nb")
+    val tD = t.cast("decimal(38,0)")
+    val agg = hist
+      .withColumn("blw", coalesce(sum(col("nb")).over(below), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("na") * (lit(2L) * col("blw") + col("nb"))).as("u2_a"),
+        sum(tD * tD * tD - tD).as("__t3"))
+      .where(col("n_a") > 0L && col("n_b") > 0L)
+    val nn = col("n_a") + col("n_b")
+    val varU = col("n_a").cast("double") * col("n_b").cast("double") /
+      lit(12.0) * ((nn + 1L).cast("double") -
+        col("__t3").cast("double") /
+          (nn.cast("double") * (nn - 1L).cast("double")))
+    agg.select(col(keyCol), col("n_a"), col("n_b"), col("u2_a"),
+      when(varU === 0.0, lit(Double.NaN))
+        .otherwise((col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+          (lit(2.0) * sqrt(varU))).as("z"))
+  }
+
+  /** CONFORMAL ANOMALY DETECTION with BENJAMINI–HOCHBERG FDR control —
+    * the distribution-free outlier gate for a data feed (Vovk 2005;
+    * BH 1995; the composition is Bates et al. 2023's outlier-FDR
+    * recipe): each test row gets an EXACT conformal p-value against a
+    * held-out calibration sample,
+    *
+    *   p_i = (1 + #{calibration scores ≥ s_i}) / (n_cal + 1)
+    *
+    * (a rational — num/den integers, NO floating point), and BH keeps
+    * the largest rank k with p_(k) ≤ k·α/m, guaranteeing expected
+    * false-discovery rate ≤ α when test rows are exchangeable with the
+    * calibration. Returns the discoveries: (id, score, p_num, p_den).
+    *
+    * Everything is integer-exact: p is monotone nonincreasing in
+    * score, so the ascending-p rank order IS the descending-score
+    * order — both the per-row p numerators and the BH rank sweep
+    * reduce over ONE merged (score → n_cal, n_test) histogram
+    * (map-side combining; shuffle bounded by score resolution, the
+    * [[rankAuc]] bounded-histogram discipline, CHECKED). The BH
+    * predicate compares cross-multiplied int64 products
+    * (p_num·m·10⁶ ≤ r·α_micro·(n_cal+1)) whose magnitude contract
+    * ((n_cal+1)·m·10⁶ ≤ 9e18) is CHECKED in the same sizing job —
+    * never a floating-point threshold. Within a tie block only the
+    * LARGEST rank can certify (p constant, bound loosest there), so
+    * the sweep runs per distinct score, and the selection threshold
+    * comes back as one plan literal (bounded collect): discoveries
+    * are exactly the test rows with score ≥ s*. NULL scores are
+    * rejected in the sizing job. Zero discoveries → empty frame,
+    * schema preserved. */
+  def conformalBh(cal: DataFrame, test: DataFrame, idCol: String,
+                  scoreCol: String, alphaMicro: Long,
+                  maxDistinctScores: Long = 2000000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"conformalBh: alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val s = col(scoreCol).cast("long")
+    val calH = cal.groupBy(s.as("__s")).agg(count(lit(1)).as("nc"))
+    val testH = test.groupBy(s.as("__s")).agg(count(lit(1)).as("nt"))
+    val merged = calH.join(testH, Seq("__s"), "full_outer")
+      .select(col("__s"), coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .localCheckpoint()
+    val Seq(ncal, m, _, _) = Contracts.enforce(merged,
+      Contracts.read(sum(col("nc"))),
+      Contracts.read(sum(col("nt"))),
+      Contracts.Bound(count(lit(1)), _ <= maxDistinctScores, n =>
+        s"conformalBh: $n distinct scores exceeds the bounded-histogram " +
+          s"contract (maxDistinctScores=$maxDistinctScores) — quantize " +
+          "the score (e.g. micro-units) before calling"),
+      Contracts.Bound(sum(when(col("__s").isNull, 1L).otherwise(0L)),
+        _ == 0L, b =>
+          s"conformalBh: $b NULL scores — score every row or filter " +
+            "explicitly before calling"))
+    require(ncal > 0 && m > 0,
+      s"conformalBh: needs non-empty calibration ($ncal) and test ($m)")
+    // cross-multiplied BH predicate must stay int64-exact: p_num ≤
+    // ncal+1 and r ≤ m, so both sides are ≤ (ncal+1)·m·1e6 — CHECKED
+    // here against 9e18 (margin ~2%) using the sizes the sizing job
+    // already returned
+    require((ncal + 1).toDouble * m.toDouble * 1e6 <= 9e18,
+      s"conformalBh: (n_cal+1)*m = ${(ncal + 1) * m} exceeds the " +
+        "cross-multiplied int64 exactness contract " +
+        "((n_cal+1)*m*1e6 <= 9e18) — sample the calibration or shard " +
+        "the test set by key first")
+    val top = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val swept = merged
+      .withColumn("ge_cal", sum(col("nc")).over(top))
+      .withColumn("r_max", sum(col("nt")).over(top))
+      .where(col("nt") > 0L)
+      .localCheckpoint()
+    val thrRow = swept
+      .where((col("ge_cal") + 1L) * lit(m) * lit(1000000L) <=
+        col("r_max") * lit(alphaMicro) * lit(ncal + 1L))
+      .agg(min(col("__s"))).head()
+    val out = test.select(col(idCol), s.as(scoreCol))
+      .join(swept.select(col("__s"), (col("ge_cal") + 1L).as("p_num")),
+        col(scoreCol) === col("__s"))
+      .select(col(idCol), col(scoreCol), col("p_num"),
+        lit(ncal + 1L).as("p_den"))
+    if (thrRow.isNullAt(0)) out.where(lit(false))
+    else out.where(col(scoreCol) >= lit(thrRow.getLong(0)))
+  }
+
+  /** GINI CONCENTRATION per key — the inequality / concentration
+    * profile of a nonnegative metric (spend per priority class, token
+    * mass per source, sample weight per shard): 0 = perfectly even,
+    * →1 = one row holds everything. From the sorted-rank identity,
+    * kept integral by doubling:
+    *
+    *   G = ( 2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx ) / ( n·Σx )
+    *
+    * with ties contributing x·(2·c·below + c² + c) to the doubled
+    * rank-weighted sum — rank order within a tie block is immaterial
+    * (equal x), so the statistic reduces over the per-(key, value)
+    * histogram with NO per-row window: map-side-combining histogram,
+    * key-partitioned cumulative window over the bounded histogram
+    * ([[rankAucByKey]] discipline, CHECKED), one final division. The
+    * rank-weighted sum forms in decimal(38,0) (x·n² breaches int64
+    * long before real corpora do — S2 ≤ 2n·Σx ≤ 2e9·2·(n·B) ≤ 4e27 at
+    * the contract bounds, exact in decimal); Σx itself returns as an
+    * int64 column under the same CHECKED n·maxAbs ≤ 1e18 contract as
+    * [[welchT]], enforced lazily in the histogram aggregation together
+    * with the x ≥ 0 domain check (Gini is undefined over mixed-sign
+    * mass). Σx = 0 (all zeros) → NaN. Output: (key, n, sum_x, gini). */
+  def giniByKey(df: DataFrame, keyCol: String, xCol: String,
+                maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val x = col(xCol).cast("long")
+    val hist = df.groupBy(col(keyCol), x.as("__x"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(x.isNull || x < 0L, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"giniByKey: $b NULL/negative values — Gini needs a " +
+          "nonnegative metric on every row; clamp or filter first"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "giniByKey")
+    // n·maxAbs ≤ 1e18 keeps Σx int64-exact per key (the welchT
+    // contract) and bounds the decimal rank-weighted sum at ≤ 4e27
+    Contracts.enforce(
+      hist.groupBy(col(keyCol))
+        .agg(sum(col("c")).as("__n"), max(col("__x")).as("__m")),
+      Contracts.Bound(
+        sum(when(col("__n").cast("decimal(38,0)") *
+            col("__m").cast("decimal(38,0)") >
+            lit("1000000000000000000").cast("decimal(38,0)"),
+          1L).otherwise(0L)), _ == 0L, v =>
+          s"giniByKey: $v keys exceed the int64 exactness contract " +
+            "(rows x maxValue <= 1e18 per key keeps sum_x exact) — " +
+            "rescale the metric to coarser integer units"))
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val xD = col("__x").cast("decimal(38,0)")
+    val cD = col("c").cast("decimal(38,0)")
+    val bD = col("blw").cast("decimal(38,0)")
+    val agg = hist
+      .withColumn("blw", coalesce(sum(col("c")).over(below), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("c")).as("n"),
+        sum(xD * cD).cast("long").as("sum_x"),
+        sum(xD * (lit(2L).cast("decimal(38,0)") * cD * bD + cD * cD + cD))
+          .as("__s2"))
+    val nD = col("n").cast("decimal(38,0)")
+    val sxD = col("sum_x").cast("decimal(38,0)")
+    agg.select(col(keyCol), col("n"), col("sum_x"),
+      when(col("sum_x") === 0L, lit(Double.NaN))
+        .otherwise((col("__s2") - (nD + 1) * sxD).cast("double") /
+          (nD * sxD).cast("double")).as("gini"))
+  }
 }

@@ -712,4 +712,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!hrPlan.contains("CartesianProduct"),
       s"hashRingNegatives: no cartesian beyond broadcast bounds:\n$hrPlan")
   }
+
+  test("the round-12 rank/concentration stats window only the bounded " +
+    "histogram, key-partitioned; conformalBh output has no forced hint") {
+    import graft.operators.Stats
+    val df = spark.range(50000).select((col("id") % 7).as("g"),
+      (col("id") % 2 === 0).as("side"), (col("id") % 400).as("x"))
+    // mannWhitneyZ / giniByKey: the cumulative window runs over the
+    // per-(key, value) HISTOGRAM partitioned by key — never a single
+    // partition, never a window over raw rows
+    Seq("mannWhitneyZ" -> Stats.mannWhitneyZ(df, "g", "side", "x"),
+      "giniByKey" -> Stats.giniByKey(df.select(col("g"), col("x")),
+        "g", "x"))
+      .foreach { case (name, q) =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name must stay key-partitioned:\n$plan")
+      }
+    // conformalBh: the BH sweep already ran over the CHECKED bounded
+    // histogram at call time (rankAuc discipline); the SERVED plan is
+    // the test-side equi-join against the materialized sweep — no
+    // forced broadcast hint (AQE decides — the q225 lesson), no
+    // single-partition exchange, no window
+    val cal = spark.range(5000).select((col("id") % 300).as("score"))
+    val tst = spark.range(5000).select(col("id"),
+      (col("id") % 330).as("score"))
+    val cb = Stats.conformalBh(cal, tst, "id", "score", 500000L)
+    val cbPlan = cb.queryExecution.executedPlan.toString
+    assert(!cbPlan.contains("Exchange SinglePartition"),
+      s"conformalBh serving plan must not single-partition:\n$cbPlan")
+    assert(!cbPlan.contains("Window"),
+      s"conformalBh serving plan must not window:\n$cbPlan")
+    val cbHints = cb.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+    }
+    assert(cbHints.isEmpty,
+      s"conformalBh must not force a broadcast hint: $cbHints")
+  }
 }

@@ -1944,4 +1944,126 @@ class StatsSpec extends SparkTestBase {
       assert(v.toSeq == expect, s"trial $trial violations")
     }
   }
+
+  test("mannWhitneyZ equals the brute-force pairwise U and tie-corrected " +
+    "z, all-tied keys go NaN, NULL rows fail loudly") {
+    val rnd = new scala.util.Random(83)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(200)(
+        (rnd.nextInt(3).toLong, rnd.nextBoolean(), rnd.nextInt(15).toLong))
+      val out = Stats.mannWhitneyZ(rows.toDF("k", "side", "x"),
+        "k", "side", "x").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 2L).foreach { k =>
+        val a = rows.filter(r => r._1 == k && r._2).map(_._3)
+        val b = rows.filter(r => r._1 == k && !r._2).map(_._3)
+        if (a.nonEmpty && b.nonEmpty) {
+          val r = out(k)
+          val u2 = (for (p <- a; n <- b)
+            yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+          assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+          assert(r.getLong(3) == u2, s"trial=$trial k=$k")
+          val na = a.length.toLong; val nb = b.length.toLong
+          val n = na + nb
+          val t3 = (a ++ b).groupBy(identity).values
+            .map { g => val t = g.length.toLong; t * t * t - t }.sum
+          val varU = na.toDouble * nb.toDouble / 12.0 *
+            ((n + 1).toDouble -
+              t3.toDouble / (n.toDouble * (n - 1).toDouble))
+          val z = (u2 - na * nb).toDouble / (2.0 * math.sqrt(varU))
+          assert(r.getDouble(4) == z, s"trial=$trial k=$k z")
+        } else assert(!out.contains(k))
+      }
+    }
+    // every value tied -> sigma_U = 0 exactly -> NaN, not a throw/Inf
+    val flat = Seq((9L, true, 7L), (9L, true, 7L), (9L, false, 7L),
+      (9L, false, 7L)).toDF("k", "side", "x")
+    val fr = Stats.mannWhitneyZ(flat, "k", "side", "x").collect().head
+    assert(fr.getLong(3) == 4L && fr.getDouble(4).isNaN)
+    // NULL side/value rows fail loudly (the twoProportionZ contract)
+    val dirty = Seq((1L, Some(true), Some(3L)), (1L, None, Some(2L)),
+      (1L, Some(false), Some(1L))).toDF("k", "side", "x")
+    val e = intercept[Throwable] {
+      Stats.mannWhitneyZ(dirty, "k", "side", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("mannWhitneyZ"))
+  }
+
+  test("conformalBh selects exactly the brute-force BH discovery set " +
+    "with exact rational p-values") {
+    val rnd = new scala.util.Random(84)
+    (1 to 4).foreach { trial =>
+      val cal = Seq.fill(150)(rnd.nextInt(40).toLong)
+      // shift a slice of the test scores upward so some trials discover
+      val tst = (1 to 80).map(i => (i.toLong,
+        rnd.nextInt(40).toLong + (if (i % 7 == 0) 35L else 0L)))
+      val alphaMicro = 200000L // alpha = 0.2
+      val got = Stats.conformalBh(cal.toDF("score"), tst.toDF("id", "score"),
+        "id", "score", alphaMicro).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      // brute force: exact rational p per row, textbook BH over sorted p
+      val ncal = cal.length.toLong
+      val m = tst.length.toLong
+      val ps = tst.map { case (id, s) =>
+        (id, s, 1L + cal.count(_ >= s).toLong) }
+      val sorted = ps.sortBy(_._3)
+      val kmax = sorted.zipWithIndex
+        .filter { case ((_, _, num), i) =>
+          num * m * 1000000L <= (i + 1).toLong * alphaMicro * (ncal + 1) }
+        .map(_._2 + 1).lastOption.getOrElse(0)
+      val expect =
+        if (kmax == 0) Seq.empty
+        else {
+          val pThr = sorted(kmax - 1)._3
+          ps.filter(_._3 <= pThr)
+            .map { case (id, s, num) => (id, s, num, ncal + 1) }
+            .sortBy(_._1)
+        }
+      assert(got.toSeq == expect, s"trial=$trial")
+    }
+    // both-empty guard and NULL-score guard fail loudly
+    val e = intercept[Throwable] {
+      Stats.conformalBh(Seq.empty[Long].toDF("score"),
+        Seq((1L, 2L)).toDF("id", "score"), "id", "score", 100000L)
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("conformalBh"))
+  }
+
+  test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
+    "goes NaN, negative values fail loudly") {
+    val rnd = new scala.util.Random(85)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(250)(
+        (rnd.nextInt(3).toLong, rnd.nextInt(50).toLong))
+      val out = Stats.giniByKey(rows.toDF("k", "x"), "k", "x")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 2L).foreach { k =>
+        val xs = rows.filter(_._1 == k).map(_._2).sorted
+        if (xs.nonEmpty) {
+          val r = out(k)
+          val n = xs.length.toLong
+          val sx = xs.sum
+          assert(r.getLong(1) == n && r.getLong(2) == sx)
+          if (sx == 0L) assert(r.getDouble(3).isNaN)
+          else {
+            val s2 = xs.zipWithIndex
+              .map { case (x, i) => BigInt(2) * (i + 1) * x }.sum
+            val g = BigDecimal(s2 - BigInt(n + 1) * sx).toDouble /
+              BigDecimal(BigInt(n) * sx).toDouble
+            assert(r.getDouble(3) == g, s"trial=$trial k=$k")
+          }
+        }
+      }
+    }
+    // all-zero mass -> NaN
+    val z = Stats.giniByKey(Seq((1L, 0L), (1L, 0L)).toDF("k", "x"),
+      "k", "x").collect().head
+    assert(z.getLong(1) == 2L && z.getDouble(3).isNaN)
+    // negative values rejected (Gini undefined over mixed-sign mass)
+    val e = intercept[Throwable] {
+      Stats.giniByKey(Seq((1L, -3L), (1L, 5L)).toDF("k", "x"), "k", "x")
+        .collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("giniByKey"))
+  }
 }
