@@ -9877,6 +9877,63 @@ object Queries {
       |      / CAST(CAST(n AS HUGEINT) * sum_x AS DOUBLE) END AS gini
       |FROM a""".stripMargin
 
+  /** Kruskal–Wallis H per day-of-week (Stats.kruskalWallisH): do the
+    * five event types' spend distributions differ within a weekday —
+    * the k-sample omnibus extending q238's two-sample test. Doubled
+    * rank sums per (dow, type) from RANGE windows over the bounded
+    * histogram; the cross-group Σ R²/n runs as a sorted sequential
+    * fold (list_reduce parity), tie cubes in decimal/HUGEINT. */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    Stats.kruskalWallisH(
+      t(s, dir, "events").select(
+        expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        col("event_type").as("g"), cents(col("value")).as("x")),
+      "dow", "g", "x")
+
+  private val q241Sql =
+    """WITH o AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    event_type AS g, CAST(round(value*100) AS BIGINT) AS x
+      |  FROM events),
+      |h AS (SELECT dow, g, x, CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT dow, g, x, c,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY dow ORDER BY x
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS blw,
+      |    CAST(sum(c) OVER (PARTITION BY dow ORDER BY x
+      |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS tv
+      |  FROM h),
+      |pg AS (
+      |  SELECT dow, g, CAST(sum(c) AS BIGINT) AS nj,
+      |    CAST(sum(c * (2*blw + tv + 1)) AS BIGINT) AS r2
+      |  FROM w GROUP BY 1, 2),
+      |tie AS (
+      |  SELECT dow,
+      |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS t3
+      |  FROM (SELECT dow, x, CAST(sum(c) AS BIGINT) AS t
+      |        FROM h GROUP BY 1, 2) GROUP BY 1),
+      |a AS (
+      |  SELECT dow, CAST(sum(nj) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    list_sort(list({'g': g, 'r2': r2, 'nj': nj})) AS l
+      |  FROM pg GROUP BY 1)
+      |SELECT a.dow, n, n_groups,
+      |  CASE WHEN (1.0 - t3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |        * list_reduce(list_prepend(0.0, list_transform(l, x ->
+      |            CAST(x['r2'] AS DOUBLE) * CAST(x['r2'] AS DOUBLE)
+      |              / (4.0 * CAST(x['nj'] AS DOUBLE)))),
+      |            (p, q) -> p + q)
+      |        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      |      / (1.0 - t3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+      |  END AS h
+      |FROM a JOIN tie ON tie.dow = a.dow""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10122,5 +10179,6 @@ object Queries {
     "q237_pair_betweenness" -> Q(q237, Some(q237Sql)),
     "q238_mann_whitney_z" -> Q(q238, Some(q238Sql)),
     "q239_conformal_bh" -> Q(q239, Some(q239Sql)),
-    "q240_gini_by_key" -> Q(q240, Some(q240Sql)))
+    "q240_gini_by_key" -> Q(q240, Some(q240Sql)),
+    "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)))
 }

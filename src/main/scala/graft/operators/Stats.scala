@@ -2476,6 +2476,85 @@ object Stats {
     else out.where(col(scoreCol) >= lit(thrRow.getLong(0)))
   }
 
+  /** KRUSKAL–WALLIS H per key — the k-SAMPLE extension of
+    * [[mannWhitneyZ]] (Kruskal & Wallis 1952): do ANY of the k groups'
+    * metric distributions differ, without assuming normality — the
+    * multi-arm experiment / multi-source drift omnibus. With midrank
+    * ties and the tie correction:
+    *
+    *   H = [ 12/(n(n+1)) · Σ_j R_j²/n_j − 3(n+1) ] / C
+    *   C = 1 − Σ_t(t³−t) / (n³−n)
+    *
+    * Scale shape: rows collapse to a per-(key, group, value) histogram
+    * (map-side combining); the cumulative-below and tie counts come
+    * from RANGE windows over that bounded histogram partitioned BY KEY
+    * (value semantics, so co-grouped rows of different groups see the
+    * same below/tie counts); each group's DOUBLED rank sum R2_j is an
+    * exact int64 under the same CHECKED n ≤ 2e9 per-key bound as
+    * [[mannWhitneyZ]], and tie cubes form in decimal(38,0). The
+    * cross-group Σ R_j²/n_j is a SORTED SEQUENTIAL FOLD over the
+    * per-key group array (group order fixed by sorting — the
+    * list_reduce parity discipline), so the double-precision sum is
+    * bit-reproducible and the oracle replays it. Keys degenerate to
+    * IEEE NaN (n = 1, or every value tied → C = 0) rather than
+    * throwing. Output: (key, n, n_groups, h). */
+  def kruskalWallisH(df: DataFrame, keyCol: String, grpCol: String,
+                     xCol: String,
+                     maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val x = col(xCol).cast("long")
+    val hist = df.groupBy(col(keyCol), col(grpCol), x.as("__x"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(grpCol).isNull || x.isNull, 1L).otherwise(0L))
+          .as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"kruskalWallisH: $b NULL group/value rows — assign every row " +
+          "a group and a metric, or filter explicitly before calling"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "kruskalWallisH")
+    Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("c")).as("__n")),
+      Contracts.Bound(max(col("__n")), _ <= 2000000000L, n =>
+        s"kruskalWallisH: a key holds $n rows, exceeding the exact " +
+          "doubled-rank-sum int64 contract (n <= 2e9 per key) — sample " +
+          "the rows per key first"))
+    // RANGE windows give VALUE semantics over the (key, group, value)
+    // histogram: all groups sharing a value see the same below/tie mass
+    val below = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val at = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rangeBetween(0, 0)
+    val perGrp = hist
+      .withColumn("blw", coalesce(sum(col("c")).over(below), lit(0L)))
+      .withColumn("tv", sum(col("c")).over(at))
+      .groupBy(col(keyCol), col(grpCol))
+      .agg(sum(col("c")).as("nj"),
+        sum(col("c") * (lit(2L) * col("blw") + col("tv") + 1L)).as("r2"))
+    val tD = col("__t").cast("decimal(38,0)")
+    val ties = hist.groupBy(col(keyCol), col("__x"))
+      .agg(sum(col("c")).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(tD * tD * tD - tD).as("__t3"))
+    val agg = perGrp
+      .groupBy(col(keyCol))
+      .agg(sum(col("nj")).as("n"), count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct(col(grpCol), col("r2"),
+          col("nj")))).as("__gs"))
+      .join(ties, Seq(keyCol))
+    val nD = col("n").cast("double")
+    val sumTerm = aggregate(col("__gs"), lit(0.0), (acc, g) =>
+      acc + (g.getField("r2").cast("double") *
+        g.getField("r2").cast("double")) /
+        (lit(4.0) * g.getField("nj").cast("double")))
+    val hRaw = lit(12.0) / (nD * (nD + 1.0)) * sumTerm -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("__t3").cast("double") /
+      (nD * nD * nD - nD)
+    agg.select(col(keyCol), col("n"), col("n_groups"),
+      when(corr === 0.0, lit(Double.NaN))
+        .otherwise(hRaw / corr).as("h"))
+  }
+
   /** GINI CONCENTRATION per key — the inequality / concentration
     * profile of a nonnegative metric (spend per priority class, token
     * mass per source, sample weight per shard): 0 = perfectly even,

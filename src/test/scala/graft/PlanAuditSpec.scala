@@ -723,7 +723,10 @@ class PlanAuditSpec extends SparkTestBase {
     // partition, never a window over raw rows
     Seq("mannWhitneyZ" -> Stats.mannWhitneyZ(df, "g", "side", "x"),
       "giniByKey" -> Stats.giniByKey(df.select(col("g"), col("x")),
-        "g", "x"))
+        "g", "x"),
+      "kruskalWallisH" -> Stats.kruskalWallisH(
+        df.select(col("g"), (col("x") % 5).as("arm"), col("x")),
+        "g", "arm", "x"))
       .foreach { case (name, q) =>
         val plan = q.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange SinglePartition"),

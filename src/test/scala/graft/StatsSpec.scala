@@ -2029,6 +2029,57 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("conformalBh"))
   }
 
+  test("kruskalWallisH equals the brute-force midrank H with tie " +
+    "correction, reduces to 0 for one group, NaN when all tied") {
+    val rnd = new scala.util.Random(86)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(240)((rnd.nextInt(2).toLong,
+        rnd.nextInt(4).toLong, rnd.nextInt(12).toLong))
+      val out = Stats.kruskalWallisH(rows.toDF("k", "g", "x"),
+        "k", "g", "x").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { key =>
+        val sub = rows.filter(_._1 == key)
+        val n = sub.length.toLong
+        // doubled midrank of value v: 2*(count below) + (count at) + 1
+        val all = sub.map(_._3)
+        def r2of(v: Long) =
+          2L * all.count(_ < v) + all.count(_ == v) + 1L
+        val byG = sub.groupBy(_._2).toSeq.sortBy(_._1)
+        val fold = byG.foldLeft(0.0) { case (acc, (_, g)) =>
+          val r2 = g.map(r => r2of(r._3)).sum
+          acc + (r2.toDouble * r2.toDouble) / (4.0 * g.length.toDouble)
+        }
+        val t3 = all.groupBy(identity).values
+          .map { g => val t = g.length.toLong; t * t * t - t }.sum
+        val nD = n.toDouble
+        val hRaw = 12.0 / (nD * (nD + 1.0)) * fold - 3.0 * (nD + 1.0)
+        val corr = 1.0 - t3.toDouble / (nD * nD * nD - nD)
+        val r = out(key)
+        assert(r.getLong(1) == n && r.getLong(2) == byG.length.toLong)
+        if (corr == 0.0) assert(r.getDouble(3).isNaN)
+        else assert(r.getDouble(3) == hRaw / corr, s"trial=$trial k=$key")
+      }
+    }
+    // one group: H == 0 in exact arithmetic (12/(n(n+1)) * n(n+1)^2/4
+    // == 3(n+1)); the double shape reproduces it exactly here
+    val one = Seq((1L, 0L, 3L), (1L, 0L, 7L), (1L, 0L, 7L), (1L, 0L, 9L))
+      .toDF("k", "g", "x")
+    val or = Stats.kruskalWallisH(one, "k", "g", "x").collect().head
+    assert(or.getLong(2) == 1L && or.getDouble(3) == 0.0)
+    // every value tied -> C = 0 -> NaN
+    val flat = Seq((1L, 0L, 5L), (1L, 1L, 5L), (1L, 0L, 5L), (1L, 1L, 5L))
+      .toDF("k", "g", "x")
+    val fr = Stats.kruskalWallisH(flat, "k", "g", "x").collect().head
+    assert(fr.getDouble(3).isNaN)
+    // NULL group rows fail loudly
+    val dirty = Seq((1L, Some(0L), 3L), (1L, None, 2L), (1L, Some(1L), 1L))
+      .toDF("k", "g", "x")
+    val e = intercept[Throwable] {
+      Stats.kruskalWallisH(dirty, "k", "g", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("kruskalWallisH"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
