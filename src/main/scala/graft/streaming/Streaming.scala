@@ -552,6 +552,87 @@ object Streaming {
       .toDF("k", "o", "id", "n", "slope")
   }
 
+  /** Streaming conformal-anomaly monitor — the live twin of
+    * [[graft.operators.Stats.conformalBh]] (q239): per monitored key
+    * the state is the TEST score histogram (bounded by score
+    * resolution — the batch bounded-histogram contract made a stream
+    * invariant, CHECKED per batch with a loud failure), while the
+    * calibration histogram is a fixed plan literal (held out by
+    * construction, it never grows). Each batch folds its rows in and
+    * re-runs the SAME cross-multiplied int64 BH sweep as the batch
+    * operator — exact rational p-values, the (ncal+1)·m·10⁶ ≤ 9e18
+    * magnitude contract re-CHECKED as m grows — and emits the key's
+    * refreshed (m, n_discoveries, thr_score, any) row (Append —
+    * downstream keeps the latest row per key; discoveries are exactly
+    * the rows with score ≥ thr_score when `any`). Batch parity is
+    * structural: same histogram, same integer predicate, same
+    * min-satisfying-score threshold — pinned by StreamingSpec against
+    * `conformalBh` of the accumulated rows. Input columns: (k, s). */
+  def streamingConformal(obs: DataFrame, calHist: Map[Long, Long],
+                         alphaMicro: Long,
+                         maxDistinctScores: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"streamingConformal: alphaMicro must be in (0, 1e6), got $alphaMicro")
+    require(calHist.nonEmpty && calHist.valuesIterator.forall(_ > 0),
+      "streamingConformal: calibration histogram must be non-empty with " +
+        "positive counts")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val ncal = calHist.valuesIterator.sum
+    // descending calibration scores + cumulative ≥-counts, fixed once
+    val calDesc = calHist.toArray.sortBy(-_._1)
+    val calScores = calDesc.map(_._1)
+    val calCum = calDesc.scanLeft(0L)(_ + _._2).tail
+    def geCal(s: Long): Long = {
+      var lo = 0; var hi = calScores.length // calScores descending
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (calScores(mid) >= s) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) 0L else calCum(lo - 1)
+    }
+    obs.select(col("k").cast("long"), col("s").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long],
+        (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[Map[Long, Long]]) =>
+          var h = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, s) =>
+            h = h.updated(s, h.getOrElse(s, 0L) + 1L) }
+          require(h.size <= maxDistinctScores,
+            s"streamingConformal: key $k holds ${h.size} distinct " +
+              s"scores, exceeding the bounded-histogram contract " +
+              s"(maxDistinctScores=$maxDistinctScores) — quantize the " +
+              "score before streaming")
+          state.update(h)
+          val m = h.valuesIterator.sum
+          require((ncal + 1).toDouble * m.toDouble * 1e6 <= 9e18,
+            s"streamingConformal: key $k reached (n_cal+1)*m = " +
+              s"${(ncal + 1) * m}, exceeding the cross-multiplied " +
+              "int64 exactness contract ((n_cal+1)*m*1e6 <= 9e18) — " +
+              "sample the calibration or shard the monitor")
+          // descending sweep: within a tie block only the largest rank
+          // can certify, and the LAST satisfying block (smallest score)
+          // is the selection threshold — the batch operator verbatim
+          var r = 0L
+          var thr = Option.empty[Long]
+          h.toArray.sortBy(-_._1).foreach { case (s, c) =>
+            r += c
+            val pnum = 1L + geCal(s)
+            if (pnum * m * 1000000L <= r * alphaMicro * (ncal + 1L))
+              thr = Some(s)
+          }
+          val nDisc = thr.map(t =>
+            h.iterator.filter(_._1 >= t).map(_._2).sum).getOrElse(0L)
+          Iterator((k, m, nDisc, thr.getOrElse(Long.MinValue),
+            thr.isDefined))
+      }
+      .toDF("k", "m", "n_discoveries", "thr_score", "any")
+  }
+
   /** Streamed RQ rank-quantile sketch per key — the live twin of
     * `functions.rq_sketch` (q192/q193): per-key state is the canonical
     * sketch bytes (level + ≤ budget exact value counts), each batch

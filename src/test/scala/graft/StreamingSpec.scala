@@ -1537,4 +1537,46 @@ class StreamingSpec extends SparkTestBase {
       "frame_idx", "matrix", cutThreshold = 5000.0)),
       "restored edge set != batch rebuild of the surviving corpus")
   }
+
+  test("streaming conformal monitor serves the exact batch BH threshold " +
+    "and discovery count across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val calHist = (0L to 19L).map(_ -> 1L).toMap
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streaming.streamingConformal(mem.toDF().toDF("k", "s"),
+        calHist, alphaMicro = 200000L)
+      .writeStream.format("memory").queryName("conf").outputMode("append")
+      .start()
+    try {
+      // key 1 accumulates normal scores, then out-of-distribution ones
+      // ACROSS the batch boundary (state must carry the histogram);
+      // key 2 stays in-distribution
+      val b1 = Seq((1L, 5L), (1L, 12L), (2L, 3L), (2L, 8L))
+      mem.addData(b1: _*); q.processAllAvailable()
+      val b2 = Seq((1L, 30L), (1L, 31L), (1L, 32L), (1L, 7L), (2L, 9L))
+      mem.addData(b2: _*); q.processAllAvailable()
+      val latest = spark.table("conf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      val calDF = calHist.toSeq
+        .flatMap { case (v, c) => Seq.fill(c.toInt)(v) }.toDF("score")
+      (1L to 2L).foreach { k =>
+        val acc = (b1 ++ b2).filter(_._1 == k).map(_._2).zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }
+        val disc = graft.operators.Stats.conformalBh(calDF,
+            acc.toDF("id", "score"), "id", "score", 200000L)
+          .collect()
+        val (_, m, nd, thr, any) = latest(k)
+        assert(m == acc.length.toLong, s"key $k m")
+        assert(nd == disc.length.toLong, s"key $k discoveries")
+        assert(any == disc.nonEmpty, s"key $k any")
+        if (disc.nonEmpty)
+          assert(thr == disc.map(_.getLong(1)).min, s"key $k threshold")
+      }
+      // the shifted key discovered its injected outliers; the quiet
+      // key did not
+      assert(latest(1L)._5 && latest(1L)._3 == 3L && !latest(2L)._5)
+    } finally q.stop()
+  }
 }
