@@ -9934,6 +9934,34 @@ object Queries {
       |  END AS h
       |FROM a JOIN tie ON tie.dow = a.dow""".stripMargin
 
+  /** Deterministic stratified sample of the event stream
+    * (Stats.stratifiedSample, budget 600 across event types): exact
+    * largest-remainder apportionment over the bounded strata table,
+    * rows picked inside each stratum by the MINSTD modular hop — a
+    * pure function of the input, so the oracle replays allocation,
+    * hop order and join-back bit-exactly. */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    Stats.stratifiedSample(
+      t(s, dir, "events").select(col("event_type"), col("event_id")),
+      "event_type", "event_id", sampleSize = 600L)
+
+  private val q242Sql =
+    """WITH d AS (SELECT event_type AS st, event_id AS id FROM events),
+      |c AS (SELECT st, CAST(count(*) AS BIGINT) AS nh FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM c),
+      |a0 AS (SELECT st, nh, (600 * nh) // n AS base,
+      |         (600 * nh) % n AS rem FROM c, t),
+      |g AS (SELECT CAST(600 - sum(base) AS BIGINT) AS give FROM a0),
+      |al AS (SELECT st, base + (CASE WHEN row_number()
+      |           OVER (ORDER BY rem DESC, st ASC) <= give
+      |         THEN 1 ELSE 0 END) AS alloc
+      |       FROM a0, g),
+      |rk AS (SELECT st, id, row_number() OVER (PARTITION BY st
+      |         ORDER BY (id % 2147483647) * 48271 % 2147483647, id) AS rn
+      |       FROM d)
+      |SELECT rk.st AS event_type, rk.id AS event_id
+      |FROM rk JOIN al ON al.st = rk.st WHERE rk.rn <= al.alloc""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10180,5 +10208,6 @@ object Queries {
     "q238_mann_whitney_z" -> Q(q238, Some(q238Sql)),
     "q239_conformal_bh" -> Q(q239, Some(q239Sql)),
     "q240_gini_by_key" -> Q(q240, Some(q240Sql)),
-    "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)))
+    "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)),
+    "q242_stratified_sample" -> Q(q242, Some(q242Sql)))
 }

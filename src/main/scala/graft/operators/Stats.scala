@@ -2555,6 +2555,78 @@ object Stats {
         .otherwise(hRaw / corr).as("h"))
   }
 
+  /** DETERMINISTIC STRATIFIED SAMPLE with exact largest-remainder
+    * allocation (Hamilton apportionment) — the reproducible
+    * downsampling pass a corpus-curation pipeline runs per source /
+    * language / shard: a total budget of `sampleSize` rows is split
+    * across strata EXACTLY proportionally (base = ⌊size·n_h/N⌋, the
+    * leftover seats go to the largest remainders, stratum-key
+    * tie-break — Σ alloc_h == sampleSize always, never a
+    * rounding-drift row), and WITHIN a stratum rows are picked by a
+    * deterministic pseudo-random total order — a MINSTD hop
+    * (x·48271 mod 2³¹−1 over id mod 2³¹−1, id tie-break), so the
+    * sample is a pure function of the input (re-runs, retries and
+    * engines agree; no rand() seed drift) while staying uncorrelated
+    * with id order. All arithmetic is int64-safe by construction
+    * (the hop operands are < 2³¹; budget·n_h ≤ budget·N is CHECKED).
+    *
+    * Scale shape: the strata table is aggregation-bounded (CHECKED
+    * ≤ maxStrata) so the apportionment runs on it alone — its one
+    * single-partition rank is over strata, never rows (the rankAuc
+    * bounded-table discipline); the data-sized side pays one
+    * key-partitioned rank window (per-stratum top-alloc) and one
+    * equi-join against the bounded allocation table (AQE broadcasts
+    * it when it fits — no forced hint). A stratum never receives more
+    * than it holds: base < n_h whenever its remainder can win a
+    * leftover seat. Output: the sampled (stratum, id) rows. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       sampleSize: Long,
+                       maxStrata: Long = 1000000L): DataFrame = {
+    require(sampleSize > 0, s"stratifiedSample: sampleSize $sampleSize")
+    val cnt = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__nh"),
+        sum(when(col(stratumCol).isNull || col(idCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    val Seq(n, _, _) = Contracts.enforce(cnt,
+      Contracts.read(sum(col("__nh"))),
+      Contracts.Bound(count(lit(1)), _ <= maxStrata, c =>
+        s"stratifiedSample: $c strata exceed the bounded-strata " +
+          s"contract (maxStrata=$maxStrata) — coarsen the stratum key"),
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"stratifiedSample: $b NULL stratum/id rows — assign every row " +
+          "a stratum and an id, or filter explicitly before calling"))
+    require(sampleSize <= n,
+      s"stratifiedSample: sampleSize $sampleSize exceeds population $n")
+    require(sampleSize.toDouble * n.toDouble <= 9e18,
+      s"stratifiedSample: sampleSize*N = ${sampleSize * n} exceeds the " +
+        "int64 apportionment contract (<= 9e18) — shard the population " +
+        "and sample per shard")
+    val quota = cnt
+      .withColumn("__base", expr(s"(${sampleSize}L * __nh) div ${n}L"))
+      .withColumn("__rem", (lit(sampleSize) * col("__nh")) % lit(n))
+      .localCheckpoint()
+    val Seq(baseSum) = Contracts.enforce(quota,
+      Contracts.read(sum(col("__base"))))
+    val give = sampleSize - baseSum
+    // single-partition rank over the BOUNDED strata table only
+    val remRank = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+    val alloc = quota
+      .withColumn("__alloc", col("__base") +
+        when(row_number().over(remRank) <= lit(give), 1L).otherwise(0L))
+      .where(col("__alloc") > 0L)
+      .select(col(stratumCol), col("__alloc"))
+    val hop = pmod(pmod(col(idCol).cast("long"), lit(2147483647L)) *
+      lit(48271L), lit(2147483647L))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(hop.asc, col(idCol).asc)
+    df.select(col(stratumCol), col(idCol))
+      .withColumn("__rn", row_number().over(rk))
+      .join(alloc, Seq(stratumCol))
+      .where(col("__rn") <= col("__alloc"))
+      .select(col(stratumCol), col(idCol))
+  }
+
   /** GINI CONCENTRATION per key — the inequality / concentration
     * profile of a nonnegative metric (spend per priority class, token
     * mass per source, sample weight per shard): 0 = perfectly even,

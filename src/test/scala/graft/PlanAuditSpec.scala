@@ -751,5 +751,16 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(cbHints.isEmpty,
       s"conformalBh must not force a broadcast hint: $cbHints")
+    // stratifiedSample: the ONLY single-partition stage is the
+    // apportionment rank over the CHECKED bounded (and materialized)
+    // strata table; the data-sized rank window hashes by stratum
+    val pop = spark.range(20000).select((col("id") % 13).cast("string")
+      .as("st"), col("id"))
+    val ss = Stats.stratifiedSample(pop, "st", "id", 500L)
+    val ssPlan = ss.queryExecution.executedPlan.toString
+    assert("Exchange SinglePartition".r.findAllIn(ssPlan).length <= 1,
+      s"stratifiedSample: one bounded apportionment move only:\n$ssPlan")
+    assert(ssPlan.contains("hashpartitioning(st"),
+      s"stratifiedSample data window must hash by stratum:\n$ssPlan")
   }
 }

@@ -2080,6 +2080,49 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("kruskalWallisH"))
   }
 
+  test("stratifiedSample reproduces the brute-force Hamilton allocation " +
+    "and MINSTD pick order; budget always exact; guards fail loudly") {
+    val rnd = new scala.util.Random(87)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 300).map { i =>
+        (s"s${rnd.nextInt(7)}", i.toLong * 13 + rnd.nextInt(5)) }
+        .distinct
+      val budget = 40L + rnd.nextInt(60)
+      val got = Stats.stratifiedSample(rows.toDF("st", "id"),
+        "st", "id", budget).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // brute force: Hamilton apportionment then per-stratum hop order
+      val n = rows.length.toLong
+      val byS = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      val base = byS.map { case (s, g) =>
+        (s, g, budget * g.length / n, (budget * g.length) % n) }
+      val give = (budget - base.map(_._3).sum).toInt
+      val boosted = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+        .zipWithIndex
+        .map { case ((s, g, b, _), i) => (s, g, b + (if (i < give) 1 else 0)) }
+      val expect = boosted.flatMap { case (_, g, alloc) =>
+        g.sortBy { case (_, id) =>
+          ((id % 2147483647L) * 48271L % 2147483647L, id) }
+          .take(alloc.toInt)
+      }.toSet
+      assert(got.size.toLong == budget, s"trial=$trial budget")
+      assert(got == expect.map(identity), s"trial=$trial selection")
+    }
+    // budget beyond the population fails loudly
+    val small = Seq(("a", 1L), ("a", 2L)).toDF("st", "id")
+    val e = intercept[Throwable] {
+      Stats.stratifiedSample(small, "st", "id", 5L)
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("stratifiedSample"))
+    // NULL stratum rejected
+    val dirty = Seq((Some("a"), 1L), (None, 2L), (Some("b"), 3L))
+      .toDF("st", "id")
+    val e2 = intercept[Throwable] {
+      Stats.stratifiedSample(dirty, "st", "id", 2L)
+    }
+    assert(Option(e2.getMessage).getOrElse("").contains("stratifiedSample"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
