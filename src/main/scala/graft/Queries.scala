@@ -9962,6 +9962,72 @@ object Queries {
       |SELECT rk.st AS event_type, rk.id AS event_id
       |FROM rk JOIN al ON al.st = rk.st WHERE rk.rn <= al.alloc""".stripMargin
 
+  /** Log-rank survival comparison per user segment (Stats.logRank):
+    * does the even-user arm "convert" (first signup) on a different
+    * time curve than the odd arm — subjects are users, time = observed
+    * activity span in days, event = any signup (others censored at
+    * span end). Exact integer risk sets from one descending cumulative
+    * window; E1/V as sorted sequential folds (the list_reduce parity
+    * discipline); completes q221's Kaplan–Meier with its significance
+    * readout. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(expr("(max(ts) - min(ts)) div 86400000000000").as("t"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("__ev"))
+      .select(pmod(col("user_id"), lit(3L)).as("seg"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("arm"),
+        col("t"), (col("__ev") === 1L).as("ev"))
+    Stats.logRank(subj, "seg", "arm", "t", "ev")
+  }
+
+  private val q243Sql =
+    """WITH u AS (
+      |  SELECT user_id % 3 AS seg, user_id % 2 = 0 AS arm,
+      |    (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 86400000000000 AS t,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS ev
+      |  FROM events GROUP BY user_id),
+      |h AS (
+      |  SELECT seg, t,
+      |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+      |    CAST(count(*) AS BIGINT) AS atot,
+      |    CAST(sum(CASE WHEN arm AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d1,
+      |    CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u GROUP BY 1, 2),
+      |w AS (
+      |  SELECT seg, t, d1, d,
+      |    CAST(sum(a1) OVER (PARTITION BY seg ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n1,
+      |    CAST(sum(atot) OVER (PARTITION BY seg ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n
+      |  FROM h),
+      |a AS (
+      |  SELECT seg, CAST(sum(d1) AS BIGINT) AS o1,
+      |    list_sort(list({'t': t, 'd1': d1, 'd': d, 'n1': n1, 'n': n}))
+      |      AS l
+      |  FROM w WHERE d > 0 GROUP BY 1),
+      |b AS (
+      |  SELECT seg, o1,
+      |    list_reduce(list_prepend(0.0, list_transform(l, x ->
+      |      CAST(x['d'] AS DOUBLE) * CAST(x['n1'] AS DOUBLE)
+      |        / CAST(x['n'] AS DOUBLE))), (p, q) -> p + q) AS e1,
+      |    list_reduce(list_prepend(0.0, list_transform(l, x ->
+      |      CASE WHEN x['n'] > 1 THEN
+      |        CAST(x['d'] AS DOUBLE)
+      |        * (CAST(x['n1'] AS DOUBLE) / CAST(x['n'] AS DOUBLE))
+      |        * (1.0 - CAST(x['n1'] AS DOUBLE) / CAST(x['n'] AS DOUBLE))
+      |        * ((CAST(x['n'] AS DOUBLE) - CAST(x['d'] AS DOUBLE))
+      |          / (CAST(x['n'] AS DOUBLE) - 1.0))
+      |      ELSE 0.0 END)), (p, q) -> p + q) AS v
+      |  FROM a)
+      |SELECT seg, o1, e1, v,
+      |  CASE WHEN v = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS z
+      |FROM b""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10209,5 +10275,6 @@ object Queries {
     "q239_conformal_bh" -> Q(q239, Some(q239Sql)),
     "q240_gini_by_key" -> Q(q240, Some(q240Sql)),
     "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)),
-    "q242_stratified_sample" -> Q(q242, Some(q242Sql)))
+    "q242_stratified_sample" -> Q(q242, Some(q242Sql)),
+    "q243_log_rank" -> Q(q243, Some(q243Sql)))
 }

@@ -2627,6 +2627,79 @@ object Stats {
       .select(col(stratumCol), col(idCol))
   }
 
+  /** LOG-RANK TEST per key — does arm A's survival curve differ from
+    * arm B's (Mantel 1966; the significance companion to the
+    * Kaplan–Meier estimate, q221): churn/retention A-B readouts,
+    * time-to-failure comparisons. At each distinct EVENT time the
+    * hypergeometric expectation and variance accumulate:
+    *
+    *   O1 = Σ_j d1j            E1 = Σ_j d_j·n1j/n_j
+    *   V  = Σ_j d_j·(n1j/n_j)·(1−n1j/n_j)·(n_j−d_j)/(n_j−1)
+    *   z  = (O1 − E1) / √V
+    *
+    * (n·j = at-risk counts — subjects with time ≥ t_j, censored or
+    * not; d·j = events AT t_j.)
+    *
+    * Scale shape: subjects collapse to a per-(key, time) histogram
+    * (map-side combining, bounded by time resolution — CHECKED, the
+    * [[rankAucByKey]] discipline); at-risk counts come from ONE
+    * descending cumulative window partitioned by key; O1 is an exact
+    * long; E1 and V are SORTED SEQUENTIAL FOLDS over the per-key
+    * event-time array ([[kruskalWallisH]]'s list_reduce parity
+    * discipline — bit-reproducible double sums the oracle replays).
+    * Zero variance (no events, or an empty arm at every event time
+    * with d = n) → z = NaN. NULL side/time/event rows are rejected in
+    * the histogram aggregation. Censoring: event = false rows leave
+    * the risk set at their time without contributing an event — the
+    * standard right-censoring semantics.
+    * Output: (key, o1, e1, v, z). */
+  def logRank(df: DataFrame, keyCol: String, sideCol: String,
+              timeCol: String, eventCol: String,
+              maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val tcol = col(timeCol).cast("long")
+    val ev = col(eventCol).cast("boolean")
+    val hist = df.groupBy(col(keyCol), tcol.as("__t"))
+      .agg(sum(when(side, 1L).otherwise(0L)).as("a1"),
+        count(lit(1)).as("atot"),
+        sum(when(side && ev, 1L).otherwise(0L)).as("d1"),
+        sum(when(ev, 1L).otherwise(0L)).as("d"),
+        sum(when(side.isNull || tcol.isNull || ev.isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"logRank: $b NULL side/time/event rows — assign every subject " +
+          "an arm, a time and an event flag, or filter explicitly"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "logRank")
+    val atRisk = Window.partitionBy(col(keyCol)).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val eventsOnly = hist
+      .withColumn("n1", sum(col("a1")).over(atRisk))
+      .withColumn("n", sum(col("atot")).over(atRisk))
+      .where(col("d") > 0L)
+    val agg = eventsOnly
+      .groupBy(col(keyCol))
+      .agg(sum(col("d1")).as("o1"),
+        sort_array(collect_list(struct(col("__t"), col("d1"), col("d"),
+          col("n1"), col("n")))).as("__l"))
+    def dD(g: Column) = g.getField("d").cast("double")
+    def n1D(g: Column) = g.getField("n1").cast("double")
+    def nD(g: Column) = g.getField("n").cast("double")
+    val e1 = aggregate(col("__l"), lit(0.0), (acc, g) =>
+      acc + dD(g) * n1D(g) / nD(g))
+    val v = aggregate(col("__l"), lit(0.0), (acc, g) =>
+      acc + when(g.getField("n") > 1L,
+        dD(g) * (n1D(g) / nD(g)) * (lit(1.0) - n1D(g) / nD(g)) *
+          ((nD(g) - dD(g)) / (nD(g) - lit(1.0))))
+        .otherwise(lit(0.0)))
+    agg.select(col(keyCol), col("o1"), e1.as("e1"), v.as("v"),
+        col("o1").cast("double").as("__o1d"))
+      .select(col(keyCol), col("o1"), col("e1"), col("v"),
+        when(col("v") === 0.0, lit(Double.NaN))
+          .otherwise((col("__o1d") - col("e1")) / sqrt(col("v"))).as("z"))
+  }
+
   /** GINI CONCENTRATION per key — the inequality / concentration
     * profile of a nonnegative metric (spend per priority class, token
     * mass per source, sample weight per shard): 0 = perfectly even,

@@ -726,7 +726,11 @@ class PlanAuditSpec extends SparkTestBase {
         "g", "x"),
       "kruskalWallisH" -> Stats.kruskalWallisH(
         df.select(col("g"), (col("x") % 5).as("arm"), col("x")),
-        "g", "arm", "x"))
+        "g", "arm", "x"),
+      "logRank" -> Stats.logRank(
+        df.select(col("g"), col("side"), col("x"),
+          (col("x") % 3 === 0).as("ev")),
+        "g", "side", "x", "ev"))
       .foreach { case (name, q) =>
         val plan = q.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange SinglePartition"),

@@ -2123,6 +2123,64 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e2.getMessage).getOrElse("").contains("stratifiedSample"))
   }
 
+  test("logRank equals the brute-force hypergeometric accumulation with " +
+    "censoring, zero variance goes NaN, NULL rows fail loudly") {
+    val rnd = new scala.util.Random(88)
+    (1 to 3).foreach { trial =>
+      // (key, arm, time, event) — ~30% censored
+      val rows = Seq.fill(160)((rnd.nextInt(2).toLong, rnd.nextBoolean(),
+        rnd.nextInt(10).toLong, rnd.nextInt(10) < 7))
+      val out = Stats.logRank(rows.toDF("k", "arm", "t", "ev"),
+        "k", "arm", "t", "ev").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val eventTimes = sub.filter(_._4).map(_._3).distinct.sorted
+        if (eventTimes.nonEmpty) {
+          var e1 = 0.0; var v = 0.0; var o1 = 0L
+          eventTimes.foreach { t =>
+            val n1 = sub.count(r => r._2 && r._3 >= t).toLong
+            val n = sub.count(_._3 >= t).toLong
+            val d1 = sub.count(r => r._2 && r._4 && r._3 == t).toLong
+            val d = sub.count(r => r._4 && r._3 == t).toLong
+            o1 += d1
+            e1 += d.toDouble * n1.toDouble / n.toDouble
+            if (n > 1L)
+              v += d.toDouble * (n1.toDouble / n.toDouble) *
+                (1.0 - n1.toDouble / n.toDouble) *
+                ((n.toDouble - d.toDouble) / (n.toDouble - 1.0))
+          }
+          val r = out(k)
+          assert(r.getLong(1) == o1, s"trial=$trial k=$k o1")
+          assert(r.getDouble(2) == e1, s"trial=$trial k=$k e1")
+          assert(r.getDouble(3) == v, s"trial=$trial k=$k v")
+          if (v == 0.0) assert(r.getDouble(4).isNaN)
+          else assert(r.getDouble(4) ==
+            (o1.toDouble - e1) / math.sqrt(v), s"trial=$trial k=$k z")
+        } else assert(!out.contains(k))
+      }
+    }
+    // censored rows hold the risk set but never count as events: one
+    // event at t=1 with a censored arm-B subject still at risk
+    val cs = Seq((1L, true, 1L, true), (1L, false, 3L, false))
+      .toDF("k", "arm", "t", "ev")
+    val cr = Stats.logRank(cs, "k", "arm", "t", "ev").collect().head
+    assert(cr.getLong(1) == 1L && cr.getDouble(2) == 0.5 &&
+      cr.getDouble(3) == 0.25 && cr.getDouble(4) == 1.0)
+    // all events in a one-arm key -> V = 0 -> NaN
+    val single = Seq((2L, true, 1L, true), (2L, true, 2L, true))
+      .toDF("k", "arm", "t", "ev")
+    val sr = Stats.logRank(single, "k", "arm", "t", "ev").collect().head
+    assert(sr.getDouble(4).isNaN)
+    // NULL event flag fails loudly
+    val dirty = Seq((1L, Some(true), 1L, Some(true)),
+      (1L, Some(false), 2L, None)).toDF("k", "arm", "t", "ev")
+    val e = intercept[Throwable] {
+      Stats.logRank(dirty, "k", "arm", "t", "ev").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("logRank"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
