@@ -10028,6 +10028,54 @@ object Queries {
       |    ELSE (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END AS z
       |FROM b""".stripMargin
 
+  /** Population-stability-index drift of the event-type mix per user
+    * segment (Stats.psiByKey): baseline = the first half of the
+    * observed day range, current = the second half — the standard
+    * model-monitoring readout ("did the traffic mix move?"). The day
+    * midpoint joins in as a one-row broadcast bound; union buckets
+    * with add-one smoothing; the only transcendental is the
+    * micro-quantized per-bucket ln, so the per-key sum is exact
+    * HUGEINT/decimal on both engines. */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      expr("ts div 86400000000000").as("day"),
+      pmod(col("user_id"), lit(4L)).as("seg"), col("event_type"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("__mid"))
+    val withMid = ev.crossJoin(broadcast(mid))
+    Stats.psiByKey(withMid.where(col("day") < col("__mid")),
+      withMid.where(col("day") >= col("__mid")), "seg", "event_type")
+  }
+
+  private val q244Sql =
+    """WITH ev AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id % 4 AS seg,
+      |    event_type FROM events),
+      |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |ha AS (SELECT seg, event_type AS cat, CAST(count(*) AS BIGINT) AS ca0
+      |       FROM ev, m WHERE day < mid GROUP BY 1, 2),
+      |hb AS (SELECT seg, event_type AS cat, CAST(count(*) AS BIGINT) AS cb0
+      |       FROM ev, m WHERE day >= mid GROUP BY 1, 2),
+      |j AS (SELECT coalesce(ha.seg, hb.seg) AS seg,
+      |        coalesce(ha.cat, hb.cat) AS cat,
+      |        coalesce(ca0, 0) + 1 AS ca, coalesce(cb0, 0) + 1 AS cb
+      |      FROM ha FULL OUTER JOIN hb
+      |        ON ha.seg = hb.seg AND ha.cat = hb.cat),
+      |tt AS (SELECT seg, cat, ca, cb,
+      |        CAST(sum(ca) OVER (PARTITION BY seg) AS BIGINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY seg) AS BIGINT) AS nb,
+      |        CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS k
+      |      FROM j),
+      |u AS (SELECT seg, na, nb, k,
+      |        (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+      |          * CAST(round(ln(CAST(CAST(ca AS HUGEINT) * nb AS DOUBLE)
+      |              / CAST(CAST(cb AS HUGEINT) * na AS DOUBLE))
+      |              * 1000000.0) AS BIGINT) AS term
+      |      FROM tt)
+      |SELECT seg, na - k AS n_a, nb - k AS n_b, k AS n_buckets,
+      |  CAST(sum(term) AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1000000.0 AS psi
+      |FROM u GROUP BY seg, na, nb, k""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10276,5 +10324,6 @@ object Queries {
     "q240_gini_by_key" -> Q(q240, Some(q240Sql)),
     "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)),
     "q242_stratified_sample" -> Q(q242, Some(q242Sql)),
-    "q243_log_rank" -> Q(q243, Some(q243Sql)))
+    "q243_log_rank" -> Q(q243, Some(q243Sql)),
+    "q244_psi_drift" -> Q(q244, Some(q244Sql)))
 }

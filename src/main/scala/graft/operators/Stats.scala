@@ -2765,4 +2765,78 @@ object Stats {
         .otherwise((col("__s2") - (nD + 1) * sxD).cast("double") /
           (nD * sxD).cast("double")).as("gini"))
   }
+
+  /** POPULATION STABILITY INDEX per key between two categorical
+    * snapshots (the standard model-monitoring drift readout: <0.1
+    * stable, 0.1–0.25 moderate shift, >0.25 broken feed) — "did the
+    * event-type mix / language mix / source mix move between baseline
+    * and current?", answered per segment:
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *
+    * over the UNION of both sides' buckets with add-one (Laplace)
+    * smoothing — c' = c + 1 per bucket, N' = N + K per side — so empty
+    * buckets are well-defined and the statistic is a total function of
+    * the two multisets (no ε knob, no dropped buckets). A key present
+    * in only ONE snapshot still gets a PSI (all its baseline buckets
+    * smooth to 1/N'), which is exactly the "brand-new distribution"
+    * alarm a monitor wants.
+    *
+    * Exactness/engine-parity: rows collapse to per-(key, cat) integer
+    * histograms (map-side combining, bucket cardinality CHECKED);
+    * p − q forms as the exact integer cross term c_a·N_b − c_b·N_a in
+    * decimal(38,0); the single transcendental per bucket is
+    * micro-quantized — lnq = round(ln((c_a·N_b)/(c_b·N_a))·10⁶) as
+    * int64, the corpus-wide log discipline — so the per-key sum
+    * Σ (c_a·N_b − c_b·N_a)·lnq is an exact decimal the oracle replays
+    * in HUGEINT, and only the final division is floating point.
+    * Identical distributions ⟹ every cross term is exactly 0 ⟹
+    * psi == 0.0 bit-exactly. NULL categories are rejected in the
+    * histogram aggregation. Shape: two hash aggs + ONE co-partitioned
+    * full-outer join on (key, cat) + key-partitioned windows over the
+    * bounded histogram — no driver collect, shuffle bounded by
+    * keys × buckets. Output: (key, n_a, n_b, n_buckets, psi). */
+  def psiByKey(a: DataFrame, b: DataFrame, keyCol: String, catCol: String,
+               maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    def hist(df: DataFrame, out: String) = {
+      val h = df.groupBy(col(keyCol), col(catCol).as("__cat"))
+        .agg(count(lit(1)).as(out),
+          sum(when(col(catCol).isNull, 1L).otherwise(0L)).as("__bad"))
+        .localCheckpoint()
+      Contracts.enforce(h,
+        Contracts.Bound(sum(col("__bad")), _ == 0L, n =>
+          s"psiByKey: $n NULL category rows — bucket every row " +
+            "explicitly (e.g. an 'unknown' category) before calling"))
+      h.drop("__bad")
+    }
+    val joined = hist(a, "__ca0").join(hist(b, "__cb0"),
+        Seq(keyCol, "__cat"), "full_outer")
+      .select(col(keyCol), col("__cat"),
+        (coalesce(col("__ca0"), lit(0L)) + 1L).as("__ca"),
+        (coalesce(col("__cb0"), lit(0L)) + 1L).as("__cb"))
+      .localCheckpoint()
+    requireBoundedPerKey(joined, keyCol, maxDistinctPerKey, "psiByKey")
+    val perKey = Window.partitionBy(col(keyCol))
+    val withTot = joined
+      .withColumn("__na", sum(col("__ca")).over(perKey))
+      .withColumn("__nb", sum(col("__cb")).over(perKey))
+      .withColumn("__k", count(lit(1)).over(perKey))
+    val d = "decimal(38,0)"
+    val pa = col("__ca").cast(d) * col("__nb").cast(d)
+    val qb = col("__cb").cast(d) * col("__na").cast(d)
+    val lnq = round(log(pa.cast("double") / qb.cast("double"))
+      * lit(1000000.0), 0).cast("long")
+    val agg = withTot
+      .withColumn("__term", (pa - qb) * lnq.cast(d))
+      .groupBy(col(keyCol))
+      .agg(first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
+        first(col("__k")).as("n_buckets"), sum(col("__term")).as("__s"))
+    agg.select(col(keyCol),
+      (col("__na") - col("n_buckets")).as("n_a"),
+      (col("__nb") - col("n_buckets")).as("n_b"),
+      col("n_buckets"),
+      (col("__s").cast("double") /
+        (col("__na").cast("double") * col("__nb").cast("double")) /
+        lit(1000000.0)).as("psi"))
+  }
 }

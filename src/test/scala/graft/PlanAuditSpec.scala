@@ -730,7 +730,13 @@ class PlanAuditSpec extends SparkTestBase {
       "logRank" -> Stats.logRank(
         df.select(col("g"), col("side"), col("x"),
           (col("x") % 3 === 0).as("ev")),
-        "g", "side", "x", "ev"))
+        "g", "side", "x", "ev"),
+      "psiByKey" -> Stats.psiByKey(
+        df.where(col("side")).select(col("g"),
+          concat(lit("c"), col("x") % 5).as("cat")),
+        df.where(!col("side")).select(col("g"),
+          concat(lit("c"), col("x") % 6).as("cat")),
+        "g", "cat"))
       .foreach { case (name, q) =>
         val plan = q.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange SinglePartition"),

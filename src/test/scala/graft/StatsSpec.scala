@@ -2181,6 +2181,70 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("logRank"))
   }
 
+  test("psiByKey equals the brute-force smoothed PSI, identical " +
+    "distributions give exactly 0.0, one-sided keys alarm, NULL " +
+    "categories fail loudly") {
+    val rnd = new scala.util.Random(91)
+    (1 to 3).foreach { trial =>
+      val a = Seq.fill(120)((rnd.nextInt(2).toLong,
+        s"c${rnd.nextInt(5)}"))
+      val b = Seq.fill(140)((rnd.nextInt(2).toLong,
+        s"c${rnd.nextInt(6)}"))
+      val out = Stats.psiByKey(a.toDF("k", "cat"), b.toDF("k", "cat"),
+        "k", "cat").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val ca0 = a.filter(_._1 == k).groupBy(_._2).map { case (c, r) =>
+          c -> r.size.toLong }
+        val cb0 = b.filter(_._1 == k).groupBy(_._2).map { case (c, r) =>
+          c -> r.size.toLong }
+        val cats = (ca0.keySet ++ cb0.keySet).toSeq.sorted
+        val kk = cats.size.toLong
+        val na = ca0.values.sum + kk
+        val nb = cb0.values.sum + kk
+        var s = BigInt(0)
+        cats.foreach { c =>
+          val ca = ca0.getOrElse(c, 0L) + 1L
+          val cb = cb0.getOrElse(c, 0L) + 1L
+          val lnq = math.rint(
+            math.log((BigInt(ca) * nb).toDouble /
+              (BigInt(cb) * na).toDouble) * 1e6).toLong
+          // rint vs HALF_UP differ only at exact .5; test data avoids it
+          s += (BigInt(ca) * nb - BigInt(cb) * na) * lnq
+        }
+        val exp = s.toDouble / (na.toDouble * nb.toDouble) / 1e6
+        val r = out(k)
+        assert(r.getLong(1) == ca0.values.sum, s"trial=$trial k=$k n_a")
+        assert(r.getLong(2) == cb0.values.sum, s"trial=$trial k=$k n_b")
+        assert(r.getLong(3) == kk, s"trial=$trial k=$k buckets")
+        assert(math.abs(r.getDouble(4) - exp) < 1e-12,
+          s"trial=$trial k=$k psi ${r.getDouble(4)} vs $exp")
+        assert(r.getDouble(4) >= 0.0, "smoothed PSI is nonnegative")
+      }
+    }
+    // identical multisets -> every cross term is exactly zero
+    val same = Seq((1L, "x"), (1L, "x"), (1L, "y")).toDF("k", "cat")
+    val z = Stats.psiByKey(same, same, "k", "cat").collect().head
+    assert(z.getDouble(4) == 0.0)
+    // a key present only in the current side still alarms once it has
+    // more than one bucket (a single-bucket key is p = q = 1 -> PSI 0
+    // by definition): baseline smooths to uniform over the union
+    // buckets, a skewed current distribution diverges from it
+    val aOnly = Seq((1L, "x")).toDF("k", "cat")
+    val bNew = Seq((1L, "x"), (9L, "z"), (9L, "z"), (9L, "z"),
+      (9L, "z"), (9L, "z"), (9L, "z"), (9L, "z"), (9L, "w"))
+      .toDF("k", "cat")
+    val oneSided = Stats.psiByKey(aOnly, bNew, "k", "cat").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(oneSided.contains(9L) && oneSided(9L).getLong(1) == 0L &&
+      oneSided(9L).getDouble(4) > 0.0)
+    // NULL category fails loudly
+    val dirty = Seq((1L, Some("x")), (1L, None)).toDF("k", "cat")
+    val e = intercept[Throwable] {
+      Stats.psiByKey(dirty, aOnly, "k", "cat").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("psiByKey"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
