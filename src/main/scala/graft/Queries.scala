@@ -10076,6 +10076,76 @@ object Queries {
       |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1000000.0 AS psi
       |FROM u GROUP BY seg, na, nb, k""".stripMargin
 
+  /** Jensen–Shannon divergence of the language mix per source between
+    * the even/odd doc_id snapshot halves (Stats.jsdByKey), with both
+    * sides' Shannon entropies — the bounded smoothing-free companion
+    * to q244's PSI. Every entropy unrolls to integer-weighted
+    * micro-log sums (HUGEINT in the oracle), so the only floating
+    * point is one ln per distinct integer and three final divisions. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("lang"),
+      col("doc_id"))
+    Stats.jsdByKey(
+      docs.where(pmod(col("doc_id"), lit(2L)) === 0L),
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1L),
+      "source", "lang")
+  }
+
+  private val q245Sql =
+    """WITH ha AS (SELECT source, lang AS cat,
+      |    CAST(count(*) AS BIGINT) AS ca0
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |hb AS (SELECT source, lang AS cat,
+      |    CAST(count(*) AS BIGINT) AS cb0
+      |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      |j AS (SELECT coalesce(ha.source, hb.source) AS source,
+      |        coalesce(ha.cat, hb.cat) AS cat,
+      |        coalesce(ca0, 0) AS ca, coalesce(cb0, 0) AS cb
+      |      FROM ha FULL OUTER JOIN hb
+      |        ON ha.source = hb.source AND ha.cat = hb.cat),
+      |tt AS (SELECT source, cat, ca, cb,
+      |        CAST(sum(ca) OVER (PARTITION BY source) AS BIGINT) AS na,
+      |        CAST(sum(cb) OVER (PARTITION BY source) AS BIGINT) AS nb,
+      |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS k
+      |      FROM j),
+      |u AS (SELECT source, na, nb, k,
+      |        CASE WHEN na > 0 AND nb > 0 THEN
+      |          (CAST(ca AS HUGEINT) * nb + CAST(cb AS HUGEINT) * na)
+      |          * (CAST(round(ln(CAST(CAST(2 AS HUGEINT) * na * nb
+      |                AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |            - CAST(round(ln(CAST(CAST(ca AS HUGEINT) * nb
+      |                + CAST(cb AS HUGEINT) * na AS DOUBLE))
+      |                * 1000000.0) AS BIGINT))
+      |        ELSE 0 END AS thm,
+      |        CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT)
+      |          * (CAST(round(ln(CAST(na AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT)
+      |            - CAST(round(ln(CAST(ca AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT))
+      |        ELSE 0 END AS tha,
+      |        CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT)
+      |          * (CAST(round(ln(CAST(nb AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT)
+      |            - CAST(round(ln(CAST(cb AS DOUBLE)) * 1000000.0)
+      |              AS BIGINT))
+      |        ELSE 0 END AS thb
+      |      FROM tt),
+      |agg AS (SELECT source, na AS n_a, nb AS n_b, k AS n_buckets,
+      |        CASE WHEN na = 0 THEN CAST('nan' AS DOUBLE)
+      |          ELSE CAST(sum(tha) AS DOUBLE)
+      |            / (CAST(na AS DOUBLE) * 1000000.0) END AS h_a,
+      |        CASE WHEN nb = 0 THEN CAST('nan' AS DOUBLE)
+      |          ELSE CAST(sum(thb) AS DOUBLE)
+      |            / (CAST(nb AS DOUBLE) * 1000000.0) END AS h_b,
+      |        CASE WHEN na = 0 OR nb = 0 THEN CAST('nan' AS DOUBLE)
+      |          ELSE CAST(sum(thm) AS DOUBLE)
+      |            / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |               * 1000000.0) END AS hm
+      |      FROM u GROUP BY source, na, nb, k)
+      |SELECT source, n_a, n_b, n_buckets, h_a, h_b,
+      |  hm - (h_a + h_b) / 2.0 AS jsd
+      |FROM agg""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10325,5 +10395,6 @@ object Queries {
     "q241_kruskal_wallis" -> Q(q241, Some(q241Sql)),
     "q242_stratified_sample" -> Q(q242, Some(q242Sql)),
     "q243_log_rank" -> Q(q243, Some(q243Sql)),
-    "q244_psi_drift" -> Q(q244, Some(q244Sql)))
+    "q244_psi_drift" -> Q(q244, Some(q244Sql)),
+    "q245_jsd_drift" -> Q(q245, Some(q245Sql)))
 }

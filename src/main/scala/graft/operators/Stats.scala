@@ -2798,18 +2798,8 @@ object Stats {
     * keys × buckets. Output: (key, n_a, n_b, n_buckets, psi). */
   def psiByKey(a: DataFrame, b: DataFrame, keyCol: String, catCol: String,
                maxDistinctPerKey: Long = 2000000L): DataFrame = {
-    def hist(df: DataFrame, out: String) = {
-      val h = df.groupBy(col(keyCol), col(catCol).as("__cat"))
-        .agg(count(lit(1)).as(out),
-          sum(when(col(catCol).isNull, 1L).otherwise(0L)).as("__bad"))
-        .localCheckpoint()
-      Contracts.enforce(h,
-        Contracts.Bound(sum(col("__bad")), _ == 0L, n =>
-          s"psiByKey: $n NULL category rows — bucket every row " +
-            "explicitly (e.g. an 'unknown' category) before calling"))
-      h.drop("__bad")
-    }
-    val joined = hist(a, "__ca0").join(hist(b, "__cb0"),
+    val joined = catHist(a, keyCol, catCol, "__ca0", "psiByKey")
+      .join(catHist(b, keyCol, catCol, "__cb0", "psiByKey"),
         Seq(keyCol, "__cat"), "full_outer")
       .select(col(keyCol), col("__cat"),
         (coalesce(col("__ca0"), lit(0L)) + 1L).as("__ca"),
@@ -2838,5 +2828,114 @@ object Stats {
       (col("__s").cast("double") /
         (col("__na").cast("double") * col("__nb").cast("double")) /
         lit(1000000.0)).as("psi"))
+  }
+
+  /** Per-(key, category) count histogram with a loud NULL-category
+    * contract — the shared first stage of the categorical drift family
+    * ([[psiByKey]], [[jsdByKey]]). */
+  private def catHist(df: DataFrame, keyCol: String, catCol: String,
+                      out: String, op: String): DataFrame = {
+    val h = df.groupBy(col(keyCol), col(catCol).as("__cat"))
+      .agg(count(lit(1)).as(out),
+        sum(when(col(catCol).isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(h,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, n =>
+        s"$op: $n NULL category rows — bucket every row explicitly " +
+          "(e.g. an 'unknown' category) before calling"))
+    h.drop("__bad")
+  }
+
+  /** Micro-quantized natural log — the corpus-wide transcendental
+    * discipline: one IEEE ln over an exactly-representable integer,
+    * rounded to int64 micro-nats, so downstream sums stay exact and
+    * engine-replayable. */
+  private def lnMicro(x: Column): Column =
+    round(log(x) * lit(1000000.0), 0).cast("long")
+
+  /** JENSEN–SHANNON DIVERGENCE per key between two categorical
+    * snapshots, with both sides' Shannon entropies — the bounded,
+    * symmetric, smoothing-free companion to [[psiByKey]] (JSD is
+    * finite on disjoint support, ∈ [0, ln 2] nats, the metric's
+    * square): topic-mix drift, language-mix drift, vocabulary-shift
+    * scoring where PSI's smoothing knob is unwanted.
+    *
+    *   JSD(p, q) = H((p+q)/2) − (H(p) + H(q)) / 2
+    *
+    * Exactness/engine-parity: with mixture numerators
+    * u_b = c_a·N_b + c_b·N_a over denominator D = 2·N_a·N_b, every
+    * entropy unrolls to integer-weighted micro-log sums —
+    * H(m)·D·10⁶ = Σ u_b·(lnq(D) − lnq(u_b)) and
+    * H(p)·N_a·10⁶ = Σ c_a·(lnq(N_a) − lnq(c_a)) — formed in
+    * decimal(38,0) (per-side rows ≤ 2·10⁹ per key CHECKED keeps
+    * u ≤ 8·10¹⁸, terms ≤ 10²⁷; the oracle replays in HUGEINT), so the
+    * only floating point is one ln per distinct integer and the final
+    * three divisions. 0·ln 0 terms drop exactly (c = 0 buckets skip);
+    * identical distributions ⟹ u_b ∝ c_a ⟹ jsd == 0.0 up to the
+    * micro-log quantum. A key empty on either side → NaN (no mixture
+    * exists — [[psiByKey]] is the alarm for that case). NULL
+    * categories are rejected in the histogram aggregation. Shape: two
+    * hash aggs + ONE co-partitioned full-outer join +
+    * key-partitioned windows over the CHECKED bounded histogram.
+    * Output: (key, n_a, n_b, n_buckets, h_a, h_b, jsd). */
+  def jsdByKey(a: DataFrame, b: DataFrame, keyCol: String, catCol: String,
+               maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val joined = catHist(a, keyCol, catCol, "__ca0", "jsdByKey")
+      .join(catHist(b, keyCol, catCol, "__cb0", "jsdByKey"),
+        Seq(keyCol, "__cat"), "full_outer")
+      .select(col(keyCol), col("__cat"),
+        coalesce(col("__ca0"), lit(0L)).as("__ca"),
+        coalesce(col("__cb0"), lit(0L)).as("__cb"))
+      .localCheckpoint()
+    requireBoundedPerKey(joined, keyCol, maxDistinctPerKey, "jsdByKey")
+    Contracts.enforce(
+      joined.groupBy(col(keyCol)).agg(sum(col("__ca")).as("__n1"),
+        sum(col("__cb")).as("__n2")),
+      Contracts.Bound(max(greatest(col("__n1"), col("__n2"))),
+        _ <= 2000000000L, n =>
+          s"jsdByKey: a key holds $n rows on one side, exceeding the " +
+            "exact mixture-numerator int64 contract (n <= 2e9 per key " +
+            "per side) — sample the rows per key first"))
+    val perKey = Window.partitionBy(col(keyCol))
+    val d = "decimal(38,0)"
+    val withTot = joined
+      .withColumn("__na", sum(col("__ca")).over(perKey))
+      .withColumn("__nb", sum(col("__cb")).over(perKey))
+      .withColumn("__k", count(lit(1)).over(perKey))
+    val naD = col("__na").cast(d)
+    val nbD = col("__nb").cast(d)
+    val u = col("__ca").cast(d) * nbD + col("__cb").cast(d) * naD
+    val dd = lit(2L).cast(d) * naD * nbD
+    val zero = lit(0L).cast(d)
+    val hmTerm = when(col("__na") > 0L && col("__nb") > 0L,
+      u * (lnMicro(dd.cast("double")) - lnMicro(u.cast("double"))).cast(d))
+      .otherwise(zero)
+    def sideTerm(c: Column, n: Column) = when(c > 0L,
+      c.cast(d) * (lnMicro(n.cast("double")) -
+        lnMicro(c.cast("double"))).cast(d)).otherwise(zero)
+    val agg = withTot
+      .withColumn("__thm", hmTerm)
+      .withColumn("__tha", sideTerm(col("__ca"), col("__na")))
+      .withColumn("__thb", sideTerm(col("__cb"), col("__nb")))
+      .groupBy(col(keyCol))
+      .agg(first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
+        first(col("__k")).as("n_buckets"),
+        sum(col("__thm")).as("__hm"), sum(col("__tha")).as("__ha"),
+        sum(col("__thb")).as("__hb"))
+    val naDbl = col("__na").cast("double")
+    val nbDbl = col("__nb").cast("double")
+    val hA = when(col("__na") === 0L, lit(Double.NaN))
+      .otherwise(col("__ha").cast("double") / (naDbl * lit(1000000.0)))
+    val hB = when(col("__nb") === 0L, lit(Double.NaN))
+      .otherwise(col("__hb").cast("double") / (nbDbl * lit(1000000.0)))
+    val hM = when(col("__na") === 0L || col("__nb") === 0L,
+      lit(Double.NaN))
+      .otherwise(col("__hm").cast("double") /
+        (lit(2.0) * naDbl * nbDbl * lit(1000000.0)))
+    agg.select(col(keyCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("n_buckets"), hA.as("h_a"), hB.as("h_b"), hM.as("__hmv"))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("n_buckets"),
+        col("h_a"), col("h_b"),
+        (col("__hmv") - (col("h_a") + col("h_b")) / lit(2.0)).as("jsd"))
   }
 }

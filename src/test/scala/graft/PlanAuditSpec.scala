@@ -736,6 +736,12 @@ class PlanAuditSpec extends SparkTestBase {
           concat(lit("c"), col("x") % 5).as("cat")),
         df.where(!col("side")).select(col("g"),
           concat(lit("c"), col("x") % 6).as("cat")),
+        "g", "cat"),
+      "jsdByKey" -> Stats.jsdByKey(
+        df.where(col("side")).select(col("g"),
+          concat(lit("c"), col("x") % 5).as("cat")),
+        df.where(!col("side")).select(col("g"),
+          concat(lit("c"), col("x") % 6).as("cat")),
         "g", "cat"))
       .foreach { case (name, q) =>
         val plan = q.queryExecution.executedPlan.toString

@@ -2245,6 +2245,74 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("psiByKey"))
   }
 
+  test("jsdByKey equals the brute-force micro-log accumulation, is " +
+    "bounded by ln 2, identical distributions give 0, empty sides go " +
+    "NaN, NULL categories fail loudly") {
+    val rnd = new scala.util.Random(92)
+    def lnq(x: Double): Long =
+      BigDecimal(math.log(x) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (1 to 3).foreach { trial =>
+      val a = Seq.fill(110)((rnd.nextInt(2).toLong,
+        s"c${rnd.nextInt(5)}"))
+      val b = Seq.fill(130)((rnd.nextInt(2).toLong,
+        s"c${rnd.nextInt(7)}"))
+      val out = Stats.jsdByKey(a.toDF("k", "cat"), b.toDF("k", "cat"),
+        "k", "cat").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val ca = a.filter(_._1 == k).groupBy(_._2)
+          .map { case (c, r) => c -> r.size.toLong }
+        val cb = b.filter(_._1 == k).groupBy(_._2)
+          .map { case (c, r) => c -> r.size.toLong }
+        val cats = (ca.keySet ++ cb.keySet).toSeq.sorted
+        val na = ca.values.sum; val nb = cb.values.sum
+        var hm = BigInt(0); var hA = BigInt(0); var hB = BigInt(0)
+        val dd = BigInt(2) * BigInt(na) * BigInt(nb)
+        cats.foreach { c =>
+          val x = ca.getOrElse(c, 0L); val y = cb.getOrElse(c, 0L)
+          val u = BigInt(x) * nb + BigInt(y) * na
+          if (na > 0 && nb > 0)
+            hm += u * (lnq(dd.toDouble) - lnq(u.toDouble))
+          if (x > 0) hA += BigInt(x) * (lnq(na.toDouble) - lnq(x.toDouble))
+          if (y > 0) hB += BigInt(y) * (lnq(nb.toDouble) - lnq(y.toDouble))
+        }
+        val haV = hA.toDouble / (na.toDouble * 1e6)
+        val hbV = hB.toDouble / (nb.toDouble * 1e6)
+        val hmV = hm.toDouble / (2.0 * na.toDouble * nb.toDouble * 1e6)
+        val exp = hmV - (haV + hbV) / 2.0
+        val r = out(k)
+        assert(r.getLong(1) == na && r.getLong(2) == nb &&
+          r.getLong(3) == cats.size.toLong, s"trial=$trial k=$k counts")
+        assert(math.abs(r.getDouble(4) - haV) < 1e-12, s"$trial/$k h_a")
+        assert(math.abs(r.getDouble(5) - hbV) < 1e-12, s"$trial/$k h_b")
+        assert(math.abs(r.getDouble(6) - exp) < 1e-12, s"$trial/$k jsd")
+        assert(r.getDouble(6) >= -1e-6 &&
+          r.getDouble(6) <= math.log(2.0) + 1e-6,
+          s"jsd ${r.getDouble(6)} outside [0, ln 2]")
+      }
+    }
+    // identical multisets -> jsd == 0 up to the micro-log quantum
+    val same = Seq((1L, "x"), (1L, "x"), (1L, "y")).toDF("k", "cat")
+    val z = Stats.jsdByKey(same, same, "k", "cat").collect().head
+    assert(math.abs(z.getDouble(6)) < 1e-6)
+    // disjoint support -> jsd == ln 2 up to the quantum
+    val da = Seq((1L, "x"), (1L, "x")).toDF("k", "cat")
+    val db = Seq((1L, "y"), (1L, "y")).toDF("k", "cat")
+    val dj = Stats.jsdByKey(da, db, "k", "cat").collect().head
+    assert(math.abs(dj.getDouble(6) - math.log(2.0)) < 1e-5)
+    // a key empty on one side -> NaN (psiByKey is the alarm there)
+    val bOnly = Seq((9L, "z")).toDF("k", "cat")
+    val ns = Stats.jsdByKey(da, bOnly, "k", "cat").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(ns(9L).getDouble(4).isNaN && ns(9L).getDouble(6).isNaN)
+    // NULL category fails loudly
+    val dirty = Seq((1L, Some("x")), (1L, None)).toDF("k", "cat")
+    val e = intercept[Throwable] {
+      Stats.jsdByKey(dirty, da, "k", "cat").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("jsdByKey"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
