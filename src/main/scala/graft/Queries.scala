@@ -10146,6 +10146,35 @@ object Queries {
       |  hm - (h_a + h_b) / 2.0 AS jsd
       |FROM agg""".stripMargin
 
+  /** Token-mass weighting diagnostics per source
+    * (Stats.weightDiagnostics): Kish effective sample size, efficiency
+    * and the largest single-document share when documents are weighted
+    * by n_chars — "is this source's token mass spread out or riding on
+    * a few giants?". Weights are already integers so scale = 1 keeps
+    * the quantization a no-op; everything reduces to exact HUGEINT /
+    * decimal power sums. */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    Stats.weightDiagnostics(t(s, dir, "documents"), "source", "n_chars",
+      scale = 1L)
+
+  private val q246Sql =
+    """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(n_chars AS HUGEINT)) AS s1,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+      |    max(n_chars) AS mw
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n, CAST(s1 AS DOUBLE) / 1.0 AS sum_w,
+      |  CASE WHEN s1 = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(s2 AS DOUBLE) END AS ess,
+      |  CASE WHEN s1 = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) END AS efficiency,
+      |  CASE WHEN s1 = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(mw AS DOUBLE) / CAST(s1 AS DOUBLE) END
+      |    AS max_w_share
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10396,5 +10425,6 @@ object Queries {
     "q242_stratified_sample" -> Q(q242, Some(q242Sql)),
     "q243_log_rank" -> Q(q243, Some(q243Sql)),
     "q244_psi_drift" -> Q(q244, Some(q244Sql)),
-    "q245_jsd_drift" -> Q(q245, Some(q245Sql)))
+    "q245_jsd_drift" -> Q(q245, Some(q245Sql)),
+    "q246_weight_ess" -> Q(q246, Some(q246Sql)))
 }

@@ -2938,4 +2938,63 @@ object Stats {
         col("h_a"), col("h_b"),
         (col("__hmv") - (col("h_a") + col("h_b")) / lit(2.0)).as("jsd"))
   }
+
+  /** IMPORTANCE-WEIGHT DIAGNOSTICS per key — the health check every
+    * weighted pipeline (DSIR resampling, mixture reweighting,
+    * inverse-propensity estimates) needs before trusting a weighted
+    * mean: Kish effective sample size ESS = (Σw)²/Σw², the efficiency
+    * ESS/n (→1 uniform weights, →1/n one row dominates), and the
+    * largest single-row weight share. A low ESS says the weighted
+    * estimate rides on a handful of rows no matter how big n is.
+    *
+    * Exactness: weights micro-quantize (w·scale, banker-rounded — the
+    * [[Similarity.embeddingDimProfile]] argument: float×10⁶ is exact
+    * in double), Σw and Σw² form in decimal(38,0), and scale cancels
+    * in both ESS and the share, so every output is a pure function of
+    * the quantized multiset; the ESS numerator squares in DOUBLE
+    * (S₁² would breach decimal38 at the contract edge — two exact
+    * doubles multiply instead). NULL and negative weights are rejected
+    * in the same aggregation (negative w makes ESS meaningless);
+    * n·maxw² ≤ 10³⁷ per key is CHECKED so Σw² can never silently
+    * saturate decimal38. One hash agg, shuffle = key cardinality.
+    * Σw = 0 → NaN diagnostics. Output:
+    * (key, n, sum_w, ess, efficiency, max_w_share). */
+  def weightDiagnostics(df: DataFrame, keyCol: String, wCol: String,
+                        scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val wq = bround(col(wCol).cast("double") * scale.toDouble, 0)
+      .cast("long")
+    val d = "decimal(38,0)"
+    val agg = df
+      .select(col(keyCol), wq.as("__w"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w").cast(d)).as("__s1"),
+        sum(col("__w").cast(d) * col("__w").cast(d)).as("__s2"),
+        max(col("__w")).as("__mw"),
+        sum(when(col("__w").isNull || col("__w") < 0L, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(agg,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"weightDiagnostics: $b NULL or negative weights — weights " +
+          "must be nonnegative; filter or clamp first"),
+      Contracts.Bound(
+        sum(when(col("n").cast(d) * col("__mw").cast(d) *
+            col("__mw").cast(d) >
+            lit("1" + "0" * 37).cast(d), 1L).otherwise(0L)), _ == 0L,
+        v => s"weightDiagnostics: $v keys exceed the decimal(38,0) " +
+          "power-sum contract (rows x maxWeight^2 <= 1e37 per key at " +
+          "the chosen scale) — lower scale or rescale the weights"))
+    val s1D = col("__s1").cast("double")
+    agg.select(col(keyCol), col("n"),
+      (s1D / lit(scale.toDouble)).as("sum_w"),
+      when(col("__s1") === lit(0L).cast(d), lit(Double.NaN))
+        .otherwise(s1D * s1D / col("__s2").cast("double")).as("ess"),
+      when(col("__s1") === lit(0L).cast(d), lit(Double.NaN))
+        .otherwise(s1D * s1D / col("__s2").cast("double") /
+          col("n").cast("double")).as("efficiency"),
+      when(col("__s1") === lit(0L).cast(d), lit(Double.NaN))
+        .otherwise(col("__mw").cast("double") / s1D).as("max_w_share"))
+  }
 }

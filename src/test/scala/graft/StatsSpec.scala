@@ -2313,6 +2313,53 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("jsdByKey"))
   }
 
+  test("weightDiagnostics equals the brute-force Kish ESS, uniform " +
+    "weights give efficiency 1, zero mass goes NaN, negative weights " +
+    "fail loudly") {
+    val rnd = new scala.util.Random(93)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(150)((rnd.nextInt(3).toLong,
+        rnd.nextInt(1000).toDouble / 100.0))
+      val out = Stats.weightDiagnostics(rows.toDF("k", "w"), "k", "w")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 2L).foreach { k =>
+        val ws = rows.filter(_._1 == k)
+          .map(r => math.rint(r._2 * 1e6).toLong)
+        val s1 = ws.map(BigInt(_)).sum
+        val s2 = ws.map(w => BigInt(w) * w).sum
+        val r = out(k)
+        assert(r.getLong(1) == ws.size.toLong)
+        assert(r.getDouble(2) == s1.toDouble / 1e6, s"$trial/$k sum_w")
+        val ess = s1.toDouble * s1.toDouble / s2.toDouble
+        assert(r.getDouble(3) == ess, s"$trial/$k ess")
+        assert(r.getDouble(4) == ess / ws.size.toDouble, s"$trial/$k eff")
+        assert(r.getDouble(5) == ws.max.toDouble / s1.toDouble,
+          s"$trial/$k share")
+      }
+    }
+    // uniform weights: ESS == n exactly, efficiency == 1
+    val uni = Seq.fill(8)((1L, 2.5)).toDF("k", "w")
+    val u = Stats.weightDiagnostics(uni, "k", "w").collect().head
+    assert(u.getDouble(3) == 8.0 && u.getDouble(4) == 1.0 &&
+      u.getDouble(5) == 0.125)
+    // one dominant row drives ESS toward 1
+    val dom = (Seq((2L, 1000000.0)) ++ Seq.fill(99)((2L, 0.001)))
+      .toDF("k", "w")
+    val dd = Stats.weightDiagnostics(dom, "k", "w").collect().head
+    assert(dd.getDouble(3) < 1.01 && dd.getDouble(5) > 0.999)
+    // all-zero mass -> NaN diagnostics
+    val z = Stats.weightDiagnostics(Seq((3L, 0.0), (3L, 0.0))
+      .toDF("k", "w"), "k", "w").collect().head
+    assert(z.getDouble(3).isNaN && z.getDouble(5).isNaN)
+    // negative weight fails loudly
+    val e = intercept[Throwable] {
+      Stats.weightDiagnostics(Seq((1L, 1.0), (1L, -0.5)).toDF("k", "w"),
+        "k", "w").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("weightDiagnostics"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
