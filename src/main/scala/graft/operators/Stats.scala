@@ -2797,9 +2797,22 @@ object Stats {
     * bounded histogram — no driver collect, shuffle bounded by
     * keys × buckets. Output: (key, n_a, n_b, n_buckets, psi). */
   def psiByKey(a: DataFrame, b: DataFrame, keyCol: String, catCol: String,
-               maxDistinctPerKey: Long = 2000000L): DataFrame = {
-    val joined = catHist(a, keyCol, catCol, "__ca0", "psiByKey")
-      .join(catHist(b, keyCol, catCol, "__cb0", "psiByKey"),
+               maxDistinctPerKey: Long = 2000000L): DataFrame =
+    psiFromHists(catHist(a, keyCol, catCol, "__c", "psiByKey"),
+      catHist(b, keyCol, catCol, "__c", "psiByKey"), keyCol,
+      maxDistinctPerKey)
+
+  /** [[psiByKey]] served directly from two per-(key, category) count
+    * histograms (columns: keyCol, `__cat`, `__c` — the [[catHist]]
+    * shape). This is the state-level entry point the streaming
+    * maintainer rides: histograms are additive over disjoint row sets,
+    * so a live monitor folds counts and serves THIS exact code path —
+    * streamed == batch is structural, not tested-into-existence. */
+  def psiFromHists(ha: DataFrame, hb: DataFrame, keyCol: String,
+                   maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val joined = ha.select(col(keyCol), col("__cat"),
+        col("__c").as("__ca0"))
+      .join(hb.select(col(keyCol), col("__cat"), col("__c").as("__cb0")),
         Seq(keyCol, "__cat"), "full_outer")
       .select(col(keyCol), col("__cat"),
         (coalesce(col("__ca0"), lit(0L)) + 1L).as("__ca"),
@@ -2833,8 +2846,8 @@ object Stats {
   /** Per-(key, category) count histogram with a loud NULL-category
     * contract — the shared first stage of the categorical drift family
     * ([[psiByKey]], [[jsdByKey]]). */
-  private def catHist(df: DataFrame, keyCol: String, catCol: String,
-                      out: String, op: String): DataFrame = {
+  private[graft] def catHist(df: DataFrame, keyCol: String, catCol: String,
+                             out: String, op: String): DataFrame = {
     val h = df.groupBy(col(keyCol), col(catCol).as("__cat"))
       .agg(count(lit(1)).as(out),
         sum(when(col(catCol).isNull, 1L).otherwise(0L)).as("__bad"))

@@ -1511,6 +1511,74 @@ object Streaming {
     }
   }
 
+  /** Streaming PSI drift monitor — the live twin of
+    * [[graft.operators.Stats.psiByKey]] (q244): the baseline
+    * categorical histogram is fixed at construction; each micro-batch
+    * folds its rows into the live histogram (counts are additive over
+    * disjoint row sets, so streamed == batch is STRUCTURAL); [[psi]]
+    * serves the batch operator's exact readout from state via the
+    * shared [[graft.operators.Stats.psiFromHists]] code path. State:
+    * two bounded per-(key, category) histograms — never rows; a
+    * year-long stream holds exactly as much as a day-long one with the
+    * same category vocabulary. NULL categories fail loudly before
+    * touching state (the batch contract). [[checkpoint]]/[[restore]]
+    * persist the COMPLETE state without the corpus. */
+  final class PsiMaintainer(baseline: DataFrame, keyCol: String,
+                            catCol: String,
+                            maxDistinctPerKey: Long = 2000000L) {
+    import graft.operators.Stats
+    private var base: DataFrame =
+      Stats.catHist(baseline, keyCol, catCol, "__c", "PsiMaintainer")
+    private var live: DataFrame = base.limit(0).localCheckpoint()
+
+    /** Exact [[graft.operators.Stats.psiByKey]] of (baseline, every
+      * row folded so far), served from state. */
+    def psi(): DataFrame = synchronized {
+      Stats.psiFromHists(base, live, keyCol, maxDistinctPerKey)
+    }
+
+    /** Fold one micro-batch of current-side rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.catHist(batch, keyCol, catCol, "__c", "PsiMaintainer")
+      live = live.unionByName(h)
+        .groupBy(col(keyCol), col("__cat"))
+        .agg(sum(col("__c")).as("__c"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the COMPLETE monitor state (both histograms) for
+      * [[PsiMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      base.write.mode("overwrite").parquet(s"$dir/base")
+      live.write.mode("overwrite").parquet(s"$dir/live")
+    }
+  }
+
+  object PsiMaintainer {
+    /** Resume a [[PsiMaintainer.checkpoint]]. Configuration
+      * (keyCol/catCol/maxDistinctPerKey) is not state — pass the SAME
+      * values the original monitor ran with (the
+      * [[SimilarityMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+                catCol: String,
+                maxDistinctPerKey: Long = 2000000L): PsiMaintainer = {
+      val base = spark.read.parquet(s"$dir/base")
+      val emptyBaseline = base.limit(0)
+        .select(col(keyCol), col("__cat").as(catCol))
+      val m = new PsiMaintainer(emptyBaseline, keyCol, catCol,
+        maxDistinctPerKey)
+      m.base = base.localCheckpoint()
+      m.live = spark.read.parquet(s"$dir/live").localCheckpoint()
+      m
+    }
+  }
+
   /** Continuous VIDEO near-dup edge maintenance — the streamed twin of
     * the q158/q163 video family, keeping the order-consistent voted
     * clip-pair edge set LIVE over a stream of clip upserts and deletes

@@ -939,6 +939,51 @@ class StreamingSpec extends SparkTestBase {
       "restored rules != batch pairRules of the accumulated corpus")
   }
 
+  test("psi maintainer keeps the drift readout live to batch parity, " +
+    "rejects NULL categories, and checkpoint/restores") {
+    import graft.operators.Stats
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val rnd = new scala.util.Random(244)
+    def mkRows(n: Int, skew: Int): Seq[(Long, String)] =
+      Seq.fill(n)((rnd.nextInt(3).toLong, s"c${rnd.nextInt(skew)}"))
+    val baseline = mkRows(200, 4)
+    val m = new Streaming.PsiMaintainer(baseline.toDF("k", "cat"),
+      "k", "cat")
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def expect() = ps(Stats.psiByKey(baseline.toDF("k", "cat"),
+      hist.toSeq.toDF("k", "cat"), "k", "cat"))
+    // parity at every moment, including after the mix shifts (skew 6
+    // introduces brand-new categories the baseline never saw)
+    Seq(4, 4, 6).zipWithIndex.foreach { case (skew, i) =>
+      val b = mkRows(80, skew)
+      hist ++= b
+      m.applyBatch(b.toDF("k", "cat"))
+      assert(ps(m.psi()) == expect(), s"psi after batch $i")
+    }
+    // NULL category fails loudly BEFORE touching state
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq((1L, Option.empty[String]), (2L, Some("c1")))
+        .toDF("k", "cat"))
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("PsiMaintainer"))
+    assert(ps(m.psi()) == expect(), "rejected batch mutated state")
+    // checkpoint, fold one more batch into live AND restored: the
+    // restored monitor resumes from the two histograms alone
+    val dir = java.nio.file.Files.createTempDirectory("psickpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.PsiMaintainer.restore(spark, dir, "k", "cat")
+    val b3 = mkRows(60, 5)
+    hist ++= b3
+    m.applyBatch(b3.toDF("k", "cat"))
+    restored.applyBatch(b3.toDF("k", "cat"))
+    assert(ps(restored.psi()) == ps(m.psi()),
+      "restored monitor diverged from the live one")
+    assert(ps(restored.psi()) == expect(),
+      "restored psi != batch psiByKey of the accumulated rows")
+  }
+
   test("streaming LOCF emits the batch grid prefix below each key's last obs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
