@@ -10175,6 +10175,45 @@ object Queries {
       |    AS max_w_share
       |FROM a""".stripMargin
 
+  /** Single best mean-shift changepoint in the daily event volume per
+    * event type (Stats.changepointMeanShift): the retrospective "WHERE
+    * did the level shift" companion to q206's CUSUM alarms. Exact
+    * int64 prefix sums under the CHECKED n·max|x| contract; the split
+    * score's one double cast per candidate replays bit-exactly, so the
+    * argmax (score desc, earliest split) is engine-stable. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.changepointMeanShift(daily, "event_type", "day", "cnt")
+  }
+
+  private val q247Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS t,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |o AS (SELECT k, t, x,
+      |    row_number() OVER w AS rn,
+      |    CAST(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS BIGINT) AS a,
+      |    CAST(sum(x) OVER (PARTITION BY k) AS BIGINT) AS tot,
+      |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+      |  FROM daily WINDOW w AS (PARTITION BY k ORDER BY t, x)),
+      |c AS (SELECT k, n, rn, t, a, tot,
+      |    CAST(CAST(a AS HUGEINT) * a AS DOUBLE) / CAST(rn AS DOUBLE)
+      |    + CAST(CAST(tot - a AS HUGEINT) * (tot - a) AS DOUBLE)
+      |      / CAST(n - rn AS DOUBLE) AS f
+      |  FROM o WHERE rn < n),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY k ORDER BY f DESC, rn ASC) AS pick FROM c)
+      |SELECT k AS event_type, n, rn AS cp_idx, t AS cp_t,
+      |  CAST(a AS DOUBLE) / CAST(rn AS DOUBLE) AS mean_l,
+      |  CAST(tot - a AS DOUBLE) / CAST(n - rn AS DOUBLE) AS mean_r,
+      |  f - CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE)
+      |    / CAST(n AS DOUBLE) AS gain
+      |FROM r WHERE pick = 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10426,5 +10465,6 @@ object Queries {
     "q243_log_rank" -> Q(q243, Some(q243Sql)),
     "q244_psi_drift" -> Q(q244, Some(q244Sql)),
     "q245_jsd_drift" -> Q(q245, Some(q245Sql)),
-    "q246_weight_ess" -> Q(q246, Some(q246Sql)))
+    "q246_weight_ess" -> Q(q246, Some(q246Sql)),
+    "q247_changepoint" -> Q(q247, Some(q247Sql)))
 }

@@ -3010,4 +3010,83 @@ object Stats {
       when(col("__s1") === lit(0L).cast(d), lit(Double.NaN))
         .otherwise(col("__mw").cast("double") / s1D).as("max_w_share"))
   }
+
+  /** SINGLE BEST MEAN-SHIFT CHANGEPOINT per key (the classic "at most
+    * one changepoint" least-squares scan — Hinkley 1970 / the first
+    * split of binary segmentation): where does splitting the ordered
+    * series into a left and right mean reduce the squared error most?
+    * The [[cusumAlarms]] sibling: CUSUM streams "has it drifted past
+    * h yet", this answers "WHERE did the level shift, and by how
+    * much" in one retrospective pass. Minimizing SSE over splits s
+    * equals maximizing f(s) = A²/n_L + B²/n_R (A, B = exact left and
+    * right sums), and `gain` = f(s*) − (Σx)²/n is the between-segment
+    * sum of squares the split explains (≥ 0).
+    *
+    * Exactness/engine-parity: rows order by (t, x) — a deterministic
+    * total order up to interchangeable identical rows — and prefix
+    * sums form exactly in int64 under a CHECKED n·max|x| ≤ 10¹⁸
+    * per-key contract; the squares cross into decimal(38,0) before the
+    * ONE double cast per candidate, so f is the same IEEE value on
+    * both engines and the argmax (f desc, earliest split tie-break)
+    * replays bit-exactly. Per-key rows are CHECKED ≤ maxRowsPerKey
+    * (the [[theilSen]] window discipline — all windows key-partitioned,
+    * never global). Keys with fewer than 2 rows have no candidate
+    * split and drop. NULL t/x rows are rejected loudly. Output:
+    * (key, n, cp_idx, cp_t, mean_l, mean_r, gain) — the split is
+    * AFTER cp_idx rows; cp_t is the last left-segment t. */
+  def changepointMeanShift(df: DataFrame, keyCol: String, tCol: String,
+                           xCol: String,
+                           maxRowsPerKey: Long = 2000000L): DataFrame = {
+    val proj = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__x").isNull,
+        1L).otherwise(0L)), _ == 0L, b =>
+        s"changepointMeanShift: $b NULL order/value rows — every row " +
+          "needs a position and a metric; filter explicitly first"))
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey,
+      "changepointMeanShift", "rows",
+      "Pre-aggregate the series to coarser steps (e.g. daily buckets) " +
+        "before scanning for the shift.", contract = "per-key window")
+    val d = "decimal(38,0)"
+    Contracts.enforce(
+      proj.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+        max(abs(col("__x"))).as("__m")),
+      Contracts.Bound(sum(when(col("__n").cast(d) * col("__m").cast(d) >
+          lit("1000000000000000000").cast(d), 1L).otherwise(0L)),
+        _ == 0L, v =>
+          s"changepointMeanShift: $v keys exceed the int64 prefix-sum " +
+            "contract (rows x max|x| <= 1e18 per key) — rescale the " +
+            "metric to coarser integer units"))
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__x"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col(keyCol))
+    val aD = col("__a").cast(d)
+    val bD = (col("__tot") - col("__a")).cast(d)
+    val f = (aD * aD).cast("double") / col("__rn").cast("double") +
+      (bD * bD).cast("double") /
+        (col("__n") - col("__rn")).cast("double")
+    val cands = proj
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__a", sum(col("__x")).over(cum))
+      .withColumn("__tot", sum(col("__x")).over(whole))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .where(col("__rn") < col("__n"))
+      .withColumn("__f", f)
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("__f").desc, col("__rn").asc)
+    val totD = col("__tot").cast(d)
+    cands
+      .withColumn("__pick", row_number().over(pick))
+      .where(col("__pick") === 1)
+      .select(col(keyCol), col("__n").as("n"), col("__rn").as("cp_idx"),
+        col("__t").as("cp_t"),
+        (col("__a").cast("double") / col("__rn").cast("double"))
+          .as("mean_l"),
+        ((col("__tot") - col("__a")).cast("double") /
+          (col("__n") - col("__rn")).cast("double")).as("mean_r"),
+        (col("__f") - (totD * totD).cast("double") /
+          col("__n").cast("double")).as("gain"))
+  }
 }

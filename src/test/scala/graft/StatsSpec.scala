@@ -2360,6 +2360,68 @@ class StatsSpec extends SparkTestBase {
       .contains("weightDiagnostics"))
   }
 
+  test("changepointMeanShift equals the brute-force SSE scan with the " +
+    "earliest-split tie-break, finds a planted shift, drops 1-row " +
+    "keys, NULL rows fail loudly") {
+    val rnd = new scala.util.Random(94)
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 2).flatMap { k =>
+        (0 until 40).map(i => (k.toLong, i.toLong,
+          rnd.nextInt(20).toLong))
+      }
+      val out = Stats.changepointMeanShift(rows.toDF("k", "t", "x"),
+        "k", "t", "x").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val xs = rows.filter(_._1 == k).sortBy(r => (r._2, r._3))
+        val n = xs.size
+        val tot = xs.map(_._3).sum
+        var bestF = Double.NegativeInfinity; var bestS = -1
+        (1 until n).foreach { s =>
+          val a = xs.take(s).map(_._3).sum
+          val b = tot - a
+          val f = (BigInt(a) * a).toDouble / s.toDouble +
+            (BigInt(b) * b).toDouble / (n - s).toDouble
+          if (f > bestF) { bestF = f; bestS = s }
+        }
+        val r = out(k)
+        assert(r.getLong(1) == n.toLong && r.getLong(2) == bestS.toLong,
+          s"trial=$trial k=$k split")
+        assert(r.getLong(3) == xs(bestS - 1)._2, s"trial=$trial k=$k t")
+        val a = xs.take(bestS).map(_._3).sum
+        assert(r.getDouble(4) == a.toDouble / bestS.toDouble)
+        assert(r.getDouble(5) == (tot - a).toDouble / (n - bestS).toDouble)
+        assert(r.getDouble(6) ==
+          bestF - (BigInt(tot) * tot).toDouble / n.toDouble)
+        assert(r.getDouble(6) >= 0.0, "gain is between-segment SS >= 0")
+      }
+    }
+    // a planted level shift is found exactly at the plant
+    val planted = (0 until 30).map(i =>
+      (5L, i.toLong, if (i < 18) 10L else 50L))
+    val p = Stats.changepointMeanShift(planted.toDF("k", "t", "x"),
+      "k", "t", "x").collect().head
+    assert(p.getLong(2) == 18L && p.getDouble(4) == 10.0 &&
+      p.getDouble(5) == 50.0)
+    // constant series: every split scores equally -> earliest wins
+    val const = (0 until 6).map(i => (6L, i.toLong, 7L))
+    val c = Stats.changepointMeanShift(const.toDF("k", "t", "x"),
+      "k", "t", "x").collect().head
+    assert(c.getLong(2) == 1L && c.getDouble(6) == 0.0)
+    // a 1-row key has no candidate split and drops
+    val single = Seq((7L, 1L, 3L), (8L, 1L, 4L), (8L, 2L, 5L))
+    val so = Stats.changepointMeanShift(single.toDF("k", "t", "x"),
+      "k", "t", "x").collect().map(_.getLong(0)).toSet
+    assert(so == Set(8L))
+    // NULL value fails loudly
+    val e = intercept[Throwable] {
+      Stats.changepointMeanShift(
+        Seq((1L, 1L, Some(2L)), (1L, 2L, None)).toDF("k", "t", "x"),
+        "k", "t", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("changepointMeanShift"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
