@@ -10214,6 +10214,61 @@ object Queries {
       |    / CAST(n AS DOUBLE) AS gain
       |FROM r WHERE pick = 1""".stripMargin
 
+  /** Isotonic (PAVA) calibration of a length-bucket score against the
+    * English-language outcome per source (Stats.isotonicCalibration):
+    * the monotone recalibration map whose need q182's reliability
+    * table and q205's Brier decomposition diagnose. The squared-error
+    * isotonic fit is unique, so the stack kernel's blocks and the
+    * oracle's leftmost-merge recursive CTE agree bit-for-bit —
+    * integer cross-product comparisons, no division until the final
+    * per-pool rate. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"),
+      expr("least(n_chars div 200, 50)").as("score"),
+      (col("lang") === "en").as("label"))
+    Stats.isotonicCalibration(docs, "source", "score", "label")
+  }
+
+  private val q248Sql =
+    """WITH RECURSIVE hist AS (
+      |  SELECT source, least(n_chars // 200, 50) AS s,
+      |    CAST(count(*) AS BIGINT) AS w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM documents GROUP BY 1, 2),
+      |base AS (
+      |  SELECT source, list({'smin': s, 'smax': s, 'w': w, 'y': y}
+      |    ORDER BY s) AS l
+      |  FROM hist GROUP BY 1),
+      |it AS (
+      |  SELECT source, l FROM base
+      |  UNION ALL
+      |  SELECT source,
+      |    l[1:i-1]
+      |      || [{'smin': l[i]['smin'], 'smax': l[i+1]['smax'],
+      |           'w': l[i]['w'] + l[i+1]['w'],
+      |           'y': l[i]['y'] + l[i+1]['y']}]
+      |      || l[i+2:] AS l
+      |  FROM (
+      |    SELECT source, l,
+      |      list_position(list_transform(generate_series(1, len(l) - 1),
+      |        j -> l[j]['y'] * l[j+1]['w'] > l[j+1]['y'] * l[j]['w']),
+      |        true) AS i
+      |    FROM it) WHERE i > 0),
+      |fixed AS (
+      |  SELECT source, l FROM (
+      |    SELECT source, l,
+      |      list_position(list_transform(generate_series(1, len(l) - 1),
+      |        j -> l[j]['y'] * l[j+1]['w'] > l[j+1]['y'] * l[j]['w']),
+      |        true) AS i
+      |    FROM it) WHERE i = 0)
+      |SELECT source, e['idx'] AS pool, e['p']['smin'] AS score_min,
+      |  e['p']['smax'] AS score_max, e['p']['w'] AS w, e['p']['y'] AS y,
+      |  CAST(e['p']['y'] AS DOUBLE) / CAST(e['p']['w'] AS DOUBLE) AS rate
+      |FROM (SELECT source, unnest(list_transform(
+      |    generate_series(1, len(l)), j -> {'idx': j, 'p': l[j]})) AS e
+      |  FROM fixed)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10466,5 +10521,6 @@ object Queries {
     "q244_psi_drift" -> Q(q244, Some(q244Sql)),
     "q245_jsd_drift" -> Q(q245, Some(q245Sql)),
     "q246_weight_ess" -> Q(q246, Some(q246Sql)),
-    "q247_changepoint" -> Q(q247, Some(q247Sql)))
+    "q247_changepoint" -> Q(q247, Some(q247Sql)),
+    "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)))
 }

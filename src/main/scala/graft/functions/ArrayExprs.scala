@@ -1180,3 +1180,74 @@ case class UnigramViterbi(first: Expression, second: Expression,
       newThird: Expression): UnigramViterbi =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Pool-adjacent-violators (PAVA) over a SORTED per-score histogram —
+  * the isotonic-regression kernel behind calibration
+  * (Zadrozny–Elkan 2002; the monotone companion to the reliability
+  * table): input is array<struct<score long, w long, y long>> sorted
+  * ascending by score (w = rows at the score, y = positives), output
+  * is the unique non-decreasing-rate pooling as
+  * array<struct<score_min, score_max, w, y>>.
+  *
+  * Adjacent pools violate when rate(prev) > rate(cur), compared as the
+  * exact integer cross product y_prev·w_cur > y_cur·w_prev (no
+  * division ever happens — with per-key rows ≤ 2·10⁹ the products stay
+  * inside int64, the caller's CHECKED contract). The squared-error
+  * isotonic fit is UNIQUE, so any correct merge order yields these
+  * exact blocks — the DuckDB oracle replays it with a leftmost-merge
+  * recursive CTE and must agree bit-for-bit. O(n) stack pass. Null
+  * for empty/null input or a non-positive weight. */
+case class PavaPools(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val outField = StructType(Seq(
+    StructField("score_min", LongType, nullable = false),
+    StructField("score_max", LongType, nullable = false),
+    StructField("w", LongType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+  override def dataType: DataType =
+    ArrayType(outField, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pava_pools"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+      if fs.length == 3 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pava_pools needs array<struct<long,long,long>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    if (n == 0) return null
+    val smin = new Array[Long](n)
+    val smax = new Array[Long](n)
+    val ws = new Array[Long](n)
+    val ys = new Array[Long](n)
+    var top = -1
+    var i = 0
+    while (i < n) {
+      val r = ad.getStruct(i, 3)
+      if (r == null) return null
+      val cs = r.getLong(0)
+      var cw = r.getLong(1)
+      var cy = r.getLong(2)
+      if (cw <= 0L) return null
+      var csMin = cs
+      while (top >= 0 && ys(top) * cw > cy * ws(top)) {
+        cy += ys(top); cw += ws(top); csMin = smin(top); top -= 1
+      }
+      top += 1
+      smin(top) = csMin; smax(top) = cs; ws(top) = cw; ys(top) = cy
+      i += 1
+    }
+    val out = new Array[Any](top + 1)
+    var j = 0
+    while (j <= top) {
+      out(j) = InternalRow(smin(j), smax(j), ws(j), ys(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PavaPools =
+    copy(child = newChild)
+}

@@ -528,4 +528,10 @@ package object functions {
     * [[CusumLongs]]). */
   def cusum_longs(series: Column, ref: Long, h: Long): Column =
     ExprBridge.column(CusumLongs(col2expr(series), ref, h))
+
+  /** Pool-adjacent-violators isotonic pooling over a sorted
+    * (score, w, y) histogram — exact integer cross-product
+    * comparisons, unique blocks out (see [[PavaPools]]). */
+  def pava_pools(hist: Column): Column =
+    ExprBridge.column(PavaPools(col2expr(hist)))
 }

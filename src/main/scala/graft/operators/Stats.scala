@@ -3034,6 +3034,59 @@ object Stats {
     * split and drop. NULL t/x rows are rejected loudly. Output:
     * (key, n, cp_idx, cp_t, mean_l, mean_r, gain) — the split is
     * AFTER cp_idx rows; cp_t is the last left-segment t. */
+  /** ISOTONIC CALIBRATION per key (pool-adjacent-violators —
+    * Zadrozny–Elkan 2002): the monotone recalibration map the Brier
+    * decomposition (q205) and reliability table (q182) diagnose the
+    * need for. Scores collapse to a per-(key, score) histogram
+    * (CHECKED bounded — the [[rankAucByKey]] discipline), the sorted
+    * histogram runs the O(n) PAVA stack kernel
+    * ([[graft.functions.PavaPools]]) with EXACT integer cross-product
+    * rate comparisons (per-key rows ≤ 2·10⁹ CHECKED keeps y·w inside
+    * int64 — no division ever happens), and the unique non-decreasing
+    * blocks explode back to rows. Uniqueness of the squared-error
+    * isotonic fit means ANY correct engine produces these exact
+    * blocks — the oracle replays with a leftmost-merge recursive CTE
+    * and agrees bit-for-bit. NULL score/label rows are rejected in the
+    * histogram aggregation. To calibrate a new score: range-join it
+    * into [score_min, score_max] (the q41 interval machinery) and
+    * serve `rate`. Output:
+    * (key, pool, score_min, score_max, w, y, rate). */
+  def isotonicCalibration(df: DataFrame, keyCol: String, scoreCol: String,
+                          labelCol: String,
+                          maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val l = col(labelCol).cast("boolean")
+    val hist = df.groupBy(col(keyCol), s.as("__s"))
+      .agg(count(lit(1)).as("__w"),
+        sum(when(l, 1L).otherwise(0L)).as("__y"),
+        sum(when(s.isNull || l.isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"isotonicCalibration: $b NULL score/label rows — every row " +
+          "needs a score and an outcome; filter explicitly first"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "isotonicCalibration")
+    Contracts.enforce(
+      hist.groupBy(col(keyCol)).agg(sum(col("__w")).as("__n")),
+      Contracts.Bound(max(col("__n")), _ <= 2000000000L, n =>
+        s"isotonicCalibration: a key holds $n rows, exceeding the " +
+          "exact cross-product int64 contract (n <= 2e9 per key) — " +
+          "sample the rows per key first"))
+    val agg = hist.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__w"),
+        col("__y")))).as("__l"))
+    agg.select(col(keyCol),
+        posexplode(graft.functions.pava_pools(col("__l")))
+          .as(Seq("__p", "__pool")))
+      .select(col(keyCol), (col("__p") + 1).cast("long").as("pool"),
+        col("__pool.score_min").as("score_min"),
+        col("__pool.score_max").as("score_max"),
+        col("__pool.w").as("w"), col("__pool.y").as("y"),
+        (col("__pool.y").cast("double") / col("__pool.w").cast("double"))
+          .as("rate"))
+  }
+
   def changepointMeanShift(df: DataFrame, keyCol: String, tCol: String,
                            xCol: String,
                            maxRowsPerKey: Long = 2000000L): DataFrame = {

@@ -2422,6 +2422,81 @@ class StatsSpec extends SparkTestBase {
       .contains("changepointMeanShift"))
   }
 
+  test("isotonicCalibration equals the brute-force PAVA, preserves " +
+    "mass, is monotone, pins the known pooling, NULL rows fail " +
+    "loudly") {
+    val rnd = new scala.util.Random(95)
+    // reference PAVA over a (score, w, y) histogram via repeated
+    // leftmost merges (the fit is unique, so this matches any order)
+    def pava(h: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      var pools = h.sortBy(_._1)
+        .map(b => (b._1, b._1, b._2, b._3)).toVector
+      var done = false
+      while (!done) {
+        val i = (0 until pools.size - 1).find(j =>
+          BigInt(pools(j)._4) * pools(j + 1)._3 >
+            BigInt(pools(j + 1)._4) * pools(j)._3)
+        i match {
+          case Some(j) =>
+            val m = (pools(j)._1, pools(j + 1)._2,
+              pools(j)._3 + pools(j + 1)._3,
+              pools(j)._4 + pools(j + 1)._4)
+            pools = (pools.take(j) :+ m) ++ pools.drop(j + 2)
+          case None => done = true
+        }
+      }
+      pools
+    }
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(300)((rnd.nextInt(2).toLong,
+        rnd.nextInt(12).toLong, rnd.nextInt(10) < 4))
+      val out = Stats.isotonicCalibration(rows.toDF("k", "s", "l"),
+        "k", "s", "l").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+        .toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val h = sub.groupBy(_._2).toSeq.map { case (s, rs) =>
+          (s, rs.size.toLong, rs.count(_._3).toLong) }
+        val exp = pava(h)
+        val got = out(k).map(r => (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+        assert(got == exp, s"trial=$trial k=$k pools")
+        // pool indexes are 1..m in score order; rates non-decreasing;
+        // mass conserved
+        assert(out(k).map(_.getLong(1)).toSeq ==
+          (1L to exp.size.toLong))
+        val rates = out(k).map(_.getDouble(6)).toSeq
+        assert(rates.zip(rates.tail).forall { case (a, b) => a <= b })
+        assert(got.map(_._3).sum == sub.size.toLong &&
+          got.map(_._4).sum == sub.count(_._3).toLong)
+      }
+    }
+    // the textbook case: rates (1, 0, .5, .25) pool to one block .4
+    val known = Seq.fill(2)((9L, 1L, true)) ++ Seq.fill(2)((9L, 2L, false)) ++
+      Seq((9L, 3L, true), (9L, 3L, false)) ++
+      (Seq((9L, 4L, true)) ++ Seq.fill(3)((9L, 4L, false)))
+    val kr = Stats.isotonicCalibration(known.toDF("k", "s", "l"),
+      "k", "s", "l").collect()
+    assert(kr.length == 1 && kr.head.getLong(2) == 1L &&
+      kr.head.getLong(3) == 4L && kr.head.getLong(4) == 10L &&
+      kr.head.getLong(5) == 4L && kr.head.getDouble(6) == 0.4)
+    // already-monotone input passes through untouched
+    val mono = Seq((8L, 1L, false), (8L, 2L, true))
+    val mr = Stats.isotonicCalibration(mono.toDF("k", "s", "l"),
+      "k", "s", "l").collect().sortBy(_.getLong(1))
+    assert(mr.length == 2 && mr(0).getDouble(6) == 0.0 &&
+      mr(1).getDouble(6) == 1.0)
+    // NULL label fails loudly
+    val e = intercept[Throwable] {
+      Stats.isotonicCalibration(
+        Seq((1L, 1L, Some(true)), (1L, 2L, None)).toDF("k", "s", "l"),
+        "k", "s", "l").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("isotonicCalibration"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
