@@ -10269,6 +10269,45 @@ object Queries {
       |    generate_series(1, len(l)), j -> {'idx': j, 'p': l[j]})) AS e
       |  FROM fixed)""".stripMargin
 
+  /** Holt level+trend smoothing of the daily revenue-cents series per
+    * event type (Stats.holtSmooth, α = 1/4, β = 1/8): the trend-aware
+    * upgrade of q162's integer EWMA — one-step-ahead forecasts plus
+    * the live level/trend decomposition, exact integer floor
+    * arithmetic the oracle replays with a two-state recursive CTE
+    * (the q162 positive-mod trick, one extra state column). */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(sum(cents(col("value"))).as("xc"))
+    Stats.holtSmooth(daily, "event_type", "day", "xc",
+        aShift = 2, gShift = 3)
+      .withColumnRenamed("t", "day")
+  }
+
+  private val q249Sql =
+    """WITH RECURSIVE s0 AS (
+      |  SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY epoch_ns(ts) // 86400000000000) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT k, rn, d, x, x AS pred, x AS l, CAST(0 AS BIGINT) AS b
+      |  FROM s0 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT k, rn, d, x, pred, l,
+      |    b + ((l - lp - b) - (((l - lp - b) % 8 + 8) % 8)) // 8 AS b
+      |  FROM (
+      |    SELECT n.k AS k, n.rn AS rn, n.d AS d, n.x AS x,
+      |      r.l + r.b AS pred,
+      |      (r.l + r.b) + ((n.x - r.l - r.b)
+      |        - (((n.x - r.l - r.b) % 4 + 4) % 4)) // 4 AS l,
+      |      r.l AS lp, r.b AS b
+      |    FROM r JOIN s0 n ON n.k = r.k AND n.rn = r.rn + 1))
+      |SELECT k AS event_type, CAST(rn AS BIGINT) AS rn, d AS day, x,
+      |  pred, l AS level, b AS trend
+      |FROM r""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10522,5 +10561,6 @@ object Queries {
     "q245_jsd_drift" -> Q(q245, Some(q245Sql)),
     "q246_weight_ess" -> Q(q246, Some(q246Sql)),
     "q247_changepoint" -> Q(q247, Some(q247Sql)),
-    "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)))
+    "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)),
+    "q249_holt_smooth" -> Q(q249, Some(q249Sql)))
 }

@@ -1251,3 +1251,62 @@ case class PavaPools(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PavaPools =
     copy(child = newChild)
 }
+
+/** Integer Holt double-exponential smoothing (level + trend) over an
+  * ordered long series, with power-of-two gains α = 2^-aShift,
+  * β = 2^-gShift — the trend-aware sibling of [[EwmaShiftLongs]]
+  * (Holt 1957): per step the one-step-ahead forecast is
+  * pred = l + b, then
+  *
+  *   l' = pred + ⌊(x − pred) / 2^aShift⌋
+  *   b' = b + ⌊(l' − l − b) / 2^gShift⌋
+  *
+  * — EXACT floor arithmetic end to end (Math.floorDiv; the SQL replay
+  * is the q162 positive-mod trick), state (x₀, 0) at the first
+  * element, so the full (pred, level, trend) series is a pure integer
+  * function of the input and any engine replays it bit-for-bit.
+  * Output: array<struct<pred, level, trend>> aligned with the input.
+  * Null for null/empty input or null elements. The floor updates are
+  * contractions of the forecast residual, so |level| and |trend| stay
+  * within a small multiple of max|x| — the caller bounds the value
+  * scale (the Stats.holtSmooth CHECKED contract). */
+case class HoltShiftLongs(child: Expression, aShift: Int, gShift: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(aShift >= 0 && aShift <= 62 && gShift >= 0 && gShift <= 62,
+    s"holt_shift: shifts must be in [0, 62], got ($aShift, $gShift)")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pred", LongType, nullable = false),
+    StructField("level", LongType, nullable = false),
+    StructField("trend", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "holt_shift"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"holt_shift needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val xs = ad.toLongArray()
+    val n = xs.length
+    if (n == 0) return null
+    val out = new Array[Any](n)
+    var l = xs(0)
+    var b = 0L
+    out(0) = InternalRow(xs(0), l, b)
+    var i = 1
+    while (i < n) {
+      val pred = l + b
+      val lNew = pred + Math.floorDiv(xs(i) - pred, 1L << aShift)
+      val bNew = b + Math.floorDiv(lNew - l - b, 1L << gShift)
+      out(i) = InternalRow(pred, lNew, bNew)
+      l = lNew; b = bNew
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HoltShiftLongs =
+    copy(child = newChild)
+}

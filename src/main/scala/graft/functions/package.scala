@@ -534,4 +534,11 @@ package object functions {
     * comparisons, unique blocks out (see [[PavaPools]]). */
   def pava_pools(hist: Column): Column =
     ExprBridge.column(PavaPools(col2expr(hist)))
+
+  /** Integer Holt level+trend smoothing (α = 1/2^aShift,
+    * β = 1/2^gShift) over an ordered long series — exact floor
+    * arithmetic, (pred, level, trend) series out (see
+    * [[HoltShiftLongs]]). */
+  def holt_shift(series: Column, aShift: Int, gShift: Int): Column =
+    ExprBridge.column(HoltShiftLongs(col2expr(series), aShift, gShift))
 }

@@ -3087,6 +3087,54 @@ object Stats {
           .as("rate"))
   }
 
+  /** HOLT LEVEL+TREND SMOOTHING per key (double exponential smoothing,
+    * Holt 1957) with power-of-two gains — the trend-aware upgrade of
+    * the integer EWMA (q162) and the forecasting companion to the
+    * seasonal-naive MASE readout (q207): per ordered step the
+    * one-step-ahead forecast pred = level + trend, then both states
+    * update by floor-divided residual fractions. EXACT integer
+    * arithmetic end to end ([[graft.functions.HoltShiftLongs]]), so
+    * the full series is a pure function of the input multiset and the
+    * oracle replays it with the q162 positive-mod floor-division
+    * trick. Per-key rows are CHECKED ≤ maxRowsPerKey (the series
+    * collects per key — the [[theilSen]] kernel discipline) and
+    * max|x| ≤ 10¹⁵ is CHECKED (floor updates contract the residual,
+    * so level/trend stay within a small multiple of max|x| — far
+    * inside int64 with that headroom). NULL order/value rows are
+    * rejected loudly. Output:
+    * (key, rn, t, x, pred, level, trend). */
+  def holtSmooth(df: DataFrame, keyCol: String, tCol: String,
+                 xCol: String, aShift: Int = 2, gShift: Int = 3,
+                 maxRowsPerKey: Long = 2000000L): DataFrame = {
+    val proj = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__x").isNull,
+        1L).otherwise(0L)), _ == 0L, b =>
+        s"holtSmooth: $b NULL order/value rows — every row needs a " +
+          "position and a metric; filter explicitly first"),
+      Contracts.Bound(max(abs(col("__x"))), _ <= 1000000000000000L, m =>
+        s"holtSmooth: max|x| = $m exceeds the int64 headroom contract " +
+          "(|x| <= 1e15) — rescale the metric to coarser integer units"))
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey, "holtSmooth",
+      "rows", "Pre-aggregate the series to coarser steps (e.g. daily " +
+        "buckets) before smoothing.", contract = "per-key series")
+    val series = proj.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("__t"), col("__x"))))
+        .as("__srt"))
+      .select(col(keyCol),
+        transform(col("__srt"), g => g("__t")).as("__ts"),
+        transform(col("__srt"), g => g("__x")).as("__xs"))
+    series.select(col(keyCol), col("__ts"), col("__xs"),
+        posexplode(graft.functions.holt_shift(col("__xs"), aShift,
+          gShift)).as(Seq("__p", "__h")))
+      .select(col(keyCol), (col("__p") + 1).cast("long").as("rn"),
+        element_at(col("__ts"), col("__p") + 1).as("t"),
+        element_at(col("__xs"), col("__p") + 1).as("x"),
+        col("__h.pred").as("pred"), col("__h.level").as("level"),
+        col("__h.trend").as("trend"))
+  }
+
   def changepointMeanShift(df: DataFrame, keyCol: String, tCol: String,
                            xCol: String,
                            maxRowsPerKey: Long = 2000000L): DataFrame = {

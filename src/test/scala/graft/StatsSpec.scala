@@ -2497,6 +2497,64 @@ class StatsSpec extends SparkTestBase {
       .contains("isotonicCalibration"))
   }
 
+  test("holtSmooth equals the brute-force integer Holt recursion, " +
+    "locks onto a planted linear ramp, single rows pass through, " +
+    "NULL rows fail loudly") {
+    val rnd = new scala.util.Random(96)
+    val aShift = 2; val gShift = 3
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 2).flatMap { k =>
+        (0 until 50).map(i => (k.toLong, i.toLong,
+          rnd.nextInt(2000).toLong - 1000L))
+      }
+      val out = Stats.holtSmooth(rows.toDF("k", "t", "x"), "k", "t",
+        "x", aShift, gShift).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+        .toMap
+      (0L to 1L).foreach { k =>
+        val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+        var l = xs.head; var b = 0L
+        val exp = Seq((xs.head, xs.head, 0L)) ++ xs.tail.map { x =>
+          val pred = l + b
+          val lN = pred + Math.floorDiv(x - pred, 1L << aShift)
+          val bN = b + Math.floorDiv(lN - l - b, 1L << gShift)
+          l = lN; b = bN
+          (pred, lN, bN)
+        }
+        val got = out(k).map(r => (r.getLong(4), r.getLong(5),
+          r.getLong(6))).toSeq
+        assert(got == exp, s"trial=$trial k=$k series")
+        assert(out(k).map(_.getLong(3)).toSeq == xs, "x passthrough")
+      }
+    }
+    // a planted linear ramp: the floor-quantized trend converges to
+    // within the beta dead zone (the update stalls once the residual
+    // quarter drops below 2^gShift, i.e. trend in (m-8, m]) and the
+    // forecast then tracks with a CONSTANT lag — steady, not drifting
+    val ramp = (0 until 120).map(i => (9L, i.toLong, 1000L + 1000L * i))
+    val rr = Stats.holtSmooth(ramp.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().sortBy(_.getLong(1))
+    val lastRows = rr.takeRight(5)
+    assert(lastRows.forall(r =>
+      r.getLong(6) > 992L && r.getLong(6) <= 1000L),
+      s"trend should land in (992, 1000], got " +
+        s"${lastRows.map(_.getLong(6)).toSeq}")
+    val lags = lastRows.map(r => r.getLong(3) - r.getLong(4)).toSeq
+    assert(lags.distinct.size == 1,
+      s"steady-state forecast lag should be constant, got $lags")
+    // a single-row key passes through as (x, x, 0)
+    val single = Stats.holtSmooth(Seq((1L, 1L, 42L)).toDF("k", "t", "x"),
+      "k", "t", "x").collect().head
+    assert(single.getLong(4) == 42L && single.getLong(5) == 42L &&
+      single.getLong(6) == 0L)
+    // NULL value fails loudly
+    val e = intercept[Throwable] {
+      Stats.holtSmooth(Seq((1L, 1L, Some(2L)), (1L, 2L, None))
+        .toDF("k", "t", "x"), "k", "t", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("holtSmooth"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
