@@ -552,6 +552,59 @@ object Streaming {
       .toDF("k", "o", "id", "n", "slope")
   }
 
+  /** Streaming Holt level+trend monitor — the live twin of
+    * [[graft.operators.Stats.holtSmooth]] (q249): per key the state is
+    * exactly TWO longs (level, trend) plus a seen flag regardless of
+    * history — the smoothing recursion is sequential, so folding each
+    * ordered observation through the same floor-divided updates as the
+    * batch kernel makes streamed == batch STRUCTURAL. Each row emits
+    * its one-step-ahead forecast made BEFORE the update (pred), so
+    * |x − pred| is a ready-made live anomaly score with a trend-aware
+    * baseline (the EWMA monitor's blind spot). The batch |x| ≤ 10¹⁵
+    * headroom contract is enforced per row, loudly. Rows must arrive
+    * in order per key across batches (the [[streamingCusum]]
+    * contract). Input columns: (k, o, x). Output:
+    * (k, o, x, pred, level, trend). */
+  def streamingHolt(obs: DataFrame, aShift: Int = 2,
+                    gShift: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(aShift >= 0 && aShift <= 62 && gShift >= 0 && gShift <= 62,
+      s"streamingHolt: shifts must be in [0, 62], got ($aShift, $gShift)")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("o").cast("long"),
+        col("x").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean),
+        (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, Long, Boolean)]) =>
+          var (l, b, seen) = state.getOption.getOrElse((0L, 0L, false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, o, x) =>
+            require(math.abs(x) <= 1000000000000000L,
+              s"streamingHolt: |x| = ${math.abs(x)} under key $k " +
+                "exceeds the int64 headroom contract (|x| <= 1e15) — " +
+                "rescale the metric to coarser integer units")
+            if (!seen) {
+              l = x; b = 0L; seen = true
+              out += ((k, o, x, x, l, b))
+            } else {
+              val pred = l + b
+              val lN = pred + Math.floorDiv(x - pred, 1L << aShift)
+              val bN = b + Math.floorDiv(lN - l - b, 1L << gShift)
+              out += ((k, o, x, pred, lN, bN))
+              l = lN; b = bN
+            }
+          }
+          state.update((l, b, seen))
+          out.iterator
+      }
+      .toDF("k", "o", "x", "pred", "level", "trend")
+  }
+
   /** Streaming conformal-anomaly monitor — the live twin of
     * [[graft.operators.Stats.conformalBh]] (q239): per monitored key
     * the state is the TEST score histogram (bounded by score

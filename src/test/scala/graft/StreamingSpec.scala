@@ -1258,6 +1258,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Holt equals the batch level+trend smoothing " +
+    "bit-for-bit across batches and checks its magnitude bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(249)
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    var o = 0L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streaming.streamingHolt(mem.toDF().toDF("k", "o", "x"))
+      .writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(80) {
+          o += 1L + rnd.nextInt(3)
+          (rnd.nextInt(4).toLong, o, rnd.nextInt(5000).toLong - 2500L)
+        }
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("holt").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        val batch = graft.operators.Stats.holtSmooth(
+            hist.toSeq.toDF("k", "o", "x"), "k", "o", "x")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2)) ->
+            (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+        assert(streamed == batch, s"streamed != batch holt after $b")
+      }
+      mem.addData((1L, o + 1L, 2000000000000000L)) // 2e15 > 1e15
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+          msgs(t.getCause)
+      assert(msgs(e).contains("streamingHolt"))
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
