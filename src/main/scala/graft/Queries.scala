@@ -10308,6 +10308,58 @@ object Queries {
       |  pred, l AS level, b AS trend
       |FROM r""".stripMargin
 
+  /** Nelson–Aalen cumulative signup hazard per user segment
+    * (Stats.nelsonAalen): the hazard-scale completion of the survival
+    * family — q221 estimates survival, q243 tests arms, this plots
+    * H(t) with its variance per event day. Exact integer risk sets
+    * from one descending cumulative window; the running sums are the
+    * same sequential folds the oracle replays with list_reduce over
+    * each prefix. */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(expr("(max(ts) - min(ts)) div 86400000000000").as("t"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("__ev"))
+      .select(pmod(col("user_id"), lit(3L)).as("seg"), col("t"),
+        (col("__ev") === 1L).as("ev"))
+    Stats.nelsonAalen(subj, "seg", "t", "ev")
+  }
+
+  private val q250Sql =
+    """WITH u AS (
+      |  SELECT user_id % 3 AS seg,
+      |    (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 86400000000000 AS t,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS ev
+      |  FROM events GROUP BY user_id),
+      |h0 AS (
+      |  SELECT seg, t, CAST(count(*) AS BIGINT) AS atot,
+      |    CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u GROUP BY 1, 2),
+      |w AS (
+      |  SELECT seg, t, d,
+      |    CAST(sum(atot) OVER (PARTITION BY seg ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n
+      |  FROM h0),
+      |a AS (
+      |  SELECT seg, list_sort(list({'t': t, 'd': d, 'n': n})) AS l
+      |  FROM w WHERE d > 0 GROUP BY 1),
+      |e AS (
+      |  SELECT seg, l,
+      |    list_transform(l, x ->
+      |      CAST(x['d'] AS DOUBLE) / CAST(x['n'] AS DOUBLE)) AS r1,
+      |    list_transform(l, x -> CAST(x['d'] AS DOUBLE)
+      |      / (CAST(x['n'] AS DOUBLE) * CAST(x['n'] AS DOUBLE))) AS r2
+      |  FROM a)
+      |SELECT seg, l[j]['t'] AS t, l[j]['n'] AS n_at_risk,
+      |  l[j]['d'] AS d,
+      |  list_reduce(list_prepend(0.0, r1[1:j]), (p, q) -> p + q) AS h,
+      |  list_reduce(list_prepend(0.0, r2[1:j]), (p, q) -> p + q)
+      |    AS var_h
+      |FROM (SELECT seg, l, r1, r2,
+      |    unnest(generate_series(1, len(l))) AS j
+      |  FROM e)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10562,5 +10614,6 @@ object Queries {
     "q246_weight_ess" -> Q(q246, Some(q246Sql)),
     "q247_changepoint" -> Q(q247, Some(q247Sql)),
     "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)),
-    "q249_holt_smooth" -> Q(q249, Some(q249Sql)))
+    "q249_holt_smooth" -> Q(q249, Some(q249Sql)),
+    "q250_nelson_aalen" -> Q(q250, Some(q250Sql)))
 }

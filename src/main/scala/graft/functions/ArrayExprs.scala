@@ -1310,3 +1310,41 @@ case class HoltShiftLongs(child: Expression, aShift: Int, gShift: Int)
   override protected def withNewChildInternal(newChild: Expression): HoltShiftLongs =
     copy(child = newChild)
 }
+
+/** Running left-to-right sum of a double sequence — the Nelson–Aalen
+  * cumulative-hazard accumulator (the additive sibling of
+  * [[PrefixProd]]): out(i) = ((0 + x₀) + x₁) + … + xᵢ in exactly that
+  * IEEE order, so any engine replaying the same sequential fold (e.g.
+  * DuckDB `list_reduce` over each prefix) reproduces every partial sum
+  * bit-for-bit. Null for null input, null elements, or non-finite
+  * elements. */
+case class PrefixSum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_sum"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"prefix_sum needs array<double>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val ad = input.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val n = ad.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = ad.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return null
+      s = s + x
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PrefixSum =
+    copy(child = newChild)
+}

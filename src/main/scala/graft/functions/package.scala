@@ -498,6 +498,11 @@ package object functions {
   def prefix_prod(xs: Column): Column =
     ExprBridge.column(PrefixProd(col2expr(xs)))
 
+  /** Running left-to-right sum of a double sequence — the Nelson–Aalen
+    * cumulative-hazard accumulator (see [[PrefixSum]]). */
+  def prefix_sum(xs: Column): Column =
+    ExprBridge.column(PrefixSum(col2expr(xs)))
+
   /** Max-probability (Viterbi) segmentation of a `len`-char word under
     * a unigram piece model — candidates as paired (start·100+length,
     * probability) arrays; see [[UnigramViterbi]]. */

@@ -2700,6 +2700,64 @@ object Stats {
           .otherwise((col("__o1d") - col("e1")) / sqrt(col("v"))).as("z"))
   }
 
+  /** NELSON–AALEN CUMULATIVE HAZARD per key (Nelson 1972, Aalen 1978)
+    * — the hazard-scale view of the survival family: [[logRank]] tests
+    * whether two arms differ, Kaplan–Meier (q221) estimates survival,
+    * this estimates the cumulative hazard H(t) = Σ_{tⱼ≤t} dⱼ/nⱼ with
+    * its Poisson-type variance Σ dⱼ/nⱼ² — the curve churn/failure
+    * dashboards plot on the log scale (and exp(−H) is the
+    * Breslow survival estimate, a free by-product).
+    *
+    * Scale shape: subjects collapse to the per-(key, time) histogram
+    * (CHECKED bounded); at-risk counts come from ONE descending
+    * cumulative window; the running sums are SORTED SEQUENTIAL FOLDS
+    * ([[graft.functions.PrefixSum]] — the Kaplan–Meier `prefix_prod`
+    * parity discipline: each dⱼ/nⱼ is one IEEE division of exact
+    * longs, each prefix is the same left-to-right fold the oracle
+    * replays with list_reduce). Censoring: event = false rows hold the
+    * risk set without contributing events. NULL time/event rows are
+    * rejected in the histogram aggregation. Output: one row per
+    * (key, event time) — (key, t, n_at_risk, d, h, var_h). */
+  def nelsonAalen(df: DataFrame, keyCol: String, timeCol: String,
+                  eventCol: String,
+                  maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val tcol = col(timeCol).cast("long")
+    val ev = col(eventCol).cast("boolean")
+    val hist = df.groupBy(col(keyCol), tcol.as("__t"))
+      .agg(count(lit(1)).as("__atot"),
+        sum(when(ev, 1L).otherwise(0L)).as("__d"),
+        sum(when(tcol.isNull || ev.isNull, 1L).otherwise(0L))
+          .as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"nelsonAalen: $b NULL time/event rows — assign every subject " +
+          "a time and an event flag, or filter explicitly"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "nelsonAalen")
+    val atRisk = Window.partitionBy(col(keyCol)).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val agg = hist
+      .withColumn("__n", sum(col("__atot")).over(atRisk))
+      .where(col("__d") > 0L)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__d"),
+        col("__n")))).as("__l"))
+    def dD(g: Column) = g.getField("__d").cast("double")
+    def nD(g: Column) = g.getField("__n").cast("double")
+    val withSums = agg
+      .withColumn("__h", graft.functions.prefix_sum(
+        transform(col("__l"), g => dD(g) / nD(g))))
+      .withColumn("__vh", graft.functions.prefix_sum(
+        transform(col("__l"), g => dD(g) / (nD(g) * nD(g)))))
+    withSums
+      .select(col(keyCol), col("__h"), col("__vh"),
+        posexplode(col("__l")).as(Seq("__p", "__g")))
+      .select(col(keyCol), col("__g.__t").as("t"),
+        col("__g.__n").as("n_at_risk"), col("__g.__d").as("d"),
+        element_at(col("__h"), col("__p") + 1).as("h"),
+        element_at(col("__vh"), col("__p") + 1).as("var_h"))
+  }
+
   /** GINI CONCENTRATION per key — the inequality / concentration
     * profile of a nonnegative metric (spend per priority class, token
     * mass per source, sample weight per shard): 0 = perfectly even,

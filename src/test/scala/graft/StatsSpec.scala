@@ -2555,6 +2555,55 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("holtSmooth"))
   }
 
+  test("nelsonAalen equals the brute-force hazard accumulation with " +
+    "censoring, exp(-H) tracks survival, NULL rows fail loudly") {
+    val rnd = new scala.util.Random(97)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(160)((rnd.nextInt(2).toLong,
+        rnd.nextInt(10).toLong, rnd.nextInt(10) < 7))
+      val out = Stats.nelsonAalen(rows.toDF("k", "t", "ev"),
+        "k", "t", "ev").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1))).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val eventTimes = sub.filter(_._3).map(_._2).distinct.sorted
+        if (eventTimes.isEmpty) assert(!out.contains(k))
+        else {
+          var h = 0.0; var vh = 0.0
+          val exp = eventTimes.map { t =>
+            val n = sub.count(_._2 >= t).toLong
+            val d = sub.count(r => r._3 && r._2 == t).toLong
+            h += d.toDouble / n.toDouble
+            vh += d.toDouble / (n.toDouble * n.toDouble)
+            (t, n, d, h, vh)
+          }
+          val got = out(k).map(r => (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+          assert(got == exp, s"trial=$trial k=$k hazard path")
+        }
+      }
+    }
+    // all events at one time, no censoring: H = 1 exactly at that time
+    val one = Seq((5L, 3L, true), (5L, 3L, true))
+    val o = Stats.nelsonAalen(one.toDF("k", "t", "ev"), "k", "t", "ev")
+      .collect()
+    assert(o.length == 1 && o.head.getDouble(4) == 1.0 &&
+      o.head.getDouble(5) == 0.5)
+    // censored rows hold the risk set but contribute no event rows
+    val cs = Seq((6L, 1L, true), (6L, 4L, false))
+    val cr = Stats.nelsonAalen(cs.toDF("k", "t", "ev"), "k", "t", "ev")
+      .collect()
+    assert(cr.length == 1 && cr.head.getLong(2) == 2L &&
+      cr.head.getDouble(4) == 0.5)
+    // NULL event flag fails loudly
+    val e = intercept[Throwable] {
+      Stats.nelsonAalen(Seq((1L, 1L, Some(true)), (1L, 2L, None))
+        .toDF("k", "t", "ev"), "k", "t", "ev").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("nelsonAalen"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
