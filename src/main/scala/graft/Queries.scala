@@ -10360,6 +10360,40 @@ object Queries {
       |    unnest(generate_series(1, len(l))) AS j
       |  FROM e)""".stripMargin
 
+  /** Zipf rank–frequency slope of the top-100 token spectrum per
+    * source (TextAnalysis.zipfSlope): natural language runs near −1;
+    * boilerplate flattens toward 0, keyword spam cliffs below it. One
+    * tokenize scan, a partial-combining per-group top-k (never a
+    * vocabulary-sized window), and the q131 exact-OLS machinery over
+    * micro-quantized logs. */
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text", 100)
+
+  private val q251Sql =
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS token
+       |  FROM documents),
+       |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+       |    ORDER BY cnt DESC, token DESC) AS rk FROM c),
+       |p AS (SELECT source,
+       |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+       |  FROM r WHERE rk <= 100),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM p GROUP BY 1)
+       |SELECT source, n,
+       |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+       |    AS slope,
+       |  (CAST(sy AS DOUBLE)
+       |     - (CAST(n*sxy - sx*sy AS DOUBLE)
+       |        / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE) AS intercept
+       |FROM a WHERE n*sxx - sx*sx != 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10615,5 +10649,6 @@ object Queries {
     "q247_changepoint" -> Q(q247, Some(q247Sql)),
     "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)),
     "q249_holt_smooth" -> Q(q249, Some(q249Sql)),
-    "q250_nelson_aalen" -> Q(q250, Some(q250Sql)))
+    "q250_nelson_aalen" -> Q(q250, Some(q250Sql)),
+    "q251_zipf_slope" -> Q(q251, Some(q251Sql)))
 }

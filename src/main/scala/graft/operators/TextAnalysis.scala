@@ -1955,6 +1955,43 @@ object TextAnalysis {
     * them (engine-exact). Groups whose text yields zero tokens are
     * absent (inner semantics). Output: (group, n_tokens, n_types,
     * n_hapax, ttr, hapax_ratio). */
+  /** ZIPF RANK–FREQUENCY SLOPE per group — the log-log fit of the
+    * top-k token frequency spectrum (Zipf 1949: natural language runs
+    * near slope −1): the one-number spectral quality signal that
+    * separates natural prose (≈ −1) from template/boilerplate farms
+    * (flat head, slope → 0) and keyword-stuffed spam (cliff, slope
+    * ≪ −1) — the spectrum-shape complement to [[lexicalDiversity]]'s
+    * type-counting view.
+    *
+    * Scale shape: ONE tokenize scan → per-(group, token) counts
+    * (map-side combining, shuffle bounded by per-group vocabulary) →
+    * the PARTIAL-COMBINING top-k aggregate
+    * ([[graft.functions.top_k_by]] — never a row_number window over
+    * the data-sized vocabulary), ranks read off the descending array,
+    * and the fit reuses [[Stats.groupOls]]'s exact decimal machinery
+    * over micro-quantized logs (round(ln·10⁶) — the corpus-wide
+    * transcendental discipline; x = ln rank, y = ln count). Ties
+    * break (count, token) descending — the aggregate's natural struct
+    * order, replayed verbatim by the oracle. Groups with fewer than 2
+    * distinct ranks drop (no fit exists). Output:
+    * (group, n, slope, intercept) with n ≤ k ranked points. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                k: Int = 100): DataFrame = {
+    require(k >= 3 && k <= 4096, s"zipfSlope: k must be in [3, 4096], got $k")
+    val counts = df
+      .select(col(groupCol), explode(ws_tokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0), 0).cast("long")
+    val ranked = counts.groupBy(col(groupCol))
+      .agg(top_k_by(struct(col("__cnt"), col("__tok")), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__g")))
+      .select(col(groupCol), lnq(col("__p") + 1).as("__x"),
+        lnq(col("__g.__cnt")).as("__y"))
+    Stats.groupOls(ranked, groupCol, "__x", "__y")
+  }
+
   def lexicalDiversity(df: DataFrame, groupCol: String,
                        textCol: String): DataFrame = {
     val hist = df

@@ -1126,6 +1126,47 @@ class OperatorSpec extends SparkTestBase {
     assert(asOf0 == Set(1L, 2L, 3L))
   }
 
+  test("zipfSlope fits the micro-log rank-frequency line exactly, " +
+    "hits -1 on a planted Zipfian corpus, 0 on flat counts, and " +
+    "drops unfittable groups") {
+    // planted exact power law: token w_r appears round(1000/r) times
+    // -> the log-log fit over the quantized points lands near -1
+    val zipfText = (1 to 30).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w$r")).mkString(" ")
+    // flat spectrum: every token appears exactly 4 times -> slope 0
+    val flatText = (1 to 20).flatMap(r => Seq.fill(4)(s"t$r")).mkString(" ")
+    val df = Seq(("zipf", zipfText), ("flat", flatText),
+      ("tiny", "solo")).toDF("source", "text")
+    val out = TextAnalysis.zipfSlope(df, "source", "text", 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // brute-force replay for the zipf group: counts, (cnt desc, token
+    // desc) ranks, micro-log OLS
+    val counts = zipfText.split(" ").groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+    val ranked = counts.sortBy { case (tok, c) => (-c, tok) }(
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+    def lnq(v: Long): Long =
+      BigDecimal(math.log(v.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val pts = ranked.map { case (r, c) => (lnq(r), lnq(c)) }
+    val n = pts.size.toLong
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val slope = (BigInt(n) * sxy - sx * sy).toDouble /
+      (BigInt(n) * sxx - sx * sx).toDouble
+    assert(out("zipf").getLong(1) == n)
+    assert(out("zipf").getDouble(2) == slope, "exact OLS replay")
+    assert(slope < -0.9 && slope > -1.1,
+      s"planted Zipf corpus should fit near -1, got $slope")
+    assert(out("flat").getDouble(2) == 0.0,
+      "flat spectrum fits slope 0 exactly")
+    // a single-token group has zero x-variance -> no fit -> dropped
+    assert(!out.contains("tiny"))
+  }
+
   test("lexicalDiversity counts tokens/types/hapax exactly and " +
     "matches brute force on random corpora") {
     val df = Seq(
