@@ -10394,6 +10394,64 @@ object Queries {
        |    / CAST(n AS DOUBLE) AS intercept
        |FROM a WHERE n*sxx - sx*sx != 0""".stripMargin
 
+  /** Next-event predictability per user segment
+    * (Stats.transitionEntropy): conditional entropy H(next|cur),
+    * marginal H(next) and their mutual information over each user's
+    * ordered event-type stream — the information-theoretic readout on
+    * top of q133's Markov transitions (deterministic flows → H≈0;
+    * MI≈0 → the current event tells you nothing). Transitions build
+    * with one lead() inside the user sequence on the q133 tie-safe
+    * order; entropies are exact integer-weighted micro-log sums. */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(pmod(col("user_id"), lit(3L)).as("seg"),
+        col("event_type").as("src"), col("__next").as("dst"))
+    Stats.transitionEntropy(pairs, "seg", "src", "dst")
+  }
+
+  private val q252Sql =
+    """WITH p AS (
+      |  SELECT user_id % 3 AS seg, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT seg, src, dst, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2, 3),
+      |st AS (SELECT seg, src, dst, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY seg) AS BIGINT) AS n,
+      |    CAST(sum(cnt) OVER (PARTITION BY seg, src) AS BIGINT) AS stot
+      |  FROM c),
+      |hc AS (SELECT seg, n, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(CAST(cnt AS HUGEINT)
+      |      * (CAST(round(ln(CAST(stot AS DOUBLE)) * 1000000.0)
+      |          AS BIGINT)
+      |        - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0)
+      |          AS BIGINT))) AS s
+      |  FROM st GROUP BY 1, 2),
+      |dd AS (SELECT seg, dst, CAST(sum(cnt) AS BIGINT) AS dt
+      |  FROM c GROUP BY 1, 2),
+      |hn AS (SELECT dd.seg, hc.n, CAST(count(*) AS BIGINT) AS n_dst,
+      |    sum(CAST(dt AS HUGEINT)
+      |      * (CAST(round(ln(CAST(hc.n AS DOUBLE)) * 1000000.0)
+      |          AS BIGINT)
+      |        - CAST(round(ln(CAST(dt AS DOUBLE)) * 1000000.0)
+      |          AS BIGINT))) AS s2
+      |  FROM dd JOIN hc ON dd.seg = hc.seg GROUP BY 1, 2),
+      |f AS (SELECT hc.seg, hc.n AS n_transitions, hc.n_pairs,
+      |    hn.n_dst,
+      |    CAST(hc.s AS DOUBLE) / (CAST(hc.n AS DOUBLE) * 1000000.0)
+      |      AS h_cond,
+      |    CAST(hn.s2 AS DOUBLE) / (CAST(hc.n AS DOUBLE) * 1000000.0)
+      |      AS h_next
+      |  FROM hc JOIN hn ON hc.seg = hn.seg)
+      |SELECT seg, n_transitions, n_pairs, n_dst, h_cond, h_next,
+      |  h_next - h_cond AS mi
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10650,5 +10708,6 @@ object Queries {
     "q248_isotonic_calibration" -> Q(q248, Some(q248Sql)),
     "q249_holt_smooth" -> Q(q249, Some(q249Sql)),
     "q250_nelson_aalen" -> Q(q250, Some(q250Sql)),
-    "q251_zipf_slope" -> Q(q251, Some(q251Sql)))
+    "q251_zipf_slope" -> Q(q251, Some(q251Sql)),
+    "q252_transition_entropy" -> Q(q252, Some(q252Sql)))
 }

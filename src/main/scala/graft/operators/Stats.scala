@@ -3010,6 +3010,79 @@ object Stats {
         (col("__hmv") - (col("h_a") + col("h_b")) / lit(2.0)).as("jsd"))
   }
 
+  /** TRANSITION ENTROPY per key — how predictable is the next state
+    * given the current one, for every segment's behavioral stream (the
+    * information-theoretic readout over [[markovTransitions]]' counts,
+    * in the [[jsdByKey]] micro-log discipline):
+    *
+    *   H(next | cur) = Σ_ij (c_ij/N) · ln(c_i·/c_ij)     (conditional)
+    *   H(next)       = Σ_j (c_·j/N) · ln(N/c_·j)         (marginal)
+    *   MI            = H(next) − H(next | cur)            (≥ 0)
+    *
+    * Low H(next|cur) = deterministic flows (bots, scripted crawlers,
+    * funnel rails); MI near 0 = the current state tells you nothing
+    * (noise). Input is transition ROWS (key, src, dst) — build them
+    * with one lead() window inside the sequence group (the
+    * [[markovTransitions]] shape), so the operator composes with any
+    * sequence definition.
+    *
+    * Exactness: rows collapse to the per-(key, src, dst) count
+    * histogram (CHECKED bounded); every entropy unrolls to
+    * integer-weighted micro-log sums in decimal(38,0) — the only
+    * floating point is one ln per distinct integer and the final
+    * divisions, so the oracle replays in HUGEINT bit-for-bit. NULL
+    * src/dst rows are rejected in the histogram aggregation. Shape:
+    * one hash agg + key-partitioned windows over the bounded histogram
+    * + ONE co-partitioned join of the two per-key sums. Output:
+    * (key, n_transitions, n_pairs, n_dst, h_cond, h_next, mi). */
+  def transitionEntropy(df: DataFrame, keyCol: String, srcCol: String,
+                        dstCol: String,
+                        maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(srcCol).as("__src"),
+        col(dstCol).as("__dst"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(srcCol).isNull || col(dstCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"transitionEntropy: $b NULL src/dst transition rows — every " +
+          "transition needs both states; filter explicitly first"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "transitionEntropy")
+    val d = "decimal(38,0)"
+    val perKey = Window.partitionBy(col(keyCol))
+    val perSrc = Window.partitionBy(col(keyCol), col("__src"))
+    val withTot = hist
+      .withColumn("__n", sum(col("__c")).over(perKey))
+      .withColumn("__st", sum(col("__c")).over(perSrc))
+    val hc = withTot
+      .withColumn("__term", col("__c").cast(d) *
+        (lnMicro(col("__st").cast("double")) -
+          lnMicro(col("__c").cast("double"))).cast(d))
+      .groupBy(col(keyCol))
+      .agg(first(col("__n")).as("__n"), count(lit(1)).as("n_pairs"),
+        sum(col("__term")).as("__hc"))
+    val hn = hist
+      .groupBy(col(keyCol), col("__dst"))
+      .agg(sum(col("__c")).as("__dt"))
+      .join(hc.select(col(keyCol), col("__n").as("__nn")), Seq(keyCol))
+      .withColumn("__term", col("__dt").cast(d) *
+        (lnMicro(col("__nn").cast("double")) -
+          lnMicro(col("__dt").cast("double"))).cast(d))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_dst"), sum(col("__term")).as("__hn"))
+    val nDbl = col("__n").cast("double")
+    hc.join(hn, Seq(keyCol))
+      .select(col(keyCol), col("__n").as("n_transitions"),
+        col("n_pairs"), col("n_dst"),
+        (col("__hc").cast("double") / (nDbl * lit(1000000.0)))
+          .as("h_cond"),
+        (col("__hn").cast("double") / (nDbl * lit(1000000.0)))
+          .as("h_next"))
+      .withColumn("mi", col("h_next") - col("h_cond"))
+  }
+
   /** IMPORTANCE-WEIGHT DIAGNOSTICS per key — the health check every
     * weighted pipeline (DSIR resampling, mixture reweighting,
     * inverse-propensity estimates) needs before trusting a weighted

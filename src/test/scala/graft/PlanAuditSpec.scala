@@ -742,7 +742,21 @@ class PlanAuditSpec extends SparkTestBase {
           concat(lit("c"), col("x") % 5).as("cat")),
         df.where(!col("side")).select(col("g"),
           concat(lit("c"), col("x") % 6).as("cat")),
-        "g", "cat"))
+        "g", "cat"),
+      "transitionEntropy" -> Stats.transitionEntropy(
+        df.select(col("g"), concat(lit("s"), col("x") % 4).as("src"),
+          concat(lit("s"), col("x") % 3).as("dst")),
+        "g", "src", "dst"),
+      "changepointMeanShift" -> Stats.changepointMeanShift(
+        df.select(col("g"), col("x"), (col("x") * 3 % 17).as("v")),
+        "g", "x", "v"),
+      "nelsonAalen" -> Stats.nelsonAalen(
+        df.select(col("g"), col("x"), (col("x") % 3 === 0).as("ev")),
+        "g", "x", "ev"),
+      "isotonicCalibration" -> Stats.isotonicCalibration(
+        df.select(col("g"), (col("x") % 20).as("s"),
+          (col("x") % 7 < 3).as("l")),
+        "g", "s", "l"))
       .foreach { case (name, q) =>
         val plan = q.queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange SinglePartition"),

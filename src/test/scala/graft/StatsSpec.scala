@@ -2604,6 +2604,66 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("nelsonAalen"))
   }
 
+  test("transitionEntropy equals the brute-force micro-log " +
+    "accumulation, deterministic chains give 0, MI is nonnegative " +
+    "and 0 for independent streams, NULL states fail loudly") {
+    val rnd = new scala.util.Random(98)
+    def lnq(v: Double): Long =
+      BigDecimal(math.log(v) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(300)((rnd.nextInt(2).toLong,
+        s"s${rnd.nextInt(4)}", s"s${rnd.nextInt(4)}"))
+      val out = Stats.transitionEntropy(rows.toDF("k", "src", "dst"),
+        "k", "src", "dst").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val n = sub.size.toLong
+        val pairCnt = sub.groupBy(r => (r._2, r._3)).view
+          .mapValues(_.size.toLong).toMap
+        val srcTot = sub.groupBy(_._2).view.mapValues(_.size.toLong)
+        val dstTot = sub.groupBy(_._3).view.mapValues(_.size.toLong)
+        var hc = BigInt(0); var hnS = BigInt(0)
+        pairCnt.foreach { case ((s, _), c) =>
+          hc += BigInt(c) * (lnq(srcTot(s).toDouble) - lnq(c.toDouble)) }
+        dstTot.foreach { case (_, dt) =>
+          hnS += BigInt(dt) * (lnq(n.toDouble) - lnq(dt.toDouble)) }
+        val hcV = hc.toDouble / (n.toDouble * 1e6)
+        val hnV = hnS.toDouble / (n.toDouble * 1e6)
+        val r = out(k)
+        assert(r.getLong(1) == n && r.getLong(2) == pairCnt.size.toLong
+          && r.getLong(3) == dstTot.size.toLong, s"$trial/$k counts")
+        assert(r.getDouble(4) == hcV, s"$trial/$k h_cond")
+        assert(r.getDouble(5) == hnV, s"$trial/$k h_next")
+        assert(r.getDouble(6) == hnV - hcV, s"$trial/$k mi")
+        assert(r.getDouble(6) >= -1e-6, "MI is nonnegative")
+      }
+    }
+    // a deterministic chain: every src has ONE dst -> H(next|cur) == 0
+    // exactly, and all information is in the current state (MI == H)
+    val det = Seq((5L, "a", "b"), (5L, "b", "c"), (5L, "c", "a"),
+      (5L, "a", "b"))
+    val dr = Stats.transitionEntropy(det.toDF("k", "src", "dst"),
+      "k", "src", "dst").collect().head
+    assert(dr.getDouble(4) == 0.0 && dr.getDouble(6) == dr.getDouble(5))
+    // independent uniform stream: dst distribution identical under
+    // every src -> conditional == marginal -> MI == 0 exactly
+    val ind = for (s <- Seq("a", "b"); d <- Seq("x", "y"))
+      yield (6L, s, d)
+    val ir = Stats.transitionEntropy(ind.toDF("k", "src", "dst"),
+      "k", "src", "dst").collect().head
+    assert(ir.getDouble(6) == 0.0)
+    // NULL dst fails loudly
+    val e = intercept[Throwable] {
+      Stats.transitionEntropy(
+        Seq((1L, "a", Some("b")), (1L, "b", None)).toDF("k", "src", "dst"),
+        "k", "src", "dst").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("transitionEntropy"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
