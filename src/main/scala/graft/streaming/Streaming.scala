@@ -552,6 +552,65 @@ object Streaming {
       .toDF("k", "o", "id", "n", "slope")
   }
 
+  /** Streaming importance-weight health monitor — the live twin of
+    * [[graft.operators.Stats.weightDiagnostics]] (q246): per key the
+    * state is the exact power sums (n, Σw, Σw², max w) — four scalars
+    * regardless of history; weights micro-quantize per row with the
+    * batch operator's banker-rounding, the sums accumulate in
+    * BigDecimal (the batch decimal(38,0) lane — Σw² can pass int64
+    * long before the CHECKED n·maxw² ≤ 10³⁷ contract trips), and each
+    * batch emits the key's refreshed (n, sum_w, ess, efficiency,
+    * max_w_share) row through the SAME final IEEE shape as the batch
+    * operator, so live == batch is structural. NULL/negative weights
+    * and the magnitude contract fail loudly per batch. Input columns:
+    * (k, w). */
+  def streamingEss(obs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(scale > 0, s"streamingEss: scale must be positive, got $scale")
+    val bound = BigDecimal("1" + "0" * 37)
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.select(col("k").cast("long"), col("w").cast("double"))
+      .as[(Long, java.lang.Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, BigDecimal, BigDecimal, Long),
+        (Long, Long, Double, Double, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[(Long, BigDecimal, BigDecimal, Long)]) =>
+          var (n, s1, s2, mw) = state.getOption
+            .getOrElse((0L, BigDecimal(0), BigDecimal(0), 0L))
+          rows.foreach { case (_, w) =>
+            require(w != null && !w.isNaN,
+              s"streamingEss: NULL/NaN weight under key $k — weights " +
+                "must be nonnegative; filter or clamp first")
+            val wq = math.rint(w * scale.toDouble).toLong
+            require(wq >= 0L,
+              s"streamingEss: negative weight $w under key $k — " +
+                "weights must be nonnegative; filter or clamp first")
+            n += 1L
+            s1 += BigDecimal(wq)
+            s2 += BigDecimal(wq) * BigDecimal(wq)
+            if (wq > mw) mw = wq
+          }
+          require(BigDecimal(n) * BigDecimal(mw) * BigDecimal(mw) <= bound,
+            s"streamingEss: key $k exceeds the decimal(38,0) power-sum " +
+              "contract (rows x maxWeight^2 <= 1e37 at the chosen " +
+              "scale) — lower scale or rescale the weights")
+          state.update((n, s1, s2, mw))
+          val s1D = s1.doubleValue
+          val out =
+            if (s1.signum == 0)
+              (k, n, s1D / scale.toDouble, Double.NaN, Double.NaN,
+                Double.NaN)
+            else (k, n, s1D / scale.toDouble,
+              s1D * s1D / s2.doubleValue,
+              s1D * s1D / s2.doubleValue / n.toDouble,
+              mw.toDouble / s1D)
+          Iterator.single(out)
+      }
+      .toDF("k", "n", "sum_w", "ess", "efficiency", "max_w_share")
+  }
+
   /** Streaming Holt level+trend monitor — the live twin of
     * [[graft.operators.Stats.holtSmooth]] (q249): per key the state is
     * exactly TWO longs (level, trend) plus a seen flag regardless of

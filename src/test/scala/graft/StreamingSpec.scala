@@ -1297,6 +1297,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ESS monitor serves the exact batch weight " +
+    "diagnostics at every moment and rejects negative weights") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(246)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.streamingEss(mem.toDF().toDF("k", "w"))
+      .writeStream.format("memory").queryName("ess")
+      .outputMode("append").start()
+    try {
+      (1 to 3).foreach { b =>
+        val rows = Seq.fill(70)((rnd.nextInt(3).toLong,
+          rnd.nextInt(1000).toDouble / 50.0))
+        hist ++= rows
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        // append mode: keep each key's LATEST row (max n)
+        val streamed = spark.table("ess").collect()
+          .groupBy(_.getLong(0)).view.mapValues(rs =>
+            rs.maxBy(_.getLong(1))).toMap
+          .map { case (k, r) => k -> (r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5)) }
+        val batch = graft.operators.Stats.weightDiagnostics(
+            hist.toSeq.toDF("k", "w"), "k", "w")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+        assert(streamed == batch, s"streamed != batch ESS after $b")
+      }
+      mem.addData((1L, -2.0))
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+          msgs(t.getCause)
+      assert(msgs(e).contains("streamingEss"))
+    } finally q.stop()
+  }
+
   test("streaming A/B cells serve the exact batch two-proportion z " +
     "readout at every moment") {
     implicit val sqlCtx = spark.sqlContext
