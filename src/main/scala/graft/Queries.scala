@@ -10452,6 +10452,64 @@ object Queries {
       |  h_next - h_cond AS mi
       |FROM f""".stripMargin
 
+  /** Post-stratified treatment effect per user segment
+    * (Stats.stratifiedAte): the even/odd-user arms' revenue-cents
+    * difference adjusted for the event-type mix — the categorical
+    * sibling of q198's CUPED; raw_diff over the same kept strata
+    * makes the mix bias directly readable. Exact decimal cell sums,
+    * sorted sequential stratum fold (list_reduce parity). */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(3L)).as("seg"),
+      col("event_type").as("st"),
+      (pmod(col("user_id"), lit(2L)) === 0L).as("side"),
+      cents(col("value")).as("y"))
+    Stats.stratifiedAte(base, "seg", "st", "side", "y")
+  }
+
+  private val q253Sql =
+    """WITH base AS (
+      |  SELECT user_id % 3 AS seg, event_type AS st,
+      |    user_id % 2 = 0 AS side,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |cells AS (
+      |  SELECT seg, st,
+      |    CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS na,
+      |    CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    sum(CASE WHEN NOT side THEN CAST(y AS HUGEINT)
+      |      ELSE 0 END) AS sya,
+      |    sum(CASE WHEN side THEN CAST(y AS HUGEINT) ELSE 0 END) AS syb
+      |  FROM base GROUP BY 1, 2),
+      |k AS (
+      |  SELECT seg, CAST(count(*) AS BIGINT) AS tot,
+      |    CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_strata,
+      |    CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN na + nb ELSE 0 END)
+      |      AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN na ELSE 0 END)
+      |      AS BIGINT) AS nat,
+      |    CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN nb ELSE 0 END)
+      |      AS BIGINT) AS nbt,
+      |    sum(CASE WHEN na > 0 AND nb > 0 THEN sya ELSE 0 END) AS syat,
+      |    sum(CASE WHEN na > 0 AND nb > 0 THEN syb ELSE 0 END) AS sybt,
+      |    list_sort(list({'st': st, 'na': na, 'nb': nb, 'sya': sya,
+      |      'syb': syb}) FILTER (WHERE na > 0 AND nb > 0)) AS l
+      |  FROM cells GROUP BY 1)
+      |SELECT seg, n, n_strata, tot - n_strata AS n_dropped,
+      |  CASE WHEN n_strata = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE list_reduce(list_prepend(0.0, list_transform(l, s ->
+      |      ((CAST(s['na'] AS DOUBLE) + CAST(s['nb'] AS DOUBLE))
+      |        / CAST(n AS DOUBLE))
+      |      * (CAST(s['syb'] AS DOUBLE) / CAST(s['nb'] AS DOUBLE)
+      |         - CAST(s['sya'] AS DOUBLE) / CAST(s['na'] AS DOUBLE)))),
+      |      (p, q) -> p + q) END AS ate,
+      |  CASE WHEN n_strata = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(sybt AS DOUBLE) / CAST(nbt AS DOUBLE)
+      |      - CAST(syat AS DOUBLE) / CAST(nat AS DOUBLE) END AS raw_diff
+      |FROM k""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10709,5 +10767,6 @@ object Queries {
     "q249_holt_smooth" -> Q(q249, Some(q249Sql)),
     "q250_nelson_aalen" -> Q(q250, Some(q250Sql)),
     "q251_zipf_slope" -> Q(q251, Some(q251Sql)),
-    "q252_transition_entropy" -> Q(q252, Some(q252Sql)))
+    "q252_transition_entropy" -> Q(q252, Some(q252Sql)),
+    "q253_stratified_ate" -> Q(q253, Some(q253Sql)))
 }

@@ -3010,6 +3010,79 @@ object Stats {
         (col("__hmv") - (col("h_a") + col("h_b")) / lit(2.0)).as("jsd"))
   }
 
+  /** POST-STRATIFIED TREATMENT EFFECT per key — the
+    * covariate-adjusted A/B readout when the covariate is CATEGORICAL
+    * (device class, country, source; the discrete sibling of q198's
+    * CUPED, which handles a continuous pre-metric): within each
+    * stratum the arms compare like-for-like, and strata combine
+    * weighted by their total mass,
+    *
+    *   ATE = Σ_s ((n_as + n_bs) / N) · (ȳ_bs − ȳ_as)
+    *
+    * which removes the bias a shifted stratum mix injects into the raw
+    * diff-in-means (also reported, over the SAME kept strata, so the
+    * gap between the two columns IS the mix bias). Strata missing an
+    * arm carry no comparison and drop, counted in n_dropped.
+    *
+    * Exactness: rows collapse to per-(key, stratum, arm) exact counts
+    * and decimal(38,0) sums; the stratum fold is a SORTED SEQUENTIAL
+    * FOLD over the per-key stratum array (the list_reduce parity
+    * discipline — fixed IEEE shape per stratum, same left-to-right
+    * order in the oracle). NULL stratum/side/y rows are rejected in
+    * the cell aggregation; strata per key are CHECKED bounded. Keys
+    * with zero two-armed strata report NaN. Output:
+    * (key, n, n_strata, n_dropped, ate, raw_diff). */
+  def stratifiedAte(df: DataFrame, keyCol: String, stratumCol: String,
+                    sideCol: String, yCol: String,
+                    maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val y = col(yCol).cast("long")
+    val d = "decimal(38,0)"
+    val cells = df.groupBy(col(keyCol), col(stratumCol).as("__st"))
+      .agg(sum(when(!side, 1L).otherwise(0L)).as("__na"),
+        sum(when(side, 1L).otherwise(0L)).as("__nb"),
+        sum(when(!side, y).otherwise(0L).cast(d)).as("__sya"),
+        sum(when(side, y).otherwise(0L).cast(d)).as("__syb"),
+        sum(when(col(stratumCol).isNull || side.isNull || y.isNull,
+          1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"stratifiedAte: $b NULL stratum/side/metric rows — assign " +
+          "every row an arm, a stratum and a metric, or filter " +
+          "explicitly"))
+    requireBoundedPerKey(cells, keyCol, maxDistinctPerKey,
+      "stratifiedAte")
+    val kept = col("__na") > 0L && col("__nb") > 0L
+    val zero = lit(0L).cast(d)
+    val agg = cells.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__tot"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_strata"),
+        sum(when(kept, col("__na") + col("__nb")).otherwise(0L))
+          .as("n"),
+        sum(when(kept, col("__na")).otherwise(0L)).as("__nat"),
+        sum(when(kept, col("__nb")).otherwise(0L)).as("__nbt"),
+        sum(when(kept, col("__sya")).otherwise(zero)).as("__syat"),
+        sum(when(kept, col("__syb")).otherwise(zero)).as("__sybt"),
+        sort_array(collect_list(when(kept, struct(col("__st"),
+          col("__na"), col("__nb"), col("__sya"), col("__syb")))))
+          .as("__l"))
+    val nD = col("n").cast("double")
+    def f(s: Column, field: String) = s.getField(field).cast("double")
+    val ate = aggregate(col("__l"), lit(0.0), (acc, s) =>
+      acc + ((f(s, "__na") + f(s, "__nb")) / nD) *
+        (f(s, "__syb") / f(s, "__nb") - f(s, "__sya") / f(s, "__na")))
+    agg.select(col(keyCol), col("n"), col("n_strata"),
+      (col("__tot") - col("n_strata")).as("n_dropped"),
+      when(col("n_strata") === 0L, lit(Double.NaN)).otherwise(ate)
+        .as("ate"),
+      when(col("n_strata") === 0L, lit(Double.NaN))
+        .otherwise(col("__sybt").cast("double") /
+          col("__nbt").cast("double") -
+          col("__syat").cast("double") / col("__nat").cast("double"))
+        .as("raw_diff"))
+  }
+
   /** TRANSITION ENTROPY per key — how predictable is the next state
     * given the current one, for every segment's behavioral stream (the
     * information-theoretic readout over [[markovTransitions]]' counts,

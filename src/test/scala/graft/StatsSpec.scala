@@ -2664,6 +2664,73 @@ class StatsSpec extends SparkTestBase {
       .contains("transitionEntropy"))
   }
 
+  test("stratifiedAte equals the brute-force post-stratified fold, " +
+    "removes a planted mix bias, drops one-armed strata, NULL rows " +
+    "fail loudly") {
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(240)((rnd.nextInt(2).toLong,
+        s"st${rnd.nextInt(4)}", rnd.nextBoolean(),
+        rnd.nextInt(400).toLong - 100L))
+      val out = Stats.stratifiedAte(rows.toDF("k", "st", "side", "y"),
+        "k", "st", "side", "y").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val cells = sub.groupBy(_._2).view.mapValues { rs =>
+          val a = rs.filter(!_._3); val b = rs.filter(_._3)
+          (a.size.toLong, b.size.toLong,
+            a.map(r => BigInt(r._4)).sum, b.map(r => BigInt(r._4)).sum)
+        }.toMap
+        val keptS = cells.filter { case (_, c) => c._1 > 0 && c._2 > 0 }
+        val n = keptS.values.map(c => c._1 + c._2).sum
+        var ate = 0.0
+        keptS.toSeq.sortBy(_._1).foreach { case (_, (na, nb, sa, sb)) =>
+          ate += ((na.toDouble + nb.toDouble) / n.toDouble) *
+            (sb.toDouble / nb.toDouble - sa.toDouble / na.toDouble)
+        }
+        val r = out(k)
+        assert(r.getLong(1) == n &&
+          r.getLong(2) == keptS.size.toLong &&
+          r.getLong(3) == (cells.size - keptS.size).toLong,
+          s"$trial/$k counts")
+        assert(r.getDouble(4) == ate, s"$trial/$k ate")
+      }
+    }
+    // planted mix bias: within every stratum B = A + 10 exactly, but
+    // B oversamples the high-mean stratum -> raw_diff is inflated,
+    // the post-stratified ATE recovers exactly 10
+    val biased =
+      Seq.fill(30)((7L, "low", false, 100L)) ++
+        Seq.fill(10)((7L, "low", true, 110L)) ++
+        Seq.fill(10)((7L, "high", false, 1000L)) ++
+        Seq.fill(30)((7L, "high", true, 1010L))
+    val br = Stats.stratifiedAte(biased.toDF("k", "st", "side", "y"),
+      "k", "st", "side", "y").collect().head
+    assert(br.getDouble(4) == 10.0, s"ate should be 10, ${br.getDouble(4)}")
+    assert(br.getDouble(5) > 100.0,
+      s"raw diff should be mix-inflated, got ${br.getDouble(5)}")
+    // a stratum with one arm drops and is counted
+    val oneArm = Seq((8L, "a", false, 5L), (8L, "a", true, 7L),
+      (8L, "b", true, 9L))
+    val or = Stats.stratifiedAte(oneArm.toDF("k", "st", "side", "y"),
+      "k", "st", "side", "y").collect().head
+    assert(or.getLong(2) == 1L && or.getLong(3) == 1L &&
+      or.getDouble(4) == 2.0)
+    // a key with zero two-armed strata reports NaN
+    val none = Seq((9L, "a", true, 1L))
+    val nr = Stats.stratifiedAte(none.toDF("k", "st", "side", "y"),
+      "k", "st", "side", "y").collect().head
+    assert(nr.getDouble(4).isNaN && nr.getDouble(5).isNaN)
+    // NULL side fails loudly
+    val e = intercept[Throwable] {
+      Stats.stratifiedAte(Seq((1L, "a", Some(true), 1L),
+        (1L, "a", None, 2L)).toDF("k", "st", "side", "y"),
+        "k", "st", "side", "y").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("stratifiedAte"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
