@@ -10510,6 +10510,73 @@ object Queries {
       |      - CAST(syat AS DOUBLE) / CAST(nat AS DOUBLE) END AS raw_diff
       |FROM k""".stripMargin
 
+  /** Serve the q248 isotonic map back onto every document
+    * (Stats.calibrateScores): the deployment half of the calibration
+    * loop — each document's length-bucket score picks up its pool's
+    * monotone rate through the merge-exec as-of (never a per-row range
+    * scan). The oracle replays PAVA and serves with DuckDB's native
+    * ASOF JOIN, so the hash match proves both the pools AND the
+    * serving rule. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      col("source"), expr("least(n_chars div 200, 50)").as("score"),
+      (col("lang") === "en").as("label"))
+    val pools = Stats.isotonicCalibration(docs, "source", "score",
+      "label")
+    Stats.calibrateScores(pools,
+        docs.select(col("doc_id"), col("source"), col("score")),
+        "source", "score")
+      .select(col("doc_id"), col("source"), col("score"),
+        col("calibrated"))
+  }
+
+  private val q254Sql =
+    """WITH RECURSIVE hist AS (
+      |  SELECT source, least(n_chars // 200, 50) AS s,
+      |    CAST(count(*) AS BIGINT) AS w,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM documents GROUP BY 1, 2),
+      |base AS (
+      |  SELECT source, list({'smin': s, 'smax': s, 'w': w, 'y': y}
+      |    ORDER BY s) AS l
+      |  FROM hist GROUP BY 1),
+      |it AS (
+      |  SELECT source, l FROM base
+      |  UNION ALL
+      |  SELECT source,
+      |    l[1:i-1]
+      |      || [{'smin': l[i]['smin'], 'smax': l[i+1]['smax'],
+      |           'w': l[i]['w'] + l[i+1]['w'],
+      |           'y': l[i]['y'] + l[i+1]['y']}]
+      |      || l[i+2:] AS l
+      |  FROM (
+      |    SELECT source, l,
+      |      list_position(list_transform(generate_series(1, len(l) - 1),
+      |        j -> l[j]['y'] * l[j+1]['w'] > l[j+1]['y'] * l[j]['w']),
+      |        true) AS i
+      |    FROM it) WHERE i > 0),
+      |fixed AS (
+      |  SELECT source, l FROM (
+      |    SELECT source, l,
+      |      list_position(list_transform(generate_series(1, len(l) - 1),
+      |        j -> l[j]['y'] * l[j+1]['w'] > l[j+1]['y'] * l[j]['w']),
+      |        true) AS i
+      |    FROM it) WHERE i = 0),
+      |pools AS (
+      |  SELECT source, e['p']['smin'] AS smin,
+      |    CAST(e['p']['y'] AS DOUBLE) / CAST(e['p']['w'] AS DOUBLE)
+      |      AS rate
+      |  FROM (SELECT source, unnest(list_transform(
+      |      generate_series(1, len(l)), j -> {'idx': j, 'p': l[j]}))
+      |      AS e
+      |    FROM fixed)),
+      |d AS (SELECT doc_id, source, least(n_chars // 200, 50) AS score
+      |  FROM documents)
+      |SELECT d.doc_id, d.source, d.score, p.rate AS calibrated
+      |FROM d ASOF JOIN pools p
+      |  ON d.source = p.source AND d.score >= p.smin""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10768,5 +10835,6 @@ object Queries {
     "q250_nelson_aalen" -> Q(q250, Some(q250Sql)),
     "q251_zipf_slope" -> Q(q251, Some(q251Sql)),
     "q252_transition_entropy" -> Q(q252, Some(q252Sql)),
-    "q253_stratified_ate" -> Q(q253, Some(q253Sql)))
+    "q253_stratified_ate" -> Q(q253, Some(q253Sql)),
+    "q254_calibrate_scores" -> Q(q254, Some(q254Sql)))
 }

@@ -3339,6 +3339,30 @@ object Stats {
         col("__h.trend").as("trend"))
   }
 
+  /** Serve an [[isotonicCalibration]] map onto new scores — the
+    * deployment half of the calibration loop: each row finds its pool
+    * by backward as-of on the pool's score_min (the merge-exec as-of,
+    * [[AsOf.asofJoinMerge]] — one shuffle + sort per side, NEVER a
+    * per-row range scan), and scores below the first pool clamp to its
+    * rate (the standard isotonic out-of-range rule; above-range scores
+    * land in the last pool naturally). The per-key first-pool table is
+    * key-cardinality sized and joins back co-partitioned. Adds a
+    * `calibrated` column; every other input column passes through. */
+  def calibrateScores(pools: DataFrame, df: DataFrame, keyCol: String,
+                      scoreCol: String): DataFrame = {
+    val right = pools.select(col(keyCol),
+      col("score_min").cast("long").as("__smin"),
+      col("rate").as("calibrated"))
+    val left = df.withColumn("__smin", col(scoreCol).cast("long"))
+    val joined = AsOf.asofJoinMerge(left, right, keyCol, "__smin",
+      inner = false)
+    val firstPool = pools.where(col("pool") === 1L)
+      .select(col(keyCol), col("rate").as("__r0"))
+    joined.join(firstPool, Seq(keyCol), "left")
+      .withColumn("calibrated", coalesce(col("calibrated"), col("__r0")))
+      .drop("__r0", "__smin")
+  }
+
   def changepointMeanShift(df: DataFrame, keyCol: String, tCol: String,
                            xCol: String,
                            maxRowsPerKey: Long = 2000000L): DataFrame = {

@@ -2731,6 +2731,32 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("stratifiedAte"))
   }
 
+  test("calibrateScores serves each score its pool's rate, clamps " +
+    "below-range scores to the first pool, and rides the as-of exec") {
+    // training: scores 10/20/30 with rates 0.0 / violation / pooled
+    val train = Seq(
+      (1L, 10L, false), (1L, 10L, false),            // rate 0
+      (1L, 20L, true), (1L, 20L, true),              // rate 1 (pools
+      (1L, 30L, true), (1L, 30L, false))             //  with 30: 0.75)
+      .toDF("k", "s", "l")
+    val pools = Stats.isotonicCalibration(train, "k", "s", "l")
+    // serve: in-pool, between-pool (snaps down), above-range (last
+    // pool), below-range (clamps to first pool's rate)
+    val serve = Seq((1L, 10L), (1L, 25L), (1L, 99L), (1L, 3L))
+      .toDF("k", "s")
+    val out = Stats.calibrateScores(pools, serve, "k", "s")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(10L) == 0.0)
+    assert(out(25L) == 0.75, "between-pool score snaps to prior pool")
+    assert(out(99L) == 0.75, "above-range lands in the last pool")
+    assert(out(3L) == 0.0, "below-range clamps to the first pool")
+    // the serving plan rides the merge as-of exec, no cartesian
+    val plan = Stats.calibrateScores(pools, serve, "k", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoin exec:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
