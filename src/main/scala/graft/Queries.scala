@@ -10577,6 +10577,34 @@ object Queries {
       |FROM d ASOF JOIN pools p
       |  ON d.source = p.source AND d.score >= p.smin""".stripMargin
 
+  /** Burstiness (variance-to-mean ratio of per-document counts, zeros
+    * included) of the top-50 tokens (TextAnalysis.tokenBurstiness):
+    * Poissonian function words near 1, bursty content words far
+    * above — the dispersion complement to q251's Zipf slope. Exact
+    * integer moments in decimal/HUGEINT until one double division. */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBurstiness(t(s, dir, "documents"), "doc_id",
+      "text", 50)
+
+  private val q255Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token
+       |  FROM documents),
+       |pc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |pt AS (SELECT token, CAST(sum(c) AS BIGINT) AS cf,
+       |    CAST(count(*) AS BIGINT) AS df,
+       |    sum(CAST(c AS HUGEINT) * c) AS m2
+       |  FROM pc GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |r AS (SELECT token, cf, df, m2,
+       |    row_number() OVER (ORDER BY cf DESC, token DESC) AS rk
+       |  FROM pt)
+       |SELECT token, cf, df, n AS n_docs,
+       |  CAST(CAST(n AS HUGEINT) * m2 - CAST(cf AS HUGEINT) * cf
+       |      AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * cf AS DOUBLE) AS vmr
+       |FROM r, nn WHERE rk <= 50""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10836,5 +10864,6 @@ object Queries {
     "q251_zipf_slope" -> Q(q251, Some(q251Sql)),
     "q252_transition_entropy" -> Q(q252, Some(q252Sql)),
     "q253_stratified_ate" -> Q(q253, Some(q253Sql)),
-    "q254_calibrate_scores" -> Q(q254, Some(q254Sql)))
+    "q254_calibrate_scores" -> Q(q254, Some(q254Sql)),
+    "q255_token_burstiness" -> Q(q255, Some(q255Sql)))
 }

@@ -1992,6 +1992,51 @@ object TextAnalysis {
     Stats.groupOls(ranked, groupCol, "__x", "__y")
   }
 
+  /** TOKEN BURSTINESS over the top-k vocabulary (Church–Gale 1995):
+    * the variance-to-mean ratio of per-document counts, zeros
+    * included — Poisson-distributed function words sit near 1, bursty
+    * content words run far above, and a vocabulary whose head shows NO
+    * overdispersion is a template-generation fingerprint (every doc
+    * repeats the same words the same number of times). The
+    * dispersion complement to [[zipfSlope]]'s spectrum shape.
+    *
+    * With N docs, per-token collection frequency cf = Σ c_d and
+    * square mass m2 = Σ c_d² (absent docs contribute 0 to both
+    * exactly), VMR = Var/Mean = (N·m2 − cf²)/(N·cf) — exact integer
+    * arithmetic in decimal(38,0) until ONE double division (HUGEINT in
+    * the oracle). Shape: one tokenize scan → per-(doc, token) counts →
+    * per-token exact moments (map-side combining, shuffle bounded by
+    * vocabulary) → the PARTIAL-COMBINING global top-k aggregate
+    * ((cf, token) descending ties) → the one-row doc count broadcasts
+    * in. Output: (token, cf, df, n_docs, vmr). */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 4096,
+      s"tokenBurstiness: k must be in [1, 4096], got $k")
+    val d = "decimal(38,0)"
+    val n = df.agg(count(lit(1)).as("__n"))
+    val pc = df
+      .select(col(idCol), explode(ws_tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val pt = pc.groupBy(col("__tok"))
+      .agg(sum(col("__c")).as("cf"), count(lit(1)).as("df"),
+        sum(col("__c").cast(d) * col("__c").cast(d)).as("__m2"))
+    val top = pt
+      .agg(top_k_by(struct(col("cf"), col("__tok"), col("df"),
+        col("__m2")), k).as("__top"))
+      .select(explode(col("__top")).as("__g"))
+      .select(col("__g.__tok").as("token"), col("__g.cf").as("cf"),
+        col("__g.df").as("df"), col("__g.__m2").as("__m2"))
+    val nD = col("__n").cast(d)
+    top.crossJoin(broadcast(n))
+      .select(col("token"), col("cf"), col("df"),
+        col("__n").as("n_docs"),
+        ((nD * col("__m2") - col("cf").cast(d) * col("cf").cast(d))
+          .cast("double") /
+          (nD * col("cf").cast(d)).cast("double")).as("vmr"))
+  }
+
   def lexicalDiversity(df: DataFrame, groupCol: String,
                        textCol: String): DataFrame = {
     val hist = df

@@ -1167,6 +1167,33 @@ class OperatorSpec extends SparkTestBase {
     assert(!out.contains("tiny"))
   }
 
+  test("tokenBurstiness equals the brute-force zero-inclusive VMR, " +
+    "uniform spread gives 0, a bursty token overdisperses") {
+    // 4 docs: "a" once in every doc (uniform -> VMR 0 exactly);
+    // "b" four times in one doc (bursty); "c" once in two docs
+    val df = Seq(
+      (1L, "a b b b b"), (2L, "a c"), (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(df, "doc_id", "text", 10)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def vmr(cf: Long, m2: Long, n: Long): Double =
+      (BigInt(n) * m2 - BigInt(cf) * cf).toDouble /
+        (BigInt(n) * cf).toDouble
+    assert(out("a") == ((4L, 4L, 4L, vmr(4, 4, 4))))
+    assert(out("a")._4 == 0.0, "uniform token has zero variance")
+    assert(out("b") == ((4L, 1L, 4L, vmr(4, 16, 4))))
+    assert(out("b")._4 == 3.0, "4-in-1-doc over 4 docs: VMR 3")
+    assert(out("c") == ((2L, 2L, 4L, vmr(2, 2, 4))))
+    assert(out("c")._4 == 0.5, "1-in-2-of-4 docs: VMR 1/2")
+    // top-k cut respects (cf desc, token desc): k = 1 keeps only "a"
+    // (cf 4 ties with "b", token desc prefers... "b" > "a") -> "b"
+    val k1 = TextAnalysis.tokenBurstiness(df, "doc_id", "text", 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(k1 == Seq("b"), s"tie at cf=4 breaks token-desc, got $k1")
+  }
+
   test("lexicalDiversity counts tokens/types/hapax exactly and " +
     "matches brute force on random corpora") {
     val df = Seq(
