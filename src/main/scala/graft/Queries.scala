@@ -10605,6 +10605,44 @@ object Queries {
        |    / CAST(CAST(n AS HUGEINT) * cf AS DOUBLE) AS vmr
        |FROM r, nn WHERE rk <= 50""".stripMargin
 
+  /** Expected calibration error per user segment
+    * (Stats.expectedCalibrationError): the one-number ECE + max-gap
+    * MCE over 10 equal-width probability bins for the q205
+    * value-derived forecast — the numerator is exact integer
+    * arithmetic (|1e6·y_b − Σq_b| per bin), so ECE is one double
+    * division and MCE a fixed per-bin shape. */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(3L)).as("seg"),
+      least(cents(col("value")) * 20L, lit(1000000L)).as("q"),
+      (col("event_type") === "purchase").as("l"))
+    Stats.expectedCalibrationError(ev, "seg", "q", "l", nBuckets = 10)
+  }
+
+  private val q256Sql =
+    """WITH o AS (
+      |  SELECT user_id % 3 AS seg,
+      |    least(CAST(round(value*100) AS BIGINT) * 20, 1000000) AS q,
+      |    event_type = 'purchase' AS l
+      |  FROM events),
+      |h AS (
+      |  SELECT seg, least((q * 10) // 1000000, 9) AS b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    sum(CAST(q AS HUGEINT)) AS sq
+      |  FROM o GROUP BY 1, 2),
+      |g AS (SELECT seg, n, abs(CAST(y AS HUGEINT) * 1000000 - sq)
+      |    AS gap
+      |  FROM h)
+      |SELECT seg, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_bins_used,
+      |  CAST(sum(gap) AS DOUBLE)
+      |    / (CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) * 1000000.0)
+      |    AS ece,
+      |  max(CAST(gap AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+      |    AS mce
+      |FROM g GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10865,5 +10903,6 @@ object Queries {
     "q252_transition_entropy" -> Q(q252, Some(q252Sql)),
     "q253_stratified_ate" -> Q(q253, Some(q253Sql)),
     "q254_calibrate_scores" -> Q(q254, Some(q254Sql)),
-    "q255_token_burstiness" -> Q(q255, Some(q255Sql)))
+    "q255_token_burstiness" -> Q(q255, Some(q255Sql)),
+    "q256_calibration_error" -> Q(q256, Some(q256Sql)))
 }

@@ -1757,6 +1757,66 @@ object Stats {
           .as("unc"))
   }
 
+  /** EXPECTED CALIBRATION ERROR per key (Naeini 2015's ECE + the max
+    * gap MCE) — the one-number companion to the reliability table
+    * (q182) and Brier decomposition (q205): bucket forecasts into
+    * equal-width probability bins, compare each bin's mean confidence
+    * to its empirical accuracy, and mass-weight the gaps:
+    *
+    *   ECE = Σ_b (n_b/N) · |acc_b − conf_b|
+    *       = Σ_b |10⁶·y_b − Σq_b|  /  (N·10⁶)
+    *
+    * — the numerator is EXACT integer arithmetic (micro-probs sum
+    * exactly; the absolute gap per bin is one integer |·|), so the
+    * whole statistic is one double division; MCE takes the same
+    * per-bin gap over each bin's own mass (fixed IEEE shape per bin).
+    * Forecasts outside [0, 10⁶] are rejected loudly in the same
+    * aggregation (the [[brierDecomposition]] domain discipline), as
+    * are NULL forecast/label rows. q = 10⁶ lands in the top bin
+    * (clamped). Shape: ONE hash agg over ≤ nBuckets·keys rows.
+    * Output: (key, n, n_bins_used, ece, mce). */
+  def expectedCalibrationError(df: DataFrame, keyCol: String,
+                               microProbCol: String, labelCol: String,
+                               nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100000,
+      s"expectedCalibrationError: nBuckets in [2, 1e5], got $nBuckets")
+    val q = col(microProbCol).cast("long")
+    val l = col(labelCol).cast("boolean")
+    val d = "decimal(38,0)"
+    // exact integer floor division (q >= 0 by the domain check):
+    // (a - a mod m) / m is exact in double below 2^53, matching the
+    // oracle's `//`
+    val qk = q * nBuckets
+    val bucket = least(((qk - pmod(qk, lit(1000000L))) / lit(1000000L))
+      .cast("long"), lit(nBuckets - 1L).cast("long"))
+    val hist = df
+      .groupBy(col(keyCol), bucket.as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(l, 1L).otherwise(0L)).as("__y"),
+        sum(q.cast(d)).as("__sq"),
+        sum(when(q.isNull || l.isNull || q < 0L || q > 1000000L, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"expectedCalibrationError: $b NULL or out-of-range rows — " +
+          "every row needs a label and a forecast in [0, 1000000] " +
+          "micro-prob; clamp or rescale first"))
+    val gap = col("__y").cast(d) * lit(1000000L).cast(d) - col("__sq")
+    val gapAbs = when(gap < lit(0L).cast(d), -gap).otherwise(gap)
+    hist
+      .withColumn("__gap", gapAbs)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_bins_used"),
+        sum(col("__gap")).as("__e"),
+        max(col("__gap").cast("double") /
+          (col("__n").cast("double") * lit(1000000.0))).as("mce"))
+      .select(col(keyCol), col("n"), col("n_bins_used"),
+        (col("__e").cast("double") /
+          (col("n").cast("double") * lit(1000000.0))).as("ece"),
+        col("mce"))
+  }
+
   /** CUSUM changepoint alarms per key (Page 1954, one-sided upper):
     * the sequential mean-shift detector that the trailing EWMA
     * baseline ([[graft.functions.ewma_shift]]) complements — CUSUM

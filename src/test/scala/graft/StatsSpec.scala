@@ -2757,6 +2757,56 @@ class StatsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("expectedCalibrationError equals the brute-force bin gaps, is " +
+    "0 for a perfectly calibrated feed, rejects out-of-range " +
+    "forecasts") {
+    val rnd = new scala.util.Random(100)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(250)((rnd.nextInt(2).toLong,
+        rnd.nextInt(1000001).toLong, rnd.nextBoolean()))
+      val out = Stats.expectedCalibrationError(
+        rows.toDF("k", "q", "l"), "k", "q", "l", nBuckets = 10)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val bins = sub.groupBy(r => math.min(r._2 * 10L / 1000000L, 9L))
+        val gaps = bins.toSeq.map { case (_, rs) =>
+          val y = rs.count(_._3).toLong
+          val sq = rs.map(r => BigInt(r._2)).sum
+          (rs.size.toLong, (BigInt(y) * 1000000 - sq).abs)
+        }
+        val n = sub.size.toLong
+        val ece = gaps.map(_._2).sum.toDouble / (n.toDouble * 1e6)
+        val mce = gaps.map { case (nb, g) =>
+          g.toDouble / (nb.toDouble * 1e6) }.max
+        val r = out(k)
+        assert(r.getLong(1) == n &&
+          r.getLong(2) == bins.size.toLong, s"$trial/$k counts")
+        assert(r.getDouble(3) == ece, s"$trial/$k ece")
+        assert(r.getDouble(4) == mce, s"$trial/$k mce")
+      }
+    }
+    // a perfectly calibrated bin: forecast 0.5 hits exactly half ->
+    // gap 0 -> ECE == 0.0 bit-exactly
+    val perfect = Seq((9L, 500000L, true), (9L, 500000L, false))
+    val pr = Stats.expectedCalibrationError(perfect.toDF("k", "q", "l"),
+      "k", "q", "l").collect().head
+    assert(pr.getDouble(3) == 0.0 && pr.getDouble(4) == 0.0)
+    // q = 1e6 lands in the top bin, not an 11th
+    val top = Seq((8L, 1000000L, true), (8L, 999999L, true))
+    val tr = Stats.expectedCalibrationError(top.toDF("k", "q", "l"),
+      "k", "q", "l").collect().head
+    assert(tr.getLong(2) == 1L)
+    // out-of-range forecast fails loudly
+    val e = intercept[Throwable] {
+      Stats.expectedCalibrationError(
+        Seq((1L, 1000001L, true)).toDF("k", "q", "l"),
+        "k", "q", "l").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("expectedCalibrationError"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
