@@ -10643,6 +10643,52 @@ object Queries {
       |    AS mce
       |FROM g GROUP BY 1""".stripMargin
 
+  /** Mann–Kendall monotone-trend test on the daily event volume per
+    * event type (Stats.mannKendall): the nonparametric significance
+    * companion to Theil–Sen (q200) and the omnibus sibling of q247's
+    * single changepoint. 2S = n(n−1) − Σc(c−1) − 4·inversions rides
+    * the O(n log n) merge-sort kernel; the oracle replays S with a
+    * literal O(n²) signed pair join and the tie-corrected variance. */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.mannKendall(daily, "event_type", "day", "cnt")
+  }
+
+  private val q257Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS t,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |o AS (SELECT k, t, x,
+      |    row_number() OVER (PARTITION BY k ORDER BY t, x) AS rn
+      |  FROM daily),
+      |pr AS (SELECT a.k,
+      |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM o a JOIN o b ON a.k = b.k AND b.rn > a.rn GROUP BY 1),
+      |tn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM daily
+      |  GROUP BY 1),
+      |tt AS (SELECT k,
+      |    sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tv
+      |  FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS c FROM daily
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |f AS (SELECT tn.k, tn.n,
+      |    CAST(coalesce(pr.s, 0) AS BIGINT) AS s,
+      |    CAST(tn.n AS HUGEINT) * (tn.n - 1) * (2 * tn.n + 5)
+      |      - coalesce(tt.tv, 0) AS vn
+      |  FROM tn LEFT JOIN pr ON tn.k = pr.k
+      |    LEFT JOIN tt ON tn.k = tt.k)
+      |SELECT k AS event_type, n, s,
+      |  CASE WHEN vn = 0 THEN CAST('nan' AS DOUBLE)
+      |    WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+      |      / sqrt(CAST(vn AS DOUBLE) / 18.0)
+      |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+      |      / sqrt(CAST(vn AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END AS z
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10904,5 +10950,6 @@ object Queries {
     "q253_stratified_ate" -> Q(q253, Some(q253Sql)),
     "q254_calibrate_scores" -> Q(q254, Some(q254Sql)),
     "q255_token_burstiness" -> Q(q255, Some(q255Sql)),
-    "q256_calibration_error" -> Q(q256, Some(q256Sql)))
+    "q256_calibration_error" -> Q(q256, Some(q256Sql)),
+    "q257_mann_kendall" -> Q(q257, Some(q257Sql)))
 }

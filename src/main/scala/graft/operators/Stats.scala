@@ -3351,6 +3351,69 @@ object Stats {
           .as("rate"))
   }
 
+  /** MANN–KENDALL TREND TEST per key (Mann 1945, Kendall 1975) — "is
+    * this series monotonically drifting, without assuming linearity or
+    * a distribution?": the nonparametric significance companion to
+    * [[theilSen]]'s robust slope (the two are the standard pairing)
+    * and the omnibus sibling of [[changepointMeanShift]]'s single
+    * break. S = Σ_{i<j} sign(x_j − x_i) over time-ordered pairs, with
+    * the tie-corrected variance
+    * Var = [n(n−1)(2n+5) − Σ_t c_t(c_t−1)(2c_t+5)] / 18 and the
+    * continuity-corrected z.
+    *
+    * Exactness/scale: S computes WITHOUT the O(n²) pair walk —
+    * 2S = n(n−1) − Σ c(c−1) − 4·inversions, with inversions from the
+    * O(n log n) merge-sort kernel over the (t, x)-sorted series
+    * ([[groupInversions]]' machinery; rows per key CHECKED ≤
+    * maxRowsPerKey) and tie masses from the per-(key, value)
+    * histogram. Everything is exact integer/decimal until the one
+    * fixed-shape z (sqrt + divide). Rows sharing a time sort ascending
+    * by x (pre-aggregate to one observation per time for textbook MK).
+    * NULL order/value rows are rejected loudly. Zero variance
+    * (constant series or n < 2) → z = NaN. Output: (key, n, s, z). */
+  def mannKendall(df: DataFrame, keyCol: String, tCol: String,
+                  xCol: String,
+                  maxRowsPerKey: Long = 1000000L): DataFrame = {
+    val proj = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__x").isNull,
+        1L).otherwise(0L)), _ == 0L, b =>
+        s"mannKendall: $b NULL order/value rows — every row needs a " +
+          "position and a metric; filter explicitly first"))
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey, "mannKendall",
+      "rows", "Pre-aggregate the series to coarser steps (e.g. daily " +
+        "buckets) before testing.", contract = "per-key series kernel")
+    val d = "decimal(38,0)"
+    val series = proj.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__t"), col("__x"))))
+          .as("__srt"))
+      .select(col(keyCol), col("n"),
+        coalesce(graft.functions.inversion_count(
+          transform(col("__srt"), g => g("__x"))), lit(0L)).as("__inv"))
+    val cD = col("__c").cast(d)
+    val ties = proj.groupBy(col(keyCol), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(sum(cD * (cD - 1)).as("__tp2"),
+        sum(cD * (cD - 1) * (lit(2L).cast(d) * cD + 5)).as("__tv"))
+    val nD = col("n").cast(d)
+    val s2 = nD * (nD - 1) - col("__tp2") -
+      lit(4L).cast(d) * col("__inv").cast(d)
+    val varNum = nD * (nD - 1) * (lit(2L).cast(d) * nD + 5) - col("__tv")
+    val joined = series.join(ties, Seq(keyCol))
+      .withColumn("s", (s2.cast("double") / 2.0).cast("long"))
+      .withColumn("__vn", varNum)
+    val sd = col("s").cast("double")
+    val root = sqrt(col("__vn").cast("double") / lit(18.0))
+    joined.select(col(keyCol), col("n"), col("s"),
+      when(col("__vn") === lit(0L).cast(d), lit(Double.NaN))
+        .when(col("s") > 0L, (sd - 1.0) / root)
+        .when(col("s") < 0L, (sd + 1.0) / root)
+        .otherwise(lit(0.0)).as("z"))
+  }
+
   /** HOLT LEVEL+TREND SMOOTHING per key (double exponential smoothing,
     * Holt 1957) with power-of-two gains — the trend-aware upgrade of
     * the integer EWMA (q162) and the forecasting companion to the

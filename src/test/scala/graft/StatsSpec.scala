@@ -2807,6 +2807,61 @@ class StatsSpec extends SparkTestBase {
       .contains("expectedCalibrationError"))
   }
 
+  test("mannKendall equals the brute-force signed pair walk with tie " +
+    "correction, flags a planted monotone drift, constant series go " +
+    "NaN, NULL rows fail loudly") {
+    val rnd = new scala.util.Random(101)
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 2).flatMap { k =>
+        (0 until 40).map(i => (k.toLong, i.toLong,
+          rnd.nextInt(8).toLong))
+      }
+      val out = Stats.mannKendall(rows.toDF("k", "t", "x"),
+        "k", "t", "x").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val xs = rows.filter(_._1 == k).sortBy(r => (r._2, r._3))
+          .map(_._3)
+        val n = xs.size
+        var s = 0L
+        for (i <- 0 until n; j <- i + 1 until n)
+          s += java.lang.Long.signum(xs(j) - xs(i))
+        val tieV = xs.groupBy(identity).values.map { g =>
+          val c = BigInt(g.size)
+          c * (c - 1) * (2 * c + 5)
+        }.sum
+        val vn = BigInt(n) * (n - 1) * (2 * n + 5) - tieV
+        val expZ =
+          if (vn == 0) Double.NaN
+          else if (s > 0) (s.toDouble - 1.0) /
+            math.sqrt(vn.toDouble / 18.0)
+          else if (s < 0) (s.toDouble + 1.0) /
+            math.sqrt(vn.toDouble / 18.0)
+          else 0.0
+        val r = out(k)
+        assert(r.getLong(1) == n.toLong && r.getLong(2) == s,
+          s"$trial/$k S")
+        if (expZ.isNaN) assert(r.getDouble(3).isNaN)
+        else assert(r.getDouble(3) == expZ, s"$trial/$k z")
+      }
+    }
+    // a strictly increasing series: S = C(n,2), z large positive
+    val up = (0 until 20).map(i => (5L, i.toLong, i.toLong * 3L))
+    val ur = Stats.mannKendall(up.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().head
+    assert(ur.getLong(2) == 190L && ur.getDouble(3) > 5.0)
+    // a constant series: zero variance -> NaN
+    val const = (0 until 6).map(i => (6L, i.toLong, 7L))
+    val cr = Stats.mannKendall(const.toDF("k", "t", "x"), "k", "t", "x")
+      .collect().head
+    assert(cr.getLong(2) == 0L && cr.getDouble(3).isNaN)
+    // NULL value fails loudly
+    val e = intercept[Throwable] {
+      Stats.mannKendall(Seq((1L, 1L, Some(2L)), (1L, 2L, None))
+        .toDF("k", "t", "x"), "k", "t", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("mannKendall"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
