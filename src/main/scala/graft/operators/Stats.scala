@@ -3170,17 +3170,37 @@ object Stats {
     * (key, n_transitions, n_pairs, n_dst, h_cond, h_next, mi). */
   def transitionEntropy(df: DataFrame, keyCol: String, srcCol: String,
                         dstCol: String,
-                        maxDistinctPerKey: Long = 2000000L): DataFrame = {
-    val hist = df.groupBy(col(keyCol), col(srcCol).as("__src"),
+                        maxDistinctPerKey: Long = 2000000L): DataFrame =
+    transitionEntropyFromHist(
+      pairHist(df, keyCol, srcCol, dstCol, "transitionEntropy"),
+      keyCol, maxDistinctPerKey)
+
+  /** Per-(key, src, dst) transition count histogram with a loud
+    * NULL-state contract — the shared first stage of
+    * [[transitionEntropy]] and its streaming maintainer. */
+  private[graft] def pairHist(df: DataFrame, keyCol: String,
+                              srcCol: String, dstCol: String,
+                              op: String): DataFrame = {
+    val h = df.groupBy(col(keyCol), col(srcCol).as("__src"),
         col(dstCol).as("__dst"))
       .agg(count(lit(1)).as("__c"),
         sum(when(col(srcCol).isNull || col(dstCol).isNull, 1L)
           .otherwise(0L)).as("__bad"))
       .localCheckpoint()
-    Contracts.enforce(hist,
+    Contracts.enforce(h,
       Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
-        s"transitionEntropy: $b NULL src/dst transition rows — every " +
-          "transition needs both states; filter explicitly first"))
+        s"$op: $b NULL src/dst transition rows — every transition " +
+          "needs both states; filter explicitly first"))
+    h.drop("__bad")
+  }
+
+  /** [[transitionEntropy]] served directly from the per-(key, src,
+    * dst) count histogram (the [[pairHist]] shape) — the state-level
+    * entry point the streaming maintainer rides: transition counts
+    * are additive over disjoint row sets, so a live monitor folds
+    * counts and serves THIS exact code path. */
+  def transitionEntropyFromHist(hist: DataFrame, keyCol: String,
+                                maxDistinctPerKey: Long = 2000000L): DataFrame = {
     requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
       "transitionEntropy")
     val d = "decimal(38,0)"

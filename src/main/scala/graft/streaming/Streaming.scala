@@ -552,6 +552,72 @@ object Streaming {
       .toDF("k", "o", "id", "n", "slope")
   }
 
+  /** Streaming transition-entropy monitor — the live twin of
+    * [[graft.operators.Stats.transitionEntropy]] (q252), the
+    * [[PsiMaintainer]] pattern over the pair histogram: each
+    * micro-batch of (key, src, dst) transition rows folds into the
+    * per-(key, src, dst) count state (counts additive over disjoint
+    * row sets → streamed == batch is STRUCTURAL), and [[entropy]]
+    * serves the exact batch readout through the shared
+    * `transitionEntropyFromHist` path — a live "did this segment's
+    * behavior become scripted?" (H→0) / "did navigation decouple?"
+    * (MI→0) alarm. State: one bounded histogram, never rows. NULL
+    * states fail loudly before touching state. */
+  final class TransitionEntropyMaintainer(initial: DataFrame,
+                                          keyCol: String, srcCol: String,
+                                          dstCol: String,
+                                          maxDistinctPerKey: Long = 2000000L) {
+    import graft.operators.Stats
+    private var hist: DataFrame = Stats.pairHist(initial, keyCol,
+      srcCol, dstCol, "TransitionEntropyMaintainer")
+
+    /** Exact [[graft.operators.Stats.transitionEntropy]] of every
+      * transition folded so far, served from state. */
+    def entropy(): DataFrame = synchronized {
+      Stats.transitionEntropyFromHist(hist, keyCol, maxDistinctPerKey)
+    }
+
+    /** Fold one micro-batch of transition rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.pairHist(batch, keyCol, srcCol, dstCol,
+        "TransitionEntropyMaintainer")
+      hist = hist.unionByName(h)
+        .groupBy(col(keyCol), col("__src"), col("__dst"))
+        .agg(sum(col("__c")).as("__c"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the COMPLETE monitor state for
+      * [[TransitionEntropyMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      hist.write.mode("overwrite").parquet(s"$dir/hist")
+    }
+  }
+
+  object TransitionEntropyMaintainer {
+    /** Resume a [[TransitionEntropyMaintainer.checkpoint]].
+      * Configuration is not state — pass the SAME values the original
+      * monitor ran with. */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+                srcCol: String, dstCol: String,
+                maxDistinctPerKey: Long = 2000000L): TransitionEntropyMaintainer = {
+      val hist = spark.read.parquet(s"$dir/hist")
+      val emptyInitial = hist.limit(0)
+        .select(col(keyCol), col("__src").as(srcCol),
+          col("__dst").as(dstCol))
+      val m = new TransitionEntropyMaintainer(emptyInitial, keyCol,
+        srcCol, dstCol, maxDistinctPerKey)
+      m.hist = hist.localCheckpoint()
+      m
+    }
+  }
+
   /** Streaming importance-weight health monitor — the live twin of
     * [[graft.operators.Stats.weightDiagnostics]] (q246): per key the
     * state is the exact power sums (n, Σw, Σw², max w) — four scalars

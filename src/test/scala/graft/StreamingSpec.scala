@@ -1297,6 +1297,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transition-entropy maintainer keeps the predictability " +
+    "readout live to batch parity and checkpoint/restores") {
+    import graft.operators.Stats
+    def es(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toSet
+    val rnd = new scala.util.Random(252)
+    def mkRows(n: Int, states: Int): Seq[(Long, String, String)] =
+      Seq.fill(n)((rnd.nextInt(2).toLong, s"s${rnd.nextInt(states)}",
+        s"s${rnd.nextInt(states)}"))
+    val hist = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String)]
+    val v0 = mkRows(100, 3)
+    hist ++= v0
+    val m = new Streaming.TransitionEntropyMaintainer(
+      v0.toDF("k", "src", "dst"), "k", "src", "dst")
+    def expect() = es(Stats.transitionEntropy(
+      hist.toSeq.toDF("k", "src", "dst"), "k", "src", "dst"))
+    assert(es(m.entropy()) == expect(), "initial != batch")
+    Seq(3, 5).zipWithIndex.foreach { case (states, i) =>
+      val b = mkRows(80, states)
+      hist ++= b
+      m.applyBatch(b.toDF("k", "src", "dst"))
+      assert(es(m.entropy()) == expect(), s"entropy after batch $i")
+    }
+    // NULL state fails loudly BEFORE touching state
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq((1L, Some("a"), Option.empty[String]))
+        .toDF("k", "src", "dst"))
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("TransitionEntropyMaintainer"))
+    assert(es(m.entropy()) == expect(), "rejected batch mutated state")
+    // checkpoint/restore: the restored monitor tracks the live one
+    val dir = java.nio.file.Files.createTempDirectory("tentckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.TransitionEntropyMaintainer.restore(
+      spark, dir, "k", "src", "dst")
+    val b3 = mkRows(60, 4)
+    hist ++= b3
+    m.applyBatch(b3.toDF("k", "src", "dst"))
+    restored.applyBatch(b3.toDF("k", "src", "dst"))
+    assert(es(restored.entropy()) == es(m.entropy()),
+      "restored monitor diverged from the live one")
+    assert(es(restored.entropy()) == expect(),
+      "restored entropy != batch of the accumulated transitions")
+  }
+
   test("streaming ESS monitor serves the exact batch weight " +
     "diagnostics at every moment and rejects negative weights") {
     implicit val sqlCtx = spark.sqlContext
