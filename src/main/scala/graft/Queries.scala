@@ -10689,6 +10689,41 @@ object Queries {
       |    ELSE 0.0 END AS z
       |FROM f""".stripMargin
 
+  /** Day-of-week seasonal profile of the daily event volume per event
+    * type (Stats.seasonalProfile, period 7): classical decomposition's
+    * seasonal component with an exact integer core — the centered
+    * window sum detrends, the 7-scaled residual 7x − S is an exact
+    * integer, and each weekday's seasonal mean is one double
+    * division. */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Stats.seasonalProfile(daily, "event_type", "day", "cnt", period = 7)
+  }
+
+  private val q258Sql =
+    """WITH daily AS (
+      |  SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS t,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT k, t, x,
+      |    CAST(sum(x) OVER (PARTITION BY k ORDER BY t, x
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s,
+      |    CAST(count(*) OVER (PARTITION BY k ORDER BY t, x
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wn
+      |  FROM daily),
+      |r AS (SELECT k, t % 7 AS pos,
+      |    CASE WHEN wn = 7 THEN CAST(7 AS HUGEINT) * x - s END AS r
+      |  FROM w)
+      |SELECT k AS event_type, pos, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(r) AS BIGINT) AS n_windowed,
+      |  CASE WHEN count(r) = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(sum(r) AS DOUBLE)
+      |      / (7.0 * CAST(CAST(count(r) AS BIGINT) AS DOUBLE)) END
+      |    AS seasonal
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10951,5 +10986,6 @@ object Queries {
     "q254_calibrate_scores" -> Q(q254, Some(q254Sql)),
     "q255_token_burstiness" -> Q(q255, Some(q255Sql)),
     "q256_calibration_error" -> Q(q256, Some(q256Sql)),
-    "q257_mann_kendall" -> Q(q257, Some(q257Sql)))
+    "q257_mann_kendall" -> Q(q257, Some(q257Sql)),
+    "q258_seasonal_profile" -> Q(q258, Some(q258Sql)))
 }

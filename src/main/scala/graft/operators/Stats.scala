@@ -3371,6 +3371,75 @@ object Stats {
           .as("rate"))
   }
 
+  /** SEASONAL PROFILE per key (classical decomposition's seasonal
+    * component, period-aligned): detrend by a centered moving sum and
+    * average the residual per calendar position — "what does
+    * day-of-week do to this metric, net of trend?" (period 7 over
+    * epoch-days gives the weekly shape; 24 over hours the daily one).
+    * The additive companion to [[holtSmooth]] (trend) and
+    * [[changepointMeanShift]] (level breaks).
+    *
+    * Exactness: with ODD period p, the centered window SUM S_i is an
+    * exact int64 (CHECKED n·max|x| ≤ 10¹⁸ — the prefix-sum
+    * discipline), so the p-scaled residual p·x_i − S_i is an exact
+    * integer and each position's seasonal mean is ONE double division
+    * Σ(p·x − S) / (p·n_pos) — no floating-point accumulation anywhere.
+    * Edge rows without a full window carry no residual (classical
+    * decomposition's NA edges) but still count toward n. Positions
+    * align to the VALUE of t (pos = t mod p), not the row number, so
+    * gaps keep calendar alignment; the window itself is row-based —
+    * give the operator a dense series (the LOCF/grid operators fill
+    * gaps first). NULL t/x rejected; per-key rows CHECKED. Output:
+    * (key, pos, n, n_windowed, seasonal). */
+  def seasonalProfile(df: DataFrame, keyCol: String, tCol: String,
+                      xCol: String, period: Int = 7,
+                      maxRowsPerKey: Long = 2000000L): DataFrame = {
+    require(period >= 3 && period % 2 == 1 && period <= 10001,
+      s"seasonalProfile: period must be odd, in [3, 10001], got $period")
+    val proj = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__x").isNull,
+        1L).otherwise(0L)), _ == 0L, b =>
+        s"seasonalProfile: $b NULL order/value rows — every row needs " +
+          "a position and a metric; filter explicitly first"))
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey,
+      "seasonalProfile", "rows",
+      "Pre-aggregate the series to coarser steps before profiling.",
+      contract = "per-key window")
+    val d = "decimal(38,0)"
+    Contracts.enforce(
+      proj.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+        max(abs(col("__x"))).as("__m")),
+      Contracts.Bound(sum(when(col("__n").cast(d) * col("__m").cast(d) >
+          lit("1000000000000000000").cast(d), 1L).otherwise(0L)),
+        _ == 0L, v =>
+          s"seasonalProfile: $v keys exceed the int64 window-sum " +
+            "contract (rows x max|x| <= 1e18 per key) — rescale the " +
+            "metric to coarser integer units"))
+    val h = period / 2
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__x")).rowsBetween(-h, h)
+    val resid = proj
+      .withColumn("__s", sum(col("__x")).over(win))
+      .withColumn("__w", count(lit(1)).over(win))
+      // decimal residual: p·x could pass int64 on a discarded branch
+      // of a short key's row (ANSI would throw before when() filters)
+      .withColumn("__r", when(col("__w") === period.toLong,
+        lit(period.toLong).cast(d) * col("__x").cast(d) -
+          col("__s").cast(d)))
+    resid
+      .groupBy(col(keyCol), pmod(col("__t"), lit(period.toLong))
+        .as("pos"))
+      .agg(count(lit(1)).as("n"), count(col("__r")).as("n_windowed"),
+        sum(col("__r")).as("__rs"))
+      .select(col(keyCol), col("pos"), col("n"), col("n_windowed"),
+        when(col("n_windowed") === 0L, lit(Double.NaN))
+          .otherwise(col("__rs").cast("double") /
+            (lit(period.toDouble) * col("n_windowed").cast("double")))
+          .as("seasonal"))
+  }
+
   /** MANN–KENDALL TREND TEST per key (Mann 1945, Kendall 1975) — "is
     * this series monotonically drifting, without assuming linearity or
     * a distribution?": the nonparametric significance companion to

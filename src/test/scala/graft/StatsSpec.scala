@@ -2862,6 +2862,58 @@ class StatsSpec extends SparkTestBase {
     assert(Option(e.getMessage).getOrElse("").contains("mannKendall"))
   }
 
+  test("seasonalProfile equals the brute-force centered-window " +
+    "residual means, recovers a planted weekly shape net of trend, " +
+    "edge rows count but carry no residual") {
+    val rnd = new scala.util.Random(102)
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 2).flatMap { k =>
+        (0 until 45).map(i => (k.toLong, i.toLong,
+          rnd.nextInt(100).toLong))
+      }
+      val out = Stats.seasonalProfile(rows.toDF("k", "t", "x"),
+        "k", "t", "x", period = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+        val n = xs.size
+        (0L until 7L).foreach { pos =>
+          val idx = (0 until n).filter(i => i.toLong % 7L == pos)
+          val windowed = idx.filter(i => i >= 3 && i < n - 3)
+          val rs = windowed.map(i =>
+            BigInt(7) * xs(i) - xs.slice(i - 3, i + 4).map(BigInt(_)).sum)
+          val r = out((k, pos))
+          assert(r.getLong(2) == idx.size.toLong &&
+            r.getLong(3) == windowed.size.toLong, s"$trial/$k/$pos n")
+          assert(r.getDouble(4) ==
+            rs.sum.toDouble / (7.0 * windowed.size.toDouble),
+            s"$trial/$k/$pos seasonal")
+        }
+      }
+    }
+    // planted: linear trend + weekly bump of +70 on pos 0; the
+    // centered-window detrend removes the trend exactly (linear
+    // passes through its own centered mean), leaving the bump spread
+    // as +70-10 = +60 on pos 0 and -10 elsewhere
+    val planted = (0 until 70).map(i => (5L, i.toLong,
+      1000L + 3L * i + (if (i % 7 == 0) 70L else 0L)))
+    val pr = Stats.seasonalProfile(planted.toDF("k", "t", "x"),
+      "k", "t", "x", period = 7).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(pr(0L) == 60.0, s"bumped weekday: ${pr(0L)}")
+    (1L until 7L).foreach(p => assert(pr(p) == -10.0,
+      s"flat weekday $p: ${pr(p)}"))
+    // seasonal components sum to ~0 across positions by construction
+    assert(math.abs(pr.values.sum) < 1e-9)
+    // NULL value fails loudly
+    val e = intercept[Throwable] {
+      Stats.seasonalProfile(Seq((1L, 1L, Some(2L)), (1L, 2L, None))
+        .toDF("k", "t", "x"), "k", "t", "x").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("seasonalProfile"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
