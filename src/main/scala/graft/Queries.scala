@@ -10724,6 +10724,66 @@ object Queries {
       |    AS seasonal
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Rank-biased overlap of the top-10 revenue leaderboards per event
+    * type between the first and second half of the day range
+    * (Stats.rankingOverlap): the top-weighted "did my ranking move?"
+    * serving-quality number. p = 9/10 keeps every depth weight
+    * rational — the oracle replays the fold with exact integer power
+    * literals and list_intersect. */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      expr("ts div 86400000000000").as("day"), col("user_id"),
+      cents(col("value")).as("v"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("__mid"))
+    val withMid = ev.crossJoin(broadcast(mid))
+    def ranked(cond: Column) = withMid.where(cond)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("v")).as("rev"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.top_k_by(struct(col("rev"),
+        (-col("user_id")).as("__nu"), col("user_id")), 10).as("__top"))
+      .select(col("event_type"),
+        posexplode(col("__top")).as(Seq("__p", "__g")))
+      .select(col("event_type"), col("__g.user_id").as("item"),
+        (col("__p") + 1).cast("long").as("rank"))
+    Stats.rankingOverlap(ranked(col("day") < col("__mid")),
+      ranked(col("day") >= col("__mid")), "event_type", "item", "rank",
+      k = 10)
+  }
+
+  private val q259Sql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    user_id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |ra AS (SELECT event_type, user_id, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY rev DESC, user_id ASC) AS rk
+      |  FROM (SELECT event_type, user_id,
+      |      CAST(sum(v) AS BIGINT) AS rev
+      |    FROM ev, m WHERE day < mid GROUP BY 1, 2)),
+      |rb AS (SELECT event_type, user_id, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY rev DESC, user_id ASC) AS rk
+      |  FROM (SELECT event_type, user_id,
+      |      CAST(sum(v) AS BIGINT) AS rev
+      |    FROM ev, m WHERE day >= mid GROUP BY 1, 2)),
+      |la AS (SELECT event_type, list(user_id ORDER BY rk) AS a
+      |  FROM ra WHERE rk <= 10 GROUP BY 1),
+      |lb AS (SELECT event_type, list(user_id ORDER BY rk) AS b
+      |  FROM rb WHERE rk <= 10 GROUP BY 1)
+      |SELECT la.event_type,
+      |  CAST(len(a) AS BIGINT) AS depth_a,
+      |  CAST(len(b) AS BIGINT) AS depth_b,
+      |  0.1 * list_reduce(list_prepend(0.0, list_transform(
+      |    generate_series(1, least(len(a), len(b))), d ->
+      |      CAST(([1, 9, 81, 729, 6561, 59049, 531441, 4782969,
+      |          43046721, 387420489])[d]
+      |        * len(list_intersect(a[1:d], b[1:d])) AS DOUBLE)
+      |      / CAST(([1, 10, 100, 1000, 10000, 100000, 1000000,
+      |          10000000, 100000000, 1000000000])[d] * d AS DOUBLE))),
+      |    (p, q) -> p + q) AS rbo
+      |FROM la JOIN lb ON la.event_type = lb.event_type""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -10987,5 +11047,6 @@ object Queries {
     "q255_token_burstiness" -> Q(q255, Some(q255Sql)),
     "q256_calibration_error" -> Q(q256, Some(q256Sql)),
     "q257_mann_kendall" -> Q(q257, Some(q257Sql)),
-    "q258_seasonal_profile" -> Q(q258, Some(q258Sql)))
+    "q258_seasonal_profile" -> Q(q258, Some(q258Sql)),
+    "q259_ranking_overlap" -> Q(q259, Some(q259Sql)))
 }

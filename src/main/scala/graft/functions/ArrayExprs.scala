@@ -1348,3 +1348,69 @@ case class PrefixSum(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PrefixSum =
     copy(child = newChild)
 }
+
+/** Truncated RANK-BIASED OVERLAP (Webber 2010, p = 0.9) between two
+  * rankings given as item-id arrays in rank order —
+  * RBO@D = (1−p) · Σ_{d=1..D} p^{d−1} · X_d / d with
+  * X_d = |A[1..d] ∩ B[1..d]| and D = min(|A|, |B|): the top-weighted
+  * "did my ranking change?" number search serving needs (plain set
+  * overlap ignores rank; Kendall needs conjoint lists).
+  *
+  * Engine-exactness: p = 9/10 makes every weight RATIONAL — each term
+  * is (9^{d−1}·X_d) / (10^{d−1}·d), two EXACT int64 products and one
+  * IEEE division, summed left-to-right and scaled by the 0.1 literal;
+  * any engine replaying that fold (DuckDB list_transform +
+  * list_reduce over exact integer powers) agrees bit-for-bit. D is
+  * capped at 19 (10¹⁹ would pass int64 — truncate rankings to ≤ 19
+  * upstream; top-10 is the common serving cut). X_d runs the O(D)
+  * incremental two-set walk. Null for null inputs/elements; items
+  * must be distinct within each ranking (rankings are). */
+case class RboOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rbo_overlap"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rbo_overlap needs two array<long>, got $t")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val rb = r.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(la) || ArrayNulls.anyNull(rb)) return null
+    val as = la.toLongArray()
+    val bs = rb.toLongArray()
+    val dMax = math.min(as.length, bs.length)
+    if (dMax == 0) return null
+    if (dMax > 19)
+      throw new IllegalArgumentException(
+        "rbo_overlap: rankings deeper than 19 exceed the exact 10^d " +
+          "int64 weight contract — truncate to the serving cut first")
+    val seenA = new java.util.HashSet[Long]()
+    val seenB = new java.util.HashSet[Long]()
+    var common = 0L
+    var p9 = 1L
+    var p10 = 1L
+    var sum = 0.0
+    var d = 0
+    while (d < dMax) {
+      val ad = as(d); val bd = bs(d)
+      if (ad == bd) common += 1L
+      else {
+        if (seenB.contains(ad)) common += 1L
+        if (seenA.contains(bd)) common += 1L
+      }
+      seenA.add(ad); seenB.add(bd)
+      sum += (p9 * common).toDouble / (p10 * (d + 1L)).toDouble
+      p9 *= 9L; p10 *= 10L
+      d += 1
+    }
+    sum * 0.1
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RboOverlap =
+    copy(left = newLeft, right = newRight)
+}

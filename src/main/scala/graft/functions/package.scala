@@ -540,6 +540,11 @@ package object functions {
   def pava_pools(hist: Column): Column =
     ExprBridge.column(PavaPools(col2expr(hist)))
 
+  /** Truncated rank-biased overlap (p = 9/10, exact rational weights)
+    * between two item-id rankings (see [[RboOverlap]]). */
+  def rbo_overlap(a: Column, b: Column): Column =
+    ExprBridge.column(RboOverlap(col2expr(a), col2expr(b)))
+
   /** Integer Holt level+trend smoothing (α = 1/2^aShift,
     * β = 1/2^gShift) over an ordered long series — exact floor
     * arithmetic, (pred, level, trend) series out (see

@@ -3440,6 +3440,38 @@ object Stats {
           .as("seasonal"))
   }
 
+  /** RANK-BIASED OVERLAP per key between two rankings (Webber 2010,
+    * p = 0.9, truncated) — "did my top-k change, weighted toward the
+    * top?" for search serving, recommendation slates and leaderboard
+    * drift (set overlap ignores rank; Kendall needs conjoint lists;
+    * RBO is THE serving-quality standard for indefinite rankings).
+    * Inputs are two (key, item, rank) tables with ranks 1..k; rows
+    * outside [1, k] are ignored; keys present in both sides emit.
+    *
+    * Exactness: p = 9/10 makes every depth weight rational — each
+    * term is two exact int64 products and one IEEE division, summed
+    * in depth order ([[graft.functions.RboOverlap]]; the oracle
+    * replays with exact integer power literals + list_intersect).
+    * k ≤ 19 (the 10^d int64 weight contract). Output:
+    * (key, depth_a, depth_b, rbo) with rbo ∈ [0, 1]. */
+  def rankingOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                     itemCol: String, rankCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 19,
+      s"rankingOverlap: k must be in [1, 19], got $k")
+    def arr(df: DataFrame, out: String) = df
+      .where(col(rankCol) >= 1L && col(rankCol) <= k.toLong)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(rankCol).cast("long"),
+        col(itemCol).cast("long").as("__i")))).as("__s"))
+      .select(col(keyCol),
+        transform(col("__s"), g => g("__i")).as(out))
+    arr(a, "__a").join(arr(b, "__b"), Seq(keyCol))
+      .select(col(keyCol), size(col("__a")).cast("long").as("depth_a"),
+        size(col("__b")).cast("long").as("depth_b"),
+        graft.functions.rbo_overlap(col("__a"), col("__b")).as("rbo"))
+  }
+
   /** MANN–KENDALL TREND TEST per key (Mann 1945, Kendall 1975) — "is
     * this series monotonically drifting, without assuming linearity or
     * a distribution?": the nonparametric significance companion to

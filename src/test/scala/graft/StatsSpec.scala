@@ -2914,6 +2914,65 @@ class StatsSpec extends SparkTestBase {
       .contains("seasonalProfile"))
   }
 
+  test("rankingOverlap equals the brute-force RBO fold, identical " +
+    "rankings give 1-ish, disjoint give 0, top changes cost more " +
+    "than tail changes") {
+    def mk(k: Long, items: Seq[Long]) =
+      items.zipWithIndex.map { case (it, i) => (k, it, i.toLong + 1L) }
+    def rbo(a: Seq[Long], b: Seq[Long]): Double = {
+      val dMax = math.min(a.size, b.size)
+      var sum = 0.0; var p9 = 1L; var p10 = 1L
+      (1 to dMax).foreach { d =>
+        val x = a.take(d).toSet.intersect(b.take(d).toSet).size.toLong
+        sum += (p9 * x).toDouble / (p10 * d.toLong).toDouble
+        p9 *= 9L; p10 *= 10L
+      }
+      sum * 0.1
+    }
+    val rnd = new scala.util.Random(103)
+    (1 to 3).foreach { trial =>
+      val a = rnd.shuffle((1L to 30L).toList).take(10)
+      val b = rnd.shuffle((1L to 30L).toList).take(10)
+      val out = Stats.rankingOverlap(
+        mk(1L, a).toDF("k", "item", "rank"),
+        mk(1L, b).toDF("k", "item", "rank"), "k", "item", "rank", 10)
+        .collect().head
+      assert(out.getLong(1) == 10L && out.getLong(2) == 10L)
+      assert(out.getDouble(3) == rbo(a, b), s"trial $trial")
+    }
+    val base = (1L to 10L).toSeq
+    def one(x: Seq[Long], y: Seq[Long]): Double =
+      Stats.rankingOverlap(mk(1L, x).toDF("k", "item", "rank"),
+        mk(1L, y).toDF("k", "item", "rank"), "k", "item", "rank", 10)
+        .collect().head.getDouble(3)
+    val same = one(base, base)
+    assert(same > 0.65 && same <= 1.0) // truncated RBO@10 of identity
+    assert(one(base, (11L to 20L).toSeq) == 0.0, "disjoint is 0")
+    // swapping ranks 1<->2 must hurt more than swapping 9<->10
+    val topSwap = one(base, Seq(2L, 1L) ++ (3L to 10L))
+    val tailSwap = one(base, (1L to 8L) ++ Seq(10L, 9L))
+    assert(topSwap < tailSwap, s"top $topSwap vs tail $tailSwap")
+    // k past the exact 10^d int64 weight contract fails loudly, and
+    // the kernel itself rejects a deeper array fed directly
+    val e = intercept[IllegalArgumentException] {
+      Stats.rankingOverlap(mk(1L, base).toDF("k", "item", "rank"),
+        mk(1L, base).toDF("k", "item", "rank"), "k", "item", "rank", 20)
+    }
+    assert(e.getMessage.contains("rankingOverlap"))
+    val deep = (1L to 25L).toArray
+    val e2 = intercept[Throwable] {
+      Seq((deep, deep)).toDF("a", "b")
+        .select(graft.functions.rbo_overlap(
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")))
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " +
+        msgs(t.getCause)
+    assert(msgs(e2).contains("rbo_overlap"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
