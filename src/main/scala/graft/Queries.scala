@@ -10784,6 +10784,50 @@ object Queries {
       |    (p, q) -> p + q) AS rbo
       |FROM la JOIN lb ON la.event_type = lb.event_type""".stripMargin
 
+  /** Cochran–Armitage trend of the purchase rate across value tiers
+    * per user segment (Stats.cochranArmitage): the ordered-dose
+    * sibling of q189's two-proportion z — exact decimal T and
+    * variance pieces, one fixed-shape sqrt + divide the oracle
+    * replays in HUGEINT. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val c = cents(col("value"))
+    // pmod-subtract spelling = floor division, matching the oracle's
+    // `//` on any sign (and cents() stays the bround pairing)
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(3L)).as("seg"),
+      least(((c - pmod(c, lit(2000L))) / lit(2000L)).cast("long"),
+        lit(5L)).as("tier"),
+      (col("event_type") === "purchase").as("hit"))
+    Stats.cochranArmitage(ev, "seg", "tier", "hit")
+  }
+
+  private val q260Sql =
+    """WITH o AS (
+      |  SELECT user_id % 3 AS seg,
+      |    least(CAST(round(value*100) AS BIGINT) // 2000, 5) AS w,
+      |    event_type = 'purchase' AS hit
+      |  FROM events),
+      |c AS (SELECT seg, w, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM o GROUP BY 1, 2),
+      |a AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS n_doses,
+      |    sum(CAST(n AS HUGEINT) * w) AS s1,
+      |    sum(CAST(n AS HUGEINT) * w * w) AS s2,
+      |    sum(CAST(w AS HUGEINT) * y) AS wy
+      |  FROM c GROUP BY 1)
+      |SELECT seg, n, y, n_doses,
+      |  CAST(wy * n - s1 * y AS DOUBLE) AS t_scaled,
+      |  CASE WHEN CAST(y AS HUGEINT) * (n - y)
+      |      * (CAST(n AS HUGEINT) * s2 - s1 * s1) <= 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(wy * n - s1 * y AS DOUBLE)
+      |      / sqrt(CAST(CAST(y AS HUGEINT) * (n - y)
+      |          * (CAST(n AS HUGEINT) * s2 - s1 * s1) AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) END AS z
+      |FROM a""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11048,5 +11092,6 @@ object Queries {
     "q256_calibration_error" -> Q(q256, Some(q256Sql)),
     "q257_mann_kendall" -> Q(q257, Some(q257Sql)),
     "q258_seasonal_profile" -> Q(q258, Some(q258Sql)),
-    "q259_ranking_overlap" -> Q(q259, Some(q259Sql)))
+    "q259_ranking_overlap" -> Q(q259, Some(q259Sql)),
+    "q260_cochran_armitage" -> Q(q260, Some(q260Sql)))
 }

@@ -3440,6 +3440,63 @@ object Stats {
           .as("seasonal"))
   }
 
+  /** COCHRAN–ARMITAGE TREND TEST per key — "does the success rate
+    * move MONOTONICALLY with an ordered dose?" (exposure bucket,
+    * quality band, spend tier): the ordered-categories sibling of
+    * [[twoProportionZ]] (two arms) and [[kruskalWallisH]] (unordered
+    * arms), scoring each dose by its integer value w:
+    *
+    *   T   = Σ_j w_j · (y_j·N − n_j·Y)          (N-scaled, exact)
+    *   Var = Y(N−Y)(N·Σn w² − (Σn w)²) / N      (scaled to match)
+    *   z   = T / √Var
+    *
+    * Exactness: rows collapse to the per-(key, dose) (n, y) cells
+    * (CHECKED bounded); T and the variance pieces form in
+    * decimal(38,0) — exact integers until the one fixed-shape
+    * sqrt + divide the oracle replays in HUGEINT. NULL dose/hit rows
+    * are rejected in the cell aggregation. Degenerate keys (all hits,
+    * no hits, or a single dose) have zero variance → NaN. Output:
+    * (key, n, y, n_doses, t_scaled, z). */
+  def cochranArmitage(df: DataFrame, keyCol: String, doseCol: String,
+                      hitCol: String,
+                      maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val w = col(doseCol).cast("long")
+    val hit = col(hitCol).cast("boolean")
+    val d = "decimal(38,0)"
+    val cells = df.groupBy(col(keyCol), w.as("__w"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(hit, 1L).otherwise(0L)).as("__y"),
+        sum(when(w.isNull || hit.isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"cochranArmitage: $b NULL dose/hit rows — every row needs an " +
+          "ordered dose and an outcome; filter explicitly first"))
+    requireBoundedPerKey(cells, keyCol, maxDistinctPerKey,
+      "cochranArmitage")
+    val wD = col("__w").cast(d)
+    val agg = cells.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__y")).as("y"),
+        count(lit(1)).as("n_doses"),
+        sum(col("__n").cast(d) * wD).as("__s1"),
+        sum(col("__n").cast(d) * wD * wD).as("__s2"),
+        sum(wD * col("__y").cast(d)).as("__wy"))
+    val nD = col("n").cast(d)
+    val yD = col("y").cast(d)
+    val tScaled = col("__wy") * nD - col("__s1") * yD
+    val varScaled = yD * (nD - yD) * (nD * col("__s2") -
+      col("__s1") * col("__s1"))
+    agg
+      .withColumn("t_scaled", tScaled.cast("double"))
+      .withColumn("__v", varScaled)
+      .select(col(keyCol), col("n"), col("y"), col("n_doses"),
+        col("t_scaled"),
+        when(col("__v") <= lit(0L).cast(d), lit(Double.NaN))
+          .otherwise(col("t_scaled") /
+            sqrt(col("__v").cast("double") / col("n").cast("double")))
+          .as("z"))
+  }
+
   /** RANK-BIASED OVERLAP per key between two rankings (Webber 2010,
     * p = 0.9, truncated) — "did my top-k change, weighted toward the
     * top?" for search serving, recommendation slates and leaderboard

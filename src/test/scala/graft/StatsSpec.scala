@@ -2973,6 +2973,58 @@ class StatsSpec extends SparkTestBase {
     assert(msgs(e2).contains("rbo_overlap"))
   }
 
+  test("cochranArmitage equals the brute-force dose-trend statistic, " +
+    "flags a planted monotone dose response, degenerate keys go NaN, " +
+    "NULL rows fail loudly") {
+    val rnd = new scala.util.Random(104)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(300)((rnd.nextInt(2).toLong,
+        rnd.nextInt(5).toLong, rnd.nextInt(10) < 4))
+      val out = Stats.cochranArmitage(rows.toDF("k", "w", "hit"),
+        "k", "w", "hit").collect().map(r => r.getLong(0) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val sub = rows.filter(_._1 == k)
+        val cells = sub.groupBy(_._2).view.mapValues(rs =>
+          (rs.size.toLong, rs.count(_._3).toLong)).toMap
+        val n = sub.size.toLong; val y = sub.count(_._3).toLong
+        val t = cells.map { case (w, (nj, yj)) =>
+          BigInt(w) * (BigInt(yj) * n - BigInt(nj) * y) }.sum
+        val s1 = cells.map { case (w, (nj, _)) => BigInt(nj) * w }.sum
+        val s2 = cells.map { case (w, (nj, _)) =>
+          BigInt(nj) * w * w }.sum
+        val v = BigInt(y) * (n - y) * (BigInt(n) * s2 - s1 * s1)
+        val expZ =
+          if (v <= 0) Double.NaN
+          else t.toDouble / math.sqrt(v.toDouble / n.toDouble)
+        val r = out(k)
+        assert(r.getLong(1) == n && r.getLong(2) == y &&
+          r.getLong(3) == cells.size.toLong, s"$trial/$k counts")
+        assert(r.getDouble(4) == t.toDouble, s"$trial/$k t")
+        if (expZ.isNaN) assert(r.getDouble(5).isNaN)
+        else assert(r.getDouble(5) == expZ, s"$trial/$k z")
+      }
+    }
+    // planted monotone dose response: rate = dose/10 -> strongly
+    // positive z
+    val planted = for (w <- 0L until 5L; i <- 0 until 40)
+      yield (7L, w, i.toLong % 10L < w * 2L)
+    val pz = Stats.cochranArmitage(planted.toDF("k", "w", "hit"),
+      "k", "w", "hit").collect().head.getDouble(5)
+    assert(pz > 5.0, s"planted dose response should be strong, got $pz")
+    // all hits -> zero variance -> NaN
+    val deg = Seq((8L, 1L, true), (8L, 2L, true))
+    val dz = Stats.cochranArmitage(deg.toDF("k", "w", "hit"),
+      "k", "w", "hit").collect().head
+    assert(dz.getDouble(5).isNaN)
+    // NULL hit fails loudly
+    val e = intercept[Throwable] {
+      Stats.cochranArmitage(Seq((1L, 1L, Some(true)), (1L, 2L, None))
+        .toDF("k", "w", "hit"), "k", "w", "hit").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("cochranArmitage"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
