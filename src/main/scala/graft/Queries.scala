@@ -10828,6 +10828,58 @@ object Queries {
       |        / CAST(n AS DOUBLE)) END AS z
       |FROM a""".stripMargin
 
+  /** Lead–lag cross-correlation between daily signup and purchase
+    * volumes per user-parity segment (Stats.leadLagCorrelation,
+    * lags ±5): one O(n·L) BigInt kernel per key produces all eleven
+    * exact sufficient-statistic sets — no per-lag self-join; the
+    * oracle replays with an rn-shifted join and HUGEINT sums. */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(pmod(col("user_id"), lit(2L)).as("seg"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    Stats.leadLagCorrelation(daily, "seg", "day", "x", "y", maxLag = 5)
+  }
+
+  private val q261Sql =
+    """WITH daily AS (
+      |  SELECT user_id % 2 AS seg, epoch_ns(ts) // 86400000000000 AS d,
+      |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |o AS (SELECT seg, x, y,
+      |    row_number() OVER (PARTITION BY seg ORDER BY d, x, y) AS rn
+      |  FROM daily),
+      |lags AS (SELECT unnest(generate_series(-5, 5)) AS lag),
+      |p AS (SELECT a.seg, g.lag, a.x AS x, b.y AS y
+      |  FROM o a JOIN lags g ON true
+      |    JOIN o b ON b.seg = a.seg AND b.rn = a.rn + g.lag),
+      |s AS (SELECT seg, lag, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p GROUP BY 1, 2),
+      |f AS (SELECT o.seg, g.lag,
+      |    coalesce(s.n, 0) AS n, s.sx, s.sy, s.sxy, s.sxx, s.syy
+      |  FROM (SELECT DISTINCT seg FROM o) o JOIN lags g ON true
+      |    LEFT JOIN s ON s.seg = o.seg AND s.lag = g.lag)
+      |SELECT seg, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+      |  CASE WHEN n < 2
+      |      OR CAST(n AS HUGEINT) * sxx - sx * sx = 0
+      |      OR CAST(n AS HUGEINT) * syy - sy * sy = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+      |        * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+      |            AS DOUBLE))) END AS r
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11093,5 +11145,6 @@ object Queries {
     "q257_mann_kendall" -> Q(q257, Some(q257Sql)),
     "q258_seasonal_profile" -> Q(q258, Some(q258Sql)),
     "q259_ranking_overlap" -> Q(q259, Some(q259Sql)),
-    "q260_cochran_armitage" -> Q(q260, Some(q260Sql)))
+    "q260_cochran_armitage" -> Q(q260, Some(q260Sql)),
+    "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)))
 }

@@ -1414,3 +1414,81 @@ case class RboOverlap(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): RboOverlap =
     copy(left = newLeft, right = newRight)
 }
+
+/** LEAD–LAG CROSS-CORRELATION between two aligned long series — for
+  * every index lag k ∈ [−maxLag, maxLag], the Pearson correlation of
+  * the overlapped pairs (x_i, y_{i+k}): "does metric X lead metric Y,
+  * and by how many steps?" (signups → purchases, ingest → index lag).
+  * Inputs arrive t-sorted and index-aligned (dense series — grid-fill
+  * gaps upstream).
+  *
+  * Exactness: all six sufficient statistics per lag accumulate in
+  * BigInt (2·maxLag+1 lags per key, O(n·L) total — cheap and
+  * overflow-free at ANY magnitude), and each correlation is the fixed
+  * IEEE shape num / (√d1 · √d2) over exact integers — the same three
+  * casts and two sqrts an engine replaying HUGEINT sums produces.
+  * Zero variance on either side → NaN for that lag. Output:
+  * array<struct<lag, n, r>> in lag order; null for null/empty inputs,
+  * null elements, or length mismatch. */
+case class LeadLagCorr(left: Expression, right: Expression, maxLag: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(maxLag >= 1 && maxLag <= 64,
+    s"lead_lag_corr: maxLag must be in [1, 64], got $maxLag")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lag", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("r", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lead_lag_corr"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"lead_lag_corr needs two array<long>, got $t")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(la) || ArrayNulls.anyNull(ra)) return null
+    val xs = la.toLongArray()
+    val ys = ra.toLongArray()
+    val n = xs.length
+    if (n == 0 || ys.length != n) return null
+    val out = new Array[Any](2 * maxLag + 1)
+    var idx = 0
+    var lag = -maxLag
+    while (lag <= maxLag) {
+      val lo = math.max(0, -lag)
+      val hi = math.min(n, n - lag)
+      var sx = BigInt(0); var sy = BigInt(0); var sxy = BigInt(0)
+      var sxx = BigInt(0); var syy = BigInt(0)
+      var m = 0L
+      var i = lo
+      while (i < hi) {
+        val x = BigInt(xs(i)); val y = BigInt(ys(i + lag))
+        sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+        m += 1L
+        i += 1
+      }
+      val rv =
+        if (m < 2L) Double.NaN
+        else {
+          val num = BigInt(m) * sxy - sx * sy
+          val d1 = BigInt(m) * sxx - sx * sx
+          val d2 = BigInt(m) * syy - sy * sy
+          if (d1.signum == 0 || d2.signum == 0) Double.NaN
+          else num.toDouble /
+            (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))
+        }
+      out(idx) = InternalRow(lag.toLong, m, rv)
+      idx += 1
+      lag += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LeadLagCorr =
+    copy(left = newLeft, right = newRight)
+}

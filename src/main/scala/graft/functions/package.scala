@@ -545,6 +545,12 @@ package object functions {
   def rbo_overlap(a: Column, b: Column): Column =
     ExprBridge.column(RboOverlap(col2expr(a), col2expr(b)))
 
+  /** Lead–lag Pearson cross-correlation between two aligned long
+    * series, one struct per index lag in [−maxLag, maxLag] (see
+    * [[LeadLagCorr]]). */
+  def lead_lag_corr(xs: Column, ys: Column, maxLag: Int): Column =
+    ExprBridge.column(LeadLagCorr(col2expr(xs), col2expr(ys), maxLag))
+
   /** Integer Holt level+trend smoothing (α = 1/2^aShift,
     * β = 1/2^gShift) over an ordered long series — exact floor
     * arithmetic, (pred, level, trend) series out (see

@@ -3440,6 +3440,53 @@ object Stats {
           .as("seasonal"))
   }
 
+  /** LEAD–LAG CROSS-CORRELATION per key between two aligned series —
+    * "does metric X LEAD metric Y, and by how many steps?" (signups →
+    * purchases, crawl volume → index size, error rate → churn): for
+    * every index lag k ∈ [−maxLag, maxLag], the Pearson correlation of
+    * the overlapped pairs (x_i, y_{i+k}), one row per (key, lag); the
+    * argmax row is the detected lead. The cross-series companion to
+    * [[groupAutocorr]] (one series vs itself).
+    *
+    * Exactness/scale: each key's two series collect once (CHECKED
+    * ≤ maxRowsPerKey — the [[theilSen]] kernel discipline) and ONE
+    * O(n·L) BigInt kernel ([[graft.functions.LeadLagCorr]]) produces
+    * all 2L+1 exact sufficient-statistic sets — overflow-free at any
+    * magnitude, no per-lag shuffle, no self-join; each r is the fixed
+    * IEEE shape num/(√d1·√d2) an engine replaying HUGEINT sums
+    * reproduces. Series pair by index in (t, x, y)-sorted order —
+    * give the operator a DENSE series (grid-fill gaps first). Rows
+    * need both metrics; NULL t/x/y rejected loudly. Lags with fewer
+    * than 2 overlapped pairs or zero variance → NaN. Output:
+    * (key, lag, n_pairs, r). */
+  def leadLagCorrelation(df: DataFrame, keyCol: String, tCol: String,
+                         xCol: String, yCol: String, maxLag: Int = 7,
+                         maxRowsPerKey: Long = 2000000L): DataFrame = {
+    val proj = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__t").isNull || col("__x").isNull ||
+        col("__y").isNull, 1L).otherwise(0L)), _ == 0L, b =>
+        s"leadLagCorrelation: $b NULL order/metric rows — every row " +
+          "needs a position and both metrics; filter explicitly first"))
+    Contracts.boundedPerKey(proj, keyCol, maxRowsPerKey,
+      "leadLagCorrelation", "rows",
+      "Pre-aggregate the series to coarser steps before correlating.",
+      contract = "per-key series kernel")
+    val series = proj.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__x"),
+        col("__y")))).as("__srt"))
+      .select(col(keyCol),
+        graft.functions.lead_lag_corr(
+          transform(col("__srt"), g => g("__x")),
+          transform(col("__srt"), g => g("__y")), maxLag).as("__ll"))
+    series
+      .select(col(keyCol), explode(col("__ll")).as("__g"))
+      .select(col(keyCol), col("__g.lag").as("lag"),
+        col("__g.n").as("n_pairs"), col("__g.r").as("r"))
+  }
+
   /** COCHRAN–ARMITAGE TREND TEST per key — "does the success rate
     * move MONOTONICALLY with an ordered dose?" (exposure bucket,
     * quality band, spend tier): the ordered-categories sibling of

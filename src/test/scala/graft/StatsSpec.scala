@@ -3025,6 +3025,80 @@ class StatsSpec extends SparkTestBase {
       .contains("cochranArmitage"))
   }
 
+  test("leadLagCorrelation equals the brute-force per-lag Pearson, " +
+    "recovers a planted lead, self-correlation at lag 0 is 1, NULL " +
+    "rows fail loudly") {
+    val rnd = new scala.util.Random(105)
+    def pearson(ps: Seq[(Long, Long)]): Double = {
+      val m = ps.size
+      if (m < 2) return Double.NaN
+      val sx = ps.map(p => BigInt(p._1)).sum
+      val sy = ps.map(p => BigInt(p._2)).sum
+      val sxy = ps.map(p => BigInt(p._1) * p._2).sum
+      val sxx = ps.map(p => BigInt(p._1) * p._1).sum
+      val syy = ps.map(p => BigInt(p._2) * p._2).sum
+      val d1 = BigInt(m) * sxx - sx * sx
+      val d2 = BigInt(m) * syy - sy * sy
+      if (d1.signum == 0 || d2.signum == 0) Double.NaN
+      else (BigInt(m) * sxy - sx * sy).toDouble /
+        (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))
+    }
+    (1 to 3).foreach { trial =>
+      val rows = (0 until 2).flatMap { k =>
+        (0 until 30).map(i => (k.toLong, i.toLong,
+          rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      }
+      val out = Stats.leadLagCorrelation(rows.toDF("k", "t", "x", "y"),
+        "k", "t", "x", "y", maxLag = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val s = rows.filter(_._1 == k).sortBy(_._2)
+        val xs = s.map(_._3); val ys = s.map(_._4)
+        (-3L to 3L).foreach { lag =>
+          val pairs = xs.indices
+            .filter(i => i + lag >= 0 && i + lag < ys.size)
+            .map(i => (xs(i), ys((i + lag).toInt)))
+          val r = out((k, lag))
+          assert(r.getLong(2) == pairs.size.toLong,
+            s"$trial/$k/$lag pairs")
+          val exp = pearson(pairs)
+          if (exp.isNaN) assert(r.getDouble(3).isNaN)
+          else assert(r.getDouble(3) == exp, s"$trial/$k/$lag r")
+        }
+      }
+    }
+    // planted lead: y is exactly x shifted 2 steps later -> the
+    // correlation at lag -2 (y_{i-2} == x_i ... i.e. pairing
+    // (x_i, y_{i+k}) peaks at k = +2) is exactly 1
+    val base = (0 until 40).map(_ => rnd.nextInt(100).toLong)
+    val planted2 = (2 until 40).map(i =>
+      (9L, i.toLong - 2L, base(i), base(i - 2)))
+    val pr = Stats.leadLagCorrelation(
+      planted2.toDF("k", "t", "x", "y"), "k", "t", "x", "y", 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // identical overlapped series: num == d1 == d2 exactly, but the
+    // fixed shape divides by sqrt(d)*sqrt(d) (1 ulp under d) -> r sits
+    // one ulp under 1; it must still dominate every other lag
+    assert(pr(2L) > 1.0 - 1e-12, s"planted lead at +2: ${pr(2L)}")
+    assert((-3L to 3L).filter(_ != 2L).forall(l => pr(l) < pr(2L)))
+    // x vs x: lag 0 is exactly 1
+    val self = (0 until 20).map(i => (8L, i.toLong,
+      rnd.nextInt(30).toLong))
+    val sr = Stats.leadLagCorrelation(
+      self.map(r => (r._1, r._2, r._3, r._3)).toDF("k", "t", "x", "y"),
+      "k", "t", "x", "y", 2).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(sr(0L) > 1.0 - 1e-12)
+    // NULL metric fails loudly
+    val e = intercept[Throwable] {
+      Stats.leadLagCorrelation(
+        Seq((1L, 1L, 2L, Some(3L)), (1L, 2L, 4L, None))
+          .toDF("k", "t", "x", "y"), "k", "t", "x", "y").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("leadLagCorrelation"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
