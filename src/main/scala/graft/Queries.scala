@@ -10880,6 +10880,54 @@ object Queries {
       |            AS DOUBLE))) END AS r
       |FROM f""".stripMargin
 
+  /** Empirical-Bayes smoothed per-user purchase rate within each
+    * user-parity segment (Stats.ebShrinkRates): beta-binomial method
+    * of moments — the strength is learned from the segment's own rate
+    * spread, so one-event users land near the prior while heavy users
+    * keep their rate. Exact (n, y) cells; Σr/Σr² as sorted sequential
+    * folds (list_reduce parity); every shrunk rate a fixed IEEE
+    * shape. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(2L)).as("seg"), col("user_id"),
+      (col("event_type") === "purchase").as("hit"))
+    Stats.ebShrinkRates(ev, "seg", "user_id", "hit")
+  }
+
+  private val q262Sql =
+    """WITH o AS (
+      |  SELECT user_id % 2 AS seg, user_id,
+      |    event_type = 'purchase' AS hit
+      |  FROM events),
+      |c AS (SELECT seg, user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM o GROUP BY 1, 2),
+      |w AS (SELECT seg, user_id, n, y,
+      |    CAST(y AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM c),
+      |k AS (SELECT seg, CAST(count(*) AS BIGINT) AS cnt,
+      |    list_sort(list({'i': user_id, 'r': rate})) AS l
+      |  FROM w GROUP BY 1),
+      |p0 AS (SELECT seg, cnt,
+      |    list_reduce(list_prepend(0.0, list_transform(l,
+      |      x -> x['r'])), (p, q) -> p + q) / CAST(cnt AS DOUBLE) AS m,
+      |    list_reduce(list_prepend(0.0, list_transform(l,
+      |      x -> x['r'] * x['r'])), (p, q) -> p + q)
+      |      / CAST(cnt AS DOUBLE) AS srr
+      |  FROM k),
+      |p1 AS (SELECT seg, m AS prior_mean,
+      |    CASE WHEN srr - m * m > 0.0
+      |      THEN CASE WHEN m * (1.0 - m) / (srr - m * m) - 1.0 > 0.0
+      |        THEN m * (1.0 - m) / (srr - m * m) - 1.0 ELSE 0.0 END
+      |      ELSE 0.0 END AS strength
+      |  FROM p0)
+      |SELECT w.seg, w.user_id AS item, w.n, w.y, w.rate,
+      |  CASE WHEN strength > 0.0
+      |    THEN (CAST(y AS DOUBLE) + prior_mean * strength)
+      |      / (CAST(n AS DOUBLE) + strength)
+      |    ELSE w.rate END AS shrunk,
+      |  prior_mean, strength
+      |FROM w JOIN p1 ON w.seg = p1.seg""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11146,5 +11194,6 @@ object Queries {
     "q258_seasonal_profile" -> Q(q258, Some(q258Sql)),
     "q259_ranking_overlap" -> Q(q259, Some(q259Sql)),
     "q260_cochran_armitage" -> Q(q260, Some(q260Sql)),
-    "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)))
+    "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)),
+    "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)))
 }

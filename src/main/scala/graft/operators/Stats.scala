@@ -3440,6 +3440,72 @@ object Stats {
           .as("seasonal"))
   }
 
+  /** EMPIRICAL-BAYES RATE SHRINKAGE per key (beta-binomial, method of
+    * moments — Robbins 1956 / the "smoothed CTR" standard): each
+    * item's raw rate y/n shrinks toward its key's prior mean with
+    * strength learned FROM the key's own rate spread,
+    *
+    *   m = mean(rᵢ),  v = var(rᵢ),  s = m(1−m)/v − 1,
+    *   α = m·s,  β = (1−m)·s,  shrunk = (y + α)/(n + s)
+    *
+    * — low-traffic items land near the prior, high-traffic items keep
+    * their own rate; the ranking-safe fix for "1/1 = 100%" items.
+    * [[looTargetEncoding]]'s shrinkage sibling (that one excludes the
+    * row, this one learns the strength).
+    *
+    * Exactness: items collapse to exact (n, y) cells (CHECKED bounded
+    * per key); each rate is ONE division of exact longs, and Σr / Σr²
+    * are SORTED SEQUENTIAL FOLDS over the item array (the list_reduce
+    * parity discipline), so m, v, s and every shrunk rate are fixed
+    * IEEE shapes both engines replay. Degenerate keys (v ≤ 0 — all
+    * rates equal — or s ≤ 0) shrink nothing: shrunk = raw, strength
+    * reported 0. NULL item/hit rows are rejected loudly. Output:
+    * (key, item, n, y, rate, shrunk, prior_mean, strength). */
+  def ebShrinkRates(df: DataFrame, keyCol: String, itemCol: String,
+                    hitCol: String,
+                    maxItemsPerKey: Long = 2000000L): DataFrame = {
+    val hit = col(hitCol).cast("boolean")
+    val cells = df.groupBy(col(keyCol), col(itemCol).as("__i"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(hit, 1L).otherwise(0L)).as("y"),
+        sum(when(col(itemCol).isNull || hit.isNull, 1L).otherwise(0L))
+          .as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"ebShrinkRates: $b NULL item/hit rows — every row needs an " +
+          "item and an outcome; filter explicitly first"))
+    requireBoundedPerKey(cells, keyCol, maxItemsPerKey, "ebShrinkRates")
+    val rate = col("y").cast("double") / col("n").cast("double")
+    val withRate = cells.withColumn("rate", rate)
+    val folded = withRate.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__cnt"),
+        sort_array(collect_list(struct(col("__i"), col("rate"))))
+          .as("__l"))
+    val sr = aggregate(col("__l"), lit(0.0),
+      (acc, g) => acc + g.getField("rate"))
+    val srr = aggregate(col("__l"), lit(0.0),
+      (acc, g) => acc + g.getField("rate") * g.getField("rate"))
+    val iD = col("__cnt").cast("double")
+    val priors = folded
+      .withColumn("__m", sr / iD)
+      .withColumn("__v", srr / iD - col("__m") * col("__m"))
+      .withColumn("__s", when(col("__v") > 0.0,
+        col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0)
+        .otherwise(lit(0.0)))
+      .select(col(keyCol), col("__m").as("prior_mean"),
+        when(col("__s") > 0.0, col("__s")).otherwise(lit(0.0))
+          .as("strength"))
+    withRate.join(priors, Seq(keyCol))
+      .select(col(keyCol), col("__i").as("item"), col("n"), col("y"),
+        col("rate"),
+        when(col("strength") > 0.0,
+          (col("y").cast("double") + col("prior_mean") * col("strength"))
+            / (col("n").cast("double") + col("strength")))
+          .otherwise(col("rate")).as("shrunk"),
+        col("prior_mean"), col("strength"))
+  }
+
   /** LEAD–LAG CROSS-CORRELATION per key between two aligned series —
     * "does metric X LEAD metric Y, and by how many steps?" (signups →
     * purchases, crawl volume → index size, error rate → churn): for

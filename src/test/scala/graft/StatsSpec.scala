@@ -3099,6 +3099,76 @@ class StatsSpec extends SparkTestBase {
       .contains("leadLagCorrelation"))
   }
 
+  test("ebShrinkRates equals the brute-force beta-binomial MoM, " +
+    "shrinks low-traffic items more, passes degenerate keys through, " +
+    "NULL rows fail loudly") {
+    val rnd = new scala.util.Random(106)
+    (1 to 3).foreach { trial =>
+      val rows = Seq.fill(400)((rnd.nextInt(2).toLong,
+        rnd.nextInt(20).toLong, rnd.nextInt(10) < 3))
+      val out = Stats.ebShrinkRates(rows.toDF("k", "i", "hit"),
+        "k", "i", "hit").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+      (0L to 1L).foreach { k =>
+        val cells = rows.filter(_._1 == k).groupBy(_._2).view
+          .mapValues(rs => (rs.size.toLong, rs.count(_._3).toLong))
+          .toMap
+        val items = cells.keys.toSeq.sorted
+        var sr = 0.0; var srr = 0.0
+        items.foreach { i =>
+          val (n, y) = cells(i)
+          val r = y.toDouble / n.toDouble
+          sr += r; srr += r * r
+        }
+        val cnt = items.size.toDouble
+        val m = sr / cnt
+        val v = srr / cnt - m * m
+        val s0 = if (v > 0.0) m * (1.0 - m) / v - 1.0 else 0.0
+        val s = if (s0 > 0.0) s0 else 0.0
+        items.foreach { i =>
+          val (n, y) = cells(i)
+          val raw = y.toDouble / n.toDouble
+          val exp = if (s > 0.0) (y.toDouble + m * s) / (n.toDouble + s)
+            else raw
+          val r = out((k, i))
+          assert(r.getLong(2) == n && r.getLong(3) == y)
+          assert(r.getDouble(4) == raw && r.getDouble(5) == exp,
+            s"$trial/$k/$i shrunk")
+          assert(r.getDouble(6) == m && r.getDouble(7) == s)
+        }
+      }
+    }
+    // a 1/1 item shrinks toward the prior far more than a 50/100 item
+    // with the same raw rate distance
+    val mix = Seq.fill(60)((5L, 1L, false)) ++ Seq.fill(40)((5L, 1L, true)) ++
+      Seq.fill(70)((5L, 2L, false)) ++ Seq.fill(30)((5L, 2L, true)) ++
+      Seq((5L, 3L, true)) // 1/1 = raw 100%
+    val mr = Stats.ebShrinkRates(mix.toDF("k", "i", "hit"),
+      "k", "i", "hit").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val tiny = mr(3L)
+    assert(tiny.getDouble(4) == 1.0 &&
+      tiny.getDouble(5) < 0.8 && tiny.getDouble(5) > tiny.getDouble(6),
+      s"1/1 item should shrink hard toward the prior: ${tiny.getDouble(5)}")
+    val heavy = mr(1L)
+    assert(math.abs(heavy.getDouble(5) - heavy.getDouble(4)) <
+      math.abs(tiny.getDouble(5) - tiny.getDouble(4)),
+      "heavy item moves less than the 1/1 item")
+    // all items share one rate -> zero variance -> no shrinkage
+    val flat = Seq((6L, 1L, true), (6L, 1L, false),
+      (6L, 2L, true), (6L, 2L, false))
+    val fr = Stats.ebShrinkRates(flat.toDF("k", "i", "hit"),
+      "k", "i", "hit").collect()
+    assert(fr.forall(r => r.getDouble(5) == r.getDouble(4) &&
+      r.getDouble(7) == 0.0))
+    // NULL hit fails loudly
+    val e = intercept[Throwable] {
+      Stats.ebShrinkRates(Seq((1L, 1L, Some(true)), (1L, 2L, None))
+        .toDF("k", "i", "hit"), "k", "i", "hit").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("ebShrinkRates"))
+  }
+
   test("giniByKey equals the brute-force sorted-rank Gini, zero mass " +
     "goes NaN, negative values fail loudly") {
     val rnd = new scala.util.Random(85)
