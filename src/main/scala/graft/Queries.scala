@@ -10515,8 +10515,10 @@ object Queries {
     * loop — each document's length-bucket score picks up its pool's
     * monotone rate through the merge-exec as-of (never a per-row range
     * scan). The oracle replays PAVA and serves with DuckDB's native
-    * ASOF JOIN, so the hash match proves both the pools AND the
-    * serving rule. */
+    * ASOF LEFT JOIN plus the first-pool clamp coalesce, so the hash
+    * match proves the pools AND the operator's FULL serving rule —
+    * including the below-first-pool clamp, even though this fixture
+    * only serves in-sample scores. */
   private def q254(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       col("source"), expr("least(n_chars div 200, 50)").as("score"),
@@ -10564,18 +10566,21 @@ object Queries {
       |        true) AS i
       |    FROM it) WHERE i = 0),
       |pools AS (
-      |  SELECT source, e['p']['smin'] AS smin,
+      |  SELECT source, e['idx'] AS idx, e['p']['smin'] AS smin,
       |    CAST(e['p']['y'] AS DOUBLE) / CAST(e['p']['w'] AS DOUBLE)
       |      AS rate
       |  FROM (SELECT source, unnest(list_transform(
       |      generate_series(1, len(l)), j -> {'idx': j, 'p': l[j]}))
       |      AS e
       |    FROM fixed)),
+      |p1 AS (SELECT source, rate AS r0 FROM pools WHERE idx = 1),
       |d AS (SELECT doc_id, source, least(n_chars // 200, 50) AS score
       |  FROM documents)
-      |SELECT d.doc_id, d.source, d.score, p.rate AS calibrated
-      |FROM d ASOF JOIN pools p
-      |  ON d.source = p.source AND d.score >= p.smin""".stripMargin
+      |SELECT d.doc_id, d.source, d.score,
+      |  coalesce(p.rate, p1.r0) AS calibrated
+      |FROM d ASOF LEFT JOIN pools p
+      |  ON d.source = p.source AND d.score >= p.smin
+      |LEFT JOIN p1 ON p1.source = d.source""".stripMargin
 
   /** Burstiness (variance-to-mean ratio of per-document counts, zeros
     * included) of the top-50 tokens (TextAnalysis.tokenBurstiness):

@@ -3295,29 +3295,6 @@ object Stats {
         .otherwise(col("__mw").cast("double") / s1D).as("max_w_share"))
   }
 
-  /** SINGLE BEST MEAN-SHIFT CHANGEPOINT per key (the classic "at most
-    * one changepoint" least-squares scan — Hinkley 1970 / the first
-    * split of binary segmentation): where does splitting the ordered
-    * series into a left and right mean reduce the squared error most?
-    * The [[cusumAlarms]] sibling: CUSUM streams "has it drifted past
-    * h yet", this answers "WHERE did the level shift, and by how
-    * much" in one retrospective pass. Minimizing SSE over splits s
-    * equals maximizing f(s) = A²/n_L + B²/n_R (A, B = exact left and
-    * right sums), and `gain` = f(s*) − (Σx)²/n is the between-segment
-    * sum of squares the split explains (≥ 0).
-    *
-    * Exactness/engine-parity: rows order by (t, x) — a deterministic
-    * total order up to interchangeable identical rows — and prefix
-    * sums form exactly in int64 under a CHECKED n·max|x| ≤ 10¹⁸
-    * per-key contract; the squares cross into decimal(38,0) before the
-    * ONE double cast per candidate, so f is the same IEEE value on
-    * both engines and the argmax (f desc, earliest split tie-break)
-    * replays bit-exactly. Per-key rows are CHECKED ≤ maxRowsPerKey
-    * (the [[theilSen]] window discipline — all windows key-partitioned,
-    * never global). Keys with fewer than 2 rows have no candidate
-    * split and drop. NULL t/x rows are rejected loudly. Output:
-    * (key, n, cp_idx, cp_t, mean_l, mean_r, gain) — the split is
-    * AFTER cp_idx rows; cp_t is the last left-segment t. */
   /** ISOTONIC CALIBRATION per key (pool-adjacent-violators —
     * Zadrozny–Elkan 2002): the monotone recalibration map the Brier
     * decomposition (q205) and reliability table (q182) diagnose the
@@ -3694,7 +3671,13 @@ object Stats {
       lit(4L).cast(d) * col("__inv").cast(d)
     val varNum = nD * (nD - 1) * (lit(2L).cast(d) * nD + 5) - col("__tv")
     val joined = series.join(ties, Seq(keyCol))
-      .withColumn("s", (s2.cast("double") / 2.0).cast("long"))
+      // 2S is always even, so halve it EXACTLY with integral division
+      // on the decimal (a double round-trip loses exactness once
+      // |2S| > 2^53, i.e. n ≳ 9.5e7 — reachable through the tunable
+      // maxRowsPerKey even though the default 1e6 is safe)
+      .withColumn("__s2", s2)
+      .withColumn("s", expr("__s2 div 2"))
+      .drop("__s2")
       .withColumn("__vn", varNum)
     val sd = col("s").cast("double")
     val root = sqrt(col("__vn").cast("double") / lit(18.0))
@@ -3777,6 +3760,29 @@ object Stats {
       .drop("__r0", "__smin")
   }
 
+  /** SINGLE BEST MEAN-SHIFT CHANGEPOINT per key (the classic "at most
+    * one changepoint" least-squares scan — Hinkley 1970 / the first
+    * split of binary segmentation): where does splitting the ordered
+    * series into a left and right mean reduce the squared error most?
+    * The [[cusumAlarms]] sibling: CUSUM streams "has it drifted past
+    * h yet", this answers "WHERE did the level shift, and by how
+    * much" in one retrospective pass. Minimizing SSE over splits s
+    * equals maximizing f(s) = A²/n_L + B²/n_R (A, B = exact left and
+    * right sums), and `gain` = f(s*) − (Σx)²/n is the between-segment
+    * sum of squares the split explains (≥ 0).
+    *
+    * Exactness/engine-parity: rows order by (t, x) — a deterministic
+    * total order up to interchangeable identical rows — and prefix
+    * sums form exactly in int64 under a CHECKED n·max|x| ≤ 10¹⁸
+    * per-key contract; the squares cross into decimal(38,0) before the
+    * ONE double cast per candidate, so f is the same IEEE value on
+    * both engines and the argmax (f desc, earliest split tie-break)
+    * replays bit-exactly. Per-key rows are CHECKED ≤ maxRowsPerKey
+    * (the [[theilSen]] window discipline — all windows key-partitioned,
+    * never global). Keys with fewer than 2 rows have no candidate
+    * split and drop. NULL t/x rows are rejected loudly. Output:
+    * (key, n, cp_idx, cp_t, mean_l, mean_r, gain) — the split is
+    * AFTER cp_idx rows; cp_t is the last left-segment t. */
   def changepointMeanShift(df: DataFrame, keyCol: String, tCol: String,
                            xCol: String,
                            maxRowsPerKey: Long = 2000000L): DataFrame = {

@@ -1941,20 +1941,6 @@ object TextAnalysis {
         (col("pos") + 1).as("rank"))
   }
 
-  /** Per-group lexical-diversity profile: token count, type (distinct
-    * token) count, hapax legomena (types occurring exactly once in the
-    * group), type–token ratio and hapax share — the vocabulary-richness
-    * fingerprint that separates natural prose from template/boilerplate
-    * farms (low TTR, few hapax) and from gibberish (TTR → 1) in a crawl
-    * quality pass.
-    *
-    * Scale shape: ONE tokenize scan → a (group, token) count histogram
-    * (map-side combining — the shuffle is bounded by per-group
-    * vocabulary, never token count) → one group rollup. All counts are
-    * exact longs; the two ratios are fixed-shape double divisions over
-    * them (engine-exact). Groups whose text yields zero tokens are
-    * absent (inner semantics). Output: (group, n_tokens, n_types,
-    * n_hapax, ttr, hapax_ratio). */
   /** ZIPF RANK–FREQUENCY SLOPE per group — the log-log fit of the
     * top-k token frequency spectrum (Zipf 1949: natural language runs
     * near slope −1): the one-number spectral quality signal that
@@ -2037,6 +2023,20 @@ object TextAnalysis {
           (nD * col("cf").cast(d)).cast("double")).as("vmr"))
   }
 
+  /** Per-group lexical-diversity profile: token count, type (distinct
+    * token) count, hapax legomena (types occurring exactly once in the
+    * group), type–token ratio and hapax share — the vocabulary-richness
+    * fingerprint that separates natural prose from template/boilerplate
+    * farms (low TTR, few hapax) and from gibberish (TTR → 1) in a crawl
+    * quality pass.
+    *
+    * Scale shape: ONE tokenize scan → a (group, token) count histogram
+    * (map-side combining — the shuffle is bounded by per-group
+    * vocabulary, never token count) → one group rollup. All counts are
+    * exact longs; the two ratios are fixed-shape double divisions over
+    * them (engine-exact). Groups whose text yields zero tokens are
+    * absent (inner semantics). Output: (group, n_tokens, n_types,
+    * n_hapax, ttr, hapax_ratio). */
   def lexicalDiversity(df: DataFrame, groupCol: String,
                        textCol: String): DataFrame = {
     val hist = df

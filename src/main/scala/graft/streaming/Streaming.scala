@@ -508,7 +508,12 @@ object Streaming {
     val n = window.toLong
     val sx = n * (n + 1L) / 2L
     val sxx = n * (n + 1L) * (2L * n + 1L) / 6L
-    val den = n * sxx - sx * sx
+    // den = n·sxx − sx² — but BOTH intermediate products overflow int64
+    // near the window cap (n·sxx ≈ 3.3e19 at w = 100000), so compute the
+    // closed form w²(w²−1)/12 ≈ 8.3e18 (which DOES fit, hence the cap)
+    // through BigInt, exactly as the batch rollingOlsSlope does: the
+    // value must never depend on two's-complement wraparound cancelling.
+    val den = (BigInt(n) * n * (BigInt(n) * n - 1) / 12).toLong
     val maxAbsY = 4000000000000000000L / (n * n * n)
     val spark = obs.sparkSession
     import spark.implicits._
