@@ -641,11 +641,18 @@ object Graph {
     * Scale shape: per round TWO co-partitioned edges⋈scores joins +
     * map-side-combining sums (two decimals per node cross the
     * shuffle); lineage cut per round; rounds FIXED (static job graph,
-    * the [[pageRankInt]] discipline). The per-round shuffle pair is
-    * below the adaptive-driver payoff at the 1–3 rounds HITS needs,
-    * so there is deliberately no collected fast path here. Output:
-    * (node, hub, auth) over all edge endpoints. */
-  def hitsInt(edges: DataFrame, rounds: Int): DataFrame = {
+    * the [[pageRankInt]] discipline). Adaptive like its siblings:
+    * graphs under `driverEdgeLimit` collect under the CHECKED bound
+    * and run the identical recurrence as a BigInt driver loop
+    * (integer adds commute, so this is value-identical to the
+    * distributed rounds — GraphRangeSpec pins driver == distributed),
+    * skipping the 2 joins + 2 lineage cuts per round that dominate
+    * wall-clock on a few-hundred-edge graph; the final max-normalize
+    * runs IN Spark on both paths so the decimal→double cast is the
+    * same code path bit-for-bit. Output: (node, hub, auth) over all
+    * edge endpoints. */
+  def hitsInt(edges: DataFrame, rounds: Int,
+              driverEdgeLimit: Long = 1L << 20): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       s"hitsInt needs rounds in [1, 8], got $rounds")
     val e0 = edges.toDF("src", "dst").distinct().localCheckpoint()
@@ -670,29 +677,65 @@ object Graph {
         s"(in=$dIn, out=$dOut) can reach hub scores ~1e${hubBound
           .toString.length - 1}, beyond the decimal(38,0) exactness " +
         "contract (1e36). Reduce rounds or prune the graph first.")
-    val nodes = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    var hub = nodes.select(col("node"),
-      lit(1).cast("decimal(38,0)").as("hub")).localCheckpoint()
-    var auth = hub.select(col("node"), col("hub").as("auth"))
-    (1 to rounds).foreach { _ =>
-      auth = nodes.join(
-        e0.join(hub.select(col("node").as("src"), col("hub")), "src")
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a")),
-        Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__a"), lit(0).cast("decimal(38,0)")).as("auth"))
-        .localCheckpoint()
-      hub = nodes.join(
-        e0.join(auth.select(col("node").as("dst"), col("auth")), "dst")
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__h")),
-        Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__h"), lit(0).cast("decimal(38,0)")).as("hub"))
-        .localCheckpoint()
+    val scores = if (nEdges <= driverEdgeLimit) {
+      // small-graph fast path (the pageRankDriver pattern): edge list
+      // already size-CHECKED by the contracts job; the BigInt loop is
+      // the decimal recurrence verbatim (exact integer sums, ladder
+      // bounded ≤ 1e36), handed back as decimal(38,0) so the shared
+      // normalize tail below is byte-identical across paths
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+      val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+      val nodeArr = pairs.iterator
+        .flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      var hub = nodeArr.map(_ -> BigInt(1)).toMap
+      var auth = Map.empty[Any, BigInt]
+      (1 to rounds).foreach { _ =>
+        val a = scala.collection.mutable.HashMap.empty[Any, BigInt]
+        pairs.foreach { case (u, v) =>
+          a.update(v, a.getOrElse(v, BigInt(0)) + hub(u)) }
+        auth = nodeArr.iterator
+          .map(n => n -> a.getOrElse(n, BigInt(0))).toMap
+        val h = scala.collection.mutable.HashMap.empty[Any, BigInt]
+        pairs.foreach { case (u, v) =>
+          h.update(u, h.getOrElse(u, BigInt(0)) + auth(v)) }
+        hub = nodeArr.iterator
+          .map(n => n -> h.getOrElse(n, BigInt(0))).toMap
+      }
+      val spark = e0.sparkSession
+      val idType = e0.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(nodeArr.map(n => Row(n,
+          new java.math.BigDecimal(hub(n).bigInteger),
+          new java.math.BigDecimal(auth(n).bigInteger))).toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("hub", DecimalType(38, 0)),
+          StructField("auth", DecimalType(38, 0)))))
+    } else {
+      val nodes = e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      var hub = nodes.select(col("node"),
+        lit(1).cast("decimal(38,0)").as("hub")).localCheckpoint()
+      var auth = hub.select(col("node"), col("hub").as("auth"))
+      (1 to rounds).foreach { _ =>
+        auth = nodes.join(
+          e0.join(hub.select(col("node").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__a")),
+          Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__a"), lit(0).cast("decimal(38,0)")).as("auth"))
+          .localCheckpoint()
+        hub = nodes.join(
+          e0.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__h")),
+          Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__h"), lit(0).cast("decimal(38,0)")).as("hub"))
+          .localCheckpoint()
+      }
+      hub.join(auth, "node")
     }
-    val scores = hub.join(auth, "node")
     val mx = scores.agg(max(col("hub")).as("__mh"),
       max(col("auth")).as("__ma"))
     scores.crossJoin(mx)

@@ -583,6 +583,12 @@ class GraphRangeSpec extends SparkTestBase {
       assert(out(v)._1 == hub(v).toDouble / mh.toDouble, s"hub $v")
       assert(out(v)._2 == auth(v).toDouble / ma.toDouble, s"auth $v")
     }
+    // the distributed rounds are value-identical to the driver loop
+    val dist = Graph.hitsInt(edges.toDF("src", "dst"), rounds = 2,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(dist == out, "hitsInt: distributed != driver")
     // rounds contract
     intercept[IllegalArgumentException] {
       Graph.hitsInt(edges.toDF("src", "dst"), rounds = 9)
