@@ -10933,6 +10933,68 @@ object Queries {
       |  prior_mean, strength
       |FROM w JOIN p1 ON w.seg = p1.seg""".stripMargin
 
+  /** Compressed-JSONL ingest front door (sources/TextIngest) — the
+    * missing link between "parquet analytics engine" and "data
+    * pipeline": the fixture serializes every document to one gzip'd
+    * JSON line (6 lines corrupted into non-JSON by a doubled brace —
+    * doc_id % 97; 5 more serialized WITHOUT their text field —
+    * doc_id % 89), and the schema-validated ingest must route each
+    * line to exactly one status channel (ok / missing_required /
+    * corrupt) with zero row loss. The gate rolls valid + error rows
+    * up per (status, source, lang): `chars` = sum(length) over the
+    * PARSED text proves the value round-trip (escape/unescape) is
+    * lossless; `id_sum` over parsed ids pins numeric-field typing;
+    * the corrupt bucket's (NULL, NULL) keys pin that garbage lines
+    * poison no real group. The oracle replays the corruption classes
+    * from the documents table directly — it never parses JSON, so a
+    * hash match means Spark's parse inverted the serialization
+    * exactly. Ingest itself is shuffle-free (line-local parse +
+    * projection, ScaleSpec-pinned); the one shuffle here is the
+    * gate's own accounting rollup. */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType => SStr,
+      StructField => SF, StructType => ST}
+    val path = stagedFixtures.computeIfAbsent(s"jsonl_docs|$dir", _ => {
+      val p = stagePath("jsonl_docs", dir)
+      val payload = struct(col("doc_id"), col("lang"), col("source"),
+        col("text"))
+      t(s, dir, "documents").select(
+        when(pmod(col("doc_id"), lit(97L)) === 0L,
+          concat(lit("{"), to_json(payload)))
+          .when(pmod(col("doc_id"), lit(89L)) === 0L,
+            to_json(struct(col("doc_id"), col("lang"), col("source"))))
+          .otherwise(to_json(payload)).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(p)
+      p
+    })
+    val schema = ST(Seq(SF("doc_id", LongType), SF("lang", SStr),
+      SF("source", SStr), SF("text", SStr)))
+    val ing = graft.sources.TextIngest.jsonlWithErrors(s, path, schema,
+      required = Seq("doc_id", "text"))
+    ing.groupBy(col("_status").as("status"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_status") === "ok", length(col("text")))
+          .otherwise(0L)).as("chars"),
+        sum(coalesce(col("doc_id"), lit(0L))).as("id_sum"))
+  }
+
+  private val q263Sql =
+    """WITH cls AS (
+      |  SELECT CASE WHEN doc_id % 97 = 0 THEN 'corrupt'
+      |              WHEN doc_id % 89 = 0 THEN 'missing_required'
+      |              ELSE 'ok' END AS status,
+      |    doc_id, lang, source, text
+      |  FROM documents)
+      |SELECT status,
+      |  CASE WHEN status = 'corrupt' THEN NULL ELSE source END AS source,
+      |  CASE WHEN status = 'corrupt' THEN NULL ELSE lang END AS lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN status = 'ok' THEN length(text) ELSE 0 END)
+      |    AS BIGINT) AS chars,
+      |  CAST(sum(CASE WHEN status = 'corrupt' THEN 0 ELSE doc_id END)
+      |    AS BIGINT) AS id_sum
+      |FROM cls GROUP BY 1, 2, 3""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11200,5 +11262,6 @@ object Queries {
     "q259_ranking_overlap" -> Q(q259, Some(q259Sql)),
     "q260_cochran_armitage" -> Q(q260, Some(q260Sql)),
     "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)),
-    "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)))
+    "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)),
+    "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)))
 }

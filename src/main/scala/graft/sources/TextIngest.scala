@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Compressed-JSONL ingest front door — the first operator a corpus
+  * touches: real training data arrives as newline-delimited JSON
+  * (jsonl, jsonl.gz — any Hadoop-registered codec decompresses
+  * transparently under `spark.read.text`), not parquet, and the engine
+  * needs a schema-validated, error-routed path from those lines to the
+  * dedup-ready (id, text, meta) projection every downstream family
+  * (dedup, quality filters, LM scoring, search) consumes.
+  *
+  * Design: ONE narrow text scan (`spark.read.text` — splittable for
+  * plain files, per-file parallel for .gz, no driver-side listing
+  * logic) feeds a single codegen'd [[from_json]] against the CALLER'S
+  * explicit schema — never schema inference, which at 100 TB would
+  * burn a full pre-pass over the corpus and silently widen types on
+  * dirty lines. Malformed lines are NOT dropped and NOT poisoned into
+  * null-field rows: PERMISSIVE mode with a corrupt-record column
+  * routes them to an explicit per-row `_status` channel (the
+  * `Pipeline` row-level error-capture shape, `plans/Pipeline.scala`),
+  * so corpus accounting stays exact — valid + error rows == input
+  * lines, pinned by ScaleSpec.
+  *
+  * Row statuses:
+  *  - `ok`                — parsed, every `required` field non-null;
+  *  - `missing_required`  — valid JSON, but a `required` field is
+  *                          absent/null (includes the literal `null`
+  *                          line, which parses to an all-null row);
+  *  - `corrupt`           — not valid JSON (truncated line, binary
+  *                          garbage, empty line).
+  * Failed rows carry the raw line in `_raw` (null for ok rows — the
+  * wide string never rides along the happy path), so the error
+  * side-output can be persisted for replay/triage exactly like the
+  * reference's per-node error channel (`dpl/processor/nodes/base.py:
+  * 137-142` keeps failed items with their exception).
+  *
+  * Scale shape: zero shuffles — a line-local parse + projection, so
+  * ingest is embarrassingly parallel and the first shuffle of any
+  * pipeline stays owned by the consumer (dedup keys, quality
+  * aggregations). Column pruning happens at the projection: callers
+  * selecting (id, text) after [[valid]] carry no meta fields through
+  * downstream exchanges.
+  */
+object TextIngest {
+
+  /** Parse newline-delimited JSON at `path` against `schema`.
+    * Returns one row PER INPUT LINE: the schema's fields (null where
+    * unparseable) plus `_status` in {ok, missing_required, corrupt}
+    * and `_raw` (the original line, error rows only). `required`
+    * names fields that must be non-null for a row to count as ok —
+    * typically the id and text columns. `schema` must not itself
+    * contain `_corrupt_record`, `_status` or `_raw`. */
+  def jsonlWithErrors(spark: SparkSession, path: String, schema: StructType,
+                      required: Seq[String]): DataFrame = {
+    val reserved = Seq("_corrupt_record", "_status", "_raw")
+    require(schema.fieldNames.forall(f => !reserved.contains(f)),
+      s"jsonlWithErrors: schema must not contain ${reserved.mkString("/")}")
+    require(required.forall(schema.fieldNames.contains),
+      s"jsonlWithErrors: required fields ${required.mkString(",")} must " +
+        s"all be in the schema (${schema.fieldNames.mkString(",")})")
+    val full = schema.add("_corrupt_record", StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("__raw"),
+        from_json(col("value"), full,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__rec"))
+    val isCorrupt = col("__rec._corrupt_record").isNotNull
+    val missing: Column = required
+      .map(f => col(s"__rec.$f").isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val status = when(isCorrupt, lit("corrupt"))
+      .when(missing, lit("missing_required"))
+      .otherwise(lit("ok"))
+    parsed.select(
+      schema.fieldNames.toSeq.map(f => col(s"__rec.$f").as(f)) ++ Seq(
+        status.as("_status"),
+        when(status =!= "ok", col("__raw"))
+          .otherwise(lit(null).cast(StringType)).as("_raw")): _*)
+  }
+
+  /** The ok rows of [[jsonlWithErrors]], schema fields only — the
+    * dedup-ready projection downstream operators consume. */
+  def valid(ingested: DataFrame): DataFrame =
+    ingested.where(col("_status") === "ok")
+      .drop("_status", "_raw")
+
+  /** The failed rows with their raw lines — persist beside the run
+    * report for replay/triage (the error side-output). */
+  def errors(ingested: DataFrame): DataFrame =
+    ingested.where(col("_status") =!= "ok")
+      .select(col("_status"), col("_raw"))
+}

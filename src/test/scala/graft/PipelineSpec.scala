@@ -215,4 +215,69 @@ class PipelineSpec extends SparkTestBase {
     val rt = df.select(npy_decode(npy_encode(data)).getField("data").as("d"))
     assert(rt.head.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
   }
+
+  test("TextIngest routes every jsonl line to exactly one status channel") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val lines = Seq(
+      """{"id": 1, "text": "hello world", "lang": "en"}""", // ok
+      """{"id": 2, "text": "κείμενο", "lang": "el"}""",     // ok, non-ASCII
+      """{"id": 3, "lang": "en"}""",                        // text missing
+      """{"id": null, "text": "orphan"}""",                 // id null
+      """null""",                                           // all-null row
+      """{{"id": 6, "text": "x"}""",                        // not JSON
+      "",                                                   // empty line
+      """garbage!!""")                                      // not JSON
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val ing = TextIngest.jsonlWithErrors(spark, dir.toString, schema,
+      required = Seq("id", "text")).cache()
+    // row parity: valid + error rows == input lines, no loss, no dupes
+    assert(ing.count() == lines.length)
+    val byStatus = ing.groupBy("_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus == Map("ok" -> 2L, "missing_required" -> 3L,
+      "corrupt" -> 3L), s"got $byStatus")
+    // valid projection carries the schema fields only, parsed exactly
+    val ok = TextIngest.valid(ing).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(ok == Map(1L -> ("hello world", "en"), 2L -> ("κείμενο", "el")))
+    assert(TextIngest.valid(ing).columns.toSeq == Seq("id", "text", "lang"))
+    // the error side-output keeps each failed RAW line for replay
+    val errRaw = TextIngest.errors(ing).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(errRaw.contains(("corrupt", "garbage!!")))
+    assert(errRaw.contains(("corrupt", """{{"id": 6, "text": "x"}""")))
+    assert(errRaw.contains(("missing_required", """{"id": 3, "lang": "en"}""")))
+    // reserved-name and unknown-required contracts fail loudly
+    intercept[IllegalArgumentException] {
+      TextIngest.jsonlWithErrors(spark, dir.toString,
+        schema.add("_raw", StringType), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIngest.jsonlWithErrors(spark, dir.toString, schema, Seq("nope"))
+    }
+    ing.unpersist()
+  }
+
+  test("TextIngest reads gzip-compressed jsonl transparently") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part-0.jsonl.gz")))
+    gz.write("""{"id": 1, "text": "zipped"}""".getBytes("UTF-8"))
+    gz.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val got = TextIngest.valid(TextIngest.jsonlWithErrors(spark,
+      dir.toString, schema, Seq("id", "text"))).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L &&
+      got.head.getString(1) == "zipped")
+  }
 }

@@ -1008,4 +1008,41 @@ class ScaleSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("jsonl ingest is shuffle-free and loses no rows to the error channel") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    // a 100 TB corpus's first pass must be embarrassingly parallel:
+    // line-local parse + projection, NEVER a shuffle — the first
+    // exchange of any pipeline belongs to the consumer (dedup keys,
+    // quality rollups), not the ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-jsonl")
+    val rows = (0 until 2000).map { i =>
+      if (i % 97 == 0) s"""{{"id": $i}"""               // corrupt
+      else if (i % 89 == 0) s"""{"id": $i}"""           // text missing
+      else s"""{"id": $i, "text": "doc number $i"}"""
+    }
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val ing = TextIngest.jsonlWithErrors(spark, dir.toString, schema,
+      Seq("id", "text"))
+    val plan = ing.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"ingest must be shuffle-free:\n$plan")
+    // the text scan reads the one line column — no phantom wide reads
+    assert(plan.contains("ReadSchema: struct<value:string>"),
+      s"expected a single-column text scan:\n$plan")
+    // exact corpus accounting: ok + missing_required + corrupt == lines
+    val n = ing.count()
+    val ok = TextIngest.valid(ing).count()
+    val err = TextIngest.errors(ing).count()
+    assert(n == rows.length.toLong, s"row parity broken: $n")
+    assert(ok + err == n, s"status channels must partition the lines")
+    assert(ok == rows.count(r => r.contains("text")) &&
+      err == rows.count(r => !r.contains("text")))
+  }
 }
