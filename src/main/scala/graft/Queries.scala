@@ -10995,6 +10995,89 @@ object Queries {
       |    AS BIGINT) AS id_sum
       |FROM cls GROUP BY 1, 2, 3""".stripMargin
 
+  /** Order-5 stupid-backoff perplexity filter
+    * (TextAnalysis.stupidBackoffPerplexity) — the production KenLM /
+    * CCNet shape upgraded from q99's add-one bigram: the LM trains on
+    * doc_id % 3 != 0 and scores EVERYTHING, so the held-out third
+    * actually exercises the 0.4^j backoff chain (a corpus contains all
+    * of its own n-grams). ONE count table carries every gram order;
+    * backoff resolves per DISTINCT scoring key with one ln rounded
+    * once to micro-nats; doc scores are integer sums + integral-mean.
+    * The oracle replays the full recursion — count table, 9-way
+    * resolution join, penalty chain, quantization — bit-for-bit. */
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stupidBackoffPerplexity(t(s, dir, "documents"),
+      "doc_id", "text", col("doc_id") % 3 =!= 0L, order = 5,
+      thresholdMicro = 2550000L)
+
+  private val q264Sql: String = {
+    val keysExpr = (tk: String) =>
+      s"[array_to_string($tk[greatest(1, i-4):i], ' ') " +
+        s"for i in range(1, len($tk)+1)]"
+    def penSql(j: String): String = {
+      val arms = (0 to 4).map { v =>
+        val chain = if (v == 0) "CAST(1.0 AS DOUBLE)"
+        else Seq.fill(v)("CAST(0.4 AS DOUBLE)").mkString(" * ")
+        s"WHEN $v THEN $chain"
+      }.mkString(" ")
+      s"(CASE $j $arms END)"
+    }
+    val gramJoins = (5 to 2 by -1).map { k =>
+      s"""LEFT JOIN c s$k ON dkw.L >= $k AND s$k.g =
+         |  array_to_string(dkw.w[greatest(1, dkw.L-${k - 1}):dkw.L], ' ')
+         |LEFT JOIN c x$k ON dkw.L >= $k AND x$k.g =
+         |  array_to_string(dkw.w[greatest(1, dkw.L-${k - 1}):dkw.L-1], ' ')"""
+        .stripMargin
+    }.mkString("\n")
+    val arms = (5 to 2 by -1).map { k =>
+      s"""WHEN dkw.L >= $k AND s$k.c IS NOT NULL THEN
+         |  (CAST(s$k.c AS DOUBLE) / CAST(x$k.c AS DOUBLE))
+         |    * ${penSql(s"dkw.L - $k")}""".stripMargin
+    }.mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % 3 != 0 AS tr, $toksSql AS tk
+       |  FROM documents),
+       |keys AS (
+       |  SELECT doc_id, unnest(${keysExpr("tk")}) AS g FROM toks),
+       |tkeys AS (
+       |  SELECT unnest([array_to_string(w[len(w)-j+1:len(w)], ' ')
+       |                 for j in range(1, len(w)+1)]) AS g
+       |  FROM (SELECT string_split(kg, ' ') AS w FROM (
+       |    SELECT unnest(${keysExpr("tk")}) AS kg
+       |    FROM toks WHERE tr))),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tkeys GROUP BY g),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V
+       |  FROM c WHERE len(string_split(g, ' ')) = 1),
+       |dkw AS (
+       |  SELECT g, string_split(g, ' ') AS w, len(string_split(g, ' ')) AS L
+       |  FROM (SELECT DISTINCT g FROM keys)),
+       |nll AS (
+       |  SELECT dkw.g,
+       |    -CAST(round(ln(CASE
+       |$arms
+       |      ELSE (CAST(coalesce(s1.c, 0) + 1 AS DOUBLE)
+       |              / CAST(tot.N + tot.V AS DOUBLE))
+       |            * ${penSql("dkw.L - 1")}
+       |      END) * 1000000.0) AS BIGINT) AS nll
+       |  FROM dkw
+       |$gramJoins
+       |  LEFT JOIN c s1 ON s1.g = dkw.w[dkw.L]
+       |  CROSS JOIN tot),
+       |sc AS (
+       |  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(nll.nll) AS BIGINT) AS s
+       |  FROM keys k JOIN nll ON nll.g = k.g GROUP BY 1)
+       |SELECT t.doc_id, t.tr AS is_train,
+       |  coalesce(sc.n, 0) AS n_tokens,
+       |  coalesce(sc.s, 0) AS nll_sum_micro,
+       |  CASE WHEN sc.n > 0 THEN sc.s // sc.n ELSE 0 END AS nll_avg_micro,
+       |  coalesce(sc.n, 0) > 0 AND
+       |    (CASE WHEN sc.n > 0 THEN sc.s // sc.n ELSE 0 END) <= 2550000
+       |    AS keep
+       |FROM toks t LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11263,5 +11346,6 @@ object Queries {
     "q260_cochran_armitage" -> Q(q260, Some(q260Sql)),
     "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)),
     "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)),
-    "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)))
+    "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)),
+    "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)))
 }

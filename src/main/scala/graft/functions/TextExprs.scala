@@ -117,6 +117,46 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Per-position scoring keys for an order-`n` language model: for each
+  * token position i (0-based) the space-joined gram of the up-to-`n`
+  * tokens ENDING at i — full n-grams once i ≥ n−1, the shorter
+  * available prefix ramp before that (the KenLM scoring convention:
+  * every token gets scored, doc starts with truncated context). One
+  * output element per input token; single pass, shared StringBuilder. */
+case class NgramContextKeys(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_context_keys"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_context_keys needs array<string>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = Array.tabulate(m)(i => arr.getUTF8String(i).toString)
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = math.max(0, i - n + 1)
+      while (j <= i) {
+        if (j > math.max(0, i - n + 1)) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramContextKeys = copy(child = newChild)
+}
+
 /** One BPE merge application: greedy left-to-right single pass over a
   * symbol array replacing every adjacent (a, b) occurrence with the
   * concatenation a+b; after a merge the scan resumes PAST the merged

@@ -362,6 +362,12 @@ package object functions {
   def word_shingles(tokens: Column, n: Int, distinct: Boolean = false): Column =
     ExprBridge.column(WordShingles(col2expr(tokens), n, distinct))
 
+  /** Per-position order-`n` LM scoring keys: the up-to-`n`-gram ending
+    * at each token position, doc-start ramp included (see
+    * [[NgramContextKeys]]). */
+  def ngram_context_keys(tokens: Column, n: Int): Column =
+    ExprBridge.column(NgramContextKeys(col2expr(tokens), n))
+
   /** Sliding token-window chunk spans (start, end, hash) in one pass
     * over the token array (see [[ChunkSpans]]). */
   def chunk_spans(tokens: Column, chunkTokens: Int, overlap: Int): Column =

@@ -1553,6 +1553,148 @@ object TextAnalysis {
             .otherwise(lit(0L)) <= thresholdMicro).as("keep"))
   }
 
+  /** ORDER-N STUPID-BACKOFF PERPLEXITY FILTER — the production CCNet /
+    * RedPajama shape ([[ccnetPerplexityFilter]] is the order-2
+    * add-one teaching model; real curation uses a 5-gram KenLM —
+    * Heafield 2011 — and the standard web-scale smoothing is stupid
+    * backoff, Brants et al. 2007 §4: no normalization, just
+    *   S(w | ctx_k) = c(ctx_k·w) / c(ctx_k)        if c(ctx_k·w) > 0
+    *                = 0.4 · S(w | ctx_{k-1})       otherwise,
+    * grounded in an add-one unigram (c(w)+1)/(N+V) so unseen tokens
+    * stay finite). The LM trains on the `isTrain` slice and scores
+    * EVERY document — the held-out slice is where backoff actually
+    * fires (a self-trained corpus contains all of its own n-grams).
+    *
+    * Per token the scoring key is the up-to-`order`-gram ending at its
+    * position (doc-start ramp-up uses the shorter available context
+    * with NO penalty, the KenLM convention; the penalty 0.4^j applies
+    * only to the j backoff steps the counts force). Everything
+    * engine-exact by the q58/q91/q99 discipline:
+    *
+    *  - ONE count table C holds ALL gram orders 1..N (a gram string
+    *    knows its own order), built from one train-side scan: each
+    *    position's context key explodes into its ≤ N suffixes and
+    *    map-side-combines straight to (gram, count) — the shuffle is
+    *    vocabulary-bounded, never token-bounded.
+    *  - backoff resolves PER DISTINCT KEY, not per token, and the
+    *    2N−1 count lookups a key needs (gram + context per order)
+    *    melt into rows and hit C through ONE equi-join, rolled back
+    *    up as a per-key slot→count map — two shuffles total, where
+    *    separate per-slot joins would shuffle the key table 2N−1
+    *    times (distinct high-order grams approach token cardinality,
+    *    so C is NOT broadcastable at scale). The chain then collapses
+    *    to ratio·0.4^j with ONE ln, rounded once to integer
+    *    micro-nats at the key table.
+    *  - per-doc scores are integer sums of those micro-nats joined
+    *    through ONE token-level equi-join; the mean is integral
+    *    division (never a rounded ratio).
+    *
+    * Docs with zero tokens keep row parity (n_tokens = 0,
+    * keep = false). Output: (doc_id, is_train, n_tokens,
+    * nll_sum_micro, nll_avg_micro, keep). */
+  def stupidBackoffPerplexity(docs: DataFrame, idCol: String,
+                              textCol: String, isTrain: Column,
+                              order: Int = 5,
+                              thresholdMicro: Long = 0L): DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"stupidBackoffPerplexity: order must be in [2, 8], got $order")
+    val toks = docs.select(col(idCol).as("doc_id"), isTrain.as("__tr"),
+      ws_tokens(col(textCol)).as("__tk"))
+    // per-position context keys: the up-to-`order`-gram ending at each
+    // position (single-pass expression — a transform() lambda over a
+    // staged token column would re-tokenize per element under
+    // CollapseProject)
+    def keys(tk: Column) = ngram_context_keys(tk, order)
+    // ONE gram-count table for every order 1..N: each train position's
+    // key contributes its suffixes (the k-gram ending there for each
+    // k ≤ key length); splitting the ≤N-word key per suffix is bounded
+    // work, unlike re-tokenizing the document
+    val grams = toks.where(col("__tr"))
+      .select(explode(keys(col("__tk"))).as("__key"))
+      .select(col("__key"), split(col("__key"), " ").as("__w"))
+      .select(explode(transform(sequence(lit(1), size(col("__w"))),
+        j => array_join(slice(col("__w"), size(col("__w")) - j + 1, j),
+          " "))).as("g"))
+    val cTab = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds 2N-1 resolution joins + the totals
+    val tot = cTab
+      .where(size(split(col("g"), " ")) === 1)
+      .agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
+    // distinct eval keys resolve the backoff chain once each
+    val dk0 = toks.select(explode(keys(col("__tk"))).as("__key"))
+      .distinct()
+      .select(col("__key"), split(col("__key"), " ").as("__w"))
+      .withColumn("__L", size(col("__w")))
+    // suffix_k = last k words; ctx_k = the k−1 words before the last
+    // greatest(…, 1) only shields evaluation for keys shorter than k —
+    // the join condition __L >= k already excludes those rows, but the
+    // equi-key expression still evaluates on every row
+    def sfx(k: Int) = array_join(
+      slice(col("__w"), greatest(col("__L") - k + 1, lit(1)), lit(k)), " ")
+    def ctx(k: Int) = array_join(
+      slice(col("__w"), greatest(col("__L") - k + 1, lit(1)), lit(k - 1)),
+      " ")
+    // melt each key's ≤ 2N−1 lookup slots (gram s_k + context x_k per
+    // order, only where the key is long enough) into rows, resolve
+    // them against C in ONE join, and roll back up as a slot→count map
+    val lookups = (2 to order).foldLeft(
+      array(struct(lit("s1").as("slot"), sfx(1).as("g")))) { (acc, k) =>
+      concat(acc, when(col("__L") >= k,
+        array(struct(lit(s"s$k").as("slot"), sfx(k).as("g")),
+          struct(lit(s"x$k").as("slot"), ctx(k).as("g"))))
+        .otherwise(array().cast("array<struct<slot:string,g:string>>")))
+    }
+    val melted = dk0
+      .select(col("__key"), col("__L"), explode(lookups).as("__lk"))
+      .select(col("__key"), col("__L"), col("__lk.slot").as("__slot"),
+        col("__lk.g").as("g"))
+    val res = melted.join(cTab, Seq("g"), "left")
+      .groupBy(col("__key"), col("__L"))
+      .agg(map_from_entries(collect_list(when(col("c").isNotNull,
+        struct(col("__slot"), col("c"))))).as("__m"))
+      .crossJoin(broadcast(tot))
+    def slot(name: String): Column = element_at(col("__m"), lit(name))
+    // backoff penalty 0.4^j as a literal per branch — the double chain
+    // is evaluated HERE (Scala) and in the oracle as the same IEEE
+    // product sequence, so both engines multiply by the identical bits
+    val pen: Array[Double] = {
+      val a = new Array[Double](order)
+      a(0) = 1.0
+      (1 until order).foreach(j => a(j) = a(j - 1) * 0.4)
+      a
+    }
+    def penalty(j: Column): Column =
+      (order - 1 to 1 by -1).foldLeft(lit(pen(0)))((acc, v) =>
+        when(j === v, lit(pen(v))).otherwise(acc))
+    val uni = (coalesce(slot("s1"), lit(0L)) + 1L).cast("double") /
+      (col("N") + col("V")).cast("double")
+    val arg = (2 to order).foldLeft(
+      uni * penalty(col("__L") - 1)) { (acc, k) =>
+      when(col("__L") >= k && slot(s"s$k").isNotNull,
+        slot(s"s$k").cast("double") / slot(s"x$k").cast("double")
+          * penalty(col("__L") - k))
+        .otherwise(acc)
+    }
+    val nll = res.select(col("__key"),
+      (-round(log(arg) * 1e6, 0)).cast("long").as("__nll"))
+      .localCheckpoint() // vocab-sized; serves the token-level join
+    val scored = toks
+      .select(col("doc_id"), explode(keys(col("__tk"))).as("__key"))
+      .join(nll, "__key")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_sum"))
+    toks.select(col("doc_id"), col("__tr").as("is_train"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_train"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_sum_micro"),
+        when(col("n_tokens") > 0, expr("nll_sum div n_tokens"))
+          .otherwise(lit(0L)).as("nll_avg_micro"),
+        (coalesce(col("n_tokens"), lit(0L)) > 0 &&
+          when(col("n_tokens") > 0, expr("nll_sum div n_tokens"))
+            .otherwise(lit(0L)) <= thresholdMicro).as("keep"))
+  }
+
   /** Unicode-script profiling: per-document counts of Latin / Cyrillic /
     * Han / digit characters, an integer-micro Latin fraction, and the
     * dominant script — the multilingual-curation complement of langId

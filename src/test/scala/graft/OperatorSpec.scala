@@ -1467,4 +1467,70 @@ class OperatorSpec extends SparkTestBase {
       assert(delta == full, s"trial=$trial delta != rebuild")
     }
   }
+
+  test("stupidBackoffPerplexity matches a brute-force backoff reference " +
+    "on random corpora and fires every backoff depth") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(97)
+    (1 to 3).foreach { trial =>
+      val order = 2 + rnd.nextInt(3) // 2..4
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (0L until 24L).map { id =>
+        val n = rnd.nextInt(9) // includes empty docs
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = TextAnalysis.stupidBackoffPerplexity(df, "doc_id", "text",
+          col("doc_id") % 3 =!= 0L, order, thresholdMicro = 2000000L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5))).toMap
+      // brute-force: literal Brants et al. recursion per position
+      val train = docs.filter(_._1 % 3 != 0)
+        .map(_._2.split("\\s+").filter(_.nonEmpty).toSeq)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      train.foreach { tk =>
+        (1 to order).foreach { k =>
+          tk.sliding(k).filter(_.size == k)
+            .foreach(g => counts.update(g.mkString(" "),
+              counts.getOrElse(g.mkString(" "), 0L) + 1L))
+        }
+      }
+      val nTrain = train.map(_.size.toLong).sum
+      val vTrain = train.flatten.distinct.size.toLong
+      val pen = Iterator.iterate(1.0)(_ * 0.4).take(order).toArray
+      var backoffDepths = Set.empty[Int]
+      def nllOf(tk: Seq[String], i: Int): Long = {
+        val L = math.min(i + 1, order)
+        val key = tk.slice(i - L + 1, i + 1)
+        val hit = (L to 2 by -1).iterator.flatMap { k =>
+          val g = key.takeRight(k)
+          counts.get(g.mkString(" ")).map { c =>
+            (c.toDouble / counts(g.dropRight(1).mkString(" ")).toDouble,
+              L - k)
+          }.iterator
+        }.nextOption()
+        val (ratio, j) = hit.getOrElse(
+          ((counts.getOrElse(key.last, 0L) + 1L).toDouble /
+            (nTrain + vTrain).toDouble, L - 1))
+        backoffDepths += j
+        val q = BigDecimal(math.log(ratio * pen(j)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        -q
+      }
+      docs.foreach { case (id, text) =>
+        val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val nll = tk.indices.map(i => nllOf(tk, i))
+        val sum = nll.sum
+        val avg = if (tk.nonEmpty) sum / tk.size else 0L
+        val want = (id % 3 != 0L, tk.size.toLong, sum, avg,
+          tk.nonEmpty && avg <= 2000000L)
+        assert(got(id) == want,
+          s"trial=$trial order=$order doc=$id: ${got(id)} != $want")
+      }
+      // held-out docs must exercise real backoff, not just the ramp
+      assert(backoffDepths.exists(_ >= 1),
+        s"trial=$trial: no backoff step ever fired — fixture too tame")
+    }
+  }
 }
