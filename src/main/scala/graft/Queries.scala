@@ -11078,6 +11078,60 @@ object Queries {
        |FROM toks t LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  /** Seed-anchored SCC membership (Graph.sccMembership) over the
+    * DIRECTED token "follows" graph — w1→w2 per distinct corpus bigram
+    * with count ≥ 2 — from the 3 lexicographically smallest words, 2
+    * hops: fwd ∩ bwd min-label propagation, scc where both agree, and
+    * the corpus's one dead-end word classifying fwd-only (the
+    * crawl-loop / spam-ring detector the undirected family can't
+    * express; the q169 BFS discipline on a directed relation, run both
+    * ways). The oracle unrolls all 4 relaxation rounds per direction
+    * as chained CTEs and replays the full-outer reconciliation. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .select(explode(word_shingles(ws_tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2L)
+      .select(substring_index(col("bg"), " ", 1).as("src"),
+        substring_index(col("bg"), " ", -1).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint() // feeds seeds + both propagation directions
+    val nodes = bg.select(col("src").as("node"))
+      .unionByName(bg.select(col("dst").as("node"))).distinct()
+    val seeds = nodes.orderBy(col("node")).limit(3)
+    Graph.sccMembership(bg, seeds, maxHops = 2)
+  }
+
+  private val q265Sql = {
+    def rounds(p: String, eTab: String) = (1 to 2).map { i =>
+      s"""$p$i AS (
+         |  SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM $p${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, f.lab FROM $p${i - 1} f
+         |    JOIN $eTab e ON e.u = f.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),
+       |bgx AS (SELECT unnest([concat_ws(' ', tk[i], tk[i+1])
+       |                       for i in range(1, len(tk))]) AS bg
+       |        FROM toks),
+       |cc AS (SELECT bg, count(*) AS c FROM bgx GROUP BY 1),
+       |e AS (SELECT split_part(bg, ' ', 1) AS u, split_part(bg, ' ', 2) AS v
+       |      FROM cc WHERE c >= 2
+       |        AND split_part(bg, ' ', 1) != split_part(bg, ' ', 2)),
+       |er AS (SELECT v AS u, u AS v FROM e),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |sd AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+       |f0 AS (SELECT node, node AS lab FROM sd),
+       |b0 AS (SELECT node, node AS lab FROM sd),
+       |${rounds("f", "e")},
+       |${rounds("b", "er")}
+       |SELECT coalesce(f.node, b.node) AS node, f.lab AS fwd,
+       |  b.lab AS bwd, CASE WHEN f.lab = b.lab THEN f.lab END AS scc
+       |FROM f2 f FULL OUTER JOIN b2 b ON b.node = f.node""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11347,5 +11401,6 @@ object Queries {
     "q261_lead_lag_corr" -> Q(q261, Some(q261Sql)),
     "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)),
     "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)),
-    "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)))
+    "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)),
+    "q265_scc_membership" -> Q(q265, Some(q265Sql)))
 }

@@ -978,4 +978,106 @@ object Graph {
             x => x("num").cast("double") / x("den").cast("double")),
           lit(0.0), (acc, x) => acc + x).as("betweenness"))
   }
+
+  /** Min-label propagation over a DIRECTED edge table, fixed rounds:
+    * label(v) after round r = the smallest seed that reaches v along
+    * a directed path of ≤ r hops (seeds start labeled with
+    * themselves). Min is monotone, so rounds are idempotent past the
+    * true horizon and the truncated trajectory is deterministic and
+    * engine-replayable round for round (the [[seedDistances]]
+    * discipline on a directed relation). Adaptive under
+    * `driverEdgeLimit` like the rest of the family; the distributed
+    * path is one edges⋈labels equi-join + a map-side-combining min
+    * per round, lineage cut per round. Output: (node, label) for
+    * nodes reached within the horizon (seeds included). */
+  def directedSeedLabels(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                         driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(maxHops >= 1,
+      s"directedSeedLabels needs maxHops >= 1, got $maxHops")
+    val e0 = edges.toDF("src", "dst")
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val s0 = seeds.toDF("node").distinct()
+    if (e0.count() <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val adj = e0.collect().map(r => (r.get(0), r.get(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      implicit val anyOrd: Ordering[Any] =
+        (a: Any, b: Any) => (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: String, y: String) =>
+            // match Spark/DuckDB VARCHAR min: unsigned byte order on
+            // UTF-8, not java.lang.String's UTF-16 code-unit order
+            java.util.Arrays.compareUnsigned(
+              x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          case (x, y) => x.toString.compareTo(y.toString)
+        }
+      var lab = s0.collect().map(r => r.get(0) -> r.get(0)).toMap
+      (1 to maxHops).foreach { _ =>
+        val next = scala.collection.mutable.Map.empty[Any, Any]
+        lab.foreach { case (u, l) =>
+          adj.getOrElse(u, Array.empty[Any]).foreach { v =>
+            val cur = next.get(v)
+            if (cur.isEmpty || anyOrd.lt(l, cur.get)) next.update(v, l)
+          }
+        }
+        lab = (lab.keySet ++ next.keySet).iterator.map { v =>
+          (lab.get(v), next.get(v)) match {
+            case (Some(a), Some(b)) => v -> anyOrd.min(a, b)
+            case (Some(a), None) => v -> a
+            case (None, Some(b)) => v -> b
+            case _ => v -> null
+          }
+        }.toMap
+      }
+      val spark = edges.sparkSession
+      val idType = e0.schema.fields.head.dataType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          lab.toSeq.map { case (n, l) => Row(n, l) }.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("label", idType))))
+    } else {
+      var lab = s0.select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      (1 to maxHops).foreach { _ =>
+        lab = lab
+          .unionByName(e0.join(lab.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("label")))
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+      }
+      lab
+    }
+  }
+
+  /** SEED-ANCHORED SCC MEMBERSHIP on a directed graph — the spam-ring
+    * / crawl-loop detector the undirected family can't express: a
+    * node belongs to seed m's strongly connected component iff m
+    * reaches it AND it reaches m. Computed as forward ∩ backward
+    * min-label propagation ([[directedSeedLabels]] on the edge table
+    * and on its reversal): `scc` = the common label where
+    * fwd == bwd — sound because every member of one SCC is reached
+    * by exactly the same seed set forward (and backward), so the
+    * minima agree on a whole component or not at all. Fixed rounds
+    * truncate at `maxHops`: the result is EXACT when maxHops covers
+    * the seed→component distance plus the component diameter, and a
+    * deterministic truncated replay before that (both engines walk
+    * identical rounds — the oracle unrolls them). Output: one row per
+    * node reached in EITHER direction: (node, fwd, bwd, scc), fwd/bwd
+    * null where that direction never arrived, scc null unless both
+    * agree. */
+  def sccMembership(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                    driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val f = directedSeedLabels(e0, seeds, maxHops, driverEdgeLimit)
+      .withColumnRenamed("label", "fwd")
+    val b = directedSeedLabels(
+        e0.select(col("dst").as("src"), col("src").as("dst")),
+        seeds, maxHops, driverEdgeLimit)
+      .withColumnRenamed("label", "bwd")
+    f.join(b, Seq("node"), "full_outer")
+      .select(col("node"), col("fwd"), col("bwd"),
+        when(col("fwd") === col("bwd"), col("fwd")).as("scc"))
+  }
 }

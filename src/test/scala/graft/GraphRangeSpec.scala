@@ -604,6 +604,60 @@ class GraphRangeSpec extends SparkTestBase {
     assert(e.getMessage.contains("hitsInt"))
   }
 
+  test("sccMembership equals a brute reachability reference; " +
+    "driver == distributed; cycles and tails classify correctly") {
+    import graft.operators.Graph
+    // hand graph: 3-cycle a->b->c->a, tail a->d, isolated pair e<->f
+    val hand = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+      ("e", "f"), ("f", "e"))
+    val got = Graph.sccMembership(hand.toDF("src", "dst"),
+        Seq("a", "e").toDF("node"), maxHops = 4)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.getString(3)))).toMap
+    assert(got("a") == (Some("a"), Some("a"), Some("a")))
+    assert(got("b") == (Some("a"), Some("a"), Some("a")))
+    assert(got("c") == (Some("a"), Some("a"), Some("a")))
+    assert(got("d") == (Some("a"), None, None), "tail: reached, no cycle")
+    assert(got("e") == (Some("e"), Some("e"), Some("e")))
+    assert(got("f") == (Some("e"), Some("e"), Some("e")))
+    // random graphs vs a brute per-seed bounded transitive closure
+    val rnd = new scala.util.Random(57)
+    (1 to 4).foreach { trial =>
+      val edges = Seq.fill(34)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq(rnd.nextInt(12).toLong, rnd.nextInt(12).toLong)
+        .distinct
+      val h = 1 + rnd.nextInt(5)
+      def reach(es: Seq[(Long, Long)], s: Long): Set[Long] = {
+        var seen = Set(s); var frontier = Set(s); var round = 0
+        while (round < h && frontier.nonEmpty) {
+          frontier = es.filter(e => frontier(e._1)).map(_._2).toSet -- seen
+          seen ++= frontier; round += 1
+        }
+        seen
+      }
+      val fwd = seeds.flatMap(s => reach(edges, s).map(_ -> s))
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val bwd = seeds.flatMap(s =>
+          reach(edges.map(e => (e._2, e._1)), s).map(_ -> s))
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = (fwd.keySet ++ bwd.keySet).map { v =>
+        val (f, b) = (fwd.get(v), bwd.get(v))
+        v -> (f, b, if (f.isDefined && f == b) f else None)
+      }.toMap
+      def run(limit: Long) = Graph.sccMembership(edges.toDF("src", "dst"),
+          seeds.toDF("node"), h, driverEdgeLimit = limit)
+        .collect().map { r =>
+          def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(0) -> (o(1), o(2), o(3))
+        }.toMap
+      assert(run(1L << 20) == want, s"trial $trial (driver)")
+      assert(run(0L) == want, s"trial $trial (distributed)")
+    }
+  }
+
   test("peakConcurrency matches the brute sweep with half-open " +
     "semantics and earliest onset") {
     import graft.operators.RangeJoin
