@@ -11132,6 +11132,40 @@ object Queries {
        |FROM f2 f FULL OUTER JOIN b2 b ON b.node = f.node""".stripMargin
   }
 
+  /** Exact-size weighted sample without replacement
+    * (Stats.weightedSampleExact, Efraimidis–Spirakis keys): exactly
+    * 100 documents drawn with inclusion pressure ∝ length (n_chars+1
+    * keeps the weight positive) — the exact-n pass q67's Bernoulli
+    * keep and q116's temperature quotas cannot deliver. Keys are
+    * deterministic md5 uniforms through ln-space micro-quantization
+    * and ONE double division; selection is the partial-combining
+    * top-k aggregate, never a global sort. The oracle replays the
+    * keys and ranks with a window — two different plans, one exact
+    * answer. */
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    Stats.weightedSampleExact(
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") + 1L).as("w")),
+      "doc_id", "w", n = 100)
+
+  private val q266Sql =
+    s"""WITH d AS (SELECT doc_id, n_chars + 1 AS w FROM documents),
+       |k AS (
+       |  SELECT doc_id, CAST(w AS BIGINT) AS w,
+       |    CAST(round(ln(
+       |      CAST(${md5LongSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |        / 1152921504606846976.0) * 1000000.0) AS BIGINT) AS lq
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, w,
+       |    CAST(lq AS DOUBLE) / CAST(w AS DOUBLE) AS es_key,
+       |    row_number() OVER (
+       |      ORDER BY CAST(lq AS DOUBLE) / CAST(w AS DOUBLE) DESC,
+       |        doc_id DESC) AS rk
+       |  FROM k)
+       |SELECT CAST(rk AS BIGINT) AS rank, doc_id, w, es_key
+       |FROM r WHERE rk <= 100""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11402,5 +11436,6 @@ object Queries {
     "q262_eb_shrunk_rates" -> Q(q262, Some(q262Sql)),
     "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)),
     "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)),
-    "q265_scc_membership" -> Q(q265, Some(q265Sql)))
+    "q265_scc_membership" -> Q(q265, Some(q265Sql)),
+    "q266_weighted_sample" -> Q(q266, Some(q266Sql)))
 }

@@ -2687,6 +2687,69 @@ object Stats {
       .select(col(stratumCol), col(idCol))
   }
 
+  /** EXACT-SIZE WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis–
+    * Spirakis 2006): draw exactly `n` rows where row i's inclusion
+    * pressure is proportional to its weight — the quota-free
+    * counterpart of [[stratifiedSample]] and the exact-n upgrade of
+    * the Bernoulli keep (q67) / temperature quotas (q116), which
+    * cannot hit a size target in one pass. E–S keys: k_i = u_i^(1/w_i)
+    * with u_i uniform; the top-n keys ARE a weighted sample without
+    * replacement. Taking logs, k-order equals ln(u_i)/w_i order, so
+    * no pow() ever runs.
+    *
+    * Determinism/engine-parity: u_i = (md5(id)+1)/2⁶⁰ — the q67/q91
+    * deterministic per-id uniform, reproducible across runs, engines
+    * and partitionings — quantized once per row to integer micro-nats
+    * (round(ln·10⁶), the corpus-wide transcendental discipline), then
+    * ONE fixed-shape double division by the weight. |ln u·10⁶| ≤
+    * 4.2·10⁷ is double-exact, and weights are CHECKED ≤ 10¹⁵ so the
+    * divisor is too: both engines divide identical bits. Ties break
+    * id-descending (ids are CHECKED distinct — a duplicate id would
+    * reuse a uniform and silently correlate draws; weights are
+    * CHECKED > 0 — w ≤ 0 has no E–S key).
+    *
+    * Scale shape: ONE partial-combining top-n aggregate
+    * ([[graft.functions.top_k_by]] — each partition forwards at most
+    * n candidates, never a global sort or a row_number window over
+    * the population). Populations smaller than n return entirely.
+    * Constant weights degrade to a uniform deterministic sample
+    * (property-pinned). Output: (rank, id, w, es_key), rank 1..n by
+    * (es_key, id) descending. */
+  def weightedSampleExact(df: DataFrame, idCol: String, weightCol: String,
+                          n: Int): DataFrame = {
+    require(n >= 1 && n <= 4096,
+      s"weightedSampleExact: n must be in [1, 4096], got $n")
+    val proj = df.select(col(idCol).as("__id"),
+      col(weightCol).cast("long").as("__w")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__id").isNull || col("__w").isNull ||
+        col("__w") <= 0L, 1L).otherwise(0L)), _ == 0L, b =>
+        s"weightedSampleExact: $b rows with NULL id or weight <= 0 — " +
+          "every row needs a positive integer weight; filter or " +
+          "rescale explicitly first"),
+      Contracts.Bound(max(col("__w")), _ <= 1000000000000000L, m =>
+        s"weightedSampleExact: max weight $m exceeds the double-exact " +
+          "divisor contract (w <= 1e15) — only weight RATIOS matter, " +
+          "rescale to coarser units"),
+      Contracts.Bound(count(lit(1)) - countDistinct(col("__id")),
+        _ == 0L, d =>
+          s"weightedSampleExact: $d duplicate ids — each id draws ONE " +
+            "deterministic uniform, duplicates would correlate draws; " +
+            "dedup or disambiguate ids first"))
+    val lnuQ = round(log(
+      (graft.functions.md5_long(col("__id").cast("string")) + 1L)
+        .cast("double") / lit(1152921504606846976.0)) * 1e6, 0)
+      .cast("long")
+    val key = lnuQ.cast("double") / col("__w").cast("double")
+    proj.select(col("__id"), col("__w"), key.as("__key"))
+      .agg(graft.functions.top_k_by(struct(col("__key"),
+        col("__id").as("__i"), col("__w").as("__wv")), n).as("__top"))
+      .select(posexplode(col("__top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.__i").as(idCol), col("col.__wv").as("w"),
+        col("col.__key").as("es_key"))
+  }
+
   /** LOG-RANK TEST per key — does arm A's survival curve differ from
     * arm B's (Mantel 1966; the significance companion to the
     * Kaplan–Meier estimate, q221): churn/retention A-B readouts,

@@ -3206,4 +3206,58 @@ class StatsSpec extends SparkTestBase {
     }
     assert(Option(e.getMessage).getOrElse("").contains("giniByKey"))
   }
+
+  test("weightedSampleExact equals the global-sort reference, degrades " +
+    "to uniform under constant weights, and checks its contracts") {
+    import graft.operators.Stats
+    import graft.functions.md5_long
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(66)
+    (1 to 3).foreach { trial =>
+      val rows = (0L until 150L).map(i => (i, 1L + rnd.nextInt(1000).toLong))
+      val df = rows.toDF("id", "w")
+      val n = 1 + rnd.nextInt(30)
+      val got = Stats.weightedSampleExact(df, "id", "w", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // reference: the SAME key expression through a global sort+limit
+      // (a different physical plan must select the identical rows)
+      val key = round(log((md5_long(col("id").cast("string")) + 1L)
+        .cast("double") / lit(1152921504606846976.0)) * 1e6, 0)
+        .cast("long").cast("double") / col("w").cast("double")
+      val want = df.select(col("id"), col("w"), key.as("k"))
+        .orderBy(col("k").desc, col("id").desc).limit(n)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (i + 1L, r.getLong(0), r.getLong(1), r.getDouble(2)) }
+      assert(got.toSeq == want.toSeq, s"trial $trial n=$n")
+      // exact size, no replacement
+      assert(got.length == n && got.map(_._2).distinct.length == n)
+    }
+    // constant weights -> the uniform deterministic top-n by hash key
+    val const = (0L until 60L).map(i => (i, 7L)).toDF("id", "w")
+    val u = Stats.weightedSampleExact(const, "id", "w", 10)
+      .collect().map(_.getLong(1)).toSet
+    val uniform = const.select(col("id"),
+        (round(log((md5_long(col("id").cast("string")) + 1L)
+          .cast("double") / lit(1152921504606846976.0)) * 1e6, 0))
+          .as("lq"))
+      .orderBy(col("lq").desc, col("id").desc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(u == uniform, "constant weights must reduce to uniform top-n")
+    // population < n returns everything
+    assert(Stats.weightedSampleExact(const.limit(4), "id", "w", 10)
+      .count() == 4L)
+    // contracts: weight <= 0, duplicate ids
+    val e1 = intercept[Throwable] {
+      Stats.weightedSampleExact(Seq((1L, 0L)).toDF("id", "w"),
+        "id", "w", 2).collect()
+    }
+    assert(Option(e1.getMessage).getOrElse("")
+      .contains("weightedSampleExact"))
+    val e2 = intercept[Throwable] {
+      Stats.weightedSampleExact(Seq((1L, 3L), (1L, 5L)).toDF("id", "w"),
+        "id", "w", 2).collect()
+    }
+    assert(Option(e2.getMessage).getOrElse("").contains("duplicate"))
+  }
 }
