@@ -11166,6 +11166,40 @@ object Queries {
        |SELECT CAST(rk AS BIGINT) AS rank, doc_id, w, es_key
        |FROM r WHERE rk <= 100""".stripMargin
 
+  /** ε-DP noisy count release (Stats.noisyCounts, ε = 0.25): per
+    * (source, lang) document counts published with deterministic
+    * inverse-CDF Laplace(1/ε) noise — the release half of the privacy
+    * family beside q235/q236's k-anonymity profiling. The md5-seeded
+    * uniform makes the release reproducible across runs and engines;
+    * one ln micro-quantized, the 1/ε scale in pure integer arithmetic
+    * (Spark `div` == DuckDB `//`, both truncating). The oracle
+    * replays hash → uniform → fold → clamp → ln → quantize → scale
+    * bit-for-bit. */
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    Stats.noisyCounts(t(s, dir, "documents"), Seq("source", "lang"),
+      epsilonMicro = 250000L)
+
+  private val q267Sql = {
+    val uExpr = s"CAST(${md5LongSql("concat_ws(chr(1), source, lang)")}" +
+      " + 1 AS DOUBLE) / 1152921504606846976.0"
+    s"""WITH g AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |u AS (SELECT source, lang, n, $uExpr AS u FROM g),
+       |l AS (
+       |  SELECT source, lang, n,
+       |    CAST(-sign(u - CAST(0.5 AS DOUBLE)) *
+       |      round(ln(greatest(
+       |        CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) *
+       |          abs(u - CAST(0.5 AS DOUBLE)),
+       |        8.673617379884035e-19)) * 1000000.0) AS BIGINT) AS lap
+       |  FROM u)
+       |SELECT source, lang, n,
+       |  (lap * 1000000) // 250000 AS noise_micro,
+       |  n * 1000000 + (lap * 1000000) // 250000 AS released_micro
+       |FROM l""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11437,5 +11471,6 @@ object Queries {
     "q263_jsonl_ingest" -> Q(q263, Some(q263Sql)),
     "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)),
     "q265_scc_membership" -> Q(q265, Some(q265Sql)),
-    "q266_weighted_sample" -> Q(q266, Some(q266Sql)))
+    "q266_weighted_sample" -> Q(q266, Some(q266Sql)),
+    "q267_noisy_counts" -> Q(q267, Some(q267Sql)))
 }

@@ -2750,6 +2750,65 @@ object Stats {
         col("col.__key").as("es_key"))
   }
 
+  /** DETERMINISTIC DP NOISY-COUNT RELEASE — the publish half of the
+    * privacy family (q235/q236 profile k-anonymity; this releases the
+    * counts): per-key counts plus Laplace(1/ε) noise, the classic
+    * ε-differentially-private counting query (Dwork et al. 2006,
+    * sensitivity-1: each individual may contribute at most ONE row
+    * per key — the CALLER pre-dedups to user level, pinned in spec).
+    *
+    * The noise is drawn by INVERSE CDF over a deterministic md5
+    * uniform of the key — Laplace⁻¹(u) = −sign(u−½)·ln(1−2|u−½|)/ε —
+    * so a re-run, a retry, or the DuckDB oracle releases the SAME
+    * value (no rand() seed drift; operationally this is seeded DP:
+    * the guarantee holds against adversaries who don't hold the
+    * seed, and repeated releases of the same key spend no extra
+    * budget because they are the same release). Engine-exactness:
+    * u = (md5(key)+1)/2⁶⁰ (the q67 uniform), ONE ln micro-quantized
+    * (round(ln·10⁶)); the 1/ε scale applies in pure integer
+    * arithmetic — noise_micro = lap_micro·10⁶ div ε_micro (Spark
+    * `div` and DuckDB `//` both truncate toward zero) — and the
+    * released value stays an exact integer micro-count. The ln
+    * argument is clamped to 2⁻⁶⁰ so the 2⁻⁵³-probability u = 1.0
+    * corner releases a large-but-finite noise instead of ±inf.
+    *
+    * Scale shape: ONE map-side-combining count aggregation; noise is
+    * a per-key scalar expression on the aggregated (key-cardinality)
+    * table. NULL keys are rejected loudly (they would silently merge
+    * under the hash concat). Output:
+    * (keys…, n, noise_micro, released_micro = n·10⁶ + noise_micro). */
+  def noisyCounts(df: DataFrame, keyCols: Seq[String],
+                  epsilonMicro: Long): DataFrame = {
+    require(keyCols.nonEmpty, "noisyCounts needs at least one key column")
+    require(epsilonMicro >= 1L && epsilonMicro <= 100000000L,
+      s"noisyCounts: epsilonMicro must be in [1, 1e8], got $epsilonMicro")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(keyCols.map(c => col(c).isNull).reduce(_ || _), 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(agg, Contracts.Bound(sum(col("__bad")), _ == 0L,
+      b => s"noisyCounts: $b rows with a NULL key — NULL keys would " +
+        "silently merge under the hash; filter or fill explicitly"))
+    // the \u0001 separator keeps ("ab","c") and ("a","bc") apart
+    val u = (graft.functions.md5_long(concat_ws("\u0001",
+      keyCols.map(c => col(c).cast("string")): _*)) + 1L).cast("double") /
+      lit(1152921504606846976.0)
+    // |u − ½| folds the uniform; the greatest() clamp keeps the one
+    // representable u = 1.0 corner finite (ln arg ≥ 2⁻⁶⁰)
+    val lnArg = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)),
+      lit(8.673617379884035e-19))
+    val lapMicro = (-signum(u - lit(0.5)) *
+      round(log(lnArg) * 1e6, 0)).cast("long")
+    agg
+      .withColumn("__lap", lapMicro)
+      .withColumn("noise_micro",
+        expr(s"(__lap * 1000000L) div ${epsilonMicro}L"))
+      .select(keyCols.map(col) ++ Seq(col("n"), col("noise_micro"),
+        (col("n") * 1000000L + col("noise_micro"))
+          .as("released_micro")): _*)
+  }
+
   /** LOG-RANK TEST per key — does arm A's survival curve differ from
     * arm B's (Mantel 1966; the significance companion to the
     * Kaplan–Meier estimate, q221): churn/retention A-B readouts,

@@ -3260,4 +3260,53 @@ class StatsSpec extends SparkTestBase {
     }
     assert(Option(e2.getMessage).getOrElse("").contains("duplicate"))
   }
+
+  test("noisyCounts releases count + inverse-CDF Laplace noise exactly " +
+    "as the brute md5 reference; deterministic; NULL keys rejected") {
+    import graft.operators.Stats
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val rows = (0 until 300).map(i => (s"src${i % 7}", s"u$i"))
+    val df = rows.toDF("source", "uid")
+    val epsMicro = 250000L // eps = 0.25 -> scale 4
+    val got = Stats.noisyCounts(df, Seq("source"), epsMicro)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val u = (md5Long(k) + 1L).toDouble / 1152921504606846976.0
+      val arg = math.max(1.0 - 2.0 * math.abs(u - 0.5),
+        8.673617379884035e-19)
+      val lap = (-math.signum(u - 0.5) *
+        BigDecimal(math.log(arg) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      val noise = lap * 1000000L / epsMicro
+      val want = (g.size.toLong, noise, g.size.toLong * 1000000L + noise)
+      assert(got(k) == want, s"key=$k: ${got(k)} != $want")
+    }
+    // noise must actually perturb and go both ways across keys
+    assert(got.values.exists(_._2 > 0L) && got.values.exists(_._2 < 0L),
+      s"noise never fired both directions: $got")
+    // deterministic: a re-run releases the identical values
+    val again = Stats.noisyCounts(df, Seq("source"), epsMicro)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+    // larger epsilon -> never larger |noise| (scale shrinks)
+    val tight = Stats.noisyCounts(df, Seq("source"), 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    tight.foreach { case (k, nz) =>
+      assert(math.abs(nz) <= math.abs(got(k)._2), s"key=$k")
+    }
+    // NULL keys fail loudly
+    val e = intercept[Throwable] {
+      Stats.noisyCounts(Seq((Option.empty[String], 1L),
+          (Some("a"), 2L)).toDF("k", "v"), Seq("k"), epsMicro)
+        .collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("noisyCounts"))
+  }
 }
