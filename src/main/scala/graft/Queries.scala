@@ -11200,6 +11200,29 @@ object Queries {
        |FROM l""".stripMargin
   }
 
+  /** Deterministic train/val/test split assignment (Stats.splitAssign,
+    * 80/10/10): every document lands in exactly one named split by its
+    * own salted hash bucket — zero shuffles, no global state, new rows
+    * arrive pre-assigned and duplicate ids co-assign (the train/eval
+    * contamination wall). The oracle replays the bucket walk. */
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    Stats.splitAssign(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id",
+      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+
+  private val q268Sql =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${md5LongSql("CAST(doc_id AS VARCHAR) || ':v1'")} % 1000000
+       |      AS b
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN b < 800000 THEN 'train'
+       |       WHEN b < 900000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11472,5 +11495,6 @@ object Queries {
     "q264_backoff_perplexity" -> Q(q264, Some(q264Sql)),
     "q265_scc_membership" -> Q(q265, Some(q265Sql)),
     "q266_weighted_sample" -> Q(q266, Some(q266Sql)),
-    "q267_noisy_counts" -> Q(q267, Some(q267Sql)))
+    "q267_noisy_counts" -> Q(q267, Some(q267Sql)),
+    "q268_split_assign" -> Q(q268, Some(q268Sql)))
 }

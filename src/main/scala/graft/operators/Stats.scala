@@ -2750,6 +2750,46 @@ object Stats {
         col("col.__key").as("es_key"))
   }
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — the hash-split
+    * every training-data pipeline runs before anything else: each id
+    * lands in exactly one named split with probability equal to its
+    * micro-fraction, decided by the id's OWN hash bucket (pure
+    * function of id + salt — rows join their split from any engine,
+    * any partitioning, any rerun; new data arrives pre-assigned with
+    * no coordination, which is why hash splits beat exact-count
+    * splits at corpus scale: no global state, no shuffle, a row never
+    * migrates when the corpus grows). Duplicate ids deliberately
+    * co-assign (all shards of one document stay on one side of the
+    * train/eval wall — the contamination guarantee). The salt redraws
+    * the whole assignment when a fresh split is wanted.
+    *
+    * bucket = md5(id ‖ ':' ‖ salt) mod 10⁶ walks the cumulative
+    * micro-fraction thresholds — all integer arithmetic, zero
+    * shuffles, engine-exact. Fractions are validated to sum to
+    * exactly 10⁶ (a drifting ladder would silently starve the last
+    * split). Output: input columns + `split`. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Long)],
+                  salt: String = "v1"): DataFrame = {
+    require(splits.nonEmpty && splits.size <= 100,
+      s"splitAssign: need 1..100 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0L),
+      s"splitAssign: every micro-fraction must be positive: $splits")
+    require(splits.map(_._2).sum == 1000000L,
+      s"splitAssign: micro-fractions must sum to exactly 1000000, got " +
+        s"${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitAssign: split names must be distinct: ${splits.map(_._1)}")
+    val b = pmod(graft.functions.md5_long(
+      concat(col(idCol).cast("string"), lit(":" + salt))), lit(1000000L))
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val assign = splits.zip(cum).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** DETERMINISTIC DP NOISY-COUNT RELEASE — the publish half of the
     * privacy family (q235/q236 profile k-anonymity; this releases the
     * counts): per-key counts plus Laplace(1/ε) noise, the classic

@@ -54,6 +54,26 @@ object TextIngest {
     * typically the id and text columns. `schema` must not itself
     * contain `_corrupt_record`, `_status` or `_raw`. */
   def jsonlWithErrors(spark: SparkSession, path: String, schema: StructType,
+                      required: Seq[String]): DataFrame =
+    project(spark.read.text(path), schema, required)
+
+  /** Streaming twin of [[jsonlWithErrors]] — `readStream.text` over a
+    * landing directory (exactly-once per file via the query
+    * checkpoint, the [[graft.streaming.Streaming.clipFileStream]]
+    * memoization shape), the SAME stateless line-local projection:
+    * streamed parse == batch parse is STRUCTURAL, there is no state
+    * to drift (StreamingSpec pins it file-drop by file-drop). Route
+    * [[valid]] rows into the live maintainers and [[errors]] to the
+    * side-channel sink. */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType,
+                  required: Seq[String],
+                  maxFilesPerTrigger: Int = 32): DataFrame =
+    project(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path),
+      schema, required)
+
+  private def project(lines: DataFrame, schema: StructType,
                       required: Seq[String]): DataFrame = {
     val reserved = Seq("_corrupt_record", "_status", "_raw")
     require(schema.fieldNames.forall(f => !reserved.contains(f)),
@@ -62,7 +82,7 @@ object TextIngest {
       s"jsonlWithErrors: required fields ${required.mkString(",")} must " +
         s"all be in the schema (${schema.fieldNames.mkString(",")})")
     val full = schema.add("_corrupt_record", StringType)
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value").as("__raw"),
         from_json(col("value"), full,
           Map("mode" -> "PERMISSIVE",

@@ -3309,4 +3309,49 @@ class StatsSpec extends SparkTestBase {
     }
     assert(Option(e.getMessage).getOrElse("").contains("noisyCounts"))
   }
+
+  test("splitAssign matches the brute bucket walk, co-assigns duplicate " +
+    "ids, redraws under a new salt, and validates its ladder") {
+    import graft.operators.Stats
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val splits = Seq("train" -> 800000L, "val" -> 100000L,
+      "test" -> 100000L)
+    val df = (0L until 1000L).toDF("id")
+    val got = Stats.splitAssign(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 1000L).foreach { i =>
+      val b = md5Long(s"$i:v1") % 1000000L
+      val want = if (b < 800000L) "train" else if (b < 900000L) "val"
+        else "test"
+      assert(got(i) == want, s"id=$i")
+    }
+    // every split is populated at this size and roughly proportional
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > 700 && sizes("val") > 50 && sizes("test") > 50)
+    // duplicate ids co-assign
+    val dup = Stats.splitAssign(Seq(7L, 7L, 7L).toDF("id"), "id", splits)
+      .collect().map(_.getString(1)).distinct
+    assert(dup.length == 1)
+    // a different salt redraws at least one assignment
+    val redrawn = Stats.splitAssign(df, "id", splits, salt = "v2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redrawn != got)
+    // ladder contracts: sum != 1e6, dup names, non-positive fraction
+    intercept[IllegalArgumentException] {
+      Stats.splitAssign(df, "id", Seq("a" -> 500000L, "b" -> 400000L))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.splitAssign(df, "id", Seq("a" -> 500000L, "a" -> 500000L))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.splitAssign(df, "id",
+        Seq("a" -> 1100000L, "b" -> -100000L))
+    }
+  }
 }

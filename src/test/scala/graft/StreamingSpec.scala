@@ -1750,4 +1750,51 @@ class StreamingSpec extends SparkTestBase {
       assert(latest(1L)._5 && latest(1L)._3 == 3L && !latest(2L)._5)
     } finally q.stop()
   }
+
+  test("streaming jsonl ingest == batch ingest file-drop by file-drop, " +
+    "error channel included") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-jsonl")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def drop(name: String, lines: Seq[String]): Unit = {
+      // write-then-rename: the file source must never read half a file
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    drop("b1.jsonl", Seq(
+      """{"id": 1, "text": "first"}""",
+      """{"id": 2}""",
+      """garbage"""))
+    val q = TextIngest.jsonlStream(spark, dir.toString, schema,
+        required = Seq("id", "text"), maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("jsonl_ing")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def state() = spark.table("jsonl_ing").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getString(1), r.getString(2), r.getString(3))).toSet
+      def batch() = TextIngest.jsonlWithErrors(spark, dir.toString,
+          schema, Seq("id", "text")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(state() == batch(), "after first drop")
+      assert(state().count(_._3 == "ok") == 1 &&
+        state().count(_._3 != "ok") == 2)
+      // second file lands later; the stream picks up ONLY the new
+      // lines (exactly-once per file) and stays equal to a batch
+      // re-read of the whole directory
+      drop("b2.jsonl", Seq(
+        """{"id": 3, "text": "late arrival"}""",
+        """{"id": null, "text": "orphan"}"""))
+      q.processAllAvailable()
+      assert(state() == batch(), "after second drop")
+      assert(state().size == 5 && state().count(_._3 == "ok") == 2)
+    } finally q.stop()
+  }
 }
