@@ -11223,6 +11223,42 @@ object Queries {
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  /** Precision–recall threshold sweep per source (Stats.prCurve) over
+    * the q254 fixture (length-bucket score, lang=='en' label): the
+    * operating-curve companion of q188's per-source AUC — exact
+    * confusion counts from one descending cumulative window over the
+    * bounded score histogram, F1 as ONE division 2TP/(PP+POS). The
+    * oracle replays the histogram and both windows. */
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    Stats.prCurve(
+      t(s, dir, "documents").select(col("source"),
+        expr("least(n_chars div 200, 50)").as("score"),
+        (col("lang") === "en").as("label")),
+      "source", "score", "label")
+
+  private val q269Sql =
+    """WITH h AS (
+      |  SELECT source, least(n_chars // 200, 50) AS s,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS np,
+      |    CAST(count(*) AS BIGINT) AS nw
+      |  FROM documents GROUP BY 1, 2),
+      |w AS (
+      |  SELECT source, s AS threshold,
+      |    CAST(sum(np) OVER (PARTITION BY source ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(nw) OVER (PARTITION BY source ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS pp,
+      |    CAST(sum(np) OVER (PARTITION BY source) AS BIGINT) AS pos
+      |  FROM h)
+      |SELECT source, threshold, tp, pp - tp AS fp, pos - tp AS fn,
+      |  CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) AS precision,
+      |  CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall,
+      |  CAST(2 * tp AS DOUBLE) / CAST(pp + pos AS DOUBLE) AS f1
+      |FROM w WHERE pos > 0""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11496,5 +11532,6 @@ object Queries {
     "q265_scc_membership" -> Q(q265, Some(q265Sql)),
     "q266_weighted_sample" -> Q(q266, Some(q266Sql)),
     "q267_noisy_counts" -> Q(q267, Some(q267Sql)),
-    "q268_split_assign" -> Q(q268, Some(q268Sql)))
+    "q268_split_assign" -> Q(q268, Some(q268Sql)),
+    "q269_pr_curve" -> Q(q269, Some(q269Sql)))
 }

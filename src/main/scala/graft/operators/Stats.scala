@@ -126,6 +126,59 @@ object Stats {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** PRECISION–RECALL THRESHOLD SWEEP per key — the operating-curve
+    * companion of [[rankAucByKey]] (AUC ranks the classifier, this
+    * picks its cutoff): for every distinct score t, classify
+    * score ≥ t positive and report the exact confusion counts with
+    * precision / recall / F1 — per source or language, because the
+    * threshold that curates one slice well can gut another.
+    *
+    * Same machinery and contracts as rankAucByKey: a per-(key, score)
+    * histogram (map-side combining, CHECKED ≤ maxDistinctPerKey —
+    * quantize continuous scores first), ONE descending cumulative
+    * window partitioned by key for TP(t)/PP(t), total positives from
+    * the same pass; counts exact longs, the three ratios fixed-shape
+    * IEEE divisions (F1 = 2TP/(2TP+FP+FN) — one division, never a
+    * harmonic mean of already-rounded ratios). NULL score/label rows
+    * are rejected loudly; keys with zero positives drop (recall
+    * undefined). Output: (key, threshold, tp, fp, fn, precision,
+    * recall, f1), one row per distinct per-key score. */
+  def prCurve(df: DataFrame, keyCol: String, scoreCol: String,
+              labelCol: String,
+              maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val hist = df
+      .groupBy(col(keyCol), col(scoreCol).cast("long").as("__s"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("np"),
+        count(lit(1)).as("nw"),
+        sum(when(col(scoreCol).isNull || col(labelCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist, Contracts.Bound(sum(col("__bad")), _ == 0L,
+      b => s"prCurve: $b NULL score/label rows — every row needs a " +
+        "score and a label; filter explicitly first"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "prCurve")
+    val atOrAbove = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(col(keyCol))
+    hist
+      .select(col(keyCol), col("__s").as("threshold"),
+        sum(col("np")).over(atOrAbove).as("tp"),
+        sum(col("nw")).over(atOrAbove).as("__pp"),
+        sum(col("np")).over(whole).as("__pos"))
+      .where(col("__pos") > 0L)
+      .select(col(keyCol), col("threshold"), col("tp"),
+        (col("__pp") - col("tp")).as("fp"),
+        (col("__pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("__pp").cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("__pos").cast("double"))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (col("__pp") + col("__pos")).cast("double")).as("f1"))
+  }
+
   /** TWO-PROPORTION z-test per group: is side A's hit rate different
     * from side B's — the A/B conversion-rate significance primitive
     * (and the cohort-vs-cohort quality-pass-rate comparison):

@@ -3354,4 +3354,36 @@ class StatsSpec extends SparkTestBase {
         Seq("a" -> 1100000L, "b" -> -100000L))
     }
   }
+
+  test("prCurve equals the brute per-threshold confusion sweep; " +
+    "all-negative keys drop; NULL rows rejected") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 2).flatMap { k =>
+      Seq.fill(300)((k.toLong, rnd.nextInt(20).toLong,
+        rnd.nextDouble() < 0.3 + 0.02 * k))
+    } ++ Seq.fill(40)((9L, rnd.nextInt(20).toLong, false)) // no positives
+    val got = Stats.prCurve(rows.toDF("k", "s", "y"), "k", "s", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(!got.keySet.exists(_._1 == 9L), "zero-positive key must drop")
+    rows.groupBy(_._1).filter(_._2.exists(_._3)).foreach { case (k, g) =>
+      val pos = g.count(_._3).toLong
+      g.map(_._2).distinct.foreach { t =>
+        val pp = g.count(_._2 >= t).toLong
+        val tp = g.count(r => r._2 >= t && r._3).toLong
+        val want = (tp, pp - tp, pos - tp,
+          tp.toDouble / pp.toDouble, tp.toDouble / pos.toDouble,
+          2.0 * tp.toDouble / (pp + pos).toDouble)
+        assert(got((k, t)) == want, s"k=$k t=$t: ${got((k, t))} != $want")
+      }
+      assert(got.keySet.count(_._1 == k) == g.map(_._2).distinct.size)
+    }
+    intercept[Throwable] {
+      Stats.prCurve(Seq((1L, Option.empty[Long], true),
+          (1L, Some(3L), true)).toDF("k", "s", "y"), "k", "s", "y")
+        .collect()
+    }
+  }
 }
