@@ -11259,6 +11259,42 @@ object Queries {
       |  CAST(2 * tp AS DOUBLE) / CAST(pp + pos AS DOUBLE) AS f1
       |FROM w WHERE pos > 0""".stripMargin
 
+  /** NPMI-scored collocations (TextAnalysis.collocationNpmi, Bouma
+    * 2009) over the q129 dictionary graph: lift put on the calibrated
+    * [−1, 1] scale phrase-mining thresholds — pmi and −ln p(a,b)
+    * micro-quantized independently (one ln each per distinct pair),
+    * npmi their ONE double ratio. The oracle extends the shared
+    * collocation CTEs with the same two quantized logs. */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.buildDictionary(docs, "doc_id", "text",
+      topK = 40, minLen = 4)
+    TextAnalysis.collocationNpmi(docs, "doc_id", "text", vocab,
+      minPairDocs = 5)
+  }
+
+  private val q270Sql = collocCtes +
+    """,
+      |n AS (SELECT count(*) AS n FROM documents),
+      |na AS (SELECT tk, count(*) AS df FROM p GROUP BY 1),
+      |sc AS (
+      |  SELECT term_a, term_b, n_ab,
+      |    CAST(n_ab * n.n AS DOUBLE) / CAST(x.df * y.df AS DOUBLE)
+      |      AS lift,
+      |    CAST(round(ln(CAST(n_ab * n.n AS DOUBLE)
+      |        / CAST(x.df * y.df AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS pmi_micro,
+      |    -CAST(round(ln(CAST(n_ab AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |        * 1000000.0) AS BIGINT) AS den
+      |  FROM pairs CROSS JOIN n
+      |  JOIN na x ON term_a = x.tk JOIN na y ON term_b = y.tk
+      |  WHERE n_ab >= 5)
+      |SELECT term_a, term_b, n_ab, lift, pmi_micro,
+      |  CASE WHEN den = 0 THEN CAST(1.0 AS DOUBLE)
+      |       ELSE CAST(pmi_micro AS DOUBLE) / CAST(den AS DOUBLE)
+      |  END AS npmi
+      |FROM sc""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11533,5 +11569,6 @@ object Queries {
     "q266_weighted_sample" -> Q(q266, Some(q266Sql)),
     "q267_noisy_counts" -> Q(q267, Some(q267Sql)),
     "q268_split_assign" -> Q(q268, Some(q268Sql)),
-    "q269_pr_curve" -> Q(q269, Some(q269Sql)))
+    "q269_pr_curve" -> Q(q269, Some(q269Sql)),
+    "q270_collocation_npmi" -> Q(q270, Some(q270Sql)))
 }

@@ -2385,6 +2385,39 @@ object TextAnalysis {
           (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
   }
 
+  /** NPMI-scored collocations (Bouma 2009) — [[collocations]]' lift
+    * put on the calibrated [−1, 1] scale the curation literature
+    * actually thresholds: npmi = pmi / −ln p(a,b), where +1 means the
+    * terms only occur together, 0 independence, −1 never together.
+    * Lift alone inflates rare pairs (two singletons co-occurring once
+    * get a huge lift); the normalization divides that away, which is
+    * why phrase-mining pipelines rank by npmi.
+    *
+    * Exactness: pmi and −ln p(a,b) quantize to integer micro-nats
+    * INDEPENDENTLY (one ln each per distinct pair, rounded once — the
+    * q58/q91 vocabulary-table discipline), and npmi is their ONE
+    * double ratio, so both engines divide identical longs. A pair in
+    * EVERY document has −ln p = 0: npmi is +1 there by convention
+    * (the pmi numerator is necessarily 0 too). Same scale shape as
+    * [[collocations]]: presence explode, doc-key self-join bounded by
+    * the dictionary, broadcast df joins. Output: (term_a, term_b,
+    * n_ab, lift, pmi_micro, npmi). */
+  def collocationNpmi(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String], minPairDocs: Int): DataFrame = {
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val pmiQ = round(log(col("lift")) * 1e6, 0).cast("long")
+    val denQ = (-round(log(col("n_ab").cast("double") /
+      lit(nDocs.toDouble)) * 1e6, 0)).cast("long")
+    collocations(df, idCol, textCol, vocab, minPairDocs)
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("lift"),
+        pmiQ.as("pmi_micro"), denQ.as("__den"))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("lift"),
+        col("pmi_micro"),
+        when(col("__den") === 0L, lit(1.0))
+          .otherwise(col("pmi_micro").cast("double") /
+            col("__den").cast("double")).as("npmi"))
+  }
+
   /** RAKE-style KEYWORD PHRASES (Rose et al. 2010): candidate phrases
     * are maximal runs of non-stopword tokens (the classic gaps-and-
     * islands split — a stopword ends a phrase), each word scores

@@ -1468,6 +1468,42 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("collocationNpmi: hand values, the every-doc pair hits the " +
+    "npmi=1 convention, and rare pairs rank below tight pairs") {
+    import graft.operators.TextAnalysis
+    // 6 docs; (alpha, beta) always together in all 6 -> pmi = 0 AND
+    // -ln p(a,b) = 0: the npmi = 1 convention branch. (gamma, delta):
+    // df 3 each, together twice of N = 6 -> lift 4/3 -> 0 < npmi < 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma filler"),
+      (4L, "alpha beta delta filler"),
+      (5L, "alpha beta filler"),
+      (6L, "alpha beta filler")).toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "filler")
+    val got = TextAnalysis.collocationNpmi(docs, "doc_id", "text", vocab,
+        minPairDocs = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val ab = got(("alpha", "beta"))
+    assert(ab._1 == 6L && ab._2 == 1.0 && ab._3 == 0L && ab._4 == 1.0,
+      s"every-doc pair: $ab")
+    val gd = got(("delta", "gamma"))
+    assert(gd._1 == 2L && gd._4 > 0.0 && gd._4 < 1.0, s"tight pair: $gd")
+    // exact hand value: pmi = ln(2·6/(3·3)), den = -ln(2/6)
+    val pmiQ = BigDecimal(math.log(2.0 * 6.0 / (3.0 * 3.0)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val denQ = -BigDecimal(math.log(2.0 / 6.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(gd._3 == pmiQ && gd._4 == pmiQ.toDouble / denQ.toDouble)
+    // anti-correlated pairs land negative: filler never meets gamma
+    // in docs 1-2 but shares 3; check it scores below the tight pair
+    val gf = got(("filler", "gamma"))
+    assert(gf._4 < gd._4, s"anti pair must rank below: $gf vs $gd")
+  }
+
   test("stupidBackoffPerplexity matches a brute-force backoff reference " +
     "on random corpora and fires every backoff depth") {
     import graft.operators.TextAnalysis
