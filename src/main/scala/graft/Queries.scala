@@ -11295,6 +11295,45 @@ object Queries {
       |  END AS npmi
       |FROM sc""".stripMargin
 
+  /** Neighbor-cosine self-similarity profile per label
+    * (Similarity.neighborCosineProfile): every vector pairs with the
+    * next vec_id of its label, cosines micro-quantize once and
+    * histogram into ten fixed [−1, 1] bins with an integral-division
+    * mean — the cheap mode-collapse / template-farm audit run BEFORE
+    * paying for SemDeDup on a slice. The oracle replays the lead
+    * window, the sequential-fold cosine (the q22 discipline) and the
+    * integer binning. */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    Similarity.neighborCosineProfile(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+      .select(col("label").cast("long").as("label"), col("bin"),
+        col("bin_lo_micro"), col("n"), col("n_pairs"), col("mean_micro"))
+
+  private val q271Sql = {
+    val cosVN = cosSqlAB.replace("a.v", "v").replace("b.v", "nv")
+    s"""WITH e AS (SELECT label, vec_id, embedding AS v FROM embeddings),
+       |p AS (
+       |  SELECT label, v,
+       |    lead(v) OVER (PARTITION BY label ORDER BY vec_id) AS nv
+       |  FROM e),
+       |c AS (
+       |  SELECT label,
+       |    CAST(round($cosVN * 1000000.0) AS BIGINT) AS cm
+       |  FROM p WHERE nv IS NOT NULL),
+       |b AS (
+       |  SELECT label,
+       |    least(greatest((cm + 1000000) // 200000, 0), 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cm) AS BIGINT) AS s
+       |  FROM c GROUP BY 1, 2),
+       |t AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_pairs,
+       |        CAST(sum(s) AS BIGINT) AS ts
+       |      FROM b GROUP BY 1)
+       |SELECT CAST(b.label AS BIGINT) AS label, b.bin,
+       |  b.bin * 200000 - 1000000 AS bin_lo_micro, b.n, t.n_pairs,
+       |  ts // n_pairs AS mean_micro
+       |FROM b JOIN t ON t.label = b.label""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11570,5 +11609,6 @@ object Queries {
     "q267_noisy_counts" -> Q(q267, Some(q267Sql)),
     "q268_split_assign" -> Q(q268, Some(q268Sql)),
     "q269_pr_curve" -> Q(q269, Some(q269Sql)),
-    "q270_collocation_npmi" -> Q(q270, Some(q270Sql)))
+    "q270_collocation_npmi" -> Q(q270, Some(q270Sql)),
+    "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)))
 }

@@ -455,6 +455,52 @@ object Similarity {
     * (n_null) and excluded from every statistic rather than silently
     * poisoning the sums.
     * Output: (dim, n, n_null, n_zero, q_min, q_max, mean, variance). */
+  /** NEIGHBOR-COSINE SELF-SIMILARITY PROFILE per key — the
+    * mode-collapse / template-farm audit on an embedding corpus: pair
+    * every vector with the NEXT vector of its key (id order — a
+    * deterministic, content-independent pairing, so the profile is a
+    * pure function of the table) and histogram the pair cosines. A
+    * healthy diverse source spreads across mid bins; a source whose
+    * neighbor cosines pile into the top bins is near-duplicate mass or
+    * generator output (the cheap corpus-level smell test BEFORE paying
+    * for SemDeDup/LSH on that slice).
+    *
+    * Exactness: cosine as the sequential-fold dot/norms (the q22
+    * discipline — bit-identical doubles in both engines), quantized
+    * once to micro units; bin = (micro + 10⁶) div 2·10⁵ clamped to
+    * [0, 9] and the per-key mean an integral division — all integer
+    * arithmetic after the one quantization. Scale shape: ONE lead
+    * window partitioned by key (linear, no self-join) + one
+    * map-side-combining rollup; keys with a single vector have no
+    * pair and drop. Output: (key, bin, bin_lo_micro, n, n_pairs,
+    * mean_micro) — one row per occupied bin, per-key totals repeated
+    * for threshold-free reading. */
+  def neighborCosineProfile(df: DataFrame, idCol: String, vecCol: String,
+                            keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    val paired = df
+      .select(col(keyCol), col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+      .where(col("__nv").isNotNull)
+      .select(col(keyCol),
+        round(cosine_sim(col("__v"), col("__nv")) * 1e6, 0)
+          .cast("long").as("__cm"))
+    val binned = paired
+      .select(col(keyCol), col("__cm"),
+        least(greatest(expr("(__cm + 1000000L) div 200000L"), lit(0L)),
+          lit(9L)).as("bin"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__cm")).as("__s"))
+    val tot = binned.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_pairs"), sum(col("__s")).as("__ts"))
+    binned.join(tot, Seq(keyCol))
+      .select(col(keyCol), col("bin"),
+        (col("bin") * 200000L - 1000000L).as("bin_lo_micro"),
+        col("n"), col("n_pairs"),
+        expr("__ts div n_pairs").as("mean_micro"))
+  }
+
   def embeddingDimProfile(df: DataFrame, vecCol: String,
                           scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")

@@ -1468,6 +1468,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("neighborCosineProfile: hand cosines, bin edges clamp, " +
+    "single-vector keys drop") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1, 1L, Seq(1.0f, 0.0f)), (1, 2L, Seq(1.0f, 0.0f)),   // cos 1.0
+      (1, 3L, Seq(-1.0f, 0.0f)),                            // cos -1.0
+      (2, 4L, Seq(1.0f, 0.0f)), (2, 5L, Seq(1.0f, 1.0f)),   // cos .7071
+      (3, 6L, Seq(1.0f, 0.0f)))                             // alone: drop
+    val got = Similarity.neighborCosineProfile(
+        rows.toDF("label", "vec_id", "embedding"),
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // key 1: pair(1,2) cos 1.0 -> micro 1e6 -> bin (2e6 div 2e5)=10
+    // clamped to 9; pair(2,3) cos -1.0 -> micro -1e6 -> bin 0
+    assert(got((1, 9L)) == ((800000L, 1L, 2L, 0L)))
+    assert(got((1, 0L)) == ((-1000000L, 1L, 2L, 0L)))
+    // key 2: cos = 1/sqrt(2) -> micro 707107 -> bin 8; mean = itself
+    assert(got((2, 8L)) == ((600000L, 1L, 1L, 707107L)))
+    assert(!got.keySet.exists(_._1 == 3), "single-vector key must drop")
+  }
+
   test("collocationNpmi: hand values, the every-doc pair hits the " +
     "npmi=1 convention, and rare pairs rank below tight pairs") {
     import graft.operators.TextAnalysis
