@@ -11334,6 +11334,80 @@ object Queries {
        |FROM b JOIN t ON t.label = b.label""".stripMargin
   }
 
+  /** MMR-diversified top-k (Similarity.mmrTopK, λ = 0.7): re-rank each
+    * of six queries' 8 brute candidates into 4 diversity-aware picks —
+    * greedy λ·rel − (1−λ)·max-sim-to-picked over micro-quantized
+    * cosines, exact int64 scores, lowest-rank ties. The oracle carries
+    * the full k×k pair-cosine matrix as a list-of-lists through a
+    * recursive CTE and replays every greedy round (the q233
+    * recursive-replay discipline), so the hash match proves the whole
+    * selection trajectory, not just the final set. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrTopK(emb, emb.where(col("vec_id") < 6), kCand = 8,
+      m = 4, lambdaMicro = 700000L)
+  }
+
+  private val q272Sql = {
+    val cosXY = cosSqlAB.replace("a.v", "x.cv").replace("b.v", "y.cv")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round($cosSqlAB, 6) AS cos_sim, b.v AS cv
+       |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+       |  WHERE a.vec_id < 6),
+       |cand AS (
+       |  SELECT query_id, cand_id, cv,
+       |    CAST(round(cos_sim * 1000000.0) AS BIGINT) AS rel,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS idx
+       |  FROM scored
+       |  QUALIFY idx <= 8),
+       |pm AS (
+       |  SELECT x.query_id, x.idx AS i, y.idx AS j,
+       |    CASE WHEN x.idx = y.idx THEN 0
+       |      ELSE CAST(round($cosXY * 1000000.0) AS BIGINT) END AS sm
+       |  FROM cand x JOIN cand y USING (query_id)),
+       |mrow AS (SELECT query_id, i, list(sm ORDER BY j) AS srow
+       |         FROM pm GROUP BY 1, 2),
+       |mat AS (SELECT query_id, list(srow ORDER BY i) AS mm
+       |        FROM mrow GROUP BY 1),
+       |rl AS (SELECT query_id, list(rel ORDER BY idx) AS rels,
+       |         CAST(count(*) AS BIGINT) AS k
+       |       FROM cand GROUP BY 1),
+       |base AS (SELECT rl.query_id, rels, mm, k
+       |         FROM rl JOIN mat USING (query_id)),
+       |it AS (
+       |  SELECT query_id, rels, mm, k,
+       |    [list_position(rels, list_max(rels))] AS sel,
+       |    [700000 * list_max(rels)] AS scs,
+       |    CAST(1 AS BIGINT) AS r
+       |  FROM base
+       |  UNION ALL
+       |  SELECT query_id, rels, mm, k,
+       |    sel || [list_position(scores, list_max(scores))],
+       |    scs || [list_max(scores)],
+       |    r + 1
+       |  FROM (
+       |    SELECT query_id, rels, mm, k, sel, scs, r,
+       |      list_transform(generate_series(1, CAST(k AS INTEGER)), c ->
+       |        CASE WHEN list_contains(sel, c) THEN NULL
+       |          ELSE 700000 * rels[c] - 300000 *
+       |            list_max(list_transform(sel, s -> mm[c][s]))
+       |        END) AS scores
+       |    FROM it WHERE r < least(4, k))),
+       |fin AS (SELECT query_id, sel, scs FROM it WHERE r = least(4, k)),
+       |ex AS (
+       |  SELECT query_id,
+       |    unnest(list_transform(generate_series(1, len(sel)),
+       |      i -> {'rk': i, 'pick': sel[i], 'sc': scs[i]})) AS g
+       |  FROM fin)
+       |SELECT ex.query_id, CAST(ex.g['rk'] AS BIGINT) AS mmr_rank,
+       |  c.cand_id, c.rel AS rel_micro, ex.g['sc'] AS mmr_score
+       |FROM ex JOIN cand c
+       |  ON c.query_id = ex.query_id AND c.idx = ex.g['pick']""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11610,5 +11684,6 @@ object Queries {
     "q268_split_assign" -> Q(q268, Some(q268Sql)),
     "q269_pr_curve" -> Q(q269, Some(q269Sql)),
     "q270_collocation_npmi" -> Q(q270, Some(q270Sql)),
-    "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)))
+    "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)),
+    "q272_mmr_topk" -> Q(q272, Some(q272Sql)))
 }

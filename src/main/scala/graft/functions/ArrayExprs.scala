@@ -1492,3 +1492,107 @@ case class LeadLagCorr(left: Expression, right: Expression, maxLag: Int)
       newLeft: Expression, newRight: Expression): LeadLagCorr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Greedy MAXIMAL MARGINAL RELEVANCE selection (Carbonell–Goldstein
+  * 1998) over one query's candidate list: pick `m` of the candidates
+  * maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the
+  * diversity-aware re-rank that keeps a near-duplicate-heavy top-k
+  * from filling an eval set with one document. Input: an
+  * `array<struct<rel: long, vec: array<double>>>` (rel in micro
+  * units, rank order); output `array<struct<pick: int, mmr: long>>` —
+  * 0-based input indices in pick order with their micro²-unit scores.
+  *
+  * Exactness: pair cosines use the SAME sequential fold shape as the
+  * q22/q23 oracles (acc from 0, ascending index; dot / (√n_a·√n_b)),
+  * rounded HALF_UP to micro once per pair; scores are then pure int64
+  * (λ ≤ 10⁶, rel/sim ≤ 10⁶ → |score| ≤ 10¹²). Ties pick the lowest
+  * index (the oracle's first-position-of-max). Pair sims memoize in a
+  * k×k table — the loop is O(m·k) probes over O(k²) cosines, all
+  * inside one expression eval per query row; the zero-norm corner
+  * defines sim = 0 instead of NaN. */
+case class MmrSelect(child: Expression, lambdaMicro: Long, m: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(m >= 1 && m <= 4096, s"MmrSelect: m out of range: $m")
+  require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+    s"MmrSelect: lambdaMicro must be in [0, 1e6]: $lambdaMicro")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pick", IntegerType, nullable = false),
+    StructField("mmr", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "mmr_select"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+      if a.dataType == LongType &&
+        b.dataType.isInstanceOf[ArrayType] &&
+        b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mmr_select needs array<struct<long, array<double>>>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rels = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      rels(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toDoubleArray()
+      i += 1
+    }
+    val norms = vecs.map { v =>
+      var acc = 0.0; var j = 0
+      while (j < v.length) { acc += v(j) * v(j); j += 1 }
+      math.sqrt(acc)
+    }
+    val simTab = Array.fill(n * n)(Long.MinValue)
+    def sim(a: Int, b: Int): Long = {
+      val key = a * n + b
+      if (simTab(key) != Long.MinValue) simTab(key)
+      else {
+        val s = if (norms(a) == 0.0 || norms(b) == 0.0) 0L
+        else {
+          var acc = 0.0; var j = 0
+          val (va, vb) = (vecs(a), vecs(b))
+          while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+          BigDecimal(acc / (norms(a) * norms(b)) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        simTab(key) = s; simTab(b * n + a) = s; s
+      }
+    }
+    val taken = new Array[Boolean](n)
+    val selected = new Array[Int](math.min(m, n))
+    val out = new Array[Any](math.min(m, n))
+    var t = 0
+    while (t < selected.length) {
+      var bestIdx = -1
+      var bestScore = Long.MinValue
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          var maxSim = 0L
+          var s = 0
+          var first = true
+          while (s < t) {
+            val v = sim(c, selected(s))
+            if (first || v > maxSim) { maxSim = v; first = false }
+            s += 1
+          }
+          val score = lambdaMicro * rels(c) -
+            (1000000L - lambdaMicro) * maxSim
+          if (score > bestScore) { bestScore = score; bestIdx = c }
+        }
+        c += 1
+      }
+      taken(bestIdx) = true
+      selected(t) = bestIdx
+      out(t) = InternalRow(bestIdx, bestScore)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): MmrSelect = copy(child = newChild)
+}

@@ -368,6 +368,12 @@ package object functions {
   def ngram_context_keys(tokens: Column, n: Int): Column =
     ExprBridge.column(NgramContextKeys(col2expr(tokens), n))
 
+  /** Greedy MMR selection over one query's candidate array (see
+    * [[MmrSelect]]): picks `m` indices maximizing
+    * λ·rel − (1−λ)·max-sim-to-selected. */
+  def mmr_select(cands: Column, lambdaMicro: Long, m: Int): Column =
+    ExprBridge.column(MmrSelect(col2expr(cands), lambdaMicro, m))
+
   /** Sliding token-window chunk spans (start, end, hash) in one pass
     * over the token array (see [[ChunkSpans]]). */
   def chunk_spans(tokens: Column, chunkTokens: Int, overlap: Int): Column =

@@ -455,6 +455,53 @@ object Similarity {
     * (n_null) and excluded from every statistic rather than silently
     * poisoning the sums.
     * Output: (dim, n, n_null, n_zero, q_min, q_max, mean, variance). */
+  /** MMR-DIVERSIFIED TOP-K (Carbonell–Goldstein 1998): re-rank each
+    * query's brute-force candidates by maximal marginal relevance —
+    * greedily pick `m` of `kCand` maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) — so a near-duplicate
+    * cluster can't fill the whole result list (retrieval for eval-set
+    * construction, dedup-aware few-shot example picking, diverse
+    * negative mining). λ = 10⁶ degrades to the plain top-k order
+    * (property-pinned); λ = 0 is pure anti-similarity.
+    *
+    * Scale shape: candidate generation IS [[bruteForceTopK]] (queries
+    * broadcast, partial-combining top-k per query); the greedy loop
+    * then runs per query INSIDE one [[graft.functions.mmr_select]]
+    * expression over the collected ≤ kCand candidates (k is CHECKED
+    * ≤ 64, so the packed row and the O(k²) pair cosines are bounded) —
+    * never a cross-row iterative plan. Relevance and pair cosines
+    * micro-quantize once each (the q22/q23 fold discipline); scores
+    * are exact int64 (≤ 10¹²); ties pick the lower brute rank.
+    * Output: (query_id, mmr_rank, cand_id, rel_micro, mmr_score). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, kCand: Int, m: Int,
+              lambdaMicro: Long): DataFrame = {
+    require(kCand >= 1 && kCand <= 64,
+      s"mmrTopK: kCand must be in [1, 64], got $kCand")
+    require(m >= 1 && m <= kCand,
+      s"mmrTopK: m must be in [1, kCand], got $m")
+    val cands = bruteForceTopK(corpus, queries, kCand)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("cos_sim") * 1e6, 0).cast("long").as("rel_micro"))
+    val packed = cands
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<double>").as("__v")), "cand_id")
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("rank"), col("rel_micro"),
+        col("cand_id"), col("__v")))).as("__c"))
+    packed
+      .select(col("query_id"), col("__c"),
+        posexplode(mmr_select(transform(col("__c"),
+          x => struct(x("rel_micro").as("rel"), x("__v").as("vec"))),
+          lambdaMicro, m)).as(Seq("__p", "__g")))
+      .select(col("query_id"),
+        (col("__p") + 1).cast("long").as("mmr_rank"),
+        element_at(col("__c"), col("__g.pick") + 1)("cand_id")
+          .as("cand_id"),
+        element_at(col("__c"), col("__g.pick") + 1)("rel_micro")
+          .as("rel_micro"),
+        col("__g.mmr").as("mmr_score"))
+  }
+
   /** NEIGHBOR-COSINE SELF-SIMILARITY PROFILE per key — the
     * mode-collapse / template-farm audit on an embedding corpus: pair
     * every vector with the NEXT vector of its key (id order — a

@@ -1009,6 +1009,63 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("mmrTopK equals a brute greedy MMR reference and degrades to " +
+    "plain top-k at lambda = 1") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val (kc, m, lam) = (8, 4, 700000L)
+    val got = Similarity.mmrTopK(corpus, queries, kc, m, lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def hu(x: Double, scale: Int) =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x * y }
+      def nrm(v: Seq[Double]) =
+        math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      dot / (nrm(ad) * nrm(bd))
+    }
+    (0L until 3L).foreach { qid =>
+      val qv = vecs(qid.toInt)._2
+      val cands = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, hu(cos(qv, v), 6).toDouble) }
+        .sortBy { case (id, c) => (-c, id) }.take(kc)
+        .map { case (id, c) =>
+          (id, hu(c * 1e6, 0).toLong, vecs(id.toInt)._2) }
+      val simQ = Array.tabulate(kc, kc)((i, j) =>
+        if (i == j) 0L else hu(cos(cands(i)._3, cands(j)._3) * 1e6, 0)
+          .toLong)
+      var sel = Vector.empty[Int]
+      (1 to m).foreach { _ =>
+        val best = (0 until kc).filterNot(sel.contains).map { c =>
+          val ms = if (sel.isEmpty) 0L else sel.map(s => simQ(c)(s)).max
+          (c, lam * cands(c)._2 - (1000000L - lam) * ms)
+        }.minBy { case (c, sc) => (-sc, c) }
+        sel :+= best._1
+        val (idx, score) = best
+        val want = (cands(idx)._1, cands(idx)._2, score)
+        assert(got((qid, sel.size.toLong)) == want,
+          s"q=$qid rank=${sel.size}: ${got((qid, sel.size.toLong))} != $want")
+      }
+    }
+    // lambda = 1.0 -> the MMR order IS the brute top-k order
+    val plain = Similarity.mmrTopK(corpus, queries, kc, m, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val brute = Similarity.bruteForceTopK(corpus, queries, m)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) ->
+        r.getLong(1)).toMap
+    assert(plain == brute, "lambda=1 must reduce to the plain top-k")
+  }
+
   test("jsonl ingest is shuffle-free and loses no rows to the error channel") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
