@@ -145,7 +145,17 @@ object Stats {
     * recall, f1), one row per distinct per-key score. */
   def prCurve(df: DataFrame, keyCol: String, scoreCol: String,
               labelCol: String,
-              maxDistinctPerKey: Long = 2000000L): DataFrame = {
+              maxDistinctPerKey: Long = 2000000L): DataFrame =
+    prCurveFromHist(prHist(df, keyCol, scoreCol, labelCol, "prCurve"),
+      keyCol, maxDistinctPerKey)
+
+  /** The validated per-(key, score) (np, nw) histogram behind
+    * [[prCurve]] — NULL-checked in the same aggregation; exposed so
+    * the streaming maintainer folds the SAME shape the batch operator
+    * consumes. */
+  private[graft] def prHist(df: DataFrame, keyCol: String,
+                            scoreCol: String, labelCol: String,
+                            op: String): DataFrame = {
     val hist = df
       .groupBy(col(keyCol), col(scoreCol).cast("long").as("__s"))
       .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
@@ -155,8 +165,16 @@ object Stats {
           .otherwise(0L)).as("__bad"))
       .localCheckpoint()
     Contracts.enforce(hist, Contracts.Bound(sum(col("__bad")), _ == 0L,
-      b => s"prCurve: $b NULL score/label rows — every row needs a " +
+      b => s"$op: $b NULL score/label rows — every row needs a " +
         "score and a label; filter explicitly first"))
+    hist.drop("__bad")
+  }
+
+  /** Serve [[prCurve]] from an already-folded histogram — the shared
+    * tail the batch operator and [[graft.streaming.Streaming.PrCurveMaintainer]]
+    * both read, so streamed == batch is structural. */
+  private[graft] def prCurveFromHist(hist: DataFrame, keyCol: String,
+                                     maxDistinctPerKey: Long): DataFrame = {
     requireBoundedPerKey(hist, keyCol, maxDistinctPerKey, "prCurve")
     val atOrAbove = Window.partitionBy(col(keyCol))
       .orderBy(col("__s").desc)

@@ -1743,6 +1743,70 @@ object Streaming {
     }
   }
 
+  /** Live precision–recall curve monitor — the streaming twin of
+    * [[graft.operators.Stats.prCurve]] (q269), the [[PsiMaintainer]]
+    * pattern over the per-(key, score) (np, nw) histogram: each
+    * micro-batch of scored+labeled rows folds into the bounded
+    * histogram state (counts additive over disjoint row sets →
+    * streamed == batch is STRUCTURAL: [[curve]] serves the batch
+    * operator's own `prCurveFromHist` tail), so the live "where does
+    * today's threshold sit" readout never rescans scored history.
+    * State: one histogram bounded by key × score cardinality, never
+    * rows. NULL score/label rows fail loudly per batch (the same
+    * validated-hist path as batch). */
+  final class PrCurveMaintainer(initial: DataFrame, keyCol: String,
+                                scoreCol: String, labelCol: String,
+                                maxDistinctPerKey: Long = 2000000L) {
+    import graft.operators.Stats
+    private var hist: DataFrame = Stats.prHist(initial, keyCol, scoreCol,
+      labelCol, "PrCurveMaintainer")
+
+    /** Exact [[graft.operators.Stats.prCurve]] of every row folded so
+      * far, served from state. */
+    def curve(): DataFrame = synchronized {
+      Stats.prCurveFromHist(hist, keyCol, maxDistinctPerKey)
+    }
+
+    /** Fold one micro-batch of scored rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.prHist(batch, keyCol, scoreCol, labelCol,
+        "PrCurveMaintainer")
+      hist = hist.unionByName(h)
+        .groupBy(col(keyCol), col("__s"))
+        .agg(sum(col("np")).as("np"), sum(col("nw")).as("nw"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the histogram state for [[PrCurveMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      hist.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object PrCurveMaintainer {
+    /** Resume a [[PrCurveMaintainer.checkpoint]]. Configuration is not
+      * state — pass the SAME column/bound values the original monitor
+      * ran with (the [[PsiMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+                scoreCol: String, labelCol: String,
+                maxDistinctPerKey: Long = 2000000L): PrCurveMaintainer = {
+      val hist = spark.read.parquet(dir)
+      val empty = hist.limit(0)
+        .select(col(keyCol), col("__s").as(scoreCol),
+          lit(true).as(labelCol))
+      val m = new PrCurveMaintainer(empty, keyCol, scoreCol, labelCol,
+        maxDistinctPerKey)
+      m.hist = hist.localCheckpoint()
+      m
+    }
+  }
+
   object PsiMaintainer {
     /** Resume a [[PsiMaintainer.checkpoint]]. Configuration
       * (keyCol/catCol/maxDistinctPerKey) is not state — pass the SAME

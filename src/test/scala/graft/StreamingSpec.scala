@@ -984,6 +984,50 @@ class StreamingSpec extends SparkTestBase {
       "restored psi != batch psiByKey of the accumulated rows")
   }
 
+  test("pr-curve maintainer serves batch parity live, rejects NULL " +
+    "labels, and checkpoint/restores") {
+    import graft.operators.Stats
+    def pc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSet
+    val rnd = new scala.util.Random(271)
+    def mkRows(n: Int): Seq[(Long, Long, Boolean)] =
+      Seq.fill(n)((rnd.nextInt(3).toLong, rnd.nextInt(15).toLong,
+        rnd.nextBoolean()))
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val m = new Streaming.PrCurveMaintainer(
+      hist.toSeq.toDF("k", "s", "y"), "k", "s", "y")
+    def expect() = pc(Stats.prCurve(hist.toSeq.toDF("k", "s", "y"),
+      "k", "s", "y"))
+    (1 to 3).foreach { i =>
+      val b = mkRows(70)
+      hist ++= b
+      m.applyBatch(b.toDF("k", "s", "y"))
+      assert(pc(m.curve()) == expect(), s"curve after batch $i")
+    }
+    // NULL label fails loudly BEFORE touching state
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq((1L, Some(2L), Option.empty[Boolean]),
+        (1L, Some(3L), Some(true))).toDF("k", "s", "y"))
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("PrCurveMaintainer"))
+    assert(pc(m.curve()) == expect(), "rejected batch mutated state")
+    // checkpoint/restore, then both monitors fold one more batch
+    val dir = java.nio.file.Files.createTempDirectory("prckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.PrCurveMaintainer.restore(spark, dir,
+      "k", "s", "y")
+    val b4 = mkRows(50)
+    hist ++= b4
+    m.applyBatch(b4.toDF("k", "s", "y"))
+    restored.applyBatch(b4.toDF("k", "s", "y"))
+    assert(pc(restored.curve()) == pc(m.curve()),
+      "restored monitor diverged from the live one")
+    assert(pc(restored.curve()) == expect(),
+      "restored curve != batch prCurve of the accumulated rows")
+  }
+
   test("streaming LOCF emits the batch grid prefix below each key's last obs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
