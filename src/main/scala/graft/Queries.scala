@@ -11408,6 +11408,58 @@ object Queries {
        |  ON c.query_id = ex.query_id AND c.idx = ex.g['pick']""".stripMargin
   }
 
+  /** CSV ingest front door (sources/TextIngest.csvWithErrors) — q263's
+    * jsonl gate re-run over the OTHER wire format corpora arrive in:
+    * documents serialize to RFC 4180 CSV lines (doubled-quote
+    * escaping; whitespace preserved on write), 6 lines grow an extra
+    * column (doc_id % 97 → column-count mismatch → corrupt) and 5
+    * serialize with an empty text field (doc_id % 89 → NULL required →
+    * missing_required). Same status rollup, same oracle (the classes
+    * are format-independent): a hash match proves from_csv inverts
+    * to_csv exactly — quoting, embedded commas and all. */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType => SStr,
+      StructField => SF, StructType => ST}
+    val opts = Map("escape" -> "\"",
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false").asJava
+    val path = stagedFixtures.computeIfAbsent(s"csv_docs|$dir", _ => {
+      val p = stagePath("csv_docs", dir)
+      val full = to_csv(struct(col("doc_id"), col("lang"), col("source"),
+        col("text")), opts)
+      t(s, dir, "documents").select(
+        when(pmod(col("doc_id"), lit(97L)) === 0L,
+          concat(full, lit(",zzz")))
+          .when(pmod(col("doc_id"), lit(89L)) === 0L,
+            to_csv(struct(col("doc_id"), col("lang"), col("source"),
+              lit(null).cast("string").as("text")), opts))
+          .otherwise(full).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(p)
+      p
+    })
+    val schema = ST(Seq(SF("doc_id", LongType), SF("lang", SStr),
+      SF("source", SStr), SF("text", SStr)))
+    val ing = graft.sources.TextIngest.csvWithErrors(s, path, schema,
+      required = Seq("doc_id", "text"))
+    // unlike JSON (null struct), CSV keeps PARTIAL fields on corrupt
+    // rows — useful for triage, but corpus accounting must not trust
+    // them, so the rollup masks everything a corrupt line parsed
+    val ok = col("_status") =!= "corrupt"
+    ing.groupBy(col("_status").as("status"),
+        when(ok, col("source")).as("source"),
+        when(ok, col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_status") === "ok", length(col("text")))
+          .otherwise(0L)).as("chars"),
+        sum(when(ok, coalesce(col("doc_id"), lit(0L))).otherwise(0L))
+          .as("id_sum"))
+  }
+
+  // the corruption classes are format-independent, so the jsonl gate's
+  // oracle replays this gate too
+  private def q273Sql: String = q263Sql
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11685,5 +11737,6 @@ object Queries {
     "q269_pr_curve" -> Q(q269, Some(q269Sql)),
     "q270_collocation_npmi" -> Q(q270, Some(q270Sql)),
     "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)),
-    "q272_mmr_topk" -> Q(q272, Some(q272Sql)))
+    "q272_mmr_topk" -> Q(q272, Some(q272Sql)),
+    "q273_csv_ingest" -> Q(q273, Some(q273Sql)))
 }

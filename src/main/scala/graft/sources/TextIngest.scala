@@ -57,6 +57,24 @@ object TextIngest {
                       required: Seq[String]): DataFrame =
     project(spark.read.text(path), schema, required)
 
+  /** [[jsonlWithErrors]] for delimiter-separated lines (CSV/TSV — the
+    * other wire format corpora actually arrive in): the same narrow
+    * text scan and the same three status channels, parsed by ONE
+    * codegen'd [[from_csv]] against the caller's explicit schema.
+    * Wrong column counts flag corrupt; an empty field parses as NULL
+    * (the CSV convention), so a missing required value routes to
+    * `missing_required` exactly like JSON's absent key. Quoting is
+    * RFC 4180 (doubled quotes escape — Spark's default backslash
+    * escape is overridden, since corpus dumps follow the RFC). */
+  def csvWithErrors(spark: SparkSession, path: String, schema: StructType,
+                    required: Seq[String],
+                    delimiter: String = ","): DataFrame =
+    project(spark.read.text(path), schema, required,
+      (line, full) => from_csv(line, full,
+        Map("mode" -> "PERMISSIVE", "sep" -> delimiter,
+          "escape" -> "\"",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+
   /** Streaming twin of [[jsonlWithErrors]] — `readStream.text` over a
     * landing directory (exactly-once per file via the query
     * checkpoint, the [[graft.streaming.Streaming.clipFileStream]]
@@ -74,19 +92,22 @@ object TextIngest {
       schema, required)
 
   private def project(lines: DataFrame, schema: StructType,
-                      required: Seq[String]): DataFrame = {
+                      required: Seq[String],
+                      parse: (Column, StructType) => Column =
+                        (line, full) => from_json(line, full,
+                          Map("mode" -> "PERMISSIVE",
+                            "columnNameOfCorruptRecord" ->
+                              "_corrupt_record"))): DataFrame = {
     val reserved = Seq("_corrupt_record", "_status", "_raw")
     require(schema.fieldNames.forall(f => !reserved.contains(f)),
-      s"jsonlWithErrors: schema must not contain ${reserved.mkString("/")}")
+      s"TextIngest: schema must not contain ${reserved.mkString("/")}")
     require(required.forall(schema.fieldNames.contains),
-      s"jsonlWithErrors: required fields ${required.mkString(",")} must " +
+      s"TextIngest: required fields ${required.mkString(",")} must " +
         s"all be in the schema (${schema.fieldNames.mkString(",")})")
     val full = schema.add("_corrupt_record", StringType)
     val parsed = lines
       .select(col("value").as("__raw"),
-        from_json(col("value"), full,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("__rec"))
+        parse(col("value"), full).as("__rec"))
     val isCorrupt = col("__rec._corrupt_record").isNotNull
     val missing: Column = required
       .map(f => col(s"__rec.$f").isNull)

@@ -264,6 +264,44 @@ class PipelineSpec extends SparkTestBase {
     ing.unpersist()
   }
 
+  test("TextIngest csv routes status channels: quoting round-trips, " +
+    "empty required fields and column-count mismatches classify") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    val lines = Seq(
+      """1,en,"hello, ""quoted"" world"""",  // ok, embedded comma+quotes
+      """2,fr,plain""",                      // ok
+      """3,en,""",                           // empty text -> missing
+      """,en,orphan""",                      // empty id -> missing
+      """5,en,too,many,fields""",            // extra columns -> corrupt
+      """6,en""")                            // too few columns
+    java.nio.file.Files.write(dir.resolve("part-0.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val ing = TextIngest.csvWithErrors(spark, dir.toString, schema,
+      required = Seq("id", "text")).cache()
+    assert(ing.count() == lines.length)
+    val byStatus = ing.groupBy("_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ok = TextIngest.valid(ing).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ok(1L) == """hello, "quoted" world""", s"quoting: ${ok(1L)}")
+    assert(ok(2L) == "plain")
+    assert(byStatus("ok") == 2L, s"got $byStatus")
+    // exact per-line routing: empty required fields are recoverable
+    // rows (missing_required); column-count mismatches are corrupt
+    val byRaw = ing.where(col("_status") =!= "ok").collect()
+      .map(r => r.getString(4) -> r.getString(3)).toMap
+    assert(byRaw(lines(2)) == "missing_required", s"empty text: $byRaw")
+    assert(byRaw(lines(3)) == "missing_required", s"empty id: $byRaw")
+    assert(byRaw(lines(4)) == "corrupt", s"extra columns: $byRaw")
+    assert(byRaw(lines(5)) == "corrupt", s"short row: $byRaw")
+    ing.unpersist()
+  }
+
   test("TextIngest reads gzip-compressed jsonl transparently") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField,
       StructType}
