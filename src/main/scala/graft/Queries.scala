@@ -11460,6 +11460,61 @@ object Queries {
   // oracle replays this gate too
   private def q273Sql: String = q263Sql
 
+  /** Deterministic Poisson-bootstrap 90% CI per event type
+    * (Stats.poissonBootstrapCI, R = 40): the one-pass bootstrap that
+    * scales — per-(row, replica) Poisson(1) weights from md5 uniforms
+    * through a literal CDF ladder, replica means as exact-long sums
+    * with one division each, CI as order statistics of the ≤ R
+    * surviving replica means. The oracle restates the ladder's exact
+    * double thresholds and replays weights, replica means and the
+    * ceil-indexed percentile picks. */
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    Stats.poissonBootstrapCI(
+      t(s, dir, "events").select(col("event_type"), col("event_id"),
+        cents(col("value")).as("x")),
+      "event_type", "event_id", "x", replicas = 40)
+
+  private val q274Sql = {
+    val cdf = {
+      val e = math.exp(-1.0); var term = e
+      val a = new Array[Double](8); a(0) = e
+      (1 until 8).foreach { k => term = term / k; a(k) = a(k - 1) + term }
+      a
+    }
+    val ladder = cdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT event_type AS k, event_id AS id,
+       |    CAST(round(value*100) AS BIGINT) AS x
+       |  FROM events),
+       |rr AS (SELECT k, id, x, t.r FROM d, generate_series(0, 39) t(r)),
+       |w AS (
+       |  SELECT k, r, x, CASE $ladder ELSE 8 END AS w
+       |  FROM (SELECT k, r, x,
+       |      CAST(${md5LongSql(
+              "CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")} + 1
+       |        AS DOUBLE) / 1152921504606846976.0 AS u
+       |    FROM rr)),
+       |rm AS (SELECT k, r, CAST(sum(w*x) AS BIGINT) AS swx,
+       |         CAST(sum(w) AS BIGINT) AS sw
+       |       FROM w GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_replicas,
+       |    list(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+       |      ORDER BY CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), r) AS ms
+       |  FROM rm WHERE sw > 0 GROUP BY 1),
+       |b AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+       |      FROM d GROUP BY 1)
+       |SELECT b.k AS event_type, n, mean,
+       |  coalesce(n_replicas, 0) AS n_replicas,
+       |  ms[CAST(ceil(CAST(n_replicas AS DOUBLE) * 0.05) AS INTEGER)]
+       |    AS ci_lo,
+       |  ms[CAST(ceil(CAST(n_replicas AS DOUBLE) * 0.95) AS INTEGER)]
+       |    AS ci_hi
+       |FROM b LEFT JOIN mm ON mm.k = b.k""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11738,5 +11793,6 @@ object Queries {
     "q270_collocation_npmi" -> Q(q270, Some(q270Sql)),
     "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)),
     "q272_mmr_topk" -> Q(q272, Some(q272Sql)),
-    "q273_csv_ingest" -> Q(q273, Some(q273Sql)))
+    "q273_csv_ingest" -> Q(q273, Some(q273Sql)),
+    "q274_poisson_bootstrap" -> Q(q274, Some(q274Sql)))
 }

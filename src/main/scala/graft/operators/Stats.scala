@@ -2861,6 +2861,99 @@ object Stats {
     df.withColumn("split", assign)
   }
 
+  /** DETERMINISTIC POISSON-BOOTSTRAP CONFIDENCE INTERVAL per key — the
+    * bootstrap that actually runs at corpus scale (Chamandy et al.
+    * 2012, "Estimating uncertainty for massive data streams"): true
+    * resampling needs the whole key in one place, but Poisson(1) row
+    * weights approximate multinomial resampling in ONE pass — each row
+    * contributes weight w ~ Poisson(1) to each replica, replicas are
+    * plain weighted means, and the percentile spread of the R replica
+    * means is the CI. Everything is deterministic: the per-(row,
+    * replica) uniform is the q67 md5 hash of (id ‖ ':' ‖ r), inverted
+    * through the Poisson(1) CDF as a literal threshold ladder (the
+    * [[splitAssign]] bucket walk — thresholds are Scala-computed
+    * doubles the oracle re-states verbatim, capped at w = 8 where the
+    * CDF tail < 10⁻⁸), so reruns and engines agree bit-for-bit.
+    *
+    * Exactness: replica sums Σw·x and Σw are exact longs — a replica
+    * sum is bounded by rows·8·max|x|, so the CHECKED per-key contract
+    * rows × max|x| ≤ 10¹⁷ keeps every sum inside int64 (w ≤ 8 by the
+    * ladder cap); each replica mean is ONE double division;
+    * the CI picks order statistics (sorted by (mean, replica) — a
+    * total order) at ceil(0.05·R′) and ceil(0.95·R′) over the R′
+    * replicas that drew any weight (a 90% percentile CI; empty
+    * replicas drop). Scale shape: one R-way explode (R ≤ 64 CHECKED)
+    * into a map-side-combining (key, replica) aggregation, then a
+    * key-cardinality rollup — no window over raw rows, no per-key
+    * collection beyond R means. Output:
+    * (key, n, mean, n_replicas, ci_lo, ci_hi). */
+  def poissonBootstrapCI(df: DataFrame, keyCol: String, idCol: String,
+                         xCol: String, replicas: Int = 40): DataFrame = {
+    require(replicas >= 8 && replicas <= 64,
+      s"poissonBootstrapCI: replicas must be in [8, 64], got $replicas")
+    val proj = df.select(col(keyCol), col(idCol).cast("string").as("__id"),
+      col(xCol).cast("long").as("__x")).localCheckpoint()
+    Contracts.enforce(proj,
+      Contracts.Bound(sum(when(col("__id").isNull || col("__x").isNull,
+        1L).otherwise(0L)), _ == 0L, b =>
+        s"poissonBootstrapCI: $b NULL id/metric rows — filter " +
+          "explicitly first"))
+    val d38 = "decimal(38,0)"
+    Contracts.enforce(
+      proj.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+        max(abs(col("__x"))).as("__mx")),
+      Contracts.Bound(sum(when(col("__n").cast(d38) *
+          col("__mx").cast(d38) >
+          lit(100000000000000000L).cast(d38), 1L).otherwise(0L)),
+        _ == 0L, v =>
+          s"poissonBootstrapCI: $v keys exceed the int64 replica-sum " +
+            "contract (rows x max|x| <= 1e17 per key, weights <= 8) — " +
+            "rescale the metric to coarser units or shard the key"))
+    // Poisson(1) CDF ladder; the oracle restates these exact doubles
+    val cdf: Array[Double] = {
+      val e = math.exp(-1.0)
+      var term = e
+      val a = new Array[Double](8)
+      a(0) = e
+      (1 until 8).foreach { k => term = term / k; a(k) = a(k - 1) + term }
+      a // term after loop: e/k! accumulated stepwise
+    }
+    val u = (graft.functions.md5_long(concat(col("__id"), lit(":"),
+      col("__r").cast("string"))) + 1L).cast("double") /
+      lit(1152921504606846976.0)
+    val w = cdf.zipWithIndex.foldRight(lit(8L)) { case ((t, k), acc) =>
+      when(u < lit(t), lit(k.toLong)).otherwise(acc)
+    }
+    val rep = proj
+      .select(col(keyCol), col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .select(col(keyCol), col("__r"), col("__x"), w.as("__w"))
+      .groupBy(col(keyCol), col("__r"))
+      .agg(sum(col("__w") * col("__x")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .where(col("__sw") > 0L)
+      .select(col(keyCol), col("__r"),
+        (col("__swx").cast("double") / col("__sw").cast("double"))
+          .as("__m"))
+    val base = proj.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__x")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean"))
+    val ci = rep.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_replicas"),
+        array_sort(collect_list(struct(col("__m"), col("__r"))))
+          .as("__ms"))
+      .select(col(keyCol), col("n_replicas"),
+        element_at(col("__ms"),
+          ceil(col("n_replicas") * 0.05).cast("int"))("__m").as("ci_lo"),
+        element_at(col("__ms"),
+          ceil(col("n_replicas") * 0.95).cast("int"))("__m").as("ci_hi"))
+    base.join(ci, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"), col("mean"),
+        coalesce(col("n_replicas"), lit(0L)).as("n_replicas"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** DETERMINISTIC DP NOISY-COUNT RELEASE — the publish half of the
     * privacy family (q235/q236 profile k-anonymity; this releases the
     * counts): per-key counts plus Laplace(1/ε) noise, the classic

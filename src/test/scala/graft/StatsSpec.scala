@@ -3355,6 +3355,53 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("poissonBootstrapCI equals the brute md5-ladder reference and " +
+    "covers the true mean on well-behaved keys") {
+    import graft.operators.Stats
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val cdf = {
+      val e = math.exp(-1.0); var term = e
+      val a = new Array[Double](8); a(0) = e
+      (1 until 8).foreach { k => term = term / k; a(k) = a(k - 1) + term }
+      a
+    }
+    def pw(id: String, r: Int): Long = {
+      val u = (md5Long(s"$id:$r") + 1L).toDouble / 1152921504606846976.0
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    val rnd = new scala.util.Random(12)
+    val rows = (0L until 400L).map(i =>
+      (i % 3, i, 100L + rnd.nextInt(41).toLong)) // mean ~ 120 per key
+    val df = rows.toDF("k", "id", "x")
+    val R = 40
+    val got = Stats.poissonBootstrapCI(df, "k", "id", "x", R)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val means = (0 until R).flatMap { r =>
+        val ws = g.map(t => (pw(t._2.toString, r), t._3))
+        val sw = ws.map(_._1).sum
+        if (sw == 0L) None
+        else Some(ws.map(t => t._1 * t._2).sum.toDouble / sw.toDouble)
+      }.sorted
+      val rp = means.length
+      val want = (g.size.toLong,
+        g.map(_._3).sum.toDouble / g.size.toDouble,
+        rp.toLong,
+        means(math.ceil(rp * 0.05).toInt - 1),
+        means(math.ceil(rp * 0.95).toInt - 1))
+      assert(got(k) == want, s"k=$k: ${got(k)} != $want")
+      // the 90% interval contains the plain mean on this tame fixture
+      assert(want._4 <= want._2 && want._2 <= want._5, s"k=$k coverage")
+    }
+  }
+
   test("prCurve equals the brute per-threshold confusion sweep; " +
     "all-negative keys drop; NULL rows rejected") {
     import graft.operators.Stats
