@@ -793,4 +793,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(ssPlan.contains("hashpartitioning(st"),
       s"stratifiedSample data window must hash by stratum:\n$ssPlan")
   }
+
+  test("round-13 operators keep their scale shapes: sample without " +
+    "sort, split without shuffle, backoff without per-slot joins") {
+    import graft.operators.{Stats, TextAnalysis}
+    // weightedSampleExact: a partial-combining top-k aggregate — the
+    // plan must contain NO Sort and NO Window over the population
+    val pop = spark.range(20000).select(col("id"),
+      (col("id") % 97 + 1).as("w"))
+    val ws = Stats.weightedSampleExact(pop, "id", "w", 50)
+    val wsPlan = ws.queryExecution.executedPlan.toString
+    assert(!wsPlan.contains("Window"),
+      s"weightedSampleExact must not window:\n$wsPlan")
+    assert(!"Sort ".r.findFirstIn(wsPlan).isDefined ||
+      !wsPlan.contains("global=true"),
+      s"weightedSampleExact must not globally sort the population:\n$wsPlan")
+    // splitAssign: a pure projection — zero exchanges, zero joins
+    val sa = Stats.splitAssign(spark.range(1000).toDF("id"), "id",
+      Seq("train" -> 900000L, "test" -> 100000L))
+    val saPlan = sa.queryExecution.executedPlan.toString
+    assert(!saPlan.contains("Exchange") && !saPlan.contains("Join"),
+      s"splitAssign must stay map-only:\n$saPlan")
+    // stupidBackoffPerplexity: the melt resolution means the COUNT
+    // table C is joined ONCE — not once per (gram, context) slot;
+    // with order 5 a per-slot design would show ~9 joins
+    val docs = spark.range(60).select(col("id"),
+      concat_ws(" ", lit("a"), lit("b"), lit("c"),
+        (col("id") % 9).cast("string"), lit("d")).as("text"))
+    val bp = TextAnalysis.stupidBackoffPerplexity(docs, "id", "text",
+      col("id") % 3 =!= 0L, order = 5, thresholdMicro = 0L)
+    val joins = "Join".r.findAllIn(
+      bp.queryExecution.executedPlan.toString).length
+    assert(joins <= 6,
+      s"stupidBackoffPerplexity resolution must melt into ONE count-table " +
+        s"join (plan shows $joins join operators)")
+  }
 }
