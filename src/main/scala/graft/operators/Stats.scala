@@ -2982,18 +2982,39 @@ object Stats {
     * under the hash concat). Output:
     * (keys…, n, noise_micro, released_micro = n·10⁶ + noise_micro). */
   def noisyCounts(df: DataFrame, keyCols: Seq[String],
-                  epsilonMicro: Long): DataFrame = {
-    require(keyCols.nonEmpty, "noisyCounts needs at least one key column")
-    require(epsilonMicro >= 1L && epsilonMicro <= 100000000L,
-      s"noisyCounts: epsilonMicro must be in [1, 1e8], got $epsilonMicro")
+                  epsilonMicro: Long): DataFrame =
+    noisyCountsFromHist(countHist(df, keyCols, "noisyCounts"), keyCols,
+      epsilonMicro)
+
+  /** The validated per-key count table behind [[noisyCounts]] — NULL
+    * keys rejected in the same aggregation; exposed so the streaming
+    * maintainer folds the SAME shape the batch release consumes. */
+  private[graft] def countHist(df: DataFrame, keyCols: Seq[String],
+                               op: String): DataFrame = {
+    require(keyCols.nonEmpty, s"$op needs at least one key column")
     val agg = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(keyCols.map(c => col(c).isNull).reduce(_ || _), 1L)
           .otherwise(0L)).as("__bad"))
       .localCheckpoint()
     Contracts.enforce(agg, Contracts.Bound(sum(col("__bad")), _ == 0L,
-      b => s"noisyCounts: $b rows with a NULL key — NULL keys would " +
+      b => s"$op: $b rows with a NULL key — NULL keys would " +
         "silently merge under the hash; filter or fill explicitly"))
+    agg.drop("__bad")
+  }
+
+  /** Release an already-folded count table with deterministic Laplace
+    * noise — the shared tail of [[noisyCounts]] and
+    * [[graft.streaming.Streaming.NoisyCountsMaintainer]], so the live
+    * release IS the batch release of the accumulated rows by
+    * construction (the noise is a pure function of the KEY, so it
+    * does not re-randomize as counts grow — one draw per key per
+    * epsilon, exactly the seeded-DP budget argument). */
+  private[graft] def noisyCountsFromHist(agg: DataFrame,
+                                         keyCols: Seq[String],
+                                         epsilonMicro: Long): DataFrame = {
+    require(epsilonMicro >= 1L && epsilonMicro <= 100000000L,
+      s"noisyCounts: epsilonMicro must be in [1, 1e8], got $epsilonMicro")
     // the \u0001 separator keeps ("ab","c") and ("a","bc") apart
     val u = (graft.functions.md5_long(concat_ws("\u0001",
       keyCols.map(c => col(c).cast("string")): _*)) + 1L).cast("double") /

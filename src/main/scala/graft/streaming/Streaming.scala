@@ -1743,6 +1743,64 @@ object Streaming {
     }
   }
 
+  /** Live ε-DP noisy-count release — the streaming twin of
+    * [[graft.operators.Stats.noisyCounts]] (q267): micro-batches fold
+    * into the per-key count table (counts additive over disjoint row
+    * sets → streamed == batch is STRUCTURAL), and [[release]] serves
+    * the batch operator's own `noisyCountsFromHist` tail. The noise is
+    * a pure function of the key, so the live dashboard re-releases the
+    * SAME noise draw as counts grow — no per-refresh privacy spend
+    * (the seeded-DP budget argument; changing ε is a NEW release).
+    * State: one count per key, never rows. NULL keys fail loudly per
+    * batch before touching state. */
+  final class NoisyCountsMaintainer(initial: DataFrame,
+                                    keyCols: Seq[String],
+                                    epsilonMicro: Long) {
+    import graft.operators.Stats
+    private var hist: DataFrame = Stats.countHist(initial, keyCols,
+      "NoisyCountsMaintainer")
+
+    /** Exact [[graft.operators.Stats.noisyCounts]] of every row folded
+      * so far, served from state. */
+    def release(): DataFrame = synchronized {
+      Stats.noisyCountsFromHist(hist, keyCols, epsilonMicro)
+    }
+
+    /** Fold one micro-batch of rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.countHist(batch, keyCols, "NoisyCountsMaintainer")
+      hist = hist.unionByName(h)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n")).as("n"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the count state for [[NoisyCountsMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      hist.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object NoisyCountsMaintainer {
+    /** Resume a [[NoisyCountsMaintainer.checkpoint]]. Configuration is
+      * not state — pass the SAME keyCols/epsilonMicro the original
+      * monitor ran with (the [[PsiMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, keyCols: Seq[String],
+                epsilonMicro: Long): NoisyCountsMaintainer = {
+      val hist = spark.read.parquet(dir)
+      val m = new NoisyCountsMaintainer(hist.limit(0).drop("n"), keyCols,
+        epsilonMicro)
+      m.hist = hist.localCheckpoint()
+      m
+    }
+  }
+
   /** Live precision–recall curve monitor — the streaming twin of
     * [[graft.operators.Stats.prCurve]] (q269), the [[PsiMaintainer]]
     * pattern over the per-(key, score) (np, nw) histogram: each

@@ -1028,6 +1028,52 @@ class StreamingSpec extends SparkTestBase {
       "restored curve != batch prCurve of the accumulated rows")
   }
 
+  test("noisy-counts maintainer re-releases the batch release live, " +
+    "same noise draw per key, NULL keys rejected, checkpoint/restores") {
+    import graft.operators.Stats
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val eps = 250000L
+    val hist = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = new Streaming.NoisyCountsMaintainer(
+      hist.toSeq.toDF("src"), Seq("src"), eps)
+    def expect() = rel(Stats.noisyCounts(hist.toSeq.toDF("src"),
+      Seq("src"), eps))
+    val rnd = new scala.util.Random(77)
+    var firstNoise = Map.empty[String, Long]
+    (1 to 3).foreach { i =>
+      val b = Seq.fill(50)(s"s${rnd.nextInt(4)}")
+      hist ++= b
+      m.applyBatch(b.toDF("src"))
+      val live = rel(m.release())
+      assert(live == expect(), s"release after batch $i")
+      // the noise draw per key never re-randomizes as counts grow
+      if (firstNoise.isEmpty) firstNoise = live.map { case (k, v) =>
+        k -> v._2 }
+      else live.foreach { case (k, v) =>
+        firstNoise.get(k).foreach(n0 => assert(v._2 == n0,
+          s"noise re-randomized for $k"))
+      }
+    }
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq(Option.empty[String], Some("s1")).toDF("src"))
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("NoisyCountsMaintainer"))
+    assert(rel(m.release()) == expect(), "rejected batch mutated state")
+    val dir = java.nio.file.Files.createTempDirectory("dpckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.NoisyCountsMaintainer.restore(spark, dir,
+      Seq("src"), eps)
+    val b4 = Seq.fill(30)(s"s${rnd.nextInt(5)}")
+    hist ++= b4
+    m.applyBatch(b4.toDF("src"))
+    restored.applyBatch(b4.toDF("src"))
+    assert(rel(restored.release()) == rel(m.release()))
+    assert(rel(restored.release()) == expect())
+  }
+
   test("streaming LOCF emits the batch grid prefix below each key's last obs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
