@@ -11515,6 +11515,60 @@ object Queries {
        |FROM b LEFT JOIN mm ON mm.k = b.k""".stripMargin
   }
 
+  /** Top principal component of the embedding corpus by fixed-round
+    * power iteration (Similarity.topPrincipalComponent, 12 rounds) —
+    * the anisotropy audit: exact-decimal covariance from one
+    * pair-explode scan, L∞-normalized integer rounds, Rayleigh
+    * quotient + its share of the trace. The oracle unrolls all 12
+    * rounds as chained CTEs over the same HUGEINT cells (round_even
+    * mirrors the quantizing bround; round mirrors the per-round
+    * HALF_UP re-quantization). */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    Similarity.topPrincipalComponent(t(s, dir, "embeddings"),
+      "embedding", rounds = 12)
+
+  private val q275Sql = {
+    val roundCtes = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i, sum(c.c * v${k - 1}.v) AS w
+         |  FROM c JOIN v${k - 1} ON v${k - 1}.j = c.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS mw FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i AS j,
+         |  CAST(CASE WHEN mw = 0 THEN 0
+         |    ELSE round(CAST(w AS DOUBLE) * 1000000.0
+         |               / CAST(mw AS DOUBLE)) END AS HUGEINT) AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT [CAST(round_even(CAST(embedding[i] AS DOUBLE)
+       |            * 1000000.0, 0) AS BIGINT)
+       |          for i in range(1, len(embedding)+1)] AS qv
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |cells AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    sum(CAST(qv[i.i] AS HUGEINT) * qv[j.j]) AS p
+       |  FROM q, range(1, 65) i(i), range(1, 65) j(j)
+       |  GROUP BY 1, 2),
+       |sv AS (SELECT i.i AS i, CAST(sum(qv[i.i]) AS HUGEINT) AS s
+       |       FROM q, range(1, 65) i(i) GROUP BY 1),
+       |c AS MATERIALIZED (
+       |      SELECT cells.i, cells.j, nn.n * p - si.s * sj.s AS c
+       |      FROM cells JOIN sv si ON si.i = cells.i
+       |      JOIN sv sj ON sj.i = cells.j CROSS JOIN nn),
+       |v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM sv),
+       |$roundCtes,
+       |wf AS (SELECT c.i, sum(c.c * v12.v) AS w
+       |       FROM c JOIN v12 ON v12.j = c.j GROUP BY 1),
+       |ray AS (
+       |  SELECT CAST(sum(v.v * wf.w) AS DOUBLE)
+       |      / CAST(sum(v.v * v.v) AS DOUBLE) AS ray
+       |  FROM wf JOIN v12 v ON v.j = wf.i),
+       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS tr FROM c WHERE i = j)
+       |SELECT v.j - 1 AS dim, CAST(v.v AS BIGINT) AS v_micro,
+       |  ray.ray AS rayleigh, ray.ray / tr.tr AS top_share
+       |FROM v12 v CROSS JOIN ray CROSS JOIN tr""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11794,5 +11848,6 @@ object Queries {
     "q271_neighbor_cosine" -> Q(q271, Some(q271Sql)),
     "q272_mmr_topk" -> Q(q272, Some(q272Sql)),
     "q273_csv_ingest" -> Q(q273, Some(q273Sql)),
-    "q274_poisson_bootstrap" -> Q(q274, Some(q274Sql)))
+    "q274_poisson_bootstrap" -> Q(q274, Some(q274Sql)),
+    "q275_top_component" -> Q(q275, Some(q275Sql)))
 }

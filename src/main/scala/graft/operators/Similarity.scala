@@ -455,6 +455,128 @@ object Similarity {
     * (n_null) and excluded from every statistic rather than silently
     * poisoning the sums.
     * Output: (dim, n, n_null, n_zero, q_min, q_max, mean, variance). */
+  /** TOP PRINCIPAL COMPONENT by fixed-round power iteration — the
+    * anisotropy audit on an embedding corpus ([[embeddingDimProfile]]
+    * reads each dimension alone; this reads their joint structure):
+    * embedding spaces that collapse toward one direction (the known
+    * "anisotropic embedding" failure; a generator fingerprint and a
+    * retrieval-quality killer) show a dominant eigenvector whose
+    * `top_share` — the Rayleigh quotient's share of the covariance
+    * trace — approaches 1, where a healthy space sits near 1/d.
+    *
+    * Exactness/engine-parity: embeddings micro-quantize ONCE
+    * (bround·10⁶, the [[embeddingDimProfile]] discipline); the
+    * n²-scaled covariance C_ij = n·Σq_iq_j − Σq_i·Σq_j forms in exact
+    * decimal(38,0) from ONE pair-explode scan (d² values per row,
+    * map-side-combined to a d²-row cell table — the only data-sized
+    * pass); the FIXED `rounds` of C·v then run DRIVER-SIDE over the
+    * collected cells (≤ d² ≤ 16384 rows by the CHECKED contract — no
+    * adaptive fork needed, the table is bounded by construction) as
+    * an exact BigInt recurrence, re-normalizing by L∞ each round
+    * (divide by max|w| and re-quantize to micro — L2 would square a
+    * ~10²⁸ value out of decimal range, and any norm works for power
+    * iteration), ONE double division per dim per round in the same
+    * IEEE shape the oracle's unrolled round CTEs replay. Start vector:
+    * all-ones (deterministic; orthogonality to the top eigenvector is
+    * measure-zero and detectable via top_share ≈ the second share).
+    * Growth is CHECKED before any round: n²·maxq²·10⁶·d ≤ 10³⁶ keeps
+    * every C·v sum inside decimal(38,0). Output one row per dim:
+    * (dim, v_micro, rayleigh, top_share) — v L∞-normalized to ±10⁶,
+    * rayleigh in the n²·micro² covariance scale, top_share unitless.
+    * d ≤ 128 CHECKED; NULL/ragged vectors rejected. */
+  def topPrincipalComponent(df: DataFrame, vecCol: String,
+                            rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"topPrincipalComponent: rounds must be in [1, 32], got $rounds")
+    val d38 = "decimal(38,0)"
+    val q = df.select(posexplode(col(vecCol)).as(Seq("__i", "__e")))
+      .select(col("__i").cast("long").as("__i"),
+        bround(col("__e").cast("double") * 1e6, 0).cast("long").as("__q"))
+      .localCheckpoint()
+    val Seq(n, dDim, maxq, _) = Contracts.enforce(
+      q.groupBy(col("__i")).agg(count(lit(1)).as("__n"),
+        max(abs(col("__q"))).as("__m"),
+        sum(when(col("__q").isNull, 1L).otherwise(0L)).as("__bad")),
+      Contracts.read(max(col("__n"))),
+      Contracts.Bound(count(lit(1)), _ <= 128L, d =>
+        s"topPrincipalComponent: $d dims exceed the d <= 128 bounded " +
+          "cell-table contract — reduce the embedding first"),
+      Contracts.read(max(col("__m"))),
+      Contracts.Bound(sum(col("__bad")) +
+        (max(col("__n")) - min(col("__n"))), _ == 0L, b =>
+        "topPrincipalComponent: NULL elements or ragged vector lengths " +
+          "— every row needs the same complete dimensionality"))
+    require(BigInt(n) * n * BigInt(maxq).pow(2) * 1000000L *
+      math.max(dDim, 1L) <= BigInt(10).pow(36),
+      s"topPrincipalComponent: n^2 * maxq^2 * 1e6 * d exceeds the " +
+        s"decimal(38,0) C*v contract (n=$n, maxq=$maxq, d=$dDim) — " +
+        "rescale or sample the corpus")
+    // C_ij = n*P_ij − S_i*S_j from ONE pair-explode pass
+    val pairs = df
+      .select(transform(col(vecCol),
+        e => bround(e.cast("double") * 1e6, 0).cast("long")).as("__qv"))
+      .select(posexplode(col("__qv")).as(Seq("__i", "__qi")),
+        col("__qv"))
+      .select(col("__i").cast("long").as("__i"), col("__qi"),
+        posexplode(col("__qv")).as(Seq("__j", "__qj")))
+      .select(col("__i"), col("__j").cast("long").as("__j"),
+        (col("__qi").cast(d38) * col("__qj").cast(d38)).as("__pp"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__pp")).as("__p"))
+    val sums = q.groupBy(col("__i")).agg(sum(col("__q")).as("__s"))
+    val cTab = pairs
+      .join(sums.select(col("__i"), col("__s").as("__si")), "__i")
+      .join(sums.select(col("__i").as("__j"), col("__s").as("__sj")),
+        "__j")
+      .select(col("__i"), col("__j"),
+        (lit(n).cast(d38) * col("__p") -
+          col("__si").cast(d38) * col("__sj").cast(d38)).as("__c"))
+    // the covariance table is ALWAYS ≤ d² ≤ 16384 rows — the rounds
+    // are driver-sized by construction (no adaptive fork needed,
+    // unlike the graph family), so the BigInt recurrence runs here
+    // instead of paying 12 × (join + agg + lineage cut) distributed
+    // jobs; long adds/multiplies commute, so this is value-identical
+    // to the decimal DataFrame rounds (ScaleSpec pins the replay)
+    val d = dDim.toInt
+    val cArr = Array.fill(d, d)(BigInt(0))
+    cTab.collect().foreach { r =>
+      cArr(r.getLong(0).toInt)(r.getLong(1).toInt) =
+        BigInt(r.getDecimal(2).toBigInteger)
+    }
+    var v = Array.fill(d)(1000000L)
+    def mul(): Array[BigInt] = Array.tabulate(d)(i =>
+      (0 until d).iterator.map(j => cArr(i)(j) * v(j)).sum)
+    (1 to rounds).foreach { _ =>
+      val w = mul()
+      val mx = w.map(_.abs).max
+      v = w.map { wi =>
+        if (mx == 0) 0L
+        // the SAME IEEE shape as the oracle: double(w) * 1e6 /
+        // double(mx), rounded HALF_UP (Spark round semantics)
+        else BigDecimal(wi.toDouble * 1e6 / mx.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val wf = mul()
+    val num = (0 until d).iterator.map(i => BigInt(v(i)) * wf(i)).sum
+    val den = (0 until d).iterator.map(i => BigInt(v(i)) * v(i)).sum
+    val tr = (0 until d).iterator.map(i => cArr(i)(i)).sum
+    val rayleigh = num.toDouble / den.toDouble
+    val share = rayleigh / tr.toDouble
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until d).map(i =>
+          Row(i.toLong, v(i), rayleigh, share)).toIndexedSeq, 1),
+      StructType(Seq(StructField("dim", LongType),
+        StructField("v_micro", LongType),
+        StructField("rayleigh", DoubleType),
+        StructField("top_share", DoubleType))))
+  }
+
   /** MMR-DIVERSIFIED TOP-K (Carbonell–Goldstein 1998): re-rank each
     * query's brute-force candidates by maximal marginal relevance —
     * greedily pick `m` of `kCand` maximizing

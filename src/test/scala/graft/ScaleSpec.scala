@@ -1009,6 +1009,70 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("topPrincipalComponent equals a brute BigInt power-iteration " +
+    "reference and finds the planted direction") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val d = 4
+    val u = Array(0.8, -0.4, 0.4, 0.2) // planted direction
+    val rows = (0 until 30).map { _ =>
+      val a = rnd.nextGaussian() * 2.0
+      Seq.tabulate(d)(i =>
+        (a * u(i) + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val rounds = 12
+    val got = Similarity.topPrincipalComponent(df, "embedding", rounds)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // brute: same quantization (bround = HALF_EVEN), BigInt covariance,
+    // identical L-inf re-quantization per round
+    def q6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong
+    val qv = rows.map(v => v.map(f => q6(f.toDouble)).toArray)
+    val n = qv.length
+    val s = Array.tabulate(d)(i => qv.map(_(i)).sum)
+    val c = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * qv.map(r => BigInt(r(i)) * r(j)).sum -
+        BigInt(s(i)) * s(j))
+    var v = Array.fill(d)(1000000L)
+    def mul() = Array.tabulate(d)(i =>
+      (0 until d).map(j => c(i)(j) * v(j)).sum)
+    (1 to rounds).foreach { _ =>
+      val w = mul()
+      val mx = w.map(_.abs).max
+      v = w.map(wi => BigDecimal(wi.toDouble * 1e6 / mx.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val w = mul()
+    val num = (0 until d).map(i => BigInt(v(i)) * w(i)).sum
+    val den = (0 until d).map(i => BigInt(v(i)) * v(i)).sum
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    val ray = num.toDouble / den.toDouble
+    val share = ray / tr.toDouble
+    (0 until d).foreach { i =>
+      assert(got(i.toLong) == ((v(i), ray, share)),
+        s"dim $i: ${got(i.toLong)} != ${(v(i), ray, share)}")
+    }
+    // the planted direction dominates: share near 1, v parallel to u
+    assert(share > 0.95, s"share $share")
+    val cos = {
+      val dot = (0 until d).map(i => v(i).toDouble * u(i)).sum
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nu = math.sqrt(u.map(x => x * x).sum)
+      math.abs(dot) / (nv * nu)
+    }
+    assert(cos > 0.99, s"cos to planted direction $cos")
+    // ragged vectors fail loudly
+    intercept[Throwable] {
+      Similarity.topPrincipalComponent(
+        Seq(Tuple1(Seq(1.0f, 2.0f)), Tuple1(Seq(1.0f)))
+          .toDF("embedding"), "embedding").collect()
+    }
+  }
+
   test("mmrTopK equals a brute greedy MMR reference and degrades to " +
     "plain top-k at lambda = 1") {
     import graft.operators.Similarity
