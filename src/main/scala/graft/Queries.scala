@@ -11081,12 +11081,14 @@ object Queries {
   /** Seed-anchored SCC membership (Graph.sccMembership) over the
     * DIRECTED token "follows" graph — w1→w2 per distinct corpus bigram
     * with count ≥ 2 — from the 3 lexicographically smallest words, 2
-    * hops: fwd ∩ bwd min-label propagation, scc where both agree, and
-    * the corpus's one dead-end word classifying fwd-only (the
-    * crawl-loop / spam-ring detector the undirected family can't
-    * express; the q169 BFS discipline on a directed relation, run both
-    * ways). The oracle unrolls all 4 relaxation rounds per direction
-    * as chained CTEs and replays the full-outer reconciliation. */
+    * hops: fwd ∩ bwd seed-MASK propagation (bit_or rounds, so no seed
+    * can shadow another's component), scc = the smallest seed in the
+    * intersection, and the corpus's one dead-end word classifying
+    * fwd-only (the crawl-loop / spam-ring detector the undirected
+    * family can't express; the q169 BFS discipline on a directed
+    * relation, run both ways). The oracle assigns seed bits by the
+    * same engine ordering, unrolls both directions' bit_or rounds as
+    * chained CTEs and reconciles lowest-set-bit → seed. */
   private def q265(s: SparkSession, dir: String): DataFrame = {
     val bg = t(s, dir, "documents")
       .select(explode(word_shingles(ws_tokens(col("text")), 2)).as("bg"))
@@ -11105,13 +11107,14 @@ object Queries {
   private val q265Sql = {
     def rounds(p: String, eTab: String) = (1 to 2).map { i =>
       s"""$p$i AS (
-         |  SELECT node, min(lab) AS lab FROM (
-         |    SELECT node, lab FROM $p${i - 1}
+         |  SELECT node, bit_or(m) AS m FROM (
+         |    SELECT node, m FROM $p${i - 1}
          |    UNION ALL
-         |    SELECT e.v AS node, f.lab FROM $p${i - 1} f
+         |    SELECT e.v AS node, f.m FROM $p${i - 1} f
          |    JOIN $eTab e ON e.u = f.node)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
+    def lo(x: String) = s"(($x) & -($x))"
     s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),
        |bgx AS (SELECT unnest([concat_ws(' ', tk[i], tk[i+1])
        |                       for i in range(1, len(tk))]) AS bg
@@ -11122,14 +11125,22 @@ object Queries {
        |        AND split_part(bg, ' ', 1) != split_part(bg, ' ', 2)),
        |er AS (SELECT v AS u, u AS v FROM e),
        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-       |sd AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
-       |f0 AS (SELECT node, node AS lab FROM sd),
-       |b0 AS (SELECT node, node AS lab FROM sd),
+       |sd AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS bi
+       |       FROM (SELECT node FROM nodes ORDER BY node LIMIT 3)),
+       |f0 AS (SELECT node, (CAST(1 AS BIGINT) << bi) AS m FROM sd),
+       |b0 AS (SELECT node, (CAST(1 AS BIGINT) << bi) AS m FROM sd),
        |${rounds("f", "e")},
        |${rounds("b", "er")}
-       |SELECT coalesce(f.node, b.node) AS node, f.lab AS fwd,
-       |  b.lab AS bwd, CASE WHEN f.lab = b.lab THEN f.lab END AS scc
-       |FROM f2 f FULL OUTER JOIN b2 b ON b.node = f.node""".stripMargin
+       |SELECT coalesce(f.node, b.node) AS node,
+       |  sf.node AS fwd, sb.node AS bwd, sc.node AS scc
+       |FROM f2 f FULL OUTER JOIN b2 b ON b.node = f.node
+       |LEFT JOIN sd sf
+       |  ON (CAST(1 AS BIGINT) << sf.bi) = ${lo("coalesce(f.m, 0)")}
+       |LEFT JOIN sd sb
+       |  ON (CAST(1 AS BIGINT) << sb.bi) = ${lo("coalesce(b.m, 0)")}
+       |LEFT JOIN sd sc
+       |  ON (CAST(1 AS BIGINT) << sc.bi) =
+       |    ${lo("coalesce(f.m, 0) & coalesce(b.m, 0)")}""".stripMargin
   }
 
   /** Exact-size weighted sample without replacement

@@ -1532,12 +1532,22 @@ case class MmrSelect(child: Expression, lambdaMicro: Long, m: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // the memo table is n², and scores assume micro-unit magnitudes:
+    // guard both so a mis-wired caller fails loudly instead of
+    // overflowing an Int index or silently reordering picks
+    require(n <= 4096,
+      s"mmr_select: $n candidates exceed the bounded-pack contract " +
+        "(<= 4096) — pre-select with a top-k first")
     val rels = new Array[Long](n)
     val vecs = new Array[Array[Double]](n)
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 2)
       rels(i) = row.getLong(0)
+      require(math.abs(rels(i)) <= 1000000000L,
+        s"mmr_select: |rel| = ${math.abs(rels(i))} exceeds the " +
+          "micro-unit contract (<= 1e9) — quantize relevance to micro " +
+          "units first")
       vecs(i) = row.getArray(1).toDoubleArray()
       i += 1
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics beyond connected components (which lives with
@@ -979,72 +979,88 @@ object Graph {
           lit(0.0), (acc, x) => acc + x).as("betweenness"))
   }
 
-  /** Min-label propagation over a DIRECTED edge table, fixed rounds:
-    * label(v) after round r = the smallest seed that reaches v along
-    * a directed path of ≤ r hops (seeds start labeled with
-    * themselves). Min is monotone, so rounds are idempotent past the
-    * true horizon and the truncated trajectory is deterministic and
-    * engine-replayable round for round (the [[seedDistances]]
-    * discipline on a directed relation). Adaptive under
-    * `driverEdgeLimit` like the rest of the family; the distributed
-    * path is one edges⋈labels equi-join + a map-side-combining min
-    * per round, lineage cut per round. Output: (node, label) for
-    * nodes reached within the horizon (seeds included). */
-  def directedSeedLabels(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-                         driverEdgeLimit: Long = 1L << 20): DataFrame = {
+  /** Seed-MASK propagation over a DIRECTED edge table, fixed rounds:
+    * mask(v) after round r = the bitmask of seeds with a directed
+    * path to v of ≤ r hops (seeds start with their own bit; bits are
+    * assigned by ascending ENGINE order of the distinct seed values,
+    * so the oracle's row_number replay agrees). OR is monotone and
+    * commutative, so rounds are idempotent past the true horizon and
+    * the truncated trajectory is deterministic and engine-replayable
+    * round for round (the [[seedDistances]] discipline on a directed
+    * relation) — and, unlike min-LABEL propagation, the full seed SET
+    * survives: a smaller seed strictly upstream of another seed's
+    * component cannot mask it (the [[sccMembership]] correctness
+    * requirement). ≤ 62 seeds CHECKED (one long mask). Adaptive under
+    * `driverEdgeLimit`: the driver path ORs longs over the collected
+    * edge list (order-free — no value comparator needed at all, so
+    * every id type behaves identically to the distributed path); the
+    * distributed path is one edges⋈masks equi-join + a
+    * map-side-combining bit_or per round, lineage cut per round.
+    * Output: (node, mask) for nodes reached within the horizon.
+    * `seedBits` maps each distinct seed to its bit (the caller
+    * usually takes it from [[seedBitAssignment]]). */
+  def directedSeedMasks(edges: DataFrame, seedBits: Seq[(Any, Long)],
+                        maxHops: Int,
+                        driverEdgeLimit: Long = 1L << 20): DataFrame = {
     require(maxHops >= 1,
-      s"directedSeedLabels needs maxHops >= 1, got $maxHops")
+      s"directedSeedMasks needs maxHops >= 1, got $maxHops")
+    require(seedBits.nonEmpty && seedBits.size <= 62,
+      s"directedSeedMasks needs 1..62 seeds, got ${seedBits.size}")
     val e0 = edges.toDF("src", "dst")
       .where(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val s0 = seeds.toDF("node").distinct()
-    if (e0.count() <= driverEdgeLimit) {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{StructField, StructType}
+    directedSeedMasksPrepped(e0, e0.count(), seedBits, maxHops,
+      driverEdgeLimit)
+  }
+
+  /** Deterministic seed→bit table: distinct seeds in ascending engine
+    * order get bits 0, 1, … (collected — the ≤ 62 contract bounds it). */
+  def seedBitAssignment(seeds: DataFrame): Seq[(Any, Long)] = {
+    val s = seeds.toDF("node").distinct().orderBy(col("node"))
+      .collect().map(_.get(0)).toSeq
+    require(s.nonEmpty && s.size <= 62,
+      s"seed-mask propagation needs 1..62 distinct seeds, got ${s.size}")
+    s.zipWithIndex.map { case (v, i) => (v, 1L << i) }
+  }
+
+  private def directedSeedMasksPrepped(e0: DataFrame, nEdges: Long,
+                                       seedBits: Seq[(Any, Long)],
+                                       maxHops: Int,
+                                       driverEdgeLimit: Long): DataFrame = {
+    val spark = e0.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idType = e0.schema.fields.head.dataType
+    if (nEdges <= driverEdgeLimit) {
       val adj = e0.collect().map(r => (r.get(0), r.get(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      implicit val anyOrd: Ordering[Any] =
-        (a: Any, b: Any) => (a, b) match {
-          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-          case (x: String, y: String) =>
-            // match Spark/DuckDB VARCHAR min: unsigned byte order on
-            // UTF-8, not java.lang.String's UTF-16 code-unit order
-            java.util.Arrays.compareUnsigned(
-              x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-          case (x, y) => x.toString.compareTo(y.toString)
-        }
-      var lab = s0.collect().map(r => r.get(0) -> r.get(0)).toMap
+      var m = seedBits.toMap
       (1 to maxHops).foreach { _ =>
-        val next = scala.collection.mutable.Map.empty[Any, Any]
-        lab.foreach { case (u, l) =>
+        val next = scala.collection.mutable.Map.empty[Any, Long]
+        m.foreach { case (u, mu) =>
           adj.getOrElse(u, Array.empty[Any]).foreach { v =>
-            val cur = next.get(v)
-            if (cur.isEmpty || anyOrd.lt(l, cur.get)) next.update(v, l)
+            next.update(v, next.getOrElse(v, 0L) | mu)
           }
         }
-        lab = (lab.keySet ++ next.keySet).iterator.map { v =>
-          (lab.get(v), next.get(v)) match {
-            case (Some(a), Some(b)) => v -> anyOrd.min(a, b)
-            case (Some(a), None) => v -> a
-            case (None, Some(b)) => v -> b
-            case _ => v -> null
-          }
-        }.toMap
+        m = (m.keySet ++ next.keySet).iterator.map(v =>
+          v -> (m.getOrElse(v, 0L) | next.getOrElse(v, 0L))).toMap
       }
-      val spark = edges.sparkSession
-      val idType = e0.schema.fields.head.dataType
       spark.createDataFrame(
         spark.sparkContext.parallelize(
-          lab.toSeq.map { case (n, l) => Row(n, l) }.toIndexedSeq, 1),
+          m.toSeq.map { case (n, mask) => Row(n, mask) }.toIndexedSeq, 1),
         StructType(Seq(StructField("node", idType),
-          StructField("label", idType))))
+          StructField("mask", LongType))))
     } else {
-      var lab = s0.select(col("node"), col("node").as("label"))
+      var lab = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          seedBits.map { case (n, b) => Row(n, b) }.toIndexedSeq, 1),
+        StructType(Seq(StructField("node", idType),
+          StructField("mask", LongType))))
         .localCheckpoint()
       (1 to maxHops).foreach { _ =>
         lab = lab
           .unionByName(e0.join(lab.withColumnRenamed("node", "src"), "src")
-            .select(col("dst").as("node"), col("label")))
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+            .select(col("dst").as("node"), col("mask")))
+          .groupBy(col("node")).agg(expr("bit_or(mask)").as("mask"))
           .localCheckpoint()
       }
       lab
@@ -1055,29 +1071,47 @@ object Graph {
     * / crawl-loop detector the undirected family can't express: a
     * node belongs to seed m's strongly connected component iff m
     * reaches it AND it reaches m. Computed as forward ∩ backward
-    * min-label propagation ([[directedSeedLabels]] on the edge table
-    * and on its reversal): `scc` = the common label where
-    * fwd == bwd — sound because every member of one SCC is reached
-    * by exactly the same seed set forward (and backward), so the
-    * minima agree on a whole component or not at all. Fixed rounds
-    * truncate at `maxHops`: the result is EXACT when maxHops covers
-    * the seed→component distance plus the component diameter, and a
-    * deterministic truncated replay before that (both engines walk
-    * identical rounds — the oracle unrolls them). Output: one row per
-    * node reached in EITHER direction: (node, fwd, bwd, scc), fwd/bwd
-    * null where that direction never arrived, scc null unless both
-    * agree. */
+    * seed-MASK propagation ([[directedSeedMasks]] on the edge table
+    * and its reversal): `scc` = the SMALLEST seed in fwd∩bwd — the
+    * full seed-set intersection, so a smaller seed lying strictly
+    * upstream of another seed's component can never mask the
+    * detection (a min-LABEL reduction would: fwd would carry the
+    * upstream seed while bwd carries the ring's own). `fwd`/`bwd`
+    * report the smallest seed reaching the node in each direction.
+    * Fixed rounds truncate at `maxHops`: the result is EXACT when
+    * maxHops covers the seed→component distance plus the component
+    * diameter, and a deterministic truncated replay before that
+    * (both engines walk identical rounds — the oracle unrolls them).
+    * Edge prep (self-loop drop, distinct, lineage cut) and the size
+    * probe run ONCE and serve both directions (the reversal is a
+    * column swap of the prepped frame). ≤ 62 seeds CHECKED. Output:
+    * one row per node reached in EITHER direction:
+    * (node, fwd, bwd, scc), null where that direction/intersection
+    * never arrived. */
   def sccMembership(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                     driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(maxHops >= 1, s"sccMembership needs maxHops >= 1, got $maxHops")
     val e0 = edges.toDF("src", "dst")
-    val f = directedSeedLabels(e0, seeds, maxHops, driverEdgeLimit)
-      .withColumnRenamed("label", "fwd")
-    val b = directedSeedLabels(
-        e0.select(col("dst").as("src"), col("src").as("dst")),
-        seeds, maxHops, driverEdgeLimit)
-      .withColumnRenamed("label", "bwd")
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nEdges = e0.count()
+    val seedBits = seedBitAssignment(seeds)
+    val idType = e0.schema.fields.head.dataType
+    val f = directedSeedMasksPrepped(e0, nEdges, seedBits, maxHops,
+      driverEdgeLimit).withColumnRenamed("mask", "__fm")
+    val b = directedSeedMasksPrepped(
+      e0.select(col("dst").as("src"), col("src").as("dst")), nEdges,
+      seedBits, maxHops, driverEdgeLimit).withColumnRenamed("mask", "__bm")
+    // lowest-set-bit → seed value, as a plan-literal when-chain over
+    // the ≤ 62 assignments
+    def seedOf(mask: Column): Column =
+      seedBits.foldRight(lit(null).cast(idType)) { case ((s, bit), acc) =>
+        when((mask bitwiseAND (-mask)) === bit, lit(s)).otherwise(acc)
+      }
     f.join(b, Seq("node"), "full_outer")
-      .select(col("node"), col("fwd"), col("bwd"),
-        when(col("fwd") === col("bwd"), col("fwd")).as("scc"))
+      .select(col("node"),
+        seedOf(coalesce(col("__fm"), lit(0L))).as("fwd"),
+        seedOf(coalesce(col("__bm"), lit(0L))).as("bwd"),
+        seedOf(coalesce(col("__fm"), lit(0L)) bitwiseAND
+          coalesce(col("__bm"), lit(0L))).as("scc"))
   }
 }

@@ -489,6 +489,14 @@ object Similarity {
     require(rounds >= 1 && rounds <= 32,
       s"topPrincipalComponent: rounds must be in [1, 32], got $rounds")
     val d38 = "decimal(38,0)"
+    // NULL/empty vectors would vanish UNIFORMLY at the explode (every
+    // per-dim count drops together, so the ragged check alone cannot
+    // see them) — reject them explicitly first
+    Contracts.enforce(df,
+      Contracts.Bound(sum(when(col(vecCol).isNull ||
+        size(col(vecCol)) === 0, 1L).otherwise(0L)), _ == 0L, b =>
+        s"topPrincipalComponent: $b NULL/empty vectors — filter " +
+          "explicitly first"))
     val q = df.select(posexplode(col(vecCol)).as(Seq("__i", "__e")))
       .select(col("__i").cast("long").as("__i"),
         bround(col("__e").cast("double") * 1e6, 0).cast("long").as("__q"))
@@ -647,9 +655,20 @@ object Similarity {
   def neighborCosineProfile(df: DataFrame, idCol: String, vecCol: String,
                             keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val proj = df.select(col(keyCol), col(idCol), col(vecCol).as("__v"))
+      .localCheckpoint()
+    // a duplicate (key, id) would make the lead() pairing depend on
+    // partition order — the documented pure-function-of-the-table
+    // contract requires a total order, so duplicates fail loudly
+    graft.operators.Contracts.enforce(proj,
+      graft.operators.Contracts.Bound(
+        count(lit(1)) - countDistinct(col(keyCol), col(idCol)),
+        _ == 0L, d =>
+          s"neighborCosineProfile: $d duplicate (key, id) rows — the " +
+            "neighbor pairing needs a total order; dedup or " +
+            "disambiguate ids first"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
-    val paired = df
-      .select(col(keyCol), col(idCol), col(vecCol).as("__v"))
+    val paired = proj
       .withColumn("__nv", lead(col("__v"), 1).over(w))
       .where(col("__nv").isNotNull)
       .select(col(keyCol),

@@ -2791,13 +2791,20 @@ object Stats {
     require(n >= 1 && n <= 4096,
       s"weightedSampleExact: n must be in [1, 4096], got $n")
     val proj = df.select(col(idCol).as("__id"),
-      col(weightCol).cast("long").as("__w")).localCheckpoint()
+      col(weightCol).cast("long").as("__w"),
+      // a fractional weight (1.9) would silently truncate to 1 and
+      // distort inclusion pressure — compare the original against its
+      // integral cast and reject loudly
+      when(col(weightCol) =!= col(weightCol).cast("long")
+        .cast(df.schema(weightCol).dataType), 1L).otherwise(0L)
+        .as("__frac")).localCheckpoint()
     Contracts.enforce(proj,
       Contracts.Bound(sum(when(col("__id").isNull || col("__w").isNull ||
-        col("__w") <= 0L, 1L).otherwise(0L)), _ == 0L, b =>
-        s"weightedSampleExact: $b rows with NULL id or weight <= 0 — " +
-          "every row needs a positive integer weight; filter or " +
-          "rescale explicitly first"),
+        col("__w") <= 0L, 1L).otherwise(0L) + col("__frac")),
+        _ == 0L, b =>
+        s"weightedSampleExact: $b rows with NULL id, weight <= 0 or a " +
+          "FRACTIONAL weight — every row needs a positive integer " +
+          "weight (only ratios matter: rescale, don't truncate)"),
       Contracts.Bound(max(col("__w")), _ <= 1000000000000000L, m =>
         s"weightedSampleExact: max weight $m exceeds the double-exact " +
           "divisor contract (w <= 1e15) — only weight RATIOS matter, " +
@@ -2854,10 +2861,16 @@ object Stats {
     val b = pmod(graft.functions.md5_long(
       concat(col(idCol).cast("string"), lit(":" + salt))), lit(1000000L))
     val cum = splits.scanLeft(0L)(_ + _._2).tail
-    val assign = splits.zip(cum).dropRight(1)
+    val ladder = splits.zip(cum).dropRight(1)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
       }
+    // a NULL id hashes to NULL, every `b < hi` is falsy, and the row
+    // would silently land in the LAST split — reject it loudly instead
+    // (the map-only raise_error twin of the family's eager contracts)
+    val assign = when(col(idCol).isNull,
+      raise_error(lit("splitAssign: NULL id — every row needs an id; " +
+        "filter or fill explicitly first"))).otherwise(ladder)
     df.withColumn("split", assign)
   }
 

@@ -2361,7 +2361,15 @@ object TextAnalysis {
     * count scan collapsing to a plan literal. Never all-pairs over
     * documents, never a global window. */
   def collocations(df: DataFrame, idCol: String, textCol: String,
-                   vocab: Seq[String], minPairDocs: Int): DataFrame = {
+                   vocab: Seq[String], minPairDocs: Int): DataFrame =
+    collocationsWithN(df, idCol, textCol, vocab, minPairDocs)._1
+
+  /** [[collocations]] plus the distinct-doc count it already computes —
+    * shared so [[collocationNpmi]] does not re-run the corpus-wide
+    * count job for the same value. */
+  private def collocationsWithN(df: DataFrame, idCol: String,
+                                textCol: String, vocab: Seq[String],
+                                minPairDocs: Int): (DataFrame, Long) = {
     val presence = df.select(col(idCol),
         explode(ws_tokens(col(textCol))).as("__t"))
       .where(col("__t").isin(vocab: _*))
@@ -2375,14 +2383,15 @@ object TextAnalysis {
       .groupBy(col("a.__t").as("term_a"), col("b.__t").as("term_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairDocs)
-    pairs
+    (pairs
       .join(broadcast(termDf.select(col("__t").as("term_a"),
         col("df").as("__dfa"))), "term_a")
       .join(broadcast(termDf.select(col("__t").as("term_b"),
         col("df").as("__dfb"))), "term_b")
       .select(col("term_a"), col("term_b"), col("n_ab"),
         ((col("n_ab") * lit(nDocs)).cast("double") /
-          (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
+          (col("__dfa") * col("__dfb")).cast("double")).as("lift")),
+      nDocs)
   }
 
   /** NPMI-scored collocations (Bouma 2009) — [[collocations]]' lift
@@ -2404,11 +2413,12 @@ object TextAnalysis {
     * n_ab, lift, pmi_micro, npmi). */
   def collocationNpmi(df: DataFrame, idCol: String, textCol: String,
                       vocab: Seq[String], minPairDocs: Int): DataFrame = {
-    val nDocs = df.select(col(idCol)).distinct().count()
+    val (lifted, nDocs) =
+      collocationsWithN(df, idCol, textCol, vocab, minPairDocs)
     val pmiQ = round(log(col("lift")) * 1e6, 0).cast("long")
     val denQ = (-round(log(col("n_ab").cast("double") /
       lit(nDocs.toDouble)) * 1e6, 0)).cast("long")
-    collocations(df, idCol, textCol, vocab, minPairDocs)
+    lifted
       .select(col("term_a"), col("term_b"), col("n_ab"), col("lift"),
         pmiQ.as("pmi_micro"), denQ.as("__den"))
       .select(col("term_a"), col("term_b"), col("n_ab"), col("lift"),

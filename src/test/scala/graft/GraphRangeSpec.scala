@@ -621,6 +621,21 @@ class GraphRangeSpec extends SparkTestBase {
     assert(got("d") == (Some("a"), None, None), "tail: reached, no cycle")
     assert(got("e") == (Some("e"), Some("e"), Some("e")))
     assert(got("f") == (Some("e"), Some("e"), Some("e")))
+    // regression: a smaller seed strictly UPSTREAM of another seed's
+    // ring must not mask the detection (the min-label reduction did:
+    // fwd carried seed 1 while bwd carried seed 2) — seeds {1, 2},
+    // 1→2, 2→3, 3→2: nodes 2 and 3 ARE seed 2's SCC
+    val up = Graph.sccMembership(
+        Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst"),
+        Seq(1L, 2L).toDF("node"), maxHops = 3)
+      .collect().map { r =>
+        def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> (o(1), o(2), o(3))
+      }.toMap
+    assert(up(2L) == (Some(1L), Some(2L), Some(2L)), s"got ${up(2L)}")
+    assert(up(3L) == (Some(1L), Some(2L), Some(2L)), s"got ${up(3L)}")
+    // a seed is trivially its own SCC anchor
+    assert(up(1L) == (Some(1L), Some(1L), Some(1L)), s"got ${up(1L)}")
     // random graphs vs a brute per-seed bounded transitive closure
     val rnd = new scala.util.Random(57)
     (1 to 4).foreach { trial =>
@@ -638,14 +653,20 @@ class GraphRangeSpec extends SparkTestBase {
         }
         seen
       }
-      val fwd = seeds.flatMap(s => reach(edges, s).map(_ -> s))
-        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-      val bwd = seeds.flatMap(s =>
-          reach(edges.map(e => (e._2, e._1)), s).map(_ -> s))
-        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-      val want = (fwd.keySet ++ bwd.keySet).map { v =>
-        val (f, b) = (fwd.get(v), bwd.get(v))
-        v -> (f, b, if (f.isDefined && f == b) f else None)
+      val fwdSets = seeds.map(s => s -> reach(edges, s)).toMap
+      val bwdSets = seeds.map(s =>
+        s -> reach(edges.map(e => (e._2, e._1)), s)).toMap
+      val nodes = fwdSets.values.flatten.toSet ++ bwdSets.values.flatten
+      val want = nodes.map { v =>
+        def minOf(m: Map[Long, Set[Long]]) = {
+          val hit = seeds.filter(s => m(s)(v))
+          if (hit.isEmpty) None else Some(hit.min)
+        }
+        // SCC membership = SOME seed reaches v both ways (the full
+        // set intersection, not agreement of the two minima)
+        val both = seeds.filter(s => fwdSets(s)(v) && bwdSets(s)(v))
+        v -> (minOf(fwdSets), minOf(bwdSets),
+          if (both.isEmpty) None else Some(both.min))
       }.toMap
       def run(limit: Long) = Graph.sccMembership(edges.toDF("src", "dst"),
           seeds.toDF("node"), h, driverEdgeLimit = limit)
