@@ -10951,10 +10951,11 @@ object Queries {
     * exactly. Ingest itself is shuffle-free (line-local parse +
     * projection, ScaleSpec-pinned); the one shuffle here is the
     * gate's own accounting rollup. */
-  private def q263(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StringType => SStr,
-      StructField => SF, StructType => ST}
-    val path = stagedFixtures.computeIfAbsent(s"jsonl_docs|$dir", _ => {
+  /** The shared jsonl fixture (gzip'd lines from documents, 97-class
+    * corrupt + 89-class text-missing) and its explicit read schema —
+    * staged once per JVM; q263 proves the parse, q276 pipelines it. */
+  private def jsonlDocsFixture(s: SparkSession, dir: String): String =
+    stagedFixtures.computeIfAbsent(s"jsonl_docs|$dir", _ => {
       val p = stagePath("jsonl_docs", dir)
       val payload = struct(col("doc_id"), col("lang"), col("source"),
         col("text"))
@@ -10967,9 +10968,17 @@ object Queries {
         .write.mode("overwrite").option("compression", "gzip").text(p)
       p
     })
-    val schema = ST(Seq(SF("doc_id", LongType), SF("lang", SStr),
+
+  private def jsonlDocsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType => SStr,
+      StructField => SF, StructType => ST}
+    ST(Seq(SF("doc_id", LongType), SF("lang", SStr),
       SF("source", SStr), SF("text", SStr)))
-    val ing = graft.sources.TextIngest.jsonlWithErrors(s, path, schema,
+  }
+
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val ing = graft.sources.TextIngest.jsonlWithErrors(s,
+      jsonlDocsFixture(s, dir), jsonlDocsSchema,
       required = Seq("doc_id", "text"))
     ing.groupBy(col("_status").as("status"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n"),
@@ -11580,6 +11589,118 @@ object Queries {
        |FROM v12 v CROSS JOIN ray CROSS JOIN tr""".stripMargin
   }
 
+  /** END-TO-END CURATION PIPELINE over the round-13 front door: gzip'd
+    * jsonl (q263's fixture) → schema-validated ingest (error rows
+    * dropped at the status channel) → deterministic 75/25 hash split →
+    * order-3 stupid-backoff LM trained on the train split scoring
+    * everything → keep gate → exact-40 length-weighted
+    * Efraimidis–Spirakis sample of the kept docs. One gate, five
+    * operators, zero driver-side glue — and the oracle replays the
+    * ENTIRE chain (corruption classes → split buckets → count table →
+    * backoff arms → E–S keys) bit-for-bit, which is the composability
+    * proof: every stage's determinism survives composition. */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val valid = graft.sources.TextIngest.valid(
+      graft.sources.TextIngest.jsonlWithErrors(s, jsonlDocsFixture(s, dir),
+        jsonlDocsSchema, required = Seq("doc_id", "text")))
+    val split = Stats.splitAssign(valid, "doc_id",
+      Seq("train" -> 750000L, "eval" -> 250000L))
+    val lm = TextAnalysis.stupidBackoffPerplexity(split, "doc_id", "text",
+      col("split") === "train", order = 3, thresholdMicro = 3500000L)
+    val kept = lm.where(col("keep"))
+      .join(split.select(col("doc_id"), col("split")), "doc_id")
+      .localCheckpoint() // feeds the sample and the join-back
+    Stats.weightedSampleExact(
+        kept.select(col("doc_id"), col("n_tokens").as("w")),
+        "doc_id", "w", n = 40)
+      .join(kept.select(col("doc_id"), col("split"),
+        col("nll_avg_micro")), "doc_id")
+      .select(col("rank"), col("doc_id"), col("split"), col("w"),
+        col("nll_avg_micro"), col("es_key"))
+  }
+
+  private val q276Sql = {
+    def pen(j: String): String =
+      s"(CASE $j WHEN 0 THEN CAST(1.0 AS DOUBLE) " +
+        "WHEN 1 THEN CAST(0.4 AS DOUBLE) " +
+        "WHEN 2 THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) END)"
+    val keysExpr =
+      "[array_to_string(tk[greatest(1, i-2):i], ' ') " +
+        "for i in range(1, len(tk)+1)]"
+    s"""WITH v AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       |sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${md5LongSql(
+            "CAST(doc_id AS VARCHAR) || ':v1'")} % 1000000 < 750000
+       |      THEN 'train' ELSE 'eval' END AS split
+       |  FROM v),
+       |toks AS (SELECT doc_id, split = 'train' AS tr, $toksSql AS tk
+       |         FROM sp),
+       |keys AS (SELECT doc_id, unnest($keysExpr) AS g FROM toks),
+       |tkeys AS (
+       |  SELECT unnest([array_to_string(w[len(w)-j+1:len(w)], ' ')
+       |                 for j in range(1, len(w)+1)]) AS g
+       |  FROM (SELECT string_split(kg, ' ') AS w FROM (
+       |    SELECT unnest($keysExpr) AS kg FROM toks WHERE tr))),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tkeys GROUP BY g),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V
+       |  FROM c WHERE len(string_split(g, ' ')) = 1),
+       |dkw AS (
+       |  SELECT g, string_split(g, ' ') AS w, len(string_split(g, ' ')) AS L
+       |  FROM (SELECT DISTINCT g FROM keys)),
+       |nll AS (
+       |  SELECT dkw.g,
+       |    -CAST(round(ln(CASE
+       |      WHEN dkw.L >= 3 AND s3.c IS NOT NULL THEN
+       |        (CAST(s3.c AS DOUBLE) / CAST(x3.c AS DOUBLE))
+       |          * ${pen("dkw.L - 3")}
+       |      WHEN dkw.L >= 2 AND s2.c IS NOT NULL THEN
+       |        (CAST(s2.c AS DOUBLE) / CAST(x2.c AS DOUBLE))
+       |          * ${pen("dkw.L - 2")}
+       |      ELSE (CAST(coalesce(s1.c, 0) + 1 AS DOUBLE)
+       |              / CAST(tot.N + tot.V AS DOUBLE))
+       |            * ${pen("dkw.L - 1")}
+       |      END) * 1000000.0) AS BIGINT) AS nll
+       |  FROM dkw
+       |  LEFT JOIN c s3 ON dkw.L >= 3 AND s3.g =
+       |    array_to_string(dkw.w[greatest(1, dkw.L-2):dkw.L], ' ')
+       |  LEFT JOIN c x3 ON dkw.L >= 3 AND x3.g =
+       |    array_to_string(dkw.w[greatest(1, dkw.L-2):dkw.L-1], ' ')
+       |  LEFT JOIN c s2 ON dkw.L >= 2 AND s2.g =
+       |    array_to_string(dkw.w[greatest(1, dkw.L-1):dkw.L], ' ')
+       |  LEFT JOIN c x2 ON dkw.L >= 2 AND x2.g =
+       |    array_to_string(dkw.w[greatest(1, dkw.L-1):dkw.L-1], ' ')
+       |  LEFT JOIN c s1 ON s1.g = dkw.w[dkw.L]
+       |  CROSS JOIN tot),
+       |sc AS (
+       |  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(nll.nll) AS BIGINT) AS s
+       |  FROM keys k JOIN nll ON nll.g = k.g GROUP BY 1),
+       |kept AS (
+       |  SELECT sp.doc_id, sp.split, sc.n AS w, sc.s // sc.n AS nll_avg
+       |  FROM sp JOIN sc ON sc.doc_id = sp.doc_id
+       |  WHERE sc.n > 0 AND sc.s // sc.n <= 3500000),
+       |es AS (
+       |  SELECT doc_id, split, w, nll_avg,
+       |    CAST(round(ln(
+       |      CAST(${md5LongSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+       |        / 1152921504606846976.0) * 1000000.0) AS BIGINT) AS lq
+       |  FROM kept),
+       |r AS (
+       |  SELECT doc_id, split, w, nll_avg,
+       |    CAST(lq AS DOUBLE) / CAST(w AS DOUBLE) AS es_key,
+       |    row_number() OVER (
+       |      ORDER BY CAST(lq AS DOUBLE) / CAST(w AS DOUBLE) DESC,
+       |        doc_id DESC) AS rk
+       |  FROM es)
+       |SELECT CAST(rk AS BIGINT) AS rank, doc_id, split, w,
+       |  nll_avg AS nll_avg_micro, es_key
+       |FROM r WHERE rk <= 40""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11860,5 +11981,6 @@ object Queries {
     "q272_mmr_topk" -> Q(q272, Some(q272Sql)),
     "q273_csv_ingest" -> Q(q273, Some(q273Sql)),
     "q274_poisson_bootstrap" -> Q(q274, Some(q274Sql)),
-    "q275_top_component" -> Q(q275, Some(q275Sql)))
+    "q275_top_component" -> Q(q275, Some(q275Sql)),
+    "q276_curation_e2e" -> Q(q276, Some(q276Sql)))
 }
