@@ -11701,6 +11701,330 @@ object Queries {
        |FROM r WHERE rk <= 40""".stripMargin
   }
 
+  /** Cohen's kappa inter-annotator agreement per source
+    * (Stats.cohenKappa): rater 1 is the corpus lang label; rater 2 is
+    * a deterministic simulated second annotator (agrees on 8/10 docs,
+    * over-calls 'en' on 1/10, abstains to 'unk' on 1/10 — keyed off
+    * n_chars so both engines derive the identical rating). κ unrolls
+    * to one division of exact integer operands; the oracle mirrors in
+    * HUGEINT. */
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    Stats.cohenKappa(
+      t(s, dir, "documents").select(col("source"),
+        col("lang").as("r1"),
+        when(pmod(col("n_chars"), lit(10)) < 8, col("lang"))
+          .when(pmod(col("n_chars"), lit(10)) === 8, lit("en"))
+          .otherwise(lit("unk")).as("r2")),
+      "source", "r1", "r2")
+
+  private val q277Sql =
+    """WITH d AS (
+      |  SELECT source, lang AS r1,
+      |    CASE WHEN n_chars % 10 < 8 THEN lang
+      |         WHEN n_chars % 10 = 8 THEN 'en' ELSE 'unk' END AS r2
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_agree
+      |  FROM d GROUP BY 1),
+      |m1 AS (SELECT source, r1 AS cat, CAST(count(*) AS BIGINT) AS a
+      |       FROM d GROUP BY 1, 2),
+      |m2 AS (SELECT source, r2 AS cat, CAST(count(*) AS BIGINT) AS b
+      |       FROM d GROUP BY 1, 2),
+      |p AS (
+      |  SELECT coalesce(m1.source, m2.source) AS source,
+      |    sum(CAST(coalesce(a, 0) AS HUGEINT) * coalesce(m2.b, 0)) AS p
+      |  FROM m1 FULL OUTER JOIN m2
+      |    ON m1.source = m2.source AND m1.cat = m2.cat
+      |  GROUP BY 1)
+      |SELECT b.source, n, n_agree,
+      |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  CAST(p AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS pe,
+      |  CASE WHEN CAST(n AS HUGEINT) * n - p = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(CAST(n AS HUGEINT) * n_agree - p AS DOUBLE)
+      |       / CAST(CAST(n AS HUGEINT) * n - p AS DOUBLE) END AS kappa
+      |FROM b JOIN p USING (source)""".stripMargin
+
+  /** Fleiss' kappa multi-rater agreement per order priority
+    * (Stats.fleissKappa): items are orders with EXACTLY four
+    * lineitems (the checked fixed-r contract), the four lineitems'
+    * return flags are the four "raters'" categorical judgments —
+    * how consistently does an order's priority class see one return
+    * outcome. Exact integers end to end; oracle in HUGEINT. */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val four = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") === 4L)
+      .select("l_orderkey")
+    Stats.fleissKappa(
+      li.join(four, "l_orderkey")
+        .join(t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey")
+        .select(col("o_orderpriority"), col("l_orderkey").as("item"),
+          col("l_returnflag").as("cat")),
+      "o_orderpriority", "item", "cat")
+  }
+
+  private val q278Sql =
+    """WITH four AS (
+      |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 4),
+      |r AS (
+      |  SELECT o.o_orderpriority AS k, l.l_orderkey AS item,
+      |    l.l_returnflag AS cat
+      |  FROM lineitem l JOIN four USING (l_orderkey)
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |nic AS (SELECT k, item, cat, CAST(count(*) AS BIGINT) AS c
+      |        FROM r GROUP BY 1, 2, 3),
+      |pi AS (
+      |  SELECT k, item, CAST(sum(c) AS BIGINT) AS rr,
+      |    sum(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM nic GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(max(rr) AS BIGINT) AS n_raters, sum(s2) AS s
+      |  FROM pi GROUP BY 1),
+      |tc AS (
+      |  SELECT k, sum(CAST(t AS HUGEINT) * t) AS t2
+      |  FROM (SELECT k, cat, CAST(sum(c) AS BIGINT) AS t
+      |        FROM nic GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT bk.k, n_items, n_raters,
+      |    CAST(n_items AS HUGEINT) * n_raters AS nr,
+      |    CAST(n_raters - 1 AS HUGEINT) AS rm1, s, t2
+      |  FROM bk JOIN tc ON tc.k = bk.k)
+      |SELECT k AS o_orderpriority, n_items, n_raters,
+      |  CAST(s - nr AS DOUBLE) / CAST(nr * rm1 AS DOUBLE) AS pbar,
+      |  CAST(t2 AS DOUBLE) / CAST(nr * nr AS DOUBLE) AS pe,
+      |  CASE WHEN nr * rm1 * (nr * nr - t2) = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST((s - nr) * nr * nr - nr * rm1 * t2 AS DOUBLE)
+      |       / CAST(nr * rm1 * (nr * nr - t2) AS DOUBLE) END AS kappa
+      |FROM f""".stripMargin
+
+  /** Group-fairness audit of a thresholded classifier per event type
+    * (Stats.fairnessAudit): label = spend >= $50, prediction = the
+    * props payload's k >= 50 — per-group confusion counts plus exact
+    * micro-scaled TPR / FPR / selection rates and their gaps to the
+    * all-rows baseline (equal opportunity, equalized odds, demographic
+    * parity). Pure integer arithmetic: 10^6-scaled truncating
+    * divisions (Spark div == DuckDB //), NULL on empty denominators. */
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    Stats.fairnessAudit(
+      t(s, dir, "events").select(col("event_type"),
+        when(cents(col("value")) >= 5000L, 1L).otherwise(0L).as("label"),
+        when(get_json_object(col("props"), "$.k").cast("long") >= 50L,
+          1L).otherwise(0L).as("pred")),
+      "event_type", "label", "pred")
+
+  private val q280Sql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+      |      THEN 1 ELSE 0 END AS label,
+      |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      >= 50 THEN 1 ELSE 0 END AS pred
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM d GROUP BY 1),
+      |o AS (
+      |  SELECT CAST(sum(tp) AS BIGINT) AS otp,
+      |    CAST(sum(fp) AS BIGINT) AS ofp, CAST(sum(fn) AS BIGINT) AS ofn,
+      |    CAST(sum(tn) AS BIGINT) AS otn, CAST(sum(n) AS BIGINT) AS onn
+      |  FROM c)
+      |SELECT event_type, n, tp, fp, fn, tn,
+      |  CASE WHEN tp + fn = 0 THEN NULL
+      |    ELSE 1000000 * tp // (tp + fn) END AS tpr_micro,
+      |  CASE WHEN fp + tn = 0 THEN NULL
+      |    ELSE 1000000 * fp // (fp + tn) END AS fpr_micro,
+      |  CASE WHEN n = 0 THEN NULL
+      |    ELSE 1000000 * (tp + fp) // n END AS sel_micro,
+      |  CASE WHEN tp + fn = 0 OR otp + ofn = 0 THEN NULL
+      |    ELSE 1000000 * tp // (tp + fn)
+      |       - 1000000 * otp // (otp + ofn) END AS tpr_gap_micro,
+      |  CASE WHEN fp + tn = 0 OR ofp + otn = 0 THEN NULL
+      |    ELSE 1000000 * fp // (fp + tn)
+      |       - 1000000 * ofp // (ofp + otn) END AS fpr_gap_micro,
+      |  CASE WHEN n = 0 OR onn = 0 THEN NULL
+      |    ELSE 1000000 * (tp + fp) // n
+      |       - 1000000 * (otp + ofp) // onn END AS sel_gap_micro
+      |FROM c CROSS JOIN o""".stripMargin
+
+  /** Mutual information between event type and the props payload's
+    * quartile per day-of-week (Stats.mutualInfoByKey): does the event
+    * type predict the payload bucket — the metadata-leakage /
+    * feature-relevance audit. Micro-nat quantized logs over exact
+    * integer counts (the jsdByKey discipline); NMI normalizes by the
+    * smaller marginal entropy. */
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    Stats.mutualInfoByKey(
+      t(s, dir, "events").select(
+        expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        col("event_type").as("x"),
+        expr("cast(get_json_object(props, '$.k') as long) div 25")
+          .as("y")),
+      "dow", "x", "y")
+
+  private val q281Sql =
+    """WITH d AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    event_type AS x,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS y
+      |  FROM events),
+      |cells AS (SELECT dow, x, y, CAST(count(*) AS BIGINT) AS c
+      |          FROM d GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT dow, x, y, c,
+      |    CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS n,
+      |    CAST(sum(c) OVER (PARTITION BY dow, x) AS BIGINT) AS rx,
+      |    CAST(sum(c) OVER (PARTITION BY dow, y) AS BIGINT) AS cy
+      |  FROM cells),
+      |lq AS (
+      |  SELECT dow, c, n,
+      |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS lc,
+      |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnn,
+      |    CAST(round(ln(CAST(rx AS DOUBLE)) * 1000000.0) AS BIGINT) AS lrx,
+      |    CAST(round(ln(CAST(cy AS DOUBLE)) * 1000000.0) AS BIGINT) AS lcy
+      |  FROM m),
+      |a AS (
+      |  SELECT dow, CAST(max(n) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_cells,
+      |    sum(CAST(c AS HUGEINT) * (lc + lnn - lrx - lcy)) AS smi,
+      |    sum(CAST(c AS HUGEINT) * (lnn - lrx)) AS shx,
+      |    sum(CAST(c AS HUGEINT) * (lnn - lcy)) AS shy
+      |  FROM lq GROUP BY 1),
+      |z AS (
+      |  SELECT dow, n, n_cells,
+      |    CAST(smi AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * 1000000 AS DOUBLE) AS mi,
+      |    CAST(shx AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * 1000000 AS DOUBLE) AS h_x,
+      |    CAST(shy AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * 1000000 AS DOUBLE) AS h_y
+      |  FROM a)
+      |SELECT dow, n, n_cells, mi, h_x, h_y,
+      |  CASE WHEN least(h_x, h_y) > 0 THEN mi / least(h_x, h_y)
+      |       ELSE CAST('nan' AS DOUBLE) END AS nmi
+      |FROM z""".stripMargin
+
+  /** Flesch readability profile per document
+    * (TextAnalysis.readabilityProfile) over a deterministically
+    * sentence-doctored corpus (every 'table' token ends a sentence —
+    * the synthetic corpus carries no punctuation of its own, so the
+    * doctoring exercises the real multi-sentence arithmetic on both
+    * engines identically). Integer counts; one exact division per
+    * score. */
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readabilityProfile(
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("replace(text, 'table', 'table.')").as("text")),
+      "doc_id", "text")
+
+  private val q282Sql =
+    """WITH d AS (
+      |  SELECT doc_id, replace(text, 'table', 'table.') AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS words,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS sentences,
+      |    CAST(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''),
+      |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+      |      AS BIGINT) AS syllables
+      |  FROM d)
+      |SELECT doc_id, words, sentences, syllables,
+      |  CAST(39 * words * words + 1180 * syllables * sentences
+      |    - 1559 * words * sentences AS DOUBLE)
+      |    / CAST(100 * words * sentences AS DOUBLE) AS fk_grade,
+      |  CAST(206835 * words * sentences - 1015 * words * words
+      |    - 84600 * syllables * sentences AS DOUBLE)
+      |    / CAST(1000 * words * sentences AS DOUBLE) AS flesch_ease
+      |FROM c""".stripMargin
+
+  /** HTML boilerplate strip + link-density line filter
+    * (TextAnalysis.stripBoilerplate): documents are wrapped in a
+    * deterministic page shell — title line, all-links nav bar, an ad
+    * block on every third doc, the body paragraph, an all-links
+    * footer — and the operator must keep exactly the title and body
+    * lines (the nav/ad/footer lines are >50% anchor text, the
+    * close-tag line strips to nothing). The md5 of the cleaned text
+    * pins the whole strip-filter-join pipeline bit-for-bit. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title></head><body>"), nl,
+      lit("<div class=\"nav\"><a href=\"/h\">home page</a> " +
+        "<a href=\"/a\">about us</a> <a href=\"/c\">contact</a></div>"),
+      nl,
+      when(pmod(col("n_chars"), lit(3)) === 0,
+        concat(lit("<div class=\"ad\">sponsored: <a href=\"/buy\">buy " +
+          "the best data engine now</a></div>"), nl))
+        .otherwise(lit("")),
+      lit("<p>"), col("text"), lit("</p>"), nl,
+      lit("<div class=\"footer\"><a href=\"/t\">terms</a> " +
+        "<a href=\"/p\">privacy</a></div>"), nl,
+      lit("</body></html>"))
+    TextAnalysis.stripBoilerplate(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("clean_chars"), md5(col("clean_text")).as("clean_hash"))
+  }
+
+  private val q283Sql = {
+    val strip = (l: String) => "trim(regexp_replace(regexp_replace(" +
+      s"$l, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source || '</title></head><body>'
+       |    || chr(10) ||
+       |    '<div class="nav"><a href="/h">home page</a> ' ||
+       |    '<a href="/a">about us</a> <a href="/c">contact</a></div>'
+       |    || chr(10) ||
+       |    CASE WHEN n_chars % 3 = 0 THEN
+       |      '<div class="ad">sponsored: <a href="/buy">buy the best ' ||
+       |      'data engine now</a></div>' || chr(10) ELSE '' END ||
+       |    '<p>' || text || '</p>' || chr(10) ||
+       |    '<div class="footer"><a href="/t">terms</a> ' ||
+       |    '<a href="/p">privacy</a></div>' || chr(10) ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |l AS (SELECT doc_id, string_split(html, chr(10)) AS lines FROM h),
+       |k AS (
+       |  SELECT doc_id, lines,
+       |    list_filter(lines, x -> len(${strip("x")}) > 0
+       |      AND 2 * coalesce(list_sum(list_transform(
+       |            regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1),
+       |            a -> len(${strip("a")}))), 0)
+       |          <= len(${strip("x")})) AS kept
+       |  FROM l),
+       |c AS (
+       |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    array_to_string(list_transform(kept, x -> ${strip("x")}), ' ')
+       |      AS clean
+       |  FROM k)
+       |SELECT doc_id, n_lines, n_kept,
+       |  CAST(len(clean) AS BIGINT) AS clean_chars,
+       |  md5(clean) AS clean_hash
+       |FROM c""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -11982,5 +12306,11 @@ object Queries {
     "q273_csv_ingest" -> Q(q273, Some(q273Sql)),
     "q274_poisson_bootstrap" -> Q(q274, Some(q274Sql)),
     "q275_top_component" -> Q(q275, Some(q275Sql)),
-    "q276_curation_e2e" -> Q(q276, Some(q276Sql)))
+    "q276_curation_e2e" -> Q(q276, Some(q276Sql)),
+    "q277_cohen_kappa" -> Q(q277, Some(q277Sql)),
+    "q278_fleiss_kappa" -> Q(q278, Some(q278Sql)),
+    "q280_fairness_audit" -> Q(q280, Some(q280Sql)),
+    "q281_mutual_info" -> Q(q281, Some(q281Sql)),
+    "q282_readability" -> Q(q282, Some(q282Sql)),
+    "q283_boilerplate_strip" -> Q(q283, Some(q283Sql)))
 }

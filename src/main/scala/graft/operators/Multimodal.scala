@@ -295,4 +295,64 @@ object Multimodal {
       .select(col(keyCol), (col("__first") - 1L).as("start_frame"),
         (col("__run") + 1L).as("n_frames"))
   }
+
+  /** The SDXL-style aspect-ratio bucket grid (public: the
+    * multi-aspect training recipe buckets every image to the nearest
+    * of a fixed (w, h) grid so batches share one shape). Order
+    * matters: ties resolve to the EARLIER bucket. */
+  val AspectBuckets: Seq[(Long, Long)] = Seq(
+    (1024L, 1024L), (1152L, 896L), (896L, 1152L), (1216L, 832L),
+    (832L, 1216L), (1344L, 768L), (768L, 1344L), (1536L, 640L),
+    (640L, 1536L))
+
+  /** ASPECT-RATIO BUCKET ASSIGNMENT for multi-aspect image training
+    * (the SDXL recipe): each (width, height) maps to the bucket
+    * minimizing the aspect-ratio distance |w/h − bw/bh|, so the
+    * dataloader can batch same-shape images without cropping surprises.
+    *
+    * Exactness: the argmin runs entirely in int64 — |w/h − bw/bh| =
+    * |w·bh − h·bw| / (h·bh), and with h common across candidates the
+    * ranking needs only |w·bh − h·bw| / bh, compared EXACTLY across
+    * buckets by scaling each to the shared denominator L = lcm of all
+    * bucket heights: cost_b = |w·bh − h·bw| · (L/bh). No floating
+    * point anywhere; ties take the earlier bucket in the grid (the
+    * square first). w, h are CHECKED positive and ≤ 10⁶ (keeps
+    * cost ≤ ~10¹⁵·L/bh within int64).
+    *
+    * Scale shape: ONE fold over the 9-bucket literal grid per row —
+    * map-only, codegen-friendly, no explode, no join, no shuffle.
+    * Output: input columns + (bucket_w, bucket_h, cost_scaled). */
+  def aspectBucketAssign(df: DataFrame, wCol: String,
+                         hCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Contracts.enforce(df,
+      Contracts.Bound(sum(when(col(wCol).isNull || col(hCol).isNull ||
+        col(wCol) <= 0L || col(hCol) <= 0L || col(wCol) > 1000000L ||
+        col(hCol) > 1000000L, 1L).otherwise(0L)), _ == 0L, b =>
+        s"aspectBucketAssign: $b rows carry NULL/non-positive/" +
+          "oversized dimensions (0 < w, h <= 1e6 required)"))
+    val lcm = AspectBuckets.map(_._2).foldLeft(BigInt(1))((a, b) =>
+      a * b / a.gcd(BigInt(b))).toLong
+    val grid = array(AspectBuckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(lit(i.toLong).as("i"), lit(bw).as("bw"), lit(bh).as("bh"),
+        lit(lcm / bh).as("m"))
+    }: _*)
+    val w = col(wCol).cast("long")
+    val h = col(hCol).cast("long")
+    val best = aggregate(grid,
+      struct(lit(Long.MaxValue).as("cost"), lit(0L).as("bw"),
+        lit(0L).as("bh")),
+      (acc, b) => {
+        val cost = abs(w * b.getField("bh") - h * b.getField("bw")) *
+          b.getField("m")
+        when(cost < acc.getField("cost"),
+          struct(cost.as("cost"), b.getField("bw").as("bw"),
+            b.getField("bh").as("bh"))).otherwise(acc)
+      })
+    df.withColumn("__b", best)
+      .withColumn("bucket_w", col("__b.bw"))
+      .withColumn("bucket_h", col("__b.bh"))
+      .withColumn("cost_scaled", col("__b.cost"))
+      .drop("__b")
+  }
 }

@@ -4198,4 +4198,291 @@ object Stats {
         (col("__f") - (totD * totD).cast("double") /
           col("__n").cast("double")).as("gain"))
   }
+
+  /** COHEN'S KAPPA inter-annotator agreement per key (Cohen 1960) —
+    * the label-QA gate a human-annotated training corpus needs before
+    * its labels are trusted: chance-corrected agreement between two
+    * raters over the same items,
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *
+    * with p_o the observed agreement rate and p_e the agreement
+    * expected from the raters' marginal label distributions alone.
+    *
+    * Exactness: everything reduces to integers — n rows, A agreeing
+    * rows, and P = Σ_c a_c·b_c the marginal-product sum over the two
+    * raters' per-category counts — and κ unrolls to ONE division of
+    * exact decimal(38,0) operands: κ = (n·A − P) / (n² − P) (multiply
+    * p_o − p_e and 1 − p_e through by n²). n ≤ 2·10⁹ per key CHECKED
+    * keeps n² ≤ 4·10¹⁸; the oracle replays in HUGEINT. A constant,
+    * identical pair of raters (p_e = 1) yields 0/0 → NaN, surfaced,
+    * not hidden. NULL ratings are rejected loudly (bucket them
+    * explicitly — an 'unlabeled' category — before calling).
+    *
+    * Scale shape: three map-side-combining hash aggregations (rows →
+    * per-key (n, A); rows → per-(key, category) counts per rater) and
+    * ONE co-partitioned full-outer join of the two bounded category
+    * histograms — no window, no sort, nothing data-sized past the
+    * first aggregation. Output: (key, n, n_agree, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, keyCol: String, r1Col: String,
+                 r2Col: String,
+                 maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val d = "decimal(38,0)"
+    val base = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(r1Col) === col(r2Col), 1L).otherwise(0L))
+          .as("n_agree"))
+      .localCheckpoint()
+    Contracts.enforce(base,
+      Contracts.Bound(max(col("n")), _ <= 2000000000L, n =>
+        s"cohenKappa: a key holds $n rows, exceeding the exact n^2 " +
+          "int64 contract (n <= 2e9 per key) — sample the rows per " +
+          "key first"))
+    val marg = catHist(df, keyCol, r1Col, "__a", "cohenKappa")
+      .join(catHist(df, keyCol, r2Col, "__b", "cohenKappa"),
+        Seq(keyCol, "__cat"), "full_outer")
+      .select(col(keyCol), col("__cat"),
+        coalesce(col("__a"), lit(0L)).as("__a"),
+        coalesce(col("__b"), lit(0L)).as("__b"))
+      .localCheckpoint()
+    requireBoundedPerKey(marg, keyCol, maxDistinctPerKey, "cohenKappa")
+    val p = marg.groupBy(col(keyCol))
+      .agg(sum(col("__a").cast(d) * col("__b").cast(d)).as("__p"))
+    val nD = col("n").cast(d)
+    val num = nD * col("n_agree").cast(d) - col("__p")
+    val den = nD * nD - col("__p")
+    base.join(p, keyCol)
+      .select(col(keyCol), col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double"))
+          .as("po"),
+        (col("__p").cast("double") / (nD * nD).cast("double")).as("pe"),
+        when(den === lit(0L).cast(d), lit(Double.NaN))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("kappa"))
+  }
+
+  /** FLEISS' KAPPA multi-rater agreement per key (Fleiss 1971) — the
+    * [[cohenKappa]] generalization for r > 2 raters per item (a
+    * labeling campaign where each document gets r independent
+    * judgments): chance-corrected mean pairwise agreement across all
+    * items, from the per-(item, category) rating counts n_ic alone.
+    *
+    * With N items, r ratings each, S = Σ_ic n_ic² and T_c = Σ_i n_ic:
+    *
+    *   P̄  = (S − N·r) / (N·r·(r−1))      mean observed agreement
+    *   P̄e = Σ_c T_c² / (N·r)²            chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *      = ((S − Nr)·(Nr)² − Nr(r−1)·ΣT²)
+    *        / (Nr(r−1)·((Nr)² − ΣT²))     — exact integers throughout.
+    *
+    * The rating-count contract is CHECKED, not assumed: every item
+    * within a key must carry the SAME number of ratings r ≥ 2 (Fleiss'
+    * formula is undefined otherwise — filter to complete items first),
+    * and N·r ≤ 10⁹ with r ≤ 10⁴ keeps the κ numerator ≤ (Nr)³·r ≤ 10³¹
+    * inside decimal(38,0) (oracle: HUGEINT). NULL items/categories are
+    * rejected loudly. P̄e = 1 (every rating in one category) → 0/0 →
+    * NaN, surfaced.
+    *
+    * Scale shape: rows → per-(key, item, category) counts in ONE
+    * map-side-combining aggregation, then two bounded reductions (per
+    * item, per category) — no window, no sort, no collect.
+    * Output: (key, n_items, n_raters, pbar, pe, kappa). */
+  def fleissKappa(df: DataFrame, keyCol: String, itemCol: String,
+                  catCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val nic = df.groupBy(col(keyCol), col(itemCol).as("__item"),
+        col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(itemCol).isNull || col(catCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(nic,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"fleissKappa: $b rating rows carry a NULL item or category — " +
+          "bucket them explicitly before calling"))
+    val perItem = nic.groupBy(col(keyCol), col("__item"))
+      .agg(sum(col("__c")).as("__r"),
+        sum(col("__c").cast(d) * col("__c").cast(d)).as("__s2"))
+      .localCheckpoint()
+    // the fixed-r contract, per key: min == max and r >= 2
+    Contracts.enforce(
+      perItem.groupBy(col(keyCol))
+        .agg(min(col("__r")).as("__rmin"), max(col("__r")).as("__rmax"),
+          count(lit(1)).as("__ni")),
+      Contracts.Bound(sum(when(col("__rmin") =!= col("__rmax"), 1L)
+        .otherwise(0L)), _ == 0L, k =>
+        s"fleissKappa: $k keys mix items with differing rating counts " +
+          "— Fleiss' kappa needs the same r per item; filter to " +
+          "complete items first"),
+      Contracts.Bound(min(col("__rmin")), _ >= 2L, r =>
+        s"fleissKappa: items carry r=$r ratings — agreement needs " +
+          "r >= 2"),
+      Contracts.Bound(max(col("__ni") * col("__rmax")),
+        _ <= 1000000000L, v =>
+          s"fleissKappa: a key holds N*r=$v ratings, exceeding the " +
+            "decimal(38,0) kappa contract (N*r <= 1e9) — sample items"),
+      Contracts.Bound(max(col("__rmax")), _ <= 10000L, r =>
+        s"fleissKappa: r=$r raters per item exceeds the r <= 1e4 " +
+          "contract"))
+    val byKey = perItem.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_items"), max(col("__r")).as("n_raters"),
+        sum(col("__s2")).as("__s"))
+    val tc = nic.groupBy(col(keyCol), col("__cat"))
+      .agg(sum(col("__c")).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__t").cast(d) * col("__t").cast(d)).as("__t2"))
+    val nr = col("n_items").cast(d) * col("n_raters").cast(d)
+    val rm1 = (col("n_raters") - 1L).cast(d)
+    val num = (col("__s") - nr) * nr * nr - nr * rm1 * col("__t2")
+    val den = nr * rm1 * (nr * nr - col("__t2"))
+    byKey.join(tc, keyCol)
+      .select(col(keyCol), col("n_items"), col("n_raters"),
+        ((col("__s") - nr).cast("double") / (nr * rm1).cast("double"))
+          .as("pbar"),
+        (col("__t2").cast("double") / (nr * nr).cast("double")).as("pe"),
+        when(den === lit(0L).cast(d), lit(Double.NaN))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("kappa"))
+  }
+
+  /** GROUP FAIRNESS AUDIT of a binary classifier — the bias gate an
+    * ML training/eval pipeline runs before a labeled or model-scored
+    * corpus ships: per-group confusion counts plus the three standard
+    * group-fairness rates and their gaps to the ALL-rows baseline —
+    * true-positive rate (equal opportunity), false-positive rate
+    * (equalized odds' second half), and selection rate (demographic
+    * parity).
+    *
+    * Exactness: counts are exact longs; every rate is the micro-scaled
+    * TRUNCATING integer division 10⁶·num div den (Spark `div` ==
+    * DuckDB `//` on non-negatives), so rates and gaps are exact
+    * integers — no IEEE anywhere. A group with an empty denominator
+    * (no positives / no negatives / no rows) reports NULL for that
+    * rate and its gap rather than a fake 0. Labels and predictions
+    * are CHECKED ∈ {0, 1} and non-NULL — fail loudly, don't guess.
+    *
+    * Scale shape: ONE map-side-combining aggregation to the bounded
+    * per-group confusion table, one single-row global reduction over
+    * it, one broadcast-sized cross join back — no window, no sort.
+    * Output: (group, n, tp, fp, fn, tn, tpr_micro, fpr_micro,
+    * sel_micro, tpr_gap_micro, fpr_gap_micro, sel_gap_micro). */
+  def fairnessAudit(df: DataFrame, groupCol: String, labelCol: String,
+                    predCol: String): DataFrame = {
+    val bad = (c: String) => when(col(c).isNull ||
+      (col(c) =!= 0L && col(c) =!= 1L), 1L).otherwise(0L)
+    val conf = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1L && col(predCol) === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col(labelCol) === 0L && col(predCol) === 1L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col(labelCol) === 1L && col(predCol) === 0L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col(labelCol) === 0L && col(predCol) === 0L, 1L)
+          .otherwise(0L)).as("tn"),
+        sum(bad(labelCol) + bad(predCol)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(conf,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"fairnessAudit: $b NULL or non-binary label/prediction " +
+          "values — encode both columns as {0, 1} longs first"),
+      Contracts.Bound(sum(col("n")), _ <= 1000000000000L, n =>
+        s"fairnessAudit: $n rows exceed the micro-rate int64 " +
+          "contract (1e12 rows)"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(call_function("div", num * 1000000L, den))
+    val overall = conf.agg(sum(col("tp")).as("__otp"),
+      sum(col("fp")).as("__ofp"), sum(col("fn")).as("__ofn"),
+      sum(col("tn")).as("__otn"), sum(col("n")).as("__on"))
+    conf.drop("__bad").crossJoin(broadcast(overall))
+      .select(col(groupCol), col("n"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        rate(col("tp"), col("tp") + col("fn")).as("tpr_micro"),
+        rate(col("fp"), col("fp") + col("tn")).as("fpr_micro"),
+        rate(col("tp") + col("fp"), col("n")).as("sel_micro"),
+        (rate(col("tp"), col("tp") + col("fn")) -
+          rate(col("__otp"), col("__otp") + col("__ofn")))
+          .as("tpr_gap_micro"),
+        (rate(col("fp"), col("fp") + col("tn")) -
+          rate(col("__ofp"), col("__ofp") + col("__otn")))
+          .as("fpr_gap_micro"),
+        (rate(col("tp") + col("fp"), col("n")) -
+          rate(col("__otp") + col("__ofp"), col("__on")))
+          .as("sel_gap_micro"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns per key —
+    * the feature-relevance / leakage audit (does the source predict
+    * the label? does a metadata field leak the split?): I(X; Y) in
+    * nats plus both marginal entropies and the min-normalized NMI.
+    *
+    *   I(X;Y) = Σ_xy p_xy · ln( p_xy / (p_x·p_y) )
+    *          = (1/n)  Σ_xy c_xy · (ln c_xy + ln n − ln r_x − ln c_y)
+    *
+    * Exactness/engine-parity: the micro-log discipline ([[jsdByKey]])
+    * — each ln runs ONCE over an exact integer (counts ≤ 2·10⁹ per
+    * key CHECKED, so every operand is an exactly-representable
+    * double), quantizes to int64 micro-nats, and the weighted sums
+    * form in decimal(38,0) (terms ≤ 2·10⁹·8·10⁷ ≤ 1.6·10¹⁷ per cell);
+    * the only remaining IEEE ops are the final divisions. Marginal
+    * entropies fall out of the SAME per-cell pass (Σ_y c_xy = r_x, so
+    * H(X)·n·10⁶ = Σ_xy c_xy·(lnq n − lnq r_x)). NMI = I/min(H_X, H_Y)
+    * (NaN when either marginal is constant — no information exists to
+    * normalize by). NULL categories are rejected loudly.
+    *
+    * Scale shape: ONE map-side-combining aggregation to the bounded
+    * per-(key, x, y) cell table (CHECKED ≤ maxDistinctPerKey cells
+    * per key), then key-partitioned windows over that bounded table
+    * for the marginals — never over raw rows — and one final per-key
+    * reduction. Output: (key, n, n_cells, mi, h_x, h_y, nmi). */
+  def mutualInfoByKey(df: DataFrame, keyCol: String, xCol: String,
+                      yCol: String,
+                      maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    val d = "decimal(38,0)"
+    val cells = df.groupBy(col(keyCol), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(xCol).isNull || col(yCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"mutualInfoByKey: $b rows carry a NULL category — bucket " +
+          "them explicitly (e.g. an 'unknown' value) before calling"))
+    requireBoundedPerKey(cells, keyCol, maxDistinctPerKey,
+      "mutualInfoByKey")
+    Contracts.enforce(
+      cells.groupBy(col(keyCol)).agg(sum(col("__c")).as("__n")),
+      Contracts.Bound(max(col("__n")), _ <= 2000000000L, n =>
+        s"mutualInfoByKey: a key holds $n rows, exceeding the exact " +
+          "micro-log contract (n <= 2e9 per key) — sample first"))
+    val perKey = Window.partitionBy(col(keyCol))
+    val withM = cells.drop("__bad")
+      .withColumn("__n", sum(col("__c")).over(perKey))
+      .withColumn("__rx", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol), col("__x"))))
+      .withColumn("__cy", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol), col("__y"))))
+    val cD = col("__c").cast(d)
+    val lnN = lnMicro(col("__n").cast("double"))
+    val agg = withM.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(cD * (lnMicro(col("__c").cast("double")) + lnN -
+          lnMicro(col("__rx").cast("double")) -
+          lnMicro(col("__cy").cast("double"))).cast(d)).as("__mi"),
+        sum(cD * (lnN - lnMicro(col("__rx").cast("double"))).cast(d))
+          .as("__hx"),
+        sum(cD * (lnN - lnMicro(col("__cy").cast("double"))).cast(d))
+          .as("__hy"))
+    val scale = (col("n").cast(d) * lit(1000000L).cast(d))
+      .cast("double")
+    val mi = col("__mi").cast("double") / scale
+    val hx = col("__hx").cast("double") / scale
+    val hy = col("__hy").cast("double") / scale
+    agg.select(col(keyCol), col("n"), col("n_cells"), mi.as("mi"),
+      hx.as("h_x"), hy.as("h_y"),
+      when(least(hx, hy) > 0.0, mi / least(hx, hy))
+        .otherwise(lit(Double.NaN)).as("nmi"))
+  }
 }

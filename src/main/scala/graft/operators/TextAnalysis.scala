@@ -2741,4 +2741,102 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__np")).as("n_pieces"))
   }
+
+  /** READABILITY PROFILE per document — Flesch reading ease and
+    * Flesch–Kincaid grade (Kincaid et al. 1975; the classic curation
+    * signal: too-hard and too-trivial documents both correlate with
+    * low training value, and per-source readability drift flags a
+    * scraper regression): whitespace words, sentence-mark sentences
+    * ([.!?]+ runs, floored at 1), and the standard vowel-group
+    * syllable heuristic (runs of [aeiouy] per word, floored at 1 —
+    * the public approximation every readability library uses).
+    *
+    * Exactness: W, S, Y are exact integer counts, and both scores
+    * unroll to ONE division of exact int64 operands over the common
+    * denominator W·S (coefficients ×100 / ×1000 clear the decimals):
+    *
+    *   grade·(100·W·S) = 39·W² + 1180·Y·S − 1559·W·S
+    *   ease·(1000·W·S) = 206835·W·S − 1015·W² − 84600·Y·S
+    *
+    * W ≤ 10⁶ per doc CHECKED keeps every product ≤ ~10¹⁵ in int64.
+    * Empty/NULL text is rejected loudly (a 0-word doc has no
+    * readability — filter first).
+    *
+    * Scale shape: pure per-row column expressions (map-only, one
+    * codegen stage, no shuffle, no UDF) — the regex work runs inside
+    * whole-stage codegen next to the scan.
+    * Output: (id, words, sentences, syllables, fk_grade, flesch_ease). */
+  def readabilityProfile(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    Contracts.enforce(df,
+      Contracts.Bound(sum(when(col(textCol).isNull ||
+        length(trim(col(textCol))) === 0, 1L).otherwise(0L)), _ == 0L,
+        b => s"readabilityProfile: $b NULL/empty documents — filter " +
+          "them out first (a 0-word doc has no readability)"))
+    val words = ws_tokens(col(textCol))
+    val w = size(words).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val y = aggregate(words, lit(0L), (acc, t) => acc +
+      greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+          .cast("long")))
+    val out = df.select(col(idCol), w.as("words"), s.as("sentences"),
+      y.as("syllables")).localCheckpoint()
+    Contracts.enforce(out,
+      Contracts.Bound(max(col("words")), _ <= 1000000L, m =>
+        s"readabilityProfile: a document holds $m words, exceeding " +
+          "the exact int64 score contract (1e6 words per doc) — " +
+          "chunk it first"))
+    val ws = col("words") * col("sentences")
+    out.select(col(idCol), col("words"), col("sentences"),
+      col("syllables"),
+      ((lit(39L) * col("words") * col("words") +
+        lit(1180L) * col("syllables") * col("sentences") -
+        lit(1559L) * ws).cast("double") /
+        (lit(100L) * ws).cast("double")).as("fk_grade"),
+      ((lit(206835L) * ws - lit(1015L) * col("words") * col("words") -
+        lit(84600L) * col("syllables") * col("sentences"))
+        .cast("double") / (lit(1000L) * ws).cast("double"))
+        .as("flesch_ease"))
+  }
+
+  /** HTML BOILERPLATE STRIP with per-line link-density filtering (the
+    * jusText/trafilatura-class cleanup every web-scraped corpus runs
+    * before dedup or quality scoring): tags are stripped per LINE, and
+    * a line is boilerplate — dropped — when over half its visible
+    * characters sit inside <a> anchors (nav bars, footers, "related
+    * links" blocks) or when nothing visible remains after tag removal.
+    *
+    * Deterministic by construction: anchor content length and
+    * stripped-line length are exact integer counts from the same two
+    * regexes on both engines (RE2 and Java regex agree on these
+    * patterns — no backreferences, lazy quantifiers only), and the
+    * keep rule is the exact integer comparison 2·link_chars ≤
+    * text_chars. Cleaned text is the kept lines' stripped forms
+    * joined by one space with runs of whitespace collapsed — so the
+    * output hash pins the entire pipeline.
+    *
+    * Scale shape: pure per-row column expressions (explode-free —
+    * lines are processed inside array HOFs), map-only, no UDF.
+    * Output: (id, n_lines, n_kept, clean_chars, clean_text). */
+  def stripBoilerplate(df: DataFrame, idCol: String,
+                       htmlCol: String): DataFrame = {
+    val lines = split(coalesce(col(htmlCol), lit("")), "\n")
+    val strippedOf = (l: Column) => trim(regexp_replace(
+      regexp_replace(l, "<[^>]*>", " "), "\\s+", " "))
+    val linkCharsOf = (l: Column) => aggregate(
+      regexp_extract_all(l, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0L), (acc, a) => acc + length(strippedOf(a)).cast("long"))
+    val kept = filter(lines, l => {
+      val t = length(strippedOf(l)).cast("long")
+      t > 0L && lit(2L) * linkCharsOf(l) <= t
+    })
+    val clean = array_join(transform(kept, strippedOf), " ")
+    df.select(col(idCol), size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      length(clean).cast("long").as("clean_chars"),
+      clean.as("clean_text"))
+  }
 }

@@ -1591,4 +1591,82 @@ class OperatorSpec extends SparkTestBase {
         s"trial=$trial: no backoff step ever fired — fixture too tame")
     }
   }
+
+  test("readabilityProfile: hand-counted words/sentences/syllables, " +
+    "vowel-less words floor at one syllable, empty text rejected") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps. it runs far! really?"),
+      (2L, "tsk tsk hmm"), // three vowel-less words -> 3 syllables, 1 sent
+      (3L, "beautiful analysis over there")).toDF("id", "text")
+    val got = TextAnalysis.readabilityProfile(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // doc 1: 9 words, 3 sentences; syllables: the=1 quick=2(ui,i? u-i is
+    // one group 'ui'; qu-i-ck: groups 'ui' -> 1... count per vowel-run:
+    // the(1) quick(ui=1) brown(o=1) fox(1) jumps.(u=1) it(1) runs(u=1)
+    // far!(1) really?(ea=1,y=1 -> 2) = 10
+    assert(got(1L)._1 == 9L && got(1L)._2 == 3L && got(1L)._3 == 10L)
+    assert(got(2L) == ((3L, 1L, 3L,
+      (39.0 * 9 + 1180 * 3 - 1559 * 3) / (100.0 * 3),
+      (206835.0 * 3 - 1015 * 9 - 84600 * 3) / (1000.0 * 3))))
+    // doc 3: beau-ti-ful? groups: eau=1,i=1,u=1 -> 3; analysis a=1,a=1,y=1,
+    // i=1 -> 4; over o=1,e=1 -> 2; there e=1,e=1 -> 2 => 11
+    assert(got(3L)._1 == 4L && got(3L)._2 == 1L && got(3L)._3 == 11L)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.readabilityProfile(
+        Seq((1L, "ok"), (2L, "  ")).toDF("id", "text"), "id", "text")
+    }
+    assert(e.getMessage.contains("NULL/empty"))
+  }
+
+  test("stripBoilerplate: link-dense lines drop, the exact-half boundary " +
+    "keeps, tags inside anchors strip, blank-after-strip lines drop") {
+    val html =
+      "<h1>Title Here</h1>\n" +                          // kept
+      "<div><a href=\"/x\">all links</a></div>\n" +      // 100% -> drop
+      "body text with <a href=\"/y\">a link</a> and more words\n" + // kept
+      "half <a>half</a>\n" +    // text="half half" 9, link 4, 8<=9 keep
+      "<br/> <hr>\n" +                                   // empty -> drop
+      // anchor content "bold link only" strips to 14 of 21 visible
+      // chars (tags INSIDE the anchor strip too) -> 67% link -> drop
+      "<p>nested <a href=\"/z\"><b>bold link</b> only</a></p>"
+    val got = TextAnalysis.stripBoilerplate(
+      Seq((7L, html)).toDF("id", "html"), "id", "html").collect().head
+    assert(got.getLong(1) == 6L, "n_lines")
+    assert(got.getLong(2) == 3L, "n_kept")
+    assert(got.getString(4) == "Title Here " +
+      "body text with a link and more words half half")
+    assert(got.getLong(3) == got.getString(4).length.toLong)
+  }
+
+  test("aspectBucketAssign: brute rational argmin parity, ties take the " +
+    "earlier bucket, bad dimensions rejected") {
+    val rnd = new scala.util.Random(61)
+    val dims = Seq.fill(300)((rnd.nextInt(2000) + 1L).toLong ->
+      (rnd.nextInt(2000) + 1L).toLong) ++
+      Seq((1024L, 1024L), (1536L, 640L), (640L, 1536L))
+    val df = dims.zipWithIndex
+      .map { case ((w, h), i) => (i.toLong, w, h) }.toDF("id", "w", "h")
+    val got = Multimodal.aspectBucketAssign(df, "w", "h")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      // brute: min over buckets of |w/h - bw/bh| compared as exact
+      // rationals |w*bh - h*bw| / bh (h cancels), first bucket on ties
+      val best = Multimodal.AspectBuckets.minBy { case (bw, bh) =>
+        (BigInt((w * bh - h * bw).abs) * Multimodal.AspectBuckets
+          .map(b => BigInt(b._2)).product / bh,
+          Multimodal.AspectBuckets.indexOf((bw, bh)))
+      }
+      assert(got(i.toLong) == best, s"($w, $h)")
+    }
+    // a (7, 7) square: exact 0 cost on the square bucket
+    assert(got(300L) == ((1024L, 1024L)))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.aspectBucketAssign(
+        Seq((1L, 0L, 5L)).toDF("id", "w", "h"), "w", "h")
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
 }

@@ -3433,4 +3433,170 @@ class StatsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("cohenKappa equals the brute marginal-product formula; constant " +
+    "identical raters -> NaN; NULL ratings rejected") {
+    val rnd = new scala.util.Random(57)
+    val cats = Array("a", "b", "c", "d")
+    val rows = (1 to 3).flatMap { k =>
+      Seq.fill(200)((k.toLong, cats(rnd.nextInt(4)), cats(rnd.nextInt(3))))
+    }
+    val got = Stats.cohenKappa(rows.toDF("k", "r1", "r2"), "k", "r1", "r2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.size.toLong
+      val agree = g.count(r => r._2 == r._3).toLong
+      val p = (cats ++ Seq("x")).map { c =>
+        BigInt(g.count(_._2 == c)) * BigInt(g.count(_._3 == c))
+      }.sum
+      val kappa = (BigInt(n) * agree - p).toDouble /
+        (BigInt(n) * n - p).toDouble
+      assert(got(k) == ((n, agree, agree.toDouble / n.toDouble,
+        p.toDouble / (n * n).toDouble, kappa)), s"k=$k")
+    }
+    // pe = 1: both raters constant and identical -> 0/0 -> NaN
+    val const = Seq.fill(10)((1L, "a", "a")).toDF("k", "r1", "r2")
+    assert(Stats.cohenKappa(const, "k", "r1", "r2")
+      .collect().head.getDouble(5).isNaN)
+    intercept[Throwable] {
+      Stats.cohenKappa(Seq((1L, "a", Option.empty[String]),
+          (1L, "b", Some("b"))).toDF("k", "r1", "r2"), "k", "r1", "r2")
+        .collect()
+    }
+  }
+
+  test("fleissKappa equals the brute per-item agreement formula; " +
+    "mixed rating counts and r=1 rejected") {
+    val rnd = new scala.util.Random(58)
+    val cats = Array("x", "y", "z")
+    // key 1: 40 items x 5 raters; key 2: 30 items x 3 raters
+    val rows = (1 to 40).flatMap(i => Seq.fill(5)(
+      (1L, i.toLong, cats(rnd.nextInt(3))))) ++
+      (1 to 30).flatMap(i => Seq.fill(3)(
+        (2L, i.toLong, cats(rnd.nextInt(2)))))
+    val got = Stats.fleissKappa(rows.toDF("k", "item", "cat"),
+        "k", "item", "cat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val items = g.groupBy(_._2)
+      val bigN = items.size.toLong
+      val r = g.size.toLong / bigN
+      val s = items.values.map(it => cats.map(c =>
+        BigInt(it.count(_._3 == c)).pow(2)).sum).sum
+      val t2 = cats.map(c => BigInt(g.count(_._3 == c)).pow(2)).sum
+      val nr = BigInt(bigN) * r
+      val pbar = (s - nr).toDouble / (nr * (r - 1)).toDouble
+      val pe = t2.toDouble / (nr * nr).toDouble
+      val kappa = ((s - nr) * nr * nr - nr * (r - 1) * t2).toDouble /
+        (nr * (r - 1) * (nr * nr - t2)).toDouble
+      assert(got(k) == ((bigN, r, pbar, pe, kappa)), s"k=$k")
+    }
+    val mixed = (Seq.fill(3)((1L, 1L, "x")) ++ Seq.fill(4)((1L, 2L, "y")))
+      .toDF("k", "item", "cat")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.fleissKappa(mixed, "k", "item", "cat").collect()
+    }
+    assert(e1.getMessage.contains("differing rating counts"))
+    val single = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "item", "cat")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.fleissKappa(single, "k", "item", "cat").collect()
+    }
+    assert(e2.getMessage.contains("r >= 2"))
+  }
+
+  test("fairnessAudit equals the brute confusion sweep with truncating " +
+    "micro rates; empty denominators -> NULL; non-binary rejected") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 4).flatMap { g =>
+      Seq.fill(150)((s"g$g", rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+    } ++ Seq.fill(20)(("g9", 1L, rnd.nextInt(2).toLong)) // no negatives
+    val got = Stats.fairnessAudit(rows.toDF("g", "label", "pred"),
+        "g", "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val otp = rows.count(r => r._2 == 1 && r._3 == 1).toLong
+    val ofp = rows.count(r => r._2 == 0 && r._3 == 1).toLong
+    val ofn = rows.count(r => r._2 == 1 && r._3 == 0).toLong
+    val otn = rows.count(r => r._2 == 0 && r._3 == 0).toLong
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val r = got(g)
+      val tp = rs.count(x => x._2 == 1 && x._3 == 1).toLong
+      val fp = rs.count(x => x._2 == 0 && x._3 == 1).toLong
+      val fn = rs.count(x => x._2 == 1 && x._3 == 0).toLong
+      val tn = rs.count(x => x._2 == 0 && x._3 == 0).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((rs.size.toLong, tp, fp, fn, tn)), s"g=$g")
+      def m(a: Long, b: Long): Option[Long] =
+        if (b == 0) None else Some(1000000L * a / b)
+      def gv(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(gv(6) == m(tp, tp + fn), s"tpr g=$g")
+      assert(gv(7) == m(fp, fp + tn), s"fpr g=$g")
+      assert(gv(8) == m(tp + fp, rs.size.toLong), s"sel g=$g")
+      def gap(a: Option[Long], b: Option[Long]) =
+        for (x <- a; y <- b) yield x - y
+      assert(gv(9) == gap(m(tp, tp + fn), m(otp, otp + ofn)))
+      assert(gv(10) == gap(m(fp, fp + tn), m(ofp, ofp + otn)))
+      assert(gv(11) == gap(m(tp + fp, rs.size.toLong),
+        m(otp + ofp, rows.size.toLong)))
+    }
+    assert(got("g9").isNullAt(7) && got("g9").isNullAt(10),
+      "no-negative group must report NULL FPR and gap")
+    val e = intercept[IllegalArgumentException] {
+      Stats.fairnessAudit(Seq(("a", 2L, 0L)).toDF("g", "label", "pred"),
+        "g", "label", "pred")
+    }
+    assert(e.getMessage.contains("non-binary"))
+  }
+
+  test("mutualInfoByKey equals the brute micro-nat fold; a bijective " +
+    "mapping pins mi == h_x == h_y and nmi == 1.0; NULLs rejected") {
+    val rnd = new scala.util.Random(60)
+    def q(x: Double): Long = BigDecimal.valueOf(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = (1 to 2).flatMap { k =>
+      Seq.fill(400)((k.toLong, s"x${rnd.nextInt(5)}",
+        s"y${rnd.nextInt(4)}"))
+    }
+    val got = Stats.mutualInfoByKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.size.toLong
+      val cells = g.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong)
+      val rx = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cy = g.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val smi = cells.map { case ((x, y), c) => BigInt(c) *
+        (q(c.toDouble) + q(n.toDouble) - q(rx(x).toDouble) -
+          q(cy(y).toDouble))
+      }.sum
+      val shx = cells.map { case ((x, _), c) =>
+        BigInt(c) * (q(n.toDouble) - q(rx(x).toDouble))
+      }.sum
+      val shy = cells.map { case ((_, y), c) =>
+        BigInt(c) * (q(n.toDouble) - q(cy(y).toDouble))
+      }.sum
+      val den = (BigInt(n) * 1000000).toDouble
+      val (mi, hx, hy) =
+        (smi.toDouble / den, shx.toDouble / den, shy.toDouble / den)
+      assert(got(k) == ((n, cells.size.toLong, mi, hx, hy,
+        mi / math.min(hx, hy))), s"k=$k")
+    }
+    // y a bijection of x: every cell has c == rx == cy, so the quantized
+    // mi and marginal entropies are IDENTICAL sums and nmi is exactly 1.0
+    val bij = (1 to 100).map(i => (1L, s"x${i % 4}", s"y${i % 4}"))
+    val r = Stats.mutualInfoByKey(bij.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().head
+    assert(r.getDouble(3) == r.getDouble(4) &&
+      r.getDouble(4) == r.getDouble(5) && r.getDouble(6) == 1.0)
+    intercept[Throwable] {
+      Stats.mutualInfoByKey(Seq((1L, "a", Option.empty[String]),
+          (1L, "b", Some("c"))).toDF("k", "x", "y"), "k", "x", "y")
+        .collect()
+    }
+  }
 }
