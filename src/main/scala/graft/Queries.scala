@@ -12025,6 +12025,136 @@ object Queries {
        |FROM c""".stripMargin
   }
 
+  /** Bradley–Terry strengths from pairwise preference contests
+    * (Stats.bradleyTerryStrengths, 10 MM rounds): each order's first
+    * two lineitems stage a "contest" between their part brands — the
+    * pricier item's brand wins (price tie → lexicographically smaller
+    * brand) — and the fixed-round integer MM recurrence ranks the 25
+    * brands. The oracle unrolls all 10 rounds as HUGEINT CTEs over
+    * the same smoothed pair table, replaying every truncating
+    * division. */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val l1 = li.where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk1"),
+        cents(col("l_extendedprice")).as("__e1"))
+    val l2 = li.where(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk2"),
+        cents(col("l_extendedprice")).as("__e2"))
+    val contests = l1.join(l2, "l_orderkey")
+      .join(part.select(col("p_partkey").as("__pk1"),
+        col("p_brand").as("__b1")), "__pk1")
+      .join(part.select(col("p_partkey").as("__pk2"),
+        col("p_brand").as("__b2")), "__pk2")
+      .where(col("__b1") =!= col("__b2"))
+      .select(
+        when(col("__e1") > col("__e2"), col("__b1"))
+          .when(col("__e2") > col("__e1"), col("__b2"))
+          .otherwise(least(col("__b1"), col("__b2"))).as("winner"),
+        when(col("__e1") > col("__e2"), col("__b2"))
+          .when(col("__e2") > col("__e1"), col("__b1"))
+          .otherwise(greatest(col("__b1"), col("__b2"))).as("loser"))
+    Stats.bradleyTerryStrengths(contests, "winner", "loser", rounds = 10)
+  }
+
+  private val q279Sql = {
+    val roundCtes = (1 to 10).map { k =>
+      s"""d$k AS (
+         |  SELECT s.i,
+         |    sum(s.n * CAST(1000000000000 AS HUGEINT)
+         |        // greatest(pi.p + pj.p, 1)) AS d
+         |  FROM sym s JOIN p${k - 1} pi ON pi.i = s.i
+         |  JOIN p${k - 1} pj ON pj.i = s.j GROUP BY 1),
+         |r$k AS (
+         |  SELECT wi.i, wi.w * CAST(1000000000000000000 AS HUGEINT)
+         |      // greatest(d$k.d, 1) AS r
+         |  FROM wins wi JOIN d$k ON d$k.i = wi.i),
+         |m$k AS (SELECT max(r) AS m FROM r$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT i, r * 1000000 // m AS p FROM r$k, m$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH l12 AS (
+       |  SELECT p1.p_brand AS b1, p2.p_brand AS b2,
+       |    CAST(round(l1.l_extendedprice * 100) AS BIGINT) AS e1,
+       |    CAST(round(l2.l_extendedprice * 100) AS BIGINT) AS e2
+       |  FROM lineitem l1
+       |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    AND l2.l_linenumber = 2
+       |  JOIN part p1 ON p1.p_partkey = l1.l_partkey
+       |  JOIN part p2 ON p2.p_partkey = l2.l_partkey
+       |  WHERE l1.l_linenumber = 1),
+       |raw AS (
+       |  SELECT CASE WHEN e1 > e2 THEN b1 WHEN e2 > e1 THEN b2
+       |              WHEN b1 < b2 THEN b1 ELSE b2 END AS winner,
+       |         CASE WHEN e1 > e2 THEN b2 WHEN e2 > e1 THEN b1
+       |              WHEN b1 < b2 THEN b2 ELSE b1 END AS loser
+       |  FROM l12 WHERE b1 != b2),
+       |pr AS (
+       |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+       |    CAST(count(*) AS HUGEINT) + 2 AS n
+       |  FROM raw GROUP BY 1, 2),
+       |sym AS MATERIALIZED (SELECT a AS i, b AS j, n FROM pr
+       |        UNION ALL SELECT b, a, n FROM pr),
+       |cont AS MATERIALIZED (
+       |  SELECT it, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT winner AS it FROM raw
+       |        UNION ALL SELECT loser FROM raw)
+       |  GROUP BY 1),
+       |wobs AS MATERIALIZED (SELECT winner AS it, CAST(count(*) AS BIGINT) AS w
+       |         FROM raw GROUP BY 1),
+       |vv AS (SELECT i AS it, CAST(count(*) AS HUGEINT) AS v
+       |       FROM sym GROUP BY 1),
+       |wins AS MATERIALIZED (
+       |  SELECT cont.it AS i, CAST(coalesce(wobs.w, 0) AS HUGEINT) + vv.v
+       |    AS w
+       |  FROM cont LEFT JOIN wobs USING (it) JOIN vv USING (it)),
+       |p0 AS MATERIALIZED (SELECT it AS i, CAST(1000000 AS HUGEINT) AS p FROM cont),
+       |$roundCtes
+       |SELECT cont.it AS item, cont.c AS n_contests,
+       |  CAST(coalesce(wobs.w, 0) AS BIGINT) AS n_wins,
+       |  CAST(p10.p AS BIGINT) AS strength_micro
+       |FROM cont LEFT JOIN wobs USING (it)
+       |JOIN p10 ON p10.i = cont.it""".stripMargin
+  }
+
+  /** SDXL-style aspect-ratio bucket assignment
+    * (Multimodal.aspectBucketAssign): deterministic synthetic image
+    * dimensions from the part table map to the nearest of the nine
+    * multi-aspect training buckets by EXACT integer rational argmin
+    * (costs scaled to the shared lcm denominator); ties take the
+    * earlier bucket. */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    Multimodal.aspectBucketAssign(
+      t(s, dir, "part").select(col("p_partkey"),
+        (lit(256L) + pmod(col("p_partkey") * 37L, lit(1280L))).as("w"),
+        (lit(256L) + pmod(col("p_partkey") * 53L, lit(1280L))).as("h")),
+      "w", "h")
+
+  private val q284Sql = {
+    val buckets = Multimodal.AspectBuckets.zipWithIndex
+      .map { case ((bw, bh), i) => s"($i, $bw, $bh)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT p_partkey,
+       |    CAST(256 + (p_partkey * 37) % 1280 AS BIGINT) AS w,
+       |    CAST(256 + (p_partkey * 53) % 1280 AS BIGINT) AS h
+       |  FROM part),
+       |b(i, bw, bh) AS (VALUES $buckets),
+       |c AS (
+       |  SELECT d.p_partkey, d.w, d.h,
+       |    CAST(b.bw AS BIGINT) AS bucket_w,
+       |    CAST(b.bh AS BIGINT) AS bucket_h,
+       |    abs(d.w * b.bh - d.h * b.bw) * (79672320 // b.bh) AS cost,
+       |    row_number() OVER (PARTITION BY d.p_partkey
+       |      ORDER BY abs(d.w * b.bh - d.h * b.bw) * (79672320 // b.bh),
+       |        b.i) AS rn
+       |  FROM d CROSS JOIN b)
+       |SELECT p_partkey, w, h, bucket_w, bucket_h,
+       |  CAST(cost AS BIGINT) AS cost_scaled
+       |FROM c WHERE rn = 1""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12312,5 +12442,7 @@ object Queries {
     "q280_fairness_audit" -> Q(q280, Some(q280Sql)),
     "q281_mutual_info" -> Q(q281, Some(q281Sql)),
     "q282_readability" -> Q(q282, Some(q282Sql)),
-    "q283_boilerplate_strip" -> Q(q283, Some(q283Sql)))
+    "q283_boilerplate_strip" -> Q(q283, Some(q283Sql)),
+    "q279_bradley_terry" -> Q(q279, Some(q279Sql)),
+    "q284_aspect_buckets" -> Q(q284, Some(q284Sql)))
 }

@@ -4485,4 +4485,102 @@ object Stats {
       when(least(hx, hy) > 0.0, mi / least(hx, hy))
         .otherwise(lit(Double.NaN)).as("nmi"))
   }
+
+  /** BRADLEY–TERRY STRENGTHS from pairwise preference contests
+    * (Bradley–Terry 1952; MM fit per Hunter 2004) — the
+    * preference-data operator an RLHF-style pipeline needs: given
+    * (winner, loser) comparison rows, fit each item's latent strength
+    * p_i under P(i beats j) = p_i / (p_i + p_j), by the standard
+    * minorization–maximization recurrence
+    *
+    *   p_i ← W_i / Σ_j n_ij / (p_i + p_j)
+    *
+    * run a FIXED `rounds` times from the uniform start. One virtual
+    * win in each direction is added per OBSERVED pair (the standard
+    * connectivity smoothing: keeps never-losing items finite and
+    * never-winning items positive without changing the argmax order).
+    *
+    * Exactness/engine-parity: the [[graft.operators.Similarity]]
+    * topPrincipalComponent discipline — the data-sized pass is two
+    * map-side-combining aggregations (unordered-pair counts n_ij and
+    * per-item win counts), both bounded by the CHECKED item universe
+    * (≤ 256 distinct items, so ≤ 32 640 pairs); the recurrence then
+    * runs DRIVER-SIDE as an exact BigInt iteration with truncating
+    * integer divisions at fixed scales — per-pair term
+    * n_ij·10¹² div max(p_i + p_j, 1), per-item raw = W_i·10¹⁸ div D_i,
+    * then L∞ re-normalization to p ∈ [0, 10⁶] — every step replayable
+    * by the oracle's unrolled round CTEs in HUGEINT `//`. Items are
+    * compared AS STRINGS (cast once at entry; deterministic across
+    * engines, no comparator ambiguity). NULL or self-contests are
+    * rejected loudly. Output one row per item:
+    * (item, n_contests, n_wins, strength_micro) — counts are the raw
+    * observed totals (pre-smoothing), strength L∞-normalized so the
+    * strongest item reads exactly 10⁶. */
+  def bradleyTerryStrengths(contests: DataFrame, winCol: String,
+                            loseCol: String,
+                            rounds: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"bradleyTerryStrengths: rounds must be in [1, 32], got $rounds")
+    val c = contests.select(col(winCol).cast("string").as("__w"),
+      col(loseCol).cast("string").as("__l")).localCheckpoint()
+    Contracts.enforce(c,
+      Contracts.Bound(sum(when(col("__w").isNull || col("__l").isNull ||
+        col("__w") === col("__l"), 1L).otherwise(0L)), _ == 0L, b =>
+        s"bradleyTerryStrengths: $b NULL or self-beating contests — " +
+          "filter them explicitly first"),
+      Contracts.Bound(count(lit(1)), _ <= 2000000000L, n =>
+        s"bradleyTerryStrengths: $n contests exceed the exact-count " +
+          "contract (2e9)"))
+    val items = c.select(col("__w").as("__it"))
+      .unionByName(c.select(col("__l").as("__it")))
+      .groupBy(col("__it")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    Contracts.enforce(items,
+      Contracts.Bound(count(lit(1)), _ <= 256L, k =>
+        s"bradleyTerryStrengths: $k distinct items exceed the " +
+          "driver-recurrence contract (<= 256) — bucket items first"))
+    val pairRows = c.groupBy(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val winRows = c.groupBy(col("__w").as("__it"))
+      .agg(count(lit(1)).as("__wins")).collect()
+    val itemRows = items.collect()
+    val ids = itemRows.map(_.getString(0)).sorted
+    val idx = ids.zipWithIndex.toMap
+    val k = ids.length
+    val nContests = Array.fill(k)(0L)
+    itemRows.foreach(r => nContests(idx(r.getString(0))) = r.getLong(1))
+    val obsWins = Array.fill(k)(0L)
+    winRows.foreach(r => obsWins(idx(r.getString(0))) = r.getLong(1))
+    // smoothing: +2 on each observed pair, +1 win each side
+    val pairN = pairRows.map(r => (idx(r.getString(0)),
+      idx(r.getString(1)), BigInt(r.getLong(2)) + 2))
+    val w = Array.tabulate(k)(i => BigInt(obsWins(i)))
+    pairN.foreach { case (a, b, _) => w(a) += 1; w(b) += 1 }
+    val sc12 = BigInt(10).pow(12)
+    val sc18 = BigInt(10).pow(18)
+    var p = Array.fill(k)(BigInt(1000000))
+    (1 to rounds).foreach { _ =>
+      val d = Array.fill(k)(BigInt(0))
+      pairN.foreach { case (a, b, n) =>
+        val t = n * sc12 / (p(a) + p(b)).max(BigInt(1))
+        d(a) += t; d(b) += t
+      }
+      val raw = Array.tabulate(k)(i => w(i) * sc18 / d(i).max(BigInt(1)))
+      val mx = raw.max
+      p = raw.map(r => r * 1000000 / mx)
+    }
+    val spark = contests.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until k).map(i => Row(ids(i), nContests(i), obsWins(i),
+          p(i).toLong)).toIndexedSeq, 1),
+      StructType(Seq(StructField("item", StringType),
+        StructField("n_contests", LongType),
+        StructField("n_wins", LongType),
+        StructField("strength_micro", LongType))))
+  }
 }

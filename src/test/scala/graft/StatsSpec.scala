@@ -3599,4 +3599,77 @@ class StatsSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
+    "pins 1e6, double-MM ranking agrees on a balanced design, " +
+    "self-contests rejected") {
+    val rnd = new scala.util.Random(62)
+    // balanced random tournament over 6 items with distinct true skills
+    val skill = Map("a" -> 0.9, "b" -> 0.75, "c" -> 0.6, "d" -> 0.45,
+      "e" -> 0.3, "f" -> 0.15)
+    val items = skill.keys.toSeq.sorted
+    val contests = (for {
+      i <- items; j <- items if i < j
+      _ <- 1 to 60
+    } yield {
+      val pi = skill(i) / (skill(i) + skill(j))
+      if (rnd.nextDouble() < pi) (i, j) else (j, i)
+    })
+    val got = Stats.bradleyTerryStrengths(
+        contests.toDF("winner", "loser"), "winner", "loser", rounds = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent integer replay of the published MM recurrence
+    val idx = items.zipWithIndex.toMap
+    val nij = scala.collection.mutable.Map[(Int, Int), BigInt]()
+    contests.foreach { case (w, l) =>
+      val (a, b) = (idx(w) min idx(l), idx(w) max idx(l))
+      nij((a, b)) = nij.getOrElse((a, b), BigInt(0)) + 1
+    }
+    val wins = Array.tabulate(6)(i =>
+      BigInt(contests.count(_._1 == items(i))))
+    nij.keys.foreach { case (a, b) =>
+      nij((a, b)) += 2; wins(a) += 1; wins(b) += 1
+    }
+    var p = Array.fill(6)(BigInt(1000000))
+    (1 to 10).foreach { _ =>
+      val d = Array.fill(6)(BigInt(0))
+      nij.foreach { case ((a, b), n) =>
+        val t = n * BigInt(10).pow(12) / (p(a) + p(b)).max(BigInt(1))
+        d(a) += t; d(b) += t
+      }
+      val raw = Array.tabulate(6)(i =>
+        wins(i) * BigInt(10).pow(18) / d(i).max(BigInt(1)))
+      val mx = raw.max
+      p = raw.map(_ * 1000000 / mx)
+    }
+    items.zipWithIndex.foreach { case (it, i) =>
+      assert(got(it)._3 == p(i).toLong, s"item=$it")
+      assert(got(it)._1 == contests.count(c => c._1 == it || c._2 == it))
+      assert(got(it)._2 == contests.count(_._1 == it))
+    }
+    // double-precision MM reference ranking must agree (balanced design)
+    var q = Array.fill(6)(1.0)
+    (1 to 200).foreach { _ =>
+      q = Array.tabulate(6) { i =>
+        val d = (0 until 6).map { j =>
+          if (i == j) 0.0
+          else nij.getOrElse((i min j, i max j), BigInt(0)).toDouble /
+            (q(i) + q(j))
+        }.sum
+        wins(i).toDouble / d
+      }
+      val s = q.max
+      q = q.map(_ / s)
+    }
+    val wantOrder = items.sortBy(it => -q(idx(it)))
+    val gotOrder = items.sortBy(it => -got(it)._3)
+    assert(gotOrder == wantOrder, s"ranking: $gotOrder != $wantOrder")
+    // a dominant item normalizes to exactly 1e6
+    assert(got(gotOrder.head)._3 == 1000000L)
+    intercept[IllegalArgumentException] {
+      Stats.bradleyTerryStrengths(Seq(("a", "a")).toDF("w", "l"),
+        "w", "l")
+    }
+  }
 }
