@@ -12155,6 +12155,52 @@ object Queries {
        |FROM c WHERE rn = 1""".stripMargin
   }
 
+  /** First-fit-decreasing sequence packing per language
+    * (TextAnalysis.packFirstFitDecreasing, capacity 128): whole
+    * documents pack longest-first into 128-token context windows —
+    * the padding-minimizing LLM-pretraining layout. The oracle
+    * replays the greedy fold step-by-step as a recursive CTE carrying
+    * the bin-load list, so every assignment is pinned. */
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packFirstFitDecreasing(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ntok")),
+      "lang", "doc_id", "ntok", capacity = 128L)
+
+  private val q285Sql = {
+    val fits = "list_filter(range(1, len(f.loads) + 1), " +
+      "i -> f.loads[i] + o.tok <= 128)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+       |      '\\s+'), x -> x != '')) AS BIGINT) AS tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT lang, doc_id, tok,
+       |    row_number() OVER (PARTITION BY lang ORDER BY tok DESC,
+       |      doc_id) AS rn
+       |  FROM d),
+       |ffd AS (
+       |  SELECT lang, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS tok, CAST(NULL AS BIGINT) AS bin,
+       |    CAST([] AS BIGINT[]) AS loads
+       |  FROM (SELECT DISTINCT lang FROM o)
+       |  UNION ALL
+       |  SELECT o.lang, o.rn, o.doc_id, o.tok,
+       |    CASE WHEN len($fits) > 0
+       |         THEN CAST($fits[1] - 1 AS BIGINT)
+       |         ELSE CAST(len(f.loads) AS BIGINT) END,
+       |    CASE WHEN len($fits) > 0
+       |         THEN list_transform(range(1, len(f.loads) + 1),
+       |                i -> CASE WHEN i = $fits[1]
+       |                     THEN f.loads[i] + o.tok
+       |                     ELSE f.loads[i] END)
+       |         ELSE list_append(f.loads, o.tok) END
+       |  FROM ffd f JOIN o ON o.lang = f.lang AND o.rn = f.rn + 1)
+       |SELECT lang, doc_id, tok AS tokens, bin
+       |FROM ffd WHERE rn > 0""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12444,5 +12490,6 @@ object Queries {
     "q282_readability" -> Q(q282, Some(q282Sql)),
     "q283_boilerplate_strip" -> Q(q283, Some(q283Sql)),
     "q279_bradley_terry" -> Q(q279, Some(q279Sql)),
-    "q284_aspect_buckets" -> Q(q284, Some(q284Sql)))
+    "q284_aspect_buckets" -> Q(q284, Some(q284Sql)),
+    "q285_ffd_packing" -> Q(q285, Some(q285Sql)))
 }

@@ -1017,3 +1017,44 @@ case class TokenBucket(child: Expression, capacityMilli: Long,
   override protected def withNewChildInternal(newChild: Expression): TokenBucket =
     copy(child = newChild)
 }
+
+/** First-fit-decreasing bin assignment over a PRE-SORTED token-count
+  * array: position i of the input (already ordered tokens-desc by the
+  * caller) gets the first bin whose load + tokens(i) fits `capacity`,
+  * else opens a new bin; returns the per-position bin ids. One tight
+  * O(n·bins) primitive loop per row — the `aggregate` HOF formulation
+  * re-evaluates the first-fit scan once per array element of every
+  * step's load-update lambda (measured 163 s at sf0.1 where this
+  * expression runs the identical fold in under a second). Inputs are
+  * validated by the operator ([[graft.operators.TextAnalysis
+  * .packFirstFitDecreasing]]): tokens ∈ [1, capacity]. */
+case class FfdPack(child: Expression, capacity: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(capacity >= 1L, s"ffd_pack needs capacity >= 1, got $capacity")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ffd_pack"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"ffd_pack needs array<long>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < n) {
+      val tok = arr.getLong(i)
+      var b = 0
+      while (b < loads.length && loads(b) + tok > capacity) b += 1
+      if (b < loads.length) loads(b) += tok else loads += tok
+      out(i) = b
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FfdPack =
+    copy(child = newChild)
+}

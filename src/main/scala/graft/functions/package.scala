@@ -379,6 +379,11 @@ package object functions {
   def chunk_spans(tokens: Column, chunkTokens: Int, overlap: Int): Column =
     ExprBridge.column(ChunkSpans(col2expr(tokens), chunkTokens, overlap))
 
+  /** First-fit-decreasing bin ids for a pre-sorted token-count array —
+    * one O(n·bins) pass per row (see [[FfdPack]]). */
+  def ffd_pack(tokens: Column, capacity: Long): Column =
+    ExprBridge.column(FfdPack(col2expr(tokens), capacity))
+
   /** One BPE merge application over a symbol array: every adjacent
     * (a, b) becomes a+b in one greedy left-to-right pass (see
     * [[MergeAdjacentPair]]). */

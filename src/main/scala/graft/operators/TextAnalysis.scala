@@ -2742,6 +2742,67 @@ object TextAnalysis {
         sum(col("__np")).as("n_pieces"))
   }
 
+  /** FIRST-FIT-DECREASING SEQUENCE PACKING per key — the padding-
+    * minimizing alternative to [[packingOffsets]]' concat-then-chunk
+    * layout: whole documents (never split) pack into fixed-capacity
+    * context windows, longest first, each into the first bin it fits
+    * (Johnson 1973 — FFD wastes ≤ 11/9·OPT + 1 bins; the standard
+    * LLM-pretraining "sequence packing" recipe when document
+    * integrity matters, e.g. contrastive or instruction data).
+    *
+    * Determinism: docs order by (tokens DESC, id ASC) — ties broken by
+    * id — and the greedy fold is a pure function of that order, so the
+    * assignment is reproducible across runs, engines and
+    * partitionings (the oracle replays the identical fold as a
+    * recursive CTE). Token counts are CHECKED ∈ [1, capacity] (an
+    * oversize doc cannot pack — chunk it first with [[chunkOffsets]])
+    * and NULL ids are rejected.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a key, so
+    * the fold runs inside ONE [[graft.functions.FfdPack]] expression
+    * over the key's collected doc list — bounded by the CHECKED
+    * maxDocsPerKey contract — and keys pack in parallel: at corpus
+    * scale the key (a hash shard, a source, a language) IS the packing
+    * parallelism, exactly like [[packingOffsets]]' buckets. The fold
+    * is a custom single-pass expression, NOT an `aggregate` HOF:
+    * CollapseProject re-inlines the first-fit scan into the
+    * load-update lambda where it re-runs per array element (measured
+    * 163 s vs <1 s at sf0.1). O(docs·bins) comparisons per key, no
+    * shuffle beyond the one groupBy.
+    * Output: (key, id, tokens, bin) — bin ids dense from 0 per key. */
+  def packFirstFitDecreasing(df: DataFrame, keyCol: String, idCol: String,
+                             tokCol: String, capacity: Long,
+                             maxDocsPerKey: Long = 100000L): DataFrame = {
+    require(capacity >= 1L,
+      s"packFirstFitDecreasing: capacity must be >= 1, got $capacity")
+    val rows = df.select(col(keyCol), col(idCol).as("__id"),
+      col(tokCol).cast("long").as("__tok")).localCheckpoint()
+    Contracts.enforce(rows,
+      Contracts.Bound(sum(when(col("__id").isNull || col("__tok").isNull ||
+        col("__tok") < 1L || col("__tok") > capacity, 1L).otherwise(0L)),
+        _ == 0L, b =>
+          s"packFirstFitDecreasing: $b rows carry a NULL id or a token " +
+            s"count outside [1, capacity=$capacity] — chunk oversize " +
+            "docs first (chunkOffsets) and drop empties"))
+    Contracts.boundedPerKey(rows, keyCol, maxDocsPerKey,
+      "packFirstFitDecreasing", "documents",
+      "Pack within finer keys (add a hash-shard column) to bound the " +
+        "per-key sequential fold.", "bounded-fold")
+    val sorted = rows.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        (-col("__tok")).as("s1"), col("__id").as("s2"),
+        col("__tok").as("tok")))).as("__sorted"))
+    val folded = sorted.withColumn("__asg",
+      ffd_pack(transform(col("__sorted"), _.getField("tok")), capacity))
+    folded
+      .select(col(keyCol), posexplode(zip_with(col("__sorted"),
+        col("__asg"), (d, b) => struct(
+          d.getField("s2").as("id"), d.getField("tok").as("tokens"),
+          b.cast("long").as("bin")))))
+      .select(col(keyCol), col("col.id").as(idCol),
+        col("col.tokens").as("tokens"), col("col.bin").as("bin"))
+  }
+
   /** READABILITY PROFILE per document — Flesch reading ease and
     * Flesch–Kincaid grade (Kincaid et al. 1975; the classic curation
     * signal: too-hard and too-trivial documents both correlate with

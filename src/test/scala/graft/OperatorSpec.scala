@@ -1669,4 +1669,44 @@ class OperatorSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("non-positive"))
   }
+
+  test("packFirstFitDecreasing equals the brute greedy walk, every bin " +
+    "respects capacity, oversize and NULL docs rejected, per-key " +
+    "fold bound enforced") {
+    val rnd = new scala.util.Random(63)
+    val cap = 50L
+    val rows = (1 to 3).flatMap { k =>
+      (1 to 120).map(i => (s"k$k", i.toLong, rnd.nextInt(50) + 1L))
+    }
+    val got = TextAnalysis.packFirstFitDecreasing(
+        rows.toDF("k", "id", "tok"), "k", "id", "tok", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      // brute FFD: sort by (tok desc, id asc), first fitting bin
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      val want = g.sortBy(r => (-r._3, r._2)).map { case (_, id, tok) =>
+        val i = bins.indexWhere(_ + tok <= cap)
+        val bin = if (i >= 0) { bins(i) += tok; i.toLong }
+          else { bins += tok; bins.size - 1L }
+        (id, tok, bin)
+      }
+      want.foreach { case (id, tok, bin) =>
+        assert(got((k, id)) == ((tok, bin)), s"k=$k id=$id")
+      }
+      assert(bins.forall(_ <= cap))
+      assert(bins.sum == g.map(_._3).sum)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.packFirstFitDecreasing(
+        Seq(("a", 1L, 51L)).toDF("k", "id", "tok"), "k", "id", "tok", cap)
+    }
+    assert(e1.getMessage.contains("outside [1, capacity"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.packFirstFitDecreasing(
+        (1 to 30).map(i => ("a", i.toLong, 3L)).toDF("k", "id", "tok"),
+        "k", "id", "tok", cap, maxDocsPerKey = 10L)
+    }
+    assert(e2.getMessage.contains("bounded-fold"))
+  }
 }
