@@ -4367,7 +4367,17 @@ object Stats {
     * Output: (group, n, tp, fp, fn, tn, tpr_micro, fpr_micro,
     * sel_micro, tpr_gap_micro, fpr_gap_micro, sel_gap_micro). */
   def fairnessAudit(df: DataFrame, groupCol: String, labelCol: String,
-                    predCol: String): DataFrame = {
+                    predCol: String): DataFrame =
+    fairnessFromConf(
+      confusionHist(df, groupCol, labelCol, predCol, "fairnessAudit"),
+      groupCol)
+
+  /** The validated per-group confusion table behind [[fairnessAudit]]
+    * and the streaming twin — counts are additive over disjoint row
+    * sets, so maintainers fold these histograms directly. */
+  private[graft] def confusionHist(df: DataFrame, groupCol: String,
+                                   labelCol: String, predCol: String,
+                                   op: String): DataFrame = {
     val bad = (c: String) => when(col(c).isNull ||
       (col(c) =!= 0L && col(c) =!= 1L), 1L).otherwise(0L)
     val conf = df.groupBy(col(groupCol))
@@ -4384,18 +4394,25 @@ object Stats {
       .localCheckpoint()
     Contracts.enforce(conf,
       Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
-        s"fairnessAudit: $b NULL or non-binary label/prediction " +
+        s"$op: $b NULL or non-binary label/prediction " +
           "values — encode both columns as {0, 1} longs first"),
       Contracts.Bound(sum(col("n")), _ <= 1000000000000L, n =>
-        s"fairnessAudit: $n rows exceed the micro-rate int64 " +
+        s"$op: $n rows exceed the micro-rate int64 " +
           "contract (1e12 rows)"))
+    conf.drop("__bad")
+  }
+
+  /** The metric tail over a validated confusion table (see
+    * [[fairnessAudit]] for semantics). */
+  private[graft] def fairnessFromConf(conf: DataFrame,
+                                      groupCol: String): DataFrame = {
     def rate(num: Column, den: Column): Column =
       when(den === 0L, lit(null).cast("long"))
         .otherwise(call_function("div", num * 1000000L, den))
     val overall = conf.agg(sum(col("tp")).as("__otp"),
       sum(col("fp")).as("__ofp"), sum(col("fn")).as("__ofn"),
       sum(col("tn")).as("__otn"), sum(col("n")).as("__on"))
-    conf.drop("__bad").crossJoin(broadcast(overall))
+    conf.crossJoin(broadcast(overall))
       .select(col(groupCol), col("n"), col("tp"), col("fp"), col("fn"),
         col("tn"),
         rate(col("tp"), col("tp") + col("fn")).as("tpr_micro"),

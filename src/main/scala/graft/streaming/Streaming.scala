@@ -1865,6 +1865,68 @@ object Streaming {
     }
   }
 
+  /** Live group-fairness monitor — the streaming twin of
+    * [[graft.operators.Stats.fairnessAudit]] (q280), the
+    * [[PrCurveMaintainer]] pattern over the per-group confusion
+    * table: each micro-batch of labeled+predicted rows folds into the
+    * five additive counts per group (counts additive over disjoint
+    * row sets → streamed == batch is STRUCTURAL: [[audit]] serves the
+    * batch operator's own `fairnessFromConf` tail), so the live "is
+    * the classifier drifting against a group" readout never rescans
+    * labeled history. State: one row per group — bounded by group
+    * cardinality, never rows. NULL / non-binary labels fail loudly
+    * per batch (the same validated path as batch). */
+  final class FairnessMaintainer(initial: DataFrame, groupCol: String,
+                                 labelCol: String, predCol: String) {
+    import graft.operators.Stats
+    private var conf: DataFrame = Stats.confusionHist(initial, groupCol,
+      labelCol, predCol, "FairnessMaintainer")
+
+    /** Exact [[graft.operators.Stats.fairnessAudit]] of every row
+      * folded so far, served from state. */
+    def audit(): DataFrame = synchronized {
+      Stats.fairnessFromConf(conf, groupCol)
+    }
+
+    /** Fold one micro-batch of labeled rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.confusionHist(batch, groupCol, labelCol, predCol,
+        "FairnessMaintainer")
+      conf = conf.unionByName(h)
+        .groupBy(col(groupCol))
+        .agg(sum(col("n")).as("n"), sum(col("tp")).as("tp"),
+          sum(col("fp")).as("fp"), sum(col("fn")).as("fn"),
+          sum(col("tn")).as("tn"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the confusion state for [[FairnessMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      conf.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object FairnessMaintainer {
+    /** Resume a [[FairnessMaintainer.checkpoint]]. Configuration is
+      * not state — pass the SAME column names the original monitor
+      * ran with (the [[PsiMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, groupCol: String,
+                labelCol: String, predCol: String): FairnessMaintainer = {
+      val conf = spark.read.parquet(dir)
+      val empty = conf.limit(0)
+        .select(col(groupCol), lit(0L).as(labelCol), lit(0L).as(predCol))
+      val m = new FairnessMaintainer(empty, groupCol, labelCol, predCol)
+      m.conf = conf.localCheckpoint()
+      m
+    }
+  }
+
   object PsiMaintainer {
     /** Resume a [[PsiMaintainer.checkpoint]]. Configuration
       * (keyCol/catCol/maxDistinctPerKey) is not state — pass the SAME

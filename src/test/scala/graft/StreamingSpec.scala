@@ -1028,6 +1028,52 @@ class StreamingSpec extends SparkTestBase {
       "restored curve != batch prCurve of the accumulated rows")
   }
 
+  test("fairness maintainer serves batch parity live, rejects " +
+    "non-binary labels, and checkpoint/restores") {
+    import graft.operators.Stats
+    def fa(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), g(6), g(7), g(8), g(9), g(10),
+          g(11))
+      }.toSet
+    val rnd = new scala.util.Random(272)
+    def mkRows(n: Int): Seq[(String, Long, Long)] =
+      Seq.fill(n)((s"g${rnd.nextInt(3)}", rnd.nextInt(2).toLong,
+        rnd.nextInt(2).toLong))
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val m = new Streaming.FairnessMaintainer(
+      hist.toSeq.toDF("g", "label", "pred"), "g", "label", "pred")
+    def expect() = fa(Stats.fairnessAudit(
+      hist.toSeq.toDF("g", "label", "pred"), "g", "label", "pred"))
+    (1 to 3).foreach { i =>
+      val b = mkRows(80)
+      hist ++= b
+      m.applyBatch(b.toDF("g", "label", "pred"))
+      assert(fa(m.audit()) == expect(), s"audit after batch $i")
+    }
+    // non-binary label fails loudly BEFORE touching state
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq(("g1", 2L, 0L)).toDF("g", "label", "pred"))
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("FairnessMaintainer"))
+    assert(fa(m.audit()) == expect(), "rejected batch mutated state")
+    val dir = java.nio.file.Files.createTempDirectory("fairckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.FairnessMaintainer.restore(spark, dir,
+      "g", "label", "pred")
+    val b4 = mkRows(60)
+    hist ++= b4
+    m.applyBatch(b4.toDF("g", "label", "pred"))
+    restored.applyBatch(b4.toDF("g", "label", "pred"))
+    assert(fa(restored.audit()) == fa(m.audit()),
+      "restored monitor diverged from the live one")
+    assert(fa(restored.audit()) == expect(),
+      "restored audit != batch fairnessAudit of the accumulated rows")
+  }
+
   test("noisy-counts maintainer re-releases the batch release live, " +
     "same noise draw per key, NULL keys rejected, checkpoint/restores") {
     import graft.operators.Stats
