@@ -12201,6 +12201,97 @@ object Queries {
        |FROM ffd WHERE rn > 0""".stripMargin
   }
 
+  /** Top-two principal components of the embedding corpus by deflated
+    * power iteration (Similarity.topTwoComponents, 12+12 rounds) —
+    * the all-but-the-top residual-anisotropy audit: share2 is what
+    * anisotropy remains after removing the dominant direction. The
+    * oracle unrolls BOTH phases — the q275 v1 rounds plus the
+    * quantize → project-out-v1 (truncating HUGEINT division) →
+    * re-quantize deflation rounds — as materialized CTEs. */
+  private def q286(s: SparkSession, dir: String): DataFrame =
+    Similarity.topTwoComponents(t(s, dir, "embeddings"), "embedding",
+      rounds = 12)
+
+  private val q286Sql = {
+    val v1Rounds = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i, sum(c.c * v${k - 1}.v) AS w
+         |  FROM c JOIN v${k - 1} ON v${k - 1}.j = c.j GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS mw FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i AS j,
+         |  CAST(CASE WHEN mw = 0 THEN 0
+         |    ELSE round(CAST(w AS DOUBLE) * 1000000.0
+         |               / CAST(mw AS DOUBLE)) END AS HUGEINT) AS v
+         |  FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    val v2Rounds = (1 to 12).map { k =>
+      s"""uw$k AS MATERIALIZED (SELECT c.i, sum(c.c * u${k - 1}.v) AS w
+         |  FROM c JOIN u${k - 1} ON u${k - 1}.j = c.j GROUP BY 1),
+         |um$k AS (SELECT max(abs(w)) AS mw FROM uw$k),
+         |uq$k AS MATERIALIZED (SELECT i,
+         |  CAST(CASE WHEN mw = 0 THEN 0
+         |    ELSE round(CAST(w AS DOUBLE) * 1000000.0
+         |               / CAST(mw AS DOUBLE)) END AS HUGEINT) AS v
+         |  FROM uw$k, um$k),
+         |tn$k AS (SELECT sum(v12.v * uq$k.v) AS tn
+         |  FROM uq$k JOIN v12 ON v12.j = uq$k.i),
+         |up$k AS MATERIALIZED (SELECT uq$k.i,
+         |  uq$k.v - (v12.v * tn$k.tn)
+         |    // (CASE WHEN dn.den = 0 THEN 1 ELSE dn.den END) AS v
+         |  FROM uq$k JOIN v12 ON v12.j = uq$k.i
+         |  CROSS JOIN tn$k CROSS JOIN dn),
+         |upm$k AS (SELECT max(abs(v)) AS mw FROM up$k),
+         |u$k AS MATERIALIZED (SELECT i AS j,
+         |  CAST(CASE WHEN mw = 0 THEN 0
+         |    ELSE round(CAST(v AS DOUBLE) * 1000000.0
+         |               / CAST(mw AS DOUBLE)) END AS HUGEINT) AS v
+         |  FROM up$k, upm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT [CAST(round_even(CAST(embedding[i] AS DOUBLE)
+       |            * 1000000.0, 0) AS BIGINT)
+       |          for i in range(1, len(embedding)+1)] AS qv
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       |cells AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    sum(CAST(qv[i.i] AS HUGEINT) * qv[j.j]) AS p
+       |  FROM q, range(1, 65) i(i), range(1, 65) j(j)
+       |  GROUP BY 1, 2),
+       |sv AS (SELECT i.i AS i, CAST(sum(qv[i.i]) AS HUGEINT) AS s
+       |       FROM q, range(1, 65) i(i) GROUP BY 1),
+       |c AS MATERIALIZED (
+       |      SELECT cells.i, cells.j, nn.n * p - si.s * sj.s AS c
+       |      FROM cells JOIN sv si ON si.i = cells.i
+       |      JOIN sv sj ON sj.i = cells.j CROSS JOIN nn),
+       |v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM sv),
+       |$v1Rounds,
+       |wf AS (SELECT c.i, sum(c.c * v12.v) AS w
+       |       FROM c JOIN v12 ON v12.j = c.j GROUP BY 1),
+       |ray AS (
+       |  SELECT CAST(sum(v.v * wf.w) AS DOUBLE)
+       |      / CAST(sum(v.v * v.v) AS DOUBLE) AS ray
+       |  FROM wf JOIN v12 v ON v.j = wf.i),
+       |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS tr FROM c WHERE i = j),
+       |dn AS (SELECT sum(v * v) AS den FROM v12),
+       |u0 AS (SELECT i AS j,
+       |  CAST(CASE WHEN (i - 1) % 2 = 0 THEN 1000000
+       |       ELSE -1000000 END AS HUGEINT) AS v FROM sv),
+       |$v2Rounds,
+       |wf2 AS (SELECT c.i, sum(c.c * u12.v) AS w
+       |        FROM c JOIN u12 ON u12.j = c.j GROUP BY 1),
+       |ray2 AS (
+       |  SELECT CASE WHEN sum(u.v * u.v) = 0 THEN CAST('nan' AS DOUBLE)
+       |    ELSE CAST(sum(u.v * wf2.w) AS DOUBLE)
+       |      / CAST(sum(u.v * u.v) AS DOUBLE) END AS ray
+       |  FROM wf2 JOIN u12 u ON u.j = wf2.i)
+       |SELECT v.j - 1 AS dim, CAST(v.v AS BIGINT) AS v1_micro,
+       |  CAST(u.v AS BIGINT) AS v2_micro,
+       |  ray.ray AS rayleigh1, ray2.ray AS rayleigh2,
+       |  ray.ray / tr.tr AS share1, ray2.ray / tr.tr AS share2
+       |FROM v12 v JOIN u12 u ON u.j = v.j
+       |CROSS JOIN ray CROSS JOIN ray2 CROSS JOIN tr""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12491,5 +12582,6 @@ object Queries {
     "q283_boilerplate_strip" -> Q(q283, Some(q283Sql)),
     "q279_bradley_terry" -> Q(q279, Some(q279Sql)),
     "q284_aspect_buckets" -> Q(q284, Some(q284Sql)),
-    "q285_ffd_packing" -> Q(q285, Some(q285Sql)))
+    "q285_ffd_packing" -> Q(q285, Some(q285Sql)),
+    "q286_residual_anisotropy" -> Q(q286, Some(q286Sql)))
 }

@@ -484,10 +484,13 @@ object Similarity {
     * (dim, v_micro, rayleigh, top_share) — v L∞-normalized to ±10⁶,
     * rayleigh in the n²·micro² covariance scale, top_share unitless.
     * d ≤ 128 CHECKED; NULL/ragged vectors rejected. */
-  def topPrincipalComponent(df: DataFrame, vecCol: String,
-                            rounds: Int = 12): DataFrame = {
-    require(rounds >= 1 && rounds <= 32,
-      s"topPrincipalComponent: rounds must be in [1, 32], got $rounds")
+  /** The CHECKED d×d micro-quantized covariance cell table behind
+    * [[topPrincipalComponent]] and [[topTwoComponents]], collected to
+    * the driver as exact BigInt cells: C_ij = n·ΣqᵢqⱼΣ − Sᵢ·Sⱼ from ONE
+    * pair-explode pass (see topPrincipalComponent's scaladoc for the
+    * full exactness story). ≤ d² ≤ 16384 rows by contract. */
+  private def covarianceCells(df: DataFrame, vecCol: String,
+                              op: String): Array[Array[BigInt]] = {
     val d38 = "decimal(38,0)"
     // NULL/empty vectors would vanish UNIFORMLY at the explode (every
     // per-dim count drops together, so the ragged check alone cannot
@@ -495,8 +498,7 @@ object Similarity {
     Contracts.enforce(df,
       Contracts.Bound(sum(when(col(vecCol).isNull ||
         size(col(vecCol)) === 0, 1L).otherwise(0L)), _ == 0L, b =>
-        s"topPrincipalComponent: $b NULL/empty vectors — filter " +
-          "explicitly first"))
+        s"$op: $b NULL/empty vectors — filter explicitly first"))
     val q = df.select(posexplode(col(vecCol)).as(Seq("__i", "__e")))
       .select(col("__i").cast("long").as("__i"),
         bround(col("__e").cast("double") * 1e6, 0).cast("long").as("__q"))
@@ -507,16 +509,16 @@ object Similarity {
         sum(when(col("__q").isNull, 1L).otherwise(0L)).as("__bad")),
       Contracts.read(max(col("__n"))),
       Contracts.Bound(count(lit(1)), _ <= 128L, d =>
-        s"topPrincipalComponent: $d dims exceed the d <= 128 bounded " +
+        s"$op: $d dims exceed the d <= 128 bounded " +
           "cell-table contract — reduce the embedding first"),
       Contracts.read(max(col("__m"))),
       Contracts.Bound(sum(col("__bad")) +
         (max(col("__n")) - min(col("__n"))), _ == 0L, b =>
-        "topPrincipalComponent: NULL elements or ragged vector lengths " +
+        s"$op: NULL elements or ragged vector lengths " +
           "— every row needs the same complete dimensionality"))
     require(BigInt(n) * n * BigInt(maxq).pow(2) * 1000000L *
       math.max(dDim, 1L) <= BigInt(10).pow(36),
-      s"topPrincipalComponent: n^2 * maxq^2 * 1e6 * d exceeds the " +
+      s"$op: n^2 * maxq^2 * 1e6 * d exceeds the " +
         s"decimal(38,0) C*v contract (n=$n, maxq=$maxq, d=$dDim) — " +
         "rescale or sample the corpus")
     // C_ij = n*P_ij − S_i*S_j from ONE pair-explode pass
@@ -551,6 +553,15 @@ object Similarity {
       cArr(r.getLong(0).toInt)(r.getLong(1).toInt) =
         BigInt(r.getDecimal(2).toBigInteger)
     }
+    cArr
+  }
+
+  def topPrincipalComponent(df: DataFrame, vecCol: String,
+                            rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"topPrincipalComponent: rounds must be in [1, 32], got $rounds")
+    val cArr = covarianceCells(df, vecCol, "topPrincipalComponent")
+    val d = cArr.length
     var v = Array.fill(d)(1000000L)
     def mul(): Array[BigInt] = Array.tabulate(d)(i =>
       (0 until d).iterator.map(j => cArr(i)(j) * v(j)).sum)
@@ -583,6 +594,92 @@ object Similarity {
         StructField("v_micro", LongType),
         StructField("rayleigh", DoubleType),
         StructField("top_share", DoubleType))))
+  }
+
+  /** TOP TWO PRINCIPAL COMPONENTS by deflated power iteration — the
+    * "all-but-the-top" audit (Mu & Viswanath 2018: embedding corpora
+    * concentrate in a few top directions; removing them repairs
+    * retrieval): alongside [[topPrincipalComponent]]'s dominant
+    * direction this reports the SECOND component and its trace share,
+    * so `share1 vs share2` reads directly as "how much anisotropy
+    * would the all-but-the-top projection remove" — share2 is the
+    * residual anisotropy after deflating the top direction.
+    *
+    * Exactness/engine-parity: the covariance cells, v₁ rounds,
+    * Rayleigh quotients and trace are IDENTICAL to
+    * [[topPrincipalComponent]] (same helper, same quantization).
+    * v₂ then runs `rounds` of power iteration with explicit
+    * deflation, all exact integers: w = C·u (BigInt); quantize to
+    * ±10⁶ by L∞ (the v₁ round shape); project out v₁ by truncating
+    * integer division — u′ᵢ = wqᵢ − (v₁ᵢ·Σⱼv₁ⱼwqⱼ) div (Σⱼv₁ⱼ²) —
+    * (BigInt and DuckDB `//` both truncate toward zero, verified);
+    * re-quantize to ±10⁶. Start vector alternates ±10⁶ by dim parity
+    * (deterministic; not parallel to the all-ones v₁ start). The
+    * oracle unrolls both phases' rounds as HUGEINT CTEs. A rank-1
+    * corpus deflates to the zero vector: v₂ = 0 and ray₂/share₂ are
+    * NaN (no second direction exists — surfaced, not hidden).
+    *
+    * Scale shape: identical to [[topPrincipalComponent]] — ONE
+    * pair-explode scan to the ≤ d² CHECKED cell table, driver-side
+    * exact rounds. Output one row per dim:
+    * (dim, v1_micro, v2_micro, rayleigh1, rayleigh2, share1, share2). */
+  def topTwoComponents(df: DataFrame, vecCol: String,
+                       rounds: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"topTwoComponents: rounds must be in [1, 32], got $rounds")
+    val cArr = covarianceCells(df, vecCol, "topTwoComponents")
+    val d = cArr.length
+    def mulBy(x: Array[Long]): Array[BigInt] = Array.tabulate(d)(i =>
+      (0 until d).iterator.map(j => cArr(i)(j) * x(j)).sum)
+    def quant(w: Array[BigInt]): Array[Long] = {
+      val mx = w.map(_.abs).max
+      w.map { wi =>
+        if (mx == 0) 0L
+        else BigDecimal(wi.toDouble * 1e6 / mx.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    def rayOf(x: Array[Long]): (Double, Double) = {
+      val wf = mulBy(x)
+      val num = (0 until d).iterator.map(i => BigInt(x(i)) * wf(i)).sum
+      val den = (0 until d).iterator.map(i => BigInt(x(i)) * x(i)).sum
+      val tr = (0 until d).iterator.map(i => cArr(i)(i)).sum
+      if (den == 0) (Double.NaN, Double.NaN)
+      else (num.toDouble / den.toDouble,
+        num.toDouble / den.toDouble / tr.toDouble)
+    }
+    // phase 1: v1 — byte-identical to topPrincipalComponent's rounds
+    var v1 = Array.fill(d)(1000000L)
+    (1 to rounds).foreach(_ => v1 = quant(mulBy(v1)))
+    val (ray1, share1) = rayOf(v1)
+    // phase 2: deflated rounds for v2
+    val den1 = (0 until d).iterator.map(i => BigInt(v1(i)) * v1(i)).sum
+    var v2 = Array.tabulate(d)(i => if (i % 2 == 0) 1000000L else -1000000L)
+    (1 to rounds).foreach { _ =>
+      val wq = quant(mulBy(v2))
+      val tn = (0 until d).iterator.map(j => BigInt(v1(j)) * wq(j)).sum
+      val proj = Array.tabulate(d)(i =>
+        BigInt(wq(i)) - (BigInt(v1(i)) * tn) /
+          (if (den1 == 0) BigInt(1) else den1))
+      v2 = quant(proj)
+    }
+    val (ray2, share2) = rayOf(v2)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until d).map(i =>
+          Row(i.toLong, v1(i), v2(i), ray1, ray2, share1, share2))
+          .toIndexedSeq, 1),
+      StructType(Seq(StructField("dim", LongType),
+        StructField("v1_micro", LongType),
+        StructField("v2_micro", LongType),
+        StructField("rayleigh1", DoubleType),
+        StructField("rayleigh2", DoubleType),
+        StructField("share1", DoubleType),
+        StructField("share2", DoubleType))))
   }
 
   /** MMR-DIVERSIFIED TOP-K (Carbonell–Goldstein 1998): re-rank each

@@ -1073,6 +1073,88 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("topTwoComponents: exact deflated-round replay, v1 identical to " +
+    "topPrincipalComponent, both planted directions found in order") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(24)
+    val d = 6
+    val u1 = Array(0.7, -0.5, 0.3, 0.3, -0.2, 0.2) // dominant
+    val u2 = Array(0.3, 0.5, 0.6, -0.4, 0.3, -0.2) // secondary (not ⊥,
+    // power iteration still separates by magnitude)
+    val rows = (0 until 60).map { _ =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.0
+      Seq.tabulate(d)(i =>
+        (a * u1(i) + b * u2(i) + rnd.nextGaussian() * 0.03).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.topTwoComponents(df, "embedding", rounds = 12)
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // v1 must be byte-identical to topPrincipalComponent's
+    val v1ref = Similarity.topPrincipalComponent(df, "embedding", 12)
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    (0 until d).foreach { i =>
+      assert(got(i)._1 == v1ref(i)._1, s"v1 dim $i")
+      assert(got(i)._3 == v1ref(i)._2 && got(i)._5 == v1ref(i)._3)
+    }
+    // independent exact replay of BOTH phases
+    def q6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong
+    val qv = rows.map(v => v.map(f => q6(f.toDouble)).toArray)
+    val n = qv.length
+    val s = Array.tabulate(d)(i => qv.map(_(i)).sum)
+    val c = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * qv.map(r => BigInt(r(i)) * r(j)).sum -
+        BigInt(s(i)) * s(j))
+    def mul(x: Array[Long]) = Array.tabulate(d)(i =>
+      (0 until d).map(j => c(i)(j) * x(j)).sum)
+    def quant(w: Array[BigInt]) = {
+      val mx = w.map(_.abs).max
+      w.map(wi => if (mx == 0) 0L
+        else BigDecimal(wi.toDouble * 1e6 / mx.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    var v1 = Array.fill(d)(1000000L)
+    (1 to 12).foreach(_ => v1 = quant(mul(v1)))
+    val den1 = (0 until d).map(i => BigInt(v1(i)) * v1(i)).sum
+    var v2 = Array.tabulate(d)(i => if (i % 2 == 0) 1000000L else -1000000L)
+    (1 to 12).foreach { _ =>
+      val wq = quant(mul(v2))
+      val tn = (0 until d).map(j => BigInt(v1(j)) * wq(j)).sum
+      v2 = quant(Array.tabulate(d)(i => BigInt(wq(i)) -
+        (BigInt(v1(i)) * tn) / (if (den1 == 0) BigInt(1) else den1)))
+    }
+    (0 until d).foreach { i =>
+      assert(got(i)._2 == v2(i), s"v2 dim $i: ${got(i)._2} != ${v2(i)}")
+    }
+    // planted directions recovered in magnitude order
+    def cos(v: Array[Long], u: Array[Double]) = {
+      val dot = (0 until d).map(i => v(i).toDouble * u(i)).sum
+      math.abs(dot) / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(u.map(x => x * x).sum))
+    }
+    // the dominant fitted direction blends the correlated planted pair;
+    // what matters: v1/v2 span ≈ span(u1, u2) with share order and near-
+    // orthogonality of the fitted pair
+    assert(got(0)._5 > got(0)._6, "share1 must exceed share2")
+    assert(got(0)._5 + got(0)._6 > 0.97,
+      s"two components must explain the planted plane: " +
+        s"${got(0)._5} + ${got(0)._6}")
+    val v1a = Array.tabulate(d)(i => got(i)._1)
+    val v2a = Array.tabulate(d)(i => got(i)._2)
+    val v12cos = {
+      val dot = (0 until d).map(i => v1a(i).toDouble * v2a(i)).sum
+      math.abs(dot) / (math.sqrt(v1a.map(x => x.toDouble * x).sum) *
+        math.sqrt(v2a.map(x => x.toDouble * x).sum))
+    }
+    assert(v12cos < 0.05, s"fitted components not near-orthogonal: $v12cos")
+    assert(cos(v1a, u1) > 0.9, s"v1 off the dominant direction")
+  }
+
   test("mmrTopK equals a brute greedy MMR reference and degrades to " +
     "plain top-k at lambda = 1") {
     import graft.operators.Similarity
