@@ -12292,6 +12292,108 @@ object Queries {
        |CROSS JOIN ray CROSS JOIN ray2 CROSS JOIN tr""".stripMargin
   }
 
+  /** Winsorized mean of event spend per event type
+    * (Stats.winsorizedMean, alpha = 5/100): tails clamp to the 5th /
+    * 95th order statistics instead of dropping — the robust mean that
+    * keeps n reconcilable. Exact histogram decomposition; one final
+    * division per mean. */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorizedMean(
+      t(s, dir, "events").select(col("event_type"),
+        cents(col("value")).as("v")),
+      "event_type", "v", pNum = 5L, pDen = 100L)
+
+  private val q287Sql =
+    """WITH o AS (
+      |  SELECT event_type AS k, CAST(round(value*100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT k, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY k ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n
+      |  FROM h),
+      |r AS (
+      |  SELECT k, n,
+      |    CAST(sum(CASE WHEN cum - c < (5 * n + 99) // 100
+      |      AND (5 * n + 99) // 100 <= cum THEN v ELSE 0 END)
+      |      AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN cum - c < n + 1 - (5 * n + 99) // 100
+      |      AND n + 1 - (5 * n + 99) // 100 <= cum THEN v ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    sum(CAST(c AS HUGEINT) * v) AS raw
+      |  FROM cw GROUP BY k, n),
+      |f AS (
+      |  SELECT h.k, r.n, r.lo, r.hi, r.raw,
+      |    sum(CAST(greatest(least(h.v, r.hi), r.lo) AS HUGEINT) * h.c)
+      |      AS ws
+      |  FROM h JOIN r ON r.k = h.k GROUP BY 1, 2, 3, 4, 5)
+      |SELECT k AS event_type, n, lo, hi,
+      |  CAST(ws AS DOUBLE) / CAST(n AS DOUBLE) AS winsorized_mean,
+      |  CAST(raw AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mean
+      |FROM f""".stripMargin
+
+  /** Label-noise joint estimate by confident learning
+    * (Stats.labelNoiseJoint): the props payload's k assigns a 3-way
+    * "given" label (k div 34) and three deterministic class scores
+    * peaking at k = 10/50/90; rows count into (given, guessed) when
+    * the guessed class clears its own mean-score threshold — the
+    * cleanlab-style relabel audit, exact by cross-multiplied integer
+    * threshold tests. */
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    Stats.labelNoiseJoint(
+      t(s, dir, "events")
+        .select(expr("cast(get_json_object(props, '$.k') as long)")
+          .as("__k"))
+        .select(expr("__k div 34").as("y"),
+          (lit(100L) - abs(col("__k") - 10L)).as("s0"),
+          (lit(100L) - abs(col("__k") - 50L)).as("s1"),
+          (lit(100L) - abs(col("__k") - 90L)).as("s2")),
+      "y", Seq("s0", "s1", "s2"))
+
+  private val q288Sql =
+    """WITH d AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |b AS (
+      |  SELECT k // 34 AS y, 100 - abs(k - 10) AS s0,
+      |    100 - abs(k - 50) AS s1, 100 - abs(k - 90) AS s2
+      |  FROM d),
+      |t AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0,
+      |    CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,
+      |    CAST(count(*) FILTER (y = 2) AS BIGINT) AS n2,
+      |    CAST(coalesce(sum(s0) FILTER (y = 0), 0) AS BIGINT) AS m0,
+      |    CAST(coalesce(sum(s1) FILTER (y = 1), 0) AS BIGINT) AS m1,
+      |    CAST(coalesce(sum(s2) FILTER (y = 2), 0) AS BIGINT) AS m2
+      |  FROM b),
+      |p AS (
+      |  SELECT y, s0, s1, s2,
+      |    (n0 > 0 AND s0 * n0 >= m0) AS p0,
+      |    (n1 > 0 AND s1 * n1 >= m1) AS p1,
+      |    (n2 > 0 AND s2 * n2 >= m2) AS p2
+      |  FROM b CROSS JOIN t),
+      |a1 AS (
+      |  SELECT y, s1, s2, p1, p2,
+      |    CASE WHEN p0 THEN s0 ELSE -1 END AS accs,
+      |    CASE WHEN p0 THEN 0 ELSE -1 END AS accj
+      |  FROM p),
+      |a2 AS (
+      |  SELECT y, s2, p2,
+      |    CASE WHEN p1 AND s1 > accs THEN s1 ELSE accs END AS accs,
+      |    CASE WHEN p1 AND s1 > accs THEN 1 ELSE accj END AS accj
+      |  FROM a1),
+      |a3 AS (
+      |  SELECT y,
+      |    CASE WHEN p2 AND s2 > accs THEN 2 ELSE accj END AS accj
+      |  FROM a2)
+      |SELECT y AS given_label, CAST(accj AS BIGINT) AS guessed_label,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM a3 GROUP BY 1, 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12583,5 +12685,7 @@ object Queries {
     "q279_bradley_terry" -> Q(q279, Some(q279Sql)),
     "q284_aspect_buckets" -> Q(q284, Some(q284Sql)),
     "q285_ffd_packing" -> Q(q285, Some(q285Sql)),
-    "q286_residual_anisotropy" -> Q(q286, Some(q286Sql)))
+    "q286_residual_anisotropy" -> Q(q286, Some(q286Sql)),
+    "q287_winsorized_mean" -> Q(q287, Some(q287Sql)),
+    "q288_label_noise" -> Q(q288, Some(q288Sql)))
 }

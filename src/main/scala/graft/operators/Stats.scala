@@ -4503,6 +4503,142 @@ object Stats {
         .otherwise(lit(Double.NaN)).as("nmi"))
   }
 
+  /** WINSORIZED MEAN per key — the robust companion to the trimmed
+    * means (q199): instead of DROPPING the tails, values CLAMP to the
+    * α / (1−α) order statistics, so n stays the full count (the
+    * estimator metrics teams prefer when row counts must reconcile
+    * downstream). With r_lo = ⌈α·n⌉ and r_hi = n + 1 − r_lo (1-based
+    * order-statistic ranks), every x below x₍r_lo₎ becomes x₍r_lo₎ and
+    * every x above x₍r_hi₎ becomes x₍r_hi₎.
+    *
+    * Exactness: the winsorized sum decomposes over the per-(key, x)
+    * histogram into three exact integer pieces —
+    * below·lo + Σ_{lo≤x≤hi} c·x + above·hi — in decimal(38,0), and the
+    * mean is the single final division (the [[exactGroupQuantile]]
+    * rank discipline picks lo/hi from the same cumulative window).
+    * α is the exact rational pNum/pDen, CHECKED < 1/2.
+    *
+    * Scale shape: one map-side-combining histogram aggregation +
+    * key-partitioned windows over the CHECKED bounded histogram —
+    * never raw rows. Output:
+    * (key, n, lo, hi, winsorized_mean, raw_mean). */
+  def winsorizedMean(df: DataFrame, keyCol: String, xCol: String,
+                     pNum: Long, pDen: Long,
+                     maxDistinctPerKey: Long = 2000000L): DataFrame = {
+    require(pDen >= 2 && pNum >= 1 && 2 * pNum < pDen,
+      s"winsorizedMean needs 0 < pNum/pDen < 1/2, got $pNum/$pDen")
+    val d = "decimal(38,0)"
+    val hist = df.groupBy(col(keyCol), col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "winsorizedMean")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol))))
+    val rLo = expr(s"(${pNum}L * __n + ${pDen - 1}L) div ${pDen}L")
+    val rHi = col("__n") + 1L - rLo
+    def pick(r: Column): Column =
+      sum(when(col("__cum") - col("__c") < r && r <= col("__cum"),
+        col("__v")).otherwise(0L))
+    // clamp needs lo/hi, which only exist after the pick — second pass
+    // over the SAME bounded histogram joined back to (lo, hi)
+    val bounds = cum.groupBy(col(keyCol))
+      .agg(first(col("__n")).as("n"), pick(rLo).as("lo"),
+        pick(rHi).as("hi"),
+        sum(col("__c").cast(d) * col("__v").cast(d)).as("__raw"))
+    hist.join(bounds, keyCol)
+      .groupBy(col(keyCol))
+      .agg(first(col("n")).as("n"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(greatest(least(col("__v"), col("hi")), col("lo")).cast(d) *
+          col("__c").cast(d)).as("__ws"),
+        first(col("__raw")).as("__raw"))
+      .select(col(keyCol), col("n"), col("lo"), col("hi"),
+        (col("__ws").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"),
+        (col("__raw").cast("double") / col("n").cast("double"))
+          .as("raw_mean"))
+  }
+
+  /** LABEL-NOISE JOINT ESTIMATE by confident learning (Northcutt,
+    * Jiang & Chuang 2021 — the public "cleanlab" recipe): given each
+    * row's ASSIGNED label and per-class model scores, a row counts
+    * into joint cell (given, guessed) when `guessed` is the
+    * highest-scoring class whose score clears that class's confidence
+    * threshold t_j = mean score of class j among rows GIVEN label j;
+    * rows clearing no threshold are abstentions (guessed = −1). The
+    * off-diagonal mass estimates the label-noise rate per class pair —
+    * the relabel-audit a labeled training corpus runs before training.
+    *
+    * Exactness: scores are caller-quantized integers, and the
+    * threshold comparison s_j ≥ t_j cross-multiplies to the EXACT
+    * integer test s_j·n_j ≥ Σ_j (no division ever happens); the argmax
+    * over passing classes breaks ties to the SMALLER class index. The
+    * per-class (n_j, Σ_j) pairs are collected once (≤ 16 classes
+    * CHECKED) and embedded as literals, so the scan stays map-only.
+    * CHECKED: labels ∈ [0, m), scores ∈ [0, 10⁹], class sizes ≤ 10⁹
+    * (keeps s·n ≤ 10¹⁸ in int64). A class with NO given rows never
+    * passes (its threshold is undefined — CL's convention).
+    *
+    * Scale shape: one aggregation for the thresholds (m rows), one
+    * map-only fold over the m-class literal grid per row, one final
+    * (given, guessed) count — bounded by m² + m cells.
+    * Output: (given_label, guessed_label, n) — guessed −1 rows carry
+    * the abstentions. */
+  def labelNoiseJoint(df: DataFrame, labelCol: String,
+                      scoreCols: Seq[String]): DataFrame = {
+    val m = scoreCols.length
+    require(m >= 2 && m <= 16,
+      s"labelNoiseJoint needs 2..16 classes, got $m")
+    val base = df.select(col(labelCol).cast("long").as("__y") +:
+      scoreCols.map(c => col(c).cast("long").as(s"__s$c")): _*)
+      .localCheckpoint()
+    val scoreNull = scoreCols.map(c => col(s"__s$c").isNull ||
+      col(s"__s$c") < 0L || col(s"__s$c") > 1000000000L)
+      .reduce(_ || _)
+    Contracts.enforce(base,
+      Contracts.Bound(sum(when(col("__y").isNull || col("__y") < 0L ||
+        col("__y") >= m.toLong || scoreNull, 1L).otherwise(0L)),
+        _ == 0L, b =>
+          s"labelNoiseJoint: $b rows carry a label outside [0, $m) or " +
+            "a NULL / negative / oversized score (scores must be " +
+            "integers in [0, 1e9]) — quantize and bucket first"))
+    val sums = scoreCols.zipWithIndex.map { case (c, j) =>
+      sum(when(col("__y") === j.toLong, col(s"__s$c"))
+        .otherwise(0L)).as(s"__sum$j")
+    }
+    val thr = base.groupBy(col("__y"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .collect()
+    val nJ = Array.fill(m)(0L)
+    val sumJ = Array.fill(m)(0L)
+    thr.foreach { r =>
+      val j = r.getLong(0).toInt
+      nJ(j) = r.getLong(1)
+      sumJ(j) = r.getLong(2 + j)
+    }
+    require(nJ.forall(_ <= 1000000000L),
+      s"labelNoiseJoint: a class holds over 1e9 rows — the exact " +
+        "cross-multiplied threshold contract (s*n <= 1e18) fails; " +
+        "sample first")
+    // fold over the literal class grid: argmax score among classes
+    // clearing their threshold, ties to the smaller index
+    val best = scoreCols.zipWithIndex.foldLeft(
+      struct(lit(-1L).as("s"), lit(-1L).as("j"))) { case (acc, (c, j)) =>
+      val s = col(s"__s$c")
+      val passes = lit(nJ(j)) > 0L && s * lit(nJ(j)) >= lit(sumJ(j))
+      when(passes && s > acc.getField("s"),
+        struct(s.as("s"), lit(j.toLong).as("j"))).otherwise(acc)
+    }
+    base.withColumn("__g", best.getField("j"))
+      .groupBy(col("__y").as("given_label"),
+        col("__g").as("guessed_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** BRADLEY–TERRY STRENGTHS from pairwise preference contests
     * (Bradley–Terry 1952; MM fit per Hunter 2004) — the
     * preference-data operator an RLHF-style pipeline needs: given

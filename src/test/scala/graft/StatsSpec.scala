@@ -3600,6 +3600,74 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("winsorizedMean equals the brute clamp at the exact order " +
+    "statistics; alpha >= 1/2 rejected") {
+    val rnd = new scala.util.Random(64)
+    val rows = (1 to 3).flatMap { k =>
+      Seq.fill(250)((k.toLong, rnd.nextInt(40).toLong - 10L))
+    }
+    val got = Stats.winsorizedMean(rows.toDF("k", "x"), "k", "x", 5L, 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.length
+      val rLo = (5 * n + 99) / 100
+      val lo = xs(rLo - 1)
+      val hi = xs(n - rLo)
+      val ws = xs.map(x => math.max(math.min(x, hi), lo)).sum
+      assert(got(k) == ((n.toLong, lo, hi, ws.toDouble / n.toDouble,
+        xs.sum.toDouble / n.toDouble)), s"k=$k")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.winsorizedMean(rows.toDF("k", "x"), "k", "x", 50L, 100L)
+    }
+  }
+
+  test("labelNoiseJoint equals the brute confident-learning walk; " +
+    "one-hot scores give a diagonal joint; bad labels rejected") {
+    val rnd = new scala.util.Random(65)
+    val m = 3
+    val rows = Seq.fill(600)((rnd.nextInt(m).toLong,
+      rnd.nextInt(100).toLong, rnd.nextInt(100).toLong,
+      rnd.nextInt(100).toLong))
+    val got = Stats.labelNoiseJoint(rows.toDF("y", "s0", "s1", "s2"),
+        "y", Seq("s0", "s1", "s2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val nJ = Array.tabulate(m)(j => rows.count(_._1 == j).toLong)
+    val sJ = Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).map(r => Seq(r._2, r._3, r._4)(j)).sum
+    }
+    val want = rows.groupBy { r =>
+      val s = Seq(r._2, r._3, r._4)
+      var (bs, bj) = (-1L, -1L)
+      (0 until m).foreach { j =>
+        if (nJ(j) > 0 && s(j) * nJ(j) >= sJ(j) && s(j) > bs) {
+          bs = s(j); bj = j.toLong
+        }
+      }
+      (r._1, bj)
+    }.view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.keys.exists(_._2 >= 0), "no confident assignments at all?")
+    // one-hot scores: every row guesses its own label -> diagonal joint
+    val oneHot = Seq.fill(90)(rnd.nextInt(m).toLong).map { y =>
+      (y, if (y == 0) 100L else 0L, if (y == 1) 100L else 0L,
+        if (y == 2) 100L else 0L)
+    }
+    val diag = Stats.labelNoiseJoint(oneHot.toDF("y", "s0", "s1", "s2"),
+        "y", Seq("s0", "s1", "s2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(diag.forall(r => r._1 == r._2), s"off-diagonal mass: $diag")
+    val e = intercept[IllegalArgumentException] {
+      Stats.labelNoiseJoint(Seq((5L, 1L, 1L, 1L))
+        .toDF("y", "s0", "s1", "s2"), "y", Seq("s0", "s1", "s2"))
+    }
+    assert(e.getMessage.contains("outside [0, 3)"))
+  }
+
   test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
     "pins 1e6, double-MM ranking agrees on a balanced design, " +
     "self-contests rejected") {
