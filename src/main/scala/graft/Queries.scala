@@ -12394,6 +12394,101 @@ object Queries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM a3 GROUP BY 1, 2""".stripMargin
 
+  /** Krippendorff's alpha per order priority
+    * (Stats.krippendorffAlpha): the q278 Fleiss setting WITHOUT the
+    * fixed-rater filter — every order with >= 2 lineitems contributes,
+    * single-lineitem orders are unpairable and drop (Krippendorff's
+    * convention). The per-item 1/(r-1) fractions clear through the
+    * fixed lcm(1..24); one exact division at the end. */
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    Stats.krippendorffAlpha(
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey")
+        .select(col("o_orderpriority"), col("l_orderkey").as("item"),
+          col("l_returnflag").as("cat")),
+      "o_orderpriority", "item", "cat")
+
+  private val q289Sql =
+    """WITH r AS (
+      |  SELECT o.o_orderpriority AS k, l.l_orderkey AS item,
+      |    l.l_returnflag AS cat
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |nic AS (SELECT k, item, cat, CAST(count(*) AS BIGINT) AS c
+      |        FROM r GROUP BY 1, 2, 3),
+      |pi AS (
+      |  SELECT k, item, CAST(sum(c) AS BIGINT) AS rr,
+      |    sum(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM nic GROUP BY 1, 2 HAVING sum(c) >= 2),
+      |bk AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(rr) AS BIGINT) AS n,
+      |    sum((5354228880 // (rr - 1))
+      |      * (CAST(rr AS HUGEINT) * rr - s2)) AS ol
+      |  FROM pi GROUP BY 1),
+      |nc AS (
+      |  SELECT k, sum(CAST(t AS HUGEINT) * t) AS nc2
+      |  FROM (SELECT nic.k, nic.cat, CAST(sum(nic.c) AS BIGINT) AS t
+      |        FROM nic JOIN pi ON pi.k = nic.k AND pi.item = nic.item
+      |        GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT bk.k, n_items, n, ol,
+      |    CAST(n AS HUGEINT) * n - nc2 AS poff
+      |  FROM bk JOIN nc ON nc.k = bk.k)
+      |SELECT k AS o_orderpriority, n_items, n AS n_pairable,
+      |  CAST(ol AS DOUBLE)
+      |    / CAST(CAST(5354228880 AS HUGEINT) * n AS DOUBLE) AS do_rate,
+      |  CAST(poff AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS de_rate,
+      |  CASE WHEN CAST(5354228880 AS HUGEINT) * poff = 0
+      |    THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(CAST(5354228880 AS HUGEINT) * poff
+      |        - (CAST(n AS HUGEINT) - 1) * ol AS DOUBLE)
+      |      / CAST(CAST(5354228880 AS HUGEINT) * poff AS DOUBLE)
+      |    END AS alpha
+      |FROM f""".stripMargin
+
+  /** Wald SPRT sequential test per event type (Stats.sprtBernoulli):
+    * is the >=$50 spend rate 45% (H0) or 55% (H1), at 5%/5% error
+    * rates — the always-valid "stop the experiment now" readout.
+    * Micro-nat integer LLR; the oracle recomputes the same four
+    * logarithms over the same exact integers. */
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    Stats.sprtBernoulli(
+      t(s, dir, "events").select(col("event_type"),
+        when(cents(col("value")) >= 5000L, 1L).otherwise(0L).as("x")),
+      "event_type", "x", p0 = (45L, 100L), p1 = (55L, 100L),
+      alpha = (5L, 100L), beta = (5L, 100L))
+
+  private val q290Sql =
+    """WITH w AS (
+      |  SELECT CAST(round(ln(5500.0) * 1000000.0) AS BIGINT) AS l1,
+      |         CAST(round(ln(4500.0) * 1000000.0) AS BIGINT) AS l0,
+      |         CAST(round(ln(9500.0) * 1000000.0) AS BIGINT) AS la,
+      |         CAST(round(ln(500.0) * 1000000.0) AS BIGINT) AS lb),
+      |d AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+      |      THEN 1 ELSE 0 END AS x
+      |  FROM events),
+      |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS s
+      |      FROM d GROUP BY 1),
+      |z AS (
+      |  SELECT event_type, n, s,
+      |    CAST(CAST(s AS HUGEINT) * (l1 - l0)
+      |      + (CAST(n AS HUGEINT) - s) * (l0 - l1) AS BIGINT) AS llr,
+      |    la - lb AS lna, lb - la AS lnb
+      |  FROM c, w)
+      |SELECT event_type, n, s AS successes, llr AS llr_micro,
+      |  lna AS lna_micro, lnb AS lnb_micro,
+      |  CASE WHEN llr >= lna THEN 'accept_h1'
+      |       WHEN llr <= lnb THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM z""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12687,5 +12782,7 @@ object Queries {
     "q285_ffd_packing" -> Q(q285, Some(q285Sql)),
     "q286_residual_anisotropy" -> Q(q286, Some(q286Sql)),
     "q287_winsorized_mean" -> Q(q287, Some(q287Sql)),
-    "q288_label_noise" -> Q(q288, Some(q288Sql)))
+    "q288_label_noise" -> Q(q288, Some(q288Sql)),
+    "q289_krippendorff_alpha" -> Q(q289, Some(q289Sql)),
+    "q290_sprt_monitor" -> Q(q290, Some(q290Sql)))
 }

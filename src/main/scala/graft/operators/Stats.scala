@@ -4639,6 +4639,155 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) per key — the agreement
+    * coefficient for the labeling campaigns [[fleissKappa]] cannot
+    * touch: items may carry DIFFERENT rater counts (missing
+    * judgments, adaptive re-review). Items with fewer than two
+    * ratings carry no pairable information and are excluded
+    * (Krippendorff's own convention); a key with no pairable items
+    * drops.
+    *
+    *   α = 1 − D_o / D_e,  computed from the coincidence matrix:
+    *   O_off = Σ_i (r_i² − Σ_c n_ic²) / (r_i − 1)   (off-diagonal
+    *           observed coincidences), n_c = Σ_i n_ic, n = Σ_i r_i,
+    *   P_off = n² − Σ_c n_c²,
+    *   α = 1 − (n − 1) · O_off / P_off.
+    *
+    * Exactness: the only fractions are the per-item /(r_i − 1), and
+    * r_i ≤ 25 is CHECKED, so multiplying through by the FIXED
+    * L = lcm(1..24) = 5 354 228 880 makes every term an exact integer:
+    * OL = Σ_i (L/(r_i−1))·(r_i² − Σn_ic²) in decimal(38,0), and
+    * α = (L·P_off − (n−1)·OL) / (L·P_off) is ONE division of exact
+    * operands (n ≤ 10⁹ per key CHECKED keeps L·P_off ≤ ~5·10²⁸).
+    * All-one-category keys give 0/0 → NaN, surfaced. NULLs rejected.
+    *
+    * Scale shape: identical to [[fleissKappa]] — one aggregation to
+    * the per-(key, item, category) counts, two bounded reductions.
+    * Output: (key, n_items, n_pairable, do_rate, de_rate, alpha). */
+  def krippendorffAlpha(df: DataFrame, keyCol: String, itemCol: String,
+                        catCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val L = 5354228880L // lcm(1..24)
+    val nic = df.groupBy(col(keyCol), col(itemCol).as("__item"),
+        col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(itemCol).isNull || col(catCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(nic,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"krippendorffAlpha: $b rating rows carry a NULL item or " +
+          "category — bucket them explicitly before calling"))
+    val perItem = nic.groupBy(col(keyCol), col("__item"))
+      .agg(sum(col("__c")).as("__r"),
+        sum(col("__c").cast(d) * col("__c").cast(d)).as("__s2"))
+      .where(col("__r") >= 2L) // unpairable items carry no information
+      .localCheckpoint()
+    Contracts.enforce(
+      perItem.groupBy(col(keyCol))
+        .agg(max(col("__r")).as("__rmax"), sum(col("__r")).as("__n")),
+      Contracts.Bound(max(col("__rmax")), _ <= 25L, r =>
+        s"krippendorffAlpha: an item carries r=$r ratings, exceeding " +
+          "the exact lcm(1..24) contract (r <= 25) — sample judgments " +
+          "per item first"),
+      Contracts.Bound(max(col("__n")), _ <= 1000000000L, n =>
+        s"krippendorffAlpha: a key holds n=$n pairable ratings, " +
+          "exceeding the decimal(38,0) contract (n <= 1e9)"))
+    val rD = col("__r").cast(d)
+    val byKey = perItem.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_items"), sum(col("__r")).as("__n"),
+        sum(call_function("div", lit(L), col("__r") - 1L).cast(d) *
+          (rD * rD - col("__s2"))).as("__ol"))
+    // category marginals over PAIRABLE items only
+    val nc = nic.join(perItem.select(col(keyCol), col("__item")),
+        Seq(keyCol, "__item"))
+      .groupBy(col(keyCol), col("__cat"))
+      .agg(sum(col("__c")).as("__nc"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__nc").cast(d) * col("__nc").cast(d)).as("__nc2"))
+    val nD = col("__n").cast(d)
+    val pOff = nD * nD - col("__nc2")
+    val num = lit(L).cast(d) * pOff - (nD - lit(1L).cast(d)) * col("__ol")
+    val den = lit(L).cast(d) * pOff
+    byKey.join(nc, keyCol)
+      .select(col(keyCol), col("n_items"), col("__n").as("n_pairable"),
+        (col("__ol").cast("double") /
+          (lit(L).cast(d) * nD).cast("double")).as("do_rate"),
+        (pOff.cast("double") / (nD * (nD - lit(1L).cast(d)))
+          .cast("double")).as("de_rate"),
+        when(den === lit(0L).cast(d), lit(Double.NaN))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("alpha"))
+  }
+
+  /** WALD SPRT sequential test per key (Wald 1945) — the
+    * experimentation monitor that reads off "stop now" instead of a
+    * fixed-horizon p-value: for Bernoulli outcomes under
+    * H0: p = p0 vs H1: p = p1, the log-likelihood ratio after s
+    * successes and f failures is
+    *
+    *   LLR = s·ln(p1/p0) + f·ln((1−p1)/(1−p0))
+    *
+    * and the test accepts H1 when LLR ≥ ln((1−β)/α), accepts H0 when
+    * LLR ≤ ln(β/(1−α)), else continues. Hypotheses and error rates
+    * arrive as exact rationals (numerator/denominator pairs).
+    *
+    * Exactness: the micro-nat discipline — each distinct logarithm is
+    * ONE IEEE ln over an exact integer (ln(a/b) = lnq(a) − lnq(b)),
+    * the per-key LLR is s·w1 + f·w0 over int64 micro-nat weights in
+    * decimal(38,0) (s, f ≤ 2·10⁹ CHECKED), and the stop decision is
+    * an exact integer comparison against the micro-nat thresholds.
+    * Output: (key, n, successes, llr_micro, lna_micro, lnb_micro,
+    * decision ∈ {accept_h1, accept_h0, continue}). */
+  def sprtBernoulli(df: DataFrame, keyCol: String, successCol: String,
+                    p0: (Long, Long), p1: (Long, Long),
+                    alpha: (Long, Long) = (5L, 100L),
+                    beta: (Long, Long) = (5L, 100L)): DataFrame = {
+    def okRat(r: (Long, Long)): Boolean =
+      r._2 >= 1 && r._1 >= 1 && r._1 < r._2
+    require(okRat(p0) && okRat(p1) && okRat(alpha) && okRat(beta),
+      "sprtBernoulli: p0, p1, alpha, beta must be proper rationals " +
+        "num/den with 0 < num < den")
+    require(p0._1 * p1._2 != p1._1 * p0._2,
+      "sprtBernoulli: p0 == p1 — the SPRT is undefined")
+    val base = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol) === 1L, 1L).otherwise(0L))
+          .as("successes"),
+        sum(when(col(successCol).isNull ||
+          (col(successCol) =!= 0L && col(successCol) =!= 1L), 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(base,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"sprtBernoulli: $b NULL or non-binary outcome values — " +
+          "encode the outcome as {0, 1} longs first"),
+      Contracts.Bound(max(col("n")), _ <= 2000000000L, n =>
+        s"sprtBernoulli: a key holds $n rows, exceeding the exact " +
+          "micro-nat LLR contract (n <= 2e9 per key)"))
+    // micro-nat weights: ONE ln per distinct exact integer operand,
+    // rounded in the SAME HALF_UP shape as Spark's round / DuckDB round
+    def lnq(x: Long): Long =
+      BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val w1 = lnq(p1._1 * p0._2) - lnq(p0._1 * p1._2)
+    val w0 = lnq((p1._2 - p1._1) * p0._2) - lnq((p0._2 - p0._1) * p1._2)
+    val lnA = lnq((beta._2 - beta._1) * alpha._2) -
+      lnq(beta._2 * alpha._1)
+    val lnB = lnq(beta._1 * alpha._2) -
+      lnq(beta._2 * (alpha._2 - alpha._1))
+    val d = "decimal(38,0)"
+    val llr = col("successes").cast(d) * lit(w1).cast(d) +
+      (col("n") - col("successes")).cast(d) * lit(w0).cast(d)
+    base.drop("__bad")
+      .withColumn("llr_micro", llr.cast("long"))
+      .select(col(keyCol), col("n"), col("successes"), col("llr_micro"),
+        lit(lnA).as("lna_micro"), lit(lnB).as("lnb_micro"),
+        when(col("llr_micro") >= lnA, lit("accept_h1"))
+          .when(col("llr_micro") <= lnB, lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** BRADLEY–TERRY STRENGTHS from pairwise preference contests
     * (Bradley–Terry 1952; MM fit per Hunter 2004) — the
     * preference-data operator an RLHF-style pipeline needs: given

@@ -3668,6 +3668,90 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("outside [0, 3)"))
   }
 
+  test("krippendorffAlpha equals the brute coincidence-matrix rational, " +
+    "perfect agreement pins 1.0, unpairable items drop, r > 25 rejected") {
+    val rnd = new scala.util.Random(66)
+    val cats = Array("x", "y", "z")
+    // variable raters per item: 1 (dropped), 2..6
+    val rows = (1 to 2).flatMap { k =>
+      (1 to 50).flatMap { i =>
+        val r = 1 + rnd.nextInt(6)
+        Seq.fill(r)((k.toLong, i.toLong, cats(rnd.nextInt(3))))
+      }
+    }
+    val got = Stats.krippendorffAlpha(rows.toDF("k", "item", "cat"),
+        "k", "item", "cat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val L = BigInt(5354228880L)
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val items = g.groupBy(_._2).filter(_._2.size >= 2)
+      val nItems = items.size.toLong
+      val n = items.values.map(_.size.toLong).sum
+      val ol = items.values.map { it =>
+        val r = it.size.toLong
+        val s2 = cats.map(c => BigInt(it.count(_._3 == c)).pow(2)).sum
+        (L / (r - 1)) * (BigInt(r) * r - s2)
+      }.sum
+      val nc2 = cats.map(c => BigInt(
+        items.values.map(_.count(_._3 == c)).sum).pow(2)).sum
+      val poff = BigInt(n) * n - nc2
+      val alpha = (L * poff - (BigInt(n) - 1) * ol).toDouble /
+        (L * poff).toDouble
+      assert(got(k) == ((nItems, n,
+        ol.toDouble / (L * BigInt(n)).toDouble,
+        poff.toDouble / (BigInt(n) * (n - 1)).toDouble, alpha)), s"k=$k")
+    }
+    // perfect agreement (and two categories present) -> alpha exactly 1
+    val perfect = (1 to 20).flatMap(i =>
+      Seq.fill(3)((1L, i.toLong, if (i % 2 == 0) "a" else "b")))
+    assert(Stats.krippendorffAlpha(perfect.toDF("k", "item", "cat"),
+      "k", "item", "cat").collect().head.getDouble(5) == 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Stats.krippendorffAlpha(
+        (1 to 26).map(j => (1L, 1L, s"c$j")).toDF("k", "item", "cat"),
+        "k", "item", "cat")
+    }
+    assert(e.getMessage.contains("r <= 25"))
+  }
+
+  test("sprtBernoulli equals the brute micro-nat LLR, strong evidence " +
+    "accepts, sparse evidence continues, bad outcomes rejected") {
+    def lnq(x: Long) = BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = Seq.fill(400)(("hot", 1L)) ++ // all successes -> H1
+      Seq.fill(400)(("cold", 0L)) ++         // all failures -> H0
+      Seq(("thin", 1L), ("thin", 0L))        // 2 rows -> continue
+    val got = Stats.sprtBernoulli(rows.toDF("k", "x"), "k", "x",
+        p0 = (45L, 100L), p1 = (55L, 100L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
+    val w1 = lnq(5500L) - lnq(4500L)
+    val w0 = lnq(4500L) - lnq(5500L)
+    val lnA = lnq(9500L) - lnq(500L)
+    val lnB = lnq(500L) - lnq(9500L)
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val n = g.size.toLong
+      val s = g.count(_._2 == 1L).toLong
+      val llr = s * w1 + (n - s) * w0
+      val dec = if (llr >= lnA) "accept_h1"
+        else if (llr <= lnB) "accept_h0" else "continue"
+      assert(got(k) == ((n, s, llr, lnA, lnB, dec)), s"k=$k")
+    }
+    assert(got("hot")._6 == "accept_h1" && got("cold")._6 == "accept_h0"
+      && got("thin")._6 == "continue")
+    intercept[IllegalArgumentException] {
+      Stats.sprtBernoulli(rows.toDF("k", "x"), "k", "x",
+        p0 = (1L, 2L), p1 = (1L, 2L))
+    }
+    intercept[Throwable] {
+      Stats.sprtBernoulli(Seq(("a", 7L)).toDF("k", "x"), "k", "x",
+        p0 = (45L, 100L), p1 = (55L, 100L)).collect()
+    }
+  }
+
   test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
     "pins 1e6, double-MM ranking agrees on a balanced design, " +
     "self-contests rejected") {
