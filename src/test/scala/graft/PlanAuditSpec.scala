@@ -828,4 +828,53 @@ class PlanAuditSpec extends SparkTestBase {
       s"stupidBackoffPerplexity resolution must melt into ONE count-table " +
         s"join (plan shows $joins join operators)")
   }
+
+  test("label-QA and curation operators keep their scale shapes: " +
+    "map-only projections stay exchange-free, folds run once") {
+    import graft.operators.{Multimodal, Stats, TextAnalysis}
+    // readabilityProfile / stripBoilerplate / aspectBucketAssign are
+    // pure per-row projections after their contracts — any Exchange,
+    // Join or Window here would be a quadratic surprise at 100 TB
+    val docs = spark.range(500).select(col("id"),
+      concat_ws(" ", lit("alpha beta."), (col("id") % 7).cast("string"),
+        lit("gamma")).as("text"))
+    val rp = TextAnalysis.readabilityProfile(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("Exchange") && !rp.contains("Window") &&
+      !rp.contains("Join"), s"readabilityProfile must stay map-only:\n$rp")
+    val sb = TextAnalysis.stripBoilerplate(
+        docs.select(col("id"), col("text").as("html")), "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!sb.contains("Exchange") && !sb.contains("Generate"),
+      s"stripBoilerplate must stay map-only, explode-free:\n$sb")
+    val ab = Multimodal.aspectBucketAssign(
+        spark.range(500).select(col("id"), (col("id") % 900 + 100).as("w"),
+          (col("id") % 700 + 100).as("h")), "w", "h")
+      .queryExecution.executedPlan.toString
+    assert(!ab.contains("Exchange") && !ab.contains("Generate") &&
+      !ab.contains("Join"),
+      s"aspectBucketAssign must fold the literal grid map-only:\n$ab")
+    // fairnessAudit: one hash-agg shuffle to group cardinality, the
+    // single-row overall side BROADCASTS back — the probe side must
+    // not re-shuffle and the plan must not window
+    val fa = Stats.fairnessAudit(
+        spark.range(2000).select((col("id") % 5).cast("string").as("g"),
+          (col("id") % 2).as("label"), (col("id") % 3 === 0L)
+            .cast("long").as("pred")), "g", "label", "pred")
+      .queryExecution.executedPlan.toString
+    assert(fa.contains("BroadcastNestedLoopJoin"),
+      s"fairnessAudit overall row must broadcast:\n$fa")
+    assert(!fa.contains("Window"), s"fairnessAudit must not window:\n$fa")
+    // packFirstFitDecreasing: ONE collect_list aggregation, the fold
+    // expression appears exactly once — the HOF formulation that
+    // re-inlined the first-fit scan per element measured 163 s at sf0.1
+    val pk = TextAnalysis.packFirstFitDecreasing(
+      spark.range(300).select((col("id") % 3).as("k"), col("id"),
+        (col("id") % 40 + 1).as("tok")), "k", "id", "tok", 64L)
+    val pkPlan = pk.queryExecution.executedPlan.toString
+    assert("ffd_pack".r.findAllIn(pkPlan).length == 1,
+      s"ffd_pack must run exactly once in the plan:\n$pkPlan")
+    assert(!pkPlan.contains("Window"),
+      s"packFirstFitDecreasing must not window:\n$pkPlan")
+  }
 }
