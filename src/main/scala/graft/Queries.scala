@@ -12489,6 +12489,49 @@ object Queries {
       |       ELSE 'continue' END AS decision
       |FROM z""".stripMargin
 
+  /** Per-rater accuracy against majority-vote gold
+    * (Stats.raterAccuracy): three deterministic simulated annotators
+    * (each agreeing with the corpus lang on a different 8/10 slice of
+    * docs, keyed off n_chars + 3·rater) are scored against the
+    * per-doc majority vote — the "which annotator drifts" labeling-ops
+    * readout. Ties break to the lexicographically smallest category
+    * in both engines. */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    Stats.raterAccuracy(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("rater"))
+        .select(col("doc_id").as("item"), col("rater"),
+          when(pmod(col("n_chars") + col("rater") * 3L, lit(10)) < 8,
+            col("lang"))
+            .when(pmod(col("n_chars") + col("rater") * 3L, lit(10))
+              === 8, lit("en"))
+            .otherwise(lit("unk")).as("cat")),
+      "item", "rater", "cat")
+
+  private val q291Sql =
+    """WITH rt AS (
+      |  SELECT doc_id AS item, r.r AS rater,
+      |    CASE WHEN (n_chars + r.r * 3) % 10 < 8 THEN lang
+      |         WHEN (n_chars + r.r * 3) % 10 = 8 THEN 'en'
+      |         ELSE 'unk' END AS cat
+      |  FROM documents, generate_series(0, 2) r(r)),
+      |nic AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS c
+      |        FROM rt GROUP BY 1, 2),
+      |mx AS (SELECT item, max(c) AS mx FROM nic GROUP BY 1),
+      |gold AS (
+      |  SELECT nic.item, min(cat) AS gold
+      |  FROM nic JOIN mx ON mx.item = nic.item AND nic.c = mx.mx
+      |  GROUP BY 1),
+      |j AS (SELECT rt.rater, rt.cat, gold.gold
+      |      FROM rt JOIN gold ON gold.item = rt.item)
+      |SELECT rater, CAST(count(*) AS BIGINT) AS n_ratings,
+      |  CAST(sum(CASE WHEN cat = gold THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matches,
+      |  1000000 * CAST(sum(CASE WHEN cat = gold THEN 1 ELSE 0 END)
+      |    AS BIGINT) // CAST(count(*) AS BIGINT) AS acc_micro
+      |FROM j GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12784,5 +12827,6 @@ object Queries {
     "q287_winsorized_mean" -> Q(q287, Some(q287Sql)),
     "q288_label_noise" -> Q(q288, Some(q288Sql)),
     "q289_krippendorff_alpha" -> Q(q289, Some(q289Sql)),
-    "q290_sprt_monitor" -> Q(q290, Some(q290Sql)))
+    "q290_sprt_monitor" -> Q(q290, Some(q290Sql)),
+    "q291_rater_accuracy" -> Q(q291, Some(q291Sql)))
 }

@@ -4720,6 +4720,59 @@ object Stats {
           .as("alpha"))
   }
 
+  /** PER-RATER ACCURACY AGAINST MAJORITY-VOTE GOLD — the labeling-ops
+    * companion to the agreement family ([[cohenKappa]] says "do raters
+    * agree"; this says WHICH rater to retrain): each item's gold label
+    * is the majority vote over its ratings (ties break to the
+    * lexicographically smallest tied category — deterministic in both
+    * engines), and every rater scores (ratings given, matches with
+    * gold, micro-scaled accuracy).
+    *
+    * Exactness: counts are exact longs; the majority is two bounded
+    * aggregations over the per-(item, category) count table (max
+    * count, then MIN category among rows holding it — no comparator
+    * ambiguity); accuracy is the micro-scaled truncating division
+    * (Spark div == DuckDB //). NULL items/raters/categories are
+    * rejected loudly. Items with a single rating still vote (their
+    * rating IS the gold) — exclude upstream if unwanted.
+    *
+    * Scale shape: one aggregation to (item, category) counts, two
+    * bounded reductions for the gold table, one equi-join of ratings
+    * back to gold on the item key, one final per-rater aggregation —
+    * everything partial-combining, no window, no collect.
+    * Output: (rater, n_ratings, n_matches, acc_micro). */
+  def raterAccuracy(df: DataFrame, itemCol: String, raterCol: String,
+                    catCol: String): DataFrame = {
+    val nic = df.groupBy(col(itemCol).as("__item"),
+        col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(itemCol).isNull || col(raterCol).isNull ||
+          col(catCol).isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(nic,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"raterAccuracy: $b rating rows carry a NULL item, rater or " +
+          "category — bucket them explicitly before calling"),
+      Contracts.Bound(sum(col("__c")), _ <= 1000000000000L, n =>
+        s"raterAccuracy: $n ratings exceed the micro-rate int64 " +
+          "contract (1e12)"))
+    val maxc = nic.groupBy(col("__item")).agg(max(col("__c")).as("__mx"))
+    val gold = nic.join(maxc, "__item")
+      .where(col("__c") === col("__mx"))
+      .groupBy(col("__item"))
+      .agg(min(col("__cat")).as("__gold"))
+    df.select(col(itemCol).as("__item"), col(raterCol).as("__rater"),
+        col(catCol).as("__cat"))
+      .join(gold, "__item")
+      .groupBy(col("__rater").as("rater"))
+      .agg(count(lit(1)).as("n_ratings"),
+        sum(when(col("__cat") === col("__gold"), 1L).otherwise(0L))
+          .as("n_matches"))
+      .select(col("rater"), col("n_ratings"), col("n_matches"),
+        call_function("div", col("n_matches") * 1000000L,
+          col("n_ratings")).as("acc_micro"))
+  }
+
   /** WALD SPRT sequential test per key (Wald 1945) — the
     * experimentation monitor that reads off "stop now" instead of a
     * fixed-horizon p-value: for Bernoulli outcomes under
@@ -4742,14 +4795,16 @@ object Stats {
   def sprtBernoulli(df: DataFrame, keyCol: String, successCol: String,
                     p0: (Long, Long), p1: (Long, Long),
                     alpha: (Long, Long) = (5L, 100L),
-                    beta: (Long, Long) = (5L, 100L)): DataFrame = {
-    def okRat(r: (Long, Long)): Boolean =
-      r._2 >= 1 && r._1 >= 1 && r._1 < r._2
-    require(okRat(p0) && okRat(p1) && okRat(alpha) && okRat(beta),
-      "sprtBernoulli: p0, p1, alpha, beta must be proper rationals " +
-        "num/den with 0 < num < den")
-    require(p0._1 * p1._2 != p1._1 * p0._2,
-      "sprtBernoulli: p0 == p1 — the SPRT is undefined")
+                    beta: (Long, Long) = (5L, 100L)): DataFrame =
+    sprtFromCounts(sprtCounts(df, keyCol, successCol, "sprtBernoulli"),
+      keyCol, p0, p1, alpha, beta)
+
+  /** The validated per-key (n, successes) table behind
+    * [[sprtBernoulli]] and its streaming twin — additive over disjoint
+    * row sets, so maintainers fold these directly. */
+  private[graft] def sprtCounts(df: DataFrame, keyCol: String,
+                                successCol: String,
+                                op: String): DataFrame = {
     val base = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(when(col(successCol) === 1L, 1L).otherwise(0L))
@@ -4760,11 +4815,27 @@ object Stats {
       .localCheckpoint()
     Contracts.enforce(base,
       Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
-        s"sprtBernoulli: $b NULL or non-binary outcome values — " +
+        s"$op: $b NULL or non-binary outcome values — " +
           "encode the outcome as {0, 1} longs first"),
       Contracts.Bound(max(col("n")), _ <= 2000000000L, n =>
-        s"sprtBernoulli: a key holds $n rows, exceeding the exact " +
+        s"$op: a key holds $n rows, exceeding the exact " +
           "micro-nat LLR contract (n <= 2e9 per key)"))
+    base.drop("__bad")
+  }
+
+  /** The decision tail over a validated (key, n, successes) table
+    * (see [[sprtBernoulli]] for semantics). */
+  private[graft] def sprtFromCounts(counts: DataFrame, keyCol: String,
+                                    p0: (Long, Long), p1: (Long, Long),
+                                    alpha: (Long, Long),
+                                    beta: (Long, Long)): DataFrame = {
+    def okRat(r: (Long, Long)): Boolean =
+      r._2 >= 1 && r._1 >= 1 && r._1 < r._2
+    require(okRat(p0) && okRat(p1) && okRat(alpha) && okRat(beta),
+      "sprtBernoulli: p0, p1, alpha, beta must be proper rationals " +
+        "num/den with 0 < num < den")
+    require(p0._1 * p1._2 != p1._1 * p0._2,
+      "sprtBernoulli: p0 == p1 — the SPRT is undefined")
     // micro-nat weights: ONE ln per distinct exact integer operand,
     // rounded in the SAME HALF_UP shape as Spark's round / DuckDB round
     def lnq(x: Long): Long =
@@ -4779,7 +4850,7 @@ object Stats {
     val d = "decimal(38,0)"
     val llr = col("successes").cast(d) * lit(w1).cast(d) +
       (col("n") - col("successes")).cast(d) * lit(w0).cast(d)
-    base.drop("__bad")
+    counts
       .withColumn("llr_micro", llr.cast("long"))
       .select(col(keyCol), col("n"), col("successes"), col("llr_micro"),
         lit(lnA).as("lna_micro"), lit(lnB).as("lnb_micro"),

@@ -1927,6 +1927,72 @@ object Streaming {
     }
   }
 
+  /** Live Wald-SPRT experiment monitor — the streaming twin of
+    * [[graft.operators.Stats.sprtBernoulli]] (q290): the whole point
+    * of a SEQUENTIAL test is to be read while data arrives, so each
+    * micro-batch of Bernoulli outcomes folds into the per-key
+    * (n, successes) pair (additive over disjoint row sets → streamed
+    * == batch is STRUCTURAL: [[decisions]] serves the batch operator's
+    * own `sprtFromCounts` tail) and the live accept/continue readout
+    * never rescans outcome history. State: two longs per key. NULL /
+    * non-binary outcomes fail loudly per batch. */
+  final class SprtMaintainer(initial: DataFrame, keyCol: String,
+                             successCol: String, p0: (Long, Long),
+                             p1: (Long, Long),
+                             alpha: (Long, Long) = (5L, 100L),
+                             beta: (Long, Long) = (5L, 100L)) {
+    import graft.operators.Stats
+    private var counts: DataFrame = Stats.sprtCounts(initial, keyCol,
+      successCol, "SprtMaintainer")
+
+    /** Exact [[graft.operators.Stats.sprtBernoulli]] of every outcome
+      * folded so far, served from state. */
+    def decisions(): DataFrame = synchronized {
+      Stats.sprtFromCounts(counts, keyCol, p0, p1, alpha, beta)
+    }
+
+    /** Fold one micro-batch of outcomes. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.sprtCounts(batch, keyCol, successCol,
+        "SprtMaintainer")
+      counts = counts.unionByName(h)
+        .groupBy(col(keyCol))
+        .agg(sum(col("n")).as("n"),
+          sum(col("successes")).as("successes"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the count state for [[SprtMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      counts.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object SprtMaintainer {
+    /** Resume a [[SprtMaintainer.checkpoint]]. Configuration is not
+      * state — pass the SAME columns and hypothesis rationals the
+      * original monitor ran with (the [[PsiMaintainer.restore]]
+      * contract). */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+                successCol: String, p0: (Long, Long), p1: (Long, Long),
+                alpha: (Long, Long) = (5L, 100L),
+                beta: (Long, Long) = (5L, 100L)): SprtMaintainer = {
+      val counts = spark.read.parquet(dir)
+      val empty = counts.limit(0)
+        .select(col(keyCol), lit(0L).as(successCol))
+      val m = new SprtMaintainer(empty, keyCol, successCol, p0, p1,
+        alpha, beta)
+      m.counts = counts.localCheckpoint()
+      m
+    }
+  }
+
   object PsiMaintainer {
     /** Resume a [[PsiMaintainer.checkpoint]]. Configuration
       * (keyCol/catCol/maxDistinctPerKey) is not state — pass the SAME

@@ -3752,6 +3752,35 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("raterAccuracy equals the brute majority-vote walk with " +
+    "smallest-category tie-break; NULL raters rejected") {
+    val rnd = new scala.util.Random(67)
+    val cats = Array("a", "b", "c")
+    val rows = (1 to 60).flatMap { item =>
+      (0 until 4).map(r => (item.toLong, r.toLong, cats(rnd.nextInt(3))))
+    }
+    val got = Stats.raterAccuracy(rows.toDF("item", "rater", "cat"),
+        "item", "rater", "cat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val gold = rows.groupBy(_._1).map { case (item, g) =>
+      val byCat = g.groupBy(_._3).view.mapValues(_.size)
+      val mx = byCat.values.max
+      item -> byCat.filter(_._2 == mx).keys.min
+    }
+    (0L until 4L).foreach { r =>
+      val mine = rows.filter(_._2 == r)
+      val n = mine.size.toLong
+      val m = mine.count(x => x._3 == gold(x._1)).toLong
+      assert(got(r) == ((n, m, 1000000L * m / n)), s"rater=$r")
+    }
+    intercept[Throwable] {
+      Stats.raterAccuracy(Seq((1L, Option.empty[Long], "a"),
+          (1L, Some(2L), "a")).toDF("item", "rater", "cat"),
+        "item", "rater", "cat").collect()
+    }
+  }
+
   test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
     "pins 1e6, double-MM ranking agrees on a balanced design, " +
     "self-contests rejected") {

@@ -1074,6 +1074,46 @@ class StreamingSpec extends SparkTestBase {
       "restored audit != batch fairnessAudit of the accumulated rows")
   }
 
+  test("sprt maintainer serves batch decisions live, flips to accept " +
+    "as evidence accumulates, checkpoint/restores") {
+    import graft.operators.Stats
+    def dd(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6))).toMap
+    val p0 = (45L, 100L); val p1 = (55L, 100L)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val m = new Streaming.SprtMaintainer(
+      hist.toSeq.toDF("k", "x"), "k", "x", p0, p1)
+    def expect() = dd(Stats.sprtBernoulli(hist.toSeq.toDF("k", "x"),
+      "k", "x", p0, p1))
+    // "hot" accumulates all-successes: must continue, then accept_h1
+    (1 to 3).foreach { i =>
+      val b = Seq.fill(40)(("hot", 1L)) ++
+        Seq.tabulate(30)(j => ("mixed", (j % 2).toLong))
+      hist ++= b
+      m.applyBatch(b.toDF("k", "x"))
+      assert(dd(m.decisions()) == expect(), s"decisions after batch $i")
+    }
+    assert(dd(m.decisions())("hot")._4 == "accept_h1")
+    assert(dd(m.decisions())("mixed")._4 == "continue")
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq(("hot", 7L)).toDF("k", "x"))
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("SprtMaintainer"))
+    assert(dd(m.decisions()) == expect(), "rejected batch mutated state")
+    val dir = java.nio.file.Files.createTempDirectory("sprtckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.SprtMaintainer.restore(spark, dir,
+      "k", "x", p0, p1)
+    val b4 = Seq.fill(25)(("mixed", 0L))
+    hist ++= b4
+    m.applyBatch(b4.toDF("k", "x"))
+    restored.applyBatch(b4.toDF("k", "x"))
+    assert(dd(restored.decisions()) == dd(m.decisions()) &&
+      dd(restored.decisions()) == expect(),
+      "restored monitor diverged")
+  }
+
   test("noisy-counts maintainer re-releases the batch release live, " +
     "same noise draw per key, NULL keys rejected, checkpoint/restores") {
     import graft.operators.Stats
