@@ -12532,6 +12532,61 @@ object Queries {
       |    AS BIGINT) // CAST(count(*) AS BIGINT) AS acc_micro
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Content-defined-chunking dedup profile (Dedup.cdcDedupProfile,
+    * window 16, modulus 64): the corpus plus an injected duplicate of
+    * every fourth document — the CDC cut rule re-finds the shared
+    * chunks regardless of surrounding bytes, and the one-row profile
+    * reports the achievable storage dedup ratio. The oracle rebuilds
+    * every cut point and chunk hash from the same md5 rule. */
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.where(pmod(col("n_chars"), lit(4)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.cdcDedupProfile(corpus, "doc_id", "text", window = 16,
+      modulus = 64L)
+  }
+
+  private val q292Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents
+       |  WHERE n_chars % 4 = 0),
+       |cuts AS (
+       |  SELECT doc_id, text, len(text) AS n,
+       |    [i for i in range(16, len(text)+1)
+       |       if ${md5LongSql("substr(text, i-16+1, 16)")} % 64 = 0]
+       |      AS cs
+       |  FROM corpus),
+       |spans AS (
+       |  SELECT doc_id, u[1] AS s, u[2] AS e,
+       |    substr(text, CAST(u[1]+1 AS INTEGER),
+       |      CAST(u[2]-u[1] AS INTEGER)) AS chunk
+       |  FROM (SELECT doc_id, text,
+       |          list_zip(list_prepend(0, cs), list_append(cs, n)) AS z
+       |        FROM cuts), unnest(z) AS t(u)
+       |  WHERE u[2] > u[1]),
+       |ph AS (
+       |  SELECT ${md5LongSql("chunk")} AS h,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(min(e - s) AS BIGINT) AS l
+       |  FROM spans GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(c * l) AS BIGINT) AS total_chars,
+       |    CAST(sum(l) AS BIGINT) AS distinct_chars
+       |  FROM ph),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |       FROM corpus)
+       |SELECT n_docs, n_chunks, n_distinct, total_chars, distinct_chars,
+       |  CASE WHEN total_chars > 0
+       |    THEN CAST(distinct_chars AS DOUBLE)
+       |       / CAST(total_chars AS DOUBLE)
+       |    ELSE CAST('nan' AS DOUBLE) END AS dedup_ratio
+       |FROM agg CROSS JOIN nd""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12828,5 +12883,6 @@ object Queries {
     "q288_label_noise" -> Q(q288, Some(q288Sql)),
     "q289_krippendorff_alpha" -> Q(q289, Some(q289Sql)),
     "q290_sprt_monitor" -> Q(q290, Some(q290Sql)),
-    "q291_rater_accuracy" -> Q(q291, Some(q291Sql)))
+    "q291_rater_accuracy" -> Q(q291, Some(q291Sql)),
+    "q292_cdc_dedup" -> Q(q292, Some(q292Sql)))
 }

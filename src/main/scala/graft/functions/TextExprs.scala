@@ -1058,3 +1058,52 @@ case class FfdPack(child: Expression, capacity: Long)
   override protected def withNewChildInternal(newChild: Expression): FfdPack =
     copy(child = newChild)
 }
+
+/** Content-defined chunk spans by an md5 cut rule: position i (1-based,
+  * i >= window) cuts AFTER i when md5Long(text[i-window+1 .. i]) mod
+  * modulus == 0 — cut points depend only on the LOCAL window, the
+  * property that makes chunk identity survive inserts/deletes upstream
+  * (the dedup-storage CDC recipe; gear/Rabin hashes are cheaper but
+  * md5 is the engine-replayable choice, swappable behind this same
+  * span interface). Every chunk emits struct<start, len, hash> with
+  * hash = md5Long of the chunk text. One pass per row; empty text
+  * yields no chunks. */
+case class CdcChunks(child: Expression, window: Int, modulus: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1 && modulus >= 1,
+    s"cdc_chunks needs window >= 1 and modulus >= 1, got $window/$modulus")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_chunks needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = window
+    while (i <= n) {
+      val h = TextKernels.md5Long(text.substring(i - window, i))
+      if (java.lang.Math.floorMod(h, modulus) == 0L) {
+        out += new GenericInternalRow(Array[Any](start.toLong,
+          (i - start).toLong,
+          TextKernels.md5Long(text.substring(start, i))))
+        start = i
+      }
+      i += 1
+    }
+    if (start < n)
+      out += new GenericInternalRow(Array[Any](start.toLong,
+        (n - start).toLong,
+        TextKernels.md5Long(text.substring(start, n))))
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}

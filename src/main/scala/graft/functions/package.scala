@@ -384,6 +384,11 @@ package object functions {
   def ffd_pack(tokens: Column, capacity: Long): Column =
     ExprBridge.column(FfdPack(col2expr(tokens), capacity))
 
+  /** Content-defined chunk spans (start, len, hash) by the md5 cut
+    * rule — one pass per row (see [[CdcChunks]]). */
+  def cdc_chunks(text: Column, window: Int, modulus: Long): Column =
+    ExprBridge.column(CdcChunks(col2expr(text), window, modulus))
+
   /** One BPE merge application over a symbol array: every adjacent
     * (a, b) becomes a+b in one greedy left-to-right pass (see
     * [[MergeAdjacentPair]]). */

@@ -1670,6 +1670,59 @@ class OperatorSpec extends SparkTestBase {
     assert(e.getMessage.contains("non-positive"))
   }
 
+  test("cdc_chunks equals the brute cut walk; chunk identity survives a " +
+    "prefix edit; cdcDedupProfile counts duplicate mass exactly") {
+    import graft.functions.TextKernels
+    val rnd = new scala.util.Random(68)
+    val alpha = "abcdefgh "
+    def mk(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val texts = Seq.fill(20)(mk(200 + rnd.nextInt(200)))
+    val (w, m) = (8, 16L)
+    def brute(text: String): Seq[(Long, Long, Long)] = {
+      val cutPts = (w to text.length).filter(i =>
+        java.lang.Math.floorMod(
+          TextKernels.md5Long(text.substring(i - w, i)), m) == 0L)
+      val starts = 0 +: cutPts
+      val ends = cutPts :+ text.length
+      starts.zip(ends).filter(p => p._2 > p._1).map { case (s, e) =>
+        (s.toLong, (e - s).toLong, TextKernels.md5Long(text.substring(s, e)))
+      }
+    }
+    val got = texts.zipWithIndex.map { case (tx, i) => (i.toLong, tx) }
+      .toDF("id", "text")
+      .select(col("id"), explode(cdc_chunks(col("text"), w, m)).as("c"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map { r =>
+        val st = r.getStruct(1)
+        (st.getLong(0), st.getLong(1), st.getLong(2))
+      }.toSeq.sortBy(_._1)).toMap
+    texts.zipWithIndex.foreach { case (tx, i) =>
+      assert(got(i.toLong) == brute(tx), s"doc $i")
+    }
+    // CDC property: a prefix edit only disturbs chunks before the first
+    // surviving cut — everything after re-aligns (fixed-size blocks
+    // would shift EVERY block)
+    val base = texts.head
+    val edited = "zz" + base
+    val hb = brute(base).map(_._3).toSet
+    val he = brute(edited).map(_._3).toSet
+    assert((hb & he).size >= hb.size - 2,
+      s"CDC must re-find shared chunks: ${(hb & he).size} of ${hb.size}")
+    // profile: duplicating one doc adds only duplicate mass
+    val solo = Dedup.cdcDedupProfile(
+      Seq((1L, base)).toDF("id", "text"), "id", "text", w, m)
+      .collect().head
+    val dup = Dedup.cdcDedupProfile(
+      Seq((1L, base), (2L, base)).toDF("id", "text"), "id", "text", w, m)
+      .collect().head
+    assert(dup.getLong(2) == solo.getLong(2), "n_distinct must not grow")
+    assert(dup.getLong(4) == solo.getLong(4),
+      "distinct_chars must not grow")
+    assert(dup.getLong(1) == 2 * solo.getLong(1) &&
+      dup.getLong(3) == 2 * solo.getLong(3))
+    assert(dup.getDouble(5) == dup.getLong(4).toDouble /
+      dup.getLong(3).toDouble)
+  }
+
   test("packFirstFitDecreasing equals the brute greedy walk, every bin " +
     "respects capacity, oversize and NULL docs rejected, per-key " +
     "fold bound enforced") {
