@@ -12587,6 +12587,86 @@ object Queries {
        |    ELSE CAST('nan' AS DOUBLE) END AS dedup_ratio
        |FROM agg CROSS JOIN nd""".stripMargin
 
+  /** Dawid–Skene hard-EM label aggregation
+    * (Stats.dawidSkeneHardEm, 2 rounds): the q291 fixture with
+    * rater-DEPENDENT quality (annotator r agrees with the corpus lang
+    * on (8−r)/10 of docs), so accuracy weighting must beat the plain
+    * majority vote. The oracle unrolls both EM rounds — per-rater
+    * accuracy micro-nats, class priors, the C-way scoring explode,
+    * and the smallest-class argmax — bit-for-bit. */
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    Stats.dawidSkeneHardEm(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("rater"))
+        .select(col("doc_id").as("item"), col("rater"),
+          when(pmod(col("n_chars") + col("rater") * 3L, lit(10)) <
+            lit(8L) - col("rater"), col("lang"))
+            .when(pmod(col("n_chars") + col("rater") * 3L, lit(10))
+              === lit(8L) - col("rater"), lit("en"))
+            .otherwise(lit("unk")).as("cat")),
+      "item", "rater", "cat", rounds = 2)
+
+  private val q293Sql = {
+    val lnq = (x: String) =>
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    val roundCtes = (1 to 2).map { k =>
+      val prev = if (k == 1) "g0" else s"g${k - 1}"
+      s"""rs$k AS (
+         |  SELECT rt.rater, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN rt.cat = $prev.gold THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS m
+         |  FROM rt JOIN $prev ON $prev.item = rt.item GROUP BY 1),
+         |rw$k AS (
+         |  SELECT rater, ${lnq("m + 1")} - ${lnq("n + 2")} AS a,
+         |    ${lnq("n - m + 1")} - ${lnq("n + 2")}
+         |      - ${lnq("cc.c - 1")} AS b
+         |  FROM rs$k CROSS JOIN cc),
+         |gc$k AS (SELECT gold, CAST(count(*) AS BIGINT) AS g
+         |         FROM $prev GROUP BY 1),
+         |pr$k AS (
+         |  SELECT cl.cat,
+         |    ${lnq(s"coalesce(gc$k.g, 0) + 1")}
+         |      - ${lnq("ni.ni + cc.c")} AS p
+         |  FROM cl LEFT JOIN gc$k ON gc$k.gold = cl.cat
+         |  CROSS JOIN ni CROSS JOIN cc),
+         |sc$k AS (
+         |  SELECT rt.item, cl.cat AS c2,
+         |    CAST(sum(CASE WHEN rt.cat = cl.cat THEN rw$k.a
+         |             ELSE rw$k.b END) AS BIGINT) AS s0
+         |  FROM rt JOIN rw$k ON rw$k.rater = rt.rater CROSS JOIN cl
+         |  GROUP BY 1, 2),
+         |s$k AS MATERIALIZED (
+         |  SELECT sc$k.item, c2, s0 + pr$k.p AS s
+         |  FROM sc$k JOIN pr$k ON pr$k.cat = c2),
+         |b$k AS (SELECT item, max(s) AS smax FROM s$k GROUP BY 1),
+         |g$k AS MATERIALIZED (
+         |  SELECT s$k.item, min(c2) AS gold, max(s) AS score
+         |  FROM s$k JOIN b$k ON b$k.item = s$k.item AND s = smax
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rt AS MATERIALIZED (
+       |  SELECT doc_id AS item, r.r AS rater,
+       |    CASE WHEN (n_chars + r.r * 3) % 10 < 8 - r.r THEN lang
+       |         WHEN (n_chars + r.r * 3) % 10 = 8 - r.r THEN 'en'
+       |         ELSE 'unk' END AS cat
+       |  FROM documents, generate_series(0, 2) r(r)),
+       |cl AS MATERIALIZED (SELECT DISTINCT cat FROM rt),
+       |cc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cl),
+       |ni AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS ni FROM rt),
+       |nic AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS c
+       |        FROM rt GROUP BY 1, 2),
+       |mx AS (SELECT item, max(c) AS mx FROM nic GROUP BY 1),
+       |g0 AS MATERIALIZED (
+       |  SELECT nic.item, min(cat) AS gold
+       |  FROM nic JOIN mx ON mx.item = nic.item AND nic.c = mx.mx
+       |  GROUP BY 1),
+       |$roundCtes
+       |SELECT g0.item, g0.gold AS gold_majority, g2.gold AS gold_em,
+       |  g2.score AS score_micro
+       |FROM g0 JOIN g2 ON g2.item = g0.item""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12884,5 +12964,6 @@ object Queries {
     "q289_krippendorff_alpha" -> Q(q289, Some(q289Sql)),
     "q290_sprt_monitor" -> Q(q290, Some(q290Sql)),
     "q291_rater_accuracy" -> Q(q291, Some(q291Sql)),
-    "q292_cdc_dedup" -> Q(q292, Some(q292Sql)))
+    "q292_cdc_dedup" -> Q(q292, Some(q292Sql)),
+    "q293_dawid_skene" -> Q(q293, Some(q293Sql)))
 }

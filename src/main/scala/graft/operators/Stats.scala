@@ -4773,6 +4773,122 @@ object Stats {
           col("n_ratings")).as("acc_micro"))
   }
 
+  /** DAWID–SKENE LABEL AGGREGATION by fixed-round hard EM (Dawid &
+    * Skene 1979; the one-coin variant) — the principled successor to
+    * [[raterAccuracy]]'s majority vote: raters are WEIGHTED by their
+    * estimated accuracy, so two reliable annotators outvote three
+    * careless ones. Hard EM (the q233 unigram-trainer discipline):
+    * gold starts at the majority vote, then each round re-estimates
+    * per-rater accuracies and class priors (M) and re-assigns every
+    * item to its maximum-score class (E), `rounds` times.
+    *
+    * Per-item class score, all integer micro-nats:
+    *
+    *   score(c) = lnq(g_c + 1) − lnq(N + C)                (prior)
+    *     + Σ_ratings  cat == c ? lnq(m_r + 1) − lnq(n_r + 2)
+    *                : lnq(n_r − m_r + 1) − lnq(n_r + 2) − lnq(C − 1)
+    *
+    * (Laplace-smoothed rater accuracy (m+1)/(n+2); errors spread
+    * uniformly over the C − 1 wrong classes — the one-coin model.)
+    * Ties take the lexicographically smallest class; every logarithm
+    * is ONE IEEE ln over an exact integer (the [[jsdByKey]] lnMicro
+    * discipline), so rounds replay bit-for-bit in the oracle's
+    * unrolled CTEs. The class universe is CHECKED 2 ≤ C ≤ 16 and
+    * collected once; per-round class priors are C-row driver collects
+    * (the bpeTrain bounded-stats pattern). NULLs rejected; row counts
+    * ≤ 10⁹ per rater CHECKED keep every lnq operand exact.
+    *
+    * Scale shape per round: ratings ⋈ gold (co-partitioned on item) →
+    * per-rater stats (bounded by rater cardinality, broadcast back) →
+    * C-way literal explode → per-(item, class) map-side-combining sum
+    * → two bounded argmax aggregations. No window over raw rows.
+    * Output: (item, gold_majority, gold_em, score_micro). */
+  def dawidSkeneHardEm(df: DataFrame, itemCol: String, raterCol: String,
+                       catCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"dawidSkeneHardEm: rounds must be in [1, 8], got $rounds")
+    val ratings = df.select(col(itemCol).as("__item"),
+      col(raterCol).as("__rater"), col(catCol).as("__cat"))
+      .localCheckpoint()
+    Contracts.enforce(ratings,
+      Contracts.Bound(sum(when(col("__item").isNull ||
+        col("__rater").isNull || col("__cat").isNull, 1L)
+        .otherwise(0L)), _ == 0L, b =>
+        s"dawidSkeneHardEm: $b rating rows carry NULLs — bucket them " +
+          "explicitly before calling"),
+      Contracts.Bound(count(lit(1)), _ <= 1000000000L, n =>
+        s"dawidSkeneHardEm: $n ratings exceed the exact micro-nat " +
+          "contract (1e9)"))
+    val cats = ratings.select(col("__cat")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val c = cats.length
+    require(c >= 2 && c <= 16,
+      s"dawidSkeneHardEm: needs 2..16 distinct classes, got $c")
+    val nItems = ratings.select(col("__item")).distinct().count()
+    val lnqC1 = BigDecimal.valueOf(math.log((c - 1).toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // round 0: majority vote, smallest-category tie-break
+    val nic = ratings.groupBy(col("__item"), col("__cat"))
+      .agg(count(lit(1)).as("__c"))
+    val maxc = nic.groupBy(col("__item")).agg(max(col("__c")).as("__mx"))
+    val majority = nic.join(maxc, "__item")
+      .where(col("__c") === col("__mx"))
+      .groupBy(col("__item")).agg(min(col("__cat")).as("__gold"))
+      .localCheckpoint()
+    val catsLit = array(cats.map(lit(_)): _*)
+    var gold = majority.withColumn("__score", lit(0L))
+    (1 to rounds).foreach { _ =>
+      // M-step: per-rater (n, matches) vs the current gold
+      val rw = ratings
+        .join(gold.select(col("__item"), col("__gold")), "__item")
+        .groupBy(col("__rater"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__cat") === col("__gold"), 1L).otherwise(0L))
+            .as("__m"))
+        .select(col("__rater"),
+          (lnMicro((col("__m") + 1L).cast("double")) -
+            lnMicro((col("__n") + 2L).cast("double"))).as("__a"),
+          (lnMicro((col("__n") - col("__m") + 1L).cast("double")) -
+            lnMicro((col("__n") + 2L).cast("double")) - lit(lnqC1))
+            .as("__b"))
+      // class priors: C bounded rows, collected (bpeTrain pattern)
+      val gc = gold.groupBy(col("__gold")).agg(count(lit(1)).as("__g"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def lnq(x: Long): Long =
+        BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val priors = cats.map(ct => ct ->
+        (lnq(gc.getOrElse(ct, 0L) + 1L) - lnq(nItems + c))).toMap
+      val priorCol = cats.tail.foldLeft(
+        when(col("__c2") === cats.head, lit(priors(cats.head)))) {
+        (acc, ct) => acc.when(col("__c2") === ct, lit(priors(ct)))
+      }.otherwise(lit(0L))
+      // E-step: per-(item, class) micro-nat scores, argmax re-assign
+      val scored = ratings.join(broadcast(rw), "__rater")
+        .select(col("__item"), col("__cat"), col("__a"), col("__b"),
+          explode(catsLit).as("__c2"))
+        .select(col("__item"), col("__c2"),
+          when(col("__cat") === col("__c2"), col("__a"))
+            .otherwise(col("__b")).as("__t"))
+        .groupBy(col("__item"), col("__c2"))
+        .agg(sum(col("__t")).as("__s0"))
+        .select(col("__item"), col("__c2"),
+          (col("__s0") + priorCol).as("__s"))
+      val best = scored.groupBy(col("__item"))
+        .agg(max(col("__s")).as("__smax"))
+      gold = scored.join(best, "__item")
+        .where(col("__s") === col("__smax"))
+        .groupBy(col("__item"))
+        .agg(min(col("__c2")).as("__gold"), max(col("__s")).as("__score"))
+        .localCheckpoint()
+    }
+    majority.select(col("__item").as("item"),
+        col("__gold").as("gold_majority"))
+      .join(gold.select(col("__item").as("item"),
+        col("__gold").as("gold_em"), col("__score").as("score_micro")),
+        "item")
+  }
+
   /** WALD SPRT sequential test per key (Wald 1945) — the
     * experimentation monitor that reads off "stop now" instead of a
     * fixed-horizon p-value: for Bernoulli outcomes under

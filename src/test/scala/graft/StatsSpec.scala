@@ -3781,6 +3781,86 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("dawidSkeneHardEm: exact micro-nat EM replay on random data, and " +
+    "accuracy weighting flips tied votes toward the reliable rater") {
+    def q(x: Long) = BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def brute(rows: Seq[(Long, Long, String)], rounds: Int)
+      : Map[Long, (String, String, Long)] = {
+      val cats = rows.map(_._3).distinct.sorted
+      val c = cats.length
+      val items = rows.map(_._1).distinct
+      val nI = items.size.toLong
+      val majority = items.map { it =>
+        val byCat = rows.filter(_._1 == it).groupBy(_._3)
+          .view.mapValues(_.size).toMap
+        val mx = byCat.values.max
+        it -> byCat.filter(_._2 == mx).keys.min
+      }.toMap
+      var gold = majority
+      var score = Map.empty[Long, Long]
+      (1 to rounds).foreach { _ =>
+        val g = gold
+        val rw = rows.groupBy(_._2).map { case (r, rs) =>
+          val n = rs.size.toLong
+          val m = rs.count(x => x._3 == g(x._1)).toLong
+          r -> (q(m + 1) - q(n + 2),
+            q(n - m + 1) - q(n + 2) - q(c - 1L))
+        }
+        val gc = g.values.groupBy(identity).view.mapValues(_.size.toLong)
+        val pr = cats.map(ct =>
+          ct -> (q(gc.getOrElse(ct, 0L) + 1) - q(nI + c))).toMap
+        val next = items.map { it =>
+          val mine = rows.filter(_._1 == it)
+          val scores = cats.map { ct =>
+            ct -> (pr(ct) + mine.map { case (_, r, cat) =>
+              if (cat == ct) rw(r)._1 else rw(r)._2
+            }.sum)
+          }
+          val mx = scores.map(_._2).max
+          it -> (scores.filter(_._2 == mx).map(_._1).min, mx)
+        }.toMap
+        gold = next.view.mapValues(_._1).toMap
+        score = next.view.mapValues(_._2).toMap
+      }
+      items.map(it => it -> (majority(it), gold(it), score(it))).toMap
+    }
+    val rnd = new scala.util.Random(69)
+    val cats = Array("p", "q", "r", "s")
+    val rows = (1 to 80).flatMap(i => (0 to 4).map(r =>
+      (i.toLong, r.toLong, cats(rnd.nextInt(4)))))
+    val got = Stats.dawidSkeneHardEm(rows.toDF("item", "rater", "cat"),
+        "item", "rater", "cat", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(got == brute(rows, 2))
+    // accuracy weighting breaks 1-vs-1 ties toward the reliable rater:
+    // calibration items (double-rated by rater 0, always-wrong rater 1)
+    // pin the two raters' accuracies apart; on the disputed items the
+    // majority tie-breaks lexicographically to the WRONG 'a', and EM
+    // must flip every one to the reliable rater's 'b'
+    val cs = Array("a", "b", "c")
+    val adv =
+      (100 until 140).flatMap { i =>
+        val truth = cs(i % 3)
+        Seq((i.toLong, 0L, truth), (i.toLong, 0L, truth),
+          (i.toLong, 1L, cs((i % 3 + 1) % 3)))
+      } ++ (0 until 20).flatMap(i =>
+        Seq((i.toLong, 0L, "b"), (i.toLong, 1L, "a")))
+    val fixed = Stats.dawidSkeneHardEm(adv.toDF("item", "rater", "cat"),
+        "item", "rater", "cat", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    (0 until 20).foreach { i =>
+      assert(fixed(i.toLong) == (("a", "b")),
+        s"disputed item $i: ${fixed(i.toLong)} — EM must side with " +
+          "the calibrated-reliable rater")
+    }
+    (100 until 140).foreach { i =>
+      assert(fixed(i.toLong)._2 == cs(i % 3), s"calibration item $i")
+    }
+  }
+
   test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
     "pins 1e6, double-MM ranking agrees on a balanced design, " +
     "self-contests rejected") {
