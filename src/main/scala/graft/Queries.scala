@@ -12667,6 +12667,68 @@ object Queries {
        |FROM g0 JOIN g2 ON g2.item = g0.item""".stripMargin
   }
 
+  /** Cluster purity of exact-dedup clusters against the lang label
+    * (Stats.clusterPurity): the corpus plus an injected copy of every
+    * fourth document RE-LABELED 'xx' — identical text under two labels
+    * is an annotation bug, and each such cluster reads as impure.
+    * Exact counts; one truncating micro division. */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(d.where(pmod(col("n_chars"), lit(4)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit("xx").as("lang")))
+    Stats.clusterPurity(
+      corpus.select(md5(col("text").cast("binary")).as("cluster"),
+        col("lang")),
+      "cluster", "lang")
+  }
+
+  private val q294Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 'xx' FROM documents
+      |  WHERE n_chars % 4 = 0),
+      |cl AS (SELECT md5(text) AS cluster, lang,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM corpus GROUP BY 1, 2),
+      |pc AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(max(c) AS BIGINT) AS mx
+      |       FROM cl GROUP BY 1)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(CASE WHEN mx = n THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pure,
+      |  1000000 * CAST(sum(mx) AS BIGINT) // CAST(sum(n) AS BIGINT)
+      |    AS purity_micro
+      |FROM pc""".stripMargin
+
+  /** Near-dup label-conflict audit (Dedup.pairLabelConflicts over the
+    * q19 MinHash-LSH verified pairs): near-identical documents
+    * carrying different lang labels surface as off-diagonal
+    * label-pair rows — the annotation-bug report the dedup pass gets
+    * for free. */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.pairLabelConflicts(
+      Dedup.minhashLshPairs(d, "doc_id", "text", shingleN = 3,
+        bands = 8, rowsPerBand = 2, threshold = 0.5),
+      d, "doc_id", "lang")
+  }
+
+  private val q295Sql =
+    s"""WITH $minhashPairsCtes
+       |SELECT least(da.lang, db.lang) AS label_a,
+       |  greatest(da.lang, db.lang) AS label_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(da.lang, db.lang) != greatest(da.lang, db.lang)
+       |    AS is_conflict
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.id_a
+       |JOIN documents db ON db.doc_id = p.id_b
+       |GROUP BY 1, 2""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -12965,5 +13027,7 @@ object Queries {
     "q290_sprt_monitor" -> Q(q290, Some(q290Sql)),
     "q291_rater_accuracy" -> Q(q291, Some(q291Sql)),
     "q292_cdc_dedup" -> Q(q292, Some(q292Sql)),
-    "q293_dawid_skene" -> Q(q293, Some(q293Sql)))
+    "q293_dawid_skene" -> Q(q293, Some(q293Sql)),
+    "q294_cluster_purity" -> Q(q294, Some(q294Sql)),
+    "q295_neardup_label_conflicts" -> Q(q295, Some(q295Sql)))
 }

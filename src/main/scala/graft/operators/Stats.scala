@@ -4773,6 +4773,45 @@ object Stats {
           col("n_ratings")).as("acc_micro"))
   }
 
+  /** CLUSTER PURITY against a label column — the clustering-quality /
+    * label-noise audit for any cluster assignment in the engine (exact
+    * dedup clusters, LSH components, IVF cells, k-means cells):
+    * purity = Σ_cluster max_label_count / n, plus the pure-cluster
+    * count — identical text carrying two different labels (an impure
+    * dedup cluster) is an annotation bug; an IVF cell spanning many
+    * labels is a retrieval-quality warning. Pairs with
+    * [[mutualInfoByKey]] (cluster vs label) for the NMI view.
+    *
+    * Exactness: counts are exact longs; purity is the micro-scaled
+    * truncating division (Spark div == DuckDB //). NULLs rejected.
+    * Scale shape: one map-side-combining aggregation to the
+    * (cluster, label) count table, one bounded per-cluster max, one
+    * single-row reduction — no window, no collect.
+    * Output one row: (n_rows, n_clusters, n_pure, purity_micro). */
+  def clusterPurity(df: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame = {
+    val cl = df.groupBy(col(clusterCol).as("__cl"),
+        col(labelCol).as("__lb"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(clusterCol).isNull || col(labelCol).isNull, 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cl,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"clusterPurity: $b rows carry a NULL cluster or label — " +
+          "bucket them explicitly before calling"),
+      Contracts.Bound(sum(col("__c")), _ <= 1000000000000L, n =>
+        s"clusterPurity: $n rows exceed the micro-rate contract (1e12)"))
+    cl.groupBy(col("__cl"))
+      .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__mx"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("__mx") === col("__n"), 1L).otherwise(0L))
+          .as("n_pure"),
+        call_function("div", sum(col("__mx")) * 1000000L,
+          sum(col("__n"))).as("purity_micro"))
+  }
+
   /** DAWID–SKENE LABEL AGGREGATION by fixed-round hard EM (Dawid &
     * Skene 1979; the one-coin variant) — the principled successor to
     * [[raterAccuracy]]'s majority vote: raters are WEIGHTED by their

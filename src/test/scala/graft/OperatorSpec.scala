@@ -1723,6 +1723,26 @@ class OperatorSpec extends SparkTestBase {
       dup.getLong(3).toDouble)
   }
 
+  test("pairLabelConflicts canonicalizes label pairs, flags conflicts, " +
+    "and rejects pairs whose ids miss from the label table") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 5L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, "en"), (2L, "fr"), (3L, "en"), (4L, "en"),
+      (5L, "en"), (6L, "fr")).toDF("id", "lang")
+    val got = Dedup.pairLabelConflicts(pairs, labels, "id", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    // (1,2)=(en,fr) conflict; (3,4)=(en,en); (5,6)=(en,fr); (2,5)=(fr,en)
+    // canonicalizes to (en,fr) — so (en,fr) counts 3
+    assert(got == Map(("en", "fr") -> ((3L, true)),
+      ("en", "en") -> ((1L, false))))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.pairLabelConflicts(Seq((1L, 99L)).toDF("id_a", "id_b"),
+        labels, "id", "lang")
+    }
+    assert(e.getMessage.contains("missing from the label table"))
+  }
+
   test("packFirstFitDecreasing equals the brute greedy walk, every bin " +
     "respects capacity, oversize and NULL docs rejected, per-key " +
     "fold bound enforced") {

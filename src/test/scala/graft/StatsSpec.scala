@@ -3781,6 +3781,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("clusterPurity equals the brute per-cluster majority mass; all-" +
+    "same-label input pins purity == 1e6; NULL labels rejected") {
+    val rnd = new scala.util.Random(70)
+    val rows = Seq.fill(500)((rnd.nextInt(60).toLong,
+      s"l${rnd.nextInt(4)}"))
+    val r = Stats.clusterPurity(rows.toDF("cl", "lb"), "cl", "lb")
+      .collect().head
+    val byCl = rows.groupBy(_._1)
+    val mx = byCl.values.map(g =>
+      g.groupBy(_._2).values.map(_.size).max.toLong).sum
+    val pure = byCl.values.count(g => g.map(_._2).distinct.size == 1)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((rows.size.toLong, byCl.size.toLong, pure.toLong,
+        1000000L * mx / rows.size)))
+    val pureAll = Stats.clusterPurity(
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("cl", "lb"), "cl", "lb")
+      .collect().head
+    assert(pureAll.getLong(2) == 2L && pureAll.getLong(3) == 1000000L)
+    intercept[Throwable] {
+      Stats.clusterPurity(Seq((1L, Option.empty[String]),
+        (1L, Some("a"))).toDF("cl", "lb"), "cl", "lb").collect()
+    }
+  }
+
   test("dawidSkeneHardEm: exact micro-nat EM replay on random data, and " +
     "accuracy weighting flips tied votes toward the reliable rater") {
     def q(x: Long) = BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
