@@ -12729,6 +12729,105 @@ object Queries {
        |JOIN documents db ON db.doc_id = p.id_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** Off-policy IPS/SNIPS value estimate per day-of-week
+    * (Stats.ipsEstimate): the logged event stream evaluated against a
+    * deterministic target policy (recommend 'purchase' when the props
+    * payload's k >= 50, else 'view') under k-derived micro
+    * propensities — "what would the new policy have earned", with the
+    * effective-sample-size honesty meter. Exact truncating inverse-
+    * propensity weights; three single divisions. */
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    Stats.ipsEstimate(
+      t(s, dir, "events").select(
+        expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        col("event_type").as("a"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("__k"),
+        cents(col("value")).as("r"))
+        .select(col("dow"), col("a"), col("r"),
+          (lit(100000L) + col("__k") * 9000L).as("p_micro"),
+          when(col("__k") >= 50L, lit("purchase")).otherwise(lit("view"))
+            .as("pi")),
+      "dow", "a", "pi", "p_micro", "r")
+
+  private val q296Sql =
+    """WITH d AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    event_type AS a,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    CAST(round(value * 100) AS BIGINT) AS r
+      |  FROM events),
+      |e AS (
+      |  SELECT dow, a, r, 100000 + k * 9000 AS p,
+      |    CASE WHEN k >= 50 THEN 'purchase' ELSE 'view' END AS pi
+      |  FROM d),
+      |g AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a = pi THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_matched,
+      |    sum(CASE WHEN a = pi
+      |        THEN CAST(1000000000000 // p AS HUGEINT) ELSE 0 END) AS sw,
+      |    sum(CASE WHEN a = pi
+      |        THEN CAST(1000000000000 // p AS HUGEINT)
+      |           * (1000000000000 // p) ELSE 0 END) AS sw2,
+      |    sum(CASE WHEN a = pi
+      |        THEN CAST(r AS HUGEINT) * (1000000000000 // p)
+      |        ELSE 0 END) AS srw
+      |  FROM e GROUP BY 1)
+      |SELECT dow, n, n_matched,
+      |  CASE WHEN n_matched = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(srw AS DOUBLE)
+      |       / CAST(CAST(n AS HUGEINT) * 1000000000000 AS DOUBLE)
+      |    END AS ips_value,
+      |  CASE WHEN sw = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(srw AS DOUBLE) / CAST(sw AS DOUBLE)
+      |    END AS snips_value,
+      |  CASE WHEN sw2 = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+      |       / CAST(sw2 AS DOUBLE) END AS ess
+      |FROM g""".stripMargin
+
+  /** Quantile treatment effects per event type
+    * (Stats.quantileTreatmentEffects): users split into arms by id
+    * parity; the exact p25/p50/p75/p90 order statistics per arm and
+    * their differences — the distributional A/B readout a mean hides.
+    * Pure integer rank picks off the bounded histogram. */
+  private def q297(s: SparkSession, dir: String): DataFrame =
+    Stats.quantileTreatmentEffects(
+      t(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        cents(col("value")).as("v")),
+      "event_type", "arm", "v",
+      Seq((1L, 4L), (2L, 4L), (3L, 4L), (9L, 10L)))
+
+  private val q297Sql =
+    """WITH o AS (
+      |  SELECT event_type AS k, user_id % 2 AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (SELECT k, arm, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1, 2, 3),
+      |cw AS (
+      |  SELECT k, arm, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY k, arm ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY k, arm) AS BIGINT) AS n
+      |  FROM h),
+      |q(pn, pd) AS (VALUES (1, 4), (2, 4), (3, 4), (9, 10)),
+      |pa AS (
+      |  SELECT k, arm, CAST(q.pn AS BIGINT) AS p_num,
+      |    CAST(q.pd AS BIGINT) AS p_den, CAST(max(n) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN cum - c < (q.pn * n + q.pd - 1) // q.pd
+      |      AND (q.pn * n + q.pd - 1) // q.pd <= cum
+      |      THEN v ELSE 0 END) AS BIGINT) AS qv
+      |  FROM cw CROSS JOIN q GROUP BY 1, 2, 3, 4)
+      |SELECT t.k AS event_type, t.p_num, t.p_den, t.n AS n_treat,
+      |  c.n AS n_ctrl, t.qv AS q_treat, c.qv AS q_ctrl,
+      |  t.qv - c.qv AS qte
+      |FROM pa t JOIN pa c ON c.k = t.k AND c.p_num = t.p_num
+      |  AND c.p_den = t.p_den AND c.arm = 0
+      |WHERE t.arm = 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13029,5 +13128,7 @@ object Queries {
     "q292_cdc_dedup" -> Q(q292, Some(q292Sql)),
     "q293_dawid_skene" -> Q(q293, Some(q293Sql)),
     "q294_cluster_purity" -> Q(q294, Some(q294Sql)),
-    "q295_neardup_label_conflicts" -> Q(q295, Some(q295Sql)))
+    "q295_neardup_label_conflicts" -> Q(q295, Some(q295Sql)),
+    "q296_ips_offpolicy" -> Q(q296, Some(q296Sql)),
+    "q297_quantile_effects" -> Q(q297, Some(q297Sql)))
 }

@@ -4773,6 +4773,153 @@ object Stats {
           col("n_ratings")).as("acc_micro"))
   }
 
+  /** OFF-POLICY VALUE ESTIMATE (IPS + SNIPS) per key — counterfactual
+    * evaluation of a NEW policy from logged decisions (Horvitz–
+    * Thompson / self-normalized importance sampling; the standard
+    * recsys/ads/router readout "what would the new policy have
+    * earned"): rows where the target policy agrees with the logged
+    * action are up-weighted by the inverse logged propensity,
+    *
+    *   IPS   = (1/n) Σ r·𝟙[π = a] / p
+    *   SNIPS = Σ r·w / Σ w,  w = 𝟙[π = a]/p
+    *
+    * plus the matched-row effective sample size ESS = (Σw)²/Σw² — the
+    * honesty meter (a tiny ESS means the estimate rides on a few
+    * lucky matches).
+    *
+    * Exactness: propensities arrive micro-quantized (CHECKED ∈
+    * [1, 10⁶] — a zero propensity has infinite weight and is rejected,
+    * not imputed); weights are the exact truncating integer division
+    * w = 10¹² div p_micro; rewards are integer units; every sum forms
+    * in decimal(38,0) under a CHECKED n·max|r| ≤ 10¹⁵ contract, and
+    * the three estimates are single divisions of exact operands.
+    *
+    * Scale shape: ONE map-side-combining aggregation per key — no
+    * join, no window. Output: (key, n, n_matched, ips_value,
+    * snips_value, ess). Empty-match keys report NaN estimates. */
+  def ipsEstimate(df: DataFrame, keyCol: String, actionCol: String,
+                  targetCol: String, propMicroCol: String,
+                  rewardCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    // greatest(p, 1) keeps the division total so a bad propensity row
+    // reaches the LOUD __bad contract instead of a div-by-zero crash
+    // mid-aggregation (the contract rejects before anything is served)
+    val w = call_function("div", lit(1000000000000L),
+      greatest(col(propMicroCol), lit(1L)))
+    val matched = col(actionCol) === col(targetCol)
+    val base = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(matched, w).otherwise(0L).cast(d)).as("__sw"),
+        // widen BEFORE the square: w reaches 1e12 at p = 1 micro, so
+        // w*w = 1e24 overflows int64
+        sum(when(matched, w.cast(d) * w.cast(d))
+          .otherwise(lit(0L).cast(d))).as("__sw2"),
+        sum(when(matched, col(rewardCol).cast(d) * w.cast(d))
+          .otherwise(lit(0L).cast(d))).as("__srw"),
+        max(abs(col(rewardCol))).as("__maxr"),
+        sum(when(col(propMicroCol).isNull ||
+          col(propMicroCol) < 1L || col(propMicroCol) > 1000000L ||
+          col(rewardCol).isNull || col(actionCol).isNull ||
+          col(targetCol).isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(base,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"ipsEstimate: $b rows carry NULLs or a propensity outside " +
+          "[1, 1e6] micro — a zero/NULL propensity has unbounded " +
+          "weight; fix the logging, don't impute"),
+      Contracts.Bound(max(col("n") * col("__maxr")),
+        _ <= 1000000000000000L, v =>
+          s"ipsEstimate: n x max|reward| = $v exceeds the exact " +
+            "decimal contract (1e15) — rescale rewards to coarser " +
+            "integer units"))
+    val nD = col("n").cast(d) * lit(1000000000000L).cast(d)
+    base.select(col(keyCol), col("n"), col("n_matched"),
+      when(col("n_matched") === 0L, lit(Double.NaN))
+        .otherwise(col("__srw").cast("double") / nD.cast("double"))
+        .as("ips_value"),
+      when(col("__sw") === lit(0L).cast(d), lit(Double.NaN))
+        .otherwise(col("__srw").cast("double") /
+          col("__sw").cast("double")).as("snips_value"),
+      // square in DOUBLE: a decimal(38,0) square of Σw can overflow
+      // the decimal lane when rewards are tiny but rows are many;
+      // the IEEE shape replays identically in the oracle
+      when(col("__sw2") === lit(0L).cast(d), lit(Double.NaN))
+        .otherwise(col("__sw").cast("double") *
+          col("__sw").cast("double") /
+          col("__sw2").cast("double")).as("ess"))
+  }
+
+  /** QUANTILE TREATMENT EFFECTS per key — the distributional view a
+    * mean-difference A/B readout ([[stratifiedAte]], welchT) hides:
+    * at each requested quantile, the treatment arm's exact order
+    * statistic minus control's (did the experiment move the median?
+    * the p90 tail? only the outliers?).
+    *
+    * Exactness: both arms' order statistics come off the same bounded
+    * per-(key, arm, value) histogram via the ⌈p·n⌉ rank pick (the
+    * [[exactGroupQuantile]] discipline) — all integers, zero IEEE.
+    * Arms are CHECKED ∈ {0, 1} and both present per emitted key (a
+    * key missing an arm drops — no one-armed "effect").
+    *
+    * Scale shape: one map-side-combining histogram aggregation +
+    * key×arm-partitioned windows over the CHECKED bounded histogram;
+    * the quantile grid explodes per (key, arm) — never per row.
+    * Output: (key, p_num, p_den, n_treat, n_ctrl, q_treat, q_ctrl,
+    * qte). */
+  def quantileTreatmentEffects(df: DataFrame, keyCol: String,
+                               armCol: String, xCol: String,
+                               quantiles: Seq[(Long, Long)],
+                               maxDistinctPerKey: Long = 2000000L)
+    : DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q =>
+      q._2 >= 1 && q._1 >= 1 && q._1 <= q._2),
+      "quantileTreatmentEffects needs proper quantile rationals")
+    val hist = df.groupBy(col(keyCol), col(armCol).as("__arm"),
+        col(xCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(armCol).isNull ||
+          (col(armCol) =!= 0L && col(armCol) =!= 1L), 1L)
+          .otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(hist,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"quantileTreatmentEffects: $b rows carry a NULL or non-binary " +
+          "arm — encode treatment as {0, 1} longs first"))
+    requireBoundedPerKey(hist, keyCol, maxDistinctPerKey,
+      "quantileTreatmentEffects")
+    val w = Window.partitionBy(col(keyCol), col("__arm"))
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col(keyCol), col("__arm"))))
+    val qLit = array(quantiles.map { case (pn, pd) =>
+      struct(lit(pn).as("pn"), lit(pd).as("pd"))
+    }: _*)
+    val perArm = cum
+      .select(col(keyCol), col("__arm"), col("__v"), col("__c"),
+        col("__cum"), col("__n"), explode(qLit).as("__q"))
+      .withColumn("__k", expr(
+        "(__q.pn * __n + __q.pd - 1L) div __q.pd"))
+      .groupBy(col(keyCol), col("__arm"), col("__q.pn").as("p_num"),
+        col("__q.pd").as("p_den"))
+      .agg(first(col("__n")).as("__n"),
+        sum(when(col("__cum") - col("__c") < col("__k") &&
+          col("__k") <= col("__cum"), col("__v")).otherwise(0L))
+          .as("__qv"))
+    val t = perArm.where(col("__arm") === 1L)
+      .select(col(keyCol), col("p_num"), col("p_den"),
+        col("__n").as("n_treat"), col("__qv").as("q_treat"))
+    val cArm = perArm.where(col("__arm") === 0L)
+      .select(col(keyCol), col("p_num"), col("p_den"),
+        col("__n").as("n_ctrl"), col("__qv").as("q_ctrl"))
+    t.join(cArm, Seq(keyCol, "p_num", "p_den"))
+      .select(col(keyCol), col("p_num"), col("p_den"), col("n_treat"),
+        col("n_ctrl"), col("q_treat"), col("q_ctrl"),
+        (col("q_treat") - col("q_ctrl")).as("qte"))
+  }
+
   /** CLUSTER PURITY against a label column — the clustering-quality /
     * label-noise audit for any cluster assignment in the engine (exact
     * dedup clusters, LSH components, IVF cells, k-means cells):

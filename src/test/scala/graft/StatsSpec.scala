@@ -3781,6 +3781,72 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("ipsEstimate equals the brute inverse-propensity fold; zero-" +
+    "match keys report NaN; zero propensities rejected") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 2).flatMap { k =>
+      Seq.fill(300)((k.toLong, s"a${rnd.nextInt(3)}", s"a${rnd.nextInt(3)}",
+        (rnd.nextInt(1000000) + 1).toLong, rnd.nextInt(200).toLong))
+    } ++ Seq((9L, "x", "y", 500000L, 10L)) // never matches
+    val got = Stats.ipsEstimate(rows.toDF("k", "a", "pi", "p", "r"),
+        "k", "a", "pi", "p", "r")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val m = g.filter(x => x._2 == x._3)
+      val sw = m.map(x => BigInt(1000000000000L / x._4)).sum
+      val sw2 = m.map(x => BigInt(1000000000000L / x._4).pow(2)).sum
+      val srw = m.map(x => BigInt(x._5) * (1000000000000L / x._4)).sum
+      val (n, nm) = (g.size.toLong, m.size.toLong)
+      val r = got(k)
+      assert((r._1, r._2) == ((n, nm)), s"k=$k")
+      if (nm == 0) assert(r._3.isNaN && r._4.isNaN && r._5.isNaN)
+      else {
+        assert(r._3 == srw.toDouble / (BigInt(n) * 1000000000000L).toDouble)
+        assert(r._4 == srw.toDouble / sw.toDouble)
+        assert(r._5 == sw.toDouble * sw.toDouble / sw2.toDouble)
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      Stats.ipsEstimate(Seq((1L, "a", "a", 0L, 5L))
+        .toDF("k", "a", "pi", "p", "r"), "k", "a", "pi", "p", "r")
+    }
+    assert(e.getMessage.contains("propensity outside"))
+  }
+
+  test("quantileTreatmentEffects equals the brute per-arm rank picks; " +
+    "one-armed keys drop; non-binary arms rejected") {
+    val rnd = new scala.util.Random(72)
+    val qs = Seq((1L, 4L), (2L, 4L), (9L, 10L))
+    val rows = (1 to 3).flatMap { k =>
+      Seq.fill(400)((k.toLong, rnd.nextInt(2).toLong,
+        rnd.nextInt(50).toLong))
+    } ++ Seq.fill(20)((9L, 1L, rnd.nextInt(50).toLong)) // treat-only key
+    val got = Stats.quantileTreatmentEffects(rows.toDF("k", "arm", "v"),
+        "k", "arm", "v", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    assert(!got.keySet.exists(_._1 == 9L), "one-armed key must drop")
+    rows.groupBy(_._1).filter(_._1 != 9L).foreach { case (k, g) =>
+      val t = g.filter(_._2 == 1L).map(_._3).sorted
+      val c = g.filter(_._2 == 0L).map(_._3).sorted
+      qs.foreach { case (pn, pd) =>
+        def pick(xs: Seq[Long]): Long =
+          xs(((pn * xs.size + pd - 1) / pd - 1).toInt)
+        val want = (t.size.toLong, c.size.toLong, pick(t), pick(c),
+          pick(t) - pick(c))
+        assert(got((k, pn, pd)) == want, s"k=$k p=$pn/$pd")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      Stats.quantileTreatmentEffects(Seq((1L, 2L, 5L))
+        .toDF("k", "arm", "v"), "k", "arm", "v", qs)
+    }
+    assert(e.getMessage.contains("non-binary"))
+  }
+
   test("clusterPurity equals the brute per-cluster majority mass; all-" +
     "same-label input pins purity == 1e6; NULL labels rejected") {
     val rnd = new scala.util.Random(70)
