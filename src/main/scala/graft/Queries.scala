@@ -12828,6 +12828,76 @@ object Queries {
       |  AND c.p_den = t.p_den AND c.arm = 0
       |WHERE t.arm = 1""".stripMargin
 
+  /** Covariate balance of spend across the id-parity split per event
+    * type (Stats.covariateBalance): the pre-experiment SMD hygiene
+    * check — a fair assignment reads |smd| near 0. Exact decimal
+    * sufficient statistics; fixed IEEE tail with one sqrt. */
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    Stats.covariateBalance(
+      t(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(2L)).as("arm"),
+        cents(col("value")).as("x")),
+      "event_type", "arm", "x")
+
+  private val q298Sql =
+    """WITH o AS (
+      |  SELECT event_type AS k, user_id % 2 AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |a AS (
+      |  SELECT k, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS s,
+      |    sum(CAST(x AS HUGEINT) * x) AS s2
+      |  FROM o GROUP BY 1, 2),
+      |m AS (
+      |  SELECT k, arm, n,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(CAST(n AS HUGEINT) * s2 - s * s AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var
+      |  FROM a WHERE n >= 2)
+      |SELECT t.k AS event_type, t.n AS n_treat, c.n AS n_ctrl,
+      |  t.mean AS mean_treat, c.mean AS mean_ctrl,
+      |  t.var AS var_treat, c.var AS var_ctrl,
+      |  CASE WHEN t.var + c.var = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE (t.mean - c.mean) / sqrt((t.var + c.var) / 2.0)
+      |    END AS smd
+      |FROM m t JOIN m c ON c.k = t.k AND c.arm = 0
+      |WHERE t.arm = 1""".stripMargin
+
+  /** Language-ID confusion matrix against the gold lang label
+    * (TextAnalysis.langIdTable vs documents.lang): per (true,
+    * predicted) counts plus the per-true-language recall — the
+    * classifier-eval composition over the q26 stopword-argmax
+    * language ID. */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pred = TextAnalysis.langIdTable(d, "doc_id", "text")
+    val joined = d.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = joined.groupBy(col("lang_true"))
+      .agg(sum(col("n")).as("__t"))
+    joined.join(tot, "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("1000000 * n div __t").as("recall_micro"))
+  }
+
+  private val q299Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |wb AS (SELECT doc_id, tk, $langBestSql AS best FROM toks),
+       |pred AS (SELECT doc_id, CASE $langCasesSql END AS lang_pred
+       |         FROM wb),
+       |j AS (
+       |  SELECT d.lang AS lang_true, p.lang_pred,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tt
+       |      FROM j GROUP BY 1)
+       |SELECT j.lang_true, j.lang_pred, j.n,
+       |  1000000 * j.n // t.tt AS recall_micro
+       |FROM j JOIN t ON t.lang_true = j.lang_true""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13130,5 +13200,7 @@ object Queries {
     "q294_cluster_purity" -> Q(q294, Some(q294Sql)),
     "q295_neardup_label_conflicts" -> Q(q295, Some(q295Sql)),
     "q296_ips_offpolicy" -> Q(q296, Some(q296Sql)),
-    "q297_quantile_effects" -> Q(q297, Some(q297Sql)))
+    "q297_quantile_effects" -> Q(q297, Some(q297Sql)),
+    "q298_covariate_balance" -> Q(q298, Some(q298Sql)),
+    "q299_langid_confusion" -> Q(q299, Some(q299Sql)))
 }

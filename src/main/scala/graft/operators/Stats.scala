@@ -4920,6 +4920,73 @@ object Stats {
         (col("q_treat") - col("q_ctrl")).as("qte"))
   }
 
+  /** COVARIATE BALANCE (standardized mean difference) per key — the
+    * pre-experiment hygiene check ([[quantileTreatmentEffects]] and
+    * welchT read EFFECTS; this reads whether the assignment was fair
+    * to begin with): for each covariate key,
+    *
+    *   SMD = (μ_treat − μ_ctrl) / √((s²_treat + s²_ctrl) / 2)
+    *
+    * — |SMD| > 0.1 is the conventional imbalance alarm.
+    *
+    * Exactness: per-arm (n, Σx, Σx²) form as exact decimal(38,0)
+    * sufficient statistics under a CHECKED n·max|x| ≤ 10¹⁸ contract
+    * (keeps S² inside the decimal lane), and the tail is the fixed
+    * IEEE sequence mean = S/n, s² = (n·S2 − S²)/(n(n−1)), one sqrt —
+    * identical in the oracle. Arms are CHECKED ∈ {0, 1}; an arm with
+    * fewer than 2 rows has no sample variance and drops its key.
+    * Zero variance in both arms → NaN, surfaced.
+    *
+    * Scale shape: ONE map-side-combining aggregation to the per-
+    * (key, arm) stats + one co-partitioned self-join — no window.
+    * Output: (key, n_treat, n_ctrl, mean_treat, mean_ctrl, var_treat,
+    * var_ctrl, smd). */
+  def covariateBalance(df: DataFrame, keyCol: String, armCol: String,
+                       xCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val a = df.groupBy(col(keyCol), col(armCol).as("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(xCol).cast(d)).as("__s"),
+        sum(col(xCol).cast(d) * col(xCol).cast(d)).as("__s2"),
+        max(abs(col(xCol))).as("__mx"),
+        sum(when(col(armCol).isNull ||
+          (col(armCol) =!= 0L && col(armCol) =!= 1L) ||
+          col(xCol).isNull, 1L).otherwise(0L)).as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(a,
+      Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
+        s"covariateBalance: $b rows carry a NULL value or a NULL/" +
+          "non-binary arm — encode treatment as {0, 1} longs first"),
+      Contracts.Bound(max(col("__n") * col("__mx")),
+        _ <= 1000000000000000000L, v =>
+          s"covariateBalance: n x max|x| = $v exceeds the exact " +
+            "decimal sufficient-statistic contract (1e18) — rescale " +
+            "to coarser integer units"))
+    val withM = a.where(col("__n") >= 2L)
+      .select(col(keyCol), col("__arm"), col("__n"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("__mean"),
+        ((col("__n").cast(d) * col("__s2") - col("__s") * col("__s"))
+          .cast("double") /
+          (col("__n").cast(d) * (col("__n") - 1L).cast(d))
+            .cast("double")).as("__var"))
+    val t = withM.where(col("__arm") === 1L)
+      .select(col(keyCol), col("__n").as("n_treat"),
+        col("__mean").as("mean_treat"), col("__var").as("var_treat"))
+    val c = withM.where(col("__arm") === 0L)
+      .select(col(keyCol), col("__n").as("n_ctrl"),
+        col("__mean").as("mean_ctrl"), col("__var").as("var_ctrl"))
+    t.join(c, keyCol)
+      .select(col(keyCol), col("n_treat"), col("n_ctrl"),
+        col("mean_treat"), col("mean_ctrl"), col("var_treat"),
+        col("var_ctrl"),
+        when(col("var_treat") + col("var_ctrl") === 0.0,
+          lit(Double.NaN))
+          .otherwise((col("mean_treat") - col("mean_ctrl")) /
+            sqrt((col("var_treat") + col("var_ctrl")) / 2.0))
+          .as("smd"))
+  }
+
   /** CLUSTER PURITY against a label column — the clustering-quality /
     * label-noise audit for any cluster assignment in the engine (exact
     * dedup clusters, LSH components, IVF cells, k-means cells):

@@ -3847,6 +3847,46 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("non-binary"))
   }
 
+  test("covariateBalance equals the brute SMD; identical arms pin " +
+    "smd == 0.0; thin arms drop; non-binary arms rejected") {
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 3).flatMap { k =>
+      Seq.fill(300)((k.toLong, rnd.nextInt(2).toLong,
+        rnd.nextInt(2000).toLong - 500L))
+    } ++ Seq((9L, 1L, 5L), (9L, 1L, 7L)) // no control arm
+    val got = Stats.covariateBalance(rows.toDF("k", "arm", "x"),
+        "k", "arm", "x")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(!got.contains(9L), "one-armed key must drop")
+    rows.groupBy(_._1).filter(_._1 != 9L).foreach { case (k, g) =>
+      def stats(arm: Long) = {
+        val xs = g.filter(_._2 == arm).map(_._3)
+        val n = xs.size.toLong
+        val s = xs.map(BigInt(_)).sum
+        val s2 = xs.map(x => BigInt(x) * x).sum
+        (n, s.toDouble / n.toDouble,
+          (BigInt(n) * s2 - s * s).toDouble /
+            (BigInt(n) * (n - 1)).toDouble)
+      }
+      val (nt, mt, vt) = stats(1L)
+      val (nc, mc, vc) = stats(0L)
+      val smd = (mt - mc) / math.sqrt((vt + vc) / 2.0)
+      assert(got(k) == ((nt, nc, mt, mc, vt, vc, smd)), s"k=$k")
+    }
+    // two identical arms: numerator exactly 0 -> smd == 0.0
+    val same = (1 to 50).flatMap(i =>
+      Seq((1L, 0L, i.toLong), (1L, 1L, i.toLong)))
+    assert(Stats.covariateBalance(same.toDF("k", "arm", "x"),
+      "k", "arm", "x").collect().head.getDouble(7) == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Stats.covariateBalance(Seq((1L, 3L, 5L)).toDF("k", "arm", "x"),
+        "k", "arm", "x")
+    }
+    assert(e.getMessage.contains("non-binary"))
+  }
+
   test("clusterPurity equals the brute per-cluster majority mass; all-" +
     "same-label input pins purity == 1e6; NULL labels rejected") {
     val rnd = new scala.util.Random(70)
