@@ -12594,20 +12594,29 @@ object Queries {
     * majority vote. The oracle unrolls both EM rounds — per-rater
     * accuracy micro-nats, class priors, the C-way scoring explode,
     * and the smallest-class argmax — bit-for-bit. */
-  private def q293(s: SparkSession, dir: String): DataFrame =
-    Stats.dawidSkeneHardEm(
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("rater"))
-        .select(col("doc_id").as("item"), col("rater"),
-          when(pmod(col("n_chars") + col("rater") * 3L, lit(10)) <
-            lit(8L) - col("rater"), col("lang"))
-            .when(pmod(col("n_chars") + col("rater") * 3L, lit(10))
-              === lit(8L) - col("rater"), lit("en"))
-            .otherwise(lit("unk")).as("cat")),
-      "item", "rater", "cat", rounds = 2)
+  /** The q293/q300 three-annotator fixture: rater r agrees with the
+    * corpus lang on (8−r)/10 of docs, keyed off n_chars so both
+    * engines derive the identical ratings. */
+  private def dsRatings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("rater"))
+      .select(col("doc_id").as("item"), col("rater"),
+        when(pmod(col("n_chars") + col("rater") * 3L, lit(10)) <
+          lit(8L) - col("rater"), col("lang"))
+          .when(pmod(col("n_chars") + col("rater") * 3L, lit(10))
+            === lit(8L) - col("rater"), lit("en"))
+          .otherwise(lit("unk")).as("cat"))
 
-  private val q293Sql = {
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    Stats.dawidSkeneHardEm(dsRatings(s, dir), "item", "rater", "cat",
+      rounds = 2)
+
+  /** The q293 Dawid–Skene replay as reusable WITH-clause innards:
+    * `rt(item, rater, cat)` holds the 3-annotator fixture and
+    * `g2(item, gold, score)` the round-2 EM assignments. q293 projects
+    * them directly; q300 chains the rater-quality SPRT on top. */
+  private val dawidSkeneCtes = {
     val lnq = (x: String) =>
       s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
     val roundCtes = (1 to 2).map { k =>
@@ -12645,7 +12654,7 @@ object Queries {
          |  FROM s$k JOIN b$k ON b$k.item = s$k.item AND s = smax
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH rt AS MATERIALIZED (
+    s"""rt AS MATERIALIZED (
        |  SELECT doc_id AS item, r.r AS rater,
        |    CASE WHEN (n_chars + r.r * 3) % 10 < 8 - r.r THEN lang
        |         WHEN (n_chars + r.r * 3) % 10 = 8 - r.r THEN 'en'
@@ -12661,11 +12670,14 @@ object Queries {
        |  SELECT nic.item, min(cat) AS gold
        |  FROM nic JOIN mx ON mx.item = nic.item AND nic.c = mx.mx
        |  GROUP BY 1),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private val q293Sql =
+    s"""WITH $dawidSkeneCtes
        |SELECT g0.item, g0.gold AS gold_majority, g2.gold AS gold_em,
        |  g2.score AS score_micro
        |FROM g0 JOIN g2 ON g2.item = g0.item""".stripMargin
-  }
 
   /** Cluster purity of exact-dedup clusters against the lang label
     * (Stats.clusterPurity): the corpus plus an injected copy of every
@@ -12897,6 +12909,59 @@ object Queries {
        |SELECT j.lang_true, j.lang_pred, j.n,
        |  1000000 * j.n // t.tt AS recall_micro
        |FROM j JOIN t ON t.lang_true = j.lang_true""".stripMargin
+
+  /** End-to-end label-QA pipeline (the q276 composability pattern for
+    * the round's label-ops family): three synthetic annotators →
+    * Dawid–Skene hard-EM gold (q293) → per-rater accuracy against the
+    * EM gold → Wald SPRT per rater on "is this annotator >= 80%
+    * accurate (H1) or <= 70% (H0)" — the keep/retrain decision a
+    * labeling platform serves, one gate, zero driver glue. The oracle
+    * chains the full q293 replay with the accuracy counts and the
+    * micro-nat SPRT tail bit-for-bit. */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val ratings = dsRatings(s, dir)
+    val gold = Stats.dawidSkeneHardEm(ratings, "item", "rater", "cat",
+        rounds = 2)
+      .select(col("item"), col("gold_em"))
+    val counts = ratings.join(gold, "item")
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cat") === col("gold_em"), 1L).otherwise(0L))
+          .as("successes"))
+    Stats.sprtFromCounts(counts, "rater", p0 = (70L, 100L),
+        p1 = (80L, 100L), alpha = (5L, 100L), beta = (5L, 100L))
+      .select(col("rater"), col("n"), col("successes"),
+        expr("1000000 * successes div n").as("acc_micro"),
+        col("llr_micro"), col("decision"))
+  }
+
+  private val q300Sql = {
+    val lnq = (x: String) =>
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    s"""WITH $dawidSkeneCtes,
+       |counts AS (
+       |  SELECT rt.rater, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN rt.cat = g2.gold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS successes
+       |  FROM rt JOIN g2 ON g2.item = rt.item GROUP BY 1),
+       |w AS (
+       |  SELECT ${lnq("8000")} - ${lnq("7000")} AS w1,
+       |    ${lnq("2000")} - ${lnq("3000")} AS w0,
+       |    ${lnq("9500")} - ${lnq("500")} AS lna,
+       |    ${lnq("500")} - ${lnq("9500")} AS lnb),
+       |z AS (
+       |  SELECT rater, n, successes,
+       |    1000000 * successes // n AS acc_micro,
+       |    CAST(CAST(successes AS HUGEINT) * w1
+       |      + (CAST(n AS HUGEINT) - successes) * w0 AS BIGINT) AS llr,
+       |    lna, lnb
+       |  FROM counts, w)
+       |SELECT rater, n, successes, acc_micro, llr AS llr_micro,
+       |  CASE WHEN llr >= lna THEN 'accept_h1'
+       |       WHEN llr <= lnb THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM z""".stripMargin
+  }
 
   // =====================================================================
   // Registry
@@ -13202,5 +13267,6 @@ object Queries {
     "q296_ips_offpolicy" -> Q(q296, Some(q296Sql)),
     "q297_quantile_effects" -> Q(q297, Some(q297Sql)),
     "q298_covariate_balance" -> Q(q298, Some(q298Sql)),
-    "q299_langid_confusion" -> Q(q299, Some(q299Sql)))
+    "q299_langid_confusion" -> Q(q299, Some(q299Sql)),
+    "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)))
 }
