@@ -12963,6 +12963,87 @@ object Queries {
        |FROM z""".stripMargin
   }
 
+  /** Preference-data bias audit (Stats.wilsonInterval over the q279
+    * contest universe): does the "longer" side win more than chance,
+    * and does presentation position leak into outcomes — the two
+    * standard pairwise-preference integrity checks (length bias is
+    * the classic RLHF reward-hacking signal). One row per bias with
+    * the exact win counts and the Wilson 95% interval; a CI excluding
+    * 0.5 is the alarm. */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val l1 = li.where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk1"),
+        cents(col("l_extendedprice")).as("__e1"),
+        col("l_quantity").cast("long").as("__q1"))
+    val l2 = li.where(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk2"),
+        cents(col("l_extendedprice")).as("__e2"),
+        col("l_quantity").cast("long").as("__q2"))
+    val c = l1.join(l2, "l_orderkey")
+      .join(part.select(col("p_partkey").as("__pk1"),
+        col("p_brand").as("__b1")), "__pk1")
+      .join(part.select(col("p_partkey").as("__pk2"),
+        col("p_brand").as("__b2")), "__pk2")
+      .where(col("__b1") =!= col("__b2"))
+      .withColumn("__s1w", col("__e1") > col("__e2") ||
+        (col("__e1") === col("__e2") && col("__b1") < col("__b2")))
+    val length = c.where(col("__q1") =!= col("__q2"))
+      .select(lit("length").as("bias"),
+        (when(col("__s1w"), col("__q1")).otherwise(col("__q2")) >
+          when(col("__s1w"), col("__q2")).otherwise(col("__q1")))
+          .as("hit"))
+    val position = c.select(lit("position").as("bias"),
+      col("__s1w").as("hit"))
+    Stats.wilsonInterval(length.unionByName(position), "bias", "hit")
+  }
+
+  private val q301Sql =
+    """WITH l12 AS (
+      |  SELECT p1.p_brand AS b1, p2.p_brand AS b2,
+      |    CAST(round(l1.l_extendedprice * 100) AS BIGINT) AS e1,
+      |    CAST(round(l2.l_extendedprice * 100) AS BIGINT) AS e2,
+      |    CAST(l1.l_quantity AS BIGINT) AS q1,
+      |    CAST(l2.l_quantity AS BIGINT) AS q2
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l2.l_linenumber = 2
+      |  JOIN part p1 ON p1.p_partkey = l1.l_partkey
+      |  JOIN part p2 ON p2.p_partkey = l2.l_partkey
+      |  WHERE l1.l_linenumber = 1),
+      |c AS (
+      |  SELECT *, (e1 > e2 OR (e1 = e2 AND b1 < b2)) AS s1w
+      |  FROM l12 WHERE b1 != b2),
+      |o AS (
+      |  SELECT 'length' AS bias,
+      |    (CASE WHEN s1w THEN q1 ELSE q2 END)
+      |      > (CASE WHEN s1w THEN q2 ELSE q1 END) AS hit
+      |  FROM c WHERE q1 != q2
+      |  UNION ALL
+      |  SELECT 'position', s1w FROM c),
+      |a AS (
+      |  SELECT bias, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM o GROUP BY 1),
+      |b AS (
+      |  SELECT bias, n, x,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.96*1.96) / CAST(n AS DOUBLE) AS denom,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE)) AS center,
+      |    1.96 * sqrt(
+      |      (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + (1.96*1.96)
+      |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS margin
+      |  FROM a)
+      |SELECT bias, n, x, p,
+      |  (center - margin) / denom AS lo,
+      |  (center + margin) / denom AS hi
+      |FROM b""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13268,5 +13349,6 @@ object Queries {
     "q297_quantile_effects" -> Q(q297, Some(q297Sql)),
     "q298_covariate_balance" -> Q(q298, Some(q298Sql)),
     "q299_langid_confusion" -> Q(q299, Some(q299Sql)),
-    "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)))
+    "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)),
+    "q301_preference_bias" -> Q(q301, Some(q301Sql)))
 }
