@@ -13044,6 +13044,87 @@ object Queries {
       |  (center + margin) / denom AS hi
       |FROM b""".stripMargin
 
+  /** Preference transitivity audit over the q279 contest universe
+    * (Stats.preferenceCycles): among brand triads whose three pairs
+    * all have a strict majority direction, the cyclic fraction — how
+    * self-consistent the pairwise preference data is before a scalar
+    * Bradley–Terry reward is fit to it. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val l1 = li.where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk1"),
+        cents(col("l_extendedprice")).as("__e1"))
+    val l2 = li.where(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_partkey").as("__pk2"),
+        cents(col("l_extendedprice")).as("__e2"))
+    val contests = l1.join(l2, "l_orderkey")
+      .join(part.select(col("p_partkey").as("__pk1"),
+        col("p_brand").as("__b1")), "__pk1")
+      .join(part.select(col("p_partkey").as("__pk2"),
+        col("p_brand").as("__b2")), "__pk2")
+      .where(col("__b1") =!= col("__b2"))
+      .select(
+        when(col("__e1") > col("__e2"), col("__b1"))
+          .when(col("__e2") > col("__e1"), col("__b2"))
+          .otherwise(least(col("__b1"), col("__b2"))).as("winner"),
+        when(col("__e1") > col("__e2"), col("__b2"))
+          .when(col("__e2") > col("__e1"), col("__b1"))
+          .otherwise(greatest(col("__b1"), col("__b2"))).as("loser"))
+    Stats.preferenceCycles(contests, "winner", "loser")
+  }
+
+  private val q302Sql =
+    """WITH l12 AS (
+      |  SELECT p1.p_brand AS b1, p2.p_brand AS b2,
+      |    CAST(round(l1.l_extendedprice * 100) AS BIGINT) AS e1,
+      |    CAST(round(l2.l_extendedprice * 100) AS BIGINT) AS e2
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l2.l_linenumber = 2
+      |  JOIN part p1 ON p1.p_partkey = l1.l_partkey
+      |  JOIN part p2 ON p2.p_partkey = l2.l_partkey
+      |  WHERE l1.l_linenumber = 1),
+      |raw AS (
+      |  SELECT CASE WHEN e1 > e2 THEN b1 WHEN e2 > e1 THEN b2
+      |              WHEN b1 < b2 THEN b1 ELSE b2 END AS winner,
+      |         CASE WHEN e1 > e2 THEN b2 WHEN e2 > e1 THEN b1
+      |              WHEN b1 < b2 THEN b2 ELSE b1 END AS loser
+      |  FROM l12 WHERE b1 != b2),
+      |pr AS (
+      |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+      |    CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nab,
+      |    CAST(sum(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nba
+      |  FROM raw GROUP BY 1, 2),
+      |dec AS MATERIALIZED (
+      |  SELECT a, b, nab > nba AS fab FROM pr WHERE nab != nba),
+      |tri AS (
+      |  SELECT t1.f AS f1, t3.f AS f3, t2.f AS f2
+      |  FROM (SELECT a, b AS x, fab AS f FROM dec) t1
+      |  JOIN (SELECT a, b AS y, fab AS f FROM dec) t2
+      |    ON t2.a = t1.a AND t1.x < t2.y
+      |  JOIN (SELECT a AS x, b AS y, fab AS f FROM dec) t3
+      |    ON t3.x = t1.x AND t3.y = t2.y),
+      |it AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS n_items
+      |       FROM (SELECT winner AS it FROM raw
+      |             UNION ALL SELECT loser FROM raw)),
+      |cp AS (SELECT CAST(count(*) AS BIGINT) AS n_contest_pairs FROM pr),
+      |dp AS (SELECT CAST(count(*) AS BIGINT) AS n_decided_pairs
+      |       FROM dec),
+      |tc AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triads,
+      |    CAST(sum(CASE WHEN f1 = f3 AND f1 != f2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_cycles
+      |  FROM tri)
+      |SELECT n_items, n_contest_pairs, n_decided_pairs, n_triads,
+      |  coalesce(n_cycles, 0) AS n_cycles,
+      |  CASE WHEN n_triads = 0 THEN NULL
+      |    ELSE 1000000 * coalesce(n_cycles, 0) // n_triads
+      |    END AS cycle_rate_micro
+      |FROM it CROSS JOIN cp CROSS JOIN dp CROSS JOIN tc""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13350,5 +13431,6 @@ object Queries {
     "q298_covariate_balance" -> Q(q298, Some(q298Sql)),
     "q299_langid_confusion" -> Q(q299, Some(q299Sql)),
     "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)),
-    "q301_preference_bias" -> Q(q301, Some(q301Sql)))
+    "q301_preference_bias" -> Q(q301, Some(q301Sql)),
+    "q302_preference_cycles" -> Q(q302, Some(q302Sql)))
 }

@@ -5228,6 +5228,82 @@ object Stats {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** PREFERENCE TRANSITIVITY AUDIT — the structural integrity check
+    * on pairwise preference data (the [[bradleyTerryStrengths]] model
+    * ASSUMES a consistent latent order; this measures how badly the
+    * data violates it): among item triads whose three pairs all have
+    * a strict majority direction, count the CYCLES (a beats b beats c
+    * beats a) — a high cyclic rate means the comparisons are noise or
+    * multi-dimensional and a scalar reward model will fight itself.
+    *
+    * Exactness: all integers — per-ordered-pair win counts, strict-
+    * majority directions (ties = undecided, excluded), triangle
+    * enumeration by the ordered wedge join (a < b < c — each triad
+    * once), cyclic iff dir(ab) == dir(bc) == ¬dir(ac); the rate is
+    * the micro truncating division. Items are compared AS STRINGS
+    * (the [[bradleyTerryStrengths]] convention); the universe is
+    * CHECKED ≤ 4096 items so the decided-pair table (≤ n²/2) and its
+    * wedge join stay bounded. NULL/self contests rejected.
+    *
+    * Scale shape: one aggregation to ordered-pair counts, one
+    * canonical merge, two co-partitioned self-joins for the triangle
+    * closure (the q135 ordered-wedge discipline), one single-row
+    * reduction. Output: (n_items, n_contest_pairs, n_decided_pairs,
+    * n_triads, n_cycles, cycle_rate_micro). */
+  def preferenceCycles(contests: DataFrame, winCol: String,
+                       loseCol: String): DataFrame = {
+    val c = contests.select(col(winCol).cast("string").as("__w"),
+      col(loseCol).cast("string").as("__l")).localCheckpoint()
+    Contracts.enforce(c,
+      Contracts.Bound(sum(when(col("__w").isNull || col("__l").isNull ||
+        col("__w") === col("__l"), 1L).otherwise(0L)), _ == 0L, b =>
+        s"preferenceCycles: $b NULL or self-beating contests — filter " +
+          "them explicitly first"))
+    Contracts.enforce(
+      c.select(col("__w").as("__it"))
+        .unionByName(c.select(col("__l").as("__it"))).distinct(),
+      Contracts.Bound(count(lit(1)), _ <= 4096L, k =>
+        s"preferenceCycles: $k distinct items exceed the bounded " +
+          "pair-table contract (<= 4096) — bucket items first"))
+    val pair = c.groupBy(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"))
+      .agg(sum(when(col("__w") < col("__l"), 1L).otherwise(0L))
+        .as("__nab"),
+        sum(when(col("__w") > col("__l"), 1L).otherwise(0L))
+          .as("__nba"))
+      .localCheckpoint()
+    val decided = pair.where(col("__nab") =!= col("__nba"))
+      .select(col("__a"), col("__b"),
+        (col("__nab") > col("__nba")).as("__fab"))
+      .localCheckpoint()
+    val tri = decided.select(col("__a"), col("__b").as("__x"),
+        col("__fab").as("__f1"))
+      .join(decided.select(col("__a"), col("__b").as("__y"),
+        col("__fab").as("__f2")), "__a")
+      .where(col("__x") < col("__y"))
+      .join(decided.select(col("__a").as("__x"), col("__b").as("__y"),
+        col("__fab").as("__f3")), Seq("__x", "__y"))
+    // triad (a < x < y): f1 = a beats x, f3 = x beats y, f2 = a beats y
+    // cyclic iff a->x->y->a or reverse: f1 == f3 and f1 == !f2
+    val counts = tri.agg(count(lit(1)).as("n_triads"),
+      coalesce(sum(when(col("__f1") === col("__f3") &&
+        col("__f1") =!= col("__f2"), 1L).otherwise(0L)), lit(0L))
+        .as("n_cycles"))
+    val base = c.select(col("__w").as("__it"))
+      .unionByName(c.select(col("__l").as("__it"))).distinct()
+      .agg(count(lit(1)).as("n_items"))
+      .crossJoin(broadcast(pair.agg(
+        count(lit(1)).as("n_contest_pairs"))))
+      .crossJoin(broadcast(decided.agg(
+        count(lit(1)).as("n_decided_pairs"))))
+    base.crossJoin(broadcast(counts))
+      .select(col("n_items"), col("n_contest_pairs"),
+        col("n_decided_pairs"), col("n_triads"), col("n_cycles"),
+        when(col("n_triads") === 0L, lit(null).cast("long"))
+          .otherwise(call_function("div", col("n_cycles") * 1000000L,
+            col("n_triads"))).as("cycle_rate_micro"))
+  }
+
   /** BRADLEY–TERRY STRENGTHS from pairwise preference contests
     * (Bradley–Terry 1952; MM fit per Hunter 2004) — the
     * preference-data operator an RLHF-style pipeline needs: given

@@ -3991,6 +3991,51 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("preferenceCycles: rock-paper-scissors pins one pure cycle, a " +
+    "transitive chain pins zero, random tournaments match the brute " +
+    "triad walk, ties stay undecided") {
+    def run(cs: Seq[(String, String)]) =
+      Stats.preferenceCycles(cs.toDF("w", "l"), "w", "l")
+        .collect().head
+    val rps = run(Seq(("r", "s"), ("s", "p"), ("p", "r")))
+    assert((rps.getLong(0), rps.getLong(2), rps.getLong(3),
+      rps.getLong(4), rps.getLong(5)) == ((3L, 3L, 1L, 1L, 1000000L)))
+    val chain = run(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(chain.getLong(3) == 1L && chain.getLong(4) == 0L &&
+      chain.getLong(5) == 0L)
+    // a tied pair is undecided: the triad is not testable
+    val tied = run(Seq(("r", "s"), ("s", "p"), ("p", "r"), ("r", "p")))
+    assert(tied.getLong(2) == 2L && tied.getLong(3) == 0L &&
+      tied.isNullAt(5))
+    val rnd = new scala.util.Random(74)
+    val items = (0 until 8).map(i => s"i$i")
+    val cs = Seq.fill(500) {
+      val a = items(rnd.nextInt(8)); var b = items(rnd.nextInt(8))
+      while (b == a) b = items(rnd.nextInt(8))
+      if (rnd.nextBoolean()) (a, b) else (b, a)
+    }
+    val got = run(cs)
+    val wins = cs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def dir(a: String, b: String): Option[Boolean] = {
+      val ab = wins.getOrElse((a, b), 0L)
+      val ba = wins.getOrElse((b, a), 0L)
+      if (ab == ba) None else Some(ab > ba)
+    }
+    var (triads, cycles) = (0L, 0L)
+    for {
+      i <- items.indices; j <- items.indices if j > i
+      k <- items.indices if k > j
+      f1 <- dir(items(i), items(j))
+      f2 <- dir(items(i), items(k))
+      f3 <- dir(items(j), items(k))
+    } {
+      triads += 1
+      if (f1 == f3 && f1 != f2) cycles += 1
+    }
+    assert((got.getLong(3), got.getLong(4)) == ((triads, cycles)))
+    assert(got.getLong(5) == 1000000L * cycles / triads)
+  }
+
   test("bradleyTerryStrengths: exact integer-MM replay, a dominant item " +
     "pins 1e6, double-MM ranking agrees on a balanced design, " +
     "self-contests rejected") {
