@@ -4455,8 +4455,15 @@ object Stats {
     * reduction. Output: (key, n, n_cells, mi, h_x, h_y, nmi). */
   def mutualInfoByKey(df: DataFrame, keyCol: String, xCol: String,
                       yCol: String,
-                      maxDistinctPerKey: Long = 2000000L): DataFrame = {
-    val d = "decimal(38,0)"
+                      maxDistinctPerKey: Long = 2000000L): DataFrame =
+    miFromCells(miCells(df, keyCol, xCol, yCol, "mutualInfoByKey"),
+      keyCol, maxDistinctPerKey)
+
+  /** The validated per-(key, x, y) cell table behind
+    * [[mutualInfoByKey]] and its streaming twin — counts are additive
+    * over disjoint row sets, so maintainers fold these directly. */
+  private[graft] def miCells(df: DataFrame, keyCol: String, xCol: String,
+                             yCol: String, op: String): DataFrame = {
     val cells = df.groupBy(col(keyCol), col(xCol).as("__x"),
         col(yCol).as("__y"))
       .agg(count(lit(1)).as("__c"),
@@ -4465,8 +4472,16 @@ object Stats {
       .localCheckpoint()
     Contracts.enforce(cells,
       Contracts.Bound(sum(col("__bad")), _ == 0L, b =>
-        s"mutualInfoByKey: $b rows carry a NULL category — bucket " +
+        s"$op: $b rows carry a NULL category — bucket " +
           "them explicitly (e.g. an 'unknown' value) before calling"))
+    cells.drop("__bad")
+  }
+
+  /** The micro-nat tail over a validated cell table (see
+    * [[mutualInfoByKey]] for semantics). */
+  private[graft] def miFromCells(cells: DataFrame, keyCol: String,
+                                 maxDistinctPerKey: Long): DataFrame = {
+    val d = "decimal(38,0)"
     requireBoundedPerKey(cells, keyCol, maxDistinctPerKey,
       "mutualInfoByKey")
     Contracts.enforce(
@@ -4475,7 +4490,7 @@ object Stats {
         s"mutualInfoByKey: a key holds $n rows, exceeding the exact " +
           "micro-log contract (n <= 2e9 per key) — sample first"))
     val perKey = Window.partitionBy(col(keyCol))
-    val withM = cells.drop("__bad")
+    val withM = cells
       .withColumn("__n", sum(col("__c")).over(perKey))
       .withColumn("__rx", sum(col("__c"))
         .over(Window.partitionBy(col(keyCol), col("__x"))))
@@ -4799,13 +4814,18 @@ object Stats {
     * snips_value, ess). Empty-match keys report NaN estimates. */
   def ipsEstimate(df: DataFrame, keyCol: String, actionCol: String,
                   targetCol: String, propMicroCol: String,
-                  rewardCol: String): DataFrame = {
+                  rewardCol: String,
+                  weightCap: Long = 1000000000000L): DataFrame = {
+    require(weightCap >= 1L && weightCap <= 1000000000000L,
+      s"ipsEstimate: weightCap must be in [1, 1e12], got $weightCap")
     val d = "decimal(38,0)"
     // greatest(p, 1) keeps the division total so a bad propensity row
     // reaches the LOUD __bad contract instead of a div-by-zero crash
-    // mid-aggregation (the contract rejects before anything is served)
-    val w = call_function("div", lit(1000000000000L),
-      greatest(col(propMicroCol), lit(1L)))
+    // mid-aggregation (the contract rejects before anything is served);
+    // least(·, cap) is the standard clipped-IPS variance control
+    // (cap = 1e12 — the max possible weight — means no clipping)
+    val w = least(call_function("div", lit(1000000000000L),
+      greatest(col(propMicroCol), lit(1L))), lit(weightCap))
     val matched = col(actionCol) === col(targetCol)
     val base = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),

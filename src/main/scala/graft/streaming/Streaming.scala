@@ -1993,6 +1993,68 @@ object Streaming {
     }
   }
 
+  /** Live mutual-information / leakage monitor — the streaming twin
+    * of [[graft.operators.Stats.mutualInfoByKey]] (q281): each
+    * micro-batch of categorical (key, x, y) rows folds into the
+    * bounded per-(key, x, y) cell table (counts additive over
+    * disjoint row sets → streamed == batch is STRUCTURAL: [[mi]]
+    * serves the batch operator's own `miFromCells` tail), so the live
+    * "is this metadata field leaking the label" readout never rescans
+    * history. State bounded by key × x × y cardinality. NULL
+    * categories fail loudly per batch. */
+  final class MutualInfoMaintainer(initial: DataFrame, keyCol: String,
+                                   xCol: String, yCol: String,
+                                   maxDistinctPerKey: Long = 2000000L) {
+    import graft.operators.Stats
+    private var cells: DataFrame = Stats.miCells(initial, keyCol, xCol,
+      yCol, "MutualInfoMaintainer")
+
+    /** Exact [[graft.operators.Stats.mutualInfoByKey]] of every row
+      * folded so far, served from state. */
+    def mi(): DataFrame = synchronized {
+      Stats.miFromCells(cells, keyCol, maxDistinctPerKey)
+    }
+
+    /** Fold one micro-batch of categorical rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val h = Stats.miCells(batch, keyCol, xCol, yCol,
+        "MutualInfoMaintainer")
+      cells = cells.unionByName(h)
+        .groupBy(col(keyCol), col("__x"), col("__y"))
+        .agg(sum(col("__c")).as("__c"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the cell state for [[MutualInfoMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      cells.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object MutualInfoMaintainer {
+    /** Resume a [[MutualInfoMaintainer.checkpoint]]. Configuration is
+      * not state — pass the SAME columns/bounds the original monitor
+      * ran with (the [[PsiMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, keyCol: String,
+                xCol: String, yCol: String,
+                maxDistinctPerKey: Long = 2000000L)
+      : MutualInfoMaintainer = {
+      val cells = spark.read.parquet(dir)
+      val empty = cells.limit(0)
+        .select(col(keyCol), col("__x").as(xCol), col("__y").as(yCol))
+      val m = new MutualInfoMaintainer(empty, keyCol, xCol, yCol,
+        maxDistinctPerKey)
+      m.cells = cells.localCheckpoint()
+      m
+    }
+  }
+
   object PsiMaintainer {
     /** Resume a [[PsiMaintainer.checkpoint]]. Configuration
       * (keyCol/catCol/maxDistinctPerKey) is not state — pass the SAME

@@ -3813,6 +3813,17 @@ class StatsSpec extends SparkTestBase {
         .toDF("k", "a", "pi", "p", "r"), "k", "a", "pi", "p", "r")
     }
     assert(e.getMessage.contains("propensity outside"))
+    // clipped variant: a rare-propensity row's weight caps, pulling the
+    // estimate toward the uncapped rows (the variance-control tradeoff)
+    val clip = Seq((1L, "a", "a", 10L, 100L), (1L, "a", "a", 500000L, 10L))
+    val capped = Stats.ipsEstimate(clip.toDF("k", "a", "pi", "p", "r"),
+        "k", "a", "pi", "p", "r", weightCap = 5000000L)
+      .collect().head
+    val wCap = 5000000L // both: min(1e12/p, cap) -> 5e6 and 2e6
+    val w2 = 1000000000000L / 500000L
+    assert(capped.getDouble(3) ==
+      (BigInt(100) * wCap + BigInt(10) * w2).toDouble /
+        (BigInt(2) * 1000000000000L).toDouble)
   }
 
   test("quantileTreatmentEffects equals the brute per-arm rank picks; " +

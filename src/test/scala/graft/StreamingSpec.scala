@@ -1114,6 +1114,47 @@ class StreamingSpec extends SparkTestBase {
       "restored monitor diverged")
   }
 
+  test("mutual-info maintainer serves batch parity live, rejects NULL " +
+    "categories, checkpoint/restores") {
+    import graft.operators.Stats
+    def mm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val rnd = new scala.util.Random(273)
+    def mkRows(n: Int): Seq[(Long, String, String)] =
+      Seq.fill(n)((rnd.nextInt(2).toLong, s"x${rnd.nextInt(4)}",
+        s"y${rnd.nextInt(3)}"))
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val m = new Streaming.MutualInfoMaintainer(
+      hist.toSeq.toDF("k", "x", "y"), "k", "x", "y")
+    def expect() = mm(Stats.mutualInfoByKey(
+      hist.toSeq.toDF("k", "x", "y"), "k", "x", "y"))
+    (1 to 3).foreach { i =>
+      val b = mkRows(90)
+      hist ++= b
+      m.applyBatch(b.toDF("k", "x", "y"))
+      assert(mm(m.mi()) == expect(), s"mi after batch $i")
+    }
+    val e = intercept[Throwable] {
+      m.applyBatch(Seq((1L, Option.empty[String], Some("y1")),
+        (1L, Some("x1"), Some("y1"))).toDF("k", "x", "y"))
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("MutualInfoMaintainer"))
+    assert(mm(m.mi()) == expect(), "rejected batch mutated state")
+    val dir = java.nio.file.Files.createTempDirectory("mickpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.MutualInfoMaintainer.restore(spark, dir,
+      "k", "x", "y")
+    val b4 = mkRows(70)
+    hist ++= b4
+    m.applyBatch(b4.toDF("k", "x", "y"))
+    restored.applyBatch(b4.toDF("k", "x", "y"))
+    assert(mm(restored.mi()) == mm(m.mi()) &&
+      mm(restored.mi()) == expect(), "restored monitor diverged")
+  }
+
   test("noisy-counts maintainer re-releases the batch release live, " +
     "same noise draw per key, NULL keys rejected, checkpoint/restores") {
     import graft.operators.Stats
