@@ -877,4 +877,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!pkPlan.contains("Window"),
       s"packFirstFitDecreasing must not window:\n$pkPlan")
   }
+
+  test("preference/EM/off-policy operators keep their scale shapes") {
+    import graft.operators.Stats
+    // preferenceCycles: the triangle closure must be equi-joins over
+    // the bounded decided-pair table — never a cartesian product
+    val cs = (1 to 300).map { i =>
+      (s"i${i % 9}", s"i${(i % 9 + 1 + i % 3) % 9}")
+    }.filter(p => p._1 != p._2)
+    val pc = Stats.preferenceCycles(cs.toDF("w", "l"), "w", "l")
+    val pcPlan = pc.queryExecution.executedPlan.toString
+    assert(!pcPlan.contains("CartesianProduct"),
+      s"triangle closure must stay an equi-join:\n$pcPlan")
+    assert(!pcPlan.contains("Window"),
+      s"preferenceCycles must not window:\n$pcPlan")
+    // ipsEstimate: ONE aggregation per key — no join of row-sized
+    // sides, no window, no sort
+    val ips = Stats.ipsEstimate(
+      spark.range(2000).select((col("id") % 5).as("k"),
+        (col("id") % 3).cast("string").as("a"),
+        (col("id") % 2).cast("string").as("pi"),
+        (col("id") % 900000 + 1).as("p"), (col("id") % 50).as("r")),
+      "k", "a", "pi", "p", "r")
+    val ipsPlan = ips.queryExecution.executedPlan.toString
+    assert(!ipsPlan.contains("Window") &&
+      !ipsPlan.contains("SortMergeJoin"),
+      s"ipsEstimate must stay one aggregation:\n$ipsPlan")
+    // dawidSkeneHardEm: per-rater stats must BROADCAST back onto the
+    // ratings (rater cardinality-sized), and no raw-row window exists
+    val ratings = (1 to 200).flatMap(i => (0 to 3).map(r =>
+      (i.toLong, r.toLong, s"c${(i + r) % 3}")))
+    val ds = Stats.dawidSkeneHardEm(ratings.toDF("item", "rater", "cat"),
+      "item", "rater", "cat", rounds = 1)
+    val dsPlan = ds.queryExecution.executedPlan.toString
+    assert(!dsPlan.contains("Window"),
+      s"dawidSkeneHardEm must not window:\n$dsPlan")
+  }
 }
