@@ -13125,6 +13125,56 @@ object Queries {
       |    END AS cycle_rate_micro
       |FROM it CROSS JOIN cp CROSS JOIN dp CROSS JOIN tc""".stripMargin
 
+  /** Dedup-aware token accounting per source: total whitespace tokens,
+    * tokens sitting in exact-duplicate copies beyond each cluster's
+    * keeper (min doc_id corpus-wide — dedup scope crosses sources, so
+    * a source full of copies of ANOTHER source's docs reads as ~100%
+    * removable), and the effective token budget that remains — the
+    * "what does this source really contribute" readout a data-mixing
+    * pass starts from. Same injected-duplicate fixture as q292/q294. */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(d.where(pmod(col("n_chars"), lit(4)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          col("text")))
+    val toks = corpus.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("__h"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("__t"))
+    val keep = toks.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("__keep"))
+    toks.join(keep, "__h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("__keep"), col("__t"))
+          .otherwise(0L)).as("removable_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("removable_tokens"),
+        (col("total_tokens") - col("removable_tokens"))
+          .as("effective_tokens"))
+  }
+
+  private val q303Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, source, text FROM documents
+      |  WHERE n_chars % 4 = 0),
+      |toks AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+      |      '\s+'), x -> x != '')) AS BIGINT) AS t
+      |  FROM corpus),
+      |keep AS (SELECT h, min(doc_id) AS k FROM toks GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN doc_id != k THEN t ELSE 0 END) AS BIGINT)
+      |    AS removable_tokens,
+      |  CAST(sum(t) - sum(CASE WHEN doc_id != k THEN t ELSE 0 END)
+      |    AS BIGINT) AS effective_tokens
+      |FROM toks JOIN keep USING (h) GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13432,5 +13482,6 @@ object Queries {
     "q299_langid_confusion" -> Q(q299, Some(q299Sql)),
     "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)),
     "q301_preference_bias" -> Q(q301, Some(q301Sql)),
-    "q302_preference_cycles" -> Q(q302, Some(q302Sql)))
+    "q302_preference_cycles" -> Q(q302, Some(q302Sql)),
+    "q303_effective_tokens" -> Q(q303, Some(q303Sql)))
 }
