@@ -13175,6 +13175,72 @@ object Queries {
       |    AS BIGINT) AS effective_tokens
       |FROM toks JOIN keep USING (h) GROUP BY 1""".stripMargin
 
+  /** NDCG@10 of a term-frequency ranking against an independent
+    * graded relevance (Stats.ndcgAtK): for five corpus terms, docs
+    * rank by tf (ties to the smaller doc id) and are graded by a
+    * length-bucket relevance — the ranking-quality eval the search
+    * family reports; discount weights quantize identically in both
+    * engines. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("data", "spark", "query", "vector", "stream")
+    val cand = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        ws_tokens(col("text")).as("__tk"),
+        explode(array(terms.map(lit(_)): _*)).as("term"))
+      .select(col("term"), col("doc_id"), col("n_chars"),
+        size(filter(col("__tk"), x => x === col("term"))).cast("long")
+          .as("tf"))
+      .where(col("tf") > 0L)
+    val ranked = cand.groupBy(col("term"))
+      .agg(top_k_by(struct(col("tf"), (-col("doc_id")).as("nid"),
+        col("n_chars")), 10).as("__top"))
+      .select(col("term"), posexplode(col("__top")))
+      .select(col("term"), (col("pos") + 1L).as("rank"),
+        least(call_function("div", col("col.n_chars").cast("long"),
+          lit(150L)), lit(3L)).as("rel"))
+    Stats.ndcgAtK(ranked, "term", "rank", "rel", k = 10)
+  }
+
+  private val q304Sql =
+    """WITH t(term) AS (
+      |  VALUES ('data'), ('spark'), ('query'), ('vector'), ('stream')),
+      |c AS (
+      |  SELECT t.term, d.doc_id, d.n_chars,
+      |    CAST(len(list_filter(list_filter(
+      |      regexp_split_to_array(lower(d.text), '\s+'), x -> x != ''),
+      |      x -> x = t.term)) AS BIGINT) AS tf
+      |  FROM documents d CROSS JOIN t),
+      |rk AS (
+      |  SELECT term, doc_id, n_chars, tf,
+      |    row_number() OVER (PARTITION BY term
+      |      ORDER BY tf DESC, doc_id) AS rank
+      |  FROM c WHERE tf > 0),
+      |r10 AS (
+      |  SELECT term, CAST(rank AS BIGINT) AS rank,
+      |    least(n_chars // 150, 3) AS rel
+      |  FROM rk WHERE rank <= 10),
+      |w AS (
+      |  SELECT i, CAST(round(1000000.0 * ln(2.0)
+      |    / ln(CAST(i + 1 AS DOUBLE))) AS BIGINT) AS w
+      |  FROM range(1, 11) t(i)),
+      |d1 AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+      |    CAST(sum(rel * w.w) AS BIGINT) AS dcg
+      |  FROM r10 JOIN w ON w.i = r10.rank GROUP BY 1),
+      |ideal AS (
+      |  SELECT term, rel,
+      |    row_number() OVER (PARTITION BY term
+      |      ORDER BY rel DESC, rank) AS ri
+      |  FROM r10),
+      |d2 AS (
+      |  SELECT term, CAST(sum(rel * w.w) AS BIGINT) AS idcg
+      |  FROM ideal JOIN w ON w.i = ideal.ri GROUP BY 1)
+      |SELECT d1.term, n_ranked, dcg AS dcg_mw, idcg AS idcg_mw,
+      |  CASE WHEN idcg = 0 THEN CAST('nan' AS DOUBLE)
+      |    ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+      |    END AS ndcg
+      |FROM d1 JOIN d2 USING (term)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13483,5 +13549,6 @@ object Queries {
     "q300_labelqa_pipeline" -> Q(q300, Some(q300Sql)),
     "q301_preference_bias" -> Q(q301, Some(q301Sql)),
     "q302_preference_cycles" -> Q(q302, Some(q302Sql)),
-    "q303_effective_tokens" -> Q(q303, Some(q303Sql)))
+    "q303_effective_tokens" -> Q(q303, Some(q303Sql)),
+    "q304_ndcg_eval" -> Q(q304, Some(q304Sql)))
 }

@@ -5248,6 +5248,78 @@ object Stats {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** NDCG@k — the graded ranking-quality metric the search/retrieval
+    * family reports against ground-truth relevance (Järvelin &
+    * Kekäläinen 2002; [[rankingOverlap]] compares two rankings to
+    * each other, this scores ONE ranking against graded truth):
+    *
+    *   DCG@k = Σ_{i≤k} rel_i / log₂(i+1),   NDCG = DCG / IDCG
+    *
+    * with IDCG the same sum over the query's relevance grades sorted
+    * descending (tie order is irrelevant — the multiset determines
+    * the sum).
+    *
+    * Exactness: the k discount weights quantize ONCE to micro units —
+    * w_i = round(10⁶·ln 2 / ln(i+1)), the identical IEEE expression
+    * in both engines — so DCG and IDCG are exact integer weighted
+    * sums (grades CHECKED ≤ 1000, so terms ≤ 10⁹ and sums ≤ k·10⁹)
+    * and NDCG is one division. Ranks are CHECKED distinct, ≥ 1 and
+    * ≤ k rows per query; rows ranked beyond k are ignored (that is
+    * the @k semantics). All-zero-relevance queries → NaN, surfaced.
+    *
+    * Scale shape: one filter + one map-side-combining groupBy per
+    * query collecting ≤ k (rank, rel) pairs; the fold runs over that
+    * bounded array — no window, no join.
+    * Output: (query, n_ranked, dcg_mw, idcg_mw, ndcg). */
+  def ndcgAtK(df: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"ndcgAtK: k must be in [1, 100], got $k")
+    val weights = (1 to k).map(i =>
+      BigDecimal.valueOf(1e6 * math.log(2.0) /
+        math.log((i + 1).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val rows = df.select(col(queryCol), col(rankCol).cast("long")
+        .as("__r"), col(relCol).cast("long").as("__rel"))
+      .where(col("__r") <= k.toLong)
+      .localCheckpoint()
+    Contracts.enforce(rows,
+      Contracts.Bound(sum(when(col("__r").isNull || col("__r") < 1L ||
+        col("__rel").isNull || col("__rel") < 0L ||
+        col("__rel") > 1000L, 1L).otherwise(0L)), _ == 0L, b =>
+        s"ndcgAtK: $b rows carry a NULL/non-positive rank or a " +
+          "relevance grade outside [0, 1000] — grade and rank " +
+          "explicitly first"))
+    Contracts.enforce(
+      rows.groupBy(col(queryCol)).agg(count(lit(1)).as("__n"),
+        countDistinct(col("__r")).as("__nd")),
+      Contracts.Bound(sum(when(col("__n") =!= col("__nd"), 1L)
+        .otherwise(0L)), _ == 0L, q =>
+        s"ndcgAtK: $q queries carry duplicate ranks — a ranking has " +
+          "one row per position"))
+    val wLit = array(weights.map(lit(_)): _*)
+    val packed = rows.groupBy(col(queryCol))
+      .agg(collect_list(struct(col("__r"), col("__rel"))).as("__e"))
+    val rels = transform(col("__e"), _.getField("__rel"))
+    val sortedDesc = reverse(array_sort(rels))
+    def fold(vals: Column, byRank: Boolean): Column =
+      aggregate(sequence(lit(1), size(col("__e"))), lit(0L),
+        (acc, i) => acc + (if (byRank)
+          element_at(vals, i).getField("__rel") *
+            element_at(wLit, element_at(vals, i).getField("__r")
+              .cast("int"))
+        else element_at(vals, i) * element_at(wLit, i)))
+    packed
+      .select(col(queryCol), size(col("__e")).cast("long")
+        .as("n_ranked"),
+        fold(col("__e"), byRank = true).as("dcg_mw"),
+        fold(sortedDesc, byRank = false).as("idcg_mw"))
+      .select(col(queryCol), col("n_ranked"), col("dcg_mw"),
+        col("idcg_mw"),
+        when(col("idcg_mw") === 0L, lit(Double.NaN))
+          .otherwise(col("dcg_mw").cast("double") /
+            col("idcg_mw").cast("double")).as("ndcg"))
+  }
+
   /** PREFERENCE TRANSITIVITY AUDIT — the structural integrity check
     * on pairwise preference data (the [[bradleyTerryStrengths]] model
     * ASSUMES a consistent latent order; this measures how badly the

@@ -4002,6 +4002,41 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("ndcgAtK equals the brute discounted fold; a relevance-sorted " +
+    "ranking pins ndcg == 1.0; zero relevance -> NaN; duplicate " +
+    "ranks rejected") {
+    val k = 10
+    def w(i: Int) = BigDecimal.valueOf(1e6 * math.log(2.0) /
+      math.log((i + 1).toDouble))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rnd = new scala.util.Random(75)
+    val rows = (1 to 4).flatMap { q =>
+      (1 to k).map(i => (s"q$q", i.toLong, rnd.nextInt(4).toLong))
+    } ++ (1 to 6).map(i => ("sorted", i.toLong, (7 - i).toLong)) ++
+      (1 to 5).map(i => ("zero", i.toLong, 0L))
+    val got = Stats.ndcgAtK(rows.toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val dcg = g.map(r => r._3 * w(r._2.toInt)).sum
+      val idcg = g.map(_._3).sorted.reverse.zipWithIndex
+        .map { case (rel, i) => rel * w(i + 1) }.sum
+      val r = got(q)
+      assert((r._1, r._2, r._3) == ((g.size.toLong, dcg, idcg)), s"q=$q")
+      if (idcg == 0) assert(r._4.isNaN)
+      else assert(r._4 == dcg.toDouble / idcg.toDouble)
+    }
+    assert(got("sorted")._4 == 1.0, "relevance-sorted ranking")
+    assert(got("zero")._4.isNaN)
+    val e = intercept[IllegalArgumentException] {
+      Stats.ndcgAtK(Seq(("a", 1L, 1L), ("a", 1L, 2L))
+        .toDF("q", "rank", "rel"), "q", "rank", "rel", k)
+    }
+    assert(e.getMessage.contains("duplicate ranks"))
+  }
+
   test("preferenceCycles: rock-paper-scissors pins one pure cycle, a " +
     "transitive chain pins zero, random tournaments match the brute " +
     "triad walk, ties stay undecided") {
