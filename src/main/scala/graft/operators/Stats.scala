@@ -5091,12 +5091,18 @@ object Stats {
           "explicitly before calling"),
       Contracts.Bound(count(lit(1)), _ <= 1000000000L, n =>
         s"dawidSkeneHardEm: $n ratings exceed the exact micro-nat " +
-          "contract (1e9)"))
+          "contract (1e9)"),
+      // The class bound is CHECKED as an aggregate BEFORE the distinct
+      // collect below — a miscalled cat column (a free-text field)
+      // must fail loudly here, not drive an unbounded driver collect
+      // first (the bradleyTerryStrengths discipline).
+      Contracts.Bound(countDistinct(col("__cat")),
+        n => n >= 2L && n <= 16L, n =>
+          s"dawidSkeneHardEm: needs 2..16 distinct classes, got $n — " +
+            "is the category column really a class label?"))
     val cats = ratings.select(col("__cat")).distinct()
       .collect().map(_.getString(0)).sorted
     val c = cats.length
-    require(c >= 2 && c <= 16,
-      s"dawidSkeneHardEm: needs 2..16 distinct classes, got $c")
     val nItems = ratings.select(col("__item")).distinct().count()
     val lnqC1 = BigDecimal.valueOf(math.log((c - 1).toDouble) * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -5278,17 +5284,20 @@ object Stats {
       BigDecimal.valueOf(1e6 * math.log(2.0) /
         math.log((i + 1).toDouble))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    val rows = df.select(col(queryCol), col(rankCol).cast("long")
+    val all = df.select(col(queryCol), col(rankCol).cast("long")
         .as("__r"), col(relCol).cast("long").as("__rel"))
-      .where(col("__r") <= k.toLong)
       .localCheckpoint()
-    Contracts.enforce(rows,
+    // Validity is CHECKED on the UNFILTERED projection: a NULL rank
+    // compared against k is NULL, so filtering first would silently
+    // drop exactly the rows this contract promises to reject loudly.
+    Contracts.enforce(all,
       Contracts.Bound(sum(when(col("__r").isNull || col("__r") < 1L ||
         col("__rel").isNull || col("__rel") < 0L ||
         col("__rel") > 1000L, 1L).otherwise(0L)), _ == 0L, b =>
         s"ndcgAtK: $b rows carry a NULL/non-positive rank or a " +
           "relevance grade outside [0, 1000] — grade and rank " +
           "explicitly first"))
+    val rows = all.where(col("__r") <= k.toLong)
     Contracts.enforce(
       rows.groupBy(col(queryCol)).agg(count(lit(1)).as("__n"),
         countDistinct(col("__r")).as("__nd")),

@@ -2767,12 +2767,16 @@ object TextAnalysis {
     * is a custom single-pass expression, NOT an `aggregate` HOF:
     * CollapseProject re-inlines the first-fit scan into the
     * load-update lambda where it re-runs per array element (measured
-    * 163 s vs <1 s at sf0.1). O(docs·bins) comparisons per key, no
-    * shuffle beyond the one groupBy.
+    * 163 s vs <1 s at sf0.1). O(docs·bins) comparisons per key — the
+    * ADVERSARIAL shape is every doc near capacity (one bin per doc →
+    * docs²/2 comparisons in one task), which is why the default
+    * maxDocsPerKey is 20k (≤ 2·10⁸ comparisons worst case, bounded
+    * seconds); raise it only when the size distribution is known to
+    * pack densely. No shuffle beyond the one groupBy.
     * Output: (key, id, tokens, bin) — bin ids dense from 0 per key. */
   def packFirstFitDecreasing(df: DataFrame, keyCol: String, idCol: String,
                              tokCol: String, capacity: Long,
-                             maxDocsPerKey: Long = 100000L): DataFrame = {
+                             maxDocsPerKey: Long = 20000L): DataFrame = {
     require(capacity >= 1L,
       s"packFirstFitDecreasing: capacity must be >= 1, got $capacity")
     val rows = df.select(col(keyCol), col(idCol).as("__id"),
@@ -2787,7 +2791,9 @@ object TextAnalysis {
     Contracts.boundedPerKey(rows, keyCol, maxDocsPerKey,
       "packFirstFitDecreasing", "documents",
       "Pack within finer keys (add a hash-shard column) to bound the " +
-        "per-key sequential fold.", "bounded-fold")
+        "per-key sequential fold — worst case (every doc near " +
+        "capacity) costs docs^2/2 comparisons inside ONE task.",
+      "bounded-fold")
     val sorted = rows.groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(
         (-col("__tok")).as("s1"), col("__id").as("s2"),
@@ -2819,7 +2825,11 @@ object TextAnalysis {
     *   grade·(100·W·S) = 39·W² + 1180·Y·S − 1559·W·S
     *   ease·(1000·W·S) = 206835·W·S − 1015·W² − 84600·Y·S
     *
-    * W ≤ 10⁶ per doc CHECKED keeps every product ≤ ~10¹⁵ in int64.
+    * W ≤ 10⁶, S ≤ 10⁶ and Y ≤ 10⁷ per doc are ALL CHECKED — S is
+    * bounded by punctuation runs and Y by vowel runs, neither by W,
+    * so bounding W alone would let a punctuation- or vowel-dense doc
+    * wrap 206835·W·S / 84600·Y·S past int64 silently. Under the three
+    * bounds the largest product is 84600·Y·S ≤ 8.5·10¹⁷ < 2⁶³.
     * Empty/NULL text is rejected loudly (a 0-word doc has no
     * readability — filter first).
     *
@@ -2849,6 +2859,15 @@ object TextAnalysis {
       Contracts.Bound(max(col("words")), _ <= 1000000L, m =>
         s"readabilityProfile: a document holds $m words, exceeding " +
           "the exact int64 score contract (1e6 words per doc) — " +
+          "chunk it first"),
+      Contracts.Bound(max(col("sentences")), _ <= 1000000L, m =>
+        s"readabilityProfile: a document holds $m sentence marks, " +
+          "exceeding the exact int64 score contract (1e6 sentences " +
+          "per doc — sentence count rides punctuation runs, not the " +
+          "word bound) — chunk it first"),
+      Contracts.Bound(max(col("syllables")), _ <= 10000000L, m =>
+        s"readabilityProfile: a document holds $m syllable groups, " +
+          "exceeding the exact int64 score contract (1e7 per doc) — " +
           "chunk it first"))
     val ws = col("words") * col("sentences")
     out.select(col(idCol), col("words"), col("sentences"),

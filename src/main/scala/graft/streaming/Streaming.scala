@@ -1883,8 +1883,19 @@ object Streaming {
       labelCol, predCol, "FairnessMaintainer")
 
     /** Exact [[graft.operators.Stats.fairnessAudit]] of every row
-      * folded so far, served from state. */
+      * folded so far, served from state. The cumulative micro-rate
+      * contract is RE-CHECKED here: per-batch validation bounds each
+      * fold, but the folded totals grow across batches, so serving
+      * without this re-check could silently run the micro-rate math
+      * past its exact-int64 bound (the [[MutualInfoMaintainer]]
+      * serve-time-revalidation discipline). */
     def audit(): DataFrame = synchronized {
+      graft.operators.Contracts.enforce(conf,
+        graft.operators.Contracts.Bound(sum(col("n")),
+          _ <= 1000000000000L, n =>
+            s"FairnessMaintainer: $n cumulative rows exceed the " +
+              "micro-rate int64 contract (1e12 rows across all " +
+              "folded batches)"))
       Stats.fairnessFromConf(conf, groupCol)
     }
 
@@ -1946,8 +1957,19 @@ object Streaming {
       successCol, "SprtMaintainer")
 
     /** Exact [[graft.operators.Stats.sprtBernoulli]] of every outcome
-      * folded so far, served from state. */
+      * folded so far, served from state. The cumulative per-key n
+      * contract is RE-CHECKED here: per-batch validation bounds each
+      * fold, but folded counts grow across batches, so serving
+      * without this re-check could silently cast an over-bound LLR
+      * decimal to long (the [[MutualInfoMaintainer]]
+      * serve-time-revalidation discipline). */
     def decisions(): DataFrame = synchronized {
+      graft.operators.Contracts.enforce(counts,
+        graft.operators.Contracts.Bound(max(col("n")),
+          _ <= 2000000000L, n =>
+            s"SprtMaintainer: a key holds $n cumulative outcomes, " +
+              "exceeding the exact micro-nat LLR contract (n <= 2e9 " +
+              "per key across all folded batches)"))
       Stats.sprtFromCounts(counts, keyCol, p0, p1, alpha, beta)
     }
 

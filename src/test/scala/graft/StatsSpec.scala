@@ -4035,6 +4035,22 @@ class StatsSpec extends SparkTestBase {
         .toDF("q", "rank", "rel"), "q", "rank", "rel", k)
     }
     assert(e.getMessage.contains("duplicate ranks"))
+    // A NULL rank must be rejected LOUDLY — not silently dropped by
+    // the @k filter (NULL <= k is NULL): the contract runs on the
+    // unfiltered projection.
+    val eNull = intercept[IllegalArgumentException] {
+      Stats.ndcgAtK(
+        Seq(("a", Some(1L), 1L), ("a", None, 2L))
+          .toDF("q", "rank", "rel"), "q", "rank", "rel", k)
+    }
+    assert(eNull.getMessage.contains("NULL/non-positive rank"))
+    // ...and a rank BEYOND k with a valid grade is still simply
+    // ignored (the @k semantics), not rejected.
+    val beyond = Stats.ndcgAtK(
+      Seq(("a", 1L, 2L), ("a", (k + 5).toLong, 3L))
+        .toDF("q", "rank", "rel"), "q", "rank", "rel", k)
+      .collect().head
+    assert(beyond.getLong(1) == 1L)
   }
 
   test("preferenceCycles: rock-paper-scissors pins one pure cycle, a " +
