@@ -13241,6 +13241,81 @@ object Queries {
       |    END AS ndcg
       |FROM d1 JOIN d2 USING (term)""".stripMargin
 
+  /** UAX-29-subset Unicode word segmentation
+    * (TextAnalysis.unicodeWordProfile): every document gets a
+    * mixed-script suffix — Han singletons with a possessive
+    * apostrophe, Katakana, digits-in-run, Thai, an underscore token —
+    * so the gate exercises exactly the shapes whitespace splitting
+    * gets wrong; the md5 of the U+0001-joined token list pins the
+    * full segmentation (CJK isolation, apostrophe joins, run
+    * boundaries) bit-for-bit against the RE2 replay of the same rule
+    * set. */
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unicodeWordProfile(
+      t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" 東京都’s データ123 it's can’t ไทยทด _mix_9 "),
+          col("source")).as("text")),
+      "doc_id", "text")
+
+  private val q305Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || ' 東京都’s データ123 it''s can’t ไทยทด _mix_9 '
+      |      || source AS text
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, regexp_extract_all(
+      |    regexp_replace(text,
+      |      '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ',
+      |      'g'),
+      |    '[\p{L}\p{Nd}\p{Mn}\p{Mc}_]+(?:[''’][\p{L}\p{Nd}\p{Mn}\p{Mc}_]+)*')
+      |    AS toks
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t,
+      |    '^[\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}]$')))
+      |    AS BIGINT) AS n_cjk,
+      |  CAST(len(list_filter(toks, t -> contains(t, '''')
+      |    OR contains(t, '’'))) AS BIGINT) AS n_apos,
+      |  md5(array_to_string(toks, chr(1))) AS tokens_hash
+      |FROM tk""".stripMargin
+
+  /** UAX-29-subset sentence segmentation
+    * (TextAnalysis.unicodeSentenceProfile): documents are wrapped in
+    * a shell with an abbreviation-like prefix ("Dr."), a quoted
+    * exclamation with a trailing closer, an ellipsis run, a
+    * terminal+closer pair and an unterminated tail — the adversarial
+    * shapes of the terminal-run rule set — and the md5 of the
+    * U+0001-joined sentence list pins the whole segmentation against
+    * the single-regex RE2 replay. */
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unicodeSentenceProfile(
+      t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Dr. No said \"Stop!\" twice... "), col("text"),
+          lit(" Is it done?! (Yes.) The end")).as("text")),
+      "doc_id", "text")
+
+  private val q306Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'Dr. No said "Stop!" twice... ' || text
+      |      || ' Is it done?! (Yes.) The end' AS text
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |    regexp_extract_all(text,
+      |      '[^.!?]+[.!?]+["'')\]”’»]*|[^.!?]+$'),
+      |    x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+      |    x -> x != '') AS sents
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(len(array_to_string(sents, '')) AS BIGINT) AS sent_chars,
+      |  md5(array_to_string(sents, chr(1))) AS sents_hash
+      |FROM sp""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13550,5 +13625,7 @@ object Queries {
     "q301_preference_bias" -> Q(q301, Some(q301Sql)),
     "q302_preference_cycles" -> Q(q302, Some(q302Sql)),
     "q303_effective_tokens" -> Q(q303, Some(q303Sql)),
-    "q304_ndcg_eval" -> Q(q304, Some(q304Sql)))
+    "q304_ndcg_eval" -> Q(q304, Some(q304Sql)),
+    "q305_unicode_words" -> Q(q305, Some(q305Sql)),
+    "q306_unicode_sentences" -> Q(q306, Some(q306Sql)))
 }

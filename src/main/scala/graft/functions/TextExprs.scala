@@ -1107,3 +1107,158 @@ case class CdcChunks(child: Expression, window: Int, modulus: Long)
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }
+
+/** The UAX-29-subset segmentation rule set shared by [[Uax29Tokens]] and
+  * [[Uax29Sentences]] — a DETERMINISTIC, oracle-replayable subset of
+  * Unicode TR-29 word/sentence breaking (the full standard needs
+  * dictionaries for CJK/Thai; this subset is the practical
+  * StandardTokenizer-style behavior):
+  *
+  * Words —
+  *  - a char of script Han, Hiragana, Katakana or Thai is ONE token by
+  *    itself (scriptio-continua scripts carry no space boundaries;
+  *    char-unigrams are the deterministic fallback every search engine
+  *    ships without a dictionary);
+  *  - a word char is `\p{L}`, `\p{Nd}`, `\p{Mn}`, `\p{Mc}` or `_`,
+  *    EXCLUDING the four singleton scripts; maximal runs form tokens;
+  *  - an apostrophe (U+0027 or U+2019) with word chars on BOTH sides
+  *    joins its runs (UAX-29 WB6/WB7 MidLetter: "don't" is one token);
+  *  - everything else separates. No case folding — segmentation only.
+  *
+  * The rule set is EXACTLY the two-step regex program
+  *   s1 = replace each [\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}] char
+  *        with " c " ;  tokens = matches of
+  *   [\p{L}\p{Nd}\p{Mn}\p{Mc}_]+(?:['U+2019][\p{L}\p{Nd}\p{Mn}\p{Mc}_]+)*
+  * which RE2 (the DuckDB oracle) and java.util.regex both support with
+  * identical semantics — PropertySpec pins expression == regex program
+  * on random mixed-script text, the gate pins engine == oracle.
+  *
+  * Sentences — maximal segments matching (leftmost-first, no
+  * lookaround, so RE2-safe)
+  *   [^.!?]+[.!?]+["')\]”’»]*  |  [^.!?]+$
+  * then trimmed of {space, \t, \n, \r} with empties dropped: a sentence
+  * ends at a terminal run plus trailing closers, and the unterminated
+  * tail is a sentence. Pure-terminal noise ("...") yields none. */
+object Uax29Kernels {
+  import java.lang.Character.{UnicodeScript => US}
+
+  private def isSingleton(cp: Int): Boolean = {
+    val s = US.of(cp)
+    s == US.HAN || s == US.HIRAGANA || s == US.KATAKANA || s == US.THAI
+  }
+
+  private def isWordChar(cp: Int): Boolean = {
+    if (cp == '_') return true
+    val t = Character.getType(cp)
+    val core = t == Character.UPPERCASE_LETTER ||
+      t == Character.LOWERCASE_LETTER ||
+      t == Character.TITLECASE_LETTER ||
+      t == Character.MODIFIER_LETTER ||
+      t == Character.OTHER_LETTER ||
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.NON_SPACING_MARK ||
+      t == Character.COMBINING_SPACING_MARK
+    core && !isSingleton(cp)
+  }
+
+  private def isApos(cp: Int): Boolean = cp == 0x27 || cp == 0x2019
+
+  def tokens(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isSingleton(cp)) {
+        out += s.substring(i, i + w)
+        i += w
+      } else if (isWordChar(cp)) {
+        val start = i
+        i += w
+        var cont = true
+        while (cont && i < n) {
+          val c2 = s.codePointAt(i)
+          if (isWordChar(c2)) i += Character.charCount(c2)
+          else if (isApos(c2)) {
+            val j = i + Character.charCount(c2)
+            if (j < n && isWordChar(s.codePointAt(j)))
+              i = j + Character.charCount(s.codePointAt(j))
+            else cont = false
+          } else cont = false
+        }
+        out += s.substring(start, i)
+      } else i += w
+    }
+    out.toArray
+  }
+
+  private val terminals = Set('.', '!', '?')
+  private val closers = Set('"', '\'', ')', ']', '”', '’',
+    '»')
+  private def isTrim(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  def sentences(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      // unmatched leading terminals are skipped (neither regex
+      // alternative can start on one)
+      while (i < n && terminals(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !terminals(s.charAt(i))) i += 1
+        if (i < n) {                       // terminal run + closers
+          while (i < n && terminals(s.charAt(i))) i += 1
+          while (i < n && closers(s.charAt(i))) i += 1
+        }
+        var a = start
+        var b = i
+        while (a < b && isTrim(s.charAt(a))) a += 1
+        while (b > a && isTrim(s.charAt(b - 1))) b -= 1
+        if (b > a) out += s.substring(a, b)
+      }
+    }
+    out.toArray
+  }
+}
+
+/** UAX-29-subset word tokens (see [[Uax29Kernels]]) — one pass per row. */
+case class Uax29Tokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "uax29_tokens"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"uax29_tokens needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Uax29Kernels
+      .tokens(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(newChild: Expression): Uax29Tokens =
+    copy(child = newChild)
+}
+
+/** UAX-29-subset sentences (see [[Uax29Kernels]]) — one pass per row. */
+case class Uax29Sentences(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "uax29_sentences"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"uax29_sentences needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Uax29Kernels
+      .sentences(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString(_): Any))
+  override protected def withNewChildInternal(newChild: Expression): Uax29Sentences =
+    copy(child = newChild)
+}

@@ -353,6 +353,18 @@ package object functions {
   def ws_tokens(text: Column): Column =
     ExprBridge.column(Tokenize(col2expr(text)))
 
+  /** UAX-29-subset Unicode word tokens — CJK/Thai char-unigrams,
+    * letter/digit/mark/underscore runs, mid-word apostrophes — one
+    * pass per row (rule set: [[graft.functions.Uax29Kernels]]). */
+  def uax29_tokens(text: Column): Column =
+    ExprBridge.column(Uax29Tokens(col2expr(text)))
+
+  /** UAX-29-subset sentences: terminal-run segmentation with trailing
+    * closers, trimmed, empties dropped — one pass per row (rule set:
+    * [[graft.functions.Uax29Kernels]]). */
+  def uax29_sentences(text: Column): Column =
+    ExprBridge.column(Uax29Sentences(col2expr(text)))
+
   /** Per-term non-overlapping dictionary match counts in one
     * Aho–Corasick pass over the text (see [[DictMatchCounts]]). */
   def dict_match_counts(text: Column, terms: Seq[String]): Column =

@@ -2919,4 +2919,56 @@ object TextAnalysis {
       length(clean).cast("long").as("clean_chars"),
       clean.as("clean_text"))
   }
+
+  /** UNICODE WORD-SEGMENTATION PROFILE per document — the UAX-29-subset
+    * upgrade path for mixed-script web text (the r13 verdict's #1 gap:
+    * [[graft.functions.ws_tokens]] whitespace splitting is wrong for
+    * CJK/Thai, and the script-profile operator only DETECTS the problem;
+    * this segments correctly). Tokens come from ONE pass of
+    * [[graft.functions.Uax29Kernels]]: CJK/Thai char-unigrams,
+    * letter/digit/mark/underscore runs, mid-word apostrophes joined.
+    *
+    * Determinism: the rule set is exactly a two-step regex program that
+    * RE2 and java.util.regex evaluate identically (PropertySpec pins
+    * expression == regex program; the oracle replays the program), and
+    * the md5 of the U+0001-joined token list pins the ENTIRE
+    * segmentation bit-for-bit — not just the counts.
+    *
+    * Scale shape: pure per-row column expressions (map-only, no
+    * shuffle, no UDF); the classification filters run over the bounded
+    * token array, never re-scan the text.
+    * Output: (id, n_tokens, n_cjk, n_apos, tokens_hash). */
+  def unicodeWordProfile(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toks = uax29_tokens(coalesce(col(textCol), lit("")))
+    val cjkRe = "^[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}]$"
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.rlike(cjkRe))).cast("long").as("n_cjk"),
+      size(filter(toks, t => instr(t, "'") > 0 ||
+        instr(t, "’") > 0)).cast("long").as("n_apos"),
+      md5(array_join(toks, "\u0001")).as("tokens_hash"))
+  }
+
+  /** UNICODE SENTENCE-SEGMENTATION PROFILE per document — the sentence
+    * half of the UAX-29-subset segmenter ([[unicodeWordProfile]]):
+    * sentences end at a [.!?]+ run plus trailing closing quotes/
+    * brackets, the unterminated tail is a sentence, segments trim to
+    * {space, tab, CR, LF} and empties drop (rule set:
+    * [[graft.functions.Uax29Kernels]] — leftmost-first, lookaround-free,
+    * so the DuckDB oracle replays it with one RE2 regexp_extract_all).
+    *
+    * Determinism: the md5 of the U+0001-joined sentence list pins the
+    * whole segmentation; counts and char masses are exact longs.
+    *
+    * Scale shape: pure per-row column expressions (map-only, no
+    * shuffle, no UDF).
+    * Output: (id, n_sentences, sent_chars, sents_hash). */
+  def unicodeSentenceProfile(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val sents = uax29_sentences(coalesce(col(textCol), lit("")))
+    df.select(col(idCol),
+      size(sents).cast("long").as("n_sentences"),
+      length(array_join(sents, "")).cast("long").as("sent_chars"),
+      md5(array_join(sents, "\u0001")).as("sents_hash"))
+  }
 }

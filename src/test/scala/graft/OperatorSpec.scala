@@ -1782,4 +1782,35 @@ class OperatorSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("bounded-fold"))
   }
+  test("unicodeWordProfile: CJK singletons, apostrophe joins and the " +
+    "token hash pin the segmentation; unicodeSentenceProfile: terminal " +
+    "runs with closers and the unterminated tail") {
+    val docs = Seq(
+      (1L, "don't stop \u6f22\u5b57 it\u2019s 123_x"),
+      (2L, "\u6771\u4eac\u90fd\u2019s \u30c7\u30fc\u30bf ok"),
+      (3L, "plain latin only")).toDF("id", "text")
+    val w = TextAnalysis.unicodeWordProfile(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: don't | stop | \u6f22 | \u5b57 | it's | 123_x -> 6 tokens,
+    // 2 CJK singletons, 2 apostrophe tokens
+    assert(w(1L) == ((6L, 2L, 2L)))
+    // doc 2: \u6771 \u4eac \u90fd are Han singletons, the possessive
+    // apostrophe cannot join a CJK char -> "s" is its own token;
+    // \u30c7\u30fc\u30bf: Katakana singletons but \u30fc (long-vowel
+    // mark) is script=Common, Lm -> a word char run of its own
+    assert(w(2L)._2 == 5L && w(2L)._3 == 0L)
+    assert(w(3L) == ((3L, 0L, 0L)))
+    val sd = Seq(
+      (1L, "Dr. No said \"Stop!\" twice... The end"),
+      (2L, "one sentence only"),
+      (3L, "...")).toDF("id", "text")
+    val g = TextAnalysis.unicodeSentenceProfile(sd, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 1: Dr. | No said "Stop!" | twice... | The end
+    assert(g(1L)._1 == 4L)
+    assert(g(2L) == ((1L, 17L)))
+    assert(g(3L) == ((0L, 0L)))
+  }
 }

@@ -847,6 +847,16 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!sb.contains("Exchange") && !sb.contains("Generate"),
       s"stripBoilerplate must stay map-only, explode-free:\n$sb")
+    val uw = TextAnalysis.unicodeWordProfile(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!uw.contains("Exchange") && !uw.contains("Window") &&
+      !uw.contains("Join") && !uw.contains("Generate"),
+      s"unicodeWordProfile must stay map-only:\n$uw")
+    val us = TextAnalysis.unicodeSentenceProfile(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!us.contains("Exchange") && !us.contains("Window") &&
+      !us.contains("Join") && !us.contains("Generate"),
+      s"unicodeSentenceProfile must stay map-only:\n$us")
     val ab = Multimodal.aspectBucketAssign(
         spark.range(500).select(col("id"), (col("id") % 900 + 100).as("w"),
           (col("id") % 700 + 100).as("h")), "w", "h")

@@ -197,4 +197,79 @@ class PropertySpec extends AnyFunSuite {
       assert((size - w) / 2 == 0.0 && (size - h) / 2 == 0.0)
     }
   }
+  // --- UAX-29-subset segmentation: the single-pass kernel must equal
+  // the two-step regex program the DuckDB oracle replays (same rule
+  // set, independent implementations) on random mixed-script text. ---
+
+  private val uaxPool: Array[String] = Array(
+    "a", "b", "Z", "q", "0", "9", "_", " ", " ", "\t", "\n", "\r",
+    "'", "\u2019", ".", "!", "?", "\"", ")", "]", "\u201d", "\u00bb",
+    ",", ";", "-", "<", "(",
+    "\u6f22", "\u5b57", "\u6e2c",          // Han
+    "\u3042", "\u3044",                    // Hiragana
+    "\u30ab", "\u30bf",                    // Katakana
+    "\u0e44", "\u0e17",                    // Thai
+    "\ud55c", "\uae00",                    // Hangul (word chars, NOT singletons)
+    "\u00e9", "\u00dc",                    // accented Latin
+    "\u0301", "\u0941",                    // combining marks (Mn, Mc-ish)
+    new String(Character.toChars(0x20000)) // supplementary Han (CJK ext B)
+  )
+
+  private def randUaxText(): String = {
+    val n = rnd.nextInt(80)
+    val sb = new StringBuilder
+    (1 to n).foreach(_ => sb.append(uaxPool(rnd.nextInt(uaxPool.length))))
+    sb.toString
+  }
+
+  private def regexTokens(text: String): Seq[String] = {
+    val cjk = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}]"
+    val s1 = text.replaceAll("(" + cjk + ")", " $1 ")
+    val w = "[\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]"
+    val m = java.util.regex.Pattern
+      .compile(w + "+(?:['\u2019]" + w + "+)*").matcher(s1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private def regexSentences(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("[^.!?]+[.!?]+[\"')\\]\u201d\u2019\u00bb]*|[^.!?]+$")
+      .matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      val t = m.group().replaceAll("^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
+      if (t.nonEmpty) out += t
+    }
+    out.toSeq
+  }
+
+  test("uax29 word kernel equals the two-step regex program on random " +
+    "mixed-script text (CJK singletons, apostrophe joins, marks, " +
+    "supplementary planes)") {
+    import graft.functions.Uax29Kernels
+    assert(Uax29Kernels.tokens("don't stop \u6f22\u5b57abc\u30ab 123_x it\u2019s").toSeq ==
+      Seq("don't", "stop", "\u6f22", "\u5b57", "abc", "\u30ab", "123_x", "it\u2019s"))
+    assert(Uax29Kernels.tokens("a''b dogs' '\u6f22").toSeq ==
+      Seq("a", "b", "dogs", "\u6f22"))
+    trials(400) {
+      val t = randUaxText()
+      assert(Uax29Kernels.tokens(t).toSeq == regexTokens(t), s"text=${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("uax29 sentence kernel equals the regex program on random text " +
+    "(terminal runs, closers, untrimmed tails, pure-terminal noise)") {
+    import graft.functions.Uax29Kernels
+    assert(Uax29Kernels.sentences("Hi. How are you?! (Fine.) ...").toSeq ==
+      Seq("Hi.", "How are you?!", "(Fine.)", "..."))
+    assert(Uax29Kernels.sentences("no terminal tail").toSeq ==
+      Seq("no terminal tail"))
+    assert(Uax29Kernels.sentences("...").toSeq == Seq.empty[String])
+    trials(400) {
+      val t = randUaxText()
+      assert(Uax29Kernels.sentences(t).toSeq == regexSentences(t), s"text=${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
