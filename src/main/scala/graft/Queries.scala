@@ -13316,6 +13316,159 @@ object Queries {
       |  md5(array_to_string(sents, chr(1))) AS sents_hash
       |FROM sp""".stripMargin
 
+  /** Interpolated modified Kneser–Ney perplexity
+    * (TextAnalysis.kneserNeyPerplexity, order 3): raw counts at the
+    * top, continuation counts below, per-level Chen–Goodman discounts
+    * from count-of-counts with KenLM's --discount_fallback default
+    * (0.5, 1.0, 1.5) on levels whose continuation counts saturate
+    * (this corpus's small vocabulary saturates levels 1–2 — the gate
+    * exercises BOTH the computed and the fallback discount paths; the
+    * top level is computed at every SF). The oracle unrolls the whole
+    * model: level tables, γ type-counts, discount validity CASE,
+    * the three-level interpolation chain in the identical IEEE op
+    * order, one ln rounded to micro-nats. */
+  private def q307(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kneserNeyPerplexity(t(s, dir, "documents"),
+      "doc_id", "text", col("doc_id") % 3 =!= 0L, order = 3,
+      thresholdMicro = 3100000L,
+      discountFallback = Some((0.5, 1.0, 1.5)))
+
+  private val q307Sql: String = {
+    val keysExpr = (tk: String) =>
+      s"[array_to_string($tk[greatest(1, i-2):i], ' ') " +
+        s"for i in range(1, len($tk)+1)]"
+    def mAgg(src: String) =
+      s"""CAST(coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT) AS m1,
+         |  CAST(coalesce(sum(CASE WHEN cnt = 2 THEN 1 END), 0) AS BIGINT) AS m2,
+         |  CAST(coalesce(sum(CASE WHEN cnt = 3 THEN 1 END), 0) AS BIGINT) AS m3,
+         |  CAST(coalesce(sum(CASE WHEN cnt = 4 THEN 1 END), 0) AS BIGINT) AS m4
+         |  FROM $src""".stripMargin
+    def aAgg =
+      s"""CAST(sum(cnt) AS BIGINT) AS den,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3p"""
+        .stripMargin
+    // one interpolation level: a + gamma * p_prev when the context was
+    // observed, pass-through otherwise — the EXACT engine op order
+    def lvl(cond: String, sc: String, den: String, n1: String,
+            n2: String, n3: String, d1: String, d2: String, d3: String,
+            prev: String) =
+      s"""CASE WHEN $cond THEN
+         |      (CAST(coalesce($sc, 0) AS DOUBLE) -
+         |        CASE WHEN coalesce($sc, 0) = 1 THEN $d1
+         |             WHEN coalesce($sc, 0) = 2 THEN $d2
+         |             WHEN coalesce($sc, 0) >= 3 THEN $d3
+         |             ELSE 0.0 END) / CAST($den AS DOUBLE)
+         |      + ($d1 * CAST($n1 AS DOUBLE) + $d2 * CAST($n2 AS DOUBLE)
+         |         + $d3 * CAST($n3 AS DOUBLE)) / CAST($den AS DOUBLE)
+         |        * $prev
+         |    ELSE $prev END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % 3 != 0 AS tr, $toksSql AS tk
+       |  FROM documents),
+       |keys AS (
+       |  SELECT doc_id, unnest(${keysExpr("tk")}) AS g FROM toks),
+       |tkeys AS (
+       |  SELECT unnest([array_to_string(w[len(w)-j+1:len(w)], ' ')
+       |                 for j in range(1, len(w)+1)]) AS g
+       |  FROM (SELECT string_split(kg, ' ') AS w FROM (
+       |    SELECT unnest(${keysExpr("tk")}) AS kg
+       |    FROM toks WHERE tr))),
+       |c AS (SELECT g, CAST(count(*) AS BIGINT) AS c,
+       |        len(string_split(g, ' ')) AS l FROM tkeys GROUP BY g),
+       |t3 AS (SELECT g, c AS cnt FROM c WHERE l = 3),
+       |t2 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS g,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM c WHERE l = 3 GROUP BY 1),
+       |t1 AS (SELECT string_split(g, ' ')[2] AS g,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM c WHERE l = 2 GROUP BY 1),
+       |a3 AS (SELECT array_to_string(string_split(g, ' ')[1:2], ' ')
+       |         AS ctx, $aAgg FROM t3 GROUP BY 1),
+       |a2 AS (SELECT string_split(g, ' ')[1] AS ctx, $aAgg
+       |       FROM t2 GROUP BY 1),
+       |a1 AS (SELECT $aAgg FROM t1),
+       |coc AS (
+       |  SELECT 3 AS lev, ${mAgg("t3")}
+       |  UNION ALL SELECT 2, ${mAgg("t2")}
+       |  UNION ALL SELECT 1, ${mAgg("t1")}),
+       |disc1 AS (
+       |  SELECT lev, m1, m2, m3, m4,
+       |    CASE WHEN y IS NOT NULL THEN 1.0 - 2.0*y*m2/m1 END AS d1c,
+       |    CASE WHEN y IS NOT NULL THEN 2.0 - 3.0*y*m3/m2 END AS d2c,
+       |    CASE WHEN y IS NOT NULL THEN 3.0 - 4.0*y*m4/m3 END AS d3c
+       |  FROM (SELECT *, CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0
+       |          THEN CAST(m1 AS DOUBLE)/CAST(m1 + 2*m2 AS DOUBLE) END
+       |          AS y FROM coc)),
+       |disc AS (
+       |  SELECT lev,
+       |    CASE WHEN ok THEN d1c ELSE 0.5 END AS d1,
+       |    CASE WHEN ok THEN d2c ELSE 1.0 END AS d2,
+       |    CASE WHEN ok THEN d3c ELSE 1.5 END AS d3
+       |  FROM (SELECT lev, d1c, d2c, d3c,
+       |    d1c IS NOT NULL AND d1c >= 0 AND d1c <= 1 AND d2c >= 0
+       |      AND d2c <= 2 AND d3c >= 0 AND d3c <= 3 AS ok
+       |    FROM disc1)),
+       |dd AS (SELECT
+       |  max(CASE WHEN lev = 1 THEN d1 END) AS d1_1,
+       |  max(CASE WHEN lev = 1 THEN d2 END) AS d2_1,
+       |  max(CASE WHEN lev = 1 THEN d3 END) AS d3_1,
+       |  max(CASE WHEN lev = 2 THEN d1 END) AS d1_2,
+       |  max(CASE WHEN lev = 2 THEN d2 END) AS d2_2,
+       |  max(CASE WHEN lev = 2 THEN d3 END) AS d3_2,
+       |  max(CASE WHEN lev = 3 THEN d1 END) AS d1_3,
+       |  max(CASE WHEN lev = 3 THEN d2 END) AS d2_3,
+       |  max(CASE WHEN lev = 3 THEN d3 END) AS d3_3 FROM disc),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c WHERE l = 1),
+       |dkw AS (
+       |  SELECT g, string_split(g, ' ') AS w,
+       |         len(string_split(g, ' ')) AS L
+       |  FROM (SELECT DISTINCT g FROM keys)),
+       |slots AS (
+       |  SELECT dkw.g, dkw.L,
+       |    s3.cnt AS s3c, x3.den AS x3den, x3.n1 AS x3n1,
+       |    x3.n2 AS x3n2, x3.n3p AS x3n3p,
+       |    s2.cnt AS s2c, x2.den AS x2den, x2.n1 AS x2n1,
+       |    x2.n2 AS x2n2, x2.n3p AS x2n3p,
+       |    s1.cnt AS s1c, a1.den AS x1den, a1.n1 AS x1n1,
+       |    a1.n2 AS x1n2, a1.n3p AS x1n3p,
+       |    dd.*, 1.0/CAST(v.v AS DOUBLE) AS p0
+       |  FROM dkw
+       |  LEFT JOIN t3 s3 ON dkw.L >= 3 AND s3.g =
+       |    array_to_string(dkw.w[dkw.L-2:dkw.L], ' ')
+       |  LEFT JOIN a3 x3 ON dkw.L >= 3 AND x3.ctx =
+       |    array_to_string(dkw.w[dkw.L-2:dkw.L-1], ' ')
+       |  LEFT JOIN t2 s2 ON dkw.L >= 2 AND s2.g =
+       |    array_to_string(dkw.w[dkw.L-1:dkw.L], ' ')
+       |  LEFT JOIN a2 x2 ON dkw.L >= 2 AND x2.ctx = dkw.w[dkw.L-1]
+       |  LEFT JOIN t1 s1 ON s1.g = dkw.w[dkw.L]
+       |  CROSS JOIN a1 CROSS JOIN dd CROSS JOIN v),
+       |p1 AS (SELECT *, ${lvl("x1den IS NOT NULL", "s1c", "x1den",
+           "x1n1", "x1n2", "x1n3p", "d1_1", "d2_1", "d3_1", "p0")}
+       |  AS pv1 FROM slots),
+       |p2 AS (SELECT *, ${lvl("L >= 2 AND x2den IS NOT NULL", "s2c",
+           "x2den", "x2n1", "x2n2", "x2n3p", "d1_2", "d2_2", "d3_2",
+           "pv1")} AS pv2 FROM p1),
+       |p3 AS (SELECT *, ${lvl("L >= 3 AND x3den IS NOT NULL", "s3c",
+           "x3den", "x3n1", "x3n2", "x3n3p", "d1_3", "d2_3", "d3_3",
+           "pv2")} AS pv3 FROM p2),
+       |nll AS (SELECT g,
+       |    -CAST(round(ln(pv3) * 1000000.0) AS BIGINT) AS nll FROM p3),
+       |sc AS (
+       |  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(nll.nll) AS BIGINT) AS s
+       |  FROM keys k JOIN nll ON nll.g = k.g GROUP BY 1)
+       |SELECT t.doc_id, t.tr AS is_train,
+       |  coalesce(sc.n, 0) AS n_tokens,
+       |  coalesce(sc.s, 0) AS nll_sum_micro,
+       |  CASE WHEN sc.n > 0 THEN sc.s // sc.n ELSE 0 END AS nll_avg_micro,
+       |  coalesce(sc.n, 0) > 0 AND
+       |    (CASE WHEN sc.n > 0 THEN sc.s // sc.n ELSE 0 END) <= 3100000
+       |    AS keep
+       |FROM toks t LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13627,5 +13780,6 @@ object Queries {
     "q303_effective_tokens" -> Q(q303, Some(q303Sql)),
     "q304_ndcg_eval" -> Q(q304, Some(q304Sql)),
     "q305_unicode_words" -> Q(q305, Some(q305Sql)),
-    "q306_unicode_sentences" -> Q(q306, Some(q306Sql)))
+    "q306_unicode_sentences" -> Q(q306, Some(q306Sql)),
+    "q307_kneser_ney" -> Q(q307, Some(q307Sql)))
 }

@@ -1695,6 +1695,194 @@ object TextAnalysis {
             .otherwise(lit(0L)) <= thresholdMicro).as("keep"))
   }
 
+  /** INTERPOLATED MODIFIED KNESER–NEY PERPLEXITY — the smoothing the
+    * CCNet-style quality filter actually ships (Heafield 2011; Chen &
+    * Goodman 1998 §3.3.2): where [[stupidBackoffPerplexity]] is the
+    * unnormalized web-scale shortcut, this is the proper probability
+    * model — per level k the conditional is
+    *
+    *   p_k(w|ctx) = (cnt_k(ctx·w) − D_k(cnt))⁺ / den_k(ctx)
+    *              + γ_k(ctx) · p_{k−1}(w|ctx′)
+    *
+    * with RAW counts at the top order and CONTINUATION counts below
+    * (cnt_k(g) = # distinct (k+1)-gram types ending in g — the KN
+    * insight: "how many contexts has this gram completed", not "how
+    * often"), den_k(ctx) = Σ_w cnt_k(ctx·w) (so each level normalizes
+    * EXACTLY: Σ_w p_k = 1), modified discounts D1/D2/D3+ per level
+    * from that level's count-of-counts (Y = n1/(n1+2n2); D1 = 1−2Y·
+    * n2/n1, D2 = 2−3Y·n3/n2, D3 = 3−4Y·n4/n3), γ the leaked discount
+    * mass (D1·N1(ctx·)+D2·N2(ctx·)+D3·N3+(ctx·))/den, and the base
+    * case the uniform 1/V. A level whose context was never observed
+    * passes through (a = 0, γ = 1 — the KenLM shorter-context rule);
+    * the doc-start ramp scores with the available shorter key.
+    *
+    * Engine parity (the q264 discipline): every count is an exact
+    * integer; the discounts are ONE driver-side IEEE chain over exact
+    * count-of-count integers (a level CHECKED invalid — n1/n2/n3
+    * empty or a discount outside its count class, the saturated-
+    * continuation shape small-vocab corpora hit — takes the explicit
+    * `discountFallback`, KenLM's --discount_fallback recipe, or
+    * rejects loudly); the per-key chain
+    * a + γ·p evaluates the identical double op sequence in both
+    * engines and takes ONE ln, rounded once to integer micro-nats.
+    *
+    * Scale shape: the [[stupidBackoffPerplexity]] melt extended to KN
+    * — ONE gram-count table from one train scan; level tables (raw
+    * top, continuation below) from vocabulary-bounded regroupings;
+    * den + all three γ type-counts per (level, ctx) from ONE groupBy
+    * of the level table; count-of-counts a bounded ≤ order-row
+    * collect; and each distinct eval key resolves its ≤ 2·order slots
+    * (gram + context per level) through ONE equi-join against ONE
+    * tagged union lookup (never broadcast — high-order gram types
+    * approach token cardinality). Two token-scale shuffles total.
+    * Output: (doc_id, is_train, n_tokens, nll_sum_micro,
+    * nll_avg_micro, keep). */
+  def kneserNeyPerplexity(docs: DataFrame, idCol: String,
+                          textCol: String, isTrain: Column,
+                          order: Int = 3,
+                          thresholdMicro: Long = 0L,
+                          discountFallback: Option[(Double, Double, Double)]
+                            = None): DataFrame = {
+    require(order >= 2 && order <= 5,
+      s"kneserNeyPerplexity: order must be in [2, 5], got $order")
+    val toks = docs.select(col(idCol).as("doc_id"), isTrain.as("__tr"),
+      ws_tokens(col(textCol)).as("__tk"))
+    def keys(tk: Column) = ngram_context_keys(tk, order)
+    val grams = toks.where(col("__tr"))
+      .select(explode(keys(col("__tk"))).as("__key"))
+      .select(col("__key"), split(col("__key"), " ").as("__w"))
+      .select(explode(transform(sequence(lit(1), size(col("__w"))),
+        j => array_join(slice(col("__w"), size(col("__w")) - j + 1, j),
+          " "))).as("g"))
+    val cTab = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("__L", size(split(col("g"), " ")))
+      .localCheckpoint() // feeds every level table + the vocab size
+    // level tables: raw counts at the top order, continuation-type
+    // counts below (each (k+1)-gram row is one distinct type, so the
+    // suffix regroup COUNTS ROWS — no distinct needed)
+    val tTop = cTab.where(col("__L") === order)
+      .select(lit(order).as("lev"), col("g"), col("c").as("cnt"))
+    val tTab = (1 until order).map { k =>
+      cTab.where(col("__L") === k + 1)
+        .select(lit(k).as("lev"),
+          array_join(slice(split(col("g"), " "), 2, k), " ").as("g"))
+        .groupBy(col("lev"), col("g")).agg(count(lit(1)).as("cnt"))
+    }.foldLeft(tTop)(_.unionByName(_)).localCheckpoint()
+    // per-(level, ctx): denominator AND the three gamma type-counts
+    // from ONE groupBy (Σ_w cnt(ctx·w) == den by construction)
+    val aTab = tTab
+      .select(col("lev"), array_join(slice(split(col("g"), " "),
+        lit(1), col("lev") - 1), " ").as("ctx"), col("cnt"))
+      .groupBy(col("lev"), col("ctx"))
+      .agg(sum(col("cnt")).as("den"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cnt") >= 3L, 1L).otherwise(0L)).as("n3p"))
+    // count-of-counts -> modified discounts: <= order rows, driver-side
+    val coc = tTab.groupBy(col("lev"))
+      .agg(sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("m2"),
+        sum(when(col("cnt") === 3L, 1L).otherwise(0L)).as("m3"),
+        sum(when(col("cnt") === 4L, 1L).otherwise(0L)).as("m4"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A level is VALID when its count-of-counts carry mass (m1, m2,
+    // m3 > 0) and the computed discounts land in their count classes;
+    // an invalid level takes `discountFallback` (pass KenLM's
+    // --discount_fallback default (0.5, 1.0, 1.5) for corpora whose
+    // low-order continuation counts saturate) or rejects loudly.
+    val disc: Map[Int, (Double, Double, Double)] = (1 to order).map { k =>
+      val (m1, m2, m3, m4) = coc.getOrElse(k, (0L, 0L, 0L, 0L))
+      val computed: Option[(Double, Double, Double)] =
+        if (m1 > 0 && m2 > 0 && m3 > 0) {
+          val y = m1.toDouble / (m1 + 2 * m2).toDouble
+          val d1 = 1.0 - 2.0 * y * m2 / m1
+          val d2 = 2.0 - 3.0 * y * m3 / m2
+          val d3 = 3.0 - 4.0 * y * m4 / m3
+          if (d1 >= 0 && d1 <= 1 && d2 >= 0 && d2 <= 2 &&
+            d3 >= 0 && d3 <= 3) Some((d1, d2, d3)) else None
+        } else None
+      k -> computed.orElse(discountFallback).getOrElse(
+        throw new IllegalArgumentException(
+          s"kneserNeyPerplexity: level $k count-of-counts ($m1, $m2, " +
+            s"$m3, $m4) yield no valid modified-KN discounts and no " +
+            "discountFallback was given — pass KenLM's default " +
+            "(0.5, 1.0, 1.5) or use stupidBackoffPerplexity"))
+    }.toMap
+    val vSize = cTab.where(col("__L") === 1).count()
+    require(vSize >= 1L,
+      "kneserNeyPerplexity: the training slice holds no tokens")
+    // tagged union lookup: s<k> gram counts, d<k> (den, n1, n2, n3p)
+    val lk = tTab
+      .select(concat(lit("s"), col("lev")).as("__slot"), col("g"),
+        col("cnt").as("v1"), lit(null).cast("long").as("n1"),
+        lit(null).cast("long").as("n2"), lit(null).cast("long").as("n3p"))
+      .unionByName(aTab.select(
+        concat(lit("d"), col("lev")).as("__slot"), col("ctx").as("g"),
+        col("den").as("v1"), col("n1"), col("n2"), col("n3p")))
+      .localCheckpoint()
+    val dk0 = toks.select(explode(keys(col("__tk"))).as("__key"))
+      .distinct()
+      .select(col("__key"), split(col("__key"), " ").as("__w"))
+      .withColumn("__L", size(col("__w")))
+    def sfx(k: Int) = array_join(
+      slice(col("__w"), greatest(col("__L") - k + 1, lit(1)), lit(k)), " ")
+    def ctxOf(k: Int) = array_join(
+      slice(col("__w"), greatest(col("__L") - k + 1, lit(1)), lit(k - 1)),
+      " ")
+    val lookups = (2 to order).foldLeft(
+      array(struct(lit("s1").as("slot"), sfx(1).as("g")),
+        struct(lit("d1").as("slot"), lit("").as("g")))) { (acc, k) =>
+      concat(acc, when(col("__L") >= k,
+        array(struct(lit(s"s$k").as("slot"), sfx(k).as("g")),
+          struct(lit(s"d$k").as("slot"), ctxOf(k).as("g"))))
+        .otherwise(array().cast("array<struct<slot:string,g:string>>")))
+    }
+    val resolved = dk0
+      .select(col("__key"), col("__L"), explode(lookups).as("__lk"))
+      .select(col("__key"), col("__L"), col("__lk.slot").as("__slot"),
+        col("__lk.g").as("g"))
+      .join(lk, Seq("g", "__slot"), "left")
+      .groupBy(col("__key"), col("__L"))
+      .agg(map_from_entries(collect_list(when(col("v1").isNotNull,
+        struct(col("__slot"), struct(col("v1").as("v1"),
+          col("n1").as("n1"), col("n2").as("n2"),
+          col("n3p").as("n3p")))))).as("__m"))
+    def slot(name: String): Column = element_at(col("__m"), lit(name))
+    val p = (1 to order).foldLeft(lit(1.0 / vSize): Column) { (acc, k) =>
+      val d = slot(s"d$k")
+      val sCnt = coalesce(slot(s"s$k").getField("v1"), lit(0L))
+      val (d1, d2, d3) = disc(k)
+      val dd = when(sCnt === 1L, lit(d1)).when(sCnt === 2L, lit(d2))
+        .when(sCnt >= 3L, lit(d3)).otherwise(lit(0.0))
+      val den = d.getField("v1").cast("double")
+      val a = (sCnt.cast("double") - dd) / den
+      val gamma = (lit(d1) * d.getField("n1").cast("double") +
+        lit(d2) * d.getField("n2").cast("double") +
+        lit(d3) * d.getField("n3p").cast("double")) / den
+      when(col("__L") >= k && d.isNotNull, a + gamma * acc)
+        .otherwise(acc)
+    }
+    val nll = resolved.select(col("__key"),
+      (-round(log(p) * 1e6, 0)).cast("long").as("__nll"))
+      .localCheckpoint() // vocab-sized; serves the token-level join
+    val scored = toks
+      .select(col("doc_id"), explode(keys(col("__tk"))).as("__key"))
+      .join(nll, "__key")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_sum"))
+    toks.select(col("doc_id"), col("__tr").as("is_train"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_train"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_sum"), lit(0L)).as("nll_sum_micro"),
+        when(col("n_tokens") > 0, expr("nll_sum div n_tokens"))
+          .otherwise(lit(0L)).as("nll_avg_micro"),
+        (coalesce(col("n_tokens"), lit(0L)) > 0 &&
+          when(col("n_tokens") > 0, expr("nll_sum div n_tokens"))
+            .otherwise(lit(0L)) <= thresholdMicro).as("keep"))
+  }
+
   /** Unicode-script profiling: per-document counts of Latin / Cyrillic /
     * Han / digit characters, an integer-micro Latin fraction, and the
     * dominant script — the multilingual-curation complement of langId

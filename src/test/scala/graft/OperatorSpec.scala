@@ -1813,4 +1813,132 @@ class OperatorSpec extends SparkTestBase {
     assert(g(2L) == ((1L, 17L)))
     assert(g(3L) == ((0L, 0L)))
   }
+  test("kneserNeyPerplexity matches a brute-force modified-KN reference " +
+    "on a templated corpus, and the per-context conditionals normalize " +
+    "to exactly 1") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(211)
+    val order = 3
+    // Zipf-skewed 30-word vocabulary: common words give repeated grams
+    // (count-of-counts mass at 2, 3, 4), rare words keep level-1
+    // continuation counts sparse (mass at 1) -- modified-KN discounts
+    // need BOTH at every level; repeated template phrases pin exact
+    // 2x/3x gram counts at the top level
+    val vocab = (0 until 30).map(i => f"w$i%02d").toVector
+    def skewed(): String = {
+      val u = rnd.nextDouble()
+      vocab(math.min(29, (-math.log(u) * 5.0).toInt))
+    }
+    val docs = (0L until 40L).map { id =>
+      val inject =
+        if (id == 1L || id == 2L) "w00 w01 w02 w03 "
+        else if (id == 4L || id == 5L || id == 7L) "w04 w05 w06 w07 "
+        else ""
+      val tail = Seq.fill(8 + rnd.nextInt(7))(skewed()).mkString(" ")
+      (id, (inject + tail).trim)
+    }
+    val got = TextAnalysis.kneserNeyPerplexity(docs.toDF("doc_id", "text"),
+        "doc_id", "text", col("doc_id") % 3 =!= 0L, order,
+        thresholdMicro = 2000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    // ---- brute force: the literal Chen–Goodman modified-KN chain ----
+    val train = docs.filter(_._1 % 3 != 0)
+      .map(_._2.split("\\s+").filter(_.nonEmpty).toSeq)
+    val raw = scala.collection.mutable.Map.empty[Seq[String], Long]
+      .withDefaultValue(0L)
+    train.foreach { tk =>
+      (1 to order).foreach(k =>
+        tk.sliding(k).filter(_.size == k).foreach(g => raw(g) += 1L))
+    }
+    val tl = scala.collection.mutable.Map.empty[(Int, Seq[String]), Long]
+      .withDefaultValue(0L)
+    raw.foreach { case (g, c) =>
+      if (g.size == order) tl((order, g)) = c
+      if (g.size >= 2 && g.size <= order) tl((g.size - 1, g.drop(1))) += 1L
+    }
+    val den = scala.collection.mutable.Map.empty[(Int, Seq[String]), Long]
+      .withDefaultValue(0L)
+    val nTy = scala.collection.mutable.Map
+      .empty[(Int, Seq[String], Int), Long].withDefaultValue(0L)
+    tl.foreach { case ((k, g), c) =>
+      val ctx = g.dropRight(1)
+      den((k, ctx)) += c
+      val cls = if (c == 1L) 1 else if (c == 2L) 2 else 3
+      nTy((k, ctx, cls)) += 1L
+    }
+    val disc = (1 to order).map { k =>
+      val ms = (1L to 4L).map(i => tl.count { case ((l, _), c) =>
+        l == k && c == i }.toLong)
+      val (m1, m2, m3, m4) = (ms(0), ms(1), ms(2), ms(3))
+      assert(m1 > 0 && m2 > 0 && m3 > 0,
+        s"fixture too tame: level $k count-of-counts $ms lack mass")
+      val y = m1.toDouble / (m1 + 2 * m2).toDouble
+      val d = (1.0 - 2.0 * y * m2 / m1, 2.0 - 3.0 * y * m3 / m2,
+        3.0 - 4.0 * y * m4 / m3)
+      assert(d._1 >= 0 && d._1 <= 1 && d._2 >= 0 && d._2 <= 2 &&
+        d._3 >= 0 && d._3 <= 3, s"fixture gives invalid discounts $d")
+      k -> d
+    }.toMap
+    val v = raw.keys.count(_.size == 1).toLong
+    def pOf(key: Seq[String]): Double = {
+      var p = 1.0 / v
+      (1 to key.size).foreach { k =>
+        val gram = key.takeRight(k)
+        val ctx = gram.dropRight(1)
+        if (den.contains((k, ctx))) {
+          val dn = den((k, ctx)).toDouble
+          val cnt = tl((k, gram))
+          val (d1, d2, d3) = disc(k)
+          val dd = if (cnt == 1L) d1 else if (cnt == 2L) d2
+            else if (cnt >= 3L) d3 else 0.0
+          val a = (cnt.toDouble - dd) / dn
+          val gma = (d1 * nTy((k, ctx, 1)) + d2 * nTy((k, ctx, 2)) +
+            d3 * nTy((k, ctx, 3))) / dn
+          p = a + gma * p
+        }
+      }
+      p
+    }
+    // independent sanity: every observed top-level conditional
+    // normalizes -- sum_w p(w | ctx) == 1 within float tolerance
+    val ctxs = tl.keys.collect { case (k, g) if k == order => g.dropRight(1) }
+      .toSeq.distinct.take(5)
+    val words = raw.keys.filter(_.size == 1).map(_.head).toSeq
+    ctxs.foreach { ctx =>
+      val tot = words.map(w => pOf(ctx :+ w)).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"ctx=$ctx sums to $tot")
+    }
+    docs.foreach { case (id, text) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val nll = tk.indices.map { i =>
+        val L = math.min(i + 1, order)
+        val p = pOf(tk.slice(i - L + 1, i + 1))
+        -BigDecimal(math.log(p) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val sum = nll.sum
+      val avg = if (tk.nonEmpty) sum / tk.size else 0L
+      val want = (id % 3 != 0L, tk.size.toLong, sum, avg,
+        tk.nonEmpty && avg <= 2000000L)
+      assert(got(id) == want, s"doc=$id: ${got(id)} != $want")
+    }
+    // saturated-continuation corpus (tiny dense vocab): without a
+    // fallback the invalid level rejects loudly; with KenLM's default
+    // it scores
+    val dense = (0L until 12L).map(id =>
+      (id, Seq.fill(10)(Vector("a", "b", "c")((rnd.nextInt(3))))
+        .mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyPerplexity(dense, "doc_id", "text",
+        col("doc_id") % 3 =!= 0L, order = 3)
+    }
+    assert(e.getMessage.contains("no valid modified-KN discounts"))
+    val fb = TextAnalysis.kneserNeyPerplexity(dense, "doc_id", "text",
+      col("doc_id") % 3 =!= 0L, order = 3,
+      thresholdMicro = 2000000L, discountFallback = Some((0.5, 1.0, 1.5)))
+    assert(fb.count() == 12L &&
+      fb.where(col("nll_avg_micro") > 0L).count() > 0L)
+  }
 }

@@ -827,6 +827,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(joins <= 6,
       s"stupidBackoffPerplexity resolution must melt into ONE count-table " +
         s"join (plan shows $joins join operators)")
+    // kneserNeyPerplexity: the same melt discipline — each eval key's
+    // 2·order slots resolve against ONE tagged union lookup, so the
+    // plan carries one lookup join + the two doc-level joins, never a
+    // join per (level, slot) (order 3 per-slot would show ~8)
+    val knDocs = spark.range(80).select(col("id"),
+      concat_ws(" ", lit("a b"), (col("id") % 13).cast("string"),
+        (col("id") % 5).cast("string"), lit("c d")).as("text"))
+    val kn = TextAnalysis.kneserNeyPerplexity(knDocs, "id", "text",
+      col("id") % 3 =!= 0L, order = 3, thresholdMicro = 0L,
+      discountFallback = Some((0.5, 1.0, 1.5)))
+    val knJoins = "Join".r.findAllIn(
+      kn.queryExecution.executedPlan.toString).length
+    assert(knJoins <= 6,
+      s"kneserNeyPerplexity resolution must melt into ONE lookup join " +
+        s"(plan shows $knJoins join operators)")
   }
 
   test("label-QA and curation operators keep their scale shapes: " +
