@@ -13469,6 +13469,93 @@ object Queries {
        |FROM toks t LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  /** ANN recall@k tuning readout (Similarity.ivfRecallSweep): the
+    * IVF index's recall@10 vs nProbe ∈ {1, 2, 4, 8} against ONE
+    * shared brute-force truth over a 40-query sample — the curve a
+    * user reads before trusting approximate dedup (nProbe = nCells =
+    * 8 probes every cell, pinning recall_micro = 1000000 as the
+    * closed-loop sanity row). The oracle replays the whole grid:
+    * shared centroid/assignment CTEs, one probe CTE per grid point,
+    * hits by LEFT JOIN against the brute truth, integral micro
+    * recalls. */
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfRecallSweep(emb, emb.where(col("vec_id") < 40),
+      k = 10, nCells = 8, nProbes = Seq(1, 2, 4, 8))
+  }
+
+  private val q308Sql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    val probes = Seq(1, 2, 4, 8)
+    val perNp = probes.map { np =>
+      s"""ann$np AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT p.query_id, b.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM (SELECT vec_id AS query_id, cell FROM probe
+         |          WHERE rn <= $np) p
+         |    JOIN e a ON a.vec_id = p.query_id
+         |    JOIN assign g ON g.cell = p.cell
+         |    JOIN e b ON b.vec_id = g.vec_id AND b.vec_id != p.query_id)
+         |  WHERE rn <= 10),
+         |aud$np AS (
+         |  SELECT t.query_id, count(*) AS n_truth,
+         |    sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_hit
+         |  FROM truth t LEFT JOIN ann$np a
+         |    ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+         |  GROUP BY 1),
+         |row$np AS (
+         |  SELECT CAST($np AS BIGINT) AS n_probe,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(n_truth) AS BIGINT) AS n_truth,
+         |    CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |    CAST(sum(n_hit) * 1000000 // sum(n_truth) AS BIGINT)
+         |      AS recall_micro,
+         |    CAST(min(n_hit * 1000000 // n_truth) AS BIGINT)
+         |      AS min_recall_micro
+         |  FROM aud$np)""".stripMargin
+    }.mkString(",\n")
+    val unioned = probes.map(np => s"SELECT * FROM row$np")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i,
+       |         embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |vc AS (
+       |  SELECT e.vec_id, cent.i,
+       |    ${dot("e.v", "cent.cv")}
+       |      / (sqrt(${dot("e.v", "e.v")})
+       |         * sqrt(${dot("cent.cv", "cent.cv")})) AS s
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id, i AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, i DESC) AS rn
+       |  FROM vc WHERE vec_id < 40),
+       |truth AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rank
+       |    FROM e a JOIN e b ON b.vec_id != a.vec_id
+       |    WHERE a.vec_id < 40)
+       |  WHERE rank <= 10),
+       |$perNp
+       |$unioned""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13781,5 +13868,6 @@ object Queries {
     "q304_ndcg_eval" -> Q(q304, Some(q304Sql)),
     "q305_unicode_words" -> Q(q305, Some(q305Sql)),
     "q306_unicode_sentences" -> Q(q306, Some(q306Sql)),
-    "q307_kneser_ney" -> Q(q307, Some(q307Sql)))
+    "q307_kneser_ney" -> Q(q307, Some(q307Sql)),
+    "q308_ann_recall_sweep" -> Q(q308, Some(q308Sql)))
 }

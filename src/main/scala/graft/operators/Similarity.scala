@@ -941,4 +941,81 @@ object Similarity {
       .where(col("__rid") =!= col("anchor_id"))
       .select(col("anchor_id"), col("probe"), col("__rid").as("neg_id"))
   }
+
+  /** ANN RECALL@K AUDIT — the quality readout every approximate index
+    * here ([[ivfTopK]], [[lshTopK]], [[ivfPqTopK]]) needs before it
+    * can be TRUSTED for dedup or retrieval at scale (the r13 verdict's
+    * #3 gap: the indexes are oracle-exact for determinism, but nothing
+    * measured how much of the TRUE neighborhood they return): per
+    * query, recall = |ANN hits ∩ brute-force top-k| / |brute top-k|.
+    *
+    * Takes two ranked tables in the [[bruteForceTopK]] schema
+    * (query_id, cand_id, …). The truth side is the base — a query the
+    * index returned NOTHING for scores 0, not a dropped row. Duplicate
+    * (query, cand) rows on either side are REJECTED loudly (they would
+    * double-count hits). Recall is integral micro-division — exact.
+    *
+    * Scale shape: one co-partitioned equi-join on (query_id, cand_id)
+    * over two k-rows-per-query tables + one map-side-combining groupBy
+    * — the expensive part is producing the inputs, not the audit.
+    * Output: (query_id, n_truth, n_hit, recall_micro). */
+  def annRecallAudit(ann: DataFrame, truth: DataFrame): DataFrame = {
+    def dedupCheck(df: DataFrame, side: String): DataFrame = {
+      val sel = df.select(col("query_id"), col("cand_id"))
+        .localCheckpoint()
+      Contracts.enforce(
+        sel.groupBy(col("query_id"), col("cand_id"))
+          .agg(count(lit(1)).as("__c")),
+        Contracts.Bound(max(col("__c")), _ <= 1L, m =>
+          s"annRecallAudit: the $side table repeats a (query, cand) " +
+            s"pair $m times — hits would double-count"))
+      sel
+    }
+    val a = dedupCheck(ann, "ANN").withColumn("__a", lit(1L))
+    dedupCheck(truth, "truth")
+      .join(a, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__a"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        call_function("div", col("n_hit") * 1000000L, col("n_truth"))
+          .as("recall_micro"))
+  }
+
+  /** IVF TUNING READOUT — recall@k vs nProbe over ONE shared
+    * brute-force truth: the grid a user reads before fixing the
+    * probe budget of an IVF dedup/retrieval pass (each probe setting
+    * trades one more cell scan per query for recall; this prints the
+    * actual curve on a query SAMPLE instead of folklore). The truth
+    * side is computed once and checkpointed; each grid point re-runs
+    * only the cheap probe-side index path — the intended audit shape:
+    * sample queries, brute them once, grid the index.
+    *
+    * Per grid point the audit micro-averages ([[annRecallAudit]] on
+    * integer sufficient statistics): recall_micro = Σhits/Σtruth and
+    * the per-query minimum as the worst case.
+    * Output: (n_probe, n_queries, n_truth, n_hit, recall_micro,
+    * min_recall_micro) — one row per grid point, ordered by n_probe. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nCells: Int, nProbes: Seq[Int],
+                     centroids: Array[Array[Double]] = null): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"ivfRecallSweep: nProbes must be non-empty and within " +
+        s"[1, nCells=$nCells], got $nProbes")
+    val cents = if (centroids != null) centroids
+      else seedCentroids(corpus, nCells)
+    val truth = bruteForceTopK(corpus, queries, k).localCheckpoint()
+    nProbes.map { np =>
+      annRecallAudit(ivfTopK(corpus, queries, k, nCells, np, cents),
+          truth)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_truth")).as("n_truth"),
+          sum(col("n_hit")).as("n_hit"),
+          min(col("recall_micro")).as("min_recall_micro"))
+        .select(lit(np.toLong).as("n_probe"), col("n_queries"),
+          col("n_truth"), col("n_hit"),
+          call_function("div", col("n_hit") * 1000000L, col("n_truth"))
+            .as("recall_micro"), col("min_recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -219,6 +219,47 @@ class ScaleSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("annRecallAudit counts intersection hits exactly; ivfRecallSweep " +
+    "is monotone in nProbe and closes at recall 1.0 when every cell " +
+    "is probed; duplicate pairs rejected") {
+    val rnd = new scala.util.Random(331)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(vecs, queries, k = 5)
+    // brute check of the audit on one ANN table
+    val ann = Similarity.ivfTopK(vecs, queries, k = 5, nCells = 4,
+      nProbe = 1)
+    val got = Similarity.annRecallAudit(ann, truth)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val tSet = truth.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aSet = ann.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    tSet.groupBy(_._1).foreach { case (q, ts) =>
+      val hits = ts.count(aSet.contains)
+      val want = (ts.size.toLong, hits.toLong,
+        hits.toLong * 1000000L / ts.size)
+      assert(got(q) == want, s"query $q: ${got(q)} != $want")
+    }
+    // sweep: recall non-decreasing in nProbe, exhaustive probe == 1.0
+    val sweep = Similarity.ivfRecallSweep(vecs, queries, k = 5,
+        nCells = 4, nProbes = Seq(1, 2, 4))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(sweep.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall not monotone: ${sweep.toSeq}")
+    assert(sweep.last._2 == 1000000L && sweep.last._3 == 1000000L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annRecallAudit(ann.unionByName(ann.limit(1)), truth)
+        .collect()
+    }
+    assert(e.getMessage.contains("double-count"))
+  }
+
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
     val rnd = new scala.util.Random(179)
     val vecs = (0L until 40L).map { i =>
