@@ -75,6 +75,29 @@ object TextIngest {
           "escape" -> "\"",
           "columnNameOfCorruptRecord" -> "_corrupt_record")))
 
+  /** Register a pure-Java zstd codec for `.zst` text ingest — the
+    * format modern corpora actually ship. Hadoop's own ZStandardCodec
+    * needs native libhadoop (absent in most Spark containers); the
+    * aircompressor codec on Spark's classpath decodes standard zstd
+    * frames in plain JVM code, so `.zst` files flow through the SAME
+    * extension-dispatched text scan as `.gz` once this is appended to
+    * the Hadoop codec list. Idempotent; call once per session before
+    * the first `.zst` read. Existing `io.compression.codecs` entries
+    * are preserved (an unset list falls back to Hadoop's defaults,
+    * re-declared here so appending cannot drop gzip/bzip2). */
+  def enableZstd(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val zstd = "io.airlift.compress.zstd.ZstdCodec"
+    val cur = Option(conf.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+        "org.apache.hadoop.io.compress.BZip2Codec"))
+    if (!cur.contains(zstd)) conf.set(key, (cur :+ zstd).mkString(","))
+  }
+
   /** Streaming twin of [[jsonlWithErrors]] — `readStream.text` over a
     * landing directory (exactly-once per file via the query
     * checkpoint, the [[graft.streaming.Streaming.clipFileStream]]

@@ -318,4 +318,38 @@ class PipelineSpec extends SparkTestBase {
     assert(got.length == 1 && got.head.getLong(0) == 1L &&
       got.head.getString(1) == "zipped")
   }
+
+  test("TextIngest reads zstd-compressed jsonl after enableZstd, " +
+    "byte-identical to the uncompressed parse incl. error routing") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    import graft.sources.TextIngest
+    val lines = Seq(
+      """{"id": 1, "text": "zstd row"}""",
+      """{"id": 2}""",            // missing required text
+      """{"id": broken""")        // corrupt
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-zst")
+    // the zstd-jni writer produces standard frames; the aircompressor
+    // codec ingests them — a cross-implementation round trip
+    val zs = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("part-0.jsonl.zst")))
+    zs.write(lines.mkString("\n").getBytes("UTF-8"))
+    zs.close()
+    val plain = java.nio.file.Files.createTempDirectory("graft-jsonl-pl")
+    java.nio.file.Files.write(plain.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    TextIngest.enableZstd(spark)
+    TextIngest.enableZstd(spark) // idempotent
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def snap(path: String) = TextIngest
+      .jsonlWithErrors(spark, path, schema, Seq("id", "text"))
+      .select("id", "text", "_status").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2)))
+      .sortBy(_.toString)
+    val zst = snap(dir.toString)
+    assert(zst.toSeq == snap(plain.toString).toSeq)
+    assert(zst.map(_._3).sorted.toSeq ==
+      Seq("corrupt", "missing_required", "ok"))
+  }
 }
