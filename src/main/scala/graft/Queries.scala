@@ -13556,6 +13556,204 @@ object Queries {
        |$unioned""".stripMargin
   }
 
+  /** Cross-document SENTENCE dedup — the line-dedup recipe (q55) at
+    * the granularity curation actually wants once a sentence
+    * segmenter exists (TextAnalysis.dedupLines ∘ uax29_sentences):
+    * every document is wrapped in the same subscribe/footer
+    * boilerplate sentences, which must survive only in the smallest
+    * doc_id; the md5 of each doc's surviving text pins the whole
+    * segment-hash-keep-first pipeline. */
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(lit("Subscribe to our newsletter now! "),
+      col("text"), lit(". Visit us daily. All rights reserved."))
+    val sents = t(s, dir, "documents").select(col("doc_id"),
+      uax29_sentences(page).as("sents"))
+    TextAnalysis.dedupLines(sents, "doc_id", "sents")
+      .select(col("doc_id"), col("n_kept"),
+        md5(col("dedup_text")).as("dedup_hash"))
+  }
+
+  private val q309Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, 'Subscribe to our newsletter now! ' || text
+       |    || '. Visit us daily. All rights reserved.' AS page
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    regexp_extract_all(page,
+       |      '[^.!?]+[.!?]+["'')\\]”’»]*|[^.!?]+$$'),
+       |    x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+       |    x -> x != '') AS sents
+       |  FROM d),
+       |lines AS (
+       |  SELECT doc_id, u.pos AS pos, u.line FROM (
+       |    SELECT doc_id, list_transform(range(0, len(sents)),
+       |      i -> struct_pack(pos := i, line := sents[i + 1])) AS ls
+       |    FROM sp), unnest(ls) AS t(u)),
+       |h AS (SELECT doc_id, pos, line, ${md5LongSql("line")} AS h
+       |      FROM lines),
+       |kept AS (
+       |  SELECT doc_id, pos, line FROM (
+       |    SELECT doc_id, pos, line,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM h) WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS dedup_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+       |  md5(coalesce(a.dedup_text, '')) AS dedup_hash
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+      .stripMargin
+
+  /** LSH recall tuning readout (Similarity.lshRecallSweep): recall@10
+    * vs numPlanes ∈ {2, 4, 6} against the shared brute truth — the
+    * falling curve (more cutting planes → smaller sign buckets →
+    * lower recall) that complements q308's rising IVF curve. Plane
+    * sets are prefix-stable from one seeded stream, so the oracle
+    * embeds the 6-plane matrix once and buckets each grid point by a
+    * sign-bit prefix. */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshRecallSweep(emb, emb.where(col("vec_id") < 40),
+      k = 10, dim = 64, planeGrid = Seq(2, 4, 6))
+  }
+
+  private val q310Sql: String = {
+    val planes = operators.Similarity.hyperplanes(6, 64)
+    val planesLit = planes
+      .map(_.map(x => f"$x%.17e").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def planeDot(pi: Int) =
+      s"""list_reduce(list_transform(range(1, len(v) + 1),
+         |      i -> CAST(v[i] AS DOUBLE) * p[$pi][i]), (x, y) -> x + y)"""
+        .stripMargin
+    def bucket(np: Int) = (0 until np)
+      .map(pi =>
+        s"(CASE WHEN ${planeDot(pi + 1)} > 0 THEN ${1L << pi} ELSE 0 END)")
+      .mkString("\n     + ")
+    val grid = Seq(2, 4, 6)
+    val perNp = grid.map { np =>
+      s"""bk$np AS (
+         |  SELECT vec_id, v, ${bucket(np)} AS bucket
+         |  FROM e CROSS JOIN pl),
+         |ann$np AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM bk$np a JOIN bk$np b
+         |      ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+         |    WHERE a.vec_id < 40)
+         |  WHERE rn <= 10),
+         |aud$np AS (
+         |  SELECT t.query_id, count(*) AS n_truth,
+         |    sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_hit
+         |  FROM truth t LEFT JOIN ann$np a
+         |    ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+         |  GROUP BY 1),
+         |row$np AS (
+         |  SELECT CAST($np AS BIGINT) AS n_planes,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(n_truth) AS BIGINT) AS n_truth,
+         |    CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |    CAST(sum(n_hit) * 1000000 // sum(n_truth) AS BIGINT)
+         |      AS recall_micro,
+         |    CAST(min(n_hit * 1000000 // n_truth) AS BIGINT)
+         |      AS min_recall_micro
+         |  FROM aud$np)""".stripMargin
+    }.mkString(",\n")
+    val unioned = grid.map(np => s"SELECT * FROM row$np")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pl AS (SELECT $planesLit AS p),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |truth AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rank
+       |    FROM e a JOIN e b ON b.vec_id != a.vec_id
+       |    WHERE a.vec_id < 40)
+       |  WHERE rank <= 10),
+       |$perNp
+       |$unioned""".stripMargin
+  }
+
+  /** MinHash near-dup pairs under the UAX-29 tokenizer
+    * (Dedup.minhashLshPairs(tokens = uax29_tokens)) — the segmenter
+    * UPGRADING the dedup family: every 25th document becomes a shared
+    * space-free CJK passage plus a per-doc tail, a near-dup cluster
+    * the default whitespace path is structurally BLIND to (one token
+    * → zero 3-shingles → no candidates), while char-unigram tokens
+    * see high-Jaccard shingle sets. The oracle replays segmentation
+    * (the q305 two-step RE2 program) + the full q19 minhash/banding/
+    * verification machinery over it. */
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val cjk = "深度学习模型需要大量高质量的训练数据来学习语言结构和语义信息"
+    val doc = when(pmod(col("doc_id"), lit(25L)) === 0L,
+      concat(lit(cjk), lit("編號"),
+        pmod(col("doc_id"), lit(3L)).cast("string"), lit("号")))
+      .otherwise(col("text"))
+    Dedup.minhashLshPairs(
+        t(s, dir, "documents").select(col("doc_id"), doc.as("text")),
+        "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, tokens = uax29_tokens)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val q311Sql: String = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN
+       |    '深度学习模型需要大量高质量的训练数据来学习语言结构和语义信息'
+       |      || '編號' || CAST(doc_id % 3 AS VARCHAR) || '号'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(
+       |    regexp_replace(text,
+       |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ',
+       |      'g'),
+       |    '[\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+(?:[''’][\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+)*')
+       |    AS tk
+       |  FROM d),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |perms(perm, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT sh.doc_id, p.perm,
+       |    list_min(list_transform(sh.shingles,
+       |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |  FROM sh CROSS JOIN perms p
+       |  WHERE len(sh.shingles) > 0),
+       |hsets AS (
+       |  SELECT doc_id, list_transform(shingles, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, perm // 2 AS band,
+       |    string_agg(sig, ',' ORDER BY perm) AS band_sig
+       |  FROM sigs GROUP BY doc_id, perm // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig
+       |      AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jaccard
+       |  FROM cand c
+       |  JOIN hsets sa ON sa.doc_id = c.id_a
+       |  JOIN hsets sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs"""
+      .stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -13869,5 +14067,8 @@ object Queries {
     "q305_unicode_words" -> Q(q305, Some(q305Sql)),
     "q306_unicode_sentences" -> Q(q306, Some(q306Sql)),
     "q307_kneser_ney" -> Q(q307, Some(q307Sql)),
-    "q308_ann_recall_sweep" -> Q(q308, Some(q308Sql)))
+    "q308_ann_recall_sweep" -> Q(q308, Some(q308Sql)),
+    "q309_sentence_dedup" -> Q(q309, Some(q309Sql)),
+    "q310_lsh_recall_sweep" -> Q(q310, Some(q310Sql)),
+    "q311_unicode_minhash" -> Q(q311, Some(q311Sql)))
 }

@@ -1018,4 +1018,33 @@ object Similarity {
             .as("recall_micro"), col("min_recall_micro"))
     }.reduce(_.unionByName(_))
   }
+
+  /** LSH TUNING READOUT — the [[ivfRecallSweep]] companion for the
+    * sign-bucket index: recall@k vs numPlanes over ONE shared brute
+    * truth. More planes → exponentially smaller buckets → cheaper
+    * scans and LOWER recall (the opposite trade direction from IVF's
+    * nProbe); this prints where the curve falls off. Plane sets are
+    * prefix-stable ([[hyperplanes]] draws rows sequentially from one
+    * seeded stream), so grid points share geometry — each adds one
+    * more cutting plane to the previous point's buckets.
+    * Output: (n_planes, n_queries, n_truth, n_hit, recall_micro,
+    * min_recall_micro) — one row per grid point. */
+  def lshRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dim: Int, planeGrid: Seq[Int]): DataFrame = {
+    require(planeGrid.nonEmpty && planeGrid.forall(p => p >= 1 && p <= 62),
+      s"lshRecallSweep: planeGrid must be non-empty within [1, 62], " +
+        s"got $planeGrid")
+    val truth = bruteForceTopK(corpus, queries, k).localCheckpoint()
+    planeGrid.map { np =>
+      annRecallAudit(lshTopK(corpus, queries, k, np, dim), truth)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_truth")).as("n_truth"),
+          sum(col("n_hit")).as("n_hit"),
+          min(col("recall_micro")).as("min_recall_micro"))
+        .select(lit(np.toLong).as("n_planes"), col("n_queries"),
+          col("n_truth"), col("n_hit"),
+          call_function("div", col("n_hit") * 1000000L, col("n_truth"))
+            .as("recall_micro"), col("min_recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
 }

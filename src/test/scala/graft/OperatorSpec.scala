@@ -118,6 +118,29 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 1.0) < 1e-12)
   }
 
+  test("uax29-tokenized minhash sees space-free CJK near-dups the " +
+    "whitespace path is structurally blind to") {
+    import graft.functions.uax29_tokens
+    val base = "深度学习模型需要大量高质量的训练数据来学习语言结构"
+    val df = Seq(
+      (1L, base + "甲"), (2L, base + "乙"),
+      (3L, "an unrelated english document with several words here"))
+      .toDF("id", "text")
+    // whitespace tokens: each CJK doc is ONE token -> zero 3-shingles
+    // -> no candidates at all
+    val ws = Dedup.minhashLshPairs(df, "id", "text", shingleN = 3,
+      bands = 8, rowsPerBand = 2, threshold = 0.5).collect()
+    assert(ws.isEmpty, s"ws path should be blind: ${ws.toSeq}")
+    // uax29 char-unigram tokens: the shared passage is a high-Jaccard
+    // shingle set
+    val ux = Dedup.minhashLshPairs(df, "id", "text", shingleN = 3,
+      bands = 8, rowsPerBand = 2, threshold = 0.5,
+      tokens = uax29_tokens).collect()
+    assert(ux.length == 1 && ux(0).getAs[Long]("id_a") == 1L &&
+      ux(0).getAs[Long]("id_b") == 2L &&
+      ux(0).getAs[Double]("jaccard") > 0.8)
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
