@@ -13754,6 +13754,111 @@ object Queries {
       .stripMargin
   }
 
+  /** Matryoshka dimension-budget recall sweep
+    * (Similarity.dimRecallSweep): exact search over the first
+    * d ∈ {8, 16, 32, 64} dimensions vs the full 64-dim truth — the
+    * index-size-vs-recall curve read before truncating stored
+    * embeddings; the full-dim row pins recall exactly 1.0. The oracle
+    * replays each grid point's brute search over v[1:d]. */
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.dimRecallSweep(emb, emb.where(col("vec_id") < 40),
+      k = 10, dims = Seq(8, 16, 32, 64))
+  }
+
+  private val q312Sql: String = {
+    val grid = Seq(8, 16, 32, 64)
+    def brute(src: String, out: String, rankCol: String) =
+      s"""$out AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC)
+         |        AS $rankCol
+         |    FROM $src a JOIN $src b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < 40)
+         |  WHERE $rankCol <= 10)""".stripMargin
+    val perDim = grid.map { d =>
+      s"""e$d AS (SELECT vec_id, v[1:$d] AS v FROM e),
+         |${brute(s"e$d", s"ann$d", "rn")},
+         |aud$d AS (
+         |  SELECT t.query_id, count(*) AS n_truth,
+         |    sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_hit
+         |  FROM truth t LEFT JOIN ann$d a
+         |    ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+         |  GROUP BY 1),
+         |row$d AS (
+         |  SELECT CAST($d AS BIGINT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(n_truth) AS BIGINT) AS n_truth,
+         |    CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |    CAST(sum(n_hit) * 1000000 // sum(n_truth) AS BIGINT)
+         |      AS recall_micro,
+         |    CAST(min(n_hit * 1000000 // n_truth) AS BIGINT)
+         |      AS min_recall_micro
+         |  FROM aud$d)""".stripMargin
+    }.mkString(",\n")
+    val unioned = grid.map(d => s"SELECT * FROM row$d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |${brute("e", "truth", "rank")},
+       |$perDim
+       |$unioned""".stripMargin
+  }
+
+  /** Margin-based bitext mining (Similarity.marginBitextMine): the
+    * even/odd vec_id halves of the embeddings table stand in for two
+    * languages' sentence embeddings; mutual rank-1 pairs score by the
+    * Artetxe–Schwenk margin over their own k=4 neighborhoods and mine
+    * at margin ≥ 1.10. The oracle replays both top-k directions, the
+    * neighborhood sums and the cross-multiplied integral margin. */
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.marginBitextMine(
+      emb.where(pmod(col("vec_id"), lit(2L)) === 0L),
+      emb.where(pmod(col("vec_id"), lit(2L)) === 1L),
+      k = 4, thresholdMicro = 1100000L)
+  }
+
+  private val q313Sql: String = {
+    def topk(qs: String, cs: String, out: String) =
+      s"""$out AS (
+         |  SELECT query_id, cand_id, c, rn FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      CAST(round(round($cosSqlAB, 6) * 1000000.0) AS BIGINT)
+         |        AS c,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM $qs a JOIN $cs b ON b.vec_id != a.vec_id)
+         |  WHERE rn <= 4)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |${topk("xs", "ys", "xy")},
+       |${topk("ys", "xs", "yx")},
+       |sx AS (SELECT query_id AS x_id, CAST(sum(c) AS BIGINT) AS sx,
+       |         CAST(count(*) AS BIGINT) AS nx FROM xy GROUP BY 1),
+       |sy AS (SELECT query_id AS y_id, CAST(sum(c) AS BIGINT) AS sy,
+       |         CAST(count(*) AS BIGINT) AS ny FROM yx GROUP BY 1),
+       |best AS (
+       |  SELECT a.query_id AS x_id, a.cand_id AS y_id, a.c
+       |  FROM (SELECT * FROM xy WHERE rn = 1) a
+       |  JOIN (SELECT * FROM yx WHERE rn = 1) b
+       |    ON b.query_id = a.cand_id AND b.cand_id = a.query_id),
+       |m AS (
+       |  SELECT best.x_id, best.y_id, best.c AS cos_micro,
+       |    CASE WHEN (sx.sx * sy.ny + sy.sy * sx.nx) > 0
+       |           AND best.c >= 0
+       |      THEN (2 * best.c * sx.nx * sy.ny * 1000000)
+       |             // (sx.sx * sy.ny + sy.sy * sx.nx) END
+       |      AS margin_micro
+       |  FROM best JOIN sx USING (x_id) JOIN sy USING (y_id))
+       |SELECT x_id, y_id, cos_micro, margin_micro,
+       |  coalesce(margin_micro >= 1100000, false) AS mined
+       |FROM m""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14070,5 +14175,7 @@ object Queries {
     "q308_ann_recall_sweep" -> Q(q308, Some(q308Sql)),
     "q309_sentence_dedup" -> Q(q309, Some(q309Sql)),
     "q310_lsh_recall_sweep" -> Q(q310, Some(q310Sql)),
-    "q311_unicode_minhash" -> Q(q311, Some(q311Sql)))
+    "q311_unicode_minhash" -> Q(q311, Some(q311Sql)),
+    "q312_dim_recall_sweep" -> Q(q312, Some(q312Sql)),
+    "q313_margin_mining" -> Q(q313, Some(q313Sql)))
 }

@@ -1047,4 +1047,104 @@ object Similarity {
             .as("recall_micro"), col("min_recall_micro"))
     }.reduce(_.unionByName(_))
   }
+
+  /** MARGIN-BASED BITEXT MINING — the CCMatrix/LASER parallel-pair
+    * miner (Artetxe & Schwenk 2019 §3: absolute cosine is uncalibrated
+    * across embedding neighborhoods, so candidates score by how much
+    * they stand out ABOVE their own neighborhoods):
+    *
+    *   margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+    *
+    * with avg_k the mean top-k cosine of each side's own neighborhood
+    * in the OTHER set. Pairs are the MUTUAL rank-1 matches (x's best
+    * y and y's best x — the high-precision gate), mined when margin ≥
+    * threshold. Margins > 1 mean "closer than either side's typical
+    * neighbor" — the hub-vector antidote [[reciprocalPairs]] alone
+    * lacks.
+    *
+    * Exactness: the 6-dp-rounded cosines quantize to exact micro
+    * integers, neighborhood sums/counts are integer aggregates, and
+    * the margin is ONE integral micro-division of cross-multiplied
+    * int64 terms (2·c·n_x·n_y·10⁶ / (s_x·n_y + s_y·n_x)); a
+    * non-positive denominator or negative best-cosine yields NULL
+    * margin (the criterion is meaningless there, and floor-vs-trunc
+    * integer division diverges across engines on negatives). The two
+    * id sets are CHECKED disjoint — brute search excludes
+    * cand_id == query_id, so a shared id would silently mask its own
+    * best match.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (the honest audit/
+    * mining shape on bounded sides; swap in [[ivfTopK]] upstream for
+    * corpus-scale candidates), two bounded groupBys over k-row
+    * neighborhoods, one mutual-best equi-join.
+    * Output: (x_id, y_id, cos_micro, margin_micro, mined). */
+  def marginBitextMine(xs: DataFrame, ys: DataFrame, k: Int,
+                       thresholdMicro: Long): DataFrame = {
+    require(k >= 1 && k <= 100,
+      s"marginBitextMine: k must be in [1, 100], got $k")
+    val shared = xs.select(col("vec_id"))
+      .join(ys.select(col("vec_id")), "vec_id")
+    Contracts.enforce(shared.agg(count(lit(1)).as("__n")),
+      Contracts.Bound(sum(col("__n")), _ == 0L, n =>
+        s"marginBitextMine: $n vec_ids appear in BOTH sets — brute " +
+          "search would silently mask their own best matches; re-key " +
+          "one side"))
+    def micro(df: DataFrame) = df.withColumn("c",
+      round(col("cos_sim") * 1000000.0).cast("long"))
+    val xy = micro(bruteForceTopK(ys, xs, k)).localCheckpoint()
+    val yx = micro(bruteForceTopK(xs, ys, k)).localCheckpoint()
+    val sx = xy.groupBy(col("query_id").as("x_id"))
+      .agg(sum(col("c")).as("sx"), count(lit(1)).as("nx"))
+    val sy = yx.groupBy(col("query_id").as("y_id"))
+      .agg(sum(col("c")).as("sy"), count(lit(1)).as("ny"))
+    val bestXy = xy.where(col("rank") === 1)
+      .select(col("query_id").as("x_id"), col("cand_id").as("y_id"),
+        col("c"))
+    val bestYx = yx.where(col("rank") === 1)
+      .select(col("query_id").as("y_id"), col("cand_id").as("x_id"))
+    val num = lit(2L) * col("c") * col("nx") * col("ny") * lit(1000000L)
+    val den = col("sx") * col("ny") + col("sy") * col("nx")
+    bestXy.join(bestYx, Seq("x_id", "y_id"))
+      .join(sx, "x_id").join(sy, "y_id")
+      .select(col("x_id"), col("y_id"), col("c").as("cos_micro"),
+        when(den > 0L && col("c") >= 0L,
+          call_function("div", num, den))
+          .otherwise(lit(null).cast("long")).as("margin_micro"))
+      .withColumn("mined",
+        coalesce(col("margin_micro") >= thresholdMicro, lit(false)))
+  }
+
+  /** DIMENSION-BUDGET RECALL SWEEP — the Matryoshka-truncation audit
+    * (Kusupati et al. 2022: retrieval systems keep a dim PREFIX of
+    * each embedding to cut index size; this measures what that budget
+    * costs): recall@k of exact search over the first `d` dimensions
+    * vs the full-dimension truth, per d in the grid. The full-dim
+    * grid point closes the loop at recall 1.0 exactly.
+    *
+    * Scale shape: the truth is ONE brute pass, checkpointed; each
+    * grid point re-runs the broadcast-query scan over a NARROWER
+    * projection (the scan cost at scale is dominated by the corpus
+    * read, which column pruning already bounds to the vector column).
+    * Output: (dim, n_queries, n_truth, n_hit, recall_micro,
+    * min_recall_micro). */
+  def dimRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"dimRecallSweep: dims must be non-empty positive, got $dims")
+    val truth = bruteForceTopK(corpus, queries, k).localCheckpoint()
+    dims.map { d =>
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      annRecallAudit(bruteForceTopK(trunc(corpus), trunc(queries), k),
+          truth)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_truth")).as("n_truth"),
+          sum(col("n_hit")).as("n_hit"),
+          min(col("recall_micro")).as("min_recall_micro"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"),
+          col("n_truth"), col("n_hit"),
+          call_function("div", col("n_hit") * 1000000L, col("n_truth"))
+            .as("recall_micro"), col("min_recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
 }

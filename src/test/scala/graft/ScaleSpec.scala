@@ -260,6 +260,63 @@ class ScaleSpec extends SparkTestBase {
     assert(e.getMessage.contains("double-count"))
   }
 
+  test("dimRecallSweep closes at 1.0 on the full dimension; " +
+    "marginBitextMine equals the brute margin criterion and rejects " +
+    "overlapping id sets") {
+    val rnd = new scala.util.Random(733)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val sweep = Similarity.dimRecallSweep(vecs,
+        vecs.where(col("vec_id") < 6), k = 4, dims = Seq(4, 16))
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(sweep.last == ((16L, 1000000L)))
+    assert(sweep.head._2 <= 1000000L)
+    // margin mining vs a plain-Scala reference over collected cosines
+    val xs = vecs.where(col("vec_id") % 2 === 0)
+    val ys = vecs.where(col("vec_id") % 2 === 1)
+    val k = 3
+    val got = Similarity.marginBitextMine(xs, ys, k, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    val all = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      def nrm(x: Array[Double]) =
+        math.sqrt(x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * x(i)))
+      val c6 = BigDecimal(dot / (nrm(a) * nrm(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(c6 * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val xIds = all.keys.filter(_ % 2 == 0).toSeq.sorted
+    val yIds = all.keys.filter(_ % 2 == 1).toSeq.sorted
+    def top(q: Long, cands: Seq[Long]) = cands
+      .map(c => (c, cosMicro(all(q), all(c))))
+      .sortBy(p => (-p._2, p._1)).take(k)
+    val xTop = xIds.map(x => x -> top(x, yIds)).toMap
+    val yTop = yIds.map(y => y -> top(y, xIds)).toMap
+    val expected = xIds.flatMap { x =>
+      val (y, c) = xTop(x).head
+      if (yTop(y).head._1 == x) {
+        val (sxV, nx) = (xTop(x).map(_._2).sum, xTop(x).size.toLong)
+        val (syV, ny) = (yTop(y).map(_._2).sum, yTop(y).size.toLong)
+        val den = sxV * ny + syV * nx
+        val m = if (den > 0 && c >= 0)
+          Some(2L * c * nx * ny * 1000000L / den) else None
+        Some((x, y) -> (c, m, m.exists(_ >= 1000000L)))
+      } else None
+    }.toMap
+    assert(got == expected && got.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.marginBitextMine(xs, xs, k, 1000000L).collect()
+    }
+    assert(e.getMessage.contains("BOTH sets"))
+  }
+
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
     val rnd = new scala.util.Random(179)
     val vecs = (0L until 40L).map { i =>
