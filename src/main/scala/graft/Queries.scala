@@ -13859,6 +13859,61 @@ object Queries {
        |FROM m""".stripMargin
   }
 
+  /** t-closeness profile (Stats.tClosenessProfile): the q235
+    * equivalence classes (event_type × day-of-week) audited for how
+    * far each class's value-band DISTRIBUTION drifts from the global
+    * one — total variation in exact cross-multiplied integers, micro-
+    * floored once, t = 0.03. Completes the release-privacy ladder
+    * (k-anonymity q235 → l-diversity in-profile → t-closeness). */
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    Stats.tClosenessProfile(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+          cents(col("value")).as("__c"))
+        .select(col("event_type"), col("dow"),
+          expr("__c div 10000").as("band")),
+      Seq("event_type", "dow"), "band", tMicro = 30000L)
+
+  private val q314Sql =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    CAST(round(value*100) AS BIGINT) // 10000 AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS g
+      |         FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(g) AS BIGINT) AS tot FROM gl),
+      |sizes AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS n
+      |          FROM cells GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT cells.event_type, cells.dow, max(sizes.n) AS n,
+      |    max(nn.tot) AS tot,
+      |    sum(abs(CAST(cells.c AS HUGEINT) * nn.tot
+      |          - CAST(sizes.n AS HUGEINT) * gl.g)) AS nump,
+      |    CAST(sum(gl.g) AS HUGEINT) AS gp
+      |  FROM cells
+      |  JOIN sizes ON sizes.event_type = cells.event_type
+      |    AND sizes.dow = cells.dow
+      |  JOIN gl ON gl.v = cells.v
+      |  CROSS JOIN nn
+      |  GROUP BY 1, 2),
+      |tv AS (
+      |  SELECT n,
+      |    (1000000 * (nump + CAST(n AS HUGEINT) * (tot - gp)))
+      |      // (2 * CAST(n AS HUGEINT) * tot) AS tvm
+      |  FROM pc)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM gl) AS n_values,
+      |  CAST(max(tvm) AS BIGINT) AS max_tv_micro,
+      |  CAST(sum(CASE WHEN tvm > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_above_t,
+      |  CAST(sum(CASE WHEN tvm > 30000 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_above_t
+      |FROM tv""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14177,5 +14232,6 @@ object Queries {
     "q310_lsh_recall_sweep" -> Q(q310, Some(q310Sql)),
     "q311_unicode_minhash" -> Q(q311, Some(q311Sql)),
     "q312_dim_recall_sweep" -> Q(q312, Some(q312Sql)),
-    "q313_margin_mining" -> Q(q313, Some(q313Sql)))
+    "q313_margin_mining" -> Q(q313, Some(q313Sql)),
+    "q314_t_closeness" -> Q(q314, Some(q314Sql)))
 }

@@ -2449,6 +2449,84 @@ object Stats {
       .limit(topN)
   }
 
+  /** T-CLOSENESS PROFILE — the third rung of the release-privacy
+    * ladder (Li, Li & Venkatasubramanian 2007; [[kAnonymityProfile]]
+    * guards class SIZE, its l-diversity guards value COUNT, this
+    * guards the value DISTRIBUTION: an attacker who knows the class
+    * learns little iff the class's sensitive distribution stays close
+    * to the global one). Distance is total variation — the paper's
+    * choice for categorical sensitive attributes:
+    *
+    *   TV(class) = ½ Σ_v | p_class(v) − p_global(v) |
+    *
+    * Exactness: cross-multiplied integers — per class,
+    * TV·(2·n·N) = Σ_{v present} |c_v·N − n·G_v| + n·(N − Σ_present G_v)
+    * (the absent-value tail in closed form — no class×value cross
+    * join), formed in decimal(38,0) and floored ONCE to micro units
+    * by integral division. NULL sensitive values are REJECTED loudly
+    * (a NULL category silently drops from equi-joins — encode
+    * explicitly first); NULL quasi values keep groupBy semantics.
+    * Sensitive cardinality is CHECKED ≤ 10⁶ (the global value table
+    * broadcasts).
+    *
+    * Scale shape: one aggregation to the (class, value) cell table,
+    * one bounded global-value rollup broadcast back, one per-class
+    * reduction — no window, no collect, no cross join.
+    * Output one row: (n_rows, n_classes, n_values, max_tv_micro,
+    * classes_above_t, rows_above_t). */
+  def tClosenessProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessProfile needs quasi columns")
+    require(tMicro >= 0L && tMicro <= 1000000L,
+      s"tClosenessProfile: tMicro must be in [0, 1e6], got $tMicro")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(when(col("__v").isNull, 1L).otherwise(0L)),
+        _ == 0L, b =>
+          s"tClosenessProfile: $b cells carry a NULL sensitive value " +
+            "— encode it explicitly first (NULL drops from the " +
+            "distribution joins)"))
+    val glob = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
+      .localCheckpoint()
+    Contracts.enforce(glob,
+      Contracts.Bound(count(lit(1)), _ <= 1000000L, v =>
+        s"tClosenessProfile: $v distinct sensitive values exceed the " +
+          "broadcastable global-table contract (1e6)"))
+    val nRow = glob.agg(sum(col("__g")).as("__tot"))
+    val sizes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    val perClass = cells
+      .join(sizes, quasiCols)
+      .join(broadcast(glob), "__v")
+      .crossJoin(broadcast(nRow))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("__n"), max(col("__tot")).as("__tot"),
+        sum(abs(col("__c").cast(dec) * col("__tot").cast(dec) -
+          col("__n").cast(dec) * col("__g").cast(dec))).as("__numP"),
+        sum(col("__g").cast(dec)).as("__gP"))
+      .select(col("__n"),
+        call_function("div",
+          lit(1000000L).cast(dec) * (col("__numP") +
+            col("__n").cast(dec) *
+              (col("__tot").cast(dec) - col("__gP"))),
+          lit(2L).cast(dec) * col("__n").cast(dec) *
+            col("__tot").cast(dec)).as("__tv"))
+    perClass
+      .crossJoin(broadcast(glob.agg(count(lit(1)).as("n_values"))))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        max(col("n_values")).as("n_values"),
+        max(col("__tv")).as("max_tv_micro"),
+        sum(when(col("__tv") > tMicro, 1L).otherwise(0L))
+          .as("classes_above_t"),
+        sum(when(col("__tv") > tMicro, col("__n")).otherwise(0L))
+          .as("rows_above_t"))
+  }
+
   /** MANN–WHITNEY U z-TEST per key — the nonparametric two-sample
     * significance readout (Mann & Whitney 1947): does side A's metric
     * DISTRIBUTION sit above/below side B's, without [[welchT]]'s

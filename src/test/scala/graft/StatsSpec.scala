@@ -4170,4 +4170,38 @@ class StatsSpec extends SparkTestBase {
         "w", "l")
     }
   }
+  test("tClosenessProfile equals the brute total-variation walk; NULL " +
+    "sensitive values rejected") {
+    val rnd = new scala.util.Random(419)
+    val rows = (1 to 400).map { _ =>
+      (s"q${rnd.nextInt(6)}", rnd.nextInt(4).toLong,
+        s"v${(math.pow(rnd.nextDouble(), 2) * 5).toInt}")
+    }
+    val got = Stats.tClosenessProfile(rows.toDF("qa", "qb", "sv"),
+      Seq("qa", "qb"), "sv", tMicro = 100000L).collect().head
+    // brute: exact rational TV per class, micro-floored
+    val n = rows.size.toLong
+    val gl = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tvs = rows.groupBy(r => (r._1, r._2)).toSeq.map { case (_, g) =>
+      val cn = g.size.toLong
+      val cv = g.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val num = gl.map { case (v, gv) =>
+        (cv.getOrElse(v, 0L) * n - cn * gv).abs
+      }.sum
+      (cn, BigInt(1000000L) * num / (BigInt(2) * cn * n))
+    }
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == tvs.size.toLong)
+    assert(got.getLong(2) == gl.size.toLong)
+    assert(got.getLong(3) == tvs.map(_._2).max.toLong)
+    assert(got.getLong(4) == tvs.count(_._2 > 100000L).toLong)
+    assert(got.getLong(5) ==
+      tvs.filter(_._2 > 100000L).map(_._1).sum)
+    val e = intercept[IllegalArgumentException] {
+      Stats.tClosenessProfile(
+        Seq(("a", Some("x")), ("a", None)).toDF("qa", "sv"),
+        Seq("qa"), "sv", 0L)
+    }
+    assert(e.getMessage.contains("NULL sensitive"))
+  }
 }
