@@ -13914,6 +13914,81 @@ object Queries {
       |    AS rows_above_t
       |FROM tv""".stripMargin
 
+  /** Tokenizer fertility audit (TextAnalysis.tokenFertility): per
+    * source, whitespace vs UAX-29 token budgets over mixed-script
+    * pages — every third document gains a space-free CJK passage, so
+    * its source's fertility_micro rises far above 10⁶ (the whitespace
+    * undercount the segmenter corrects); exact integral micro
+    * ratios. */
+  private def q315(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(
+      t(s, dir, "documents").select(col("source"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(col("text"),
+            lit(" 訓練資料品質檢查流程需要可重現的分詞統計")))
+          .otherwise(col("text")).as("text")),
+      "source", "text")
+
+  private val q315Sql =
+    s"""WITH d AS (
+       |  SELECT source, CASE WHEN doc_id % 3 = 0 THEN
+       |    text || ' 訓練資料品質檢查流程需要可重現的分詞統計'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+       |      '\\s+'), x -> x != '')) AS BIGINT) AS w,
+       |    regexp_extract_all(
+       |      regexp_replace(text,
+       |        '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])',
+       |        ' \\1 ', 'g'),
+       |      '[\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+(?:[''’][\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+)*')
+       |      AS ux
+       |  FROM d),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w) AS BIGINT) AS ws_tokens,
+       |    CAST(sum(len(ux)) AS BIGINT) AS uax_tokens,
+       |    CAST(sum(len(array_to_string(ux, ''))) AS BIGINT)
+       |      AS token_chars
+       |  FROM tk GROUP BY 1)
+       |SELECT source, n_docs, ws_tokens, uax_tokens, token_chars,
+       |  CASE WHEN ws_tokens > 0
+       |    THEN uax_tokens * 1000000 // ws_tokens END AS fertility_micro,
+       |  CASE WHEN uax_tokens > 0
+       |    THEN token_chars * 1000000 // uax_tokens END
+       |    AS chars_per_tok_micro
+       |FROM g""".stripMargin
+
+  /** Unicode NFC normalization audit (TextAnalysis.nfcAudit): every
+    * second document gets a DECOMPOSED suffix (e + combining acute,
+    * A + combining ring), so exact byte hashing would miss its
+    * precomposed twin; the audit flags is_nfc = false, shows the
+    * codepoint count shrink, and emits the canonical md5 both
+    * engines' conformant normalizers agree on byte-for-byte. */
+  private def q316(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nfcAudit(
+      t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          concat(col("text"), lit(" café Ångström")))
+          .otherwise(concat(col("text"), lit(" café Ångström")))
+          .as("text")),
+      "doc_id", "text")
+
+  private val q316Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN
+      |      text || ' cafe' || chr(769) || ' A' || chr(778)
+      |        || 'ngstro' || chr(776) || 'm'
+      |    ELSE text || ' café Ångström' END AS text
+      |  FROM documents)
+      |SELECT doc_id, text = nfc_normalize(text) AS is_nfc,
+      |  CAST(len(text) AS BIGINT) AS len_raw,
+      |  CAST(len(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+      |  md5(nfc_normalize(text)) AS nfc_hash
+      |FROM d""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14233,5 +14308,7 @@ object Queries {
     "q311_unicode_minhash" -> Q(q311, Some(q311Sql)),
     "q312_dim_recall_sweep" -> Q(q312, Some(q312Sql)),
     "q313_margin_mining" -> Q(q313, Some(q313Sql)),
-    "q314_t_closeness" -> Q(q314, Some(q314Sql)))
+    "q314_t_closeness" -> Q(q314, Some(q314Sql)),
+    "q315_token_fertility" -> Q(q315, Some(q315Sql)),
+    "q316_nfc_audit" -> Q(q316, Some(q316Sql)))
 }

@@ -1262,3 +1262,25 @@ case class Uax29Sentences(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Uax29Sentences =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization (canonical composition) — one
+  * `java.text.Normalizer` pass per row. Conformant NFC is
+  * implementation-independent (UAX-15), so the DuckDB oracle's
+  * utf8proc `nfc_normalize` replays it byte-for-byte on assigned
+  * codepoints. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(s"nfc_normalize needs string, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

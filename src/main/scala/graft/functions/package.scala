@@ -353,6 +353,11 @@ package object functions {
   def ws_tokens(text: Column): Column =
     ExprBridge.column(Tokenize(col2expr(text)))
 
+  /** Unicode NFC canonical composition — one Normalizer pass per row
+    * (see [[graft.functions.NfcNormalize]]). */
+  def nfc_normalize(text: Column): Column =
+    ExprBridge.column(NfcNormalize(col2expr(text)))
+
   /** UAX-29-subset Unicode word tokens — CJK/Thai char-unigrams,
     * letter/digit/mark/underscore runs, mid-word apostrophes — one
     * pass per row (rule set: [[graft.functions.Uax29Kernels]]). */

@@ -3137,6 +3137,71 @@ object TextAnalysis {
       md5(array_join(toks, "\u0001")).as("tokens_hash"))
   }
 
+  /** TOKENIZER FERTILITY AUDIT per group — the budget readout a
+    * multilingual corpus owner needs before trusting whitespace token
+    * counts (mixing weights, packing capacity, price-per-token all
+    * ride them, and space-free scripts undercount CATASTROPHICALLY:
+    * a CJK document whitespace-counts as ~1 token per line): per
+    * group, both tokenizations of the same text plus the exact
+    * integral ratios —
+    *
+    *   fertility_micro   = 10⁶ · Σ uax29_tokens / Σ ws_tokens
+    *   chars_per_tok_micro = 10⁶ · Σ token chars / Σ uax29_tokens
+    *
+    * A fertility near 10⁶ says whitespace counting is fine for this
+    * group; far above says re-budget with the segmenter.
+    *
+    * Scale shape: one map-only projection (both tokenizers run in the
+    * same codegen stage) + one map-side-combining groupBy; ratios are
+    * integral micro-division over exact sums.
+    * Output: (group, n_docs, ws_tokens, uax_tokens, token_chars,
+    * fertility_micro, chars_per_tok_micro). */
+  def tokenFertility(df: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val ux = uax29_tokens(text)
+    df.select(col(groupCol),
+        size(ws_tokens(text)).cast("long").as("__w"),
+        size(ux).cast("long").as("__u"),
+        length(array_join(ux, "")).cast("long").as("__ch"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("ws_tokens"),
+        sum(col("__u")).as("uax_tokens"),
+        sum(col("__ch")).as("token_chars"))
+      .select(col(groupCol), col("n_docs"), col("ws_tokens"),
+        col("uax_tokens"), col("token_chars"),
+        when(col("ws_tokens") > 0L, call_function("div",
+          col("uax_tokens") * 1000000L, col("ws_tokens")))
+          .otherwise(lit(null).cast("long")).as("fertility_micro"),
+        when(col("uax_tokens") > 0L, call_function("div",
+          col("token_chars") * 1000000L, col("uax_tokens")))
+          .otherwise(lit(null).cast("long")).as("chars_per_tok_micro"))
+  }
+
+  /** UNICODE NFC NORMALIZATION AUDIT per document — the dedup-hygiene
+    * check multilingual corpora need BEFORE any hash-based dedup
+    * (UAX-15: "café" ships both precomposed and as e+◌́; the byte
+    * hashes differ, so exact dedup silently misses every such twin):
+    * per doc, whether the text is already NFC, both lengths, and the
+    * md5 of the NFC form — the hash exact dedup SHOULD key on.
+    *
+    * Determinism: conformant NFC is implementation-independent, so
+    * the JDK normalizer here and the oracle's utf8proc agree
+    * byte-for-byte on assigned codepoints; lengths are codepoint
+    * counts in both engines.
+    *
+    * Scale shape: one single-pass expression per row, map-only.
+    * Output: (id, is_nfc, len_raw, len_nfc, nfc_hash). */
+  def nfcAudit(df: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val nfc = nfc_normalize(text)
+    df.select(col(idCol), (text === nfc).as("is_nfc"),
+      length(text).cast("long").as("len_raw"),
+      length(nfc).cast("long").as("len_nfc"),
+      md5(nfc.cast("binary")).as("nfc_hash"))
+  }
+
   /** UNICODE SENTENCE-SEGMENTATION PROFILE per document — the sentence
     * half of the UAX-29-subset segmenter ([[unicodeWordProfile]]):
     * sentences end at a [.!?]+ run plus trailing closing quotes/

@@ -141,6 +141,31 @@ class OperatorSpec extends SparkTestBase {
       ux(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("tokenFertility: CJK text inflates the uax/ws ratio exactly; " +
+    "nfcAudit: decomposed text flags non-NFC and hashes equal its " +
+    "precomposed twin") {
+    val docs = Seq(
+      ("a", "plain words here"),                 // ws 3, uax 3
+      ("a", "\u6f22\u5b57\u6e2c\u8a66 ok"),  // ws 2, uax 5
+      ("b", "")).toDF("src", "text")
+    val f = TextAnalysis.tokenFertility(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(f("a") == ((2L, 5L, 8L, Some(8L * 1000000L / 5L))))
+    assert(f("b") == ((1L, 0L, 0L, None)))
+    val nf = TextAnalysis.nfcAudit(Seq(
+        (1L, "cafe\u0301"), (2L, "caf\u00e9"), (3L, "ascii")
+      ).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(!nf(1L)._1 && nf(1L)._2 == 5L && nf(1L)._3 == 4L)
+    assert(nf(2L)._1 && nf(2L)._2 == 4L)
+    assert(nf(1L)._4 == nf(2L)._4, "NFC hash must unify the twins")
+    assert(nf(3L)._1)
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
