@@ -13989,6 +13989,63 @@ object Queries {
       |  md5(nfc_normalize(text)) AS nfc_hash
       |FROM d""".stripMargin
 
+  /** Ordered t-closeness via EMD (Stats.tClosenessOrdered): the q314
+    * classes re-audited under the ORDER of the value bands — a class
+    * shifted one band scores low, a class at the extreme scores high,
+    * a distinction total variation cannot make; exact decimal
+    * cumulative mass, one floor per class, t = 0.01. */
+  private def q317(s: SparkSession, dir: String): DataFrame =
+    Stats.tClosenessOrdered(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+          cents(col("value")).as("__c"))
+        .select(col("event_type"), col("dow"),
+          expr("__c div 10000").as("band")),
+      Seq("event_type", "dow"), "band", tMicro = 10000L)
+
+  private val q317Sql =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |    CAST(round(value*100) AS BIGINT) // 10000 AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS g
+      |       FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(g) AS BIGINT) AS tot,
+      |              CAST(count(*) AS BIGINT) AS m FROM gl),
+      |sizes AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS n
+      |          FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.event_type, s.dow, s.n, nn.tot, nn.m, gl.v,
+      |    CAST(coalesce(c.c, 0) AS HUGEINT) * nn.tot
+      |      - CAST(s.n AS HUGEINT) * gl.g AS d
+      |  FROM sizes s CROSS JOIN gl
+      |  LEFT JOIN cells c ON c.event_type = s.event_type
+      |    AND c.dow = s.dow AND c.v = gl.v
+      |  CROSS JOIN nn),
+      |cum AS (
+      |  SELECT event_type, dow, n, tot, m,
+      |    sum(d) OVER (PARTITION BY event_type, dow ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+      |  FROM grid),
+      |pc AS (
+      |  SELECT event_type, dow, max(n) AS n,
+      |    (1000000 * sum(abs(cu)))
+      |      // (CAST(max(n) AS HUGEINT) * max(tot) * (max(m) - 1))
+      |      AS emd
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM gl) AS n_values,
+      |  CAST(max(emd) AS BIGINT) AS max_emd_micro,
+      |  CAST(sum(CASE WHEN emd > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_above_t,
+      |  CAST(sum(CASE WHEN emd > 10000 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_above_t
+      |FROM pc""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14310,5 +14367,6 @@ object Queries {
     "q313_margin_mining" -> Q(q313, Some(q313Sql)),
     "q314_t_closeness" -> Q(q314, Some(q314Sql)),
     "q315_token_fertility" -> Q(q315, Some(q315Sql)),
-    "q316_nfc_audit" -> Q(q316, Some(q316Sql)))
+    "q316_nfc_audit" -> Q(q316, Some(q316Sql)),
+    "q317_t_closeness_emd" -> Q(q317, Some(q317Sql)))
 }

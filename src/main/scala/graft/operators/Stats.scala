@@ -2527,6 +2527,95 @@ object Stats {
           .as("rows_above_t"))
   }
 
+  /** ORDERED T-CLOSENESS (EMD) PROFILE — [[tClosenessProfile]]'s
+    * companion for ORDERED sensitive attributes (Li, Li &
+    * Venkatasubramanian 2007 §4.2: for salary bands, a class
+    * concentrated one band away is FAR less exposed than one
+    * concentrated at the extreme — total variation can't tell them
+    * apart; the ordered-distance EMD can):
+    *
+    *   EMD(class) = (1/(m−1)) Σ_{i<m} | Σ_{j≤i} (p_class(j) − p_glob(j)) |
+    *
+    * over the m global values in ascending order. Exactness: the
+    * cumulative term Σ_{j≤i}(c_j·N − n·G_j) forms in decimal(38,0)
+    * over exact integers and the profile floors ONCE per class:
+    * emd_micro = ⌊10⁶·Σ|cum| / (n·N·(m−1))⌋. The final cumulative is
+    * identically 0 (both sides sum to n·N), so summing all m ranks
+    * equals the i<m definition exactly. NULL or non-integral
+    * sensitive values are REJECTED loudly; m is CHECKED ≤ 64 (the
+    * class×rank grid and the broadcast value list stay bounded);
+    * m ≥ 2 required (EMD over one value is undefined).
+    *
+    * Scale shape: one aggregation to the (class, value) cells, a
+    * broadcast of the ≤64-row global value table to build the
+    * class×rank grid, ONE window cumsum over that BOUNDED grid
+    * (64·classes rows — never raw rows), one per-class reduction.
+    * Output one row: (n_rows, n_classes, n_values, max_emd_micro,
+    * classes_above_t, rows_above_t). */
+  def tClosenessOrdered(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessOrdered needs quasi columns")
+    require(tMicro >= 0L && tMicro <= 1000000L,
+      s"tClosenessOrdered: tMicro must be in [0, 1e6], got $tMicro")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(sensitiveCol).isNull, 1L).otherwise(0L))
+          .as("__bad"))
+      .localCheckpoint()
+    Contracts.enforce(cells,
+      Contracts.Bound(sum(col("__bad")) +
+        sum(when(col("__v").isNull, 1L).otherwise(0L)), _ == 0L, b =>
+        s"tClosenessOrdered: $b cells carry NULL or non-integral " +
+          "sensitive values — band/encode them explicitly first"))
+    val glob = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
+      .localCheckpoint()
+    val m = Contracts.enforce(glob,
+      Contracts.Bound(count(lit(1)), v => v >= 2L && v <= 64L, v =>
+        s"tClosenessOrdered: $v distinct sensitive values outside " +
+          "[2, 64] — EMD needs an order and a bounded band grid")).head
+    val nRow = glob.agg(sum(col("__g")).as("__tot"))
+    val sizes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    // class × rank grid: every class meets every global value
+    val grid = sizes
+      .crossJoin(broadcast(glob))
+      .join(cells.select((quasiCols.map(col) :+ col("__v") :+
+        col("__c")): _*), quasiCols :+ "__v", "left")
+      .crossJoin(broadcast(nRow))
+      .select((quasiCols.map(col) :+ col("__n") :+ col("__tot") :+
+        col("__v") :+
+        (coalesce(col("__c"), lit(0L)).cast(dec) *
+          col("__tot").cast(dec) -
+          col("__n").cast(dec) * col("__g").cast(dec)).as("__d")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val perClass = grid
+      .withColumn("__cum", sum(col("__d")).over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__n")).as("__n"), max(col("__tot")).as("__tot"),
+        sum(abs(col("__cum"))).as("__acc"))
+      .select(col("__n"),
+        call_function("div",
+          lit(1000000L).cast(dec) * col("__acc"),
+          col("__n").cast(dec) * col("__tot").cast(dec) *
+            lit(m - 1L).cast(dec)).as("__emd"))
+    perClass
+      .crossJoin(broadcast(glob.agg(count(lit(1)).as("n_values"))))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        max(col("n_values")).as("n_values"),
+        max(col("__emd")).as("max_emd_micro"),
+        sum(when(col("__emd") > tMicro, 1L).otherwise(0L))
+          .as("classes_above_t"),
+        sum(when(col("__emd") > tMicro, col("__n")).otherwise(0L))
+          .as("rows_above_t"))
+  }
+
   /** MANN–WHITNEY U z-TEST per key — the nonparametric two-sample
     * significance readout (Mann & Whitney 1947): does side A's metric
     * DISTRIBUTION sit above/below side B's, without [[welchT]]'s

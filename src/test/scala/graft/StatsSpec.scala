@@ -4204,4 +4204,63 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("NULL sensitive"))
   }
+  test("tClosenessOrdered equals the brute EMD walk; a one-band shift " +
+    "scores below an extreme concentration at equal TV") {
+    val rnd = new scala.util.Random(509)
+    val rows = (1 to 500).map { _ =>
+      (s"q${rnd.nextInt(8)}", (math.pow(rnd.nextDouble(), 2) * 5).toLong)
+    }
+    val got = Stats.tClosenessOrdered(rows.toDF("qa", "sv"),
+      Seq("qa"), "sv", tMicro = 50000L).collect().head
+    val n = rows.size.toLong
+    val gl = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vs = gl.keys.toSeq.sorted
+    val m = vs.size.toLong
+    val emds = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      val cn = g.size.toLong
+      val cv = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      var cum = BigInt(0); var acc = BigInt(0)
+      vs.foreach { v =>
+        cum += BigInt(cv.getOrElse(v, 0L)) * n - BigInt(cn) * gl(v)
+        acc += cum.abs
+      }
+      (cn, BigInt(1000000L) * acc / (BigInt(cn) * n * (m - 1)))
+    }
+    assert(got.getLong(0) == n && got.getLong(1) == emds.size.toLong &&
+      got.getLong(2) == m)
+    assert(got.getLong(3) == emds.map(_._2).max.toLong)
+    assert(got.getLong(4) == emds.count(_._2 > 50000L).toLong)
+    assert(got.getLong(5) == emds.filter(_._2 > 50000L).map(_._1).sum)
+    // order sensitivity: global uniform over 3 bands; class A sits one
+    // band up, class B concentrates at the extreme — same TV, EMD must
+    // rank B strictly worse. Build: 3 classes of 6 rows; global counts
+    // equal per band.
+    val shifted = Seq.fill(6)(("a", 1L)) ++ Seq.fill(6)(("b", 2L)) ++
+      (0 until 6).map(i => ("c", (i % 3).toLong))
+    def emdOf(cls: String): Long = {
+      val all = shifted
+      val nn = all.size.toLong
+      val gg = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val vv = gg.keys.toSeq.sorted
+      val g = all.filter(_._1 == cls)
+      val cv = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      var cum = BigInt(0); var acc = BigInt(0)
+      vv.foreach { v =>
+        cum += BigInt(cv.getOrElse(v, 0L)) * nn - BigInt(g.size) * gg(v)
+        acc += cum.abs
+      }
+      (BigInt(1000000L) * acc /
+        (BigInt(g.size) * nn * (vv.size - 1))).toLong
+    }
+    val gotS = Stats.tClosenessOrdered(shifted.toDF("qa", "sv"),
+      Seq("qa"), "sv", tMicro = 0L).collect().head
+    assert(gotS.getLong(3) == Seq("a", "b", "c").map(emdOf).max)
+    assert(emdOf("b") > emdOf("a"), "extreme must out-score the shift")
+    val e = intercept[IllegalArgumentException] {
+      Stats.tClosenessOrdered(
+        Seq(("a", Some(1L)), ("a", None)).toDF("qa", "sv"),
+        Seq("qa"), "sv", 0L)
+    }
+    assert(e.getMessage.contains("NULL or non-integral"))
+  }
 }
