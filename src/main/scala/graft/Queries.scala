@@ -14046,6 +14046,151 @@ object Queries {
       |    AS rows_above_t
       |FROM pc""".stripMargin
 
+  /** Code-quality profile (TextAnalysis.codeQualityProfile):
+    * documents reshaped into code-ish files (every 5th word breaks a
+    * line), every 7th file headed by a "DO NOT EDIT" marker, every
+    * 11th given a 1200-char minified line — the StarCoder line-shape
+    * filters must flag exactly those; exact integral micro ratios. */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val asCode = regexp_replace(col("text"),
+      "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1\n")
+    val file = concat(
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        lit("// AUTO-GENERATED FILE - DO NOT EDIT\n")).otherwise(lit("")),
+      lit("# header comment\n"), asCode,
+      when(pmod(col("doc_id"), lit(11L)) === 0L,
+        concat(lit("\n"), repeat(lit("x"), 1200))).otherwise(lit("")))
+    TextAnalysis.codeQualityProfile(
+      t(s, dir, "documents").select(col("doc_id"), file.as("text")),
+      "doc_id", "text")
+  }
+
+  private val q318Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 7 = 0
+      |       THEN '// AUTO-GENERATED FILE - DO NOT EDIT' || chr(10)
+      |       ELSE '' END)
+      |    || '# header comment' || chr(10)
+      |    || regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+      |         '\1' || chr(10), 'g')
+      |    || (CASE WHEN doc_id % 11 = 0
+      |       THEN chr(10) || repeat('x', 1200) ELSE '' END) AS text
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(coalesce(list_max(list_transform(lines, l -> len(l))),
+      |      0) AS BIGINT) AS max_line_len,
+      |    CAST((len(text) - (len(lines) - 1)) * 1000000
+      |      // len(lines) AS BIGINT) AS avg_line_len_micro,
+      |    CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+      |      * 1000000 // greatest(len(text), 1) AS BIGINT)
+      |      AS alnum_micro,
+      |    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l, ' '),
+      |      '^(#|//|\*|/\*|--)'))) AS BIGINT) AS comment_lines,
+      |    regexp_matches(text,
+      |      '(?i)(auto-generated|autogenerated|do not edit)') AS autogen
+      |  FROM p)
+      |SELECT doc_id, n_lines, max_line_len, avg_line_len_micro,
+      |  alnum_micro, comment_lines, autogen,
+      |  max_line_len <= 1000 AND avg_line_len_micro <= 100000000
+      |    AND alnum_micro >= 250000 AND NOT autogen AS keep
+      |FROM c""".stripMargin
+
+  /** Dialogue-format audit (Validate.dialogueFormatAudit): documents
+    * become chat transcripts — optional system turn, then user/
+    * assistant exchanges — with planted violations (every 7th doc
+    * doubles a user turn, every 11th ends on user, every 13th blanks
+    * an assistant content); the audit must flag exactly those and
+    * validate the rest. */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    def turn(role: String, content: Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val sys = turn("system", lit("You are a helpful assistant."))
+    val u1 = turn("user", substring(col("text"), 1, 40))
+    val a1 = turn("assistant",
+      when(pmod(col("doc_id"), lit(13L)) === 0L, lit("  "))
+        .otherwise(col("source")))
+    val u2 = turn("user", substring(col("text"), 41, 40))
+    val a2 = turn("assistant", lit("done"))
+    val base = when(pmod(col("doc_id"), lit(7L)) === 0L,
+      array(sys, u1, u1, a1, u2, a2))
+      .when(pmod(col("doc_id"), lit(11L)) === 0L,
+        array(sys, u1, a1, u2))
+      .when(pmod(col("doc_id"), lit(2L)) === 0L,
+        array(sys, u1, a1, u2, a2))
+      .otherwise(array(u1, a1))
+    Validate.dialogueFormatAudit(
+      t(s, dir, "documents").select(col("doc_id"), base.as("turns")),
+      "doc_id", "turns")
+  }
+
+  private val q319Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      [struct_pack(role := 'system',
+      |         content := 'You are a helpful assistant.'),
+      |       struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content :=
+      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |       struct_pack(role := 'user', content := text[41:80]),
+      |       struct_pack(role := 'assistant', content := 'done')]
+      |    WHEN doc_id % 11 = 0 THEN
+      |      [struct_pack(role := 'system',
+      |         content := 'You are a helpful assistant.'),
+      |       struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content :=
+      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |       struct_pack(role := 'user', content := text[41:80])]
+      |    WHEN doc_id % 2 = 0 THEN
+      |      [struct_pack(role := 'system',
+      |         content := 'You are a helpful assistant.'),
+      |       struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content :=
+      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |       struct_pack(role := 'user', content := text[41:80]),
+      |       struct_pack(role := 'assistant', content := 'done')]
+      |    ELSE
+      |      [struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content :=
+      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END)]
+      |    END AS turns
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, turns,
+      |    list_transform(turns, t -> t.role) AS roles,
+      |    CAST(len(turns) AS BIGINT) AS n
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id, n,
+      |    coalesce(roles[1] = 'system', false) AS has_system,
+      |    coalesce(roles[1] IN ('system', 'user'), false) AS head_ok,
+      |    CASE WHEN n >= (CASE WHEN coalesce(roles[1] = 'system',
+      |        false) THEN 2 ELSE 1 END)
+      |      THEN coalesce(list_aggregate(list_transform(
+      |        range(0, CAST(n AS INTEGER) - (CASE WHEN roles[1] =
+      |          'system' THEN 2 ELSE 1 END) + 1),
+      |        i -> roles[(CASE WHEN roles[1] = 'system' THEN 2
+      |          ELSE 1 END) + i] = (CASE WHEN i % 2 = 0 THEN 'user'
+      |          ELSE 'assistant' END)), 'bool_and'), false)
+      |      ELSE false END AS alternates,
+      |    coalesce(roles[-1] = 'assistant', false) AS ends_assistant,
+      |    CAST(len(list_filter(turns,
+      |      t -> len(trim(t.content, ' ')) = 0)) AS BIGINT) AS n_empty
+      |  FROM r)
+      |SELECT doc_id, n AS n_turns, has_system, head_ok, alternates,
+      |  ends_assistant, n_empty,
+      |  head_ok AND alternates AND ends_assistant AND n_empty = 0
+      |    AND (n - (CASE WHEN has_system THEN 2 ELSE 1 END) + 1) >= 2
+      |    AS valid
+      |FROM f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14368,5 +14513,7 @@ object Queries {
     "q314_t_closeness" -> Q(q314, Some(q314Sql)),
     "q315_token_fertility" -> Q(q315, Some(q315Sql)),
     "q316_nfc_audit" -> Q(q316, Some(q316Sql)),
-    "q317_t_closeness_emd" -> Q(q317, Some(q317Sql)))
+    "q317_t_closeness_emd" -> Q(q317, Some(q317Sql)),
+    "q318_code_quality" -> Q(q318, Some(q318Sql)),
+    "q319_dialogue_format" -> Q(q319, Some(q319Sql)))
 }

@@ -3178,6 +3178,51 @@ object TextAnalysis {
           .otherwise(lit(null).cast("long")).as("chars_per_tok_micro"))
   }
 
+  /** CODE-QUALITY PROFILE per file — the StarCoder/SantaCoder-class
+    * source-file filters (Li et al. 2023 §3.1; code corpora are
+    * curated by LINE SHAPE long before any model scores them): line
+    * counts, the max/mean line length that flags minified or
+    * data-blob files, the alphanumeric fraction that flags binary
+    * spill, comment-prefix line counts, and the auto-generated-file
+    * marker ("generated, do not edit" headers) — plus the standard
+    * keep rule over caller thresholds.
+    *
+    * Exactness: every count is an exact integer (line chars = total
+    * chars minus newlines — no per-line re-sum); ratios are integral
+    * micro-divisions; the comment test is prefix-of-space-trimmed
+    * (regexes in the RE2 ∩ java.util.regex common subset).
+    *
+    * Scale shape: pure per-row column expressions, map-only, no UDF.
+    * Output: (id, n_lines, max_line_len, avg_line_len_micro,
+    * alnum_micro, comment_lines, autogen, keep). */
+  def codeQualityProfile(df: DataFrame, idCol: String, textCol: String,
+                         maxLineLen: Long = 1000L,
+                         avgLineLenMax: Long = 100L,
+                         minAlnumMicro: Long = 250000L): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val lineChars = length(text).cast("long") - (nLines - 1L)
+    val maxLine = coalesce(array_max(transform(lines,
+      l => length(l).cast("long"))), lit(0L))
+    val avgMicro = call_function("div", lineChars * 1000000L, nLines)
+    val alnumMicro = call_function("div",
+      length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long")
+        * 1000000L, greatest(length(text).cast("long"), lit(1L)))
+    val commentLines = size(filter(lines,
+      l => ltrim(l).rlike("^(#|//|\\*|/\\*|--)"))).cast("long")
+    val autogen = text.rlike(
+      "(?i)(auto-generated|autogenerated|do not edit)")
+    df.select(col(idCol), nLines.as("n_lines"),
+        maxLine.as("max_line_len"), avgMicro.as("avg_line_len_micro"),
+        alnumMicro.as("alnum_micro"), commentLines.as("comment_lines"),
+        autogen.as("autogen"))
+      .withColumn("keep",
+        col("max_line_len") <= maxLineLen &&
+          col("avg_line_len_micro") <= avgLineLenMax * 1000000L &&
+          col("alnum_micro") >= minAlnumMicro && !col("autogen"))
+  }
+
   /** UNICODE NFC NORMALIZATION AUDIT per document — the dedup-hygiene
     * check multilingual corpora need BEFORE any hash-based dedup
     * (UAX-15: "café" ships both precomposed and as e+◌́; the byte

@@ -122,4 +122,48 @@ object Validate {
     all.select(col("check"), col("violations"),
       (col("violations") === 0L).as("passed"))
   }
+
+  /** DIALOGUE-FORMAT AUDIT per conversation — the SFT-data front-door
+    * check (chat corpora are schema'd as role/content turn arrays,
+    * and a single malformed transcript poisons a packed batch): a
+    * VALID conversation opens with an optional `system` turn, then
+    * alternates user/assistant strictly, ends on `assistant`, and
+    * carries no space-blank contents.
+    *
+    * Determinism: pure structural booleans over the turn array —
+    * alternation is an exact positional fold (guarded for the
+    * too-short case: Spark's `sequence(a, b)` DESCENDS when a > b, so
+    * the fold never sees a reversed range), and every rule is
+    * engine-replayable array arithmetic.
+    *
+    * Scale shape: per-row HOFs over the bounded turn array, map-only.
+    * Output: (id, n_turns, has_system, head_ok, alternates,
+    * ends_assistant, n_empty, valid). */
+  def dialogueFormatAudit(df: DataFrame, idCol: String,
+                          turnsCol: String): DataFrame = {
+    val turns = col(turnsCol)
+    val roles = transform(turns, t => t.getField("role"))
+    val n = size(turns).cast("long")
+    // try_element_at, not element_at: ANSI mode throws on the empty /
+    // too-short arrays this audit exists to flag
+    val hasSystem = coalesce(
+      try_element_at(roles, lit(1)) === "system", lit(false))
+    val offset = when(hasSystem, lit(2)).otherwise(lit(1))
+    val headOk = coalesce(
+      try_element_at(roles, lit(1)).isin("system", "user"), lit(false))
+    val alternates = when(n >= offset.cast("long"),
+      aggregate(sequence(offset, size(turns)), lit(true),
+        (acc, i) => acc && try_element_at(roles, i) ===
+          when(pmod(i - offset, lit(2)) === 0, lit("user"))
+            .otherwise(lit("assistant")))).otherwise(lit(false))
+    val endsAssistant = coalesce(
+      try_element_at(roles, lit(-1)) === "assistant", lit(false))
+    val nEmpty = size(filter(turns,
+      t => length(trim(t.getField("content"))) === 0)).cast("long")
+    df.select(col(idCol), n.as("n_turns"), hasSystem.as("has_system"),
+      headOk.as("head_ok"), alternates.as("alternates"),
+      endsAssistant.as("ends_assistant"), nEmpty.as("n_empty"),
+      (headOk && alternates && endsAssistant && nEmpty === 0L &&
+        (n - offset.cast("long") + 1L) >= 2L).as("valid"))
+  }
 }

@@ -166,6 +166,50 @@ class OperatorSpec extends SparkTestBase {
     assert(nf(3L)._1)
   }
 
+  test("codeQualityProfile flags long lines, low-alnum and autogen " +
+    "markers; dialogueFormatAudit validates alternation structurally") {
+    import graft.operators.Validate
+    val files = Seq(
+      (1L, "# c\nval x = 1\nval y = 2"),            // clean -> keep
+      (2L, "short\n" + "z" * 1500),                  // long line
+      (3L, "// DO NOT EDIT\ncode here"),             // autogen
+      (4L, "@@ ## $$ %% ^^ && !!")                   // low alnum
+    ).toDF("id", "text")
+    val got = TextAnalysis.codeQualityProfile(files, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getBoolean(6),
+          r.getBoolean(7))).toMap
+    assert(got(1L) == ((3L, 9L, 1L, false, true)))
+    assert(got(2L)._2 == 1500L && !got(2L)._5)
+    assert(got(3L)._4 && !got(3L)._5 && got(3L)._3 == 1L)
+    assert(!got(4L)._5)
+    def turns(ts: (String, String)*) = ts.map { case (r, c) => (r, c) }
+    val convs = Seq(
+      (1L, Seq(("system", "s"), ("user", "hi"), ("assistant", "yo"))),
+      (2L, Seq(("user", "hi"), ("assistant", "yo"),
+        ("user", "more"), ("assistant", "ok"))),
+      (3L, Seq(("user", "hi"), ("user", "again"), ("assistant", "yo"))),
+      (4L, Seq(("user", "hi"), ("assistant", "yo"), ("user", "end"))),
+      (5L, Seq(("user", "hi"), ("assistant", " "))),
+      (6L, Seq(("system", "s"))),
+      (7L, Seq.empty[(String, String)]),
+      (8L, Seq(("assistant", "starts wrong"))))
+      .toDF("id", "turns")
+      .select(col("id"), expr(
+        "transform(turns, t -> struct(t._1 AS role, t._2 AS content))")
+        .as("turns"))
+    val aud = Validate.dialogueFormatAudit(convs, "id", "turns")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(4), r.getLong(6),
+          r.getBoolean(7))).toMap
+    assert(aud(1L) == ((true, true, 0L, true)))
+    assert(aud(2L) == ((false, true, 0L, true)))
+    assert(!aud(3L)._2 && !aud(3L)._4, "doubled user must fail")
+    assert(!aud(4L)._4, "ending on user must fail")
+    assert(aud(5L)._3 == 1L && !aud(5L)._4, "blank content must fail")
+    assert(!aud(6L)._4 && !aud(7L)._4 && !aud(8L)._4)
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
