@@ -14191,6 +14191,91 @@ object Queries {
       |    AS valid
       |FROM f""".stripMargin
 
+  /** FIM transform (TextAnalysis.fimTransform): every document splits
+    * prefix/middle/suffix at cut points derived from its OWN md5 —
+    * no RNG, so both engines derive identical cuts — and the md5 of
+    * the PSM serialization pins the whole transform. */
+  private def q320(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fimTransform(t(s, dir, "documents"), "doc_id", "text")
+
+  private val q320Sql =
+    s"""WITH d AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS l
+       |           FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, l,
+       |    ${md5LongSql("text")} % (l + 1) AS c1
+       |  FROM d),
+       |c2t AS (
+       |  SELECT doc_id, text, l, c1,
+       |    c1 + (${md5LongSql("text || '#fim2'")} % (l - c1 + 1)) AS c2
+       |  FROM c),
+       |p AS (
+       |  SELECT doc_id, l,
+       |    text[1:CAST(c1 AS INTEGER)] AS pre,
+       |    text[CAST(c1 + 1 AS INTEGER):CAST(c2 AS INTEGER)] AS mid,
+       |    text[CAST(c2 + 1 AS INTEGER):CAST(l AS INTEGER)] AS suf
+       |  FROM c2t)
+       |SELECT doc_id, l AS len,
+       |  CAST(len(pre) AS BIGINT) AS prefix_len,
+       |  CAST(len(mid) AS BIGINT) AS middle_len,
+       |  CAST(len(suf) AS BIGINT) AS suffix_len,
+       |  md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid)
+       |    AS fim_hash
+       |FROM p""".stripMargin
+
+  /** Loss-mask spans (Validate.lossMaskSpans): the q319 transcripts'
+    * assistant turns mapped to [start, end) whitespace-token offsets
+    * in the concatenated conversation — the spans SFT loss masking
+    * needs; cumulative offsets replayed as prefix sums in the
+    * oracle. */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    def turn(role: String, content: Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val sys = turn("system", lit("You are a helpful assistant."))
+    val u1 = turn("user", substring(col("text"), 1, 40))
+    val a1 = turn("assistant", substring(col("text"), 41, 60))
+    val u2 = turn("user", substring(col("text"), 101, 40))
+    val a2 = turn("assistant", col("source"))
+    val base = when(pmod(col("doc_id"), lit(3L)) === 0L,
+      array(sys, u1, a1, u2, a2)).otherwise(array(u1, a1))
+    Validate.lossMaskSpans(
+      t(s, dir, "documents").select(col("doc_id"), base.as("turns")),
+      "doc_id", "turns")
+  }
+
+  private val q321Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      [struct_pack(role := 'system',
+      |         content := 'You are a helpful assistant.'),
+      |       struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content := text[41:100]),
+      |       struct_pack(role := 'user', content := text[101:140]),
+      |       struct_pack(role := 'assistant', content := source)]
+      |    ELSE
+      |      [struct_pack(role := 'user', content := text[1:40]),
+      |       struct_pack(role := 'assistant', content := text[41:100])]
+      |    END AS turns
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, turns,
+      |    list_transform(turns, t -> CAST(len(list_filter(
+      |      regexp_split_to_array(lower(t.content), '\s+'),
+      |      x -> x != '')) AS BIGINT)) AS toks
+      |  FROM d),
+      |u AS (
+      |  SELECT doc_id, uu.idx, uu.role, uu.s, uu.e FROM (
+      |    SELECT doc_id, [struct_pack(idx := i - 1,
+      |        role := turns[i].role,
+      |        s := CAST(coalesce(list_sum(toks[1:i-1]), 0) AS BIGINT),
+      |        e := CAST(coalesce(list_sum(toks[1:i]), 0) AS BIGINT))
+      |      for i in range(1, len(turns) + 1)] AS ls
+      |    FROM r), unnest(ls) AS t(uu))
+      |SELECT doc_id, CAST(idx AS BIGINT) AS turn_idx, s AS start_tok,
+      |  e AS end_tok
+      |FROM u WHERE role = 'assistant'""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14515,5 +14600,7 @@ object Queries {
     "q316_nfc_audit" -> Q(q316, Some(q316Sql)),
     "q317_t_closeness_emd" -> Q(q317, Some(q317Sql)),
     "q318_code_quality" -> Q(q318, Some(q318Sql)),
-    "q319_dialogue_format" -> Q(q319, Some(q319Sql)))
+    "q319_dialogue_format" -> Q(q319, Some(q319Sql)),
+    "q320_fim_transform" -> Q(q320, Some(q320Sql)),
+    "q321_loss_mask_spans" -> Q(q321, Some(q321Sql)))
 }

@@ -3223,6 +3223,36 @@ object TextAnalysis {
           col("alnum_micro") >= minAlnumMicro && !col("autogen"))
   }
 
+  /** FILL-IN-THE-MIDDLE TRANSFORM per document — the FIM data prep
+    * for code/infilling training (Bavarian et al. 2022: a fraction of
+    * training docs are split prefix/middle/suffix and re-serialized
+    * PSM as `<PRE>p<SUF>s<MID>m`, teaching the model to infill):
+    * both cut points derive from the document's OWN md5 (deterministic
+    * and engine-replayable — no RNG), c1 = h1 mod (len+1),
+    * c2 = c1 + (h2 mod (len−c1+1)) with h2 the md5 of the text plus a
+    * salt, so re-runs and engines agree bit-for-bit.
+    *
+    * Scale shape: pure per-row string arithmetic, map-only.
+    * Output: (id, len, prefix_len, middle_len, suffix_len, fim_hash). */
+  def fimTransform(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val len = length(text).cast("long")
+    val c1 = pmod(md5_long(text), len + 1L)
+    val c2 = c1 + pmod(md5_long(concat(text, lit("#fim2"))),
+      len - c1 + 1L)
+    val prefix = text.substr(lit(1L), c1)
+    val middle = text.substr(c1 + 1L, c2 - c1)
+    val suffix = text.substr(c2 + 1L, len - c2)
+    val psm = concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+      lit("<MID>"), middle)
+    df.select(col(idCol), len.as("len"),
+      length(prefix).cast("long").as("prefix_len"),
+      length(middle).cast("long").as("middle_len"),
+      length(suffix).cast("long").as("suffix_len"),
+      md5(psm.cast("binary")).as("fim_hash"))
+  }
+
   /** UNICODE NFC NORMALIZATION AUDIT per document — the dedup-hygiene
     * check multilingual corpora need BEFORE any hash-based dedup
     * (UAX-15: "café" ships both precomposed and as e+◌́; the byte

@@ -166,4 +166,42 @@ object Validate {
       (headOk && alternates && endsAssistant && nEmpty === 0L &&
         (n - offset.cast("long") + 1L) >= 2L).as("valid"))
   }
+
+  /** LOSS-MASK SPANS per conversation — the SFT packing companion to
+    * [[dialogueFormatAudit]]: supervised fine-tuning computes loss on
+    * ASSISTANT tokens only, so the packer needs each assistant turn's
+    * [start, end) token span in the concatenated transcript. One
+    * sequential fold per conversation accumulates cumulative
+    * whitespace-token offsets (bounded by turn count — the
+    * [[graft.functions.ewma_smooth]] bounded-append shape), then the
+    * assistant spans explode to rows with their turn index.
+    *
+    * Scale shape: per-row HOFs over the bounded turn array + one
+    * explode of the assistant spans, no shuffle, no UDF.
+    * Output: (id, turn_idx, start_tok, end_tok) — token offsets,
+    * turn_idx 0-based over ALL turns. */
+  def lossMaskSpans(df: DataFrame, idCol: String,
+                    turnsCol: String): DataFrame = {
+    val withTok = transform(col(turnsCol), t => struct(
+      t.getField("role").as("role"),
+      size(graft.functions.ws_tokens(t.getField("content")))
+        .cast("long").as("tok")))
+    val emptySpans = array().cast(
+      "array<struct<role:string,start_tok:bigint,end_tok:bigint>>")
+    val spans = aggregate(withTok,
+      struct(emptySpans.as("arr"), lit(0L).as("off")),
+      (acc, t) => struct(
+        concat(acc.getField("arr"), array(struct(
+          t.getField("role").as("role"),
+          acc.getField("off").as("start_tok"),
+          (acc.getField("off") + t.getField("tok")).as("end_tok"))))
+          .as("arr"),
+        (acc.getField("off") + t.getField("tok")).as("off")),
+      acc => acc.getField("arr"))
+    df.select(col(idCol), posexplode(spans))
+      .where(col("col.role") === "assistant")
+      .select(col(idCol), col("pos").cast("long").as("turn_idx"),
+        col("col.start_tok").as("start_tok"),
+        col("col.end_tok").as("end_tok"))
+  }
 }

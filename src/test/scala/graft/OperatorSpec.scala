@@ -210,6 +210,37 @@ class OperatorSpec extends SparkTestBase {
     assert(!aud(6L)._4 && !aud(7L)._4 && !aud(8L)._4)
   }
 
+  test("fimTransform partitions exactly (prefix+middle+suffix == doc) " +
+    "and is deterministic; lossMaskSpans offsets equal the cumulative " +
+    "token walk") {
+    import graft.operators.Validate
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "x"))
+      .toDF("id", "text")
+    val f = TextAnalysis.fimTransform(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    f.foreach { case (id, (l, p, m, sfx, _)) =>
+      assert(p + m + sfx == l, s"doc $id: $p+$m+$sfx != $l")
+    }
+    assert(f(2L)._1 == 0L)
+    val f2 = TextAnalysis.fimTransform(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(f.view.mapValues(_._5).toMap == f2, "must be deterministic")
+    val convs = Seq(
+      (1L, Seq(("user", "one two three"), ("assistant", "four five"),
+        ("user", "six"), ("assistant", "seven eight nine"))))
+      .toDF("id", "turns")
+      .select(col("id"), expr(
+        "transform(turns, t -> struct(t._1 AS role, t._2 AS content))")
+        .as("turns"))
+    val spans = Validate.lossMaskSpans(convs, "id", "turns")
+      .orderBy("turn_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // tokens: 3, 2, 1, 3 -> assistant spans [3,5) at idx 1, [6,9) at 3
+    assert(spans == Seq((1L, 3L, 5L), (3L, 6L, 9L)))
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
