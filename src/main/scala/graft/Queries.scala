@@ -14276,6 +14276,115 @@ object Queries {
       |  e AS end_tok
       |FROM u WHERE role = 'assistant'""".stripMargin
 
+  /** Composability proof #3 — the multilingual curation chain
+    * (NFC normalize → UAX-29 sentence dedup → UAX-29 token count →
+    * FFD pack per lang): pages carry a shared boilerplate sentence
+    * whose "café" ships DECOMPOSED on even doc_ids and precomposed on
+    * odd — without the NFC step the sentence dedup would see two
+    * clusters; with it, exactly one survivor — plus a CJK passage on
+    * every third doc that only the segmenter counts. The oracle
+    * replays the ENTIRE chain (utf8proc NFC, RE2 segmentation, keep-
+    * first dedup, char-unigram token counts, the recursive FFD fold)
+    * bit-for-bit. */
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    val cafeDecomp = "café"
+    val cafeNfc = "café"
+    val page = concat(
+      lit("Visit the "),
+      when(pmod(col("doc_id"), lit(2L)) === 0L, lit(cafeDecomp))
+        .otherwise(lit(cafeNfc)),
+      lit(" lounge now! "), col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        lit(" 訓練資料品質檢查流程")).otherwise(lit("")),
+      lit(". All rights reserved."))
+    val sents = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        uax29_sentences(nfc_normalize(page)).as("sents"))
+    val deduped = TextAnalysis.dedupLines(
+      sents.select(col("doc_id"), col("sents")), "doc_id", "sents")
+    val counted = sents.select(col("lang"), col("doc_id"))
+      .join(deduped, "doc_id")
+      .select(col("lang"), col("doc_id"),
+        size(uax29_tokens(col("dedup_text"))).cast("long").as("tokens"))
+      .where(col("tokens") >= 1L && col("tokens") <= 256L)
+    TextAnalysis.packFirstFitDecreasing(counted, "lang", "doc_id",
+      "tokens", capacity = 256L)
+      .select(col("lang"), col("doc_id"), col("tokens"), col("bin"))
+  }
+
+  private val q322Sql = {
+    val fits = "list_filter(range(1, len(f.loads) + 1), " +
+      "i -> f.loads[i] + o.tok <= 256)"
+    s"""WITH RECURSIVE pg AS (
+       |  SELECT lang, doc_id, nfc_normalize(
+       |    'Visit the ' || (CASE WHEN doc_id % 2 = 0
+       |      THEN 'cafe' || chr(769) ELSE 'café' END)
+       |    || ' lounge now! ' || text
+       |    || (CASE WHEN doc_id % 3 = 0
+       |      THEN ' 訓練資料品質檢查流程' ELSE '' END)
+       |    || '. All rights reserved.') AS page
+       |  FROM documents),
+       |sp AS (
+       |  SELECT lang, doc_id, list_filter(list_transform(
+       |    regexp_extract_all(page,
+       |      '[^.!?]+[.!?]+["'')\\]”’»]*|[^.!?]+$$'),
+       |    x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+       |    x -> x != '') AS sents
+       |  FROM pg),
+       |lines AS (
+       |  SELECT doc_id, u.pos AS pos, u.line FROM (
+       |    SELECT doc_id, list_transform(range(0, len(sents)),
+       |      i -> struct_pack(pos := i, line := sents[i + 1])) AS ls
+       |    FROM sp), unnest(ls) AS t(u)),
+       |h AS (SELECT doc_id, pos, line, ${md5LongSql("line")} AS h
+       |      FROM lines),
+       |kept AS (
+       |  SELECT doc_id, pos, line FROM (
+       |    SELECT doc_id, pos, line,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+       |        AS rn
+       |    FROM h) WHERE rn = 1),
+       |agg AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+       |    AS dedup_text
+       |  FROM kept GROUP BY doc_id),
+       |cnt AS (
+       |  SELECT sp.lang, sp.doc_id,
+       |    CAST(len(regexp_extract_all(
+       |      regexp_replace(coalesce(a.dedup_text, ''),
+       |        '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])',
+       |        ' \\1 ', 'g'),
+       |      '[\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+(?:[''’][\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+)*'))
+       |      AS BIGINT) AS tok
+       |  FROM sp LEFT JOIN agg a ON a.doc_id = sp.doc_id),
+       |d AS (SELECT lang, doc_id, tok FROM cnt
+       |      WHERE tok >= 1 AND tok <= 256),
+       |o AS (
+       |  SELECT lang, doc_id, tok,
+       |    row_number() OVER (PARTITION BY lang ORDER BY tok DESC,
+       |      doc_id) AS rn
+       |  FROM d),
+       |ffd AS (
+       |  SELECT lang, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS tok, CAST(NULL AS BIGINT) AS bin,
+       |    CAST([] AS BIGINT[]) AS loads
+       |  FROM (SELECT DISTINCT lang FROM o)
+       |  UNION ALL
+       |  SELECT o.lang, o.rn, o.doc_id, o.tok,
+       |    CASE WHEN len($fits) > 0
+       |         THEN CAST($fits[1] - 1 AS BIGINT)
+       |         ELSE CAST(len(f.loads) AS BIGINT) END,
+       |    CASE WHEN len($fits) > 0
+       |         THEN list_transform(range(1, len(f.loads) + 1),
+       |                i -> CASE WHEN i = $fits[1]
+       |                     THEN f.loads[i] + o.tok
+       |                     ELSE f.loads[i] END)
+       |         ELSE list_append(f.loads, o.tok) END
+       |  FROM ffd f JOIN o ON o.lang = f.lang AND o.rn = f.rn + 1)
+       |SELECT lang, doc_id, tok AS tokens, bin
+       |FROM ffd WHERE rn > 0""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14602,5 +14711,6 @@ object Queries {
     "q318_code_quality" -> Q(q318, Some(q318Sql)),
     "q319_dialogue_format" -> Q(q319, Some(q319Sql)),
     "q320_fim_transform" -> Q(q320, Some(q320Sql)),
-    "q321_loss_mask_spans" -> Q(q321, Some(q321Sql)))
+    "q321_loss_mask_spans" -> Q(q321, Some(q321Sql)),
+    "q322_multilingual_e2e" -> Q(q322, Some(q322Sql)))
 }

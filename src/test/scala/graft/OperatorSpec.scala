@@ -241,6 +241,27 @@ class OperatorSpec extends SparkTestBase {
     assert(spans == Seq((1L, 3L, 5L), (3L, 6L, 9L)))
   }
 
+  test("NFC normalization is what lets cross-form boilerplate dedup " +
+    "collapse: decomposed and precomposed twins survive separately " +
+    "without it, once with it") {
+    import graft.functions.{nfc_normalize, uax29_sentences}
+    val docs = Seq(
+      (1L, "Visit the cafe\u0301 lounge now! unique one."),
+      (2L, "Visit the caf\u00e9 lounge now! unique two."))
+      .toDF("id", "text")
+    def kept(norm: Boolean): Map[Long, Long] = {
+      val txt = if (norm) nfc_normalize(col("text")) else col("text")
+      TextAnalysis.dedupLines(
+          docs.select(col("id"), uax29_sentences(txt).as("sents")),
+          "id", "sents")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(kept(norm = false) == Map(1L -> 2L, 2L -> 2L),
+      "raw forms hash apart - no cross-doc dedup")
+    assert(kept(norm = true) == Map(1L -> 2L, 2L -> 1L),
+      "NFC unifies the boilerplate - only the first doc keeps it")
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
