@@ -14385,6 +14385,193 @@ object Queries {
        |FROM ffd WHERE rn > 0""".stripMargin
   }
 
+  /** Binary-spill / gibberish audit (TextAnalysis.binarySpillAudit):
+    * every 9th document gains an embedded 120-char base64 blob (blob
+    * mass trips), every 10th is replaced by two-char spam (entropy
+    * floor trips) — the audit must flag exactly those; entropy in
+    * exact micro-nats from per-codepoint counts. */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val blob = "QWxhZGRpbjpvcGVuIHNlc2FtZUFsYWRkaW46b3BlbiBzZXNhbWVB" +
+      "bGFkZGluOm9wZW4gc2VzYW1lQWxhZGRpbjpvcGVuIHNlc2FtZTEyMzQ1Njc4OTAr"
+    val page = when(pmod(col("doc_id"), lit(10L)) === 0L,
+      concat(lit("ab"), repeat(lit("abab"), 100)))
+      .when(pmod(col("doc_id"), lit(9L)) === 0L,
+        concat(col("text"), lit(" "), lit(blob)))
+      .otherwise(col("text"))
+    TextAnalysis.binarySpillAudit(
+      t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  private val q323Sql = {
+    val blob = "QWxhZGRpbjpvcGVuIHNlc2FtZUFsYWRkaW46b3BlbiBzZXNhbWVB" +
+      "bGFkZGluOm9wZW4gc2VzYW1lQWxhZGRpbjpvcGVuIHNlc2FtZTEyMzQ1Njc4OTAr"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0 THEN 'ab' || repeat('abab', 100)
+       |         WHEN doc_id % 9 = 0 THEN text || ' ' || '$blob'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest([text[i:i]
+       |    for i in range(1, len(text) + 1)]) AS c
+       |  FROM d),
+       |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM ch GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+       |       FROM cc GROUP BY 1),
+       |ent AS (
+       |  SELECT cc.doc_id,
+       |    CAST(sum(cnt * (CAST(round(ln(nn.n) * 1000000.0) AS BIGINT)
+       |      - CAST(round(ln(cnt) * 1000000.0) AS BIGINT)))
+       |      // max(nn.n) AS BIGINT) AS e
+       |  FROM cc JOIN nn ON nn.doc_id = cc.doc_id GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(text, '[A-Za-z0-9+/=]{40,}'),
+       |      x -> len(x))), 0) AS BIGINT) AS blob_chars
+       |  FROM d)
+       |SELECT b.doc_id, b.n_chars, ent.e AS entropy_micro,
+       |  b.blob_chars,
+       |  b.blob_chars * 1000000 // greatest(b.n_chars, 1)
+       |    AS blob_micro,
+       |  coalesce(ent.e >= 1500000 AND ent.e <= 4200000 AND
+       |    (b.blob_chars * 1000000 // greatest(b.n_chars, 1))
+       |      <= 50000, false) AS keep
+       |FROM b LEFT JOIN ent ON ent.doc_id = b.doc_id""".stripMargin
+  }
+
+  /** Split leakage audit — near-dup pairs crossing the train/val/test
+    * boundary (the contamination mode a hash split CANNOT prevent:
+    * id-keyed assignment puts textual twins in different splits;
+    * q118's cluster-safe split exists precisely to zero this table):
+    * every 4th document is re-keyed +100000 as a textual clone, the
+    * corpus hash-splits 80/10/10, and the q19 LSH pair table joins
+    * the assignment through Dedup.pairLabelConflicts — off-diagonal
+    * rows ARE the leaked pairs. */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.where(pmod(col("doc_id"), lit(4L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .localCheckpoint()
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val assign = Stats.splitAssign(corpus.select(col("doc_id")),
+      "doc_id",
+      Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+    Dedup.pairLabelConflicts(pairs, assign, "doc_id", "split")
+      .select(col("label_a").as("split_a"), col("label_b")
+        .as("split_b"), col("n_pairs"), col("is_conflict")
+        .as("is_leak"))
+  }
+
+  private val q324Sql = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents
+       |  WHERE doc_id % 4 = 0),
+       |toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |perms(perm, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT sh.doc_id, p.perm,
+       |    list_min(list_transform(sh.shingles,
+       |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |  FROM sh CROSS JOIN perms p
+       |  WHERE len(sh.shingles) > 0),
+       |hsets AS (
+       |  SELECT doc_id, list_transform(shingles, x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |bands AS (
+       |  SELECT doc_id, perm // 2 AS band,
+       |    string_agg(sig, ',' ORDER BY perm) AS band_sig
+       |  FROM sigs GROUP BY doc_id, perm // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig
+       |      AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN hsets sa ON sa.doc_id = c.id_a
+       |  JOIN hsets sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5),
+       |assign AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 800000 THEN 'train'
+       |         WHEN b < 900000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ${md5LongSql("CAST(doc_id AS VARCHAR) || ':v1'")} % 1000000
+       |      AS b FROM corpus)),
+       |j AS (
+       |  SELECT least(x.split, y.split) AS split_a,
+       |    greatest(x.split, y.split) AS split_b
+       |  FROM pairs p
+       |  JOIN assign x ON x.doc_id = p.id_a
+       |  JOIN assign y ON y.doc_id = p.id_b)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  split_a != split_b AS is_leak
+       |FROM j GROUP BY 1, 2""".stripMargin
+  }
+
+  /** SFT response audit (Validate.sftResponseAudit): the q319
+    * transcripts' responses scored for length ratio and prompt echo —
+    * every 5th doc's assistant turn restates its user turn verbatim
+    * (echo_micro near 10⁶), the rest answer with fresh text; exact
+    * integral micro ratios over whitespace tokens. */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    def turn(role: String, content: Column) =
+      struct(lit(role).as("role"), content.as("content"))
+    val u1 = turn("user", substring(col("text"), 1, 60))
+    val a1 = turn("assistant",
+      when(pmod(col("doc_id"), lit(5L)) === 0L,
+        substring(col("text"), 1, 60))
+        .otherwise(concat(lit("answer: "), col("source"))))
+    val u2 = turn("user", substring(col("text"), 61, 30))
+    val a2 = turn("assistant", lit("done"))
+    Validate.sftResponseAudit(
+      t(s, dir, "documents").select(col("doc_id"),
+        array(u1, a1, u2, a2).as("turns")),
+      "doc_id", "turns")
+  }
+
+  private val q325Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text[1:60] AS u1,
+      |    CASE WHEN doc_id % 5 = 0 THEN text[1:60]
+      |      ELSE 'answer: ' || source END AS a1,
+      |    text[61:90] AS u2, 'done' AS a2
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(u1 || ' ' || u2),
+      |      '\s+'), x -> x != '') AS p,
+      |    list_filter(regexp_split_to_array(lower(a1 || ' ' || a2),
+      |      '\s+'), x -> x != '') AS r
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, CAST(len(p) AS BIGINT) AS prompt_tokens,
+      |    CAST(len(r) AS BIGINT) AS resp_tokens,
+      |    CAST(len(list_intersect(list_distinct(r),
+      |      list_distinct(p))) AS BIGINT) AS hit,
+      |    CAST(len(list_distinct(r)) AS BIGINT) AS rd
+      |  FROM tk)
+      |SELECT doc_id, prompt_tokens, resp_tokens,
+      |  CASE WHEN prompt_tokens > 0
+      |    THEN resp_tokens * 1000000 // prompt_tokens END AS ratio_micro,
+      |  CASE WHEN rd > 0 THEN hit * 1000000 // rd END AS echo_micro
+      |FROM c""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14712,5 +14899,8 @@ object Queries {
     "q319_dialogue_format" -> Q(q319, Some(q319Sql)),
     "q320_fim_transform" -> Q(q320, Some(q320Sql)),
     "q321_loss_mask_spans" -> Q(q321, Some(q321Sql)),
-    "q322_multilingual_e2e" -> Q(q322, Some(q322Sql)))
+    "q322_multilingual_e2e" -> Q(q322, Some(q322Sql)),
+    "q323_binary_spill" -> Q(q323, Some(q323Sql)),
+    "q324_split_leakage" -> Q(q324, Some(q324Sql)),
+    "q325_sft_response_audit" -> Q(q325, Some(q325Sql)))
 }

@@ -1284,3 +1284,52 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Character-unigram Shannon entropy in integer micro-nats — the
+  * gibberish/binary-spill scalar (random base64 scores near ln 64,
+  * repeated-char spam near 0, natural language in between):
+  *
+  *   H_micro = ⌊ Σ_c cnt_c · (lnq n − lnq cnt_c) / n ⌋
+  *
+  * with lnq(x) = round(10⁶·ln x) HALF_UP — ONE IEEE ln per distinct
+  * exact integer operand (the jsdByKey micro-log discipline), so the
+  * value replays bit-for-bit from any engine's per-char counts. Counts
+  * are by CODEPOINT. NULL for empty input (no distribution exists).
+  * One pass per row. */
+case class CharEntropyMicro(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy_micro"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_micro needs string, got $t")
+  }
+  private def lnq(x: Long): Long =
+    BigDecimal.valueOf(math.log(x.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    val lnN = lnq(n)
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      acc += c * (lnN - lnq(c))
+    }
+    acc / n
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
+    copy(child = newChild)
+}

@@ -353,6 +353,11 @@ package object functions {
   def ws_tokens(text: Column): Column =
     ExprBridge.column(Tokenize(col2expr(text)))
 
+  /** Character-unigram Shannon entropy in integer micro-nats — one
+    * pass per row (see [[graft.functions.CharEntropyMicro]]). */
+  def char_entropy_micro(text: Column): Column =
+    ExprBridge.column(CharEntropyMicro(col2expr(text)))
+
   /** Unicode NFC canonical composition — one Normalizer pass per row
     * (see [[graft.functions.NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =

@@ -3253,6 +3253,50 @@ object TextAnalysis {
       md5(psm.cast("binary")).as("fim_hash"))
   }
 
+  /** BINARY-SPILL / GIBBERISH AUDIT per document — the entropy-band
+    * filter web and code corpora run to drop what the line-shape
+    * rules miss (base64 blobs, minified bundles, key dumps score HIGH
+    * char entropy; repeated-char spam and padding score LOW; natural
+    * language sits in a stable band), plus an explicit base64-run
+    * mass meter for blobs embedded in otherwise-normal text:
+    *
+    *   entropy_micro = ⌊Σ_c cnt_c·(lnq n − lnq cnt_c)/n⌋  (one pass)
+    *   blob_micro    = 10⁶·(chars inside [A-Za-z0-9+/=]{runLen,}
+    *                   runs) / chars
+    *
+    * keep = entropy within [min, max] AND blob mass ≤ maxBlobMicro.
+    * Empty docs carry NULL entropy and never keep. All integer
+    * micro-quantities (the jsdByKey micro-log discipline) — the
+    * oracle replays from per-char counts bit-for-bit.
+    *
+    * Scale shape: one single-pass entropy expression + codegen'd
+    * regex mass per row, map-only, no shuffle.
+    * Output: (id, n_chars, entropy_micro, blob_chars, blob_micro,
+    * keep). */
+  def binarySpillAudit(df: DataFrame, idCol: String, textCol: String,
+                       minEntropyMicro: Long = 1500000L,
+                       maxEntropyMicro: Long = 4200000L,
+                       blobRunLen: Int = 40,
+                       maxBlobMicro: Long = 50000L): DataFrame = {
+    require(blobRunLen >= 8,
+      s"binarySpillAudit: blobRunLen must be >= 8, got $blobRunLen")
+    val text = coalesce(col(textCol), lit(""))
+    val ent = char_entropy_micro(text)
+    val blobChars = aggregate(
+      regexp_extract_all(text,
+        lit(s"[A-Za-z0-9+/=]{$blobRunLen,}"), lit(0)),
+      lit(0L), (acc, r) => acc + length(r).cast("long"))
+    df.select(col(idCol), length(text).cast("long").as("n_chars"),
+        ent.as("entropy_micro"), blobChars.as("blob_chars"))
+      .withColumn("blob_micro", call_function("div",
+        col("blob_chars") * 1000000L,
+        greatest(col("n_chars"), lit(1L))))
+      .withColumn("keep",
+        coalesce(col("entropy_micro") >= minEntropyMicro &&
+          col("entropy_micro") <= maxEntropyMicro &&
+          col("blob_micro") <= maxBlobMicro, lit(false)))
+  }
+
   /** UNICODE NFC NORMALIZATION AUDIT per document — the dedup-hygiene
     * check multilingual corpora need BEFORE any hash-based dedup
     * (UAX-15: "café" ships both precomposed and as e+◌́; the byte

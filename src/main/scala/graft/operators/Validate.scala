@@ -167,6 +167,47 @@ object Validate {
         (n - offset.cast("long") + 1L) >= 2L).as("valid"))
   }
 
+  /** SFT RESPONSE AUDIT per conversation — the two cheap quality
+    * signals instruction-data curation reads before training
+    * ([[dialogueFormatAudit]] checks STRUCTURE; this checks CONTENT
+    * shape): the response/prompt token-length ratio (degenerate
+    * one-word answers and runaway rambles both correlate with label
+    * noise) and the ECHO fraction — how much of the response's
+    * distinct vocabulary is copied from the prompt (near-1 echo means
+    * the "answer" just restates the question, a classic synthetic-data
+    * failure). Prompt = all user turns' text, response = all
+    * assistant turns'.
+    *
+    *   ratio_micro = 10⁶·resp_tokens / prompt_tokens (NULL when the
+    *   prompt is empty); echo_micro = 10⁶·|distinct resp ∩ distinct
+    *   prompt| / |distinct resp| (NULL when the response is empty).
+    *
+    * Scale shape: per-row HOFs over the bounded turn array, map-only.
+    * Output: (id, prompt_tokens, resp_tokens, ratio_micro,
+    * echo_micro). */
+  def sftResponseAudit(df: DataFrame, idCol: String,
+                       turnsCol: String): DataFrame = {
+    def toksOf(role: String) = graft.functions.ws_tokens(
+      array_join(transform(filter(col(turnsCol),
+        t => t.getField("role") === role),
+        t => t.getField("content")), " "))
+    val p = toksOf("user")
+    val r = toksOf("assistant")
+    df.select(col(idCol),
+        size(p).cast("long").as("prompt_tokens"),
+        size(r).cast("long").as("resp_tokens"),
+        size(array_intersect(array_distinct(r), array_distinct(p)))
+          .cast("long").as("__hit"),
+        size(array_distinct(r)).cast("long").as("__rd"))
+      .select(col(idCol), col("prompt_tokens"), col("resp_tokens"),
+        when(col("prompt_tokens") > 0L, call_function("div",
+          col("resp_tokens") * 1000000L, col("prompt_tokens")))
+          .otherwise(lit(null).cast("long")).as("ratio_micro"),
+        when(col("__rd") > 0L, call_function("div",
+          col("__hit") * 1000000L, col("__rd")))
+          .otherwise(lit(null).cast("long")).as("echo_micro"))
+  }
+
   /** LOSS-MASK SPANS per conversation — the SFT packing companion to
     * [[dialogueFormatAudit]]: supervised fine-tuning computes loss on
     * ASSISTANT tokens only, so the packer needs each assistant turn's

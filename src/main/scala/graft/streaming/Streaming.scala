@@ -1865,6 +1865,87 @@ object Streaming {
     }
   }
 
+  /** Live cross-document sentence-dedup maintainer — the streaming
+    * twin of q309's `dedupLines ∘ uax29_sentences` chain (dedup
+    * against HISTORY is the production shape: new crawls arrive and
+    * must dedup against everything already ingested, not just their
+    * own batch): state is one row per DISTINCT sentence hash holding
+    * its keeper — the MIN (doc_id, pos) owner and the line — and min
+    * is additive over disjoint batches, so streamed == batch is
+    * STRUCTURAL. [[audit]] serves the surviving-sentence view per
+    * keeper doc (docs whose every sentence lost to history simply
+    * have no row — the batch operator's 0-kept rows). State bounded
+    * by distinct-sentence count, CHECKED against `maxDistinct` at
+    * serve time. */
+  final class SentenceDedupMaintainer(initial: DataFrame, idCol: String,
+                                      sentsCol: String,
+                                      maxDistinct: Long = 10000000L) {
+    private def hist(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(col(sentsCol)).as(Seq("pos", "line")))
+      .groupBy(md5_long(col("line")).as("__h"))
+      .agg(min(struct(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("line"))).as("first"))
+
+    private var state: DataFrame = hist(initial).localCheckpoint()
+
+    /** The surviving sentences per keeper doc, served from state:
+      * (doc_id, n_kept, dedup_text) — exactly the batch operator's
+      * rows for docs that kept at least one sentence. */
+    def audit(): DataFrame = synchronized {
+      graft.operators.Contracts.enforce(state,
+        graft.operators.Contracts.Bound(count(lit(1)),
+          _ <= maxDistinct, n =>
+            s"SentenceDedupMaintainer: $n distinct sentences exceed " +
+              s"the state contract ($maxDistinct) — shard the corpus " +
+              "or raise the bound"))
+      state
+        .groupBy(col("first.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("first.pos").as("pos"),
+              col("first.line").as("line")))),
+            x => x.getField("line")), "\n").as("dedup_text"))
+    }
+
+    /** Fold one micro-batch of (id, sentences) rows. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      state = state.unionByName(hist(batch))
+        .groupBy(col("__h")).agg(min(col("first")).as("first"))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per micro-batch. */
+    def attach(rows: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      rows.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the keeper state for
+      * [[SentenceDedupMaintainer.restore]]. */
+    def checkpoint(dir: String): Unit = synchronized {
+      state.write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  object SentenceDedupMaintainer {
+    /** Resume a [[SentenceDedupMaintainer.checkpoint]]. Configuration
+      * is not state — pass the SAME columns/bounds the original
+      * monitor ran with (the [[PsiMaintainer.restore]] contract). */
+    def restore(spark: SparkSession, dir: String, idCol: String,
+                sentsCol: String,
+                maxDistinct: Long = 10000000L): SentenceDedupMaintainer = {
+      val st = spark.read.parquet(dir)
+      val empty = st.limit(0)
+        .select(col("first.doc_id").as(idCol),
+          array().cast("array<string>").as(sentsCol))
+      val m = new SentenceDedupMaintainer(empty, idCol, sentsCol,
+        maxDistinct)
+      m.state = st.localCheckpoint()
+      m
+    }
+  }
+
   /** Live group-fairness monitor — the streaming twin of
     * [[graft.operators.Stats.fairnessAudit]] (q280), the
     * [[PrCurveMaintainer]] pattern over the per-group confusion

@@ -1074,6 +1074,55 @@ class StreamingSpec extends SparkTestBase {
       "restored audit != batch fairnessAudit of the accumulated rows")
   }
 
+  test("sentence-dedup maintainer serves batch dedup parity live " +
+    "(dedup against history), and checkpoint/restores") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(613)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    var nextId = 0L
+    def mkDocs(n: Int): Seq[(Long, Seq[String])] = (1 to n).map { _ =>
+      nextId += 1L
+      val sents = (0 to rnd.nextInt(3)).map(_ =>
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ") + ".")
+      (nextId, sents)
+    }
+    val hist = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[String])]
+    val m = new Streaming.SentenceDedupMaintainer(
+      hist.toSeq.toDF("id", "sents"), "id", "sents")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def expect() = served(TextAnalysis.dedupLines(
+        hist.toSeq.toDF("id", "sents"), "id", "sents")
+      .where(col("n_kept") > 0L))
+    (1 to 3).foreach { i =>
+      val b = mkDocs(12)
+      hist ++= b
+      m.applyBatch(b.toDF("id", "sents"))
+      assert(served(m.audit()) == expect(), s"audit after batch $i")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("sentdedupckpt").toString
+    m.checkpoint(dir)
+    val restored = Streaming.SentenceDedupMaintainer.restore(spark,
+      dir, "id", "sents")
+    val b4 = mkDocs(10)
+    hist ++= b4
+    m.applyBatch(b4.toDF("id", "sents"))
+    restored.applyBatch(b4.toDF("id", "sents"))
+    assert(served(restored.audit()) == served(m.audit()),
+      "restored monitor diverged from the live one")
+    assert(served(restored.audit()) == expect(),
+      "restored audit != batch dedupLines of the accumulated docs")
+    // state-bound contract fires at serve time
+    val tiny = new Streaming.SentenceDedupMaintainer(
+      hist.toSeq.toDF("id", "sents"), "id", "sents", maxDistinct = 2L)
+    val e = intercept[IllegalArgumentException] { tiny.audit() }
+    assert(e.getMessage.contains("SentenceDedupMaintainer"))
+  }
+
   test("sprt maintainer serves batch decisions live, flips to accept " +
     "as evidence accumulates, checkpoint/restores") {
     import graft.operators.Stats
