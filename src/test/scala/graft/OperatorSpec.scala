@@ -262,6 +262,44 @@ class OperatorSpec extends SparkTestBase {
       "NFC unifies the boilerplate - only the first doc keeps it")
   }
 
+  test("binarySpillAudit: uniform text pins entropy == lnq(k); spam " +
+    "and blobs trip their meters; sftResponseAudit echo extremes") {
+    import graft.operators.Validate
+    def lnq(x: Long) = BigDecimal(math.log(x.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = Seq(
+      (1L, "abcd" * 25),                        // uniform over 4 chars
+      (2L, "a" * 120),                          // entropy 0 -> spam
+      (3L, "QWERTYuiopASDFGhjkl+" * 3),         // 60-char base64 run
+      (4L, ""),
+      (5L, "the quick brown fox! jumps over lazy dogs again."))
+      .toDF("id", "text")
+    val got = TextAnalysis.binarySpillAudit(docs, "id", "text",
+        minEntropyMicro = 1000000L, maxEntropyMicro = 4000000L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+          r.getBoolean(5))).toMap
+    assert(got(1L)._1.contains(lnq(4L)), s"uniform-4 entropy ${got(1L)}")
+    assert(!got(1L)._3, "a 100-char unbroken alnum run IS a blob")
+    assert(got(5L)._3, "natural text must keep")
+    assert(got(2L)._1.contains(0L) && !got(2L)._3)
+    assert(got(3L)._2 == 60L && !got(3L)._3, "blob mass must reject")
+    assert(got(4L)._1.isEmpty && !got(4L)._3, "empty doc never keeps")
+    val convs = Seq(
+      (1L, Seq(("user", "tell me about spark"),
+        ("assistant", "spark about me tell"))),      // pure echo
+      (2L, Seq(("user", "what now"), ("assistant", "fresh words only"))))
+      .toDF("id", "turns")
+      .select(col("id"), expr(
+        "transform(turns, t -> struct(t._1 AS role, t._2 AS content))")
+        .as("turns"))
+    val aud = Validate.sftResponseAudit(convs, "id", "turns")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(aud(1L) == ((4L, 4L, 1000000L, 1000000L)))
+    assert(aud(2L)._4 == 0L)
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
