@@ -14572,6 +14572,73 @@ object Queries {
       |  CASE WHEN rd > 0 THEN hit * 1000000 // rd END AS echo_micro
       |FROM c""".stripMargin
 
+  /** MinHash banding S-curve sweep (Dedup.minhashBandRecallSweep):
+    * at a fixed 16-hash signature, candidate recall vs verification
+    * load across (16×1, 8×2, 4×4) bandings against the exact PPJoin
+    * truth — the dedup-side tuning readout (q308/q310's companion);
+    * 16×1 floods candidates at near-total recall, 4×4 is surgical
+    * but leaks. */
+  private def q326(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBandRecallSweep(t(s, dir, "documents"), "doc_id",
+      "text", shingleN = 3, threshold = 0.5)
+
+  private val q326Sql = {
+    val perms = minhashPerms(MinhashPermCount).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    val grid = Seq((16, 1), (8, 2), (4, 4))
+    val perCfg = grid.map { case (b, r) =>
+      s"""bands_${b}_$r AS (
+         |  SELECT doc_id, perm // $r AS band,
+         |    string_agg(sig, ',' ORDER BY perm) AS band_sig
+         |  FROM sigs GROUP BY doc_id, perm // $r),
+         |cand_${b}_$r AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands_${b}_$r a JOIN bands_${b}_$r b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig
+         |      AND a.doc_id < b.doc_id),
+         |row_${b}_$r AS (
+         |  SELECT CAST($b AS BIGINT) AS n_bands,
+         |    CAST($r AS BIGINT) AS rows_per_band,
+         |    CAST(${b * r} AS BIGINT) AS n_perms,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand_${b}_$r)
+         |      AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN cand_${b}_$r c ON c.id_a = t.id_a
+         |       AND c.id_b = t.id_b) AS n_hit,
+         |    CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+         |      (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |       JOIN cand_${b}_$r c ON c.id_a = t.id_a
+         |         AND c.id_b = t.id_b) * 1000000
+         |        // (SELECT CAST(count(*) AS BIGINT) FROM truth) END
+         |      AS recall_micro)""".stripMargin
+    }.mkString(",\n")
+    val unioned = grid.map { case (b, r) => s"SELECT * FROM row_${b}_$r" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+       |h AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    x -> ${md5LongSql("x")}) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5),
+       |perms(perm, pa, pb) AS (VALUES $perms),
+       |sigs AS (
+       |  SELECT sh.doc_id, p.perm,
+       |    list_min(list_transform(sh.shingles,
+       |      x -> (p.pa * (${md5LongSql("x")} % 2147483647) + p.pb) % 2147483647)) AS sig
+       |  FROM sh CROSS JOIN perms p
+       |  WHERE len(sh.shingles) > 0),
+       |$perCfg
+       |$unioned""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14902,5 +14969,6 @@ object Queries {
     "q322_multilingual_e2e" -> Q(q322, Some(q322Sql)),
     "q323_binary_spill" -> Q(q323, Some(q323Sql)),
     "q324_split_leakage" -> Q(q324, Some(q324Sql)),
-    "q325_sft_response_audit" -> Q(q325, Some(q325Sql)))
+    "q325_sft_response_audit" -> Q(q325, Some(q325Sql)),
+    "q326_band_recall_sweep" -> Q(q326, Some(q326Sql)))
 }

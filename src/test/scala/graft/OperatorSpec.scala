@@ -300,6 +300,23 @@ class OperatorSpec extends SparkTestBase {
     assert(aud(2L)._4 == 0L)
   }
 
+  test("minhashBandRecallSweep: finer banding never adds candidates " +
+    "or recall; the exact-dup pair is caught by every configuration") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = ((1 to 20).map(i => (i.toLong,
+      s"completely unrelated filler document number $i with words")) ++
+      Seq((100L, text), (101L, text))).toDF("id", "text")
+    val got = Dedup.minhashBandRecallSweep(df, "id", "text",
+        shingleN = 3, threshold = 0.9)
+      .orderBy(col("rows_per_band")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._3).distinct.toSeq == Seq(1L), "one true pair")
+    assert(got.forall(_._5 == 1L), "the exact dup collides everywhere")
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+      s"candidate count must fall with finer banding: ${got.toSeq}")
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
