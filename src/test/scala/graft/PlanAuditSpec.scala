@@ -862,6 +862,46 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!sb.contains("Exchange") && !sb.contains("Generate"),
       s"stripBoilerplate must stay map-only, explode-free:\n$sb")
+    // round-14 second wave: every per-doc audit is a pure projection
+    // — map-only, explode-free, join-free (the q282 discipline)
+    import graft.operators.Validate
+    Seq(
+      "nfcAudit" -> TextAnalysis.nfcAudit(docs, "id", "text"),
+      "fimTransform" -> TextAnalysis.fimTransform(docs, "id", "text"),
+      "codeQualityProfile" ->
+        TextAnalysis.codeQualityProfile(docs, "id", "text"),
+      "binarySpillAudit" ->
+        TextAnalysis.binarySpillAudit(docs, "id", "text")
+    ).foreach { case (name, df) =>
+      val pl = df.queryExecution.executedPlan.toString
+      assert(!pl.contains("Exchange") && !pl.contains("Window") &&
+        !pl.contains("Join") && !pl.contains("Generate"),
+        s"$name must stay map-only:\n$pl")
+    }
+    // tokenFertility: exactly ONE map-side-combining aggregation, no
+    // window, no join
+    val tf = TextAnalysis.tokenFertility(
+        docs.select(col("text"), (col("id") % 3).as("src")),
+        "src", "text")
+      .queryExecution.executedPlan.toString
+    assert(!tf.contains("Window") && !tf.contains("Join"),
+      s"tokenFertility must not window or join:\n$tf")
+    // sftResponseAudit / dialogueFormatAudit: per-row HOFs over the
+    // turn array — map-only
+    val convs = spark.range(100).select(col("id"), expr(
+      "array(struct('user' AS role, 'hi there' AS content), " +
+        "struct('assistant' AS role, 'yo' AS content))").as("turns"))
+    Seq(
+      "dialogueFormatAudit" ->
+        Validate.dialogueFormatAudit(convs, "id", "turns"),
+      "sftResponseAudit" ->
+        Validate.sftResponseAudit(convs, "id", "turns")
+    ).foreach { case (name, df) =>
+      val pl = df.queryExecution.executedPlan.toString
+      assert(!pl.contains("Exchange") && !pl.contains("Window") &&
+        !pl.contains("Join"),
+        s"$name must stay map-only:\n$pl")
+    }
     val uw = TextAnalysis.unicodeWordProfile(docs, "id", "text")
       .queryExecution.executedPlan.toString
     assert(!uw.contains("Exchange") && !uw.contains("Window") &&
