@@ -14639,6 +14639,59 @@ object Queries {
        |$unioned""".stripMargin
   }
 
+  /** Luhn-validated payment-card audit (TextAnalysis.luhnCardAudit):
+    * every 6th document embeds a Luhn-VALID card number, every 7th a
+    * 16-digit number that fails the checksum, every 4th a 10-digit
+    * order id (not card length) — the audit must count candidates vs
+    * valid cards exactly, the precision upgrade over q44's
+    * pattern-only scan. */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(col("text"),
+      when(pmod(col("doc_id"), lit(6L)) === 0L,
+        lit(" card 4532015112830366 on file")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        lit(" ref 4532015112830367 noted")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0L,
+        lit(" order 1234567890")).otherwise(lit("")))
+    TextAnalysis.luhnCardAudit(
+      t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  private val q327Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text
+      |    || (CASE WHEN doc_id % 6 = 0
+      |        THEN ' card 4532015112830366 on file' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |        THEN ' ref 4532015112830367 noted' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0
+      |        THEN ' order 1234567890' ELSE '' END) AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS runs
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, runs,
+      |    list_filter(runs, x -> len(x) >= 13 AND len(x) <= 19)
+      |      AS cands
+      |  FROM r),
+      |v AS (
+      |  SELECT doc_id, runs, cands,
+      |    list_filter(cands, x ->
+      |      list_sum([CASE WHEN j % 2 = 0 THEN
+      |          CASE WHEN CAST(x[len(x)-j+1] AS INTEGER) * 2 > 9
+      |            THEN CAST(x[len(x)-j+1] AS INTEGER) * 2 - 9
+      |            ELSE CAST(x[len(x)-j+1] AS INTEGER) * 2 END
+      |        ELSE CAST(x[len(x)-j+1] AS INTEGER) END
+      |        for j in range(1, len(x) + 1)]) % 10 = 0) AS valid
+      |  FROM c)
+      |SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+      |  len(valid) > 0 AS has_card
+      |FROM v""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -14970,5 +15023,6 @@ object Queries {
     "q323_binary_spill" -> Q(q323, Some(q323Sql)),
     "q324_split_leakage" -> Q(q324, Some(q324Sql)),
     "q325_sft_response_audit" -> Q(q325, Some(q325Sql)),
-    "q326_band_recall_sweep" -> Q(q326, Some(q326Sql)))
+    "q326_band_recall_sweep" -> Q(q326, Some(q326Sql)),
+    "q327_luhn_card_audit" -> Q(q327, Some(q327Sql)))
 }

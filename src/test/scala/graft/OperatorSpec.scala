@@ -317,6 +317,23 @@ class OperatorSpec extends SparkTestBase {
       s"candidate count must fall with finer banding: ${got.toSeq}")
   }
 
+  test("luhnCardAudit: checksum separates real card numbers from " +
+    "same-length junk; short runs are never candidates") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 or 4532015112830366 today"), // 2 valid
+      (2L, "ref 4532015112830367 is not a card"),             // bad sum
+      (3L, "order 1234567890 and zip 94110"),                 // short runs
+      (4L, "")).toDF("id", "text")
+    val got = TextAnalysis.luhnCardAudit(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 2L, true)))
+    assert(got(2L) == ((1L, 1L, 0L, false)))
+    assert(got(3L) == ((2L, 0L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 0L, false)))
+  }
+
   test("dropCrossDocParagraphs drops boilerplate everywhere, keeps within-doc repeats") {
     val df = Seq(
       (1L, Seq("shared footer", "unique a")),
