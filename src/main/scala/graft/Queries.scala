@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.operators._
+import graft.sources.Warc
 
 /** The engine's operator surface wired to the driver's correctness harness:
   * one query per SURVEY.md §2 operator, each paired (where SQL-expressible)
@@ -14105,8 +14106,9 @@ object Queries {
     * become chat transcripts — optional system turn, then user/
     * assistant exchanges — with planted violations (every 7th doc
     * doubles a user turn, every 11th ends on user, every 13th blanks
-    * an assistant content); the audit must flag exactly those and
-    * validate the rest. */
+    * an assistant content, every 17th NULLs one — NULL content must
+    * count as empty, not slip through a NULL filter predicate); the
+    * audit must flag exactly those and validate the rest. */
   private def q319(s: SparkSession, dir: String): DataFrame = {
     def turn(role: String, content: Column) =
       struct(lit(role).as("role"), content.as("content"))
@@ -14114,6 +14116,8 @@ object Queries {
     val u1 = turn("user", substring(col("text"), 1, 40))
     val a1 = turn("assistant",
       when(pmod(col("doc_id"), lit(13L)) === 0L, lit("  "))
+        .when(pmod(col("doc_id"), lit(17L)) === 0L,
+          lit(null).cast("string"))
         .otherwise(col("source")))
     val u2 = turn("user", substring(col("text"), 41, 40))
     val a2 = turn("assistant", lit("done"))
@@ -14138,7 +14142,8 @@ object Queries {
       |       struct_pack(role := 'user', content := text[1:40]),
       |       struct_pack(role := 'user', content := text[1:40]),
       |       struct_pack(role := 'assistant', content :=
-      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |         CASE WHEN doc_id % 13 = 0 THEN '  '
+           WHEN doc_id % 17 = 0 THEN NULL ELSE source END),
       |       struct_pack(role := 'user', content := text[41:80]),
       |       struct_pack(role := 'assistant', content := 'done')]
       |    WHEN doc_id % 11 = 0 THEN
@@ -14146,20 +14151,23 @@ object Queries {
       |         content := 'You are a helpful assistant.'),
       |       struct_pack(role := 'user', content := text[1:40]),
       |       struct_pack(role := 'assistant', content :=
-      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |         CASE WHEN doc_id % 13 = 0 THEN '  '
+           WHEN doc_id % 17 = 0 THEN NULL ELSE source END),
       |       struct_pack(role := 'user', content := text[41:80])]
       |    WHEN doc_id % 2 = 0 THEN
       |      [struct_pack(role := 'system',
       |         content := 'You are a helpful assistant.'),
       |       struct_pack(role := 'user', content := text[1:40]),
       |       struct_pack(role := 'assistant', content :=
-      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END),
+      |         CASE WHEN doc_id % 13 = 0 THEN '  '
+           WHEN doc_id % 17 = 0 THEN NULL ELSE source END),
       |       struct_pack(role := 'user', content := text[41:80]),
       |       struct_pack(role := 'assistant', content := 'done')]
       |    ELSE
       |      [struct_pack(role := 'user', content := text[1:40]),
       |       struct_pack(role := 'assistant', content :=
-      |         CASE WHEN doc_id % 13 = 0 THEN '  ' ELSE source END)]
+      |         CASE WHEN doc_id % 13 = 0 THEN '  '
+           WHEN doc_id % 17 = 0 THEN NULL ELSE source END)]
       |    END AS turns
       |  FROM documents),
       |r AS (
@@ -14182,7 +14190,8 @@ object Queries {
       |      ELSE false END AS alternates,
       |    coalesce(roles[-1] = 'assistant', false) AS ends_assistant,
       |    CAST(len(list_filter(turns,
-      |      t -> len(trim(t.content, ' ')) = 0)) AS BIGINT) AS n_empty
+      |      t -> coalesce(len(trim(t.content, ' ')), 0) = 0)) AS BIGINT)
+      |      AS n_empty
       |  FROM r)
       |SELECT doc_id, n AS n_turns, has_system, head_ok, alternates,
       |  ends_assistant, n_empty,
@@ -14692,6 +14701,217 @@ object Queries {
       |  len(valid) > 0 AS has_card
       |FROM v""".stripMargin
 
+  /** Margin-based bitext mining over an IVF-ranked kNN source
+    * (Similarity.marginBitextMineFromTopK ∘ Similarity.ivfTopK): the
+    * q313 miner re-run with the INDEX as its top-k supplier — the
+    * corpus×corpus scale path, where neither side broadcasts whole
+    * (only the bounded probe set does, and every join is an
+    * equi-join; PlanAuditSpec pins the no-nested-loop shape). Each
+    * direction ranks its queries over the OTHER side's IVF cells
+    * (centroids seeded from that side's 8 lowest-id vectors, nProbe=2,
+    * k=4); the oracle replays cell assignment, probing, ranking and
+    * the cross-multiplied integral margin exactly. */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val xs = emb.where(pmod(col("vec_id"), lit(2L)) === 0L)
+    val ys = emb.where(pmod(col("vec_id"), lit(2L)) === 1L)
+    Similarity.marginBitextMineFromTopK(
+      Similarity.ivfTopK(ys, xs, k = 4, nCells = 8, nProbe = 2),
+      Similarity.ivfTopK(xs, ys, k = 4, nCells = 8, nProbe = 2),
+      thresholdMicro = 1100000L)
+  }
+
+  private val q328Sql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    // IVF top-k of `qs` queries over the `cs` corpus (centroids = the
+    // corpus's 8 lowest-id vectors, assignment ties keep the EARLIEST
+    // centroid, probe ties the HIGHEST — the q39 replay), k=4,
+    // nProbe=2, parameterized per mining direction.
+    def ivfTopk(qs: String, cs: String, tag: String) =
+      s"""cent$tag AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v AS cv
+         |  FROM (SELECT vec_id, v FROM $cs ORDER BY vec_id LIMIT 8)),
+         |vc$tag AS (
+         |  SELECT e.vec_id, c.i,
+         |    ${dot("e.v", "c.cv")}
+         |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS s
+         |  FROM $cs e CROSS JOIN cent$tag c),
+         |asg$tag AS (
+         |  SELECT vec_id, i AS cell FROM (
+         |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, i ASC) AS rn
+         |    FROM vc$tag) WHERE rn = 1),
+         |qc$tag AS (
+         |  SELECT e.vec_id, c.i,
+         |    ${dot("e.v", "c.cv")}
+         |      / (sqrt(${dot("e.v", "e.v")}) * sqrt(${dot("c.cv", "c.cv")})) AS s
+         |  FROM $qs e CROSS JOIN cent$tag c),
+         |prb$tag AS (
+         |  SELECT vec_id AS query_id, i AS cell FROM (
+         |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, i DESC) AS rn
+         |    FROM qc$tag) WHERE rn <= 2),
+         |$tag AS (
+         |  SELECT query_id, cand_id, c, rn FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      CAST(round(round($cosSqlAB, 6) * 1000000.0) AS BIGINT)
+         |        AS c,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM prb$tag p
+         |    JOIN $qs a ON a.vec_id = p.query_id
+         |    JOIN asg$tag g ON g.cell = p.cell
+         |    JOIN $cs b ON b.vec_id = g.vec_id
+         |      AND b.vec_id != p.query_id)
+         |  WHERE rn <= 4)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |${ivfTopk("xs", "ys", "xy")},
+       |${ivfTopk("ys", "xs", "yx")},
+       |sx AS (SELECT query_id AS x_id, CAST(sum(c) AS BIGINT) AS sx,
+       |         CAST(count(*) AS BIGINT) AS nx FROM xy GROUP BY 1),
+       |sy AS (SELECT query_id AS y_id, CAST(sum(c) AS BIGINT) AS sy,
+       |         CAST(count(*) AS BIGINT) AS ny FROM yx GROUP BY 1),
+       |best AS (
+       |  SELECT a.query_id AS x_id, a.cand_id AS y_id, a.c
+       |  FROM (SELECT * FROM xy WHERE rn = 1) a
+       |  JOIN (SELECT * FROM yx WHERE rn = 1) b
+       |    ON b.query_id = a.cand_id AND b.cand_id = a.query_id),
+       |m AS (
+       |  SELECT best.x_id, best.y_id, best.c AS cos_micro,
+       |    CASE WHEN (sx.sx * sy.ny + sy.sy * sx.nx) > 0
+       |           AND best.c >= 0
+       |      THEN (2 * best.c * sx.nx * sy.ny * 1000000)
+       |             // (sx.sx * sy.ny + sy.sy * sx.nx) END
+       |      AS margin_micro
+       |  FROM best JOIN sx USING (x_id) JOIN sy USING (y_id))
+       |SELECT x_id, y_id, cos_micro, margin_micro,
+       |  coalesce(margin_micro >= 1100000, false) AS mined
+       |FROM m""".stripMargin
+  }
+
+  /** WARC ingest (Warc.records): the documents table is serialized
+    * into ONE ISO 28500 WARC stream with planted damage — every 19th
+    * record a bad version line (the whole record becomes one corrupt
+    * resync span), every 13th followed by a garbage blob (its own
+    * corrupt row), every 11th missing the mandatory WARC-Date
+    * (missing_required, fields still captured), and the LAST record
+    * declares a Content-Length past EOF (the TRUNCATED stop). The
+    * engine PARSES the stream byte-for-byte; the oracle never parses —
+    * it constructs the expected rows ANALYTICALLY (offsets are
+    * cumulative octet sums over doc order, corrupt snippets are
+    * substrings of the segments it built), so the two sides agree only
+    * if the walker's framing, offsets, statuses and snippets are all
+    * exact. */
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    val crlf = "\r\n"
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("__m"))
+    val tl = length(col("text")).cast("long") // ASCII fixture: chars == octets
+    val headCommon = concat(
+      lit("WARC-Type: response" + crlf),
+      lit("WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(">" + crlf),
+      when(pmod(col("doc_id"), lit(11L)) === 0L, lit(""))
+        .otherwise(lit("WARC-Date: 2024-01-01T00:00:00Z" + crlf)),
+      lit("WARC-Target-URI: http://example.org/doc/"), col("doc_id"),
+      lit(crlf), lit("Content-Type: text/plain" + crlf))
+    val seg = when(col("doc_id") === col("__m"),
+      concat(lit("WARC/1.0" + crlf), headCommon,
+        lit("Content-Length: "), tl + 999L, lit(crlf + crlf),
+        col("text")))
+      .otherwise(concat(
+        when(pmod(col("doc_id"), lit(19L)) === 0L, lit("WARC/oops" + crlf))
+          .otherwise(lit("WARC/1.0" + crlf)),
+        headCommon,
+        lit("Content-Length: "), tl, lit(crlf + crlf),
+        col("text"), lit(crlf + crlf),
+        when(pmod(col("doc_id"), lit(13L)) === 0L,
+          concat(lit("%%NOISE "), col("doc_id"), lit("%%" + crlf)))
+          .otherwise(lit(""))))
+    val stream = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"), seg.as("__seg"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("__seg")))),
+        x => x.getField("__seg")), "").as("__s"))
+    Warc.records(stream.select(lit("fixture.warc").as("path"),
+        col("__s").cast("binary").as("content")))
+      .select(col("rec_offset"), col("warc_type"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("content_type"),
+        col("content_length"),
+        col("payload").cast("string").as("payload_text"),
+        col("_status").as("status"), col("_raw").as("raw"))
+  }
+
+  private val q329Sql: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |base AS (
+       |  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS tl, m,
+       |    'WARC-Type: response' || $crlf
+       |    || 'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR)
+       |      || '>' || $crlf
+       |    || (CASE WHEN doc_id % 11 = 0 THEN ''
+       |        ELSE 'WARC-Date: 2024-01-01T00:00:00Z' || $crlf END)
+       |    || 'WARC-Target-URI: http://example.org/doc/'
+       |      || CAST(doc_id AS VARCHAR) || $crlf
+       |    || 'Content-Type: text/plain' || $crlf AS head
+       |  FROM documents CROSS JOIN mx),
+       |segs AS (
+       |  SELECT doc_id, text, tl, m,
+       |    CASE WHEN doc_id = m THEN
+       |      'WARC/1.0' || $crlf || head
+       |      || 'Content-Length: ' || CAST(tl + 999 AS VARCHAR)
+       |      || $crlf || $crlf || text
+       |    ELSE
+       |      (CASE WHEN doc_id % 19 = 0 THEN 'WARC/oops'
+       |       ELSE 'WARC/1.0' END) || $crlf || head
+       |      || 'Content-Length: ' || CAST(tl AS VARCHAR)
+       |      || $crlf || $crlf || text || $crlf || $crlf
+       |      || (CASE WHEN doc_id % 13 = 0 THEN
+       |            '%%NOISE ' || CAST(doc_id AS VARCHAR) || '%%' || $crlf
+       |          ELSE '' END)
+       |    END AS seg,
+       |    CASE WHEN doc_id % 13 = 0 AND doc_id != m THEN
+       |      '%%NOISE ' || CAST(doc_id AS VARCHAR) || '%%' || $crlf
+       |    ELSE '' END AS blob
+       |  FROM base),
+       |offs AS (
+       |  SELECT doc_id, text, tl, m, seg, blob,
+       |    CAST(coalesce(sum(strlen(seg)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM segs)
+       |SELECT off AS rec_offset, 'response' AS warc_type,
+       |  '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       |  'http://example.org/doc/' || CAST(doc_id AS VARCHAR)
+       |    AS target_uri,
+       |  CASE WHEN doc_id % 11 = 0 THEN NULL
+       |    ELSE '2024-01-01T00:00:00Z' END AS warc_date,
+       |  'text/plain' AS content_type, tl AS content_length,
+       |  text AS payload_text,
+       |  CASE WHEN doc_id % 11 = 0 THEN 'missing_required'
+       |    ELSE 'ok' END AS status,
+       |  CAST(NULL AS VARCHAR) AS raw
+       |FROM offs WHERE doc_id != m AND doc_id % 19 != 0
+       |UNION ALL
+       |SELECT CAST(off + strlen(seg) - strlen(blob) AS BIGINT),
+       |  NULL, NULL, NULL, NULL, NULL,
+       |  CAST(NULL AS BIGINT), NULL, 'corrupt', blob
+       |FROM offs WHERE doc_id != m AND doc_id % 19 != 0
+       |  AND doc_id % 13 = 0
+       |UNION ALL
+       |SELECT off, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT),
+       |  NULL, 'corrupt', substr(seg, 1, 120)
+       |FROM offs WHERE doc_id != m AND doc_id % 19 = 0
+       |UNION ALL
+       |SELECT off, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS BIGINT),
+       |  NULL, 'corrupt', 'TRUNCATED'
+       |FROM offs WHERE doc_id = m""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -15024,5 +15244,7 @@ object Queries {
     "q324_split_leakage" -> Q(q324, Some(q324Sql)),
     "q325_sft_response_audit" -> Q(q325, Some(q325Sql)),
     "q326_band_recall_sweep" -> Q(q326, Some(q326Sql)),
-    "q327_luhn_card_audit" -> Q(q327, Some(q327Sql)))
+    "q327_luhn_card_audit" -> Q(q327, Some(q327Sql)),
+    "q328_margin_mining_ivf" -> Q(q328, Some(q328Sql)),
+    "q329_warc_ingest" -> Q(q329, Some(q329Sql)))
 }

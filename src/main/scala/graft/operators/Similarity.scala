@@ -1068,31 +1068,41 @@ object Similarity {
     * int64 terms (2·c·n_x·n_y·10⁶ / (s_x·n_y + s_y·n_x)); a
     * non-positive denominator or negative best-cosine yields NULL
     * margin (the criterion is meaningless there, and floor-vs-trunc
-    * integer division diverges across engines on negatives). The two
-    * id sets are CHECKED disjoint — brute search excludes
-    * cand_id == query_id, so a shared id would silently mask its own
-    * best match.
+    * integer division diverges across engines on negatives).
     *
-    * Scale shape: two [[bruteForceTopK]] passes (the honest audit/
-    * mining shape on bounded sides; swap in [[ivfTopK]] upstream for
-    * corpus-scale candidates), two bounded groupBys over k-row
-    * neighborhoods, one mutual-best equi-join.
+    * Scale shape: the miner is PARAMETERIZED over its kNN source — it
+    * consumes two pre-ranked top-k tables in the [[bruteForceTopK]]
+    * schema (query_id, cand_id, cos_sim, rank), so the same
+    * composition runs over brute passes on bounded sides
+    * ([[marginBitextMine]], the audit form) or over [[ivfTopK]] /
+    * [[lshTopK]] ranked tables at corpus×corpus scale (the
+    * [[reciprocalPairs]] stance: "any ranked top-k table"). The miner
+    * itself is two bounded groupBys over ≤1000-row neighborhoods
+    * (CHECKED — the cross-multiplied margin stays int64-exact) plus
+    * one mutual-best equi-join; rank-1 uniqueness per query is
+    * CHECKED on both sides (a duplicated rank 1 would fabricate
+    * pairs).
     * Output: (x_id, y_id, cos_micro, margin_micro, mined). */
-  def marginBitextMine(xs: DataFrame, ys: DataFrame, k: Int,
-                       thresholdMicro: Long): DataFrame = {
-    require(k >= 1 && k <= 100,
-      s"marginBitextMine: k must be in [1, 100], got $k")
-    val shared = xs.select(col("vec_id"))
-      .join(ys.select(col("vec_id")), "vec_id")
-    Contracts.enforce(shared.agg(count(lit(1)).as("__n")),
-      Contracts.Bound(sum(col("__n")), _ == 0L, n =>
-        s"marginBitextMine: $n vec_ids appear in BOTH sets — brute " +
-          "search would silently mask their own best matches; re-key " +
-          "one side"))
-    def micro(df: DataFrame) = df.withColumn("c",
-      round(col("cos_sim") * 1000000.0).cast("long"))
-    val xy = micro(bruteForceTopK(ys, xs, k)).localCheckpoint()
-    val yx = micro(bruteForceTopK(xs, ys, k)).localCheckpoint()
+  def marginBitextMineFromTopK(xy0: DataFrame, yx0: DataFrame,
+                               thresholdMicro: Long): DataFrame = {
+    def micro(df: DataFrame, side: String) = {
+      val m = df.select(col("query_id"), col("cand_id"), col("rank"),
+          round(col("cos_sim") * 1000000.0).cast("long").as("c"))
+        .localCheckpoint()
+      Contracts.enforce(
+        m.groupBy(col("query_id")).agg(count(lit(1)).as("__k"),
+          sum(when(col("rank") === 1, 1L).otherwise(0L)).as("__r1")),
+        Contracts.Bound(max(col("__r1")), _ <= 1L, n =>
+          s"marginBitextMineFromTopK: a $side query carries $n rank-1 " +
+            "rows — the kNN source must rank uniquely per query"),
+        Contracts.Bound(max(col("__k")), _ <= 1000L, n =>
+          s"marginBitextMineFromTopK: a $side query carries $n ranked " +
+            "rows — neighborhoods are bounded at 1000 so the " +
+            "cross-multiplied margin stays int64-exact"))
+      m
+    }
+    val xy = micro(xy0, "x-side")
+    val yx = micro(yx0, "y-side")
     val sx = xy.groupBy(col("query_id").as("x_id"))
       .agg(sum(col("c")).as("sx"), count(lit(1)).as("nx"))
     val sy = yx.groupBy(col("query_id").as("y_id"))
@@ -1112,6 +1122,45 @@ object Similarity {
           .otherwise(lit(null).cast("long")).as("margin_micro"))
       .withColumn("mined",
         coalesce(col("margin_micro") >= thresholdMicro, lit(false)))
+  }
+
+  /** The brute-backed form of [[marginBitextMineFromTopK]]: two
+    * [[bruteForceTopK]] passes feed the miner — the honest audit shape
+    * for BOUNDED sides. Both sides are broadcast once each (xs as the
+    * x→y query set, ys as the y→x query set), so BOTH are CHECKED
+    * ≤ maxBroadcastRows in one job alongside the id-disjointness
+    * contract (brute search excludes cand_id == query_id, so a shared
+    * id would silently mask its own best match). At corpus×corpus
+    * bitext scale, neither side is broadcastable — rank with
+    * [[ivfTopK]] (or any index producing the (query_id, cand_id,
+    * cos_sim, rank) schema) and call the FromTopK form directly. */
+  def marginBitextMine(xs: DataFrame, ys: DataFrame, k: Int,
+                       thresholdMicro: Long,
+                       maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 100,
+      s"marginBitextMine: k must be in [1, 100], got $k")
+    val tagged = xs.select(col("vec_id"), lit(1L).as("__x"), lit(0L).as("__y"))
+      .unionByName(
+        ys.select(col("vec_id"), lit(0L).as("__x"), lit(1L).as("__y")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("__x")).as("__nx"), sum(col("__y")).as("__ny"))
+      .localCheckpoint()
+    Contracts.enforce(tagged,
+      Contracts.Bound(sum(when(col("__nx") > 0L && col("__ny") > 0L, 1L)
+        .otherwise(0L)), _ == 0L, n =>
+        s"marginBitextMine: $n vec_ids appear in BOTH sets — brute " +
+          "search would silently mask their own best matches; re-key " +
+          "one side"),
+      Contracts.Bound(sum(col("__nx")), _ <= maxBroadcastRows, n =>
+        s"marginBitextMine: the x side holds $n rows, exceeding the " +
+          s"broadcast contract (maxBroadcastRows=$maxBroadcastRows) — " +
+          "rank with ivfTopK and call marginBitextMineFromTopK"),
+      Contracts.Bound(sum(col("__ny")), _ <= maxBroadcastRows, n =>
+        s"marginBitextMine: the y side holds $n rows, exceeding the " +
+          s"broadcast contract (maxBroadcastRows=$maxBroadcastRows) — " +
+          "rank with ivfTopK and call marginBitextMineFromTopK"))
+    marginBitextMineFromTopK(bruteForceTopK(ys, xs, k),
+      bruteForceTopK(xs, ys, k), thresholdMicro)
   }
 
   /** DIMENSION-BUDGET RECALL SWEEP — the Matryoshka-truncation audit

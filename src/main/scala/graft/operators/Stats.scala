@@ -2464,9 +2464,12 @@ object Stats {
     * (the absent-value tail in closed form — no class×value cross
     * join), formed in decimal(38,0) and floored ONCE to micro units
     * by integral division. NULL sensitive values are REJECTED loudly
-    * (a NULL category silently drops from equi-joins — encode
-    * explicitly first); NULL quasi values keep groupBy semantics.
-    * Sensitive cardinality is CHECKED ≤ 10⁶ (the global value table
+    * (a NULL category silently drops from the distribution joins —
+    * encode explicitly first); NULL quasi values keep groupBy
+    * semantics END TO END — the cells↔sizes join is NULL-SAFE (`<=>`
+    * per quasi column), so a class keyed by a NULL quasi value is
+    * audited like any other instead of silently dropping. Sensitive
+    * cardinality is CHECKED ≤ 10⁶ (the global value table
     * broadcasts).
     *
     * Scale shape: one aggregation to the (class, value) cell table,
@@ -2497,10 +2500,19 @@ object Stats {
         s"tClosenessProfile: $v distinct sensitive values exceed the " +
           "broadcastable global-table contract (1e6)"))
     val nRow = glob.agg(sum(col("__g")).as("__tot"))
+    // NULL-SAFE class-size join: usingColumns equality would drop any
+    // class with a NULL quasi value (groupBy kept it; the join must
+    // too) — rename the size side and join on <=> per quasi column,
+    // which Catalyst still plans as a hash-join key.
     val sizes = cells.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__c")).as("__n"))
+      .select((quasiCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__k$i") } :+ col("__n")): _*)
+    val sizeCond = quasiCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") }.reduce(_ && _)
     val perClass = cells
-      .join(sizes, quasiCols)
+      .join(sizes, sizeCond)
+      .drop(quasiCols.indices.map(i => s"__k$i"): _*)
       .join(broadcast(glob), "__v")
       .crossJoin(broadcast(nRow))
       .groupBy(quasiCols.map(col): _*)
@@ -2542,9 +2554,17 @@ object Stats {
     * emd_micro = ⌊10⁶·Σ|cum| / (n·N·(m−1))⌋. The final cumulative is
     * identically 0 (both sides sum to n·N), so summing all m ranks
     * equals the i<m definition exactly. NULL or non-integral
-    * sensitive values are REJECTED loudly; m is CHECKED ≤ 64 (the
-    * class×rank grid and the broadcast value list stay bounded);
-    * m ≥ 2 required (EMD over one value is undefined).
+    * sensitive values are REJECTED loudly — non-integral by a CAST
+    * ROUNDTRIP check (ANSI cast("long") TRUNCATES fractional numerics
+    * rather than erroring, so 2.7 would silently band as 2; the
+    * contract compares value == cast(cast(value as long) as
+    * original-type) and raises on any mismatch). NULL quasi values
+    * keep groupBy semantics END TO END: the grid's cells join is
+    * NULL-SAFE (`<=>` per quasi column), so a NULL-keyed class scores
+    * with its true counts instead of an all-zero (EMD-inflating) row.
+    * m is CHECKED ≤ 64 (the class×rank grid and the broadcast value
+    * list stay bounded); m ≥ 2 required (EMD over one value is
+    * undefined).
     *
     * Scale shape: one aggregation to the (class, value) cells, a
     * broadcast of the ≤64-row global value table to build the
@@ -2558,18 +2578,34 @@ object Stats {
     require(tMicro >= 0L && tMicro <= 1000000L,
       s"tClosenessOrdered: tMicro must be in [0, 1e6], got $tMicro")
     val dec = "decimal(38,0)"
+    // Non-integral detection must be a ROUNDTRIP, not a cast: ANSI
+    // cast(2.7 as long) truncates to 2 (only overflow errors), so a
+    // fractional band would silently merge into the wrong rank.
+    // Integral-typed inputs roundtrip by construction; for the rest,
+    // value != cast(cast(value as long) as T) is exact (an integral
+    // double d has (double)(long)d == d bit-for-bit).
+    val sT = df.schema(sensitiveCol).dataType
+    val nonIntegral = sT match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => lit(false)
+      case _ => col(sensitiveCol).isNotNull &&
+        !(col(sensitiveCol).cast("long").cast(sT) <=> col(sensitiveCol))
+    }
     val cells = df
       .groupBy((quasiCols.map(col) :+
         col(sensitiveCol).cast("long").as("__v")): _*)
       .agg(count(lit(1)).as("__c"),
-        sum(when(col(sensitiveCol).isNull, 1L).otherwise(0L))
-          .as("__bad"))
+        sum(when(col(sensitiveCol).isNull || nonIntegral, 1L)
+          .otherwise(0L)).as("__bad"))
       .localCheckpoint()
     Contracts.enforce(cells,
       Contracts.Bound(sum(col("__bad")) +
         sum(when(col("__v").isNull, 1L).otherwise(0L)), _ == 0L, b =>
         s"tClosenessOrdered: $b cells carry NULL or non-integral " +
-          "sensitive values — band/encode them explicitly first"))
+          "sensitive values (fractional values do NOT truncate-band; " +
+          "they reject) — band/encode them explicitly first"))
     val glob = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__g"))
       .localCheckpoint()
     val m = Contracts.enforce(glob,
@@ -2579,11 +2615,19 @@ object Stats {
     val nRow = glob.agg(sum(col("__g")).as("__tot"))
     val sizes = cells.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__c")).as("__n"))
-    // class × rank grid: every class meets every global value
+    // class × rank grid: every class meets every global value. The
+    // cells join is NULL-SAFE on the quasi columns — a usingColumns
+    // left join would never match a NULL quasi key, leaving that
+    // class with all-zero counts (a falsely extreme EMD).
+    val cellsR = cells.select((quasiCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__k$i") } :+ col("__v").as("__vv") :+ col("__c")): _*)
+    val gridCond = (quasiCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__k$i") } :+
+      (col("__v") === col("__vv"))).reduce(_ && _)
     val grid = sizes
       .crossJoin(broadcast(glob))
-      .join(cells.select((quasiCols.map(col) :+ col("__v") :+
-        col("__c")): _*), quasiCols :+ "__v", "left")
+      .join(cellsR, gridCond, "left")
+      .drop((quasiCols.indices.map(i => s"__k$i") :+ "__vv"): _*)
       .crossJoin(broadcast(nRow))
       .select((quasiCols.map(col) :+ col("__n") :+ col("__tot") :+
         col("__v") :+

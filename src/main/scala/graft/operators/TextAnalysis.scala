@@ -2961,7 +2961,16 @@ object TextAnalysis {
     * maxDocsPerKey is 20k (≤ 2·10⁸ comparisons worst case, bounded
     * seconds); raise it only when the size distribution is known to
     * pack densely. No shuffle beyond the one groupBy.
-    * Output: (key, id, tokens, bin) — bin ids dense from 0 per key. */
+    * Output: (key, id, tokens, bin) — bin ids dense from 0 per key.
+    *
+    * @note BREAKING DEFAULT CHANGE (round 14): maxDocsPerKey's default
+    *       TIGHTENED from 100000 to 20000 because of the docs²/2
+    *       adversarial shape above — a caller who previously packed
+    *       20k–100k docs per key under the old default now trips the
+    *       bounded-fold contract. That failure is LOUD and carries
+    *       the remedy: shard the key, or pass
+    *       `maxDocsPerKey = 100000L` explicitly to accept the old
+    *       worst case (≤ 5·10⁹ comparisons in one task). */
   def packFirstFitDecreasing(df: DataFrame, keyCol: String, idCol: String,
                              tokCol: String, capacity: Long,
                              maxDocsPerKey: Long = 20000L): DataFrame = {

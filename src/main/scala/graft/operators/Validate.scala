@@ -128,7 +128,8 @@ object Validate {
     * and a single malformed transcript poisons a packed batch): a
     * VALID conversation opens with an optional `system` turn, then
     * alternates user/assistant strictly, ends on `assistant`, and
-    * carries no space-blank contents.
+    * carries no blank contents (space-only OR NULL — both count
+    * toward n_empty).
     *
     * Determinism: pure structural booleans over the turn array —
     * alternation is an exact positional fold (guarded for the
@@ -158,8 +159,13 @@ object Validate {
             .otherwise(lit("assistant")))).otherwise(lit(false))
     val endsAssistant = coalesce(
       try_element_at(roles, lit(-1)) === "assistant", lit(false))
+    // coalesce-to-0: length(trim(NULL)) is NULL and a NULL predicate
+    // DROPS from filter(), so a NULL content would count as non-empty
+    // and the transcript could be marked valid — NULL content IS a
+    // blank-content violation.
     val nEmpty = size(filter(turns,
-      t => length(trim(t.getField("content"))) === 0)).cast("long")
+      t => coalesce(length(trim(t.getField("content"))), lit(0)) === 0))
+      .cast("long")
     df.select(col(idCol), n.as("n_turns"), hasSystem.as("has_system"),
       headOk.as("head_ok"), alternates.as("alternates"),
       endsAssistant.as("ends_assistant"), nEmpty.as("n_empty"),

@@ -193,7 +193,8 @@ class OperatorSpec extends SparkTestBase {
       (5L, Seq(("user", "hi"), ("assistant", " "))),
       (6L, Seq(("system", "s"))),
       (7L, Seq.empty[(String, String)]),
-      (8L, Seq(("assistant", "starts wrong"))))
+      (8L, Seq(("assistant", "starts wrong"))),
+      (9L, Seq(("user", "hi"), ("assistant", null: String))))
       .toDF("id", "turns")
       .select(col("id"), expr(
         "transform(turns, t -> struct(t._1 AS role, t._2 AS content))")
@@ -208,6 +209,8 @@ class OperatorSpec extends SparkTestBase {
     assert(!aud(4L)._4, "ending on user must fail")
     assert(aud(5L)._3 == 1L && !aud(5L)._4, "blank content must fail")
     assert(!aud(6L)._4 && !aud(7L)._4 && !aud(8L)._4)
+    assert(aud(9L)._3 == 1L && !aud(9L)._4,
+      "NULL content must count as empty, not slip the NULL predicate")
   }
 
   test("fimTransform partitions exactly (prefix+middle+suffix == doc) " +

@@ -352,4 +352,87 @@ class PipelineSpec extends SparkTestBase {
     assert(zst.map(_._3).sorted.toSeq ==
       Seq("corrupt", "missing_required", "ok"))
   }
+
+  test("Warc.warcWithErrors frames records with exact byte offsets, " +
+    "routes missing-date / garbage / bad-version / truncated damage, " +
+    "and gz / zst variants decode identically; broken compression is " +
+    "one corrupt row; the walk is shuffle-free") {
+    import graft.sources.Warc
+    val crlf = "\r\n"
+    def rec(id: Int, body: String, date: Boolean = true,
+            version: String = "WARC/1.0",
+            declared: Option[Int] = None) =
+      version + crlf +
+        "WARC-Type: response" + crlf +
+        s"WARC-Record-ID: <urn:uuid:$id>" + crlf +
+        (if (date) "WARC-Date: 2024-01-01T00:00:00Z" + crlf else "") +
+        s"WARC-Target-URI: http://example.org/$id" + crlf +
+        "Content-Type: text/plain" + crlf +
+        "Content-Length: " +
+        declared.getOrElse(body.getBytes("UTF-8").length) + crlf + crlf +
+        body + crlf + crlf
+    val good = rec(1, "hello world")
+    val garbage = "not a record at all" + crlf
+    val noDate = rec(2, "no date here", date = false)
+    val badVer = rec(3, "bad version body", version = "WARC/oops")
+    val trunc = rec(4, "short", declared = Some(5000)).dropRight(4)
+    val stream = good + garbage + noDate + badVer + trunc
+    val bytes = stream.getBytes("UTF-8")
+
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-warc-pl")
+    java.nio.file.Files.write(plainDir.resolve("a.warc"), bytes)
+    val gzDir = java.nio.file.Files.createTempDirectory("graft-warc-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gzDir.resolve("a.warc.gz")))
+    gz.write(bytes); gz.close()
+    val zstDir = java.nio.file.Files.createTempDirectory("graft-warc-zst")
+    val zs = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(zstDir.resolve("a.warc.zst")))
+    zs.write(bytes); zs.close()
+
+    def snap(path: String) = Warc.warcWithErrors(spark, path)
+      .select(col("rec_offset"), col("record_id"), col("warc_date"),
+        col("content_length"), col("payload").cast("string"),
+        col("_status"), col("_raw"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.toString), Option(r.get(3)),
+        Option(r.get(4)).map(_.toString), r.getString(5),
+        Option(r.get(6)).map(_.toString)))
+      .sortBy(_._1)
+    val got = snap(plainDir.toString)
+    val offGarbage = good.length.toLong
+    val offNoDate = offGarbage + garbage.length
+    val offBadVer = offNoDate + noDate.length
+    val offTrunc = offBadVer + badVer.length
+    assert(got.length == 5, s"rows: ${got.mkString("\n")}")
+    assert(got(0) == ((0L, Some("<urn:uuid:1>"),
+      Some("2024-01-01T00:00:00Z"), Some(11L), Some("hello world"),
+      "ok", None)))
+    assert(got(1) == ((offGarbage, None, None, None, None,
+      "corrupt", Some(garbage))))
+    assert(got(2) == ((offNoDate, Some("<urn:uuid:2>"), None,
+      Some(12L), Some("no date here"), "missing_required", None)))
+    assert(got(3)._1 == offBadVer && got(3)._6 == "corrupt" &&
+      got(3)._7.get == badVer.take(120),
+      "bad version must become one resync span with a 120-byte snippet")
+    assert(got(4) == ((offTrunc, None, None, None, None,
+      "corrupt", Some("TRUNCATED"))))
+    // compressed variants parse to the identical rows (offsets are in
+    // the DECOMPRESSED stream)
+    assert(snap(gzDir.toString).toSeq == got.toSeq, "gzip variant")
+    assert(snap(zstDir.toString).toSeq == got.toSeq, "zstd variant")
+    // a broken gzip stream is one loud corrupt row, not an exception
+    val badDir = java.nio.file.Files.createTempDirectory("graft-warc-bad")
+    java.nio.file.Files.write(badDir.resolve("a.warc.gz"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 1, 2, 3, 4))
+    val bad = snap(badDir.toString)
+    assert(bad.length == 1 && bad.head._6 == "corrupt" &&
+      bad.head._7.get.startsWith("DECOMPRESS:"))
+    // scale shape: the walk is scan + project + generate — no Exchange
+    val plan = Warc.warcWithErrors(spark, plainDir.toString)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"WARC ingest must stay shuffle-free:\n$plan")
+  }
 }

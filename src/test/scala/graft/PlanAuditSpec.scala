@@ -978,4 +978,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!dsPlan.contains("Window"),
       s"dawidSkeneHardEm must not window:\n$dsPlan")
   }
+
+  test("index-backed margin mining contains no corpus×corpus nested " +
+    "loop: ivfTopK candidates arrive by cell equi-join and the miner " +
+    "tail is equi-joins only") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(1031)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val xs = vecs.where(col("vec_id") % 2 === 0)
+    val ys = vecs.where(col("vec_id") % 2 === 1)
+    // the q313 brute form IS a broadcast nested loop (its documented
+    // bounded-audit shape); the q328 index form must NOT be — every
+    // join is an equi-join (cell, then the mutual-best ids)
+    val xy = Similarity.ivfTopK(ys, xs, k = 4, nCells = 4, nProbe = 2)
+    val yx = Similarity.ivfTopK(xs, ys, k = 4, nCells = 4, nProbe = 2)
+    for ((name, df) <- Seq("ivfTopK(x→y)" -> xy, "ivfTopK(y→x)" -> yx)) {
+      val pl = df.queryExecution.executedPlan.toString
+      assert(!pl.contains("BroadcastNestedLoopJoin") &&
+        !pl.contains("CartesianProduct"),
+        s"$name candidates must arrive by cell equi-join:\n$pl")
+    }
+    val mined = Similarity.marginBitextMineFromTopK(xy, yx, 1100000L)
+    val mPlan = mined.queryExecution.executedPlan.toString
+    assert(!mPlan.contains("BroadcastNestedLoopJoin") &&
+      !mPlan.contains("CartesianProduct"),
+      s"the mining tail must stay equi-joins:\n$mPlan")
+  }
 }

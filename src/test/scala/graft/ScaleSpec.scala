@@ -317,6 +317,59 @@ class ScaleSpec extends SparkTestBase {
     assert(e.getMessage.contains("BOTH sets"))
   }
 
+  test("marginBitextMineFromTopK accepts any ranked kNN source (brute " +
+    "== wrapper, IVF-fed mines cross-side pairs) and enforces the " +
+    "broadcast, rank-1-uniqueness and neighborhood contracts") {
+    val rnd = new scala.util.Random(881)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val xs = vecs.where(col("vec_id") % 2 === 0)
+    val ys = vecs.where(col("vec_id") % 2 === 1)
+    val k = 3
+    val viaWrapper = Similarity.marginBitextMine(xs, ys, k, 1000000L)
+      .collect().map(_.toSeq).toSet
+    val viaTopK = Similarity.marginBitextMineFromTopK(
+      Similarity.bruteForceTopK(ys, xs, k),
+      Similarity.bruteForceTopK(xs, ys, k), 1000000L)
+      .collect().map(_.toSeq).toSet
+    assert(viaWrapper == viaTopK && viaTopK.nonEmpty,
+      "brute-fed FromTopK must equal the wrapper exactly")
+    // IVF-fed: same composition over the index's ranked tables —
+    // pairs stay cross-side and margins stay integral micro
+    val ivfMined = Similarity.marginBitextMineFromTopK(
+      Similarity.ivfTopK(ys, xs, k, nCells = 4, nProbe = 2),
+      Similarity.ivfTopK(xs, ys, k, nCells = 4, nProbe = 2), 1000000L)
+      .collect()
+    assert(ivfMined.nonEmpty)
+    ivfMined.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+      assert(Option(r.get(3)).forall(_.asInstanceOf[Long] >= 0L))
+    }
+    // broadcast bound: loud, names the index-backed remedy
+    val eB = intercept[IllegalArgumentException] {
+      Similarity.marginBitextMine(xs, ys, k, 1000000L,
+        maxBroadcastRows = 5L)
+    }
+    assert(eB.getMessage.contains("broadcast contract") &&
+      eB.getMessage.contains("marginBitextMineFromTopK"))
+    // a kNN source with a duplicated rank 1 would fabricate pairs
+    val dup = Seq((1L, 2L, 0.9, 1), (1L, 3L, 0.9, 1))
+      .toDF("query_id", "cand_id", "cos_sim", "rank")
+    val eR = intercept[IllegalArgumentException] {
+      Similarity.marginBitextMineFromTopK(dup, dup, 0L)
+    }
+    assert(eR.getMessage.contains("rank-1"))
+    // neighborhoods above 1000 would overflow the int64 margin
+    val wide = spark.range(1001).select(lit(7L).as("query_id"),
+      col("id").as("cand_id"), lit(0.5).as("cos_sim"),
+      (col("id") + 1).cast("int").as("rank"))
+    val eN = intercept[IllegalArgumentException] {
+      Similarity.marginBitextMineFromTopK(wide, wide, 0L)
+    }
+    assert(eN.getMessage.contains("neighborhoods"))
+  }
+
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
     val rnd = new scala.util.Random(179)
     val vecs = (0L until 40L).map { i =>

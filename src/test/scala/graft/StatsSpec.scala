@@ -4263,4 +4263,69 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("NULL or non-integral"))
   }
+  test("t-closeness audits NULL-quasi classes via null-safe joins and " +
+    "rejects fractional sensitive values instead of truncate-banding") {
+    val rnd = new scala.util.Random(613)
+    // ~20% of rows land in the NULL quasi class — it must be audited
+    // with its true counts, not dropped (TV) or zeroed (EMD).
+    val rows = (1 to 300).map { _ =>
+      (if (rnd.nextInt(5) == 0) None else Some(s"q${rnd.nextInt(4)}"),
+        s"v${rnd.nextInt(4)}")
+    }
+    val got = Stats.tClosenessProfile(rows.toDF("qa", "sv"),
+      Seq("qa"), "sv", tMicro = 100000L).collect().head
+    val n = rows.size.toLong
+    val gl = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tvs = rows.groupBy(_._1).toSeq.map { case (_, g) =>
+      val cn = g.size.toLong
+      val cv = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val num = gl.map { case (v, gv) =>
+        (cv.getOrElse(v, 0L) * n - cn * gv).abs
+      }.sum
+      (cn, BigInt(1000000L) * num / (BigInt(2) * cn * n))
+    }
+    assert(got.getLong(0) == n, "NULL-quasi rows must not drop")
+    assert(got.getLong(1) == tvs.size.toLong, "NULL class must count")
+    assert(got.getLong(3) == tvs.map(_._2).max.toLong)
+    assert(got.getLong(4) == tvs.count(_._2 > 100000L).toLong)
+    val rowsO = (1 to 300).map { _ =>
+      (if (rnd.nextInt(5) == 0) None else Some(s"q${rnd.nextInt(4)}"),
+        (math.pow(rnd.nextDouble(), 2) * 4).toLong)
+    }
+    val gotO = Stats.tClosenessOrdered(rowsO.toDF("qa", "sv"),
+      Seq("qa"), "sv", tMicro = 50000L).collect().head
+    val nO = rowsO.size.toLong
+    val glO = rowsO.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vsO = glO.keys.toSeq.sorted
+    val emds = rowsO.groupBy(_._1).toSeq.map { case (_, g) =>
+      val cn = g.size.toLong
+      val cv = g.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      var cum = BigInt(0); var acc = BigInt(0)
+      vsO.foreach { v =>
+        cum += BigInt(cv.getOrElse(v, 0L)) * nO - BigInt(cn) * glO(v)
+        acc += cum.abs
+      }
+      (cn, BigInt(1000000L) * acc /
+        (BigInt(cn) * nO * (vsO.size - 1)))
+    }
+    assert(gotO.getLong(0) == nO && gotO.getLong(1) == emds.size.toLong)
+    assert(gotO.getLong(3) == emds.map(_._2).max.toLong,
+      "NULL class must score its TRUE counts, not an all-zero grid")
+    assert(gotO.getLong(4) == emds.count(_._2 > 50000L).toLong)
+    // fractional sensitive: ANSI cast truncates 2.7 -> 2; the contract
+    // must catch the failed roundtrip and REJECT, not silently band
+    val e = intercept[IllegalArgumentException] {
+      Stats.tClosenessOrdered(
+        Seq(("a", 2.7), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+          .toDF("qa", "sv"),
+        Seq("qa"), "sv", 0L)
+    }
+    assert(e.getMessage.contains("NULL or non-integral"))
+    // integral doubles roundtrip exactly -> accepted
+    val ok = Stats.tClosenessOrdered(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+        .toDF("qa", "sv"),
+      Seq("qa"), "sv", 0L).collect().head
+    assert(ok.getLong(0) == 4L && ok.getLong(2) == 2L)
+  }
 }
