@@ -14912,6 +14912,187 @@ object Queries {
        |FROM offs WHERE doc_id = m""".stripMargin
   }
 
+  /** Gale–Church sentence alignment (TextAnalysis.galeChurchAlign):
+    * pseudo-bitext pairs built from each document — side A chunks the
+    * first 60 tokens into 5-token sentences; side B is A with every
+    * (g%7==3) sentence DROPPED, every (g%5==2) sentence MERGED with
+    * its successor, and every (g%3==0) sentence padded — so the DP
+    * must recover 1–0 and 2–1 beads among the 1–1s. The oracle
+    * replays the ENTIRE integral DP — cell fill as a recursive CTE
+    * carrying the cost table as a list, then the first-in-order
+    * backtrack — bit-for-bit (quadratic HUGEINT match cost, frozen
+    * penalties). */
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = slice(ws_tokens(col("text")), 1, 60)
+    val nTok = size(toks).cast("long")
+    val nA = call_function("div", nTok + 4L, lit(5L))
+    val aCol = when(nTok > 0L,
+      transform(sequence(lit(0L), nA - 1L), g =>
+        array_join(slice(toks, (g * 5L + 1L).cast("int"), lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val staged = docs.select(col("doc_id"), aCol.as("a")).localCheckpoint()
+    def merged(g: Column, a: Column) =
+      pmod(g, lit(5L)) === 2L && pmod(g, lit(7L)) =!= 3L &&
+        (g + 1L) < size(a).cast("long") &&
+        pmod(g + 1L, lit(7L)) =!= 3L
+    val bCol = {
+      val a = col("a")
+      when(size(a) > 0,
+        transform(
+          filter(sequence(lit(0L), size(a).cast("long") - 1L), g =>
+            !(pmod(g, lit(7L)) === 3L) &&
+              !(pmod(g, lit(5L)) === 3L && pmod(g, lit(7L)) =!= 3L &&
+                pmod(g - 1L, lit(7L)) =!= 3L)),
+          g => concat(
+            when(merged(g, a),
+              concat(element_at(a, (g + 1L).cast("int")), lit(" "),
+                element_at(a, (g + 2L).cast("int"))))
+              .otherwise(element_at(a, (g + 1L).cast("int"))),
+            when(pmod(g, lit(3L)) === 0L, lit(" pad pad"))
+              .otherwise(lit("")))))
+        .otherwise(array().cast("array<string>"))
+    }
+    TextAnalysis.galeChurchAlign(
+      staged.select(col("doc_id"), col("a"), bCol.as("b")),
+      "doc_id", "a", "b", maxSentences = 16)
+  }
+
+  private val q330Sql: String = {
+    // quadratic HUGEINT match cost over octet lengths (rM = 1e6):
+    // (y - x)^2 // (7*(x + y) + 1), x = sa*1e6, y = sb*1e6 — exact,
+    // non-negative, so // (floor) == the engine BigInt truncation
+    def mtch(sa: String, sb: String) =
+      s"""CAST((CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT)
+         |      * CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT))
+         |  // CAST(7 * (($sa) * 1000000 + ($sb) * 1000000) + 1 AS HUGEINT)
+         |  AS BIGINT)""".stripMargin
+    def idx(i: String, j: String) = s"(($i) * (m + 1) + ($j) + 1)"
+    def addOf(t: Int, i: String, j: String): String = t match {
+      case 1 => mtch(s"la[$i]", s"lb[$j]")
+      case 2 => "4500000"
+      case 3 => "4500000"
+      case 4 => s"2302585 + ${mtch(s"la[($i) - 1] + la[$i]", s"lb[$j]")}"
+      case 5 => s"2302585 + ${mtch(s"la[$i]", s"lb[($j) - 1] + lb[$j]")}"
+      case 6 => s"4392317 + ${mtch(s"la[($i) - 1] + la[$i]",
+        s"lb[($j) - 1] + lb[$j]")}"
+    }
+    def guardOf(t: Int, i: String, j: String): String = t match {
+      case 1 => s"($i) >= 1 AND ($j) >= 1"
+      case 2 => s"($i) >= 1"
+      case 3 => s"($j) >= 1"
+      case 4 => s"($i) >= 2 AND ($j) >= 1"
+      case 5 => s"($i) >= 1 AND ($j) >= 2"
+      case 6 => s"($i) >= 2 AND ($j) >= 2"
+    }
+    def prevI(t: Int, i: String) = t match {
+      case 1 | 2 | 5 => s"($i) - 1"; case 3 => i; case _ => s"($i) - 2"
+    }
+    def prevJ(t: Int, j: String) = t match {
+      case 1 | 3 | 4 => s"($j) - 1"; case 2 => j; case _ => s"($j) - 2"
+    }
+    // DP fill: the NEXT cell's (i, j) inlined as index arithmetic on
+    // c + 1 (no correlated subquery inside the recursive term)
+    val ni = "((c + 1) // (m + 1))"
+    val nj = "((c + 1) % (m + 1))"
+    val cellCost = (1 to 6).map { t =>
+      s"""CASE WHEN ${guardOf(t, ni, nj)}
+         |  THEN costs[${idx(prevI(t, ni), prevJ(t, nj))}]
+         |       + ${addOf(t, ni, nj)} END""".stripMargin
+    }.mkString(",\n")
+    // backtrack: FIRST candidate (fixed order) achieving the stored
+    // minimum at the CURRENT (pre-move) cell
+    val tCase = (1 to 5).map { t =>
+      s"""WHEN ${guardOf(t, "i", "j")}
+         |  AND costs[${idx(prevI(t, "i"), prevJ(t, "j"))}]
+         |      + ${addOf(t, "i", "j")} = costs[${idx("i", "j")}]
+         |  THEN $t""".stripMargin
+    }.mkString("\n")
+    s"""WITH RECURSIVE tk AS (
+       |  SELECT doc_id, ($toksSql)[1:60] AS toks FROM documents),
+       |sa AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      list_transform(range(0, CAST((len(toks) + 4) // 5 AS INTEGER)),
+       |        g -> array_to_string(toks[g * 5 + 1 : g * 5 + 5], ' '))
+       |    ELSE [] END AS a
+       |  FROM tk),
+       |sb AS (
+       |  SELECT doc_id, a,
+       |    list_transform(
+       |      list_filter(range(0, len(a)), g ->
+       |        NOT (g % 7 = 3)
+       |        AND NOT (g % 5 = 3 AND g % 7 != 3 AND (g - 1) % 7 != 3)),
+       |      g -> (CASE WHEN g % 5 = 2 AND g % 7 != 3 AND g + 1 < len(a)
+       |                   AND (g + 1) % 7 != 3
+       |            THEN a[g + 1] || ' ' || a[g + 2]
+       |            ELSE a[g + 1] END)
+       |           || (CASE WHEN g % 3 = 0 THEN ' pad pad' ELSE '' END))
+       |      AS b
+       |  FROM sa),
+       |dims AS (
+       |  SELECT doc_id,
+       |    list_transform(a, s -> CAST(strlen(s) AS BIGINT)) AS la,
+       |    list_transform(b, s -> CAST(strlen(s) AS BIGINT)) AS lb,
+       |    len(a) AS n, len(b) AS m
+       |  FROM sb WHERE len(a) > 0 OR len(b) > 0),
+       |dp AS (
+       |  SELECT doc_id, la, lb, n, m, 0 AS c,
+       |    [CAST(0 AS BIGINT)] AS costs
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT doc_id, la, lb, n, m, c + 1,
+       |    list_append(costs, list_min(list_filter([
+       |      $cellCost
+       |    ], v -> v IS NOT NULL)))
+       |  FROM dp WHERE c + 1 <= (n + 1) * (m + 1) - 1),
+       |fin AS (
+       |  SELECT doc_id, la, lb, n, m, costs FROM dp
+       |  WHERE c = (n + 1) * (m + 1) - 1),
+       |bt AS (
+       |  SELECT doc_id, la, lb, n, m, costs, n AS i, m AS j, 0 AS step,
+       |    0 AS t
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT doc_id, la, lb, n, m, costs,
+       |    CASE x.t2 WHEN 1 THEN i - 1 WHEN 2 THEN i - 1 WHEN 3 THEN i
+       |      WHEN 4 THEN i - 2 WHEN 5 THEN i - 1 ELSE i - 2 END,
+       |    CASE x.t2 WHEN 1 THEN j - 1 WHEN 2 THEN j WHEN 3 THEN j - 1
+       |      WHEN 4 THEN j - 1 WHEN 5 THEN j - 2 ELSE j - 2 END,
+       |    step + 1, x.t2
+       |  FROM (
+       |    SELECT *, (CASE
+       |      $tCase
+       |      ELSE 6 END) AS t2
+       |    FROM bt WHERE i + j > 0) x),
+       |beads AS (
+       |  SELECT doc_id, la, lb, i, j, t,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY step DESC)
+       |      AS bead
+       |  FROM bt WHERE step > 0)
+       |SELECT doc_id, CAST(bead AS BIGINT) AS bead,
+       |  CAST(CASE WHEN t = 3 THEN NULL ELSE i + 1 END AS BIGINT)
+       |    AS a_start,
+       |  CAST(CASE t WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 6 THEN 2 ELSE 1 END
+       |    AS BIGINT) AS a_len,
+       |  CAST(CASE WHEN t = 2 THEN NULL ELSE j + 1 END AS BIGINT)
+       |    AS b_start,
+       |  CAST(CASE t WHEN 2 THEN 0 WHEN 5 THEN 2 WHEN 6 THEN 2 ELSE 1 END
+       |    AS BIGINT) AS b_len,
+       |  CAST(CASE t
+       |    WHEN 1 THEN ${mtch("la[i + 1]", "lb[j + 1]")}
+       |    WHEN 2 THEN 4500000
+       |    WHEN 3 THEN 4500000
+       |    WHEN 4 THEN 2302585 +
+       |      ${mtch("la[i + 1] + la[i + 2]", "lb[j + 1]")}
+       |    WHEN 5 THEN 2302585 +
+       |      ${mtch("la[i + 1]", "lb[j + 1] + lb[j + 2]")}
+       |    ELSE 4392317 +
+       |      ${mtch("la[i + 1] + la[i + 2]", "lb[j + 1] + lb[j + 2]")}
+       |  END AS BIGINT) AS cost_micro
+       |FROM beads""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -15246,5 +15427,6 @@ object Queries {
     "q326_band_recall_sweep" -> Q(q326, Some(q326Sql)),
     "q327_luhn_card_audit" -> Q(q327, Some(q327Sql)),
     "q328_margin_mining_ivf" -> Q(q328, Some(q328Sql)),
-    "q329_warc_ingest" -> Q(q329, Some(q329Sql)))
+    "q329_warc_ingest" -> Q(q329, Some(q329Sql)),
+    "q330_gale_church" -> Q(q330, Some(q330Sql)))
 }

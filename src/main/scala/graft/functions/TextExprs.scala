@@ -2,6 +2,7 @@ package graft.functions
 
 import java.util.Locale
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -1332,4 +1333,169 @@ case class CharEntropyMicro(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
     copy(child = newChild)
+}
+
+/** Gale–Church sentence-alignment beads (Gale & Church 1993, the
+  * classic length-based bitext aligner) as ONE bounded DP per doc
+  * pair, integral throughout so any engine replaying the same
+  * recurrence reproduces every cell bit-for-bit.
+  *
+  * Inputs: the two sides' sentence OCTET lengths (array<long>).
+  * Bead types and their fixed micro-penalties (≈ −ln(Pr_type/Pr_1:1)
+  * over the paper's Table 5 priors 0.89 / 0.0099 / 0.089 / 0.011,
+  * frozen as integer constants):
+  *   1–1: 0   1–0 / 0–1: 4500000   2–1 / 1–2: 2302585   2–2: 4392317
+  * Length-mismatch cost of a MATCHING bead covering `sa` source
+  * octets vs `sb` target octets (rM = expected target/source ratio
+  * ×10⁶; x = sa·rM, y = sb·10⁶):
+  *   match = ⌊(y − x)² / (V·(x + y) + 1)⌋,  V = 7
+  * — the paper's Gaussian-tail −log cost is ≈ δ²/2 with
+  * δ² = (l₂ − l₁·c)²/(s²·l), so a quadratic-over-total-length form
+  * with a frozen variance-like V = 7 keeps the SHAPE (quadratic
+  * growth — a wild mismatch costs more than a deletion, which a
+  * saturating cost cannot express) while staying integral: the
+  * square is formed exactly (128-bit intermediate; sa, sb ≤ 10⁵ and
+  * rM ≤ 4·10⁶ bound |y − x| ≤ 4·10¹¹) and floored ONCE by the
+  * int64 denominator. Deletion/insertion beads (1–0 / 0–1) carry NO
+  * match term — their fixed penalty alone prices them, exactly so a
+  * genuinely unpairable sentence is dropped instead of force-merged.
+  * DP: cost(i,j) = min over the six bead transitions;
+  * ties resolve to the FIRST candidate in the order
+  * [1–1, 1–0, 0–1, 2–1, 1–2, 2–2] — the backtrack re-evaluates the
+  * candidates in that order and takes the first that achieves the
+  * stored minimum, so the bead sequence is total-order deterministic.
+  *
+  * Output: the bead sequence in reading order —
+  * (a_start, a_len, b_start, b_len, cost_micro) with 1-based starts
+  * (NULL start for the empty side of a 1–0/0–1 bead) and cost_micro
+  * the bead's ADDED cost (penalty + match). NULL for NULL inputs,
+  * NULL elements, more than `maxSentences` sentences a side, or a
+  * length outside [0, 10⁵] — the operator rejects all of those
+  * loudly BEFORE evaluation ([[graft.operators.TextAnalysis]]
+  * galeChurchAlign). O(n·m) cells, n, m ≤ maxSentences ≤ 64. */
+case class GaleChurchBeads(left: Expression, right: Expression,
+                           ratioMicro: Long, maxSentences: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(ratioMicro >= 250000L && ratioMicro <= 4000000L,
+    s"gale_church_beads: ratioMicro must be in [0.25e6, 4e6], got $ratioMicro")
+  require(maxSentences >= 1 && maxSentences <= 64,
+    s"gale_church_beads: maxSentences must be in [1, 64], got $maxSentences")
+  private val P10 = 4500000L
+  private val P21 = 2302585L
+  private val P22 = 4392317L
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_start", LongType, nullable = true),
+    StructField("a_len", LongType, nullable = false),
+    StructField("b_start", LongType, nullable = true),
+    StructField("b_len", LongType, nullable = false),
+    StructField("cost_micro", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gale_church_beads"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"gale_church_beads needs two array<long>, got ($l, $r)")
+    }
+  private def lens(x: Any): Array[Long] = {
+    val ad = x.asInstanceOf[ArrayData]
+    if (ArrayNulls.anyNull(ad)) return null
+    val a = ad.toLongArray()
+    if (a.length > maxSentences || a.exists(v => v < 0L || v > 100000L))
+      null
+    else a
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = lens(l)
+    val lb = lens(r)
+    if (la == null || lb == null) return null
+    val n = la.length
+    val m = lb.length
+    def matchMicro(sa: Long, sb: Long): Long = {
+      val x = sa * ratioMicro
+      val y = sb * 1000000L
+      val d = BigInt(y - x)
+      ((d * d) / BigInt(7L * (x + y) + 1L)).toLong
+    }
+    val W = m + 1
+    val cost = Array.fill((n + 1) * W)(Long.MaxValue)
+    cost(0) = 0L
+    var i = 0
+    while (i <= n) {
+      var j = 0
+      while (j <= m) {
+        if (i + j > 0) {
+          var best = Long.MaxValue
+          def cand(pi: Int, pj: Int, add: Long): Unit = {
+            val c = cost(pi * W + pj)
+            if (c != Long.MaxValue && c + add < best) best = c + add
+          }
+          if (i >= 1 && j >= 1)
+            cand(i - 1, j - 1, matchMicro(la(i - 1), lb(j - 1)))
+          if (i >= 1) cand(i - 1, j, P10)
+          if (j >= 1) cand(i, j - 1, P10)
+          if (i >= 2 && j >= 1)
+            cand(i - 2, j - 1,
+              P21 + matchMicro(la(i - 2) + la(i - 1), lb(j - 1)))
+          if (i >= 1 && j >= 2)
+            cand(i - 1, j - 2,
+              P21 + matchMicro(la(i - 1), lb(j - 2) + lb(j - 1)))
+          if (i >= 2 && j >= 2)
+            cand(i - 2, j - 2,
+              P22 + matchMicro(la(i - 2) + la(i - 1),
+                lb(j - 2) + lb(j - 1)))
+          cost(i * W + j) = best
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // backtrack: first candidate (fixed order) achieving the minimum
+    var bi = n
+    var bj = m
+    var beads = List.empty[InternalRow]
+    while (bi + bj > 0) {
+      val cur = cost(bi * W + bj)
+      def hit(pi: Int, pj: Int, add: Long): Boolean = {
+        val c = cost(pi * W + pj)
+        c != Long.MaxValue && c + add == cur
+      }
+      if (bi >= 1 && bj >= 1 &&
+        hit(bi - 1, bj - 1, matchMicro(la(bi - 1), lb(bj - 1)))) {
+        val add = matchMicro(la(bi - 1), lb(bj - 1))
+        beads ::= InternalRow(bi.toLong, 1L, bj.toLong, 1L, add)
+        bi -= 1; bj -= 1
+      } else if (bi >= 1 && hit(bi - 1, bj, P10)) {
+        beads ::= InternalRow(bi.toLong, 1L, null, 0L, P10)
+        bi -= 1
+      } else if (bj >= 1 && hit(bi, bj - 1, P10)) {
+        beads ::= InternalRow(null, 0L, bj.toLong, 1L, P10)
+        bj -= 1
+      } else if (bi >= 2 && bj >= 1 &&
+        hit(bi - 2, bj - 1,
+          P21 + matchMicro(la(bi - 2) + la(bi - 1), lb(bj - 1)))) {
+        beads ::= InternalRow((bi - 1).toLong, 2L, bj.toLong, 1L,
+          P21 + matchMicro(la(bi - 2) + la(bi - 1), lb(bj - 1)))
+        bi -= 2; bj -= 1
+      } else if (bi >= 1 && bj >= 2 &&
+        hit(bi - 1, bj - 2,
+          P21 + matchMicro(la(bi - 1), lb(bj - 2) + lb(bj - 1)))) {
+        beads ::= InternalRow(bi.toLong, 1L, (bj - 1).toLong, 2L,
+          P21 + matchMicro(la(bi - 1), lb(bj - 2) + lb(bj - 1)))
+        bi -= 1; bj -= 2
+      } else {
+        val add = P22 + matchMicro(la(bi - 2) + la(bi - 1),
+          lb(bj - 2) + lb(bj - 1))
+        beads ::= InternalRow((bi - 1).toLong, 2L, (bj - 1).toLong, 2L,
+          add)
+        bi -= 2; bj -= 2
+      }
+    }
+    new GenericArrayData(beads.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GaleChurchBeads =
+    copy(left = newLeft, right = newRight)
 }

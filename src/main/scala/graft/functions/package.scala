@@ -375,6 +375,15 @@ package object functions {
   def uax29_sentences(text: Column): Column =
     ExprBridge.column(Uax29Sentences(col2expr(text)))
 
+  /** Gale–Church length-based sentence-alignment beads over two
+    * sentence-octet-length arrays — one bounded integral DP per row
+    * (see [[graft.functions.GaleChurchBeads]]). */
+  def gale_church_beads(aLens: Column, bLens: Column,
+                        ratioMicro: Long = 1000000L,
+                        maxSentences: Int = 64): Column =
+    ExprBridge.column(GaleChurchBeads(col2expr(aLens), col2expr(bLens),
+      ratioMicro, maxSentences))
+
   /** Per-term non-overlapping dictionary match counts in one
     * Aho–Corasick pass over the text (see [[DictMatchCounts]]). */
   def dict_match_counts(text: Column, terms: Seq[String]): Column =

@@ -3394,4 +3394,64 @@ object TextAnalysis {
       length(array_join(sents, "")).cast("long").as("sent_chars"),
       md5(array_join(sents, "\u0001")).as("sents_hash"))
   }
+  /** GALE–CHURCH SENTENCE ALIGNMENT per mined doc pair — the bitext
+    * step AFTER margin mining ([[graft.operators.Similarity]]):
+    * mining yields parallel DOCUMENT pairs, but the training artifact
+    * is aligned SENTENCE pairs, and the classic length-based DP (Gale
+    * & Church 1993) recovers them with no lexical model at all — the
+    * relative octet lengths of 1–1 / 1–0 / 0–1 / 2–1 / 1–2 / 2–2
+    * "beads" are evidence enough on real bitext.
+    *
+    * The recurrence, the integral match cost, the frozen bead
+    * penalties and the first-in-order tie-break live in
+    * [[graft.functions.GaleChurchBeads]] — ONE bounded DP per pair,
+    * bit-replayable by any engine (the gate's DuckDB oracle walks the
+    * identical cell fill and backtrack).
+    *
+    * Contracts (fail-before-execute): sentence arrays and their
+    * elements non-NULL, at most `maxSentences` (≤ 64) sentences a
+    * side, every sentence ≤ 10⁵ octets (int64-exact match cost) —
+    * chunk longer documents first ([[chunkOffsets]] /
+    * [[packFirstFitDecreasing]] territory).
+    *
+    * Scale shape: map-only — the DP is O(maxSentences²) inside one
+    * expression per pair, beads explode in place; no shuffle, no
+    * window, no join. Doc pairs are the parallelism unit, exactly
+    * like the miner that produced them.
+    * Output: (id, bead, a_start, a_len, b_start, b_len, cost_micro) —
+    * bead 1-based in reading order, starts 1-based sentence indexes
+    * (NULL on the empty side of a deletion/insertion bead). */
+  def galeChurchAlign(df: DataFrame, idCol: String, aCol: String,
+                      bCol: String, ratioMicro: Long = 1000000L,
+                      maxSentences: Int = 64): DataFrame = {
+    require(maxSentences >= 1 && maxSentences <= 64,
+      s"galeChurchAlign: maxSentences must be in [1, 64], got $maxSentences")
+    def olens(c: String) =
+      transform(col(c), s => octet_length(s).cast("long"))
+    val staged = df.select(col(idCol), olens(aCol).as("__la"),
+        olens(bCol).as("__lb"))
+      .localCheckpoint()
+    def badSide(c: String) =
+      sum(when(col(c).isNull ||
+        exists(col(c), v => v.isNull || v > 100000L), 1L).otherwise(0L))
+    Contracts.enforce(staged,
+      Contracts.Bound(badSide("__la") + badSide("__lb"), _ == 0L, b =>
+        s"galeChurchAlign: $b rows carry a NULL sentence array, a NULL " +
+          "sentence, or a sentence over 1e5 octets — clean and chunk " +
+          "first (the int64-exact match-cost bound)"),
+      Contracts.Bound(
+        greatest(max(size(col("__la"))), max(size(col("__lb"))))
+          .cast("long"),
+        _ <= maxSentences, n =>
+          s"galeChurchAlign: a side holds $n sentences, exceeding the " +
+            s"bounded-DP contract (maxSentences=$maxSentences) — chunk " +
+            "documents before aligning"))
+    staged
+      .select(col(idCol), posexplode(gale_church_beads(col("__la"),
+        col("__lb"), ratioMicro, maxSentences)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("bead"),
+        col("col.a_start").as("a_start"), col("col.a_len").as("a_len"),
+        col("col.b_start").as("b_start"), col("col.b_len").as("b_len"),
+        col("col.cost_micro").as("cost_micro"))
+  }
 }

@@ -2160,4 +2160,123 @@ class OperatorSpec extends SparkTestBase {
     assert(fb.count() == 12L &&
       fb.where(col("nll_avg_micro") > 0L).count() > 0L)
   }
+  test("galeChurchAlign equals an independent DP reference on random " +
+    "lengths, recovers planted merge/drop beads, partitions both " +
+    "sides exactly, and enforces its contracts") {
+    import graft.operators.TextAnalysis
+    type Bead = (Option[Long], Long, Option[Long], Long, Long)
+    val P10 = 4500000L; val P21 = 2302585L; val P22 = 4392317L
+    def mm(rM: Long)(sa: Long, sb: Long): Long = {
+      val x = sa * rM; val y = sb * 1000000L; val d = BigInt(y - x)
+      ((d * d) / BigInt(7L * (x + y) + 1L)).toLong
+    }
+    // independent reference: full table, candidate LIST per cell in
+    // the documented order, min by value then first-in-order
+    def ref(la: Array[Long], lb: Array[Long], rM: Long): Seq[Bead] = {
+      val f = mm(rM) _
+      val n = la.length; val m = lb.length
+      val c = Array.fill(n + 1, m + 1)(Long.MaxValue)
+      c(0)(0) = 0L
+      def cands(i: Int, j: Int): Seq[(Long, Bead, (Int, Int))] = Seq(
+        (i >= 1 && j >= 1, () => (c(i - 1)(j - 1), f(la(i - 1), lb(j - 1)),
+          (Some(i.toLong), 1L, Some(j.toLong), 1L), (i - 1, j - 1))),
+        (i >= 1, () => (c(i - 1)(j), P10,
+          (Some(i.toLong), 1L, None, 0L), (i - 1, j))),
+        (j >= 1, () => (c(i)(j - 1), P10,
+          (None, 0L, Some(j.toLong), 1L), (i, j - 1))),
+        (i >= 2 && j >= 1, () => (c(i - 2)(j - 1),
+          P21 + f(la(i - 2) + la(i - 1), lb(j - 1)),
+          (Some((i - 1).toLong), 2L, Some(j.toLong), 1L), (i - 2, j - 1))),
+        (i >= 1 && j >= 2, () => (c(i - 1)(j - 2),
+          P21 + f(la(i - 1), lb(j - 2) + lb(j - 1)),
+          (Some(i.toLong), 1L, Some((j - 1).toLong), 2L), (i - 1, j - 2))),
+        (i >= 2 && j >= 2, () => (c(i - 2)(j - 2),
+          P22 + f(la(i - 2) + la(i - 1), lb(j - 2) + lb(j - 1)),
+          (Some((i - 1).toLong), 2L, Some((j - 1).toLong), 2L),
+          (i - 2, j - 2)))
+      ).collect { case (ok, t) if ok => t() }
+        .collect { case (prev, add, (as, al, bs, bl), back)
+          if prev != Long.MaxValue =>
+          (prev + add, (as, al, bs, bl, add), back) }
+      for (i <- 0 to n; j <- 0 to m if i + j > 0)
+        c(i)(j) = cands(i, j).map(_._1).minOption.getOrElse(Long.MaxValue)
+      var (bi, bj) = (n, m)
+      var beads = List.empty[Bead]
+      while (bi + bj > 0) {
+        val (_, bead, (pi, pj)) =
+          cands(bi, bj).find(_._1 == c(bi)(bj)).get
+        beads ::= bead
+        bi = pi; bj = pj
+      }
+      beads
+    }
+    val rnd = new scala.util.Random(1789)
+    val pairs = (0L until 60L).map { id =>
+      val n = rnd.nextInt(11)
+      val m = rnd.nextInt(11)
+      (id, Seq.fill(n)("x" * (rnd.nextInt(200) + 1)),
+        Seq.fill(m)("y" * (rnd.nextInt(200) + 1)))
+    }
+    val got = TextAnalysis.galeChurchAlign(
+        pairs.toDF("id", "a", "b"), "id", "a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5),
+          r.getLong(6))))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    pairs.foreach { case (id, a, b) =>
+      val la = a.map(_.length.toLong).toArray
+      val lb = b.map(_.length.toLong).toArray
+      val want = ref(la, lb, 1000000L)
+      val g = got.getOrElse(id, Seq.empty)
+      assert(g == want, s"pair $id: $g != $want")
+      // beads PARTITION both sides in order
+      assert(g.map(_._2).sum == la.length && g.map(_._4).sum == lb.length)
+    }
+    // planted structure: a merge (2-1) and a drop (1-0) recover exactly
+    val a2 = Seq("s" * 100, "s" * 80, "s" * 120, "s" * 90, "s" * 60)
+    val b2 = Seq("t" * 101, "t" * 203, "t" * 89, "t" * 61) // 80+120 merged
+    val gotP = TextAnalysis.galeChurchAlign(
+        Seq((1L, a2, b2)).toDF("id", "a", "b"), "id", "a", "b")
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(3), r.getLong(5))).toSeq
+    assert(gotP == Seq((1L, 1L), (2L, 1L), (1L, 1L), (1L, 1L)),
+      s"merge bead not recovered: $gotP")
+    val a3 = Seq("s" * 100, "s" * 80, "s" * 2000, "s" * 90, "s" * 60)
+    val b3 = Seq("t" * 101, "t" * 79, "t" * 89, "t" * 61) // 2000 dropped
+    val gotD = TextAnalysis.galeChurchAlign(
+        Seq((1L, a3, b3)).toDF("id", "a", "b"), "id", "a", "b")
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(3), r.getLong(5))).toSeq
+    assert(gotD == Seq((1L, 1L), (1L, 1L), (1L, 0L), (1L, 1L), (1L, 1L)),
+      s"drop bead not recovered: $gotD")
+    // one empty side: all insertions; both empty: no rows
+    val gotE = TextAnalysis.galeChurchAlign(
+        Seq((1L, Seq.empty[String], Seq("q" * 10, "q" * 20)),
+          (2L, Seq.empty[String], Seq.empty[String]))
+          .toDF("id", "a", "b"), "id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+    assert(gotE.toSeq == Seq((1L, 0L, 1L), (1L, 0L, 1L)))
+    // contracts: NULL sentence, oversize sentence, too many sentences
+    val eN = intercept[IllegalArgumentException] {
+      TextAnalysis.galeChurchAlign(
+        Seq((1L, Seq("ok", null: String), Seq("ok")))
+          .toDF("id", "a", "b"), "id", "a", "b")
+    }
+    assert(eN.getMessage.contains("NULL sentence"))
+    val eS = intercept[IllegalArgumentException] {
+      TextAnalysis.galeChurchAlign(
+        Seq((1L, Seq("x" * 100001), Seq("ok"))).toDF("id", "a", "b"),
+        "id", "a", "b")
+    }
+    assert(eS.getMessage.contains("1e5 octets"))
+    val eM = intercept[IllegalArgumentException] {
+      TextAnalysis.galeChurchAlign(
+        Seq((1L, Seq.fill(9)("x"), Seq("ok"))).toDF("id", "a", "b"),
+        "id", "a", "b", maxSentences = 8)
+    }
+    assert(eM.getMessage.contains("bounded-DP"))
+  }
 }
