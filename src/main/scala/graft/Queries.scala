@@ -15093,6 +15093,142 @@ object Queries {
        |FROM beads""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Widened language ID (q331/q332) — fixture sentences and oracle SQL
+  // both derive from the ONE WideLangProfiles table.
+  // ---------------------------------------------------------------------
+
+  /** One planted sentence per language: its 10 profile words verbatim
+    * (so its own score is exactly 10 and every cross-language score is
+    * the table's true lexical overlap); slot 24 is the number/garble
+    * soup that must abstain to "und". */
+  private val wideLangSentences: Seq[(String, String)] =
+    TextAnalysis.WideLangProfiles.map { case (lang, sw) =>
+      lang -> sw.mkString(" ")
+    } :+ ("und" -> "42 1337 999 xyzzy12 qq7")
+
+  private def wideLangFixture(s: SparkSession, dir: String): DataFrame = {
+    val slot = pmod(col("doc_id"), lit(25L))
+    val text = wideLangSentences.zipWithIndex.tail.foldLeft(
+      lit(wideLangSentences.head._2)) { case (acc, ((_, sent), i)) =>
+        when(slot === i.toLong, lit(sent)).otherwise(acc)
+    }
+    val truth = wideLangSentences.zipWithIndex.tail.foldLeft(
+      lit(wideLangSentences.head._1)) { case (acc, ((lang, _), i)) =>
+        when(slot === i.toLong, lit(lang)).otherwise(acc)
+    }
+    t(s, dir, "documents").select(col("doc_id"), text.as("text"),
+      truth.as("lang_true"))
+  }
+
+  private val wideLangFixtureSql: String = {
+    val cases = wideLangSentences.zipWithIndex.map { case ((lang, sent), i) =>
+      s"WHEN $i THEN '$sent'"
+    }.mkString("\n      |      ")
+    val truthCases = wideLangSentences.zipWithIndex.map { case ((lang, _), i) =>
+      s"WHEN $i THEN '$lang'"
+    }.mkString("\n      |      ")
+    s"""fx AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 25
+      |      $cases
+      |    END AS text,
+      |    CASE doc_id % 25
+      |      $truthCases
+      |    END AS lang_true
+      |  FROM documents)""".stripMargin
+  }
+
+  /** Score/argmax/margin replay over the UAX-29-token oracle fragment
+    * (the q305 kernel twin), one CTE chain ending in `wpred`. */
+  private val wideLangPredSql: String = {
+    val scoreCols = TextAnalysis.WideLangProfiles.map { case (lang, sw) =>
+      val words = sw.map(w => s"'$w'").mkString(", ")
+      s"""CAST(len(list_filter(toks, t -> list_contains([$words], t)))
+         |      AS BIGINT) AS s_$lang""".stripMargin
+    }.mkString(",\n    ")
+    val colNames = TextAnalysis.WideLangProfiles.map(p => s"s_${p._1}")
+    val greatestArgs = colNames.mkString(", ")
+    val argmaxCases = TextAnalysis.WideLangProfiles.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString("\n      ")
+    s"""wtk AS (
+      |  SELECT doc_id, lang_true, regexp_extract_all(
+      |    regexp_replace(lower(text),
+      |      '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ',
+      |      'g'),
+      |    '[\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+(?:[''’][\\p{L}\\p{Nd}\\p{Mn}\\p{Mc}_]+)*')
+      |    AS toks
+      |  FROM fx),
+      |wsc AS (
+      |  SELECT doc_id, lang_true,
+      |    $scoreCols
+      |  FROM wtk),
+      |wrk AS (
+      |  SELECT *, greatest($greatestArgs) AS best,
+      |    list_sort([$greatestArgs], 'DESC')[2] AS second
+      |  FROM wsc),
+      |wpred AS (
+      |  SELECT doc_id, lang_true, best AS best_hits,
+      |    second AS second_hits,
+      |    CASE WHEN best > 0 THEN 1000000 * (best - second) // best END
+      |      AS margin_micro,
+      |    CASE WHEN best = 0
+      |        OR (1000000 * (best - second) // best) < 200000 THEN 'und'
+      |      ELSE CASE
+      |      $argmaxCases
+      |      END END AS lang_pred
+      |  FROM wrk)""".stripMargin
+  }
+
+  /** Widened 24-language stopword-argmax ID with margin abstention
+    * (TextAnalysis.langIdWide) over a 25-slot multi-script fixture —
+    * one slot per language (CJK/Thai scorable only through the UAX-29
+    * segmenter) plus a number-soup slot that must abstain to "und".
+    * The oracle replays segmentation, all 24 scores, the argmax, the
+    * relative margin and the abstention rule exactly. */
+  private def q331(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdWide(wideLangFixture(s, dir), "doc_id", "text")
+
+  private val q331Sql: String =
+    s"""WITH $wideLangFixtureSql,
+       |$wideLangPredSql
+       |SELECT doc_id, lang_pred, best_hits, second_hits, margin_micro
+       |FROM wpred""".stripMargin
+
+  /** Confusion matrix of the widened language ID against the planted
+    * truth (the q299 classifier-eval shape over [[q331]]'s model):
+    * per (lang_true, lang_pred), count and integral recall — the
+    * no-regression readout for the original five languages (their
+    * diagonal rows must stay at recall 10⁶) and the abstention row
+    * for the garble slot. */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    val fx = wideLangFixture(s, dir).localCheckpoint()
+    val pred = TextAnalysis.langIdWide(fx, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    val joined = fx.select(col("doc_id"), col("lang_true"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = joined.groupBy(col("lang_true"))
+      .agg(sum(col("n")).as("__t"))
+    joined.join(tot, "lang_true")
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("1000000 * n div __t").as("recall_micro"))
+  }
+
+  private val q332Sql: String =
+    s"""WITH $wideLangFixtureSql,
+       |$wideLangPredSql,
+       |j AS (
+       |  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |  FROM wpred GROUP BY 1, 2),
+       |t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tt
+       |      FROM j GROUP BY 1)
+       |SELECT j.lang_true, j.lang_pred, j.n,
+       |  1000000 * j.n // t.tt AS recall_micro
+       |FROM j JOIN t ON t.lang_true = j.lang_true""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -15428,5 +15564,7 @@ object Queries {
     "q327_luhn_card_audit" -> Q(q327, Some(q327Sql)),
     "q328_margin_mining_ivf" -> Q(q328, Some(q328Sql)),
     "q329_warc_ingest" -> Q(q329, Some(q329Sql)),
-    "q330_gale_church" -> Q(q330, Some(q330Sql)))
+    "q330_gale_church" -> Q(q330, Some(q330Sql)),
+    "q331_langid_wide" -> Q(q331, Some(q331Sql)),
+    "q332_langid_wide_confusion" -> Q(q332, Some(q332Sql)))
 }

@@ -56,6 +56,95 @@ object TextAnalysis {
     langScored(df.select(col(idCol), ws_tokens(col(textCol)).as("toks")))
       .select(col(idCol), col("lang_pred"))
 
+  /** WIDENED stopword profiles — 24 languages, 10 public high-frequency
+    * function words each (the classic stopword lists every IR stack
+    * ships; for the scripts the UAX-29 segmenter char-unigrams — Han,
+    * Hiragana, Thai — the profile is the top single-character function
+    * morphemes, since those ARE the tokens). Declaration order is the
+    * deterministic tie/priority order. Used by [[langIdWide]]; the
+    * original 5-language [[LangProfiles]] table and [[langIdTable]]
+    * are UNTOUCHED (their gates pin zero regressions). */
+  val WideLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "was"),
+    "de" -> Seq("der", "die", "und", "nicht", "das", "mit", "sich", "des", "auf", "für"),
+    "es" -> Seq("que", "los", "una", "por", "con", "para", "del", "las", "este", "como"),
+    "fr" -> Seq("les", "des", "est", "dans", "qui", "pour", "une", "sur", "pas", "vous"),
+    "it" -> Seq("che", "di", "il", "per", "non", "sono", "una", "con", "del", "gli"),
+    "pt" -> Seq("não", "uma", "com", "para", "por", "mais", "dos", "como", "mas", "foi"),
+    "nl" -> Seq("het", "een", "van", "dat", "niet", "zijn", "voor", "met", "als", "maar"),
+    "sv" -> Seq("och", "att", "det", "som", "den", "för", "med", "var", "inte", "han"),
+    "da" -> Seq("og", "det", "at", "der", "til", "ikke", "med", "han", "af", "var"),
+    "no" -> Seq("og", "det", "som", "til", "ikke", "han", "av", "var", "meg", "noe"),
+    "fi" -> Seq("on", "ja", "että", "ei", "se", "oli", "hän", "mutta", "kun", "niin"),
+    "pl" -> Seq("nie", "się", "jest", "był", "tym", "jak", "przez", "jego", "czy", "tego"),
+    "cs" -> Seq("je", "se", "není", "byl", "jako", "tak", "ale", "což", "před", "této"),
+    "ro" -> Seq("și", "este", "nu", "cu", "pentru", "din", "care", "mai", "fost", "dar"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok", "ama", "gibi"),
+    "id" -> Seq("yang", "dan", "di", "untuk", "dengan", "dari", "ini", "pada", "adalah", "tidak"),
+    "vi" -> Seq("của", "và", "là", "có", "trong", "được", "cho", "những", "với", "này"),
+    "ru" -> Seq("и", "не", "на", "что", "он", "как", "это", "всё", "она", "так"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "كان", "هذا", "التي"),
+    "hi" -> Seq("के", "है", "में", "की", "एक", "और", "से", "को", "पर", "नहीं"),
+    "ja" -> Seq("の", "に", "は", "を", "が", "と", "で", "た", "し", "て"),
+    "ko" -> Seq("수", "있다", "그", "것", "및", "등", "이", "를", "에", "은"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+    "th" -> Seq("า", "น", "ร", "ก", "เ", "อ", "ง", "ม", "ี", "ย"))
+
+  /** WIDENED LANGUAGE ID with margin abstention — the web-scale
+    * upgrade of [[langIdTable]] (the r14 verdict's breadth gap): 24
+    * [[WideLangProfiles]] scored over UAX-29 tokens of the LOWERCASED
+    * text (the segmenter makes space-free CJK/Thai scorable — a
+    * whitespace tokenizer is structurally blind there), argmax
+    * first-declared on ties, and a RELATIVE-MARGIN abstention class:
+    *
+    *   margin_micro = ⌊10⁶·(best − second) / best⌋   (NULL if best = 0)
+    *   lang_pred    = "und" when best = 0 or margin_micro < marginMicro
+    *
+    * — real web text is full of boilerplate/code/number soup that a
+    * bare argmax would confidently mislabel; the margin names exactly
+    * how confidently the winner separated from the runner-up (ties
+    * abstain by construction). Scores are real columns (the
+    * [[langScored]] 2^n-blowup lesson), so the plan stays one
+    * projection.
+    *
+    * Scale shape: map-only — one segmenter pass, 24 bounded
+    * profile-array filters, no shuffle/join/window.
+    * Output: (id, lang_pred, best_hits, second_hits, margin_micro). */
+  def langIdWide(df: DataFrame, idCol: String, textCol: String,
+                 marginMicro: Long = 200000L): DataFrame = {
+    require(marginMicro >= 0L && marginMicro <= 1000000L,
+      s"langIdWide: marginMicro must be in [0, 1e6], got $marginMicro")
+    // ONE segmenter pass bound through a lambda variable: a plain
+    // aliased toks column would be re-inlined by CollapseProject into
+    // every one of the 24 score filters (and then the argmax/greatest
+    // tree would copy THOSE — the plan explodes combinatorially; the
+    // 24-language fold version OOM'd codegen). Lambda-bound values
+    // are opaque to the optimizer, so the token array is computed
+    // once per row and the scores land as one bounded array column.
+    val toks = uax29_tokens(lower(coalesce(col(textCol), lit(""))))
+    val scores = element_at(
+      transform(array(toks), tk =>
+        array(WideLangProfiles.map { case (_, sw) =>
+          val swLit = array(sw.map(lit): _*)
+          size(filter(tk, t => array_contains(swLit, t))).cast("long")
+        }: _*)), 1)
+    val staged = df.select(col(idCol), scores.as("scores"))
+    val langsLit = array(WideLangProfiles.map(p => lit(p._1)): _*)
+    val best = array_max(col("scores"))
+    val second = element_at(sort_array(col("scores"), asc = false), 2)
+    val margin = when(best > 0L,
+      call_function("div",
+        (best - second) * 1000000L, best))
+      .otherwise(lit(null).cast("long"))
+    staged.select(col(idCol),
+      when(best === 0L || margin < marginMicro, lit("und"))
+        .otherwise(element_at(langsLit,
+          array_position(col("scores"), best).cast("int")))
+        .as("lang_pred"),
+      best.as("best_hits"), second.as("second_hits"),
+      margin.as("margin_micro"))
+  }
+
   /** Stages tokens and the four quality features as real columns on top
     * of (idCol, text): every feature is referenced several times
     * downstream (score + output), and inlining would re-tokenize per

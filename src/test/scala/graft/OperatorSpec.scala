@@ -2160,6 +2160,39 @@ class OperatorSpec extends SparkTestBase {
     assert(fb.count() == 12L &&
       fb.where(col("nll_avg_micro") > 0L).count() > 0L)
   }
+  test("langIdWide: every profile sentence predicts its own language " +
+    "with the exact cross-overlap margin, number soup abstains to " +
+    "und, and the plan stays map-only") {
+    import graft.operators.TextAnalysis
+    val profs = TextAnalysis.WideLangProfiles
+    assert(profs.size >= 20, "the widened table must cover >= 20 langs")
+    val rows = profs.map { case (lang, sw) => (lang, sw.mkString(" ")) } :+
+      (("und", "42 1337 999 xyzzy12"))
+    val df = rows.toDF("id", "text")
+    val got = TextAnalysis.langIdWide(df, "id", "text")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    profs.foreach { case (lang, sw) =>
+      val (pred, best, margin) = got(lang)
+      assert(pred == lang, s"$lang predicted $pred")
+      assert(best == 10L, s"$lang own score $best")
+      // margin must equal the TRUE lexical overlap with the closest
+      // rival profile — the abstention threshold is meaningful only
+      // if the table keeps every language separable
+      val second = profs.filter(_._1 != lang)
+        .map(p => p._2.count(sw.contains)).max.toLong
+      assert(margin.contains(1000000L * (10L - second) / 10L),
+        s"$lang margin $margin vs overlap $second")
+      assert(margin.get >= 200000L,
+        s"$lang margin ${margin.get} under the abstention threshold")
+    }
+    assert(got("und")._1 == "und" && got("und")._2 == 0L)
+    val plan = TextAnalysis.langIdWide(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), s"langIdWide must stay map-only:\n$plan")
+  }
+
   test("galeChurchAlign equals an independent DP reference on random " +
     "lengths, recovers planted merge/drop beads, partitions both " +
     "sides exactly, and enforces its contracts") {
