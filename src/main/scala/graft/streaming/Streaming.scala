@@ -1946,6 +1946,146 @@ object Streaming {
     }
   }
 
+  /** LIVE IVF-PQ INDEX MAINTENANCE — the streaming twin of
+    * [[graft.operators.Similarity.updatePqIndex]] (q100) in the
+    * [[SearchIndexMaintainer]] pattern, closing the one maintained
+    * artifact that had no live twin (the r14 verdict's #5 gap): the
+    * persisted ANN code table stays current over a stream of
+    * (id, embedding) upserts and deletes.
+    *
+    * Driver-held state (references to checkpointed frames — the
+    * fingerprint-not-payload discipline: no raw vector is retained):
+    *   - `fps`   — (vec_id, fp) via [[graft.operators.Snapshot
+    *     .vecFingerprint]], two longs per vector, classifies each
+    *     batch into added/changed/unchanged/removed;
+    *   - `codes` — (vec_id, cell, codes), the maintained IVF-PQ code
+    *     table itself (~dim/M smaller than the vectors).
+    * The coarse centroids and PQ codebooks are FIXED at construction
+    * (trained once from the initial corpus — a delta never retrains,
+    * the updatePqIndex contract), so per batch the maintainer
+    * re-encodes ONLY added/changed vectors against the frozen
+    * quantizers and anti-joins out removed/changed rows: O(|delta|)
+    * encodes per batch, never a corpus re-encode, and deterministic
+    * encoding makes the maintained table EXACTLY the batch re-encode
+    * of the surviving corpus (StreamingSpec pins streamed == batch
+    * rebuild over scripted + random histories, checkpoint/restore
+    * included).
+    *
+    * Serving: [[index]] wraps the maintained table as a
+    * [[graft.operators.Similarity.PqIndex]], so ivfPqTopK / flat ADC
+    * run against the live index with no conversion. */
+  final class PqIndexMaintainer(initialCorpus: DataFrame, idCol: String,
+                                vecCol: String, m: Int = 4, ks: Int = 8,
+                                nCells: Int = 8,
+                                deleteCol: Option[String] = None,
+                                centroidsOverride: Array[Array[Double]] = null,
+                                codebooksOverride: Seq[Seq[Seq[Double]]] = null) {
+    import graft.operators.{Similarity, Snapshot}
+    private val init = initialCorpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"))
+    private val centroids: Array[Array[Double]] =
+      if (centroidsOverride != null) centroidsOverride
+      else Similarity.seedCentroids(init, nCells)
+    private val codebooks: Seq[Seq[Seq[Double]]] =
+      if (codebooksOverride != null) codebooksOverride
+      else Similarity.pqCodebooks(init, m, ks)
+    private def encode(rows: DataFrame): DataFrame = rows.select(
+      col("vec_id"),
+      graft.functions.ivf_assign(col("embedding"), centroids).as("cell"),
+      graft.functions.pq_encode(col("embedding"), codebooks).as("codes"))
+    private var fps: DataFrame = init.select(col("vec_id"),
+      Snapshot.vecFingerprint(col("embedding")).as("fp")).localCheckpoint()
+    private var codes: DataFrame = encode(init).localCheckpoint()
+
+    /** The live index, served with zero conversion work. */
+    def index: Similarity.PqIndex = synchronized {
+      Similarity.PqIndex(codes, centroids, codebooks)
+    }
+
+    /** IVFADC top-k over the live index. */
+    def topK(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+      synchronized { Similarity.ivfPqTopK(index, queries, k, nProbe) }
+
+    /** Apply one micro-batch of upserts/deletes (ids unique within a
+      * batch). Unchanged re-sends (same fingerprint) are no-ops. */
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val isDel = deleteCol.filter(batch.columns.contains)
+        .map(c => coalesce(col(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+      val b = batch.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding"),
+          Snapshot.vecFingerprint(col(vecCol)).as("fp"), isDel.as("__del"))
+        .localCheckpoint()
+      val classified = b.join(
+        fps.select(col("vec_id"), col("fp").as("fp_prev"),
+          lit(true).as("in_prev")),
+        Seq("vec_id"), "left_outer")
+      val present = coalesce(col("in_prev"), lit(false))
+      val refresh = classified.where(!col("__del") &&
+          (!present || !(col("fp") <=> col("fp_prev"))))
+        .select(col("vec_id"), col("embedding"))
+      val retire = classified
+        .where(present && (col("__del") || !(col("fp") <=> col("fp_prev"))))
+        .select(col("vec_id"))
+      codes = codes.join(retire, Seq("vec_id"), "left_anti")
+        .unionByName(encode(refresh))
+        .localCheckpoint()
+      fps = fps.join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(b.where(!col("__del")).select(col("vec_id"), col("fp")))
+        .localCheckpoint()
+    }
+
+    /** Start the maintenance stream: one [[applyBatch]] per
+      * micro-batch. */
+    def attach(upserts: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      upserts.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => applyBatch(b))
+        .start()
+
+    /** Persist the complete maintenance state in the
+      * [[graft.operators.Similarity.loadPqIndex]] layout (codes /
+      * centroids / codebooks) plus the fingerprint table, so a
+      * restarted driver resumes via [[PqIndexMaintainer.restore]]
+      * without the original vectors. */
+    def checkpoint(dir: String): Unit = synchronized {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      codebooks.zipWithIndex.flatMap { case (codebook, sub) =>
+        codebook.zipWithIndex.map { case (cv, j) => (sub, j, cv) } }
+        .toDF("sub", "code", "cv")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    }
+  }
+
+  object PqIndexMaintainer {
+    /** Resume a [[PqIndexMaintainer.checkpoint]]: quantizers and code
+      * table load through the first-class
+      * [[graft.operators.Similarity.loadPqIndex]] reader;
+      * configuration is not state — pass the SAME columns the
+      * original maintainer ran with. */
+    def restore(spark: SparkSession, dir: String, idCol: String,
+                vecCol: String,
+                deleteCol: Option[String] = None): PqIndexMaintainer = {
+      val idx = graft.operators.Similarity.loadPqIndex(spark, dir)
+      val empty = idx.codes.limit(0)
+        .select(col("vec_id").as(idCol),
+          array().cast("array<float>").as(vecCol))
+      val mm = new PqIndexMaintainer(empty, idCol, vecCol,
+        m = idx.codebooks.length, ks = idx.codebooks.head.length,
+        nCells = idx.centroids.length, deleteCol = deleteCol,
+        centroidsOverride = idx.centroids,
+        codebooksOverride = idx.codebooks)
+      mm.fps = spark.read.parquet(s"$dir/fps").localCheckpoint()
+      mm.codes = idx.codes.localCheckpoint()
+      mm
+    }
+  }
+
   /** Live group-fairness monitor — the streaming twin of
     * [[graft.operators.Stats.fairnessAudit]] (q280), the
     * [[PrCurveMaintainer]] pattern over the per-group confusion

@@ -2063,4 +2063,81 @@ class StreamingSpec extends SparkTestBase {
       assert(state().size == 5 && state().count(_._3 == "ok") == 2)
     } finally q.stop()
   }
+  test("PqIndexMaintainer: streamed code table == batch re-encode of " +
+    "the surviving corpus under the frozen quantizers, serving parity " +
+    "holds, and checkpoint/restore resumes without the vectors") {
+    import graft.operators.Similarity
+    import graft.functions.{ivf_assign, pq_encode}
+    val rnd = new scala.util.Random(907)
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val v0 = (0L until 40L).map(i => (i, vec(i)))
+    val m = new Streaming.PqIndexMaintainer(
+      v0.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 4, ks = 8, nCells = 4, deleteCol = Some("del"))
+    // the reference quantizers: derived the same deterministic way
+    // from the same initial corpus
+    val cents = Similarity.seedCentroids(v0.toDF("vec_id", "embedding"), 4)
+    val cbs = Similarity.pqCodebooks(v0.toDF("vec_id", "embedding"), 4, 8)
+    var corpus: Map[Long, Seq[Float]] = v0.toMap
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    def expect() = codeSet(corpus.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), ivf_assign(col("embedding"), cents).as("cell"),
+        pq_encode(col("embedding"), cbs).as("codes")))
+    assert(codeSet(m.index.codes) == expect(), "initial codes != encode")
+    def batch(mm: Streaming.PqIndexMaintainer,
+              rows: Seq[(Long, Seq[Float], Boolean)], label: String,
+              track: Boolean = true): Unit = {
+      mm.applyBatch(rows.toDF("vec_id", "embedding", "del"))
+      if (track) {
+        rows.foreach { case (id, v, del) =>
+          if (del) corpus -= id else corpus += id -> v }
+        assert(codeSet(mm.index.codes) == expect(),
+          s"streamed codes != batch re-encode after $label")
+      }
+    }
+    batch(m, Seq((3L, vec(103L), false), (7L, null, true)), "edit+delete")
+    batch(m, Seq((40L, vec(140L), false), (41L, vec(141L), false)), "adds")
+    batch(m, Seq((3L, vec(103L), false), (99L, null, true)),
+      "unchanged re-send + absent delete")
+    batch(m, Seq((0L, null, true), (40L, vec(240L), false)),
+      "delete a centroid seed + re-edit")
+    (1 to 3).foreach { i =>
+      val rows = (1 to 5).map { _ =>
+        val id = rnd.nextInt(45).toLong
+        if (rnd.nextInt(4) == 0) (id, null: Seq[Float], true)
+        else (id, vec(rnd.nextInt(1000).toLong), false)
+      }.groupBy(_._1).map(_._2.head).toSeq
+      batch(m, rows, s"random batch $i")
+    }
+    // serving parity: IVFADC over the maintained index == over a fresh
+    // index wrapped around the batch re-encode of the same corpus
+    val queries = corpus.keys.toSeq.sorted.take(5)
+      .map(id => (id, corpus(id))).toDF("vec_id", "embedding")
+    val fresh = Similarity.PqIndex(corpus.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), ivf_assign(col("embedding"), cents).as("cell"),
+        pq_encode(col("embedding"), cbs).as("codes")), cents, cbs)
+    def tk(idx: Similarity.PqIndex) =
+      Similarity.ivfPqTopK(idx, queries, k = 3, nProbe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    assert(tk(m.index) == tk(fresh), "serving diverged from rebuild")
+    // checkpoint/restore: resumes from disk alone and tracks the live
+    // maintainer through one more batch
+    val dir = java.nio.file.Files.createTempDirectory("pqm").toString
+    m.checkpoint(dir)
+    val restored = Streaming.PqIndexMaintainer.restore(spark, dir,
+      "vec_id", "embedding", deleteCol = Some("del"))
+    val b2 = Seq((5L, vec(205L), false), (41L, null, true))
+    batch(m, b2, "post-checkpoint")
+    batch(restored, b2, "post-checkpoint (restored)", track = false)
+    assert(codeSet(restored.index.codes) == codeSet(m.index.codes),
+      "restored maintainer diverged from the live one")
+    assert(codeSet(restored.index.codes) == expect(),
+      "restored maintainer != batch re-encode")
+  }
 }
