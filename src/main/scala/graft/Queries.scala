@@ -13822,43 +13822,51 @@ object Queries {
       k = 4, thresholdMicro = 1100000L)
   }
 
-  private val q313Sql: String = {
-    def topk(qs: String, cs: String, out: String) =
-      s"""$out AS (
-         |  SELECT query_id, cand_id, c, rn FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |      CAST(round(round($cosSqlAB, 6) * 1000000.0) AS BIGINT)
-         |        AS c,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
-         |    FROM $qs a JOIN $cs b ON b.vec_id != a.vec_id)
-         |  WHERE rn <= 4)""".stripMargin
+  /** Brute-force top-k (k=4) of `qs` queries over the `cs` corpus as
+    * a CTE named `out` — shared by q313 and the q333 composition. */
+  private def bruteTopk4Sql(qs: String, cs: String, out: String): String =
+    s"""$out AS (
+       |  SELECT query_id, cand_id, c, rn FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |      CAST(round(round($cosSqlAB, 6) * 1000000.0) AS BIGINT)
+       |        AS c,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($cosSqlAB, 6) DESC, b.vec_id ASC) AS rn
+       |    FROM $qs a JOIN $cs b ON b.vec_id != a.vec_id)
+       |  WHERE rn <= 4)""".stripMargin
+
+  /** The Artetxe–Schwenk margin tail over ranked CTEs `xy`/`yx` — the
+    * CTE chain ending in `m(x_id, y_id, cos_micro, margin_micro)`,
+    * shared by q313 and q333. */
+  private val marginTailSql: String =
+    """sx AS (SELECT query_id AS x_id, CAST(sum(c) AS BIGINT) AS sx,
+      |         CAST(count(*) AS BIGINT) AS nx FROM xy GROUP BY 1),
+      |sy AS (SELECT query_id AS y_id, CAST(sum(c) AS BIGINT) AS sy,
+      |         CAST(count(*) AS BIGINT) AS ny FROM yx GROUP BY 1),
+      |best AS (
+      |  SELECT a.query_id AS x_id, a.cand_id AS y_id, a.c
+      |  FROM (SELECT * FROM xy WHERE rn = 1) a
+      |  JOIN (SELECT * FROM yx WHERE rn = 1) b
+      |    ON b.query_id = a.cand_id AND b.cand_id = a.query_id),
+      |m AS (
+      |  SELECT best.x_id, best.y_id, best.c AS cos_micro,
+      |    CASE WHEN (sx.sx * sy.ny + sy.sy * sx.nx) > 0
+      |           AND best.c >= 0
+      |      THEN (2 * best.c * sx.nx * sy.ny * 1000000)
+      |             // (sx.sx * sy.ny + sy.sy * sx.nx) END
+      |      AS margin_micro
+      |  FROM best JOIN sx USING (x_id) JOIN sy USING (y_id))""".stripMargin
+
+  private val q313Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
        |ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
-       |${topk("xs", "ys", "xy")},
-       |${topk("ys", "xs", "yx")},
-       |sx AS (SELECT query_id AS x_id, CAST(sum(c) AS BIGINT) AS sx,
-       |         CAST(count(*) AS BIGINT) AS nx FROM xy GROUP BY 1),
-       |sy AS (SELECT query_id AS y_id, CAST(sum(c) AS BIGINT) AS sy,
-       |         CAST(count(*) AS BIGINT) AS ny FROM yx GROUP BY 1),
-       |best AS (
-       |  SELECT a.query_id AS x_id, a.cand_id AS y_id, a.c
-       |  FROM (SELECT * FROM xy WHERE rn = 1) a
-       |  JOIN (SELECT * FROM yx WHERE rn = 1) b
-       |    ON b.query_id = a.cand_id AND b.cand_id = a.query_id),
-       |m AS (
-       |  SELECT best.x_id, best.y_id, best.c AS cos_micro,
-       |    CASE WHEN (sx.sx * sy.ny + sy.sy * sx.nx) > 0
-       |           AND best.c >= 0
-       |      THEN (2 * best.c * sx.nx * sy.ny * 1000000)
-       |             // (sx.sx * sy.ny + sy.sy * sx.nx) END
-       |      AS margin_micro
-       |  FROM best JOIN sx USING (x_id) JOIN sy USING (y_id))
+       |${bruteTopk4Sql("xs", "ys", "xy")},
+       |${bruteTopk4Sql("ys", "xs", "yx")},
+       |$marginTailSql
        |SELECT x_id, y_id, cos_micro, margin_micro,
        |  coalesce(margin_micro >= 1100000, false) AS mined
        |FROM m""".stripMargin
-  }
 
   /** t-closeness profile (Stats.tClosenessProfile): the q235
     * equivalence classes (event_type × day-of-week) audited for how
@@ -14958,65 +14966,139 @@ object Queries {
       "doc_id", "a", "b", maxSentences = 16)
   }
 
-  private val q330Sql: String = {
-    // quadratic HUGEINT match cost over octet lengths (rM = 1e6):
-    // (y - x)^2 // (7*(x + y) + 1), x = sa*1e6, y = sb*1e6 — exact,
-    // non-negative, so // (floor) == the engine BigInt truncation
-    def mtch(sa: String, sb: String) =
-      s"""CAST((CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT)
-         |      * CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT))
-         |  // CAST(7 * (($sa) * 1000000 + ($sb) * 1000000) + 1 AS HUGEINT)
-         |  AS BIGINT)""".stripMargin
-    def idx(i: String, j: String) = s"(($i) * (m + 1) + ($j) + 1)"
-    def addOf(t: Int, i: String, j: String): String = t match {
-      case 1 => mtch(s"la[$i]", s"lb[$j]")
-      case 2 => "4500000"
-      case 3 => "4500000"
-      case 4 => s"2302585 + ${mtch(s"la[($i) - 1] + la[$i]", s"lb[$j]")}"
-      case 5 => s"2302585 + ${mtch(s"la[$i]", s"lb[($j) - 1] + lb[$j]")}"
-      case 6 => s"4392317 + ${mtch(s"la[($i) - 1] + la[$i]",
-        s"lb[($j) - 1] + lb[$j]")}"
-    }
-    def guardOf(t: Int, i: String, j: String): String = t match {
-      case 1 => s"($i) >= 1 AND ($j) >= 1"
-      case 2 => s"($i) >= 1"
-      case 3 => s"($j) >= 1"
-      case 4 => s"($i) >= 2 AND ($j) >= 1"
-      case 5 => s"($i) >= 1 AND ($j) >= 2"
-      case 6 => s"($i) >= 2 AND ($j) >= 2"
-    }
-    def prevI(t: Int, i: String) = t match {
-      case 1 | 2 | 5 => s"($i) - 1"; case 3 => i; case _ => s"($i) - 2"
-    }
-    def prevJ(t: Int, j: String) = t match {
-      case 1 | 3 | 4 => s"($j) - 1"; case 2 => j; case _ => s"($j) - 2"
-    }
-    // DP fill: the NEXT cell's (i, j) inlined as index arithmetic on
-    // c + 1 (no correlated subquery inside the recursive term)
+  // ---------------------------------------------------------------------
+  // Gale–Church DP oracle builders — shared by q330 and the q333
+  // bitext composition. The DP fill is a recursive CTE carrying the
+  // cost table as a list; the backtrack re-evaluates the candidates
+  // first-in-order. Keys parameterize the grouping (doc_id for q330,
+  // (x_id, y_id) for q333); an input CTE `dims(keys..., la, lb, n, m)`
+  // is assumed.
+  // ---------------------------------------------------------------------
+
+  /** Quadratic HUGEINT match cost (rM = 1e6): (y-x)^2 // (7(x+y)+1) —
+    * exact, non-negative, so // (floor) == the engine BigInt
+    * truncation. */
+  private def gcMatchSql(sa: String, sb: String) =
+    s"""CAST((CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT)
+       |      * CAST(($sb) * 1000000 - ($sa) * 1000000 AS HUGEINT))
+       |  // CAST(7 * (($sa) * 1000000 + ($sb) * 1000000) + 1 AS HUGEINT)
+       |  AS BIGINT)""".stripMargin
+  private def gcIdx(i: String, j: String) = s"(($i) * (m + 1) + ($j) + 1)"
+  private def gcAddOf(t: Int, i: String, j: String): String = t match {
+    case 1 => gcMatchSql(s"la[$i]", s"lb[$j]")
+    case 2 => "4500000"
+    case 3 => "4500000"
+    case 4 => s"2302585 + ${gcMatchSql(s"la[($i) - 1] + la[$i]", s"lb[$j]")}"
+    case 5 => s"2302585 + ${gcMatchSql(s"la[$i]", s"lb[($j) - 1] + lb[$j]")}"
+    case 6 => s"4392317 + ${gcMatchSql(s"la[($i) - 1] + la[$i]",
+      s"lb[($j) - 1] + lb[$j]")}"
+  }
+  private def gcGuardOf(t: Int, i: String, j: String): String = t match {
+    case 1 => s"($i) >= 1 AND ($j) >= 1"
+    case 2 => s"($i) >= 1"
+    case 3 => s"($j) >= 1"
+    case 4 => s"($i) >= 2 AND ($j) >= 1"
+    case 5 => s"($i) >= 1 AND ($j) >= 2"
+    case 6 => s"($i) >= 2 AND ($j) >= 2"
+  }
+  private def gcPrevI(t: Int, i: String) = t match {
+    case 1 | 2 | 5 => s"($i) - 1"; case 3 => i; case _ => s"($i) - 2"
+  }
+  private def gcPrevJ(t: Int, j: String) = t match {
+    case 1 | 3 | 4 => s"($j) - 1"; case 2 => j; case _ => s"($j) - 2"
+  }
+
+  /** The dp/fin/bt/beads CTE chain over `dims`; `beads` ends with
+    * (keys..., la, lb, i, j, t, bead). */
+  private def gcDpSql(keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
     val ni = "((c + 1) // (m + 1))"
     val nj = "((c + 1) % (m + 1))"
     val cellCost = (1 to 6).map { t =>
-      s"""CASE WHEN ${guardOf(t, ni, nj)}
-         |  THEN costs[${idx(prevI(t, ni), prevJ(t, nj))}]
-         |       + ${addOf(t, ni, nj)} END""".stripMargin
+      s"""CASE WHEN ${gcGuardOf(t, ni, nj)}
+         |  THEN costs[${gcIdx(gcPrevI(t, ni), gcPrevJ(t, nj))}]
+         |       + ${gcAddOf(t, ni, nj)} END""".stripMargin
     }.mkString(",\n")
-    // backtrack: FIRST candidate (fixed order) achieving the stored
-    // minimum at the CURRENT (pre-move) cell
     val tCase = (1 to 5).map { t =>
-      s"""WHEN ${guardOf(t, "i", "j")}
-         |  AND costs[${idx(prevI(t, "i"), prevJ(t, "j"))}]
-         |      + ${addOf(t, "i", "j")} = costs[${idx("i", "j")}]
+      s"""WHEN ${gcGuardOf(t, "i", "j")}
+         |  AND costs[${gcIdx(gcPrevI(t, "i"), gcPrevJ(t, "j"))}]
+         |      + ${gcAddOf(t, "i", "j")} = costs[${gcIdx("i", "j")}]
          |  THEN $t""".stripMargin
     }.mkString("\n")
-    s"""WITH RECURSIVE tk AS (
-       |  SELECT doc_id, ($toksSql)[1:60] AS toks FROM documents),
-       |sa AS (
-       |  SELECT doc_id,
+    s"""dp AS (
+       |  SELECT $ks, la, lb, n, m, 0 AS c,
+       |    [CAST(0 AS BIGINT)] AS costs
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT $ks, la, lb, n, m, c + 1,
+       |    list_append(costs, list_min(list_filter([
+       |      $cellCost
+       |    ], v -> v IS NOT NULL)))
+       |  FROM dp WHERE c + 1 <= (n + 1) * (m + 1) - 1),
+       |fin AS (
+       |  SELECT $ks, la, lb, n, m, costs FROM dp
+       |  WHERE c = (n + 1) * (m + 1) - 1),
+       |bt AS (
+       |  SELECT $ks, la, lb, n, m, costs, n AS i, m AS j, 0 AS step,
+       |    0 AS t
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT $ks, la, lb, n, m, costs,
+       |    CASE x.t2 WHEN 1 THEN i - 1 WHEN 2 THEN i - 1 WHEN 3 THEN i
+       |      WHEN 4 THEN i - 2 WHEN 5 THEN i - 1 ELSE i - 2 END,
+       |    CASE x.t2 WHEN 1 THEN j - 1 WHEN 2 THEN j WHEN 3 THEN j - 1
+       |      WHEN 4 THEN j - 1 WHEN 5 THEN j - 2 ELSE j - 2 END,
+       |    step + 1, x.t2
+       |  FROM (
+       |    SELECT *, (CASE
+       |      $tCase
+       |      ELSE 6 END) AS t2
+       |    FROM bt WHERE i + j > 0) x),
+       |beads AS (
+       |  SELECT $ks, la, lb, i, j, t,
+       |    row_number() OVER (PARTITION BY $ks ORDER BY step DESC)
+       |      AS bead
+       |  FROM bt WHERE step > 0)""".stripMargin
+  }
+
+  /** The bead projection off `beads` — the post-move state algebra
+    * (pre-move cell = (i + di, j + dj) by bead type). */
+  private def gcBeadCols: String =
+    s"""CAST(bead AS BIGINT) AS bead,
+       |  CAST(CASE WHEN t = 3 THEN NULL ELSE i + 1 END AS BIGINT)
+       |    AS a_start,
+       |  CAST(CASE t WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 6 THEN 2 ELSE 1 END
+       |    AS BIGINT) AS a_len,
+       |  CAST(CASE WHEN t = 2 THEN NULL ELSE j + 1 END AS BIGINT)
+       |    AS b_start,
+       |  CAST(CASE t WHEN 2 THEN 0 WHEN 5 THEN 2 WHEN 6 THEN 2 ELSE 1 END
+       |    AS BIGINT) AS b_len,
+       |  CAST(CASE t
+       |    WHEN 1 THEN ${gcMatchSql("la[i + 1]", "lb[j + 1]")}
+       |    WHEN 2 THEN 4500000
+       |    WHEN 3 THEN 4500000
+       |    WHEN 4 THEN 2302585 +
+       |      ${gcMatchSql("la[i + 1] + la[i + 2]", "lb[j + 1]")}
+       |    WHEN 5 THEN 2302585 +
+       |      ${gcMatchSql("la[i + 1]", "lb[j + 1] + lb[j + 2]")}
+       |    ELSE 4392317 +
+       |      ${gcMatchSql("la[i + 1] + la[i + 2]", "lb[j + 1] + lb[j + 2]")}
+       |  END AS BIGINT) AS cost_micro""".stripMargin
+
+  /** The 60-token 5-token-chunk pseudo-sentence builder over a doc
+    * table CTE (shared by q330's fixture and q333's pair sides). */
+  private val gcSentSql: String =
+    s"""SELECT doc_id,
        |    CASE WHEN len(toks) > 0 THEN
        |      list_transform(range(0, CAST((len(toks) + 4) // 5 AS INTEGER)),
        |        g -> array_to_string(toks[g * 5 + 1 : g * 5 + 5], ' '))
        |    ELSE [] END AS a
-       |  FROM tk),
+       |  FROM (SELECT doc_id, ($toksSql)[1:60] AS toks FROM documents)"""
+      .stripMargin
+
+  private val q330Sql: String =
+    s"""WITH RECURSIVE sa AS (
+       |  $gcSentSql),
        |sb AS (
        |  SELECT doc_id, a,
        |    list_transform(
@@ -15036,62 +15118,94 @@ object Queries {
        |    list_transform(b, s -> CAST(strlen(s) AS BIGINT)) AS lb,
        |    len(a) AS n, len(b) AS m
        |  FROM sb WHERE len(a) > 0 OR len(b) > 0),
-       |dp AS (
-       |  SELECT doc_id, la, lb, n, m, 0 AS c,
-       |    [CAST(0 AS BIGINT)] AS costs
-       |  FROM dims
-       |  UNION ALL
-       |  SELECT doc_id, la, lb, n, m, c + 1,
-       |    list_append(costs, list_min(list_filter([
-       |      $cellCost
-       |    ], v -> v IS NOT NULL)))
-       |  FROM dp WHERE c + 1 <= (n + 1) * (m + 1) - 1),
-       |fin AS (
-       |  SELECT doc_id, la, lb, n, m, costs FROM dp
-       |  WHERE c = (n + 1) * (m + 1) - 1),
-       |bt AS (
-       |  SELECT doc_id, la, lb, n, m, costs, n AS i, m AS j, 0 AS step,
-       |    0 AS t
-       |  FROM fin
-       |  UNION ALL
-       |  SELECT doc_id, la, lb, n, m, costs,
-       |    CASE x.t2 WHEN 1 THEN i - 1 WHEN 2 THEN i - 1 WHEN 3 THEN i
-       |      WHEN 4 THEN i - 2 WHEN 5 THEN i - 1 ELSE i - 2 END,
-       |    CASE x.t2 WHEN 1 THEN j - 1 WHEN 2 THEN j WHEN 3 THEN j - 1
-       |      WHEN 4 THEN j - 1 WHEN 5 THEN j - 2 ELSE j - 2 END,
-       |    step + 1, x.t2
-       |  FROM (
-       |    SELECT *, (CASE
-       |      $tCase
-       |      ELSE 6 END) AS t2
-       |    FROM bt WHERE i + j > 0) x),
-       |beads AS (
-       |  SELECT doc_id, la, lb, i, j, t,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY step DESC)
-       |      AS bead
-       |  FROM bt WHERE step > 0)
-       |SELECT doc_id, CAST(bead AS BIGINT) AS bead,
-       |  CAST(CASE WHEN t = 3 THEN NULL ELSE i + 1 END AS BIGINT)
-       |    AS a_start,
-       |  CAST(CASE t WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 6 THEN 2 ELSE 1 END
-       |    AS BIGINT) AS a_len,
-       |  CAST(CASE WHEN t = 2 THEN NULL ELSE j + 1 END AS BIGINT)
-       |    AS b_start,
-       |  CAST(CASE t WHEN 2 THEN 0 WHEN 5 THEN 2 WHEN 6 THEN 2 ELSE 1 END
-       |    AS BIGINT) AS b_len,
-       |  CAST(CASE t
-       |    WHEN 1 THEN ${mtch("la[i + 1]", "lb[j + 1]")}
-       |    WHEN 2 THEN 4500000
-       |    WHEN 3 THEN 4500000
-       |    WHEN 4 THEN 2302585 +
-       |      ${mtch("la[i + 1] + la[i + 2]", "lb[j + 1]")}
-       |    WHEN 5 THEN 2302585 +
-       |      ${mtch("la[i + 1]", "lb[j + 1] + lb[j + 2]")}
-       |    ELSE 4392317 +
-       |      ${mtch("la[i + 1] + la[i + 2]", "lb[j + 1] + lb[j + 2]")}
-       |  END AS BIGINT) AS cost_micro
+       |${gcDpSql(Seq("doc_id"))}
+       |SELECT doc_id, $gcBeadCols
        |FROM beads""".stripMargin
+
+  /** Composability proof #4 — the COMPLETE bitext pipeline, q313 ∘
+    * q330: margin mining (Artetxe–Schwenk mutual rank-1 over the
+    * even/odd embedding halves) produces parallel DOC pairs, and
+    * Gale–Church aligns their pseudo-sentences — the output is the
+    * training artifact itself, aligned sentence-pair TEXT. The
+    * alignment runs ONLY on pairs the miner produced, so the oracle
+    * must replay the entire chain — both brute top-k directions, the
+    * integral margin, the mutual gate, sentence chunking, the DP cell
+    * fill and backtrack, and the text slices — to match at all. */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val xsE = emb.where(pmod(col("vec_id"), lit(2L)) === 0L)
+    val ysE = emb.where(pmod(col("vec_id"), lit(2L)) === 1L)
+    val mined = Similarity.marginBitextMine(xsE, ysE, k = 4,
+        thresholdMicro = 1100000L)
+      .where(col("mined")).select(col("x_id"), col("y_id"))
+    val toks = slice(ws_tokens(col("text")), 1, 60)
+    val nTok = size(toks).cast("long")
+    val nA = call_function("div", nTok + 4L, lit(5L))
+    val sent = when(nTok > 0L,
+      transform(sequence(lit(0L), nA - 1L), g =>
+        array_join(slice(toks, (g * 5L + 1L).cast("int"), lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val sents = t(s, dir, "documents")
+      .select(col("doc_id"), sent.as("sents")).localCheckpoint()
+    val pairs = mined
+      .join(sents.select(col("doc_id").as("x_id"), col("sents").as("a")),
+        "x_id")
+      .join(sents.select(col("doc_id").as("y_id"), col("sents").as("b")),
+        "y_id")
+      .select(concat(col("x_id"), lit(":"), col("y_id")).as("pid"),
+        col("x_id"), col("y_id"), col("a"), col("b"))
+      .localCheckpoint()
+    val beads = TextAnalysis.galeChurchAlign(
+      pairs.select(col("pid"), col("a"), col("b")), "pid", "a", "b",
+      maxSentences = 16)
+    beads.join(pairs, "pid")
+      .select(col("x_id"), col("y_id"), col("bead"),
+        col("a_start"), col("a_len"), col("b_start"), col("b_len"),
+        col("cost_micro"),
+        when(col("a_len") > 0L, array_join(slice(col("a"),
+          col("a_start").cast("int"), col("a_len").cast("int")), " "))
+          .as("a_text"),
+        when(col("b_len") > 0L, array_join(slice(col("b"),
+          col("b_start").cast("int"), col("b_len").cast("int")), " "))
+          .as("b_text"))
   }
+
+  private val q333Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |${bruteTopk4Sql("xs", "ys", "xy")},
+       |${bruteTopk4Sql("ys", "xs", "yx")},
+       |$marginTailSql,
+       |mined AS (
+       |  SELECT x_id, y_id FROM m
+       |  WHERE coalesce(margin_micro >= 1100000, false)),
+       |sent AS (
+       |  $gcSentSql),
+       |dims AS (
+       |  SELECT md.x_id, md.y_id,
+       |    list_transform(pa.a, s -> CAST(strlen(s) AS BIGINT)) AS la,
+       |    list_transform(pb.a, s -> CAST(strlen(s) AS BIGINT)) AS lb,
+       |    len(pa.a) AS n, len(pb.a) AS m
+       |  FROM mined md
+       |  JOIN sent pa ON pa.doc_id = md.x_id
+       |  JOIN sent pb ON pb.doc_id = md.y_id
+       |  WHERE len(pa.a) > 0 OR len(pb.a) > 0),
+       |${gcDpSql(Seq("x_id", "y_id"))},
+       |sel AS (
+       |  SELECT x_id, y_id, $gcBeadCols
+       |  FROM beads)
+       |SELECT sel.x_id, sel.y_id, sel.bead, sel.a_start, sel.a_len,
+       |  sel.b_start, sel.b_len, sel.cost_micro,
+       |  CASE WHEN sel.a_len > 0 THEN array_to_string(
+       |    pa.a[sel.a_start : sel.a_start + sel.a_len - 1], ' ') END
+       |    AS a_text,
+       |  CASE WHEN sel.b_len > 0 THEN array_to_string(
+       |    pb.a[sel.b_start : sel.b_start + sel.b_len - 1], ' ') END
+       |    AS b_text
+       |FROM sel
+       |JOIN sent pa ON pa.doc_id = sel.x_id
+       |JOIN sent pb ON pb.doc_id = sel.y_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
@@ -15566,5 +15680,6 @@ object Queries {
     "q329_warc_ingest" -> Q(q329, Some(q329Sql)),
     "q330_gale_church" -> Q(q330, Some(q330Sql)),
     "q331_langid_wide" -> Q(q331, Some(q331Sql)),
-    "q332_langid_wide_confusion" -> Q(q332, Some(q332Sql)))
+    "q332_langid_wide_confusion" -> Q(q332, Some(q332Sql)),
+    "q333_bitext_pipeline" -> Q(q333, Some(q333Sql)))
 }
