@@ -14814,7 +14814,9 @@ object Queries {
     * substrings of the segments it built), so the two sides agree only
     * if the walker's framing, offsets, statuses and snippets are all
     * exact. */
-  private def q329(s: SparkSession, dir: String): DataFrame = {
+  /** The q329 damaged-WARC stream, parsed — shared by q329 and the
+    * q335 composition. */
+  private def warcFixtureRecords(s: SparkSession, dir: String): DataFrame = {
     val crlf = "\r\n"
     val docs = t(s, dir, "documents")
     val mx = docs.agg(max(col("doc_id")).as("__m"))
@@ -14846,12 +14848,15 @@ object Queries {
         x => x.getField("__seg")), "").as("__s"))
     Warc.records(stream.select(lit("fixture.warc").as("path"),
         col("__s").cast("binary").as("content")))
+  }
+
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    warcFixtureRecords(s, dir)
       .select(col("rec_offset"), col("warc_type"), col("record_id"),
         col("target_uri"), col("warc_date"), col("content_type"),
         col("content_length"),
         col("payload").cast("string").as("payload_text"),
         col("_status").as("status"), col("_raw").as("raw"))
-  }
 
   private val q329Sql: String = {
     val crlf = "chr(13) || chr(10)"
@@ -15206,6 +15211,102 @@ object Queries {
        |FROM sel
        |JOIN sent pa ON pa.doc_id = sel.x_id
        |JOIN sent pb ON pb.doc_id = sel.y_id""".stripMargin
+
+  /** Mod-97-validated IBAN audit (TextAnalysis.ibanAudit): every 6th
+    * document embeds a checksum-VALID IBAN (the ISO 13616 DE
+    * example), every 7th the same IBAN with a flipped final digit
+    * (must fail mod 97), every 11th a valid GB IBAN, every 4th a
+    * short upper-alnum code (not candidate length) — the audit must
+    * count candidates vs validated accounts exactly, the precision
+    * upgrade over pattern-only PII scanning (the q327 Luhn
+    * discipline applied to bank accounts). */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(col("text"),
+      when(pmod(col("doc_id"), lit(6L)) === 0L,
+        lit(" iban DE89370400440532013000 on file")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        lit(" ref DE89370400440532013001 noted")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0L,
+        lit(" acct GB29NWBK60161331926819 paid")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0L,
+        lit(" code AB12XYZ99 short")).otherwise(lit("")))
+    TextAnalysis.ibanAudit(
+      t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  private val q334Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text
+      |    || (CASE WHEN doc_id % 6 = 0
+      |        THEN ' iban DE89370400440532013000 on file' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0
+      |        THEN ' ref DE89370400440532013001 noted' ELSE '' END)
+      |    || (CASE WHEN doc_id % 11 = 0
+      |        THEN ' acct GB29NWBK60161331926819 paid' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0
+      |        THEN ' code AB12XYZ99 short' ELSE '' END) AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[A-Z0-9]+') AS runs
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, runs,
+      |    list_filter(runs, x -> regexp_matches(x,
+      |      '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')) AS cands
+      |  FROM r),
+      |v AS (
+      |  SELECT doc_id, runs, cands,
+      |    list_filter(cands, x ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, len(x) + 1),
+      |            j -> CAST(ascii(substr(substr(x, 5) || substr(x, 1, 4),
+      |              CAST(j AS INTEGER), 1)) AS BIGINT))),
+      |        (a, code) -> CASE WHEN code BETWEEN 48 AND 57
+      |          THEN (a * 10 + code - 48) % 97
+      |          ELSE (a * 100 + code - 55) % 97 END) = 1) AS valid
+      |  FROM c)
+      |SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_upper_runs,
+      |  CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_mod97_valid,
+      |  len(valid) > 0 AS has_iban
+      |FROM v""".stripMargin
+
+  /** Composability proof #5 — the ingest FRONT DOOR feeding the
+    * curation pass (q329 ∘ q27): the damaged-WARC stream parses, the
+    * error channel drops exactly the corrupt / missing-required
+    * records, ids recover from the WARC-Record-ID header, and the
+    * quality features run over the RECOVERED payload bytes. The
+    * oracle never parses WARC — it selects the analytically-undamaged
+    * documents and replays the quality math on their ORIGINAL text,
+    * so the gate matches only if the walker returned every surviving
+    * payload byte-for-byte and routed every damaged record out. */
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val recovered = Warc.valid(warcFixtureRecords(s, dir))
+      .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
+          .cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    TextAnalysis.qualityFeatures(recovered, "doc_id", "text")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+  }
+
+  private val q335Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |ok AS (
+       |  SELECT doc_id, text FROM documents CROSS JOIN mx
+       |  WHERE doc_id != m AND doc_id % 19 != 0 AND doc_id % 11 != 0),
+       |toks AS (SELECT doc_id, text, $toksSql AS tk FROM ok),
+       |f AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
+       |  FROM toks)
+       |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(alnum_ratio, 6) AS alnum_ratio,
+       |  round(stopword_ratio, 6) AS stopword_ratio,
+       |  $qualityScoreSql AS quality_score
+       |FROM f""".stripMargin
 
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
@@ -15681,5 +15782,7 @@ object Queries {
     "q330_gale_church" -> Q(q330, Some(q330Sql)),
     "q331_langid_wide" -> Q(q331, Some(q331Sql)),
     "q332_langid_wide_confusion" -> Q(q332, Some(q332Sql)),
-    "q333_bitext_pipeline" -> Q(q333, Some(q333Sql)))
+    "q333_bitext_pipeline" -> Q(q333, Some(q333Sql)),
+    "q334_iban_audit" -> Q(q334, Some(q334Sql)),
+    "q335_warc_pipeline" -> Q(q335, Some(q335Sql)))
 }

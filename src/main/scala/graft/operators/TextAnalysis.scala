@@ -3393,6 +3393,51 @@ object TextAnalysis {
       (size(valid) > 0).as("has_card"))
   }
 
+  /** MOD-97-VALIDATED IBAN AUDIT per document — [[luhnCardAudit]]'s
+    * bank-account sibling (ISO 13616: an IBAN is CC KK BBAN, and the
+    * whole string rearranged (BBAN ∥ CC ∥ KK), letters mapped A→10 …
+    * Z→35, must be ≡ 1 mod 97 — the checksum that separates real
+    * account numbers from the upper-alnum soup PII regexes drown in):
+    * maximal [A-Z0-9] runs shaped `[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}`
+    * are candidates; each validates by the incremental remainder fold
+    *
+    *   acc' = (acc·10 + digit) mod 97       for a digit
+    *   acc' = (acc·100 + 10 + letter) mod 97 for a letter
+    *
+    * over the rearranged string's character codes — pure bounded
+    * int64 arithmetic (acc < 97, so acc·100 + 35 < 10⁴), identical in
+    * both engines.
+    *
+    * Scale shape: per-row regex + bounded HOF folds, map-only, no
+    * UDF. Output: (id, n_upper_runs, n_candidates, n_mod97_valid,
+    * has_iban). */
+  def ibanAudit(df: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val runs = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit("[A-Z0-9]+"), lit(0))
+    val cands = filter(runs, r =>
+      r.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"))
+    def mod97Ok(c: Column): Column = {
+      val rearranged = concat(c.substr(lit(5), length(c) - 4),
+        c.substr(lit(1), lit(4)))
+      // per-char substr fold (the luhnOk shape) — split(s, "") can
+      // emit empty-string fragments whose ascii() is 0
+      val acc = aggregate(sequence(lit(1), length(rearranged)), lit(0L),
+        (a, j) => {
+          val code = ascii(rearranged.substr(j, lit(1))).cast("long")
+          when(code >= 48L && code <= 57L,
+            pmod(a * 10L + code - 48L, lit(97L)))
+            .otherwise(pmod(a * 100L + code - 55L, lit(97L)))
+        })
+      acc === 1L
+    }
+    val valid = filter(cands, mod97Ok(_))
+    df.select(col(idCol), size(runs).cast("long").as("n_upper_runs"),
+      size(cands).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_mod97_valid"),
+      (size(valid) > 0).as("has_iban"))
+  }
+
   /** BINARY-SPILL / GIBBERISH AUDIT per document — the entropy-band
     * filter web and code corpora run to drop what the line-shape
     * rules miss (base64 blobs, minified bundles, key dumps score HIGH
