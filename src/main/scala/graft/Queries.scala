@@ -15308,6 +15308,73 @@ object Queries {
        |  $qualityScoreSql AS quality_score
        |FROM f""".stripMargin
 
+  /** Hard-negative mining (Similarity.hardNegatives ∘ ivfTopK): the
+    * 20 lowest-id vectors anchor an IVF top-8 search over the whole
+    * corpus; candidates sharing the anchor's label drop (they are
+    * positives) and the 3 nearest survivors per anchor are the hard
+    * negatives — the contrastive-curation readout, parameterized over
+    * the index exactly like q328's miner. The oracle replays cell
+    * assignment, probing, ranking, the NULL-safe label filter and the
+    * deterministic re-rank. */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20L), k = 8,
+        nCells = 8, nProbe = 2),
+      emb, "vec_id", "label", n = 3)
+  }
+
+  private val q336Sql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(range(1, len($x) + 1),
+         |      i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i,
+       |         embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+       |vc AS (
+       |  SELECT e.vec_id, cent.i,
+       |    ${dot("e.v", "cent.cv")}
+       |      / (sqrt(${dot("e.v", "e.v")})
+       |         * sqrt(${dot("cent.cv", "cent.cv")})) AS s
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, i AS cell FROM (
+       |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, i ASC) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, i AS cell FROM (
+       |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, i DESC) AS rn
+       |    FROM vc WHERE vec_id < 20) WHERE rn <= 2),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, cand_id ASC) AS rank
+       |  FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |      round($cosSqlAB, 6) AS cos_sim
+       |    FROM probe p
+       |    JOIN e a ON a.vec_id = p.query_id
+       |    JOIN assign g ON g.cell = p.cell
+       |    JOIN e b ON b.vec_id = g.vec_id AND b.vec_id != p.query_id)),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 8),
+       |hard AS (
+       |  SELECT t.query_id, t.cand_id, t.cos_sim,
+       |    row_number() OVER (PARTITION BY t.query_id
+       |      ORDER BY t.cos_sim DESC, t.cand_id ASC) AS neg_rank
+       |  FROM topk t
+       |  JOIN e qa ON qa.vec_id = t.query_id
+       |  JOIN e ca ON ca.vec_id = t.cand_id
+       |  WHERE NOT (ca.label IS NOT DISTINCT FROM qa.label))
+       |SELECT query_id, cand_id AS neg_id, cos_sim,
+       |  CAST(neg_rank AS BIGINT) AS neg_rank
+       |FROM hard WHERE neg_rank <= 3""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
   // both derive from the ONE WideLangProfiles table.
@@ -15784,5 +15851,6 @@ object Queries {
     "q332_langid_wide_confusion" -> Q(q332, Some(q332Sql)),
     "q333_bitext_pipeline" -> Q(q333, Some(q333Sql)),
     "q334_iban_audit" -> Q(q334, Some(q334Sql)),
-    "q335_warc_pipeline" -> Q(q335, Some(q335Sql)))
+    "q335_warc_pipeline" -> Q(q335, Some(q335Sql)),
+    "q336_hard_negatives" -> Q(q336, Some(q336Sql)))
 }

@@ -1163,6 +1163,43 @@ object Similarity {
       bruteForceTopK(xs, ys, k), thresholdMicro)
   }
 
+  /** HARD-NEGATIVE MINING from any ranked kNN source — the
+    * contrastive-curation step between retrieval and training
+    * (DPR/SimCSE practice: random negatives are too easy; the
+    * informative negatives are the nearest neighbors that are NOT the
+    * anchor's class): consume a ranked top-k table in the
+    * [[bruteForceTopK]] schema plus an (id, label) table, drop
+    * candidates sharing the anchor's label (NULL-safe — an unlabeled
+    * candidate never silently matches an unlabeled anchor), and keep
+    * each anchor's `n` nearest survivors.
+    *
+    * The [[marginBitextMineFromTopK]] stance: the kNN source is a
+    * PARAMETER (brute for bounded audits, [[ivfTopK]]/[[lshTopK]] at
+    * corpus scale), so the miner itself is two label equi-joins plus
+    * the partial-combining `top_k_by` re-rank — at most n rows per
+    * anchor per partition cross the shuffle, no window, no sort.
+    * Survivor order is (cos_sim DESC, cand_id ASC) — the [[rankTopK]]
+    * tiebreak, so re-ranking is deterministic and engine-replayable.
+    * Output: (query_id, neg_id, cos_sim, neg_rank). */
+  def hardNegatives(topk: DataFrame, labels: DataFrame, idCol: String,
+                    labelCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 1000,
+      s"hardNegatives: n must be in [1, 1000], got $n")
+    val anch = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__al"))
+    val cand = labels.select(col(idCol).as("cand_id"),
+      col(labelCol).as("__cl"))
+    topk.join(anch, "query_id").join(cand, "cand_id")
+      .where(!(col("__cl") <=> col("__al")))
+      .groupBy(col("query_id"))
+      .agg(top_k_by(struct(col("cos_sim"),
+        (-col("cand_id")).as("neg_cand")), n).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (-col("col.neg_cand")).as("neg_id"),
+        col("col.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("neg_rank"))
+  }
+
   /** DIMENSION-BUDGET RECALL SWEEP — the Matryoshka-truncation audit
     * (Kusupati et al. 2022: retrieval systems keep a dim PREFIX of
     * each embedding to cut index size; this measures what that budget

@@ -370,6 +370,32 @@ class ScaleSpec extends SparkTestBase {
     assert(eN.getMessage.contains("neighborhoods"))
   }
 
+  test("hardNegatives drops same-label candidates NULL-safely and " +
+    "re-ranks survivors deterministically from any ranked source") {
+    // hand-built ranked table: anchor 1 (label A), anchor 2 (NULL)
+    val topk = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 3),
+      (1L, 13L, 0.7, 4),
+      (2L, 10L, 0.95, 1), (2L, 14L, 0.6, 2))
+      .toDF("query_id", "cand_id", "cos_sim", "rank")
+    val labels = Seq((1L, "A"), (2L, null: String), (10L, "A"),
+      (11L, "B"), (12L, "B"), (13L, "C"), (14L, null: String))
+      .toDF("vec_id", "label")
+    val got = Similarity.hardNegatives(topk, labels, "vec_id", "label",
+        n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    // anchor 1: cand 10 shares label A -> dropped; survivors by
+    // (cos DESC, id ASC): 11 then 12 (13 ties 12 on cos, loses on id)
+    // anchor 2 (NULL label): cand 14's NULL label MATCHES null-safely
+    // -> dropped as a positive; labeled cand 10 survives
+    assert(got == Set((1L, 11L, 1L), (1L, 12L, 2L), (2L, 10L, 1L)),
+      s"got $got")
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(topk, labels, "vec_id", "label", n = 0)
+    }
+  }
+
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
     val rnd = new scala.util.Random(179)
     val vecs = (0L until 40L).map { i =>
