@@ -15375,6 +15375,58 @@ object Queries {
        |FROM hard WHERE neg_rank <= 3""".stripMargin
   }
 
+  /** Canonical keep-list per duplicate cluster
+    * (Dedup.canonicalKeepList ∘ q40 ∘ q27): the q40 near-dup clusters
+    * pick their highest-quality member (q27's quality_score, ties to
+    * the smallest doc_id) as the survivor — the dedup KEEP-POLICY a
+    * curation pass actually ships. The oracle replays the LSH pair
+    * derivation, the recursive transitive closure, the quality math
+    * and the per-cluster argmax. */
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scores = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    Dedup.canonicalKeepList(clusters, scores, "doc_id", "cluster_id",
+      "quality_score")
+  }
+
+  private val q337Sql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+       |       FROM reach GROUP BY id),
+       |qtoks AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+       |qf AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
+       |  FROM qtoks),
+       |sc AS (SELECT doc_id, $qualityScoreSql AS q FROM qf),
+       |j AS (
+       |  SELECT cl.doc_id, cl.cluster_id, sc.q
+       |  FROM cl JOIN sc USING (doc_id)),
+       |can AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY q DESC, doc_id ASC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, can.canonical_id,
+       |  j.doc_id = can.canonical_id AS keep
+       |FROM j JOIN can USING (cluster_id)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
   // both derive from the ONE WideLangProfiles table.
@@ -15852,5 +15904,6 @@ object Queries {
     "q333_bitext_pipeline" -> Q(q333, Some(q333Sql)),
     "q334_iban_audit" -> Q(q334, Some(q334Sql)),
     "q335_warc_pipeline" -> Q(q335, Some(q335Sql)),
-    "q336_hard_negatives" -> Q(q336, Some(q336Sql)))
+    "q336_hard_negatives" -> Q(q336, Some(q336Sql)),
+    "q337_canonical_keep" -> Q(q337, Some(q337Sql)))
 }

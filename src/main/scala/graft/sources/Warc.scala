@@ -116,6 +116,25 @@ object Warc {
     records(spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content")))
 
+  /** Streaming twin of [[warcWithErrors]] — the binaryFile file
+    * source over a landing directory (exactly-once per file via the
+    * query checkpoint, the [[TextIngest.jsonlStream]] shape), the
+    * SAME stateless per-file walk: streamed parse == batch parse is
+    * STRUCTURAL — there is no state to drift (StreamingSpec pins it
+    * file-drop by file-drop, damage included). */
+  def warcStream(spark: org.apache.spark.sql.SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 8): DataFrame =
+    records(spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content")))
+
   /** The walker over an explicit (path, content) frame — the gate /
     * already-scanned entry point. */
   def records(files: DataFrame): DataFrame = files

@@ -2063,6 +2063,50 @@ class StreamingSpec extends SparkTestBase {
       assert(state().size == 5 && state().count(_._3 == "ok") == 2)
     } finally q.stop()
   }
+  test("streaming WARC ingest == batch ingest file-drop by file-drop, " +
+    "damage and offsets included") {
+    import graft.sources.Warc
+    val crlf = "\r\n"
+    def rec(id: Int, body: String) =
+      "WARC/1.0" + crlf +
+        "WARC-Type: response" + crlf +
+        s"WARC-Record-ID: <urn:uuid:$id>" + crlf +
+        "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+        s"Content-Length: ${body.length}" + crlf + crlf +
+        body + crlf + crlf
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-warc")
+    def drop(name: String, content: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    drop("a.warc", rec(1, "first doc") + "junk junk" + crlf + rec(2, "second"))
+    val q = Warc.warcStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("warc_ing")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("path"), col("rec_offset"), col("record_id"),
+          col("_status"), col("_raw"))
+        .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+          Option(r.get(2)).map(_.toString), r.getString(3),
+          Option(r.get(4)).map(_.toString))).toSet
+      def state() = snap(spark.table("warc_ing"))
+      def batch() = snap(Warc.warcWithErrors(spark, dir.toString))
+      assert(state() == batch(), "after first drop")
+      assert(state().count(_._4 == "ok") == 2 &&
+        state().count(_._4 == "corrupt") == 1)
+      drop("b.warc", rec(3, "third") +
+        rec(4, "body").replace("WARC/1.0", "WARC/oops"))
+      q.processAllAvailable()
+      assert(state() == batch(), "after second drop")
+      assert(state().count(_._4 == "ok") == 3 &&
+        state().count(_._4 == "corrupt") == 2)
+    } finally q.stop()
+  }
+
   test("PqIndexMaintainer: streamed code table == batch re-encode of " +
     "the surviving corpus under the frozen quantizers, serving parity " +
     "holds, and checkpoint/restore resumes without the vectors") {
