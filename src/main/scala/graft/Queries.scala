@@ -11548,7 +11548,11 @@ object Queries {
     Similarity.topPrincipalComponent(t(s, dir, "embeddings"),
       "embedding", rounds = 12)
 
-  private val q275Sql = {
+  /** Shared power-iteration oracle fragments (q275, q338): micro-
+    * quantized vectors (round_even == bround), HUGEINT covariance
+    * cells from one pair scan, and the 12 L∞-normalized v₁ rounds —
+    * the CTE chain ends with `v12(j, v)`. */
+  private val pcCommonCtes: String = {
     val roundCtes = (1 to 12).map { k =>
       s"""w$k AS MATERIALIZED (SELECT c.i, sum(c.c * v${k - 1}.v) AS w
          |  FROM c JOIN v${k - 1} ON v${k - 1}.j = c.j GROUP BY 1),
@@ -11559,8 +11563,9 @@ object Queries {
          |               / CAST(mw AS DOUBLE)) END AS HUGEINT) AS v
          |  FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
-       |  SELECT [CAST(round_even(CAST(embedding[i] AS DOUBLE)
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    [CAST(round_even(CAST(embedding[i] AS DOUBLE)
        |            * 1000000.0, 0) AS BIGINT)
        |          for i in range(1, len(embedding)+1)] AS qv
        |  FROM embeddings),
@@ -11577,7 +11582,11 @@ object Queries {
        |      FROM cells JOIN sv si ON si.i = cells.i
        |      JOIN sv sj ON sj.i = cells.j CROSS JOIN nn),
        |v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM sv),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  private val q275Sql =
+    s"""WITH $pcCommonCtes,
        |wf AS (SELECT c.i, sum(c.c * v12.v) AS w
        |       FROM c JOIN v12 ON v12.j = c.j GROUP BY 1),
        |ray AS (
@@ -11588,7 +11597,6 @@ object Queries {
        |SELECT v.j - 1 AS dim, CAST(v.v AS BIGINT) AS v_micro,
        |  ray.ray AS rayleigh, ray.ray / tr.tr AS top_share
        |FROM v12 v CROSS JOIN ray CROSS JOIN tr""".stripMargin
-  }
 
   /** END-TO-END CURATION PIPELINE over the round-13 front door: gzip'd
     * jsonl (q263's fixture) → schema-validated ingest (error rows
@@ -15427,6 +15435,34 @@ object Queries {
        |  j.doc_id = can.canonical_id AS keep
        |FROM j JOIN can USING (cluster_id)""".stripMargin
 
+  /** All-but-the-top embedding transform (Similarity.allButTheTop):
+    * the q275/q286 anisotropy audits' FIX applied — mean-center and
+    * deflate the dominant direction, everything integral at scale
+    * n·10⁶ (centered residual r = n·q − S, projection coefficient in
+    * HUGEINT, the q286 truncating-division deflation form). The
+    * oracle replays v₁'s twelve rounds (the shared q275 fragments)
+    * and the per-coordinate arithmetic bit-for-bit. */
+  private def q338(s: SparkSession, dir: String): DataFrame =
+    Similarity.allButTheTop(t(s, dir, "embeddings"), "vec_id",
+      "embedding", rounds = 12)
+
+  private val q338Sql: String =
+    s"""WITH $pcCommonCtes,
+       |dn AS (SELECT sum(v * v) AS den FROM v12),
+       |rv AS (
+       |  SELECT q.vec_id, i.i AS i,
+       |    nn.n * qv[i.i] - sv.s AS r
+       |  FROM q, range(1, 65) i(i)
+       |  JOIN sv ON sv.i = i.i CROSS JOIN nn),
+       |tt AS (
+       |  SELECT rv.vec_id, sum(v12.v * rv.r) AS t
+       |  FROM rv JOIN v12 ON v12.j = rv.i GROUP BY 1)
+       |SELECT rv.vec_id, CAST(rv.i - 1 AS BIGINT) AS dim,
+       |  CAST(rv.r - (v12.v * tt.t) // dn.den AS BIGINT) AS abt_scaled
+       |FROM rv JOIN v12 ON v12.j = rv.i
+       |JOIN tt ON tt.vec_id = rv.vec_id
+       |CROSS JOIN dn""".stripMargin
+
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
   // both derive from the ONE WideLangProfiles table.
@@ -15905,5 +15941,6 @@ object Queries {
     "q334_iban_audit" -> Q(q334, Some(q334Sql)),
     "q335_warc_pipeline" -> Q(q335, Some(q335Sql)),
     "q336_hard_negatives" -> Q(q336, Some(q336Sql)),
-    "q337_canonical_keep" -> Q(q337, Some(q337Sql)))
+    "q337_canonical_keep" -> Q(q337, Some(q337Sql)),
+    "q338_all_but_the_top" -> Q(q338, Some(q338Sql)))
 }

@@ -596,6 +596,75 @@ object Similarity {
         StructField("top_share", DoubleType))))
   }
 
+  /** ALL-BUT-THE-TOP embedding transform — the FIX the
+    * [[topPrincipalComponent]] / [[topTwoComponents]] anisotropy
+    * audits point at (Mu & Viswanath 2018: subtract the corpus mean
+    * and remove the dominant direction(s); retrieval quality on
+    * anisotropic embedding spaces improves immediately). D = 1 here —
+    * the top direction, exactly the audit's v₁.
+    *
+    * Exactness: everything stays integral at scale n·10⁶ — per
+    * coordinate the CENTERED residual is rᵢ = n·qᵢ − Sᵢ (qᵢ the
+    * bround-micro-quantized coordinate, Sᵢ the corpus dim sum, both
+    * exact), the projection coefficient is t = Σⱼ v₁ⱼ·rⱼ in
+    * decimal(38,0), and the deflated coordinate is
+    *
+    *   pᵢ = rᵢ − (v₁ᵢ·t) div (Σⱼ v₁ⱼ²)
+    *
+    * — the [[topTwoComponents]] deflation form verbatim (truncating
+    * integer division; BigInt and DuckDB HUGEINT agree toward zero),
+    * so the oracle replays v₁'s twelve rounds and then this exact
+    * arithmetic. Output coordinates are SCALED by n·10⁶ relative to
+    * the input units (descale with one double division downstream if
+    * raw units are needed — emitted integral so the transform itself
+    * is bit-exact).
+    *
+    * Scale shape: the v₁/S/n statistics are the audit's own bounded
+    * driver collects (d ≤ 128 by the covariance contract); the
+    * transform is then ONE map-only pass — per row, r and t bind
+    * through a lambda (the langIdWide CollapseProject discipline) and
+    * the deflated coordinates explode to (id, dim, abt_scaled).
+    * Output: (id, dim, abt_scaled) — dim 0-based. */
+  def allButTheTop(df: DataFrame, idCol: String, vecCol: String,
+                   rounds: Int = 12): DataFrame = {
+    val top = topPrincipalComponent(df, vecCol, rounds)
+      .select(col("dim"), col("v_micro")).collect()
+    val v1 = top.sortBy(_.getLong(0)).map(_.getLong(1))
+    val den = v1.map(x => BigInt(x) * BigInt(x)).sum
+    require(den > 0,
+      "allButTheTop: the top component is the zero vector — nothing " +
+        "to deflate (degenerate corpus)")
+    val d38 = "decimal(38,0)"
+    val q = df.select(col(idCol).as("__id"),
+        transform(col(vecCol),
+          e => bround(e.cast("double") * 1e6, 0).cast("long")).as("__qv"))
+      .localCheckpoint()
+    val st = q.select(posexplode(col("__qv")).as(Seq("__i", "__q")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .collect().sortBy(_.getInt(0))
+    val n = st.head.getLong(2)
+    val sArr = st.map(_.getLong(1))
+    val v1Lit = array(v1.map(x => lit(x).cast(d38)): _*)
+    val sLit = array(sArr.map(x => lit(x).cast(d38)): _*)
+    val denLit = lit(den.toString).cast(d38)
+    // r and t computed ONCE per row behind a lambda binding — aliased
+    // columns would re-inline the zip/aggregate per exploded element
+    val rExpr = zip_with(col("__qv"), sLit,
+      (qe, se) => lit(n).cast(d38) * qe.cast(d38) - se)
+    val rt = element_at(transform(array(rExpr), rv =>
+      struct(rv.as("r"),
+        aggregate(zip_with(rv, v1Lit, (re, ve) => re * ve),
+          lit(0).cast(d38), (acc, x) => acc + x).as("t"))), 1)
+    q.select(col("__id"), rt.as("__rt"))
+      .select(col("__id"), col("__rt.t").as("__t"),
+        posexplode(col("__rt.r")).as(Seq("__i", "__r")))
+      .select(col("__id").as(idCol), col("__i").cast("long").as("dim"),
+        (col("__r") - call_function("div",
+          element_at(v1Lit, (col("__i") + 1).cast("int")) * col("__t"),
+          denLit)).cast("long").as("abt_scaled"))
+  }
+
   /** TOP TWO PRINCIPAL COMPONENTS by deflated power iteration — the
     * "all-but-the-top" audit (Mu & Viswanath 2018: embedding corpora
     * concentrate in a few top directions; removing them repairs

@@ -370,6 +370,44 @@ class ScaleSpec extends SparkTestBase {
     assert(eN.getMessage.contains("neighborhoods"))
   }
 
+  test("allButTheTop deflates the planted dominant direction — " +
+    "residual top share collapses and per-row v1-orthogonality holds " +
+    "to the truncation bound") {
+    val rnd = new scala.util.Random(1201)
+    val w = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+    val vecs = (0L until 60L).map { i =>
+      val a = rnd.nextDouble() * 4 - 2
+      (i, (0 until 8).map(d =>
+        (a * w(d) + (rnd.nextDouble() - 0.5) * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val audit = Similarity.topPrincipalComponent(vecs, "embedding")
+      .collect().sortBy(_.getLong(0))
+    val before = audit.head.getDouble(3)
+    val v1 = audit.map(_.getLong(1))
+    val out = Similarity.allButTheTop(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 60 * 8)
+    val byRow = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // per-row orthogonality to v1 within the truncation bound:
+    // p_i = r_i - (v1_i*t) div den leaves |Σ v1_i p_i| < Σ|v1_i|
+    val bound = v1.map(x => BigInt(x).abs).sum
+    byRow.values.foreach { p =>
+      val dot = p.indices.map(i => BigInt(v1(i)) * p(i)).sum
+      assert(dot.abs <= bound, s"residual v1-dot $dot exceeds $bound")
+    }
+    // the transform REMOVES the anisotropy the audit measured (share
+    // is scale-invariant, so the descale factor is arbitrary)
+    val resid = byRow.toSeq.map { case (id, p) =>
+      (id, p.map(x => (x.toDouble / 1e8).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val after = Similarity.topPrincipalComponent(resid, "embedding")
+      .select(col("top_share")).head().getDouble(0)
+    assert(before > 0.8, s"fixture must be anisotropic, got $before")
+    assert(after < before / 2,
+      s"deflation must collapse the top share: $before -> $after")
+  }
+
   test("hardNegatives drops same-label candidates NULL-safely and " +
     "re-ranks survivors deterministically from any ranked source") {
     // hand-built ranked table: anchor 1 (label A), anchor 2 (NULL)
