@@ -15463,6 +15463,99 @@ object Queries {
        |JOIN tt ON tt.vec_id = rv.vec_id
        |CROSS JOIN dn""".stripMargin
 
+  /** Checksum-aware PII redaction (TextAnalysis.redactPiiChecked):
+    * the q327/q334 audits' TRANSFORM — emails redact unconditionally,
+    * digit runs only when card-length AND Luhn-valid, upper-alnum
+    * runs only when IBAN-shaped AND mod-97-valid; the planted
+    * invalid-checksum twins and the benign order number must survive
+    * byte-for-byte. The oracle replays all three split/extract/
+    * rebuild layers including both checksum folds. */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(col("text"),
+      when(pmod(col("doc_id"), lit(6L)) === 0L,
+        lit(" card 4532015112830366 ok")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0L,
+        lit(" ref 4532015112830367 kept")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0L,
+        lit(" acct GB29NWBK60161331926819 paid")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13L)) === 0L,
+        lit(" code DE89370400440532013001 kept")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0L,
+        lit(" mail bob.smith+x@example.org now")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4L)) === 0L,
+        lit(" order 1234567890")).otherwise(lit("")))
+    TextAnalysis.redactPiiChecked(
+      t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+      "doc_id", "text")
+  }
+
+  private val q339Sql: String = {
+    val emailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    def luhn(x: String) =
+      s"""list_sum([CASE WHEN j % 2 = 0 THEN
+         |    CASE WHEN CAST(($x)[len($x)-j+1] AS INTEGER) * 2 > 9
+         |      THEN CAST(($x)[len($x)-j+1] AS INTEGER) * 2 - 9
+         |      ELSE CAST(($x)[len($x)-j+1] AS INTEGER) * 2 END
+         |  ELSE CAST(($x)[len($x)-j+1] AS INTEGER) END
+         |  for j in range(1, len($x) + 1)]) % 10 = 0""".stripMargin
+    def mod97(x: String) =
+      s"""list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, len($x) + 1),
+         |      j -> CAST(ascii(substr(substr($x, 5) || substr($x, 1, 4),
+         |        CAST(j AS INTEGER), 1)) AS BIGINT))),
+         |  (a, code) -> CASE WHEN code BETWEEN 48 AND 57
+         |    THEN (a * 10 + code - 48) % 97
+         |    ELSE (a * 100 + code - 55) % 97 END) = 1""".stripMargin
+    val ibanOk = s"regexp_matches(runs[i], " +
+      "'^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$$') AND " + mod97("runs[i]")
+    val cardOk = s"len(runs[i]) BETWEEN 13 AND 19 AND " + luhn("runs[i]")
+    def layer(src: String, out: String, pat: String, ok: String,
+              repl: String, cnt: String) =
+      s"""${out}x AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(text, '$pat') AS segs,
+         |    regexp_extract_all(text, '$pat') AS runs, text
+         |  FROM $src),
+         |$out AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(runs) > 0 THEN
+         |      segs[1] || array_to_string(
+         |        list_transform(range(1, len(runs) + 1), i ->
+         |          concat((CASE WHEN $ok THEN '$repl'
+         |            ELSE runs[i] END), segs[i + 1])), '')
+         |    ELSE text END AS text,
+         |    CAST(len(list_filter(range(1, len(runs) + 1),
+         |      i -> $ok)) AS BIGINT) AS $cnt
+         |  FROM ${out}x)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text
+       |    || (CASE WHEN doc_id % 6 = 0
+       |        THEN ' card 4532015112830366 ok' ELSE '' END)
+       |    || (CASE WHEN doc_id % 7 = 0
+       |        THEN ' ref 4532015112830367 kept' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 0
+       |        THEN ' acct GB29NWBK60161331926819 paid' ELSE '' END)
+       |    || (CASE WHEN doc_id % 13 = 0
+       |        THEN ' code DE89370400440532013001 kept' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0
+       |        THEN ' mail bob.smith+x@example.org now' ELSE '' END)
+       |    || (CASE WHEN doc_id % 4 = 0
+       |        THEN ' order 1234567890' ELSE '' END) AS text
+       |  FROM documents),
+       |em AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '$emailP', '<EMAIL>', 'g') AS text,
+       |    CAST(len(regexp_extract_all(text, '$emailP')) AS BIGINT)
+       |      AS n_emails
+       |  FROM d),
+       |${layer("em", "ib", "[A-Z0-9]+", ibanOk, "<IBAN>", "n_ibans")},
+       |${layer("ib", "cd", "[0-9]+", cardOk, "<CARD>", "n_cards")}
+       |SELECT em.doc_id, em.n_emails, cd.n_cards, ib.n_ibans,
+       |  cd.text AS redacted
+       |FROM em JOIN ib USING (doc_id) JOIN cd USING (doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
   // both derive from the ONE WideLangProfiles table.
@@ -15942,5 +16035,6 @@ object Queries {
     "q335_warc_pipeline" -> Q(q335, Some(q335Sql)),
     "q336_hard_negatives" -> Q(q336, Some(q336Sql)),
     "q337_canonical_keep" -> Q(q337, Some(q337Sql)),
-    "q338_all_but_the_top" -> Q(q338, Some(q338Sql)))
+    "q338_all_but_the_top" -> Q(q338, Some(q338Sql)),
+    "q339_pii_redaction" -> Q(q339, Some(q339Sql)))
 }

@@ -3369,23 +3369,43 @@ object TextAnalysis {
     * Scale shape: per-row regex + bounded HOFs, map-only, no UDF.
     * Output: (id, n_digit_runs, n_candidates, n_luhn_valid,
     * has_card). */
+  /** Luhn mod-10 check of a digit-run column — shared by
+    * [[luhnCardAudit]] and [[redactPii]]. */
+  private[operators] def luhnOk(c: Column): Column = {
+    val total = aggregate(sequence(lit(1), length(c)), lit(0L),
+      (acc, j) => {
+        val d = c.substr(length(c) - j + 1, lit(1)).cast("long")
+        val dd = when(pmod(j, lit(2)) === 0,
+          when(d * 2L > 9L, d * 2L - 9L).otherwise(d * 2L))
+          .otherwise(d)
+        acc + dd
+      })
+    pmod(total, lit(10L)) === 0L
+  }
+
+  /** ISO 13616 rearranged mod-97 check of an upper-alnum-run column —
+    * shared by [[ibanAudit]] and [[redactPii]]. */
+  private[operators] def mod97Ok(c: Column): Column = {
+    val rearranged = concat(c.substr(lit(5), length(c) - 4),
+      c.substr(lit(1), lit(4)))
+    // per-char substr fold (the luhnOk shape) — split(s, "") can
+    // emit empty-string fragments whose ascii() is 0
+    val acc = aggregate(sequence(lit(1), length(rearranged)), lit(0L),
+      (a, j) => {
+        val code = ascii(rearranged.substr(j, lit(1))).cast("long")
+        when(code >= 48L && code <= 57L,
+          pmod(a * 10L + code - 48L, lit(97L)))
+          .otherwise(pmod(a * 100L + code - 55L, lit(97L)))
+      })
+    acc === 1L
+  }
+
   def luhnCardAudit(df: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     val runs = regexp_extract_all(coalesce(col(textCol), lit("")),
       lit("[0-9]+"), lit(0))
     val cands = filter(runs, r =>
       length(r) >= 13 && length(r) <= 19)
-    def luhnOk(c: Column): Column = {
-      val total = aggregate(sequence(lit(1), length(c)), lit(0L),
-        (acc, j) => {
-          val d = c.substr(length(c) - j + 1, lit(1)).cast("long")
-          val dd = when(pmod(j, lit(2)) === 0,
-            when(d * 2L > 9L, d * 2L - 9L).otherwise(d * 2L))
-            .otherwise(d)
-          acc + dd
-        })
-      pmod(total, lit(10L)) === 0L
-    }
     val valid = filter(cands, luhnOk(_))
     df.select(col(idCol), size(runs).cast("long").as("n_digit_runs"),
       size(cands).cast("long").as("n_candidates"),
@@ -3417,25 +3437,83 @@ object TextAnalysis {
       lit("[A-Z0-9]+"), lit(0))
     val cands = filter(runs, r =>
       r.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"))
-    def mod97Ok(c: Column): Column = {
-      val rearranged = concat(c.substr(lit(5), length(c) - 4),
-        c.substr(lit(1), lit(4)))
-      // per-char substr fold (the luhnOk shape) — split(s, "") can
-      // emit empty-string fragments whose ascii() is 0
-      val acc = aggregate(sequence(lit(1), length(rearranged)), lit(0L),
-        (a, j) => {
-          val code = ascii(rearranged.substr(j, lit(1))).cast("long")
-          when(code >= 48L && code <= 57L,
-            pmod(a * 10L + code - 48L, lit(97L)))
-            .otherwise(pmod(a * 100L + code - 55L, lit(97L)))
-        })
-      acc === 1L
-    }
     val valid = filter(cands, mod97Ok(_))
     df.select(col(idCol), size(runs).cast("long").as("n_upper_runs"),
       size(cands).cast("long").as("n_candidates"),
       size(valid).cast("long").as("n_mod97_valid"),
       (size(valid) > 0).as("has_iban"))
+  }
+
+  /** CHECKSUM-AWARE PII REDACTION per document — the precision
+    * upgrade of [[redactPii]] (whose `<NUM>` rule mangles every 7+
+    * digit run) in the audit family's validated form
+    * ([[luhnCardAudit]] / [[ibanAudit]] COUNT violations; a curation
+    * pass must then actually remove them without destroying benign
+    * numbers): emails redact
+    * unconditionally; maximal digit runs redact ONLY when they are
+    * card-length AND Luhn-valid; maximal upper-alnum runs redact ONLY
+    * when IBAN-shaped AND mod-97-valid. Everything else passes
+    * byte-for-byte.
+    *
+    * Mechanics: each layer decomposes the text into the alternating
+    * (segments, maximal-runs) structure — `split(text, P, -1)` yields
+    * exactly len(runs)+1 segments including leading/trailing empties
+    * in BOTH engines — and rebuilds it with validated runs swapped
+    * for their placeholder; layers chain email → IBAN → card — email
+    * first (a card number inside an address redacts as the email it
+    * is), then the MORE SPECIFIC shape: if the card layer ran before
+    * the IBAN layer, a Luhn-valid card-length digit run INSIDE an
+    * IBAN would chew the account number before its own layer saw it;
+    * the placeholders themselves match neither later pattern, so
+    * layers cannot chew each other's output. The chain nests inside
+    * lambda bindings (the [[langIdWide]] CollapseProject discipline)
+    * so each intermediate text materializes once per row.
+    *
+    * Scale shape: pure per-row regex + bounded HOFs, map-only, no
+    * UDF. Output: (id, n_emails, n_cards, n_ibans, redacted). */
+  def redactPiiChecked(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val emailP = EmailRe
+    def rebuild(txt: Column, pat: String, f: Column => Column): Column = {
+      val segs = split(txt, pat, -1)
+      val runs = regexp_extract_all(txt, lit(pat), lit(0))
+      when(size(runs) > 0,
+        concat(element_at(segs, 1),
+          array_join(transform(sequence(lit(1), size(runs)), i =>
+            concat(f(element_at(runs, i.cast("int"))),
+              element_at(segs, (i + 1).cast("int")))), "")))
+        .otherwise(txt)
+    }
+    def cardF(r: Column): Column =
+      when(length(r) >= 13 && length(r) <= 19 && luhnOk(r),
+        lit("<CARD>")).otherwise(r)
+    def ibanF(r: Column): Column =
+      when(r.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$") && mod97Ok(r),
+        lit("<IBAN>")).otherwise(r)
+    val raw = coalesce(col(textCol), lit(""))
+    val nEmails = size(regexp_extract_all(raw, lit(emailP), lit(0)))
+      .cast("long")
+    def nValid(txt: Column, pat: String, ok: Column => Column): Column =
+      size(filter(regexp_extract_all(txt, lit(pat), lit(0)), ok))
+        .cast("long")
+    // nested lambda bindings: t1 (emails gone) feeds the IBAN layer
+    // and its count; t2 (IBANs gone) feeds the card layer and its
+    // count
+    val out = element_at(transform(
+      array(regexp_replace(raw, emailP, "<EMAIL>")), t1 =>
+        element_at(transform(array(rebuild(t1, "[A-Z0-9]+", ibanF)),
+          t2 => struct(
+            nValid(t1, "[A-Z0-9]+",
+              r => r.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$") &&
+                mod97Ok(r)).as("n_ibans"),
+            nValid(t2, "[0-9]+",
+              r => length(r) >= 13 && length(r) <= 19 && luhnOk(r))
+              .as("n_cards"),
+            rebuild(t2, "[0-9]+", cardF).as("redacted"))), 1)), 1)
+    df.select(col(idCol), nEmails.as("n_emails"),
+      out.getField("n_cards").as("n_cards"),
+      out.getField("n_ibans").as("n_ibans"),
+      out.getField("redacted").as("redacted"))
   }
 
   /** BINARY-SPILL / GIBBERISH AUDIT per document — the entropy-band
