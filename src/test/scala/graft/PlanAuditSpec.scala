@@ -979,6 +979,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"dawidSkeneHardEm must not window:\n$dsPlan")
   }
 
+  test("round-15 operators keep their scale shapes: map-only audits/" +
+    "transforms, window-free keep-list, shuffle-free alignment") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.range(200).select(col("id"),
+      concat(lit("alpha beta 4532015112830366 GB29NWBK60161331926819 "),
+        col("id").cast("string")).as("text"))
+    // the audit/transform family is pure per-row work — no exchange,
+    // no window, no join
+    for ((name, df) <- Seq(
+      "ibanAudit" -> TextAnalysis.ibanAudit(docs, "id", "text"),
+      "luhnCardAudit" -> TextAnalysis.luhnCardAudit(docs, "id", "text"),
+      "redactPiiChecked" ->
+        TextAnalysis.redactPiiChecked(docs, "id", "text"))) {
+      val pl = df.queryExecution.executedPlan.toString
+      assert(!pl.contains("Exchange") && !pl.contains("Window") &&
+        !pl.contains("Join"), s"$name must stay map-only:\n$pl")
+    }
+    // galeChurchAlign: after the eager contracts, the bead plan is the
+    // checkpointed scan + one projection + one generate — no exchange
+    val pairs = (0L until 50L).map(i =>
+      (i, Seq("aa bb cc", "dd ee"), Seq("aa bb cc dd", "ee")))
+      .toDF("id", "a", "b")
+    val gc = TextAnalysis.galeChurchAlign(pairs, "id", "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!gc.contains("Exchange") && !gc.contains("Window") &&
+      !gc.contains("Join"),
+      s"galeChurchAlign must stay map-only after contracts:\n$gc")
+    // canonicalKeepList: argmax is a partial-combining aggregate plus
+    // equi-joins — never a window over cluster members
+    val cl = spark.range(300).select(col("id"), (col("id") % 40).as("c"))
+    val sc = spark.range(300).select(col("id"),
+      (col("id") % 7).cast("double").as("q"))
+    val kl = Dedup.canonicalKeepList(cl, sc, "id", "c", "q")
+      .queryExecution.executedPlan.toString
+    assert(!kl.contains("Window") && !kl.contains("CartesianProduct"),
+      s"canonicalKeepList must not window:\n$kl")
+  }
+
   test("index-backed margin mining contains no corpus×corpus nested " +
     "loop: ivfTopK candidates arrive by cell equi-join and the miner " +
     "tail is equi-joins only") {
