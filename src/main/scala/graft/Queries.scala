@@ -15556,6 +15556,60 @@ object Queries {
        |FROM em JOIN ib USING (doc_id) JOIN cd USING (doc_id)""".stripMargin
   }
 
+  /** Packed-span offsets (TextAnalysis.packSpans ∘ q285's FFD,
+    * composability proof #6): the per-language FFD bins unfold into
+    * each document's [start, end) token span in pack order — the
+    * boundary table a packed training batch ships with. The oracle
+    * extends the q285 recursive FFD replay with a per-(lang, bin)
+    * running sum over the insertion order. */
+  private def q340(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSpans(
+      TextAnalysis.packFirstFitDecreasing(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ntok")),
+        "lang", "doc_id", "ntok", capacity = 128L),
+      "lang", "doc_id", "tokens", "bin")
+
+  private val q340Sql: String = {
+    val fits = "list_filter(range(1, len(f.loads) + 1), " +
+      "i -> f.loads[i] + o.tok <= 128)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+       |      '\\s+'), x -> x != '')) AS BIGINT) AS tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT lang, doc_id, tok,
+       |    row_number() OVER (PARTITION BY lang ORDER BY tok DESC,
+       |      doc_id) AS rn
+       |  FROM d),
+       |ffd AS (
+       |  SELECT lang, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS tok, CAST(NULL AS BIGINT) AS bin,
+       |    CAST([] AS BIGINT[]) AS loads
+       |  FROM (SELECT DISTINCT lang FROM o)
+       |  UNION ALL
+       |  SELECT o.lang, o.rn, o.doc_id, o.tok,
+       |    CASE WHEN len($fits) > 0
+       |         THEN CAST($fits[1] - 1 AS BIGINT)
+       |         ELSE CAST(len(f.loads) AS BIGINT) END,
+       |    CASE WHEN len($fits) > 0
+       |         THEN list_transform(range(1, len(f.loads) + 1),
+       |                i -> CASE WHEN i = $fits[1]
+       |                     THEN f.loads[i] + o.tok
+       |                     ELSE f.loads[i] END)
+       |         ELSE list_append(f.loads, o.tok) END
+       |  FROM ffd f JOIN o ON o.lang = f.lang AND o.rn = f.rn + 1)
+       |SELECT lang, bin, doc_id,
+       |  CAST(coalesce(sum(tok) OVER (PARTITION BY lang, bin
+       |    ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    1 PRECEDING), 0) AS BIGINT) AS start,
+       |  CAST(sum(tok) OVER (PARTITION BY lang, bin ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS "end"
+       |FROM ffd WHERE rn > 0""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Widened language ID (q331/q332) — fixture sentences and oracle SQL
   // both derive from the ONE WideLangProfiles table.
@@ -16036,5 +16090,6 @@ object Queries {
     "q336_hard_negatives" -> Q(q336, Some(q336Sql)),
     "q337_canonical_keep" -> Q(q337, Some(q337Sql)),
     "q338_all_but_the_top" -> Q(q338, Some(q338Sql)),
-    "q339_pii_redaction" -> Q(q339, Some(q339Sql)))
+    "q339_pii_redaction" -> Q(q339, Some(q339Sql)),
+    "q340_packed_spans" -> Q(q340, Some(q340Sql)))
 }

@@ -3444,6 +3444,43 @@ object TextAnalysis {
       (size(valid) > 0).as("has_iban"))
   }
 
+  /** PACKED-SPAN OFFSETS over an FFD assignment — the step that
+    * turns [[packFirstFitDecreasing]]'s (key, id, tokens, bin) into
+    * the artifact a trainer actually consumes: each document's
+    * [start, end) token span inside its packed bin, in the PACK
+    * ORDER (tokens DESC, id ASC — exactly the FFD insertion order, so
+    * offsets are reproducible from the assignment alone). Together
+    * with [[graft.operators.Validate]].lossMaskSpans this closes the
+    * packing loop: bins → per-doc boundaries → per-turn loss masks.
+    *
+    * Scale shape: one groupBy to the per-(key, bin) member list
+    * (bounded by the bin capacity — the FFD contract already bounds
+    * members), one array_sort + ONE sequential offset fold inside the
+    * aggregate HOF (bounded append), explode back to rows. No raw-row
+    * window. Output: (key, bin, id, start, end). */
+  def packSpans(ffd: DataFrame, keyCol: String, idCol: String,
+                tokCol: String, binCol: String): DataFrame = {
+    val g = ffd.groupBy(col(keyCol), col(binCol))
+      .agg(array_sort(collect_list(struct(
+        (-col(tokCol).cast("long")).as("nt"),
+        col(idCol).cast("long").as("id"),
+        col(tokCol).cast("long").as("tok")))).as("__ds"))
+    val spanT = "array<struct<id:bigint,start:bigint,end:bigint>>"
+    val spans = aggregate(col("__ds"),
+      struct(array().cast(spanT).as("sp"), lit(0L).as("cum")),
+      (acc, d) => struct(
+        concat(acc.getField("sp"), array(struct(
+          d.getField("id").as("id"),
+          acc.getField("cum").as("start"),
+          (acc.getField("cum") + d.getField("tok")).as("end"))))
+          .as("sp"),
+        (acc.getField("cum") + d.getField("tok")).as("cum")),
+      acc => acc.getField("sp"))
+    g.select(col(keyCol), col(binCol), posexplode(spans))
+      .select(col(keyCol), col(binCol), col("col.id").as(idCol),
+        col("col.start").as("start"), col("col.end").as("end"))
+  }
+
   /** CHECKSUM-AWARE PII REDACTION per document — the precision
     * upgrade of [[redactPii]] (whose `<NUM>` rule mangles every 7+
     * digit run) in the audit family's validated form
