@@ -1254,11 +1254,22 @@ object Similarity {
                     labelCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 1000,
       s"hardNegatives: n must be in [1, 1000], got $n")
+    // a repeated (query, cand) pair in the kNN source would mine the
+    // same negative twice — reject loudly (the annRecallAudit dedup
+    // discipline)
+    val tk = topk.select(col("query_id"), col("cand_id"), col("cos_sim"))
+      .localCheckpoint()
+    Contracts.enforce(
+      tk.groupBy(col("query_id"), col("cand_id"))
+        .agg(count(lit(1)).as("__c")),
+      Contracts.Bound(max(col("__c")), _ <= 1L, m =>
+        s"hardNegatives: the kNN source repeats a (query, cand) pair " +
+          s"$m times — negatives would duplicate"))
     val anch = labels.select(col(idCol).as("query_id"),
       col(labelCol).as("__al"))
     val cand = labels.select(col(idCol).as("cand_id"),
       col(labelCol).as("__cl"))
-    topk.join(anch, "query_id").join(cand, "cand_id")
+    tk.join(anch, "query_id").join(cand, "cand_id")
       .where(!(col("__cl") <=> col("__al")))
       .groupBy(col("query_id"))
       .agg(top_k_by(struct(col("cos_sim"),

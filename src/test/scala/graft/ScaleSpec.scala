@@ -432,6 +432,11 @@ class ScaleSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.hardNegatives(topk, labels, "vec_id", "label", n = 0)
     }
+    val eD = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(topk.unionByName(topk.limit(1)), labels,
+        "vec_id", "label", n = 2)
+    }
+    assert(eD.getMessage.contains("repeats"))
   }
 
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
