@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.operators._
-import graft.sources.Warc
+import graft.sources.{HtmlText, Warc}
 
 /** The engine's operator surface wired to the driver's correctness harness:
   * one query per SURVEY.md §2 operator, each paired (where SQL-expressible)
@@ -3041,7 +3041,7 @@ object Queries {
     * order-exact double sums), the byte-band folds, the 16-bit band
     * packing, bit_count(xor) Hamming, and the transitive closure, cell
     * by cell. */
-  private def q85(s: SparkSession, dir: String): DataFrame = {
+  private def q85Fixture(s: SparkSession, dir: String): DataFrame = {
     val (h, w) = (16, 18)
     // Fixture STAGED to parquet (stageFixture, once per JVM): the gate
     // measures the dedup operator over a columnar matrix scan — the
@@ -3058,7 +3058,7 @@ object Queries {
     // one-hash-per-pixel form. The oracle replays the identical
     // shift/mod expansion, so exactness is untouched. Shared-base
     // images still share every px byte; per-image noise stays {-1,0,1}.
-    val withMat = stageFixture(s, "q85_mat", dir) {
+    stageFixture(s, "q85_mat", dir) {
       val imgs = t(s, dir, "part").select(col("p_partkey").as("img_id"),
         (col("p_partkey") - pmod(col("p_partkey"), lit(4L))).as("base"))
         .repartition(64, col("img_id"))
@@ -3075,6 +3075,10 @@ object Queries {
           }: _*))))
       imgs.withColumn("matrix", mat)
     }.repartition(64, col("img_id")) // 64 tiny files read as 1 split
+  }
+
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val withMat = q85Fixture(s, dir)
     val pairs = Dedup.dhashPairs(withMat, "img_id", "matrix", maxHamming = 6,
       bandBytes = 2)
       .localCheckpoint() // three consumers below; derive the pairs once
@@ -3092,10 +3096,13 @@ object Queries {
         col("min_hamming"))
   }
 
-  private val q85Sql = {
+  /** The q85 dHash fixture -> banded-LSH pair -> connected-components
+    * CTE chain (imgs ... cc), shared verbatim by q85 and the q345
+    * image-text pair composition. No WITH prefix. */
+  private val dhashCcCtes: String = {
     val pxBase = md5LongSql("'px' || base || '_' || i || '_' || g")
     val pxNoise = md5LongSql("'nz' || img || '_' || i || '_' || g")
-    s"""WITH RECURSIVE imgs AS (
+    s"""imgs AS (
        |  SELECT p_partkey AS img, p_partkey - p_partkey % 4 AS base FROM part),
        |hx AS (
        |  SELECT img, i, g, $pxBase AS hp, $pxNoise AS hn
@@ -3139,7 +3146,11 @@ object Queries {
        |  SELECT img AS id, img AS lbl FROM imgs
        |  UNION
        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
-       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
+  private val q85Sql =
+    s"""WITH RECURSIVE $dhashCcCtes,
        |nb AS (
        |  SELECT img_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors,
        |    min(hamming) AS min_hamming
@@ -3150,7 +3161,6 @@ object Queries {
        |  CAST(coalesce(nb.n_dup_neighbors, 0) AS BIGINT) AS n_dup_neighbors,
        |  nb.min_hamming
        |FROM cc LEFT JOIN nb ON nb.img_id = cc.id""".stripMargin
-  }
 
   /** Exact-substring (position-level) dedup signal
     * (TextAnalysis.substringDedupSpans): sliding 16-token windows at
@@ -3302,17 +3312,42 @@ object Queries {
     Sketches.multiBloomDecontaminate(heldOut, train, m, k)
   }
 
-  private val q88Sql = {
-    val (m, k) = (16384, 4)
-    val sets = Seq("src0", "src1", "src2")
+  private val deconM = 16384
+  private val deconK = 4
+  private val deconSetNames = Seq("src0", "src1", "src2")
+  private val deconSetsList = deconSetNames.map(s => s"'$s'").mkString(", ")
+
+  /** Shared decontamination CTE chain (q88, q345): tokenize -> shingle
+    * -> per-train-doc bloom probes (tr/hp) -> per-eval-set bit sets
+    * (bits_srcN). No WITH prefix; callers append their readout. */
+  private val deconCtes: String = {
+    val (m, k) = (deconM, deconK)
+    val sets = deconSetNames
     def pos(h: String, i: String) = sketchPosSql(h, i, m)
-    val setsList = sets.map(s => s"'$s'").mkString(", ")
+    val setsList = deconSetsList
     val bitsCtes = sets.map(s =>
       s"""bits_$s AS (
          |  SELECT DISTINCT ${pos("eh.h", "t.i")} AS b
          |  FROM (SELECT ${md5LongSql("u.s")} AS h
          |        FROM (SELECT unnest(shingles) AS s FROM sh WHERE source = '$s') u) eh
          |  CROSS JOIN range(0, $k) t(i))""".stripMargin).mkString(",\n")
+    s"""tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM tk),
+       |tr AS (
+       |  SELECT doc_id, u.i AS si, u.s AS sg FROM (
+       |    SELECT doc_id, list_transform(range(1, len(shingles) + 1),
+       |      i -> struct_pack(i := i, s := shingles[i])) AS ls
+       |    FROM sh WHERE source NOT IN ($setsList)), unnest(ls) AS t(u)),
+       |hp AS (
+       |  SELECT doc_id, si, ${pos(md5LongSql("sg"), "j.i")} AS b
+       |  FROM tr CROSS JOIN range(0, $k) j(i)),
+       |$bitsCtes""".stripMargin
+  }
+
+  private val q88Sql = {
+    val (m, k) = (deconM, deconK)
+    val sets = deconSetNames
+    val setsList = deconSetsList
     val perSet = sets.map(s =>
       s"""SELECT t.doc_id, '$s' AS eval_set,
          |  CAST(coalesce(len(t.shingles), 0) AS BIGINT) AS n_shingles,
@@ -3326,17 +3361,7 @@ object Queries {
          |    GROUP BY hp.doc_id, hp.si HAVING count(*) = $k) g
          |  GROUP BY g.doc_id) h ON h.doc_id = t.doc_id""".stripMargin)
       .mkString("\nUNION ALL\n")
-    s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
-       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM tk),
-       |tr AS (
-       |  SELECT doc_id, u.i AS si, u.s AS sg FROM (
-       |    SELECT doc_id, list_transform(range(1, len(shingles) + 1),
-       |      i -> struct_pack(i := i, s := shingles[i])) AS ls
-       |    FROM sh WHERE source NOT IN ($setsList)), unnest(ls) AS t(u)),
-       |hp AS (
-       |  SELECT doc_id, si, ${pos(md5LongSql("sg"), "j.i")} AS b
-       |  FROM tr CROSS JOIN range(0, $k) j(i)),
-       |$bitsCtes
+    s"""WITH $deconCtes
        |$perSet""".stripMargin
   }
 
@@ -3404,10 +3429,10 @@ object Queries {
   /** Shared CTE chain computing the q90 classifier's per-doc features
     * and raw score `z` — consumed by q90 (scores + keep flags) and q130
     * (AUC of the same scores). */
-  private val classifierCtes = {
+  private val classifierCtesBody = {
     val allStops = TextAnalysis.LangProfiles.flatMap(_._2)
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH st AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+    s"""st AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
        |f AS (
        |  SELECT doc_id,
        |    CASE WHEN len(tk) > 0
@@ -3430,6 +3455,8 @@ object Queries {
        |      + (1.0) * stop_frac) + (-3.0) * digit_frac) AS z
        |  FROM f)""".stripMargin
   }
+
+  private val classifierCtes = "WITH " + classifierCtesBody
 
   private val q90Sql = classifierCtes +
     """
@@ -15746,6 +15773,303 @@ object Queries {
        |  1000000 * j.n // t.tt AS recall_micro
        |FROM j JOIN t ON t.lang_true = j.lang_true""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // HTML→text extraction front door (q341/q342): the documents table
+  // serialized into ONE WARC stream of HTTP-response records wrapping
+  // HTML, with every front-door outcome planted by doc_id % 10:
+  //   1 → HTTP 404 (skip_status)          2 → image/jpeg (not_text)
+  //   3 → not an HTTP message (corrupt_http)
+  //   4 → text/plain (ok_plain, body verbatim)
+  //   5 → header says charset=utf-8 but the body carries a raw 0x97
+  //       byte → invalid UTF-8 → windows-1252 FALLBACK (the declared-
+  //       vs-actual mismatch; 0x97 decodes to U+2014 "—")
+  //   6 → charset only in a <meta charset="iso-8859-1"> prescan tag;
+  //       the UTF-8 "café" bytes decode as latin-1 MOJIBAKE "cafÃ©"
+  //   7 → Transfer-Encoding: chunked (two chunks + terminator)
+  //   8 → boilerplate-only page (nav + tiny + footer → empty_text)
+  //   9 → charset=ISO-8859-1 in the Content-Type header (same
+  //       mojibake, source 'header' instead of 'meta')
+  //   0 → plain undeclared UTF-8 HTML
+  // Every HTML page wraps its document text in one content paragraph
+  // between a nav, a short block and a footer — the boilerplate rules
+  // must drop exactly the furniture. The oracle never parses anything:
+  // it constructs the expected (status, charset, text) rows
+  // analytically from the variant table (document text is verified
+  // single-space ASCII, so the extractor's whitespace collapse is the
+  // identity on it).
+  // ---------------------------------------------------------------------
+
+  /** The content-paragraph prefix — ≥25 chars even before the variant
+    * marker, so the surviving block can never trip the short-line rule
+    * regardless of document length. */
+  private val htmlPrefix = "CONTENT PARAGRAPH MARKER"
+
+  private def htmlFixtureRecords(s: SparkSession, dir: String): DataFrame = {
+    val crlf = "\r\n"
+    val docs = t(s, dir, "documents")
+    val v = pmod(col("doc_id"), lit(10L))
+    val nav = "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " more nav links</nav>"
+    val footer = "<footer>Copyright 2024 Example Site All Rights " +
+      "Reserved</footer>"
+    val head = concat(lit("<html><head><title>Title Block Dropped</title>"),
+      when(v === 6L, lit("<meta charset=\"iso-8859-1\">")).otherwise(lit("")),
+      lit("</head><body>" + nav))
+    val tail = lit("<p>short</p>" + footer + "</body></html>")
+    // v5 splits around the raw 0x97 byte; every other variant keeps
+    // htmlB empty
+    val marker = when(v === 6L || v === 9L, lit(" café")).otherwise(lit(""))
+    val htmlA = when(v === 8L,
+      concat(head, lit("<p>tiny</p>"), tail))
+      .when(v === 5L, concat(head, lit("<p>" + htmlPrefix + " DASH")))
+      .otherwise(concat(head, lit("<p>" + htmlPrefix), marker,
+        lit(": "), col("text"), lit("</p>"), tail))
+    val htmlB = when(v === 5L,
+      concat(lit("DASH: "), col("text"), lit("</p>"), tail))
+      .otherwise(lit(""))
+    // chunked framing for v7 (pure-ASCII html: chars == octets)
+    val chunked = {
+      val h = htmlA
+      concat(lit("10" + crlf), substring(h, 1, 16), lit(crlf),
+        lower(conv((length(h) - 16).cast("string"), 10, 16)), lit(crlf),
+        h.substr(lit(17), length(h)), lit(crlf), lit("0" + crlf + crlf))
+    }
+    val headers = concat(
+      when(v === 1L, lit("HTTP/1.1 404 Not Found" + crlf))
+        .otherwise(lit("HTTP/1.1 200 OK" + crlf)),
+      when(v === 2L, lit("Content-Type: image/jpeg" + crlf))
+        .when(v === 4L, lit("Content-Type: text/plain" + crlf))
+        .when(v === 5L, lit("Content-Type: text/html; charset=utf-8" + crlf))
+        .when(v === 9L, lit("Content-Type: text/html; charset=ISO-8859-1" + crlf))
+        .otherwise(lit("Content-Type: text/html" + crlf)),
+      when(v === 7L, lit("Transfer-Encoding: chunked" + crlf))
+        .otherwise(lit("")),
+      lit("Server: graft-fixture" + crlf + crlf))
+    val bodyBin =
+      when(v === 2L, lit("notimagebytes").cast("binary"))
+        .when(v === 4L, concat(lit("PLAIN BODY: "), col("text"))
+          .cast("binary"))
+        .when(v === 7L, chunked.cast("binary"))
+        .when(v === 5L, concat(htmlA.cast("binary"),
+          lit(Array(0x97.toByte)), htmlB.cast("binary")))
+        .otherwise(htmlA.cast("binary"))
+    val payloadBin = when(v === 3L,
+      concat(lit("XGARBAGE not an http message for doc "), col("doc_id"),
+        lit("\n")).cast("binary"))
+      .otherwise(concat(headers.cast("binary"), bodyBin))
+    val warcHead = concat(lit("WARC/1.0" + crlf +
+        "WARC-Type: response" + crlf +
+        "WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(">" + crlf +
+        "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+        "WARC-Target-URI: http://example.org/doc/"), col("doc_id"),
+      lit(crlf + "Content-Type: application/http; msgtype=response" + crlf +
+        "Content-Length: "), length(payloadBin).cast("string"),
+      lit(crlf + crlf))
+    val seg = concat(warcHead.cast("binary"), payloadBin,
+      lit((crlf + crlf).getBytes("UTF-8")))
+    val stream = docs.select(col("doc_id"), seg.as("__seg"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("doc_id"),
+          col("__seg")))), x => x.getField("__seg")),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("content"))
+    Warc.records(stream.select(lit("htmlfix.warc").as("path"),
+      col("content")))
+  }
+
+  /** HTML→text extraction (HtmlText.extractFromWarc over the variant
+    * fixture): HTTP strip, charset determination (header / meta
+    * prescan / UTF-8-validation fallback), tag strip + block
+    * segmentation + boilerplate line rules, three-way-plus status
+    * contract — all map-only custom expressions. */
+  private def q341(s: SparkSession, dir: String): DataFrame =
+    HtmlText.extractFromWarc(htmlFixtureRecords(s, dir))
+      .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
+          .cast("long").as("doc_id"),
+        col("status_code"), col("content_type"), col("charset"),
+        col("charset_source"), col("text"),
+        col("_status").as("status"))
+
+  private val q341Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, doc_id % 10 AS v FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN v = 3 THEN NULL WHEN v = 1 THEN 404
+       |       ELSE 200 END AS status_code,
+       |  CASE WHEN v = 3 THEN NULL
+       |       WHEN v = 2 THEN 'image/jpeg'
+       |       WHEN v = 4 THEN 'text/plain'
+       |       ELSE 'text/html' END AS content_type,
+       |  CASE WHEN v IN (1, 2, 3) THEN NULL
+       |       WHEN v = 5 THEN 'windows-1252'
+       |       WHEN v IN (6, 9) THEN 'iso-8859-1'
+       |       ELSE 'utf-8' END AS charset,
+       |  CASE WHEN v IN (1, 2, 3) THEN NULL
+       |       WHEN v = 5 THEN 'fallback'
+       |       WHEN v = 6 THEN 'meta'
+       |       WHEN v = 9 THEN 'header'
+       |       ELSE 'utf8' END AS charset_source,
+       |  CASE WHEN v IN (1, 2, 3, 8) THEN NULL
+       |       WHEN v = 4 THEN 'PLAIN BODY: ' || text
+       |       WHEN v = 5 THEN '$htmlPrefix DASH—DASH: ' || text
+       |       WHEN v IN (6, 9) THEN '$htmlPrefix cafÃ©: ' || text
+       |       ELSE '$htmlPrefix: ' || text END AS text,
+       |  CASE WHEN v = 1 THEN 'skip_status'
+       |       WHEN v = 2 THEN 'not_text'
+       |       WHEN v = 3 THEN 'corrupt_http'
+       |       WHEN v = 8 THEN 'empty_text'
+       |       WHEN v = 4 THEN 'ok_plain'
+       |       ELSE 'ok' END AS status
+       |FROM d""".stripMargin
+
+  /** Composability proof #7a — the FULL text front door: WARC walk →
+    * HTTP strip → charset decode → boilerplate extraction → quality
+    * features (q335 re-run over EXTRACTED text instead of raw
+    * payloads). Only confidently-UTF-8 pages curate (charset filter —
+    * the CCNet discipline); the oracle reconstructs each surviving
+    * page's extracted text analytically and replays the quality math
+    * on it. */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val extracted = HtmlText.valid(
+      HtmlText.extractFromWarc(htmlFixtureRecords(s, dir)))
+      .where(col("charset") === "utf-8")
+      .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+    TextAnalysis.qualityFeatures(extracted, "doc_id", "text")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+  }
+
+  private val q342Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, doc_id % 10 AS v FROM documents
+       |  WHERE doc_id % 10 IN (0, 4, 7)),
+       |e AS (
+       |  SELECT doc_id,
+       |    CASE WHEN v = 4 THEN 'PLAIN BODY: ' || text
+       |         ELSE '$htmlPrefix: ' || text END AS text
+       |  FROM d),
+       |toks AS (SELECT doc_id, text, $toksSql AS tk FROM e),
+       |f AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
+       |  FROM toks)
+       |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       |  round(mean_tok_len, 6) AS mean_tok_len,
+       |  round(alnum_ratio, 6) AS alnum_ratio,
+       |  round(stopword_ratio, 6) AS stopword_ratio,
+       |  $qualityScoreSql AS quality_score
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Trained quality classifier (q343/q344): fixed-round integer
+  // averaged perceptron over hashingVectorizer features (the q82
+  // featurization), trained driver-side on a bounded labeled set and
+  // served distributed — the DCLM/fastText-shaped step. Labels come
+  // from a deterministic rule (≥ 9 occurrences of 5 common corpus
+  // words → +1) over the doc_id % 4 != 0 training split; q343 gates
+  // the trained WEIGHTS bit-exact (the oracle unrolls every one of
+  // the rounds × n_train sequential steps as a recursive CTE), q344
+  // gates the held-out SERVING readout (margins, predictions, labels).
+  // ---------------------------------------------------------------------
+
+  private val clsStops = Seq("the", "a", "value", "table", "key")
+  private val clsThreshold = 9
+  private val clsRounds = 3
+  private val clsDim = 64
+
+  private def clsLabels(docs: DataFrame): DataFrame = {
+    val stops = array(clsStops.map(lit): _*)
+    docs.select(col("doc_id"),
+      when(size(filter(ws_tokens(col("text")),
+        t => array_contains(stops, t))) >= clsThreshold, 1L)
+        .otherwise(-1L).as("label"))
+  }
+
+  private def clsModel(docs: DataFrame): QualityClassifier.PerceptronModel = {
+    val train = docs.where(pmod(col("doc_id"), lit(4L)) =!= 0L)
+    QualityClassifier.trainAveragedPerceptron(
+      TextAnalysis.hashingVectorizer(train, "doc_id", "text", clsDim),
+      clsLabels(train), "doc_id", "label", clsDim, rounds = clsRounds)
+  }
+
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier.weightsFrame(s, clsModel(t(s, dir, "documents")))
+
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = clsModel(docs)
+    val held = docs.where(pmod(col("doc_id"), lit(4L)) === 0L)
+    QualityClassifier.scoreAveraged(s,
+        TextAnalysis.hashingVectorizer(held, "doc_id", "text", clsDim),
+        "doc_id", model)
+      .join(clsLabels(held), Seq("doc_id"))
+      .select(col("doc_id"), col("margin"), col("pred"), col("label"))
+  }
+
+  /** The shared oracle CTE chain: tokenized docs, the training split
+    * with labels and per-token feature buckets, the ascending-id
+    * visit order with DENSE 64-vectors, and the full sequential
+    * perceptron unroll (one recursive-CTE row per step carrying w, b
+    * and their running sums). */
+  private val clsCtes: String = {
+    val stops = clsStops.map(w => s"'$w'").mkString("[", ", ", "]")
+    val cond = s"o.y * (list_sum(list_transform(range(1, ${clsDim + 1}), " +
+      "i -> s.w[i] * o.x[i])) + s.b) <= 0"
+    val wn = s"CASE WHEN $cond THEN list_transform(range(1, ${clsDim + 1}), " +
+      "i -> s.w[i] + o.y * o.x[i]) ELSE s.w END"
+    val bn = s"CASE WHEN $cond THEN s.b + o.y ELSE s.b END"
+    s"""ctk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |cfx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(tk, x -> list_contains($stops, x)))
+       |           >= $clsThreshold
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |    list_transform(tk, x -> ${md5LongSql("x")} % $clsDim) AS ds
+       |  FROM ctk),
+       |ord AS (
+       |  SELECT doc_id, y,
+       |    list_transform(range(0, $clsDim),
+       |      d -> CAST(len(list_filter(ds, z -> z = d)) AS BIGINT)) AS x,
+       |    row_number() OVER (ORDER BY doc_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM cfx WHERE doc_id % 4 != 0),
+       |steps AS (
+       |  SELECT CAST(0 AS BIGINT) AS k,
+       |    list_transform(range(0, $clsDim), d -> CAST(0 AS BIGINT)) AS w,
+       |    CAST(0 AS BIGINT) AS b,
+       |    list_transform(range(0, $clsDim), d -> CAST(0 AS BIGINT)) AS u,
+       |    CAST(0 AS BIGINT) AS ub
+       |  UNION ALL
+       |  SELECT s.k + 1,
+       |    $wn,
+       |    $bn,
+       |    list_transform(range(1, ${clsDim + 1}), i -> s.u[i] + ($wn)[i]),
+       |    s.ub + ($bn)
+       |  FROM steps s JOIN ord o
+       |    ON o.rn = s.k % o.n + 1 AND s.k < o.n * $clsRounds),
+       |fin AS (SELECT w, b, u, ub FROM steps ORDER BY k DESC LIMIT 1)""".stripMargin
+  }
+
+  private val q343Sql: String =
+    s"""WITH RECURSIVE $clsCtes
+       |SELECT CAST(r.d AS BIGINT) AS dim, f.w[r.d + 1] AS w,
+       |  f.u[r.d + 1] AS w_sum
+       |FROM fin f, range(0, $clsDim) r(d)
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS dim, f.b AS w, f.ub AS w_sum
+       |FROM fin f""".stripMargin
+
+  private val q344Sql: String =
+    s"""WITH RECURSIVE $clsCtes,
+       |held AS (SELECT doc_id, y, ds FROM cfx WHERE doc_id % 4 = 0)
+       |SELECT h.doc_id,
+       |  CAST(coalesce(list_sum(list_transform(h.ds, z -> f.u[z + 1])),
+       |    0) + f.ub AS BIGINT) AS margin,
+       |  CAST(coalesce(list_sum(list_transform(h.ds, z -> f.u[z + 1])),
+       |    0) + f.ub AS BIGINT) > 0 AS pred,
+       |  h.y AS label
+       |FROM held h CROSS JOIN fin f""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16091,5 +16415,9 @@ object Queries {
     "q337_canonical_keep" -> Q(q337, Some(q337Sql)),
     "q338_all_but_the_top" -> Q(q338, Some(q338Sql)),
     "q339_pii_redaction" -> Q(q339, Some(q339Sql)),
-    "q340_packed_spans" -> Q(q340, Some(q340Sql)))
+    "q340_packed_spans" -> Q(q340, Some(q340Sql)),
+    "q341_html_extract" -> Q(q341, Some(q341Sql)),
+    "q342_html_pipeline" -> Q(q342, Some(q342Sql)),
+    "q343_quality_classifier" -> Q(q343, Some(q343Sql)),
+    "q344_quality_filter" -> Q(q344, Some(q344Sql)))
 }

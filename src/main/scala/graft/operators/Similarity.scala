@@ -1265,10 +1265,22 @@ object Similarity {
       Contracts.Bound(max(col("__c")), _ <= 1L, m =>
         s"hardNegatives: the kNN source repeats a (query, cand) pair " +
           s"$m times — negatives would duplicate"))
-    val anch = labels.select(col(idCol).as("query_id"),
-      col(labelCol).as("__al"))
-    val cand = labels.select(col(idCol).as("cand_id"),
-      col(labelCol).as("__cl"))
+    // the label table joins BOTH sides — a repeated id fans out each
+    // join and silently duplicates mined negatives (the same dedup
+    // discipline as the kNN-pair check above); ids ABSENT from labels
+    // drop by inner-join semantics, documented, so only duplication
+    // is a loud failure
+    val lbl = labels.select(col(idCol).as("__lid"),
+      col(labelCol).as("__ll")).localCheckpoint()
+    Contracts.enforce(
+      lbl.groupBy(col("__lid")).agg(count(lit(1)).as("__c")),
+      Contracts.Bound(max(col("__c")), _ <= 1L, m =>
+        s"hardNegatives: the labels table repeats an id $m times — " +
+          "both label joins would fan out and duplicate negatives"))
+    val anch = lbl.select(col("__lid").as("query_id"),
+      col("__ll").as("__al"))
+    val cand = lbl.select(col("__lid").as("cand_id"),
+      col("__ll").as("__cl"))
     tk.join(anch, "query_id").join(cand, "cand_id")
       .where(!(col("__cl") <=> col("__al")))
       .groupBy(col("query_id"))

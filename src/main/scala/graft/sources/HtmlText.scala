@@ -1,0 +1,739 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML→text extraction — the step between [[Warc]] ingest and the
+  * curation chain. A Common Crawl `response` payload is an HTTP
+  * message wrapping HTML; until it is stripped, decoded and
+  * de-boilerplated, the WARC door opens onto markup, not text. This
+  * is the public CCNet/trafilatura-shaped front door, re-expressed as
+  * three deterministic single-pass kernels (the
+  * [[graft.functions]] CollapseProject discipline — every kernel
+  * evaluates its child exactly once per row, so plan-level inlining
+  * cannot multiply work):
+  *
+  *  1. '''HTTP message parse''' (RFC 9112 shape): status line →
+  *     status code; headers (case-insensitive names, first occurrence
+  *     wins) → `Content-Type` media type + charset parameter;
+  *     `Transfer-Encoding: chunked` bodies are de-chunked (hex size
+  *     lines, extensions ignored, trailers dropped). A missing
+  *     `HTTP/` status line, missing header terminator, or malformed
+  *     chunk framing is `corrupt_http`. The inner `Content-Length`
+  *     is IGNORED — the WARC record already framed the payload
+  *     exactly (ISO 28500 §5), so trusting a second, possibly lying
+  *     length would re-introduce the overrun class [[Warc]] resyncs
+  *     away.
+  *  2. '''Charset determination''' (the WHATWG-prescan-shaped rule
+  *     chain CCNet uses): the `Content-Type` charset parameter if
+  *     declared; else a `charset=` sniff over the first 1024 body
+  *     bytes (HTML only); a declared-or-sniffed UTF-8 is VALIDATED —
+  *     if the bytes do not decode as UTF-8 the page falls back to
+  *     windows-1252 with `charset_source = 'fallback'` (a
+  *     declared-vs-actual mismatch is data damage, not a crash);
+  *     undeclared pages decode UTF-8 when valid (`'utf8'`), else
+  *     windows-1252 (`'fallback'`). Decoding is total — every byte
+  *     maps, no exceptions.
+  *  3. '''Tag strip with block segmentation + boilerplate line
+  *     rules''' (jusText-shaped, Pomikálek 2011 / CCNet heuristics,
+  *     frozen constants): `script`/`style`/`title`/`noscript`
+  *     content is dropped wholesale, comments and doctypes skipped,
+  *     the common named + numeric character references decoded,
+  *     whitespace collapsed; block-level tags cut the text into
+  *     blocks, each carrying its opening tag, nearest semantic
+  *     container (`nav`/`header`/`footer`/`aside`), character count
+  *     and anchor-text character count. A block is BOILERPLATE iff
+  *     it sits inside a semantic container, its link density exceeds
+  *     1/3 (`3 * anchor_chars > chars`, exact integer form), or it is
+  *     shorter than 25 characters; survivors join with `\n` in
+  *     document order.
+  *
+  * Status contract (the [[Warc]] / TextIngest three-way discipline,
+  * widened to the HTTP outcomes): `ok` (HTML extracted, non-empty),
+  * `ok_plain` (a `text/plain` body, decoded verbatim), `empty_text`
+  * (parsed fine, nothing survived boilerplate), `skip_status`
+  * (HTTP status ≠ 200), `not_text` (media type is neither HTML nor
+  * plain text), `corrupt_http` (unparseable message). Every payload
+  * lands in exactly one.
+  *
+  * Scale shape: map-only — one expression evaluation per WARC record,
+  * zero shuffles; parallelism is inherited from the WARC scan (file =
+  * unit). The composed front door is
+  * `Warc.records → [[extractFromWarc]] → curation`.
+  *
+  * Reference: this replaces the manual "download, run trafilatura"
+  * stage a reference-pipeline user performs before
+  * `dpl/processor/nodes` ever sees data; the reference itself starts
+  * from already-extracted clips (`dpl/graph/graph.py`), so this
+  * operator is beyond-reference surface. */
+object HtmlText {
+
+  /** Frozen boilerplate constants (public heuristics: jusText's
+    * link-density ceiling, CCNet's short-line rule). */
+  val MaxLinkDensityNum = 1
+  val MaxLinkDensityDen = 3
+  val MinBlockChars = 25
+
+  // ------------------------------------------------------------------
+  // expressions
+  // ------------------------------------------------------------------
+
+  val httpType: StructType = StructType(Seq(
+    StructField("status_code", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("charset_source", StringType, nullable = true),
+    StructField("text_html", StringType, nullable = true),
+    StructField("_status", StringType, nullable = false)))
+
+  val extractType: StructType = StructType(Seq(
+    StructField("status_code", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("charset_source", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("_status", StringType, nullable = false)))
+
+  val blockType: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_anchor_chars", IntegerType, nullable = false)))
+
+  /** HTTP message → (status_code, content_type, charset,
+    * charset_source, text_html, _status) — kernels 1+2, decoded but
+    * not yet de-boilerplated (the audit/inspection entry point). */
+  case class HttpHtmlExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = httpType
+    override def nullable: Boolean = true
+    override def prettyName: String = "http_html"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"http_html needs binary, got $t")
+      }
+    override def nullSafeEval(input: Any): Any =
+      HtmlKernels.httpRow(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(
+        newChild: Expression): HttpHtmlExpr = copy(child = newChild)
+  }
+
+  /** HTML string → block table (kernel 3 before the rules) — the
+    * block-level audit view with per-block link densities. */
+  case class HtmlBlocksExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(blockType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "html_blocks"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"html_blocks needs string, got $t")
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val blocks = HtmlKernels.parseBlocks(input.toString)
+      new GenericArrayData(blocks.zipWithIndex.map { case (b, i) =>
+        InternalRow(i, UTF8String.fromString(b.tag),
+          UTF8String.fromString(b.container),
+          UTF8String.fromString(b.text), b.text.length, b.nAnchor)
+      }.toArray[Any])
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): HtmlBlocksExpr = copy(child = newChild)
+  }
+
+  /** HTML string → extracted text (kernel 3 + rules, one pass). NULL
+    * when nothing survives — never the empty string, so a caller can
+    * branch on nullability without re-evaluating the kernel. */
+  case class HtmlTextExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "html_text"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"html_text needs string, got $t")
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val t = HtmlKernels.extractText(input.toString)
+      if (t.isEmpty) null else UTF8String.fromString(t)
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): HtmlTextExpr = copy(child = newChild)
+  }
+
+  /** The fused front door: HTTP parse + charset + extraction in ONE
+    * expression evaluation per payload (status contract above) — the
+    * form [[extractFromWarc]] plans, so the final status can branch on
+    * the extraction without a second kernel run (CollapseProject
+    * would re-inline a staged `html_text` into every reference). */
+  case class HtmlExtractExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = extractType
+    override def nullable: Boolean = true
+    override def prettyName: String = "html_extract"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case BinaryType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"html_extract needs binary, got $t")
+      }
+    override def nullSafeEval(input: Any): Any =
+      HtmlKernels.extractRow(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(
+        newChild: Expression): HtmlExtractExpr = copy(child = newChild)
+  }
+
+  def http_html(payload: Column): Column =
+    ExprBridge.column(HttpHtmlExpr(ExprBridge.expression(payload)))
+  def html_blocks(html: Column): Column =
+    ExprBridge.column(HtmlBlocksExpr(ExprBridge.expression(html)))
+  def html_text(html: Column): Column =
+    ExprBridge.column(HtmlTextExpr(ExprBridge.expression(html)))
+  def html_extract(payload: Column): Column =
+    ExprBridge.column(HtmlExtractExpr(ExprBridge.expression(payload)))
+
+  /** The composed front door over a [[Warc.records]] frame: every
+    * `ok` `response` record's payload through the fused kernel.
+    * Output: (path, rec_offset, record_id, target_uri, status_code,
+    * content_type, charset, charset_source, text, _status). Map-only
+    * (one Generate, zero exchanges); non-`response` and non-`ok`
+    * WARC rows are NOT dropped silently — they stay on the
+    * [[Warc.errors]] channel upstream, this operator only consumes
+    * the `ok` stream. */
+  def extractFromWarc(records: DataFrame): DataFrame =
+    records
+      .where(col("_status") === "ok" &&
+        lower(col("warc_type")) === "response")
+      .select(col("path"), col("rec_offset"), col("record_id"),
+        col("target_uri"), inline(array(html_extract(col("payload")))))
+
+  /** The curation-ready rows: extraction succeeded, text attached. */
+  def valid(extracted: DataFrame): DataFrame = extracted
+    .where(col("_status").isin("ok", "ok_plain"))
+    .drop("_status")
+}
+
+/** The three kernels — plain JVM functions so the expression layer
+  * stays a thin adapter and the unit specs can drive them directly. */
+object HtmlKernels {
+  import HtmlText.{MaxLinkDensityDen, MaxLinkDensityNum, MinBlockChars}
+  // the file-level catalyst.expressions._ wildcard shadows scala's
+  // Either constructors with the LEFT()/RIGHT() string expressions —
+  // re-import the real ones at nearer scope
+  import scala.{Either, Left, Right}
+
+  final case class Block(tag: String, container: String, text: String,
+                         nAnchor: Int)
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  // ---------------------------------------------------------------
+  // kernel 1: HTTP message parse (+ chunked decode)
+  // ---------------------------------------------------------------
+
+  final case class HttpMsg(statusCode: Int,
+                           headers: Map[String, String],
+                           body: Array[Byte])
+
+  /** Parse an HTTP/1.x response message. Left(reason) on corruption:
+    * no status line, no header terminator, malformed chunking. */
+  def parseHttp(b: Array[Byte]): Either[String, HttpMsg] = {
+    // status line: up to the first LF (tolerating bare LF per RFC
+    // 9112 §2.2's "MAY recognize a single LF")
+    var eol = 0
+    val lineLimit = math.min(b.length, 8192)
+    while (eol < lineLimit && b(eol) != '\n') eol += 1
+    if (eol >= lineLimit) return Left("no status line")
+    val rawLine = new String(b, 0,
+      if (eol > 0 && b(eol - 1) == '\r') eol - 1 else eol,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = StatusRe.pattern.matcher(rawLine)
+    if (!m.matches()) return Left("bad status line")
+    val code = m.group(1).toInt
+    // header terminator: first CRLFCRLF or LFLF after the status line
+    var term = -1
+    var termLen = 0
+    var p = eol + 1
+    while (term < 0 && p < b.length) {
+      if (b(p) == '\n') {
+        if (p + 1 < b.length && b(p + 1) == '\n') { term = p + 1; termLen = 1 }
+        else if (p + 2 < b.length && b(p + 1) == '\r' &&
+          b(p + 2) == '\n') { term = p + 2; termLen = 1 }
+      }
+      if (term < 0) p += 1
+    }
+    if (term < 0) {
+      // a header block ending exactly at EOF (no body) is legal
+      if (b.length - (eol + 1) >= 0 && endsWithNewline(b)) {
+        val hdrs = parseHeaders(new String(b, eol + 1, b.length - eol - 1,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        return Right(HttpMsg(code, hdrs, Array.emptyByteArray))
+      }
+      return Left("no header terminator")
+    }
+    val hdrs = parseHeaders(new String(b, eol + 1, (term - termLen) - eol,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    val body0 = java.util.Arrays.copyOfRange(b, term + 1, b.length)
+    val body =
+      if (hdrs.get("transfer-encoding")
+          .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+        dechunk(body0) match {
+          case Right(x) => x
+          case Left(msg) => return Left(msg)
+        }
+      else body0
+    Right(HttpMsg(code, hdrs, body))
+  }
+
+  private val StatusRe = "HTTP/\\d+(?:\\.\\d+)? (\\d{3})(?: .*)?".r
+
+  private def endsWithNewline(b: Array[Byte]): Boolean =
+    b.nonEmpty && b(b.length - 1) == '\n'
+
+  private def parseHeaders(text: String): Map[String, String] =
+    text.split("\r\n|\n", -1).foldLeft(Map.empty[String, String]) {
+      (m, ln) =>
+        val i = ln.indexOf(':')
+        if (i <= 0) m
+        else {
+          val k = ln.substring(0, i).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          if (m.contains(k)) m else m + (k -> ln.substring(i + 1).trim)
+        }
+    }
+
+  /** RFC 9112 §7.1 chunked decoding: hex size line (extensions after
+    * `;` ignored), data, CRLF, …, 0-size terminator (trailers
+    * dropped). Bare-LF line ends tolerated, same as the headers. */
+  def dechunk(b: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 20))
+    var p = 0
+    while (true) {
+      var size = 0L
+      var digits = 0
+      while (p < b.length && isHex(b(p))) {
+        size = size * 16 + hexVal(b(p)); digits += 1; p += 1
+        if (size > Int.MaxValue.toLong) return Left("chunk size overflow")
+      }
+      if (digits == 0) return Left("missing chunk size")
+      // skip extensions up to the line end
+      while (p < b.length && b(p) != '\n') p += 1
+      if (p >= b.length) return Left("unterminated chunk size line")
+      p += 1
+      if (size == 0L) return Right(out.toByteArray) // trailers dropped
+      if (p + size > b.length) return Left("chunk data past EOF")
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p >= b.length || b(p) != '\n') return Left("missing chunk CRLF")
+      p += 1
+    }
+    Right(out.toByteArray) // unreachable
+  }
+
+  private def isHex(c: Byte): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
+  private def hexVal(c: Byte): Int =
+    if (c <= '9') c - '0'
+    else if (c >= 'a') c - 'a' + 10
+    else c - 'A' + 10
+
+  // ---------------------------------------------------------------
+  // kernel 2: charset determination + total decode
+  // ---------------------------------------------------------------
+
+  /** (decoded text, charset label, source label). Total: every byte
+    * sequence decodes (UTF-8 is validated; the 8-bit fallbacks map
+    * every byte). Sources: `header` (Content-Type parameter), `meta`
+    * (prescan sniff), `utf8` (undeclared, validated), `fallback`
+    * (declared-or-undeclared bytes that failed UTF-8 validation, or
+    * an unrecognized declared name). */
+  def decodeCharset(body: Array[Byte], headerCharset: Option[String],
+                    sniffMeta: Boolean): (String, String, String) = {
+    val declared: Option[(String, String)] =
+      headerCharset.map(c => ("header", norm(c)))
+        .orElse(if (sniffMeta) metaSniff(body).map(c => ("meta", norm(c)))
+        else None)
+    declared match {
+      case Some((src, cs)) if cs == "utf-8" || cs == "utf8" =>
+        if (validUtf8(body)) (decode(body, Utf8), "utf-8", src)
+        else (decode(body, W1252), "windows-1252", "fallback")
+      case Some((src, cs))
+          if cs == "iso-8859-1" || cs == "latin-1" || cs == "latin1" ||
+            cs == "iso8859-1" =>
+        (decode(body, Latin1), "iso-8859-1", src)
+      case Some((src, cs)) if cs == "windows-1252" || cs == "cp1252" =>
+        (decode(body, W1252), "windows-1252", src)
+      case Some((src, cs)) if cs == "us-ascii" || cs == "ascii" =>
+        // superset decode: bytes >127 in a declared-ASCII page are
+        // damage; latin-1 maps them deterministically
+        (decode(body, Latin1), "us-ascii", src)
+      case Some(_) => // unrecognized declared name
+        if (validUtf8(body)) (decode(body, Utf8), "utf-8", "fallback")
+        else (decode(body, W1252), "windows-1252", "fallback")
+      case None =>
+        if (validUtf8(body)) (decode(body, Utf8), "utf-8", "utf8")
+        else (decode(body, W1252), "windows-1252", "fallback")
+    }
+  }
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val W1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  private def norm(cs: String): String = {
+    val t = cs.trim
+    val unq =
+      if (t.length >= 2 && (t.head == '"' || t.head == '\'') &&
+        t.last == t.head) t.substring(1, t.length - 1)
+      else t
+    unq.trim.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private def decode(b: Array[Byte],
+                     cs: java.nio.charset.Charset): String =
+    new String(b, cs)
+
+  /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates,
+    * ≤ U+10FFFF). */
+  def validUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c >= 0xc2 && c <= 0xdf) {
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c >= 0xe0 && c <= 0xef) {
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80
+        val hi = if (c == 0xed) 0x9f else 0xbf
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c >= 0xf0 && c <= 0xf4) {
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80
+        val hi = if (c == 0xf4) 0x8f else 0xbf
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** WHATWG-prescan-shaped sniff: the first `charset=` token in the
+    * first 1024 body bytes (attribute quoting honored, name chars
+    * `[A-Za-z0-9_.:-]`). */
+  def metaSniff(body: Array[Byte]): Option[String] = {
+    val n = math.min(body.length, 1024)
+    val s = new String(body, 0, n, Latin1)
+      .toLowerCase(java.util.Locale.ROOT)
+    val i = s.indexOf("charset=")
+    if (i < 0) return None
+    var p = i + "charset=".length
+    if (p < s.length && (s(p) == '"' || s(p) == '\'')) {
+      val q = s(p)
+      p += 1
+      val e = s.indexOf(q, p)
+      if (e < 0) return None
+      Some(s.substring(p, e))
+    } else {
+      val sb = new StringBuilder
+      while (p < s.length && (s(p).isLetterOrDigit || s(p) == '-' ||
+        s(p) == '_' || s(p) == '.' || s(p) == ':')) {
+        sb += s(p); p += 1
+      }
+      if (sb.isEmpty) None else Some(sb.toString)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // kernel 3: tag strip + block segmentation + boilerplate rules
+  // ---------------------------------------------------------------
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5",
+    "h6", "tr", "table", "thead", "tbody", "blockquote", "pre",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "figure", "figcaption", "dl", "dt", "dd", "hr", "form", "body",
+    "html")
+  private val Containers: IndexedSeq[String] =
+    IndexedSeq("nav", "header", "footer", "aside")
+  private val SkipContent: Set[String] =
+    Set("script", "style", "title", "noscript", "template")
+  private val SpaceTags: Set[String] = Set("td", "th")
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** One pass, document order. `tag` = the tag that most recently
+    * opened a block (`""` before any); `container` = the
+    * highest-priority semantic container the block sits inside
+    * (`nav` > `header` > `footer` > `aside`), `""` outside all. */
+  def parseBlocks(html: String): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    val sb = new java.lang.StringBuilder
+    var nAnchor = 0
+    var pendingSpace = false
+    var anchorDepth = 0
+    val containerDepth = new Array[Int](Containers.length)
+    var blockTag = ""
+    val n = html.length
+
+    def containerLabel: String = {
+      var i = 0
+      while (i < Containers.length) {
+        if (containerDepth(i) > 0) return Containers(i)
+        i += 1
+      }
+      ""
+    }
+
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        out += Block(blockTag, containerLabel, sb.toString, nAnchor)
+        sb.setLength(0)
+      }
+      nAnchor = 0
+      pendingSpace = false
+    }
+
+    def append(c: Char): Unit = {
+      if (pendingSpace && sb.length > 0) {
+        sb.append(' ')
+        if (anchorDepth > 0) nAnchor += 1
+      }
+      pendingSpace = false
+      sb.append(c)
+      if (anchorDepth > 0) nAnchor += 1
+    }
+
+    var p = 0
+    while (p < n) {
+      val c = html.charAt(p)
+      if (c == '<') {
+        if (html.startsWith("<!--", p)) {
+          val e = html.indexOf("-->", p + 4)
+          p = if (e < 0) n else e + 3
+        } else if (p + 1 < n && (html.charAt(p + 1) == '!' ||
+          html.charAt(p + 1) == '?')) {
+          val e = html.indexOf('>', p + 1)
+          p = if (e < 0) n else e + 1
+        } else {
+          // parse a tag: optional '/', name letters/digits
+          var q = p + 1
+          val closing = q < n && html.charAt(q) == '/'
+          if (closing) q += 1
+          val nameStart = q
+          while (q < n && (html.charAt(q).isLetter ||
+            html.charAt(q).isDigit)) q += 1
+          if (q == nameStart) {
+            // not a tag — literal '<'
+            append('<')
+            p += 1
+          } else {
+            val name = html.substring(nameStart, q)
+              .toLowerCase(java.util.Locale.ROOT)
+            // scan to '>' honoring quoted attribute values
+            var quote: Char = 0
+            var selfClosed = false
+            while (q < n && (quote != 0 || html.charAt(q) != '>')) {
+              val ch = html.charAt(q)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              q += 1
+            }
+            if (q > p + 1 && q <= n &&
+              html.charAt(q - 1) == '/' && quote == 0) selfClosed = true
+            p = if (q < n) q + 1 else n
+            if (!closing && !selfClosed && SkipContent.contains(name)) {
+              // drop content wholesale up to the matching close tag
+              val close = "</" + name
+              var e = indexOfIgnoreCase(html, close, p)
+              if (e < 0) p = n
+              else {
+                val g = html.indexOf('>', e)
+                p = if (g < 0) n else g + 1
+              }
+            } else {
+              if (name == "a") {
+                if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+                else if (!selfClosed) anchorDepth += 1
+              }
+              val ci = Containers.indexOf(name)
+              if (BlockTags.contains(name)) flush()
+              if (ci >= 0) {
+                if (closing) {
+                  if (containerDepth(ci) > 0) containerDepth(ci) -= 1
+                } else if (!selfClosed) containerDepth(ci) += 1
+              }
+              if (BlockTags.contains(name) && !closing) blockTag = name
+              else if (BlockTags.contains(name)) blockTag = ""
+              if (SpaceTags.contains(name)) pendingSpace = true
+            }
+          }
+        }
+      } else if (c == '&') {
+        // character reference: up to 12 chars to ';'
+        val e = html.indexOf(';', p + 1)
+        val ref = if (e > p && e - p <= 12) html.substring(p + 1, e)
+          else null
+        val decoded: String =
+          if (ref == null) null
+          else if (NamedEntities.contains(ref)) NamedEntities(ref)
+          else if (ref.length >= 2 && ref.charAt(0) == '#') {
+            val cp =
+              try {
+                if (ref.charAt(1) == 'x' || ref.charAt(1) == 'X')
+                  Integer.parseInt(ref.substring(2), 16)
+                else Integer.parseInt(ref.substring(1))
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0x20 && cp <= 0x10ffff &&
+              !(cp >= 0xd800 && cp <= 0xdfff))
+              new String(Character.toChars(cp))
+            else null
+          } else null
+        if (decoded != null) {
+          decoded.foreach { ch =>
+            if (ch == ' ') { if (sb.length > 0) pendingSpace = true }
+            else append(ch)
+          }
+          p = e + 1
+        } else {
+          append('&')
+          p += 1
+        }
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+        c == '\f') {
+        if (sb.length > 0) pendingSpace = true
+        p += 1
+      } else {
+        append(c)
+        p += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String,
+                                from: Int): Int = {
+    val nl = needle.length
+    var i = math.max(from, 0)
+    val limit = s.length - nl
+    while (i <= limit) {
+      var j = 0
+      while (j < nl && Character.toLowerCase(s.charAt(i + j)) ==
+        Character.toLowerCase(needle.charAt(j))) j += 1
+      if (j == nl) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Blocks → rules → `\n`-joined survivors (possibly empty). */
+  def extractText(html: String): String = {
+    val keep = parseBlocks(html).filter { b =>
+      b.container.isEmpty &&
+        b.nAnchor.toLong * MaxLinkDensityDen <=
+          b.text.length.toLong * MaxLinkDensityNum &&
+        b.text.length >= MinBlockChars
+    }
+    keep.map(_.text).mkString("\n")
+  }
+
+  // ---------------------------------------------------------------
+  // row assembly for the expressions
+  // ---------------------------------------------------------------
+
+  private def mediaType(ct: Option[String]): Option[String] =
+    ct.map { v =>
+      val semi = v.indexOf(';')
+      (if (semi >= 0) v.substring(0, semi) else v)
+        .trim.toLowerCase(java.util.Locale.ROOT)
+    }
+
+  private def headerCharset(ct: Option[String]): Option[String] =
+    ct.flatMap { v =>
+      val m = CharsetParamRe.pattern.matcher(v)
+      if (m.find()) Some(m.group(1)) else None
+    }
+
+  private val CharsetParamRe =
+    "(?i)charset\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^;\\s]+)".r
+
+  private val HtmlTypes = Set("text/html", "application/xhtml+xml")
+
+  /** Shared classification for [[HtmlText.HttpHtmlExpr]] /
+    * [[HtmlText.HtmlExtractExpr]]: Left(status) for the terminal
+    * non-text outcomes, Right((code, mediaType, text, charset,
+    * source, isHtml)) when a decoded text body exists. */
+  private def classify(payload: Array[Byte]):
+      Either[(Option[Int], Option[String], String),
+             (Int, String, String, String, String, Boolean)] =
+    parseHttp(payload) match {
+      case Left(_) => Left((None, None, "corrupt_http"))
+      case Right(msg) =>
+        val ct = msg.headers.get("content-type")
+        val mt = mediaType(ct)
+        if (msg.statusCode != 200)
+          Left((Some(msg.statusCode), mt, "skip_status"))
+        else mt match {
+          case Some(t) if HtmlTypes.contains(t) =>
+            val (text, cs, src) =
+              decodeCharset(msg.body, headerCharset(ct), sniffMeta = true)
+            Right((msg.statusCode, t, text, cs, src, true))
+          case Some("text/plain") =>
+            val (text, cs, src) =
+              decodeCharset(msg.body, headerCharset(ct), sniffMeta = false)
+            Right((msg.statusCode, "text/plain", text, cs, src, false))
+          case _ => Left((Some(msg.statusCode), mt, "not_text"))
+        }
+    }
+
+  def httpRow(payload: Array[Byte]): InternalRow = classify(payload) match {
+    case Left((code, mt, status)) =>
+      InternalRow(code.map(Int.box).orNull, mt.map(utf8).orNull, null,
+        null, null, utf8(status))
+    case Right((code, mt, text, cs, src, isHtml)) =>
+      InternalRow(code, utf8(mt), utf8(cs), utf8(src), utf8(text),
+        utf8(if (isHtml) "ok" else "ok_plain"))
+  }
+
+  def extractRow(payload: Array[Byte]): InternalRow =
+    classify(payload) match {
+      case Left((code, mt, status)) =>
+        InternalRow(code.map(Int.box).orNull, mt.map(utf8).orNull, null,
+          null, null, utf8(status))
+      case Right((code, mt, text, cs, src, isHtml)) =>
+        val extracted = if (isHtml) extractText(text) else text
+        val status =
+          if (extracted.isEmpty) "empty_text"
+          else if (isHtml) "ok"
+          else "ok_plain"
+        InternalRow(code, utf8(mt), utf8(cs), utf8(src),
+          if (extracted.isEmpty) null else utf8(extracted), utf8(status))
+    }
+}

@@ -35,9 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `name: value` lines (names case-insensitive, first occurrence
   *    wins, values trimmed) up to the first blank line;
   *  - `Content-Length` (digits, fits int64) FRAMES the payload — if it
-  *    is missing, malformed, or runs past EOF the record is `corrupt`
-  *    (framing is unrecoverable; a declared-length overrun emits the
-  *    fixed `_raw` marker `TRUNCATED` and ends the scan);
+  *    is missing, malformed, or runs past EOF the record is `corrupt`.
+  *    A declared-length overrun with NO later record magic is a
+  *    genuine end-of-file truncation: the fixed `_raw` marker
+  *    `TRUNCATED`, scan ends. An overrun FOLLOWED by another
+  *    line-boundary `WARC/` magic is a lying length header — the
+  *    record becomes one `corrupt` row with the fixed marker
+  *    `OVERRUN` and the walk resumes at that magic, so one flipped
+  *    length byte cannot eat the rest of a segment;
   *  - a framed record with all of `WARC-Type`, `WARC-Record-ID`,
   *    `WARC-Date` present is `ok`; framed but missing one of those
   *    mandatory names (ISO 28500 §5) is `missing_required` — fields
@@ -54,7 +59,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the pure-Java aircompressor decoder already on Spark's classpath
   * (the [[TextIngest.enableZstd]] codec, reused as a stream). A
   * broken compressed stream yields a single `corrupt` row with the
-  * `DECOMPRESS:` marker.
+  * `DECOMPRESS:` marker — as does a stream that inflates past the
+  * ~2 GiB JVM byte-array ceiling (the hard per-file decompressed
+  * bound of any in-memory walker; Common Crawl's ~1 GB `.warc.gz`
+  * segments inflate to 4–5 GiB, so RE-SHARD such segments below
+  * 2 GiB decompressed before ingest — the bound fails loud, never
+  * with an opaque OOM or negative-capacity crash).
   *
   * Scale shape: WARC members are not splittable (gzip members chain
   * per record; offsets only mean anything within a member), so the
@@ -196,29 +206,50 @@ object Warc {
     InternalRow(offset, null, null, null, null, null, null, null,
       utf8("corrupt"), raw)
 
+  /** Hard decompressed-bytes-per-file ceiling: a JVM byte array tops
+    * out just under 2^31, so any member inflating past this CANNOT be
+    * walked in memory — it must fail as a loud `DECOMPRESS:` corrupt
+    * row, never as an OOM that kills the task. */
+  private val MaxInflatedBytes: Long = Int.MaxValue.toLong - 16L
+
   private def inflate(raw: Array[Byte]): scala.Either[String, Array[Byte]] = {
-    def drain(in: java.io.InputStream): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    def drain(in: java.io.InputStream): scala.Either[String, Array[Byte]] = {
+      // initial capacity clamped to 64 MiB: `raw.length * 4` in Int
+      // overflows negative for >=512 MiB compressed members
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(raw.length.toLong, 65536L), 64L << 20).toInt)
       val buf = new Array[Byte](65536)
+      var total = 0L
       var n = in.read(buf)
       while (n >= 0) {
+        total += n
+        if (total > MaxInflatedBytes)
+          return scala.Left(
+            "DECOMPRESS: stream inflates past the ~2 GiB JVM " +
+              "byte-array ceiling — re-shard the segment below 2 GiB " +
+              "decompressed")
         out.write(buf, 0, n); n = in.read(buf)
       }
-      out.toByteArray
+      scala.Right(out.toByteArray)
     }
     try {
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
         (raw(1) & 0xff) == 0x8b)
-        scala.Right(drain(new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(raw))))
+        drain(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw)))
       else if (raw.length >= 4 && (raw(0) & 0xff) == 0x28 &&
         (raw(1) & 0xff) == 0xb5 && (raw(2) & 0xff) == 0x2f &&
         (raw(3) & 0xff) == 0xfd)
-        scala.Right(drain(new io.airlift.compress.zstd.ZstdInputStream(
-          new java.io.ByteArrayInputStream(raw))))
+        drain(new io.airlift.compress.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(raw)))
       else scala.Right(raw)
     } catch {
-      case e: java.io.IOException => scala.Left(s"DECOMPRESS: ${e.getMessage}")
+      // MalformedInputException (aircompressor's corrupt-zstd signal)
+      // is a RuntimeException, not an IOException — both land here
+      case e: java.io.IOException =>
+        scala.Left(s"DECOMPRESS: ${e.getMessage}")
+      case e: io.airlift.compress.MalformedInputException =>
+        scala.Left(s"DECOMPRESS: ${e.getMessage}")
     }
   }
 
@@ -259,8 +290,18 @@ object Warc {
             val len = lenOpt.get
             val payloadStart = hEnd + 4
             if (payloadStart + len > n) {
-              out += corruptRow(p.toLong, utf8("TRUNCATED"))
-              p = n
+              // lying length header vs genuine EOF truncation: if a
+              // later line-boundary magic exists the header is the
+              // damage — resync there so one flipped length byte
+              // cannot eat the rest of the segment
+              val q = resync(b, math.min(payloadStart, n))
+              if (q < n) {
+                out += corruptRow(p.toLong, utf8("OVERRUN"))
+                p = q
+              } else {
+                out += corruptRow(p.toLong, utf8("TRUNCATED"))
+                p = n
+              }
               advanced = true
             } else {
               val payload = java.util.Arrays.copyOfRange(

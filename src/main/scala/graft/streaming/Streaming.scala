@@ -2050,6 +2050,14 @@ object Streaming {
     def checkpoint(dir: String): Unit = synchronized {
       val spark = codes.sparkSession
       import spark.implicits._
+      // commit-marker protocol: the four table writes are NOT atomic
+      // as a group, so the marker is deleted FIRST and re-created
+      // LAST — a crash anywhere in between leaves a checkpoint that
+      // restore() refuses loudly instead of silently loading a mixed
+      // generation of fps/codes/centroids/codebooks
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(marker, false)
       fps.write.mode("overwrite").parquet(s"$dir/fps")
       codes.write.mode("overwrite").parquet(s"$dir/codes")
       centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
@@ -2059,6 +2067,9 @@ object Streaming {
         codebook.zipWithIndex.map { case (cv, j) => (sub, j, cv) } }
         .toDF("sub", "code", "cv")
         .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val out = fs.create(marker, true)
+      out.writeBytes("graft-pq-checkpoint v1\n")
+      out.close()
     }
   }
 
@@ -2071,6 +2082,14 @@ object Streaming {
     def restore(spark: SparkSession, dir: String, idCol: String,
                 vecCol: String,
                 deleteCol: Option[String] = None): PqIndexMaintainer = {
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        throw new IllegalStateException(
+          s"PqIndexMaintainer.restore: no commit marker at $marker — " +
+            "the checkpoint is absent or a crash interrupted " +
+            "checkpoint(); the four state tables may be mixed " +
+            "generations. Re-checkpoint from a live maintainer.")
       val idx = graft.operators.Similarity.loadPqIndex(spark, dir)
       val empty = idx.codes.limit(0)
         .select(col("vec_id").as(idCol),

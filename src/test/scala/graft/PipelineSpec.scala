@@ -434,5 +434,22 @@ class PipelineSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"WARC ingest must stay shuffle-free:\n$plan")
+
+    // a LYING Content-Length mid-stream (overrun with a later record
+    // magic) must resync — one OVERRUN corrupt row, the NEXT record
+    // recovered; TRUNCATED is reserved for a genuine EOF overrun
+    val lying = rec(7, "liar body", declared = Some(5000)) +
+      rec(8, "survivor")
+    val overDir = java.nio.file.Files.createTempDirectory("graft-warc-ov")
+    java.nio.file.Files.write(overDir.resolve("a.warc"),
+      lying.getBytes("UTF-8"))
+    val over = snap(overDir.toString)
+    assert(over.length == 2, s"rows: ${over.mkString("\n")}")
+    assert(over(0)._1 == 0L && over(0)._6 == "corrupt" &&
+      over(0)._7.contains("OVERRUN"),
+      s"lying length must be one OVERRUN row, got ${over(0)}")
+    assert(over(1)._2.contains("<urn:uuid:8>") && over(1)._6 == "ok" &&
+      over(1)._5.contains("survivor"),
+      s"the record after a lying length must survive, got ${over(1)}")
   }
 }

@@ -1015,6 +1015,12 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!kl.contains("Window") && !kl.contains("CartesianProduct"),
       s"canonicalKeepList must not window:\n$kl")
+    // a repeated id in the scores table would fan the join out — loud
+    val eS = intercept[IllegalArgumentException] {
+      Dedup.canonicalKeepList(cl, sc.unionByName(sc.limit(1)),
+        "id", "c", "q")
+    }
+    assert(eS.getMessage.contains("scores table repeats"), eS.getMessage)
   }
 
   test("index-backed margin mining contains no corpus×corpus nested " +

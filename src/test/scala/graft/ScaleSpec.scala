@@ -437,6 +437,13 @@ class ScaleSpec extends SparkTestBase {
         "vec_id", "label", n = 2)
     }
     assert(eD.getMessage.contains("repeats"))
+    // a repeated id in the LABELS table fans out both label joins —
+    // rejected loudly, same dedup discipline as the kNN-pair check
+    val eL = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(topk, labels.unionByName(labels.limit(1)),
+        "vec_id", "label", n = 2)
+    }
+    assert(eL.getMessage.contains("labels table repeats"), eL.getMessage)
   }
 
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {

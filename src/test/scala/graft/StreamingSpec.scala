@@ -2183,5 +2183,19 @@ class StreamingSpec extends SparkTestBase {
       "restored maintainer diverged from the live one")
     assert(codeSet(restored.index.codes) == expect(),
       "restored maintainer != batch re-encode")
+    // commit-marker protocol: a checkpoint dir whose marker is gone
+    // (crash between the marker delete and the final re-create) must
+    // refuse to restore instead of loading mixed generations
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker), "checkpoint must leave a commit marker")
+    fs.delete(marker, false)
+    val eM = intercept[IllegalStateException] {
+      Streaming.PqIndexMaintainer.restore(spark, dir, "vec_id",
+        "embedding", deleteCol = Some("del"))
+    }
+    assert(eM.getMessage.contains("commit marker"), eM.getMessage)
+    m.checkpoint(dir) // re-checkpoint re-creates the marker
+    assert(fs.exists(marker), "re-checkpoint must restore the marker")
   }
 }
