@@ -3180,10 +3180,12 @@ object Queries {
     * occurrence of each window fingerprint. q86 aggregates the flags;
     * q102 cuts the flagged spans. Single-sourced so the two oracles can
     * never drift. Also exposes `nn(doc_id, toks, n)`. */
-  private val substringSpanCtes = {
+  /** The window-schedule / fingerprint / ownership replay over any CTE
+    * providing (doc_id, toks) — q86/q102 bind it to tokenized
+    * `documents`; q346 binds it to the planted recall fixture. */
+  private def substringSpanCtesFrom(tkSrc: String): String = {
     val h = md5LongSql("array_to_string(toks[i * 8 + 1 : i * 8 + 16], ' ')")
-    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+    s"""nn AS (SELECT doc_id, toks, len(toks) AS n FROM $tkSrc),
        |spans AS (
        |  SELECT doc_id, u.start AS start, u.e AS e, u.h AS h FROM (
        |    SELECT doc_id, n,
@@ -3198,6 +3200,10 @@ object Queries {
        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
        |  FROM spans)""".stripMargin
   }
+
+  private val substringSpanCtes =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |${substringSpanCtesFrom("tk")}""".stripMargin
 
   private val q86Sql =
     s"""WITH $substringSpanCtes,
@@ -16070,6 +16076,237 @@ object Queries {
        |  h.y AS label
        |FROM held h CROSS JOIN fin f""".stripMargin
 
+  /** Composability proof #7b — LAION-shape image-text pair curation,
+    * the first CROSS-MODAL join pipeline: the q85 image corpus pairs
+    * each image with a caption (doc_id = img_id mod |documents|), then
+    * ONE gate runs the whole curation chain — (1) image near-dup
+    * collapse (dHash → banded LSH → connected components, only each
+    * cluster's canonical image survives), (2) caption quality (the q90
+    * linear scorer, keep = score ≥ 0), (3) eval decontamination (the
+    * q88 multi-set Bloom gate; captions drawn from an eval-set source
+    * are contaminated by definition, train captions by bloom hit).
+    * Output = the curation manifest: every canonical pair with its
+    * dedup / quality / decon readouts and the final `kept` verdict
+    * (the filtered corpus is `WHERE kept`). The oracle replays all three chains
+    * over the shared q85/q88/q90 CTE fragments, so the composition
+    * matches only if every stage and the join mapping are exact.
+    * Image collapse runs FIRST — captions are scanned only for
+    * canonical survivors (the plan-audited join order). */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    val withMat = q85Fixture(s, dir)
+    val pairs = Dedup.dhashPairs(withMat, "img_id", "matrix",
+      maxHamming = 6, bandBytes = 2)
+    val cc = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")),
+        withMat.select(col("img_id")))
+      .select(col("id").as("img_id"), col("cluster_id"))
+      .localCheckpoint() // consumed twice: sizes + canonical filter
+    val csize = cc.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg((max(col("doc_id")) + 1L).as("__nd"))
+    // dedup collapse FIRST: only canonical images carry a caption
+    // forward into the text-side scans
+    val canon = cc.where(col("img_id") === col("cluster_id"))
+      .join(csize, Seq("cluster_id"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("img_id"), col("cluster_id"), col("cluster_size"),
+        pmod(col("img_id"), col("__nd")).as("doc_id"))
+    val quality = TextAnalysis.classifierQualityFilter(docs, "doc_id",
+        "text", bias = -0.7, wMeanLen = 0.05, wAlpha = 0.4,
+        wStop = 1.0, wDigit = -3.0)
+      .select(col("doc_id"), col("score_micro"), col("keep"))
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3,
+        extraCols = Seq("source"))
+      .withColumn("shingles",
+        coalesce(col("shingles"), array().cast("array<string>")))
+    val dec = Sketches.multiBloomDecontaminate(
+        sh.where(col("source").isin(deconSetNames: _*))
+          .select(col("source").as("set_name"), col("shingles")),
+        sh.where(!col("source").isin(deconSetNames: _*))
+          .select(col("doc_id"), col("shingles")),
+        deconM, deconK)
+      .groupBy("doc_id")
+      .agg(max(when(col("contaminated"), 1L).otherwise(0L)).as("__c"),
+        sum(col("n_hits")).as("__hits"))
+    val docFlags = docs.select(col("doc_id"), col("source"))
+      .join(quality, Seq("doc_id"))
+      .join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score_micro"), col("keep"),
+        (col("source").isin(deconSetNames: _*) ||
+          coalesce(col("__c"), lit(0L)) === 1L).as("contaminated"),
+        coalesce(col("__hits"), lit(0L)).as("n_eval_hits"))
+    canon.join(docFlags, Seq("doc_id"))
+      .select(col("img_id"), col("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("score_micro"), col("n_eval_hits"),
+        col("keep").as("caption_keep"), col("contaminated"),
+        (col("keep") && !col("contaminated")).as("kept"))
+  }
+
+  private val q345Sql: String = {
+    val k = deconK
+    val hitUnion = deconSetNames.map(s =>
+      s"""SELECT g.doc_id, count(*) AS n FROM (
+         |      SELECT hp.doc_id, hp.si
+         |      FROM hp JOIN bits_$s ON bits_$s.b = hp.b
+         |      GROUP BY hp.doc_id, hp.si HAVING count(*) = $k) g
+         |    GROUP BY g.doc_id""".stripMargin)
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH RECURSIVE $dhashCcCtes,
+       |$deconCtes,
+       |$classifierCtesBody,
+       |hits AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_eval_hits,
+       |    max(n) > 0 AS bloom_hit
+       |  FROM (
+       |    $hitUnion
+       |  ) GROUP BY doc_id),
+       |dflag AS (
+       |  SELECT z.doc_id,
+       |    CAST(floor(z.z * 1000000.0) AS BIGINT) AS score_micro,
+       |    floor(z.z * 1000000.0) >= 0 AS keep,
+       |    (d.source IN ($deconSetsList))
+       |      OR coalesce(h.bloom_hit, false) AS contaminated,
+       |    CAST(coalesce(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+       |  FROM z JOIN documents d ON d.doc_id = z.doc_id
+       |  LEFT JOIN hits h ON h.doc_id = z.doc_id),
+       |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+       |          AS cluster_size FROM cc GROUP BY 1),
+       |nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+       |canon AS (
+       |  SELECT cc.id AS img_id, cc.cluster_id, csz.cluster_size,
+       |    cc.id % nd.nd AS doc_id
+       |  FROM cc JOIN csz USING (cluster_id) CROSS JOIN nd
+       |  WHERE cc.id = cc.cluster_id)
+       |SELECT c.img_id, c.doc_id, c.cluster_id, c.cluster_size,
+       |  f.score_micro, f.n_eval_hits, f.keep AS caption_keep,
+       |  f.contaminated, f.keep AND NOT f.contaminated AS kept
+       |FROM canon c JOIN dflag f USING (doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact-substring dedup recall (q346): q86/q102 run Lee et al.'s
+  // pass over 16-token windows at stride 8 — duplicates shorter than
+  // the window, or offset-misaligned below the stride, escape BY
+  // CONSTRUCTION. This gate MEASURES that bound (the q326 banding-
+  // recall discipline): a planted fixture copies an L-token span from
+  // a source doc (at token offset o) into a partner doc (at offset p)
+  // for 16 (L, o, p) grid cases around the window/stride geometry, all
+  // other tokens unique per doc, so the ONLY possible cross-doc
+  // windows are planted ones. Detection law (both sides must own an
+  // aligned window): caught iff ∃ i ≡ −o ≡ −p (mod 8) with
+  // i + 16 ≤ L — so RELATIVE misalignment (o ≢ p mod 8) is never
+  // caught at ANY length, and aligned copies need L ≥ 16 + ((−o) mod 8).
+  // The oracle replays fixture construction, the exact window
+  // schedule, fingerprints and ownership, and the same per-case
+  // roll-up.
+  // ---------------------------------------------------------------------
+
+  /** (span tokens L, source offset o, dest offset p) — aligned hits,
+    * stride-misaligned escapes, sub-window escapes, and boundary
+    * cases (L = 16 + pad exactly / one short). Expected catches:
+    * cases 0, 1, 3, 8, 9, 10, 12, 13, 14 — 9 of 16. */
+  private val srCases: Seq[(Int, Int, Int)] = Seq(
+    (16, 0, 0), (16, 0, 8), (16, 3, 3), (24, 3, 3),
+    (16, 0, 3), (24, 0, 3), (8, 0, 0), (12, 0, 0),
+    (20, 0, 0), (31, 1, 1), (23, 1, 1), (22, 1, 1),
+    (16, 8, 0), (40, 3, 11), (32, 0, 16), (15, 0, 0))
+
+  private def srCaseArr(f: ((Int, Int, Int)) => Int): Column =
+    array(srCases.map(x => lit(f(x).toLong)): _*)
+
+  private def srFixture(s: SparkSession, dir: String): DataFrame = {
+    val c = pmod(col("j"), lit(16L))
+    t(s, dir, "documents").select(col("doc_id").as("j"))
+      .select(col("j"),
+        element_at(srCaseArr(_._1), (c + 1L).cast("int")).as("__L"),
+        element_at(srCaseArr(_._2), (c + 1L).cast("int")).as("__o"),
+        element_at(srCaseArr(_._3), (c + 1L).cast("int")).as("__p"))
+      .select(col("j"), col("__L"),
+        explode(array(lit(0L), lit(1L))).as("side"), col("__o"), col("__p"))
+      .select((col("j") * 2L + col("side")).as("doc_id"), col("j"),
+        col("__L"),
+        when(col("side") === 0L, col("__o")).otherwise(col("__p"))
+          .as("__off"))
+      .select(col("doc_id"),
+        array_join(concat(
+          when(col("__off") > 0L,
+            transform(sequence(lit(0L), col("__off") - 1L), i =>
+              concat(lit("f"), col("doc_id").cast("string"), lit("x"),
+                i.cast("string"))))
+            .otherwise(array().cast("array<string>")),
+          transform(sequence(lit(0L), col("__L") - 1L), k =>
+            concat(lit("sp"), col("j").cast("string"), lit("t"),
+              k.cast("string"))),
+          transform(sequence(lit(0L), lit(3L)), i =>
+            concat(lit("g"), col("doc_id").cast("string"), lit("y"),
+              i.cast("string")))), " ").as("text"))
+  }
+
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    val per = TextAnalysis.substringDedupSpans(srFixture(s, dir),
+        "doc_id", "text")
+      .where(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(expr("doc_id div 2").as("j"), col("n_dup_spans"))
+    val cid = col("case_id")
+    per.select(pmod(col("j"), lit(16L)).as("case_id"), col("n_dup_spans"))
+      .groupBy(cid)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_dup_spans") > 0L, 1L).otherwise(0L))
+          .as("n_detected"),
+        sum(col("n_dup_spans")).as("n_dup_windows"))
+      .select(cid,
+        element_at(srCaseArr(_._1), (cid + 1L).cast("int"))
+          .as("span_tokens"),
+        element_at(srCaseArr(_._2), (cid + 1L).cast("int")).as("src_off"),
+        element_at(srCaseArr(_._3), (cid + 1L).cast("int")).as("dst_off"),
+        col("n_pairs"), col("n_detected"), col("n_dup_windows"),
+        call_function("div", lit(1000000L) * col("n_detected"),
+          col("n_pairs")).as("recall_micro"))
+  }
+
+  private val q346Sql: String = {
+    val vals = srCases.zipWithIndex
+      .map { case ((l, o, p), i) => s"($i, $l, $o, $p)" }.mkString(", ")
+    s"""WITH cse AS (SELECT * FROM (VALUES $vals) AS t(c, l, o, p)),
+       |fx AS (
+       |  SELECT d.doc_id * 2 + sd.side AS doc_id, d.doc_id AS j,
+       |    cse.l AS l,
+       |    CASE WHEN sd.side = 0 THEN cse.o ELSE cse.p END AS off
+       |  FROM documents d
+       |  JOIN cse ON cse.c = d.doc_id % 16
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS side) sd),
+       |ftk AS (
+       |  SELECT doc_id,
+       |    list_concat(list_concat(
+       |      list_transform(range(0, off),
+       |        i -> 'f' || doc_id || 'x' || i),
+       |      list_transform(range(0, l),
+       |        k -> 'sp' || j || 't' || k)),
+       |      list_transform(range(0, 4),
+       |        i -> 'g' || doc_id || 'y' || i)) AS toks
+       |  FROM fx),
+       |${substringSpanCtesFrom("ftk")},
+       |per AS (
+       |  SELECT doc_id // 2 AS j,
+       |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ndup
+       |  FROM marked WHERE doc_id % 2 = 1 GROUP BY 1),
+       |agg AS (
+       |  SELECT j % 16 AS case_id,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN ndup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_detected,
+       |    CAST(sum(ndup) AS BIGINT) AS n_dup_windows
+       |  FROM per GROUP BY 1)
+       |SELECT a.case_id, CAST(c.l AS BIGINT) AS span_tokens,
+       |  CAST(c.o AS BIGINT) AS src_off, CAST(c.p AS BIGINT) AS dst_off,
+       |  a.n_pairs, a.n_detected, a.n_dup_windows,
+       |  CAST(1000000 * a.n_detected // a.n_pairs AS BIGINT)
+       |    AS recall_micro
+       |FROM agg a JOIN cse c ON c.c = a.case_id""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16419,5 +16656,7 @@ object Queries {
     "q341_html_extract" -> Q(q341, Some(q341Sql)),
     "q342_html_pipeline" -> Q(q342, Some(q342Sql)),
     "q343_quality_classifier" -> Q(q343, Some(q343Sql)),
-    "q344_quality_filter" -> Q(q344, Some(q344Sql)))
+    "q344_quality_filter" -> Q(q344, Some(q344Sql)),
+    "q345_image_text_curation" -> Q(q345, Some(q345Sql)),
+    "q346_substring_recall" -> Q(q346, Some(q346Sql)))
 }

@@ -2074,7 +2074,22 @@ object TextAnalysis {
     *
     * Scale posture: the only corpus-sized shuffles key on the 60-bit
     * span hash (partial-aggregated argmin) and on doc_id (the stats
-    * roll-up); window text never crosses a shuffle. */
+    * roll-up); window text never crosses a shuffle.
+    *
+    * MEASURED recall bound (the q346 planted-grid audit, defaults
+    * windowTokens = 16 / overlap = 8, i.e. stride 8): a copy of an
+    * L-token span from source offset o to destination offset p is
+    * caught iff some window start i ≡ −o ≡ −p (mod 8) fits,
+    * i + 16 ≤ L. Concretely: RELATIVE stride misalignment
+    * (o ≢ p mod 8) is never caught at ANY length (q346 cases 4/5:
+    * recall 0 even at L = 24); aligned copies need
+    * L ≥ 16 + ((−o) mod 8) (case 10 catches at the exact boundary
+    * L = 23, o = 1; case 11 misses at L = 22); sub-window copies
+    * (L < 16) are invisible. Corpus-real duplication (near-identical
+    * documents, boilerplate paragraphs) aligns at offset 0 and spans
+    * many windows, which is why the pass works in practice — but a
+    * recall-critical deployment should stride 1 (overlap =
+    * windowTokens − 1) and pay the 8× span-table cost. */
   /** Shared span-flagging pass of [[substringDedupSpans]] /
     * [[substringDedupRemove]]: every sliding window span, marked
     * `is_dup` unless it is the globally first (minimum (doc_id, start))

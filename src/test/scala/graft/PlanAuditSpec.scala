@@ -1023,6 +1023,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(eS.getMessage.contains("scores table repeats"), eS.getMessage)
   }
 
+  test("q345 image-text curation: canonical collapse sits below the " +
+    "caption join; equi-joins only beyond the one-row count broadcast") {
+    val tmp = java.nio.file.Files.createTempDirectory("itaudit").toString
+    spark.range(40).select(col("id").as("p_partkey"))
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    spark.range(20).select(col("id").as("doc_id"),
+        concat(lit("the a of and data in w"),
+          (col("id") % 9).cast("string")).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+        lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = Queries.all("q345_image_text_curation").impl(spark, tmp)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q345 must not cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"only the one-row |documents| broadcast may nested-loop:\n$plan")
+    // the dedup collapse must run BEFORE the caption scan: some doc_id
+    // equi-join carries the img_id = cluster_id canonical filter
+    // strictly inside one of its subtrees
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val opt = df.queryExecution.optimizedPlan
+    val docJoins = opt.collect {
+      case j: Join if j.condition.exists(_.toString.contains("doc_id")) => j
+    }
+    assert(docJoins.nonEmpty, s"expected a doc_id caption join:\n$opt")
+    assert(docJoins.exists(_.children.exists(c => c.collect {
+      case f: Filter if f.condition.toString.contains("cluster_id") => f
+    }.nonEmpty)), s"canonical collapse must sit below the caption join:\n$opt")
+  }
+
   test("index-backed margin mining contains no corpus×corpus nested " +
     "loop: ivfTopK candidates arrive by cell equi-join and the miner " +
     "tail is equi-joins only") {

@@ -446,6 +446,35 @@ class ScaleSpec extends SparkTestBase {
     assert(eL.getMessage.contains("labels table repeats"), eL.getMessage)
   }
 
+  test("q346 substring-dedup recall grid pins the alignment law: " +
+    "relative stride misalignment never detects, aligned copies need " +
+    "L >= 16 + ((-o) mod 8), multi-window spans count every window") {
+    val tmp = java.nio.file.Files.createTempDirectory("sraudit").toString
+    spark.range(32).select(col("id").as("doc_id"), lit("x").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Queries.all("q346_substring_recall").impl(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows.size == 16 && rows.values.forall(_._1 == 2L),
+      s"32 docs = 2 pairs per case: $rows")
+    val caught = Set(0L, 1L, 3L, 8L, 9L, 10L, 12L, 13L, 14L)
+    for (c <- 0L until 16L) {
+      val (_, det, _, recall) = rows(c)
+      if (caught(c))
+        assert(det == 2L && recall == 1000000L, s"case $c must be caught")
+      else
+        assert(det == 0L && recall == 0L, s"case $c must escape")
+    }
+    // windows caught per pair: i ≡ −o (mod 8) with i + 16 ≤ L
+    val windowsPerPair = Map(0L -> 1L, 1L -> 1L, 3L -> 1L, 8L -> 1L,
+      9L -> 2L, 10L -> 1L, 12L -> 1L, 13L -> 3L, 14L -> 3L)
+    for ((c, w) <- windowsPerPair)
+      assert(rows(c)._3 == 2L * w,
+        s"case $c: expected ${2 * w} dup windows, got ${rows(c)._3}")
+  }
+
   test("reciprocalPairs keeps exactly the mutual top-1 pairs") {
     val rnd = new scala.util.Random(179)
     val vecs = (0L until 40L).map { i =>
