@@ -15491,10 +15491,12 @@ object Queries {
        |  SELECT rv.vec_id, sum(v12.v * rv.r) AS t
        |  FROM rv JOIN v12 ON v12.j = rv.i GROUP BY 1)
        |SELECT rv.vec_id, CAST(rv.i - 1 AS BIGINT) AS dim,
-       |  CAST(rv.r - (v12.v * tt.t) // dn.den AS BIGINT) AS abt_scaled
+       |  CAST(rv.r - (v12.v * tt.t) // dn.den AS BIGINT) AS abt_scaled,
+       |  CAST(rv.r - (v12.v * tt.t) // dn.den AS BIGINT)
+       |    / (nn.n * 1000000.0) AS abt
        |FROM rv JOIN v12 ON v12.j = rv.i
        |JOIN tt ON tt.vec_id = rv.vec_id
-       |CROSS JOIN dn""".stripMargin
+       |CROSS JOIN dn CROSS JOIN nn""".stripMargin
 
   /** Checksum-aware PII redaction (TextAnalysis.redactPiiChecked):
     * the q327/q334 audits' TRANSFORM — emails redact unconditionally,

@@ -614,10 +614,11 @@ object Similarity {
     * — the [[topTwoComponents]] deflation form verbatim (truncating
     * integer division; BigInt and DuckDB HUGEINT agree toward zero),
     * so the oracle replays v₁'s twelve rounds and then this exact
-    * arithmetic. Output coordinates are SCALED by n·10⁶ relative to
-    * the input units (descale with one double division downstream if
-    * raw units are needed — emitted integral so the transform itself
-    * is bit-exact).
+    * arithmetic. `abt_scaled` is SCALED by n·10⁶ relative to the
+    * input units and is the canonical bit-exact value; the companion
+    * `abt` column carries the same coordinate descaled to input units
+    * (one exactly-rounded double division — emitted so a downstream
+    * consumer can never silently mix units).
     *
     * Scale shape: the v₁/S/n statistics are the audit's own bounded
     * driver collects (d ≤ 128 by the covariance contract); the
@@ -663,6 +664,12 @@ object Similarity {
         (col("__r") - call_function("div",
           element_at(v1Lit, (col("__i") + 1).cast("int")) * col("__t"),
           denLit)).cast("long").as("abt_scaled"))
+      // companion DESCALED coordinate (input units): one double
+      // division of the exact integer by the exact n*1e6 — IEEE
+      // division is exactly rounded, so even this column replays
+      // bit-for-bit, but treat abt_scaled as the canonical value
+      .withColumn("abt", col("abt_scaled").cast("double")
+        / lit(n.toDouble * 1e6))
   }
 
   /** TOP TWO PRINCIPAL COMPONENTS by deflated power iteration — the

@@ -228,6 +228,20 @@ object HtmlText {
   def valid(extracted: DataFrame): DataFrame = extracted
     .where(col("_status").isin("ok", "ok_plain"))
     .drop("_status")
+
+  /** The FULL text front door in one call: WARC records → HTTP strip →
+    * charset decode → boilerplate extraction → quality features (the
+    * q342 chain). Every stage is a stateless per-row transform, so the
+    * SAME function curates a batch [[Warc.warcWithErrors]] frame or a
+    * [[Warc.warcStream]] micro-batch stream — streamed == batch is
+    * structural, and StreamingSpec pins it file-drop by file-drop
+    * including a checkpoint restart. Keyed by record_id (always
+    * present on `ok` records); path/rec_offset/target_uri/charset
+    * ride along for provenance. */
+  def curateFromWarc(records: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityFeatures(
+      valid(extractFromWarc(records)), "record_id", "text",
+      passthrough = Seq("path", "rec_offset", "target_uri", "charset"))
 }
 
 /** The three kernels — plain JVM functions so the expression layer

@@ -2107,6 +2107,75 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming WARC -> HTML extraction -> quality curation == batch " +
+    "curate file-drop by file-drop, including a checkpoint restart") {
+    import graft.sources.{HtmlText, Warc}
+    val crlf = "\r\n"
+    def http(status: String, ct: String, body: String): String =
+      s"HTTP/1.1 $status" + crlf + s"Content-Type: $ct" + crlf + crlf + body
+    def rec(id: Int, payload: String) =
+      "WARC/1.0" + crlf +
+        "WARC-Type: response" + crlf +
+        s"WARC-Record-ID: <urn:uuid:$id>" + crlf +
+        "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+        s"WARC-Target-URI: http://x.org/$id" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" +
+        crlf + crlf + payload + crlf + crlf
+    val html = "<html><body><nav>menu menu</nav><p>the data pipeline " +
+      "keeps this long paragraph of words</p></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cur")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-ck")
+    def drop(name: String, content: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("record_id"), col("target_uri"), col("charset"),
+        col("n_tokens"), col("stopword_ratio"), col("quality_score"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val out = java.nio.file.Files.createTempDirectory("graft-warc-out")
+    def batch() = snap(HtmlText.curateFromWarc(
+      Warc.warcWithErrors(spark, dir.toString)))
+    // parquet sink + checkpoint: the production landing shape, and the
+    // one that supports restart recovery (memory sinks do not)
+    def start() = HtmlText.curateFromWarc(
+      Warc.warcStream(spark, dir.toString, maxFilesPerTrigger = 1))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    def state() = snap(spark.read.parquet(out.toString))
+    // file 1: one curatable HTML page, one skip-status page, one
+    // plain-text record — only ok/ok_plain rows reach curation
+    drop("a.warc", rec(1, http("200 OK", "text/html", html)) +
+      rec(2, http("404 Not Found", "text/html", html)) +
+      rec(3, http("200 OK", "text/plain", "plain words here now ok")))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      val got = state()
+      assert(got == batch(), "streamed curate != batch after first drop")
+      assert(got.size == 2 &&
+        got.exists(_._1 == "<urn:uuid:1>") &&
+        got.exists(_._1 == "<urn:uuid:3>"),
+        s"only the ok html + ok_plain records curate: $got")
+    } finally q1.stop()
+    // restart from the checkpoint: the new query must replay ONLY the
+    // new file (exactly-once across restarts) and land on batch parity
+    drop("b.warc", rec(4, http("200 OK", "text/html",
+      html.replace("words", "tokens"))))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state() == batch(),
+        "post-restart sink != batch curate (duplicate or missing rows)")
+      assert(state().count(_._1 == "<urn:uuid:4>") == 1)
+    } finally q2.stop()
+  }
+
   test("PqIndexMaintainer: streamed code table == batch re-encode of " +
     "the surviving corpus under the frozen quantizers, serving parity " +
     "holds, and checkpoint/restore resumes without the vectors") {
