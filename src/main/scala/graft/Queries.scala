@@ -15812,17 +15812,37 @@ object Queries {
     * regardless of document length. */
   private val htmlPrefix = "CONTENT PARAGRAPH MARKER"
 
+  /** The variant -> front-door status mapping, shared by the q341 and
+    * q347 oracles (expects `v` = doc_id % 10 in scope). */
+  private val htmlStatusCaseSql: String =
+    """CASE WHEN v = 1 THEN 'skip_status'
+      |       WHEN v = 2 THEN 'not_text'
+      |       WHEN v = 3 THEN 'corrupt_http'
+      |       WHEN v = 8 THEN 'empty_text'
+      |       WHEN v = 4 THEN 'ok_plain'
+      |       ELSE 'ok' END""".stripMargin
+
   private def htmlFixtureRecords(s: SparkSession, dir: String): DataFrame = {
     val crlf = "\r\n"
     val docs = t(s, dir, "documents")
     val v = pmod(col("doc_id"), lit(10L))
-    val nav = "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
-      " more nav links</nav>"
+    // nav carries two ABSOLUTE cross-host links (the q348 webgraph
+    // feedstock: host(id) -> host(id+1), host(id) -> host(id+3), mod 7)
+    // plus a relative link the outlink scanner must drop; every third
+    // page plants a robots noindex meta (the q347 compliance signal)
+    val nav = concat(lit("<nav><a href=\"/\">Home</a> <a href=\"http://host"),
+      pmod(col("doc_id") + 1L, lit(7L)).cast("string"),
+      lit(".example.com/p\">peer</a> <a href=\"http://host"),
+      pmod(col("doc_id") + 3L, lit(7L)).cast("string"),
+      lit(".example.com/q\">other</a> more nav links</nav>"))
     val footer = "<footer>Copyright 2024 Example Site All Rights " +
       "Reserved</footer>"
     val head = concat(lit("<html><head><title>Title Block Dropped</title>"),
       when(v === 6L, lit("<meta charset=\"iso-8859-1\">")).otherwise(lit("")),
-      lit("</head><body>" + nav))
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .otherwise(lit("")),
+      lit("</head><body>"), nav)
     val tail = lit("<p>short</p>" + footer + "</body></html>")
     // v5 splits around the raw 0x97 byte; every other variant keeps
     // htmlB empty
@@ -15869,7 +15889,8 @@ object Queries {
         "WARC-Type: response" + crlf +
         "WARC-Record-ID: <urn:uuid:"), col("doc_id"), lit(">" + crlf +
         "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
-        "WARC-Target-URI: http://example.org/doc/"), col("doc_id"),
+        "WARC-Target-URI: http://host"), pmod(col("doc_id"), lit(7L)),
+      lit(".example.com/doc/"), col("doc_id"),
       lit(crlf + "Content-Type: application/http; msgtype=response" + crlf +
         "Content-Length: "), length(payloadBin).cast("string"),
       lit(crlf + crlf))
@@ -15921,13 +15942,9 @@ object Queries {
        |       WHEN v = 5 THEN '$htmlPrefix DASH—DASH: ' || text
        |       WHEN v IN (6, 9) THEN '$htmlPrefix cafÃ©: ' || text
        |       ELSE '$htmlPrefix: ' || text END AS text,
-       |  CASE WHEN v = 1 THEN 'skip_status'
-       |       WHEN v = 2 THEN 'not_text'
-       |       WHEN v = 3 THEN 'corrupt_http'
-       |       WHEN v = 8 THEN 'empty_text'
-       |       WHEN v = 4 THEN 'ok_plain'
-       |       ELSE 'ok' END AS status
+       |  $htmlStatusCaseSql AS status
        |FROM d""".stripMargin
+
 
   /** Composability proof #7a — the FULL text front door: WARC walk →
     * HTTP strip → charset decode → boilerplate extraction → quality
@@ -16309,6 +16326,87 @@ object Queries {
        |FROM agg a JOIN cse c ON c.c = a.case_id""".stripMargin
   }
 
+  /** Crawl-compliance audit (q347): the `<meta name="robots">` signal
+    * through the front door — a responsible training-data pipeline
+    * drops noindex pages before curation (the C4/CCNet compliance
+    * stance). Every third fixture page plants `noindex, nofollow`;
+    * the audit reads the raw content, derives the noindex bit
+    * NULL-safely, and emits the keep verdict (ok AND NOT noindex).
+    * The oracle constructs all four columns analytically. */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    val noindex = coalesce(lower(col("robots")).rlike("noindex"),
+      lit(false))
+    HtmlText.extractFromWarc(htmlFixtureRecords(s, dir))
+      .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
+          .cast("long").as("doc_id"),
+        col("_status").as("status"), col("robots"),
+        noindex.as("noindex"),
+        (col("_status") === "ok" && !noindex).as("kept"))
+  }
+
+  private val q347Sql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % 10 AS v FROM documents)
+       |SELECT doc_id, $htmlStatusCaseSql AS status,
+       |  CASE WHEN v NOT IN (1, 2, 3, 4) AND doc_id % 3 = 0
+       |    THEN 'noindex, nofollow' END AS robots,
+       |  v NOT IN (1, 2, 3, 4) AND doc_id % 3 = 0 AS noindex,
+       |  v NOT IN (1, 2, 3, 4, 8)
+       |    AND NOT (doc_id % 3 = 0) AS kept
+       |FROM d""".stripMargin
+
+  /** Composability proof #8 — the Common Crawl WEBGRAPH product:
+    * WARC → HTTP/HTML extraction → absolute-outlink scan → host-level
+    * edge list → integer PageRank (Graph.pageRankInt, the crawl-
+    * prioritization / quality signal Common Crawl publishes for its
+    * own corpus). Each fixture page at host(id%7) links host(id+1 %7)
+    * and host(id+3 %7); edges dedup to the 14-edge host graph and the
+    * oracle unrolls the five integer rounds over analytically
+    * constructed edges — the gate matches only if the link scanner,
+    * host parse, dedup and every PageRank round are exact. */
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    def host(u: Column) =
+      lower(regexp_extract(u, "^https?://([^/]+)", 1))
+    val edges = HtmlText.extractFromWarc(htmlFixtureRecords(s, dir))
+      .where(col("links").isNotNull)
+      .select(host(col("target_uri")).as("src"),
+        explode(col("links")).as("__l"))
+      .select(col("src"), host(col("__l")).as("dst"))
+      .distinct()
+    Graph.pageRankInt(edges, iterations = 5)
+  }
+
+  private val q348Sql: String = {
+    val rounds = (1 to 5).map { t =>
+      val prev = s"r${t - 1}"
+      s"""r$t AS (
+         |  SELECT nodes.node,
+         |    (15 * 1000000000000) // (100 * (SELECT count(*) FROM nodes))
+         |    + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT he.dst AS node,
+         |      CAST(sum($prev.rank // deg.deg) AS BIGINT) AS s
+         |    FROM he JOIN $prev ON he.src = $prev.node
+         |    JOIN deg ON he.src = deg.src
+         |    GROUP BY 1) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, doc_id % 10 AS v FROM documents),
+       |he AS (
+       |  SELECT DISTINCT
+       |    'host' || (doc_id % 7) || '.example.com' AS src,
+       |    'host' || ((doc_id + o) % 7) || '.example.com' AS dst
+       |  FROM d CROSS JOIN (SELECT unnest([1, 3]) AS o) t
+       |  WHERE v NOT IN (1, 2, 3, 4)),
+       |nodes AS (SELECT src AS node FROM he
+       |          UNION SELECT dst FROM he),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM he GROUP BY 1),
+       |r0 AS (SELECT node,
+       |         1000000000000 // (SELECT count(*) FROM nodes) AS rank
+       |       FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r5""".stripMargin
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16660,5 +16758,7 @@ object Queries {
     "q343_quality_classifier" -> Q(q343, Some(q343Sql)),
     "q344_quality_filter" -> Q(q344, Some(q344Sql)),
     "q345_image_text_curation" -> Q(q345, Some(q345Sql)),
-    "q346_substring_recall" -> Q(q346, Some(q346Sql)))
+    "q346_substring_recall" -> Q(q346, Some(q346Sql)),
+    "q347_robots_audit" -> Q(q347, Some(q347Sql)),
+    "q348_host_webgraph" -> Q(q348, Some(q348Sql)))
 }

@@ -100,6 +100,14 @@ object HtmlText {
     StructField("charset", StringType, nullable = true),
     StructField("charset_source", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
+    // absolute http(s) outlinks in document order (HTML rows; empty
+    // for text/plain; NULL when no text body was parsed) — the Common
+    // Crawl webgraph feedstock
+    StructField("links", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    // raw content of the first <meta name="robots"> tag (HTML rows;
+    // NULL when absent or no HTML) — the crawl-compliance signal
+    StructField("robots", StringType, nullable = true),
     StructField("_status", StringType, nullable = false)))
 
   val blockType: StructType = StructType(Seq(
@@ -652,6 +660,128 @@ object HtmlKernels {
     out.result()
   }
 
+  // ---------------------------------------------------------------
+  // tag-attribute scanners: outlinks + meta robots (one O(n) pass
+  // each, inside the same fused expression evaluation as the text
+  // extraction — never staged as separate columns)
+  // ---------------------------------------------------------------
+
+  /** Walk every element tag (skipping comments, doctypes and the
+    * content of script/style/… exactly like [[parseBlocks]]) and hand
+    * (lowercased name, raw attribute region) to `f`. */
+  private def forEachTag(html: String)(f: (String, String) => Unit): Unit = {
+    val n = html.length
+    var p = 0
+    while (p < n) {
+      val lt = html.indexOf('<', p)
+      if (lt < 0) return
+      p = lt
+      if (html.startsWith("<!--", p)) {
+        val e = html.indexOf("-->", p + 4)
+        p = if (e < 0) n else e + 3
+      } else if (p + 1 < n && (html.charAt(p + 1) == '!' ||
+        html.charAt(p + 1) == '?')) {
+        val e = html.indexOf('>', p + 1)
+        p = if (e < 0) n else e + 1
+      } else {
+        var q = p + 1
+        val closing = q < n && html.charAt(q) == '/'
+        if (closing) q += 1
+        val nameStart = q
+        while (q < n && (html.charAt(q).isLetter ||
+          html.charAt(q).isDigit)) q += 1
+        if (q == nameStart) p += 1
+        else {
+          val name = html.substring(nameStart, q)
+            .toLowerCase(java.util.Locale.ROOT)
+          val attrStart = q
+          var quote: Char = 0
+          while (q < n && (quote != 0 || html.charAt(q) != '>')) {
+            val ch = html.charAt(q)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            q += 1
+          }
+          val selfClosed = q > attrStart && q <= n &&
+            html.charAt(q - 1) == '/' && quote == 0
+          if (!closing) f(name, html.substring(attrStart, q))
+          p = if (q < n) q + 1 else n
+          if (!closing && !selfClosed && SkipContent.contains(name)) {
+            val e = indexOfIgnoreCase(html, "</" + name, p)
+            if (e < 0) p = n
+            else {
+              val g = html.indexOf('>', e)
+              p = if (g < 0) n else g + 1
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** First value of `key` in a raw attribute region (case-insensitive
+    * names, quoted or bare values). */
+  private def attrValue(attrs: String, key: String): Option[String] = {
+    val n = attrs.length
+    var p = 0
+    while (p < n) {
+      while (p < n && (attrs.charAt(p).isWhitespace ||
+        attrs.charAt(p) == '/')) p += 1
+      val ks = p
+      while (p < n && !attrs.charAt(p).isWhitespace &&
+        attrs.charAt(p) != '=' && attrs.charAt(p) != '/') p += 1
+      if (p == ks) return None
+      val name = attrs.substring(ks, p).toLowerCase(java.util.Locale.ROOT)
+      while (p < n && attrs.charAt(p).isWhitespace) p += 1
+      var value: String = null
+      if (p < n && attrs.charAt(p) == '=') {
+        p += 1
+        while (p < n && attrs.charAt(p).isWhitespace) p += 1
+        if (p < n && (attrs.charAt(p) == '"' || attrs.charAt(p) == '\'')) {
+          val qch = attrs.charAt(p)
+          val e = attrs.indexOf(qch, p + 1)
+          value = attrs.substring(p + 1, if (e < 0) n else e)
+          p = if (e < 0) n else e + 1
+        } else {
+          val vs = p
+          while (p < n && !attrs.charAt(p).isWhitespace) p += 1
+          value = attrs.substring(vs, p)
+        }
+      } else value = ""
+      if (name == key) return Some(value)
+    }
+    None
+  }
+
+  /** Absolute http(s) `<a href>` targets in document order (relative
+    * links dropped — host resolution needs a base URL the payload does
+    * not carry; the WARC `target_uri` supplies the source host). */
+  def extractLinks(html: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    forEachTag(html) { (name, attrs) =>
+      if (name == "a") attrValue(attrs, "href").foreach { v =>
+        val t = v.trim
+        val lt = t.toLowerCase(java.util.Locale.ROOT)
+        if (lt.startsWith("http://") || lt.startsWith("https://")) out += t
+      }
+    }
+    out.result()
+  }
+
+  /** Raw `content` of the first `<meta name="robots">` tag, if any —
+    * the crawl-compliance signal (noindex/nofollow) a responsible
+    * training-data pipeline audits before keeping a page. */
+  def metaRobots(html: String): Option[String] = {
+    var res: Option[String] = None
+    forEachTag(html) { (name, attrs) =>
+      if (res.isEmpty && name == "meta" &&
+        attrValue(attrs, "name").exists(
+          _.trim.equalsIgnoreCase("robots")))
+        res = attrValue(attrs, "content")
+    }
+    res
+  }
+
   private def indexOfIgnoreCase(s: String, needle: String,
                                 from: Int): Int = {
     val nl = needle.length
@@ -740,14 +870,19 @@ object HtmlKernels {
     classify(payload) match {
       case Left((code, mt, status)) =>
         InternalRow(code.map(Int.box).orNull, mt.map(utf8).orNull, null,
-          null, null, utf8(status))
+          null, null, null, null, utf8(status))
       case Right((code, mt, text, cs, src, isHtml)) =>
         val extracted = if (isHtml) extractText(text) else text
         val status =
           if (extracted.isEmpty) "empty_text"
           else if (isHtml) "ok"
           else "ok_plain"
+        val links =
+          if (isHtml) extractLinks(text) else Vector.empty[String]
+        val robots = if (isHtml) metaRobots(text) else None
         InternalRow(code, utf8(mt), utf8(cs), utf8(src),
-          if (extracted.isEmpty) null else utf8(extracted), utf8(status))
+          if (extracted.isEmpty) null else utf8(extracted),
+          new GenericArrayData(links.map(utf8).toArray[Any]),
+          robots.map(utf8).orNull, utf8(status))
     }
 }

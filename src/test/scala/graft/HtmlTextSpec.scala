@@ -213,6 +213,47 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.valid(ext).columns.toSeq ==
       Seq("path", "rec_offset", "record_id", "target_uri",
         "status_code", "content_type", "charset", "charset_source",
-        "text"))
+        "text", "links", "robots"))
+  }
+
+  test("outlink + meta-robots scanners: absolute hrefs in order, " +
+    "quotes and bare values, script bodies skipped, first robots wins") {
+    val html =
+      """<html><head>
+        |<meta charset="utf-8"><META NAME='Robots' content="noindex, follow">
+        |<meta name="robots" content="second ignored">
+        |<script>var a = '<a href="http://evil.example/x">';</script>
+        |</head><body>
+        |<a href="http://one.example.com/a">1</a>
+        |<a class="x" href = 'https://TWO.example.com/b?q=1'>2</a>
+        |<a href=/relative/path>rel</a>
+        |<a href=http://bare.example.com/c>bare</a>
+        |<a name="anchor-no-href">none</a>
+        |</body></html>""".stripMargin
+    assert(HtmlKernels.extractLinks(html) == Vector(
+      "http://one.example.com/a", "https://TWO.example.com/b?q=1",
+      "http://bare.example.com/c"))
+    assert(HtmlKernels.metaRobots(html).contains("noindex, follow"))
+    assert(HtmlKernels.metaRobots("<p>no meta here at all</p>").isEmpty)
+    // the fused expression carries both through the struct
+    val payload = msg("HTTP/1.1 200 OK",
+      Seq("Content-Type: text/html"), html.getBytes("UTF-8"))
+    val r = spark.createDataFrame(Seq(("k", payload))).toDF("k", "payload")
+      .select(HtmlText.html_extract(col("payload")).as("e"))
+      .select(col("e.links"), col("e.robots"), col("e._status"))
+      .head()
+    assert(r.getSeq[String](0) == Seq("http://one.example.com/a",
+      "https://TWO.example.com/b?q=1", "http://bare.example.com/c"))
+    assert(r.getString(1) == "noindex, follow")
+    // plain text: empty links, NULL robots; corrupt: NULL links
+    val plain = msg("HTTP/1.1 200 OK", Seq("Content-Type: text/plain"),
+      "no markup".getBytes("UTF-8"))
+    val rows = spark.createDataFrame(Seq(("p", plain),
+        ("c", "garbage\n".getBytes("UTF-8")))).toDF("k", "payload")
+      .select(col("k"), HtmlText.html_extract(col("payload")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    assert(rows("p").getSeq[String](5) == Seq() &&
+      rows("p").isNullAt(6))
+    assert(rows("c").isNullAt(5) && rows("c").isNullAt(6))
   }
 }
