@@ -15822,7 +15822,18 @@ object Queries {
       |       WHEN v = 4 THEN 'ok_plain'
       |       ELSE 'ok' END""".stripMargin
 
-  private def htmlFixtureRecords(s: SparkSession, dir: String): DataFrame = {
+  /** Parsed-record table of the HTML fixture, STAGED to parquet once
+    * per JVM (the q85 stageFixture discipline): six gates (q341/q342/
+    * q345/q347/q348/q350) consume the same records — staging the
+    * post-walk table means the stream build + single-row WARC walk
+    * run once, and every gate starts from a columnar scan (the
+    * production shape: a landed ingest table). */
+  private def htmlFixtureRecords(s: SparkSession, dir: String): DataFrame =
+    stageFixture(s, "html_warc_records", dir) {
+      htmlFixtureRecordsRaw(s, dir)
+    }
+
+  private def htmlFixtureRecordsRaw(s: SparkSession, dir: String): DataFrame = {
     val crlf = "\r\n"
     val docs = t(s, dir, "documents")
     val v = pmod(col("doc_id"), lit(10L))
@@ -16407,6 +16418,162 @@ object Queries {
        |SELECT node, rank FROM r5""".stripMargin
   }
 
+  /** robots.txt compliance (q349): RFC 9309 group selection + glob
+    * rules + longest-match over the fixture's 7 hosts — each host's
+    * robots.txt plants a different rule shape (blanket disallow;
+    * `*`-wildcard; allow-overrides-shorter-disallow; `$`-anchored
+    * exact path; a named-agent group shadowing `*`; an equal-length
+    * allow/disallow tie, allow wins; no robots.txt at all → default
+    * allow). Pages are the fixture's /doc/{id} paths under agent
+    * `graftbot`; the per-host robots table joins BROADCAST (7 rows)
+    * and the verdict expression runs per page. The oracle constructs
+    * every verdict and winning-rule label analytically. */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    val nl = "\n"
+    val docs = t(s, dir, "documents")
+    val h = pmod(col("doc_id"), lit(7L))
+    val pages = docs.select(col("doc_id"), h.as("__h"),
+      concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+    val robots = docs.select(pmod(col("doc_id"), lit(7L)).as("__h"))
+      .distinct()
+      .select(col("__h"),
+        when(col("__h") === 0L, lit("User-agent: *" + nl +
+          "Disallow: /private/" + nl + "Disallow: /doc/" + nl))
+          .when(col("__h") === 1L, lit("# host1 policy" + nl +
+            "User-agent: *" + nl + "Disallow:" + nl +
+            "Disallow: /doc/*1" + nl))
+          .when(col("__h") === 2L, lit("User-agent: *" + nl +
+            "Disallow: /doc/" + nl + "Allow: /doc/2" + nl))
+          .when(col("__h") === 3L, lit("User-agent: *" + nl +
+            "Disallow: /doc/3$" + nl))
+          .when(col("__h") === 4L, lit("User-agent: graftbot" + nl +
+            "Disallow: /" + nl + nl + "User-agent: *" + nl +
+            "Allow: /" + nl))
+          .when(col("__h") === 5L, lit("User-agent: *" + nl +
+            "Allow: /doc/" + nl + "Disallow: /doc/" + nl))
+          .as("txt")) // host 6: no robots.txt → NULL
+    pages.join(broadcast(robots), Seq("__h"), "left")
+      .select(col("doc_id"),
+        concat(lit("host"), col("__h").cast("string"),
+          lit(".example.com")).as("host"),
+        col("path"),
+        HtmlText.robots_allowed(col("txt"), col("path"),
+          lit("graftbot")).as("__d"))
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("__d.allowed"), lit(true)).as("allowed"),
+        coalesce(col("__d.rule"), lit("default")).as("rule"))
+  }
+
+  private val q349Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 7 AS h,
+       |    CAST(doc_id AS VARCHAR) AS ds
+       |  FROM documents)
+       |SELECT doc_id,
+       |  'host' || h || '.example.com' AS host,
+       |  '/doc/' || ds AS path,
+       |  CASE WHEN h = 0 THEN false
+       |       WHEN h = 1 THEN strpos(ds, '1') = 0
+       |       WHEN h = 2 THEN ds LIKE '2%'
+       |       WHEN h = 3 THEN doc_id != 3
+       |       WHEN h = 4 THEN false
+       |       ELSE true END AS allowed,
+       |  CASE WHEN h = 0 THEN 'disallow:/doc/'
+       |       WHEN h = 1 THEN CASE WHEN strpos(ds, '1') > 0
+       |         THEN 'disallow:/doc/*1' ELSE 'default' END
+       |       WHEN h = 2 THEN CASE WHEN ds LIKE '2%'
+       |         THEN 'allow:/doc/2' ELSE 'disallow:/doc/' END
+       |       WHEN h = 3 THEN CASE WHEN doc_id = 3
+       |         THEN 'disallow:/doc/3$$' ELSE 'default' END
+       |       WHEN h = 4 THEN 'disallow:/'
+       |       WHEN h = 5 THEN 'allow:/doc/'
+       |       ELSE 'default' END AS rule
+       |FROM d""".stripMargin
+
+  /** Per-domain curation mix report (q350): the FineWeb-style
+    * per-host readout a 100 TB front-door run ships — one aggregation
+    * over the extracted stream giving each host its page count,
+    * status mix, noindex count, curated survivor count and
+    * integer-exact token budget (sum + floor-div mean, never a
+    * float). Curated = ok/ok_plain AND confidently-UTF-8 AND not
+    * noindex — the exact q342/q347 discipline composed. The oracle
+    * reconstructs every per-host count analytically from the variant
+    * grid and the known token arithmetic of the extracted text. */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val ext = HtmlText.extractFromWarc(htmlFixtureRecords(s, dir))
+    val host = lower(regexp_extract(col("target_uri"),
+      "^https?://([^/]+)", 1))
+    val noindex = coalesce(lower(col("robots")).rlike("noindex"),
+      lit(false))
+    val curated = col("_status").isin("ok", "ok_plain") &&
+      col("charset") === "utf-8" && !noindex
+    ext.select(host.as("host"), col("_status").as("__st"),
+        noindex.as("__ni"), curated.as("__cu"),
+        when(curated, TextAnalysis.tokenCount(col("text")))
+          .otherwise(lit(0L)).as("__tok"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("__st") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("__st") === "ok_plain", 1L).otherwise(0L))
+          .as("n_ok_plain"),
+        sum(when(col("__st") === "empty_text", 1L).otherwise(0L))
+          .as("n_empty"),
+        sum(when(col("__st") === "skip_status", 1L).otherwise(0L))
+          .as("n_skip"),
+        sum(when(col("__st") === "not_text", 1L).otherwise(0L))
+          .as("n_not_text"),
+        sum(when(col("__st") === "corrupt_http", 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("__ni"), 1L).otherwise(0L)).as("n_noindex"),
+        sum(when(col("__cu"), 1L).otherwise(0L)).as("n_curated"),
+        sum(col("__tok")).as("curated_tokens"))
+      .withColumn("mean_tokens_micro",
+        when(col("n_curated") > 0L, call_function("div",
+          lit(1000000L) * col("curated_tokens"), col("n_curated"))))
+  }
+
+  private val q350Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, doc_id % 10 AS v, doc_id % 7 AS h,
+       |    doc_id % 3 = 0 AS m3
+       |  FROM documents),
+       |per AS (
+       |  SELECT 'host' || h || '.example.com' AS host,
+       |    $htmlStatusCaseSql AS status,
+       |    (v NOT IN (1, 2, 3, 4) AND m3) AS noindex,
+       |    (v IN (0, 7) AND NOT m3) OR v = 4 AS curated,
+       |    CASE WHEN (v IN (0, 7) AND NOT m3)
+       |           THEN 3 + len($toksSql)
+       |         WHEN v = 4 THEN 2 + len($toksSql)
+       |         ELSE 0 END AS tok
+       |  FROM d),
+       |agg AS (
+       |  SELECT host,
+       |    CAST(count(*) AS BIGINT) AS n_pages,
+       |    CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ok,
+       |    CAST(sum(CASE WHEN status = 'ok_plain' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ok_plain,
+       |    CAST(sum(CASE WHEN status = 'empty_text' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_empty,
+       |    CAST(sum(CASE WHEN status = 'skip_status' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_skip,
+       |    CAST(sum(CASE WHEN status = 'not_text' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_not_text,
+       |    CAST(sum(CASE WHEN status = 'corrupt_http' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_corrupt,
+       |    CAST(sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_noindex,
+       |    CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_curated,
+       |    CAST(sum(tok) AS BIGINT) AS curated_tokens
+       |  FROM per GROUP BY 1)
+       |SELECT *,
+       |  CASE WHEN n_curated > 0
+       |    THEN CAST(1000000 * curated_tokens // n_curated AS BIGINT)
+       |  END AS mean_tokens_micro
+       |FROM agg""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16760,5 +16927,7 @@ object Queries {
     "q345_image_text_curation" -> Q(q345, Some(q345Sql)),
     "q346_substring_recall" -> Q(q346, Some(q346Sql)),
     "q347_robots_audit" -> Q(q347, Some(q347Sql)),
-    "q348_host_webgraph" -> Q(q348, Some(q348Sql)))
+    "q348_host_webgraph" -> Q(q348, Some(q348Sql)),
+    "q349_robots_compliance" -> Q(q349, Some(q349Sql)),
+    "q350_domain_mix" -> Q(q350, Some(q350Sql)))
 }

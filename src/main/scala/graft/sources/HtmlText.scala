@@ -208,6 +208,48 @@ object HtmlText {
         newChild: Expression): HtmlExtractExpr = copy(child = newChild)
   }
 
+  val robotsType: StructType = StructType(Seq(
+    StructField("allowed", BooleanType, nullable = false),
+    StructField("rule", StringType, nullable = false)))
+
+  /** RFC 9309 robots.txt verdict for (robots_txt, path, user_agent):
+    * struct(allowed, rule) — `rule` is the winning
+    * `allow:<pattern>` / `disallow:<pattern>` or `default`. NULL
+    * robots.txt (host never served one) → NULL; callers coalesce to
+    * the allow default. One kernel evaluation per row (parse + group
+    * select + longest-match); for per-host reuse at corpus scale,
+    * join the TINY per-host robots table broadcast and let the
+    * expression run per page — the parse is linear in the (small)
+    * robots.txt, not the page. */
+  case class RobotsAllowedExpr(first: Expression, second: Expression,
+                               third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = robotsType
+    override def nullable: Boolean = true
+    override def prettyName: String = "robots_allowed"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (StringType, StringType, StringType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"robots_allowed needs (string, string, string), got $t")
+      }
+    override def nullSafeEval(txt: Any, path: Any, ua: Any): Any = {
+      val (allowed, rule) = HtmlKernels.robotsDecision(
+        txt.toString, path.toString, ua.toString)
+      InternalRow(allowed, UTF8String.fromString(rule))
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): RobotsAllowedExpr =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def robots_allowed(robotsTxt: Column, path: Column,
+                     ua: Column): Column =
+    ExprBridge.column(RobotsAllowedExpr(ExprBridge.expression(robotsTxt),
+      ExprBridge.expression(path), ExprBridge.expression(ua)))
+
   def http_html(payload: Column): Column =
     ExprBridge.column(HttpHtmlExpr(ExprBridge.expression(payload)))
   def html_blocks(html: Column): Column =
@@ -806,6 +848,101 @@ object HtmlKernels {
         b.text.length >= MinBlockChars
     }
     keep.map(_.text).mkString("\n")
+  }
+
+  // ---------------------------------------------------------------
+  // robots.txt (RFC 9309): group selection, glob rules, longest-match
+  // ---------------------------------------------------------------
+
+  final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** Parse a robots.txt into (user-agent tokens, rules) groups: lines
+    * are `field: value` with `#` comments; consecutive `User-agent`
+    * lines open a group; `Allow`/`Disallow` lines attach to the open
+    * group; empty-valued rules are ignored (RFC 9309 §2.2.2); unknown
+    * fields skip. */
+  def robotsGroups(txt: String):
+      Vector[(Vector[String], Vector[RobotsRule])] = {
+    val out = Vector.newBuilder[(Vector[String], Vector[RobotsRule])]
+    var uas = Vector.empty[String]
+    var rules = Vector.empty[RobotsRule]
+    var open = false     // inside a user-agent run (no rule seen yet)
+    var any = false
+    def flush(): Unit = {
+      if (any) out += ((uas, rules))
+      uas = Vector.empty; rules = Vector.empty; any = false
+    }
+    txt.split("\r\n|\n", -1).foreach { raw =>
+      val line = { val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!open) flush()
+            uas :+= value.toLowerCase(java.util.Locale.ROOT)
+            open = true; any = true
+          case "allow" | "disallow" =>
+            open = false
+            if (value.nonEmpty) rules :+= RobotsRule(field == "allow", value)
+          case _ => open = false
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** RFC 9309 path-pattern match: the pattern must match a PREFIX of
+    * the path, `*` spans any octets, a trailing `$` anchors the end.
+    * Leftmost placement of the inner literals is complete for glob
+    * prefix matching; the `$` case checks the tail separately. */
+  def robotsGlobMatch(pat: String, path: String): Boolean = {
+    val endAnchor = pat.endsWith("$")
+    val core = if (endAnchor) pat.substring(0, pat.length - 1) else pat
+    val parts = core.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var i = 1
+    while (i < parts.length - 1) {
+      val at = path.indexOf(parts(i), pos)
+      if (at < 0) return false
+      pos = at + parts(i).length
+      i += 1
+    }
+    if (parts.length == 1)
+      !endAnchor || path.length == pos
+    else {
+      val last = parts(parts.length - 1)
+      if (endAnchor) path.endsWith(last) && path.length - last.length >= pos
+      else last.isEmpty || path.indexOf(last, pos) >= 0
+    }
+  }
+
+  /** Allow/deny verdict for (`path`, `ua`): rules come from every
+    * group naming `ua` (case-insensitive product token), else every
+    * `*` group; the matching rule with the most pattern octets wins,
+    * allow beating disallow on a tie (RFC 9309 §2.2.2); no matching
+    * rule (or no groups, or no robots.txt) allows. Returns
+    * (allowed, "allow:<pat>" | "disallow:<pat>" | "default"). */
+  def robotsDecision(txt: String, path: String,
+                     ua: String): (Boolean, String) = {
+    val groups = robotsGroups(txt)
+    val uaL = ua.toLowerCase(java.util.Locale.ROOT)
+    val named = groups.filter(_._1.contains(uaL))
+    val sel = if (named.nonEmpty) named else groups.filter(_._1.contains("*"))
+    val rules = sel.flatMap(_._2)
+    val hits = rules.filter(r => robotsGlobMatch(r.pattern, path))
+    if (hits.isEmpty) (true, "default")
+    else {
+      val best = hits.maxBy(r => (r.pattern.length,
+        if (r.allow) 1 else 0))
+      (best.allow,
+        (if (best.allow) "allow:" else "disallow:") + best.pattern)
+    }
   }
 
   // ---------------------------------------------------------------

@@ -216,6 +216,40 @@ class HtmlTextSpec extends SparkTestBase {
         "text", "links", "robots"))
   }
 
+  test("robots.txt: RFC 9309 groups, glob matching, longest-match " +
+    "with allow winning ties, named agent shadowing *") {
+    import HtmlKernels.{robotsDecision, robotsGlobMatch}
+    // glob semantics: prefix match, * spans octets, $ anchors end
+    assert(robotsGlobMatch("/doc/", "/doc/12"))
+    assert(!robotsGlobMatch("/doc/", "/d"))
+    assert(robotsGlobMatch("/doc/*1", "/doc/41"))
+    assert(robotsGlobMatch("/doc/*1", "/doc/217")) // prefix: ...21 then 7
+    assert(!robotsGlobMatch("/doc/*1", "/doc/40"))
+    assert(robotsGlobMatch("/doc/3$", "/doc/3"))
+    assert(!robotsGlobMatch("/doc/3$", "/doc/31"))
+    assert(robotsGlobMatch("/a*b*c$", "/axxbyyc"))
+    assert(!robotsGlobMatch("/a*b*c$", "/axxbyycz"))
+    // groups: crlf lines, comments, case-insensitive fields; a rule
+    // line closes the user-agent run so the NEXT UA opens a new group
+    val txt = "# policy\r\nUser-Agent: GraftBot\r\nDisallow: /\r\n\r\n" +
+      "User-agent: *\r\nDisallow:\r\nAllow: /open\r\nDisallow: /open\r\n"
+    assert(robotsDecision(txt, "/anything", "graftbot")
+      == ((false, "disallow:/")), "named group shadows *")
+    assert(robotsDecision(txt, "/open/x", "otherbot")
+      == ((true, "allow:/open")), "equal-length tie: allow wins")
+    assert(robotsDecision(txt, "/elsewhere", "otherbot")
+      == ((true, "default")), "empty Disallow is ignored")
+    // longest match beats shorter regardless of order
+    val t2 = "User-agent: *\nAllow: /doc/22\nDisallow: /doc/\n"
+    assert(robotsDecision(t2, "/doc/221", "any") == ((true, "allow:/doc/22")))
+    assert(robotsDecision(t2, "/doc/9", "any") == ((false, "disallow:/doc/")))
+    // multiple UA lines share one group
+    val t3 = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert(robotsDecision(t3, "/x/1", "b") == ((false, "disallow:/x")))
+    assert(robotsDecision(t3, "/x/1", "c") == ((true, "default")),
+      "no * group and no name match: default allow")
+  }
+
   test("outlink + meta-robots scanners: absolute hrefs in order, " +
     "quotes and bare values, script bodies skipped, first robots wins") {
     val html =
