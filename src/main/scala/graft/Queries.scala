@@ -583,13 +583,14 @@ object Queries {
   /** The q19 minhash-LSH pair derivation as reusable WITH-clause innards:
     * `pairs(id_a, id_b, jaccard)` holds the threshold-verified candidate
     * pairs. q19 projects it directly; q40 closes it transitively. */
-  private val minhashPairsCtes = {
+  /** The pair derivation over any CTE providing tokenized docs
+    * (doc_id, tk) — q19/q40/q337 bind it to `documents`; q351 binds
+    * it to the front-door's extracted text. */
+  private def minhashPairsCtesFrom(toksSrc: String): String = {
     val perms = minhashPerms(MinhashPermCount).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
-    s"""toks AS (
-       |  SELECT doc_id, $toksSql AS tk FROM documents),
-       |sh AS (
-       |  SELECT doc_id, $shinglesSql AS shingles FROM toks),
+    s"""sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles FROM $toksSrc),
        |perms(perm, pa, pb) AS (VALUES $perms),
        |sigs AS (
        |  SELECT sh.doc_id, p.perm,
@@ -618,6 +619,11 @@ object Queries {
        |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
        |        / len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.5)""".stripMargin
   }
+
+  private val minhashPairsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |${minhashPairsCtesFrom("toks")}""".stripMargin
 
   private val q19Sql =
     s"""WITH $minhashPairsCtes
@@ -16574,6 +16580,71 @@ object Queries {
        |  END AS mean_tokens_micro
        |FROM agg""".stripMargin
 
+  /** Composability proof #9 — the COMPLETE web-corpus pipeline:
+    * WARC → HTTP/HTML extraction → MinHash-LSH near-dup pairs →
+    * transitive clusters → quality-ranked canonical keep-list — the
+    * q337 keep-policy re-run over the front door's EXTRACTED text
+    * instead of the raw table (ingest, extract, dedup and survivorship
+    * in ONE gate). The oracle reconstructs the extracted corpus
+    * analytically, replays the full LSH pair derivation over it, the
+    * recursive closure, the quality math and the per-cluster argmax. */
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val ext = HtmlText.valid(
+        HtmlText.extractFromWarc(htmlFixtureRecords(s, dir)))
+      .where(col("charset") === "utf-8")
+      .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
+          .cast("long").as("doc_id"), col("text"))
+      .localCheckpoint() // pairs + roster + scores read it
+    val pairs = Dedup.minhashLshPairs(ext, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")),
+        ext.select(col("doc_id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scores = TextAnalysis.qualityFeatures(ext, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    Dedup.canonicalKeepList(clusters, scores, "doc_id", "cluster_id",
+      "quality_score")
+  }
+
+  private val q351Sql: String =
+    s"""WITH RECURSIVE exd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 4 THEN 'PLAIN BODY: ' || text
+       |         ELSE '$htmlPrefix: ' || text END AS text
+       |  FROM documents WHERE doc_id % 10 IN (0, 4, 7)),
+       |etoks AS (SELECT doc_id, $toksSql AS tk FROM exd),
+       |${minhashPairsCtesFrom("etoks")},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM exd
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+       |       FROM reach GROUP BY id),
+       |qt AS (SELECT e.doc_id, e.text, t.tk
+       |       FROM exd e JOIN etoks t USING (doc_id)),
+       |qf AS (
+       |  SELECT doc_id,
+       |    $qualityFeatSql
+       |  FROM qt),
+       |sc AS (SELECT doc_id, $qualityScoreSql AS q FROM qf),
+       |j AS (
+       |  SELECT cl.doc_id, cl.cluster_id, sc.q
+       |  FROM cl JOIN sc USING (doc_id)),
+       |can AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY q DESC, doc_id ASC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, can.canonical_id,
+       |  j.doc_id = can.canonical_id AS keep
+       |FROM j JOIN can USING (cluster_id)""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16929,5 +17000,6 @@ object Queries {
     "q347_robots_audit" -> Q(q347, Some(q347Sql)),
     "q348_host_webgraph" -> Q(q348, Some(q348Sql)),
     "q349_robots_compliance" -> Q(q349, Some(q349Sql)),
-    "q350_domain_mix" -> Q(q350, Some(q350Sql)))
+    "q350_domain_mix" -> Q(q350, Some(q350Sql)),
+    "q351_warc_dedup_keep" -> Q(q351, Some(q351Sql)))
 }
