@@ -16505,38 +16505,8 @@ object Queries {
     * noindex — the exact q342/q347 discipline composed. The oracle
     * reconstructs every per-host count analytically from the variant
     * grid and the known token arithmetic of the extracted text. */
-  private def q350(s: SparkSession, dir: String): DataFrame = {
-    val ext = HtmlText.extractFromWarc(htmlFixtureRecords(s, dir))
-    val host = lower(regexp_extract(col("target_uri"),
-      "^https?://([^/]+)", 1))
-    val noindex = coalesce(lower(col("robots")).rlike("noindex"),
-      lit(false))
-    val curated = col("_status").isin("ok", "ok_plain") &&
-      col("charset") === "utf-8" && !noindex
-    ext.select(host.as("host"), col("_status").as("__st"),
-        noindex.as("__ni"), curated.as("__cu"),
-        when(curated, TextAnalysis.tokenCount(col("text")))
-          .otherwise(lit(0L)).as("__tok"))
-      .groupBy(col("host"))
-      .agg(count(lit(1)).as("n_pages"),
-        sum(when(col("__st") === "ok", 1L).otherwise(0L)).as("n_ok"),
-        sum(when(col("__st") === "ok_plain", 1L).otherwise(0L))
-          .as("n_ok_plain"),
-        sum(when(col("__st") === "empty_text", 1L).otherwise(0L))
-          .as("n_empty"),
-        sum(when(col("__st") === "skip_status", 1L).otherwise(0L))
-          .as("n_skip"),
-        sum(when(col("__st") === "not_text", 1L).otherwise(0L))
-          .as("n_not_text"),
-        sum(when(col("__st") === "corrupt_http", 1L).otherwise(0L))
-          .as("n_corrupt"),
-        sum(when(col("__ni"), 1L).otherwise(0L)).as("n_noindex"),
-        sum(when(col("__cu"), 1L).otherwise(0L)).as("n_curated"),
-        sum(col("__tok")).as("curated_tokens"))
-      .withColumn("mean_tokens_micro",
-        when(col("n_curated") > 0L, call_function("div",
-          lit(1000000L) * col("curated_tokens"), col("n_curated"))))
-  }
+  private def q350(s: SparkSession, dir: String): DataFrame =
+    HtmlText.domainMix(HtmlText.extractFromWarc(htmlFixtureRecords(s, dir)))
 
   private val q350Sql: String =
     s"""WITH d AS (

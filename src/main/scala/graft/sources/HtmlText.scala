@@ -292,6 +292,50 @@ object HtmlText {
     graft.operators.TextAnalysis.qualityFeatures(
       valid(extractFromWarc(records)), "record_id", "text",
       passthrough = Seq("path", "rec_offset", "target_uri", "charset"))
+
+  /** Per-host curation-mix report over an [[extractFromWarc]] frame:
+    * page count, status mix, noindex count, curated survivors
+    * (ok/ok_plain AND confidently-UTF-8 AND not noindex) and their
+    * integer token budget. ONE partial-aggregated groupBy(host) —
+    * and because it is a plain streaming-supported aggregation, the
+    * SAME function is the live maintainer: feed it
+    * [[Warc.warcStream]] records and run complete-mode with a
+    * checkpoint (StreamingSpec pins streamed == batch drop-by-drop
+    * including a state-restoring restart). The floor-div mean is
+    * derived from the two exact sums, so incremental maintenance can
+    * never drift from the batch report. */
+  def domainMix(extracted: DataFrame): DataFrame = {
+    val host = lower(regexp_extract(col("target_uri"),
+      "^https?://([^/]+)", 1))
+    val noindex = coalesce(lower(col("robots")).rlike("noindex"),
+      lit(false))
+    val curated = col("_status").isin("ok", "ok_plain") &&
+      col("charset") === "utf-8" && !noindex
+    extracted.select(host.as("host"), col("_status").as("__st"),
+        noindex.as("__ni"), curated.as("__cu"),
+        when(curated,
+          graft.operators.TextAnalysis.tokenCount(col("text")))
+          .otherwise(lit(0L)).as("__tok"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("__st") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("__st") === "ok_plain", 1L).otherwise(0L))
+          .as("n_ok_plain"),
+        sum(when(col("__st") === "empty_text", 1L).otherwise(0L))
+          .as("n_empty"),
+        sum(when(col("__st") === "skip_status", 1L).otherwise(0L))
+          .as("n_skip"),
+        sum(when(col("__st") === "not_text", 1L).otherwise(0L))
+          .as("n_not_text"),
+        sum(when(col("__st") === "corrupt_http", 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("__ni"), 1L).otherwise(0L)).as("n_noindex"),
+        sum(when(col("__cu"), 1L).otherwise(0L)).as("n_curated"),
+        sum(col("__tok")).as("curated_tokens"))
+      .withColumn("mean_tokens_micro",
+        when(col("n_curated") > 0L, call_function("div",
+          lit(1000000L) * col("curated_tokens"), col("n_curated"))))
+  }
 }
 
 /** The three kernels — plain JVM functions so the expression layer

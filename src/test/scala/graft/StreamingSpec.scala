@@ -2176,6 +2176,74 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("live domain-mix report: streamed complete-mode aggregation == " +
+    "batch report drop-by-drop, state survives a checkpoint restart") {
+    import graft.sources.{HtmlText, Warc}
+    val crlf = "\r\n"
+    def http(status: String, ct: String, body: String): String =
+      s"HTTP/1.1 $status" + crlf + s"Content-Type: $ct" + crlf + crlf + body
+    def rec(id: Int, hostN: Int, payload: String) =
+      "WARC/1.0" + crlf +
+        "WARC-Type: response" + crlf +
+        s"WARC-Record-ID: <urn:uuid:$id>" + crlf +
+        "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+        s"WARC-Target-URI: http://h$hostN.example.com/p$id" + crlf +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" +
+        crlf + crlf + payload + crlf + crlf
+    def page(words: String) =
+      s"<html><body><nav>m m</nav><p>the curated paragraph with $words " +
+        "inside of it stays long</p></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("graft-dmix")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dmix-ck")
+    val out = java.nio.file.Files.createTempDirectory("graft-dmix-out")
+    def drop(name: String, content: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    def batch() = snap(HtmlText.domainMix(HtmlText.extractFromWarc(
+      Warc.warcWithErrors(spark, dir.toString))))
+    // the production live-report pattern: complete-mode aggregation,
+    // each micro-batch OVERWRITES the report table via foreachBatch;
+    // aggregation state lives in the query checkpoint, so a restarted
+    // query resumes the counters instead of recounting from zero
+    def start() = HtmlText.domainMix(HtmlText.extractFromWarc(
+        Warc.warcStream(spark, dir.toString, maxFilesPerTrigger = 1)))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out.toString)
+      }.start()
+    def state() = snap(spark.read.parquet(out.toString))
+    drop("a.warc",
+      rec(1, 0, http("200 OK", "text/html", page("alpha"))) +
+      rec(2, 0, http("404 Not Found", "text/html", page("beta"))) +
+      rec(3, 1, http("200 OK", "text/plain", "short plain body here")))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(state() == batch(), "live report != batch after first drop")
+      assert(state()("h0.example.com").head == 2L &&
+        state()("h1.example.com").head == 1L)
+    } finally q1.stop()
+    // second drop lands while the query is DOWN; the restarted query
+    // must fold it into the checkpointed counters
+    drop("b.warc",
+      rec(4, 0, http("200 OK", "text/html", page("gamma"))) +
+      rec(5, 2, http("200 OK", "image/png", "xx")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state() == batch(),
+        "restarted live report != batch over all drops")
+      assert(state()("h0.example.com").head == 3L &&
+        state().contains("h2.example.com"))
+    } finally q2.stop()
+  }
+
   test("PqIndexMaintainer: streamed code table == batch re-encode of " +
     "the surviving corpus under the frozen quantizers, serving parity " +
     "holds, and checkpoint/restore resumes without the vectors") {
