@@ -127,6 +127,50 @@ object QualityClassifier {
       .toDF("dim", "w", "w_sum")
   }
 
+  /** Persist the trained artifact: `dir/weights` (the
+    * [[weightsFrame]] layout, bias at dim = −1) + `dir/meta`
+    * (dim, rounds, steps), committed by a marker written LAST — the
+    * [[graft.streaming.Streaming.PqIndexMaintainer]] checkpoint
+    * protocol, so a crash mid-save can never be loaded as a mixed
+    * generation. */
+  def saveModel(spark: SparkSession, m: PerceptronModel,
+                dir: String): Unit = {
+    import spark.implicits._
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    weightsFrame(spark, m).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((m.dim, m.rounds, m.steps)).toDF("dim", "rounds", "steps")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val out = fs.create(marker, true)
+    out.writeBytes("graft-perceptron v1\n")
+    out.close()
+  }
+
+  /** Load a [[saveModel]] artifact; refuses loudly when the commit
+    * marker is absent (crash mid-save or wrong directory). */
+  def loadModel(spark: SparkSession, dir: String): PerceptronModel = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"QualityClassifier.loadModel: no commit marker at $marker — " +
+          "the save is absent or was interrupted; re-save the model.")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getInt(0)
+    val w = new Array[Long](dim)
+    val u = new Array[Long](dim)
+    var b = 0L
+    var ub = 0L
+    spark.read.parquet(s"$dir/weights").collect().foreach { r =>
+      val d = r.getLong(0)
+      if (d == -1L) { b = r.getLong(1); ub = r.getLong(2) }
+      else { w(d.toInt) = r.getLong(1); u(d.toInt) = r.getLong(2) }
+    }
+    PerceptronModel(w, b, u, ub, dim, meta.getInt(1), meta.getLong(2))
+  }
+
   /** Serve: score every id in `features` with the AVERAGED (summed)
     * weights — margin = Σ_d cnt_d · u_d + ub, pred = margin > 0. One
     * broadcast equi-join on the `dim`-row weight table + one

@@ -51,6 +51,35 @@ class QualityClassifierSpec extends SparkTestBase {
       s"serving must broadcast the weights:\n$plan")
   }
 
+  test("saveModel/loadModel roundtrip: weights identical, scoring " +
+    "identical, missing commit marker refuses loudly") {
+    val feats = Seq((1L, 0L, 2L), (2L, 1L, 3L), (3L, 0L, 1L))
+      .toDF("id", "dim", "cnt")
+    val labels = Seq((1L, 1L), (2L, -1L), (3L, 1L)).toDF("id", "label")
+    val m = QualityClassifier.trainAveragedPerceptron(
+      feats, labels, "id", "label", dim = 4, rounds = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clsmodel")
+      .toString
+    QualityClassifier.saveModel(spark, m, dir)
+    val l = QualityClassifier.loadModel(spark, dir)
+    assert(l.w.toSeq == m.w.toSeq && l.wSum.toSeq == m.wSum.toSeq &&
+      l.b == m.b && l.bSum == m.bSum && l.dim == m.dim &&
+      l.rounds == m.rounds && l.steps == m.steps)
+    val a = QualityClassifier.scoreAveraged(spark, feats, "id", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bScores = QualityClassifier.scoreAveraged(spark, feats, "id", l)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == bScores, "loaded model must score identically")
+    // a crash between marker delete and re-create must refuse to load
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_graft_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    val e = intercept[IllegalStateException] {
+      QualityClassifier.loadModel(spark, dir)
+    }
+    assert(e.getMessage.contains("commit marker"))
+  }
+
   test("contracts: duplicate label ids, out-of-domain labels, " +
     "oversized train sets and foreign dims all fail loudly") {
     val feats = Seq((1L, 0L, 1L)).toDF("id", "dim", "cnt")
