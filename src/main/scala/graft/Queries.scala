@@ -16615,6 +16615,92 @@ object Queries {
        |  j.doc_id = can.canonical_id AS keep
        |FROM j JOIN can USING (cluster_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // BPE tokenizer (q352/q353): Sennrich 2016 merges trained on the
+  // corpus word-frequency table (driver fold over the bounded distinct
+  // words), then the corpus token budget under the trained merges via
+  // the k-nested-replace application chain. The oracle unrolls every
+  // training round (pair counts from the padded-string pieces, the
+  // (count DESC, pair ASC) argmax, the left-to-right non-overlapping
+  // rewrite) as chained CTEs — the q233 unigram-LM discipline for the
+  // OTHER public subword algorithm.
+  // ---------------------------------------------------------------------
+
+  private val bpeMerges = 12
+
+  /** w0/v0 + pc$i/best$i/v$i for i in 1..bpeMerges. */
+  private val bpeTrainCtes: String = {
+    val sep = "chr(1)"
+    val rounds = (1 to bpeMerges).map { i =>
+      val prev = s"v${i - 1}"
+      s"""pc$i AS (
+         |  SELECT p1, p2, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT t.cnt, t.pl[u.j] AS p1, t.pl[u.j + 1] AS p2
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(s, $sep), x -> x != '') AS pl
+         |          FROM $prev) t,
+         |         unnest(range(1, len(t.pl))) AS u(j))
+         |  GROUP BY 1, 2),
+         |best$i AS (
+         |  SELECT p1, p2, c FROM pc$i
+         |  ORDER BY c DESC, p1 ASC, p2 ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT v.word, v.cnt,
+         |    replace(v.s, $sep || b.p1 || $sep || b.p2 || $sep,
+         |      $sep || b.p1 || b.p2 || $sep) AS s
+         |  FROM $prev v CROSS JOIN best$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT word, cnt,
+       |    $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS s
+       |  FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  private def q352(s: SparkSession, dir: String): DataFrame =
+    Bpe.mergesFrame(s,
+      Bpe.train(t(s, dir, "documents"), "text", merges = bpeMerges))
+
+  private val q352Sql: String = {
+    val rows = (1 to bpeMerges).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_idx,
+         |  p1 AS left_piece, p2 AS right_piece, c AS pair_count
+         |FROM best$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |$rows""".stripMargin
+  }
+
+  /** Corpus token budget under the q352 merges — the "how many BPE
+    * tokens is this corpus" readout a pretraining run budgets with.
+    * The engine applies the merges DISTRIBUTED (the nested-replace
+    * chain over every token); the oracle reuses the training chain's
+    * final vocabulary segmentation (training already applied every
+    * merge to every word), so the two agree only if the application
+    * chain reproduces training's rewrites exactly. */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Bpe.tokenBudget(docs, "doc_id", "text",
+      Bpe.train(docs, "text", merges = bpeMerges))
+  }
+
+  private val q353Sql: String =
+    s"""WITH $bpeTrainCtes,
+       |dt AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |pw AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(s, chr(1)),
+       |      x -> x != '')) AS BIGINT) AS np
+       |  FROM v$bpeMerges)
+       |SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pw.np) AS BIGINT) AS n_pieces
+       |FROM dt JOIN pw USING (word)
+       |GROUP BY 1""".stripMargin
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -16971,5 +17057,7 @@ object Queries {
     "q348_host_webgraph" -> Q(q348, Some(q348Sql)),
     "q349_robots_compliance" -> Q(q349, Some(q349Sql)),
     "q350_domain_mix" -> Q(q350, Some(q350Sql)),
-    "q351_warc_dedup_keep" -> Q(q351, Some(q351Sql)))
+    "q351_warc_dedup_keep" -> Q(q351, Some(q351Sql)),
+    "q352_bpe_train" -> Q(q352, Some(q352Sql)),
+    "q353_bpe_budget" -> Q(q353, Some(q353Sql)))
 }
