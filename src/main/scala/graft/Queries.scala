@@ -15933,7 +15933,7 @@ object Queries {
       .select(regexp_extract(col("record_id"), "<urn:uuid:(\\d+)>", 1)
           .cast("long").as("doc_id"),
         col("status_code"), col("content_type"), col("charset"),
-        col("charset_source"), col("text"),
+        col("charset_source"), col("text"), col("title"),
         col("_status").as("status"))
 
   private val q341Sql: String =
@@ -15959,6 +15959,8 @@ object Queries {
        |       WHEN v = 5 THEN '$htmlPrefix DASH—DASH: ' || text
        |       WHEN v IN (6, 9) THEN '$htmlPrefix cafÃ©: ' || text
        |       ELSE '$htmlPrefix: ' || text END AS text,
+       |  CASE WHEN v NOT IN (1, 2, 3, 4)
+       |    THEN 'Title Block Dropped' END AS title,
        |  $htmlStatusCaseSql AS status
        |FROM d""".stripMargin
 

@@ -108,6 +108,10 @@ object HtmlText {
     // raw content of the first <meta name="robots"> tag (HTML rows;
     // NULL when absent or no HTML) — the crawl-compliance signal
     StructField("robots", StringType, nullable = true),
+    // first <title> inner text, whitespace-collapsed (HTML rows; NULL
+    // when absent/empty or no HTML) — the page-metadata column a
+    // curated web corpus ships next to the body text
+    StructField("title", StringType, nullable = true),
     StructField("_status", StringType, nullable = false)))
 
   val blockType: StructType = StructType(Seq(
@@ -868,6 +872,20 @@ object HtmlKernels {
     res
   }
 
+  /** First `<title>` inner text, whitespace-collapsed; None when the
+    * tag is absent or its content collapses to empty. */
+  def extractTitle(html: String): Option[String] = {
+    val open = indexOfIgnoreCase(html, "<title", 0)
+    if (open < 0) return None
+    val gt = html.indexOf('>', open)
+    if (gt < 0) return None
+    val close = indexOfIgnoreCase(html, "</title", gt + 1)
+    val raw = html.substring(gt + 1, if (close < 0) html.length else close)
+    val collapsed = raw.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      .mkString(" ")
+    if (collapsed.isEmpty) None else Some(collapsed)
+  }
+
   private def indexOfIgnoreCase(s: String, needle: String,
                                 from: Int): Int = {
     val nl = needle.length
@@ -1051,7 +1069,7 @@ object HtmlKernels {
     classify(payload) match {
       case Left((code, mt, status)) =>
         InternalRow(code.map(Int.box).orNull, mt.map(utf8).orNull, null,
-          null, null, null, null, utf8(status))
+          null, null, null, null, null, utf8(status))
       case Right((code, mt, text, cs, src, isHtml)) =>
         val extracted = if (isHtml) extractText(text) else text
         val status =
@@ -1061,9 +1079,10 @@ object HtmlKernels {
         val links =
           if (isHtml) extractLinks(text) else Vector.empty[String]
         val robots = if (isHtml) metaRobots(text) else None
+        val title = if (isHtml) extractTitle(text) else None
         InternalRow(code, utf8(mt), utf8(cs), utf8(src),
           if (extracted.isEmpty) null else utf8(extracted),
           new GenericArrayData(links.map(utf8).toArray[Any]),
-          robots.map(utf8).orNull, utf8(status))
+          robots.map(utf8).orNull, title.map(utf8).orNull, utf8(status))
     }
 }

@@ -213,7 +213,7 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.valid(ext).columns.toSeq ==
       Seq("path", "rec_offset", "record_id", "target_uri",
         "status_code", "content_type", "charset", "charset_source",
-        "text", "links", "robots"))
+        "text", "links", "robots", "title"))
   }
 
   test("robots.txt: RFC 9309 groups, glob matching, longest-match " +
@@ -269,6 +269,11 @@ class HtmlTextSpec extends SparkTestBase {
       "http://bare.example.com/c"))
     assert(HtmlKernels.metaRobots(html).contains("noindex, follow"))
     assert(HtmlKernels.metaRobots("<p>no meta here at all</p>").isEmpty)
+    assert(HtmlKernels.extractTitle(
+      "<html><head><TITLE>\n  A   Spaced\tTitle </TITLE></head></html>")
+      .contains("A Spaced Title"))
+    assert(HtmlKernels.extractTitle("<p>untitled</p>").isEmpty)
+    assert(HtmlKernels.extractTitle("<title>  </title>").isEmpty)
     // the fused expression carries both through the struct
     val payload = msg("HTTP/1.1 200 OK",
       Seq("Content-Type: text/html"), html.getBytes("UTF-8"))
