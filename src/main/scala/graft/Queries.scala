@@ -16010,7 +16010,7 @@ object Queries {
   // featurization), trained driver-side on a bounded labeled set and
   // served distributed — the DCLM/fastText-shaped step. Labels come
   // from a deterministic rule (≥ 9 occurrences of 5 common corpus
-  // words → +1) over the doc_id % 4 != 0 training split; q343 gates
+  // words → +1) over the doc_id % 8 == 1 training split; q343 gates
   // the trained WEIGHTS bit-exact (the oracle unrolls every one of
   // the rounds × n_train sequential steps as a recursive CTE), q344
   // gates the held-out SERVING readout (margins, predictions, labels).
@@ -16030,7 +16030,11 @@ object Queries {
   }
 
   private def clsModel(docs: DataFrame): QualityClassifier.PerceptronModel = {
-    val train = docs.where(pmod(col("doc_id"), lit(4L)) =!= 0L)
+    // %8==1 train split (63 docs, 189 sequential steps): the oracle's
+    // recursive CTE pays ~60 ms/step of fixed iteration overhead, so
+    // the unroll is sized to stay ~10 s while the held-out %4==0
+    // serving split stays disjoint and full-width
+    val train = docs.where(pmod(col("doc_id"), lit(8L)) === 1L)
     QualityClassifier.trainAveragedPerceptron(
       TextAnalysis.hashingVectorizer(train, "doc_id", "text", clsDim),
       clsLabels(train), "doc_id", "label", clsDim, rounds = clsRounds)
@@ -16062,6 +16066,10 @@ object Queries {
     val wn = s"CASE WHEN $cond THEN list_transform(range(1, ${clsDim + 1}), " +
       "i -> s.w[i] + o.y * o.x[i]) ELSE s.w END"
     val bn = s"CASE WHEN $cond THEN s.b + o.y ELSE s.b END"
+    // wn/bn are hoisted into a derived table so the updated weight
+    // VECTOR is computed once per step — inlining it into the u-update
+    // lambda would re-evaluate the whole 64-element CASE per element
+    // (measured 96 s -> ~1 s on the 1125-step unroll)
     s"""ctk AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |cfx AS (
        |  SELECT doc_id,
@@ -16076,21 +16084,23 @@ object Queries {
        |      d -> CAST(len(list_filter(ds, z -> z = d)) AS BIGINT)) AS x,
        |    row_number() OVER (ORDER BY doc_id) AS rn,
        |    count(*) OVER () AS n
-       |  FROM cfx WHERE doc_id % 4 != 0),
+       |  FROM cfx WHERE doc_id % 8 = 1),
        |steps AS (
        |  SELECT CAST(0 AS BIGINT) AS k,
        |    list_transform(range(0, $clsDim), d -> CAST(0 AS BIGINT)) AS w,
        |    CAST(0 AS BIGINT) AS b,
        |    list_transform(range(0, $clsDim), d -> CAST(0 AS BIGINT)) AS u,
        |    CAST(0 AS BIGINT) AS ub
-       |  UNION ALL
-       |  SELECT s.k + 1,
-       |    $wn,
-       |    $bn,
-       |    list_transform(range(1, ${clsDim + 1}), i -> s.u[i] + ($wn)[i]),
-       |    s.ub + ($bn)
-       |  FROM steps s JOIN ord o
-       |    ON o.rn = s.k % o.n + 1 AND s.k < o.n * $clsRounds),
+  UNION ALL
+       |  SELECT k + 1, wn, bn,
+       |    list_transform(range(1, ${clsDim + 1}), i -> u[i] + wn[i]),
+       |    ub + bn
+       |  FROM (
+       |    SELECT s.k, s.u, s.ub,
+       |      $wn AS wn,
+       |      $bn AS bn
+       |    FROM steps s JOIN ord o
+       |      ON o.rn = s.k % o.n + 1 AND s.k < o.n * $clsRounds)),
        |fin AS (SELECT w, b, u, ub FROM steps ORDER BY k DESC LIMIT 1)""".stripMargin
   }
 
@@ -16635,7 +16645,7 @@ object Queries {
     val sep = "chr(1)"
     val rounds = (1 to bpeMerges).map { i =>
       val prev = s"v${i - 1}"
-      s"""pc$i AS (
+      s"""pc$i AS MATERIALIZED (
          |  SELECT p1, p2, CAST(sum(cnt) AS BIGINT) AS c FROM (
          |    SELECT t.cnt, t.pl[u.j] AS p1, t.pl[u.j + 1] AS p2
          |    FROM (SELECT cnt,
@@ -16643,10 +16653,10 @@ object Queries {
          |          FROM $prev) t,
          |         unnest(range(1, len(t.pl))) AS u(j))
          |  GROUP BY 1, 2),
-         |best$i AS (
+         |best$i AS MATERIALIZED (
          |  SELECT p1, p2, c FROM pc$i
          |  ORDER BY c DESC, p1 ASC, p2 ASC LIMIT 1),
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT v.word, v.cnt,
          |    replace(v.s, $sep || b.p1 || $sep || b.p2 || $sep,
          |      $sep || b.p1 || b.p2 || $sep) AS s
@@ -16656,7 +16666,7 @@ object Queries {
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
        |  GROUP BY 1),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT word, cnt,
        |    $sep || regexp_replace(word, '(.)', '\\1' || $sep, 'g') AS s
        |  FROM w0),
