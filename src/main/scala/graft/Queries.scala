@@ -3563,8 +3563,12 @@ object Queries {
             pmod(shiftright(hn, 8 * k), lit(3L)) - 1L
         }: _*)))
       auds.withColumn("samples", sampleExpr)
-    }.repartition(64, col("aud_id")) // 64 tiny files read as 1 split
-    val withMat = wave.withColumn("matrix",
+    }
+    // fan the one-split read back out BEFORE the 288-element_at energy
+    // matrix (the old repartition sat on top of it and left the map on
+    // one core); operators.Spread is the shared conditional form
+    val spread = graft.operators.Spread.fanOut(wave)
+    val withMat = spread.withColumn("matrix",
       Multimodal.audioEnergyMatrix(col("samples"), frames, segs, segLen))
     val pairs = Dedup.dhashPairs(withMat, "aud_id", "matrix", maxHamming = 6,
       bandBytes = 2).localCheckpoint() // three consumers below
@@ -8773,9 +8777,17 @@ object Queries {
       .select(col("l_orderkey"), col("l_partkey"))
     val hist = li.where(pmod(col("l_orderkey"), lit(3L)) =!= 0L)
     val fresh = li.where(pmod(col("l_orderkey"), lit(3L)) === 0L)
-    val prevItems = Assoc.itemSupports(hist, "l_orderkey", "l_partkey")
-    val prevPairs = Assoc.pairSupports(hist, "l_orderkey", "l_partkey")
-    val prevN = hist.select(col("l_orderkey")).distinct().count()
+    // ONE distinct pass shared by item supports, pair supports and the
+    // basket count (was three separate distinct shuffles of the same
+    // rows); the operators' inner distincts reuse the checkpointed
+    // (b, i) partitioning exchange-free (guide §2.4)
+    val dist = hist
+      .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
+      .where(col("__i").isNotNull && col("__b").isNotNull)
+      .distinct().localCheckpoint()
+    val prevItems = Assoc.itemSupports(dist, "__b", "__i")
+    val prevPairs = Assoc.pairSupports(dist, "__b", "__i")
+    val prevN = dist.select(col("__b")).distinct().count()
     Assoc.pairRulesDelta(prevItems, prevPairs, prevN, fresh,
       "l_orderkey", "l_partkey", minSupport = 2L)
   }
@@ -9713,10 +9725,16 @@ object Queries {
       .distinct().localCheckpoint()
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    val hubs = deg.orderBy(col("dg").desc, col("node").asc).limit(3)
-      .collect().map(_.getLong(0))
-    val antis = deg.orderBy(col("dg").asc, col("node").asc).limit(3)
-      .collect().map(_.getLong(0))
+    // both seed ends in ONE partial-combining aggregation job (was two
+    // orderBy().limit(3) collects): top_k_by under the struct's natural
+    // descending order replays (dg DESC, node ASC) / (dg ASC, node ASC)
+    val ends = deg.agg(
+      top_k_by(struct(col("dg"), (-col("node")).as("nn")), 3).as("h"),
+      top_k_by(struct((-col("dg")).as("nd"), (-col("node")).as("nn")), 3)
+        .as("a")).head()
+    def nodesAt(i: Int): Array[Long] =
+      ends.getSeq[org.apache.spark.sql.Row](i).map(r => -r.getLong(1)).toArray
+    val (hubs, antis) = (nodesAt(0), nodesAt(1))
     Graph.pairBetweenness(e, hubs.zip(antis).toSeq, maxDepth = 3)
   }
 

@@ -855,9 +855,15 @@ object Graph {
     // pre-partitioned on the join key ONCE: every BFS level's
     // frontier⋈edges equi-join reuses the materialized layout (the
     // checkpoint retains the partitioning), so only the small frontier
-    // side moves per level
+    // side moves per level. ONE exchange, not two: repartition by u
+    // first and dedup after — HashPartitioning(u) satisfies the
+    // dedup's ClusteredDistribution(u, v) (partitioning on a subset of
+    // the grouping keys co-locates every (u, v) twin), so the
+    // dropDuplicates runs exchange-free on the repartitioned layout
+    // and its output keeps the u-partitioning the per-level join wants
+    // (guide §2.4: share one exchange between two same-keyed ops).
     val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().repartition(col("u")).localCheckpoint()
+      .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint()
     val nEdges = sym.count()
     // ALL 2·|pairs| truncated BFS runs advance in ONE per-level loop,
     // keyed by (pair idx, direction) — the same multi-source shape the
@@ -867,17 +873,24 @@ object Graph {
     def bfsAllDistributed(): DataFrame = {
       val seeds = pairs.zipWithIndex.flatMap { case ((s, t), idx) =>
         Seq((idx.toLong, 0L, s), (idx.toLong, 1L, t)) }
-      var settled = seeds.toDF("idx", "dir", "node")
+      val seed0 = seeds.toDF("idx", "dir", "node")
         .withColumn("d", lit(0L)).withColumn("sig", lit(1L))
         .localCheckpoint()
-      var frontier = settled
+      // per-level frames instead of a re-checkpointed running union:
+      // each level's anti-join reads the lazy union of the ≤ depth
+      // already-materialized frames — same bytes shuffled, but one
+      // materialization job per level saved (the union itself was
+      // being rewritten level after level, an O(depth²) copy)
+      val frames = scala.collection.mutable.ArrayBuffer(seed0)
+      var frontier = seed0
       var depth = 1
       var dry = false
       while (depth <= maxDepth && !dry) {
+        val settledU = frames.reduce(_ unionByName _)
         val nxt = frontier.withColumnRenamed("node", "u")
           .join(sym, "u")
           .select(col("idx"), col("dir"), col("v").as("node"), col("sig"))
-          .join(settled.select(col("idx"), col("dir"), col("node")),
+          .join(settledU.select(col("idx"), col("dir"), col("node")),
             Seq("idx", "dir", "node"), "left_anti")
           .groupBy(col("idx"), col("dir"), col("node"))
           .agg(sum(col("sig")).as("sig"))
@@ -893,12 +906,12 @@ object Graph {
           .select(col("idx"), col("dir"), col("node"), col("d"),
             col("sig"))
           .localCheckpoint()
-        settled = settled.unionByName(nxt).localCheckpoint()
+        frames += nxt
         frontier = nxt
         dry = nxt.limit(1).count() == 0L
         depth += 1
       }
-      settled
+      frames.reduce(_ unionByName _)
     }
     def bfsDriver(adj: Map[Long, Array[Long]], src: Long): Map[Long, (Long, Long)] = {
       var dist = Map(src -> (0L, 1L))

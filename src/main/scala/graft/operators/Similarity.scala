@@ -38,7 +38,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // Norms staged per row BEFORE the pair join: recomputing them inside
     // the pair-level cosine would fold each vector |corpus| times.
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v"))
+    // fanOut: the corpus side streams through the pair join, amplifying
+    // each input row |queries|-fold — a single-file scan would run the
+    // whole pair scan on one core (identity at scale, guide §2.5).
+    val c = Spread.fanOut(corpus
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cand_v")))
       .withColumn("cand_norm", vec_norm(col("cand_v")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_v"))
       .withColumn("query_norm", vec_norm(col("query_v")))
@@ -499,7 +503,10 @@ object Similarity {
       Contracts.Bound(sum(when(col(vecCol).isNull ||
         size(col(vecCol)) === 0, 1L).otherwise(0L)), _ == 0L, b =>
         s"$op: $b NULL/empty vectors — filter explicitly first"))
-    val q = df.select(posexplode(col(vecCol)).as(Seq("__i", "__e")))
+    // fanOut BEFORE the d- and d²-fold explodes: a one-file corpus scan
+    // would push the whole quantize+outer-product pass onto one core
+    val dfS = Spread.fanOut(df)
+    val q = dfS.select(posexplode(col(vecCol)).as(Seq("__i", "__e")))
       .select(col("__i").cast("long").as("__i"),
         bround(col("__e").cast("double") * 1e6, 0).cast("long").as("__q"))
       .localCheckpoint()
@@ -522,7 +529,7 @@ object Similarity {
         s"decimal(38,0) C*v contract (n=$n, maxq=$maxq, d=$dDim) — " +
         "rescale or sample the corpus")
     // C_ij = n*P_ij − S_i*S_j from ONE pair-explode pass
-    val pairs = df
+    val pairs = dfS
       .select(transform(col(vecCol),
         e => bround(e.cast("double") * 1e6, 0).cast("long")).as("__qv"))
       .select(posexplode(col("__qv")).as(Seq("__i", "__qi")),
@@ -636,9 +643,11 @@ object Similarity {
       "allButTheTop: the top component is the zero vector — nothing " +
         "to deflate (degenerate corpus)")
     val d38 = "decimal(38,0)"
-    val q = df.select(col(idCol).as("__id"),
+    // fanOut: the deflation map pass explodes d coordinates per row and
+    // runs off this checkpoint's partitioning (one file ⇒ one core)
+    val q = Spread.fanOut(df.select(col(idCol).as("__id"),
         transform(col(vecCol),
-          e => bround(e.cast("double") * 1e6, 0).cast("long")).as("__qv"))
+          e => bround(e.cast("double") * 1e6, 0).cast("long")).as("__qv")))
       .localCheckpoint()
     val st = q.select(posexplode(col("__qv")).as(Seq("__i", "__q")))
       .groupBy(col("__i"))

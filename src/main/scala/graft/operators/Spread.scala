@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive fan-out repartition for work-amplifying stages
+  * (optimization guide §2.5 "input skew: one huge unsplittable file" /
+  * §6 input split sizing).
+  *
+  * The problem it fixes: an operator whose FIRST stage multiplies work
+  * per input row — a pair join (n rows → n² pairs), a d²-cell
+  * pair-explode, an n-gram explode, per-row text kernels — inherits the
+  * scan's partitioning. A small input table (one parquet file, one row
+  * group) scans as ONE partition, so the whole amplified stage runs on
+  * one core no matter how many the session has. At production scale the
+  * scan arrives already split into many partitions and nothing should
+  * move; the fix must therefore be conditional, not a constant.
+  *
+  * `fanOut` round-robin-repartitions up to the session's default
+  * parallelism ONLY when the frame currently has fewer partitions —
+  * at scale (partitions ≥ cores) it is the identity and costs nothing.
+  * Round-robin repartition is deterministic under retries (Spark sorts
+  * before round-robin, SPARK-23207) and every downstream consumer here
+  * is partitioning-agnostic (equi-joins, commutative aggregates,
+  * partial-combining top-k), so results are bit-identical.
+  *
+  * Call it on frames whose physical partitioning is already decided —
+  * a scan, a localCheckpoint, or a freshly staged fixture — NOT on a
+  * plan with pending exchanges (reading `.rdd.getNumPartitions` on an
+  * AQE plan with shuffles would force those stages to execute early).
+  */
+private[graft] object Spread {
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}

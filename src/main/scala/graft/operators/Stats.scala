@@ -3115,8 +3115,11 @@ object Stats {
                          xCol: String, replicas: Int = 40): DataFrame = {
     require(replicas >= 8 && replicas <= 64,
       s"poissonBootstrapCI: replicas must be in [8, 64], got $replicas")
-    val proj = df.select(col(keyCol), col(idCol).cast("string").as("__id"),
-      col(xCol).cast("long").as("__x")).localCheckpoint()
+    // fanOut: the replica explode multiplies every row `replicas`-fold
+    // and md5-hashes each copy — spread a narrow scan before that
+    val proj = Spread.fanOut(df.select(col(keyCol),
+      col(idCol).cast("string").as("__id"),
+      col(xCol).cast("long").as("__x"))).localCheckpoint()
     Contracts.enforce(proj,
       Contracts.Bound(sum(when(col("__id").isNull || col("__x").isNull,
         1L).otherwise(0L)), _ == 0L, b =>

@@ -1687,8 +1687,12 @@ object TextAnalysis {
                               thresholdMicro: Long = 0L): DataFrame = {
     require(order >= 2 && order <= 8,
       s"stupidBackoffPerplexity: order must be in [2, 8], got $order")
-    val toks = docs.select(col(idCol).as("doc_id"), isTrain.as("__tr"),
-      ws_tokens(col(textCol)).as("__tk"))
+    // fanOut: tokenization + the per-position context-key explode
+    // amplify each doc row ~|tokens|·order-fold — a one-file corpus
+    // would run that whole stage on one core (identity at scale)
+    val toks = Spread.fanOut(docs)
+      .select(col(idCol).as("doc_id"), isTrain.as("__tr"),
+        ws_tokens(col(textCol)).as("__tk"))
     // per-position context keys: the up-to-`order`-gram ending at each
     // position (single-pass expression — a transform() lambda over a
     // staged token column would re-tokenize per element under
@@ -1834,8 +1838,10 @@ object TextAnalysis {
                             = None): DataFrame = {
     require(order >= 2 && order <= 5,
       s"kneserNeyPerplexity: order must be in [2, 5], got $order")
-    val toks = docs.select(col(idCol).as("doc_id"), isTrain.as("__tr"),
-      ws_tokens(col(textCol)).as("__tk"))
+    // fanOut: same work-amplifying first stage as stupidBackoff
+    val toks = Spread.fanOut(docs)
+      .select(col(idCol).as("doc_id"), isTrain.as("__tr"),
+        ws_tokens(col(textCol)).as("__tk"))
     def keys(tk: Column) = ngram_context_keys(tk, order)
     val grams = toks.where(col("__tr"))
       .select(explode(keys(col("__tk"))).as("__key"))
