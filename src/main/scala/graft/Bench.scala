@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Tried and REVERTED (r16): minPartitionSize=1b to force AQE's
+      // parallelism-first sizing on sub-MB shuffles — net 16% SLOWER
+      // full-registry (447.8 s vs ~390 s): 32 tasks per tiny post-shuffle
+      // stage cost more in scheduling than the parallelism bought.
+      // Heavy pre-shuffle stages are spread by operators.Spread instead.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,8 +29,20 @@ import org.apache.spark.sql.DataFrame
   * AQE plan with shuffles would force those stages to execute early).
   */
 private[graft] object Spread {
+  // the narrowness probe (`.rdd.getNumPartitions`) builds the physical
+  // RDD — ~50-100 ms of planning per call, which adds up in gates that
+  // fan out several inputs and in the bench's repeated sweeps. The
+  // answer is a pure function of the (immutable) source layout, so
+  // cache it per (session, canonicalized logical plan).
+  private val decisions =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.lang.Boolean]()
+
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val key = (System.identityHashCode(df.sparkSession).toLong << 32 |
+      (p & 0xffffffffL), df.queryExecution.logical.semanticHash())
+    val narrow = decisions.computeIfAbsent(key,
+      _ => df.rdd.getNumPartitions < p)
+    if (narrow) df.repartition(p) else df
   }
 }
