@@ -8784,7 +8784,8 @@ object Queries {
     val dist = hist
       .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
       .where(col("__i").isNotNull && col("__b").isNotNull)
-      .distinct().localCheckpoint()
+      .repartition(col("__b")).dropDuplicates("__b", "__i")
+      .localCheckpoint()
     val prevItems = Assoc.itemSupports(dist, "__b", "__i")
     val prevPairs = Assoc.pairSupports(dist, "__b", "__i")
     val prevN = dist.select(col("__b")).distinct().count()
@@ -9373,10 +9374,11 @@ object Queries {
     * CHECKED degree bound, existing edges anti-joined away, exact
     * Jaccard tail — are "parts that should co-sell but don't yet". */
   private def q229(s: SparkSession, dir: String): DataFrame = {
+    // same one-exchange co-partitioned self-join shape as q237
     val d = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
-      .distinct()
+      .repartition(col("b")).dropDuplicates("b", "i").localCheckpoint()
     val pairs = d.as("l").join(d.as("r"), col("l.b") === col("r.b")
         && col("l.i") < col("r.i"))
       .groupBy(col("l.i").as("u"), col("r.i").as("v"))
@@ -9715,10 +9717,15 @@ object Queries {
     * direction (all pairs at once, keyed by pair index), the interior
     * predicate, and the sorted fold. */
   private def q237(s: SparkSession, dir: String): DataFrame = {
+    // ONE exchange to a b-partitioned checkpoint: the dedup reuses the
+    // repartition layout (subset-key ClusteredDistribution), and the
+    // self-join on b then runs over two reads of the SAME co-partitioned
+    // RDD — exchange-free — instead of recomputing the distinct on both
+    // sides and reshuffling each by b (guide §2.4; was ~5 s of the gate)
     val d = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
       .where(col("b").isNotNull && col("i").isNotNull)
-      .distinct()
+      .repartition(col("b")).dropDuplicates("b", "i").localCheckpoint()
     val e = d.as("l").join(d.as("r"), col("l.b") === col("r.b")
         && col("l.i") < col("r.i"))
       .select(col("l.i").as("u"), col("r.i").as("v"))

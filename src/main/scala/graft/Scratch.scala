@@ -27,41 +27,54 @@ object Scratch {
         println(f"[scratch] $label sweep$sweep ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
-    import graft.operators.Similarity
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v"))
-      .withColumn("cand_norm", graft.functions.vec_norm(col("cand_v")))
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("query_v"))
-      .withColumn("query_norm", graft.functions.vec_norm(col("query_v")))
-    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(graft.functions.vec_dot(col("query_v"), col("cand_v"))
-          / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
-    val cC = c.localCheckpoint()
-    val qC = q.localCheckpoint()
-    val scoredC = cC.join(broadcast(qC), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(graft.functions.vec_dot(col("query_v"), col("cand_v"))
-          / (col("query_norm") * col("cand_norm")), 6).as("cos_sim"))
-    val dotOnly = cC.join(broadcast(qC), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        (graft.functions.vec_dot(col("query_v"), col("cand_v"))
-          / (col("query_norm") * col("cand_norm"))).as("cos_sim"))
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    def agg(df: DataFrame) = df.groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1)))
-    time("agg-nospread")(agg(li))
-    time("agg-roundrobin")(agg(li.repartition(32)))
-    time("agg-xxhash")(agg(li.repartition(32,
-      xxhash64(struct(li.columns.map(col).toIndexedSeq: _*)))))
+    // ---- q237 decomposition ----
+    import graft.operators.Graph
+    val d = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val e = timed("q237-e-ckpt") {
+      d.as("l").join(d.as("r"), col("l.b") === col("r.b")
+          && col("l.i") < col("r.i"))
+        .select(col("l.i").as("u"), col("r.i").as("v"))
+        .distinct().localCheckpoint()
+    }
+    println("[scratch] e rows " + e.count())
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val ends = timed("q237-ends") {
+      deg.agg(
+        graft.functions.top_k_by(struct(col("dg"), (-col("node")).as("nn")), 3).as("h"),
+        graft.functions.top_k_by(struct((-col("dg")).as("nd"), (-col("node")).as("nn")), 3).as("a")).head()
+    }
+    def nodesAt(i: Int): Array[Long] =
+      ends.getSeq[org.apache.spark.sql.Row](i).map(r => -r.getLong(1)).toArray
+    val (hubs, antis) = (nodesAt(0), nodesAt(1))
+    timed("q237-pairBetweenness-job") {
+      Graph.pairBetweenness(e, hubs.zip(antis).toSeq, maxDepth = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- q264 decomposition ----
+    import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def toks(df: DataFrame) = df.select(col("doc_id"),
-      explode(graft.functions.ws_tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)))
-    time("toks-nospread")(toks(docs))
-    time("toks-roundrobin")(toks(docs.repartition(32)))
-    time("toks-xxhash")(toks(docs.repartition(32, xxhash64(col("doc_id")))))
+    timed("q264-full-job") {
+      TextAnalysis.stupidBackoffPerplexity(docs, "doc_id", "text",
+          col("doc_id") % 3 =!= 0L, order = 5, thresholdMicro = 2550000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("q264-full-job2") {
+      TextAnalysis.stupidBackoffPerplexity(docs, "doc_id", "text",
+          col("doc_id") % 3 =!= 0L, order = 5, thresholdMicro = 2550000L)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

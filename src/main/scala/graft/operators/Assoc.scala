@@ -42,9 +42,13 @@ object Assoc {
                 minSupport: Long,
                 maxItemsPerBasket: Long = 100000L): DataFrame = {
     require(minSupport >= 1, s"pairRules needs minSupport >= 1, got $minSupport")
+    // basket-partitioned dedup in ONE exchange (subset-key clustering),
+    // checkpointed so the pair self-join on __b below runs co-partitioned
+    // and exchange-free over two reads of the same RDD (guide §2.4)
     val d = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__i").isNotNull && col("__b").isNotNull)
-      .distinct().localCheckpoint()
+      .repartition(col("__b")).dropDuplicates("__b", "__i")
+      .localCheckpoint()
     Contracts.boundedPerKey(d, "__b", maxItemsPerBasket, "pairRules",
       "distinct items", "Split or cap pathological baskets before mining " +
         "— the pair join is C(n,2) per basket.",
@@ -81,7 +85,8 @@ object Assoc {
     val d = newBaskets
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__i").isNotNull && col("__b").isNotNull)
-      .distinct().localCheckpoint()
+      .repartition(col("__b")).dropDuplicates("__b", "__i")
+      .localCheckpoint()
     Contracts.boundedPerKey(d, "__b", maxItemsPerBasket, "pairRulesDelta",
       "distinct items", "Split or cap pathological baskets before mining " +
         "— the pair join is C(n,2) per basket.",
@@ -130,6 +135,10 @@ object Assoc {
 
   def pairSupports(df: DataFrame, basketCol: String,
                    itemCol: String): DataFrame =
+    // callers that also need item supports pass a basket-partitioned
+    // checkpointed distinct (the q214 shape) — the inner distinct and
+    // the self-join then reuse that layout exchange-free; an internal
+    // checkpoint here would double-materialize those callers
     pairCounts(df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__i").isNotNull && col("__b").isNotNull)
       .distinct())
