@@ -20,13 +20,6 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def time(label: String)(df: => DataFrame): Unit = {
-      (1 to 2).foreach { sweep =>
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $label sweep$sweep ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-    }
     def timed[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -34,46 +27,66 @@ object Scratch {
       r
     }
 
-    // ---- q237 decomposition ----
-    import graft.operators.Graph
-    val d = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .where(col("b").isNotNull && col("i").isNotNull)
-      .distinct()
-    val e = timed("q237-e-ckpt") {
-      d.as("l").join(d.as("r"), col("l.b") === col("r.b")
-          && col("l.i") < col("r.i"))
-        .select(col("l.i").as("u"), col("r.i").as("v"))
-        .distinct().localCheckpoint()
-    }
-    println("[scratch] e rows " + e.count())
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    val ends = timed("q237-ends") {
-      deg.agg(
-        graft.functions.top_k_by(struct(col("dg"), (-col("node")).as("nn")), 3).as("h"),
-        graft.functions.top_k_by(struct((-col("dg")).as("nd"), (-col("node")).as("nn")), 3).as("a")).head()
-    }
-    def nodesAt(i: Int): Array[Long] =
-      ends.getSeq[org.apache.spark.sql.Row](i).map(r => -r.getLong(1)).toArray
-    val (hubs, antis) = (nodesAt(0), nodesAt(1))
-    timed("q237-pairBetweenness-job") {
-      Graph.pairBetweenness(e, hubs.zip(antis).toSeq, maxDepth = 3)
-        .write.format("noop").mode("overwrite").save()
-    }
+    (1 to 2).foreach { pass =>
+      val d = timed(s"p$pass-d-ckpt") {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+          .where(col("b").isNotNull && col("i").isNotNull)
+          .repartition(col("b")).dropDuplicates("b", "i").localCheckpoint()
+      }
+      val e = timed(s"p$pass-e-ckpt") {
+        d.as("l").join(d.as("r"), col("l.b") === col("r.b")
+            && col("l.i") < col("r.i"))
+          .select(col("l.i").as("u"), col("r.i").as("v"))
+          .distinct().localCheckpoint()
+      }
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val ends = timed(s"p$pass-ends") {
+        deg.agg(
+          graft.functions.top_k_by(struct(col("dg"), (-col("node")).as("nn")), 3).as("h"),
+          graft.functions.top_k_by(struct((-col("dg")).as("nd"), (-col("node")).as("nn")), 3).as("a")).head()
+      }
+      def nodesAt(i: Int): Array[Long] =
+        ends.getSeq[org.apache.spark.sql.Row](i).map(r => -r.getLong(1)).toArray
+      val pairs = nodesAt(0).zip(nodesAt(1)).toSeq
 
-    // ---- q264 decomposition ----
-    import graft.operators.TextAnalysis
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    timed("q264-full-job") {
-      TextAnalysis.stupidBackoffPerplexity(docs, "doc_id", "text",
-          col("doc_id") % 3 =!= 0L, order = 5, thresholdMicro = 2550000L)
-        .write.format("noop").mode("overwrite").save()
-    }
-    timed("q264-full-job2") {
-      TextAnalysis.stupidBackoffPerplexity(docs, "doc_id", "text",
-          col("doc_id") % 3 =!= 0L, order = 5, thresholdMicro = 2550000L)
-        .write.format("noop").mode("overwrite").save()
+      // inline pairBetweenness distributed path, timed per stage
+      val e0 = e.toDF("u", "v")
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+      val sym = timed(s"p$pass-sym-ckpt") {
+        e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+          .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint()
+      }
+      timed(s"p$pass-nEdges")(sym.count())
+      import spark.implicits._
+      val seeds = pairs.zipWithIndex.flatMap { case ((s, t), idx) =>
+        Seq((idx.toLong, 0L, s), (idx.toLong, 1L, t)) }
+      val seed0 = seeds.toDF("idx", "dir", "node")
+        .withColumn("d", lit(0L)).withColumn("sig", lit(1L))
+        .localCheckpoint()
+      val frames = scala.collection.mutable.ArrayBuffer(seed0)
+      var frontier = seed0
+      (1 to 3).foreach { depth =>
+        val settledU = frames.reduce(_ unionByName _)
+        val nxt = timed(s"p$pass-level$depth") {
+          frontier.withColumnRenamed("node", "u")
+            .join(sym, "u")
+            .select(col("idx"), col("dir"), col("v").as("node"), col("sig"))
+            .join(settledU.select(col("idx"), col("dir"), col("node")),
+              Seq("idx", "dir", "node"), "left_anti")
+            .groupBy(col("idx"), col("dir"), col("node"))
+            .agg(sum(col("sig")).as("sig"))
+            .withColumn("d", lit(depth.toLong))
+            .localCheckpoint()
+        }
+        frames += nxt
+        frontier = nxt
+        timed(s"p$pass-dry$depth")(nxt.limit(1).count())
+      }
+      val settled = frames.reduce(_ unionByName _)
+      timed(s"p$pass-rows")(println("  settled " + settled.count()))
     }
     spark.stop()
   }

@@ -887,13 +887,21 @@ object Graph {
       var dry = false
       while (depth <= maxDepth && !dry) {
         val settledU = frames.reduce(_ unionByName _)
+        // aggregate BEFORE the anti-join (guide §2.3): the σ sums
+        // partial-combine map-side, so the exchange carries one row per
+        // (idx, dir, node) instead of every expanded frontier×edge row;
+        // the anti-join then reuses that partitioning exchange-free.
+        // Dropping settled rows after summing changes nothing the kept
+        // rows see, and the σ contract below still judges only
+        // SURVIVING rows (a settled node's sum is discarded unchecked,
+        // exactly as the old expand→anti→sum order never formed it).
         val nxt = frontier.withColumnRenamed("node", "u")
           .join(sym, "u")
           .select(col("idx"), col("dir"), col("v").as("node"), col("sig"))
-          .join(settledU.select(col("idx"), col("dir"), col("node")),
-            Seq("idx", "dir", "node"), "left_anti")
           .groupBy(col("idx"), col("dir"), col("node"))
           .agg(sum(col("sig")).as("sig"))
+          .join(settledU.select(col("idx"), col("dir"), col("node")),
+            Seq("idx", "dir", "node"), "left_anti")
           .where(when(col("sig") > maxSigma,
             raise_error(concat(
               lit("pairBetweenness: path count at node "),

@@ -1689,10 +1689,15 @@ object TextAnalysis {
       s"stupidBackoffPerplexity: order must be in [2, 8], got $order")
     // fanOut: tokenization + the per-position context-key explode
     // amplify each doc row ~|tokens|·order-fold — a one-file corpus
-    // would run that whole stage on one core (identity at scale)
+    // would run that whole stage on one core (identity at scale).
+    // Checkpointed: FOUR consumers (gram counts, eval keys, token
+    // scoring, the final join-back) each re-ran the tokenizer scan;
+    // one materialized token table trades storage for three full
+    // corpus re-tokenizations (guide §5 caching-when-reused).
     val toks = Spread.fanOut(docs)
       .select(col(idCol).as("doc_id"), isTrain.as("__tr"),
         ws_tokens(col(textCol)).as("__tk"))
+      .localCheckpoint()
     // per-position context keys: the up-to-`order`-gram ending at each
     // position (single-pass expression — a transform() lambda over a
     // staged token column would re-tokenize per element under
@@ -1838,10 +1843,12 @@ object TextAnalysis {
                             = None): DataFrame = {
     require(order >= 2 && order <= 5,
       s"kneserNeyPerplexity: order must be in [2, 5], got $order")
-    // fanOut: same work-amplifying first stage as stupidBackoff
+    // fanOut + checkpoint: same work-amplifying first stage and same
+    // four-consumer re-tokenization as stupidBackoff (see there)
     val toks = Spread.fanOut(docs)
       .select(col(idCol).as("doc_id"), isTrain.as("__tr"),
         ws_tokens(col(textCol)).as("__tk"))
+      .localCheckpoint()
     def keys(tk: Column) = ngram_context_keys(tk, order)
     val grams = toks.where(col("__tr"))
       .select(explode(keys(col("__tk"))).as("__key"))
