@@ -1,10 +1,13 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 
 /** Ad-hoc stage decomposition experiments for the optimization rounds —
-  * NOT part of the driver contract; times labeled sub-plans with the
-  * bench's noop-sink methodology. Edit freely per investigation. */
+  * NOT part of the driver contract. This revision dumps the formatted
+  * plans of INTERNAL (pre-checkpoint) stages that the per-query
+  * PlanDump cannot show, as evidence for OPTIMIZATION_r16.md's claims. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,76 +21,33 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect()
-
-    def timed[T](label: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+    def dump(name: String, df: DataFrame): Unit = {
+      Files.writeString(Paths.get("plans/r16", name),
+        df.queryExecution.explainString(FormattedMode))
+      System.err.println(s"[scratch] wrote plans/r16/$name")
     }
 
-    (1 to 2).foreach { pass =>
-      val d = timed(s"p$pass-d-ckpt") {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-          .where(col("b").isNotNull && col("i").isNotNull)
-          .repartition(col("b")).dropDuplicates("b", "i").localCheckpoint()
-      }
-      val e = timed(s"p$pass-e-ckpt") {
-        d.as("l").join(d.as("r"), col("l.b") === col("r.b")
-            && col("l.i") < col("r.i"))
-          .select(col("l.i").as("u"), col("r.i").as("v"))
-          .distinct().localCheckpoint()
-      }
-      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-      val ends = timed(s"p$pass-ends") {
-        deg.agg(
-          graft.functions.top_k_by(struct(col("dg"), (-col("node")).as("nn")), 3).as("h"),
-          graft.functions.top_k_by(struct((-col("dg")).as("nd"), (-col("node")).as("nn")), 3).as("a")).head()
-      }
-      def nodesAt(i: Int): Array[Long] =
-        ends.getSeq[org.apache.spark.sql.Row](i).map(r => -r.getLong(1)).toArray
-      val pairs = nodesAt(0).zip(nodesAt(1)).toSeq
+    // q237/q229/q208/q214 internal shape: ONE exchange to a
+    // basket-partitioned dedup (HashAggregate directly over the
+    // repartition, no second exchange), then the self-join on b over
+    // the checkpointed RDD (its plan shows no exchange on either side).
+    val dPlan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .repartition(col("b")).dropDuplicates("b", "i")
+    dump("q237_internal_dedup_after.txt", dPlan)
+    val d = dPlan.localCheckpoint()
+    dump("q237_internal_selfjoin_after.txt",
+      d.as("l").join(d.as("r"), col("l.b") === col("r.b")
+          && col("l.i") < col("r.i"))
+        .select(col("l.i").as("u"), col("r.i").as("v")).distinct())
 
-      // inline pairBetweenness distributed path, timed per stage
-      val e0 = e.toDF("u", "v")
-        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-        .where(col("u") =!= col("v"))
-      val sym = timed(s"p$pass-sym-ckpt") {
-        e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-          .repartition(col("u")).dropDuplicates("u", "v").localCheckpoint()
-      }
-      timed(s"p$pass-nEdges")(sym.count())
-      import spark.implicits._
-      val seeds = pairs.zipWithIndex.flatMap { case ((s, t), idx) =>
-        Seq((idx.toLong, 0L, s), (idx.toLong, 1L, t)) }
-      val seed0 = seeds.toDF("idx", "dir", "node")
-        .withColumn("d", lit(0L)).withColumn("sig", lit(1L))
-        .localCheckpoint()
-      val frames = scala.collection.mutable.ArrayBuffer(seed0)
-      var frontier = seed0
-      (1 to 3).foreach { depth =>
-        val settledU = frames.reduce(_ unionByName _)
-        val nxt = timed(s"p$pass-level$depth") {
-          frontier.withColumnRenamed("node", "u")
-            .join(sym, "u")
-            .select(col("idx"), col("dir"), col("v").as("node"), col("sig"))
-            .join(settledU.select(col("idx"), col("dir"), col("node")),
-              Seq("idx", "dir", "node"), "left_anti")
-            .groupBy(col("idx"), col("dir"), col("node"))
-            .agg(sum(col("sig")).as("sig"))
-            .withColumn("d", lit(depth.toLong))
-            .localCheckpoint()
-        }
-        frames += nxt
-        frontier = nxt
-        timed(s"p$pass-dry$depth")(nxt.limit(1).count())
-      }
-      val settled = frames.reduce(_ unionByName _)
-      timed(s"p$pass-rows")(println("  settled " + settled.count()))
-    }
+    // brute-force pair scan internals (q179/q313/q333/q345 family):
+    // the corpus side fans out through a round-robin exchange before
+    // the BroadcastNestedLoopJoin, norms computed below the join.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    dump("q179_internal_brute_after.txt",
+      graft.operators.Similarity.bruteForceTopK(emb, emb, 1))
     spark.stop()
   }
 }
